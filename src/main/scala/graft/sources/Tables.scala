@@ -1,0 +1,36 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Typed accessors for the test corpus (TPC-H-ish star schema plus an
+  * `events` stream table and `documents`/`embeddings` for the
+  * LLM-pipeline operators).
+  *
+  * All loads are plain parquet scans so Catalyst can push filters and
+  * prune columns into the file scan — operators must NOT cache or
+  * materialize here; each query should present one end-to-end logical
+  * plan to the optimizer.
+  */
+final case class Tables(spark: SparkSession, dir: String) {
+  private def t(name: String): DataFrame = spark.read.parquet(s"$dir/$name.parquet")
+
+  def region: DataFrame     = t("region")
+  def nation: DataFrame     = t("nation")
+  def customer: DataFrame   = t("customer")
+  def supplier: DataFrame   = t("supplier")
+  def part: DataFrame       = t("part")
+  def orders: DataFrame     = t("orders")
+  def lineitem: DataFrame   = t("lineitem")
+  /** events.parquet stores ts as TIMESTAMP(NANOS), which Spark 4's
+    * vectorized reader rejects — read nanos as long (legacy conf) and
+    * rebuild a microsecond timestamp. Truncation to micros is fine for
+    * every operator (coarsest unit we group on is minutes).
+    */
+  def events: DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t("events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+  def documents: DataFrame  = t("documents")
+  def embeddings: DataFrame = t("embeddings")
+}
