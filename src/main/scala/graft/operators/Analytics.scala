@@ -74,7 +74,7 @@ object Analytics {
     val w = Window.partitionBy("user_id").orderBy(col("value").desc, col("event_id"))
     t.events
       .select("user_id", "event_id", "event_type", "value")
-      .withColumn("rnk", row_number().over(w))
+      .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= 3)
       .orderBy("user_id", "rnk")
   }

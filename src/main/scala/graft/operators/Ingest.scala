@@ -1,0 +1,62 @@
+package graft.operators
+
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Ingestion operators mirroring the reference's s3_lambda stage:
+  * CSV download → parse → bulk load (download.go:466-541) and the
+  * synthetic device/subscription generator (download.go:127-190).
+  */
+object Ingest {
+
+  /** A11: CSV round trip — serialize events rows to CSV lines the way
+    * the reference's data.csv is laid out, parse them back with
+    * from_csv (typed, codegen'd — the distributed equivalent of
+    * encoding/csv + COPY in download.go:466-541), then aggregate on
+    * the parsed columns. Proves parse correctness because the result
+    * must match an oracle computed from the original table.
+    */
+  def csvRoundtrip(t: Tables): DataFrame = {
+    val lines = t.events.select(
+      concat_ws(",", col("event_id"), col("user_id"), col("event_type")).as("line")
+    )
+    val parsed = lines.select(
+      from_csv(col("line"), org.apache.spark.sql.types.StructType.fromDDL(
+        "event_id LONG, user_id LONG, event_type STRING"
+      ), Map.empty[String, String]).as("r")
+    )
+    parsed
+      .select(col("r.event_id").as("event_id"), col("r.user_id").as("user_id"), col("r.event_type").as("event_type"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("event_id")).as("sum_ids"))
+      .orderBy("event_type")
+  }
+
+  /** True file-based CSV ingest (same parser config as csvRoundtrip)
+    * for callers with real CSV input; spec-tested since the test
+    * corpus ships parquet only.
+    */
+  def readCsv(spark: SparkSession, path: String, ddl: String): DataFrame =
+    spark.read.schema(org.apache.spark.sql.types.StructType.fromDDL(ddl)).csv(path)
+
+  /** A12: deterministic device synthesis — the reference loops
+    * user-by-user on the driver emitting 1-3 devices with random
+    * tokens (download.go:127-190). Distributed re-expression:
+    * `sequence` + `explode` generates rows executor-side (no driver
+    * loop, no collect), token/arn are content-addressed md5s instead
+    * of crypto-rand so the output is reproducible.
+    */
+  def deviceGen(t: Tables): DataFrame =
+    t.customer
+      .select(col("c_custkey"), explode(sequence(lit(1L), pmod(col("c_custkey"), lit(3)) + 1)).as("device_num"))
+      .select(
+        col("c_custkey"),
+        col("device_num"),
+        concat(
+          lit("arn:"),
+          substring(md5(concat(col("c_custkey"), lit("-"), col("device_num"))), 1, 16)
+        ).as("endpoint_arn")
+      )
+      .orderBy("c_custkey", "device_num")
+}

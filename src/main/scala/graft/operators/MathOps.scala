@@ -1,0 +1,93 @@
+package graft.operators
+
+import graft.sources.Tables
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+/** The math-problem map operators from the reference's adder/multiplier
+  * lambdas, re-expressed as narrow codegen'd projections.
+  *
+  * Reference: adder-labma/adder.go:38-56 (base64+JSON decode, add,
+  * "a + b = c" answer string, md5 content-addressed result key),
+  * multi-lambda/multi.go:52-56 (multiply, "multi-" key prefix).
+  *
+  * The reference keys output objects by md5 of a wall-clock timestamp;
+  * we key by md5 over the record identity instead so results are
+  * deterministic and idempotent under retry — at 100 TB re-running a
+  * failed task MUST NOT mint new keys (exactly-once sink semantics).
+  * All expressions are built-in functions → whole-stage codegen, no
+  * shuffle at all: this pipelines at scan speed on any cluster size.
+  */
+object MathOps {
+
+  /** Derive the {Num1, Num2} problem stream deterministically from the
+    * events table (kinesis_stream/main.go:24-27 uses rand 0..99).
+    */
+  private def problems(t: Tables): DataFrame =
+    t.events.select(
+      col("event_id"),
+      pmod(col("event_id"), lit(100)).as("num1"),
+      pmod(col("user_id"), lit(100)).as("num2")
+    )
+
+  private def answered(t: Tables, op: String, keyPrefix: String): DataFrame = {
+    val result = op match {
+      case "+" => col("num1") + col("num2")
+      case "*" => col("num1") * col("num2")
+    }
+    problems(t)
+      .select(
+        col("event_id"),
+        col("num1"),
+        col("num2"),
+        concat(col("num1"), lit(s" $op "), col("num2"), lit(" = "), result).as("answer"),
+        concat(lit(keyPrefix), md5(concat(lit(keyPrefix), col("event_id").cast("string"))))
+          .as("result_key")
+      )
+      .orderBy("event_id")
+  }
+
+  /** A1: adder-labma/adder.go:49-56. */
+  def adder(t: Tables): DataFrame = answered(t, "+", "add-")
+
+  /** A2: multi-lambda/multi.go:52-56. */
+  def multiplier(t: Tables): DataFrame = answered(t, "*", "multi-")
+
+  /** A3: Kinesis-envelope round trip — build the base64(JSON) record
+    * the way a producer would (kinesis_stream/main.go:28-37), then
+    * decode it the way the lambda does (adder-labma/types.go:3-19,
+    * adder.go:38-44): unbase64 → from_json → typed fields.
+    */
+  def kinesisDecode(t: Tables): DataFrame = {
+    val payloadSchema = StructType(
+      Seq(StructField("Num1", LongType), StructField("Num2", LongType))
+    )
+    val enveloped = t.events.select(
+      col("event_id"),
+      col("user_id").cast("string").as("partition_key"),
+      base64(
+        to_json(
+          struct(
+            pmod(col("event_id"), lit(100)).as("Num1"),
+            pmod(col("user_id"), lit(100)).as("Num2")
+          )
+        ).cast("binary")
+      ).as("data")
+    )
+    enveloped
+      .select(
+        col("event_id"),
+        col("partition_key"),
+        from_json(unbase64(col("data")).cast("string"), payloadSchema).as("p")
+      )
+      .select(
+        col("event_id"),
+        col("partition_key"),
+        col("p.Num1").as("num1"),
+        col("p.Num2").as("num2"),
+        (col("p.Num1") + col("p.Num2")).as("num_sum")
+      )
+      .orderBy("event_id")
+  }
+}
