@@ -36,7 +36,20 @@ object SparkEntry {
     "q_hourly_window"      -> ((s, d) => EventOps.hourlyWindow(Tables(s, d))),
     "q_props_extract"      -> ((s, d) => EventOps.propsExtract(Tables(s, d))),
     "q_csv_roundtrip"      -> ((s, d) => Ingest.csvRoundtrip(Tables(s, d))),
-    "q_device_gen"         -> ((s, d) => Ingest.deviceGen(Tables(s, d)))
+    "q_device_gen"         -> ((s, d) => Ingest.deviceGen(Tables(s, d))),
+    "dedup_exact"          -> ((s, d) => Dedup.exact(Tables(s, d))),
+    "dedup_ngram_jaccard"  -> ((s, d) => Dedup.ngramJaccard(Tables(s, d))),
+    "dedup_minhash_lsh"    -> ((s, d) => Dedup.minhashLsh(Tables(s, d))),
+    "dedup_simhash"        -> ((s, d) => Dedup.simhashPairs(Tables(s, d))),
+    "dedup_embedding"      -> ((s, d) => Dedup.embeddingCosine(Tables(s, d))),
+    "knn_bruteforce"       -> ((s, d) => Similarity.knnBruteForce(Tables(s, d))),
+    "knn_lsh"              -> ((s, d) => Similarity.knnLsh(Tables(s, d))),
+    "text_langid"          -> ((s, d) => TextOps.langId(Tables(s, d))),
+    "text_quality"         -> ((s, d) => TextOps.qualityScores(Tables(s, d))),
+    "text_tokens"          -> ((s, d) => TextOps.tokenCounts(Tables(s, d))),
+    "text_fingerprint"     -> ((s, d) => TextOps.fingerprints(Tables(s, d))),
+    "multimodal_meta"      -> ((s, d) => Multimodal.mediaMeta(Tables(s, d))),
+    "multimodal_decode"    -> ((s, d) => Multimodal.decodeSummary(s, Tables(s, d)))
   )
 
   /** kinesis_topic/main.go:23 — the demo topic payload. */
@@ -195,6 +208,117 @@ object SparkEntry {
       """SELECT c_custkey, CAST(d AS BIGINT) AS device_num,
         |  concat('arn:', substr(md5(concat(c_custkey, '-', d)), 1, 16)) AS endpoint_arn
         |FROM customer, unnest(generate_series(1, (c_custkey % 3) + 1)) AS t(d)
-        |ORDER BY c_custkey, device_num""".stripMargin
+        |ORDER BY c_custkey, device_num""".stripMargin,
+    "dedup_exact" ->
+      """WITH h AS (
+        |  SELECT doc_id, md5(regexp_replace(trim(text), '\s+', ' ', 'g')) AS text_hash
+        |  FROM documents)
+        |SELECT doc_id, text_hash,
+        |  min(doc_id) OVER (PARTITION BY text_hash) AS keep_doc_id,
+        |  count(*) OVER (PARTITION BY text_hash) AS group_size
+        |FROM h ORDER BY doc_id""".stripMargin,
+    "dedup_ngram_jaccard" -> ngramJaccardOracle,
+    "dedup_minhash_lsh"   -> ngramJaccardOracle, // LSH verified-pairs = exact pairs (miss prob (1-s^4)^32; see Dedup.scala)
+    "text_langid" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_intersect(list_distinct(string_split(lower(text), ' ')), ['the','a','of','and','in','is'])) AS BIGINT) AS en_hits,
+        |    CAST(len(list_intersect(list_distinct(string_split(lower(text), ' ')), ['el','la','de','los','que','y'])) AS BIGINT) AS es_hits,
+        |    CAST(len(list_intersect(list_distinct(string_split(lower(text), ' ')), ['der','die','das','und','ist','mit'])) AS BIGINT) AS de_hits
+        |  FROM documents)
+        |SELECT doc_id, en_hits, es_hits, de_hits,
+        |  CASE WHEN en_hits >= es_hits AND en_hits >= de_hits AND en_hits > 0 THEN 'en'
+        |       WHEN es_hits >= de_hits AND es_hits > 0 THEN 'es'
+        |       WHEN de_hits > 0 THEN 'de'
+        |       ELSE 'und' END AS lang_pred
+        |FROM h ORDER BY doc_id""".stripMargin,
+    "text_quality" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    CAST(length(text) AS BIGINT) AS n_chars,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+        |    CAST(len(list_intersect(list_distinct(string_split(text, ' ')), ['the','a','of','and','in','is'])) AS BIGINT) AS n_stopwords,
+        |    CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')) AS BIGINT) AS n_punct
+        |  FROM documents)
+        |SELECT doc_id, n_chars, n_tokens, n_distinct, n_stopwords, n_punct,
+        |  CAST(n_stopwords AS DOUBLE) / n_distinct AS stopword_ratio,
+        |  CAST(n_punct AS DOUBLE) / n_chars AS punct_ratio,
+        |  CAST(n_chars - (n_tokens - 1) AS DOUBLE) / n_tokens AS avg_word_len
+        |FROM h ORDER BY doc_id""".stripMargin,
+    "text_tokens" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_re_tokens,
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct_words
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_fingerprint" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS fingerprint
+        |  FROM documents)
+        |SELECT doc_id, fingerprint,
+        |  min(doc_id) OVER (PARTITION BY fingerprint) AS keep_doc_id,
+        |  count(*) OVER (PARTITION BY fingerprint) AS group_size,
+        |  doc_id <> min(doc_id) OVER (PARTITION BY fingerprint) AS is_dup
+        |FROM f ORDER BY doc_id""".stripMargin,
+    "multimodal_meta" ->
+      """SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+        |  sha256(text) AS sha256
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "dedup_embedding" ->
+      """WITH n AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+        |    sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b)) AS nrm
+        |  FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |FROM n a JOIN n b ON a.vec_id < b.vec_id
+        |WHERE list_reduce(list_transform(range(1, len(a.v) + 1), i -> a.v[CAST(i AS INT)] * b.v[CAST(i AS INT)]), (x, y) -> x + y)
+        |      / (a.nrm * b.nrm) >= 0.4
+        |ORDER BY id_a, id_b""".stripMargin,
+    "knn_bruteforce" ->
+      """WITH n AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+        |    sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b)) AS nrm
+        |  FROM embeddings),
+        |c AS (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |    list_reduce(list_transform(range(1, len(a.v) + 1), i -> a.v[CAST(i AS INT)] * b.v[CAST(i AS INT)]), (x, y) -> x + y)
+        |      / (a.nrm * b.nrm) AS cos
+        |  FROM n a JOIN n b ON a.vec_id <> b.vec_id
+        |  WHERE a.vec_id < 10),
+        |r AS (
+        |  SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+        |  FROM c)
+        |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank FROM r
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
   )
+
+  /** Shared oracle for C2 (exact inverted-index Jaccard) and C3
+    * (MinHash-LSH verified candidates — equal output whp, see
+    * Dedup.scala banding analysis).
+    */
+  private val ngramJaccardOracle: String =
+    """WITH s AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(
+      |      range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
+      |      i -> concat_ws(' ', string_split(text, ' ')[CAST(i AS INT)],
+      |                     string_split(text, ' ')[CAST(i AS INT) + 1],
+      |                     string_split(text, ' ')[CAST(i AS INT) + 2]))) AS sh
+      |  FROM documents),
+      |sz AS (SELECT doc_id, len(sh) AS n_sh FROM s),
+      |p AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
+      |pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      |  FROM p a JOIN p b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT doc_a, doc_b,
+      |  CAST(pairs.inter AS DOUBLE) / (sa.n_sh + sb.n_sh - pairs.inter) AS jaccard
+      |FROM pairs
+      |JOIN sz sa ON doc_a = sa.doc_id
+      |JOIN sz sb ON doc_b = sb.doc_id
+      |WHERE CAST(pairs.inter AS DOUBLE) / (sa.n_sh + sb.n_sh - pairs.inter) >= 0.5
+      |ORDER BY doc_a, doc_b""".stripMargin
 }

@@ -1,0 +1,215 @@
+package graft.operators
+
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for LLM-training-data curation (SURVEY.md
+  * §2 C1-C5) over `documents`. None of them ever does an n² document
+  * cross join: candidates come from an inverted index (C2), LSH bands
+  * (C3), or simhash bands (C4) — shuffles scale with data + true-dup
+  * volume, not with pairs. That is the property that survives 100 TB.
+  */
+object Dedup {
+
+  /** Jaccard threshold shared by the n-gram and MinHash paths. */
+  val JaccardTau = 0.5
+
+  /** Distinct word-trigram shingles of a document. */
+  private def shingles: Column =
+    expr(
+      """array_distinct(transform(
+        |  sequence(1, greatest(size(split(text, ' ')) - 2, 1)),
+        |  i -> concat_ws(' ', element_at(split(text, ' '), i),
+        |                 element_at(split(text, ' '), i + 1),
+        |                 element_at(split(text, ' '), i + 2))))""".stripMargin
+    )
+
+  private def shingled(t: Tables): DataFrame =
+    t.documents.select(col("doc_id"), shingles.as("sh")).withColumn("n_sh", size(col("sh")))
+
+  /** C1: exact dedup — hash-groupBy on md5 of whitespace-normalized
+    * text; every doc reports its group keeper (min id) and group size.
+    * Map-side partial agg via the two windows over one shuffle.
+    */
+  def exact(t: Tables): DataFrame = {
+    val w = Window.partitionBy("text_hash")
+    t.documents
+      .select(
+        col("doc_id"),
+        md5(regexp_replace(trim(col("text")), "\\s+", " ")).as("text_hash")
+      )
+      .withColumn("keep_doc_id", min("doc_id").over(w))
+      .withColumn("group_size", count(lit(1)).over(w))
+      .orderBy("doc_id")
+  }
+
+  /** C2: n-gram Jaccard near-dup pairs via an inverted shingle index:
+    * explode shingles → self-join postings on the shingle → pair
+    * intersection counts → Jaccard from |A|+|B|-|A∩B|. Cost is
+    * sum(posting-list²) per shingle, ∝ true similarity mass — not n².
+    * (At extreme scale a frequency cap on hot shingles bounds skew;
+    * the exact variant here is the verification oracle for C3, which
+    * is the true 100 TB path.)
+    */
+  def ngramJaccard(t: Tables, tau: Double = JaccardTau): DataFrame = {
+    val s        = shingled(t)
+    val postings = s.select(col("doc_id"), explode(col("sh")).as("shingle"))
+    val pairs = postings
+      .as("a")
+      .join(postings.as("b"), col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    val sizes = s.select(col("doc_id"), col("n_sh"))
+    pairs
+      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(
+        col("doc_a"),
+        col("doc_b"),
+        (col("inter").cast("double") / (col("sa.n_sh") + col("sb.n_sh") - col("inter"))).as("jaccard")
+      )
+      .filter(col("jaccard") >= tau)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  // --- MinHash-LSH (C3) ---------------------------------------------------
+  // 128 permutation hashes h_i(x) = (a_i·x + b_i) mod P over crc32 shingle
+  // keys, banded 32×4. Candidate-miss probability for a pair at Jaccard s
+  // is (1-s⁴)³²  (≈1e-15 at s=0.9), so verified output equals the exact C2
+  // result with overwhelming probability — which is why C3 shares C2's SQL
+  // oracle.
+  val MinHashP       = 2147483647L // 2^31 - 1 (Mersenne prime)
+  val NumHashes      = 128
+  val Bands          = 32
+  val RowsPerBand    = 4
+
+  private def hashCoef(i: Int): (Long, Long) =
+    (((i.toLong * 2654435761L + 1L) % MinHashP + MinHashP) % MinHashP max 1L,
+      ((i.toLong * 40503L + 17L) % MinHashP + MinHashP) % MinHashP)
+
+  /** MinHash signature column: array of NumHashes minima. Pure
+    * higher-order functions — computed in one codegen'd projection.
+    */
+  private def signature: Column = {
+    val perHash = (0 until NumHashes).map { i =>
+      val (a, b) = hashCoef(i)
+      s"array_min(transform(shx, x -> (${a}L * x + ${b}L) % ${MinHashP}L))"
+    }
+    expr(perHash.mkString("array(", ", ", ")"))
+  }
+
+  /** C3: MinHash-LSH near-dup pairs, verified by exact Jaccard.
+    * Pipeline: signature (map-only) → band keys (map-only) → shuffle
+    * on band key → candidate pairs (distinct) → verify with exact
+    * intersection on the candidate set only. The verify join touches
+    * O(candidates) docs, not O(n²).
+    */
+  def minhashLsh(t: Tables, tau: Double = JaccardTau): DataFrame = {
+    val s = shingled(t)
+      .withColumn("shx", expr(s"transform(sh, v -> crc32(v) % ${MinHashP}L)"))
+      .withColumn("sig", signature)
+    val bands = s.select(
+      col("doc_id"),
+      posexplode(
+        expr(s"transform(sequence(0, ${Bands - 1}), b -> concat_ws(',', slice(sig, b * $RowsPerBand + 1, $RowsPerBand)))")
+      ).as(Seq("band_idx", "band_key"))
+    )
+    val candidates = bands
+      .as("a")
+      .join(
+        bands.as("b"),
+        col("a.band_idx") === col("b.band_idx") && col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id")
+      )
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val sh = s.select(col("doc_id"), col("sh"), col("n_sh"))
+    candidates
+      .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sh.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(
+        col("doc_a"),
+        col("doc_b"),
+        (size(array_intersect(col("sa.sh"), col("sb.sh"))).cast("double") /
+          (col("sa.n_sh") + col("sb.n_sh") - size(array_intersect(col("sa.sh"), col("sb.sh")))))
+          .as("jaccard")
+      )
+      .filter(col("jaccard") >= tau)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  // --- SimHash (C4) -------------------------------------------------------
+
+  /** Per-document 64-bit SimHash over distinct words (xxhash64 word
+    * hashes; bit set when the signed bit-count is ≥ 0). Computed via
+    * explode + 64 partial-aggregated sums — one shuffle on doc_id.
+    */
+  def simhashes(t: Tables): DataFrame = {
+    val wordHash = t.documents
+      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("word"))
+      .select(col("doc_id"), xxhash64(col("word")).as("h"))
+    val bitSums = (0 until 64).map { i =>
+      sum(when(expr(s"(h >> $i) & 1") === 1, 1).otherwise(-1)).as(s"s$i")
+    }
+    val withSums = wordHash.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    val simhash = (0 until 64)
+      .map(i => when(col(s"s$i") >= 0, lit(1L << i)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    withSums.select(col("doc_id"), simhash.as("simhash")).orderBy("doc_id")
+  }
+
+  /** C4: SimHash near-dup pairs with Hamming distance ≤ 3, found by
+    * 4×16-bit band blocking (pigeonhole: ≤3 differing bits ⇒ at least
+    * one band identical — exact, not probabilistic). rows-only oracle
+    * (xxhash64 isn't portable SQL); spec cross-checks vs fingerprint
+    * dups.
+    */
+  def simhashPairs(t: Tables, maxHamming: Int = 3): DataFrame = {
+    val sh = simhashes(t)
+    val bands = sh.select(
+      col("doc_id"),
+      col("simhash"),
+      posexplode(expr("transform(sequence(0, 3), b -> (simhash >> (b * 16)) & 65535)"))
+        .as(Seq("band_idx", "band_key"))
+    )
+    bands
+      .as("a")
+      .join(
+        bands.as("b"),
+        col("a.band_idx") === col("b.band_idx") && col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id")
+      )
+      .select(
+        col("a.doc_id").as("doc_a"),
+        col("b.doc_id").as("doc_b"),
+        bit_count(expr("a.simhash ^ b.simhash")).cast("long").as("hamming")
+      )
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  // --- Embedding cosine (C5) ----------------------------------------------
+
+  /** C5: embedding-cosine near-dup pairs (τ = 0.4). Brute-force
+    * threshold join at test SF — the corpus side stays a single
+    * dataset so AQE can pick broadcast when it fits; the 100 TB path
+    * is the hyperplane-LSH bucketing in Similarity.knnLsh (same
+    * plumbing, bucketed candidates instead of the full pair space).
+    */
+  def embeddingCosine(t: Tables, tau: Double = 0.4): DataFrame = {
+    val e = t.embeddings.select(
+      col("vec_id"),
+      expr("transform(embedding, x -> cast(x as double))").as("v")
+    )
+    val n = e.withColumn("nrm", expr("sqrt(aggregate(v, 0D, (acc, x) -> acc + x * x))"))
+    n.as("a")
+      .join(n.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .withColumn("dot", expr("aggregate(zip_with(a.v, b.v, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"))
+      .filter(col("dot") / (col("a.nrm") * col("b.nrm")) >= tau)
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+      .orderBy("id_a", "id_b")
+  }
+}

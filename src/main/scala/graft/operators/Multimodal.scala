@@ -1,0 +1,103 @@
+package graft.operators
+
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column handling (SURVEY.md §2 C12-C13): media as opaque
+  * binary columns with typed metadata, plus decode/feature-extract
+  * plumbing.
+  *
+  * The container has no image/audio codecs, so the decode kernel is a
+  * clearly-marked deterministic STUB — everything around it (schema,
+  * batch iteration, partitioning, no driver collect) is the real
+  * production shape: swap [[decodeKernel]] for an actual codec and
+  * nothing else changes.
+  */
+object Multimodal {
+
+  /** A decoded media record. */
+  final case class MediaMeta(
+      doc_id: Long,
+      n_bytes: Long,
+      sha256: String,
+      width: Int,
+      height: Int,
+      format: String
+  )
+
+  /** C12: binary column + typed metadata — byte length and
+    * content-address (sha256). Text bytes stand in for media payloads;
+    * the expressions are identical for real blobs.
+    */
+  def mediaMeta(t: Tables): DataFrame =
+    t.documents
+      .select(
+        col("doc_id"),
+        col("text").cast("binary").as("media"),
+      )
+      .select(
+        col("doc_id"),
+        length(col("media")).cast("long").as("n_bytes"),
+        sha2(col("media"), 256).as("sha256")
+      )
+      .orderBy("doc_id")
+
+  /** STUB decode kernel — deterministic fake standing in for an image
+    * codec (no media libraries in this container). Derives stable
+    * pseudo-dimensions from the payload bytes. Replace with a real
+    * decoder (e.g. javax.imageio / ffmpeg bindings) in production.
+    */
+  private[operators] def decodeKernel(bytes: Array[Byte]): (Int, Int, String) = {
+    val n = bytes.length
+    val w = 16 + (if (n > 0) (bytes(0) & 0xff) % 640 else 0)
+    val h = 16 + (if (n > 1) (bytes(1) & 0xff) % 480 else 0)
+    val fmt = (n % 3) match {
+      case 0 => "png"
+      case 1 => "jpeg"
+      case _ => "webp"
+    }
+    (w, h, fmt)
+  }
+
+  /** C13: decode/feature-extract over binary media — mapPartitions so
+    * a real codec amortizes per-partition init (the Scala analog of
+    * mapInPandas batches), executor-side only, returns a typed
+    * Dataset. Partition count is preserved: upstream repartitioning
+    * controls decode parallelism.
+    */
+  def decodeMedia(spark: SparkSession, t: Tables): Dataset[MediaMeta] = {
+    import spark.implicits._
+    t.documents
+      .select(col("doc_id"), col("text").cast("binary").as("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        // per-partition decoder init would go here (real codec handle)
+        rows.map { case (id, bytes) =>
+          val (w, h, fmt) = decodeKernel(bytes)
+          val sha = java.security.MessageDigest
+            .getInstance("SHA-256")
+            .digest(bytes)
+            .map("%02x".format(_))
+            .mkString
+          MediaMeta(id, bytes.length.toLong, sha, w, h, fmt)
+        }
+      }
+  }
+
+  /** Decoded-media metadata as a query: stub dimensions + format
+    * distribution. rows-only oracle (stub kernel isn't SQL), spec
+    * asserts determinism and batch shape.
+    */
+  def decodeSummary(spark: SparkSession, t: Tables): DataFrame =
+    decodeMedia(spark, t)
+      .groupBy("format")
+      .agg(
+        count(lit(1)).as("n"),
+        min("width").as("min_w"),
+        max("width").as("max_w"),
+        min("height").as("min_h"),
+        max("height").as("max_h")
+      )
+      .orderBy("format")
+}

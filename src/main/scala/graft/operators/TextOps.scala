@@ -1,0 +1,109 @@
+package graft.operators
+
+import graft.sources.Tables
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for LLM-training-data curation (SURVEY.md
+  * §2 C8-C11) over the `documents` table. Everything is built-in
+  * column functions / higher-order array functions → whole-stage
+  * codegen, zero shuffles except where a group/window is the
+  * semantics. At 100 TB these all pipeline at scan speed.
+  */
+object TextOps {
+
+  /** Distinct-word markers per language for the lang-ID heuristic. */
+  val EnMarkers: Seq[String] = Seq("the", "a", "of", "and", "in", "is")
+  val EsMarkers: Seq[String] = Seq("el", "la", "de", "los", "que", "y")
+  val DeMarkers: Seq[String] = Seq("der", "die", "das", "und", "ist", "mit")
+
+  private def sqlList(xs: Seq[String]): String = xs.map(s => s"'$s'").mkString("array(", ", ", ")")
+
+  /** C10: token counting — whitespace tokens plus a BPE-ish regex
+    * tokenization (letter runs / digit runs / single non-alnum).
+    */
+  def tokenCounts(t: Tables): DataFrame =
+    t.documents
+      .select(
+        col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_ws_tokens"),
+        size(regexp_extract_all(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+          .cast("long")
+          .as("n_re_tokens"),
+        size(array_distinct(split(col("text"), " "))).cast("long").as("n_distinct_words")
+      )
+      .orderBy("doc_id")
+
+  /** C9: quality scoring — length, punctuation ratio, stopword ratio,
+    * average word length. Ratios are double divisions of identical
+    * integer counts, so they are bit-deterministic cross-engine.
+    */
+  def qualityScores(t: Tables): DataFrame = {
+    val words    = split(col("text"), " ")
+    val nChars   = length(col("text")).cast("long")
+    val nTokens  = size(words).cast("long")
+    val distinct = array_distinct(words)
+    val nStop    = size(expr(s"array_intersect(array_distinct(split(text, ' ')), ${sqlList(EnMarkers)})")).cast("long")
+    val nPunct   = (length(col("text")) - length(regexp_replace(col("text"), "[^A-Za-z0-9\\s]", ""))).cast("long")
+    t.documents
+      .select(
+        col("doc_id"),
+        nChars.as("n_chars"),
+        nTokens.as("n_tokens"),
+        size(distinct).cast("long").as("n_distinct"),
+        nStop.as("n_stopwords"),
+        nPunct.as("n_punct"),
+        (nStop.cast("double") / size(distinct)).as("stopword_ratio"),
+        (nPunct.cast("double") / nChars).as("punct_ratio"),
+        ((nChars - (nTokens - lit(1L))).cast("double") / nTokens).as("avg_word_len")
+      )
+      .orderBy("doc_id")
+  }
+
+  /** C8: language-ID heuristic — distinct-marker-word overlap per
+    * language, deterministic argmax (en ≥ es ≥ de precedence), 'und'
+    * when nothing matches. A real deployment swaps the marker lists
+    * for n-gram profiles; the plumbing (array intersect + case) is
+    * identical.
+    */
+  def langId(t: Tables): DataFrame = {
+    def hits(markers: Seq[String]) =
+      size(expr(s"array_intersect(array_distinct(split(lower(text), ' ')), ${sqlList(markers)})")).cast("long")
+    t.documents
+      .select(
+        col("doc_id"),
+        hits(EnMarkers).as("en_hits"),
+        hits(EsMarkers).as("es_hits"),
+        hits(DeMarkers).as("de_hits")
+      )
+      .withColumn(
+        "lang_pred",
+        when(col("en_hits") >= col("es_hits") && col("en_hits") >= col("de_hits") && col("en_hits") > 0, "en")
+          .when(col("es_hits") >= col("de_hits") && col("es_hits") > 0, "es")
+          .when(col("de_hits") > 0, "de")
+          .otherwise("und")
+      )
+      .orderBy("doc_id")
+  }
+
+  /** Canonical bag-of-words fingerprint: md5 over the sorted distinct
+    * lowercase words. Detects permutation/duplication rewrites that
+    * exact hashing misses.
+    */
+  def fingerprintCol = md5(concat_ws(" ", sort_array(array_distinct(split(lower(col("text")), " ")))))
+
+  /** C11: document fingerprinting + dup-group resolution: every doc
+    * with its fingerprint, its group's keeper (min doc_id) and group
+    * size. One shuffle on the fingerprint.
+    */
+  def fingerprints(t: Tables): DataFrame = {
+    val w = Window.partitionBy("fingerprint")
+    t.documents
+      .select(col("doc_id"), fingerprintCol.as("fingerprint"))
+      .withColumn("keep_doc_id", min("doc_id").over(w))
+      .withColumn("group_size", count(lit(1)).over(w))
+      .withColumn("is_dup", (col("doc_id") =!= col("keep_doc_id")).cast("boolean"))
+      .orderBy("doc_id")
+  }
+}
