@@ -46,42 +46,62 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
-  /** Number of random hyperplanes = bucket bits. 2^6 = 64 buckets at
-    * test SF; scale this with corpus size (bits ≈ log2(n / target
-    * bucket size)).
+  /** Hyperplanes per table (bucket bits) and number of independent
+    * hash tables. Miss probability for a pair with bucket-bit agreement
+    * p is (1 - p^bits)^tables — tables is the recall lever, bits the
+    * bucket-size lever (bits ≈ log2(n / target bucket size) at scale).
     */
-  val HyperplaneBits = 6
+  val HyperplaneBits = 4
+  val HashTables     = 8
 
-  /** Deterministic ±1 hyperplanes: sign from xxhash64(plane, dim)
-    * parity — reproducible across runs/clusters with no RNG state.
+  /** Deterministic ±1 hyperplanes: sign from xxhash64(table, plane,
+    * dim) parity — reproducible across runs/clusters, no RNG state.
+    * Returns one bucket key per table, computed in a single codegen'd
+    * projection.
     */
-  private def bucketCol: Column = {
-    val bits = (0 until HyperplaneBits).map { p =>
-      val dot =
-        s"aggregate(zip_with(v, sequence(0, size(v) - 1), (x, i) -> x * (cast((xxhash64($p, i) & 1) * 2 - 1 as double))), 0D, (acc, x) -> acc + x)"
-      s"(case when $dot >= 0 then ${1L << p}L else 0L end)"
+  private def bucketsCol: Column = {
+    val tables = (0 until HashTables).map { tb =>
+      val bits = (0 until HyperplaneBits).map { p =>
+        val dot =
+          s"aggregate(zip_with(v, sequence(0, size(v) - 1), (x, i) -> x * (cast((xxhash64($tb, $p, i) & 1) * 2 - 1 as double))), 0D, (acc, x) -> acc + x)"
+        s"(case when $dot >= 0 then ${1L << p}L else 0L end)"
+      }
+      bits.mkString("(", " + ", ")")
     }
-    expr(bits.mkString(" + "))
+    expr(tables.mkString("array(", ", ", ")"))
   }
 
-  /** C7: LSH-bucketed ANN — the scale path. Each vector lands in one
-    * of 2^bits sign-pattern buckets (map-only); neighbor search is a
-    * per-bucket self-join, so cost ∝ Σ bucket². Recall/latency trades
-    * via bits; spec checks structural invariants + recall vs C6.
-    * rows-only oracle (random-hyperplane choice isn't SQL-portable).
+  /** C7: multi-table hyperplane-LSH ANN — the scale path. Each vector
+    * lands in one sign-pattern bucket per table (map-only); candidates
+    * are same-bucket-in-any-table (posexplode + equi-join on
+    * (table, key), distinct), so join cost ∝ tables × Σ bucket² — never
+    * n². Rank only the candidate set. Spec checks determinism +
+    * recall vs the exact C6 baseline. rows-only oracle (hyperplane
+    * choice isn't SQL-portable).
     */
   def knnLsh(t: Tables, numQueries: Int = 10, k: Int = 5): DataFrame = {
-    val vecs    = vectors(t).withColumn("bucket", bucketCol)
-    val queries = vecs.filter(col("vec_id") < numQueries)
+    val vecs = vectors(t).withColumn("buckets", bucketsCol)
+    val banded = vecs.select(
+      col("vec_id"),
+      col("v"),
+      col("nrm"),
+      posexplode(col("buckets")).as(Seq("tbl", "bucket"))
+    )
+    val queries = banded.filter(col("vec_id") < numQueries)
     val w       = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
     broadcast(queries)
       .as("a")
-      .join(vecs.as("b"), col("a.bucket") === col("b.bucket") && col("a.vec_id") =!= col("b.vec_id"))
+      .join(
+        banded.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") =!= col("b.vec_id")
+      )
       .select(
         col("a.vec_id").as("query_id"),
         col("b.vec_id").as("neighbor_id"),
         cosine.as("cos")
       )
+      .distinct() // a pair colliding in several tables is one candidate
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank")

@@ -1,0 +1,152 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+/** Structured-Streaming re-expression of the reference's Kinesis →
+  * Lambda flow (SURVEY.md §2 A14).
+  *
+  * Reference: kinesis_stream/main.go:24-37 (producer envelope),
+  * adder-labma/adder.go:38-56 (decode → add → content-keyed put),
+  * lambda_count/lcount.go:120-200 (topic message → page fan-out with
+  * first/last notifications).
+  *
+  * Every transform here is a pure DataFrame→DataFrame function, so the
+  * SAME code runs in batch (spark.read) and streaming (readStream) —
+  * that is the Spark-native answer to "Lambda consumes the stream":
+  * no per-record handler, just an incremental plan. The stateless
+  * stages (decode, math, payload) pipeline at source speed on any
+  * cluster; the stateful stages (windowed agg, page sequencer) shuffle
+  * once on their keys and use watermarks to bound state at 100 TB/day.
+  */
+object KinesisLikePipeline {
+
+  /** Kinesis math-problem payload (adder-labma/types.go:3-19). */
+  val ProblemSchema: StructType = StructType(
+    Seq(StructField("Num1", LongType), StructField("Num2", LongType))
+  )
+
+  /** Decode a stream of Kinesis-style envelopes: `data` is
+    * base64(JSON payload), `partition_key` the shard key. Narrow,
+    * codegen'd, no state — runs identically on readStream or read.
+    */
+  def decodeEnvelope(records: DataFrame): DataFrame =
+    records
+      .withColumn("p", from_json(unbase64(col("data")).cast("string"), ProblemSchema))
+      .select(
+        col("*"),
+        col("p.Num1").as("num1"),
+        col("p.Num2").as("num2")
+      )
+      .drop("p", "data")
+
+  /** The adder lambda's body as a streaming map: answer string plus a
+    * deterministic content-addressed result key (idempotent under
+    * replay — Kinesis at-least-once delivery must not mint new keys).
+    */
+  def addAnswers(decoded: DataFrame, keyCol: String = "partition_key"): DataFrame =
+    decoded.select(
+      col("*"),
+      concat(col("num1"), lit(" + "), col("num2"), lit(" = "), col("num1") + col("num2"))
+        .as("answer"),
+      concat(lit("add-"), md5(concat(lit("add-"), col(keyCol).cast("string"))))
+        .as("result_key")
+    )
+
+  /** Watermarked tumbling-window counts per event type — the streaming
+    * twin of EventOps.hourlyWindow. The watermark bounds state: at
+    * 100 TB/day only ~window+watermark of per-key state is live.
+    */
+  def windowedCounts(
+      events: DataFrame,
+      window: String = "1 hour",
+      watermark: String = "10 minutes"
+  ): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(
+        col("window.start").as("window_start"),
+        col("event_type"),
+        col("n_events"),
+        col("sum_value")
+      )
+
+  /** Incoming topic message (lambda_count's input). */
+  final case class TopicMsg(topic_id: Long, message: String, n_devices: Long, page_size: Long)
+
+  /** Emitted per-page message (lcount.go:171-196 topicPageMessage) plus
+    * the first/last SNS-style notes (lcount.go:139-156).
+    */
+  final case class PageMsg(
+      topic_id: Long,
+      page_num: Long,
+      page_count: Long,
+      global_seq: Long,
+      message: String,
+      note: String
+  )
+
+  /** Per-topic sequencer state: pages emitted so far (all triggers). */
+  final case class SeqState(pagesEmitted: Long)
+
+  /** Stateful page sequencer: each topic message fans out into its
+    * page messages `(count/pagesize)+1`, numbered, with first/last
+    * notifications, and a per-topic global sequence number that
+    * continues across triggers (the role Kinesis shard ordering plays
+    * in the reference). `flatMapGroupsWithState` keeps exactly one
+    * counter per topic — state size ∝ #topics, not #messages, so it
+    * holds at any throughput. ProcessingTimeTimeout would evict idle
+    * topics in a production deployment.
+    */
+  def pageSequencer(spark: SparkSession, msgs: Dataset[TopicMsg]): Dataset[PageMsg] = {
+    import spark.implicits._
+    msgs
+      .groupByKey(_.topic_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (topicId: Long, in: Iterator[TopicMsg], state: GroupState[SeqState]) =>
+          var emitted = state.getOption.map(_.pagesEmitted).getOrElse(0L)
+          val out = in.toSeq.sortBy(_.message).flatMap { m =>
+            val pageCount = m.n_devices / m.page_size + 1
+            (1L to pageCount).map { p =>
+              emitted += 1
+              PageMsg(
+                topicId,
+                p,
+                pageCount,
+                emitted,
+                m.message,
+                if (p == 1) "Count: 1st page sent"
+                else if (p == pageCount) s"Count: Last Page Sent: $pageCount"
+                else ""
+              )
+            }
+          }
+          state.update(SeqState(emitted))
+          out.iterator
+      }
+  }
+
+  /** End-to-end wiring for the math flow: envelope stream → decode →
+    * add → content-keyed append sink. Returns the started query.
+    * Sink format is caller-chosen ("parquet" in production — the S3
+    * bucket analog; "memory" in specs).
+    */
+  def runMathPipeline(
+      records: DataFrame,
+      format: String,
+      path: Option[String],
+      queryName: String,
+      checkpoint: String
+  ) = {
+    val writer = addAnswers(decodeEnvelope(records)).writeStream
+      .outputMode(OutputMode.Append)
+      .format(format)
+      .queryName(queryName)
+      .option("checkpointLocation", checkpoint)
+    path.fold(writer)(p => writer.option("path", p)).start()
+  }
+}

@@ -1,0 +1,59 @@
+package graft
+
+import graft.operators.{Dedup, TextOps}
+
+/** Cross-validation of the approximate dedup paths against their exact
+  * counterparts — the checks the SQL oracle can't express.
+  */
+class DedupSpec extends SparkSpecBase {
+
+  test("MinHash-LSH verified pairs equal exact n-gram Jaccard pairs") {
+    val exact = Dedup.ngramJaccard(tables).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh   = Dedup.minhashLsh(tables).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == exact, s"missed=${exact -- lsh} extra=${lsh -- exact}")
+    assert(exact.nonEmpty, "test corpus has no near-dup pairs — spec is vacuous")
+  }
+
+  test("exact-dup groups partition the corpus") {
+    val rows  = Dedup.exact(tables).collect()
+    val total = tables.documents.count()
+    assert(rows.length == total)
+    // every group's keeper is a member of the group
+    val byHash = rows.groupBy(_.getString(1))
+    byHash.foreach { case (_, g) =>
+      val keeper = g.head.getLong(2)
+      assert(g.map(_.getLong(0)).min == keeper)
+      assert(g.forall(_.getLong(3) == g.length))
+    }
+  }
+
+  test("SimHash pairs: hamming bound holds and exact dups are found (hamming 0)") {
+    val pairs = Dedup.simhashPairs(tables).collect()
+    assert(pairs.forall(_.getLong(2) <= 3))
+    // docs with identical normalized text have identical word sets →
+    // identical simhash → must appear as hamming-0 pairs
+    val exactGroups = Dedup.exact(tables).collect().groupBy(_.getString(1)).values
+    val exactPairs = exactGroups.flatMap { g =>
+      val ids = g.map(_.getLong(0)).sorted.toSeq
+      for (a <- ids; b <- ids if a < b) yield (a, b)
+    }.toSet
+    val simPairs = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exactPairs.subsetOf(simPairs), s"missed exact dups: ${exactPairs -- simPairs}")
+  }
+
+  test("fingerprint groups are a superset of exact-dup groups") {
+    val exact = Dedup.exact(tables).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val fp    = TextOps.fingerprints(tables).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // same normalized text ⇒ same bag-of-words fingerprint
+    exact.groupBy(_._2).values.filter(_.size > 1).foreach { g =>
+      val fps = g.keys.map(fp).toSet
+      assert(fps.size == 1, s"exact dups split across fingerprints: $g")
+    }
+  }
+
+  test("embedding cosine pairs are ordered and self-free") {
+    val pairs = Dedup.embeddingCosine(tables).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.forall { case (a, b) => a < b })
+    assert(pairs.distinct.length == pairs.length)
+  }
+}

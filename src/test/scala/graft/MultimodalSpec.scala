@@ -1,0 +1,43 @@
+package graft
+
+import java.security.MessageDigest
+
+import graft.operators.Multimodal
+
+class MultimodalSpec extends SparkSpecBase {
+
+  test("decodeMedia is deterministic and sha256 matches an independent digest") {
+    val a = Multimodal.decodeMedia(spark, tables).collect().sortBy(_.doc_id)
+    val b = Multimodal.decodeMedia(spark, tables).collect().sortBy(_.doc_id)
+    assert(a.toSeq == b.toSeq, "decode must be replay-deterministic")
+    val text0 = tables.documents.filter("doc_id = 0").collect().head.getAs[String]("text")
+    val expect = MessageDigest
+      .getInstance("SHA-256")
+      .digest(text0.getBytes("UTF-8"))
+      .map("%02x".format(_))
+      .mkString
+    assert(a.head.sha256 == expect)
+    assert(a.head.n_bytes == text0.getBytes("UTF-8").length.toLong)
+  }
+
+  test("decode preserves upstream partitioning (parallelism is caller-controlled)") {
+    import spark.implicits._
+    val reparted = tables.documents
+      .repartition(7)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text").cast("binary").as("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(it => Iterator.single(it.size))
+    assert(reparted.collect().length == 7)
+  }
+
+  test("decode summary covers all stub formats with sane dimensions") {
+    val rows = Multimodal.decodeSummary(spark, tables).collect()
+    assert(rows.map(_.getString(0)).toSet.subsetOf(Set("png", "jpeg", "webp")))
+    assert(rows.map(_.getAs[Long]("n")).sum == tables.documents.count())
+    rows.foreach { r =>
+      assert(r.getAs[Int]("min_w") >= 16 && r.getAs[Int]("max_w") < 16 + 640)
+      assert(r.getAs[Int]("min_h") >= 16 && r.getAs[Int]("max_h") < 16 + 480)
+    }
+  }
+}

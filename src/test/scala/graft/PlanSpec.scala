@@ -1,0 +1,51 @@
+package graft
+
+import graft.operators.Analytics
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
+/** Physical-plan assertions — the scale properties SURVEY.md §5
+  * promises: dims broadcast, filters pushed to the parquet scan,
+  * columns pruned, hot maps fully codegen'd.
+  */
+class PlanSpec extends SparkSpecBase {
+
+  private def executedPlanString(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect() // materialize so AQE finalizes the plan
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan.toString
+      case p                        => p.toString
+    }
+  }
+
+  test("q5 region volume broadcasts every dimension (single fact shuffle)") {
+    val plan = executedPlanString(Analytics.regionVolume(tables))
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast joins in:\n$plan")
+    // customer/nation/region/orders all fit the 64MB threshold at test
+    // SF — lineitem must be the only shuffled input.
+    assert(!plan.contains("SortMergeJoin"), s"unexpected sort-merge join in:\n$plan")
+  }
+
+  test("q3 pushes the mktsegment filter into the customer parquet scan") {
+    val scans = Analytics
+      .topOrders(tables)
+      .queryExecution
+      .executedPlan
+      .toString
+    assert(scans.contains("EqualTo(c_mktsegment,BUILDING)"), s"filter not pushed:\n$scans")
+  }
+
+  test("q1 prunes lineitem scan to the 7 referenced columns") {
+    val plan = Analytics.pricingSummary(tables).queryExecution.executedPlan.toString
+    val read = "ReadSchema:.*".r.findFirstIn(plan).getOrElse("")
+    assert(read.contains("l_returnflag") && !read.contains("l_orderkey"), s"not pruned: $read")
+  }
+
+  test("adder map stage is whole-stage codegen with no shuffle before the sort") {
+    val df   = graft.operators.MathOps.adder(tables)
+    val plan = executedPlanString(df)
+    // AQE toString marks whole-stage-codegen stages with "*(n)"
+    assert("""\*\(\d+\) Project""".r.findFirstIn(plan).isDefined, s"no codegen span:\n$plan")
+    // the only exchange allowed is the final order-by range partitioning
+    assert("Exchange hashpartitioning".r.findAllIn(plan).isEmpty, s"unexpected shuffle:\n$plan")
+  }
+}

@@ -1,0 +1,34 @@
+package graft
+
+import graft.operators.Similarity
+
+class SimilaritySpec extends SparkSpecBase {
+
+  test("brute-force knn: every query gets exactly k ranked neighbors") {
+    val rows = Similarity.knnBruteForce(tables, numQueries = 10, k = 5).collect()
+    assert(rows.length == 50)
+    rows.groupBy(_.getLong(0)).foreach { case (_, g) =>
+      assert(g.map(_.getLong(2)).sorted.toSeq == (1L to 5L))
+      assert(g.map(_.getLong(1)).distinct.length == 5)
+    }
+  }
+
+  test("LSH knn is deterministic and structurally sound") {
+    val a = Similarity.knnLsh(tables).collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val b = Similarity.knnLsh(tables).collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(a.toSeq == b.toSeq, "hyperplane buckets must be run-deterministic")
+    a.groupBy(_._1).foreach { case (_, g) => assert(g.map(_._3).sorted.toSeq == (1L to g.length)) }
+  }
+
+  test("LSH knn recall vs brute force is usable at 6 bits") {
+    val exact = Similarity
+      .knnBruteForce(tables)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    val lsh = Similarity.knnLsh(tables).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & lsh).size.toDouble / exact.size
+    info(f"LSH@6bit recall vs exact top-5: $recall%.2f")
+    assert(recall >= 0.3, f"recall collapsed: $recall%.2f")
+  }
+}

@@ -1,0 +1,104 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+import java.util.Base64
+
+import graft.streaming.KinesisLikePipeline
+import graft.streaming.KinesisLikePipeline.TopicMsg
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+/** MemoryStream specs for the A14 streaming pipeline: envelope decode →
+  * math, watermarked windowed agg, stateful page sequencer.
+  */
+class StreamingSpec extends SparkSpecBase {
+
+  private def ckpt(): String = Files.createTempDirectory("graft-ckpt").toString
+
+  private def envelope(n1: Long, n2: Long): String =
+    Base64.getEncoder.encodeToString(s"""{"Num1":$n1,"Num2":$n2}""".getBytes("UTF-8"))
+
+  test("envelope decode → adder answers flow through a streaming query") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, String)]
+    val q = KinesisLikePipeline
+      .runMathPipeline(
+        in.toDF().toDF("partition_key", "data"),
+        format = "memory",
+        path = None,
+        queryName = "math_out",
+        checkpoint = ckpt()
+      )
+    in.addData(("k1", envelope(3, 4)), ("k2", envelope(10, 0)))
+    q.processAllAvailable()
+    in.addData(("k1", envelope(3, 4))) // replay: same key ⇒ same result_key (idempotent)
+    q.processAllAvailable()
+    val rows = spark.table("math_out").collect()
+    q.stop()
+    val byAnswer = rows.map(r => r.getAs[String]("answer")).sorted
+    assert(byAnswer.toSeq == Seq("10 + 0 = 10", "3 + 4 = 7", "3 + 4 = 7"))
+    val k1Keys = rows.filter(_.getAs[String]("partition_key") == "k1").map(_.getAs[String]("result_key"))
+    assert(k1Keys.distinct.length == 1, "replayed record minted a new content key")
+  }
+
+  test("watermarked windowed counts finalize after the watermark passes") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String, Double)]
+    val agg = KinesisLikePipeline.windowedCounts(
+      in.toDF().toDF("ts", "event_type", "value"),
+      window = "1 hour",
+      watermark = "10 minutes"
+    )
+    val q = agg.writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory")
+      .queryName("win_out")
+      .option("checkpointLocation", ckpt())
+      .start()
+    val h0 = Timestamp.valueOf("2026-01-01 00:10:00")
+    val h0b = Timestamp.valueOf("2026-01-01 00:40:00")
+    in.addData((h0, "click", 2.0), (h0b, "click", 3.0), (h0, "view", 1.0))
+    q.processAllAvailable()
+    // advance the watermark well past hour 0 so its windows emit
+    in.addData((Timestamp.valueOf("2026-01-01 03:00:00"), "click", 9.0))
+    q.processAllAvailable()
+    val rows = spark.table("win_out").collect()
+    q.stop()
+    val click = rows.find(r => r.getAs[String]("event_type") == "click").get
+    assert(click.getAs[Long]("n_events") == 2)
+    assert(click.getAs[Double]("sum_value") == 5.0)
+  }
+
+  test("page sequencer fans out pages with first/last notes and cross-trigger sequence") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[TopicMsg]
+    val out = KinesisLikePipeline.pageSequencer(spark, in.toDS())
+    val q = out.writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory")
+      .queryName("pages_out")
+      .option("checkpointLocation", ckpt())
+      .start()
+    in.addData(TopicMsg(1, "m1", 25, 10)) // 25/10+1 = 3 pages
+    q.processAllAvailable()
+    in.addData(TopicMsg(1, "m2", 5, 10), TopicMsg(2, "m3", 0, 10))
+    q.processAllAvailable()
+    val rows = spark.table("pages_out").as[KinesisLikePipeline.PageMsg].collect()
+    q.stop()
+    val t1m1 = rows.filter(r => r.topic_id == 1 && r.message == "m1").sortBy(_.page_num)
+    assert(t1m1.map(_.page_num).toSeq == Seq(1L, 2L, 3L))
+    assert(t1m1.head.note == "Count: 1st page sent")
+    assert(t1m1.last.note == "Count: Last Page Sent: 3")
+    // second trigger continues topic 1's global sequence at 4
+    val t1m2 = rows.filter(r => r.topic_id == 1 && r.message == "m2")
+    assert(t1m2.map(_.global_seq).toSeq == Seq(4L))
+    assert(t1m2.head.note == "Count: 1st page sent") // single page ⇒ first note wins? no: 1st emitted first
+    val t2 = rows.filter(_.topic_id == 2)
+    assert(t2.map(_.global_seq).toSeq == Seq(1L), "topics must not share state")
+  }
+}

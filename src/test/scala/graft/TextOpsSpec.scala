@@ -1,0 +1,46 @@
+package graft
+
+import graft.operators.TextOps
+
+/** Spot-checks TextOps against independently hand-computed values on
+  * real corpus rows (the oracle checks cross-engine equality; this
+  * checks the semantics are the intended ones at all).
+  */
+class TextOpsSpec extends SparkSpecBase {
+
+  private lazy val doc0: String =
+    tables.documents.filter("doc_id = 0").collect().head.getAs[String]("text")
+
+  test("token counts match a JVM recount on doc 0") {
+    val row = TextOps.tokenCounts(tables).filter("doc_id = 0").collect().head
+    val ws  = doc0.split(" ", -1)
+    assert(row.getLong(1) == ws.length.toLong)
+    assert(row.getLong(3) == ws.distinct.length.toLong)
+    val re = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]".r.findAllIn(doc0).length
+    assert(row.getLong(2) == re.toLong)
+  }
+
+  test("quality scores match a JVM recount on doc 0") {
+    val row    = TextOps.qualityScores(tables).filter("doc_id = 0").collect().head
+    val ws     = doc0.split(" ", -1)
+    val nPunct = doc0.count(c => !c.isLetterOrDigit && !c.isWhitespace)
+    assert(row.getAs[Long]("n_chars") == doc0.length.toLong)
+    assert(row.getAs[Long]("n_tokens") == ws.length.toLong)
+    assert(row.getAs[Long]("n_punct") == nPunct.toLong)
+    val stop = ws.distinct.count(TextOps.EnMarkers.contains)
+    assert(row.getAs[Long]("n_stopwords") == stop.toLong)
+    assert(row.getAs[Double]("punct_ratio") == nPunct.toDouble / doc0.length)
+  }
+
+  test("langid picks a language iff a marker hits, with en precedence") {
+    val rows = TextOps.langId(tables).collect()
+    rows.foreach { r =>
+      val (en, es, de, pred) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))
+      if (en + es + de == 0) assert(pred == "und")
+      else if (pred == "en") assert(en >= es && en >= de && en > 0)
+      else if (pred == "es") assert(es >= de && es > 0 && en < es)
+      else assert(de > 0)
+    }
+    assert(rows.count(_.getString(4) == "en") > 0, "corpus should contain english docs")
+  }
+}
