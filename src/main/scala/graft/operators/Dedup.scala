@@ -16,18 +16,23 @@ object Dedup {
   /** Jaccard threshold shared by the n-gram and MinHash paths. */
   val JaccardTau = 0.5
 
-  /** Distinct word-trigram shingles of a document. */
-  private def shingles: Column =
-    expr(
-      """array_distinct(transform(
-        |  sequence(1, greatest(size(split(text, ' ')) - 2, 1)),
-        |  i -> concat_ws(' ', element_at(split(text, ' '), i),
-        |                 element_at(split(text, ' '), i + 1),
-        |                 element_at(split(text, ' '), i + 2))))""".stripMargin
-    )
-
+  /** Distinct word-trigram shingles. The word split is materialized
+    * ONCE per row (`ws`) before the lambda — referencing
+    * `split(text, ' ')` inside the transform body would re-split per
+    * shingle per access (O(words²) per document).
+    */
   private def shingled(t: Tables): DataFrame =
-    t.documents.select(col("doc_id"), shingles.as("sh")).withColumn("n_sh", size(col("sh")))
+    t.documents
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(
+        col("doc_id"),
+        expr(
+          """array_distinct(transform(
+            |  sequence(1, greatest(size(ws) - 2, 1)),
+            |  i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1), element_at(ws, i + 2))))""".stripMargin
+        ).as("sh")
+      )
+      .withColumn("n_sh", size(col("sh")))
 
   /** C1: exact dedup — hash-groupBy on md5 of whitespace-normalized
     * text; every doc reports its group keeper (min id) and group size.
@@ -54,21 +59,35 @@ object Dedup {
     * is the true 100 TB path.)
     */
   def ngramJaccard(t: Tables, tau: Double = JaccardTau): DataFrame = {
-    val s        = shingled(t)
-    val postings = s.select(col("doc_id"), explode(col("sh")).as("shingle"))
-    val pairs = postings
+    // Postings carry the doc's shingle count so NO size-lookup joins
+    // are needed after pairing, and join on the 64-bit shingle hash,
+    // not the string: narrower shuffle rows, long equi-join.
+    // (xxhash64 collisions would merge postings — P ≈ n²/2⁶⁵, and the
+    // DuckDB oracle would flag one; none at any test SF.)
+    val postings = shingled(t)
+      .select(col("doc_id"), col("n_sh"), explode(col("sh")).as("shingle"))
+      .select(col("doc_id"), col("n_sh"), xxhash64(col("shingle")).as("shingle"))
+    // shuffle-hash self-join: both sides produce IDENTICAL exchanges,
+    // so ReuseExchange computes the posting list once. Also the only
+    // strategy that exists at 100 TB — a posting table never
+    // broadcasts. Skewed hot shingles are AQE's skew-join case.
+    postings
       .as("a")
-      .join(postings.as("b"), col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .join(
+        postings.as("b").hint("shuffle_hash"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id")
+      )
+      .groupBy(
+        col("a.doc_id").as("doc_a"),
+        col("b.doc_id").as("doc_b"),
+        col("a.n_sh").as("na"),
+        col("b.n_sh").as("nb")
+      )
       .agg(count(lit(1)).as("inter"))
-    val sizes = s.select(col("doc_id"), col("n_sh"))
-    pairs
-      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
       .select(
         col("doc_a"),
         col("doc_b"),
-        (col("inter").cast("double") / (col("sa.n_sh") + col("sb.n_sh") - col("inter"))).as("jaccard")
+        (col("inter").cast("double") / (col("na") + col("nb") - col("inter"))).as("jaccard")
       )
       .filter(col("jaccard") >= tau)
       .orderBy("doc_a", "doc_b")
@@ -85,31 +104,18 @@ object Dedup {
   val Bands          = 32
   val RowsPerBand    = 4
 
-  private def hashCoef(i: Int): (Long, Long) =
-    (((i.toLong * 2654435761L + 1L) % MinHashP + MinHashP) % MinHashP max 1L,
-      ((i.toLong * 40503L + 17L) % MinHashP + MinHashP) % MinHashP)
-
-  /** MinHash signature column: array of NumHashes minima. Pure
-    * higher-order functions — computed in one codegen'd projection.
-    */
-  private def signature: Column = {
-    val perHash = (0 until NumHashes).map { i =>
-      val (a, b) = hashCoef(i)
-      s"array_min(transform(shx, x -> (${a}L * x + ${b}L) % ${MinHashP}L))"
-    }
-    expr(perHash.mkString("array(", ", ", ")"))
-  }
-
   /** C3: MinHash-LSH near-dup pairs, verified by exact Jaccard.
-    * Pipeline: signature (map-only) → band keys (map-only) → shuffle
-    * on band key → candidate pairs (distinct) → verify with exact
-    * intersection on the candidate set only. The verify join touches
-    * O(candidates) docs, not O(n²).
+    * Pipeline: signature (map-only, fused codegen kernel — see
+    * functions/MinHashExpr) → band keys (map-only) → shuffle on band
+    * key → candidate pairs (distinct) → verify with exact intersection
+    * on the candidate set only. The verify join touches O(candidates)
+    * docs, not O(n²).
     */
   def minhashLsh(t: Tables, tau: Double = JaccardTau): DataFrame = {
+    graft.functions.MinHashExpr.register(t.spark)
     val s = shingled(t)
       .withColumn("shx", expr(s"transform(sh, v -> crc32(v) % ${MinHashP}L)"))
-      .withColumn("sig", signature)
+      .withColumn("sig", expr("minhash_sig(shx)"))
     val bands = s.select(
       col("doc_id"),
       posexplode(
@@ -200,15 +206,10 @@ object Dedup {
     * plumbing, bucketed candidates instead of the full pair space).
     */
   def embeddingCosine(t: Tables, tau: Double = 0.4): DataFrame = {
-    val e = t.embeddings.select(
-      col("vec_id"),
-      expr("transform(embedding, x -> cast(x as double))").as("v")
-    )
-    val n = e.withColumn("nrm", expr("sqrt(aggregate(v, 0D, (acc, x) -> acc + x * x))"))
+    val n = Similarity.vectors(t)
     n.as("a")
       .join(n.as("b"), col("a.vec_id") < col("b.vec_id"))
-      .withColumn("dot", expr("aggregate(zip_with(a.v, b.v, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"))
-      .filter(col("dot") / (col("a.nrm") * col("b.nrm")) >= tau)
+      .filter(Similarity.cosine >= tau)
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
       .orderBy("id_a", "id_b")
   }

@@ -11,15 +11,19 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Normalized double vectors with their ids. */
-  private def vectors(t: Tables): DataFrame =
+  /** Vectors with precomputed norms. Kept as raw float arrays — the
+    * codegen'd VecExprs kernels widen per element, so there is no
+    * up-front transform(cast) pass or doubled array in the shuffle.
+    */
+  private[operators] def vectors(t: Tables): DataFrame = {
+    graft.functions.VecExprs.register(t.spark)
     t.embeddings
-      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
-      .withColumn("nrm", expr("sqrt(aggregate(v, 0D, (acc, x) -> acc + x * x))"))
+      .select(col("vec_id"), col("embedding").as("v"))
+      .withColumn("nrm", expr("vec_norm(v)"))
+  }
 
-  private def cosine: Column =
-    expr("aggregate(zip_with(a.v, b.v, (x, y) -> x * y), 0D, (acc, x) -> acc + x)") /
-      (col("a.nrm") * col("b.nrm"))
+  private[operators] def cosine: Column =
+    expr("vec_dot(a.v, b.v)") / (col("a.nrm") * col("b.nrm"))
 
   /** C6: brute-force top-k cosine neighbors for a bounded query set.
     * The query side is tiny → broadcast; the corpus is scanned once
@@ -63,7 +67,7 @@ object Similarity {
     val tables = (0 until HashTables).map { tb =>
       val bits = (0 until HyperplaneBits).map { p =>
         val dot =
-          s"aggregate(zip_with(v, sequence(0, size(v) - 1), (x, i) -> x * (cast((xxhash64($tb, $p, i) & 1) * 2 - 1 as double))), 0D, (acc, x) -> acc + x)"
+          s"vec_dot(v, transform(sequence(0, size(v) - 1), i -> cast((xxhash64($tb, $p, i) & 1) * 2 - 1 as double)))"
         s"(case when $dot >= 0 then ${1L << p}L else 0L end)"
       }
       bits.mkString("(", " + ", ")")
