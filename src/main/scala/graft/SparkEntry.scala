@@ -22,6 +22,11 @@ object SparkEntry {
     "q_top_events_per_user" -> ((s, d) => Analytics.topEventsPerUser(Tables(s, d))),
     "q_distinct_users"     -> ((s, d) => Analytics.distinctUsers(Tables(s, d))),
     "q_approx_distinct_users" -> ((s, d) => Analytics.approxDistinctUsers(Tables(s, d))),
+    "q6_selective_revenue" -> ((s, d) => Analytics.selectiveRevenue(Tables(s, d))),
+    "q4_priority_semi"     -> ((s, d) => Analytics.prioritySemi(Tables(s, d))),
+    "q_customers_no_orders" -> ((s, d) => Analytics.customersWithoutOrders(Tables(s, d))),
+    "q_brand_volume"       -> ((s, d) => Analytics.brandVolume(Tables(s, d))),
+    "q_supplier_nation_volume" -> ((s, d) => Analytics.supplierNationVolume(Tables(s, d))),
     "q_adder"              -> ((s, d) => MathOps.adder(Tables(s, d))),
     "q_multiplier"         -> ((s, d) => MathOps.multiplier(Tables(s, d))),
     "q_kinesis_decode"     -> ((s, d) => MathOps.kinesisDecode(Tables(s, d))),
@@ -209,6 +214,39 @@ object SparkEntry {
         |  concat('arn:', substr(md5(concat(c_custkey, '-', d)), 1, 16)) AS endpoint_arn
         |FROM customer, unnest(generate_series(1, (c_custkey % 3) + 1)) AS t(d)
         |ORDER BY c_custkey, device_num""".stripMargin,
+    "q6_selective_revenue" ->
+      """SELECT
+        |  CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(22,4))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24""".stripMargin,
+    "q4_priority_semi" ->
+      """SELECT o_orderpriority, count(*) AS n_orders
+        |FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_customers_no_orders" ->
+      """SELECT c_custkey, c_mktsegment
+        |FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+        |ORDER BY c_custkey""".stripMargin,
+    "q_brand_volume" ->
+      """SELECT p.p_brand,
+        |  CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l.l_extendedprice*(1.0-l.l_discount) AS DECIMAL(22,4))) AS DOUBLE) AS revenue
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_supplier_nation_volume" ->
+      """SELECT n.n_name,
+        |  CAST(sum(CAST(l.l_extendedprice*(1.0-l.l_discount) AS DECIMAL(22,4))) AS DOUBLE) AS revenue
+        |FROM lineitem l
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "dedup_exact" ->
       """WITH h AS (
         |  SELECT doc_id, md5(regexp_replace(trim(text), '\s+', ' ', 'g')) AS text_hash

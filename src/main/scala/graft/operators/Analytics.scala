@@ -96,4 +96,66 @@ object Analytics {
       .groupBy("event_type")
       .agg(approx_count_distinct(col("user_id"), 0.01).as("n_users_approx"))
       .orderBy("event_type")
+
+  /** B6: TPC-H Q6-style selective revenue delta — every predicate
+    * (date range, discount band, quantity cap) reaches the parquet
+    * scan as a pushed filter; the aggregation is a scan-bound
+    * single-group partial agg. The pushdown showcase.
+    */
+  def selectiveRevenue(t: Tables): DataFrame =
+    t.lineitem
+      .filter(
+        col("l_shipdate") >= "1996-01-01" && col("l_shipdate") < "1997-01-01" &&
+          col("l_discount").between(0.03, 0.07) && col("l_quantity") < 24
+      )
+      .agg(
+        Num.moneySum4(col("l_extendedprice") * col("l_discount")).as("revenue"),
+        count(lit(1)).as("n_items")
+      )
+
+  /** B7: orders having at least one returned line — LEFT SEMI join
+    * (builds only the distinct key set, never materializes the match).
+    */
+  def prioritySemi(t: Tables): DataFrame = {
+    val returned = t.lineitem.filter(col("l_returnflag") === "R").select("l_orderkey")
+    t.orders
+      .join(returned, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** B8: customers with no recent orders — LEFT ANTI join against a
+    * filtered fact (the filter pushes into the orders scan before the
+    * anti-join builds its key set).
+    */
+  def customersWithoutOrders(t: Tables): DataFrame =
+    t.customer
+      .join(
+        t.orders.filter(col("o_orderdate") >= "2000-01-01"),
+        col("c_custkey") === col("o_custkey"),
+        "left_anti"
+      )
+      .select("c_custkey", "c_mktsegment")
+      .orderBy("c_custkey")
+
+  /** B9: volume per part brand — fact ⋈ broadcast(part) + partial agg. */
+  def brandVolume(t: Tables): DataFrame =
+    t.lineitem
+      .join(broadcast(t.part), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(
+        Num.moneySum(col("l_quantity")).as("sum_qty"),
+        Num.moneySum4(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue")
+      )
+      .orderBy("p_brand")
+
+  /** B10: revenue per supplier nation — two broadcast dims chained. */
+  def supplierNationVolume(t: Tables): DataFrame =
+    t.lineitem
+      .join(broadcast(t.supplier), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(Num.moneySum4(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .orderBy("n_name")
 }

@@ -149,21 +149,19 @@ object Dedup {
   // --- SimHash (C4) -------------------------------------------------------
 
   /** Per-document 64-bit SimHash over distinct words (xxhash64 word
-    * hashes; bit set when the signed bit-count is ≥ 0). Computed via
-    * explode + 64 partial-aggregated sums — one shuffle on doc_id.
+    * hashes; bit set when the signed bit-count is ≥ 0). One narrow
+    * codegen'd projection (functions/SimHashExpr) — no explode, no
+    * shuffle: simhashing pipelines at scan speed.
     */
   def simhashes(t: Tables): DataFrame = {
-    val wordHash = t.documents
-      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("word"))
-      .select(col("doc_id"), xxhash64(col("word")).as("h"))
-    val bitSums = (0 until 64).map { i =>
-      sum(when(expr(s"(h >> $i) & 1") === 1, 1).otherwise(-1)).as(s"s$i")
-    }
-    val withSums = wordHash.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-    val simhash = (0 until 64)
-      .map(i => when(col(s"s$i") >= 0, lit(1L << i)).otherwise(lit(0L)))
-      .reduce(_ + _)
-    withSums.select(col("doc_id"), simhash.as("simhash")).orderBy("doc_id")
+    graft.functions.SimHashExpr.register(t.spark)
+    t.documents
+      .select(
+        col("doc_id"),
+        expr("simhash64(transform(array_distinct(split(text, ' ')), w -> xxhash64(w)))")
+          .as("simhash")
+      )
+      .orderBy("doc_id")
   }
 
   /** C4: SimHash near-dup pairs with Hamming distance ≤ 3, found by

@@ -58,21 +58,35 @@ object Similarity {
   val HyperplaneBits = 4
   val HashTables     = 8
 
-  /** Deterministic ±1 hyperplanes: sign from xxhash64(table, plane,
-    * dim) parity — reproducible across runs/clusters, no RNG state.
-    * Returns one bucket key per table, computed in a single codegen'd
-    * projection.
+  /** Max embedding dimensionality the constant hyperplanes cover. */
+  val MaxDims = 512
+
+  /** splitmix64 — deterministic driver-side sign source (no JVM RNG
+    * state, stable across runs/clusters/Scala versions).
+    */
+  private def splitmix64(x0: Long): Long = {
+    var x = x0 + 0x9e3779b97f4a7c15L
+    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+    x ^ (x >>> 31)
+  }
+
+  /** Deterministic ±1 hyperplanes, precomputed on the driver and
+    * embedded as literal arrays — ConstantFolding turns each into one
+    * Literal, so the per-row work is just HashTables×HyperplaneBits
+    * codegen'd vec_dot loops (the previous form rebuilt the plane via
+    * an interpreted transform per row per plane).
     */
   private def bucketsCol: Column = {
     val tables = (0 until HashTables).map { tb =>
-      val bits = (0 until HyperplaneBits).map { p =>
-        val dot =
-          s"vec_dot(v, transform(sequence(0, size(v) - 1), i -> cast((xxhash64($tb, $p, i) & 1) * 2 - 1 as double)))"
-        s"(case when $dot >= 0 then ${1L << p}L else 0L end)"
-      }
-      bits.mkString("(", " + ", ")")
+      (0 until HyperplaneBits).map { p =>
+        val plane = array((0 until MaxDims).map { i =>
+          lit(if ((splitmix64(tb * 1000003L + p * 8191L + i) & 1L) == 0L) -1.0 else 1.0)
+        }: _*)
+        when(call_function("vec_dot", col("v"), plane) >= 0, lit(1L << p)).otherwise(lit(0L))
+      }.reduce(_ + _)
     }
-    expr(tables.mkString("array(", ", ", ")"))
+    array(tables: _*)
   }
 
   /** C7: multi-table hyperplane-LSH ANN — the scale path. Each vector
