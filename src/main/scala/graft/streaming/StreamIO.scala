@@ -1,0 +1,97 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Source/sink adapters for the reference's I/O surface, re-expressed
+  * for Spark's execution model.
+  *
+  * | reference                          | here                               |
+  * | ---------------------------------- | ---------------------------------- |
+  * | Kinesis producer (kinesis_stream/main.go:24-37) | [[mathProblemStream]] rate-source envelope stream |
+  * | S3 content-addressed put (adder-labma/adder.go:58-76) | [[contentAddressedSink]] prefix-partitioned parquet |
+  * | SQS SendMessageBatch of 10 (lambda_page/lpage.go:135-146) | [[batchedQueueSink]] fixed-size JSON batch lines |
+  *
+  * The reference writes ONE S3 object PER RECORD — at 100 TB that is
+  * billions of tiny puts, the canonical small-object anti-pattern. The
+  * scalable translation keeps the content-addressed KEY (a column) but
+  * stores records in prefix-partitioned parquet: lookup by key is a
+  * partition-pruned scan, writes are batched columnar appends.
+  */
+object StreamIO {
+
+  /** Producer twin of kinesis_stream/main.go: an unbounded stream of
+    * base64(JSON {Num1,Num2}) envelopes from the rate source.
+    * Deterministic in `value` (not wall-clock) so downstream content
+    * keys are replay-stable.
+    */
+  def mathProblemStream(spark: SparkSession, rowsPerSecond: Int = 100): DataFrame =
+    spark.readStream
+      .format("rate")
+      .option("rowsPerSecond", rowsPerSecond)
+      .load()
+      .select(
+        col("value").cast("string").as("partition_key"),
+        base64(
+          to_json(
+            struct(
+              pmod(col("value"), lit(100)).as("Num1"),
+              pmod(col("value") * 7 + 3, lit(100)).as("Num2")
+            )
+          ).cast("binary")
+        ).as("data")
+      )
+
+  /** S3-analog sink: append stream rows into parquet partitioned by
+    * the first hex byte of `result_key` (256 stable prefixes — the
+    * same fan-out trick S3 key design uses). Exactly-once per batch:
+    * keys are deterministic and the parquet commit protocol dedups
+    * task retries.
+    */
+  def contentAddressedSink(
+      answered: DataFrame,
+      outDir: String,
+      checkpoint: String
+  ): StreamingQuery =
+    answered.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch
+          .withColumn("key_prefix", substring(regexp_replace(col("result_key"), "^[a-z-]+", ""), 1, 2))
+          .write
+          .mode("append")
+          .partitionBy("key_prefix")
+          .parquet(outDir)
+      }
+      .start()
+
+  /** SQS-analog sink: within each micro-batch, rows are grouped into
+    * fixed-size batches per topic (the reference's SendMessageBatch of
+    * 10) and appended as one JSON line per batch. The window is
+    * per-topic so batch assembly shuffles once on topic_id — no global
+    * coordination, unlike the reference's in-process semaphore.
+    */
+  def batchedQueueSink(
+      payloads: DataFrame,
+      outDir: String,
+      checkpoint: String,
+      batchSize: Int = 10
+  ): StreamingQuery =
+    payloads.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("topic_id").orderBy("payload_b64")
+        batch
+          .withColumn("rn", row_number().over(w))
+          .withColumn("send_batch", floor((col("rn") - 1) / batchSize))
+          .groupBy(col("topic_id"), col("send_batch"))
+          .agg(collect_list(col("payload_b64")).as("entries"))
+          .withColumn("micro_batch", lit(batchId))
+          .write
+          .mode("append")
+          .json(outDir)
+      }
+      .start()
+}
