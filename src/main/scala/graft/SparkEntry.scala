@@ -47,6 +47,7 @@ object SparkEntry {
     "dedup_minhash_lsh"    -> ((s, d) => Dedup.minhashLsh(Tables(s, d))),
     "dedup_simhash"        -> ((s, d) => Dedup.simhashPairs(Tables(s, d))),
     "dedup_embedding"      -> ((s, d) => Dedup.embeddingCosine(Tables(s, d))),
+    "dedup_embedding_lsh"  -> ((s, d) => Dedup.embeddingCosineLsh(Tables(s, d))),
     "knn_bruteforce"       -> ((s, d) => Similarity.knnBruteForce(Tables(s, d))),
     "knn_lsh"              -> ((s, d) => Similarity.knnLsh(Tables(s, d))),
     "text_langid"          -> ((s, d) => TextOps.langId(Tables(s, d))),

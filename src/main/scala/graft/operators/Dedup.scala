@@ -211,4 +211,25 @@ object Dedup {
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
       .orderBy("id_a", "id_b")
   }
+
+  /** C5 scale path: embedding near-dup pairs via hyperplane-LSH
+    * buckets — candidates are same-bucket-in-any-table pairs (shuffle
+    * on (table, bucket), cost ∝ tables × Σ bucket², never n²), then
+    * the exact cosine filter runs on candidates only. rows-only oracle;
+    * spec measures recall vs the exact C5 pairs.
+    */
+  def embeddingCosineLsh(t: Tables, tau: Double = 0.4): DataFrame = {
+    val banded = Similarity.bandedVectors(t)
+    banded
+      .as("a")
+      .join(
+        banded.as("b").hint("shuffle_hash"),
+        col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id")
+      )
+      .filter(Similarity.cosine >= tau)
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+      .distinct()
+      .orderBy("id_a", "id_b")
+  }
 }

@@ -97,14 +97,21 @@ object Similarity {
     * recall vs the exact C6 baseline. rows-only oracle (hyperplane
     * choice isn't SQL-portable).
     */
+  /** One row per (vector, table) with that table's bucket key —
+    * shared by the ANN path here and Dedup.embeddingCosineLsh.
+    */
+  private[operators] def bandedVectors(t: Tables): DataFrame =
+    vectors(t)
+      .withColumn("buckets", bucketsCol)
+      .select(
+        col("vec_id"),
+        col("v"),
+        col("nrm"),
+        posexplode(col("buckets")).as(Seq("tbl", "bucket"))
+      )
+
   def knnLsh(t: Tables, numQueries: Int = 10, k: Int = 5): DataFrame = {
-    val vecs = vectors(t).withColumn("buckets", bucketsCol)
-    val banded = vecs.select(
-      col("vec_id"),
-      col("v"),
-      col("nrm"),
-      posexplode(col("buckets")).as(Seq("tbl", "bucket"))
-    )
+    val banded = bandedVectors(t)
     val queries = banded.filter(col("vec_id") < numQueries)
     val w       = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
     broadcast(queries)

@@ -67,10 +67,17 @@ object TextOps {
     * for n-gram profiles; the plumbing (array intersect + case) is
     * identical.
     */
-  def langId(t: Tables): DataFrame = {
+  def langId(t: Tables): DataFrame = langIdOn(t.documents)
+
+  /** langId over any (doc_id, text) frame — split out so specs can
+    * run it on constructed multilingual sentences (the test corpus's
+    * lang labels are random metadata, uncorrelated with its synthetic
+    * text).
+    */
+  def langIdOn(documents: DataFrame): DataFrame = {
     def hits(markers: Seq[String]) =
       size(expr(s"array_intersect(array_distinct(split(lower(text), ' ')), ${sqlList(markers)})")).cast("long")
-    t.documents
+    documents
       .select(
         col("doc_id"),
         hits(EnMarkers).as("en_hits"),

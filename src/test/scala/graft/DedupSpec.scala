@@ -51,6 +51,15 @@ class DedupSpec extends SparkSpecBase {
     }
   }
 
+  test("embedding-LSH scale path: no false positives, usable recall vs exact pairs") {
+    val exact = Dedup.embeddingCosine(tables).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh   = Dedup.embeddingCosineLsh(tables).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((lsh -- exact).isEmpty, s"cosine-verified candidates can't exceed exact: ${lsh -- exact}")
+    val recall = if (exact.isEmpty) 1.0 else (exact & lsh).size.toDouble / exact.size
+    info(f"embedding-LSH recall vs exact τ≥0.4 pairs: $recall%.2f")
+    assert(recall >= 0.4, f"recall collapsed: $recall%.2f")
+  }
+
   test("embedding cosine pairs are ordered and self-free") {
     val pairs = Dedup.embeddingCosine(tables).collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(pairs.forall { case (a, b) => a < b })

@@ -43,4 +43,21 @@ class TextOpsSpec extends SparkSpecBase {
     }
     assert(rows.count(_.getString(4) == "en") > 0, "corpus should contain english docs")
   }
+
+  test("langid classifies real multilingual sentences correctly") {
+    import spark.implicits._
+    // corpus lang labels are random metadata (text is the same synthetic
+    // vocabulary for every label), so validate on real sentences instead
+    val docs = Seq(
+      (1L, "the quick brown fox jumped over a fence and is gone", "en"),
+      (2L, "el perro corre por la calle y los gatos duermen", "es"),
+      (3L, "der Hund läuft und die Katze schläft mit das Kind", "de"),
+      (4L, "xyzzy plugh qwerty asdf", "und")
+    ).toDF("doc_id", "text", "expected")
+    val preds = TextOps.langIdOn(docs.select("doc_id", "text")).collect()
+      .map(r => r.getLong(0) -> r.getString(4)).toMap
+    docs.select("doc_id", "expected").collect().foreach { r =>
+      assert(preds(r.getLong(0)) == r.getString(1), s"doc ${r.getLong(0)}")
+    }
+  }
 }
