@@ -16,10 +16,39 @@ object Dedup {
   /** Jaccard threshold shared by the n-gram and MinHash paths. */
   val JaccardTau = 0.5
 
-  /** Distinct word-trigram shingles. The word split is materialized
-    * ONCE per row (`ws`) before the lambda — referencing
-    * `split(text, ' ')` inside the transform body would re-split per
-    * shingle per access (O(words²) per document).
+  /** Distinct word-trigram shingles as POSTINGS (doc_id, sh, n_sh) —
+    * one row per distinct shingle.
+    *
+    * Deliberately word-level, not array-level: building the shingle
+    * array with `transform(...)` and exploding it makes Generate
+    * re-evaluate the interpreted lambda per OUTPUT row (measured ~15×
+    * slowdown). Instead: posexplode the raw split (fast generator),
+    * form each trigram with codegen'd `lead` windows, dedup and count
+    * within the same doc_id partitioning — exactly one shuffle, all
+    * expressions codegen'd.
+    */
+  private def shingledPostings(t: Tables): DataFrame = {
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val doc   = Window.partitionBy("doc_id")
+    t.documents
+      .select(
+        col("doc_id"),
+        size(split(col("text"), " ")).as("n_words"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "w"))
+      )
+      // concat_ws skips the null leads at the tail, which reproduces the
+      // short-document (<3 words) semantics of a 3-word sliding window
+      .withColumn("sh", concat_ws(" ", col("w"), lead("w", 1).over(byDoc), lead("w", 2).over(byDoc)))
+      .filter(col("pos") <= greatest(col("n_words") - 3, lit(0)))
+      .select(col("doc_id"), col("sh"))
+      .distinct() // doc_id partitioning already satisfies the clustering — no extra shuffle
+      .withColumn("n_sh", count(lit(1)).over(doc))
+  }
+
+  /** Per-document distinct-shingle arrays (for MinHash signatures and
+    * candidate verification) — map-only array build. The transform
+    * lambda is fine HERE because the array is never fed to a Generate
+    * (signatures consume it in a projection; verification in a join).
     */
   private def shingled(t: Tables): DataFrame =
     t.documents
@@ -64,9 +93,8 @@ object Dedup {
     // not the string: narrower shuffle rows, long equi-join.
     // (xxhash64 collisions would merge postings — P ≈ n²/2⁶⁵, and the
     // DuckDB oracle would flag one; none at any test SF.)
-    val postings = shingled(t)
-      .select(col("doc_id"), col("n_sh"), explode(col("sh")).as("shingle"))
-      .select(col("doc_id"), col("n_sh"), xxhash64(col("shingle")).as("shingle"))
+    val postings = shingledPostings(t)
+      .select(col("doc_id"), col("n_sh"), xxhash64(col("sh")).as("shingle"))
     // shuffle-hash self-join: both sides produce IDENTICAL exchanges,
     // so ReuseExchange computes the posting list once. Also the only
     // strategy that exists at 100 TB — a posting table never
@@ -116,6 +144,9 @@ object Dedup {
     val s = shingled(t)
       .withColumn("shx", expr(s"transform(sh, v -> crc32(v) % ${MinHashP}L)"))
       .withColumn("sig", expr("minhash_sig(shx)"))
+    // the 32-element band array is cheap to build; exploding it costs
+    // 32 re-evals of slice+concat per doc — still small next to the
+    // band shuffle that follows
     val bands = s.select(
       col("doc_id"),
       posexplode(

@@ -55,60 +55,26 @@ object Similarity {
     * p is (1 - p^bits)^tables — tables is the recall lever, bits the
     * bucket-size lever (bits ≈ log2(n / target bucket size) at scale).
     */
-  val HyperplaneBits = 4
-  val HashTables     = 8
+  val HyperplaneBits: Int = graft.functions.HyperplaneExpr.Bits
+  val HashTables: Int     = graft.functions.HyperplaneExpr.Tables
 
-  /** Max embedding dimensionality the constant hyperplanes cover. */
-  val MaxDims = 512
-
-  /** splitmix64 — deterministic driver-side sign source (no JVM RNG
-    * state, stable across runs/clusters/Scala versions).
+  /** C7 support: one row per (vector, table) with that table's bucket
+    * key — shared by the ANN path here and Dedup.embeddingCosineLsh.
+    * All tables×bits hyperplane dots are fused into one codegen'd
+    * kernel pass (functions/HyperplaneExpr); the resulting small
+    * bucket array is safe to posexplode because the generator child
+    * is codegen'd, not an interpreted lambda.
     */
-  private def splitmix64(x0: Long): Long = {
-    var x = x0 + 0x9e3779b97f4a7c15L
-    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
-    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
-    x ^ (x >>> 31)
-  }
-
-  /** Deterministic ±1 hyperplanes, precomputed on the driver and
-    * embedded as literal arrays — ConstantFolding turns each into one
-    * Literal, so the per-row work is just HashTables×HyperplaneBits
-    * codegen'd vec_dot loops (the previous form rebuilt the plane via
-    * an interpreted transform per row per plane).
-    */
-  private def bucketsCol: Column = {
-    val tables = (0 until HashTables).map { tb =>
-      (0 until HyperplaneBits).map { p =>
-        val plane = array((0 until MaxDims).map { i =>
-          lit(if ((splitmix64(tb * 1000003L + p * 8191L + i) & 1L) == 0L) -1.0 else 1.0)
-        }: _*)
-        when(call_function("vec_dot", col("v"), plane) >= 0, lit(1L << p)).otherwise(lit(0L))
-      }.reduce(_ + _)
-    }
-    array(tables: _*)
-  }
-
-  /** C7: multi-table hyperplane-LSH ANN — the scale path. Each vector
-    * lands in one sign-pattern bucket per table (map-only); candidates
-    * are same-bucket-in-any-table (posexplode + equi-join on
-    * (table, key), distinct), so join cost ∝ tables × Σ bucket² — never
-    * n². Rank only the candidate set. Spec checks determinism +
-    * recall vs the exact C6 baseline. rows-only oracle (hyperplane
-    * choice isn't SQL-portable).
-    */
-  /** One row per (vector, table) with that table's bucket key —
-    * shared by the ANN path here and Dedup.embeddingCosineLsh.
-    */
-  private[operators] def bandedVectors(t: Tables): DataFrame =
+  private[operators] def bandedVectors(t: Tables): DataFrame = {
+    graft.functions.HyperplaneExpr.register(t.spark)
     vectors(t)
-      .withColumn("buckets", bucketsCol)
       .select(
         col("vec_id"),
         col("v"),
         col("nrm"),
-        posexplode(col("buckets")).as(Seq("tbl", "bucket"))
+        posexplode(expr("lsh_buckets(v)")).as(Seq("tbl", "bucket"))
       )
+  }
 
   def knnLsh(t: Tables, numQueries: Int = 10, k: Int = 5): DataFrame = {
     val banded = bandedVectors(t)

@@ -31,6 +31,22 @@ final case class Tables(spark: SparkSession, dir: String) {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     t("events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
-  def documents: DataFrame  = t("documents")
-  def embeddings: DataFrame = t("embeddings")
+  /** documents/embeddings feed CPU-heavy per-row pipelines (shingling,
+    * minhash, simhash, vector math). The test corpus ships as ONE
+    * parquet row group per table, which would pin all of that compute
+    * to a single task — so when scan parallelism is degenerate
+    * (fewer files than half the cores) we round-robin rebalance once
+    * up front. The data is tiny relative to the per-row compute, and
+    * at production scale (thousands of row groups) the condition never
+    * triggers, so no shuffle is added where the scan already
+    * parallelizes.
+    */
+  private def rebalanced(name: String): DataFrame = {
+    val df    = t(name)
+    val cores = spark.sparkContext.defaultParallelism
+    if (df.inputFiles.length < cores / 2) df.repartition(cores) else df
+  }
+
+  def documents: DataFrame  = rebalanced("documents")
+  def embeddings: DataFrame = rebalanced("embeddings")
 }

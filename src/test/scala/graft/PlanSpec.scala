@@ -40,6 +40,29 @@ class PlanSpec extends SparkSpecBase {
     assert(read.contains("l_returnflag") && !read.contains("l_orderkey"), s"not pruned: $read")
   }
 
+  test("ngram-jaccard self-join reuses one posting exchange (shuffled hash join)") {
+    val plan = executedPlanString(graft.operators.Dedup.ngramJaccard(tables))
+    assert(plan.contains("ShuffledHashJoin"), s"expected shuffle-hash self-join:\n$plan")
+    assert(plan.contains("ReusedExchange"), s"posting list computed twice:\n$plan")
+  }
+
+  test("q6 pushes date/discount/quantity predicates into the lineitem scan") {
+    // formatted mode prints untruncated PushedFilters
+    val pushed = Analytics
+      .selectiveRevenue(tables)
+      .queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(pushed.contains("GreaterThanOrEqual(l_shipdate"), s"date not pushed: $pushed")
+    assert(pushed.contains("LessThan(l_quantity,24"), s"quantity not pushed: $pushed")
+    assert(pushed.contains("GreaterThanOrEqual(l_discount,0.03"), s"discount not pushed: $pushed")
+  }
+
+  test("simhash is a pure map plan — no exchange before the sort") {
+    val df   = graft.operators.Dedup.simhashes(tables)
+    val plan = df.queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).isEmpty, s"unexpected shuffle:\n$plan")
+  }
+
   test("adder map stage is whole-stage codegen with no shuffle before the sort") {
     val df   = graft.operators.MathOps.adder(tables)
     val plan = executedPlanString(df)
