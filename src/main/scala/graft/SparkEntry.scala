@@ -54,8 +54,10 @@ object SparkEntry {
     "text_quality"         -> ((s, d) => TextOps.qualityScores(Tables(s, d))),
     "text_tokens"          -> ((s, d) => TextOps.tokenCounts(Tables(s, d))),
     "text_fingerprint"     -> ((s, d) => TextOps.fingerprints(Tables(s, d))),
+    "dedup_ngram_capped"   -> ((s, d) => Dedup.ngramJaccardCapped(Tables(s, d))),
     "multimodal_meta"      -> ((s, d) => Multimodal.mediaMeta(Tables(s, d))),
-    "multimodal_decode"    -> ((s, d) => Multimodal.decodeSummary(s, Tables(s, d)))
+    "multimodal_decode"    -> ((s, d) => Multimodal.decodeSummary(s, Tables(s, d))),
+    "multimodal_frames"    -> ((s, d) => Multimodal.sampleFrames(s, Tables(s, d)))
   )
 
   /** kinesis_topic/main.go:23 — the demo topic payload. */

@@ -87,14 +87,35 @@ object Dedup {
     * the exact variant here is the verification oracle for C3, which
     * is the true 100 TB path.)
     */
-  def ngramJaccard(t: Tables, tau: Double = JaccardTau): DataFrame = {
+  def ngramJaccard(t: Tables, tau: Double = JaccardTau): DataFrame =
+    ngramJaccardImpl(t, tau, maxPostings = None)
+
+  /** Skew-capped variant for hostile corpora: shingles appearing in
+    * more than `cap` documents are dropped from the INDEX (not from
+    * n_sh), bounding the worst posting-list join term at cap² while
+    * keeping Jaccard denominators exact. Boilerplate/template shingles
+    * are exactly the ones that explode at 100 TB and carry no
+    * near-dup signal. Pairs can only be LOST vs the exact variant
+    * (intersections shrink) — spec-checked subset property; rows-only
+    * oracle.
+    */
+  def ngramJaccardCapped(t: Tables, tau: Double = JaccardTau, cap: Int = 100): DataFrame =
+    ngramJaccardImpl(t, tau, maxPostings = Some(cap))
+
+  private def ngramJaccardImpl(t: Tables, tau: Double, maxPostings: Option[Int]): DataFrame = {
     // Postings carry the doc's shingle count so NO size-lookup joins
     // are needed after pairing, and join on the 64-bit shingle hash,
     // not the string: narrower shuffle rows, long equi-join.
     // (xxhash64 collisions would merge postings — P ≈ n²/2⁶⁵, and the
     // DuckDB oracle would flag one; none at any test SF.)
-    val postings = shingledPostings(t)
+    val raw = shingledPostings(t)
       .select(col("doc_id"), col("n_sh"), xxhash64(col("sh")).as("shingle"))
+    val postings = maxPostings.fold(raw) { cap =>
+      // document frequency per shingle reuses the shingle partitioning
+      // the self-join needs anyway
+      val freq = Window.partitionBy("shingle")
+      raw.withColumn("df", count(lit(1)).over(freq)).filter(col("df") <= cap).drop("df")
+    }
     // shuffle-hash self-join: both sides produce IDENTICAL exchanges,
     // so ReuseExchange computes the posting list once. Also the only
     // strategy that exists at 100 TB — a posting table never

@@ -85,6 +85,25 @@ object Multimodal {
       }
   }
 
+  /** Frame sampling over decoded media: every k-th frame of each
+    * clip as its own row, with a content-derived frame fingerprint.
+    * The frame count is a stub derived from payload size (a real
+    * decoder reports it); the PLUMBING — explode a codegen'd
+    * `sequence` per clip, never a lambda array, one row per sampled
+    * frame — is the production shape for video pipelines.
+    */
+  def sampleFrames(spark: SparkSession, t: Tables, everyK: Int = 4): DataFrame = {
+    import spark.implicits._
+    decodeMedia(spark, t)
+      .withColumn("n_frames", (col("n_bytes") % 64 + 1).cast("int"))
+      .select(
+        col("doc_id"),
+        col("n_frames"),
+        explode(sequence(lit(0), col("n_frames") - 1, lit(everyK))).as("frame_idx")
+      )
+      .withColumn("frame_key", sha2(concat_ws(":", col("doc_id"), col("frame_idx")), 256))
+  }
+
   /** Decoded-media metadata as a query: stub dimensions + format
     * distribution. rows-only oracle (stub kernel isn't SQL), spec
     * asserts determinism and batch shape.

@@ -75,6 +75,22 @@ object KinesisLikePipeline {
         col("sum_value")
       )
 
+  /** Exactly-once delivery on top of Kinesis' at-least-once: drop
+    * replayed records by their deterministic content key, keeping
+    * dedup state only within the watermark horizon — state size is
+    * bounded by (throughput × watermark), not stream history. This is
+    * the streaming twin of Dedup.exact.
+    */
+  def dedupByKey(
+      records: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      watermark: String = "10 minutes"
+  ): DataFrame =
+    records
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCol)
+
   /** Incoming topic message (lambda_count's input). */
   final case class TopicMsg(topic_id: Long, message: String, n_devices: Long, page_size: Long)
 

@@ -60,6 +60,14 @@ class DedupSpec extends SparkSpecBase {
     assert(recall >= 0.4, f"recall collapsed: $recall%.2f")
   }
 
+  test("frequency-capped ngram pairs are a subset of exact pairs") {
+    val exact  = Dedup.ngramJaccard(tables).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = Dedup.ngramJaccardCapped(tables, cap = 50).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.subsetOf(exact), s"cap invented pairs: ${capped -- exact}")
+    // on this near-dup-heavy corpus a 50-doc cap should keep most pairs
+    assert(capped.size.toDouble / exact.size >= 0.5, s"cap too destructive: ${capped.size}/${exact.size}")
+  }
+
   test("embedding cosine pairs are ordered and self-free") {
     val pairs = Dedup.embeddingCosine(tables).collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(pairs.forall { case (a, b) => a < b })

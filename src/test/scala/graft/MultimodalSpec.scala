@@ -31,6 +31,17 @@ class MultimodalSpec extends SparkSpecBase {
     assert(reparted.collect().length == 7)
   }
 
+  test("frame sampling emits every k-th frame with stable keys") {
+    val rows = Multimodal.sampleFrames(spark, tables, everyK = 4).collect()
+    val byDoc = rows.groupBy(_.getLong(0))
+    byDoc.foreach { case (_, frames) =>
+      val n    = frames.head.getInt(1)
+      val idxs = frames.map(_.getInt(2)).sorted.toSeq
+      assert(idxs == (0 until n by 4).toSeq, s"expected stride-4 of $n, got $idxs")
+    }
+    assert(rows.map(_.getString(3)).distinct.length == rows.length, "frame keys must be unique")
+  }
+
   test("decode summary covers all stub formats with sane dimensions") {
     val rows = Multimodal.decodeSummary(spark, tables).collect()
     assert(rows.map(_.getString(0)).toSet.subsetOf(Set("png", "jpeg", "webp")))

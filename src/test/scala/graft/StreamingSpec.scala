@@ -73,6 +73,28 @@ class StreamingSpec extends SparkSpecBase {
     assert(click.getAs[Double]("sum_value") == 5.0)
   }
 
+  test("watermarked stream dedup drops replayed content keys across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String)]
+    val q = KinesisLikePipeline
+      .dedupByKey(in.toDF().toDF("ts", "result_key"), "result_key", "ts", "10 minutes")
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory")
+      .queryName("dedup_out")
+      .option("checkpointLocation", ckpt())
+      .start()
+    val t0 = Timestamp.valueOf("2026-01-01 00:00:00")
+    in.addData((t0, "k1"), (t0, "k2"))
+    q.processAllAvailable()
+    in.addData((Timestamp.valueOf("2026-01-01 00:01:00"), "k1")) // replay within watermark
+    q.processAllAvailable()
+    val rows = spark.table("dedup_out").collect()
+    q.stop()
+    assert(rows.map(_.getAs[String]("result_key")).sorted.toSeq == Seq("k1", "k2"))
+  }
+
   test("page sequencer fans out pages with first/last notes and cross-trigger sequence") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
