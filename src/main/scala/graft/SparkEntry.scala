@@ -55,6 +55,7 @@ object SparkEntry {
     "text_tokens"          -> ((s, d) => TextOps.tokenCounts(Tables(s, d))),
     "text_fingerprint"     -> ((s, d) => TextOps.fingerprints(Tables(s, d))),
     "dedup_ngram_capped"   -> ((s, d) => Dedup.ngramJaccardCapped(Tables(s, d))),
+    "dedup_components"     -> ((s, d) => Dedup.nearDupComponents(Tables(s, d))),
     "multimodal_meta"      -> ((s, d) => Multimodal.mediaMeta(Tables(s, d))),
     "multimodal_decode"    -> ((s, d) => Multimodal.decodeSummary(s, Tables(s, d))),
     "multimodal_frames"    -> ((s, d) => Multimodal.sampleFrames(s, Tables(s, d)))
@@ -260,6 +261,16 @@ object SparkEntry {
         |FROM h ORDER BY doc_id""".stripMargin,
     "dedup_ngram_jaccard" -> ngramJaccardOracle,
     "dedup_minhash_lsh"   -> ngramJaccardOracle, // LSH verified-pairs = exact pairs (miss prob (1-s^4)^32; see Dedup.scala)
+    "dedup_components" ->
+      s"""WITH RECURSIVE p AS ($ngramJaccardOracle),
+        |edges AS (SELECT doc_a AS a, doc_b AS b FROM p
+        |          UNION ALL SELECT doc_b, doc_a FROM p),
+        |reach(id, comp) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT e.a, r.comp FROM edges e JOIN reach r ON e.b = r.id)
+        |SELECT id AS doc_id, min(comp) AS component FROM reach
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "text_langid" ->
       """WITH h AS (
         |  SELECT doc_id,

@@ -247,6 +247,47 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** C2c: connected components of the near-dup graph — the group
+    * resolution step real dedup needs (pairs alone under-merge:
+    * A≈B, B≈C must collapse to one keeper even when A!≈C).
+    *
+    * Iterative min-label propagation: each round every node takes the
+    * min component id among itself and its neighbors; converges in
+    * O(component diameter) rounds. Each round is one distributed
+    * join+agg; the driver only evaluates the scalar convergence check.
+    * `localCheckpoint` truncates lineage so plans don't grow with
+    * rounds — the standard large-graph pattern when GraphX-style
+    * machinery isn't warranted.
+    */
+  def nearDupComponents(t: Tables, tau: Double = JaccardTau): DataFrame = {
+    val pairs = ngramJaccard(t, tau).select(col("doc_a"), col("doc_b"))
+    val edges = pairs
+      .unionAll(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .localCheckpoint()
+    var labels = edges
+      .select(col("doc_a").as("id"))
+      .distinct()
+      .withColumn("component", col("id"))
+      .localCheckpoint()
+    var changed = 1L
+    while (changed > 0) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "nbr"), col("doc_b") === col("nbr"))
+        .groupBy(col("doc_a").as("id"))
+        .agg(min(col("component")).as("nbr_comp"))
+      val next = labels
+        .join(neighborMin, Seq("id"), "left")
+        .select(col("id"), least(col("component"), coalesce(col("nbr_comp"), col("component"))).as("component"))
+        .localCheckpoint()
+      changed = next
+        .join(labels.withColumnRenamed("component", "old"), Seq("id"))
+        .filter(col("component") =!= col("old"))
+        .count()
+      labels = next
+    }
+    labels.orderBy("id").select(col("id").as("doc_id"), col("component"))
+  }
+
   // --- Embedding cosine (C5) ----------------------------------------------
 
   /** C5: embedding-cosine near-dup pairs (τ = 0.4). Brute-force

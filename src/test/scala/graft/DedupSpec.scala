@@ -60,6 +60,15 @@ class DedupSpec extends SparkSpecBase {
     assert(recall >= 0.4, f"recall collapsed: $recall%.2f")
   }
 
+  test("near-dup components: endpoints of every pair share a component; labels are component minima") {
+    val pairs = Dedup.ngramJaccard(tables).collect().map(r => (r.getLong(0), r.getLong(1)))
+    val comp  = Dedup.nearDupComponents(tables).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    pairs.foreach { case (a, b) => assert(comp(a) == comp(b), s"pair ($a,$b) split across components") }
+    comp.groupBy(_._2).foreach { case (label, members) =>
+      assert(members.keys.min == label, s"component $label label isn't its min member")
+    }
+  }
+
   test("frequency-capped ngram pairs are a subset of exact pairs") {
     val exact  = Dedup.ngramJaccard(tables).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val capped = Dedup.ngramJaccardCapped(tables, cap = 50).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
