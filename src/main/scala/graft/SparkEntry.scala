@@ -56,6 +56,7 @@ object SparkEntry {
     "text_fingerprint"     -> ((s, d) => TextOps.fingerprints(Tables(s, d))),
     "dedup_ngram_capped"   -> ((s, d) => Dedup.ngramJaccardCapped(Tables(s, d))),
     "dedup_components"     -> ((s, d) => Dedup.nearDupComponents(Tables(s, d))),
+    "pipeline_curate"      -> ((s, d) => Curation.curate(Tables(s, d))),
     "multimodal_meta"      -> ((s, d) => Multimodal.mediaMeta(Tables(s, d))),
     "multimodal_decode"    -> ((s, d) => Multimodal.decodeSummary(s, Tables(s, d))),
     "multimodal_frames"    -> ((s, d) => Multimodal.sampleFrames(s, Tables(s, d)))
@@ -271,6 +272,40 @@ object SparkEntry {
         |  SELECT e.a, r.comp FROM edges e JOIN reach r ON e.b = r.id)
         |SELECT id AS doc_id, min(comp) AS component FROM reach
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "pipeline_curate" ->
+      s"""WITH RECURSIVE p AS ($ngramJaccardOracle),
+        |edges AS (SELECT doc_a AS a, doc_b AS b FROM p
+        |          UNION ALL SELECT doc_b, doc_a FROM p),
+        |reach(id, comp) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT e.a, r.comp FROM edges e JOIN reach r ON e.b = r.id),
+        |comps AS (SELECT id AS doc_id, min(comp) AS near_dup_comp FROM reach GROUP BY 1),
+        |q AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
+        |lh AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_intersect(list_distinct(string_split(lower(text), ' ')), ['the','a','of','and','in','is'])) AS BIGINT) AS en_hits,
+        |    CAST(len(list_intersect(list_distinct(string_split(lower(text), ' ')), ['el','la','de','los','que','y'])) AS BIGINT) AS es_hits,
+        |    CAST(len(list_intersect(list_distinct(string_split(lower(text), ' ')), ['der','die','das','und','ist','mit'])) AS BIGINT) AS de_hits
+        |  FROM documents),
+        |l AS (
+        |  SELECT doc_id,
+        |    CASE WHEN en_hits >= es_hits AND en_hits >= de_hits AND en_hits > 0 THEN 'en'
+        |         WHEN es_hits >= de_hits AND es_hits > 0 THEN 'es'
+        |         WHEN de_hits > 0 THEN 'de'
+        |         ELSE 'und' END AS lang_pred
+        |  FROM lh),
+        |e AS (
+        |  SELECT doc_id,
+        |    min(doc_id) OVER (PARTITION BY md5(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS keep_doc_id
+        |  FROM documents)
+        |SELECT d.doc_id, q.n_tokens, l.lang_pred
+        |FROM documents d
+        |JOIN q USING (doc_id) JOIN l USING (doc_id) JOIN e USING (doc_id)
+        |LEFT JOIN comps USING (doc_id)
+        |WHERE q.n_tokens >= 30 AND l.lang_pred = 'en' AND d.doc_id = e.keep_doc_id
+        |  AND (comps.near_dup_comp IS NULL OR comps.near_dup_comp = d.doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
     "text_langid" ->
       """WITH h AS (
         |  SELECT doc_id,
