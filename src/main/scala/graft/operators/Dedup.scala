@@ -260,10 +260,12 @@ object Dedup {
     * machinery isn't warranted.
     */
   def nearDupComponents(t: Tables, tau: Double = JaccardTau): DataFrame = {
-    val pairs = ngramJaccard(t, tau).select(col("doc_a"), col("doc_b"))
+    // materialize the pair list ONCE before mirroring — a union of two
+    // branches over the raw plan would run the whole shingle/join
+    // pipeline twice
+    val pairs = ngramJaccard(t, tau).select(col("doc_a"), col("doc_b")).localCheckpoint()
     val edges = pairs
       .unionAll(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .localCheckpoint()
     var labels = edges
       .select(col("doc_a").as("id"))
       .distinct()
@@ -272,18 +274,24 @@ object Dedup {
     var changed = 1L
     while (changed > 0) {
       val neighborMin = edges
-        .join(labels.withColumnRenamed("id", "nbr"), col("doc_b") === col("nbr"))
+        .join(
+          labels.select(col("id").as("nbr"), col("component").as("nbr_component")),
+          col("doc_b") === col("nbr")
+        )
         .groupBy(col("doc_a").as("id"))
-        .agg(min(col("component")).as("nbr_comp"))
+        .agg(min(col("nbr_component")).as("nbr_comp"))
+      // carry the previous label so the convergence check is a filter
+      // over the just-materialized round, not another join
       val next = labels
         .join(neighborMin, Seq("id"), "left")
-        .select(col("id"), least(col("component"), coalesce(col("nbr_comp"), col("component"))).as("component"))
+        .select(
+          col("id"),
+          col("component").as("prev"),
+          least(col("component"), coalesce(col("nbr_comp"), col("component"))).as("component")
+        )
         .localCheckpoint()
-      changed = next
-        .join(labels.withColumnRenamed("component", "old"), Seq("id"))
-        .filter(col("component") =!= col("old"))
-        .count()
-      labels = next
+      changed = next.filter(col("component") =!= col("prev")).count()
+      labels = next.select("id", "component")
     }
     labels.orderBy("id").select(col("id").as("doc_id"), col("component"))
   }
