@@ -15,6 +15,9 @@ object Bench {
     spark.range(1000000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/region.parquet").count()
     val results = SparkEntry.queries.map { case (name, fn) =>
+      // collect garbage between queries so one query's debris (broadcast
+      // blocks, checkpoint RDDs) doesn't bill a GC pause to the next
+      System.gc()
       val t0 = System.nanoTime()
       // toRdd.count() executes the FULL physical plan (projections,
       // sorts, windows) — a plain .count() would let Catalyst prune

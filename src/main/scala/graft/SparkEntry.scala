@@ -20,6 +20,7 @@ object SparkEntry {
     "q3_top_orders"        -> ((s, d) => Analytics.topOrders(Tables(s, d))),
     "q5_region_volume"     -> ((s, d) => Analytics.regionVolume(Tables(s, d))),
     "q_top_events_per_user" -> ((s, d) => Analytics.topEventsPerUser(Tables(s, d))),
+    "q_top_events_topk_op"  -> ((s, d) => Analytics.topEventsPerUserFast(Tables(s, d))),
     "q_distinct_users"     -> ((s, d) => Analytics.distinctUsers(Tables(s, d))),
     "q_approx_distinct_users" -> ((s, d) => Analytics.approxDistinctUsers(Tables(s, d))),
     "q6_selective_revenue" -> ((s, d) => Analytics.selectiveRevenue(Tables(s, d))),
@@ -102,6 +103,13 @@ object SparkEntry {
         |GROUP BY r.r_name
         |ORDER BY r.r_name""".stripMargin,
     "q_top_events_per_user" ->
+      """SELECT user_id, event_id, event_type, value, rnk FROM (
+        |  SELECT user_id, event_id, event_type, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rnk
+        |  FROM events) t
+        |WHERE rnk <= 3
+        |ORDER BY user_id, rnk""".stripMargin,
+    "q_top_events_topk_op" -> // custom TopKPerKeyExec, same semantics as the window variant
       """SELECT user_id, event_id, event_type, value, rnk FROM (
         |  SELECT user_id, event_id, event_type, value,
         |    row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rnk

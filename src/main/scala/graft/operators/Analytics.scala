@@ -79,6 +79,21 @@ object Analytics {
       .orderBy("user_id", "rnk")
   }
 
+  /** B4 scale twin: same result through the custom bounded-heap
+    * TopKPerKey operator (graft.plans.TopK) — O(n log k) single pass
+    * instead of a full per-group sort. Shares B4's oracle, so the
+    * custom physical operator is value-verified by the gate.
+    */
+  def topEventsPerUserFast(t: Tables): DataFrame =
+    graft.plans.TopK
+      .perKey(
+        t.events.select("user_id", "event_id", "event_type", "value"),
+        Seq("user_id"),
+        Seq(col("value").desc, col("event_id")),
+        k = 3
+      )
+      .orderBy("user_id", "rnk")
+
   /** B5: exact distinct users per event type. (The HLL twin,
     * approxDistinctUsers, is the 100 TB path.)
     */

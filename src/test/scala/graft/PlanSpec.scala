@@ -63,6 +63,17 @@ class PlanSpec extends SparkSpecBase {
     assert("Exchange hashpartitioning".r.findAllIn(plan).isEmpty, s"unexpected shuffle:\n$plan")
   }
 
+  test("topk operator plans as TopKPerKeyExec — no Window, no per-group sort") {
+    val df   = Analytics.topEventsPerUserFast(tables)
+    val plan = executedPlanString(df)
+    assert(plan.contains("TopKPerKey"), s"custom operator not planned:\n$plan")
+    assert(!plan.contains("Window"), s"fell back to a window:\n$plan")
+    // result must equal the window-based B4 exactly
+    val fast = df.collect().map(_.toSeq)
+    val ref  = Analytics.topEventsPerUser(tables).collect().map(_.toSeq)
+    assert(fast.toSeq == ref.toSeq)
+  }
+
   test("adder map stage is whole-stage codegen with no shuffle before the sort") {
     val df   = graft.operators.MathOps.adder(tables)
     val plan = executedPlanString(df)
