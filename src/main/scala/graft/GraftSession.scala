@@ -26,6 +26,13 @@ object GraftSession {
       .config("spark.sql.autoBroadcastJoinThreshold", 64 * 1024 * 1024)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // kernels are also individually self-registered by their operators
+    // and injectable via GraftExtensions; this just makes every
+    // GraftSession SQL-complete out of the box
+    graft.functions.VecExprs.register(spark)
+    graft.functions.MinHashExpr.register(spark)
+    graft.functions.SimHashExpr.register(spark)
+    graft.functions.HyperplaneExpr.register(spark)
     spark
   }
 }

@@ -10,7 +10,6 @@ import org.apache.spark.sql.catalyst.expressions.{
   Expression,
   GenericInternalRow,
   JoinedRow,
-  NamedExpression,
   SortOrder,
   UnsafeProjection,
   UnsafeRow
