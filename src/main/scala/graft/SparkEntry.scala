@@ -51,6 +51,7 @@ object SparkEntry {
     "dedup_embedding_lsh"  -> ((s, d) => Dedup.embeddingCosineLsh(Tables(s, d))),
     "knn_bruteforce"       -> ((s, d) => Similarity.knnBruteForce(Tables(s, d))),
     "knn_lsh"              -> ((s, d) => Similarity.knnLsh(Tables(s, d))),
+    "knn_ivf"              -> ((s, d) => Similarity.knnIvf(Tables(s, d))),
     "text_langid"          -> ((s, d) => TextOps.langId(Tables(s, d))),
     "text_quality"         -> ((s, d) => TextOps.qualityScores(Tables(s, d))),
     "text_tokens"          -> ((s, d) => TextOps.tokenCounts(Tables(s, d))),

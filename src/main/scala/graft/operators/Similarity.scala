@@ -76,6 +76,75 @@ object Similarity {
       )
   }
 
+  /** Number of IVF cells and probed cells per query. */
+  val IvfCells  = 16
+  val IvfProbes = 4
+
+  /** C7b: IVF-flat ANN — the other classical scale path. Cells are
+    * seeded by the C lowest-id vectors (deterministic; a production
+    * build would run a few Lloyd rounds the same way). Every vector
+    * is assigned to its max-dot cell in one codegen'd projection
+    * (centroids are driver-collected → literal arrays, exactly like a
+    * broadcast); each query probes its `nprobe` best cells, so search
+    * cost is corpus/cells × nprobe per query instead of the full scan.
+    * rows-only oracle + recall spec vs the exact C6 baseline.
+    */
+  def knnIvf(
+      t: Tables,
+      numQueries: Int = 10,
+      k: Int = 5,
+      cells: Int = IvfCells,
+      nprobe: Int = IvfProbes
+  ): DataFrame = {
+    val vecs = vectors(t)
+    // driver-side centroid collect: `cells` rows — same footprint class
+    // as a broadcast dimension
+    val cents: Array[Array[Double]] = vecs
+      .orderBy("vec_id")
+      .limit(cells)
+      .collect()
+      .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    def centLit(c: Array[Double]) = array(c.map(lit): _*)
+    val dots = cents.zipWithIndex.map { case (c, i) =>
+      call_function("vec_dot", col("v"), centLit(c)).as(s"d$i")
+    }
+    // linear-size argmax: greatest() then a flat first-match chain —
+    // a pairwise struct reduce would nest CASEs 2^cells deep
+    val maxDot = greatest(cents.indices.map(i => col(s"d$i")): _*)
+    val argmax = cents.indices
+      .foldRight(lit(-1)) { case (i, acc) => when(col(s"d$i") === maxDot, lit(i)).otherwise(acc) }
+    val celled = vecs
+      .select(col("vec_id") +: col("v") +: col("nrm") +: dots: _*)
+      .withColumn("cell", argmax)
+      .drop(cents.indices.map(i => s"d$i"): _*)
+    // queries probe their nprobe max-dot cells
+    val probeRank = Window.partitionBy("vec_id").orderBy(col("cdot").desc, col("cell"))
+    val probes = vecs
+      .filter(col("vec_id") < numQueries)
+      .select(col("vec_id"), col("v"), col("nrm"), explode(sequence(lit(0), lit(cells - 1))).as("cell"))
+      .withColumn(
+        "cdot",
+        cents.zipWithIndex
+          .map { case (c, i) => (i, call_function("vec_dot", col("v"), centLit(c))) }
+          .foldLeft(lit(Double.NegativeInfinity)) { case (acc, (i, d)) =>
+            when(col("cell") === i, d).otherwise(acc)
+          }
+      )
+      .withColumn("prb", row_number().over(probeRank))
+      .filter(col("prb") <= nprobe)
+      .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    broadcast(probes)
+      .as("a")
+      .join(celled.as("b"), col("a.cell") === col("b.cell") && col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("query_id"), col("b.vec_id").as("neighbor_id"), cosine.as("cos"))
+      .distinct()
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank")
+      .orderBy("query_id", "rank")
+  }
+
   def knnLsh(t: Tables, numQueries: Int = 10, k: Int = 5): DataFrame = {
     val banded = bandedVectors(t)
     val queries = banded.filter(col("vec_id") < numQueries)

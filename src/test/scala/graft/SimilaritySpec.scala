@@ -20,6 +20,18 @@ class SimilaritySpec extends SparkSpecBase {
     a.groupBy(_._1).foreach { case (_, g) => assert(g.map(_._3).sorted.toSeq == (1L to g.length)) }
   }
 
+  test("IVF knn: deterministic, structurally sound, usable recall at 4/16 probes") {
+    val a = Similarity.knnIvf(tables).collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val b = Similarity.knnIvf(tables).collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(a.toSeq == b.toSeq, "IVF must be run-deterministic")
+    a.groupBy(_._1).foreach { case (_, g) => assert(g.map(_._3).sorted.toSeq == (1L to g.length)) }
+    val exact  = Similarity.knnBruteForce(tables).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf    = a.map(x => (x._1, x._2)).toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    info(f"IVF@${Similarity.IvfProbes}/${Similarity.IvfCells} recall vs exact top-5: $recall%.2f")
+    assert(recall >= 0.3, f"recall collapsed: $recall%.2f")
+  }
+
   test("LSH knn recall vs brute force is usable at 6 bits") {
     val exact = Similarity
       .knnBruteForce(tables)
