@@ -40,6 +40,7 @@ object SparkEntry {
     "q_first_last_page"    -> ((s, d) => Paging.firstLastPageNotifications(Tables(s, d))),
     "q_topic_fanout_count" -> ((s, d) => Paging.topicFanoutCounts(Tables(s, d))),
     "q_hourly_window"      -> ((s, d) => EventOps.hourlyWindow(Tables(s, d))),
+    "q_session_windows"    -> ((s, d) => EventOps.sessionWindows(Tables(s, d))),
     "q_props_extract"      -> ((s, d) => EventOps.propsExtract(Tables(s, d))),
     "q_csv_roundtrip"      -> ((s, d) => Ingest.csvRoundtrip(Tables(s, d))),
     "q_device_gen"         -> ((s, d) => Ingest.deviceGen(Tables(s, d))),
@@ -215,6 +216,22 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS window_start, event_type, count(*) AS n_events,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_session_windows" ->
+      """WITH o AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |           OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM events),
+        |s AS (
+        |  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+        |                                ROWS UNBOUNDED PRECEDING) AS sess_id
+        |  FROM o)
+        |SELECT min(ts) AS session_start, max(ts) + INTERVAL 30 MINUTE AS session_end,
+        |  user_id, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM s GROUP BY user_id, sess_id
+        |ORDER BY user_id, session_start""".stripMargin,
     "q_props_extract" ->
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,

@@ -22,6 +22,24 @@ object EventOps {
       )
       .orderBy("window_start", "event_type")
 
+  /** Session windows per user (gap-based): the batch twin of
+    * `session_window` in a streaming agg. One shuffle on user_id;
+    * Spark merges events into a session while each event starts
+    * strictly before the previous event's ts+gap (end-exclusive).
+    */
+  def sessionWindows(t: Tables, gap: String = "30 minutes"): DataFrame =
+    t.events
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), Num.moneySum(col("value")).as("sum_value"))
+      .select(
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"),
+        col("n_events"),
+        col("sum_value")
+      )
+      .orderBy("user_id", "session_start")
+
   /** JSON props extraction (events.props is a JSON string — the
     * Kinesis record payload analog): typed get_json_object, grouped
     * stats on the extracted key.

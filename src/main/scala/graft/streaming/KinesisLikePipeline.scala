@@ -75,6 +75,33 @@ object KinesisLikePipeline {
         col("sum_value")
       )
 
+  /** Stream-stream interval join: correlate two event streams on a
+    * key within a bounded time skew. Both watermarks plus the interval
+    * condition bound the join state on each side — without them a
+    * stream-stream join buffers forever. This is how the reference's
+    * "look up related records" Lambda patterns express in pure
+    * Structured Streaming.
+    */
+  def intervalJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keyLeft: String,
+      keyRight: String,
+      tsLeft: String,
+      tsRight: String,
+      skew: String = "5 minutes",
+      watermark: String = "10 minutes"
+  ): DataFrame =
+    left
+      .withWatermark(tsLeft, watermark)
+      .join(
+        right.withWatermark(tsRight, watermark),
+        expr(
+          s"""$keyLeft = $keyRight AND
+             |$tsRight BETWEEN $tsLeft - INTERVAL $skew AND $tsLeft + INTERVAL $skew""".stripMargin
+        )
+      )
+
   /** Exactly-once delivery on top of Kinesis' at-least-once: drop
     * replayed records by their deterministic content key, keeping
     * dedup state only within the watermark horizon — state size is

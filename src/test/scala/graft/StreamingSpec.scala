@@ -73,6 +73,38 @@ class StreamingSpec extends SparkSpecBase {
     assert(click.getAs[Double]("sum_value") == 5.0)
   }
 
+  test("stream-stream interval join correlates events within the time skew only") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Timestamp, Long)]
+    val views  = MemoryStream[(Timestamp, Long)]
+    val joined = KinesisLikePipeline.intervalJoin(
+      clicks.toDF().toDF("click_ts", "click_user"),
+      views.toDF().toDF("view_ts", "view_user"),
+      "click_user",
+      "view_user",
+      "click_ts",
+      "view_ts",
+      skew = "5 minutes"
+    )
+    val q = joined.writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory")
+      .queryName("join_out")
+      .option("checkpointLocation", ckpt())
+      .start()
+    val ts = (m: Int) => Timestamp.valueOf(f"2026-01-01 00:$m%02d:00")
+    clicks.addData((ts(10), 1L), (ts(10), 2L))
+    views.addData((ts(12), 1L), (ts(30), 1L), (ts(12), 3L))
+    q.processAllAvailable()
+    val rows = spark.table("join_out").collect()
+    q.stop()
+    // only user 1's view 2 minutes after the click joins; the +20min
+    // view and user 3's view do not
+    assert(rows.length == 1)
+    assert(rows.head.getAs[Long]("click_user") == 1L)
+  }
+
   test("watermarked stream dedup drops replayed content keys across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
