@@ -57,6 +57,7 @@ object SparkEntry {
     "text_quality"         -> ((s, d) => TextOps.qualityScores(Tables(s, d))),
     "text_tokens"          -> ((s, d) => TextOps.tokenCounts(Tables(s, d))),
     "text_fingerprint"     -> ((s, d) => TextOps.fingerprints(Tables(s, d))),
+    "text_winnow"          -> ((s, d) => TextOps.winnowFingerprints(Tables(s, d))),
     "dedup_ngram_capped"   -> ((s, d) => Dedup.ngramJaccardCapped(Tables(s, d))),
     "dedup_components"     -> ((s, d) => Dedup.nearDupComponents(Tables(s, d))),
     "pipeline_curate"      -> ((s, d) => Curation.curate(Tables(s, d))),

@@ -100,6 +100,25 @@ object TextOps {
     */
   def fingerprintCol = md5(concat_ws(" ", sort_array(array_distinct(split(lower(col("text")), " ")))))
 
+  /** C11b: winnowing fingerprints — rolling-hash k-gram minima per
+    * window (functions/WinnowExpr). Local fingerprints survive
+    * prepend/append edits that break whole-document hashing; overlap
+    * of fingerprint sets estimates local similarity.
+    */
+  def winnowFingerprints(t: Tables): DataFrame = winnowOn(t.documents)
+
+  def winnowOn(documents: DataFrame): DataFrame = {
+    graft.functions.WinnowExpr.register(documents.sparkSession)
+    documents
+      .select(col("doc_id"), expr("winnow_fp(text)").as("fp"))
+      .select(
+        col("doc_id"),
+        size(col("fp")).cast("long").as("n_fp"),
+        md5(concat_ws(",", col("fp"))).as("fp_digest")
+      )
+      .orderBy("doc_id")
+  }
+
   /** C11: document fingerprinting + dup-group resolution: every doc
     * with its fingerprint, its group's keeper (min doc_id) and group
     * size. One shuffle on the fingerprint.

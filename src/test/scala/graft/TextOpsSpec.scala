@@ -44,6 +44,23 @@ class TextOpsSpec extends SparkSpecBase {
     assert(rows.count(_.getString(4) == "en") > 0, "corpus should contain english docs")
   }
 
+  test("winnowing fingerprints survive prepend edits (local similarity)") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog and then runs far away into the woods " * 4
+    val docs = Seq((1L, base), (2L, "PREFIX EDIT " + base), (3L, base)).toDF("doc_id", "text")
+    graft.functions.WinnowExpr.register(spark)
+    val fps = docs
+      .selectExpr("doc_id", "winnow_fp(text) AS fp")
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet)
+      .toMap
+    assert(fps(1) == fps(3), "identical docs must have identical fingerprint sets")
+    val overlap = (fps(1) & fps(2)).size.toDouble / fps(1).size
+    info(f"winnow overlap under prepend edit: $overlap%.2f")
+    assert(overlap >= 0.6, f"local fingerprints collapsed under edit: $overlap%.2f")
+    assert(fps(1) != fps(2), "edited doc must differ somewhere")
+  }
+
   test("langid classifies real multilingual sentences correctly") {
     import spark.implicits._
     // corpus lang labels are random metadata (text is the same synthetic
