@@ -39,27 +39,31 @@ object TextOps {
     * average word length. Ratios are double divisions of identical
     * integer counts, so they are bit-deterministic cross-engine.
     */
-  def qualityScores(t: Tables): DataFrame = {
-    val words    = split(col("text"), " ")
-    val nChars   = length(col("text")).cast("long")
-    val nTokens  = size(words).cast("long")
-    val distinct = array_distinct(words)
-    val nStop    = size(expr(s"array_intersect(array_distinct(split(text, ' ')), ${sqlList(EnMarkers)})")).cast("long")
-    val nPunct   = (length(col("text")) - length(regexp_replace(col("text"), "[^A-Za-z0-9\\s]", ""))).cast("long")
+  def qualityScores(t: Tables): DataFrame =
     t.documents
       .select(
         col("doc_id"),
-        nChars.as("n_chars"),
-        nTokens.as("n_tokens"),
-        size(distinct).cast("long").as("n_distinct"),
-        nStop.as("n_stopwords"),
-        nPunct.as("n_punct"),
-        (nStop.cast("double") / size(distinct)).as("stopword_ratio"),
-        (nPunct.cast("double") / nChars).as("punct_ratio"),
-        ((nChars - (nTokens - lit(1L))).cast("double") / nTokens).as("avg_word_len")
+        length(col("text")).cast("long").as("n_chars"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        expr("array_distinct(split(text, ' '))").as("wsd"),
+        (length(col("text")) - length(regexp_replace(col("text"), "[^A-Za-z0-9\\s]", "")))
+          .cast("long")
+          .as("n_punct")
+      )
+      .select(
+        col("doc_id"),
+        col("n_chars"),
+        col("n_tokens"),
+        size(col("wsd")).cast("long").as("n_distinct"),
+        size(expr(s"array_intersect(wsd, ${sqlList(EnMarkers)})")).cast("long").as("n_stopwords"),
+        col("n_punct"),
+        (size(expr(s"array_intersect(wsd, ${sqlList(EnMarkers)})")).cast("double") / size(col("wsd")))
+          .as("stopword_ratio"),
+        (col("n_punct").cast("double") / col("n_chars")).as("punct_ratio"),
+        ((col("n_chars") - (col("n_tokens") - lit(1L))).cast("double") / col("n_tokens"))
+          .as("avg_word_len")
       )
       .orderBy("doc_id")
-  }
 
   /** C8: language-ID heuristic — distinct-marker-word overlap per
     * language, deterministic argmax (en ≥ es ≥ de precedence), 'und'
@@ -75,9 +79,13 @@ object TextOps {
     * text).
     */
   def langIdOn(documents: DataFrame): DataFrame = {
+    // distinct lowercase words are materialized ONCE — interpreted
+    // array expressions don't participate in codegen subexpression
+    // elimination, so repeating the split per language would triple it
     def hits(markers: Seq[String]) =
-      size(expr(s"array_intersect(array_distinct(split(lower(text), ' ')), ${sqlList(markers)})")).cast("long")
+      size(expr(s"array_intersect(wsd, ${sqlList(markers)})")).cast("long")
     documents
+      .select(col("doc_id"), expr("array_distinct(split(lower(text), ' '))").as("wsd"))
       .select(
         col("doc_id"),
         hits(EnMarkers).as("en_hits"),
