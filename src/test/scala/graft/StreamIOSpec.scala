@@ -53,6 +53,31 @@ class StreamIOSpec extends SparkSpecBase {
     assert(batches.filter(col("topic_id") === 2).count() == 1)
   }
 
+  test("end-to-end topic fan-out: message stream → page sequencer → batched queue sink") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in  = MemoryStream[KinesisLikePipeline.TopicMsg]
+    val out = tmp("graft-e2e-out")
+    // the full reference flow in one streaming plan: lambda_count's
+    // page fan-out (stateful) feeding lambda_page's SQS batching
+    val payloads = KinesisLikePipeline
+      .pageSequencer(spark, in.toDS())
+      .select(
+        col("topic_id"),
+        base64(concat_ws("|", col("topic_id"), col("page_num"), col("message")).cast("binary"))
+          .as("payload_b64")
+      )
+    val q = StreamIO.batchedQueueSink(payloads, out, tmp("graft-e2e-ckpt"), batchSize = 2)
+    in.addData(KinesisLikePipeline.TopicMsg(7, "hello", 45, 10)) // 45/10+1 = 5 pages
+    q.processAllAvailable()
+    q.stop()
+    val batches = spark.read.json(out)
+    val sizes   = batches.select("entries").as[Seq[String]].collect().map(_.size)
+    assert(sizes.sum == 5, s"expected 5 page payloads, got ${sizes.sum}")
+    assert(sizes.sorted.toSeq == Seq(1, 2, 2)) // 5 payloads in batches of 2
+    assert(batches.select("topic_id").distinct().collect().map(_.getLong(0)).toSeq == Seq(7L))
+  }
+
   test("rate-source producer emits well-formed decodable envelopes") {
     val stream = StreamIO.mathProblemStream(spark, rowsPerSecond = 500)
     assert(stream.isStreaming)
