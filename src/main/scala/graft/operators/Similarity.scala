@@ -76,13 +76,53 @@ object Similarity {
       )
   }
 
-  /** Number of IVF cells and probed cells per query. */
-  val IvfCells  = 16
-  val IvfProbes = 4
+  /** Number of IVF cells, probed cells per query, and k-means rounds. */
+  val IvfCells    = 16
+  val IvfProbes   = 4
+  val LloydRounds = 2
+
+  private def centLit(c: Array[Double]) = array(c.map(lit): _*)
+
+  /** Normalize to unit length (spherical k-means: with unit centroids,
+    * max-dot assignment IS max-cosine, so the mean update matches the
+    * assignment metric).
+    */
+  private def unit(c: Array[Double]): Array[Double] = {
+    val n = math.sqrt(c.map(x => x * x).sum)
+    if (n == 0) c else c.map(_ / n)
+  }
+
+  /** One spherical-Lloyd round: assign every vector to its max-dot
+    * centroid, average per (cell, dimension) — a distributed
+    * partial-agg'd groupBy — collect the cells×dims means (same tiny
+    * driver footprint as the seeds) and renormalize. Means are rounded
+    * to 1e-6 so float summation order can't flip run-to-run cell
+    * assignments; empty cells keep their previous centroid.
+    */
+  private def lloydRound(vecs: DataFrame, cents: Array[Array[Double]]): Array[Array[Double]] = {
+    val dots = cents.zipWithIndex.map { case (c, i) =>
+      call_function("vec_dot", col("v"), centLit(c)).as(s"d$i")
+    }
+    val maxDot = greatest(cents.indices.map(i => col(s"d$i")): _*)
+    val argmax = cents.indices
+      .foldRight(lit(-1)) { case (i, acc) => when(col(s"d$i") === maxDot, lit(i)).otherwise(acc) }
+    val means = vecs
+      .select(col("v") +: dots: _*)
+      .withColumn("cell", argmax)
+      .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy("cell", "dim")
+      .agg(avg(col("x").cast("double")).as("m"))
+      .collect()
+    val next = cents.map(_.clone())
+    means.foreach { r =>
+      next(r.getInt(0))(r.getInt(1)) = r.getDouble(2)
+    }
+    next.map(c => unit(c).map(x => math.rint(x * 1e6) / 1e6))
+  }
 
   /** C7b: IVF-flat ANN — the other classical scale path. Cells are
-    * seeded by the C lowest-id vectors (deterministic; a production
-    * build would run a few Lloyd rounds the same way). Every vector
+    * seeded by the C lowest-id vectors and refined with LloydRounds
+    * distributed k-means rounds (deterministic). Every vector
     * is assigned to its max-dot cell in one codegen'd projection
     * (centroids are driver-collected → literal arrays, exactly like a
     * broadcast); each query probes its `nprobe` best cells, so search
@@ -97,14 +137,14 @@ object Similarity {
       nprobe: Int = IvfProbes
   ): DataFrame = {
     val vecs = vectors(t)
-    // driver-side centroid collect: `cells` rows — same footprint class
-    // as a broadcast dimension
-    val cents: Array[Array[Double]] = vecs
+    // driver-side centroid seeds: `cells` rows — same footprint class
+    // as a broadcast dimension — refined by k-means (Lloyd) rounds
+    val seeds: Array[Array[Double]] = vecs
       .orderBy("vec_id")
       .limit(cells)
       .collect()
-      .map(_.getSeq[Float](1).map(_.toDouble).toArray)
-    def centLit(c: Array[Double]) = array(c.map(lit): _*)
+      .map(r => unit(r.getSeq[Float](1).map(_.toDouble).toArray))
+    val cents = (1 to LloydRounds).foldLeft(seeds)((c, _) => lloydRound(vecs, c))
     val dots = cents.zipWithIndex.map { case (c, i) =>
       call_function("vec_dot", col("v"), centLit(c)).as(s"d$i")
     }
