@@ -58,6 +58,7 @@ object SparkEntry {
     "text_tokens"          -> ((s, d) => TextOps.tokenCounts(Tables(s, d))),
     "text_fingerprint"     -> ((s, d) => TextOps.fingerprints(Tables(s, d))),
     "text_winnow"          -> ((s, d) => TextOps.winnowFingerprints(Tables(s, d))),
+    "text_corpus_profile"  -> ((s, d) => TextOps.corpusProfile(Tables(s, d))),
     "dedup_ngram_capped"   -> ((s, d) => Dedup.ngramJaccardCapped(Tables(s, d))),
     "dedup_components"     -> ((s, d) => Dedup.nearDupComponents(Tables(s, d))),
     "pipeline_curate"      -> ((s, d) => Curation.curate(Tables(s, d))),
@@ -376,6 +377,11 @@ object SparkEntry {
         |  count(*) OVER (PARTITION BY fingerprint) AS group_size,
         |  doc_id <> min(doc_id) OVER (PARTITION BY fingerprint) AS is_dup
         |FROM f ORDER BY doc_id""".stripMargin,
+    "text_corpus_profile" ->
+      """SELECT source, lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
+        |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "multimodal_meta" ->
       """SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
         |  sha256(text) AS sha256

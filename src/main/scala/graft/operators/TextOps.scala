@@ -108,6 +108,20 @@ object TextOps {
     */
   def fingerprintCol = md5(concat_ws(" ", sort_array(array_distinct(split(lower(col("text")), " ")))))
 
+  /** Corpus profile by (source, lang): the inventory pass every
+    * curation run starts with. Pure partial-agg'd groupBy.
+    */
+  def corpusProfile(t: Tables): DataFrame =
+    t.documents
+      .groupBy("source", "lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars")
+      )
+      .orderBy("source", "lang")
+
   /** C11b: winnowing fingerprints — rolling-hash k-gram minima per
     * window (functions/WinnowExpr). Local fingerprints survive
     * prepend/append edits that break whole-document hashing; overlap
