@@ -1,0 +1,72 @@
+package graft
+
+import graft.functions.{MinHashExpr, SimHashExpr, VecExprs, WinnowExpr}
+import org.apache.spark.sql.functions._
+import scala.util.Random
+
+/** Property checks for the native kernels: the interpreted eval path,
+  * the whole-stage-codegen path (through a real projection), and a
+  * naive Scala reimplementation must all agree on seeded random
+  * inputs. Guards doGenCode/nullSafeEval divergence — the class of bug
+  * plan-level oracles can miss when one path is never exercised.
+  */
+class KernelPropertySpec extends SparkSpecBase {
+
+  private val rng = new Random(42)
+
+  test("vec_dot / vec_norm: codegen agrees with a naive fold on 100 random float vectors") {
+    import spark.implicits._
+    val data = Seq.fill(100)((Array.fill(64)(rng.nextFloat() * 2 - 1), Array.fill(64)(rng.nextFloat() * 2 - 1)))
+    val df   = data.toDF("a", "b")
+    VecExprs.register(spark)
+    val got = df.selectExpr("vec_dot(a, b) AS d", "vec_norm(a) AS n").collect()
+    data.zip(got).foreach { case ((a, b), row) =>
+      val dot  = a.indices.foldLeft(0.0)((s, i) => s + a(i).toDouble * b(i).toDouble)
+      val norm = math.sqrt(a.foldLeft(0.0)((s, x) => s + x.toDouble * x.toDouble))
+      assert(row.getDouble(0) == dot, "dot mismatch (must be bitwise — ordered fold)")
+      assert(row.getDouble(1) == norm, "norm mismatch")
+    }
+  }
+
+  test("minhash_sig: codegen agrees with a per-hash naive minimum on random shingle sets") {
+    import spark.implicits._
+    val data = Seq.fill(50)(Array.fill(1 + rng.nextInt(100))(rng.nextLong().abs % MinHashExpr.P))
+    val df   = data.toDF("shx")
+    MinHashExpr.register(spark)
+    val got = df.selectExpr("minhash_sig(shx) AS sig").collect().map(_.getSeq[Long](0))
+    data.zip(got).foreach { case (xs, sig) =>
+      (0 until MinHashExpr.NumHashes).foreach { i =>
+        val expect = xs.map(x => (MinHashExpr.coefA(i) * x + MinHashExpr.coefB(i)) % MinHashExpr.P).min
+        assert(sig(i) == expect, s"hash $i")
+      }
+    }
+  }
+
+  test("simhash64: codegen agrees with a naive bit-vote on random word-hash sets") {
+    import spark.implicits._
+    val data = Seq.fill(50)(Array.fill(1 + rng.nextInt(80))(rng.nextLong()))
+    val df   = data.toDF("wh")
+    SimHashExpr.register(spark)
+    val got = df.selectExpr("simhash64(wh) AS s").collect().map(_.getLong(0))
+    data.zip(got).foreach { case (hs, s) =>
+      val expect = (0 until 64).foldLeft(0L) { (acc, i) =>
+        val vote = hs.map(h => if (((h >>> i) & 1L) == 1L) 1 else -1).sum
+        if (vote >= 0) acc | (1L << i) else acc
+      }
+      assert(s == expect)
+    }
+  }
+
+  test("winnow_fp: any shared substring of length >= W+K-1 bytes shares a fingerprint") {
+    import spark.implicits._
+    val shared = rng.alphanumeric.take(WinnowExpr.W + WinnowExpr.K - 1).mkString
+    val docs = Seq(
+      (1L, rng.alphanumeric.take(40).mkString + shared + rng.alphanumeric.take(40).mkString),
+      (2L, rng.alphanumeric.take(55).mkString + shared + rng.alphanumeric.take(25).mkString)
+    ).toDF("doc_id", "text")
+    WinnowExpr.register(spark)
+    val fps = docs.selectExpr("doc_id", "winnow_fp(text) AS fp").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert((fps(1) & fps(2)).nonEmpty, "winnowing guarantee violated: shared window has no common fingerprint")
+  }
+}
