@@ -61,6 +61,7 @@ object SparkEntry {
     "text_corpus_profile"  -> ((s, d) => TextOps.corpusProfile(Tables(s, d))),
     "dedup_ngram_capped"   -> ((s, d) => Dedup.ngramJaccardCapped(Tables(s, d))),
     "dedup_components"     -> ((s, d) => Dedup.nearDupComponents(Tables(s, d))),
+    "dedup_source_sim"     -> ((s, d) => Dedup.sourceSimilarity(Tables(s, d))),
     "pipeline_curate"      -> ((s, d) => Curation.curate(Tables(s, d))),
     "multimodal_meta"      -> ((s, d) => Multimodal.mediaMeta(Tables(s, d))),
     "multimodal_decode"    -> ((s, d) => Multimodal.decodeSummary(s, Tables(s, d))),

@@ -198,6 +198,43 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** C3b: corpus-slice similarity — estimated Jaccard between the
+    * shingle sets of every pair of `source` slices, via per-group
+    * unioned MinHash signatures (functions/MinHashAgg). One shuffle to
+    * aggregate signatures (map-side combined, fixed 1 KB buffer per
+    * group), then an all-pairs compare over #sources rows — dataset
+    * overlap without any document-level join. rows-only oracle;
+    * spec checks the estimate against exact slice Jaccard.
+    */
+  def sourceSimilarity(t: Tables): DataFrame = {
+    graft.functions.MinHashExpr.register(t.spark)
+    graft.functions.MinHashAgg.register(t.spark)
+    val sigs = t.documents
+      .select(col("source"), split(col("text"), " ").as("ws"))
+      .select(
+        col("source"),
+        expr(
+          """array_distinct(transform(
+            |  sequence(1, greatest(size(ws) - 2, 1)),
+            |  i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1), element_at(ws, i + 2))))""".stripMargin
+        ).as("sh")
+      )
+      .withColumn("shx", expr(s"transform(sh, v -> crc32(v) % ${MinHashP}L)"))
+      .select(col("source"), expr("minhash_sig(shx)").as("sig"))
+      .groupBy("source")
+      .agg(expr("minhash_union(sig)").as("sig"))
+    sigs
+      .as("a")
+      .join(sigs.as("b"), col("a.source") < col("b.source"))
+      .select(
+        col("a.source").as("source_a"),
+        col("b.source").as("source_b"),
+        (expr("size(filter(zip_with(a.sig, b.sig, (x, y) -> x = y), p -> p))").cast("double") /
+          graft.functions.MinHashExpr.NumHashes).as("jaccard_est")
+      )
+      .orderBy("source_a", "source_b")
+  }
+
   // --- SimHash (C4) -------------------------------------------------------
 
   /** Per-document 64-bit SimHash over distinct words (xxhash64 word

@@ -69,6 +69,26 @@ class DedupSpec extends SparkSpecBase {
     }
   }
 
+  test("source-slice MinHash union estimates exact slice Jaccard within sketch error") {
+    val est = Dedup.sourceSimilarity(tables).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    // exact slice Jaccard over the same trigram shingles, computed naively
+    val docs = tables.documents.select("source", "text").collect()
+      .groupBy(_.getString(0))
+      .map { case (src, rows) =>
+        src -> rows.flatMap { r =>
+          val ws = r.getString(1).split(" ", -1)
+          (0 until math.max(ws.length - 2, 1)).map(i => ws.slice(i, i + 3).mkString(" "))
+        }.toSet
+      }
+    est.foreach { case ((a, b), e) =>
+      val exact = (docs(a) & docs(b)).size.toDouble / (docs(a) | docs(b)).size
+      // 128-hash sketch: std error ~ sqrt(j(1-j)/128) <= 0.045; allow 4 sigma
+      assert(math.abs(e - exact) <= 0.18, f"($a,$b): est $e%.3f vs exact $exact%.3f")
+    }
+    assert(est.nonEmpty)
+  }
+
   test("frequency-capped ngram pairs are a subset of exact pairs") {
     val exact  = Dedup.ngramJaccard(tables).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val capped = Dedup.ngramJaccardCapped(tables, cap = 50).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
