@@ -31,6 +31,7 @@ object SparkEntry {
     "q_adder"              -> ((s, d) => MathOps.adder(Tables(s, d))),
     "q_multiplier"         -> ((s, d) => MathOps.multiplier(Tables(s, d))),
     "q_kinesis_decode"     -> ((s, d) => MathOps.kinesisDecode(Tables(s, d))),
+    "q_dsv2_problems"      -> ((s, _) => MathOps.dsv2Problems(s)),
     "q_topic_pagecount"    -> ((s, d) => Paging.topicPageCounts(Tables(s, d))),
     "q_settings_override"  -> ((s, d) => Paging.settingsOverride(Tables(s, d))),
     "q_page_arns"          -> ((s, d) => Paging.pageArns(Tables(s, d), topicId = 1, pageNum = 2)),
@@ -141,6 +142,12 @@ object SparkEntry {
         |  event_id % 100 AS num1, user_id % 100 AS num2,
         |  event_id % 100 + user_id % 100 AS num_sum
         |FROM events ORDER BY event_id""".stripMargin,
+    "q_dsv2_problems" -> // deterministic DSv2 source: oracle regenerates the same sequence
+      """SELECT CAST(seq AS BIGINT) AS seq,
+        |  seq % 100 AS num1, (seq * 7 + 3) % 100 AS num2,
+        |  seq % 100 + (seq * 7 + 3) % 100 AS num_sum
+        |FROM generate_series(0, 9999) t(seq)
+        |ORDER BY seq""".stripMargin,
     "q_topic_pagecount" ->
       """SELECT CAST(c.c_nationkey AS BIGINT) AS topic_id, count(*) AS n_devices,
         |  CAST(floor(count(*)/100)+1 AS BIGINT) AS page_count

@@ -54,6 +54,33 @@ object MathOps {
   /** A2: multi-lambda/multi.go:52-56. */
   def multiplier(t: Tables): DataFrame = answered(t, "*", "multi-")
 
+  /** A3b: the producer as a DataSource V2 connector — read the
+    * deterministic envelope source (sources/ProblemSource), decode,
+    * and solve. The whole producer→consumer flow is one plan with
+    * generation happening executor-side.
+    */
+  def dsv2Problems(spark: org.apache.spark.sql.SparkSession, numRows: Long = 10000L): DataFrame = {
+    val payloadSchema = StructType(
+      Seq(StructField("Num1", LongType), StructField("Num2", LongType))
+    )
+    spark.read
+      .format("graft.sources.ProblemSource")
+      .option("numRows", numRows)
+      .option("numPartitions", 32)
+      .load()
+      .select(
+        col("seq"),
+        from_json(unbase64(col("data")).cast("string"), payloadSchema).as("p")
+      )
+      .select(
+        col("seq"),
+        col("p.Num1").as("num1"),
+        col("p.Num2").as("num2"),
+        (col("p.Num1") + col("p.Num2")).as("num_sum")
+      )
+      .orderBy("seq")
+  }
+
   /** A3: Kinesis-envelope round trip — build the base64(JSON) record
     * the way a producer would (kinesis_stream/main.go:28-37), then
     * decode it the way the lambda does (adder-labma/types.go:3-19,

@@ -63,6 +63,17 @@ class PlanSpec extends SparkSpecBase {
     assert("Exchange hashpartitioning".r.findAllIn(plan).isEmpty, s"unexpected shuffle:\n$plan")
   }
 
+  test("DSv2 problem source prunes unrequested columns into the scan") {
+    val df = spark.read
+      .format("graft.sources.ProblemSource")
+      .option("numRows", 100)
+      .load()
+      .select("seq")
+    val scan = df.queryExecution.executedPlan.toString
+    assert("graft_problems\\[seq#\\d+L\\]".r.findFirstIn(scan).isDefined, s"not pruned:\n$scan")
+    assert(df.collect().map(_.getLong(0)).sorted.toSeq == (0L until 100L))
+  }
+
   test("topk operator plans as TopKPerKeyExec — no Window, no per-group sort") {
     val df   = Analytics.topEventsPerUserFast(tables)
     val plan = executedPlanString(df)
