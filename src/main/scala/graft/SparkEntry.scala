@@ -28,6 +28,9 @@ object SparkEntry {
     "q_customers_no_orders" -> ((s, d) => Analytics.customersWithoutOrders(Tables(s, d))),
     "q_brand_volume"       -> ((s, d) => Analytics.brandVolume(Tables(s, d))),
     "q_supplier_nation_volume" -> ((s, d) => Analytics.supplierNationVolume(Tables(s, d))),
+    "q_rollup_volume"      -> ((s, d) => Analytics.rollupVolume(Tables(s, d))),
+    "q_event_pivot"        -> ((s, d) => Analytics.eventTypePivot(Tables(s, d))),
+    "q_value_percentiles"  -> ((s, d) => Analytics.valuePercentiles(Tables(s, d))),
     "q_adder"              -> ((s, d) => MathOps.adder(Tables(s, d))),
     "q_multiplier"         -> ((s, d) => MathOps.multiplier(Tables(s, d))),
     "q_kinesis_decode"     -> ((s, d) => MathOps.kinesisDecode(Tables(s, d))),
@@ -255,6 +258,30 @@ object SparkEntry {
         |  concat('arn:', substr(md5(concat(c_custkey, '-', d)), 1, 16)) AS endpoint_arn
         |FROM customer, unnest(generate_series(1, (c_custkey % 3) + 1)) AS t(d)
         |ORDER BY c_custkey, device_num""".stripMargin,
+    "q_rollup_volume" ->
+      """SELECT r.r_name AS region, n.n_name AS nation,
+        |  CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_orders
+        |FROM orders o
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |GROUP BY ROLLUP (r.r_name, n.n_name)
+        |ORDER BY region ASC NULLS FIRST, nation ASC NULLS FIRST""".stripMargin,
+    "q_event_pivot" ->
+      """SELECT user_id,
+        |  CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS click,
+        |  CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS view,
+        |  CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
+        |  CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS signup,
+        |  CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS error
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_value_percentiles" ->
+      """SELECT event_type,
+        |  percentile_cont(0.5) WITHIN GROUP (ORDER BY value) AS p50,
+        |  percentile_cont(0.9) WITHIN GROUP (ORDER BY value) AS p90,
+        |  percentile_cont(0.99) WITHIN GROUP (ORDER BY value) AS p99
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q6_selective_revenue" ->
       """SELECT
         |  CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(22,4))) AS DOUBLE) AS revenue,

@@ -165,6 +165,55 @@ object Analytics {
       )
       .orderBy("p_brand")
 
+  /** B11: hierarchical rollup — revenue at (region, nation), per
+    * region, and grand total in ONE pass (partial-agg'd grouping
+    * sets; no re-scan per level).
+    */
+  def rollupVolume(t: Tables): DataFrame = {
+    val dims = t.customer
+      .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"), col("r_name").as("region"), col("n_name").as("nation"))
+    t.orders
+      .join(broadcast(dims), col("o_custkey") === col("c_custkey"))
+      .select(col("region"), col("nation"), col("o_totalprice"))
+      // rollup(String*) resolves dataset-tagged columns that Expand then
+      // duplicates, tripping the ambiguous-self-join detector; untagged
+      // expr() columns sidestep it
+      .rollup(expr("region"), expr("nation"))
+      .agg(Num.moneySum(col("o_totalprice")).as("revenue"), count(lit(1)).as("n_orders"))
+      .orderBy(col("region").asc_nulls_first, col("nation").asc_nulls_first)
+  }
+
+  /** B12: pivot — events per user as one column per event type.
+    * Types are enumerated (the scalable form: an un-enumerated pivot
+    * needs a driver-side distinct pass first).
+    */
+  val EventTypes: Seq[String] = Seq("click", "view", "purchase", "signup", "error")
+
+  def eventTypePivot(t: Tables): DataFrame =
+    t.events
+      .groupBy("user_id")
+      .pivot("event_type", EventTypes)
+      .agg(count(lit(1)))
+      .na
+      .fill(0, EventTypes)
+      .orderBy("user_id")
+
+  /** B13: exact percentiles per event type — `percentile` is an exact
+    * sort-based aggregate (the approx twin at 100 TB is
+    * percentile_approx; both partial-aggregate).
+    */
+  def valuePercentiles(t: Tables): DataFrame =
+    t.events
+      .groupBy("event_type")
+      .agg(
+        expr("percentile(value, 0.5)").as("p50"),
+        expr("percentile(value, 0.9)").as("p90"),
+        expr("percentile(value, 0.99)").as("p99")
+      )
+      .orderBy("event_type")
+
   /** B10: revenue per supplier nation — two broadcast dims chained. */
   def supplierNationVolume(t: Tables): DataFrame =
     t.lineitem
