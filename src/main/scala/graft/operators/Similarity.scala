@@ -81,7 +81,7 @@ object Similarity {
   val IvfProbes   = 4
   val LloydRounds = 2
 
-  private def centLit(c: Array[Double]) = array(c.map(lit): _*)
+  private def centLit(c: Array[Double]) = array(c.toIndexedSeq.map(lit): _*)
 
   /** Normalize to unit length (spherical k-means: with unit centroids,
     * max-dot assignment IS max-cosine, so the mean update matches the
@@ -107,7 +107,7 @@ object Similarity {
     val argmax = cents.indices
       .foldRight(lit(-1)) { case (i, acc) => when(col(s"d$i") === maxDot, lit(i)).otherwise(acc) }
     val means = vecs
-      .select(col("v") +: dots: _*)
+      .select((col("v") +: dots.toIndexedSeq): _*)
       .withColumn("cell", argmax)
       .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
       .groupBy("cell", "dim")
@@ -154,7 +154,7 @@ object Similarity {
     val argmax = cents.indices
       .foldRight(lit(-1)) { case (i, acc) => when(col(s"d$i") === maxDot, lit(i)).otherwise(acc) }
     val celled = vecs
-      .select(col("vec_id") +: col("v") +: col("nrm") +: dots: _*)
+      .select((col("vec_id") +: col("v") +: col("nrm") +: dots.toIndexedSeq): _*)
       .withColumn("cell", argmax)
       .drop(cents.indices.map(i => s"d$i"): _*)
     // queries probe their nprobe max-dot cells
