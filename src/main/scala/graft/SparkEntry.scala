@@ -66,6 +66,7 @@ object SparkEntry {
     "dedup_ngram_capped"   -> ((s, d) => Dedup.ngramJaccardCapped(Tables(s, d))),
     "dedup_components"     -> ((s, d) => Dedup.nearDupComponents(Tables(s, d))),
     "dedup_source_sim"     -> ((s, d) => Dedup.sourceSimilarity(Tables(s, d))),
+    "dedup_winnow"         -> ((s, d) => Dedup.winnowPairs(Tables(s, d))),
     "pipeline_curate"      -> ((s, d) => Curation.curate(Tables(s, d))),
     "multimodal_meta"      -> ((s, d) => Multimodal.mediaMeta(Tables(s, d))),
     "multimodal_decode"    -> ((s, d) => Multimodal.decodeSummary(s, Tables(s, d))),

@@ -198,6 +198,44 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** C2d: winnowing near-dup pairs — the byte-level complement to the
+    * word-shingle families: candidates share a winnowed rolling-hash
+    * fingerprint (guaranteed for any common run ≥ W+K-1 bytes), scored
+    * by fingerprint-set overlap. Same inverted-index + shuffle-hash
+    * self-join shape as C2, but robust to whitespace/tokenization
+    * differences that word shingles miss. rows-only; spec checks
+    * consistency with the word-level families.
+    */
+  def winnowPairs(t: Tables, tau: Double = 0.5): DataFrame = {
+    graft.functions.WinnowExpr.register(t.spark)
+    val fps = t.documents
+      .select(col("doc_id"), expr("winnow_fp(text)").as("fp"))
+      .withColumn("n_fp", size(col("fp")))
+    val postings = fps
+      .select(col("doc_id"), col("n_fp"), posexplode(col("fp")).as(Seq("pos", "h")))
+      .select(col("doc_id"), col("n_fp"), col("h"))
+    postings
+      .as("a")
+      .join(
+        postings.as("b").hint("shuffle_hash"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id")
+      )
+      .groupBy(
+        col("a.doc_id").as("doc_a"),
+        col("b.doc_id").as("doc_b"),
+        col("a.n_fp").as("na"),
+        col("b.n_fp").as("nb")
+      )
+      .agg(count(lit(1)).as("inter"))
+      .select(
+        col("doc_a"),
+        col("doc_b"),
+        (col("inter").cast("double") / (col("na") + col("nb") - col("inter"))).as("overlap")
+      )
+      .filter(col("overlap") >= tau)
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** C3b: corpus-slice similarity — estimated Jaccard between the
     * shingle sets of every pair of `source` slices, via per-group
     * unioned MinHash signatures (functions/MinHashAgg). One shuffle to

@@ -69,6 +69,19 @@ class DedupSpec extends SparkSpecBase {
     }
   }
 
+  test("winnow pairs agree with the word-level family on exact duplicates") {
+    val winnow = Dedup.winnowPairs(tables).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exact duplicates (identical normalized text) must be found by the
+    // byte-level fingerprints too
+    val exactGroups = Dedup.exact(tables).collect().groupBy(_.getString(1)).values
+    val exactPairs = exactGroups.flatMap { g =>
+      val ids = g.map(_.getLong(0)).sorted.toSeq
+      for (a <- ids; b <- ids if a < b) yield (a, b)
+    }.toSet
+    assert(exactPairs.subsetOf(winnow), s"missed exact dups: ${exactPairs -- winnow}")
+    winnow.foreach { case (a, b) => assert(a < b) }
+  }
+
   test("source-slice MinHash union estimates exact slice Jaccard within sketch error") {
     val est = Dedup.sourceSimilarity(tables).collect()
       .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
