@@ -206,14 +206,27 @@ object Dedup {
     * differences that word shingles miss. rows-only; spec checks
     * consistency with the word-level families.
     */
-  def winnowPairs(t: Tables, tau: Double = 0.5): DataFrame = {
+  def winnowPairs(t: Tables, tau: Double = 0.5, cap: Int = 100): DataFrame = {
     graft.functions.WinnowExpr.register(t.spark)
     val fps = t.documents
       .select(col("doc_id"), expr("winnow_fp(text)").as("fp"))
       .withColumn("n_fp", size(col("fp")))
+    // Document-frequency cap: byte grams of corpus-common vocabulary
+    // land in thousands of documents, carry no duplication signal, and
+    // square the posting join — winnowing's minima selection even
+    // CONCENTRATES on globally-small hashes, so the cap is
+    // non-optional here. Overlap is then measured over the SURVIVING
+    // (discriminative) fingerprints on both sides: n_fp is recounted
+    // post-cap, else common-hash denominators drown every score.
+    val freq  = Window.partitionBy("h")
+    val byDoc = Window.partitionBy("doc_id")
     val postings = fps
-      .select(col("doc_id"), col("n_fp"), posexplode(col("fp")).as(Seq("pos", "h")))
-      .select(col("doc_id"), col("n_fp"), col("h"))
+      .select(col("doc_id"), posexplode(col("fp")).as(Seq("pos", "h")))
+      .select(col("doc_id"), col("h"))
+      .withColumn("df", count(lit(1)).over(freq))
+      .filter(col("df") <= cap)
+      .drop("df")
+      .withColumn("n_fp", count(lit(1)).over(byDoc))
     postings
       .as("a")
       .join(
