@@ -28,3 +28,16 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )
+// ExtensionsSpec exercises spark.sql.extensions — a STATIC conf read at
+// SparkContext creation — so it gets its own forked JVM; every other
+// suite shares one JVM (and one SparkSession) as before.
+Test / testGrouping := {
+  val forkOpts = ForkOptions()
+    .withRunJVMOptions((Test / javaOptions).value.toVector)
+  val (iso, rest) =
+    (Test / definedTests).value.partition(_.name == "graft.ExtensionsSpec")
+  Seq(
+    Tests.Group("extensions", iso, Tests.SubProcess(forkOpts)),
+    Tests.Group("shared-session", rest, Tests.SubProcess(forkOpts)),
+  ).filter(_.tests.nonEmpty)
+}

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{MinHashExpr, SimHashExpr, VecExprs}
+import graft.functions.{HyperplaneExpr, MinHashExpr, MinHashUnion, SimHashExpr, VecExprs, WinnowExpr}
 
 /** SparkSessionExtensions entry point: makes the engine's native
   * kernels first-class SQL functions in any session built with
@@ -45,6 +45,30 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo(SimHashExpr.SimHash64.getClass.getCanonicalName, "simhash64"),
         (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
           SimHashExpr.SimHash64(exprs.head)
+      )
+    )
+    ext.injectFunction(
+      (
+        FunctionIdentifier("winnow_fp"),
+        new ExpressionInfo(WinnowExpr.WinnowFingerprint.getClass.getCanonicalName, "winnow_fp"),
+        (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+          WinnowExpr.WinnowFingerprint(exprs.head)
+      )
+    )
+    ext.injectFunction(
+      (
+        FunctionIdentifier("lsh_buckets"),
+        new ExpressionInfo(HyperplaneExpr.LshBuckets.getClass.getCanonicalName, "lsh_buckets"),
+        (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+          HyperplaneExpr.LshBuckets(exprs.head)
+      )
+    )
+    ext.injectFunction(
+      (
+        FunctionIdentifier("minhash_union"),
+        new ExpressionInfo(classOf[MinHashUnion].getCanonicalName, "minhash_union"),
+        (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+          MinHashUnion(exprs.head)
       )
     )
   }

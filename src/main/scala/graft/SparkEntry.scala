@@ -165,7 +165,8 @@ object SparkEntry {
         |  SELECT user_id, CAST(floor(min(value)) AS BIGINT) AS override_pages
         |  FROM events WHERE event_type = 'signup' GROUP BY 1)
         |SELECT c.c_custkey,
-        |  coalesce(o2.override_pages, c2.computed_pages, 1) AS page_count
+        |  coalesce(CASE WHEN o2.override_pages > 0 THEN o2.override_pages END,
+        |           c2.computed_pages, 1) AS page_count
         |FROM customer c
         |LEFT JOIN computed c2 ON c.c_custkey = c2.o_custkey
         |LEFT JOIN overrides o2 ON c.c_custkey = o2.user_id

@@ -49,6 +49,13 @@ object Dedup {
     * candidate verification) — map-only array build. The transform
     * lambda is fine HERE because the array is never fed to a Generate
     * (signatures consume it in a projection; verification in a join).
+    *
+    * try_element_at, not element_at: Spark 4 runs ANSI mode by default,
+    * where out-of-bounds element_at THROWS — and documents shorter than
+    * 3 words walk past the array end. try_element_at returns NULL,
+    * which concat_ws skips, matching both the lead-window path in
+    * [[shingledPostings]] and DuckDB's out-of-bounds-is-NULL oracle
+    * semantics.
     */
   private def shingled(t: Tables): DataFrame =
     t.documents
@@ -58,7 +65,7 @@ object Dedup {
         expr(
           """array_distinct(transform(
             |  sequence(1, greatest(size(ws) - 2, 1)),
-            |  i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1), element_at(ws, i + 2))))""".stripMargin
+            |  i -> concat_ws(' ', try_element_at(ws, i), try_element_at(ws, i + 1), try_element_at(ws, i + 2))))""".stripMargin
         ).as("sh")
       )
       .withColumn("n_sh", size(col("sh")))
@@ -162,9 +169,17 @@ object Dedup {
     */
   def minhashLsh(t: Tables, tau: Double = JaccardTau): DataFrame = {
     graft.functions.MinHashExpr.register(t.spark)
+    // The signature map pass (shingle → crc32 → minhash_sig) is the
+    // dominant cost of this query at scale, and it feeds FOUR plan
+    // sites: both sides of the band self-join and both sides of the
+    // verify join. Materialize it exactly once — without the
+    // checkpoint, Catalyst re-evaluates the whole pipeline per site
+    // (~3-4× the map work; measured in round 1's bench audit).
     val s = shingled(t)
       .withColumn("shx", expr(s"transform(sh, v -> crc32(v) % ${MinHashP}L)"))
       .withColumn("sig", expr("minhash_sig(shx)"))
+      .select(col("doc_id"), col("sh"), col("n_sh"), col("sig"))
+      .localCheckpoint()
     // the 32-element band array is cheap to build; exploding it costs
     // 32 re-evals of slice+concat per doc — still small next to the
     // band shuffle that follows
@@ -174,10 +189,13 @@ object Dedup {
         expr(s"transform(sequence(0, ${Bands - 1}), b -> concat_ws(',', slice(sig, b * $RowsPerBand + 1, $RowsPerBand)))")
       ).as(Seq("band_idx", "band_key"))
     )
+    // shuffle-hash, like the C2 posting join: both sides canonicalize
+    // to the same exchange (ReusedExchange, asserted in PlanSpec), and
+    // a band table never broadcasts at 100 TB anyway
     val candidates = bands
       .as("a")
       .join(
-        bands.as("b"),
+        bands.as("b").hint("shuffle_hash"),
         col("a.band_idx") === col("b.band_idx") && col("a.band_key") === col("b.band_key") &&
           col("a.doc_id") < col("b.doc_id")
       )
@@ -264,10 +282,11 @@ object Dedup {
       .select(col("source"), split(col("text"), " ").as("ws"))
       .select(
         col("source"),
+        // try_element_at: see shingled() — ANSI-safe on <3-word docs
         expr(
           """array_distinct(transform(
             |  sequence(1, greatest(size(ws) - 2, 1)),
-            |  i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1), element_at(ws, i + 2))))""".stripMargin
+            |  i -> concat_ws(' ', try_element_at(ws, i), try_element_at(ws, i + 1), try_element_at(ws, i + 2))))""".stripMargin
         ).as("sh")
       )
       .withColumn("shx", expr(s"transform(sh, v -> crc32(v) % ${MinHashP}L)"))

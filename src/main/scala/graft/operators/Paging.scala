@@ -70,7 +70,14 @@ object Paging {
       .join(broadcast(overrides), col("c_custkey") === col("user_id"), "left")
       .select(
         col("c_custkey"),
-        coalesce(col("override_pages"), col("computed_pages"), lit(1L)).as("page_count")
+        // the reference only honors a settings value when it is > 0
+        // (lcount.go getDevicesByTopicIDPageCount: `if dbcount > 0`);
+        // a 0/negative settings row falls back to the computed count
+        coalesce(
+          when(col("override_pages") > 0, col("override_pages")),
+          col("computed_pages"),
+          lit(1L)
+        ).as("page_count")
       )
       .orderBy("c_custkey")
   }

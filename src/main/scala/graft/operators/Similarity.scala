@@ -81,6 +81,14 @@ object Similarity {
   val IvfProbes   = 4
   val LloydRounds = 2
 
+  /** Centroid-training sample size. A few thousand vectors saturate
+    * `IvfCells` means statistically (≈128 samples/cell at 16 cells);
+    * training on the full corpus would run the explode+groupBy
+    * k-means shuffle over EVERY vector per round — at 100 TB that is
+    * two full-corpus shuffles to fit 16 centroids.
+    */
+  val IvfTrainCap = 2048
+
   private def centLit(c: Array[Double]) = array(c.toIndexedSeq.map(lit): _*)
 
   /** Normalize to unit length (spherical k-means: with unit centroids,
@@ -120,14 +128,17 @@ object Similarity {
     next.map(c => unit(c).map(x => math.rint(x * 1e6) / 1e6))
   }
 
-  /** C7b: IVF-flat ANN — the other classical scale path. Cells are
-    * seeded by the C lowest-id vectors and refined with LloydRounds
-    * distributed k-means rounds (deterministic). Every vector
-    * is assigned to its max-dot cell in one codegen'd projection
-    * (centroids are driver-collected → literal arrays, exactly like a
-    * broadcast); each query probes its `nprobe` best cells, so search
-    * cost is corpus/cells × nprobe per query instead of the full scan.
-    * rows-only oracle + recall spec vs the exact C6 baseline.
+  /** C7b: IVF-flat ANN — the other classical scale path. Centroids are
+    * trained on a bounded deterministic sample (hash-ordered top
+    * IvfTrainCap rows, materialized once): seeds are the sample's
+    * lowest-hash vectors — pseudo-random, not clustering-quality luck —
+    * refined with LloydRounds k-means rounds that shuffle only sample
+    * rows. Every corpus vector is then assigned to its max-dot cell in
+    * one codegen'd projection (centroids are driver-collected → literal
+    * arrays, exactly like a broadcast); each query probes its `nprobe`
+    * best cells, so search cost is corpus/cells × nprobe per query
+    * instead of the full scan. rows-only oracle + recall spec vs the
+    * exact C6 baseline.
     */
   def knnIvf(
       t: Tables,
@@ -137,14 +148,20 @@ object Similarity {
       nprobe: Int = IvfProbes
   ): DataFrame = {
     val vecs = vectors(t)
-    // driver-side centroid seeds: `cells` rows — same footprint class
-    // as a broadcast dimension — refined by k-means (Lloyd) rounds
-    val seeds: Array[Array[Double]] = vecs
-      .orderBy("vec_id")
+    // bounded training sample: TakeOrdered by vector-id hash is one
+    // map-side top-K over the corpus (no shuffle of vector payloads),
+    // checkpointed so both Lloyd rounds reuse the materialized sample
+    val train = vecs
+      .select(col("vec_id"), col("v"))
+      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .limit(IvfTrainCap)
+      .localCheckpoint()
+    val seeds: Array[Array[Double]] = train
+      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
       .limit(cells)
       .collect()
       .map(r => unit(r.getSeq[Float](1).map(_.toDouble).toArray))
-    val cents = (1 to LloydRounds).foldLeft(seeds)((c, _) => lloydRound(vecs, c))
+    val cents = (1 to LloydRounds).foldLeft(seeds)((c, _) => lloydRound(train, c))
     val dots = cents.zipWithIndex.map { case (c, i) =>
       call_function("vec_dot", col("v"), centLit(c)).as(s"d$i")
     }

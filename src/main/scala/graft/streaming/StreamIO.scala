@@ -57,8 +57,11 @@ object StreamIO {
     answered.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
+        // strip the literal producer prefix only — md5 hex contains a-f,
+        // so a greedy [a-z-]+ strip would also eat leading hex letters
+        // of the digest and collapse the 256 prefixes to ~160
         batch
-          .withColumn("key_prefix", substring(regexp_replace(col("result_key"), "^[a-z-]+", ""), 1, 2))
+          .withColumn("key_prefix", substring(regexp_replace(col("result_key"), "^(add|multi)-", ""), 1, 2))
           .write
           .mode("append")
           .partitionBy("key_prefix")

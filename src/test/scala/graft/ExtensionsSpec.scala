@@ -6,6 +6,12 @@ import org.scalatest.funsuite.AnyFunSuite
 /** The kernels must be reachable as plain SQL functions in a session
   * configured with spark.sql.extensions=graft.GraftExtensions (how a
   * cluster deployment would wire them).
+  *
+  * `spark.sql.extensions` is a STATIC conf read from the SparkContext,
+  * so exercising it genuinely requires a fresh context — build.sbt
+  * runs this suite in its own forked JVM (Test / testGrouping), where
+  * creating and stopping the context can't race the shared-session
+  * suites or return someone else's session from getOrCreate.
   */
 class ExtensionsSpec extends AnyFunSuite {
 
@@ -18,12 +24,23 @@ class ExtensionsSpec extends AnyFunSuite {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     try {
+      // prove injection happened (nothing self-registered temp functions
+      // in this JVM — the registry can only have been fed by the
+      // extensions hook)
+      assert(
+        spark.sessionState.functionRegistry.functionExists(
+          org.apache.spark.sql.catalyst.FunctionIdentifier("vec_dot")
+        ),
+        "spark.sql.extensions did not inject vec_dot"
+      )
       val row = spark
         .sql(
           """SELECT vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d,
             |       vec_norm(array(3.0D, 4.0D)) AS n,
             |       size(minhash_sig(array(7L, 11L))) AS m,
-            |       simhash64(array(0L)) AS s""".stripMargin
+            |       simhash64(array(0L)) AS s,
+            |       size(winnow_fp('the quick brown fox jumps over the lazy dog and runs away')) AS w,
+            |       size(lsh_buckets(array(1.0D, -2.0D, 0.5D))) AS b""".stripMargin
         )
         .collect()
         .head
@@ -32,6 +49,18 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(row.getInt(2) == graft.functions.MinHashExpr.NumHashes)
       // all 64 bit-sums are -1 for feature hash 0 except none ≥ 0 → 0
       assert(row.getLong(3) == 0L)
-    } finally spark.stop()
+      assert(row.getInt(4) > 0, "winnow_fp produced no fingerprints")
+      assert(row.getInt(5) == graft.functions.HyperplaneExpr.Tables)
+      // the aggregate path: an injected TypedImperativeAggregate
+      val agg = spark
+        .sql(
+          """SELECT size(minhash_union(sig)) AS u
+            |FROM (SELECT minhash_sig(array(7L, 11L)) AS sig
+            |      UNION ALL SELECT minhash_sig(array(13L)))""".stripMargin
+        )
+        .collect()
+        .head
+      assert(agg.getInt(0) == graft.functions.MinHashExpr.NumHashes)
+    } finally spark.stop() // own JVM, own context — safe to stop
   }
 }

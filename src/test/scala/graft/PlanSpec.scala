@@ -46,6 +46,15 @@ class PlanSpec extends SparkSpecBase {
     assert(plan.contains("ReusedExchange"), s"posting list computed twice:\n$plan")
   }
 
+  test("minhash-lsh band self-join reuses one signature exchange (no recompute)") {
+    val plan = executedPlanString(graft.operators.Dedup.minhashLsh(tables))
+    assert(plan.contains("ShuffledHashJoin"), s"expected shuffle-hash band join:\n$plan")
+    assert(plan.contains("ReusedExchange"), s"band table computed twice:\n$plan")
+    // the signature pipeline must be cut off behind the checkpoint:
+    // at most one minhash_sig evaluation site in the executed plan
+    assert(!plan.contains("minhash_sig"), s"signatures recomputed past the checkpoint:\n$plan")
+  }
+
   test("q6 pushes date/discount/quantity predicates into the lineitem scan") {
     // formatted mode prints untruncated PushedFilters
     val pushed = Analytics
