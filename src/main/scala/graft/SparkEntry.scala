@@ -34,7 +34,9 @@ object SparkEntry {
     "q_adder"              -> ((s, d) => MathOps.adder(Tables(s, d))),
     "q_multiplier"         -> ((s, d) => MathOps.multiplier(Tables(s, d))),
     "q_kinesis_decode"     -> ((s, d) => MathOps.kinesisDecode(Tables(s, d))),
+    "q_lambda_event_decode" -> ((s, d) => MathOps.lambdaEventDecode(Tables(s, d))),
     "q_dsv2_problems"      -> ((s, _) => MathOps.dsv2Problems(s)),
+    "q_stream_problems"    -> ((s, _) => graft.streaming.KinesisLikePipeline.problemStreamToStore(s)),
     "q_topic_pagecount"    -> ((s, d) => Paging.topicPageCounts(Tables(s, d))),
     "q_settings_override"  -> ((s, d) => Paging.settingsOverride(Tables(s, d))),
     "q_page_arns"          -> ((s, d) => Paging.pageArns(Tables(s, d), topicId = 1, pageNum = 2)),
@@ -146,10 +148,45 @@ object SparkEntry {
         |  event_id % 100 AS num1, user_id % 100 AS num2,
         |  event_id % 100 + user_id % 100 AS num_sum
         |FROM events ORDER BY event_id""".stripMargin,
+    "q_lambda_event_decode" -> // same build → json-decode round trip, in DuckDB json functions
+      """WITH rec AS (
+        |  SELECT CAST(event_id // 5 AS BIGINT) AS batch_id, event_id,
+        |    json_object(
+        |      'kinesis', json_object(
+        |        'data', to_base64(encode(CAST(json_object('Num1', event_id % 100, 'Num2', user_id % 100) AS VARCHAR))),
+        |        'partitionKey', CAST(user_id AS VARCHAR),
+        |        'sequenceNumber', CAST(event_id AS VARCHAR)),
+        |      'eventSource', 'aws:kinesis',
+        |      'eventName', 'aws:kinesis:record') AS r
+        |  FROM events),
+        |ev AS (
+        |  SELECT batch_id, json_object('Records', list(r ORDER BY event_id)) AS event_json
+        |  FROM rec GROUP BY 1),
+        |x AS (
+        |  SELECT batch_id, unnest(json_extract(event_json, '$.Records[*]')) AS rj FROM ev),
+        |d AS (
+        |  SELECT batch_id,
+        |    CAST(json_extract_string(rj, '$.kinesis.sequenceNumber') AS BIGINT) AS event_id,
+        |    json_extract_string(rj, '$.kinesis.partitionKey') AS partition_key,
+        |    CAST(json_extract_string(decode(from_base64(json_extract_string(rj, '$.kinesis.data'))), '$.Num1') AS BIGINT) AS num1,
+        |    CAST(json_extract_string(decode(from_base64(json_extract_string(rj, '$.kinesis.data'))), '$.Num2') AS BIGINT) AS num2
+        |  FROM x)
+        |SELECT batch_id, event_id, partition_key, num1, num2, num1 + num2 AS num_sum
+        |FROM d ORDER BY event_id""".stripMargin,
     "q_dsv2_problems" -> // deterministic DSv2 source: oracle regenerates the same sequence
       """SELECT CAST(seq AS BIGINT) AS seq,
         |  seq % 100 AS num1, (seq * 7 + 3) % 100 AS num2,
         |  seq % 100 + (seq * 7 + 3) % 100 AS num_sum
+        |FROM generate_series(0, 9999) t(seq)
+        |ORDER BY seq""".stripMargin,
+    "q_stream_problems" -> // the full streaming path is deterministic in seq
+      """SELECT CAST(seq AS BIGINT) AS seq,
+        |  CAST(seq % 16 AS VARCHAR) AS partition_key,
+        |  seq % 100 AS num1, (seq * 7 + 3) % 100 AS num2,
+        |  concat(seq % 100, ' + ', (seq * 7 + 3) % 100, ' = ',
+        |         seq % 100 + (seq * 7 + 3) % 100) AS answer,
+        |  concat('add-', md5(concat('add-', CAST(seq AS VARCHAR)))) AS result_key,
+        |  substr(md5(concat('add-', CAST(seq AS VARCHAR))), 1, 2) AS key_prefix
         |FROM generate_series(0, 9999) t(seq)
         |ORDER BY seq""".stripMargin,
     "q_topic_pagecount" ->

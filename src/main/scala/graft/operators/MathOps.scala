@@ -81,6 +81,96 @@ object MathOps {
       .orderBy("seq")
   }
 
+  /** A3c: the FULL Lambda input contract, not just the inner payload —
+    * the reference unmarshals a whole `KinesisPayload{Records[]{kinesis
+    * {data, partitionKey, sequenceNumber}}}` event and iterates Records
+    * (adder-labma/types.go:3-19, lambda_count/lcount.go:254-270).
+    *
+    * Producer half: group `recordsPerEvent` problem records into one
+    * event JSON (records ordered by sequence number, like a shard
+    * batch). Consumer half: `from_json` with the nested Records schema
+    * → `explode(Records)` → per-record unbase64 + inner `from_json` —
+    * exactly the Lambda handler's decode path, as one Catalyst plan.
+    * Both halves shuffle once (the groupBy); every expression is a
+    * built-in. Hash-verified against a DuckDB json_extract/unnest
+    * oracle that performs the same build → decode round trip.
+    */
+  def lambdaEventDecode(t: Tables, recordsPerEvent: Int = 5): DataFrame = {
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    // producer: per-record kinesis envelope struct
+    val rec = t.events.select(
+      expr(s"event_id div $recordsPerEvent").as("batch_id"),
+      col("event_id"),
+      struct(
+        struct(
+          base64(
+            to_json(
+              struct(
+                pmod(col("event_id"), lit(100)).as("Num1"),
+                pmod(col("user_id"), lit(100)).as("Num2")
+              )
+            ).cast("binary")
+          ).as("data"),
+          col("user_id").cast("string").as("partitionKey"),
+          col("event_id").cast("string").as("sequenceNumber")
+        ).as("kinesis"),
+        lit("aws:kinesis").as("eventSource"),
+        lit("aws:kinesis:record").as("eventName")
+      ).as("r")
+    )
+    // one event JSON per batch; sort_array on (event_id, r) fixes the
+    // record order (collect_list alone is partition-order-dependent)
+    val events = rec
+      .groupBy("batch_id")
+      .agg(sort_array(collect_list(struct(col("event_id"), col("r")))).as("rs"))
+      .select(
+        col("batch_id"),
+        to_json(struct(expr("transform(rs, x -> x.r)").as("Records"))).as("event_json")
+      )
+    // consumer: nested-schema decode, record explode, payload decode
+    val recordSchema = StructType(
+      Seq(
+        StructField(
+          "kinesis",
+          StructType(
+            Seq(
+              StructField("data", StringType),
+              StructField("partitionKey", StringType),
+              StructField("sequenceNumber", StringType)
+            )
+          )
+        ),
+        StructField("eventSource", StringType),
+        StructField("eventName", StringType)
+      )
+    )
+    val eventSchema = StructType(Seq(StructField("Records", ArrayType(recordSchema))))
+    events
+      .select(
+        col("batch_id"),
+        explode(from_json(col("event_json"), eventSchema).getField("Records")).as("rec")
+      )
+      .select(
+        col("batch_id"),
+        col("rec.kinesis.sequenceNumber").cast("long").as("event_id"),
+        col("rec.kinesis.partitionKey").as("partition_key"),
+        from_json(unbase64(col("rec.kinesis.data")).cast("string"), payloadSchema).as("p")
+      )
+      .select(
+        col("batch_id"),
+        col("event_id"),
+        col("partition_key"),
+        col("p.Num1").as("num1"),
+        col("p.Num2").as("num2"),
+        (col("p.Num1") + col("p.Num2")).as("num_sum")
+      )
+      .orderBy("event_id")
+  }
+
+  private val payloadSchema = StructType(
+    Seq(StructField("Num1", LongType), StructField("Num2", LongType))
+  )
+
   /** A3: Kinesis-envelope round trip — build the base64(JSON) record
     * the way a producer would (kinesis_stream/main.go:28-37), then
     * decode it the way the lambda does (adder-labma/types.go:3-19,

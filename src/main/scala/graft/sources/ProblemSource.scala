@@ -12,7 +12,25 @@ import org.apache.spark.sql.connector.read.{
   PartitionReaderFactory,
   Scan,
   ScanBuilder,
+  SupportsPushDownFilters,
   SupportsPushDownRequiredColumns
+}
+import org.apache.spark.sql.connector.read.streaming.{
+  MicroBatchStream,
+  Offset,
+  ReadAllAvailable,
+  ReadLimit,
+  ReadMaxRows,
+  SupportsAdmissionControl,
+  SupportsTriggerAvailableNow
+}
+import org.apache.spark.sql.sources.{
+  EqualTo,
+  Filter,
+  GreaterThan,
+  GreaterThanOrEqual,
+  LessThan,
+  LessThanOrEqual
 }
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -22,17 +40,32 @@ import org.apache.spark.unsafe.types.UTF8String
   * deterministic stream of Kinesis-style base64(JSON {Num1,Num2})
   * envelopes, generated executor-side across `numPartitions` splits.
   *
-  * Usage:
+  * Batch usage:
   * {{{
   * spark.read.format("graft.sources.ProblemSource")
   *   .option("numRows", 10000).option("numPartitions", 32).load()
   * }}}
   *
-  * Demonstrates the connector surface a real source needs: schema
-  * inference, capability declaration, planned input partitions (rows
-  * are generated where they are consumed — nothing flows through the
-  * driver), and column pruning (`SupportsPushDownRequiredColumns`):
-  * `select(seq)` never builds an envelope string.
+  * Streaming usage (the reference's actual consumption model — a
+  * Lambda polling a Kinesis shard iterator, lcount.go:110-127):
+  * {{{
+  * spark.readStream.format("graft.sources.ProblemSource")
+  *   .option("numRows", 10000).option("rowsPerBatch", 2500).load()
+  * }}}
+  * Offsets are sequence numbers (exactly Kinesis semantics): each
+  * micro-batch covers `[start, min(start+rowsPerBatch, numRows))`,
+  * planned as `numPartitions` executor-side ranges; `commit` marks the
+  * consumed prefix. The stream is deterministic, so a batch query over
+  * anything derived from it shares the generate_series oracle.
+  *
+  * Demonstrates the full read-connector surface: schema inference,
+  * capability declaration, planned input partitions (rows are generated
+  * where they are consumed — nothing flows through the driver), column
+  * pruning (`SupportsPushDownRequiredColumns`: `select(seq)` never
+  * builds an envelope string), `seq`-range filter pushdown
+  * (`SupportsPushDownFilters`: a `seq >= N` predicate shrinks the
+  * planned ranges — the DSv2 analog of partition pruning), and
+  * micro-batch streaming.
   */
 class ProblemSource extends TableProvider {
 
@@ -70,35 +103,155 @@ private class ProblemTable extends Table with SupportsRead {
   override def name(): String          = "graft_problems"
   override def schema(): StructType    = ProblemSource.Schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ProblemScanBuilder(
       options.getLong("numRows", 1000L),
-      options.getInt("numPartitions", 4)
+      options.getInt("numPartitions", 4),
+      options.getLong("rowsPerBatch", 1000L)
     )
 }
 
-private class ProblemScanBuilder(numRows: Long, numPartitions: Int)
+private class ProblemScanBuilder(numRows: Long, numPartitions: Int, rowsPerBatch: Long)
     extends ScanBuilder
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
 
-  private var required: StructType = ProblemSource.Schema
+  private var required: StructType    = ProblemSource.Schema
+  private var lo: Long                = 0L
+  private var hi: Long                = numRows
+  private var accepted: Array[Filter] = Array.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
 
-  override def build(): Scan = new Scan with Batch {
-    override def readSchema(): StructType = required
-    override def toBatch: Batch           = this
-
-    override def planInputPartitions(): Array[InputPartition] = {
-      val per = math.max(1L, (numRows + numPartitions - 1) / numPartitions)
-      (0L until numRows by per).map(s => ProblemRange(s, math.min(s + per, numRows)): InputPartition).toArray
+  /** `seq` is the generation coordinate, so a range predicate on it
+    * narrows [lo, hi) exactly — the accepted filters never need
+    * re-evaluation after the scan (we report them as fully pushed).
+    * Everything else stays with Spark.
+    */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    // the translated literal arrives as whatever box Catalyst used —
+    // accept any integral Number
+    val (ours, rest) = filters.partition {
+      case EqualTo("seq", _: Number)            => true
+      case GreaterThan("seq", _: Number)        => true
+      case GreaterThanOrEqual("seq", _: Number) => true
+      case LessThan("seq", _: Number)           => true
+      case LessThanOrEqual("seq", _: Number)    => true
+      case _                                    => false
     }
-
-    override def createReaderFactory(): PartitionReaderFactory =
-      new ProblemReaderFactory(required)
+    ours.foreach {
+      case EqualTo("seq", v: Number)            => lo = math.max(lo, v.longValue); hi = math.min(hi, v.longValue + 1)
+      case GreaterThan("seq", v: Number)        => lo = math.max(lo, v.longValue + 1)
+      case GreaterThanOrEqual("seq", v: Number) => lo = math.max(lo, v.longValue)
+      case LessThan("seq", v: Number)           => hi = math.min(hi, v.longValue)
+      case LessThanOrEqual("seq", v: Number)    => hi = math.min(hi, v.longValue + 1)
+      case _                                    => ()
+    }
+    accepted = ours
+    rest
   }
+
+  override def pushedFilters(): Array[Filter] = accepted
+
+  override def build(): Scan = new ProblemScan(required, lo, math.max(lo, hi), numRows, numPartitions, rowsPerBatch)
+}
+
+/** One Scan serves both execution modes: `toBatch` reads the whole
+  * (filter-narrowed) range at once; `toMicroBatchStream` replays the
+  * same range as offset-bounded micro-batches.
+  */
+private class ProblemScan(
+    schema: StructType,
+    lo: Long,
+    hi: Long,
+    numRows: Long,
+    numPartitions: Int,
+    rowsPerBatch: Long
+) extends Scan {
+
+  override def readSchema(): StructType = schema
+  override def description(): String    = s"graft_problems range=[$lo,$hi) rowsPerBatch=$rowsPerBatch"
+
+  /** Split [from, until) into at most numPartitions contiguous ranges,
+    * sized by the FULL-table granule (numRows/numPartitions) so a
+    * pushed-down range plans proportionally fewer partitions — the
+    * observable pruning effect PlanSpec asserts.
+    */
+  private def ranges(from: Long, until: Long): Array[InputPartition] = {
+    val per = math.max(1L, (numRows + numPartitions - 1) / numPartitions)
+    (from until until by per)
+      .map(s => ProblemRange(s, math.min(s + per, until)): InputPartition)
+      .toArray
+  }
+
+  override def toBatch: Batch = new Batch {
+    override def planInputPartitions(): Array[InputPartition] = ranges(lo, hi)
+    override def createReaderFactory(): PartitionReaderFactory = new ProblemReaderFactory(schema)
+  }
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new ProblemMicroBatchStream(schema, lo, hi, rowsPerBatch, ranges)
+}
+
+/** Sequence-number offsets, exactly the Kinesis model the reference
+  * consumes (adder.go:38-44 iterates Records in shard order). Offset
+  * arithmetic is STATELESS (`end = min(start + maxRows, hi)`) via
+  * `SupportsAdmissionControl` — a driver-side cursor would break
+  * `Trigger.AvailableNow`, whose wrapper samples a plain
+  * `latestOffset()` exactly once. With admission control +
+  * `SupportsTriggerAvailableNow`, AvailableNow drains the range in
+  * ⌈(hi-lo)/rowsPerBatch⌉ batches and terminates, and a restart
+  * resumes from the checkpointed offset (replayable — the generator is
+  * a pure function of seq).
+  */
+private class ProblemMicroBatchStream(
+    schema: StructType,
+    lo: Long,
+    hi: Long,
+    rowsPerBatch: Long,
+    ranges: (Long, Long) => Array[InputPartition]
+) extends MicroBatchStream
+    with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow {
+
+  override def initialOffset(): Offset = ProblemOffset(lo)
+
+  /** Engine fallback when admission control is bypassed: everything. */
+  override def latestOffset(): Offset = ProblemOffset(hi)
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val from = start.asInstanceOf[ProblemOffset].seq
+    val step = limit match {
+      case r: ReadMaxRows      => r.maxRows()
+      case _: ReadAllAvailable => hi - from
+      case _                   => rowsPerBatch
+    }
+    ProblemOffset(math.min(from + math.max(1L, step), hi))
+  }
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(rowsPerBatch)
+
+  override def reportLatestOffset(): Offset = ProblemOffset(hi)
+
+  /** Bounded source: the AvailableNow target is always `hi`. */
+  override def prepareForTriggerAvailableNow(): Unit = ()
+
+  override def deserializeOffset(json: String): Offset = ProblemOffset(json.trim.toLong)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
+    ranges(start.asInstanceOf[ProblemOffset].seq, end.asInstanceOf[ProblemOffset].seq)
+
+  override def createReaderFactory(): PartitionReaderFactory = new ProblemReaderFactory(schema)
+
+  override def commit(end: Offset): Unit = () // nothing to release: generation is stateless
+
+  override def stop(): Unit = ()
+}
+
+private case class ProblemOffset(seq: Long) extends Offset {
+  override def json(): String = seq.toString
 }
 
 private case class ProblemRange(start: Long, end: Long) extends InputPartition

@@ -173,6 +173,45 @@ object KinesisLikePipeline {
       }
   }
 
+  /** A14 end-to-end THROUGH the DSv2 connector: `readStream` on
+    * graft.sources.ProblemSource (real offsets, not a rate-source
+    * stand-in) → envelope decode → adder → content-addressed parquet
+    * store, drained under `Trigger.AvailableNow` in
+    * ⌈numRows/rowsPerBatch⌉ offset-bounded micro-batches, then read
+    * back as a batch DataFrame. The source is a pure function of seq,
+    * so the correctness gate checks the WHOLE streaming path against a
+    * generate_series oracle — connector, offset ranges, decode, math,
+    * and sink all hash-verified.
+    */
+  def problemStreamToStore(
+      spark: SparkSession,
+      numRows: Long = 10000L,
+      rowsPerBatch: Long = 2500L
+  ): DataFrame = {
+    val tmp    = java.nio.file.Files.createTempDirectory("graft-stream-store").toString
+    val outDir = s"$tmp/store"
+    val records = spark.readStream
+      .format("graft.sources.ProblemSource")
+      .option("numRows", numRows)
+      .option("numPartitions", 8)
+      .option("rowsPerBatch", rowsPerBatch)
+      .load()
+    val answered = addAnswers(decodeEnvelope(records), keyCol = "seq")
+    StreamIO
+      .contentAddressedSink(answered, outDir, s"$tmp/ckpt", availableNow = true)
+      .awaitTermination()
+    // explicit schema pins key_prefix (a partition directory column) to
+    // string — inference would read all-digit prefixes back as ints
+    spark.read
+      .schema(
+        "seq LONG, partition_key STRING, num1 LONG, num2 LONG, " +
+          "answer STRING, result_key STRING, key_prefix STRING"
+      )
+      .parquet(outDir)
+      .select("seq", "partition_key", "num1", "num2", "answer", "result_key", "key_prefix")
+      .orderBy("seq")
+  }
+
   /** End-to-end wiring for the math flow: envelope stream → decode →
     * add → content-keyed append sink. Returns the started query.
     * Sink format is caller-chosen ("parquet" in production — the S3

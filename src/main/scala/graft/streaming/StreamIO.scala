@@ -52,9 +52,11 @@ object StreamIO {
   def contentAddressedSink(
       answered: DataFrame,
       outDir: String,
-      checkpoint: String
-  ): StreamingQuery =
-    answered.writeStream
+      checkpoint: String,
+      availableNow: Boolean = false
+  ): StreamingQuery = {
+    val base = answered.writeStream
+    (if (availableNow) base.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()) else base)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         // strip the literal producer prefix only — md5 hex contains a-f,
@@ -68,6 +70,7 @@ object StreamIO {
           .parquet(outDir)
       }
       .start()
+  }
 
   /** SQS-analog sink: within each micro-batch, rows are grouped into
     * fixed-size batches per topic (the reference's SendMessageBatch of

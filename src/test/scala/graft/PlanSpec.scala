@@ -83,6 +83,25 @@ class PlanSpec extends SparkSpecBase {
     assert(df.collect().map(_.getLong(0)).sorted.toSeq == (0L until 100L))
   }
 
+  test("DSv2 problem source pushes seq-range filters into the planned partitions") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    import org.apache.spark.sql.functions.col
+    def scanOf(df: org.apache.spark.sql.DataFrame): BatchScanExec =
+      df.queryExecution.executedPlan.collectLeaves().collectFirst { case b: BatchScanExec => b }.get
+    val full = spark.read
+      .format("graft.sources.ProblemSource")
+      .option("numRows", 1000)
+      .option("numPartitions", 8)
+      .load()
+    assert(scanOf(full).inputRDD.getNumPartitions == 8)
+    val filtered = full.filter(col("seq") >= 900)
+    // the filter narrows the generated range itself — 1 planned range
+    // instead of 8 (the DSv2 analog of partition pruning)
+    assert(scanOf(filtered).inputRDD.getNumPartitions == 1, s"range not pruned:\n${filtered.queryExecution}")
+    assert(filtered.count() == 100)
+    assert(filtered.agg(org.apache.spark.sql.functions.min("seq")).head().getLong(0) == 900L)
+  }
+
   test("topk operator plans as TopKPerKeyExec — no Window, no per-group sort") {
     val df   = Analytics.topEventsPerUserFast(tables)
     val plan = executedPlanString(df)
