@@ -186,7 +186,7 @@ object SparkEntry {
         |  concat(seq % 100, ' + ', (seq * 7 + 3) % 100, ' = ',
         |         seq % 100 + (seq * 7 + 3) % 100) AS answer,
         |  concat('add-', md5(concat('add-', CAST(seq AS VARCHAR)))) AS result_key,
-        |  substr(md5(concat('add-', CAST(seq AS VARCHAR))), 1, 2) AS key_prefix
+        |  substr(md5(concat('add-', CAST(seq AS VARCHAR))), 1, 1) AS key_prefix
         |FROM generate_series(0, 9999) t(seq)
         |ORDER BY seq""".stripMargin,
     "q_topic_pagecount" ->

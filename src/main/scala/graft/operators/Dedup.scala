@@ -362,22 +362,36 @@ object Dedup {
     * min component id among itself and its neighbors; converges in
     * O(component diameter) rounds. Each round is one distributed
     * join+agg; the driver only evaluates the scalar convergence check.
-    * `localCheckpoint` truncates lineage so plans don't grow with
+    * Per-round checkpoints truncate lineage so plans don't grow with
     * rounds — the standard large-graph pattern when GraphX-style
     * machinery isn't warranted.
+    *
+    * `checkpointDir`: `None` uses `localCheckpoint` (executor-local
+    * blocks — fast, right for single-node and testing, but an executor
+    * loss mid-iteration kills the lineage and the job). On a real
+    * cluster pass a reliable location (HDFS/S3) and rounds become
+    * replayable `checkpoint()`s — iteration survives executor loss.
     */
-  def nearDupComponents(t: Tables, tau: Double = JaccardTau): DataFrame = {
+  def nearDupComponents(
+      t: Tables,
+      tau: Double = JaccardTau,
+      checkpointDir: Option[String] = None
+  ): DataFrame = {
+    checkpointDir.foreach(t.spark.sparkContext.setCheckpointDir)
+    def materialize(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
     // materialize the pair list ONCE before mirroring — a union of two
     // branches over the raw plan would run the whole shingle/join
     // pipeline twice
-    val pairs = ngramJaccard(t, tau).select(col("doc_a"), col("doc_b")).localCheckpoint()
+    val pairs = materialize(ngramJaccard(t, tau).select(col("doc_a"), col("doc_b")))
     val edges = pairs
       .unionAll(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-    var labels = edges
-      .select(col("doc_a").as("id"))
-      .distinct()
-      .withColumn("component", col("id"))
-      .localCheckpoint()
+    var labels = materialize(
+      edges
+        .select(col("doc_a").as("id"))
+        .distinct()
+        .withColumn("component", col("id"))
+    )
     var changed = 1L
     while (changed > 0) {
       val neighborMin = edges
@@ -389,14 +403,15 @@ object Dedup {
         .agg(min(col("nbr_component")).as("nbr_comp"))
       // carry the previous label so the convergence check is a filter
       // over the just-materialized round, not another join
-      val next = labels
-        .join(neighborMin, Seq("id"), "left")
-        .select(
-          col("id"),
-          col("component").as("prev"),
-          least(col("component"), coalesce(col("nbr_comp"), col("component"))).as("component")
-        )
-        .localCheckpoint()
+      val next = materialize(
+        labels
+          .join(neighborMin, Seq("id"), "left")
+          .select(
+            col("id"),
+            col("component").as("prev"),
+            least(col("component"), coalesce(col("nbr_comp"), col("component"))).as("component")
+          )
+      )
       changed = next.filter(col("component") =!= col("prev")).count()
       labels = next.select("id", "component")
     }

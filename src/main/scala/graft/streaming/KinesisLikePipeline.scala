@@ -197,8 +197,9 @@ object KinesisLikePipeline {
       .option("rowsPerBatch", rowsPerBatch)
       .load()
     val answered = addAnswers(decodeEnvelope(records), keyCol = "seq")
+    // 16 prefixes at this volume — see contentAddressedSink's sizing note
     StreamIO
-      .contentAddressedSink(answered, outDir, s"$tmp/ckpt", availableNow = true)
+      .contentAddressedSink(answered, outDir, s"$tmp/ckpt", availableNow = true, prefixChars = 1)
       .awaitTermination()
     // explicit schema pins key_prefix (a partition directory column) to
     // string — inference would read all-digit prefixes back as ints

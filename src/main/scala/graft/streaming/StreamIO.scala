@@ -44,16 +44,23 @@ object StreamIO {
       )
 
   /** S3-analog sink: append stream rows into parquet partitioned by
-    * the first hex byte of `result_key` (256 stable prefixes — the
+    * the first `prefixChars` hex chars of `result_key`'s digest (the
     * same fan-out trick S3 key design uses). Exactly-once per batch:
     * keys are deterministic and the parquet commit protocol dedups
     * task retries.
+    *
+    * Size `prefixChars` to the volume: every micro-batch pays file +
+    * commit overhead per touched prefix directory (measured ~2.6 s
+    * per 256-way batch vs 0.6 s per 16-way at 10k rows), so use 1
+    * (16 prefixes) until per-prefix files reach a healthy parquet
+    * size, 2 (256) at production volume.
     */
   def contentAddressedSink(
       answered: DataFrame,
       outDir: String,
       checkpoint: String,
-      availableNow: Boolean = false
+      availableNow: Boolean = false,
+      prefixChars: Int = 2
   ): StreamingQuery = {
     val base = answered.writeStream
     (if (availableNow) base.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()) else base)
@@ -63,7 +70,15 @@ object StreamIO {
         // so a greedy [a-z-]+ strip would also eat leading hex letters
         // of the digest and collapse the 256 prefixes to ~160
         batch
-          .withColumn("key_prefix", substring(regexp_replace(col("result_key"), "^(add|multi)-", ""), 1, 2))
+          .withColumn(
+            "key_prefix",
+            substring(regexp_replace(col("result_key"), "^(add|multi)-", ""), 1, prefixChars)
+          )
+          // cluster by prefix before the partitioned write: without it
+          // every TASK opens a file per prefix it touches (tasks ×
+          // prefixes tiny files per batch); with it each prefix's rows
+          // land in one task's one file
+          .repartition(col("key_prefix"))
           .write
           .mode("append")
           .partitionBy("key_prefix")

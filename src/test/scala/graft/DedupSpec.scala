@@ -110,6 +110,18 @@ class DedupSpec extends SparkSpecBase {
     assert(capped.size.toDouble / exact.size >= 0.5, s"cap too destructive: ${capped.size}/${exact.size}")
   }
 
+  test("components with a reliable checkpoint dir equal the localCheckpoint result") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-reliable-ckpt").toString
+    val local = Dedup.nearDupComponents(tables).collect().map(r => (r.getLong(0), r.getLong(1)))
+    val reliable = Dedup
+      .nearDupComponents(tables, checkpointDir = Some(dir))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(reliable.toSeq == local.toSeq)
+    // reliable mode must actually have written RDD checkpoints
+    assert(new java.io.File(dir).listFiles().nonEmpty, "no reliable checkpoint written")
+  }
+
   test("shingle paths survive documents shorter than one trigram (ANSI element_at)") {
     // Spark 4 defaults to ANSI mode, where out-of-bounds element_at
     // throws — the test corpus (min 10 words/doc) never exercises the

@@ -59,23 +59,46 @@ class StreamIOSpec extends SparkSpecBase {
     val in  = MemoryStream[KinesisLikePipeline.TopicMsg]
     val out = tmp("graft-e2e-out")
     // the full reference flow in one streaming plan: lambda_count's
-    // page fan-out (stateful) feeding lambda_page's SQS batching
+    // page fan-out (stateful) feeding lambda_page's SQS batching —
+    // notes ride along so the SNS first/last signals are observable
+    // at the queue
     val payloads = KinesisLikePipeline
       .pageSequencer(spark, in.toDS())
       .select(
         col("topic_id"),
-        base64(concat_ws("|", col("topic_id"), col("page_num"), col("message")).cast("binary"))
-          .as("payload_b64")
+        base64(
+          concat_ws("|", col("topic_id"), col("page_num"), col("global_seq"), col("message"), col("note"))
+            .cast("binary")
+        ).as("payload_b64")
       )
     val q = StreamIO.batchedQueueSink(payloads, out, tmp("graft-e2e-ckpt"), batchSize = 2)
     in.addData(KinesisLikePipeline.TopicMsg(7, "hello", 45, 10)) // 45/10+1 = 5 pages
     q.processAllAvailable()
+    // second trigger: the sequencer state must carry across triggers
+    in.addData(KinesisLikePipeline.TopicMsg(7, "again", 15, 10)) // 15/10+1 = 2 pages
+    q.processAllAvailable()
     q.stop()
     val batches = spark.read.json(out)
-    val sizes   = batches.select("entries").as[Seq[String]].collect().map(_.size)
-    assert(sizes.sum == 5, s"expected 5 page payloads, got ${sizes.sum}")
-    assert(sizes.sorted.toSeq == Seq(1, 2, 2)) // 5 payloads in batches of 2
-    assert(batches.select("topic_id").distinct().collect().map(_.getLong(0)).toSeq == Seq(7L))
+    val decoded = batches
+      .select(col("micro_batch"), explode(col("entries")).as("e"))
+      .select(col("micro_batch"), unbase64(col("e")).cast("string").as("m"))
+      .as[(Long, String)]
+      .collect()
+      .map { case (mb, m) => (mb, m.split("\\|", -1)) }
+    assert(decoded.length == 7, s"expected 5+2 page payloads, got ${decoded.length}")
+    // first/last notes across BOTH triggers, decoded at the queue side
+    val hello = decoded.map(_._2).filter(_(3) == "hello").sortBy(_(1).toLong)
+    assert(hello.head(4) == "Count: 1st page sent")
+    assert(hello.last(4) == "Count: Last Page Sent: 5")
+    val again = decoded.map(_._2).filter(_(3) == "again").sortBy(_(1).toLong)
+    assert(again.head(4) == "Count: 1st page sent")
+    assert(again.last(4) == "Count: Last Page Sent: 2")
+    // per-topic global sequence keeps counting across triggers: 1..5 then 6..7
+    assert(again.map(_(2).toLong).toSeq == Seq(6L, 7L))
+    // and the two triggers landed as distinct micro-batches in the sink
+    assert(decoded.map(_._1).distinct.length == 2, "expected two micro-batch commits")
+    val sizes = batches.select("entries").as[Seq[String]].collect().map(_.size)
+    assert(sizes.forall(_ <= 2), s"batch size cap violated: ${sizes.toSeq}")
   }
 
   test("rate-source producer emits well-formed decodable envelopes") {

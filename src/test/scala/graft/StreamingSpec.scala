@@ -103,7 +103,7 @@ class StreamingSpec extends SparkSpecBase {
     assert(r7.getAs[Long]("num2") == (7 * 7 + 3) % 100)
     assert(r7.getAs[String]("answer") == "7 + 52 = 59")
     assert(r7.getAs[String]("result_key").startsWith("add-"))
-    assert(r7.getAs[String]("key_prefix").length == 2)
+    assert(r7.getAs[String]("key_prefix").length == 1)
     // replay-stability: content keys are a pure function of seq
     assert(rows.map(_.getAs[String]("result_key")).distinct.length == 400)
   }
