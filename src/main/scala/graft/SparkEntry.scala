@@ -364,6 +364,45 @@ object SparkEntry {
         |FROM h ORDER BY doc_id""".stripMargin,
     "dedup_ngram_jaccard" -> ngramJaccardOracle,
     "dedup_minhash_lsh"   -> ngramJaccardOracle, // LSH verified-pairs = exact pairs (miss prob (1-s^4)^32; see Dedup.scala)
+    "dedup_ngram_capped"  -> ngramOracle(Some(100)), // df-capped postings, exact denominators
+    "dedup_simhash" -> // portable 60-bit md5 word hash ⇒ full simhash in SQL; banding is exact for hamming ≤ 3
+      """WITH w AS (
+        |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS word FROM documents),
+        |h AS (
+        |  SELECT doc_id, CAST('0x' || substr(md5(word), 1, 15) AS BIGINT) AS wh FROM w),
+        |bits AS (
+        |  SELECT doc_id, b,
+        |    CASE WHEN 2 * sum((wh >> b) & 1) >= count(*) THEN 1::BIGINT << b ELSE 0 END AS bit
+        |  FROM h, (SELECT unnest(generate_series(0, 59)) AS b)
+        |  GROUP BY doc_id, b),
+        |sh AS (SELECT doc_id, CAST(sum(bit) AS BIGINT) AS simhash FROM bits GROUP BY 1)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "multimodal_frames" -> // stride arithmetic over stub frame counts is pure SQL
+      """WITH d AS (
+        |  SELECT doc_id, octet_length(encode(text)) % 64 + 1 AS nf FROM documents)
+        |SELECT doc_id, CAST(nf AS BIGINT) AS n_frames,
+        |  CAST(frame_idx AS BIGINT) AS frame_idx,
+        |  sha256(concat_ws(':', doc_id, frame_idx)) AS frame_key
+        |FROM d, unnest(generate_series(0, nf - 1, 4)) AS t(frame_idx)
+        |ORDER BY doc_id, frame_idx""".stripMargin,
+    "multimodal_decode" -> // the stub decode kernel is byte arithmetic — fully SQL
+      """WITH d AS (
+        |  SELECT doc_id, octet_length(encode(text)) AS n, hex(encode(text)) AS hx
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    16 + (CASE WHEN n > 0 THEN CAST('0x' || substr(hx, 1, 2) AS INT) % 640 ELSE 0 END) AS width,
+        |    16 + (CASE WHEN n > 1 THEN CAST('0x' || substr(hx, 3, 2) AS INT) % 480 ELSE 0 END) AS height,
+        |    CASE n % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'webp' END AS format
+        |  FROM d)
+        |SELECT format, count(*) AS n,
+        |  CAST(min(width) AS INT) AS min_w, CAST(max(width) AS INT) AS max_w,
+        |  CAST(min(height) AS INT) AS min_h, CAST(max(height) AS INT) AS max_h
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
     "dedup_components" ->
       s"""WITH RECURSIVE p AS ($ngramJaccardOracle),
         |edges AS (SELECT doc_a AS a, doc_b AS b FROM p
@@ -489,12 +528,18 @@ object SparkEntry {
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
   )
 
-  /** Shared oracle for C2 (exact inverted-index Jaccard) and C3
-    * (MinHash-LSH verified candidates — equal output whp, see
-    * Dedup.scala banding analysis).
+  /** Shared oracle for C2 (exact inverted-index Jaccard), C3 (MinHash-
+    * LSH verified candidates — equal output whp, see Dedup.scala
+    * banding analysis), and — with a document-frequency cap on the
+    * posting list, mirroring ngramJaccardCapped — C2b.
     */
-  private val ngramJaccardOracle: String =
-    """WITH s AS (
+  private def ngramOracle(cap: Option[Int]): String = {
+    val postings = cap.fold("SELECT doc_id, shingle FROM p") { c =>
+      s"""SELECT p.doc_id, p.shingle FROM p
+         |  JOIN (SELECT shingle, count(*) AS c FROM p GROUP BY 1) df USING (shingle)
+         |  WHERE df.c <= $c""".stripMargin
+    }
+    s"""WITH s AS (
       |  SELECT doc_id,
       |    list_distinct(list_transform(
       |      range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
@@ -504,9 +549,10 @@ object SparkEntry {
       |  FROM documents),
       |sz AS (SELECT doc_id, len(sh) AS n_sh FROM s),
       |p AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
+      |pc AS ($postings),
       |pairs AS (
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-      |  FROM p a JOIN p b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  FROM pc a JOIN pc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       |  GROUP BY 1, 2)
       |SELECT doc_a, doc_b,
       |  CAST(pairs.inter AS DOUBLE) / (sa.n_sh + sb.n_sh - pairs.inter) AS jaccard
@@ -515,4 +561,7 @@ object SparkEntry {
       |JOIN sz sb ON doc_b = sb.doc_id
       |WHERE CAST(pairs.inter AS DOUBLE) / (sa.n_sh + sb.n_sh - pairs.inter) >= 0.5
       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  private val ngramJaccardOracle: String = ngramOracle(None)
 }

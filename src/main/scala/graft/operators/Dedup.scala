@@ -307,18 +307,26 @@ object Dedup {
 
   // --- SimHash (C4) -------------------------------------------------------
 
-  /** Per-document 64-bit SimHash over distinct words (xxhash64 word
-    * hashes; bit set when the signed bit-count is ≥ 0). One narrow
-    * codegen'd projection (functions/SimHashExpr) — no explode, no
-    * shuffle: simhashing pipelines at scan speed.
+  /** Per-document 64-bit SimHash over distinct words (bit set when the
+    * signed bit-count is ≥ 0). One narrow codegen'd projection
+    * (functions/SimHashExpr) — no explode, no shuffle: simhashing
+    * pipelines at scan speed.
+    *
+    * Word hash: the top 60 bits of md5 (`conv(substr(md5,1,15))`) —
+    * a universal hash like any other for SimHash purposes, chosen
+    * because it is PORTABLE SQL, which puts this operator under the
+    * DuckDB hash gate (xxhash64 isn't expressible there). Swap to
+    * xxhash64 for maximum scan throughput; nothing downstream changes.
     */
   def simhashes(t: Tables): DataFrame = {
     graft.functions.SimHashExpr.register(t.spark)
     t.documents
       .select(
         col("doc_id"),
-        expr("simhash64(transform(array_distinct(split(text, ' ')), w -> xxhash64(w)))")
-          .as("simhash")
+        expr(
+          "simhash64(transform(array_distinct(split(text, ' ')), " +
+            "w -> cast(conv(substring(md5(w), 1, 15), 16, 10) as bigint)))"
+        ).as("simhash")
       )
       .orderBy("doc_id")
   }

@@ -95,13 +95,14 @@ object Multimodal {
   def sampleFrames(spark: SparkSession, t: Tables, everyK: Int = 4): DataFrame = {
     import spark.implicits._
     decodeMedia(spark, t)
-      .withColumn("n_frames", (col("n_bytes") % 64 + 1).cast("int"))
+      .withColumn("n_frames", (col("n_bytes") % 64 + 1).cast("long"))
       .select(
         col("doc_id"),
         col("n_frames"),
-        explode(sequence(lit(0), col("n_frames") - 1, lit(everyK))).as("frame_idx")
+        explode(sequence(lit(0L), col("n_frames") - 1, lit(everyK.toLong))).as("frame_idx")
       )
       .withColumn("frame_key", sha2(concat_ws(":", col("doc_id"), col("frame_idx")), 256))
+      .orderBy("doc_id", "frame_idx")
   }
 
   /** Decoded-media metadata as a query: stub dimensions + format

@@ -35,9 +35,9 @@ class MultimodalSpec extends SparkSpecBase {
     val rows = Multimodal.sampleFrames(spark, tables, everyK = 4).collect()
     val byDoc = rows.groupBy(_.getLong(0))
     byDoc.foreach { case (_, frames) =>
-      val n    = frames.head.getInt(1)
-      val idxs = frames.map(_.getInt(2)).sorted.toSeq
-      assert(idxs == (0 until n by 4).toSeq, s"expected stride-4 of $n, got $idxs")
+      val n    = frames.head.getLong(1)
+      val idxs = frames.map(_.getLong(2)).sorted.toSeq
+      assert(idxs == (0L until n by 4).toSeq, s"expected stride-4 of $n, got $idxs")
     }
     assert(rows.map(_.getString(3)).distinct.length == rows.length, "frame keys must be unique")
   }
