@@ -166,20 +166,31 @@ object Dedup {
     * key → candidate pairs (distinct) → verify with exact intersection
     * on the candidate set only. The verify join touches O(candidates)
     * docs, not O(n²).
+    *
+    * `checkpointDir`: same contract as [[nearDupComponents]] — `None`
+    * materializes signatures with `localCheckpoint` (executor-local
+    * blocks: fast, right for single-node/testing, but not
+    * fault-tolerant); on a real cluster pass a reliable location and
+    * the signature table becomes a replayable `checkpoint()`.
     */
-  def minhashLsh(t: Tables, tau: Double = JaccardTau): DataFrame = {
+  def minhashLsh(
+      t: Tables,
+      tau: Double = JaccardTau,
+      checkpointDir: Option[String] = None
+  ): DataFrame = {
     graft.functions.MinHashExpr.register(t.spark)
+    checkpointDir.foreach(t.spark.sparkContext.setCheckpointDir)
     // The signature map pass (shingle → crc32 → minhash_sig) is the
     // dominant cost of this query at scale, and it feeds FOUR plan
     // sites: both sides of the band self-join and both sides of the
     // verify join. Materialize it exactly once — without the
     // checkpoint, Catalyst re-evaluates the whole pipeline per site
     // (~3-4× the map work; measured in round 1's bench audit).
-    val s = shingled(t)
+    val sigs = shingled(t)
       .withColumn("shx", expr(s"transform(sh, v -> crc32(v) % ${MinHashP}L)"))
       .withColumn("sig", expr("minhash_sig(shx)"))
       .select(col("doc_id"), col("sh"), col("n_sh"), col("sig"))
-      .localCheckpoint()
+    val s = if (checkpointDir.isDefined) sigs.checkpoint() else sigs.localCheckpoint()
     // the 32-element band array is cheap to build; exploding it costs
     // 32 re-evals of slice+concat per doc — still small next to the
     // band shuffle that follows

@@ -35,9 +35,11 @@ import org.apache.spark.sql.connector.write.streaming.{
   StreamingDataWriterFactory,
   StreamingWrite
 }
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.util.SerializableConfiguration
 
 /** Writable DataSource V2 twin of the reference's output surface: the
   * content-addressed S3 put (adder-labma/adder.go:58-76) and the bulk
@@ -61,15 +63,22 @@ import org.apache.spark.unsafe.types.UTF8String
   *    on task commit (Spark's commit coordinator admits one attempt
   *    per task; losing attempts abort → staging file deleted);
   *  - the driver's job commit writes a `_manifest/` entry listing
-  *    exactly the committed files (one atomic create);
+  *    exactly the committed files (written to a temp name and RENAMED
+  *    into place — rename is the atomic visibility primitive on HDFS,
+  *    so a crash mid-write can never expose a partial manifest);
   *  - readers union `_manifest/` entries and read ONLY listed files,
   *    so an orphaned file from a crashed executor is invisible;
-  *  - a streaming epoch's manifest is keyed `(queryId, epochId)` and
-  *    created with overwrite=false: replaying a committed epoch after
-  *    a driver failure is a no-op — exactly-once on top of the
-  *    engine's at-least-once epoch retries.
-  * All file I/O goes through the Hadoop FileSystem API, so the same
-  * code addresses HDFS/S3A on a cluster; rows are written as
+  *  - a streaming epoch's manifest is keyed `(queryId, epochId)`;
+  *    a rename that loses to an existing manifest IS the
+  *    replayed-committed-epoch case — the replayed data files are
+  *    dropped, making epoch retries exactly-once on top of the
+  *    engine's at-least-once delivery.
+  * All file I/O goes through the Hadoop FileSystem API with the Spark
+  * session's Hadoop configuration threaded to every executor-side
+  * factory (a `SerializableConfiguration` captured at planning time),
+  * so `spark.hadoop.*` settings — S3A credentials, endpoints,
+  * HDFS nameservices — apply on a cluster exactly as they do for
+  * Spark's own file sources; rows are written as
   * base64(key) TAB base64(payload) lines — delimiter-proof and
   * append-friendly. At 100 TB the unit of work stays one FILE per
   * task per epoch (batched columnar-style appends), never one object
@@ -99,27 +108,45 @@ object ContentStore {
     )
   )
 
-  private[graft] def fs(path: String): (FileSystem, Path) = {
+  /** The session's Hadoop configuration (spark.hadoop.* applied) when a
+    * session is active on this thread; plain defaults otherwise (tests
+    * poking at a local store directly).
+    */
+  private[graft] def driverHadoopConf(): Configuration =
+    SparkSession.getActiveSession
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new Configuration())
+
+  private[graft] def fs(path: String, conf: Configuration): (FileSystem, Path) = {
     val p = new Path(path)
-    (p.getFileSystem(new Configuration()), p)
+    (p.getFileSystem(conf), p)
   }
 
-  /** Data files recorded by any committed manifest, in manifest order. */
-  private[graft] def committedFiles(path: String): Seq[String] = {
-    val (filesystem, root) = fs(path)
+  /** Data files recorded by any committed manifest, in manifest order.
+    * Manifests are read as line streams (never sized into one array, so
+    * a pathological multi-GB manifest can't overflow an int); in-flight
+    * `.tmp-*` names are invisible by construction (dot-prefixed).
+    */
+  private[graft] def committedFiles(path: String, conf: Configuration): Seq[String] = {
+    val (filesystem, root) = fs(path, conf)
     val manifestDir        = new Path(root, "_manifest")
     if (!filesystem.exists(manifestDir)) return Seq.empty
     filesystem
       .listStatus(manifestDir)
       .toSeq
+      .filterNot(_.getPath.getName.startsWith("."))
       .sortBy(_.getPath.getName)
       .flatMap { st =>
-        val in    = filesystem.open(st.getPath)
-        val bytes = new Array[Byte](st.getLen.toInt)
-        in.readFully(bytes); in.close()
-        new String(bytes, "UTF-8").split("\n").filter(_.nonEmpty).toSeq
+        val reader = new java.io.BufferedReader(
+          new java.io.InputStreamReader(filesystem.open(st.getPath), "UTF-8")
+        )
+        try Iterator.continually(reader.readLine()).takeWhile(_ != null).filter(_.nonEmpty).toList
+        finally reader.close()
       }
   }
+
+  private[graft] def committedFiles(path: String): Seq[String] =
+    committedFiles(path, driverHadoopConf())
 }
 
 private[graft] class ContentStoreTable(path: String)
@@ -136,16 +163,22 @@ private[graft] class ContentStoreTable(path: String)
       TableCapability.STREAMING_WRITE
     )
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // captured on the driver at planning time; serialized to executors
+    val conf = new SerializableConfiguration(ContentStore.driverHadoopConf())
     new ScanBuilder {
       override def build(): Scan = new Scan with Batch {
         override def readSchema(): StructType = ContentStore.Schema
         override def toBatch: Batch           = this
         override def planInputPartitions(): Array[InputPartition] =
-          ContentStore.committedFiles(path).map(f => StoreFilePartition(path, f): InputPartition).toArray
-        override def createReaderFactory(): PartitionReaderFactory = new StoreReaderFactory()
+          ContentStore
+            .committedFiles(path, conf.value)
+            .map(f => StoreFilePartition(path, f): InputPartition)
+            .toArray
+        override def createReaderFactory(): PartitionReaderFactory = new StoreReaderFactory(conf)
       }
     }
+  }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     val in = info.schema()
@@ -155,60 +188,99 @@ private[graft] class ContentStoreTable(path: String)
     )
     val keyIdx     = in.fieldIndex("result_key")
     val payloadIdx = in.fieldIndex("payload")
+    val conf       = new SerializableConfiguration(ContentStore.driverHadoopConf())
     new WriteBuilder {
-      override def build(): Write = new ContentStoreWrite(path, info.queryId(), keyIdx, payloadIdx)
+      override def build(): Write =
+        new ContentStoreWrite(path, info.queryId(), keyIdx, payloadIdx, conf)
     }
   }
 }
 
-private[graft] class ContentStoreWrite(path: String, queryId: String, keyIdx: Int, payloadIdx: Int)
-    extends Write {
+private[graft] class ContentStoreWrite(
+    path: String,
+    queryId: String,
+    keyIdx: Int,
+    payloadIdx: Int,
+    conf: SerializableConfiguration
+) extends Write {
 
   override def toBatch: BatchWrite = new BatchWrite {
     override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-      new StoreWriterFactory(path, keyIdx, payloadIdx)
+      new StoreWriterFactory(path, keyIdx, payloadIdx, conf)
     // one manifest per job: readers see all-or-nothing of this write
     override def commit(messages: Array[WriterCommitMessage]): Unit =
-      ContentStoreWrite.writeManifest(path, s"batch-$queryId-${UUID.randomUUID()}", messages)
+      ContentStoreWrite.writeManifest(path, s"batch-$queryId-${UUID.randomUUID()}", messages, conf.value)
     override def abort(messages: Array[WriterCommitMessage]): Unit =
-      ContentStoreWrite.deleteFiles(path, messages)
+      ContentStoreWrite.deleteFiles(path, messages, conf.value)
   }
 
   override def toStreaming: StreamingWrite = new StreamingWrite {
     override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
-      new StoreWriterFactory(path, keyIdx, payloadIdx)
+      new StoreWriterFactory(path, keyIdx, payloadIdx, conf)
     // manifest keyed by (query, epoch): a replayed epoch is a no-op
     override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
-      ContentStoreWrite.writeManifest(path, s"epoch-$queryId-$epochId", messages, idempotent = true)
+      ContentStoreWrite.writeManifest(
+        path,
+        s"epoch-$queryId-$epochId",
+        messages,
+        conf.value,
+        idempotent = true
+      )
     override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
-      ContentStoreWrite.deleteFiles(path, messages)
+      ContentStoreWrite.deleteFiles(path, messages, conf.value)
   }
 }
 
 private[graft] object ContentStoreWrite {
+  /** Commit a manifest atomically: write the listing to a dot-prefixed
+    * temp name (invisible to readers) and rename into place. Rename is
+    * the atomic primitive on HDFS-like filesystems, so readers observe
+    * either no manifest or a complete one — never the partial/empty
+    * window a direct create() would expose. For idempotent (streaming
+    * epoch) commits, losing the rename race to an existing manifest IS
+    * the already-committed case: the replayed files are dropped so they
+    * can't be double-counted.
+    */
   def writeManifest(
       path: String,
       name: String,
       messages: Array[WriterCommitMessage],
+      hadoopConf: Configuration,
       idempotent: Boolean = false
   ): Unit = {
-    val (filesystem, root) = ContentStore.fs(path)
-    val manifest           = new Path(root, s"_manifest/$name")
+    val (filesystem, root) = ContentStore.fs(path, hadoopConf)
+    val manifestDir        = new Path(root, "_manifest")
+    val manifest           = new Path(manifestDir, name)
     if (idempotent && filesystem.exists(manifest)) {
       // epoch already committed before a driver restart: drop the
       // replayed files so they can't be double-counted later
-      deleteFiles(path, messages)
+      deleteFiles(path, messages, hadoopConf)
       return
     }
     val files = messages.collect { case StoreCommitMsg(f, n) if n > 0 => f }
-    filesystem.mkdirs(manifest.getParent)
-    val out = filesystem.create(manifest, /* overwrite = */ false)
+    filesystem.mkdirs(manifestDir)
+    val tmp = new Path(manifestDir, s".tmp-$name-${UUID.randomUUID()}")
+    val out = filesystem.create(tmp, /* overwrite = */ false)
     out.write(files.mkString("\n").getBytes("UTF-8"))
     out.close()
+    if (!filesystem.rename(tmp, manifest)) {
+      filesystem.delete(tmp, false): Unit
+      if (idempotent && filesystem.exists(manifest)) {
+        deleteFiles(path, messages, hadoopConf)
+      } else {
+        throw new java.io.IOException(
+          s"ContentStore: atomic manifest commit failed (rename $tmp -> $manifest)"
+        )
+      }
+    }
   }
 
-  def deleteFiles(path: String, messages: Array[WriterCommitMessage]): Unit = {
-    val (filesystem, root) = ContentStore.fs(path)
+  def deleteFiles(
+      path: String,
+      messages: Array[WriterCommitMessage],
+      hadoopConf: Configuration
+  ): Unit = {
+    val (filesystem, root) = ContentStore.fs(path, hadoopConf)
     messages.foreach {
       case StoreCommitMsg(f, _) => filesystem.delete(new Path(root, s"data/$f"), false): Unit
       case _                    => ()
@@ -218,15 +290,19 @@ private[graft] object ContentStoreWrite {
 
 private[graft] case class StoreCommitMsg(file: String, rows: Long) extends WriterCommitMessage
 
-private[graft] class StoreWriterFactory(path: String, keyIdx: Int, payloadIdx: Int)
-    extends DataWriterFactory
+private[graft] class StoreWriterFactory(
+    path: String,
+    keyIdx: Int,
+    payloadIdx: Int,
+    conf: SerializableConfiguration
+) extends DataWriterFactory
     with StreamingDataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new StoreDataWriter(path, keyIdx, payloadIdx)
+    new StoreDataWriter(path, keyIdx, payloadIdx, conf.value)
 
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
-    new StoreDataWriter(path, keyIdx, payloadIdx)
+    new StoreDataWriter(path, keyIdx, payloadIdx, conf.value)
 }
 
 /** Stage → rename-on-task-commit writer. The name is a fresh UUID per
@@ -234,10 +310,14 @@ private[graft] class StoreWriterFactory(path: String, keyIdx: Int, payloadIdx: I
   * the attempt whose commit message reaches the driver lands in a
   * manifest.
   */
-private[graft] class StoreDataWriter(path: String, keyIdx: Int, payloadIdx: Int)
-    extends DataWriter[InternalRow] {
+private[graft] class StoreDataWriter(
+    path: String,
+    keyIdx: Int,
+    payloadIdx: Int,
+    hadoopConf: Configuration
+) extends DataWriter[InternalRow] {
 
-  private val (filesystem, root) = ContentStore.fs(path)
+  private val (filesystem, root) = ContentStore.fs(path, hadoopConf)
   private val file               = UUID.randomUUID().toString
   private val staging            = new Path(root, s"data/.staging-$file")
   private lazy val out = { filesystem.mkdirs(staging.getParent); filesystem.create(staging, false) }
@@ -252,7 +332,14 @@ private[graft] class StoreDataWriter(path: String, keyIdx: Int, payloadIdx: Int)
   }
 
   override def commit(): WriterCommitMessage = {
-    if (rows > 0) { out.close(); filesystem.rename(staging, new Path(root, s"data/$file")): Unit }
+    if (rows > 0) {
+      out.close()
+      // Hadoop FileSystems report many failures as `false` rather than
+      // throwing; a swallowed failure here would put a phantom file in
+      // the manifest. Throw → task attempt fails → Spark retries it.
+      if (!filesystem.rename(staging, new Path(root, s"data/$file")))
+        throw new java.io.IOException(s"ContentStore: task commit rename failed for $staging")
+    }
     StoreCommitMsg(file, rows)
   }
 
@@ -265,10 +352,11 @@ private[graft] class StoreDataWriter(path: String, keyIdx: Int, payloadIdx: Int)
 
 private[graft] case class StoreFilePartition(path: String, file: String) extends InputPartition
 
-private[graft] class StoreReaderFactory extends PartitionReaderFactory {
+private[graft] class StoreReaderFactory(conf: SerializableConfiguration)
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p                  = partition.asInstanceOf[StoreFilePartition]
-    val (filesystem, root) = ContentStore.fs(p.path)
+    val (filesystem, root) = ContentStore.fs(p.path, conf.value)
     val in                 = filesystem.open(new Path(root, s"data/${p.file}"))
     val reader             = new java.io.BufferedReader(new java.io.InputStreamReader(in, "UTF-8"))
     val dec                = Base64.getDecoder

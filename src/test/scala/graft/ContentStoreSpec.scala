@@ -15,6 +15,10 @@ class ContentStoreSpec extends SparkSpecBase {
 
   private def tmp(): String = Files.createTempDirectory("graft-store").toString
 
+  private def hconf            = spark.sessionState.newHadoopConf()
+  private def sconf            = new org.apache.spark.util.SerializableConfiguration(hconf)
+  private def factoryFor(dir: String) = new StoreWriterFactory(dir, 0, 1, sconf)
+
   private def readBack(dir: String): Set[(String, String)] =
     spark.read
       .format("graft.sources.ContentStore")
@@ -43,33 +47,37 @@ class ContentStoreSpec extends SparkSpecBase {
 
   test("rows from a zombie task attempt are invisible to readers") {
     val dir     = tmp()
-    val factory = new StoreWriterFactory(dir, 0, 1)
+    val factory = factoryFor(dir)
     // attempt 1 writes rows, then the executor 'dies' (no commit)
     val zombie = factory.createWriter(0, 1L)
     zombie.write(InternalRow(UTF8String.fromString("k"), UTF8String.fromString("from-zombie")))
     // the retried attempt wins the commit coordinator and commits
     val winner = factory.createWriter(0, 2L)
     winner.write(InternalRow(UTF8String.fromString("k"), UTF8String.fromString("from-winner")))
-    ContentStoreWrite.writeManifest(dir, "batch-test-0", Array(winner.commit()))
+    ContentStoreWrite.writeManifest(dir, "batch-test-0", Array(winner.commit()), hconf)
     zombie.abort()
     assert(readBack(dir) == Set(("k", "from-winner")))
   }
 
   test("replaying a committed streaming epoch is a no-op (exactly-once)") {
     val dir     = tmp()
-    val factory = new StoreWriterFactory(dir, 0, 1)
+    val factory = factoryFor(dir)
     val w1      = factory.createWriter(0, 1L, 7L)
     w1.write(InternalRow(UTF8String.fromString("k7"), UTF8String.fromString("v")))
-    ContentStoreWrite.writeManifest(dir, "epoch-q-7", Array(w1.commit()), idempotent = true)
+    ContentStoreWrite.writeManifest(dir, "epoch-q-7", Array(w1.commit()), hconf, idempotent = true)
     // driver restarts and replays epoch 7: a fresh attempt rewrites the
     // same data and the sink sees a second commit for the same epoch
     val w2 = factory.createWriter(0, 2L, 7L)
     w2.write(InternalRow(UTF8String.fromString("k7"), UTF8String.fromString("v")))
-    ContentStoreWrite.writeManifest(dir, "epoch-q-7", Array(w2.commit()), idempotent = true)
+    ContentStoreWrite.writeManifest(dir, "epoch-q-7", Array(w2.commit()), hconf, idempotent = true)
     assert(readBack(dir).size == 1, "epoch replay must not double rows")
     // and the replayed file must not linger as an orphan in data/
     val dataFiles = new java.io.File(s"$dir/data").list().filterNot(_.startsWith("."))
     assert(dataFiles.length == 1, s"replayed epoch left an orphan: ${dataFiles.toSeq}")
+    // manifests commit via tmp-then-rename: no .tmp residue may remain
+    // (.crc checksum sidecars are the local FileSystem's, not ours)
+    val manifests = new java.io.File(s"$dir/_manifest").list()
+    assert(manifests.forall(!_.contains(".tmp-")), s"temp manifest leaked: ${manifests.toSeq}")
   }
 
   test("writeStream lands micro-batches through epoch manifests") {
