@@ -70,6 +70,13 @@ object SparkEntry {
     "dedup_source_sim"     -> ((s, d) => Dedup.sourceSimilarity(Tables(s, d))),
     "dedup_winnow"         -> ((s, d) => Dedup.winnowPairs(Tables(s, d))),
     "pipeline_curate"      -> ((s, d) => Curation.curate(Tables(s, d))),
+    "q_asof_join"          -> ((s, d) => Temporal.asofPriorClick(Tables(s, d))),
+    "q_range_join"         -> ((s, d) => Temporal.signupActivity(Tables(s, d))),
+    "q_distinct_users_twophase" -> ((s, d) => Analytics.distinctUsersTwoPhase(Tables(s, d))),
+    "q_sample_hash"        -> ((s, d) => Sampling.hashSample(Tables(s, d))),
+    "q_sample_stratified"  -> ((s, d) => Sampling.stratifiedSample(Tables(s, d))),
+    "text_contaminate"     -> ((s, d) => Dedup.contamination(Tables(s, d))),
+    "pipeline_pack"        -> ((s, d) => Curation.packTokenBudget(Tables(s, d))),
     "multimodal_meta"      -> ((s, d) => Multimodal.mediaMeta(Tables(s, d))),
     "multimodal_decode"    -> ((s, d) => Multimodal.decodeSummary(s, Tables(s, d))),
     "multimodal_frames"    -> ((s, d) => Multimodal.sampleFrames(s, Tables(s, d)))
@@ -354,6 +361,77 @@ object SparkEntry {
         |JOIN supplier s ON l.l_suppkey = s.s_suppkey
         |JOIN nation n ON s.s_nationkey = n.n_nationkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_asof_join" -> // as-of = latest prior click per purchase; ties: latest ts then largest click id
+      """WITH c AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'),
+        |j AS (
+        |  SELECT p.event_id, p.user_id, p.ts, c.event_id AS click_event_id, c.ts AS click_ts,
+        |    row_number() OVER (PARTITION BY p.event_id ORDER BY c.ts DESC, c.event_id DESC) AS rn
+        |  FROM p JOIN c ON c.user_id = p.user_id AND c.ts <= p.ts)
+        |SELECT event_id, user_id, ts, click_event_id, click_ts,
+        |  epoch_us(ts) - epoch_us(click_ts) AS gap_us
+        |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin,
+    "q_range_join" -> // interval join: same-user activity within [signup, signup+1h)
+      """WITH s AS (
+        |  SELECT event_id AS signup_id, user_id, ts AS s_ts FROM events
+        |  WHERE event_type = 'signup')
+        |SELECT s.signup_id, s.user_id, s.s_ts, count(*) AS n_events,
+        |  CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM s JOIN events e ON e.user_id = s.user_id
+        |  AND e.ts >= s.s_ts AND epoch_us(e.ts) < epoch_us(s.s_ts) + 3600000000
+        |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
+    "q_distinct_users_twophase" -> // two-phase (skew-safe) exact distinct — same answer as q_distinct_users
+      """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+    "q_sample_hash" -> // hash-Bernoulli sample: pure row function, engine-portable
+      """WITH b AS (
+        |  SELECT doc_id, source, n_chars,
+        |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 AS bucket
+        |  FROM documents)
+        |SELECT doc_id, source, n_chars, bucket FROM b
+        |WHERE bucket < CASE WHEN source IN ('src0','src1','src2') THEN 50 ELSE 10 END
+        |ORDER BY doc_id""".stripMargin,
+    "q_sample_stratified" -> // N lowest-hash docs per source (reproducible uniform order)
+      """WITH h AS (
+        |  SELECT doc_id, source, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
+        |r AS (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rn
+        |  FROM h)
+        |SELECT doc_id, source, CAST(rn AS BIGINT) AS rn FROM r
+        |WHERE rn <= 5 ORDER BY source, rn""".stripMargin,
+    "text_contaminate" -> // distinct-trigram overlap with the doc_id%97=0 benchmark slice
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
+        |      i -> concat_ws(' ', string_split(text, ' ')[CAST(i AS INT)],
+        |                     string_split(text, ' ')[CAST(i AS INT) + 1],
+        |                     string_split(text, ' ')[CAST(i AS INT) + 2]))) AS sh
+        |  FROM documents),
+        |p AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS shingle FROM s),
+        |bench AS (SELECT DISTINCT shingle FROM p WHERE doc_id % 97 = 0)
+        |SELECT p.doc_id, count(*) AS n_hits, CAST(max(p.n_sh) AS BIGINT) AS n_sh,
+        |  CAST(count(*) AS DOUBLE) / max(p.n_sh) AS contam_ratio
+        |FROM p JOIN bench USING (shingle)
+        |WHERE p.doc_id % 97 <> 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "pipeline_pack" -> // token-budget packing: prefix-sum bin of each doc's first token
+      """WITH q AS (
+        |  SELECT source, doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT *, sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |                                ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM q),
+        |b AS (SELECT *, CAST(floor((cum - n_tokens) / 2048) AS BIGINT) AS bin_id FROM c)
+        |SELECT source, bin_id, count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "dedup_exact" ->
       """WITH h AS (
         |  SELECT doc_id, md5(regexp_replace(trim(text), '\s+', ' ', 'g')) AS text_hash

@@ -103,6 +103,24 @@ object Analytics {
       .agg(countDistinct(col("user_id")).as("n_users"), count(lit(1)).as("n_events"))
       .orderBy("event_type")
 
+  /** B5 skew-safe exact twin: two-phase distinct. `countDistinct` per
+    * group plans an Expand that funnels each group's whole value set
+    * through that group's reducer — with 5 event types and 10⁹ users a
+    * single task owns ~2×10⁸ values. Re-keying phase 1 on the COMPOSITE
+    * (event_type, user_id) spreads the dedup over all partitions (the
+    * user_id component is the salt — high-cardinality and
+    * hash-uniform); phase 2 then counts survivors per type, a
+    * partial-agg'd count over pre-deduped rows. Two balanced shuffles
+    * instead of one skewed one — identical output, gate-shared oracle.
+    */
+  def distinctUsersTwoPhase(t: Tables): DataFrame =
+    t.events
+      .groupBy("event_type", "user_id")
+      .agg(count(lit(1)).as("n"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_users"), sum("n").as("n_events"))
+      .orderBy("event_type")
+
   /** B5 scale twin: HLL sketch — one pass, no exact distinct shuffle
     * explosion. rows-only checked (approximate by construction).
     */

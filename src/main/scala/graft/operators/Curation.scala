@@ -40,4 +40,38 @@ object Curation {
       .select(col("doc_id"), col("n_tokens"), col("lang_pred"))
       .orderBy("doc_id")
   }
+
+  /** Sequence packing: assign documents to fixed token-budget bins for
+    * training-batch assembly. Documents are laid out in (source,
+    * doc_id) order as one virtual token stream per source and cut every
+    * `budget` tokens; a document belongs to the bin its FIRST token
+    * falls in (documents are never split, so a bin can overflow by at
+    * most one document's tail — the standard "pack then pad/truncate"
+    * layout).
+    *
+    * The greedy formulation is a prefix sum, NOT a sequential fold, so
+    * it stays declarative: one shuffle on source, a running-sum window,
+    * and a partial-agg'd groupBy. At 100 TB the per-source window is
+    * the only serial dimension — sources are many and balanced in a
+    * real corpus layout (shard-sized groups), exactly like the
+    * partitioned pagination twin in Paging.pagesScalable.
+    */
+  def packTokenBudget(t: Tables, budget: Int = 2048): DataFrame = {
+    val bySource = org.apache.spark.sql.expressions.Window
+      .partitionBy("source")
+      .orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    t.documents
+      .select(col("source"), col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("cum", sum("n_tokens").over(bySource))
+      .withColumn("bin_id", floor((col("cum") - col("n_tokens")) / budget))
+      .groupBy("source", "bin_id")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("bin_tokens"),
+        min("doc_id").as("first_doc"),
+        max("doc_id").as("last_doc")
+      )
+      .orderBy("source", "bin_id")
+  }
 }

@@ -149,6 +149,43 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Benchmark decontamination: flag corpus documents sharing any
+    * word-trigram with a held-out evaluation set (here the
+    * deterministic slice doc_id % 97 == 0 stands in for the benchmark).
+    * Training corpora must be scrubbed of eval-set n-grams or measured
+    * capability is contaminated — this is the standard n-gram-overlap
+    * check, run as a JOIN, not a per-doc scan of the benchmark.
+    *
+    * Plan shape for 100 TB: the benchmark's distinct shingle set is
+    * tiny relative to the corpus (eval sets are MBs, corpora are TBs),
+    * so it is BROADCAST — the corpus postings stream map-side through
+    * the hash join with no shuffle of the corpus at all; the only wide
+    * exchange is the final per-doc count, keyed by doc_id, whose input
+    * is only the matching postings (∝ contamination mass, not corpus
+    * size).
+    */
+  def contamination(t: Tables): DataFrame = {
+    val postings = shingledPostings(t)
+      .select(col("doc_id"), col("n_sh"), xxhash64(col("sh")).as("shingle"))
+    val benchShingles = postings
+      .filter(col("doc_id") % 97 === 0)
+      .select(col("shingle")).distinct()
+    postings
+      .filter(col("doc_id") % 97 =!= 0)
+      .join(broadcast(benchShingles), "shingle")
+      // postings are distinct per (doc, shingle), so count(*) IS the
+      // number of distinct contaminated shingles
+      .groupBy("doc_id", "n_sh")
+      .agg(count(lit(1)).as("n_hits"))
+      .select(
+        col("doc_id"),
+        col("n_hits"),
+        col("n_sh"),
+        (col("n_hits").cast("double") / col("n_sh")).as("contam_ratio")
+      )
+      .orderBy("doc_id")
+  }
+
   // --- MinHash-LSH (C3) ---------------------------------------------------
   // 128 permutation hashes h_i(x) = (a_i·x + b_i) mod P over crc32 shingle
   // keys, banded 32×4. Candidate-miss probability for a pair at Jaccard s

@@ -1,0 +1,57 @@
+package graft.operators
+
+import graft.sources.Tables
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for corpus curation. `df.sample()` is
+  * seed-dependent on partitioning (a repartition changes the rows you
+  * get), which is useless for a reproducible 100 TB pipeline — so both
+  * operators key the sampling decision off a content hash: the sample
+  * is a pure function of the ROW, not of the physical plan, and any
+  * engine (here: the DuckDB oracle) draws the identical sample.
+  */
+object Sampling {
+
+  /** Per-row hash bucket in [0, 100): first 8 hex digits of
+    * md5(doc_id), mod 100. Uniform, deterministic, engine-portable.
+    */
+  private def hashBucket = {
+    conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10).cast("long") % 100
+  }
+
+  /** Stratified Bernoulli sample with per-source rates: high-value
+    * sources (src0-src2) keep 50%, the rest 10%. Map-only — the filter
+    * is a codegen'd projection over the scan, no shuffle at all, so at
+    * 100 TB this runs at scan speed and composes with pushdown (only
+    * doc_id/source/n_chars are read).
+    */
+  def hashSample(t: Tables): DataFrame = {
+    val rate = when(col("source").isin("src0", "src1", "src2"), lit(50)).otherwise(lit(10))
+    t.documents
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .withColumn("bucket", hashBucket)
+      .filter(col("bucket") < rate)
+      .orderBy("doc_id")
+  }
+
+  /** Exact-size stratified sample: the N lowest-hash docs per source
+    * (hash order = uniform random order, but reproducible). One shuffle
+    * on source; rank via row_number per stratum. At 100 TB with few
+    * huge strata the window funnels a stratum through one task — for
+    * that shape, swap in the TopKPerKey physical operator (plans/
+    * TopKPerKey.scala) which bounds memory at O(k) per stratum; with
+    * many strata (the common curation case) this plan is already right.
+    */
+  def stratifiedSample(t: Tables, perSource: Int = 5): DataFrame = {
+    val w = Window.partitionBy("source").orderBy(col("h"), col("doc_id"))
+    t.documents
+      .select(col("doc_id"), col("source"))
+      .withColumn("h", md5(col("doc_id").cast("string")))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= perSource)
+      .select(col("doc_id"), col("source"), col("rn"))
+      .orderBy("source", "rn")
+  }
+}

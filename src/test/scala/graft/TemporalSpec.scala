@@ -1,0 +1,131 @@
+package graft
+
+import graft.operators.{Curation, Dedup, Sampling, Temporal}
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions._
+
+/** Semantics + plan-shape checks for the temporal joins and the
+  * curation utilities added in round 3 (as-of join, interval join,
+  * sampling, packing, decontamination).
+  */
+class TemporalSpec extends SparkSpecBase {
+
+  private def executedPlanString(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan.toString
+      case p                        => p.toString
+    }
+  }
+
+  test("as-of join picks the latest at-or-before click, per purchase") {
+    val rows = Temporal.asofPriorClick(tables).collect()
+    assert(rows.nonEmpty)
+    // every carried click is at-or-before its purchase
+    assert(rows.forall(r => r.getAs[Long]("gap_us") >= 0L))
+    // cross-check one purchase against a direct computation
+    val e = tables.events.select("event_id", "ts", "user_id", "event_type").collect()
+    val sample = rows.take(20)
+    sample.foreach { r =>
+      val pTs  = r.getAs[java.sql.Timestamp]("ts")
+      val user = r.getAs[Long]("user_id")
+      val best = e
+        .filter(x => x.getAs[String]("event_type") == "click")
+        .filter(x => x.getAs[Long]("user_id") == user)
+        .filter(x => !x.getAs[java.sql.Timestamp]("ts").after(pTs))
+        .maxBy(x => (x.getAs[java.sql.Timestamp]("ts").getTime, x.getAs[Long]("event_id")))
+      assert(r.getAs[Long]("click_event_id") == best.getAs[Long]("event_id"))
+    }
+  }
+
+  test("as-of join is one user shuffle — no nested-loop, no extra exchange") {
+    val plan = executedPlanString(Temporal.asofPriorClick(tables))
+    assert(!plan.contains("NestedLoop"), s"as-of degenerated to a nested loop:\n$plan")
+    assert(!plan.contains("Join"), s"as-of should be join-free (union+window):\n$plan")
+    // exactly one hash exchange (user_id) before the final sort
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, s"extra shuffles:\n$plan")
+  }
+
+  test("interval join matches a naive per-row filter and never plans BNLJ") {
+    val got = Temporal
+      .signupActivity(tables)
+      .collect()
+      .map(r => (r.getAs[Long]("signup_id"), r.getAs[Long]("n_events")))
+      .toMap
+    val e = tables.events.select("event_id", "ts", "user_id", "event_type").collect()
+    val hourUs = 3600L * 1000000L
+    def us(t: java.sql.Timestamp): Long = t.getTime * 1000 + (t.getNanos / 1000) % 1000
+    val naive = e
+      .filter(_.getAs[String]("event_type") == "signup")
+      .map { s =>
+        val sUs = us(s.getAs[java.sql.Timestamp]("ts"))
+        val n = e.count { x =>
+          x.getAs[Long]("user_id") == s.getAs[Long]("user_id") && {
+            val xUs = us(x.getAs[java.sql.Timestamp]("ts"))
+            xUs >= sUs && xUs < sUs + hourUs
+          }
+        }
+        s.getAs[Long]("event_id") -> n.toLong
+      }
+      .toMap
+    assert(got == naive)
+    val plan = executedPlanString(Temporal.signupActivity(tables))
+    assert(!plan.contains("NestedLoop"), s"range join degenerated to BNLJ:\n$plan")
+  }
+
+  test("hash sample is a map-only plan and stratified sample is exact-size") {
+    val plan = Sampling.hashSample(tables).queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).isEmpty, s"sample shuffled:\n$plan")
+    val strat = Sampling.stratifiedSample(tables, perSource = 5)
+    val sizes = strat.groupBy("source").count().collect().map(_.getAs[Long]("count"))
+    assert(sizes.nonEmpty && sizes.forall(_ == 5L))
+    // determinism: two runs draw the identical sample
+    assert(
+      Sampling.hashSample(tables).collect().toSeq ==
+        Sampling.hashSample(tables).collect().toSeq
+    )
+  }
+
+  test("packing never splits a document and bins overflow by at most one doc tail") {
+    val budget = 2048
+    val bins   = Curation.packTokenBudget(tables, budget).collect()
+    assert(bins.nonEmpty)
+    val bySource = bins.groupBy(_.getAs[String]("source"))
+    bySource.values.foreach { bs =>
+      val sorted = bs.sortBy(_.getAs[Long]("bin_id"))
+      // doc ranges of consecutive bins are contiguous and disjoint
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Long]("last_doc") < b.getAs[Long]("first_doc"))
+        case _ => ()
+      }
+      // every bin except possibly the last STARTS within budget of its
+      // floor: bin_id equals floor(start_offset/budget) by construction,
+      // so cumulative bin_tokens of preceding bins lands in the bin's span
+      val cums = sorted.scanLeft(0L)(_ + _.getAs[Long]("bin_tokens")).init
+      sorted.zip(cums).foreach { case (r, startOffset) =>
+        assert(r.getAs[Long]("bin_id") == startOffset / budget)
+      }
+    }
+  }
+
+  test("decontamination flags exactly the docs sharing a trigram with the benchmark") {
+    val flagged = Dedup.contamination(tables).collect().map(_.getAs[Long]("doc_id")).toSet
+    val docs = tables.documents.select("doc_id", "text").collect()
+    def shingles(s: String): Set[String] =
+      s.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    val bench = docs
+      .filter(_.getAs[Long]("doc_id") % 97 == 0)
+      .flatMap(d => shingles(d.getAs[String]("text")))
+      .toSet
+    val expected = docs
+      .filter(d => d.getAs[Long]("doc_id") % 97 != 0)
+      .filter(d => shingles(d.getAs[String]("text")).exists(bench.contains))
+      .map(_.getAs[Long]("doc_id"))
+      .toSet
+    assert(flagged == expected)
+    // the benchmark shingle side must broadcast (corpus never shuffles into the join)
+    val plan = executedPlanString(Dedup.contamination(tables))
+    assert(plan.contains("BroadcastHashJoin"), s"benchmark set not broadcast:\n$plan")
+  }
+}
