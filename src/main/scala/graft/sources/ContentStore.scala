@@ -122,28 +122,37 @@ object ContentStore {
     (p.getFileSystem(conf), p)
   }
 
-  /** Data files recorded by any committed manifest, in manifest order.
-    * Manifests are read as line streams (never sized into one array, so
-    * a pathological multi-GB manifest can't overflow an int); in-flight
-    * `.tmp-*` names are invisible by construction (dot-prefixed).
+  /** Committed manifest names, sorted. In-flight `.tmp-*` names are
+    * invisible by construction (dot-prefixed).
     */
-  private[graft] def committedFiles(path: String, conf: Configuration): Seq[String] = {
+  private[graft] def manifestNames(path: String, conf: Configuration): Seq[String] = {
     val (filesystem, root) = fs(path, conf)
     val manifestDir        = new Path(root, "_manifest")
     if (!filesystem.exists(manifestDir)) return Seq.empty
     filesystem
       .listStatus(manifestDir)
       .toSeq
-      .filterNot(_.getPath.getName.startsWith("."))
-      .sortBy(_.getPath.getName)
-      .flatMap { st =>
-        val reader = new java.io.BufferedReader(
-          new java.io.InputStreamReader(filesystem.open(st.getPath), "UTF-8")
-        )
-        try Iterator.continually(reader.readLine()).takeWhile(_ != null).filter(_.nonEmpty).toList
-        finally reader.close()
-      }
+      .map(_.getPath.getName)
+      .filterNot(_.startsWith("."))
+      .sorted
   }
+
+  /** Data files recorded by one committed manifest, in listing order.
+    * Manifests are read as line streams (never sized into one array, so
+    * a pathological multi-GB manifest can't overflow an int).
+    */
+  private[graft] def filesInManifest(path: String, name: String, conf: Configuration): Seq[String] = {
+    val (filesystem, root) = fs(path, conf)
+    val reader = new java.io.BufferedReader(
+      new java.io.InputStreamReader(filesystem.open(new Path(root, s"_manifest/$name")), "UTF-8")
+    )
+    try Iterator.continually(reader.readLine()).takeWhile(_ != null).filter(_.nonEmpty).toList
+    finally reader.close()
+  }
+
+  /** Data files recorded by any committed manifest, in manifest order. */
+  private[graft] def committedFiles(path: String, conf: Configuration): Seq[String] =
+    manifestNames(path, conf).flatMap(m => filesInManifest(path, m, conf))
 
   private[graft] def committedFiles(path: String): Seq[String] =
     committedFiles(path, driverHadoopConf())
@@ -160,6 +169,7 @@ private[graft] class ContentStoreTable(path: String)
     java.util.EnumSet.of(
       TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE,
+      TableCapability.MICRO_BATCH_READ,
       TableCapability.STREAMING_WRITE
     )
 
@@ -176,6 +186,10 @@ private[graft] class ContentStoreTable(path: String)
             .map(f => StoreFilePartition(path, f): InputPartition)
             .toArray
         override def createReaderFactory(): PartitionReaderFactory = new StoreReaderFactory(conf)
+        override def toMicroBatchStream(
+            checkpointLocation: String
+        ): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+          new StoreMicroBatchStream(path, conf)
       }
     }
   }
@@ -351,6 +365,100 @@ private[graft] class StoreDataWriter(
 }
 
 private[graft] case class StoreFilePartition(path: String, file: String) extends InputPartition
+
+/** Streaming READ: tail the manifest log. Every committed manifest —
+  * a streaming epoch from an upstream writer or a one-shot batch job —
+  * becomes (part of) a micro-batch downstream, which makes the store a
+  * real handoff point between pipelines: one query writes epochs, any
+  * number of followers consume them incrementally with exactly-once
+  * accounting (the same role the reference's S3-put → S3-notify →
+  * Lambda chain plays, s3_lambda/download.go:60-92).
+  *
+  * Offsets name the CONSUMED MANIFEST SET, not a numeric position —
+  * manifest names are not monotonic (batch manifests are UUID-keyed,
+  * concurrent writers interleave), so a prefix counter would silently
+  * skip a manifest that sorts before the high-water mark. The set is
+  * exactly Spark's own FileStreamSource design (its checkpointed
+  * seen-files map), with the same growth characteristic: offset size
+  * is O(#manifests ever committed) — manifests are per-epoch/per-job
+  * (thousands at 100 TB, not billions), and a production deployment
+  * would compact fully-consumed manifests the way FileStreamSource
+  * ages out old entries.
+  *
+  * A batch is planned as one InputPartition per data FILE (files are
+  * task-sized by the upstream writer), read by the same reader factory
+  * as the batch scan.
+  */
+private[graft] class StoreMicroBatchStream(path: String, conf: SerializableConfiguration)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  // AvailableNow snapshot: the manifest set the drain must reach
+  @volatile private var availableNowTarget: Option[StoreOffset] = None
+
+  private def currentOffset: StoreOffset =
+    StoreOffset(ContentStore.manifestNames(path, conf.value).toVector)
+
+  override def initialOffset(): Offset = StoreOffset(Vector.empty)
+
+  override def latestOffset(): Offset = availableNowTarget.getOrElse(currentOffset)
+
+  /** Admission control (required by SupportsTriggerAvailableNow): one
+    * trigger admits every not-yet-consumed manifest — epochs are the
+    * upstream writer's batching, so re-chunking them here would only
+    * delay visibility. A rate-limited variant would take a maxFiles
+    * ReadLimit and cap the set difference.
+    */
+  override def latestOffset(
+      start: Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit
+  ): Offset = latestOffset()
+
+  override def prepareForTriggerAvailableNow(): Unit = availableNowTarget = Some(currentOffset)
+
+  override def deserializeOffset(json: String): Offset = StoreOffset.fromJson(json)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val seen = start.asInstanceOf[StoreOffset].manifests.toSet
+    end
+      .asInstanceOf[StoreOffset]
+      .manifests
+      .filterNot(seen)
+      .flatMap(m => ContentStore.filesInManifest(path, m, conf.value))
+      .map(f => StoreFilePartition(path, f): InputPartition)
+      .toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = new StoreReaderFactory(conf)
+
+  override def commit(end: Offset): Unit = () // consumed set lives in the offset log
+
+  override def stop(): Unit = ()
+}
+
+/** Manifest-set offset. Names are `[A-Za-z0-9._-]` by construction
+  * (writer-generated: epoch-/batch- prefixes, UUIDs, epoch numbers),
+  * so the JSON codec below is exact without an escape pass — enforced
+  * at construction rather than silently corrupted at serialization.
+  */
+private[graft] case class StoreOffset(manifests: Vector[String])
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  manifests.foreach { m =>
+    require(m.matches("[A-Za-z0-9._-]+"), s"unexpected manifest name: $m")
+  }
+  override def json(): String =
+    if (manifests.isEmpty) "[]" else manifests.sorted.mkString("[\"", "\",\"", "\"]")
+}
+
+private[graft] object StoreOffset {
+  def fromJson(json: String): StoreOffset = {
+    val trimmed = json.trim.stripPrefix("[").stripSuffix("]").trim
+    if (trimmed.isEmpty) StoreOffset(Vector.empty)
+    else StoreOffset(trimmed.split(",").toVector.map(_.trim.stripPrefix("\"").stripSuffix("\"")))
+  }
+}
 
 private[graft] class StoreReaderFactory(conf: SerializableConfiguration)
     extends PartitionReaderFactory {
