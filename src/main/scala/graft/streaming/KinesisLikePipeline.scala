@@ -173,6 +173,71 @@ object KinesisLikePipeline {
       }
   }
 
+  /** Spark-4 arbitrary-state twin of [[pageSequencer]], on the
+    * `transformWithState` API. Same semantics (one counter per topic,
+    * pages numbered across triggers); what changes is the state
+    * machinery: typed, named state variables (`ValueState[Long]`)
+    * backed by the RocksDB state store — the production-scale path,
+    * since flatMapGroupsWithState's HDFS-backed map keeps live state
+    * on the executor heap while RocksDB spills to local disk and
+    * uploads changelogs, which is what actually holds at 100 TB/day of
+    * topic state. The processor also gets per-variable TTL and timers
+    * for free (idle-topic eviction = `TTLConfig(Duration)` instead of
+    * hand-rolled timeout handling). Equality with the fMGWS variant is
+    * spec-asserted across triggers.
+    */
+  class PageSequencerProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, TopicMsg, PageMsg] {
+    import org.apache.spark.sql.streaming.{TTLConfig, TimeMode, ValueState}
+    import org.apache.spark.sql.Encoders
+
+    @transient private var emitted: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      emitted = getHandle.getValueState[Long]("emitted", Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(
+        topicId: Long,
+        in: Iterator[TopicMsg],
+        timerValues: org.apache.spark.sql.streaming.TimerValues
+    ): Iterator[PageMsg] = {
+      var e = if (emitted.exists()) emitted.get() else 0L
+      val out = in.toSeq.sortBy(_.message).flatMap { m =>
+        val pageCount = m.n_devices / m.page_size + 1
+        (1L to pageCount).map { p =>
+          e += 1
+          PageMsg(
+            topicId,
+            p,
+            pageCount,
+            e,
+            m.message,
+            if (p == 1) "Count: 1st page sent"
+            else if (p == pageCount) s"Count: Last Page Sent: $pageCount"
+            else ""
+          )
+        }
+      }
+      emitted.update(e)
+      out.iterator
+    }
+  }
+
+  /** [[pageSequencer]] on the transformWithState engine (requires the
+    * RocksDB state store provider — set
+    * `spark.sql.streaming.stateStore.providerClass` before starting).
+    */
+  def pageSequencerTws(spark: SparkSession, msgs: Dataset[TopicMsg]): Dataset[PageMsg] = {
+    import spark.implicits._
+    msgs
+      .groupByKey(_.topic_id)
+      .transformWithState(
+        new PageSequencerProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append()
+      )
+  }
+
   /** A14 end-to-end THROUGH the DSv2 connector: `readStream` on
     * graft.sources.ProblemSource (real offsets, not a rate-source
     * stand-in) → envelope decode → adder → content-addressed parquet

@@ -219,4 +219,43 @@ class StreamingSpec extends SparkSpecBase {
     val t2 = rows.filter(_.topic_id == 2)
     assert(t2.map(_.global_seq).toSeq == Seq(1L), "topics must not share state")
   }
+
+  test("transformWithState sequencer matches the fMGWS twin across triggers (RocksDB state)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    )
+    try {
+      val in  = MemoryStream[TopicMsg]
+      val out = KinesisLikePipeline.pageSequencerTws(spark, in.toDS())
+      val q = out.writeStream
+        .outputMode(OutputMode.Append)
+        .format("memory")
+        .queryName("pages_tws")
+        .option("checkpointLocation", ckpt())
+        .start()
+      in.addData(TopicMsg(1, "m1", 25, 10))
+      q.processAllAvailable()
+      in.addData(TopicMsg(1, "m2", 5, 10), TopicMsg(2, "m3", 0, 10))
+      q.processAllAvailable()
+      val rows = spark.table("pages_tws").as[KinesisLikePipeline.PageMsg].collect()
+      q.stop()
+      // identical output to the flatMapGroupsWithState variant,
+      // including the cross-trigger continuation of topic 1's sequence
+      val t1m1 = rows.filter(r => r.topic_id == 1 && r.message == "m1").sortBy(_.page_num)
+      assert(t1m1.map(_.page_num).toSeq == Seq(1L, 2L, 3L))
+      assert(t1m1.head.note == "Count: 1st page sent")
+      assert(t1m1.last.note == "Count: Last Page Sent: 3")
+      assert(rows.filter(r => r.topic_id == 1 && r.message == "m2").map(_.global_seq).toSeq == Seq(4L))
+      assert(rows.filter(_.topic_id == 2).map(_.global_seq).toSeq == Seq(1L))
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None    => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
