@@ -77,6 +77,7 @@ object SparkEntry {
     "q_sample_stratified"  -> ((s, d) => Sampling.stratifiedSample(Tables(s, d))),
     "text_contaminate"     -> ((s, d) => Dedup.contamination(Tables(s, d))),
     "pipeline_pack"        -> ((s, d) => Curation.packTokenBudget(Tables(s, d))),
+    "q_zorder_layout"      -> ((s, d) => Layout.zorderLayout(Tables(s, d))),
     "multimodal_meta"      -> ((s, d) => Multimodal.mediaMeta(Tables(s, d))),
     "multimodal_decode"    -> ((s, d) => Multimodal.decodeSummary(s, Tables(s, d))),
     "multimodal_frames"    -> ((s, d) => Multimodal.sampleFrames(s, Tables(s, d)))
@@ -432,6 +433,16 @@ object SparkEntry {
         |  CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
         |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_zorder_layout" -> // z-order clustering stats per logical file (z-prefix bucket)
+      s"""WITH e AS (
+        |  SELECT user_id % 256 AS ub,
+        |    CAST((hour(ts) * 31 + day(ts)) % 256 AS BIGINT) AS hb
+        |  FROM events),
+        |z AS (SELECT ub, hb, $mortonSql AS z FROM e)
+        |SELECT z >> 8 AS file_id, count(*) AS n_rows,
+        |  min(ub) AS min_ub, max(ub) AS max_ub,
+        |  min(hb) AS min_hb, max(hb) AS max_hb
+        |FROM z GROUP BY 1 ORDER BY 1""".stripMargin,
     "dedup_exact" ->
       """WITH h AS (
         |  SELECT doc_id, md5(regexp_replace(trim(text), '\s+', ' ', 'g')) AS text_hash
@@ -605,6 +616,15 @@ object SparkEntry {
         |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank FROM r
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
   )
+
+  /** Morton interleave of the low 8 bits of ub (even positions) and hb
+    * (odd positions), as explicit shift/mask terms — the DuckDB twin of
+    * Layout.morton.
+    */
+  private val mortonSql: String =
+    (0 until 8)
+      .map(i => s"(((ub >> $i) & 1) << ${2 * i}) + (((hb >> $i) & 1) << ${2 * i + 1})")
+      .mkString(" + ")
 
   /** Shared oracle for C2 (exact inverted-index Jaccard), C3 (MinHash-
     * LSH verified candidates — equal output whp, see Dedup.scala

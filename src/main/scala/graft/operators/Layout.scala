@@ -1,0 +1,59 @@
+package graft.operators
+
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Multi-dimensional layout clustering (z-order) for scan pruning —
+  * the data-layout lever that matters most at 100 TB: parquet
+  * min/max (or manifest-level) statistics can only skip files when
+  * rows that are close in QUERY space are close in FILE space, and a
+  * single-column sort clusters exactly one dimension. Interleaving the
+  * bits of two (or more) bucketized dimensions into a Morton code
+  * gives every z-prefix a bounded range in EVERY dimension, so point
+  * and range filters on either column prune files.
+  *
+  * `zorderLayout` simulates the layout the writer would produce:
+  * bucketize user (8 bits) and event-hour (8 bits), interleave into a
+  * 16-bit z-value, and group by the z-PREFIX (the logical file).
+  * Everything is a codegen'd map + ONE shuffle on the file key — the
+  * file assignment is pure arithmetic, deliberately NOT a global
+  * row_number (a z-SORT at write time is a parallel range exchange;
+  * a global window would funnel one task). Per-file min/max of both
+  * dimensions make the clustering measurable: each file's span covers
+  * a small fraction of each dimension, which IS the skipping
+  * guarantee.
+  */
+object Layout {
+
+  /** Morton-interleave the low `bits` of u (even positions) and v (odd
+    * positions) — plain shift/mask arithmetic, whole-stage codegen'd.
+    */
+  private def morton(u: Column, v: Column, bits: Int): Column =
+    (0 until bits)
+      .map { i =>
+        (shiftleft(shiftright(u, i) % 2, 2 * i) + shiftleft(shiftright(v, i) % 2, 2 * i + 1))
+      }
+      .reduce(_ + _)
+
+  def zorderLayout(t: Tables, prefixBits: Int = 8): DataFrame = {
+    val bits = 8
+    val e = t.events.select(
+      (col("user_id") % (1 << bits)).as("ub"),
+      (hour(col("ts")) * 31 + dayofmonth(col("ts"))).cast("long").%(1 << bits).as("hb")
+    )
+    e.withColumn("z", morton(col("ub"), col("hb"), bits))
+      // logical file = z-prefix bucket: 2^prefixBits files, assignment
+      // is a pure projection (no global sort, no window)
+      .withColumn("file_id", shiftright(col("z"), 2 * bits - prefixBits).cast("long"))
+      .groupBy("file_id")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        min("ub").as("min_ub"),
+        max("ub").as("max_ub"),
+        min("hb").as("min_hb"),
+        max("hb").as("max_hb")
+      )
+      .orderBy("file_id")
+  }
+}

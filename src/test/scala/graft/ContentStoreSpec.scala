@@ -155,6 +155,52 @@ class ContentStoreSpec extends SparkSpecBase {
     assert(drain().size == 5)
   }
 
+  test("streaming relay: problem stream writes epochs, a second query tails them") {
+    // the handoff the streaming read exists for: pipeline A's epochs
+    // become pipeline B's micro-batches, with the store as the
+    // exactly-once boundary between two independent queries
+    val dir = tmp()
+    val producer = graft.streaming.KinesisLikePipeline
+      .addAnswers(
+        graft.streaming.KinesisLikePipeline.decodeEnvelope(
+          spark.readStream
+            .format("graft.sources.ProblemSource")
+            .option("numRows", 100)
+            .option("rowsPerBatch", 25)
+            .load()
+        ),
+        keyCol = "seq"
+      )
+      .select(
+        org.apache.spark.sql.functions.col("result_key"),
+        org.apache.spark.sql.functions.col("answer").as("payload")
+      )
+      .writeStream
+      .format("graft.sources.ContentStore")
+      .option("path", dir)
+      .option("checkpointLocation", tmp())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    producer.awaitTermination()
+    assert(ContentStore.manifestNames(dir, hconf).size == 4, "expected one manifest per epoch")
+
+    val consumer = spark.readStream
+      .format("graft.sources.ContentStore")
+      .option("path", dir)
+      .load()
+      .writeStream
+      .format("memory")
+      .queryName("relay_out")
+      .option("checkpointLocation", tmp())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    consumer.awaitTermination()
+    val rows = spark.table("relay_out").collect()
+    assert(rows.length == 100)
+    assert(rows.map(_.getString(0)).distinct.length == 100, "content keys must be unique")
+    assert(rows.forall(_.getString(1).matches("\\d+ \\+ \\d+ = \\d+")))
+  }
+
   test("streaming offsets are an order-independent manifest set (JSON round trip)") {
     import graft.sources.StoreOffset
     val o = StoreOffset(Vector("epoch-q-10", "batch-x-2", "epoch-q-2"))

@@ -109,6 +109,31 @@ class TemporalSpec extends SparkSpecBase {
     }
   }
 
+  test("z-order files bound BOTH dimensions (the skipping guarantee a 1-D sort can't give)") {
+    val files = graft.operators.Layout.zorderLayout(tables).collect()
+    assert(files.nonEmpty)
+    // an 8-bit z-prefix fixes the high nibble of each 8-bit dimension,
+    // so every logical file spans at most 16 values of ub AND of hb —
+    // a filter on either column prunes ~15/16 of files
+    files.foreach { f =>
+      assert(f.getAs[Long]("max_ub") - f.getAs[Long]("min_ub") <= 15, s"ub span too wide: $f")
+      assert(f.getAs[Long]("max_hb") - f.getAs[Long]("min_hb") <= 15, s"hb span too wide: $f")
+    }
+    // plan: pure projection + one shuffle on file_id (no global sort/window)
+    val plan = Layout_planString
+    assert(!plan.contains("Window"), s"layout used a window:\n$plan")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, s"extra shuffles:\n$plan")
+  }
+
+  private def Layout_planString: String = {
+    val df = graft.operators.Layout.zorderLayout(tables)
+    df.collect()
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan.toString
+      case p                        => p.toString
+    }
+  }
+
   test("decontamination flags exactly the docs sharing a trigram with the benchmark") {
     val flagged = Dedup.contamination(tables).collect().map(_.getAs[Long]("doc_id")).toSet
     val docs = tables.documents.select("doc_id", "text").collect()
