@@ -78,6 +78,8 @@ object SparkEntry {
     "text_contaminate"     -> ((s, d) => Dedup.contamination(Tables(s, d))),
     "pipeline_pack"        -> ((s, d) => Curation.packTokenBudget(Tables(s, d))),
     "q_zorder_layout"      -> ((s, d) => Layout.zorderLayout(Tables(s, d))),
+    "q_orc_roundtrip"      -> ((s, d) => Ingest.orcRoundtrip(Tables(s, d))),
+    "text_repetition"      -> ((s, d) => TextOps.repetition(Tables(s, d))),
     "multimodal_meta"      -> ((s, d) => Multimodal.mediaMeta(Tables(s, d))),
     "multimodal_decode"    -> ((s, d) => Multimodal.decodeSummary(s, Tables(s, d))),
     "multimodal_frames"    -> ((s, d) => Multimodal.sampleFrames(s, Tables(s, d)))
@@ -433,6 +435,34 @@ object SparkEntry {
         |  CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
         |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_orc_roundtrip" -> // ORC write→read is lossless ⇒ aggregate matches the parquet original
+      """SELECT event_type, count(*) AS n, CAST(sum(event_id) AS BIGINT) AS sum_ids,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "text_repetition" -> // Gopher-style repetition flags: top-bigram and duplicate-word fractions
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |base AS (
+        |  SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+        |    CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct
+        |  FROM w),
+        |bg AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, len(ws)),
+        |      i -> concat_ws(' ', ws[CAST(i AS INT)], ws[CAST(i AS INT) + 1]))) AS bg
+        |  FROM w),
+        |bgc AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+        |    CAST(max(c) AS BIGINT) AS top_bigram_count
+        |  FROM bgc GROUP BY 1)
+        |SELECT b.doc_id, b.n_words, b.n_distinct,
+        |  coalesce(a.n_bigrams, 0) AS n_bigrams,
+        |  coalesce(a.top_bigram_count, 0) AS top_bigram_count,
+        |  CASE WHEN coalesce(a.n_bigrams, 0) > 0
+        |       THEN CAST(a.top_bigram_count AS DOUBLE) / a.n_bigrams ELSE 0.0 END AS top_bigram_frac,
+        |  CAST(b.n_words - b.n_distinct AS DOUBLE) / b.n_words AS dup_word_frac
+        |FROM base b LEFT JOIN agg a USING (doc_id)
+        |ORDER BY b.doc_id""".stripMargin,
     "q_zorder_layout" -> // z-order clustering stats per logical file (z-prefix bucket)
       s"""WITH e AS (
         |  SELECT user_id % 256 AS ub,

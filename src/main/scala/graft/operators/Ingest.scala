@@ -40,6 +40,32 @@ object Ingest {
   def readCsv(spark: SparkSession, path: String, ddl: String): DataFrame =
     spark.read.schema(org.apache.spark.sql.types.StructType.fromDDL(ddl)).csv(path)
 
+  /** A11b: columnar-format round trip — land events as ORC (the other
+    * production columnar format; Spark's writer/reader, vectorized and
+    * predicate-pushing like parquet), read them back, and aggregate.
+    * The aggregate must match an oracle computed from the ORIGINAL
+    * parquet, proving the write→read cycle is lossless for the typed
+    * columns. Write is one narrow projection, task-parallel; the read
+    * back prunes to the two aggregated columns.
+    */
+  def orcRoundtrip(t: Tables): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-orc").toString
+    t.events
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      .write
+      .mode("overwrite")
+      .orc(dir)
+    t.spark.read
+      .orc(dir)
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("event_id")).as("sum_ids"),
+        Num.moneySum(col("value")).as("sum_value")
+      )
+      .orderBy("event_type")
+  }
+
   /** A12: deterministic device synthesis — the reference loops
     * user-by-user on the driver emitting 1-3 devices with random
     * tokens (download.go:127-190). Distributed re-expression:

@@ -20,6 +20,53 @@ object TextOps {
 
   private def sqlList(xs: Seq[String]): String = xs.map(s => s"'$s'").mkString("array(", ", ", ")")
 
+  /** C8b: repetition flags (the Gopher/C4-style boilerplate rules):
+    * fraction of the doc covered by its most frequent word bigram and
+    * fraction of duplicated words. High values mark the template/spam
+    * documents a curation pass drops.
+    *
+    * The bigram build reuses the lead-window pattern from
+    * Dedup.shingledPostings (never explode a `transform` array); the
+    * per-(doc, bigram) count and the per-doc rollup are two
+    * partial-agg'd groupBys where the second reuses the first's doc_id
+    * clustering — the whole operator is one wide shuffle at scale.
+    */
+  def repetition(t: Tables): DataFrame = {
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val bigramAgg = t.documents
+      .select(
+        col("doc_id"),
+        size(split(col("text"), " ")).as("n_words"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "w"))
+      )
+      .withColumn("bg", concat_ws(" ", col("w"), lead("w", 1).over(byDoc)))
+      .filter(col("pos") <= col("n_words") - 2)
+      .groupBy("doc_id", "bg")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_bigrams"), max("c").as("top_bigram_count"))
+    t.documents
+      .select(
+        col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_words"),
+        size(array_distinct(split(col("text"), " "))).cast("long").as("n_distinct")
+      )
+      .join(bigramAgg, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("n_words"),
+        col("n_distinct"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("top_bigram_count"), lit(0L)).as("top_bigram_count"),
+        when(
+          coalesce(col("n_bigrams"), lit(0L)) > 0,
+          col("top_bigram_count").cast("double") / col("n_bigrams")
+        ).otherwise(lit(0.0)).as("top_bigram_frac"),
+        ((col("n_words") - col("n_distinct")).cast("double") / col("n_words")).as("dup_word_frac")
+      )
+      .orderBy("doc_id")
+  }
+
   /** C10: token counting — whitespace tokens plus a BPE-ish regex
     * tokenization (letter runs / digit runs / single non-alnum).
     */

@@ -77,4 +77,23 @@ class TextOpsSpec extends SparkSpecBase {
       assert(preds(r.getLong(0)) == r.getString(1), s"doc ${r.getLong(0)}")
     }
   }
+
+  test("repetition flags agree with a naive per-doc recount") {
+    val texts = tables.documents
+      .select("doc_id", "text")
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text"))
+      .toMap
+    val got = TextOps.repetition(tables).collect()
+    assert(got.length == texts.size)
+    got.foreach { r =>
+      val ws      = texts(r.getAs[Long]("doc_id")).split(" ", -1)
+      val bigrams = ws.sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSeq
+      assert(r.getAs[Long]("n_words") == ws.length.toLong)
+      assert(r.getAs[Long]("n_distinct") == ws.distinct.length.toLong)
+      assert(r.getAs[Long]("n_bigrams") == bigrams.length.toLong)
+      val top = if (bigrams.isEmpty) 0L else bigrams.groupBy(identity).values.map(_.size).max.toLong
+      assert(r.getAs[Long]("top_bigram_count") == top)
+    }
+  }
 }
