@@ -113,6 +113,96 @@ class PlanSpec extends SparkSpecBase {
     assert(fast.toSeq == ref.toSeq)
   }
 
+  test("runtime bloom filter prunes the fact side of a selective shuffle join") {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val conf = spark.conf
+    val prevBroadcast = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevRowThresh = conf.getOption("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold")
+    try {
+      // force a shuffle join (no broadcast) so the optimizer must reach
+      // for the semi-join reduction instead: a bloom filter built from
+      // the selective dim side, pushed into the fact scan — at 100 TB
+      // this is what spares the fact shuffle from carrying rows a
+      // broadcast would have filtered
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // defaults gate the rewrite on a 10GB fact scan — scale it to test SF
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      val dim  = tables.part.filter(col("p_brand") === "Brand#11").select("p_partkey")
+      val fact = tables.lineitem.select("l_partkey", "l_quantity")
+      val plan = fact
+        .join(dim, col("l_partkey") === col("p_partkey"))
+        .groupBy("p_partkey")
+        .agg(count(lit(1)).as("n"))
+        .queryExecution
+        .executedPlan
+        .toString
+      assert(
+        plan.contains("might_contain") || plan.contains("bloom_filter"),
+        s"no runtime bloom filter injected:\n$plan"
+      )
+    } finally {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+      conf.unset("spark.sql.optimizer.runtime.bloomFilter.enabled")
+      conf.unset("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+      prevRowThresh.foreach(v =>
+        conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", v)
+      )
+    }
+  }
+
+  test("AQE splits a skewed join partition at runtime") {
+    import org.apache.spark.sql.functions.{col, count, explode, lit, when}
+    val conf = spark.conf
+    val prev = Map(
+      "spark.sql.autoBroadcastJoinThreshold"                        -> conf.get("spark.sql.autoBroadcastJoinThreshold"),
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> conf.get("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes"),
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes"             -> conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes"),
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor"           -> conf.get("spark.sql.adaptive.skewJoin.skewedPartitionFactor"),
+      "spark.sql.adaptive.coalescePartitions.enabled"               -> conf.get("spark.sql.adaptive.coalescePartitions.enabled"),
+      "spark.sql.shuffle.partitions"                                -> conf.get("spark.sql.shuffle.partitions")
+    )
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // thresholds scaled to test-SF row counts: one key owns ~half of
+      // the (amplified) left side, so its partition exceeds
+      // factor×median and AQE must split it (OptimizeSkewedJoin)
+      // instead of letting one task drag the stage — the local[*]
+      // miniature of the 100 TB hot-key
+      // sizes are COMPRESSED shuffle bytes — thresholds sized for the
+      // hot partition's ~25k (k, value) rows after compression
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "4KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "2KB")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      conf.set("spark.sql.shuffle.partitions", "8")
+      // repartition(8) first: AQE splits a skewed REDUCE partition into
+      // ranges of MAP outputs, so a single-mapper input (one parquet
+      // file → one task) is unsplittable no matter how skewed — worth
+      // knowing when a 100 TB job funnels through a few giant files.
+      // md5 payload keeps the hot partition incompressible (skew
+      // detection sees compressed shuffle bytes).
+      val skewedLeft = tables.events
+        .repartition(8)
+        .select(
+          explode(org.apache.spark.sql.functions.sequence(lit(1), lit(50))).as("rep"),
+          when(col("event_id") % 2 === 0, lit(7L)).otherwise(col("event_id")).as("k"),
+          col("event_id")
+        )
+        .withColumn("payload", org.apache.spark.sql.functions.md5(
+          org.apache.spark.sql.functions.concat(col("event_id"), lit("-"), col("rep"))))
+      val right = spark.range(0, 20000).select(col("id").as("k"), (col("id") * 2).as("w"))
+      val df = skewedLeft
+        .join(right, "k")
+        .groupBy()
+        .agg(org.apache.spark.sql.functions.max("payload").as("m"), count(lit(1)).as("n"))
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"), s"AQE did not mark the skew join:\n$plan")
+      assert(plan.contains("AQEShuffleRead skewed"), s"no skewed shuffle read:\n$plan")
+    } finally prev.foreach { case (k, v) => conf.set(k, v) }
+  }
+
   test("adder map stage is whole-stage codegen with no shuffle before the sort") {
     val df   = graft.operators.MathOps.adder(tables)
     val plan = executedPlanString(df)
