@@ -1,0 +1,88 @@
+package graft
+
+import graft.operators.{Dedup, Paging, Temporal}
+
+/** The engine's SQL surface: every operator is a DataFrame plan, which
+  * means it is ALSO reachable from pure `spark.sql` over registered
+  * views — a user can drive the engine from SQL alone (the reference's
+  * own interface to its page queries, lcount.go:171-196, was SQL).
+  * Custom codegen kernels participate because GraftSession /
+  * GraftExtensions register them as SQL functions.
+  */
+class SqlSurfaceSpec extends SparkSpecBase {
+
+  private def viewsReady(): Unit = {
+    tables.orders.createOrReplaceTempView("orders")
+    tables.customer.createOrReplaceTempView("customer")
+    tables.events.createOrReplaceTempView("events")
+    tables.documents.createOrReplaceTempView("documents")
+  }
+
+  test("page-count query in pure SQL equals the operator") {
+    viewsReady()
+    val sql = spark.sql(
+      """SELECT CAST(c.c_nationkey AS BIGINT) AS topic_id, count(*) AS n_devices,
+        |  CAST(floor(count(*)/100)+1 AS BIGINT) AS page_count
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin
+    )
+    assert(sql.collect().toSeq == Paging.topicPageCounts(tables).collect().toSeq)
+  }
+
+  test("exact dedup in pure SQL equals the operator") {
+    viewsReady()
+    val sql = spark.sql(
+      """WITH h AS (
+        |  SELECT doc_id, md5(regexp_replace(trim(text), '\\s+', ' ')) AS text_hash
+        |  FROM documents)
+        |SELECT doc_id, text_hash,
+        |  min(doc_id) OVER (PARTITION BY text_hash) AS keep_doc_id,
+        |  count(*) OVER (PARTITION BY text_hash) AS group_size
+        |FROM h ORDER BY doc_id""".stripMargin
+    )
+    assert(sql.collect().toSeq == Dedup.exact(tables).collect().toSeq)
+  }
+
+  test("as-of join in pure SQL (union + running window) equals the operator") {
+    viewsReady()
+    val sql = spark.sql(
+      """WITH tagged AS (
+        |  SELECT user_id, ts, event_id, 0 AS tag,
+        |         named_struct('c_ts', ts, 'c_id', event_id) AS c
+        |  FROM events WHERE event_type = 'click'
+        |  UNION ALL
+        |  SELECT user_id, ts, event_id, 1 AS tag,
+        |         CAST(NULL AS struct<c_ts:timestamp,c_id:bigint>) AS c
+        |  FROM events WHERE event_type = 'purchase'),
+        |carried AS (
+        |  SELECT *, last(c, true) OVER (
+        |    PARTITION BY user_id ORDER BY ts, tag, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click
+        |  FROM tagged)
+        |SELECT event_id, user_id, ts, last_click.c_id AS click_event_id,
+        |  last_click.c_ts AS click_ts,
+        |  unix_micros(ts) - unix_micros(last_click.c_ts) AS gap_us
+        |FROM carried WHERE tag = 1 AND last_click IS NOT NULL
+        |ORDER BY event_id""".stripMargin
+    )
+    assert(sql.collect().toSeq == Temporal.asofPriorClick(tables).collect().toSeq)
+  }
+
+  test("custom codegen kernels are callable from SQL") {
+    viewsReady()
+    val rows = spark
+      .sql(
+        """SELECT doc_id,
+          |  simhash64(transform(array_distinct(split(text, ' ')),
+          |    w -> cast(conv(substring(md5(w), 1, 15), 16, 10) as bigint))) AS sh,
+          |  vec_norm(array(cast(3.0 as float), cast(4.0 as float))) AS nrm
+          |FROM documents ORDER BY doc_id LIMIT 5""".stripMargin
+      )
+      .collect()
+    assert(rows.length == 5)
+    assert(rows.forall(r => math.abs(r.getAs[Double]("nrm") - 5.0) < 1e-6))
+    val viaOperator =
+      Dedup.simhashes(tables).limit(5).collect().map(_.getAs[Long]("simhash")).toSeq
+    assert(rows.map(_.getAs[Long]("sh")).toSeq == viaOperator)
+  }
+}
