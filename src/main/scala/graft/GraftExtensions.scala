@@ -15,6 +15,10 @@ import graft.functions.{HyperplaneExpr, MinHashExpr, MinHashUnion, SimHashExpr, 
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // whole-operator extension: the row_number-top-k idiom is rewritten
+    // to the bounded-heap TopKPerKey operator planner-wide
+    ext.injectOptimizerRule(_ => graft.plans.TopK.RewriteRowNumberTopK)
+    ext.injectPlannerStrategy(_ => graft.plans.TopK.TopKStrategy)
     ext.injectFunction(
       (
         FunctionIdentifier("vec_dot"),

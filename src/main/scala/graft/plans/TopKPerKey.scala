@@ -4,6 +4,7 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{
+  Alias,
   Attribute,
   AttributeReference,
   AttributeSet,
@@ -64,6 +65,7 @@ object TopK {
       child: SparkPlan
   ) extends UnaryExecNode {
     override def output: Seq[Attribute]           = child.output :+ rankAttr
+    override def producedAttributes: AttributeSet = AttributeSet(rankAttr)
     override def outputPartitioning: Partitioning = child.outputPartitioning
     override def requiredChildDistribution: Seq[Distribution] =
       ClusteredDistribution(key) :: Nil
@@ -96,10 +98,14 @@ object TopK {
         }
         import scala.jdk.CollectionConverters._
         val joined = new JoinedRow
+        // rank type follows the attribute: Long from the DataFrame API,
+        // Int when the rule grafts onto row_number()'s original output
+        val rankIsLong = rankAttr.dataType == LongType
         heaps.values().asScala.iterator.flatMap { pq =>
           val arr = pq.toArray(new Array[InternalRow](pq.size())).sorted(ordering)
           arr.iterator.zipWithIndex.map { case (r, i) =>
-            outProj(joined(r, new GenericInternalRow(Array[Any]((i + 1).toLong))))
+            val rank: Any = if (rankIsLong) (i + 1).toLong else i + 1
+            outProj(joined(r, new GenericInternalRow(Array[Any](rank))))
           }
         }
       }
@@ -113,6 +119,111 @@ object TopK {
       case TopKPerKey(key, order, k, rank, child) =>
         TopKPerKeyExec(key, order, k, rank, planLater(child)) :: Nil
       case _ => Nil
+    }
+  }
+
+  /** Optimizer rule: recognizes the ubiquitous hand-written top-k
+    * pattern —
+    * {{{
+    *   df.withColumn("rnk", row_number().over(Window.partitionBy(k).orderBy(o)))
+    *     .filter($"rnk" <= 3)
+    * }}}
+    * — and grafts [[TopKPerKey]] in its place, so EVERY such query gets
+    * the bounded-heap operator (O(n log k), no per-group full sort)
+    * without knowing it exists. This is the Catalyst-native way to ship
+    * an engine optimization: users keep writing the idiom, the planner
+    * upgrades it.
+    *
+    * Matched shapes (both produced by the DataFrame idiom):
+    *  - Filter(rank ≤/< lit, Window[single row_number alias])
+    *  - Filter(rnk ≤/< lit, Project[.., rnk = (cast of) rank, ..],
+    *    Window[single row_number alias]) — the `.cast("long")` variant.
+    * The rewrite preserves every output attribute id (the rank keeps
+    * row_number's IntegerType; the exec emits ranks in the attribute's
+    * type), so parent operators are untouched. Conservative by
+    * construction: single window expression, non-empty partition spec,
+    * whole filter condition is the one rank bound.
+    */
+  object RewriteRowNumberTopK
+      extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+    import org.apache.spark.sql.catalyst.expressions.{
+      Cast,
+      Literal,
+      LessThan,
+      LessThanOrEqual,
+      RowNumber,
+      WindowExpression,
+      WindowSpecDefinition
+    }
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, Project, Window}
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+
+    private def rankBound(cond: Expression, rank: Attribute): Option[Int] = cond match {
+      case LessThanOrEqual(a: Attribute, Literal(v: Int, IntegerType)) if a.semanticEquals(rank) =>
+        Some(v)
+      case LessThanOrEqual(a: Attribute, Literal(v: Long, LongType)) if a.semanticEquals(rank) =>
+        Some(v.toInt)
+      case LessThan(a: Attribute, Literal(v: Int, IntegerType)) if a.semanticEquals(rank) =>
+        Some(v - 1)
+      case LessThan(a: Attribute, Literal(v: Long, LongType)) if a.semanticEquals(rank) =>
+        Some(v.toInt - 1)
+      case _ => None
+    }
+
+    private object RowNumberWindow {
+      def unapply(p: LogicalPlan): Option[(Alias, Seq[Expression], Seq[SortOrder], LogicalPlan)] =
+        p match {
+          case Window(
+                Seq(al @ Alias(WindowExpression(RowNumber(), WindowSpecDefinition(part, order, _)), _)),
+                _,
+                _,
+                child,
+                _
+              ) if part.nonEmpty && order.nonEmpty =>
+            Some((al, part, order, child))
+          case _ => None
+        }
+    }
+
+    /** Does this projection alias re-expose the window's rank (as-is or
+      * widened by a cast)?
+      */
+    private def rankThrough(e: Expression, rank: Attribute): Boolean = e match {
+      case a: Attribute => a.semanticEquals(rank)
+      case c: Cast      => rankThrough(c.child, rank)
+      case _            => false
+    }
+
+    override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+      case f @ Filter(cond, RowNumberWindow(al, part, order, child)) =>
+        rankBound(cond, al.toAttribute)
+          .filter(_ > 0)
+          .map(k => TopKPerKey(part, order, k, al.toAttribute, child): LogicalPlan)
+          .getOrElse(f)
+      case f @ Filter(cond, Project(projList, RowNumberWindow(al, part, order, child))) =>
+        val rankAliases = projList.collect {
+          case p @ Alias(c, _) if rankThrough(c, al.toAttribute) => p.toAttribute
+        } ++ projList.collect { case a: Attribute if a.semanticEquals(al.toAttribute) => a }
+        rankAliases
+          .flatMap(r => rankBound(cond, r))
+          .headOption
+          .filter(_ > 0)
+          .map(k => Project(projList, TopKPerKey(part, order, k, al.toAttribute, child)): LogicalPlan)
+          .getOrElse(f)
+    }
+  }
+
+  /** Turn the rewrite on for a vanilla session (idempotent). Sessions
+    * built with `spark.sql.extensions=graft.GraftExtensions` get both
+    * pieces injected without this call.
+    */
+  def enableAutoRewrite(spark: SparkSession): Unit = {
+    if (!spark.experimental.extraStrategies.contains(TopKStrategy)) {
+      spark.experimental.extraStrategies = spark.experimental.extraStrategies :+ TopKStrategy
+    }
+    if (!spark.experimental.extraOptimizations.contains(RewriteRowNumberTopK)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ RewriteRowNumberTopK
     }
   }
 

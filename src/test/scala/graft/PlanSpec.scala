@@ -102,6 +102,32 @@ class PlanSpec extends SparkSpecBase {
     assert(filtered.agg(org.apache.spark.sql.functions.min("seq")).head().getLong(0) == 900L)
   }
 
+  test("optimizer rule grafts TopKPerKey onto the hand-written row_number idiom") {
+    import org.apache.spark.sql.functions.{col, row_number}
+    import org.apache.spark.sql.expressions.Window
+    graft.plans.TopK.enableAutoRewrite(spark)
+    try {
+      val w = Window.partitionBy("user_id").orderBy(col("value").desc, col("event_id"))
+      val idiom = tables.events
+        .select("user_id", "event_id", "event_type", "value")
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 3)
+        .orderBy("user_id", "rnk")
+      val plan = executedPlanString(idiom)
+      assert(plan.contains("TopKPerKey"), s"rule did not fire:\n$plan")
+      // WindowExec must be gone; WindowGroupLimit may remain — that is
+      // Spark's own map-side pre-limit, a free partial top-k upstream
+      // of the heap operator
+      assert(!plan.contains("Window ["), s"window survived the rewrite:\n$plan")
+      // identical rows to the un-rewritten window query
+      val expected = Analytics.topEventsPerUser(tables).collect().map(_.toSeq).toSeq
+      assert(idiom.collect().map(_.toSeq).toSeq == expected)
+    } finally {
+      spark.experimental.extraOptimizations = spark.experimental.extraOptimizations
+        .filterNot(_ == graft.plans.TopK.RewriteRowNumberTopK)
+    }
+  }
+
   test("topk operator plans as TopKPerKeyExec — no Window, no per-group sort") {
     val df   = Analytics.topEventsPerUserFast(tables)
     val plan = executedPlanString(df)
