@@ -82,7 +82,8 @@ object SparkEntry {
     "text_repetition"      -> ((s, d) => TextOps.repetition(Tables(s, d))),
     "multimodal_meta"      -> ((s, d) => Multimodal.mediaMeta(Tables(s, d))),
     "multimodal_decode"    -> ((s, d) => Multimodal.decodeSummary(s, Tables(s, d))),
-    "multimodal_frames"    -> ((s, d) => Multimodal.sampleFrames(s, Tables(s, d)))
+    "multimodal_frames"    -> ((s, d) => Multimodal.sampleFrames(s, Tables(s, d))),
+    "multimodal_embed"     -> ((s, d) => Multimodal.embedBuckets(Tables(s, d)))
   )
 
   /** kinesis_topic/main.go:23 — the demo topic payload. */
@@ -522,6 +523,16 @@ object SparkEntry {
         |  CAST(min(width) AS INT) AS min_w, CAST(max(width) AS INT) AS max_w,
         |  CAST(min(height) AS INT) AS min_h, CAST(max(height) AS INT) AS max_h
         |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
+    "multimodal_embed" -> // decode → frame → featurize → 2-bit quantize → PQ bucket
+      s"""WITH d AS (
+        |  SELECT doc_id, octet_length(encode(text)) % 64 + 1 AS nf FROM documents),
+        |f AS (
+        |  SELECT doc_id, sha256(concat_ws(':', doc_id, frame_idx)) AS fk
+        |  FROM d, unnest(generate_series(0, nf - 1, 4)) AS t(frame_idx)),
+        |e AS (SELECT doc_id, CAST($pqCodeSql AS BIGINT) AS bucket FROM f)
+        |SELECT bucket, count(*) AS n_frames, count(DISTINCT doc_id) AS n_docs,
+        |  min(doc_id) AS min_doc
+        |FROM e GROUP BY 1 ORDER BY 1""".stripMargin,
     "dedup_components" ->
       s"""WITH RECURSIVE p AS ($ngramJaccardOracle),
         |edges AS (SELECT doc_a AS a, doc_b AS b FROM p
@@ -646,6 +657,14 @@ object SparkEntry {
         |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank FROM r
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
   )
+
+  /** The 8 2-bit quantized feature dims packed into a 16-bit PQ code —
+    * DuckDB twin of Multimodal.embedBuckets' code expression.
+    */
+  private val pqCodeSql: String =
+    (0 until 8)
+      .map(i => s"((CAST('0x' || substr(fk, ${2 * i + 1}, 2) AS INT) >> 6) << ${2 * i})")
+      .mkString(" + ")
 
   /** Morton interleave of the low 8 bits of ub (even positions) and hb
     * (odd positions), as explicit shift/mask terms — the DuckDB twin of

@@ -105,6 +105,52 @@ object Multimodal {
       .orderBy("doc_id", "frame_idx")
   }
 
+  /** C14b: the full multimodal curation composition — decode → frame
+    * sample → featurize → coarse-quantize → bucket — i.e. the
+    * product-quantization (PQ) front half every media dedup/ANN
+    * pipeline runs. Each sampled frame gets an 8-dim feature vector
+    * (here derived from the frame's content key — a real pipeline
+    * plugs an encoder into exactly this column), each dimension is
+    * quantized to 2 bits, and the packed 16-bit code is the bucket:
+    * frames sharing a code are near-dup candidates.
+    *
+    * Everything is declarative (the stub frame arithmetic is the same
+    * one multimodal_frames gate-verifies), so the WHOLE composition is
+    * under the DuckDB hash gate — and the plan is one explode + one
+    * shuffle on the bucket key, which at 100 TB of video is the same
+    * bucket-join shape as the LSH/IVF text paths: candidates ∝ code
+    * collisions, never all-pairs.
+    */
+  def embedBuckets(t: Tables, everyK: Int = 4): DataFrame = {
+    val frames = t.documents
+      .select(
+        col("doc_id"),
+        (length(col("text").cast("binary")) % 64 + 1).cast("long").as("n_frames")
+      )
+      .select(
+        col("doc_id"),
+        explode(sequence(lit(0L), col("n_frames") - 1, lit(everyK.toLong))).as("frame_idx")
+      )
+      .withColumn("frame_key", sha2(concat_ws(":", col("doc_id"), col("frame_idx")), 256))
+    val dims = (0 until 8).map(i =>
+      conv(substring(col("frame_key"), 2 * i + 1, 2), 16, 10).cast("int").as(s"e$i")
+    )
+    val code = (0 until 8)
+      .map(i => shiftleft(shiftright(col(s"e$i"), 6), 2 * i))
+      .reduce(_ + _)
+      .cast("long")
+    frames
+      .select((col("doc_id") +: dims): _*)
+      .withColumn("bucket", code)
+      .groupBy("bucket")
+      .agg(
+        count(lit(1)).as("n_frames"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min("doc_id").as("min_doc")
+      )
+      .orderBy("bucket")
+  }
+
   /** Decoded-media metadata as a query: stub dimensions + format
     * distribution. rows-only oracle (stub kernel isn't SQL), spec
     * asserts determinism and batch shape.

@@ -42,6 +42,22 @@ class MultimodalSpec extends SparkSpecBase {
     assert(rows.map(_.getString(3)).distinct.length == rows.length, "frame keys must be unique")
   }
 
+  test("PQ embed buckets: codes are 16-bit, cover all frames, and surface cross-doc candidates") {
+    val buckets = Multimodal.embedBuckets(tables).collect()
+    assert(buckets.nonEmpty)
+    buckets.foreach { b =>
+      val code = b.getAs[Long]("bucket")
+      assert(code >= 0 && code < (1 << 16), s"code out of 16-bit range: $code")
+    }
+    // every sampled frame lands in exactly one bucket
+    val totalFrames = Multimodal.sampleFrames(spark, tables, everyK = 4).count()
+    assert(buckets.map(_.getAs[Long]("n_frames")).sum == totalFrames)
+    // with 2^16 codes and thousands of frames, some buckets must hold
+    // frames from MULTIPLE docs — those are the near-dup candidates the
+    // composition exists to surface
+    assert(buckets.exists(_.getAs[Long]("n_docs") > 1), "no cross-doc candidates found")
+  }
+
   test("decode summary covers all stub formats with sane dimensions") {
     val rows = Multimodal.decodeSummary(spark, tables).collect()
     assert(rows.map(_.getString(0)).toSet.subsetOf(Set("png", "jpeg", "webp")))
