@@ -70,6 +70,7 @@ object SparkEntry {
     "dedup_source_sim"     -> ((s, d) => Dedup.sourceSimilarity(Tables(s, d))),
     "dedup_winnow"         -> ((s, d) => Dedup.winnowPairs(Tables(s, d))),
     "pipeline_curate"      -> ((s, d) => Curation.curate(Tables(s, d))),
+    "pipeline_curate_full" -> ((s, d) => Curation.curateFull(Tables(s, d))),
     "q_asof_join"          -> ((s, d) => Temporal.asofPriorClick(Tables(s, d))),
     "q_range_join"         -> ((s, d) => Temporal.signupActivity(Tables(s, d))),
     "q_distinct_users_twophase" -> ((s, d) => Analytics.distinctUsersTwoPhase(Tables(s, d))),
@@ -544,39 +545,37 @@ object SparkEntry {
         |SELECT id AS doc_id, min(comp) AS component FROM reach
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "pipeline_curate" ->
-      s"""WITH RECURSIVE p AS ($ngramJaccardOracle),
-        |edges AS (SELECT doc_a AS a, doc_b AS b FROM p
-        |          UNION ALL SELECT doc_b, doc_a FROM p),
-        |reach(id, comp) AS (
-        |  SELECT a, a FROM edges
-        |  UNION
-        |  SELECT e.a, r.comp FROM edges e JOIN reach r ON e.b = r.id),
-        |comps AS (SELECT id AS doc_id, min(comp) AS near_dup_comp FROM reach GROUP BY 1),
-        |q AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
-        |lh AS (
+      s"""WITH RECURSIVE $curateCtes
+        |SELECT doc_id, n_tokens, lang_pred FROM curated ORDER BY doc_id""".stripMargin,
+    "pipeline_curate_full" -> // curate + repetition gate + decontamination anti-join
+      s"""WITH RECURSIVE $curateCtes,
+        |wbg AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |bg AS (
         |  SELECT doc_id,
-        |    CAST(len(list_intersect(list_distinct(string_split(lower(text), ' ')), ['the','a','of','and','in','is'])) AS BIGINT) AS en_hits,
-        |    CAST(len(list_intersect(list_distinct(string_split(lower(text), ' ')), ['el','la','de','los','que','y'])) AS BIGINT) AS es_hits,
-        |    CAST(len(list_intersect(list_distinct(string_split(lower(text), ' ')), ['der','die','das','und','ist','mit'])) AS BIGINT) AS de_hits
+        |    unnest(list_transform(range(1, len(ws)),
+        |      i -> concat_ws(' ', ws[CAST(i AS INT)], ws[CAST(i AS INT) + 1]))) AS bg
+        |  FROM wbg),
+        |bgc AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY 1, 2),
+        |rep AS (
+        |  SELECT doc_id, CAST(max(c) AS DOUBLE) / CAST(sum(c) AS BIGINT) AS top_bigram_frac
+        |  FROM bgc GROUP BY 1),
+        |cs AS (
+        |  SELECT doc_id,
+        |    unnest(list_distinct(list_transform(
+        |      range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
+        |      i -> concat_ws(' ', string_split(text, ' ')[CAST(i AS INT)],
+        |                     string_split(text, ' ')[CAST(i AS INT) + 1],
+        |                     string_split(text, ' ')[CAST(i AS INT) + 2])))) AS shingle
         |  FROM documents),
-        |l AS (
-        |  SELECT doc_id,
-        |    CASE WHEN en_hits >= es_hits AND en_hits >= de_hits AND en_hits > 0 THEN 'en'
-        |         WHEN es_hits >= de_hits AND es_hits > 0 THEN 'es'
-        |         WHEN de_hits > 0 THEN 'de'
-        |         ELSE 'und' END AS lang_pred
-        |  FROM lh),
-        |e AS (
-        |  SELECT doc_id,
-        |    min(doc_id) OVER (PARTITION BY md5(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS keep_doc_id
-        |  FROM documents)
-        |SELECT d.doc_id, q.n_tokens, l.lang_pred
-        |FROM documents d
-        |JOIN q USING (doc_id) JOIN l USING (doc_id) JOIN e USING (doc_id)
-        |LEFT JOIN comps USING (doc_id)
-        |WHERE q.n_tokens >= 30 AND l.lang_pred = 'en' AND d.doc_id = e.keep_doc_id
-        |  AND (comps.near_dup_comp IS NULL OR comps.near_dup_comp = d.doc_id)
-        |ORDER BY d.doc_id""".stripMargin,
+        |bench AS (SELECT DISTINCT shingle FROM cs WHERE doc_id % 97 = 0),
+        |cont AS (
+        |  SELECT DISTINCT cs.doc_id FROM cs JOIN bench USING (shingle)
+        |  WHERE cs.doc_id % 97 <> 0)
+        |SELECT c.doc_id, c.n_tokens, c.lang_pred, rep.top_bigram_frac
+        |FROM curated c JOIN rep USING (doc_id)
+        |WHERE rep.top_bigram_frac < 0.08
+        |  AND c.doc_id NOT IN (SELECT doc_id FROM cont)
+        |ORDER BY c.doc_id""".stripMargin,
     "text_langid" ->
       """WITH h AS (
         |  SELECT doc_id,
@@ -657,6 +656,45 @@ object SparkEntry {
         |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank FROM r
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
   )
+
+  /** Shared CTE chain for the curation oracles: near-dup components
+    * (recursive CTE over the ngram pairs), token quality, language,
+    * exact dedup — ending in a `curated` CTE of the surviving docs.
+    */
+  private lazy val curateCtes: String =
+    s"""p AS ($ngramJaccardOracle),
+      |edges AS (SELECT doc_a AS a, doc_b AS b FROM p
+      |          UNION ALL SELECT doc_b, doc_a FROM p),
+      |reach(id, comp) AS (
+      |  SELECT a, a FROM edges
+      |  UNION
+      |  SELECT e.a, r.comp FROM edges e JOIN reach r ON e.b = r.id),
+      |comps AS (SELECT id AS doc_id, min(comp) AS near_dup_comp FROM reach GROUP BY 1),
+      |q AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
+      |lh AS (
+      |  SELECT doc_id,
+      |    CAST(len(list_intersect(list_distinct(string_split(lower(text), ' ')), ['the','a','of','and','in','is'])) AS BIGINT) AS en_hits,
+      |    CAST(len(list_intersect(list_distinct(string_split(lower(text), ' ')), ['el','la','de','los','que','y'])) AS BIGINT) AS es_hits,
+      |    CAST(len(list_intersect(list_distinct(string_split(lower(text), ' ')), ['der','die','das','und','ist','mit'])) AS BIGINT) AS de_hits
+      |  FROM documents),
+      |l AS (
+      |  SELECT doc_id,
+      |    CASE WHEN en_hits >= es_hits AND en_hits >= de_hits AND en_hits > 0 THEN 'en'
+      |         WHEN es_hits >= de_hits AND es_hits > 0 THEN 'es'
+      |         WHEN de_hits > 0 THEN 'de'
+      |         ELSE 'und' END AS lang_pred
+      |  FROM lh),
+      |e AS (
+      |  SELECT doc_id,
+      |    min(doc_id) OVER (PARTITION BY md5(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS keep_doc_id
+      |  FROM documents),
+      |curated AS (
+      |  SELECT d.doc_id, q.n_tokens, l.lang_pred
+      |  FROM documents d
+      |  JOIN q USING (doc_id) JOIN l USING (doc_id) JOIN e USING (doc_id)
+      |  LEFT JOIN comps USING (doc_id)
+      |  WHERE q.n_tokens >= 30 AND l.lang_pred = 'en' AND d.doc_id = e.keep_doc_id
+      |    AND (comps.near_dup_comp IS NULL OR comps.near_dup_comp = d.doc_id))""".stripMargin
 
   /** The 8 2-bit quantized feature dims packed into a 16-bit PQ code —
     * DuckDB twin of Multimodal.embedBuckets' code expression.

@@ -41,6 +41,39 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** Repetition gate for [[curateFull]]: docs whose single most
+    * frequent bigram covers more than this fraction are template/spam
+    * (p90 of the corpus sits near 0.07).
+    */
+  val MaxTopBigramFrac = 0.08
+
+  /** The full curation a frontier-scale corpus actually runs — extends
+    * [[curate]]'s quality/language/exact/near-dup gates with the two
+    * round-3 operators:
+    *
+    *   - repetition gate: drop template/boilerplate docs by
+    *     top-bigram fraction (TextOps.repetition);
+    *   - decontamination: LEFT ANTI join against the benchmark-overlap
+    *     set (Dedup.contamination) — eval-set n-grams never reach
+    *     training data.
+    *
+    * Still ONE composed Catalyst plan: every stage is a DataFrame
+    * function over the same doc_id key, so the joins co-partition and
+    * the anti-join's right side is the (small) contaminated-doc list.
+    * Fully SQL-expressible ⇒ the whole composition sits under the
+    * DuckDB hash gate, like curate before it.
+    */
+  def curateFull(t: Tables): DataFrame = {
+    val rep    = TextOps.repetition(t).select(col("doc_id"), col("top_bigram_frac"))
+    val contam = Dedup.contamination(t).select(col("doc_id"))
+    curate(t)
+      .join(rep, "doc_id")
+      .filter(col("top_bigram_frac") < MaxTopBigramFrac)
+      .join(contam, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("n_tokens"), col("lang_pred"), col("top_bigram_frac"))
+      .orderBy("doc_id")
+  }
+
   /** Sequence packing: assign documents to fixed token-budget bins for
     * training-batch assembly. Documents are laid out in (source,
     * doc_id) order as one virtual token stream per source and cut every
