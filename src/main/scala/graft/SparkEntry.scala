@@ -81,6 +81,7 @@ object SparkEntry {
     "q_zorder_layout"      -> ((s, d) => Layout.zorderLayout(Tables(s, d))),
     "q_orc_roundtrip"      -> ((s, d) => Ingest.orcRoundtrip(Tables(s, d))),
     "text_repetition"      -> ((s, d) => TextOps.repetition(Tables(s, d))),
+    "text_keyterms"        -> ((s, d) => TextOps.keyTerms(Tables(s, d))),
     "multimodal_meta"      -> ((s, d) => Multimodal.mediaMeta(Tables(s, d))),
     "multimodal_decode"    -> ((s, d) => Multimodal.decodeSummary(s, Tables(s, d))),
     "multimodal_frames"    -> ((s, d) => Multimodal.sampleFrames(s, Tables(s, d))),
@@ -465,6 +466,16 @@ object SparkEntry {
         |  CAST(b.n_words - b.n_distinct AS DOUBLE) / b.n_words AS dup_word_frac
         |FROM base b LEFT JOIN agg a USING (doc_id)
         |ORDER BY b.doc_id""".stripMargin,
+    "text_keyterms" -> // top-3 terms per doc by (tf DESC, df ASC) — integer-exact tf-idf analog
+      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |tf AS (SELECT doc_id, w, count(*) AS tf FROM w GROUP BY 1, 2),
+        |df AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
+        |r AS (
+        |  SELECT doc_id, w AS term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY tf DESC, df ASC, w) AS rnk
+        |  FROM tf JOIN df USING (w))
+        |SELECT doc_id, term, tf, df, CAST(rnk AS BIGINT) AS rnk
+        |FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
     "q_zorder_layout" -> // z-order clustering stats per logical file (z-prefix bucket)
       s"""WITH e AS (
         |  SELECT user_id % 256 AS ub,

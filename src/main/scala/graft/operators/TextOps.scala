@@ -67,6 +67,30 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** C8c: keyterm extraction — each doc's top-k terms by term
+    * frequency with document frequency as the rarity tiebreak (the
+    * integer-exact tf-idf analog: idf's log is monotone in 1/df, so
+    * ranking by (tf DESC, df ASC) orders identically to tf·idf for
+    * equal tf — and stays bit-deterministic cross-engine, where a
+    * float log would drift ULPs between JVM and DuckDB).
+    *
+    * Plan: one shuffle to (doc, term) counts, one window over term for
+    * df, then the per-doc top-k through the custom bounded-heap
+    * TopKPerKey operator (plans/TopKPerKey.scala) — no per-doc sort
+    * buffer at 100 TB.
+    */
+  def keyTerms(t: Tables, k: Int = 3): DataFrame = {
+    val tf = t.documents
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"))
+    val withDf = tf.withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
+    graft.plans.TopK
+      .perKey(withDf, Seq("doc_id"), Seq(col("tf").desc, col("df"), col("term")), k)
+      .select("doc_id", "term", "tf", "df", "rnk")
+      .orderBy("doc_id", "rnk")
+  }
+
   /** C10: token counting — whitespace tokens plus a BPE-ish regex
     * tokenization (letter runs / digit runs / single non-alnum).
     */
