@@ -14,7 +14,10 @@ object Bench {
     // first measured query isn't charged session startup
     spark.range(1000000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/region.parquet").count()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // sorted order: Map iteration is hash-random, which hands one
+    // query the suite's cold-start (JIT, codegen, page cache) by
+    // lottery and makes per-query numbers incomparable across rounds
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // collect garbage between queries so one query's debris (broadcast
       // blocks, checkpoint RDDs) doesn't bill a GC pause to the next
       System.gc()
@@ -27,7 +30,7 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
