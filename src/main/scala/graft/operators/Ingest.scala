@@ -10,6 +10,28 @@ import org.apache.spark.sql.functions._
   */
 object Ingest {
 
+  /** Scratch directories removed by one JVM shutdown hook (repeated
+    * Bench/Verify runs must not accumulate table copies in /tmp).
+    */
+  private val scratch = new scala.collection.mutable.ArrayBuffer[java.nio.file.Path]()
+  private lazy val hook: Unit = {
+    sys.addShutdownHook {
+      scratch.foreach { p =>
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+        }
+        rm(p.toFile)
+      }
+    }: Unit
+  }
+
+  private[operators] def scratchDir(prefix: String): String = {
+    hook
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    scratch.synchronized(scratch += p)
+    p.toString
+  }
+
   /** A11: CSV round trip — serialize events rows to CSV lines the way
     * the reference's data.csv is laid out, parse them back with
     * from_csv (typed, codegen'd — the distributed equivalent of
@@ -47,9 +69,12 @@ object Ingest {
     * parquet, proving the write→read cycle is lossless for the typed
     * columns. Write is one narrow projection, task-parallel; the read
     * back prunes to the two aggregated columns.
+    *
+    * `dir` defaults to a JVM-local temp directory (removed on exit) —
+    * correct for local[] testing ONLY; on a cluster pass a shared
+    * filesystem path, exactly as you would for any Spark write.
     */
-  def orcRoundtrip(t: Tables): DataFrame = {
-    val dir = java.nio.file.Files.createTempDirectory("graft-orc").toString
+  def orcRoundtrip(t: Tables, dir: String = Ingest.scratchDir("graft-orc")): DataFrame = {
     t.events
       .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
       .write

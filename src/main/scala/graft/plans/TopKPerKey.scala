@@ -161,11 +161,15 @@ object TopK {
     private def rankBound(cond: Expression, rank: Attribute): Option[Int] = cond match {
       case LessThanOrEqual(a: Attribute, Literal(v: Int, IntegerType)) if a.semanticEquals(rank) =>
         Some(v)
-      case LessThanOrEqual(a: Attribute, Literal(v: Long, LongType)) if a.semanticEquals(rank) =>
+      // bounds beyond Int.MaxValue mean "keep everything" (row_number is
+      // int) — leave those to the window rather than truncate k
+      case LessThanOrEqual(a: Attribute, Literal(v: Long, LongType))
+          if a.semanticEquals(rank) && v <= Int.MaxValue =>
         Some(v.toInt)
       case LessThan(a: Attribute, Literal(v: Int, IntegerType)) if a.semanticEquals(rank) =>
         Some(v - 1)
-      case LessThan(a: Attribute, Literal(v: Long, LongType)) if a.semanticEquals(rank) =>
+      case LessThan(a: Attribute, Literal(v: Long, LongType))
+          if a.semanticEquals(rank) && v <= Int.MaxValue =>
         Some(v.toInt - 1)
       case _ => None
     }
@@ -185,13 +189,15 @@ object TopK {
         }
     }
 
-    /** Does this projection alias re-expose the window's rank (as-is or
-      * widened by a cast)?
+    /** Does this projection alias re-expose the window's rank as-is or
+      * WIDENED by a cast? (A narrowing cast — rank to byte/short —
+      * changes values past the type's range, so it must not match.)
       */
     private def rankThrough(e: Expression, rank: Attribute): Boolean = e match {
       case a: Attribute => a.semanticEquals(rank)
-      case c: Cast      => rankThrough(c.child, rank)
-      case _            => false
+      case c: Cast if c.dataType == LongType || c.dataType == IntegerType =>
+        rankThrough(c.child, rank)
+      case _ => false
     }
 
     override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {

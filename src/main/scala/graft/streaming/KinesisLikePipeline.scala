@@ -145,29 +145,44 @@ object KinesisLikePipeline {
     * holds at any throughput. ProcessingTimeTimeout would evict idle
     * topics in a production deployment.
     */
+  /** The sequencing semantics shared by both state backends: fan each
+    * message into its numbered pages (reference formula
+    * `(count/pagesize)+1`, first/last notes) and thread the per-topic
+    * global sequence. Returns the pages and the advanced counter.
+    */
+  private def emitPages(
+      topicId: Long,
+      startSeq: Long,
+      msgs: Seq[TopicMsg]
+  ): (Seq[PageMsg], Long) = {
+    var emitted = startSeq
+    val out = msgs.sortBy(_.message).flatMap { m =>
+      val pageCount = m.n_devices / m.page_size + 1
+      (1L to pageCount).map { p =>
+        emitted += 1
+        PageMsg(
+          topicId,
+          p,
+          pageCount,
+          emitted,
+          m.message,
+          if (p == 1) "Count: 1st page sent"
+          else if (p == pageCount) s"Count: Last Page Sent: $pageCount"
+          else ""
+        )
+      }
+    }
+    (out, emitted)
+  }
+
   def pageSequencer(spark: SparkSession, msgs: Dataset[TopicMsg]): Dataset[PageMsg] = {
     import spark.implicits._
     msgs
       .groupByKey(_.topic_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (topicId: Long, in: Iterator[TopicMsg], state: GroupState[SeqState]) =>
-          var emitted = state.getOption.map(_.pagesEmitted).getOrElse(0L)
-          val out = in.toSeq.sortBy(_.message).flatMap { m =>
-            val pageCount = m.n_devices / m.page_size + 1
-            (1L to pageCount).map { p =>
-              emitted += 1
-              PageMsg(
-                topicId,
-                p,
-                pageCount,
-                emitted,
-                m.message,
-                if (p == 1) "Count: 1st page sent"
-                else if (p == pageCount) s"Count: Last Page Sent: $pageCount"
-                else ""
-              )
-            }
-          }
+          val (out, emitted) =
+            emitPages(topicId, state.getOption.map(_.pagesEmitted).getOrElse(0L), in.toSeq)
           state.update(SeqState(emitted))
           out.iterator
       }
@@ -201,23 +216,8 @@ object KinesisLikePipeline {
         in: Iterator[TopicMsg],
         timerValues: org.apache.spark.sql.streaming.TimerValues
     ): Iterator[PageMsg] = {
-      var e = if (emitted.exists()) emitted.get() else 0L
-      val out = in.toSeq.sortBy(_.message).flatMap { m =>
-        val pageCount = m.n_devices / m.page_size + 1
-        (1L to pageCount).map { p =>
-          e += 1
-          PageMsg(
-            topicId,
-            p,
-            pageCount,
-            e,
-            m.message,
-            if (p == 1) "Count: 1st page sent"
-            else if (p == pageCount) s"Count: Last Page Sent: $pageCount"
-            else ""
-          )
-        }
-      }
+      val start    = if (emitted.exists()) emitted.get() else 0L
+      val (out, e) = emitPages(topicId, start, in.toSeq)
       emitted.update(e)
       out.iterator
     }

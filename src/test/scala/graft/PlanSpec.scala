@@ -105,6 +105,9 @@ class PlanSpec extends SparkSpecBase {
   test("optimizer rule grafts TopKPerKey onto the hand-written row_number idiom") {
     import org.apache.spark.sql.functions.{col, row_number}
     import org.apache.spark.sql.expressions.Window
+    // reference rows BEFORE the rewrite is active — otherwise both
+    // sides run through TopKPerKey and the equality is vacuous
+    val expected = Analytics.topEventsPerUser(tables).collect().map(_.toSeq).toSeq
     graft.plans.TopK.enableAutoRewrite(spark)
     try {
       val w = Window.partitionBy("user_id").orderBy(col("value").desc, col("event_id"))
@@ -120,11 +123,12 @@ class PlanSpec extends SparkSpecBase {
       // of the heap operator
       assert(!plan.contains("Window ["), s"window survived the rewrite:\n$plan")
       // identical rows to the un-rewritten window query
-      val expected = Analytics.topEventsPerUser(tables).collect().map(_.toSeq).toSeq
       assert(idiom.collect().map(_.toSeq).toSeq == expected)
     } finally {
       spark.experimental.extraOptimizations = spark.experimental.extraOptimizations
         .filterNot(_ == graft.plans.TopK.RewriteRowNumberTopK)
+      spark.experimental.extraStrategies = spark.experimental.extraStrategies
+        .filterNot(_ == graft.plans.TopK.TopKStrategy)
     }
   }
 
@@ -141,9 +145,11 @@ class PlanSpec extends SparkSpecBase {
 
   test("runtime bloom filter prunes the fact side of a selective shuffle join") {
     import org.apache.spark.sql.functions.{col, count, lit}
-    val conf = spark.conf
+    val conf          = spark.conf
     val prevBroadcast = conf.get("spark.sql.autoBroadcastJoinThreshold")
-    val prevRowThresh = conf.getOption("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold")
+    val prevEnabled   = conf.getOption("spark.sql.optimizer.runtime.bloomFilter.enabled")
+    val prevScan =
+      conf.getOption("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
     try {
       // force a shuffle join (no broadcast) so the optimizer must reach
       // for the semi-join reduction instead: a bloom filter built from
@@ -169,11 +175,16 @@ class PlanSpec extends SparkSpecBase {
       )
     } finally {
       conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
-      conf.unset("spark.sql.optimizer.runtime.bloomFilter.enabled")
-      conf.unset("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
-      prevRowThresh.foreach(v =>
-        conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", v)
-      )
+      prevEnabled match {
+        case Some(v) => conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", v)
+        case None    => conf.unset("spark.sql.optimizer.runtime.bloomFilter.enabled")
+      }
+      prevScan match {
+        case Some(v) =>
+          conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", v)
+        case None =>
+          conf.unset("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+      }
     }
   }
 

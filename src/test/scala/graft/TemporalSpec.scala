@@ -18,6 +18,10 @@ class TemporalSpec extends SparkSpecBase {
     }
   }
 
+  // microsecond epoch — Timestamp.getTime alone is millis and would
+  // break sub-millisecond tie ordering
+  private def us(t: java.sql.Timestamp): Long = t.getTime * 1000 + (t.getNanos / 1000) % 1000
+
   test("as-of join picks the latest at-or-before click, per purchase") {
     val rows = Temporal.asofPriorClick(tables).collect()
     assert(rows.nonEmpty)
@@ -27,13 +31,13 @@ class TemporalSpec extends SparkSpecBase {
     val e = tables.events.select("event_id", "ts", "user_id", "event_type").collect()
     val sample = rows.take(20)
     sample.foreach { r =>
-      val pTs  = r.getAs[java.sql.Timestamp]("ts")
+      val pUs  = us(r.getAs[java.sql.Timestamp]("ts"))
       val user = r.getAs[Long]("user_id")
       val best = e
         .filter(x => x.getAs[String]("event_type") == "click")
         .filter(x => x.getAs[Long]("user_id") == user)
-        .filter(x => !x.getAs[java.sql.Timestamp]("ts").after(pTs))
-        .maxBy(x => (x.getAs[java.sql.Timestamp]("ts").getTime, x.getAs[Long]("event_id")))
+        .filter(x => us(x.getAs[java.sql.Timestamp]("ts")) <= pUs)
+        .maxBy(x => (us(x.getAs[java.sql.Timestamp]("ts")), x.getAs[Long]("event_id")))
       assert(r.getAs[Long]("click_event_id") == best.getAs[Long]("event_id"))
     }
   }
@@ -54,7 +58,6 @@ class TemporalSpec extends SparkSpecBase {
       .toMap
     val e = tables.events.select("event_id", "ts", "user_id", "event_type").collect()
     val hourUs = 3600L * 1000000L
-    def us(t: java.sql.Timestamp): Long = t.getTime * 1000 + (t.getNanos / 1000) % 1000
     val naive = e
       .filter(_.getAs[String]("event_type") == "signup")
       .map { s =>
@@ -110,7 +113,8 @@ class TemporalSpec extends SparkSpecBase {
   }
 
   test("z-order files bound BOTH dimensions (the skipping guarantee a 1-D sort can't give)") {
-    val files = graft.operators.Layout.zorderLayout(tables).collect()
+    val df    = graft.operators.Layout.zorderLayout(tables)
+    val files = df.collect()
     assert(files.nonEmpty)
     // an 8-bit z-prefix fixes the high nibble of each 8-bit dimension,
     // so every logical file spans at most 16 values of ub AND of hb —
@@ -120,18 +124,12 @@ class TemporalSpec extends SparkSpecBase {
       assert(f.getAs[Long]("max_hb") - f.getAs[Long]("min_hb") <= 15, s"hb span too wide: $f")
     }
     // plan: pure projection + one shuffle on file_id (no global sort/window)
-    val plan = Layout_planString
-    assert(!plan.contains("Window"), s"layout used a window:\n$plan")
-    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, s"extra shuffles:\n$plan")
-  }
-
-  private def Layout_planString: String = {
-    val df = graft.operators.Layout.zorderLayout(tables)
-    df.collect()
-    df.queryExecution.executedPlan match {
+    val plan = df.queryExecution.executedPlan match {
       case a: AdaptiveSparkPlanExec => a.executedPlan.toString
       case p                        => p.toString
     }
+    assert(!plan.contains("Window"), s"layout used a window:\n$plan")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, s"extra shuffles:\n$plan")
   }
 
   test("decontamination flags exactly the docs sharing a trigram with the benchmark") {
