@@ -72,6 +72,7 @@ object SparkEntry {
     "pipeline_curate"      -> ((s, d) => Curation.curate(Tables(s, d))),
     "pipeline_curate_full" -> ((s, d) => Curation.curateFull(Tables(s, d))),
     "q_asof_join"          -> ((s, d) => Temporal.asofPriorClick(Tables(s, d))),
+    "q_asof_left"          -> ((s, d) => Temporal.asofPriorClickLeft(Tables(s, d))),
     "q_range_join"         -> ((s, d) => Temporal.signupActivity(Tables(s, d))),
     "q_distinct_users_twophase" -> ((s, d) => Analytics.distinctUsersTwoPhase(Tables(s, d))),
     "q_sample_hash"        -> ((s, d) => Sampling.hashSample(Tables(s, d))),
@@ -375,6 +376,17 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY p.event_id ORDER BY c.ts DESC, c.event_id DESC) AS rn
         |  FROM p JOIN c ON c.user_id = p.user_id AND c.ts <= p.ts)
         |SELECT event_id, user_id, ts, click_event_id, click_ts,
+        |  epoch_us(ts) - epoch_us(click_ts) AS gap_us
+        |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin,
+    "q_asof_left" -> // LEFT as-of: unmatched purchases survive with null click columns
+      """WITH c AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'),
+        |j AS (
+        |  SELECT p.event_id, p.user_id, p.ts, c.event_id AS click_event_id, c.ts AS click_ts,
+        |    row_number() OVER (PARTITION BY p.event_id ORDER BY c.ts DESC, c.event_id DESC) AS rn
+        |  FROM p LEFT JOIN c ON c.user_id = p.user_id AND c.ts <= p.ts)
+        |SELECT event_id, user_id, ts, click_event_id,
+        |  epoch_us(click_ts) AS click_ts_us,
         |  epoch_us(ts) - epoch_us(click_ts) AS gap_us
         |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin,
     "q_range_join" -> // interval join: same-user activity within [signup, signup+1h)

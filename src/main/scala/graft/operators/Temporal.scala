@@ -37,7 +37,22 @@ object Temporal {
     *     running window (no per-row buffering; rowsBetween is a
     *     constant-memory frame).
     */
-  def asofPriorClick(t: Tables): DataFrame = {
+  /** LEFT as-of: like [[asofPriorClick]] but purchases with NO prior
+    * click survive with null click columns (the outer-join form a
+    * feature-backfill pipeline wants: every fact row keeps its latest
+    * dimension state, present or not). Same single-shuffle plan — the
+    * outer semantics fall out of simply not filtering the null carry.
+    * The nullable click time is emitted as epoch MICROS (bigint), not
+    * a timestamp: nullable timestamps hit engine-dependent NaT unit
+    * representations in the comparison harness.
+    */
+  def asofPriorClickLeft(t: Tables): DataFrame =
+    asofImpl(t, keepUnmatched = true)
+
+  def asofPriorClick(t: Tables): DataFrame =
+    asofImpl(t, keepUnmatched = false)
+
+  private def asofImpl(t: Tables, keepUnmatched: Boolean): DataFrame = {
     val e = t.events.select("event_id", "ts", "user_id", "event_type")
     val clicks = e
       .filter(col("event_type") === "click")
@@ -61,16 +76,20 @@ object Temporal {
       .partitionBy("user_id")
       .orderBy(col("ts"), col("tag"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched =
+      if (keepUnmatched) col("tag") === 1
+      else col("tag") === 1 && col("last_click").isNotNull
     clicks
       .unionByName(purchases)
       .withColumn("last_click", last("c", ignoreNulls = true).over(w))
-      .filter(col("tag") === 1 && col("last_click").isNotNull)
+      .filter(matched)
       .select(
         col("event_id"),
         col("user_id"),
         col("ts"),
         col("last_click.c_id").as("click_event_id"),
-        col("last_click.c_ts").as("click_ts"),
+        (if (keepUnmatched) unix_micros(col("last_click.c_ts")).as("click_ts_us")
+         else col("last_click.c_ts").as("click_ts")),
         (unix_micros(col("ts")) - unix_micros(col("last_click.c_ts"))).as("gap_us")
       )
       .orderBy("event_id")
