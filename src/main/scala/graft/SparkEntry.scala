@@ -77,6 +77,7 @@ object SparkEntry {
     "q_distinct_users_twophase" -> ((s, d) => Analytics.distinctUsersTwoPhase(Tables(s, d))),
     "q_sample_hash"        -> ((s, d) => Sampling.hashSample(Tables(s, d))),
     "q_sample_stratified"  -> ((s, d) => Sampling.stratifiedSample(Tables(s, d))),
+    "q_split_assign"       -> ((s, d) => Sampling.splitAssign(Tables(s, d))),
     "text_contaminate"     -> ((s, d) => Dedup.contamination(Tables(s, d))),
     "pipeline_pack"        -> ((s, d) => Curation.packTokenBudget(Tables(s, d))),
     "q_zorder_layout"      -> ((s, d) => Layout.zorderLayout(Tables(s, d))),
@@ -420,6 +421,16 @@ object SparkEntry {
         |  FROM h)
         |SELECT doc_id, source, CAST(rn AS BIGINT) AS rn FROM r
         |WHERE rn <= 5 ORDER BY source, rn""".stripMargin,
+    "q_split_assign" -> // growth-stable 80/10/10 split by md5 hash range
+      """WITH b AS (
+        |  SELECT doc_id, source,
+        |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 AS bucket
+        |  FROM documents)
+        |SELECT doc_id, source,
+        |  CASE WHEN bucket < 80 THEN 'train'
+        |       WHEN bucket < 90 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM b ORDER BY doc_id""".stripMargin,
     "text_contaminate" -> // distinct-trigram overlap with the doc_id%97=0 benchmark slice
       """WITH s AS (
         |  SELECT doc_id,

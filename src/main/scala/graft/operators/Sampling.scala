@@ -36,6 +36,26 @@ object Sampling {
       .orderBy("doc_id")
   }
 
+  /** Train/val/test split assignment: hash-range 80/10/10. The split
+    * is a pure row function (same md5 bucket as [[hashSample]]), so it
+    * is STABLE under corpus growth — a doc keeps its split when new
+    * data arrives, which is the property that prevents silent
+    * train/test contamination across dataset versions. Map-only, scan
+    * speed.
+    */
+  def splitAssign(t: Tables): DataFrame =
+    t.documents
+      .select(col("doc_id"), col("source"))
+      .withColumn("bucket", hashBucket)
+      .withColumn(
+        "split",
+        when(col("bucket") < 80, lit("train"))
+          .when(col("bucket") < 90, lit("val"))
+          .otherwise(lit("test"))
+      )
+      .drop("bucket")
+      .orderBy("doc_id")
+
   /** Exact-size stratified sample: the N lowest-hash docs per source
     * (hash order = uniform random order, but reproducible). One shuffle
     * on source; rank via row_number per stratum. At 100 TB with few

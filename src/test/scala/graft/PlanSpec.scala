@@ -132,6 +132,36 @@ class PlanSpec extends SparkSpecBase {
     }
   }
 
+  test("rewrite rule leaves degenerate rank bounds to the window") {
+    import org.apache.spark.sql.functions.{col, row_number}
+    import org.apache.spark.sql.expressions.Window
+    graft.plans.TopK.enableAutoRewrite(spark)
+    try {
+      val w = Window.partitionBy("user_id").orderBy(col("value").desc, col("event_id"))
+      def planOf(bound: Long): (String, Long) = {
+        val df = tables.events
+          .select("user_id", "event_id", "value")
+          .withColumn("rnk", row_number().over(w).cast("long"))
+          .filter(col("rnk") <= bound)
+        (executedPlanString(df), df.count())
+      }
+      // a bound past Int.MaxValue means "keep everything" — must NOT
+      // rewrite (a truncated k would silently drop rows / size a 2^31 heap)
+      val (hugePlan, hugeCount) = planOf(Int.MaxValue.toLong + 66L)
+      assert(!hugePlan.contains("TopKPerKey"), s"rewrote an unrepresentable bound:\n$hugePlan")
+      assert(hugeCount == tables.events.count(), "huge bound must keep every row")
+      // a representable bound still rewrites
+      val (okPlan, okCount) = planOf(2L)
+      assert(okPlan.contains("TopKPerKey"), s"did not rewrite k=2:\n$okPlan")
+      assert(okCount > 0)
+    } finally {
+      spark.experimental.extraOptimizations = spark.experimental.extraOptimizations
+        .filterNot(_ == graft.plans.TopK.RewriteRowNumberTopK)
+      spark.experimental.extraStrategies = spark.experimental.extraStrategies
+        .filterNot(_ == graft.plans.TopK.TopKStrategy)
+    }
+  }
+
   test("topk operator plans as TopKPerKeyExec — no Window, no per-group sort") {
     val df   = Analytics.topEventsPerUserFast(tables)
     val plan = executedPlanString(df)
