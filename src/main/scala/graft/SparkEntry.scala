@@ -80,6 +80,7 @@ object SparkEntry {
     "q_split_assign"       -> ((s, d) => Sampling.splitAssign(Tables(s, d))),
     "text_contaminate"     -> ((s, d) => Dedup.contamination(Tables(s, d))),
     "pipeline_pack"        -> ((s, d) => Curation.packTokenBudget(Tables(s, d))),
+    "pipeline_chunk"       -> ((s, d) => Curation.chunkTokens(Tables(s, d))),
     "q_zorder_layout"      -> ((s, d) => Layout.zorderLayout(Tables(s, d))),
     "q_orc_roundtrip"      -> ((s, d) => Ingest.orcRoundtrip(Tables(s, d))),
     "text_repetition"      -> ((s, d) => TextOps.repetition(Tables(s, d))),
@@ -447,6 +448,21 @@ object SparkEntry {
         |FROM p JOIN bench USING (shingle)
         |WHERE p.doc_id % 97 <> 0
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "pipeline_chunk" -> // overlapping context windows: 64 tokens every 48 (16-token overlap)
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |s AS (
+        |  SELECT doc_id, ws,
+        |    unnest(generate_series(0, greatest(len(ws) - 1, 0), 48)) AS chunk_start
+        |  FROM w),
+        |c AS (
+        |  SELECT doc_id, CAST(chunk_start // 48 AS BIGINT) AS chunk_idx,
+        |    CAST(chunk_start AS BIGINT) AS chunk_start,
+        |    list_slice(ws, chunk_start + 1, chunk_start + 64) AS chunk
+        |  FROM s)
+        |SELECT doc_id, chunk_idx, chunk_start,
+        |  CAST(len(chunk) AS BIGINT) AS n_chunk_tokens,
+        |  md5(array_to_string(chunk, ' ')) AS chunk_hash
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
     "pipeline_pack" -> // token-budget packing: prefix-sum bin of each doc's first token
       """WITH q AS (
         |  SELECT source, doc_id,

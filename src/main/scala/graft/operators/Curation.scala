@@ -74,6 +74,39 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** Context-window chunking: slice each document's token stream into
+    * overlapping windows (`size` tokens every `stride` — the
+    * train-time chunking that keeps `size - stride` tokens of context
+    * across chunk boundaries). One codegen generator (`sequence` of
+    * chunk starts — never a lambda-built array) + per-chunk `slice`,
+    * no shuffle at all until the output sort: chunking runs at scan
+    * speed over 100 TB. Each chunk carries a content hash so
+    * downstream exact-dedup composes directly.
+    */
+  def chunkTokens(t: Tables, winSize: Int = 64, stride: Int = 48): DataFrame =
+    t.documents
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(
+        col("doc_id"),
+        col("ws"),
+        explode(sequence(lit(0), greatest(size(col("ws")) - 1, lit(0)), lit(stride)))
+          .as("chunk_start")
+      )
+      .select(
+        col("doc_id"),
+        (col("chunk_start") / stride).cast("long").as("chunk_idx"),
+        col("chunk_start").cast("long").as("chunk_start"),
+        slice(col("ws"), col("chunk_start") + 1, lit(winSize)).as("chunk")
+      )
+      .select(
+        col("doc_id"),
+        col("chunk_idx"),
+        col("chunk_start"),
+        size(col("chunk")).cast("long").as("n_chunk_tokens"),
+        md5(concat_ws(" ", col("chunk"))).as("chunk_hash")
+      )
+      .orderBy("doc_id", "chunk_idx")
+
   /** Sequence packing: assign documents to fixed token-budget bins for
     * training-batch assembly. Documents are laid out in (source,
     * doc_id) order as one virtual token stream per source and cut every

@@ -148,6 +148,7 @@ object TopK {
       extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
     import org.apache.spark.sql.catalyst.expressions.{
       Cast,
+      EqualTo,
       Literal,
       LessThan,
       LessThanOrEqual,
@@ -171,6 +172,13 @@ object TopK {
       case LessThan(a: Attribute, Literal(v: Long, LongType))
           if a.semanticEquals(rank) && v <= Int.MaxValue =>
         Some(v.toInt - 1)
+      // the argmax idiom: rnk = 1 is top-1 per key (rnk = k for k > 1
+      // is NOT a top-k — it keeps only the k-th row — so only 1 matches)
+      case EqualTo(a: Attribute, Literal(v: Int, IntegerType))
+          if a.semanticEquals(rank) && v == 1 =>
+        Some(1)
+      case EqualTo(a: Attribute, Literal(v: Long, LongType)) if a.semanticEquals(rank) && v == 1L =>
+        Some(1)
       case _ => None
     }
 

@@ -154,6 +154,16 @@ class PlanSpec extends SparkSpecBase {
       val (okPlan, okCount) = planOf(2L)
       assert(okPlan.contains("TopKPerKey"), s"did not rewrite k=2:\n$okPlan")
       assert(okCount > 0)
+      // the argmax idiom (rnk = 1) rewrites to top-1; rnk = 2 (keep
+      // only the SECOND row per key) must not
+      val argmax = tables.events
+        .select("user_id", "event_id", "value")
+        .withColumn("rnk", row_number().over(w).cast("long"))
+      val top1 = argmax.filter(col("rnk") === 1L)
+      assert(executedPlanString(top1).contains("TopKPerKey"), "rnk=1 should rewrite")
+      assert(top1.count() == tables.events.select("user_id").distinct().count())
+      val second = argmax.filter(col("rnk") === 2L)
+      assert(!executedPlanString(second).contains("TopKPerKey"), "rnk=2 must NOT rewrite")
     } finally {
       spark.experimental.extraOptimizations = spark.experimental.extraOptimizations
         .filterNot(_ == graft.plans.TopK.RewriteRowNumberTopK)
