@@ -81,6 +81,7 @@ object SparkEntry {
     "text_contaminate"     -> ((s, d) => Dedup.contamination(Tables(s, d))),
     "pipeline_pack"        -> ((s, d) => Curation.packTokenBudget(Tables(s, d))),
     "pipeline_chunk"       -> ((s, d) => Curation.chunkTokens(Tables(s, d))),
+    "dedup_passage"        -> ((s, d) => Curation.passageDedup(Tables(s, d))),
     "q_zorder_layout"      -> ((s, d) => Layout.zorderLayout(Tables(s, d))),
     "q_orc_roundtrip"      -> ((s, d) => Ingest.orcRoundtrip(Tables(s, d))),
     "text_repetition"      -> ((s, d) => TextOps.repetition(Tables(s, d))),
@@ -463,6 +464,20 @@ object SparkEntry {
         |  CAST(len(chunk) AS BIGINT) AS n_chunk_tokens,
         |  md5(array_to_string(chunk, ' ')) AS chunk_hash
         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+    "dedup_passage" -> // copy-pasted passages: exact dedup at chunk granularity
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |s AS (
+        |  SELECT doc_id, ws,
+        |    unnest(generate_series(0, greatest(len(ws) - 1, 0), 48)) AS chunk_start
+        |  FROM w),
+        |c AS (
+        |  SELECT doc_id,
+        |    md5(array_to_string(list_slice(ws, chunk_start + 1, chunk_start + 64), ' ')) AS chunk_hash
+        |  FROM s)
+        |SELECT chunk_hash, count(*) AS n_copies, count(DISTINCT doc_id) AS n_docs,
+        |  min(doc_id) AS keep_doc_id
+        |FROM c GROUP BY 1 HAVING count(DISTINCT doc_id) > 1
+        |ORDER BY chunk_hash""".stripMargin,
     "pipeline_pack" -> // token-budget packing: prefix-sum bin of each doc's first token
       """WITH q AS (
         |  SELECT source, doc_id,

@@ -107,6 +107,27 @@ object Curation {
       )
       .orderBy("doc_id", "chunk_idx")
 
+  /** Passage-level dedup: exact dedup at CHUNK granularity — finds
+    * copy-pasted passages between documents that doc-level dedup can't
+    * see (two different pages quoting the same boilerplate paragraph).
+    * Composes [[chunkTokens]]' content hash with one groupBy: emitted
+    * rows are the duplicated chunk groups spanning more than one
+    * document, each with its keeper. The chunk build is shuffle-free,
+    * so the whole operator is one shuffle on chunk_hash — the same
+    * shape as doc-level exact dedup, just on ~2× the row count
+    * (stride < window).
+    */
+  def passageDedup(t: Tables): DataFrame =
+    chunkTokens(t)
+      .groupBy("chunk_hash")
+      .agg(
+        count(lit(1)).as("n_copies"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min("doc_id").as("keep_doc_id")
+      )
+      .filter(col("n_docs") > 1)
+      .orderBy("chunk_hash")
+
   /** Sequence packing: assign documents to fixed token-budget bins for
     * training-batch assembly. Documents are laid out in (source,
     * doc_id) order as one virtual token stream per source and cut every
