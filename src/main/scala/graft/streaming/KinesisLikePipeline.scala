@@ -201,15 +201,16 @@ object KinesisLikePipeline {
     * hand-rolled timeout handling). Equality with the fMGWS variant is
     * spec-asserted across triggers.
     */
-  class PageSequencerProcessor
+  class PageSequencerProcessor(ttl: org.apache.spark.sql.streaming.TTLConfig =
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
       extends org.apache.spark.sql.streaming.StatefulProcessor[Long, TopicMsg, PageMsg] {
-    import org.apache.spark.sql.streaming.{TTLConfig, TimeMode, ValueState}
+    import org.apache.spark.sql.streaming.{TimeMode, ValueState}
     import org.apache.spark.sql.Encoders
 
     @transient private var emitted: ValueState[Long] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-      emitted = getHandle.getValueState[Long]("emitted", Encoders.scalaLong, TTLConfig.NONE)
+      emitted = getHandle.getValueState[Long]("emitted", Encoders.scalaLong, ttl)
 
     override def handleInputRows(
         topicId: Long,
@@ -226,16 +227,30 @@ object KinesisLikePipeline {
   /** [[pageSequencer]] on the transformWithState engine (requires the
     * RocksDB state store provider — set
     * `spark.sql.streaming.stateStore.providerClass` before starting).
+    *
+    * `idleTtl`: evict an idle topic's counter after this duration —
+    * the declarative replacement for flatMapGroupsWithState's
+    * hand-rolled timeout handling. State size then tracks ACTIVE
+    * topics, not all topics ever seen: the property that holds at
+    * 100 TB/day with a long-tailed topic population. An evicted
+    * topic's numbering restarts at 1 (same behavior as the reference
+    * after its Lambda loses the shard checkpoint). TTL requires
+    * processing-time semantics, hence the TimeMode switch.
     */
-  def pageSequencerTws(spark: SparkSession, msgs: Dataset[TopicMsg]): Dataset[PageMsg] = {
+  def pageSequencerTws(
+      spark: SparkSession,
+      msgs: Dataset[TopicMsg],
+      idleTtl: Option[java.time.Duration] = None
+  ): Dataset[PageMsg] = {
     import spark.implicits._
+    import org.apache.spark.sql.streaming.{TTLConfig, TimeMode}
+    val (ttl, mode) = idleTtl match {
+      case Some(d) => (TTLConfig(d), TimeMode.ProcessingTime())
+      case None    => (TTLConfig.NONE, TimeMode.None())
+    }
     msgs
       .groupByKey(_.topic_id)
-      .transformWithState(
-        new PageSequencerProcessor,
-        org.apache.spark.sql.streaming.TimeMode.None(),
-        OutputMode.Append()
-      )
+      .transformWithState(new PageSequencerProcessor(ttl), mode, OutputMode.Append())
   }
 
   /** A14 end-to-end THROUGH the DSv2 connector: `readStream` on

@@ -220,6 +220,51 @@ class StreamingSpec extends SparkSpecBase {
     assert(t2.map(_.global_seq).toSeq == Seq(1L), "topics must not share state")
   }
 
+  test("TWS sequencer TTL evicts idle topic state (numbering restarts)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    )
+    try {
+      val in = MemoryStream[TopicMsg]
+      val out =
+        KinesisLikePipeline.pageSequencerTws(spark, in.toDS(), Some(java.time.Duration.ofSeconds(2)))
+      val q = out.writeStream
+        .outputMode(OutputMode.Append)
+        .format("memory")
+        .queryName("pages_ttl")
+        .option("checkpointLocation", ckpt())
+        .start()
+      // ProcessingTime-mode TWS schedules batches to advance its clock
+      // even with no data, so processAllAvailable never quiesces — poll
+      // the sink for the expected row count instead
+      def awaitRows(n: Long): Unit = {
+        val deadline = System.nanoTime + 90L * 1000000000L
+        while (spark.table("pages_ttl").count() < n && System.nanoTime < deadline)
+          Thread.sleep(200)
+        assert(spark.table("pages_ttl").count() >= n, s"timed out waiting for $n rows")
+      }
+      in.addData(TopicMsg(5, "m1", 5, 10)) // 1 page → counter at 1
+      awaitRows(1)
+      Thread.sleep(3000)                   // let the 2s TTL lapse
+      in.addData(TopicMsg(5, "m2", 5, 10)) // idle topic: state evicted
+      awaitRows(2)
+      val rows = spark.table("pages_ttl").as[KinesisLikePipeline.PageMsg].collect()
+      q.stop()
+      val seqs = rows.sortBy(_.message).map(_.global_seq).toSeq
+      // counter restarted: both messages numbered from 1, not 1 then 2
+      assert(seqs == Seq(1L, 1L), s"expected eviction restart, got $seqs")
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None    => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("transformWithState sequencer matches the fMGWS twin across triggers (RocksDB state)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
