@@ -449,11 +449,12 @@ object SparkEntry {
         |FROM p JOIN bench USING (shingle)
         |WHERE p.doc_id % 97 <> 0
         |GROUP BY 1 ORDER BY 1""".stripMargin,
-    "pipeline_chunk" -> // overlapping context windows: 64 tokens every 48 (16-token overlap)
+    "pipeline_chunk" -> // overlapping context windows: 64 tokens every 48 (16-token overlap);
+      // starts stop once the previous window reaches the doc end (no tail fragments)
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
         |s AS (
         |  SELECT doc_id, ws,
-        |    unnest(generate_series(0, greatest(len(ws) - 1, 0), 48)) AS chunk_start
+        |    unnest(generate_series(0, greatest(len(ws) - 17, 0), 48)) AS chunk_start
         |  FROM w),
         |c AS (
         |  SELECT doc_id, CAST(chunk_start // 48 AS BIGINT) AS chunk_idx,
@@ -468,7 +469,7 @@ object SparkEntry {
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
         |s AS (
         |  SELECT doc_id, ws,
-        |    unnest(generate_series(0, greatest(len(ws) - 1, 0), 48)) AS chunk_start
+        |    unnest(generate_series(0, greatest(len(ws) - 17, 0), 48)) AS chunk_start
         |  FROM w),
         |c AS (
         |  SELECT doc_id,

@@ -84,13 +84,31 @@ object Curation {
     * downstream exact-dedup composes directly.
     */
   def chunkTokens(t: Tables, winSize: Int = 64, stride: Int = 48): DataFrame =
+    chunksRaw(t, winSize, stride).orderBy("doc_id", "chunk_idx")
+
+  /** Unsorted chunk build shared by [[chunkTokens]] and
+    * [[passageDedup]] — shuffle-free by construction, so the
+    * aggregation path gets its single shuffle without relying on the
+    * optimizer to eliminate a sort.
+    *
+    * Start-grid bound: a start is emitted only while the PREVIOUS
+    * window does not already reach the document's end
+    * (`start < n - (winSize - stride)`), so every token is covered
+    * exactly by the chosen windows and no doc-tail chunk is wholly
+    * contained in its predecessor — tail fragments would be duplicate
+    * training content, and (being as short as one token) would make
+    * unrelated docs hash-collide in passage dedup.
+    */
+  private def chunksRaw(t: Tables, winSize: Int, stride: Int): DataFrame = {
+    val overlap = winSize - stride
     t.documents
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .select(
         col("doc_id"),
         col("ws"),
-        explode(sequence(lit(0), greatest(size(col("ws")) - 1, lit(0)), lit(stride)))
-          .as("chunk_start")
+        explode(
+          sequence(lit(0), greatest(size(col("ws")) - overlap - 1, lit(0)), lit(stride))
+        ).as("chunk_start")
       )
       .select(
         col("doc_id"),
@@ -105,7 +123,7 @@ object Curation {
         size(col("chunk")).cast("long").as("n_chunk_tokens"),
         md5(concat_ws(" ", col("chunk"))).as("chunk_hash")
       )
-      .orderBy("doc_id", "chunk_idx")
+  }
 
   /** Passage-level dedup: exact dedup at CHUNK granularity — finds
     * copy-pasted passages between documents that doc-level dedup can't
@@ -118,7 +136,7 @@ object Curation {
     * (stride < window).
     */
   def passageDedup(t: Tables): DataFrame =
-    chunkTokens(t)
+    chunksRaw(t, winSize = 64, stride = 48)
       .groupBy("chunk_hash")
       .agg(
         count(lit(1)).as("n_copies"),

@@ -19,11 +19,26 @@ object Temporal {
 
   private val HourUs = 3600L * 1000000L
 
-  /** As-of join: for every purchase event, the most recent click by the
-    * same user at-or-before the purchase timestamp (ties on ts resolved
-    * to the click, then to the larger click event_id).
-    *
-    * Spark-first realization of an operator the engine lacks: instead
+  /** LEFT as-of: like [[asofPriorClick]] but purchases with NO prior
+    * click survive with null click columns (the outer-join form a
+    * feature-backfill pipeline wants: every fact row keeps its latest
+    * dimension state, present or not). Same single-shuffle plan — the
+    * outer semantics fall out of simply not filtering the null carry.
+    * The nullable click time is emitted as epoch MICROS (bigint), not
+    * a timestamp: nullable timestamps hit engine-dependent NaT unit
+    * representations in the comparison harness.
+    */
+  def asofPriorClickLeft(t: Tables): DataFrame =
+    asofImpl(t, keepUnmatched = true)
+
+  /** As-of join (inner): for every purchase event, the most recent
+    * click by the same user at-or-before the purchase timestamp; see
+    * [[asofImpl]] for the plan and tie-break analysis.
+    */
+  def asofPriorClick(t: Tables): DataFrame =
+    asofImpl(t, keepUnmatched = false)
+
+  /** Spark-first realization of an operator the engine lacks: instead
     * of a per-row subquery or an inequality join (BNLJ — n² per user),
     * union-tag both sides and carry the latest click forward with one
     * running `last(_, ignoreNulls)` window:
@@ -37,21 +52,6 @@ object Temporal {
     *     running window (no per-row buffering; rowsBetween is a
     *     constant-memory frame).
     */
-  /** LEFT as-of: like [[asofPriorClick]] but purchases with NO prior
-    * click survive with null click columns (the outer-join form a
-    * feature-backfill pipeline wants: every fact row keeps its latest
-    * dimension state, present or not). Same single-shuffle plan — the
-    * outer semantics fall out of simply not filtering the null carry.
-    * The nullable click time is emitted as epoch MICROS (bigint), not
-    * a timestamp: nullable timestamps hit engine-dependent NaT unit
-    * representations in the comparison harness.
-    */
-  def asofPriorClickLeft(t: Tables): DataFrame =
-    asofImpl(t, keepUnmatched = true)
-
-  def asofPriorClick(t: Tables): DataFrame =
-    asofImpl(t, keepUnmatched = false)
-
   private def asofImpl(t: Tables, keepUnmatched: Boolean): DataFrame = {
     val e = t.events.select("event_id", "ts", "user_id", "event_type")
     val clicks = e

@@ -149,6 +149,8 @@ object TopK {
     import org.apache.spark.sql.catalyst.expressions.{
       Cast,
       EqualTo,
+      GreaterThan,
+      GreaterThanOrEqual,
       Literal,
       LessThan,
       LessThanOrEqual,
@@ -178,6 +180,23 @@ object TopK {
           if a.semanticEquals(rank) && v == 1 =>
         Some(1)
       case EqualTo(a: Attribute, Literal(v: Long, LongType)) if a.semanticEquals(rank) && v == 1L =>
+        Some(1)
+      // literal-on-the-left orientations ("3 >= rnk", "1 = rnk")
+      case GreaterThanOrEqual(Literal(v: Int, IntegerType), a: Attribute)
+          if a.semanticEquals(rank) =>
+        Some(v)
+      case GreaterThanOrEqual(Literal(v: Long, LongType), a: Attribute)
+          if a.semanticEquals(rank) && v <= Int.MaxValue =>
+        Some(v.toInt)
+      case GreaterThan(Literal(v: Int, IntegerType), a: Attribute) if a.semanticEquals(rank) =>
+        Some(v - 1)
+      case GreaterThan(Literal(v: Long, LongType), a: Attribute)
+          if a.semanticEquals(rank) && v <= Int.MaxValue =>
+        Some(v.toInt - 1)
+      case EqualTo(Literal(v: Int, IntegerType), a: Attribute)
+          if a.semanticEquals(rank) && v == 1 =>
+        Some(1)
+      case EqualTo(Literal(v: Long, LongType), a: Attribute) if a.semanticEquals(rank) && v == 1L =>
         Some(1)
       case _ => None
     }

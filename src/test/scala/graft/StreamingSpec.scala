@@ -228,11 +228,12 @@ class StreamingSpec extends SparkSpecBase {
       "spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
     )
+    var q: org.apache.spark.sql.streaming.StreamingQuery = null
     try {
       val in = MemoryStream[TopicMsg]
       val out =
         KinesisLikePipeline.pageSequencerTws(spark, in.toDS(), Some(java.time.Duration.ofSeconds(2)))
-      val q = out.writeStream
+      q = out.writeStream
         .outputMode(OutputMode.Append)
         .format("memory")
         .queryName("pages_ttl")
@@ -253,11 +254,13 @@ class StreamingSpec extends SparkSpecBase {
       in.addData(TopicMsg(5, "m2", 5, 10)) // idle topic: state evicted
       awaitRows(2)
       val rows = spark.table("pages_ttl").as[KinesisLikePipeline.PageMsg].collect()
-      q.stop()
       val seqs = rows.sortBy(_.message).map(_.global_seq).toSeq
       // counter restarted: both messages numbered from 1, not 1 then 2
       assert(seqs == Seq(1L, 1L), s"expected eviction restart, got $seqs")
     } finally {
+      // stop in finally: a timed-out await must not leak a running
+      // query (and its sink name) into the rest of the suite
+      if (q != null) q.stop()
       prev match {
         case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
         case None    => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")

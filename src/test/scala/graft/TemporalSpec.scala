@@ -89,6 +89,30 @@ class TemporalSpec extends SparkSpecBase {
     )
   }
 
+  test("chunking covers every token with no chunk contained in its predecessor") {
+    val chunks = graft.operators.Curation.chunkTokens(tables).collect()
+    val nTokens = tables.documents
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.size(
+          org.apache.spark.sql.functions.split(org.apache.spark.sql.functions.col("text"), " ")
+        ).cast("long").as("n"))
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n"))
+      .toMap
+    chunks.groupBy(_.getAs[Long]("doc_id")).foreach { case (doc, cs) =>
+      val sorted = cs.sortBy(_.getAs[Long]("chunk_start"))
+      val ends   = sorted.map(c => c.getAs[Long]("chunk_start") + c.getAs[Long]("n_chunk_tokens"))
+      // the final window reaches the doc's end → full coverage
+      assert(ends.last == nTokens(doc), s"doc $doc: last end ${ends.last} != ${nTokens(doc)}")
+      // strictly increasing ends → no chunk is contained in its
+      // predecessor (no duplicate doc-tail fragments)
+      ends.sliding(2).foreach {
+        case Array(a, b) => assert(a < b, s"doc $doc: chunk contained in predecessor")
+        case _           => ()
+      }
+    }
+  }
+
   test("packing never splits a document and bins overflow by at most one doc tail") {
     val budget = 2048
     val bins   = Curation.packTokenBudget(tables, budget).collect()
