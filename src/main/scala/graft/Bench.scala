@@ -18,8 +18,13 @@ object Bench {
     // query the suite's cold-start (JIT, codegen, page cache) by
     // lottery and makes per-query numbers incomparable across rounds
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      // collect garbage between queries so one query's debris (broadcast
-      // blocks, checkpoint RDDs) doesn't bill a GC pause to the next
+      // free the previous query's checkpoint blocks deterministically —
+      // localCheckpoint RDDs sit in executor storage until the context
+      // cleaner gets to them, and 70+ queries of debris shows up as
+      // run-to-run variance in late queries. Safe here: every query
+      // builds its plan from scratch.
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      // then collect garbage so the debris isn't billed to the next timer
       System.gc()
       val t0 = System.nanoTime()
       // toRdd.count() executes the FULL physical plan (projections,
