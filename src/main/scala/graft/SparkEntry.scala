@@ -49,6 +49,9 @@ object SparkEntry {
     "q_session_windows"    -> ((s, d) => EventOps.sessionWindows(Tables(s, d))),
     "q_props_extract"      -> ((s, d) => EventOps.propsExtract(Tables(s, d))),
     "q_csv_roundtrip"      -> ((s, d) => Ingest.csvRoundtrip(Tables(s, d))),
+    "q_jsonl_roundtrip"    -> ((s, d) => Ingest.jsonlRoundtrip(Tables(s, d))),
+    "q_mixture_weights"    -> ((s, d) => Sampling.mixtureWeights(Tables(s, d))),
+    "q_value_histogram"    -> ((s, d) => Analytics.valueHistogram(Tables(s, d))),
     "q_device_gen"         -> ((s, d) => Ingest.deviceGen(Tables(s, d))),
     "dedup_exact"          -> ((s, d) => Dedup.exact(Tables(s, d))),
     "dedup_ngram_jaccard"  -> ((s, d) => Dedup.ngramJaccard(Tables(s, d))),
@@ -309,6 +312,22 @@ object SparkEntry {
     "q_csv_roundtrip" ->
       """SELECT event_type, count(*) AS n, CAST(sum(event_id) AS BIGINT) AS sum_ids
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_jsonl_roundtrip" -> // JSON write→parse is lossless ⇒ aggregate matches the original
+      """SELECT event_type, count(*) AS n, CAST(sum(event_id) AS BIGINT) AS sum_ids
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_mixture_weights" -> // acceptance rates flattening sources to a uniform char budget
+      """WITH c AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |  FROM documents GROUP BY 1),
+        |t AS (SELECT min(total_chars) AS target FROM c)
+        |SELECT source, n_docs, total_chars, target,
+        |  CAST(target AS DOUBLE) / total_chars AS weight,
+        |  CAST(floor(target * 100 / total_chars) AS BIGINT) AS keep_pct
+        |FROM c, t ORDER BY source""".stripMargin,
+    "q_value_histogram" -> // fixed-width value histogram per event type
+      """SELECT event_type, CAST(floor(value / 50) AS BIGINT) AS bin, count(*) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_device_gen" ->
       """SELECT c_custkey, CAST(d AS BIGINT) AS device_num,
         |  concat('arn:', substr(md5(concat(c_custkey, '-', d)), 1, 16)) AS endpoint_arn

@@ -130,6 +130,20 @@ object Analytics {
       .agg(approx_count_distinct(col("user_id"), 0.01).as("n_users_approx"))
       .orderBy("event_type")
 
+  /** B17: fixed-width histogram of event values per type — the core
+    * OLAP distribution profile. Bin assignment is a codegen'd floor
+    * projection; one partial-agg'd shuffle on (type, bin). At 100 TB
+    * the output stays tiny (types × bins) regardless of input size —
+    * the shape that makes histogramming the cheap first look at any
+    * new column.
+    */
+  def valueHistogram(t: Tables, binWidth: Int = 50): DataFrame =
+    t.events
+      .select(col("event_type"), floor(col("value") / binWidth).cast("long").as("bin"))
+      .groupBy("event_type", "bin")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("event_type", "bin")
+
   /** B6: TPC-H Q6-style selective revenue delta — every predicate
     * (date range, discount band, quantity cap) reaches the parquet
     * scan as a pushed filter; the aggregation is a scan-bound

@@ -91,6 +91,27 @@ object Ingest {
       .orderBy("event_type")
   }
 
+  /** A11c: JSON-lines round trip — serialize events rows to JSON the
+    * way the Kinesis payloads carry them (to_json), parse back typed
+    * (from_json), aggregate. With CSV (A11), ORC (A11b), parquet
+    * (native), and the base64 envelope (A3), this completes the
+    * serialization matrix; the aggregate matching the original-table
+    * oracle proves the cycle lossless.
+    */
+  def jsonlRoundtrip(t: Tables): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType
+      .fromDDL("event_id LONG, user_id LONG, event_type STRING")
+    val lines = t.events.select(
+      to_json(struct(col("event_id"), col("user_id"), col("event_type"))).as("line")
+    )
+    lines
+      .select(from_json(col("line"), schema).as("r"))
+      .select(col("r.event_id").as("event_id"), col("r.event_type").as("event_type"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("event_id")).as("sum_ids"))
+      .orderBy("event_type")
+  }
+
   /** A12: deterministic device synthesis — the reference loops
     * user-by-user on the driver emitting 1-3 devices with random
     * tokens (download.go:127-190). Distributed re-expression:

@@ -56,6 +56,35 @@ object Sampling {
       .drop("bucket")
       .orderBy("doc_id")
 
+  /** Mixture rebalancing weights: per-source acceptance probabilities
+    * that flatten the corpus to a uniform source mixture (target = the
+    * smallest source's count; weight_s = target / n_s). The standard
+    * first step of training-mixture construction — the weights feed
+    * [[hashSample]]-style hash thresholds, keeping the whole pipeline
+    * deterministic. One partial-agg'd groupBy + a broadcast-size
+    * aggregate for the target; weights are double divisions of exact
+    * longs (bit-stable cross-engine).
+    */
+  def mixtureWeights(t: Tables): DataFrame = {
+    // size by total characters, not doc count — the byte/token budget
+    // is what a training mixture actually allocates
+    val counts = t.documents
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars").cast("long")).as("total_chars"))
+    val target = counts.agg(min("total_chars").as("target"))
+    counts
+      .crossJoin(broadcast(target))
+      .select(
+        col("source"),
+        col("n_docs"),
+        col("total_chars"),
+        col("target"),
+        (col("target").cast("double") / col("total_chars")).as("weight"),
+        floor(col("target") * 100 / col("total_chars")).as("keep_pct")
+      )
+      .orderBy("source")
+  }
+
   /** Exact-size stratified sample: the N lowest-hash docs per source
     * (hash order = uniform random order, but reproducible). One shuffle
     * on source; rank via row_number per stratum. At 100 TB with few
