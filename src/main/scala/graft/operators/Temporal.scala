@@ -52,8 +52,16 @@ object Temporal {
     *     running window (no per-row buffering; rowsBetween is a
     *     constant-memory frame).
     */
-  private def asofImpl(t: Tables, keepUnmatched: Boolean): DataFrame = {
-    val e = t.events.select("event_id", "ts", "user_id", "event_type")
+  private def asofImpl(t: Tables, keepUnmatched: Boolean): DataFrame =
+    asofOn(t.events, keepUnmatched)
+
+  /** The as-of kernel over any frame with (event_id, ts, user_id,
+    * event_type) — exposed so specs can drive tie-heavy crafted inputs
+    * (the corpus has no equal timestamps, which is exactly where the
+    * tag/event_id tie-break must be exercised).
+    */
+  def asofOn(events: DataFrame, keepUnmatched: Boolean): DataFrame = {
+    val e = events.select("event_id", "ts", "user_id", "event_type")
     val clicks = e
       .filter(col("event_type") === "click")
       .select(

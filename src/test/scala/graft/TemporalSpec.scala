@@ -42,6 +42,38 @@ class TemporalSpec extends SparkSpecBase {
     }
   }
 
+  test("as-of tie-breaks: equal timestamps resolve to the click, then the largest id") {
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    def at(s: Int) = new java.sql.Timestamp(t0.getTime + s * 1000L)
+    // user 1: two clicks at the SAME instant as the purchase → the
+    //   at-or-before rule must include them, largest click id wins
+    // user 2: click strictly after the purchase only → unmatched
+    // user 3: ties between clicks before the purchase
+    val events = Seq(
+      (10L, at(5), 1L, "click"),
+      (11L, at(5), 1L, "click"),
+      (12L, at(5), 1L, "purchase"),
+      (20L, at(9), 2L, "click"),
+      (21L, at(8), 2L, "purchase"),
+      (30L, at(1), 3L, "click"),
+      (31L, at(1), 3L, "click"),
+      (32L, at(2), 3L, "purchase")
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val inner = Temporal
+      .asofOn(events, keepUnmatched = false)
+      .collect()
+      .map(r => r.getAs[Long]("event_id") -> r.getAs[Long]("click_event_id"))
+      .toMap
+    assert(inner == Map(12L -> 11L, 32L -> 31L), s"got $inner")
+    val left = Temporal
+      .asofOn(events, keepUnmatched = true)
+      .collect()
+      .map(r => r.getAs[Long]("event_id") -> Option(r.getAs[java.lang.Long]("click_event_id")))
+      .toMap
+    assert(left == Map(12L -> Some(11L), 21L -> None, 32L -> Some(31L)), s"got $left")
+  }
+
   test("as-of join is one user shuffle — no nested-loop, no extra exchange") {
     val plan = executedPlanString(Temporal.asofPriorClick(tables))
     assert(!plan.contains("NestedLoop"), s"as-of degenerated to a nested loop:\n$plan")
