@@ -21,9 +21,10 @@ object Bench {
       // free the previous query's checkpoint blocks deterministically —
       // localCheckpoint RDDs sit in executor storage until the context
       // cleaner gets to them, and 70+ queries of debris shows up as
-      // run-to-run variance in late queries. Safe here: every query
-      // builds its plan from scratch.
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      // run-to-run variance in late queries. Blocking, so the removal
+      // work cannot bleed into the next query's timed window. Safe
+      // here: every query builds its plan from scratch.
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
       // then collect garbage so the debris isn't billed to the next timer
       System.gc()
       val t0 = System.nanoTime()

@@ -313,7 +313,8 @@ object SparkEntry {
       """SELECT event_type, count(*) AS n, CAST(sum(event_id) AS BIGINT) AS sum_ids
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_jsonl_roundtrip" -> // JSON write→parse is lossless ⇒ aggregate matches the original
-      """SELECT event_type, count(*) AS n, CAST(sum(event_id) AS BIGINT) AS sum_ids
+      """SELECT event_type, count(*) AS n, CAST(sum(event_id) AS BIGINT) AS sum_ids,
+        |  CAST(sum(user_id) AS BIGINT) AS sum_users
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_mixture_weights" -> // acceptance rates flattening sources to a uniform char budget
       """WITH c AS (
@@ -326,7 +327,8 @@ object SparkEntry {
         |  CAST(floor(target * 100 / total_chars) AS BIGINT) AS keep_pct
         |FROM c, t ORDER BY source""".stripMargin,
     "q_value_histogram" -> // fixed-width value histogram per event type
-      """SELECT event_type, CAST(floor(value / 50) AS BIGINT) AS bin, count(*) AS n
+      s"""SELECT event_type,
+        |  CAST(floor(value / ${Analytics.HistBinWidth}) AS BIGINT) AS bin, count(*) AS n
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_device_gen" ->
       """SELECT c_custkey, CAST(d AS BIGINT) AS device_num,

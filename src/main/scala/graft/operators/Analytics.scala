@@ -137,7 +137,9 @@ object Analytics {
     * the shape that makes histogramming the cheap first look at any
     * new column.
     */
-  def valueHistogram(t: Tables, binWidth: Int = 50): DataFrame =
+  val HistBinWidth = 50
+
+  def valueHistogram(t: Tables, binWidth: Int = HistBinWidth): DataFrame =
     t.events
       .select(col("event_type"), floor(col("value") / binWidth).cast("long").as("bin"))
       .groupBy("event_type", "bin")

@@ -106,9 +106,19 @@ object Ingest {
     )
     lines
       .select(from_json(col("line"), schema).as("r"))
-      .select(col("r.event_id").as("event_id"), col("r.event_type").as("event_type"))
+      .select(
+        col("r.event_id").as("event_id"),
+        col("r.user_id").as("user_id"),
+        col("r.event_type").as("event_type")
+      )
       .groupBy("event_type")
-      .agg(count(lit(1)).as("n"), sum(col("event_id")).as("sum_ids"))
+      // aggregate EVERY parsed field — an unused field would be pruned
+      // out of from_json entirely and its round trip never validated
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("event_id")).as("sum_ids"),
+        sum(col("user_id")).as("sum_users")
+      )
       .orderBy("event_type")
   }
 

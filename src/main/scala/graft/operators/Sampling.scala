@@ -57,8 +57,10 @@ object Sampling {
       .orderBy("doc_id")
 
   /** Mixture rebalancing weights: per-source acceptance probabilities
-    * that flatten the corpus to a uniform source mixture (target = the
-    * smallest source's count; weight_s = target / n_s). The standard
+    * that flatten the corpus to a uniform CHARACTER budget per source
+    * (target = the smallest source's total chars; weight_s =
+    * target / total_chars_s) — bytes/tokens are what a training
+    * mixture allocates, not document counts. The standard
     * first step of training-mixture construction — the weights feed
     * [[hashSample]]-style hash thresholds, keeping the whole pipeline
     * deterministic. One partial-agg'd groupBy + a broadcast-size
