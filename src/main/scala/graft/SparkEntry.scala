@@ -69,6 +69,7 @@ object SparkEntry {
     "text_winnow"          -> ((s, d) => TextOps.winnowFingerprints(Tables(s, d))),
     "text_corpus_profile"  -> ((s, d) => TextOps.corpusProfile(Tables(s, d))),
     "dedup_ngram_capped"   -> ((s, d) => Dedup.ngramJaccardCapped(Tables(s, d))),
+    "dedup_cross_source"   -> ((s, d) => Dedup.crossSourceDups(Tables(s, d))),
     "dedup_components"     -> ((s, d) => Dedup.nearDupComponents(Tables(s, d))),
     "dedup_source_sim"     -> ((s, d) => Dedup.sourceSimilarity(Tables(s, d))),
     "dedup_winnow"         -> ((s, d) => Dedup.winnowPairs(Tables(s, d))),
@@ -571,6 +572,16 @@ object SparkEntry {
         |  count(*) OVER (PARTITION BY text_hash) AS group_size
         |FROM h ORDER BY doc_id""".stripMargin,
     "dedup_ngram_jaccard" -> ngramJaccardOracle,
+    "dedup_cross_source" -> // near-dup pairs rolled up to an (unordered) source-pair matrix
+      s"""WITH p AS ($ngramJaccardOracle),
+        |s AS (SELECT doc_id, source FROM documents),
+        |j AS (
+        |  SELECT least(sa.source, sb.source) AS src_lo,
+        |         greatest(sa.source, sb.source) AS src_hi, p.jaccard
+        |  FROM p JOIN s sa ON p.doc_a = sa.doc_id
+        |         JOIN s sb ON p.doc_b = sb.doc_id)
+        |SELECT src_lo, src_hi, count(*) AS n_pairs, max(jaccard) AS max_jaccard
+        |FROM j GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "dedup_minhash_lsh"   -> ngramJaccardOracle, // LSH verified-pairs = exact pairs (miss prob (1-s^4)^32; see Dedup.scala)
     "dedup_ngram_capped"  -> ngramOracle(Some(100)), // df-capped postings, exact denominators
     "dedup_simhash" -> // portable 60-bit md5 word hash ⇒ full simhash in SQL; banding is exact for hamming ≤ 3

@@ -149,6 +149,28 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Cross-source duplication matrix: which sources copy from which —
+    * near-dup pairs rolled up to (source_a, source_b) with pair counts
+    * and the strongest similarity seen. The provenance view a curation
+    * team reads before deciding which source to drop or down-weight.
+    * Cost is the C2 pair pipeline plus two broadcast-size dimension
+    * joins (doc_id → source) and a tiny rollup; max() keeps the
+    * similarity column exact (an avg of doubles would be
+    * summation-order dependent).
+    */
+  def crossSourceDups(t: Tables, tau: Double = JaccardTau): DataFrame = {
+    val src = t.documents.select(col("doc_id"), col("source"))
+    ngramJaccard(t, tau)
+      .join(src.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("source", "source_a"), "doc_a")
+      .join(src.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("source", "source_b"), "doc_b")
+      .groupBy(
+        least(col("source_a"), col("source_b")).as("src_lo"),
+        greatest(col("source_a"), col("source_b")).as("src_hi")
+      )
+      .agg(count(lit(1)).as("n_pairs"), max(col("jaccard")).as("max_jaccard"))
+      .orderBy("src_lo", "src_hi")
+  }
+
   /** Benchmark decontamination: flag corpus documents sharing any
     * word-trigram with a held-out evaluation set (here the
     * deterministic slice doc_id % 97 == 0 stands in for the benchmark).
