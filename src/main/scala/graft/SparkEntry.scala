@@ -21,6 +21,16 @@ object SparkEntry {
     "q5_region_volume"     -> ((s, d) => Analytics.regionVolume(Tables(s, d))),
     "q_top_events_per_user" -> ((s, d) => Analytics.topEventsPerUser(Tables(s, d))),
     "q_top_events_topk_op"  -> ((s, d) => Analytics.topEventsPerUserFast(Tables(s, d))),
+    // conf-off control: the gate session injects GraftExtensions, so the
+    // row_number idiom above is grafted onto TopKPerKeyExec — this twin
+    // disables the rewrite (in a CLONED session, so the toggle cannot
+    // leak into other keys) and keeps the plain Window plan under the
+    // same oracle as the un-rewritten baseline.
+    "q_top_events_window_ctl" -> ((s, d) => {
+      val ctl = s.newSession()
+      ctl.conf.set("spark.graft.topk.autoRewrite", "false")
+      Analytics.topEventsPerUser(Tables(ctl, d))
+    }),
     "q_distinct_users"     -> ((s, d) => Analytics.distinctUsers(Tables(s, d))),
     "q_approx_distinct_users" -> ((s, d) => Analytics.approxDistinctUsers(Tables(s, d))),
     "q6_selective_revenue" -> ((s, d) => Analytics.selectiveRevenue(Tables(s, d))),
@@ -143,6 +153,13 @@ object SparkEntry {
         |WHERE rnk <= 3
         |ORDER BY user_id, rnk""".stripMargin,
     "q_top_events_topk_op" -> // custom TopKPerKeyExec, same semantics as the window variant
+      """SELECT user_id, event_id, event_type, value, rnk FROM (
+        |  SELECT user_id, event_id, event_type, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rnk
+        |  FROM events) t
+        |WHERE rnk <= 3
+        |ORDER BY user_id, rnk""".stripMargin,
+    "q_top_events_window_ctl" -> // rewrite disabled: the plain Window plan under the same oracle
       """SELECT user_id, event_id, event_type, value, rnk FROM (
         |  SELECT user_id, event_id, event_type, value,
         |    row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rnk

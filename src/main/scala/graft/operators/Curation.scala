@@ -13,18 +13,34 @@ import org.apache.spark.sql.functions._
   *   near-dup resolution (keep only each similarity component's min).
   *
   * Every stage reuses the standalone operators, so the whole pipeline
-  * stays a single Catalyst plan: filters fuse, the doc_id joins all
-  * broadcast or co-partition, and nothing materializes between stages.
+  * stays a single Catalyst plan: filters fuse and the doc_id joins all
+  * broadcast or co-partition. The only materializations are the two
+  * the operators themselves demand — the near-dup pair list (feeds an
+  * iterative fixpoint) and, in [[curateFull]], the shingle index that
+  * both dedup branches share.
   */
 object Curation {
 
   val MinTokens = 30
 
-  def curate(t: Tables): DataFrame = {
+  /** `checkpointDir`: threaded to the iterative near-dup component
+    * resolution (same contract as [[Dedup.nearDupComponents]] — `None`
+    * is executor-local `localCheckpoint`, a reliable location makes
+    * every round a replayable `checkpoint()`).
+    */
+  def curate(t: Tables, checkpointDir: Option[String] = None): DataFrame =
+    curateFrom(t, Dedup.nearDupComponents(t, checkpointDir = checkpointDir))
+
+  /** The quality/language/exact-dedup gates joined against a
+    * caller-provided component labeling — shared by [[curate]] and
+    * [[curateFull]] so the full pipeline can feed BOTH dedup branches
+    * from one materialized shingle index.
+    */
+  private def curateFrom(t: Tables, components: DataFrame): DataFrame = {
     val quality = TextOps.qualityScores(t).select(col("doc_id"), col("n_tokens"))
     val lang    = TextOps.langId(t).select(col("doc_id"), col("lang_pred"))
     val exact   = Dedup.exact(t).select(col("doc_id"), col("keep_doc_id"))
-    val comps   = Dedup.nearDupComponents(t).withColumnRenamed("component", "near_dup_comp")
+    val comps   = components.withColumnRenamed("component", "near_dup_comp")
     t.documents
       .select(col("doc_id"))
       .join(quality, "doc_id")
@@ -62,11 +78,32 @@ object Curation {
     * the anti-join's right side is the (small) contaminated-doc list.
     * Fully SQL-expressible ⇒ the whole composition sits under the
     * DuckDB hash gate, like curate before it.
+    *
+    * Shared scan: the shingle index ([[Dedup.hashedPostings]] — corpus
+    * scan + posexplode + two windows, the dominant cost of the whole
+    * pipeline) is materialized exactly ONCE and feeds both the
+    * near-dup pair pipeline and the decontamination branch; without
+    * it each branch rebuilds the index from raw text (2-3 full
+    * shingle explodes per run — at 100 TB, the flagship's dominant
+    * redundant cost). `checkpointDir` follows the
+    * [[Dedup.nearDupComponents]] contract: `None` materializes with
+    * `localCheckpoint` (executor-local, single-node/testing), a
+    * reliable location (HDFS/S3) makes the index and every component
+    * round a replayable `checkpoint()`.
     */
-  def curateFull(t: Tables): DataFrame = {
+  def curateFull(t: Tables, checkpointDir: Option[String] = None): DataFrame = {
+    checkpointDir.foreach(t.spark.sparkContext.setCheckpointDir)
+    val postings0 = Dedup.hashedPostings(t)
+    val postings =
+      if (checkpointDir.isDefined) postings0.checkpoint() else postings0.localCheckpoint()
+    val comps = Dedup.nearDupComponents(
+      t,
+      checkpointDir = checkpointDir,
+      postings = Some(postings)
+    )
     val rep    = TextOps.repetition(t).select(col("doc_id"), col("top_bigram_frac"))
-    val contam = Dedup.contamination(t).select(col("doc_id"))
-    curate(t)
+    val contam = Dedup.contaminationFrom(postings).select(col("doc_id"))
+    curateFrom(t, comps)
       .join(rep, "doc_id")
       .filter(col("top_bigram_frac") < MaxTopBigramFrac)
       .join(contam, Seq("doc_id"), "left_anti")

@@ -45,6 +45,23 @@ object Dedup {
       .withColumn("n_sh", count(lit(1)).over(doc))
   }
 
+  /** The shared shingle index: postings keyed by the 64-bit shingle
+    * hash — (doc_id, n_sh, shingle). This is the single most expensive
+    * subtree in the dedup family (corpus scan + posexplode + two
+    * windows), and it feeds [[ngramJaccard]]'s self-join AND
+    * [[contamination]]'s overlap join. Compositions that use both
+    * ([[Curation.curateFull]]) materialize it ONCE and pass it to
+    * `*From` variants instead of letting each operator rebuild it.
+    *
+    * Joining on the 64-bit hash, not the string: narrower shuffle
+    * rows, long equi-join. (xxhash64 collisions would merge postings —
+    * P ≈ n²/2⁶⁵, and the DuckDB oracle would flag one; none at any
+    * test SF.)
+    */
+  private[operators] def hashedPostings(t: Tables): DataFrame =
+    shingledPostings(t)
+      .select(col("doc_id"), col("n_sh"), xxhash64(col("sh")).as("shingle"))
+
   /** Per-document distinct-shingle arrays (for MinHash signatures and
     * candidate verification) — map-only array build. The transform
     * lambda is fine HERE because the array is never fed to a Generate
@@ -109,14 +126,19 @@ object Dedup {
   def ngramJaccardCapped(t: Tables, tau: Double = JaccardTau, cap: Int = 100): DataFrame =
     ngramJaccardImpl(t, tau, maxPostings = Some(cap))
 
-  private def ngramJaccardImpl(t: Tables, tau: Double, maxPostings: Option[Int]): DataFrame = {
-    // Postings carry the doc's shingle count so NO size-lookup joins
-    // are needed after pairing, and join on the 64-bit shingle hash,
-    // not the string: narrower shuffle rows, long equi-join.
-    // (xxhash64 collisions would merge postings — P ≈ n²/2⁶⁵, and the
-    // DuckDB oracle would flag one; none at any test SF.)
-    val raw = shingledPostings(t)
-      .select(col("doc_id"), col("n_sh"), xxhash64(col("sh")).as("shingle"))
+  private def ngramJaccardImpl(t: Tables, tau: Double, maxPostings: Option[Int]): DataFrame =
+    ngramJaccardFrom(hashedPostings(t), tau, maxPostings)
+
+  /** [[ngramJaccard]] over a caller-provided (possibly materialized)
+    * posting table — the shared-scan entry point for compositions.
+    * Postings carry the doc's shingle count so NO size-lookup joins
+    * are needed after pairing.
+    */
+  private[operators] def ngramJaccardFrom(
+      raw: DataFrame,
+      tau: Double = JaccardTau,
+      maxPostings: Option[Int] = None
+  ): DataFrame = {
     val postings = maxPostings.fold(raw) { cap =>
       // document frequency per shingle reuses the shingle partitioning
       // the self-join needs anyway
@@ -186,9 +208,14 @@ object Dedup {
     * is only the matching postings (∝ contamination mass, not corpus
     * size).
     */
-  def contamination(t: Tables): DataFrame = {
-    val postings = shingledPostings(t)
-      .select(col("doc_id"), col("n_sh"), xxhash64(col("sh")).as("shingle"))
+  def contamination(t: Tables): DataFrame = contaminationFrom(hashedPostings(t))
+
+  /** [[contamination]] over a caller-provided posting table — lets
+    * [[Curation.curateFull]] feed the decontamination branch from the
+    * same materialized [[hashedPostings]] the near-dup pipeline uses,
+    * instead of rebuilding the shingle index from raw text.
+    */
+  private[operators] def contaminationFrom(postings: DataFrame): DataFrame = {
     val benchShingles = postings
       .filter(col("doc_id") % 97 === 0)
       .select(col("shingle")).distinct()
@@ -415,10 +442,14 @@ object Dedup {
       posexplode(expr("transform(sequence(0, 3), b -> (simhash >> (b * 16)) & 65535)"))
         .as(Seq("band_idx", "band_key"))
     )
+    // shuffle-hash like every other self-join in this file: both sides
+    // canonicalize to ONE exchange (ReusedExchange — PlanSpec-asserted),
+    // where a broadcast would recompute the map stage twice and a band
+    // table never broadcasts at 100 TB anyway
     bands
       .as("a")
       .join(
-        bands.as("b"),
+        bands.as("b").hint("shuffle_hash"),
         col("a.band_idx") === col("b.band_idx") && col("a.band_key") === col("b.band_key") &&
           col("a.doc_id") < col("b.doc_id")
       )
@@ -449,11 +480,16 @@ object Dedup {
     * loss mid-iteration kills the lineage and the job). On a real
     * cluster pass a reliable location (HDFS/S3) and rounds become
     * replayable `checkpoint()`s — iteration survives executor loss.
+    *
+    * `postings`: a caller-materialized [[hashedPostings]] table to
+    * derive the edge list from (shared-scan compositions); `None`
+    * builds it from raw text.
     */
   def nearDupComponents(
       t: Tables,
       tau: Double = JaccardTau,
-      checkpointDir: Option[String] = None
+      checkpointDir: Option[String] = None,
+      postings: Option[DataFrame] = None
   ): DataFrame = {
     checkpointDir.foreach(t.spark.sparkContext.setCheckpointDir)
     def materialize(df: DataFrame): DataFrame =
@@ -461,7 +497,8 @@ object Dedup {
     // materialize the pair list ONCE before mirroring — a union of two
     // branches over the raw plan would run the whole shingle/join
     // pipeline twice
-    val pairs = materialize(ngramJaccard(t, tau).select(col("doc_a"), col("doc_b")))
+    val posts = postings.getOrElse(hashedPostings(t))
+    val pairs = materialize(ngramJaccardFrom(posts, tau).select(col("doc_a"), col("doc_b")))
     val edges = pairs
       .unionAll(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
     var labels = materialize(

@@ -143,6 +143,11 @@ object TopK {
     * type), so parent operators are untouched. Conservative by
     * construction: single window expression, non-empty partition spec,
     * whole filter condition is the one rank bound.
+    *
+    * Kill switch: `spark.graft.topk.autoRewrite=false` (session conf,
+    * default true) leaves the window plan untouched — the standard
+    * escape hatch every injected rewrite needs in production, and what
+    * keeps an un-rewritten control query comparable in the gate.
     */
   object RewriteRowNumberTopK
       extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
@@ -227,7 +232,10 @@ object TopK {
       case _ => false
     }
 
-    override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    override def apply(plan: LogicalPlan): LogicalPlan = if (
+      !conf.getConfString("spark.graft.topk.autoRewrite", "true").toBoolean
+    ) plan
+    else plan.transformUp {
       case f @ Filter(cond, RowNumberWindow(al, part, order, child)) =>
         rankBound(cond, al.toAttribute)
           .filter(_ > 0)

@@ -63,4 +63,39 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(agg.getInt(0) == graft.functions.MinHashExpr.NumHashes)
     } finally spark.stop() // own JVM, own context — safe to stop
   }
+
+  test("gate session plans the row_number idiom through TopKPerKeyExec; conf-off clone keeps the window") {
+    // mirror of the Verify/Bench session: extensions injected via conf
+    val spark = SparkSession
+      .builder()
+      .master("local[2]")
+      .appName("graft-ext-gate-spec")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      val t = graft.sources.Tables(spark, "/root/testdata/sf0.001")
+      val grafted = graft.operators.Analytics.topEventsPerUser(t)
+      val graftedPlan = grafted.queryExecution.executedPlan.toString
+      assert(graftedPlan.contains("TopKPerKey"), s"gate session did not graft the idiom:\n$graftedPlan")
+      // the conf-off control (exactly what q_top_events_window_ctl does)
+      val ctl = spark.newSession()
+      ctl.conf.set("spark.graft.topk.autoRewrite", "false")
+      val windowed = graft.operators.Analytics.topEventsPerUser(graft.sources.Tables(ctl, "/root/testdata/sf0.001"))
+      val ctlPlan = windowed.queryExecution.executedPlan.toString
+      assert(!ctlPlan.contains("TopKPerKey"), s"kill switch ignored:\n$ctlPlan")
+      assert(ctlPlan.contains("Window"), s"expected the window baseline:\n$ctlPlan")
+      // same rows either way — the rewrite is invisible to results
+      assert(
+        grafted.collect().map(_.toSeq).toSeq == windowed.collect().map(_.toSeq).toSeq,
+        "grafted and window plans disagree"
+      )
+      // the stratified sampler (the other row_number-idiom gate key)
+      // also runs through the graft in this session
+      val strat = graft.operators.Sampling.stratifiedSample(t)
+      val stratPlan = strat.queryExecution.executedPlan.toString
+      assert(stratPlan.contains("TopKPerKey"), s"stratified sample not grafted:\n$stratPlan")
+    } finally spark.stop()
+  }
 }

@@ -55,6 +55,12 @@ class PlanSpec extends SparkSpecBase {
     assert(!plan.contains("minhash_sig"), s"signatures recomputed past the checkpoint:\n$plan")
   }
 
+  test("simhash band self-join reuses one band exchange (shuffled hash join)") {
+    val plan = executedPlanString(graft.operators.Dedup.simhashPairs(tables))
+    assert(plan.contains("ShuffledHashJoin"), s"expected shuffle-hash band join:\n$plan")
+    assert(plan.contains("ReusedExchange"), s"band table computed twice:\n$plan")
+  }
+
   test("q6 pushes date/discount/quantity predicates into the lineitem scan") {
     // formatted mode prints untruncated PushedFilters
     val pushed = Analytics
@@ -278,6 +284,21 @@ class PlanSpec extends SparkSpecBase {
       assert(plan.contains("skew=true"), s"AQE did not mark the skew join:\n$plan")
       assert(plan.contains("AQEShuffleRead skewed"), s"no skewed shuffle read:\n$plan")
     } finally prev.foreach { case (k, v) => conf.set(k, v) }
+  }
+
+  test("curateFull builds the shingle index once — both dedup branches read the materialized scan") {
+    val df   = graft.operators.Curation.curateFull(tables)
+    val plan = executedPlanString(df)
+    // The shingle index (posexplode + lead windows over the corpus) is
+    // checkpointed before the final plan assembles, so the ONLY
+    // Generate left in the flagship plan is repetition's bigram
+    // explode — decontamination must NOT rebuild the index from text.
+    val generates = "Generate posexplode".r.findAllIn(plan).length
+    assert(generates == 1, s"expected 1 generate (repetition bigrams), got $generates:\n$plan")
+    // both the component labels and the decontamination postings come
+    // from materialized RDD scans (the shared checkpoint), not raw text
+    val rddScans = "Scan ExistingRDD".r.findAllIn(plan).length
+    assert(rddScans >= 2, s"expected materialized scans feeding both branches, got $rddScans:\n$plan")
   }
 
   test("adder map stage is whole-stage codegen with no shuffle before the sort") {
