@@ -26,11 +26,8 @@ object SparkEntry {
     // disables the rewrite (in a CLONED session, so the toggle cannot
     // leak into other keys) and keeps the plain Window plan under the
     // same oracle as the un-rewritten baseline.
-    "q_top_events_window_ctl" -> ((s, d) => {
-      val ctl = s.newSession()
-      ctl.conf.set("spark.graft.topk.autoRewrite", "false")
-      Analytics.topEventsPerUser(Tables(ctl, d))
-    }),
+    "q_top_events_window_ctl" -> ((s, d) =>
+      Analytics.topEventsPerUser(Tables(controlSession(s), d))),
     "q_distinct_users"     -> ((s, d) => Analytics.distinctUsers(Tables(s, d))),
     "q_approx_distinct_users" -> ((s, d) => Analytics.approxDistinctUsers(Tables(s, d))),
     "q6_selective_revenue" -> ((s, d) => Analytics.selectiveRevenue(Tables(s, d))),
@@ -108,6 +105,25 @@ object SparkEntry {
 
   /** kinesis_topic/main.go:23 — the demo topic payload. */
   val TopicMessage = "THIS IS THIS MESSAGE PAYLOAD THAT WILL GO TO THE USER!!!!!"
+
+  /** The conf-off control session for q_top_events_window_ctl, cached
+    * per parent so its one-time SessionState bootstrap is paid once —
+    * not inside the control query's timed window, which exists to
+    * compare the window plan against the grafted operator, not to
+    * measure session creation. Bench pre-creates it during warm-up.
+    */
+  private val ctlSessions =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, SparkSession]()
+
+  def controlSession(parent: SparkSession): SparkSession =
+    ctlSessions.computeIfAbsent(
+      parent,
+      p => {
+        val c = p.newSession()
+        c.conf.set("spark.graft.topk.autoRewrite", "false")
+        c
+      }
+    )
 
   /** DuckDB-dialect oracle for each SQL-expressible query. Column names
     * and row ordering match the Spark plans exactly.

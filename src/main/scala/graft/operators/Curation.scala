@@ -90,6 +90,17 @@ object Curation {
     * `localCheckpoint` (executor-local, single-node/testing), a
     * reliable location (HDFS/S3) makes the index and every component
     * round a replayable `checkpoint()`.
+    *
+    * Storage lifecycle: the materialized index is referenced by the
+    * RETURNED (lazy) plan — the decontamination branch reads it at
+    * execution time — so this operator cannot unpersist it. Superseded
+    * component rounds ARE freed eagerly inside nearDupComponents; the
+    * index and final round live until the caller unpersists
+    * (`spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist())`,
+    * as Bench does between queries) or the context cleaner collects
+    * them — with a reliable `checkpointDir`, set
+    * `spark.cleaner.referenceTracking.cleanCheckpoints=true` so the
+    * checkpoint files follow.
     */
   def curateFull(t: Tables, checkpointDir: Option[String] = None): DataFrame = {
     checkpointDir.foreach(t.spark.sparkContext.setCheckpointDir)

@@ -485,6 +485,17 @@ object Dedup {
     * derive the edge list from (shared-scan compositions); `None`
     * builds it from raw text.
     */
+  /** Free the executor storage blocks behind a superseded
+    * localCheckpoint'd frame. Only the LogicalRDD's persisted blocks
+    * are touched; reliable `checkpoint()` rounds are files, whose
+    * cleanup is `spark.cleaner.referenceTracking.cleanCheckpoints`'s
+    * job (documented on [[nearDupComponents]]).
+    */
+  private def freeMaterialized(df: DataFrame): Unit =
+    df.queryExecution.analyzed
+      .collect { case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd }
+      .foreach(_.unpersist(blocking = false))
+
   def nearDupComponents(
       t: Tables,
       tau: Double = JaccardTau,
@@ -528,8 +539,20 @@ object Dedup {
           )
       )
       changed = next.filter(col("component") =!= col("prev")).count()
+      // the superseded round's blocks are dead the moment `next` is
+      // materialized — free them eagerly instead of letting dozens of
+      // rounds of debris sit in executor storage until the context
+      // cleaner gets there (a long-lived session calling this operator
+      // repeatedly would otherwise accumulate every round of every call)
+      freeMaterialized(labels)
       labels = next.select("id", "component")
     }
+    // the pair list only feeds the (now converged) iteration
+    freeMaterialized(pairs)
+    // the returned frame reads the FINAL materialized round; its blocks
+    // (and, with a reliable checkpointDir, its files) live until the
+    // caller unpersists or the context cleaner collects them —
+    // cleanCheckpoints=true makes the file half automatic
     labels.orderBy("id").select(col("id").as("doc_id"), col("component"))
   }
 

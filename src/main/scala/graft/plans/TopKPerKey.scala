@@ -232,8 +232,11 @@ object TopK {
       case _ => false
     }
 
+    // only an explicit "false" disables — a malformed value ("yes",
+    // "1") must not throw mid-optimization, it just leaves the rewrite
+    // on (the safe default for a conservative, semantics-preserving rule)
     override def apply(plan: LogicalPlan): LogicalPlan = if (
-      !conf.getConfString("spark.graft.topk.autoRewrite", "true").toBoolean
+      conf.getConfString("spark.graft.topk.autoRewrite", "true").trim.equalsIgnoreCase("false")
     ) plan
     else plan.transformUp {
       case f @ Filter(cond, RowNumberWindow(al, part, order, child)) =>
