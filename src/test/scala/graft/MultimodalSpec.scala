@@ -58,6 +58,40 @@ class MultimodalSpec extends SparkSpecBase {
     assert(buckets.exists(_.getAs[Long]("n_docs") > 1), "no cross-doc candidates found")
   }
 
+  private def imageBytes(w: Int, h: Int, format: String): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until w).foreach(x => (0 until h).foreach(y => img.setRGB(x, y, (x * 31 + y) & 0xffffff)))
+    val out = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, format, out), s"JDK must ship a $format writer")
+    out.toByteArray
+  }
+
+  test("real PNG/JPEG bytes decode to their actual header dimensions") {
+    val png = imageBytes(20, 10, "png")
+    assert(Multimodal.decodeKernel(png) == ((20, 10, "png")))
+    val jpg = imageBytes(33, 7, "jpeg")
+    assert(Multimodal.decodeKernel(jpg) == ((33, 7, "jpeg")))
+    // truncating the payload mid-header must fall back to the stub,
+    // not fail the task
+    val cut = png.take(12)
+    val (w, h, fmt) = Multimodal.decodeKernel(cut)
+    assert(w >= 16 && h >= 16 && Set("png", "jpeg", "webp")(fmt))
+  }
+
+  test("decodeBytes runs real images through the distributed mapPartitions path") {
+    import spark.implicits._
+    val media = Seq(
+      (1L, imageBytes(64, 48, "png")),
+      (2L, imageBytes(8, 8, "jpeg")),
+      (3L, "not an image at all".getBytes("UTF-8"))
+    ).toDF("doc_id", "media")
+    val metas = Multimodal.decodeBytes(spark, media).collect().sortBy(_.doc_id)
+    assert(metas(0).width == 64 && metas(0).height == 48 && metas(0).format == "png")
+    assert(metas(1).width == 8 && metas(1).height == 8 && metas(1).format == "jpeg")
+    // the non-image row takes the deterministic stub path alongside
+    assert(metas(2).n_bytes == 19L && Set("png", "jpeg", "webp")(metas(2).format))
+  }
+
   test("decode summary covers all stub formats with sane dimensions") {
     val rows = Multimodal.decodeSummary(spark, tables).collect()
     assert(rows.map(_.getString(0)).toSet.subsetOf(Set("png", "jpeg", "webp")))
