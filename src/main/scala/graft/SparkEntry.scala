@@ -79,6 +79,7 @@ object SparkEntry {
     "dedup_cross_source"   -> ((s, d) => Dedup.crossSourceDups(Tables(s, d))),
     "dedup_components"     -> ((s, d) => Dedup.nearDupComponents(Tables(s, d))),
     "dedup_source_sim"     -> ((s, d) => Dedup.sourceSimilarity(Tables(s, d))),
+    "dedup_source_sim_exact" -> ((s, d) => Dedup.sourceSimilarityExact(Tables(s, d))),
     "dedup_winnow"         -> ((s, d) => Dedup.winnowPairs(Tables(s, d))),
     "pipeline_curate"      -> ((s, d) => Curation.curate(Tables(s, d))),
     "pipeline_curate_full" -> ((s, d) => Curation.curateFull(Tables(s, d))),
@@ -633,6 +634,49 @@ object SparkEntry {
         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
         |ORDER BY doc_a, doc_b""".stripMargin,
+    "text_winnow" -> // full winnow kernel in SQL: HUGEINT rolling hash mod 2^64 (see winnowFpsCte)
+      s"""$winnowFpsCte
+        |SELECT doc_id, CAST(len(fp) AS BIGINT) AS n_fp,
+        |  md5(array_to_string(list_transform(fp, x -> CAST(x AS VARCHAR)), ',')) AS fp_digest
+        |FROM fps ORDER BY doc_id""".stripMargin,
+    "dedup_winnow" -> // winnow fingerprints → df-capped postings → overlap ≥ 0.5 (post-cap denominators)
+      s"""$winnowFpsCte,
+        |p AS (SELECT doc_id, unnest(fp) AS h FROM fps),
+        |pc AS (SELECT p.doc_id, p.h FROM p
+        |       JOIN (SELECT h, count(*) AS c FROM p GROUP BY 1) df USING (h)
+        |       WHERE df.c <= 100),
+        |sz AS (SELECT doc_id, count(*) AS n_fp FROM pc GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        |  FROM pc a JOIN pc b ON a.h = b.h AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT doc_a, doc_b,
+        |  CAST(pairs.inter AS DOUBLE) / (sa.n_fp + sb.n_fp - pairs.inter) AS overlap
+        |FROM pairs JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
+        |WHERE CAST(pairs.inter AS DOUBLE) / (sa.n_fp + sb.n_fp - pairs.inter) >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_source_sim_exact" -> // exact slice Jaccard over per-source distinct trigram sets
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
+        |      i -> concat_ws(' ', string_split(text, ' ')[CAST(i AS INT)],
+        |                     string_split(text, ' ')[CAST(i AS INT) + 1],
+        |                     string_split(text, ' ')[CAST(i AS INT) + 2]))) AS sh
+        |  FROM documents),
+        |p AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
+        |sl AS (SELECT DISTINCT d.source, p.shingle FROM p JOIN documents d USING (doc_id)),
+        |sz AS (SELECT source, count(*) AS n FROM sl GROUP BY 1),
+        |i AS (
+        |  SELECT a.source AS source_a, b.source AS source_b, count(*) AS inter
+        |  FROM sl a JOIN sl b ON a.shingle = b.shingle AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT sa.source AS source_a, sb.source AS source_b,
+        |  CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+        |  CAST(coalesce(i.inter, 0) AS BIGINT) AS inter,
+        |  CAST(coalesce(i.inter, 0) AS DOUBLE) / (sa.n + sb.n - coalesce(i.inter, 0)) AS jaccard
+        |FROM sz sa JOIN sz sb ON sa.source < sb.source
+        |LEFT JOIN i ON i.source_a = sa.source AND i.source_b = sb.source
+        |ORDER BY 1, 2""".stripMargin,
     "multimodal_frames" -> // stride arithmetic over stub frame counts is pure SQL
       """WITH d AS (
         |  SELECT doc_id, octet_length(encode(text)) % 64 + 1 AS nf FROM documents)
@@ -843,6 +887,61 @@ object SparkEntry {
     (0 until 8)
       .map(i => s"(((ub >> $i) & 1) << ${2 * i}) + (((hb >> $i) & 1) << ${2 * i + 1})")
       .mkString(" + ")
+
+  /** Winnowing fingerprints re-derived in portable SQL — what moves
+    * text_winnow and dedup_winnow under the DuckDB hash gate. The
+    * kernel ([[graft.functions.WinnowExpr]]) computes a polynomial
+    * rolling hash (k=8 bytes, base 257) in Java Long WRAPAROUND
+    * arithmetic and compares SIGNED; both are reproduced exactly:
+    * each 8-gram hash is Σ byte·257^e computed in HUGEINT, reduced
+    * mod 2^64, and mapped back to the signed representation, window
+    * minima (w=16, starts bounded to max(nGrams-16,0)) come from a
+    * plain ROWS window, and the per-doc fingerprint set is the sorted
+    * distinct minima — bit-for-bit the kernel's TreeSet. ASCII corpus
+    * ⇒ ord(char) = byte (the kernel hashes UTF-8 bytes; a non-ASCII
+    * corpus would need a byte-level oracle instead). Docs shorter than
+    * one gram take the kernel's whole-text-hash branch.
+    */
+  private val winnowFpsCte: String =
+    """WITH d AS (SELECT doc_id, text, strlen(text) AS n FROM documents),
+      |gi AS (SELECT doc_id, text, n, unnest(generate_series(1, n - 7)) AS i FROM d WHERE n >= 8),
+      |g AS (
+      |  SELECT doc_id, i,
+      |    ( CAST(ord(substr(text, i+0, 1)) AS HUGEINT) * 74051159531521793
+      |    + CAST(ord(substr(text, i+1, 1)) AS HUGEINT) * 288136807515649
+      |    + CAST(ord(substr(text, i+2, 1)) AS HUGEINT) * 1121154893057
+      |    + CAST(ord(substr(text, i+3, 1)) AS HUGEINT) * 4362470401
+      |    + CAST(ord(substr(text, i+4, 1)) AS HUGEINT) * 16974593
+      |    + CAST(ord(substr(text, i+5, 1)) AS HUGEINT) * 66049
+      |    + CAST(ord(substr(text, i+6, 1)) AS HUGEINT) * 257
+      |    + CAST(ord(substr(text, i+7, 1)) AS HUGEINT) ) % 18446744073709551616 AS m
+      |  FROM gi),
+      |h AS (
+      |  SELECT doc_id, i,
+      |    CASE WHEN m >= 9223372036854775808 THEN CAST(m - 18446744073709551616 AS BIGINT)
+      |         ELSE CAST(m AS BIGINT) END AS h
+      |  FROM g),
+      |w AS (
+      |  SELECT doc_id, i,
+      |    min(h) OVER (PARTITION BY doc_id ORDER BY i
+      |                 ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS wmin,
+      |    max(i) OVER (PARTITION BY doc_id) AS ngrams
+      |  FROM h),
+      |longfp AS (
+      |  SELECT doc_id, list_sort(list_distinct(list(wmin))) AS fp
+      |  FROM w WHERE i <= greatest(ngrams - 16, 0) + 1 GROUP BY doc_id),
+      |sj AS (SELECT doc_id, n, unnest(generate_series(1, n)) AS j, text FROM d WHERE n < 8),
+      |shortfp AS (
+      |  SELECT s.doc_id, [CAST(coalesce(agg.raw, 0) AS BIGINT)] AS fp
+      |  FROM (SELECT DISTINCT doc_id FROM d WHERE n < 8) s
+      |  LEFT JOIN (
+      |    SELECT doc_id,
+      |      sum(CAST(ord(substr(text, j, 1)) AS HUGEINT) *
+      |        CASE n - j WHEN 0 THEN 1 WHEN 1 THEN 257 WHEN 2 THEN 66049
+      |                   WHEN 3 THEN 16974593 WHEN 4 THEN 4362470401
+      |                   WHEN 5 THEN 1121154893057 WHEN 6 THEN 288136807515649 END) AS raw
+      |    FROM sj GROUP BY doc_id) agg USING (doc_id)),
+      |fps AS (SELECT * FROM longfp UNION ALL SELECT * FROM shortfp)""".stripMargin
 
   /** Shared oracle for C2 (exact inverted-index Jaccard), C3 (MinHash-
     * LSH verified candidates — equal output whp, see Dedup.scala

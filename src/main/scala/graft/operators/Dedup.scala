@@ -402,6 +402,55 @@ object Dedup {
       .orderBy("source_a", "source_b")
   }
 
+  /** C3b exact twin: slice-level Jaccard computed EXACTLY over the
+    * distinct trigram-shingle sets of every source pair — the gated
+    * number [[sourceSimilarity]]'s sketch estimates (DedupSpec pins the
+    * estimate within the 4σ MinHash error band of THIS output).
+    *
+    * Shape: one distinct on (source, shingle-hash) — postings collapse
+    * from per-document to per-source, so the index is bounded by
+    * sources × vocabulary, not corpus size — then the same
+    * inverted-index self-join as C2 on the shingle hash
+    * (`shuffle_hash`, one ReusedExchange): per-shingle work is ≤
+    * sources² (a shingle appears at most once per source), never
+    * documents². Zero-intersection pairs are restored by the tiny
+    * sizes⨯sizes cross join (sources², driver-free), so the matrix is
+    * complete like the sketch's.
+    */
+  def sourceSimilarityExact(t: Tables): DataFrame = {
+    val slice = shingledPostings(t)
+      .join(t.documents.select(col("doc_id"), col("source")), "doc_id")
+      .select(col("source"), xxhash64(col("sh")).as("shingle"))
+      .distinct()
+    val sizes = slice.groupBy("source").agg(count(lit(1)).as("n_sh"))
+    val inter = slice
+      .as("a")
+      .join(
+        slice.as("b").hint("shuffle_hash"),
+        col("a.shingle") === col("b.shingle") && col("a.source") < col("b.source")
+      )
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("inter"))
+    sizes
+      .as("sa")
+      .join(sizes.as("sb"), col("sa.source") < col("sb.source"))
+      .join(
+        inter,
+        col("sa.source") === col("source_a") && col("sb.source") === col("source_b"),
+        "left"
+      )
+      .select(
+        col("sa.source").as("source_a"),
+        col("sb.source").as("source_b"),
+        col("sa.n_sh").as("n_a"),
+        col("sb.n_sh").as("n_b"),
+        coalesce(col("inter"), lit(0L)).as("inter"),
+        (coalesce(col("inter"), lit(0L)).cast("double") /
+          (col("sa.n_sh") + col("sb.n_sh") - coalesce(col("inter"), lit(0L)))).as("jaccard")
+      )
+      .orderBy("source_a", "source_b")
+  }
+
   // --- SimHash (C4) -------------------------------------------------------
 
   /** Per-document 64-bit SimHash over distinct words (bit set when the

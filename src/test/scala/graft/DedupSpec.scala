@@ -82,10 +82,14 @@ class DedupSpec extends SparkSpecBase {
     winnow.foreach { case (a, b) => assert(a < b) }
   }
 
-  test("source-slice MinHash union estimates exact slice Jaccard within sketch error") {
+  test("source-slice MinHash union estimates the gated exact slice Jaccard within sketch error") {
     val est = Dedup.sourceSimilarity(tables).collect()
       .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
-    // exact slice Jaccard over the same trigram shingles, computed naively
+    // the exact twin is itself hash-gated (dedup_source_sim_exact), so
+    // the sketch's error band is pinned against a verified number —
+    // and the operator must agree with a naive driver-side computation
+    val exactRows = Dedup.sourceSimilarityExact(tables).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Double]("jaccard")).toMap
     val docs = tables.documents.select("source", "text").collect()
       .groupBy(_.getString(0))
       .map { case (src, rows) =>
@@ -94,10 +98,12 @@ class DedupSpec extends SparkSpecBase {
           (0 until math.max(ws.length - 2, 1)).map(i => ws.slice(i, i + 3).mkString(" "))
         }.toSet
       }
-    est.foreach { case ((a, b), e) =>
-      val exact = (docs(a) & docs(b)).size.toDouble / (docs(a) | docs(b)).size
+    assert(est.keySet == exactRows.keySet, "sketch and exact twin must cover the same pair matrix")
+    exactRows.foreach { case ((a, b), exact) =>
+      val naive = (docs(a) & docs(b)).size.toDouble / (docs(a) | docs(b)).size
+      assert(exact == naive, f"($a,$b): operator $exact%.6f vs naive $naive%.6f")
       // 128-hash sketch: std error ~ sqrt(j(1-j)/128) <= 0.045; allow 4 sigma
-      assert(math.abs(e - exact) <= 0.18, f"($a,$b): est $e%.3f vs exact $exact%.3f")
+      assert(math.abs(est((a, b)) - exact) <= 0.18, f"($a,$b): est ${est((a, b))}%.3f vs exact $exact%.3f")
     }
     assert(est.nonEmpty)
   }
