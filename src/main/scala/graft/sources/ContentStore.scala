@@ -176,6 +176,12 @@ private[graft] class ContentStoreTable(path: String)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     // captured on the driver at planning time; serialized to executors
     val conf = new SerializableConfiguration(ContentStore.driverHadoopConf())
+    // streaming-read knobs: maxFilesPerTrigger (≤0 = unlimited) is the
+    // backpressure valve — the role Lambda's batch-size config plays in
+    // the reference (lcount.go:110-127); compactInterval bounds the
+    // source-owned consumed-manifest log
+    val maxFilesPerTrigger = options.getInt("maxFilesPerTrigger", 0)
+    val compactInterval    = options.getInt("compactInterval", 10)
     new ScanBuilder {
       override def build(): Scan = new Scan with Batch {
         override def readSchema(): StructType = ContentStore.Schema
@@ -189,7 +195,7 @@ private[graft] class ContentStoreTable(path: String)
         override def toMicroBatchStream(
             checkpointLocation: String
         ): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-          new StoreMicroBatchStream(path, conf)
+          new StoreMicroBatchStream(path, conf, checkpointLocation, maxFilesPerTrigger, compactInterval)
       }
     }
   }
@@ -374,58 +380,172 @@ private[graft] case class StoreFilePartition(path: String, file: String) extends
   * accounting (the same role the reference's S3-put → S3-notify →
   * Lambda chain plays, s3_lambda/download.go:60-92).
   *
-  * Offsets name the CONSUMED MANIFEST SET, not a numeric position —
-  * manifest names are not monotonic (batch manifests are UUID-keyed,
-  * concurrent writers interleave), so a prefix counter would silently
-  * skip a manifest that sorts before the high-water mark. The set is
-  * exactly Spark's own FileStreamSource design (its checkpointed
-  * seen-files map), with the same growth characteristic: offset size
-  * is O(#manifests ever committed) — manifests are per-epoch/per-job
-  * (thousands at 100 TB, not billions), and a production deployment
-  * would compact fully-consumed manifests the way FileStreamSource
-  * ages out old entries.
+  * The consumed-manifest SET (manifest names are not monotonic —
+  * batch manifests are UUID-keyed, concurrent writers interleave, so
+  * a prefix counter would silently skip a manifest sorting before the
+  * high-water mark) lives in a SOURCE-OWNED log under the query's
+  * checkpoint, not in the offset: the offset the engine checkpoints is
+  * one monotonic batch id, so its JSON stays O(1) no matter how many
+  * thousands of epochs a long-lived 100 TB relay accumulates. This is
+  * exactly Spark's own FileStreamSource + HDFSMetadataLog design (its
+  * seen-files map with log compaction), reproduced at manifest
+  * granularity:
+  *
+  *  - admitting batch `n` writes `manifest-log/n` (the manifest names
+  *    newly admitted, temp+renamed) BEFORE the engine logs offset `n`,
+  *    so `planInputPartitions(n-1, n)` — including a post-crash replay
+  *    — always reads the exact set that was admitted;
+  *  - if `manifest-log/n` already exists when batch `n` would be
+  *    admitted (crash between our write and the engine's offset log),
+  *    the existing entry is REUSED, never re-listed — replays are
+  *    deterministic;
+  *  - every `compactInterval` batches the full consumed set is folded
+  *    into `n.compact` and superseded entry files are deleted: the
+  *    consumed set is rebuilt from (latest compact ≤ n) + increments,
+  *    so log size is bounded by the interval, not by history.
+  *
+  * Admission control: `maxFilesPerTrigger` (or any ReadMaxFiles limit
+  * the engine passes) caps how many data FILES a micro-batch admits;
+  * manifests are admitted whole (an epoch is the upstream writer's
+  * atomic unit) in sorted order, at least one per trigger so a single
+  * over-limit epoch cannot stall the stream. Trigger.AvailableNow
+  * snapshots the manifest listing once and drains it in
+  * limit-respecting batches.
   *
   * A batch is planned as one InputPartition per data FILE (files are
   * task-sized by the upstream writer), read by the same reader factory
   * as the batch scan.
   */
-private[graft] class StoreMicroBatchStream(path: String, conf: SerializableConfiguration)
-    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+private[graft] class StoreMicroBatchStream(
+    path: String,
+    conf: SerializableConfiguration,
+    checkpointLocation: String,
+    maxFilesPerTrigger: Int,
+    compactInterval: Int
+) extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
-  import org.apache.spark.sql.connector.read.streaming.Offset
+  import org.apache.spark.sql.connector.read.streaming.{
+    Offset,
+    ReadAllAvailable,
+    ReadLimit,
+    ReadMaxFiles
+  }
 
-  // AvailableNow snapshot: the manifest set the drain must reach
-  @volatile private var availableNowTarget: Option[StoreOffset] = None
+  require(compactInterval > 0, s"compactInterval must be positive, got $compactInterval")
 
-  private def currentOffset: StoreOffset =
-    StoreOffset(ContentStore.manifestNames(path, conf.value).toVector)
+  private val log =
+    new ManifestConsumedLog(new Path(checkpointLocation, "manifest-log"), conf.value)
 
-  override def initialOffset(): Offset = StoreOffset(Vector.empty)
+  // AvailableNow snapshot: the manifest listing the drain must reach
+  @volatile private var availableNowTarget: Option[Vector[String]] = None
 
-  override def latestOffset(): Offset = availableNowTarget.getOrElse(currentOffset)
+  override def initialOffset(): Offset = StoreBatchOffset(0L)
 
-  /** Admission control (required by SupportsTriggerAvailableNow): one
-    * trigger admits every not-yet-consumed manifest — epochs are the
-    * upstream writer's batching, so re-chunking them here would only
-    * delay visibility. A rate-limited variant would take a maxFiles
-    * ReadLimit and cap the set difference.
+  override def getDefaultReadLimit: ReadLimit =
+    if (maxFilesPerTrigger > 0) ReadLimit.maxFiles(maxFilesPerTrigger)
+    else ReadLimit.allAvailable()
+
+  /** Engine contract: with SupportsAdmissionControl the two-argument
+    * overload is the one called; the legacy no-argument form has no
+    * start to diff against.
     */
-  override def latestOffset(
-      start: Offset,
-      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit
-  ): Offset = latestOffset()
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) should be called with SupportsAdmissionControl"
+    )
 
-  override def prepareForTriggerAvailableNow(): Unit = availableNowTarget = Some(currentOffset)
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val b = batchOf(start)
+    // crash replay: the entry was written but the engine never logged
+    // the offset — reuse it verbatim, never re-list
+    if (log.entryExists(b + 1)) return StoreBatchOffset(b + 1)
+    val consumed = consumedAt(start)
+    val fresh = availableNowTarget
+      .getOrElse(ContentStore.manifestNames(path, conf.value).toVector)
+      .filterNot(consumed)
+      .sorted
+    if (fresh.isEmpty) StoreBatchOffset(b)
+    else {
+      val admitted = admitUpTo(fresh, maxFilesIn(limit))
+      log.writeEntry(b + 1, admitted)
+      if ((b + 1) % compactInterval == 0) {
+        log.writeCompact(b + 1, (consumed ++ admitted).toVector.sorted)
+        log.cleanup(b + 1, compactInterval)
+      }
+      StoreBatchOffset(b + 1)
+    }
+  }
 
-  override def deserializeOffset(json: String): Offset = StoreOffset.fromJson(json)
+  /** Whole manifests in sorted order while the data-file budget lasts;
+    * always at least one, so one over-limit epoch cannot stall.
+    */
+  private def admitUpTo(fresh: Seq[String], maxFiles: Int): Seq[String] =
+    if (maxFiles == Int.MaxValue) fresh
+    else {
+      val out   = Vector.newBuilder[String]
+      var total = 0
+      var first = true
+      val it    = fresh.iterator
+      var done  = false
+      while (it.hasNext && !done) {
+        val m = it.next()
+        val k = ContentStore.filesInManifest(path, m, conf.value).size
+        if (first || total + k <= maxFiles) { out += m; total += k; first = false }
+        else done = true
+      }
+      out.result()
+    }
+
+  private def maxFilesIn(limit: ReadLimit): Int = limit match {
+    case f: ReadMaxFiles     => f.maxFiles()
+    case _: ReadAllAvailable => Int.MaxValue
+    case c: org.apache.spark.sql.connector.read.streaming.CompositeReadLimit =>
+      c.getReadLimits.collectFirst { case f: ReadMaxFiles => f.maxFiles() }.getOrElse(Int.MaxValue)
+    case _ => if (maxFilesPerTrigger > 0) maxFilesPerTrigger else Int.MaxValue
+  }
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(ContentStore.manifestNames(path, conf.value).toVector)
+
+  override def deserializeOffset(json: String): Offset = {
+    val t = json.trim
+    // pre-log checkpoints stored the consumed set inline; parse it as
+    // the legacy offset and migrate lazily on the next latestOffset
+    if (t.startsWith("[")) StoreOffset.fromJson(t) else StoreBatchOffset(t.toLong)
+  }
+
+  /** Batch id of an offset; a legacy set offset is folded into the log
+    * as the initial compaction (`0.compact`) exactly once, after which
+    * it reads as batch 0.
+    */
+  private def batchOf(o: Offset): Long = o match {
+    case StoreBatchOffset(b)  => b
+    case StoreOffset(legacy)  => log.migrateLegacy(legacy.sorted); 0L
+    case other                => throw new IllegalStateException(s"unexpected offset: $other")
+  }
+
+  private def consumedAt(o: Offset): Set[String] = o match {
+    case StoreBatchOffset(b) => log.consumedThrough(b)
+    case StoreOffset(legacy) => legacy.toSet
+    case other               => throw new IllegalStateException(s"unexpected offset: $other")
+  }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val seen = start.asInstanceOf[StoreOffset].manifests.toSet
-    end
-      .asInstanceOf[StoreOffset]
-      .manifests
-      .filterNot(seen)
+    val manifests: Seq[String] = (start, end) match {
+      // both legacy: a batch planned wholly by the pre-log code — keep
+      // its set-difference semantics so an upgrade mid-checkpoint
+      // replays it identically
+      case (StoreOffset(a), StoreOffset(bm)) =>
+        val seen = a.toSet
+        bm.filterNot(seen)
+      case _ =>
+        val s = batchOf(start)
+        val e = batchOf(end)
+        (s + 1 to e).flatMap(log.readEntry)
+    }
+    manifests
       .flatMap(m => ContentStore.filesInManifest(path, m, conf.value))
       .map(f => StoreFilePartition(path, f): InputPartition)
       .toArray
@@ -433,15 +553,23 @@ private[graft] class StoreMicroBatchStream(path: String, conf: SerializableConfi
 
   override def createReaderFactory(): PartitionReaderFactory = new StoreReaderFactory(conf)
 
-  override def commit(end: Offset): Unit = () // consumed set lives in the offset log
+  override def commit(end: Offset): Unit = () // consumed set lives in the manifest log
 
   override def stop(): Unit = ()
 }
 
-/** Manifest-set offset. Names are `[A-Za-z0-9._-]` by construction
-  * (writer-generated: epoch-/batch- prefixes, UUIDs, epoch numbers),
-  * so the JSON codec below is exact without an escape pass — enforced
-  * at construction rather than silently corrupted at serialization.
+/** The engine-checkpointed offset: one monotonic batch id. */
+private[graft] case class StoreBatchOffset(batch: Long)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = batch.toString
+}
+
+/** Legacy manifest-set offset (pre-log checkpoints) — still parsed so
+  * existing checkpoints resume, then migrated into the log. Names are
+  * `[A-Za-z0-9._-]` by construction (writer-generated: epoch-/batch-
+  * prefixes, UUIDs, epoch numbers), so the JSON codec is exact without
+  * an escape pass — enforced at construction rather than silently
+  * corrupted at serialization.
   */
 private[graft] case class StoreOffset(manifests: Vector[String])
     extends org.apache.spark.sql.connector.read.streaming.Offset {
@@ -457,6 +585,110 @@ private[graft] object StoreOffset {
     val trimmed = json.trim.stripPrefix("[").stripSuffix("]").trim
     if (trimmed.isEmpty) StoreOffset(Vector.empty)
     else StoreOffset(trimmed.split(",").toVector.map(_.trim.stripPrefix("\"").stripSuffix("\"")))
+  }
+}
+
+/** The source-owned consumed-manifest log: plain entry files (`n` —
+  * names admitted by batch n, one per line) plus periodic compactions
+  * (`n.compact` — the FULL consumed set through batch n). All writes
+  * are temp+rename like the store's own manifests; an entry that
+  * already exists is never overwritten (crash-replay determinism).
+  */
+private[graft] class ManifestConsumedLog(dir: Path, hadoopConf: Configuration) {
+
+  private val fsys = dir.getFileSystem(hadoopConf)
+
+  private def entryPath(n: Long): Path   = new Path(dir, n.toString)
+  private def compactPath(n: Long): Path = new Path(dir, s"$n.compact")
+
+  def entryExists(n: Long): Boolean = fsys.exists(entryPath(n))
+
+  def readEntry(n: Long): Seq[String] = {
+    if (!entryExists(n))
+      throw new IllegalStateException(
+        s"ContentStore manifest log entry $n missing under $dir — retention must keep every " +
+          "entry after the latest compaction"
+      )
+    readLines(entryPath(n))
+  }
+
+  def writeEntry(n: Long, manifests: Seq[String]): Unit =
+    writeAtomic(entryPath(n), manifests)
+
+  def writeCompact(n: Long, fullSet: Seq[String]): Unit =
+    writeAtomic(compactPath(n), fullSet)
+
+  /** Fold a legacy set offset in as the initial compaction, once. */
+  def migrateLegacy(manifests: Seq[String]): Unit =
+    if (!fsys.exists(compactPath(0))) writeAtomic(compactPath(0), manifests)
+
+  /** The consumed set through batch `n`: latest compaction ≤ n plus
+    * the entries after it. One listing + O(compactInterval) small
+    * reads — never proportional to history.
+    */
+  def consumedThrough(n: Long): Set[String] = {
+    val base = latestCompactAtOrBefore(n)
+    val set  = scala.collection.mutable.Set.empty[String]
+    base.foreach(c => set ++= readLines(compactPath(c)))
+    var b = base.getOrElse(0L) + 1
+    while (b <= n) { set ++= readEntry(b); b += 1 }
+    set.toSet
+  }
+
+  /** Delete entries a fresh rebuild no longer needs: plain entries at
+    * or before `n - interval` are covered by an earlier compact (the
+    * engine only ever replans batches AFTER its last committed offset,
+    * which a full interval of slack comfortably clears), and compacts
+    * older than the previous one are superseded.
+    */
+  def cleanup(n: Long, interval: Int): Unit =
+    if (fsys.exists(dir)) {
+      fsys.listStatus(dir).foreach { st =>
+        val name = st.getPath.getName
+        if (name.endsWith(".compact")) {
+          name.stripSuffix(".compact").toLongOption.foreach { c =>
+            if (c <= n - 2L * interval) fsys.delete(st.getPath, false): Unit
+          }
+        } else {
+          name.toLongOption.foreach { e =>
+            if (e <= n - interval) fsys.delete(st.getPath, false): Unit
+          }
+        }
+      }
+    }
+
+  private def latestCompactAtOrBefore(n: Long): Option[Long] =
+    if (!fsys.exists(dir)) None
+    else
+      fsys
+        .listStatus(dir)
+        .toSeq
+        .map(_.getPath.getName)
+        .filter(_.endsWith(".compact"))
+        .flatMap(_.stripSuffix(".compact").toLongOption)
+        .filter(_ <= n)
+        .maxOption
+
+  private def readLines(p: Path): Seq[String] = {
+    val reader = new java.io.BufferedReader(
+      new java.io.InputStreamReader(fsys.open(p), "UTF-8")
+    )
+    try Iterator.continually(reader.readLine()).takeWhile(_ != null).filter(_.nonEmpty).toList
+    finally reader.close()
+  }
+
+  private def writeAtomic(target: Path, lines: Seq[String]): Unit = {
+    if (fsys.exists(target)) return // replay: first write wins
+    fsys.mkdirs(dir)
+    val tmp = new Path(dir, s".tmp-${target.getName}-${UUID.randomUUID()}")
+    val out = fsys.create(tmp, /* overwrite = */ false)
+    out.write(lines.mkString("\n").getBytes("UTF-8"))
+    out.close()
+    if (!fsys.rename(tmp, target)) {
+      fsys.delete(tmp, false): Unit
+      if (!fsys.exists(target))
+        throw new java.io.IOException(s"ContentStore: manifest-log rename failed for $target")
+    }
   }
 }
 

@@ -16,6 +16,7 @@ import org.apache.spark.sql.connector.read.{
   SupportsPushDownRequiredColumns
 }
 import org.apache.spark.sql.connector.read.streaming.{
+  CompositeReadLimit,
   MicroBatchStream,
   Offset,
   ReadAllAvailable,
@@ -226,7 +227,12 @@ private class ProblemMicroBatchStream(
     val step = limit match {
       case r: ReadMaxRows      => r.maxRows()
       case _: ReadAllAvailable => hi - from
-      case _                   => rowsPerBatch
+      // composite limits (how the engine combines e.g. a min-rows hint
+      // with the source default) — honor the row cap inside
+      case c: CompositeReadLimit =>
+        c.getReadLimits.collectFirst { case r: ReadMaxRows => r.maxRows().toLong }
+          .getOrElse(rowsPerBatch)
+      case _ => rowsPerBatch
     }
     ProblemOffset(math.min(from + math.max(1L, step), hi))
   }

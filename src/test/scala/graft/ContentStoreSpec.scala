@@ -201,14 +201,108 @@ class ContentStoreSpec extends SparkSpecBase {
     assert(rows.forall(_.getString(1).matches("\\d+ \\+ \\d+ = \\d+")))
   }
 
-  test("streaming offsets are an order-independent manifest set (JSON round trip)") {
-    import graft.sources.StoreOffset
-    val o = StoreOffset(Vector("epoch-q-10", "batch-x-2", "epoch-q-2"))
-    assert(StoreOffset.fromJson(o.json()).manifests.toSet == o.manifests.toSet)
-    assert(StoreOffset.fromJson(StoreOffset(Vector.empty).json()).manifests.isEmpty)
-    // a manifest sorting BEFORE the high-water mark is still new data:
-    // the set diff catches what a prefix counter would skip
-    val seen = StoreOffset.fromJson(o.json()).manifests.toSet
-    assert(!seen.contains("batch-a-1"), "UUID-keyed batch manifest sorts first yet must be unseen")
+  private def writeOne(dir: String, rows: (String, String)*): Unit = {
+    import spark.implicits._
+    rows.toSeq
+      .toDF("result_key", "payload")
+      .coalesce(1)
+      .write
+      .format("graft.sources.ContentStore")
+      .option("path", dir)
+      .mode("append")
+      .save()
+  }
+
+  test("maxFilesPerTrigger drains a backlog in ceil(n/limit) micro-batches") {
+    val dir = tmp()
+    (1 to 6).foreach(i => writeOne(dir, s"k$i" -> s"v$i")) // 6 manifests × 1 file
+    val q = spark.readStream
+      .format("graft.sources.ContentStore")
+      .option("path", dir)
+      .option("maxFilesPerTrigger", 2)
+      .load()
+      .writeStream
+      .format("memory")
+      .queryName("limited_drain")
+      .option("checkpointLocation", tmp())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(spark.table("limited_drain").count() == 6, "AvailableNow must still reach the snapshot")
+    val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+    assert(dataBatches == 3, s"6 single-file manifests / limit 2 = 3 batches, got $dataBatches")
+  }
+
+  test("manifest-log compaction bounds the offset and the log; restart after it stays exactly-once") {
+    import spark.implicits._
+    val dir  = tmp()
+    val ckpt = tmp()
+    val outDir = tmp()
+    def drain(): Set[String] = {
+      val q = spark.readStream
+        .format("graft.sources.ContentStore")
+        .option("path", dir)
+        .option("maxFilesPerTrigger", 1) // one manifest per micro-batch
+        .option("compactInterval", 2)
+        .load()
+        .writeStream
+        .format("json")
+        .option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.read
+        .schema("result_key STRING, payload STRING")
+        .json(outDir)
+        .as[(String, String)]
+        .collect()
+        .map(_._1)
+        .toSet
+    }
+
+    (1 to 5).foreach(i => writeOne(dir, s"k$i" -> s"v$i"))
+    assert(drain() == (1 to 5).map(i => s"k$i").toSet)
+
+    // the source-owned log compacted (batches 1..5, interval 2 →
+    // compacts at 2 and 4; cleanup removed entries ≤ 2)
+    val logDir = new java.io.File(s"$ckpt/sources/0/manifest-log")
+    val logFiles = logDir.list().toSet
+    assert(logFiles.exists(_.endsWith(".compact")), s"no compaction written: $logFiles")
+    assert(!logFiles.contains("1") && !logFiles.contains("2"),
+      s"compaction must delete superseded entries: $logFiles")
+
+    // the ENGINE-checkpointed offset is one monotonic batch id — its
+    // JSON never grows with manifest history
+    val offsetFiles = new java.io.File(s"$ckpt/offsets").listFiles().filter(_.isFile)
+      .filterNot(_.getName.startsWith("."))
+    val latest = offsetFiles.maxBy(_.getName.toLong)
+    val offsetJson = new String(java.nio.file.Files.readAllBytes(latest.toPath), "UTF-8")
+      .linesIterator.toSeq.last.trim
+    assert(offsetJson.matches("\\d+"), s"offset must be a bounded batch id, got: $offsetJson")
+
+    // two more epochs after compaction; the restarted tail reads
+    // exactly the new ones
+    (6 to 7).foreach(i => writeOne(dir, s"k$i" -> s"v$i"))
+    assert(drain() == (1 to 7).map(i => s"k$i").toSet, "restart after compaction lost or duplicated rows")
+  }
+
+  test("legacy set offsets migrate into the manifest log (pre-log checkpoints resume)") {
+    import graft.sources.{StoreBatchOffset, StoreMicroBatchStream, StoreOffset}
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val dir = tmp()
+    writeOne(dir, "old" -> "1")
+    writeOne(dir, "new" -> "2")
+    val consumed = ContentStore.manifestNames(dir, hconf).head // the 'old' manifest
+    val stream = new StoreMicroBatchStream(dir, sconf, tmp(), 0, 10)
+    val legacy = StoreOffset(Vector(consumed))
+    assert(StoreOffset.fromJson(legacy.json()).manifests == Vector(consumed))
+    val next = stream.latestOffset(legacy, ReadLimit.allAvailable())
+    assert(next == StoreBatchOffset(1), s"migrated stream must continue at batch 1, got $next")
+    // the planned batch contains ONLY the unconsumed manifest's file
+    val parts = stream.planInputPartitions(legacy, next)
+    assert(parts.length == 1, s"legacy-consumed manifest must not replay: ${parts.toSeq}")
+    // nothing further → offset stays put
+    assert(stream.latestOffset(next, ReadLimit.allAvailable()) == StoreBatchOffset(1))
   }
 }
