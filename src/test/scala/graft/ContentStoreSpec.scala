@@ -287,6 +287,112 @@ class ContentStoreSpec extends SparkSpecBase {
     assert(drain() == (1 to 7).map(i => s"k$i").toSet, "restart after compaction lost or duplicated rows")
   }
 
+  test("full relay chain: problem stream → store epochs → tailing sequencer → batched queue, exactly-once across a mid-chain restart") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.streaming.{KinesisLikePipeline, StreamIO}
+    val storeDir  = tmp()
+    val ckptProd  = tmp()
+    val ckptRelay = tmp()
+    val queueDir  = tmp()
+
+    // stage A: the DSv2 problem stream answered and committed to the
+    // store as epoch manifests (reruns resume the SAME producer
+    // checkpoint, so the second call emits only the new epochs)
+    def produce(numRows: Int): Unit = {
+      val records = spark.readStream
+        .format("graft.sources.ProblemSource")
+        .option("numRows", numRows)
+        .option("rowsPerBatch", 30)
+        .option("numPartitions", 4)
+        .load()
+      val q = KinesisLikePipeline
+        .addAnswers(KinesisLikePipeline.decodeEnvelope(records), keyCol = "seq")
+        .select(
+          col("result_key"),
+          concat(col("result_key"), lit("|"), col("answer")).as("payload")
+        )
+        .writeStream
+        .format("graft.sources.ContentStore")
+        .option("path", storeDir)
+        .option("checkpointLocation", ckptProd)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+
+    // stage B: tail the store one manifest per trigger (compaction
+    // every 2 batches, so the restart below resumes FROM a compact),
+    // sequence pages per topic with checkpointed fMGWS state, land
+    // SendMessageBatch-style JSON lines
+    def relay(): Int = {
+      val msgs = spark.readStream
+        .format("graft.sources.ContentStore")
+        .option("path", storeDir)
+        .option("maxFilesPerTrigger", 1)
+        .option("compactInterval", 2)
+        .load()
+        .select(
+          pmod(xxhash64(col("result_key")), lit(3)).as("topic_id"),
+          col("payload").as("message"),
+          lit(25L).as("n_devices"),
+          lit(10L).as("page_size")
+        )
+        .as[KinesisLikePipeline.TopicMsg]
+      val pages = KinesisLikePipeline.pageSequencer(spark, msgs)
+      val payloads = pages
+        .toDF()
+        .select(
+          col("topic_id"),
+          base64(
+            to_json(
+              struct(col("page_num"), col("page_count"), col("global_seq"), col("message"), col("note"))
+            ).cast("binary")
+          ).as("payload_b64")
+        )
+      val q = StreamIO.batchedQueueSink(payloads, queueDir, ckptRelay)
+      q.processAllAvailable()
+      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+      q.stop()
+      dataBatches
+    }
+
+    produce(60)
+    val b1 = relay()
+    produce(120) // two more epochs land while the relay is down
+    val b2 = relay() // restart: same sequencer checkpoint, post-compaction offset
+    assert(b1 >= 2 && b2 >= 2, s"expected ≥3 data triggers across the chain, got $b1 + $b2")
+
+    val pageSchema = org.apache.spark.sql.types.StructType.fromDDL(
+      "page_num LONG, page_count LONG, global_seq LONG, message STRING, note STRING"
+    )
+    val lines = spark.read.json(queueDir)
+    // SendMessageBatch contract: no line carries more than 10 entries
+    assert(lines.select(size(col("entries")).as("n")).collect().forall(_.getInt(0) <= 10))
+    val pages = lines
+      .select(col("topic_id"), explode(col("entries")).as("b64"))
+      .select(col("topic_id"), from_json(unbase64(col("b64")).cast("string"), pageSchema).as("p"))
+      .select(col("topic_id"), col("p.*"))
+      .collect()
+
+    // exactly-once through the WHOLE chain: 120 unique messages × 3
+    // pages (25/10+1), no page delivered twice despite the restart
+    assert(pages.length == 360, s"expected 360 pages, got ${pages.length}")
+    val byMsg = pages.groupBy(_.getAs[String]("message"))
+    assert(byMsg.size == 120, s"expected 120 distinct messages, got ${byMsg.size}")
+    byMsg.foreach { case (m, ps) =>
+      assert(ps.map(_.getAs[Long]("page_num")).sorted.toSeq == Seq(1L, 2L, 3L), s"pages of $m")
+      assert(ps.count(_.getAs[String]("note") == "Count: 1st page sent") == 1, s"first note of $m")
+      assert(ps.count(_.getAs[String]("note").startsWith("Count: Last Page Sent")) == 1, s"last note of $m")
+    }
+    // per-topic global sequence is contiguous ACROSS triggers and the
+    // restart — the sequencer state survived the mid-chain stop
+    pages.groupBy(_.getAs[Long]("topic_id")).foreach { case (t, ps) =>
+      val seqs = ps.map(_.getAs[Long]("global_seq")).sorted.toSeq
+      assert(seqs == (1L to ps.length).toSeq, s"topic $t sequence has gaps/dups: $seqs")
+    }
+  }
+
   test("legacy set offsets migrate into the manifest log (pre-log checkpoints resume)") {
     import graft.sources.{StoreBatchOffset, StoreMicroBatchStream, StoreOffset}
     import org.apache.spark.sql.connector.read.streaming.ReadLimit
