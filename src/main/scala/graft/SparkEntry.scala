@@ -90,6 +90,9 @@ object SparkEntry {
     "q_sample_hash"        -> ((s, d) => Sampling.hashSample(Tables(s, d))),
     "q_sample_stratified"  -> ((s, d) => Sampling.stratifiedSample(Tables(s, d))),
     "q_split_assign"       -> ((s, d) => Sampling.splitAssign(Tables(s, d))),
+    "q_mixture_epochs"     -> ((s, d) => Sampling.mixtureEpochs(Tables(s, d))),
+    "pipeline_order"       -> ((s, d) => Sampling.trainingOrder(Tables(s, d))),
+    "text_pii_redact"      -> ((s, d) => TextOps.piiRedact(Tables(s, d))),
     "text_contaminate"     -> ((s, d) => Dedup.contamination(Tables(s, d))),
     "pipeline_pack"        -> ((s, d) => Curation.packTokenBudget(Tables(s, d))),
     "pipeline_chunk"       -> ((s, d) => Curation.chunkTokens(Tables(s, d))),
@@ -489,6 +492,33 @@ object SparkEntry {
         |       WHEN bucket < 90 THEN 'val'
         |       ELSE 'test' END AS split
         |FROM b ORDER BY doc_id""".stripMargin,
+    "q_mixture_epochs" -> // upsample small sources: min(4, ceil-div of biggest/source chars) epochs
+      """WITH c AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS total_chars FROM documents GROUP BY 1),
+        |b AS (SELECT max(total_chars) AS biggest FROM c),
+        |f AS (SELECT source, least(4, (biggest + total_chars - 1) // total_chars) AS epochs FROM c, b)
+        |SELECT d.doc_id, d.source, CAST(unnest(generate_series(1, f.epochs)) AS BIGINT) AS epoch
+        |FROM documents d JOIN f USING (source)
+        |ORDER BY doc_id, epoch""".stripMargin,
+    "pipeline_order" -> // sharded deterministic training order: hash prefix → shard, hash rank → pos
+      """WITH h AS (
+        |  SELECT doc_id, source, md5('order-' || CAST(doc_id AS VARCHAR)) AS h FROM documents),
+        |s AS (
+        |  SELECT doc_id, source, h,
+        |    CAST('0x' || substr(h, 1, 8) AS BIGINT) % 16 AS shard
+        |  FROM h)
+        |SELECT doc_id, source, shard,
+        |  CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS BIGINT) AS pos
+        |FROM s ORDER BY shard, pos""".stripMargin,
+    "text_pii_redact" -> // same patterns, RE2 side; counts on the original, redaction email → IP → phone
+      s"""SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '${graft.operators.TextOps.EmailPat}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text, '${graft.operators.TextOps.Ipv4Pat}')) AS BIGINT) AS n_ips,
+        |  CAST(len(regexp_extract_all(text, '${graft.operators.TextOps.PhonePat}')) AS BIGINT) AS n_phones,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+        |    '${graft.operators.TextOps.EmailPat}', '<EMAIL>', 'g'),
+        |    '${graft.operators.TextOps.Ipv4Pat}', '<IP>', 'g'),
+        |    '${graft.operators.TextOps.PhonePat}', '<PHONE>', 'g')) AS redacted_hash
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "text_contaminate" -> // distinct-trigram overlap with the doc_id%97=0 benchmark slice
       """WITH s AS (
         |  SELECT doc_id,

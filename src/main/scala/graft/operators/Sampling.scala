@@ -105,4 +105,60 @@ object Sampling {
       .select(col("doc_id"), col("source"), col("rn"))
       .orderBy("source", "rn")
   }
+
+  /** C18c: training-order shuffle — the deterministic pseudo-random
+    * GLOBAL order a training run reads the corpus in. A true global
+    * sort by random key is one serial dimension at 100 TB; instead the
+    * hash splits the order into `shards` independent streams (shard =
+    * hash prefix) with a position within each (rank by the remaining
+    * hash): readers interleave shards round-robin and the order is
+    * (a) uniformly shuffled, (b) a pure function of doc_id — stable
+    * under corpus growth and engine-portable, unlike orderBy(rand()).
+    * One shuffle on shard; each shard's window is 1/shards of the
+    * data, and `shards` scales with the cluster.
+    */
+  def trainingOrder(t: Tables, shards: Int = 16): DataFrame = {
+    val w = Window.partitionBy("shard").orderBy(col("h"), col("doc_id"))
+    t.documents
+      .select(col("doc_id"), col("source"))
+      .withColumn("h", md5(concat(lit("order-"), col("doc_id").cast("string"))))
+      .withColumn("shard", conv(substring(col("h"), 1, 8), 16, 10).cast("long") % shards)
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col("doc_id"), col("source"), col("shard"), col("pos"))
+      .orderBy("shard", "pos")
+  }
+
+  /** C17d: epoch-repeat mixture — flatten the mixture UP by repeating
+    * small sources instead of cutting large ones (the standard move
+    * when every token is precious): source s trains for
+    * `min(maxEpochs, ⌈chars_biggest / chars_s⌉)` epochs. The factor is
+    * exact integer arithmetic (ceil-division on longs — no
+    * float-rounding drift cross-engine); the expansion is a broadcast
+    * join of the tiny factor table plus a codegen'd `sequence` explode,
+    * so it runs at scan speed with zero wide shuffles.
+    */
+  def mixtureEpochs(t: Tables, maxEpochs: Int = 4): DataFrame = {
+    val counts = t.documents
+      .groupBy("source")
+      .agg(sum(col("n_chars").cast("long")).as("total_chars"))
+    val biggest = counts.agg(max("total_chars").as("biggest"))
+    val factors = counts
+      .crossJoin(broadcast(biggest))
+      .select(
+        col("source"),
+        least(
+          lit(maxEpochs.toLong),
+          expr("(biggest + total_chars - 1) div total_chars")
+        ).as("epochs")
+      )
+    t.documents
+      .select(col("doc_id"), col("source"))
+      .join(broadcast(factors), "source")
+      .select(
+        col("doc_id"),
+        col("source"),
+        explode(expr("sequence(1L, epochs)")).as("epoch")
+      )
+      .orderBy("doc_id", "epoch")
+  }
 }

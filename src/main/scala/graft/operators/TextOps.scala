@@ -212,6 +212,48 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** PII patterns shared with the oracle. Kept inside the Java-regex ∩
+    * RE2 common subset — character classes, bounded/greedy quantifiers,
+    * a single optional separator, NO alternation or lookaround — so a
+    * backtracking engine (Spark) and a leftmost-longest engine (the
+    * DuckDB oracle) produce identical matches. `[.]` instead of `\\.`
+    * dodges double-escaping drift between the two string literals.
+    */
+  val EmailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+  val Ipv4Pat  = "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}"
+  val PhonePat = "[+]?[0-9]{3}[- .]?[0-9]{3}[- .]?[0-9]{4}"
+
+  /** C9b: PII scrubbing — the redaction pass every released training
+    * corpus runs (emails, IPv4 addresses, phone-shaped numbers →
+    * typed placeholders). Counts are measured on the ORIGINAL text;
+    * redaction applies email → IP → phone so IP octets can never be
+    * re-matched as phone fragments. Pure codegen'd regexp projections:
+    * no shuffle, scan speed at 100 TB — and the per-doc counts feed
+    * the same curation joins as the quality scores.
+    */
+  def piiRedact(t: Tables): DataFrame = piiRedactOn(t.documents)
+
+  def piiRedactOn(documents: DataFrame): DataFrame =
+    documents
+      .select(
+        col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(EmailPat), lit(0))).cast("long").as("n_emails"),
+        size(regexp_extract_all(col("text"), lit(Ipv4Pat), lit(0))).cast("long").as("n_ips"),
+        size(regexp_extract_all(col("text"), lit(PhonePat), lit(0))).cast("long").as("n_phones"),
+        md5(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(col("text"), EmailPat, "<EMAIL>"),
+              Ipv4Pat,
+              "<IP>"
+            ),
+            PhonePat,
+            "<PHONE>"
+          )
+        ).as("redacted_hash")
+      )
+      .orderBy("doc_id")
+
   /** C11: document fingerprinting + dup-group resolution: every doc
     * with its fingerprint, its group's keeper (min doc_id) and group
     * size. One shuffle on the fingerprint.

@@ -61,6 +61,12 @@ class PlanSpec extends SparkSpecBase {
     assert(plan.contains("ReusedExchange"), s"band table computed twice:\n$plan")
   }
 
+  test("exact source-similarity self-join reuses one slice exchange (shuffled hash join)") {
+    val plan = executedPlanString(graft.operators.Dedup.sourceSimilarityExact(tables))
+    assert(plan.contains("ShuffledHashJoin"), s"expected shuffle-hash slice self-join:\n$plan")
+    assert(plan.contains("ReusedExchange"), s"slice index computed twice:\n$plan")
+  }
+
   test("q6 pushes date/discount/quantity predicates into the lineitem scan") {
     // formatted mode prints untruncated PushedFilters
     val pushed = Analytics

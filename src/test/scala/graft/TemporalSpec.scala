@@ -121,6 +121,42 @@ class TemporalSpec extends SparkSpecBase {
     )
   }
 
+  test("training order is a uniform deterministic shuffle; epoch mixture upsamples by exact factors") {
+    val order = Sampling.trainingOrder(tables).collect()
+    assert(order.length == tables.documents.count().toInt)
+    // per-shard positions are contiguous 1..n (an interleaving reader
+    // never sees a gap), and the whole order is replay-identical
+    order.groupBy(_.getAs[Long]("shard")).foreach { case (s, rows) =>
+      val pos = rows.map(_.getAs[Long]("pos")).sorted.toSeq
+      assert(pos == (1L to rows.length).toSeq, s"shard $s positions: $pos")
+    }
+    assert(order.toSeq == Sampling.trainingOrder(tables).collect().toSeq)
+    // hash sharding must actually spread the corpus (no empty shard at
+    // 500 docs / 16 shards except with astronomically bad luck)
+    assert(order.map(_.getAs[Long]("shard")).distinct.length == 16)
+
+    val epochs  = Sampling.mixtureEpochs(tables).collect()
+    val factors = epochs.groupBy(_.getAs[String]("source")).map { case (s, rows) =>
+      val perDoc = rows.groupBy(_.getAs[Long]("doc_id")).values.map(_.length).toSet
+      assert(perDoc.size == 1, s"source $s docs repeat unevenly: $perDoc")
+      s -> perDoc.head
+    }
+    // factors follow the exact integer ceil-division of char budgets
+    val chars = tables.documents
+      .groupBy("source")
+      .agg(org.apache.spark.sql.functions.sum("n_chars").as("c"))
+      .collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("c"))
+      .toMap
+    val biggest = chars.values.max
+    factors.foreach { case (s, f) =>
+      assert(f == math.min(4L, (biggest + chars(s) - 1) / chars(s)), s"factor of $s")
+    }
+    // the biggest source trains exactly once; some smaller source more
+    assert(factors(chars.maxBy(_._2)._1) == 1)
+    assert(factors.values.max > 1, "corpus is skewed enough that some source must repeat")
+  }
+
   test("chunking covers every token with no chunk contained in its predecessor") {
     val chunks = graft.operators.Curation.chunkTokens(tables).collect()
     val nTokens = tables.documents

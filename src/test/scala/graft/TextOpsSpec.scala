@@ -78,6 +78,48 @@ class TextOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("PII redaction finds and replaces emails, IPs, and phone numbers on crafted docs") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val crafted = Seq(
+      (1L, "contact alice.smith+spam@example-corp.co.uk or bob@ex.io today"),
+      (2L, "server at 192.168.0.1 and 10.0.255.254 responded"),
+      (3L, "call 555-123-4567 or +1 555 987 6543 now"), // second: country code digits join
+      (4L, "no pii here at all"),
+      (5L, "mixed: carol@web.de from 8.8.8.8 dials 555 867 5309")
+    ).toDF("doc_id", "text")
+    val rows = TextOps.piiRedactOn(crafted).collect().map(r => r.getLong(0) -> r).toMap
+    assert(rows(1).getAs[Long]("n_emails") == 2 && rows(1).getAs[Long]("n_ips") == 0)
+    assert(rows(2).getAs[Long]("n_ips") == 2 && rows(2).getAs[Long]("n_emails") == 0)
+    assert(rows(3).getAs[Long]("n_phones") == 2)
+    assert(
+      rows(4).getAs[String]("redacted_hash") ==
+        crafted.filter("doc_id = 4").select(md5(col("text"))).collect().head.getString(0),
+      "pii-free text must hash unchanged"
+    )
+    assert(rows(5).getAs[Long]("n_emails") == 1 && rows(5).getAs[Long]("n_ips") == 1
+      && rows(5).getAs[Long]("n_phones") == 1)
+    // the redacted text itself carries no residual matches
+    val redacted = crafted.select(
+      col("doc_id"),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col("text"), TextOps.EmailPat, "<EMAIL>"),
+          TextOps.Ipv4Pat,
+          "<IP>"
+        ),
+        TextOps.PhonePat,
+        "<PHONE>"
+      ).as("r")
+    ).as[(Long, String)].collect().toMap
+    assert(redacted(1) == "contact <EMAIL> or <EMAIL> today")
+    assert(redacted(2) == "server at <IP> and <IP> responded")
+    assert(redacted(5) == "mixed: <EMAIL> from <IP> dials <PHONE>")
+    redacted.values.foreach { t =>
+      assert(TextOps.EmailPat.r.findFirstIn(t).isEmpty && TextOps.Ipv4Pat.r.findFirstIn(t).isEmpty)
+    }
+  }
+
   test("repetition flags agree with a naive per-doc recount") {
     val texts = tables.documents
       .select("doc_id", "text")
