@@ -115,19 +115,22 @@ object SparkEntry {
     * not inside the control query's timed window, which exists to
     * compare the window plan against the grafted operator, not to
     * measure session creation. Bench pre-creates it during warm-up.
+    *
+    * Weak keys: a clone shares the parent's SparkContext, not the
+    * parent object, so a stopped/discarded parent session (and its
+    * cached clone entry) stays collectable — a long-lived JVM cycling
+    * sessions must not pin dead SessionStates forever.
     */
-  private val ctlSessions =
-    new java.util.concurrent.ConcurrentHashMap[SparkSession, SparkSession]()
+  private val ctlSessions = new java.util.WeakHashMap[SparkSession, SparkSession]()
 
-  def controlSession(parent: SparkSession): SparkSession =
-    ctlSessions.computeIfAbsent(
-      parent,
-      p => {
-        val c = p.newSession()
-        c.conf.set("spark.graft.topk.autoRewrite", "false")
-        c
-      }
-    )
+  def controlSession(parent: SparkSession): SparkSession = ctlSessions.synchronized {
+    Option(ctlSessions.get(parent)).getOrElse {
+      val c = parent.newSession()
+      c.conf.set("spark.graft.topk.autoRewrite", "false")
+      ctlSessions.put(parent, c)
+      c
+    }
+  }
 
   /** DuckDB-dialect oracle for each SQL-expressible query. Column names
     * and row ordering match the Spark plans exactly.

@@ -534,17 +534,6 @@ object Dedup {
     * derive the edge list from (shared-scan compositions); `None`
     * builds it from raw text.
     */
-  /** Free the executor storage blocks behind a superseded
-    * localCheckpoint'd frame. Only the LogicalRDD's persisted blocks
-    * are touched; reliable `checkpoint()` rounds are files, whose
-    * cleanup is `spark.cleaner.referenceTracking.cleanCheckpoints`'s
-    * job (documented on [[nearDupComponents]]).
-    */
-  private def freeMaterialized(df: DataFrame): Unit =
-    df.queryExecution.analyzed
-      .collect { case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd }
-      .foreach(_.unpersist(blocking = false))
-
   def nearDupComponents(
       t: Tables,
       tau: Double = JaccardTau,
@@ -604,6 +593,17 @@ object Dedup {
     // cleanCheckpoints=true makes the file half automatic
     labels.orderBy("id").select(col("id").as("doc_id"), col("component"))
   }
+
+  /** Free the executor storage blocks behind a superseded
+    * localCheckpoint'd frame. Only the LogicalRDD's persisted blocks
+    * are touched; reliable `checkpoint()` rounds are files, whose
+    * cleanup is `spark.cleaner.referenceTracking.cleanCheckpoints`'s
+    * job (documented on [[nearDupComponents]]).
+    */
+  private def freeMaterialized(df: DataFrame): Unit =
+    df.queryExecution.analyzed
+      .collect { case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd }
+      .foreach(_.unpersist(blocking = false))
 
   // --- Embedding cosine (C5) ----------------------------------------------
 

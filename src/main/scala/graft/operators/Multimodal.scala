@@ -8,16 +8,17 @@ import org.apache.spark.sql.functions._
   * binary columns with typed metadata, plus decode/feature-extract
   * plumbing.
   *
-  * The decode kernel is REAL for images: payloads carrying a
-  * PNG/JPEG/GIF/BMP signature are decoded with the JDK's own
-  * `javax.imageio` readers (header-only — width/height/format come
-  * from the container metadata without materializing pixels), which
-  * ship in every JRE and are headless-safe. Payloads that are not
-  * images (the synthetic text corpus, audio/video containers this JDK
-  * has no codec for) fall through to a clearly-marked deterministic
-  * stub, so the surrounding plumbing — schema, batch iteration,
-  * partitioning, no driver collect — exercises the exact production
-  * shape either way: plug an ffmpeg-style binding into
+  * The decode kernel is REAL for images: payloads carrying a PNG or
+  * JPEG signature are decoded with the JDK's own `javax.imageio`
+  * readers (header-only — width/height/format come from the container
+  * metadata without materializing pixels), which ship in every JRE and
+  * are headless-safe. GIF/BMP are deliberately NOT sniffed (see
+  * `looksLikeImage` — their magics are printable ASCII). Everything
+  * else (the synthetic text corpus, GIF/BMP, audio/video containers
+  * this JDK has no codec for) falls through to a clearly-marked
+  * deterministic stub, so the surrounding plumbing — schema, batch
+  * iteration, partitioning, no driver collect — exercises the exact
+  * production shape either way: plug an ffmpeg-style binding into
   * [[decodeKernel]]'s fallback and nothing else changes.
   */
 object Multimodal {
@@ -79,8 +80,14 @@ object Multimodal {
     * task. Headless-safe — no AWT display is touched.
     */
   private def decodeImageHeader(bytes: Array[Byte]): Option[(Int, Int, String)] = {
-    val iis =
-      javax.imageio.ImageIO.createImageInputStream(new java.io.ByteArrayInputStream(bytes))
+    // MemoryCacheImageInputStream, NOT ImageIO.createImageInputStream:
+    // the factory defaults to a FileCache stream (one tmpdir file
+    // created and deleted PER PAYLOAD — per-row disk I/O in the decode
+    // hot path, and a hard failure on a read-only tmpdir); the bytes
+    // are already in memory
+    val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+      new java.io.ByteArrayInputStream(bytes)
+    )
     try {
       val readers = javax.imageio.ImageIO.getImageReaders(iis)
       if (!readers.hasNext) None
@@ -93,7 +100,7 @@ object Multimodal {
           case _: Exception => None // truncated/corrupt header → stub
         } finally r.dispose()
       }
-    } finally if (iis != null) iis.close()
+    } finally iis.close()
   }
 
   /** Deterministic STUB for non-image payloads (this JDK has no
