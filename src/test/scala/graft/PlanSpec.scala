@@ -67,6 +67,28 @@ class PlanSpec extends SparkSpecBase {
     assert(plan.contains("ReusedExchange"), s"slice index computed twice:\n$plan")
   }
 
+  test("pii redaction is a pure projection; order/epochs keep their minimal shuffle shape") {
+    // pii: codegen'd regexps over the scan — the only exchange allowed
+    // is the output sort's range partitioning
+    val pii = executedPlanString(graft.operators.TextOps.piiRedact(tables))
+    assert(
+      "Exchange hashpartitioning".r.findAllIn(pii).isEmpty,
+      s"pii redaction grew a wide shuffle:\n$pii"
+    )
+    // training order: exactly one hash shuffle (the shard window)
+    val ord = executedPlanString(graft.operators.Sampling.trainingOrder(tables))
+    assert(
+      "Exchange hashpartitioning".r.findAllIn(ord).length == 1,
+      s"training order must shuffle once, on shard:\n$ord"
+    )
+    // epoch mixture: factor table broadcast, never a sort-merge join;
+    // the expansion itself is a codegen Generate over the scan
+    val ep = executedPlanString(graft.operators.Sampling.mixtureEpochs(tables))
+    assert(ep.contains("BroadcastHashJoin"), s"factors not broadcast:\n$ep")
+    assert(!ep.contains("SortMergeJoin"), s"epoch join degenerated to SMJ:\n$ep")
+    assert(ep.contains("Generate explode"), s"expansion is not a generator:\n$ep")
+  }
+
   test("q6 pushes date/discount/quantity predicates into the lineitem scan") {
     // formatted mode prints untruncated PushedFilters
     val pushed = Analytics
