@@ -104,7 +104,9 @@ object SparkEntry {
     "multimodal_meta"      -> ((s, d) => Multimodal.mediaMeta(Tables(s, d))),
     "multimodal_decode"    -> ((s, d) => Multimodal.decodeSummary(s, Tables(s, d))),
     "multimodal_frames"    -> ((s, d) => Multimodal.sampleFrames(s, Tables(s, d))),
-    "multimodal_embed"     -> ((s, d) => Multimodal.embedBuckets(Tables(s, d)))
+    "multimodal_embed"     -> ((s, d) => Multimodal.embedBuckets(Tables(s, d))),
+    "multimodal_resize"    -> ((s, d) => Multimodal.resizeDims(s, Tables(s, d))),
+    "multimodal_audio"     -> ((s, d) => Multimodal.audioMeta(s, Tables(s, d)))
   )
 
   /** kinesis_topic/main.go:23 — the demo topic payload. */
@@ -732,6 +734,28 @@ object SparkEntry {
         |  CAST(min(width) AS INT) AS min_w, CAST(max(width) AS INT) AS max_w,
         |  CAST(min(height) AS INT) AS min_h, CAST(max(height) AS INT) AS max_h
         |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
+    "multimodal_resize" -> // stub dims + integer fit-to-box; real images are spec territory
+      """WITH d AS (
+        |  SELECT doc_id, octet_length(encode(text)) AS n, hex(encode(text)) AS hx
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, n,
+        |    16 + (CASE WHEN n > 0 THEN CAST('0x' || substr(hx, 1, 2) AS INT) % 640 ELSE 0 END) AS width,
+        |    16 + (CASE WHEN n > 1 THEN CAST('0x' || substr(hx, 3, 2) AS INT) % 480 ELSE 0 END) AS height
+        |  FROM d)
+        |SELECT doc_id, CAST(width AS INT) AS width, CAST(height AS INT) AS height,
+        |  CAST(CASE WHEN greatest(width, height) <= 64 THEN width
+        |       ELSE greatest(1, width * 64 // greatest(width, height)) END AS INT) AS new_w,
+        |  CAST(CASE WHEN greatest(width, height) <= 64 THEN height
+        |       ELSE greatest(1, height * 64 // greatest(width, height)) END AS INT) AS new_h,
+        |  CAST(n AS BIGINT) AS n_bytes_out
+        |FROM m ORDER BY doc_id""".stripMargin,
+    "multimodal_audio" -> // stub audio arithmetic (real WAV headers are spec territory)
+      """SELECT doc_id, false AS is_audio,
+        |  CAST(8000 + (octet_length(encode(text)) % 3) * 4000 AS BIGINT) AS sample_rate,
+        |  CAST(1 + octet_length(encode(text)) % 2 AS BIGINT) AS channels,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS frames
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "multimodal_embed" -> // decode → frame → featurize → 2-bit quantize → PQ bucket
       s"""WITH d AS (
         |  SELECT doc_id, octet_length(encode(text)) % 64 + 1 AS nf FROM documents),

@@ -153,6 +153,150 @@ object Multimodal {
       }
   }
 
+  /** A resized media record. `n_bytes_out` is the re-encoded payload
+    * size — deterministic for stub passthrough; encoder-specific for
+    * real images (the spec checks those, the gate corpus has none).
+    */
+  final case class ResizedMedia(
+      doc_id: Long,
+      width: Int,
+      height: Int,
+      new_w: Int,
+      new_h: Int,
+      n_bytes_out: Long
+  )
+
+  /** Fit-to-box target dimensions in pure integer arithmetic (floor
+    * division — no float rounding to drift between engines): identity
+    * when the image already fits, else scaled so max(w,h) == maxDim.
+    */
+  private[graft] def fitBox(w: Int, h: Int, maxDim: Int): (Int, Int) = {
+    val m = math.max(w, h)
+    if (m <= maxDim) (w, h)
+    else (math.max(1, w * maxDim / m), math.max(1, h * maxDim / m))
+  }
+
+  /** Resize kernel: REAL pixel resize for PNG/JPEG payloads — full
+    * `ImageIO.read`, Graphics2D bilinear scale into the fit-box, PNG
+    * re-encode — and stub passthrough (dims scaled by the same integer
+    * arithmetic, bytes untouched) for everything else. An image that
+    * already fits is passed through byte-identical: no decode-reencode
+    * generation loss for the common thumbnail-already case.
+    */
+  private[graft] def resizeKernel(bytes: Array[Byte], maxDim: Int): (Int, Int, Int, Int, Array[Byte]) = {
+    def stub = {
+      val (w, h, _) = stubDecode(bytes)
+      val (nw, nh)  = fitBox(w, h, maxDim)
+      (w, h, nw, nh, bytes)
+    }
+    if (!looksLikeImage(bytes)) stub
+    else {
+      try {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        if (img == null) stub
+        else {
+          val (w, h)   = (img.getWidth, img.getHeight)
+          val (nw, nh) = fitBox(w, h, maxDim)
+          if ((nw, nh) == ((w, h))) (w, h, nw, nh, bytes)
+          else {
+            val out = new java.awt.image.BufferedImage(nw, nh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g   = out.createGraphics()
+            g.setRenderingHint(
+              java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR
+            )
+            g.drawImage(img, 0, 0, nw, nh, null)
+            g.dispose()
+            val buf = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(out, "png", buf)
+            (w, h, nw, nh, buf.toByteArray)
+          }
+        }
+      } catch { case _: Exception => stub }
+    }
+  }
+
+  /** Resize over any `(doc_id, media)` frame — same mapPartitions
+    * batch shape as [[decodeBytes]], executor-side only.
+    */
+  def resizeBytes(spark: SparkSession, media: DataFrame, maxDim: Int = 64): Dataset[ResizedMedia] = {
+    import spark.implicits._
+    media
+      .select(col("doc_id"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val (w, h, nw, nh, out) = resizeKernel(bytes, maxDim)
+        ResizedMedia(id, w, h, nw, nh, out.length.toLong)
+      })
+  }
+
+  /** C13b gate query: resize dimensions per document (stub arithmetic
+    * for the text corpus ⇒ full SQL oracle; real images exercised by
+    * the spec through the same kernel).
+    */
+  def resizeDims(spark: SparkSession, t: Tables, maxDim: Int = 64): DataFrame =
+    resizeBytes(spark, t.documents.select(col("doc_id"), col("text").cast("binary").as("media")), maxDim)
+      .toDF()
+      .orderBy("doc_id")
+
+  /** A decoded audio record. */
+  final case class AudioMeta(
+      doc_id: Long,
+      is_audio: Boolean,
+      sample_rate: Long,
+      channels: Long,
+      frames: Long
+  )
+
+  /** RIFF/WAVE container signature: "RIFF" at 0 AND "WAVE" at 8 — both
+    * checked, so natural text (which would need the exact 12-byte
+    * header layout) cannot misroute; a false positive would still fail
+    * header validation inside AudioSystem and fall back to the stub.
+    */
+  private def looksLikeWav(b: Array[Byte]): Boolean =
+    b.length >= 12 &&
+      b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+      b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E'
+
+  /** Audio metadata kernel: REAL header parse via the JDK's own
+    * `javax.sound.sampled` (WAV/AIFF readers ship in every JRE —
+    * sample rate, channels, frame count from the fmt chunk, no PCM
+    * materialized); deterministic stub for non-audio payloads.
+    */
+  private[graft] def audioKernel(bytes: Array[Byte]): (Boolean, Long, Long, Long) = {
+    def stub = {
+      val n = bytes.length
+      (false, 8000L + (n % 3) * 4000L, 1L + n % 2, n.toLong)
+    }
+    if (!looksLikeWav(bytes)) stub
+    else {
+      try {
+        val ff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+          new java.io.ByteArrayInputStream(bytes)
+        )
+        val fmt = ff.getFormat
+        (true, fmt.getSampleRate.toLong, fmt.getChannels.toLong, ff.getFrameLength.toLong)
+      } catch { case _: Exception => stub }
+    }
+  }
+
+  /** C13c: audio metadata over any `(doc_id, media)` frame. */
+  def audioBytes(spark: SparkSession, media: DataFrame): Dataset[AudioMeta] = {
+    import spark.implicits._
+    media
+      .select(col("doc_id"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val (isAudio, rate, ch, frames) = audioKernel(bytes)
+        AudioMeta(id, isAudio, rate, ch, frames)
+      })
+  }
+
+  def audioMeta(spark: SparkSession, t: Tables): DataFrame =
+    audioBytes(spark, t.documents.select(col("doc_id"), col("text").cast("binary").as("media")))
+      .toDF()
+      .orderBy("doc_id")
+
   /** Frame sampling over decoded media: every k-th frame of each
     * clip as its own row, with a content-derived frame fingerprint.
     * The frame count is a stub derived from payload size (a real

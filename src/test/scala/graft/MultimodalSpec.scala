@@ -92,6 +92,54 @@ class MultimodalSpec extends SparkSpecBase {
     assert(metas(2).n_bytes == 19L && Set("png", "jpeg", "webp")(metas(2).format))
   }
 
+  test("resize kernel really scales PNG pixels into the fit box; stub passthrough for text") {
+    import spark.implicits._
+    // 100x50 → longest side 64 → 64x32, re-encoded PNG whose HEADER
+    // confirms the new dimensions through the decode kernel
+    val (w, h, nw, nh, out) = Multimodal.resizeKernel(imageBytes(100, 50, "png"), 64)
+    assert((w, h, nw, nh) == ((100, 50, 64, 32)))
+    assert(Multimodal.decodeKernel(out) == ((64, 32, "png")))
+    // already-fits image passes through byte-identical (no generation loss)
+    val small = imageBytes(20, 10, "png")
+    val r2    = Multimodal.resizeKernel(small, 64)
+    assert((r2._1, r2._2, r2._3, r2._4) == ((20, 10, 20, 10)) && (r2._5 eq small))
+    // JPEG decodes and rescales through the same path
+    val r3 = Multimodal.resizeKernel(imageBytes(128, 128, "jpeg"), 64)
+    assert((r3._1, r3._2, r3._3, r3._4) == ((128, 128, 64, 64)))
+    // distributed path over mixed payloads
+    val media = Seq((1L, imageBytes(100, 50, "png")), (2L, "just words".getBytes("UTF-8")))
+      .toDF("doc_id", "media")
+    val rows = Multimodal.resizeBytes(spark, media).collect().sortBy(_.doc_id)
+    assert(rows(0).new_w == 64 && rows(0).new_h == 32)
+    assert(rows(1).n_bytes_out == 10L, "stub must pass bytes through unchanged")
+  }
+
+  private def wavBytes(sampleRate: Float, channels: Int, nFrames: Int): Array[Byte] = {
+    val fmt  = new javax.sound.sampled.AudioFormat(sampleRate, 16, channels, true, false)
+    val pcm  = new Array[Byte](nFrames * fmt.getFrameSize)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong
+    )
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  test("audio kernel parses real WAV headers; stub for text") {
+    import spark.implicits._
+    assert(Multimodal.audioKernel(wavBytes(16000f, 1, 320)) == ((true, 16000L, 1L, 320L)))
+    assert(Multimodal.audioKernel(wavBytes(44100f, 2, 1000)) == ((true, 44100L, 2L, 1000L)))
+    val text = "RIFF but not really a wave file, just words".getBytes("UTF-8")
+    val (isAudio, rate, ch, frames) = Multimodal.audioKernel(text)
+    assert(!isAudio && rate >= 8000 && ch >= 1 && frames == text.length.toLong)
+    // distributed path
+    val media = Seq((1L, wavBytes(8000f, 1, 100)), (2L, "hello".getBytes("UTF-8")))
+      .toDF("doc_id", "media")
+    val rows = Multimodal.audioBytes(spark, media).collect().sortBy(_.doc_id)
+    assert(rows(0).is_audio && rows(0).sample_rate == 8000L && rows(0).frames == 100L)
+    assert(!rows(1).is_audio)
+  }
+
   test("decode summary covers all stub formats with sane dimensions") {
     val rows = Multimodal.decodeSummary(spark, tables).collect()
     assert(rows.map(_.getString(0)).toSet.subsetOf(Set("png", "jpeg", "webp")))
