@@ -514,16 +514,23 @@ object SparkEntry {
         |SELECT doc_id, source, shard,
         |  CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS BIGINT) AS pos
         |FROM s ORDER BY shard, pos""".stripMargin,
-    "text_pii_redact" -> // same patterns, RE2 side; counts on the original, redaction email → IP → phone
-      s"""SELECT doc_id,
+    "text_pii_redact" -> // same patterns, RE2 side; counts staged on the progressively
+      // redacted text (emails on the original, IPs after <EMAIL>, phones after <IP>)
+      // so each n_* equals that type's placeholder count in the output
+      s"""WITH r AS (
+        |  SELECT doc_id, text,
+        |    regexp_replace(text, '${graft.operators.TextOps.EmailPat}', '<EMAIL>', 'g') AS t1
+        |  FROM documents),
+        |r2 AS (
+        |  SELECT doc_id, text, t1,
+        |    regexp_replace(t1, '${graft.operators.TextOps.Ipv4Pat}', '<IP>', 'g') AS t2
+        |  FROM r)
+        |SELECT doc_id,
         |  CAST(len(regexp_extract_all(text, '${graft.operators.TextOps.EmailPat}')) AS BIGINT) AS n_emails,
-        |  CAST(len(regexp_extract_all(text, '${graft.operators.TextOps.Ipv4Pat}')) AS BIGINT) AS n_ips,
-        |  CAST(len(regexp_extract_all(text, '${graft.operators.TextOps.PhonePat}')) AS BIGINT) AS n_phones,
-        |  md5(regexp_replace(regexp_replace(regexp_replace(text,
-        |    '${graft.operators.TextOps.EmailPat}', '<EMAIL>', 'g'),
-        |    '${graft.operators.TextOps.Ipv4Pat}', '<IP>', 'g'),
-        |    '${graft.operators.TextOps.PhonePat}', '<PHONE>', 'g')) AS redacted_hash
-        |FROM documents ORDER BY doc_id""".stripMargin,
+        |  CAST(len(regexp_extract_all(t1, '${graft.operators.TextOps.Ipv4Pat}')) AS BIGINT) AS n_ips,
+        |  CAST(len(regexp_extract_all(t2, '${graft.operators.TextOps.PhonePat}')) AS BIGINT) AS n_phones,
+        |  md5(regexp_replace(t2, '${graft.operators.TextOps.PhonePat}', '<PHONE>', 'g')) AS redacted_hash
+        |FROM r2 ORDER BY doc_id""".stripMargin,
     "text_contaminate" -> // distinct-trigram overlap with the doc_id%97=0 benchmark slice
       """WITH s AS (
         |  SELECT doc_id,

@@ -418,10 +418,18 @@ object Dedup {
     * complete like the sketch's.
     */
   def sourceSimilarityExact(t: Tables): DataFrame = {
+    // distinct on the shingle STRING (matching the oracle's set
+    // semantics exactly), then hash only for join-key compactness — a
+    // distinct over the 64-bit hash would collapse colliding shingles
+    // and silently shrink set sizes (~V²/2⁶⁵ at billion-shingle
+    // vocabularies). The intersection join below still keys on the
+    // hash; a cross-STRING collision there can only add a false
+    // intersection within one source pair, the same negligible bound.
     val slice = shingledPostings(t)
       .join(t.documents.select(col("doc_id"), col("source")), "doc_id")
-      .select(col("source"), xxhash64(col("sh")).as("shingle"))
+      .select(col("source"), col("sh"))
       .distinct()
+      .select(col("source"), xxhash64(col("sh")).as("shingle"))
     val sizes = slice.groupBy("source").agg(count(lit(1)).as("n_sh"))
     val inter = slice
       .as("a")
@@ -550,11 +558,16 @@ object Dedup {
     val pairs = materialize(ngramJaccardFrom(posts, tau).select(col("doc_a"), col("doc_b")))
     val edges = pairs
       .unionAll(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    // round 0 folded into initialization: from identity labels the
+    // first propagation is just min(id, min(neighbors)) — computing it
+    // directly off the edge list saves one materialize + count round
+    // (a full corpus-pass at scale). Mirrored edges put every paired
+    // node in doc_a, so the groupBy covers the whole vertex set.
     var labels = materialize(
       edges
-        .select(col("doc_a").as("id"))
-        .distinct()
-        .withColumn("component", col("id"))
+        .groupBy(col("doc_a").as("id"))
+        .agg(min(col("doc_b")).as("nbr_min"))
+        .select(col("id"), least(col("id"), col("nbr_min")).as("component"))
     )
     var changed = 1L
     while (changed > 0) {

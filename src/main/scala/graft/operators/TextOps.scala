@@ -225,11 +225,15 @@ object TextOps {
 
   /** C9b: PII scrubbing — the redaction pass every released training
     * corpus runs (emails, IPv4 addresses, phone-shaped numbers →
-    * typed placeholders). Counts are measured on the ORIGINAL text;
-    * redaction applies email → IP → phone so IP octets can never be
-    * re-matched as phone fragments. Pure codegen'd regexp projections:
-    * no shuffle, scan speed at 100 TB — and the per-doc counts feed
-    * the same curation joins as the quality scores.
+    * typed placeholders). Redaction applies email → IP → phone so IP
+    * octets can never be re-matched as phone fragments, and each count
+    * is measured on the text the corresponding stage actually sees
+    * (emails on the original, IPs after email redaction, phones after
+    * IP redaction) — so n_* equals the number of placeholders of that
+    * type in the redacted output, with no over-reporting of overlapping
+    * matches. Pure codegen'd regexp projections: no shuffle, scan
+    * speed at 100 TB — and the per-doc counts feed the same curation
+    * joins as the quality scores.
     */
   def piiRedact(t: Tables): DataFrame = piiRedactOn(t.documents)
 
@@ -237,20 +241,21 @@ object TextOps {
     documents
       .select(
         col("doc_id"),
+        col("text"),
+        regexp_replace(col("text"), EmailPat, "<EMAIL>").as("t1")
+      )
+      .select(
+        col("doc_id"),
+        col("text"),
+        col("t1"),
+        regexp_replace(col("t1"), Ipv4Pat, "<IP>").as("t2")
+      )
+      .select(
+        col("doc_id"),
         size(regexp_extract_all(col("text"), lit(EmailPat), lit(0))).cast("long").as("n_emails"),
-        size(regexp_extract_all(col("text"), lit(Ipv4Pat), lit(0))).cast("long").as("n_ips"),
-        size(regexp_extract_all(col("text"), lit(PhonePat), lit(0))).cast("long").as("n_phones"),
-        md5(
-          regexp_replace(
-            regexp_replace(
-              regexp_replace(col("text"), EmailPat, "<EMAIL>"),
-              Ipv4Pat,
-              "<IP>"
-            ),
-            PhonePat,
-            "<PHONE>"
-          )
-        ).as("redacted_hash")
+        size(regexp_extract_all(col("t1"), lit(Ipv4Pat), lit(0))).cast("long").as("n_ips"),
+        size(regexp_extract_all(col("t2"), lit(PhonePat), lit(0))).cast("long").as("n_phones"),
+        md5(regexp_replace(col("t2"), PhonePat, "<PHONE>")).as("redacted_hash")
       )
       .orderBy("doc_id")
 

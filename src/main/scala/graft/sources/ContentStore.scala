@@ -459,8 +459,19 @@ private[graft] class StoreMicroBatchStream(
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val b = batchOf(start)
     // crash replay: the entry was written but the engine never logged
-    // the offset — reuse it verbatim, never re-list
-    if (log.entryExists(b + 1)) return StoreBatchOffset(b + 1)
+    // the offset — reuse it verbatim, never re-list. A crash BETWEEN
+    // writeEntry and writeCompact at a compaction boundary would
+    // otherwise skip that boundary's compaction (doubling the log's
+    // size bound until the next one), so re-run it here — writeCompact
+    // is idempotent (first write wins) and consumedThrough(b+1) is
+    // exactly the set the original call would have compacted.
+    if (log.entryExists(b + 1)) {
+      if ((b + 1) % compactInterval == 0) {
+        log.writeCompact(b + 1, log.consumedThrough(b + 1).toVector.sorted)
+        log.cleanup(b + 1, compactInterval)
+      }
+      return StoreBatchOffset(b + 1)
+    }
     val consumed = consumedAt(start)
     val fresh = availableNowTarget
       .getOrElse(ContentStore.manifestNames(path, conf.value).toVector)
@@ -645,7 +656,12 @@ private[graft] class ManifestConsumedLog(dir: Path, hadoopConf: Configuration) {
     if (fsys.exists(dir)) {
       fsys.listStatus(dir).foreach { st =>
         val name = st.getPath.getName
-        if (name.endsWith(".compact")) {
+        if (name.startsWith(".tmp-")) {
+          // writes are synchronous in the single driver thread that
+          // calls cleanup, so any .tmp-* still present is an orphan
+          // from a crashed write
+          fsys.delete(st.getPath, false): Unit
+        } else if (name.endsWith(".compact")) {
           name.stripSuffix(".compact").toLongOption.foreach { c =>
             if (c <= n - 2L * interval) fsys.delete(st.getPath, false): Unit
           }
@@ -681,9 +697,20 @@ private[graft] class ManifestConsumedLog(dir: Path, hadoopConf: Configuration) {
     if (fsys.exists(target)) return // replay: first write wins
     fsys.mkdirs(dir)
     val tmp = new Path(dir, s".tmp-${target.getName}-${UUID.randomUUID()}")
-    val out = fsys.create(tmp, /* overwrite = */ false)
-    out.write(lines.mkString("\n").getBytes("UTF-8"))
-    out.close()
+    // close in finally (a write failure must not leak the stream) and
+    // drop the temp on ANY failure before the rename — orphaned .tmp-*
+    // files would otherwise sit in the log forever (cleanup() sweeps
+    // them too, as a second line of defense)
+    try {
+      val out = fsys.create(tmp, /* overwrite = */ false)
+      try out.write(lines.mkString("\n").getBytes("UTF-8"))
+      finally out.close()
+    } catch {
+      case e: Throwable =>
+        try fsys.delete(tmp, false)
+        catch { case _: Throwable => () }
+        throw e
+    }
     if (!fsys.rename(tmp, target)) {
       fsys.delete(tmp, false): Unit
       if (!fsys.exists(target))
