@@ -36,6 +36,10 @@ object SparkEntry {
     "q_brand_volume"       -> ((s, d) => Analytics.brandVolume(Tables(s, d))),
     "q_supplier_nation_volume" -> ((s, d) => Analytics.supplierNationVolume(Tables(s, d))),
     "q_rollup_volume"      -> ((s, d) => Analytics.rollupVolume(Tables(s, d))),
+    "q_cube_volume"        -> ((s, d) => Analytics.cubeVolume(Tables(s, d))),
+    "q_salted_join"        -> ((s, d) => Joins.saltedJoin(Tables(s, d))),
+    "q_bucketed_join" -> ((s, d) =>
+      Joins.bucketedJoin(Tables(s, d), s"${System.getProperty("java.io.tmpdir")}/graft-warehouse")),
     "q_event_pivot"        -> ((s, d) => Analytics.eventTypePivot(Tables(s, d))),
     "q_value_percentiles"  -> ((s, d) => Analytics.valuePercentiles(Tables(s, d))),
     "q_adder"              -> ((s, d) => MathOps.adder(Tables(s, d))),
@@ -93,6 +97,8 @@ object SparkEntry {
     "q_mixture_epochs"     -> ((s, d) => Sampling.mixtureEpochs(Tables(s, d))),
     "pipeline_order"       -> ((s, d) => Sampling.trainingOrder(Tables(s, d))),
     "text_pii_redact"      -> ((s, d) => TextOps.piiRedact(Tables(s, d))),
+    "text_commonword_frac" -> ((s, d) => TextOps.commonWordFrac(Tables(s, d))),
+    "pipeline_leakage"     -> ((s, d) => Curation.splitLeakage(Tables(s, d))),
     "text_contaminate"     -> ((s, d) => Dedup.contamination(Tables(s, d))),
     "pipeline_pack"        -> ((s, d) => Curation.packTokenBudget(Tables(s, d))),
     "pipeline_chunk"       -> ((s, d) => Curation.chunkTokens(Tables(s, d))),
@@ -388,6 +394,56 @@ object SparkEntry {
         |JOIN region r ON n.n_regionkey = r.r_regionkey
         |GROUP BY ROLLUP (r.r_name, n.n_name)
         |ORDER BY region ASC NULLS FIRST, nation ASC NULLS FIRST""".stripMargin,
+    "q_cube_volume" ->
+      """SELECT region, segment,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_orders
+        |FROM (
+        |  SELECT r.r_name AS region, c.c_mktsegment AS segment, o.o_totalprice
+        |  FROM orders o
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |  JOIN region r ON n.n_regionkey = r.r_regionkey)
+        |GROUP BY CUBE (region, segment)
+        |ORDER BY region ASC NULLS FIRST, segment ASC NULLS FIRST""".stripMargin,
+    "q_salted_join" -> // salt collapses under the segment aggregate: identical to the plain join
+      """SELECT c_mktsegment, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_bucketed_join" -> // bucketed layout changes the PLAN, never the values
+      """SELECT o_orderpriority, count(*) AS n_lines,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "text_commonword_frac" -> // corpus-derived top-100 vocabulary; integer ranking (count desc, word asc)
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |top AS (
+        |  SELECT w FROM (
+        |    SELECT w, count(*) AS cnt FROM tok GROUP BY 1
+        |    ORDER BY cnt DESC, w ASC LIMIT 100)),
+        |pd AS (SELECT doc_id, count(*) AS n_common FROM tok JOIN top USING (w) GROUP BY 1)
+        |SELECT d.doc_id,
+        |  CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+        |  CAST(coalesce(pd.n_common, 0) AS BIGINT) AS n_common,
+        |  CAST(coalesce(pd.n_common, 0) AS DOUBLE) / len(string_split(d.text, ' ')) AS common_frac
+        |FROM documents d LEFT JOIN pd USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+    "pipeline_leakage" -> // near-dup pairs straddling the 80/10/10 hash split
+      s"""WITH pr AS ($ngramJaccardOracle),
+        |sp AS (
+        |  SELECT doc_id,
+        |    CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 < 80 THEN 'train'
+        |         WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 < 90 THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM documents)
+        |SELECT pr.doc_a, pr.doc_b, pr.jaccard, sa.split AS split_a, sb.split AS split_b
+        |FROM pr
+        |JOIN sp sa ON pr.doc_a = sa.doc_id
+        |JOIN sp sb ON pr.doc_b = sb.doc_id
+        |WHERE sa.split <> sb.split
+        |ORDER BY pr.doc_a, pr.doc_b""".stripMargin,
     "q_event_pivot" ->
       """SELECT user_id,
         |  CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS click,

@@ -219,6 +219,26 @@ object Analytics {
       .orderBy(col("region").asc_nulls_first, col("nation").asc_nulls_first)
   }
 
+  /** B11b: full cube — revenue by (region, segment), each margin, and
+    * the grand total in ONE pass. Same Expand-based partial-agg shape
+    * as [[rollupVolume]] (2ᵈ grouping sets from one scan — never d
+    * re-scans); the fact side shuffles once on the expanded keys.
+    */
+  def cubeVolume(t: Tables): DataFrame = {
+    val dims = t.customer
+      .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"), col("r_name").as("region"), col("c_mktsegment").as("segment"))
+    t.orders
+      .join(broadcast(dims), col("o_custkey") === col("c_custkey"))
+      .select(col("region"), col("segment"), col("o_totalprice"))
+      // untagged expr() columns for the same ambiguous-self-join reason
+      // as rollupVolume
+      .cube(expr("region"), expr("segment"))
+      .agg(Num.moneySum(col("o_totalprice")).as("revenue"), count(lit(1)).as("n_orders"))
+      .orderBy(col("region").asc_nulls_first, col("segment").asc_nulls_first)
+  }
+
   /** B12: pivot — events per user as one column per event type.
     * Types are enumerated (the scalable form: an un-enumerated pivot
     * needs a driver-side distinct pass first).

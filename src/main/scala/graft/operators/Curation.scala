@@ -122,6 +122,28 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** Split-leakage audit: near-duplicate pairs that STRADDLE a
+    * train/val/test boundary — the check every dataset release runs
+    * before shipping, because a test document whose near-dup sits in
+    * train silently inflates every benchmark number. Composes the C2
+    * near-dup pair pipeline with the hash-range split assignment
+    * (both reused verbatim), so the audit inherits their scale
+    * shapes: the pair pipeline is the bucketed inverted-index join,
+    * and the split lookup is two joins on doc_id against a map-only
+    * projection. Emitted rows are the offending pairs with both
+    * splits — empty output is the release criterion.
+    */
+  def splitLeakage(t: Tables): DataFrame = {
+    val splits = Sampling.splitAssign(t).select(col("doc_id"), col("split"))
+    Dedup
+      .ngramJaccard(t)
+      .join(splits.select(col("doc_id").as("doc_a"), col("split").as("split_a")), "doc_a")
+      .join(splits.select(col("doc_id").as("doc_b"), col("split").as("split_b")), "doc_b")
+      .filter(col("split_a") =!= col("split_b"))
+      .select(col("doc_a"), col("doc_b"), col("jaccard"), col("split_a"), col("split_b"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Context-window chunking: slice each document's token stream into
     * overlapping windows (`size` tokens every `stride` — the
     * train-time chunking that keeps `size - stride` tokens of context

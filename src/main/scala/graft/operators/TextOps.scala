@@ -259,6 +259,49 @@ object TextOps {
       )
       .orderBy("doc_id")
 
+  /** Size of the corpus-derived common-word vocabulary. */
+  val CommonVocab = 100
+
+  /** C9c: corpus-relative quality — the fraction of each document's
+    * tokens drawn from the corpus's own top-[[CommonVocab]] words.
+    * This is the stopword-ratio signal WITHOUT a hardcoded stopword
+    * list: the vocabulary is derived from the corpus itself, so it
+    * works for any language mix (the same two-pass shape a unigram
+    * LM / perplexity filter uses, kept integer-exact for the gate).
+    *
+    * Pass 1 builds the global word frequency table (one partial-agg'd
+    * shuffle on the word; hot words are exactly what map-side combine
+    * flattens) and takes the top K by (count desc, word asc) — a
+    * TakeOrderedAndProject, never a full sort. Pass 2 re-scans the
+    * corpus, probes the BROADCAST vocabulary (K rows — always fits),
+    * and aggregates per doc on the doc_id key. Ranking is integer
+    * (count, then word) and the only division is one int/int at the
+    * end — no float drift for the oracle to disagree with.
+    */
+  def commonWordFrac(t: Tables): DataFrame = {
+    val words = t.documents.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+    val top = words
+      .groupBy("w")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("w").asc)
+      .limit(CommonVocab)
+      .select("w")
+    val perDoc = words
+      .join(broadcast(top), "w")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_common"))
+    t.documents
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"),
+        (coalesce(col("n_common"), lit(0L)).cast("double") / col("n_tokens")).as("common_frac")
+      )
+      .orderBy("doc_id")
+  }
+
   /** C11: document fingerprinting + dup-group resolution: every doc
     * with its fingerprint, its group's keeper (min doc_id) and group
     * size. One shuffle on the fingerprint.

@@ -151,6 +151,27 @@ class DedupSpec extends SparkSpecBase {
     assert(Dedup.ngramJaccard(tt).collect() != null)
   }
 
+  test("split leakage is exactly the cross-split subset of the near-dup pairs") {
+    val splits = graft.operators.Sampling
+      .splitAssign(tables)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split"))
+      .toMap
+    val expected = Dedup
+      .ngramJaccard(tables)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => splits(a) != splits(b) }
+      .toSet
+    val got = graft.operators.Curation.splitLeakage(tables).collect()
+    got.foreach { r =>
+      assert(r.getAs[String]("split_a") != r.getAs[String]("split_b"))
+      assert(r.getAs[String]("split_a") == splits(r.getLong(0)))
+      assert(r.getAs[String]("split_b") == splits(r.getLong(1)))
+    }
+    assert(got.map(r => (r.getLong(0), r.getLong(1))).toSet == expected)
+  }
+
   test("embedding cosine pairs are ordered and self-free") {
     val pairs = Dedup.embeddingCosine(tables).collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(pairs.forall { case (a, b) => a < b })

@@ -329,6 +329,23 @@ class PlanSpec extends SparkSpecBase {
     assert(rddScans >= 2, s"expected materialized scans feeding both branches, got $rddScans:\n$plan")
   }
 
+  test("commonWordFrac: top-K vocabulary is a TakeOrdered, probed via broadcast") {
+    val plan = executedPlanString(graft.operators.TextOps.commonWordFrac(tables))
+    // pass 1's top-100 must be partial top-K per partition, never a
+    // global sort of the vocabulary
+    assert(plan.contains("TakeOrderedAndProject"), s"vocab top-K is a full sort:\n$plan")
+    // pass 2 probes the 100-row vocabulary map-side — the corpus token
+    // stream must not shuffle to meet it
+    assert(plan.contains("BroadcastHashJoin"), s"vocab probe not broadcast:\n$plan")
+  }
+
+  test("cube aggregates all grouping sets from one Expand — no per-level re-scan") {
+    val plan = executedPlanString(graft.operators.Analytics.cubeVolume(tables))
+    assert("Expand".r.findAllIn(plan).length == 1, s"expected exactly one Expand:\n$plan")
+    // one scan of the fact side feeds all 4 grouping sets
+    assert("Scan parquet .*orders".r.findAllIn(plan).length == 1, s"orders re-scanned:\n$plan")
+  }
+
   test("adder map stage is whole-stage codegen with no shuffle before the sort") {
     val df   = graft.operators.MathOps.adder(tables)
     val plan = executedPlanString(df)

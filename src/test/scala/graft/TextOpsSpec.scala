@@ -120,6 +120,33 @@ class TextOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("commonWordFrac agrees with a naive recount against the derived vocabulary") {
+    val texts = tables.documents
+      .select("doc_id", "text")
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text"))
+      .toMap
+    // reference vocabulary: top-100 by (count desc, word asc), computed naively
+    val vocab = texts.values.toSeq
+      .flatMap(_.split(" ", -1))
+      .groupBy(identity)
+      .view
+      .mapValues(_.size)
+      .toSeq
+      .sortBy { case (w, c) => (-c, w) }
+      .take(graft.operators.TextOps.CommonVocab)
+      .map(_._1)
+      .toSet
+    val got = TextOps.commonWordFrac(tables).collect()
+    assert(got.length == texts.size)
+    got.foreach { r =>
+      val ws = texts(r.getAs[Long]("doc_id")).split(" ", -1)
+      assert(r.getAs[Long]("n_tokens") == ws.length.toLong)
+      assert(r.getAs[Long]("n_common") == ws.count(vocab).toLong)
+      assert(r.getAs[Double]("common_frac") >= 0.0 && r.getAs[Double]("common_frac") <= 1.0)
+    }
+  }
+
   test("repetition flags agree with a naive per-doc recount") {
     val texts = tables.documents
       .select("doc_id", "text")
