@@ -107,6 +107,12 @@ object SparkEntry {
     "q_orc_roundtrip"      -> ((s, d) => Ingest.orcRoundtrip(Tables(s, d))),
     "text_repetition"      -> ((s, d) => TextOps.repetition(Tables(s, d))),
     "text_keyterms"        -> ((s, d) => TextOps.keyTerms(Tables(s, d))),
+    "text_dupfrac"         -> ((s, d) => Dedup.dupShingleFrac(Tables(s, d))),
+    "dedup_incremental"    -> ((s, d) => Dedup.incrementalDedup(Tables(s, d))),
+    "text_bpe_merges"      -> ((s, d) => TextOps.bpeMergeCandidates(Tables(s, d))),
+    "text_length_gate"     -> ((s, d) => TextOps.lengthPercentileGate(Tables(s, d))),
+    "q_asof_forward"       -> ((s, d) => Temporal.asofNextClick(Tables(s, d))),
+    "q_hopping_window"     -> ((s, d) => EventOps.hoppingWindow(Tables(s, d))),
     "multimodal_meta"      -> ((s, d) => Multimodal.mediaMeta(Tables(s, d))),
     "multimodal_decode"    -> ((s, d) => Multimodal.decodeSummary(s, Tables(s, d))),
     "multimodal_frames"    -> ((s, d) => Multimodal.sampleFrames(s, Tables(s, d))),
@@ -501,6 +507,24 @@ object SparkEntry {
         |SELECT event_id, user_id, ts, click_event_id, click_ts,
         |  epoch_us(ts) - epoch_us(click_ts) AS gap_us
         |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin,
+    "q_asof_forward" -> // forward as-of = earliest click at-or-after each purchase; ties: earliest ts then smallest id
+      """WITH c AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'),
+        |j AS (
+        |  SELECT p.event_id, p.user_id, p.ts, c.event_id AS click_event_id, c.ts AS click_ts,
+        |    row_number() OVER (PARTITION BY p.event_id ORDER BY c.ts ASC, c.event_id ASC) AS rn
+        |  FROM p JOIN c ON c.user_id = p.user_id AND c.ts >= p.ts)
+        |SELECT event_id, user_id, ts, click_event_id, click_ts,
+        |  epoch_us(click_ts) - epoch_us(ts) AS gap_us
+        |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin,
+    "q_hopping_window" -> // 1h windows every 15min: each event lands in 4 slide-aligned windows
+      """WITH w AS (
+        |  SELECT make_timestamp(epoch_us(ts) - (epoch_us(ts) % 900000000) - k * 900000000) AS window_start,
+        |    event_type, value
+        |  FROM events, unnest(generate_series(0, 3)) AS t(k))
+        |SELECT window_start, event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_asof_left" -> // LEFT as-of: unmatched purchases survive with null click columns
       """WITH c AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),
         |p AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'),
@@ -704,6 +728,94 @@ object SparkEntry {
         |  count(*) OVER (PARTITION BY text_hash) AS group_size
         |FROM h ORDER BY doc_id""".stripMargin,
     "dedup_ngram_jaccard" -> ngramJaccardOracle,
+    "text_dupfrac" -> // share of each doc's distinct trigrams appearing in >= 2 docs
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
+        |      i -> concat_ws(' ', string_split(text, ' ')[CAST(i AS INT)],
+        |                     string_split(text, ' ')[CAST(i AS INT) + 1],
+        |                     string_split(text, ' ')[CAST(i AS INT) + 2]))) AS sh
+        |  FROM documents),
+        |p AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
+        |d AS (SELECT shingle, count(*) AS df FROM p GROUP BY 1)
+        |SELECT p.doc_id, count(*) AS n_sh,
+        |  CAST(sum(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_sh,
+        |  CAST(sum(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS dup_frac
+        |FROM p JOIN d USING (shingle)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "dedup_incremental" -> // delta slice (doc_id%10=0) deduped against the base corpus
+      """WITH h AS (
+        |  SELECT doc_id, md5(regexp_replace(trim(text), '\s+', ' ', 'g')) AS text_hash
+        |  FROM documents),
+        |ex AS (
+        |  SELECT d.doc_id, min(b.doc_id) AS exact_match
+        |  FROM h d JOIN h b ON d.text_hash = b.text_hash AND b.doc_id % 10 <> 0
+        |  WHERE d.doc_id % 10 = 0 GROUP BY 1),
+        |s AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
+        |      i -> concat_ws(' ', string_split(text, ' ')[CAST(i AS INT)],
+        |                     string_split(text, ' ')[CAST(i AS INT) + 1],
+        |                     string_split(text, ' ')[CAST(i AS INT) + 2]))) AS sh
+        |  FROM documents),
+        |sz AS (SELECT doc_id, len(sh) AS n_sh FROM s),
+        |p AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
+        |pairs AS (
+        |  SELECT d.doc_id, b.doc_id AS base_doc, count(*) AS inter
+        |  FROM p d JOIN p b ON d.shingle = b.shingle
+        |  WHERE d.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+        |  GROUP BY 1, 2),
+        |near AS (
+        |  SELECT pairs.doc_id, pairs.base_doc,
+        |    CAST(pairs.inter AS DOUBLE) / (sa.n_sh + sb.n_sh - pairs.inter) AS jaccard
+        |  FROM pairs
+        |  JOIN sz sa ON pairs.doc_id = sa.doc_id
+        |  JOIN sz sb ON pairs.base_doc = sb.doc_id
+        |  WHERE CAST(pairs.inter AS DOUBLE) / (sa.n_sh + sb.n_sh - pairs.inter) >= 0.5),
+        |nb AS (
+        |  SELECT doc_id, base_doc AS near_match, jaccard FROM (
+        |    SELECT doc_id, base_doc, jaccard,
+        |      row_number() OVER (PARTITION BY doc_id ORDER BY jaccard DESC, base_doc ASC) AS rn
+        |    FROM near) WHERE rn = 1)
+        |SELECT dl.doc_id,
+        |  CASE WHEN ex.exact_match IS NOT NULL THEN 'exact'
+        |       WHEN nb.near_match IS NOT NULL THEN 'near'
+        |       ELSE 'new' END AS dup_kind,
+        |  coalesce(ex.exact_match, nb.near_match) AS match_doc_id,
+        |  CASE WHEN ex.exact_match IS NULL THEN nb.jaccard END AS near_jaccard
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) dl
+        |LEFT JOIN ex USING (doc_id)
+        |LEFT JOIN nb USING (doc_id)
+        |ORDER BY dl.doc_id""".stripMargin,
+    "text_bpe_merges" -> // top-50 adjacent char pairs over the distinct-word table, weighted by word count
+      s"""WITH v AS (
+        |  SELECT w, count(*) AS cnt
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  GROUP BY 1),
+        |pairs AS (
+        |  SELECT substr(w, CAST(i AS INT), 2) AS pair, sum(cnt) AS pair_count
+        |  FROM v, unnest(generate_series(1, len(w) - 1)) AS t(i)
+        |  WHERE len(w) >= 2
+        |  GROUP BY 1)
+        |SELECT pair, CAST(pair_count AS BIGINT) AS pair_count
+        |FROM pairs
+        |ORDER BY pair_count DESC, pair ASC
+        |LIMIT ${TextOps.BpeTopK}""".stripMargin,
+    "text_length_gate" -> // exact percentile_disc threshold via per-value histogram + running sum
+      """WITH h AS (SELECT n_chars, count(*) AS c FROM documents GROUP BY 1),
+        |cdf AS (
+        |  SELECT n_chars,
+        |    sum(c) OVER (ORDER BY n_chars ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(c) OVER () AS n
+        |  FROM h),
+        |thr AS (SELECT min(n_chars) AS len_threshold FROM cdf WHERE cum >= ceil(0.75 * n))
+        |SELECT d.doc_id, CAST(d.n_chars AS BIGINT) AS n_chars,
+        |  CAST(t.len_threshold AS BIGINT) AS len_threshold
+        |FROM documents d, thr t
+        |WHERE d.n_chars >= t.len_threshold
+        |ORDER BY d.doc_id""".stripMargin,
     "dedup_cross_source" -> // near-dup pairs rolled up to an (unordered) source-pair matrix
       s"""WITH p AS ($ngramJaccardOracle),
         |s AS (SELECT doc_id, source FROM documents),

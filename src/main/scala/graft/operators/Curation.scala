@@ -12,12 +12,15 @@ import org.apache.spark.sql.functions._
   *   exact dedup (keep the min doc of each normalized-text group) →
   *   near-dup resolution (keep only each similarity component's min).
   *
-  * Every stage reuses the standalone operators, so the whole pipeline
-  * stays a single Catalyst plan: filters fuse and the doc_id joins all
-  * broadcast or co-partition. The only materializations are the two
-  * the operators themselves demand — the near-dup pair list (feeds an
-  * iterative fixpoint) and, in [[curateFull]], the shingle index that
-  * both dedup branches share.
+  * Every stage shares its DEFINITION with the standalone operator —
+  * per-row signals as column expressions fused into one corpus scan,
+  * group signals (exact-dedup keeper, bigram totals, components) as
+  * one window plus doc_id-keyed joins — so the whole pipeline stays a
+  * single Catalyst plan with exactly one scan per distinct corpus
+  * pass. The only materializations are the two the operators
+  * themselves demand — the near-dup pair list (feeds an iterative
+  * fixpoint) and, in [[curateFull]], the shingle index that both
+  * dedup branches share.
   */
 object Curation {
 
@@ -35,17 +38,37 @@ object Curation {
     * caller-provided component labeling — shared by [[curate]] and
     * [[curateFull]] so the full pipeline can feed BOTH dedup branches
     * from one materialized shingle index.
+    *
+    * The per-row signals (token count, lang-ID features, exact-dedup
+    * group key) are COLUMNS of one corpus scan, not joins against the
+    * standalone operators' outputs: each operator exposes its defining
+    * expression (TextOps.nTokensCol / hitsCol / langPredFromHits,
+    * Dedup.normTextHashCol), so the gate computes all three signals in
+    * a single pass. The only wide operations left are the exact-dedup
+    * keeper window (one shuffle on text_hash) and the component join
+    * (doc_id) — at 100 TB that's 1 corpus scan instead of the 4 the
+    * equivalent join-composition pays.
     */
   private def curateFrom(t: Tables, components: DataFrame): DataFrame = {
-    val quality = TextOps.qualityScores(t).select(col("doc_id"), col("n_tokens"))
-    val lang    = TextOps.langId(t).select(col("doc_id"), col("lang_pred"))
-    val exact   = Dedup.exact(t).select(col("doc_id"), col("keep_doc_id"))
-    val comps   = components.withColumnRenamed("component", "near_dup_comp")
+    val comps  = components.withColumnRenamed("component", "near_dup_comp")
+    val byHash = org.apache.spark.sql.expressions.Window.partitionBy("text_hash")
     t.documents
-      .select(col("doc_id"))
-      .join(quality, "doc_id")
-      .join(lang, "doc_id")
-      .join(exact, "doc_id")
+      .select(
+        col("doc_id"),
+        TextOps.nTokensCol.as("n_tokens"),
+        TextOps.wsdLowerCol.as("wsd"),
+        Dedup.normTextHashCol.as("text_hash")
+      )
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        col("text_hash"),
+        TextOps.hitsCol(TextOps.EnMarkers).as("en_hits"),
+        TextOps.hitsCol(TextOps.EsMarkers).as("es_hits"),
+        TextOps.hitsCol(TextOps.DeMarkers).as("de_hits")
+      )
+      .withColumn("lang_pred", TextOps.langPredFromHits)
+      .withColumn("keep_doc_id", min("doc_id").over(byHash))
       .join(comps, Seq("doc_id"), "left")
       .filter(
         col("n_tokens") >= MinTokens &&
@@ -112,10 +135,14 @@ object Curation {
       checkpointDir = checkpointDir,
       postings = Some(postings)
     )
-    val rep    = TextOps.repetition(t).select(col("doc_id"), col("top_bigram_frac"))
+    // join the bigram AGGREGATE (the group half of TextOps.repetition)
+    // rather than the full repetition output — the per-row half would
+    // re-scan the corpus just to be projected away
+    val rep    = TextOps.bigramAgg(t)
     val contam = Dedup.contaminationFrom(postings).select(col("doc_id"))
     curateFrom(t, comps)
-      .join(rep, "doc_id")
+      .join(rep, Seq("doc_id"), "left")
+      .withColumn("top_bigram_frac", TextOps.topBigramFracCol)
       .filter(col("top_bigram_frac") < MaxTopBigramFrac)
       .join(contam, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("n_tokens"), col("lang_pred"), col("top_bigram_frac"))

@@ -22,6 +22,27 @@ object EventOps {
       )
       .orderBy("window_start", "event_type")
 
+  /** A10c: HOPPING (sliding) windows — 1-hour windows advancing every
+    * 15 minutes, so each event lands in 4 overlapping windows. The
+    * batch twin of `window(ts, '1 hour', '15 minutes')` in a streaming
+    * agg, and the moving-average shape every monitoring query uses.
+    * Spark's `window()` generator emits the (at most size/slide)
+    * windows per event map-side; the aggregation stays one partial-
+    * agg'd shuffle on (window_start, type) — input inflation is the
+    * constant overlap factor, never a self-join on time.
+    */
+  def hoppingWindow(t: Tables): DataFrame =
+    t.events
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), Num.moneySum(col("value")).as("sum_value"))
+      .select(
+        col("window.start").as("window_start"),
+        col("event_type"),
+        col("n_events"),
+        col("sum_value")
+      )
+      .orderBy("window_start", "event_type")
+
   /** Session windows per user (gap-based): the batch twin of
     * `session_window` in a streaming agg. One shuffle on user_id;
     * Spark merges events into a session while each event starts

@@ -103,6 +103,55 @@ object Temporal {
       .orderBy("event_id")
   }
 
+  /** FORWARD as-of (inner): for every purchase, the EARLIEST click by
+    * the same user at-or-after the purchase timestamp — the funnel
+    * direction ("next action after X") of the backward kernel above.
+    * Same single-shuffle union-tag plan, mirrored: purchases tag 0 sort
+    * BEFORE clicks at equal ts (so "at-or-after" is exact), and the
+    * carry is a `first(_, ignoreNulls)` over the FORWARD frame
+    * (currentRow → unboundedFollowing) — still one shuffle on user_id,
+    * still a constant-memory running frame. Ties at equal click ts
+    * resolve to the smallest click event_id.
+    */
+  def asofNextClick(t: Tables): DataFrame = {
+    val e = t.events.select("event_id", "ts", "user_id", "event_type")
+    val clicks = e
+      .filter(col("event_type") === "click")
+      .select(
+        col("user_id"),
+        col("ts"),
+        col("event_id"),
+        lit(1).as("tag"),
+        struct(col("ts").as("c_ts"), col("event_id").as("c_id")).as("c")
+      )
+    val purchases = e
+      .filter(col("event_type") === "purchase")
+      .select(
+        col("user_id"),
+        col("ts"),
+        col("event_id"),
+        lit(0).as("tag"),
+        lit(null).cast("struct<c_ts:timestamp,c_id:bigint>").as("c")
+      )
+    val w = Window
+      .partitionBy("user_id")
+      .orderBy(col("ts"), col("tag"), col("event_id"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    purchases
+      .unionByName(clicks)
+      .withColumn("next_click", first("c", ignoreNulls = true).over(w))
+      .filter(col("tag") === 0 && col("next_click").isNotNull)
+      .select(
+        col("event_id"),
+        col("user_id"),
+        col("ts"),
+        col("next_click.c_id").as("click_event_id"),
+        col("next_click.c_ts").as("click_ts"),
+        (unix_micros(col("next_click.c_ts")) - unix_micros(col("ts"))).as("gap_us")
+      )
+      .orderBy("event_id")
+  }
+
   /** Interval (range) join: per signup event, activity of the same user
     * inside [signup_ts, signup_ts + 1h). A naive `ts BETWEEN` join has
     * no equi-key and Spark plans BroadcastNestedLoop — quadratic and

@@ -20,6 +20,35 @@ object TextOps {
 
   private def sqlList(xs: Seq[String]): String = xs.map(s => s"'$s'").mkString("array(", ", ", ")")
 
+  /** Whitespace token count — the per-row definition shared by
+    * [[qualityScores]] and the curation gate, so compositions can
+    * compute it inline in an existing corpus scan instead of joining
+    * the standalone operator's output back on doc_id.
+    */
+  def nTokensCol: org.apache.spark.sql.Column = size(split(col("text"), " ")).cast("long")
+
+  /** Distinct lowercase words — the lang-ID feature vector, bound to a
+    * `text` column. Materialize it under one name before computing
+    * marker hits: interpreted array expressions don't participate in
+    * codegen subexpression elimination.
+    */
+  def wsdLowerCol: org.apache.spark.sql.Column = expr("array_distinct(split(lower(text), ' '))")
+
+  /** Marker-hit count over a materialized `wsd` column. */
+  private[operators] def hitsCol(markers: Seq[String]): org.apache.spark.sql.Column =
+    size(expr(s"array_intersect(wsd, ${sqlList(markers)})")).cast("long")
+
+  /** Deterministic language argmax over materialized `en_hits` /
+    * `es_hits` / `de_hits` columns (en ≥ es ≥ de precedence, 'und'
+    * when nothing matches) — shared by [[langIdOn]] and the fused
+    * curation scan.
+    */
+  private[operators] def langPredFromHits: org.apache.spark.sql.Column =
+    when(col("en_hits") >= col("es_hits") && col("en_hits") >= col("de_hits") && col("en_hits") > 0, "en")
+      .when(col("es_hits") >= col("de_hits") && col("es_hits") > 0, "es")
+      .when(col("de_hits") > 0, "de")
+      .otherwise("und")
+
   /** C8b: repetition flags (the Gopher/C4-style boilerplate rules):
     * fraction of the doc covered by its most frequent word bigram and
     * fraction of duplicated words. High values mark the template/spam
@@ -32,8 +61,34 @@ object TextOps {
     * clustering — the whole operator is one wide shuffle at scale.
     */
   def repetition(t: Tables): DataFrame = {
+    t.documents
+      .select(
+        col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_words"),
+        size(array_distinct(split(col("text"), " "))).cast("long").as("n_distinct")
+      )
+      .join(bigramAgg(t), Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("n_words"),
+        col("n_distinct"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("top_bigram_count"), lit(0L)).as("top_bigram_count"),
+        topBigramFracCol.as("top_bigram_frac"),
+        ((col("n_words") - col("n_distinct")).cast("double") / col("n_words")).as("dup_word_frac")
+      )
+      .orderBy("doc_id")
+  }
+
+  /** Per-doc bigram totals (n_bigrams, top_bigram_count) — the group
+    * half of [[repetition]], split out so [[graft.operators.Curation]]
+    * can join it directly (its per-row half is fused into the curation
+    * scan; joining the full repetition output would re-scan the corpus
+    * a second time just to throw the per-row columns away).
+    */
+  private[operators] def bigramAgg(t: Tables): DataFrame = {
     val byDoc = Window.partitionBy("doc_id").orderBy("pos")
-    val bigramAgg = t.documents
+    t.documents
       .select(
         col("doc_id"),
         size(split(col("text"), " ")).as("n_words"),
@@ -45,27 +100,17 @@ object TextOps {
       .agg(count(lit(1)).as("c"))
       .groupBy("doc_id")
       .agg(sum("c").as("n_bigrams"), max("c").as("top_bigram_count"))
-    t.documents
-      .select(
-        col("doc_id"),
-        size(split(col("text"), " ")).cast("long").as("n_words"),
-        size(array_distinct(split(col("text"), " "))).cast("long").as("n_distinct")
-      )
-      .join(bigramAgg, Seq("doc_id"), "left")
-      .select(
-        col("doc_id"),
-        col("n_words"),
-        col("n_distinct"),
-        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
-        coalesce(col("top_bigram_count"), lit(0L)).as("top_bigram_count"),
-        when(
-          coalesce(col("n_bigrams"), lit(0L)) > 0,
-          col("top_bigram_count").cast("double") / col("n_bigrams")
-        ).otherwise(lit(0.0)).as("top_bigram_frac"),
-        ((col("n_words") - col("n_distinct")).cast("double") / col("n_words")).as("dup_word_frac")
-      )
-      .orderBy("doc_id")
   }
+
+  /** top-bigram coverage from (possibly null, post-left-join)
+    * `n_bigrams` / `top_bigram_count` columns — 0.0 for docs too short
+    * to have a bigram. Shared by [[repetition]] and the curation gate.
+    */
+  private[operators] def topBigramFracCol: org.apache.spark.sql.Column =
+    when(
+      coalesce(col("n_bigrams"), lit(0L)) > 0,
+      col("top_bigram_count").cast("double") / col("n_bigrams")
+    ).otherwise(lit(0.0))
 
   /** C8c: keyterm extraction — each doc's top-k terms by term
     * frequency with document frequency as the rarity tiebreak (the
@@ -149,29 +194,20 @@ object TextOps {
     * lang labels are random metadata, uncorrelated with its synthetic
     * text).
     */
-  def langIdOn(documents: DataFrame): DataFrame = {
+  def langIdOn(documents: DataFrame): DataFrame =
     // distinct lowercase words are materialized ONCE — interpreted
     // array expressions don't participate in codegen subexpression
     // elimination, so repeating the split per language would triple it
-    def hits(markers: Seq[String]) =
-      size(expr(s"array_intersect(wsd, ${sqlList(markers)})")).cast("long")
     documents
-      .select(col("doc_id"), expr("array_distinct(split(lower(text), ' '))").as("wsd"))
+      .select(col("doc_id"), wsdLowerCol.as("wsd"))
       .select(
         col("doc_id"),
-        hits(EnMarkers).as("en_hits"),
-        hits(EsMarkers).as("es_hits"),
-        hits(DeMarkers).as("de_hits")
+        hitsCol(EnMarkers).as("en_hits"),
+        hitsCol(EsMarkers).as("es_hits"),
+        hitsCol(DeMarkers).as("de_hits")
       )
-      .withColumn(
-        "lang_pred",
-        when(col("en_hits") >= col("es_hits") && col("en_hits") >= col("de_hits") && col("en_hits") > 0, "en")
-          .when(col("es_hits") >= col("de_hits") && col("es_hits") > 0, "es")
-          .when(col("de_hits") > 0, "de")
-          .otherwise("und")
-      )
+      .withColumn("lang_pred", langPredFromHits)
       .orderBy("doc_id")
-  }
 
   /** Canonical bag-of-words fingerprint: md5 over the sorted distinct
     * lowercase words. Detects permutation/duplication rewrites that
@@ -298,6 +334,67 @@ object TextOps {
         col("n_tokens"),
         coalesce(col("n_common"), lit(0L)).as("n_common"),
         (coalesce(col("n_common"), lit(0L)).cast("double") / col("n_tokens")).as("common_frac")
+      )
+      .orderBy("doc_id")
+  }
+
+  /** How many top merge candidates [[bpeMergeCandidates]] emits. */
+  val BpeTopK = 50
+
+  /** First BPE merge iteration: the top-K most frequent adjacent
+    * character pairs, weighted by word frequency — the statistic a
+    * tokenizer trainer computes (repeatedly) to pick its next merge.
+    *
+    * The classic BPE trick keeps this cheap at any corpus size: pair
+    * counts are computed over the DISTINCT-WORD table weighted by word
+    * counts, never over the raw token stream. Pass 1 is one
+    * partial-agg'd shuffle to (word, count) — corpus-sized input,
+    * vocab-sized output; pass 2 explodes character positions of the
+    * VOCAB only (a codegen `sequence` generator, input already tiny)
+    * and takes the top K via TakeOrdered. Integer counts, (count desc,
+    * pair asc) ordering — bit-deterministic under the gate.
+    */
+  def bpeMergeCandidates(t: Tables, k: Int = BpeTopK): DataFrame = {
+    val vocab = t.documents
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w")
+      .agg(count(lit(1)).as("cnt"))
+      .filter(length(col("w")) >= 2)
+    vocab
+      .select(col("w"), col("cnt"), explode(sequence(lit(1), length(col("w")) - 1)).as("i"))
+      .select(expr("substr(w, i, 2)").as("pair"), col("cnt"))
+      .groupBy("pair")
+      .agg(sum("cnt").as("pair_count"))
+      .orderBy(col("pair_count").desc, col("pair").asc)
+      .limit(k)
+  }
+
+  /** Corpus-relative length gate: keep documents at or above the q-th
+    * percentile of `n_chars` — percentile_disc semantics computed
+    * EXACTLY, with a plan that survives 100 TB: the per-value
+    * histogram is one partial-agg'd shuffle (output = value domain,
+    * tiny), the cumulative scan runs over that tiny table, and the
+    * single-row threshold broadcasts back against the corpus. No
+    * global sort of the data, no interpolated float percentile for
+    * the oracle to disagree with.
+    */
+  def lengthPercentileGate(t: Tables, q: Double = 0.75): DataFrame = {
+    val cum = Window.orderBy("n_chars").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.orderBy("n_chars").rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val threshold = t.documents
+      .groupBy(col("n_chars"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum("c").over(cum))
+      .withColumn("n", sum("c").over(all))
+      .filter(col("cum") >= ceil(lit(q) * col("n")))
+      .agg(min("n_chars").as("len_threshold"))
+    t.documents
+      .join(broadcast(threshold))
+      .filter(col("n_chars") >= col("len_threshold"))
+      .select(
+        col("doc_id"),
+        col("n_chars").cast("long").as("n_chars"),
+        col("len_threshold").cast("long").as("len_threshold")
       )
       .orderBy("doc_id")
   }

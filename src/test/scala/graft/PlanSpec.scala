@@ -327,6 +327,13 @@ class PlanSpec extends SparkSpecBase {
     // from materialized RDD scans (the shared checkpoint), not raw text
     val rddScans = "Scan ExistingRDD".r.findAllIn(plan).length
     assert(rddScans >= 2, s"expected materialized scans feeding both branches, got $rddScans:\n$plan")
+    // per-row signals (n_tokens, langid features, exact-dedup key) are
+    // fused COLUMNS of one corpus scan and the repetition gate joins
+    // only the bigram aggregate — so the final plan reads documents
+    // exactly twice (fused per-row scan + bigram explode), not once
+    // per standalone operator
+    val docScans = "Scan parquet .*documents".r.findAllIn(plan).length
+    assert(docScans == 2, s"expected 2 documents scans (fused per-row + bigrams), got $docScans:\n$plan")
   }
 
   test("commonWordFrac: top-K vocabulary is a TakeOrdered, probed via broadcast") {

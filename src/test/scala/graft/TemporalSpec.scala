@@ -82,6 +82,44 @@ class TemporalSpec extends SparkSpecBase {
     assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, s"extra shuffles:\n$plan")
   }
 
+  test("forward as-of picks the earliest at-or-after click; same join-free one-shuffle plan") {
+    val rows = Temporal.asofNextClick(tables).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Long]("gap_us") >= 0L))
+    val e = tables.events.select("event_id", "ts", "user_id", "event_type").collect()
+    rows.take(20).foreach { r =>
+      val pUs  = us(r.getAs[java.sql.Timestamp]("ts"))
+      val user = r.getAs[Long]("user_id")
+      val best = e
+        .filter(x => x.getAs[String]("event_type") == "click")
+        .filter(x => x.getAs[Long]("user_id") == user)
+        .filter(x => us(x.getAs[java.sql.Timestamp]("ts")) >= pUs)
+        .minBy(x => (us(x.getAs[java.sql.Timestamp]("ts")), x.getAs[Long]("event_id")))
+      assert(r.getAs[Long]("click_event_id") == best.getAs[Long]("event_id"))
+    }
+    val plan = executedPlanString(Temporal.asofNextClick(tables))
+    assert(!plan.contains("Join"), s"forward as-of should be join-free (union+window):\n$plan")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, s"extra shuffles:\n$plan")
+  }
+
+  test("hopping windows: every event lands in exactly 4 slide-aligned windows") {
+    val win   = graft.operators.EventOps.hoppingWindow(tables).collect()
+    val total = tables.events.count()
+    assert(win.map(_.getAs[Long]("n_events")).sum == 4L * total)
+    // spot-check one window against a naive recount
+    val e = tables.events.select("ts", "event_type").collect()
+    val sample = win.head
+    val ws = us(sample.getAs[java.sql.Timestamp]("window_start"))
+    val naive = e.count { x =>
+      val t = us(x.getAs[java.sql.Timestamp]("ts"))
+      t >= ws && t < ws + 3600L * 1000000L &&
+        x.getAs[String]("event_type") == sample.getAs[String]("event_type")
+    }
+    assert(sample.getAs[Long]("n_events") == naive.toLong)
+    // window starts are 15-minute aligned
+    assert(win.forall(r => us(r.getAs[java.sql.Timestamp]("window_start")) % (900L * 1000000L) == 0L))
+  }
+
   test("interval join matches a naive per-row filter and never plans BNLJ") {
     val got = Temporal
       .signupActivity(tables)

@@ -165,4 +165,37 @@ class TextOpsSpec extends SparkSpecBase {
       assert(r.getAs[Long]("top_bigram_count") == top)
     }
   }
+
+  test("BPE merge candidates equal a naive vocab-weighted pair count") {
+    val words = tables.documents
+      .select("text")
+      .collect()
+      .flatMap(_.getAs[String]("text").split(" ", -1))
+    val vocab = words.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val naive = vocab.toSeq
+      .filter(_._1.length >= 2)
+      .flatMap { case (w, c) => w.sliding(2).map(_ -> c) }
+      .groupBy(_._1)
+      .view
+      .mapValues(_.map(_._2).sum)
+      .toSeq
+      .sortBy { case (p, c) => (-c, p) }
+      .take(TextOps.BpeTopK)
+    val got = TextOps.bpeMergeCandidates(tables).collect()
+      .map(r => r.getAs[String]("pair") -> r.getAs[Long]("pair_count"))
+    assert(got.toSeq.sortBy { case (p, c) => (-c, p) } == naive)
+    assert(got.length == TextOps.BpeTopK)
+  }
+
+  test("length percentile gate keeps exactly the docs at/above the exact p75 of n_chars") {
+    val lens = tables.documents.select("doc_id", "n_chars").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Number]("n_chars").longValue())
+    val sorted    = lens.map(_._2).sorted
+    val pos       = math.ceil(0.75 * sorted.length).toInt
+    val threshold = sorted(pos - 1)
+    val expected  = lens.filter(_._2 >= threshold).map(_._1).toSet
+    val got = TextOps.lengthPercentileGate(tables).collect()
+    assert(got.forall(_.getAs[Long]("len_threshold") == threshold))
+    assert(got.map(_.getAs[Long]("doc_id")).toSet == expected)
+  }
 }
