@@ -703,13 +703,31 @@ object Dedup {
         .agg(min(col("nbr_component")).as("nbr_comp"))
       // carry the previous label so the convergence check is a filter
       // over the just-materialized round, not another join
+      val halfStep = labels
+        .join(neighborMin, Seq("id"), "left")
+        .select(
+          col("id"),
+          col("component").as("prev"),
+          least(col("component"), coalesce(col("nbr_comp"), col("component"))).as("comp1")
+        )
+      // pointer jump (path compression): also follow the CANDIDATE
+      // component id's own label — label trees halve in depth every
+      // round, so a chain-shaped component (near-dup drift chains:
+      // A≈B≈C≈…) converges in O(log diameter) rounds instead of
+      // diameter. Cost: one extra join per round against the
+      // node-sized label table — strictly smaller than the edge join
+      // the round already pays.
       val next = materialize(
-        labels
-          .join(neighborMin, Seq("id"), "left")
+        halfStep
+          .join(
+            labels.select(col("id").as("comp1"), col("component").as("jump")),
+            Seq("comp1"),
+            "left"
+          )
           .select(
             col("id"),
-            col("component").as("prev"),
-            least(col("component"), coalesce(col("nbr_comp"), col("component"))).as("component")
+            col("prev"),
+            least(col("comp1"), coalesce(col("jump"), col("comp1"))).as("component")
           )
       )
       changed = next.filter(col("component") =!= col("prev")).count()
