@@ -336,6 +336,37 @@ class PlanSpec extends SparkSpecBase {
     assert(docScans == 2, s"expected 2 documents scans (fused per-row + bigrams), got $docScans:\n$plan")
   }
 
+  test("bpe merge candidates: one corpus scan, top-K is a TakeOrdered (never a vocab sort)") {
+    val df   = graft.operators.TextOps.bpeMergeCandidates(tables)
+    val plan = executedPlanString(df)
+    assert(plan.contains("TakeOrderedAndProject"), s"pair top-K is a full sort:\n$plan")
+    assert("Scan parquet .*documents".r.findAllIn(plan).length == 1, s"documents re-scanned:\n$plan")
+  }
+
+  test("length percentile gate broadcasts the single-row threshold back against the corpus") {
+    val plan = executedPlanString(graft.operators.TextOps.lengthPercentileGate(tables))
+    // the corpus side must meet the threshold map-side, never shuffle
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"threshold not broadcast:\n$plan")
+    // histogram + gated scan: exactly two reads of documents
+    assert("Scan parquet .*documents".r.findAllIn(plan).length == 2, s"extra corpus scans:\n$plan")
+  }
+
+  test("dup-shingle fraction: no self-join — df window shares the shingle partitioning") {
+    val plan = executedPlanString(graft.operators.Dedup.dupShingleFrac(tables))
+    assert(!plan.contains("Join"), s"dup fraction must be join-free (window + agg):\n$plan")
+    // postings build (doc_id windows) + shingle df window + final doc_id
+    // agg — three keyed exchanges, no pair-space blowup anywhere
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 3, s"extra shuffles:\n$plan")
+  }
+
+  test("incremental dedup: best-near-match runs through TopKPerKeyExec, no nested loop") {
+    val plan = executedPlanString(graft.operators.Dedup.incrementalDedup(tables))
+    assert(plan.contains("TopKPerKey"), s"best-match not grafted onto the bounded-heap operator:\n$plan")
+    assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"),
+      s"incremental probe degenerated:\n$plan")
+  }
+
   test("commonWordFrac: top-K vocabulary is a TakeOrdered, probed via broadcast") {
     val plan = executedPlanString(graft.operators.TextOps.commonWordFrac(tables))
     // pass 1's top-100 must be partial top-K per partition, never a
