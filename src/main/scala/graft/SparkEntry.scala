@@ -108,6 +108,8 @@ object SparkEntry {
     "text_repetition"      -> ((s, d) => TextOps.repetition(Tables(s, d))),
     "text_keyterms"        -> ((s, d) => TextOps.keyTerms(Tables(s, d))),
     "text_dupfrac"         -> ((s, d) => Dedup.dupShingleFrac(Tables(s, d))),
+    "dedup_containment"    -> ((s, d) => Dedup.containmentPairs(Tables(s, d))),
+    "pipeline_snapshot_diff" -> ((s, d) => Curation.snapshotDiff(Tables(s, d))),
     "dedup_incremental"    -> ((s, d) => Dedup.incrementalDedup(Tables(s, d))),
     "text_bpe_merges"      -> ((s, d) => TextOps.bpeMergeCandidates(Tables(s, d))),
     "text_length_gate"     -> ((s, d) => TextOps.lengthPercentileGate(Tables(s, d))),
@@ -728,6 +730,56 @@ object SparkEntry {
         |  count(*) OVER (PARTITION BY text_hash) AS group_size
         |FROM h ORDER BY doc_id""".stripMargin,
     "dedup_ngram_jaccard" -> ngramJaccardOracle,
+    "dedup_containment" -> // |A∩B|/min ≥ 0.8 quote-detection pairs that the jaccard bar drops
+      """WITH docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000,
+        |    array_to_string(list_slice(string_split(text, ' '), 1,
+        |      greatest(CAST(floor(len(string_split(text, ' ')) / 4.0) AS INT), 3)), ' ')
+        |  FROM documents WHERE doc_id % 29 = 0),
+        |s AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
+        |      i -> concat_ws(' ', string_split(text, ' ')[CAST(i AS INT)],
+        |                     string_split(text, ' ')[CAST(i AS INT) + 1],
+        |                     string_split(text, ' ')[CAST(i AS INT) + 2]))) AS sh
+        |  FROM docs),
+        |sz AS (SELECT doc_id, len(sh) AS n_sh FROM s),
+        |p AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        |  FROM p a JOIN p b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b,
+        |  CAST(pairs.inter AS DOUBLE) / least(sa.n_sh, sb.n_sh) AS containment,
+        |  CAST(pairs.inter AS DOUBLE) / (sa.n_sh + sb.n_sh - pairs.inter) AS jaccard
+        |FROM pairs
+        |JOIN sz sa ON doc_a = sa.doc_id
+        |JOIN sz sb ON doc_b = sb.doc_id
+        |WHERE CAST(pairs.inter AS DOUBLE) / least(sa.n_sh, sb.n_sh) >= 0.8
+        |  AND CAST(pairs.inter AS DOUBLE) / (sa.n_sh + sb.n_sh - pairs.inter) < 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "pipeline_snapshot_diff" -> // added/removed/changed changelog between two simulated snapshots
+      """WITH v1 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 11 = 3 THEN substr(text, 1, greatest(len(text) - 10, 1))
+        |         ELSE text END AS text
+        |  FROM documents WHERE doc_id % 17 <> 2),
+        |v2 AS (SELECT doc_id, text FROM documents WHERE doc_id % 13 <> 5),
+        |j AS (
+        |  SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
+        |    md5(v1.text) AS old_hash, md5(v2.text) AS new_hash
+        |  FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id)
+        |SELECT doc_id,
+        |  CASE WHEN old_hash IS NULL THEN 'added'
+        |       WHEN new_hash IS NULL THEN 'removed'
+        |       WHEN old_hash <> new_hash THEN 'changed' END AS change,
+        |  old_hash, new_hash
+        |FROM j
+        |WHERE old_hash IS NULL OR new_hash IS NULL OR old_hash <> new_hash
+        |ORDER BY doc_id""".stripMargin,
     "text_dupfrac" -> // share of each doc's distinct trigrams appearing in >= 2 docs
       """WITH s AS (
         |  SELECT doc_id,

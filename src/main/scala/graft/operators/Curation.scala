@@ -171,6 +171,53 @@ object Curation {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Corpus snapshot diff — the changelog between two corpus versions
+    * (added / removed / changed documents), the operator behind
+    * dataset versioning: every release pipeline diffs against the
+    * previous snapshot to bound re-processing and to audit what moved.
+    * One full-outer shuffle join on doc_id comparing content hashes;
+    * at scale both snapshots live in the same bucketed layout
+    * (q_bucketed_join's story), making the diff exchange-free.
+    * Unchanged docs (the overwhelming mass) are filtered pre-sort, so
+    * output ∝ churn, not corpus size.
+    */
+  def snapshotDiffOn(v1: DataFrame, v2: DataFrame): DataFrame =
+    v1.select(col("doc_id"), md5(col("text")).as("old_hash"))
+      .join(
+        v2.select(col("doc_id"), md5(col("text")).as("new_hash")),
+        Seq("doc_id"),
+        "full_outer"
+      )
+      .withColumn(
+        "change",
+        when(col("old_hash").isNull, "added")
+          .when(col("new_hash").isNull, "removed")
+          .when(col("old_hash") =!= col("new_hash"), "changed")
+      )
+      .filter(col("change").isNotNull)
+      .select(col("doc_id"), col("change"), col("old_hash"), col("new_hash"))
+      .orderBy("doc_id")
+
+  /** [[snapshotDiffOn]] over two deterministic simulated versions of
+    * the corpus (the driver tables carry one snapshot): V1 lacks the
+    * doc_id % 17 == 2 docs (added since), V2 lacks doc_id % 13 == 5
+    * (removed since), and doc_id % 11 == 3 docs were edited (V1 holds
+    * a truncated text).
+    */
+  def snapshotDiff(t: Tables): DataFrame = {
+    val v1 = t.documents
+      .filter(col("doc_id") % 17 =!= 2)
+      .select(
+        col("doc_id"),
+        when(
+          col("doc_id") % 11 === 3,
+          expr("substr(text, 1, greatest(length(text) - 10, 1))")
+        ).otherwise(col("text")).as("text")
+      )
+    val v2 = t.documents.filter(col("doc_id") % 13 =!= 5).select(col("doc_id"), col("text"))
+    snapshotDiffOn(v1, v2)
+  }
+
   /** Context-window chunking: slice each document's token stream into
     * overlapping windows (`size` tokens every `stride` — the
     * train-time chunking that keeps `size - stride` tokens of context

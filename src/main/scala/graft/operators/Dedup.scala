@@ -179,6 +179,72 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** C2f: containment near-dup pairs — |A∩B| / min(|A|,|B|) ≥ τ_c.
+    * Containment (Broder's "inclusion") catches what resemblance
+    * (Jaccard) structurally can't: a short document quoted wholesale
+    * inside a long one has near-total containment but tiny Jaccard
+    * (the union is dominated by the long side). Every real curation
+    * pass runs BOTH thresholds — resemblance for same-length near-dups,
+    * containment for quote/subset extraction.
+    *
+    * Same inverted-index plan as [[ngramJaccard]] (one posting
+    * exchange, ReusedExchange self-join, candidates ∝ shared-shingle
+    * mass): only the post-aggregation filter differs, so the scale
+    * story is inherited unchanged. Emits both scores; keeps pairs
+    * passing the containment bar that the Jaccard bar would DROP
+    * (jaccard < τ) — the quote-detection delta, disjoint from C2's
+    * output by construction.
+    */
+  def containmentPairs(t: Tables, tauC: Double = 0.8): DataFrame = {
+    // the synthetic corpus has same-length mutations but no quote
+    // structure (max containment among sub-jaccard pairs: 0.27), so —
+    // like contamination's doc_id % 97 benchmark slice — a
+    // deterministic quote fixture is derived from the corpus itself:
+    // the first quarter of every doc_id % 29 == 0 document becomes an
+    // excerpt doc (id + 1,000,000) the operator must link back to its
+    // source with containment 1.0 and jaccard ≈ 0.25
+    val ws = split(col("text"), " ")
+    val excerpts = t.documents
+      .filter(col("doc_id") % 29 === 0)
+      .select(
+        (col("doc_id") + 1000000L).as("doc_id"),
+        concat_ws(
+          " ",
+          slice(ws, lit(1), greatest(floor(size(ws) / 4).cast("int"), lit(3)))
+        ).as("text")
+      )
+    containmentPairsOn(
+      t.documents.select(col("doc_id"), col("text")).unionByName(excerpts),
+      tauC
+    )
+  }
+
+  /** [[containmentPairs]] over any (doc_id, text) frame. */
+  def containmentPairsOn(documents: DataFrame, tauC: Double = 0.8): DataFrame = {
+    val postings = hashedPostingsOn(documents)
+    postings
+      .as("a")
+      .join(
+        postings.as("b").hint("shuffle_hash"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id")
+      )
+      .groupBy(
+        col("a.doc_id").as("doc_a"),
+        col("b.doc_id").as("doc_b"),
+        col("a.n_sh").as("na"),
+        col("b.n_sh").as("nb")
+      )
+      .agg(count(lit(1)).as("inter"))
+      .select(
+        col("doc_a"),
+        col("doc_b"),
+        (col("inter").cast("double") / least(col("na"), col("nb"))).as("containment"),
+        (col("inter").cast("double") / (col("na") + col("nb") - col("inter"))).as("jaccard")
+      )
+      .filter(col("containment") >= tauC && col("jaccard") < JaccardTau)
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Cross-source duplication matrix: which sources copy from which —
     * near-dup pairs rolled up to (source_a, source_b) with pair counts
     * and the strongest similarity seen. The provenance view a curation

@@ -229,6 +229,49 @@ class DedupSpec extends SparkSpecBase {
     assert(got.map(_.getAs[String]("dup_kind")).toSet == Set("near", "new"))
   }
 
+  test("containment pairs: quotes link back to sources; high-jaccard pairs are excluded") {
+    import spark.implicits._
+    val longA = (1 to 20).map(i => s"w$i").mkString(" ")          // 18 shingles
+    val quoteB = (1 to 5).map(i => s"w$i").mkString(" ")          // 3 shingles, all in A
+    val nearC  = (1 to 19).map(i => s"w$i").mkString(" ") + " zz" // jaccard ~0.89 vs A
+    val docs = Seq((1L, longA), (2L, quoteB), (3L, nearC), (4L, "totally unrelated text lives here"))
+      .toDF("doc_id", "text")
+    val got = Dedup
+      .containmentPairsOn(docs)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Double]("containment"), r.getAs[Double]("jaccard")))
+    // the quote (2 in 1) and the quote-in-near-dup (2 in 3) pass; the
+    // same-length near-dup (1,3) is jaccard territory and must NOT
+    // appear here
+    assert(got.map(p => (p._1, p._2)).toSet == Set((1L, 2L), (2L, 3L)), s"got ${got.toSeq}")
+    got.filter(p => (p._1, p._2) == (1L, 2L)).foreach { p =>
+      assert(p._3 == 1.0 && p._4 < 0.5)
+    }
+    // corpus fixture: every excerpt doc links back to its source
+    val corpus = Dedup.containmentPairs(tables).collect()
+    assert(corpus.nonEmpty)
+    val links = corpus.map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    assert(links.exists { case (a, b) => b == a + 1000000L },
+      s"no excerpt→source link in ${links.toSeq.take(10)}")
+  }
+
+  test("snapshot diff classifies exactly the simulated added/removed/changed docs") {
+    val ids = tables.documents.select("doc_id").collect().map(_.getLong(0)).toSet
+    val got = graft.operators.Curation.snapshotDiff(tables).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("change"))
+      .toMap
+    // a doc matching BOTH class predicates is in neither snapshot and
+    // yields no changelog row (e.g. doc 70: %17==2 and %13==5)
+    val added   = ids.filter(i => i % 17 == 2 && i % 13 != 5)
+    val removed = ids.filter(i => i % 13 == 5 && i % 17 != 2)
+    val changed = ids.filter(i => i % 11 == 3 && i % 17 != 2 && i % 13 != 5)
+    assert(got.filter(_._2 == "added").keySet == added)
+    assert(got.filter(_._2 == "removed").keySet == removed)
+    assert(got.filter(_._2 == "changed").keySet == changed)
+    assert(got.size == added.size + removed.size + changed.size, "unchanged docs leaked into the changelog")
+  }
+
   test("incremental dedup on crafted inputs: exact beats near, near picks best base match") {
     import spark.implicits._
     val base  = "alpha beta gamma delta epsilon zeta eta theta"
