@@ -115,6 +115,7 @@ object SparkEntry {
     "text_length_gate"     -> ((s, d) => TextOps.lengthPercentileGate(Tables(s, d))),
     "q_asof_forward"       -> ((s, d) => Temporal.asofNextClick(Tables(s, d))),
     "q_hopping_window"     -> ((s, d) => EventOps.hoppingWindow(Tables(s, d))),
+    "q_gapfill"            -> ((s, d) => EventOps.gapFillHourly(Tables(s, d))),
     "multimodal_meta"      -> ((s, d) => Multimodal.mediaMeta(Tables(s, d))),
     "multimodal_decode"    -> ((s, d) => Multimodal.decodeSummary(s, Tables(s, d))),
     "multimodal_frames"    -> ((s, d) => Multimodal.sampleFrames(s, Tables(s, d))),
@@ -527,6 +528,18 @@ object SparkEntry {
         |SELECT window_start, event_type, count(*) AS n_events,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_gapfill" -> // dense hourly grid per type; missing hours as explicit zeros
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |b AS (SELECT event_type, min(h) AS lo, max(h) AS hi FROM hourly GROUP BY 1),
+        |dense AS (
+        |  SELECT event_type, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM b)
+        |SELECT d.event_type, d.h AS window_start,
+        |  CAST(coalesce(hourly.n, 0) AS BIGINT) AS n_events
+        |FROM dense d
+        |LEFT JOIN hourly ON d.event_type = hourly.event_type AND d.h = hourly.h
+        |ORDER BY 1, 2""".stripMargin,
     "q_asof_left" -> // LEFT as-of: unmatched purchases survive with null click columns
       """WITH c AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),
         |p AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'),

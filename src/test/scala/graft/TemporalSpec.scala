@@ -120,6 +120,26 @@ class TemporalSpec extends SparkSpecBase {
     assert(win.forall(r => us(r.getAs[java.sql.Timestamp]("window_start")) % (900L * 1000000L) == 0L))
   }
 
+  test("gap fill emits a dense hourly grid with explicit zeros from one events scan") {
+    val rows = graft.operators.EventOps.gapFillHourly(tables).collect()
+    val byType = rows.groupBy(_.getAs[String]("event_type"))
+    byType.values.foreach { rs =>
+      val hours = rs.map(r => us(r.getAs[java.sql.Timestamp]("window_start"))).sorted
+      // contiguous hourly grid between bounds
+      hours.sliding(2).foreach {
+        case Array(a, b) => assert(b - a == 3600L * 1000000L, "gap in the dense grid")
+        case _           => ()
+      }
+      assert(rs.length.toLong == (hours.last - hours.head) / (3600L * 1000000L) + 1)
+    }
+    // the corpus must actually have empty hours or the op is vacuous
+    assert(rows.exists(_.getAs[Long]("n_events") == 0L), "no zero rows — gap fill untested")
+    // per-type count maps replace the join-back — a single scan of events
+    val plan = executedPlanString(graft.operators.EventOps.gapFillHourly(tables))
+    assert("Scan parquet .*events".r.findAllIn(plan).length == 1, s"events re-scanned:\n$plan")
+    assert(!plan.contains("Join"), s"gap fill must be join-free:\n$plan")
+  }
+
   test("interval join matches a naive per-row filter and never plans BNLJ") {
     val got = Temporal
       .signupActivity(tables)
