@@ -75,6 +75,33 @@ object KinesisLikePipeline {
         col("sum_value")
       )
 
+  /** Watermarked HOPPING-window counts — the streaming twin of
+    * EventOps.hoppingWindow (1-hour windows every 15 minutes). Each
+    * event updates its size/slide (= 4) overlapping windows; live
+    * state is (span + watermark) / slide windows per key — still
+    * bounded by the watermark, inflated only by the constant overlap
+    * factor.
+    */
+  def hoppingCounts(
+      events: DataFrame,
+      window: String = "1 hour",
+      slide: String = "15 minutes",
+      watermark: String = "10 minutes"
+  ): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(
+        org.apache.spark.sql.functions.window(col("ts"), window, slide),
+        col("event_type")
+      )
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(
+        col("window.start").as("window_start"),
+        col("event_type"),
+        col("n_events"),
+        col("sum_value")
+      )
+
   /** Stream-stream interval join: correlate two event streams on a
     * key within a bounded time skew. Both watermarks plus the interval
     * condition bound the join state on each side — without them a

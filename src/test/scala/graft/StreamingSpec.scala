@@ -137,6 +137,36 @@ class StreamingSpec extends SparkSpecBase {
     assert(click.getAs[Double]("sum_value") == 5.0)
   }
 
+  test("hopping windows: each event finalizes into its 4 overlapping windows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String, Double)]
+    val agg = KinesisLikePipeline.hoppingCounts(in.toDF().toDF("ts", "event_type", "value"))
+    val q = agg.writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory")
+      .queryName("hop_out")
+      .option("checkpointLocation", ckpt())
+      .start()
+    in.addData(
+      (Timestamp.valueOf("2026-01-01 00:10:00"), "click", 2.0),
+      (Timestamp.valueOf("2026-01-01 00:20:00"), "click", 3.0)
+    )
+    q.processAllAvailable()
+    in.addData((Timestamp.valueOf("2026-01-01 03:00:00"), "click", 9.0)) // advance watermark
+    q.processAllAvailable()
+    val rows = spark.table("hop_out").collect().filter { r =>
+      r.getAs[java.sql.Timestamp]("window_start").before(Timestamp.valueOf("2026-01-01 01:00:00"))
+    }
+    q.stop()
+    // 00:10 → windows 23:15/23:30/23:45/00:00; 00:20 adds 00:15; the
+    // three shared windows carry both events
+    assert(rows.length == 5, s"got ${rows.toSeq}")
+    assert(rows.map(_.getAs[Long]("n_events")).sum == 8L)
+    val shared = rows.filter(_.getAs[Long]("n_events") == 2L)
+    assert(shared.length == 3 && shared.forall(_.getAs[Double]("sum_value") == 5.0))
+  }
+
   test("stream-stream interval join correlates events within the time skew only") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
