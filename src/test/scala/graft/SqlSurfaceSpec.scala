@@ -68,6 +68,31 @@ class SqlSurfaceSpec extends SparkSpecBase {
     assert(sql.collect().toSeq == Temporal.asofPriorClick(tables).collect().toSeq)
   }
 
+  test("snapshot diff in pure SQL (full outer hash compare) equals the operator") {
+    viewsReady()
+    val sql = spark.sql(
+      """WITH v1 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 11 = 3 THEN substr(text, 1, greatest(length(text) - 10, 1))
+        |         ELSE text END AS text
+        |  FROM documents WHERE doc_id % 17 <> 2),
+        |v2 AS (SELECT doc_id, text FROM documents WHERE doc_id % 13 <> 5),
+        |j AS (
+        |  SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
+        |    md5(v1.text) AS old_hash, md5(v2.text) AS new_hash
+        |  FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id)
+        |SELECT doc_id,
+        |  CASE WHEN old_hash IS NULL THEN 'added'
+        |       WHEN new_hash IS NULL THEN 'removed'
+        |       WHEN old_hash <> new_hash THEN 'changed' END AS change,
+        |  old_hash, new_hash
+        |FROM j
+        |WHERE old_hash IS NULL OR new_hash IS NULL OR old_hash <> new_hash
+        |ORDER BY doc_id""".stripMargin
+    )
+    assert(sql.collect().toSeq == graft.operators.Curation.snapshotDiff(tables).collect().toSeq)
+  }
+
   test("custom codegen kernels are callable from SQL") {
     viewsReady()
     val rows = spark
