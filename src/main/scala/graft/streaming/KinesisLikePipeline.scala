@@ -129,6 +129,33 @@ object KinesisLikePipeline {
         )
       )
 
+  /** Streaming incremental dedup — the STREAM-STATIC join form of
+    * Dedup.incrementalDedup's exact arm: a stream of incoming
+    * documents probes the (static, pre-built) base-corpus hash index
+    * and each micro-batch emits admit/duplicate verdicts. Stream-static
+    * joins keep NO join state — the static side is (re)broadcast or
+    * hash-probed per micro-batch and the stream side passes through —
+    * so this runs at ingest speed regardless of stream history; it is
+    * the online admission-control front of the nightly batch refresh.
+    */
+  def streamingAdmission(docs: DataFrame, baseIndex: DataFrame): DataFrame =
+    docs
+      .withColumn(
+        "text_hash",
+        md5(regexp_replace(trim(col("text")), "\\s+", " "))
+      )
+      .join(
+        baseIndex.select(col("text_hash"), col("doc_id").as("base_doc")),
+        Seq("text_hash"),
+        "left"
+      )
+      .select(
+        col("doc_id"),
+        col("text_hash"),
+        when(col("base_doc").isNotNull, "duplicate").otherwise("admit").as("verdict"),
+        col("base_doc")
+      )
+
   /** Exactly-once delivery on top of Kinesis' at-least-once: drop
     * replayed records by their deterministic content key, keeping
     * dedup state only within the watermark horizon — state size is

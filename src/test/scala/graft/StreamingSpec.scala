@@ -167,6 +167,42 @@ class StreamingSpec extends SparkSpecBase {
     assert(shared.length == 3 && shared.forall(_.getAs[Double]("sum_value") == 5.0))
   }
 
+  test("streaming admission: stream-static probe of the base index, stateless across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = Seq((1L, "alpha beta gamma"), (2L, "delta epsilon zeta"))
+      .toDF("doc_id", "text")
+      .select(
+        org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.md5(
+          org.apache.spark.sql.functions.regexp_replace(
+            org.apache.spark.sql.functions.trim(
+              org.apache.spark.sql.functions.col("text")), "\\s+", " ")).as("text_hash"))
+    val in = MemoryStream[(Long, String)]
+    val out = KinesisLikePipeline.streamingAdmission(in.toDF().toDF("doc_id", "text"), base)
+    val q = out.writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory")
+      .queryName("admit_out")
+      .option("checkpointLocation", ckpt())
+      .start()
+    in.addData((10L, " alpha  beta gamma "), (11L, "brand new content"))
+    q.processAllAvailable()
+    in.addData((12L, "delta epsilon zeta"), (13L, "also new material"))
+    q.processAllAvailable()
+    val rows = spark.table("admit_out").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("verdict"), Option(r.getAs[java.lang.Long]("base_doc")).map(_.toLong)))
+      .toMap
+    q.stop()
+    assert(rows == Map(
+      10L -> ("duplicate", Some(1L)), // whitespace-normalized match
+      11L -> ("admit", None),
+      12L -> ("duplicate", Some(2L)), // second batch probes the same static index
+      13L -> ("admit", None)
+    ), s"got $rows")
+  }
+
   test("stream-stream interval join correlates events within the time skew only") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
