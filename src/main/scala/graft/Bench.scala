@@ -8,6 +8,15 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // the SQL status listener tracks every execution even with the UI
+      // off; ~2000 materializations deep (iterative operators run many
+      // per query) its store makes driver-latency-bound loops measurably
+      // slower — keep only a token tail so late queries aren't taxed for
+      // the suite that ran before them
+      .config("spark.sql.ui.retainedExecutions", "16")
+      .config("spark.ui.retainedJobs", "100")
+      .config("spark.ui.retainedStages", "100")
+      .config("spark.ui.retainedTasks", "1000")
       // same extensions as Verify: benchmark what the gate verifies
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()
