@@ -61,6 +61,7 @@ object SparkEntry {
     "q_props_extract"      -> ((s, d) => EventOps.propsExtract(Tables(s, d))),
     "q_csv_roundtrip"      -> ((s, d) => Ingest.csvRoundtrip(Tables(s, d))),
     "q_jsonl_roundtrip"    -> ((s, d) => Ingest.jsonlRoundtrip(Tables(s, d))),
+    "q_jsonl_audit"        -> ((s, d) => Ingest.jsonlAudit(Tables(s, d))),
     "q_mixture_weights"    -> ((s, d) => Sampling.mixtureWeights(Tables(s, d))),
     "q_value_histogram"    -> ((s, d) => Analytics.valueHistogram(Tables(s, d))),
     "q_device_gen"         -> ((s, d) => Ingest.deviceGen(Tables(s, d))),
@@ -373,6 +374,11 @@ object SparkEntry {
     "q_jsonl_roundtrip" -> // JSON write→parse is lossless ⇒ aggregate matches the original
       """SELECT event_type, count(*) AS n, CAST(sum(event_id) AS BIGINT) AS sum_ids,
         |  CAST(sum(user_id) AS BIGINT) AS sum_users
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_jsonl_audit" -> // permissive parse classifies exactly the truncated slice as corrupt
+      """SELECT event_type, count(*) AS n_lines,
+        |  CAST(count(*) FILTER (event_id % 31 = 0) AS BIGINT) AS n_bad,
+        |  CAST(count(*) FILTER (event_id % 31 <> 0) AS BIGINT) AS n_value_ok
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_mixture_weights" -> // acceptance rates flattening sources to a uniform char budget
       """WITH c AS (

@@ -122,6 +122,44 @@ object Ingest {
       .orderBy("event_type")
   }
 
+  /** A11d: malformed-record audit — the PERMISSIVE-mode half of real
+    * JSONL ingestion (the Lambda consumers assume well-formed
+    * envelopes; a production reader cannot). A deterministic slice
+    * (event_id % 31 == 0) of the serialized lines is truncated, which
+    * always breaks the closing brace, and the parse must classify
+    * EXACTLY those lines as corrupt while round-tripping every value
+    * field of the survivors bit-exactly. The oracle pins the counts
+    * from the corruption rule alone — equality proves the permissive
+    * parser neither drops good records nor forgives bad ones.
+    * Map-only until the per-type aggregate: scan-speed auditing.
+    */
+  def jsonlAudit(t: Tables): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType
+      .fromDDL("event_id LONG, user_id LONG, value DOUBLE")
+    t.events
+      .select(
+        col("event_type"),
+        col("event_id"),
+        col("value"),
+        to_json(struct(col("event_id"), col("user_id"), col("value"))).as("line")
+      )
+      .withColumn(
+        "line",
+        when(
+          col("event_id") % 31 === 0,
+          expr("substr(line, 1, length(line) - 5)")
+        ).otherwise(col("line"))
+      )
+      .withColumn("parsed", from_json(col("line"), schema))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(col("parsed.event_id").isNull, 1L).otherwise(0L)).as("n_bad"),
+        sum(when(col("parsed.value") === col("value"), 1L).otherwise(0L)).as("n_value_ok")
+      )
+      .orderBy("event_type")
+  }
+
   /** A12: deterministic device synthesis — the reference loops
     * user-by-user on the driver emitting 1-3 devices with random
     * tokens (download.go:127-190). Distributed re-expression:
