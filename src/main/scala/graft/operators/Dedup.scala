@@ -371,7 +371,15 @@ object Dedup {
     */
   def incrementalDedupOn(documents: DataFrame, tau: Double = JaccardTau): DataFrame = {
     val isDelta = col("doc_id") % 10 === 0
-    val hashes  = documents.select(col("doc_id"), normTextHashCol.as("text_hash"))
+    // Each probe builds its side pipeline under its own slice filter.
+    // (Writing the slice predicates as join residuals does NOT share
+    // the pipeline: Catalyst infers single-side conjuncts and pushes
+    // them below the join anyway — measured. The double build is a
+    // fixture artifact of simulating base+delta from one table; in
+    // deployment the base hash/posting index is a maintained table
+    // written once and probed nightly, so the two sides are distinct
+    // inputs with nothing to share.)
+    val hashes = documents.select(col("doc_id"), normTextHashCol.as("text_hash"))
     val exactMatch = hashes
       .filter(isDelta)
       .join(
@@ -383,7 +391,7 @@ object Dedup {
       )
       .groupBy("doc_id")
       .agg(min("base_doc").as("exact_match"))
-    val posts  = hashedPostingsOn(documents)
+    val posts = hashedPostingsOn(documents)
     val nearAll = posts
       .filter(isDelta)
       .as("d")
