@@ -41,6 +41,7 @@ object SparkEntry {
     "q_bucketed_join" -> ((s, d) =>
       Joins.bucketedJoin(Tables(s, d), s"${System.getProperty("java.io.tmpdir")}/graft-warehouse")),
     "q_event_pivot"        -> ((s, d) => Analytics.eventTypePivot(Tables(s, d))),
+    "q_funnel"             -> ((s, d) => Analytics.funnel(Tables(s, d))),
     "q_value_percentiles"  -> ((s, d) => Analytics.valuePercentiles(Tables(s, d))),
     "q_adder"              -> ((s, d) => MathOps.adder(Tables(s, d))),
     "q_multiplier"         -> ((s, d) => MathOps.multiplier(Tables(s, d))),
@@ -467,6 +468,28 @@ object SparkEntry {
         |  CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS signup,
         |  CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS error
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_funnel" -> // ordered funnel, 1-day conversion window per step
+      """WITH s AS (
+        |  SELECT user_id, min(ts) FILTER (event_type = 'signup') AS t_signup
+        |  FROM events GROUP BY 1),
+        |c AS (
+        |  SELECT e.user_id, min(e.ts) AS t_click
+        |  FROM events e JOIN s ON e.user_id = s.user_id
+        |  WHERE e.event_type = 'click' AND e.ts >= s.t_signup
+        |    AND e.ts < s.t_signup + INTERVAL 1 DAY GROUP BY 1),
+        |p AS (
+        |  SELECT e.user_id, min(e.ts) AS t_purchase
+        |  FROM events e JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts >= c.t_click
+        |    AND e.ts < c.t_click + INTERVAL 1 DAY GROUP BY 1)
+        |SELECT count(*) AS n_users,
+        |  CAST(count(s.t_signup) AS BIGINT) AS n_signup,
+        |  CAST(count(c.t_click) AS BIGINT) AS n_click_after_signup,
+        |  CAST(count(p.t_purchase) AS BIGINT) AS n_purchase_after_click
+        |FROM (SELECT DISTINCT user_id FROM events) u
+        |LEFT JOIN s USING (user_id)
+        |LEFT JOIN c USING (user_id)
+        |LEFT JOIN p USING (user_id)""".stripMargin,
     "q_value_percentiles" ->
       """SELECT event_type,
         |  percentile_cont(0.5) WITHIN GROUP (ORDER BY value) AS p50,

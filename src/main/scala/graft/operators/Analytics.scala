@@ -268,6 +268,62 @@ object Analytics {
       )
       .orderBy("event_type")
 
+  /** B22: ordered conversion funnel with a 1-day conversion window per
+    * step — signup → first click within [signup, +1d) → first purchase
+    * within [that click, +1d). The step ORDERING + WINDOW is the whole
+    * operator: per-type counts can't express "after the previous step,
+    * and soon enough" (unwindowed, every test-corpus user completes —
+    * vacuous; the 1-day window gives 150 → 65 → 29 at sf0.01). One
+    * shuffle on user_id: the three step times are CHAINED
+    * conditional-min windows over the same partitioning (each step's
+    * predicate references the previous step's column — Spark stacks
+    * the Window operators without re-exchanging), the per-user rollup
+    * reuses the partitioning, and the funnel report is a partial-agg'd
+    * global count of non-null steps.
+    */
+  def funnel(t: Tables): DataFrame = {
+    val byUser = Window.partitionBy("user_id")
+    val day    = expr("INTERVAL 1 DAY")
+    t.events
+      .select(col("user_id"), col("ts"), col("event_type"))
+      .withColumn(
+        "t_signup",
+        min(when(col("event_type") === "signup", col("ts"))).over(byUser)
+      )
+      .withColumn(
+        "t_click",
+        min(
+          when(
+            col("event_type") === "click" &&
+              col("ts") >= col("t_signup") && col("ts") < col("t_signup") + day,
+            col("ts")
+          )
+        ).over(byUser)
+      )
+      .withColumn(
+        "t_purchase",
+        min(
+          when(
+            col("event_type") === "purchase" &&
+              col("ts") >= col("t_click") && col("ts") < col("t_click") + day,
+            col("ts")
+          )
+        ).over(byUser)
+      )
+      .groupBy("user_id")
+      .agg(
+        max("t_signup").as("t_signup"),
+        max("t_click").as("t_click"),
+        max("t_purchase").as("t_purchase")
+      )
+      .agg(
+        count(lit(1)).as("n_users"),
+        count(col("t_signup")).as("n_signup"),
+        count(col("t_click")).as("n_click_after_signup"),
+        count(col("t_purchase")).as("n_purchase_after_click")
+      )
+  }
+
   /** B10: revenue per supplier nation — two broadcast dims chained. */
   def supplierNationVolume(t: Tables): DataFrame =
     t.lineitem

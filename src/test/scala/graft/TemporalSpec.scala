@@ -120,6 +120,41 @@ class TemporalSpec extends SparkSpecBase {
     assert(win.forall(r => us(r.getAs[java.sql.Timestamp]("window_start")) % (900L * 1000000L) == 0L))
   }
 
+  test("funnel counts ordered steps only, in one user shuffle") {
+    val e = tables.events.select("event_id", "ts", "user_id", "event_type").collect()
+    val byUser = e.groupBy(_.getAs[Long]("user_id"))
+    def tOf(r: org.apache.spark.sql.Row) = us(r.getAs[java.sql.Timestamp]("ts"))
+    val dayUs = 24L * 3600L * 1000000L
+    var (nSignup, nClick, nPurchase) = (0L, 0L, 0L)
+    byUser.values.foreach { rs =>
+      val signups = rs.filter(_.getAs[String]("event_type") == "signup").map(tOf)
+      if (signups.nonEmpty) {
+        nSignup += 1
+        val clicks = rs
+          .filter(r => r.getAs[String]("event_type") == "click" &&
+            tOf(r) >= signups.min && tOf(r) < signups.min + dayUs)
+          .map(tOf)
+        if (clicks.nonEmpty) {
+          nClick += 1
+          if (rs.exists(r => r.getAs[String]("event_type") == "purchase" &&
+              tOf(r) >= clicks.min && tOf(r) < clicks.min + dayUs))
+            nPurchase += 1
+        }
+      }
+    }
+    val row = graft.operators.Analytics.funnel(tables).collect().head
+    assert(row.getAs[Long]("n_users") == byUser.size.toLong)
+    assert(row.getAs[Long]("n_signup") == nSignup)
+    assert(row.getAs[Long]("n_click_after_signup") == nClick)
+    assert(row.getAs[Long]("n_purchase_after_click") == nPurchase)
+    // funnel is monotone by construction; make sure the corpus exercises a strict drop
+    assert(nSignup >= nClick && nClick >= nPurchase)
+    assert(nPurchase < byUser.size, "no funnel attrition — spec is vacuous")
+    // one user shuffle: chained windows + per-user rollup share the partitioning
+    val plan = executedPlanString(graft.operators.Analytics.funnel(tables))
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, s"extra shuffles:\n$plan")
+  }
+
   test("gap fill emits a dense hourly grid with explicit zeros from one events scan") {
     val rows = graft.operators.EventOps.gapFillHourly(tables).collect()
     val byType = rows.groupBy(_.getAs[String]("event_type"))
