@@ -776,7 +776,7 @@ object SparkEntry {
       """WITH docs AS (
         |  SELECT doc_id, text FROM documents
         |  UNION ALL
-        |  SELECT doc_id + 1000000,
+        |  SELECT -doc_id - 1,
         |    array_to_string(list_slice(string_split(text, ' '), 1,
         |      greatest(CAST(floor(len(string_split(text, ' ')) / 4.0) AS INT), 3)), ' ')
         |  FROM documents WHERE doc_id % 29 = 0),

@@ -96,10 +96,12 @@ object Dedup {
     * Map-side partial agg via the two windows over one shuffle.
     */
   /** md5 over whitespace-normalized text — the exact-dedup group key,
-    * shared with [[graft.operators.Curation]] so the curation gate can
-    * compute it inline in its fused corpus scan.
+    * shared with [[graft.operators.Curation]] (fused curation scan) and
+    * [[graft.streaming.KinesisLikePipeline.streamingAdmission]] (the
+    * online probe of the same base index) so the normalization rule
+    * cannot drift between the batch and streaming halves.
     */
-  private[operators] def normTextHashCol: Column =
+  private[graft] def normTextHashCol: Column =
     md5(regexp_replace(trim(col("text")), "\\s+", " "))
 
   def exact(t: Tables): DataFrame = {
@@ -179,7 +181,7 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** C2f: containment near-dup pairs — |A∩B| / min(|A|,|B|) ≥ τ_c.
+  /** C2g: containment near-dup pairs — |A∩B| / min(|A|,|B|) ≥ τ_c.
     * Containment (Broder's "inclusion") catches what resemblance
     * (Jaccard) structurally can't: a short document quoted wholesale
     * inside a long one has near-total containment but tiny Jaccard
@@ -201,13 +203,14 @@ object Dedup {
     // like contamination's doc_id % 97 benchmark slice — a
     // deterministic quote fixture is derived from the corpus itself:
     // the first quarter of every doc_id % 29 == 0 document becomes an
-    // excerpt doc (id + 1,000,000) the operator must link back to its
-    // source with containment 1.0 and jaccard ≈ 0.25
+    // excerpt doc with id -(source + 1) — the negated-id space cannot
+    // collide with real (non-negative) doc_ids at ANY corpus size,
+    // where an additive offset would alias once the corpus outgrows it
     val ws = split(col("text"), " ")
     val excerpts = t.documents
       .filter(col("doc_id") % 29 === 0)
       .select(
-        (col("doc_id") + 1000000L).as("doc_id"),
+        (-col("doc_id") - 1L).as("doc_id"),
         concat_ws(
           " ",
           slice(ws, lit(1), greatest(floor(size(ws) / 4).cast("int"), lit(3)))

@@ -155,7 +155,10 @@ object Ingest {
       .agg(
         count(lit(1)).as("n_lines"),
         sum(when(col("parsed.event_id").isNull, 1L).otherwise(0L)).as("n_bad"),
-        sum(when(col("parsed.value") === col("value"), 1L).otherwise(0L)).as("n_value_ok")
+        // null-safe (<=>): a legitimately-null value round-trips as
+        // null-equals-null instead of silently failing the gate; corrupt
+        // lines still count 0 (null <=> non-null is false)
+        sum(when(col("parsed.value") <=> col("value"), 1L).otherwise(0L)).as("n_value_ok")
       )
       .orderBy("event_type")
   }

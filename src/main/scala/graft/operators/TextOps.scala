@@ -160,7 +160,7 @@ object TextOps {
       .select(
         col("doc_id"),
         length(col("text")).cast("long").as("n_chars"),
-        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        nTokensCol.as("n_tokens"),
         expr("array_distinct(split(text, ' '))").as("wsd"),
         (length(col("text")) - length(regexp_replace(col("text"), "[^A-Za-z0-9\\s]", "")))
           .cast("long")
@@ -327,7 +327,7 @@ object TextOps {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_common"))
     t.documents
-      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .select(col("doc_id"), nTokensCol.as("n_tokens"))
       .join(perDoc, Seq("doc_id"), "left")
       .select(
         col("doc_id"),

@@ -140,10 +140,7 @@ object KinesisLikePipeline {
     */
   def streamingAdmission(docs: DataFrame, baseIndex: DataFrame): DataFrame =
     docs
-      .withColumn(
-        "text_hash",
-        md5(regexp_replace(trim(col("text")), "\\s+", " "))
-      )
+      .withColumn("text_hash", graft.operators.Dedup.normTextHashCol)
       .join(
         baseIndex.select(col("text_hash"), col("doc_id").as("base_doc")),
         Seq("text_hash"),

@@ -248,11 +248,12 @@ class DedupSpec extends SparkSpecBase {
     got.filter(p => (p._1, p._2) == (1L, 2L)).foreach { p =>
       assert(p._3 == 1.0 && p._4 < 0.5)
     }
-    // corpus fixture: every excerpt doc links back to its source
+    // corpus fixture: every excerpt doc (negated id) links back to its
+    // source; excerpts sort first so pairs arrive as (excerpt, source)
     val corpus = Dedup.containmentPairs(tables).collect()
     assert(corpus.nonEmpty)
     val links = corpus.map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
-    assert(links.exists { case (a, b) => b == a + 1000000L },
+    assert(links.exists { case (a, b) => a == -b - 1L },
       s"no excerpt→source link in ${links.toSeq.take(10)}")
   }
 
