@@ -133,10 +133,17 @@ object Ingest {
     * parser neither drops good records nor forgives bad ones.
     * Map-only until the per-type aggregate: scan-speed auditing.
     */
-  def jsonlAudit(t: Tables): DataFrame = {
+  def jsonlAudit(t: Tables): DataFrame = jsonlAuditOn(t.events)
+
+  /** The audit kernel over any frame with (event_type, event_id,
+    * user_id, value) — exposed so specs can drive crafted inputs (a
+    * null `value` INSIDE the corrupt slice is exactly where the
+    * parse-success gate below must hold; the corpus fixture has none).
+    */
+  def jsonlAuditOn(events: DataFrame): DataFrame = {
     val schema = org.apache.spark.sql.types.StructType
       .fromDDL("event_id LONG, user_id LONG, value DOUBLE")
-    t.events
+    events
       .select(
         col("event_type"),
         col("event_id"),
@@ -155,10 +162,16 @@ object Ingest {
       .agg(
         count(lit(1)).as("n_lines"),
         sum(when(col("parsed.event_id").isNull, 1L).otherwise(0L)).as("n_bad"),
-        // null-safe (<=>): a legitimately-null value round-trips as
-        // null-equals-null instead of silently failing the gate; corrupt
-        // lines still count 0 (null <=> non-null is false)
-        sum(when(col("parsed.value") <=> col("value"), 1L).otherwise(0L)).as("n_value_ok")
+        // Gated on the parse SUCCEEDING (parsed.event_id non-null), then
+        // null-safe (<=>) on the value: a surviving line with a
+        // legitimately-null value round-trips as null-equals-null, while
+        // a corrupt line never counts — without the gate, a corrupt line
+        // whose original value was null would false-pass (failed parse
+        // yields null, and null <=> null is true).
+        sum(
+          when(col("parsed.event_id").isNotNull && (col("parsed.value") <=> col("value")), 1L)
+            .otherwise(0L)
+        ).as("n_value_ok")
       )
       .orderBy("event_type")
   }

@@ -106,12 +106,17 @@ object Temporal {
   /** FORWARD as-of (inner): for every purchase, the EARLIEST click by
     * the same user at-or-after the purchase timestamp — the funnel
     * direction ("next action after X") of the backward kernel above.
-    * Same single-shuffle union-tag plan, mirrored: purchases tag 0 sort
-    * BEFORE clicks at equal ts (so "at-or-after" is exact), and the
-    * carry is a `first(_, ignoreNulls)` over the FORWARD frame
-    * (currentRow → unboundedFollowing) — still one shuffle on user_id,
-    * still a constant-memory running frame. Ties at equal click ts
-    * resolve to the smallest click event_id.
+    * Same single-shuffle union-tag plan, mirrored by REVERSING the sort
+    * (ts desc, tag desc, event_id desc) so the forward carry becomes a
+    * running `last(_, ignoreNulls)` over unboundedPreceding → currentRow
+    * — Spark executes that frame with a constant-memory running
+    * accumulator (O(k) per partition), whereas a currentRow →
+    * unboundedFollowing frame re-evaluates the aggregate from each row
+    * to partition end (O(k²) per user). In the reversed order a click at
+    * equal ts sorts BEFORE the purchase (tag 1 desc ahead of 0), so
+    * "at-or-after" stays exact, and the running last() lands on the
+    * smallest (ts, event_id) click ≥ the purchase — ties at equal click
+    * ts still resolve to the smallest click event_id.
     */
   def asofNextClick(t: Tables): DataFrame = {
     val e = t.events.select("event_id", "ts", "user_id", "event_type")
@@ -135,11 +140,11 @@ object Temporal {
       )
     val w = Window
       .partitionBy("user_id")
-      .orderBy(col("ts"), col("tag"), col("event_id"))
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      .orderBy(col("ts").desc, col("tag").desc, col("event_id").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     purchases
       .unionByName(clicks)
-      .withColumn("next_click", first("c", ignoreNulls = true).over(w))
+      .withColumn("next_click", last("c", ignoreNulls = true).over(w))
       .filter(col("tag") === 0 && col("next_click").isNotNull)
       .select(
         col("event_id"),

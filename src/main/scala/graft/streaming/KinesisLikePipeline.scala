@@ -94,7 +94,9 @@ object KinesisLikePipeline {
         org.apache.spark.sql.functions.window(col("ts"), window, slide),
         col("event_type")
       )
-      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      // Decimal sum like the batch twin: cross-partition float addition
+      // order would make the streaming sums nondeterministic.
+      .agg(count(lit(1)).as("n_events"), graft.operators.Num.moneySum(col("value")).as("sum_value"))
       .select(
         col("window.start").as("window_start"),
         col("event_type"),
@@ -142,7 +144,12 @@ object KinesisLikePipeline {
     docs
       .withColumn("text_hash", graft.operators.Dedup.normTextHashCol)
       .join(
-        baseIndex.select(col("text_hash"), col("doc_id").as("base_doc")),
+        // One row per hash (min doc_id), matching the batch twin
+        // incrementalDedup — a base corpus with internal duplicates must
+        // not fan each stream doc out into multiple verdict rows.
+        baseIndex
+          .groupBy(col("text_hash"))
+          .agg(min(col("doc_id")).as("base_doc")),
         Seq("text_hash"),
         "left"
       )

@@ -69,4 +69,21 @@ class KernelPropertySpec extends SparkSpecBase {
       .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
     assert((fps(1) & fps(2)).nonEmpty, "winnowing guarantee violated: shared window has no common fingerprint")
   }
+
+  test("jsonlAudit: a corrupt line with a null original value never counts value_ok") {
+    import spark.implicits._
+    // event_id 31 is in the corrupt slice (31 % 31 == 0) AND has a null
+    // value: the failed parse yields null, and without the parse-success
+    // gate null <=> null would false-pass the value check. event_id 32
+    // survives with a null value and MUST count (null round-trips).
+    val events = Seq(
+      (31L, "click", Some(7L), Option.empty[Double]),
+      (32L, "click", Some(8L), Option.empty[Double]),
+      (33L, "click", Some(9L), Some(1.25))
+    ).toDF("event_id", "event_type", "user_id", "value")
+    val row = graft.operators.Ingest.jsonlAuditOn(events).collect().head
+    assert(row.getAs[Long]("n_lines") == 3L)
+    assert(row.getAs[Long]("n_bad") == 1L)
+    assert(row.getAs[Long]("n_value_ok") == 2L, "corrupt null-value line must not count value_ok")
+  }
 }

@@ -170,7 +170,9 @@ class StreamingSpec extends SparkSpecBase {
   test("streaming admission: stream-static probe of the base index, stateless across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
-    val base = Seq((1L, "alpha beta gamma"), (2L, "delta epsilon zeta"))
+    // 5L duplicates 1L's normalized text: the index must pre-aggregate
+    // to one row per hash (min doc_id) or each probe fans out
+    val base = Seq((1L, "alpha beta gamma"), (2L, "delta epsilon zeta"), (5L, "alpha beta gamma"))
       .toDF("doc_id", "text")
       .select(
         org.apache.spark.sql.functions.col("doc_id"),
@@ -190,11 +192,13 @@ class StreamingSpec extends SparkSpecBase {
     q.processAllAvailable()
     in.addData((12L, "delta epsilon zeta"), (13L, "also new material"))
     q.processAllAvailable()
-    val rows = spark.table("admit_out").collect()
+    val raw = spark.table("admit_out").collect()
+    val rows = raw
       .map(r => r.getAs[Long]("doc_id") ->
         (r.getAs[String]("verdict"), Option(r.getAs[java.lang.Long]("base_doc")).map(_.toLong)))
       .toMap
     q.stop()
+    assert(raw.length == 4, s"one verdict per stream doc (no base-dup fan-out), got ${raw.toSeq}")
     assert(rows == Map(
       10L -> ("duplicate", Some(1L)), // whitespace-normalized match
       11L -> ("admit", None),
