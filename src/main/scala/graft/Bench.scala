@@ -48,10 +48,28 @@ object Bench {
       try { fn(spark, sfDir).queryExecution.toRdd.count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def fmt(v: Double): String        = f"$v%.3f"
+    def mapJson(rs: Seq[(String, Double)]): String =
+      rs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // The harness capturing this output keeps only a bounded tail, and
+    // the full per-query map for 100+ queries does not fit it. Three
+    // outputs, most-complete first: (1) BENCH_DETAIL.json on disk with
+    // full precision, (2) the full map line (front-truncated in a
+    // bounded capture — harmless, no "metric" token survives the cut),
+    // (3) a compact line with the total plus the slowest 25 queries
+    // that ALWAYS fits the tail window and parses as the result.
+    val full = s"""{"all_queries":${mapJson(results)},"sf":"$sfDir"}"""
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_DETAIL.json"),
+      (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    )
+    println(full)
+    val slowest = results.sortBy(-_._2).take(25)
+    println(
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},""" +
+        s""""queries":${mapJson(slowest)},"detail":"BENCH_DETAIL.json","sf":"$sfDir"}"""
+    )
     spark.stop()
   }
 }
