@@ -123,7 +123,13 @@ object SparkEntry {
     "multimodal_frames"    -> ((s, d) => Multimodal.sampleFrames(s, Tables(s, d))),
     "multimodal_embed"     -> ((s, d) => Multimodal.embedBuckets(Tables(s, d))),
     "multimodal_resize"    -> ((s, d) => Multimodal.resizeDims(s, Tables(s, d))),
-    "multimodal_audio"     -> ((s, d) => Multimodal.audioMeta(s, Tables(s, d)))
+    "multimodal_audio"     -> ((s, d) => Multimodal.audioMeta(s, Tables(s, d))),
+    "text_novelty"         -> ((s, d) => Dedup.noveltyFrac(Tables(s, d))),
+    "dedup_cluster_stats"  -> ((s, d) => Dedup.componentSizeStats(Tables(s, d))),
+    "q_value_outliers"     -> ((s, d) => Analytics.valueOutliers(Tables(s, d))),
+    "q_cohort_retention"   -> ((s, d) => Analytics.cohortRetention(Tables(s, d))),
+    "q_value_cumedist"     -> ((s, d) => Analytics.valueCumeDist(Tables(s, d))),
+    "pipeline_quota"       -> ((s, d) => Sampling.sourceQuota(Tables(s, d)))
   )
 
   /** kinesis_topic/main.go:23 — the demo topic payload. */
@@ -1155,7 +1161,77 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
         |  FROM c)
         |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank FROM r
-        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "text_novelty" -> // fraction of each doc's distinct trigrams FIRST introduced by it
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
+        |      i -> concat_ws(' ', string_split(text, ' ')[CAST(i AS INT)],
+        |                     string_split(text, ' ')[CAST(i AS INT) + 1],
+        |                     string_split(text, ' ')[CAST(i AS INT) + 2]))) AS sh
+        |  FROM documents),
+        |p AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
+        |f AS (SELECT shingle, min(doc_id) AS first_doc FROM p GROUP BY 1)
+        |SELECT p.doc_id, count(*) AS n_sh,
+        |  CAST(sum(CASE WHEN f.first_doc = p.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+        |  CAST(sum(CASE WHEN f.first_doc = p.doc_id THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS novelty_frac
+        |FROM p JOIN f USING (shingle)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "dedup_cluster_stats" -> // near-dup cluster size distribution
+      s"""WITH RECURSIVE p AS ($ngramJaccardOracle),
+        |edges AS (SELECT doc_a AS a, doc_b AS b FROM p
+        |          UNION ALL SELECT doc_b, doc_a FROM p),
+        |reach(id, comp) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT e.a, r.comp FROM edges e JOIN reach r ON e.b = r.id),
+        |comp AS (SELECT id AS doc_id, min(comp) AS component FROM reach GROUP BY 1),
+        |sizes AS (SELECT component, count(*) AS cluster_size FROM comp GROUP BY 1)
+        |SELECT cluster_size, count(*) AS n_clusters,
+        |  CAST(cluster_size * count(*) AS BIGINT) AS n_docs,
+        |  min(component) AS min_component
+        |FROM sizes GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_value_outliers" -> // |value - median| > 3 * MAD per event type
+      """WITH med AS (
+        |  SELECT event_type,
+        |    percentile_cont(0.5) WITHIN GROUP (ORDER BY value) AS med
+        |  FROM events GROUP BY 1),
+        |mad AS (
+        |  SELECT e.event_type,
+        |    percentile_cont(0.5) WITHIN GROUP (ORDER BY abs(e.value - m.med)) AS mad
+        |  FROM events e JOIN med m USING (event_type) GROUP BY 1)
+        |SELECT e.event_id, e.event_type, e.value, m.med, d.mad
+        |FROM events e JOIN med m USING (event_type) JOIN mad d USING (event_type)
+        |WHERE abs(e.value - m.med) > 3 * d.mad
+        |ORDER BY e.event_id""".stripMargin,
+    "q_cohort_retention" -> // distinct active users per (first-seen day, age)
+      """WITH e AS (SELECT user_id, date_trunc('day', ts) AS day FROM events),
+        |c AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY 1),
+        |a AS (SELECT DISTINCT user_id, day FROM e)
+        |SELECT c.cohort_day, date_diff('day', c.cohort_day, a.day) AS day_offset,
+        |  count(*) AS n_users
+        |FROM a JOIN c USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_value_cumedist" -> // top-decile percent_rank / cume_dist per event type
+      """WITH r AS (
+        |  SELECT event_id, event_type, value,
+        |    percent_rank() OVER (PARTITION BY event_type ORDER BY value, event_id) AS pct_rank,
+        |    cume_dist() OVER (PARTITION BY event_type ORDER BY value, event_id) AS cume
+        |  FROM events)
+        |SELECT event_id, event_type, value, pct_rank, cume FROM r
+        |WHERE pct_rank >= 0.9 ORDER BY event_id""".stripMargin,
+    "pipeline_quota" -> // per-source char budget in deterministic hash order
+      """WITH h AS (
+        |  SELECT doc_id, source, n_chars, md5(CAST(doc_id AS VARCHAR)) AS hk
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, source, n_chars,
+        |    CAST(sum(n_chars) OVER (
+        |      PARTITION BY source ORDER BY hk, doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_chars
+        |  FROM h)
+        |SELECT doc_id, source, n_chars, cum_chars FROM c
+        |WHERE cum_chars <= 4000 ORDER BY doc_id""".stripMargin
   )
 
   /** Shared CTE chain for the curation oracles: near-dup components

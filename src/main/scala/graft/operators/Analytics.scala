@@ -332,4 +332,81 @@ object Analytics {
       .groupBy("n_name")
       .agg(Num.moneySum4(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
       .orderBy("n_name")
+
+  /** B23: robust per-type outliers — |value − median| > 3 × MAD
+    * (median absolute deviation). Mean/stddev outlier rules break on
+    * the very rows they hunt (the outliers drag the mean); the MAD
+    * rule has a 50% breakdown point, which is why monitoring pipelines
+    * use it for anomaly gating.
+    *
+    * Plan: two TINY per-type aggregates (median, then MAD over the
+    * median-joined scan) broadcast back against the fact — the fact is
+    * never globally sorted and never shuffles on anything but the
+    * 5-value type key inside `percentile`'s partial aggregation.
+    * Double arithmetic is filter-only + passthrough (no float
+    * accumulation), so the gate hash is stable cross-engine — the
+    * interpolated medians match because both engines compute
+    * lower + (upper − lower) × frac (the q_value_percentiles
+    * precedent).
+    */
+  def valueOutliers(t: Tables): DataFrame = {
+    val e   = t.events.select("event_id", "event_type", "value")
+    val med = e.groupBy("event_type").agg(expr("percentile(value, 0.5)").as("med"))
+    val mad = e
+      .join(broadcast(med), "event_type")
+      .groupBy("event_type")
+      .agg(expr("percentile(abs(value - med), 0.5)").as("mad"))
+    e.join(broadcast(med), "event_type")
+      .join(broadcast(mad), "event_type")
+      .filter(abs(col("value") - col("med")) > lit(3.0) * col("mad"))
+      .select(col("event_id"), col("event_type"), col("value"), col("med"), col("mad"))
+      .orderBy("event_id")
+  }
+
+  /** B24: cohort retention matrix — users bucketed by FIRST-seen day,
+    * counted per (cohort, days-since-first-seen). The classic
+    * activation/retention triangle: row = acquisition cohort, column =
+    * age, cell = distinct active users. Per-type counts can't express
+    * it because the cohort is a property of the USER's history, not of
+    * any single event.
+    *
+    * Plan: one shuffle on user_id computes first-seen day; the
+    * distinct (user, day) activity set partitions on the same key so
+    * the join is co-shuffled; the final matrix aggregate is tiny
+    * (cohorts × ages). Counting rows of the pre-distinct'd activity
+    * set IS count(DISTINCT user) without an Expand.
+    */
+  def cohortRetention(t: Tables): DataFrame = {
+    val e       = t.events.select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+    val cohorts = e.groupBy("user_id").agg(min("day").as("cohort_day"))
+    e.distinct()
+      .join(cohorts, "user_id")
+      .withColumn("day_offset", datediff(col("day"), col("cohort_day")).cast("long"))
+      .groupBy("cohort_day", "day_offset")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
+  /** B25: per-type value rank percentiles — `percent_rank` (share of
+    * peers strictly below) and `cume_dist` (share at-or-below) for
+    * every event, filtered to the top decile. The per-group rank
+    * normalization is how heterogeneous quality scores become
+    * comparable across groups (rank-normalize per source, gate on the
+    * percentile) — here expressed on the events table where the oracle
+    * is exact.
+    *
+    * ONE shuffle on event_type; the rank doubles are integer ratios
+    * ((rank−1)/(n−1), rank/n) so they are bit-identical cross-engine.
+    * The (value, event_id) ordering makes ranks unique under ties —
+    * without the id tie-break the frame would be nondeterministic.
+    */
+  def valueCumeDist(t: Tables): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy(col("value"), col("event_id"))
+    t.events
+      .select(col("event_id"), col("event_type"), col("value"))
+      .withColumn("pct_rank", percent_rank().over(w))
+      .withColumn("cume", cume_dist().over(w))
+      .filter(col("pct_rank") >= 0.9)
+      .orderBy("event_id")
+  }
 }

@@ -341,6 +341,60 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Temporal novelty score: the fraction of a doc's distinct
+    * word-trigrams FIRST introduced by this doc — no lower-id (earlier)
+    * doc carries them. Where [[dupShingleFrac]] measures symmetric
+    * boilerplate mass, novelty is the crawl-ordering signal: a
+    * recrawl/wire-copy batch scores near 0, genuinely new material near
+    * 1, and corpus reports plot novelty over ingest order to spot the
+    * point where a source went stale.
+    *
+    * Plan: identical scale shape to [[dupShingleFrac]] — the shared
+    * inverted index gets its first-occurrence doc from a min window
+    * over the shingle (the same partitioning the dedup self-join
+    * shuffles on), then one partial-agg'd groupBy back on doc_id. Two
+    * keyed shuffles, O(postings), no self-join.
+    */
+  def noveltyFrac(t: Tables): DataFrame = {
+    val byShingle = Window.partitionBy("shingle")
+    hashedPostings(t)
+      .withColumn("first_doc", min("doc_id").over(byShingle))
+      .groupBy("doc_id", "n_sh")
+      .agg(sum(when(col("first_doc") < col("doc_id"), 1L).otherwise(0L)).as("n_seen"))
+      .select(
+        col("doc_id"),
+        col("n_sh").cast("long").as("n_sh"),
+        (col("n_sh") - col("n_seen")).cast("long").as("n_novel"),
+        ((col("n_sh") - col("n_seen")).cast("double") / col("n_sh")).as("novelty_frac")
+      )
+      .orderBy("doc_id")
+  }
+
+  /** Duplicate-cluster size distribution — the corpus-report rollup of
+    * [[nearDupComponents]]: how many near-dup clusters exist at each
+    * size, with a deterministic witness component per size. This is
+    * the headline number a dedup run reports ("12k pairs collapsed
+    * into 3k clusters, largest 40 docs") and the input to downweight
+    * policies (drop clusters over size k vs keep one doc each).
+    *
+    * Plan: the component resolution dominates; the rollup is two tiny
+    * partial-agg'd groupBys (output ≤ distinct sizes) — free at any
+    * scale.
+    */
+  def componentSizeStats(t: Tables): DataFrame =
+    nearDupComponents(t)
+      .groupBy("component")
+      .agg(count(lit(1)).as("cluster_size"))
+      .groupBy("cluster_size")
+      .agg(count(lit(1)).as("n_clusters"), min("component").as("min_component"))
+      .select(
+        col("cluster_size"),
+        col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).as("n_docs"),
+        col("min_component")
+      )
+      .orderBy("cluster_size")
+
   /** Incremental corpus refresh — dedup a DELTA batch against an
     * existing BASE corpus without ever re-pairing base-vs-base. This
     * is the shape every recurring crawl runs: the corpus is petabytes

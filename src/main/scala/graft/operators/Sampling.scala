@@ -161,4 +161,32 @@ object Sampling {
       )
       .orderBy("doc_id", "epoch")
   }
+
+  /** Per-source quota capping: keep documents in deterministic hash
+    * order until each source's running char budget is spent — the
+    * anti-overrepresentation lever ("no source contributes more than X
+    * chars") that mixture WEIGHTS can't express when the cap must be a
+    * hard byte budget, not a rate. Hash order (not doc_id order) makes
+    * the kept set an unbiased sample of the source AND stable under
+    * re-partitioning; the budget boundary doc is excluded (strict ≤),
+    * so a source whose first-hash doc exceeds the budget contributes
+    * nothing — the policy, exactly.
+    *
+    * Plan: ONE shuffle on source for the running prefix-sum window;
+    * the serial dimension is per-source (same bound as pipeline_pack's
+    * per-source prefix sum). Integer arithmetic throughout.
+    */
+  def sourceQuota(t: Tables, budgetChars: Long = 4000L): DataFrame = {
+    val w = Window
+      .partitionBy("source")
+      .orderBy(col("hk"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t.documents
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .withColumn("hk", md5(col("doc_id").cast("string")))
+      .withColumn("cum_chars", sum(col("n_chars")).over(w))
+      .filter(col("cum_chars") <= budgetChars)
+      .select(col("doc_id"), col("source"), col("n_chars"), col("cum_chars"))
+      .orderBy("doc_id")
+  }
 }

@@ -360,6 +360,30 @@ class PlanSpec extends SparkSpecBase {
     assert("Exchange hashpartitioning".r.findAllIn(plan).length == 3, s"extra shuffles:\n$plan")
   }
 
+  test("novelty fraction: join-free like dupfrac — first-doc window shares the shingle partitioning") {
+    val plan = executedPlanString(graft.operators.Dedup.noveltyFrac(tables))
+    assert(!plan.contains("Join"), s"novelty must be join-free (window + agg):\n$plan")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 3, s"extra shuffles:\n$plan")
+  }
+
+  test("value outliers: both stat tables broadcast — the fact never sort-merge joins") {
+    val plan = executedPlanString(Analytics.valueOutliers(tables))
+    assert(plan.contains("BroadcastHashJoin"), s"median/MAD must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"fact shuffled into a stat join:\n$plan")
+  }
+
+  test("cohort retention: distinct-then-count — no Expand for the distinct users") {
+    val plan = executedPlanString(Analytics.cohortRetention(tables))
+    assert(!plan.contains("Expand"), s"count(distinct) expanded instead of pre-distinct:\n$plan")
+  }
+
+  test("source quota: one shuffle on source for the prefix-sum window") {
+    val plan = executedPlanString(graft.operators.Sampling.sourceQuota(tables))
+    // one keyed exchange (source) + the presentation range sort
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1, s"extra shuffles:\n$plan")
+    assert(!plan.contains("Join"), s"quota must be join-free:\n$plan")
+  }
+
   test("incremental dedup: best-near-match runs through TopKPerKeyExec, no nested loop") {
     val plan = executedPlanString(graft.operators.Dedup.incrementalDedup(tables))
     assert(plan.contains("TopKPerKey"), s"best-match not grafted onto the bounded-heap operator:\n$plan")
