@@ -129,7 +129,8 @@ object SparkEntry {
     "q_value_outliers"     -> ((s, d) => Analytics.valueOutliers(Tables(s, d))),
     "q_cohort_retention"   -> ((s, d) => Analytics.cohortRetention(Tables(s, d))),
     "q_value_cumedist"     -> ((s, d) => Analytics.valueCumeDist(Tables(s, d))),
-    "pipeline_quota"       -> ((s, d) => Sampling.sourceQuota(Tables(s, d)))
+    "pipeline_quota"       -> ((s, d) => Sampling.sourceQuota(Tables(s, d))),
+    "text_frequent_words"  -> ((s, d) => TextOps.frequentWords(Tables(s, d)))
   )
 
   /** kinesis_topic/main.go:23 — the demo topic payload. */
@@ -1231,7 +1232,14 @@ object SparkEntry {
         |      PARTITION BY source ORDER BY hk, doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_chars
         |  FROM h)
         |SELECT doc_id, source, n_chars, cum_chars FROM c
-        |WHERE cum_chars <= 4000 ORDER BY doc_id""".stripMargin
+        |WHERE cum_chars <= 4000 ORDER BY doc_id""".stripMargin,
+    "text_frequent_words" -> // words with count*32 > N (sketch-verified heavy hitters)
+      """WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+        |c AS (SELECT word, count(*) AS cnt FROM w GROUP BY 1),
+        |t AS (SELECT count(*) AS n_words FROM w)
+        |SELECT c.word, c.cnt, t.n_words FROM c, t
+        |WHERE c.cnt * 32 > t.n_words
+        |ORDER BY c.cnt DESC, c.word""".stripMargin
   )
 
   /** Shared CTE chain for the curation oracles: near-dup components

@@ -412,4 +412,44 @@ object TextOps {
       .withColumn("is_dup", (col("doc_id") =!= col("keep_doc_id")).cast("boolean"))
       .orderBy("doc_id")
   }
+
+  /** Frequency threshold divisor for [[frequentWords]]: report words
+    * with count·k > N. Must stay ≤ FreqItemsAgg.Capacity + 1 or the
+    * sketch's superset guarantee (and thus the operator's EXACTNESS)
+    * breaks.
+    */
+  val FreqK = 32
+
+  /** Heavy hitters, sketch-then-verify: words with global frequency
+    * > N/k, computed EXACTLY without ever shuffling the vocabulary.
+    *
+    * The 100 TB problem with the obvious `groupBy(word).count` is the
+    * shuffle: the full vocabulary (billions of keys for web text)
+    * crosses the wire to be counted, then almost all of it is thrown
+    * away. Here a Misra-Gries summary
+    * ([[graft.functions.MisraGriesCandidates]]) partial-aggregates a
+    * FIXED-SIZE counter map map-side, merging to one ≤ Capacity-entry
+    * candidate list on the driver side of a single tiny aggregation —
+    * the corpus never shuffles. The MG bound guarantees candidates ⊇
+    * every truly-frequent word, so the broadcast-semi-join verification
+    * pass (exact counts for ≤ Capacity words only, integer threshold
+    * count·k > N) makes the composed output EQUAL to the brute-force
+    * oracle: sketch for the shuffle shape, verify for exactness.
+    */
+  def frequentWords(t: Tables, k: Int = FreqK): DataFrame = {
+    require(k <= graft.functions.FreqItemsAgg.Capacity + 1, "superset guarantee needs k <= cap+1")
+    graft.functions.FreqItemsAgg.register(t.spark)
+    val words = t.documents.select(explode(split(col("text"), " ")).as("word"))
+    val candidates = words
+      .agg(expr("mg_candidates(word)").as("cand"))
+      .select(explode(col("cand")).as("word"))
+    words
+      .join(broadcast(candidates), "word")
+      .groupBy("word")
+      .agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(words.agg(count(lit(1)).as("n_words"))))
+      .filter(col("cnt") * k > col("n_words"))
+      .select(col("word"), col("cnt"), col("n_words"))
+      .orderBy(col("cnt").desc, col("word"))
+  }
 }

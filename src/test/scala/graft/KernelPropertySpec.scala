@@ -70,6 +70,31 @@ class KernelPropertySpec extends SparkSpecBase {
     assert((fps(1) & fps(2)).nonEmpty, "winnowing guarantee violated: shared window has no common fingerprint")
   }
 
+  test("mg_candidates: survivors are a superset of true frequent items under eviction + merges") {
+    import spark.implicits._
+    val cap = graft.functions.FreqItemsAgg.Capacity
+    // Zipf-ish skew over a vocabulary ~6x the counter budget, spread
+    // over 8 partitions so both the decrement-all eviction path and the
+    // summary merge run. k = cap+1 is the TIGHTEST threshold the
+    // guarantee covers.
+    val vocab = cap * 6
+    val words = Seq.tabulate(20000) { i =>
+      val r = rng.nextDouble()
+      val z = math.min(vocab - 1, (math.pow(r, 3) * vocab).toInt)
+      s"w$z"
+    }
+    val df = words.toDF("word").repartition(8)
+    graft.functions.FreqItemsAgg.register(spark)
+    val cands = df.agg(expr("mg_candidates(word)")).collect().head.getSeq[String](0).toSet
+    assert(cands.size <= cap, s"summary exceeded its budget: ${cands.size}")
+    val exact = words.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n     = words.size.toLong
+    val mustSurvive = exact.collect { case (w, c) if c * (cap + 1) > n => w }.toSet
+    assert(mustSurvive.nonEmpty, "fixture produced no frequent items — vacuous")
+    assert(mustSurvive.subsetOf(cands),
+      s"guarantee violated — missing: ${mustSurvive.diff(cands)}")
+  }
+
   test("jsonlAudit: a corrupt line with a null original value never counts value_ok") {
     import spark.implicits._
     // event_id 31 is in the corrupt slice (31 % 31 == 0) AND has a null

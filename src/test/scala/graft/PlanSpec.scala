@@ -384,6 +384,17 @@ class PlanSpec extends SparkSpecBase {
     assert(!plan.contains("Join"), s"quota must be join-free:\n$plan")
   }
 
+  test("frequent words: MG sketch aggregates object-hash map-side; verify pass broadcasts candidates") {
+    val plan = executedPlanString(graft.operators.TextOps.frequentWords(tables))
+    // the typed-imperative summary runs in ObjectHashAggregate with a
+    // map-side partial — the corpus reaches the driver as ONE summary
+    assert(plan.contains("ObjectHashAggregate"), s"MG summary not object-hash aggregated:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"candidates must broadcast into the verify scan:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"corpus shuffled into a join:\n$plan")
+    // the only keyed exchange is the ≤Capacity-word verification count
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1, s"vocab-scale shuffle leaked:\n$plan")
+  }
+
   test("incremental dedup: best-near-match runs through TopKPerKeyExec, no nested loop") {
     val plan = executedPlanString(graft.operators.Dedup.incrementalDedup(tables))
     assert(plan.contains("TopKPerKey"), s"best-match not grafted onto the bounded-heap operator:\n$plan")
