@@ -104,6 +104,34 @@ object KinesisLikePipeline {
         col("sum_value")
       )
 
+  /** Watermarked SESSION windows per user — the streaming twin of
+    * EventOps.sessionWindows. Unlike fixed windows, session state
+    * MERGES: an event landing within `gap` of an open session extends
+    * it (possibly bridging two into one), and a session finalizes —
+    * emitting exactly one Append-mode row — only when the watermark
+    * passes its end. Live state is bounded by (active users ×
+    * sessions inside the watermark horizon), the per-key merge the
+    * RocksDB session store is built for; this is the stream form of
+    * the gaps-and-islands batch query, with the same decimal money
+    * sum so the finalized rows match the batch twin bit-for-bit.
+    */
+  def sessionCounts(
+      events: DataFrame,
+      gap: String = "30 minutes",
+      watermark: String = "10 minutes"
+  ): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), graft.operators.Num.moneySum(col("value")).as("sum_value"))
+      .select(
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"),
+        col("n_events"),
+        col("sum_value")
+      )
+
   /** Stream-stream interval join: correlate two event streams on a
     * key within a bounded time skew. Both watermarks plus the interval
     * condition bound the join state on each side — without them a

@@ -167,6 +167,40 @@ class StreamingSpec extends SparkSpecBase {
     assert(shared.length == 3 && shared.forall(_.getAs[Double]("sum_value") == 5.0))
   }
 
+  test("session windows: state merges within the gap, finalizes past the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in  = MemoryStream[(Timestamp, Long, Double)]
+    val agg = KinesisLikePipeline.sessionCounts(in.toDF().toDF("ts", "user_id", "value"))
+    val q = agg.writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory")
+      .queryName("sess_out")
+      .option("checkpointLocation", ckpt())
+      .start()
+    // two events 10 min apart (one session), then a 90-min gap (a new
+    // session) — delivered across separate batches so the first
+    // session's state must MERGE with the second batch's extension
+    in.addData((Timestamp.valueOf("2026-01-01 00:00:00"), 7L, 2.0))
+    q.processAllAvailable()
+    in.addData(
+      (Timestamp.valueOf("2026-01-01 00:10:00"), 7L, 3.0),
+      (Timestamp.valueOf("2026-01-01 01:30:00"), 7L, 5.0)
+    )
+    q.processAllAvailable()
+    in.addData((Timestamp.valueOf("2026-01-01 06:00:00"), 9L, 1.0)) // advance watermark
+    q.processAllAvailable()
+    val rows = spark.table("sess_out").collect()
+      .filter(_.getAs[Long]("user_id") == 7L)
+      .sortBy(_.getAs[java.sql.Timestamp]("session_start").getTime)
+    q.stop()
+    assert(rows.length == 2, s"expected 2 finalized sessions, got ${rows.toSeq}")
+    assert(rows(0).getAs[Long]("n_events") == 2 && rows(0).getAs[Double]("sum_value") == 5.0)
+    assert(rows(0).getAs[java.sql.Timestamp]("session_end") ==
+      Timestamp.valueOf("2026-01-01 00:40:00"), "session end must be last event + gap")
+    assert(rows(1).getAs[Long]("n_events") == 1 && rows(1).getAs[Double]("sum_value") == 5.0)
+  }
+
   test("streaming admission: stream-static probe of the base index, stateless across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
