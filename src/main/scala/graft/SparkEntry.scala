@@ -130,7 +130,11 @@ object SparkEntry {
     "q_cohort_retention"   -> ((s, d) => Analytics.cohortRetention(Tables(s, d))),
     "q_value_cumedist"     -> ((s, d) => Analytics.valueCumeDist(Tables(s, d))),
     "pipeline_quota"       -> ((s, d) => Sampling.sourceQuota(Tables(s, d))),
-    "text_frequent_words"  -> ((s, d) => TextOps.frequentWords(Tables(s, d)))
+    "text_frequent_words"  -> ((s, d) => TextOps.frequentWords(Tables(s, d))),
+    "text_lang_mismatch"   -> ((s, d) => TextOps.langMismatch(Tables(s, d))),
+    "pipeline_shards"      -> ((s, d) => Layout.shardPlan(Tables(s, d))),
+    "q_daily_cumulative"   -> ((s, d) => Analytics.dailyCumulative(Tables(s, d))),
+    "dedup_canonical"      -> ((s, d) => Dedup.clusterCanonical(Tables(s, d)))
   )
 
   /** kinesis_topic/main.go:23 — the demo topic payload. */
@@ -1239,7 +1243,63 @@ object SparkEntry {
         |t AS (SELECT count(*) AS n_words FROM w)
         |SELECT c.word, c.cnt, t.n_words FROM c, t
         |WHERE c.cnt * 32 > t.n_words
-        |ORDER BY c.cnt DESC, c.word""".stripMargin
+        |ORDER BY c.cnt DESC, c.word""".stripMargin,
+    "text_lang_mismatch" -> // (source, claimed lang, predicted lang) disagreement matrix
+      """WITH h AS (
+        |  SELECT source, lang,
+        |    CAST(len(list_intersect(list_distinct(string_split(lower(text), ' ')), ['the','a','of','and','in','is'])) AS BIGINT) AS en_hits,
+        |    CAST(len(list_intersect(list_distinct(string_split(lower(text), ' ')), ['el','la','de','los','que','y'])) AS BIGINT) AS es_hits,
+        |    CAST(len(list_intersect(list_distinct(string_split(lower(text), ' ')), ['der','die','das','und','ist','mit'])) AS BIGINT) AS de_hits
+        |  FROM documents),
+        |p AS (
+        |  SELECT source, lang,
+        |    CASE WHEN en_hits >= es_hits AND en_hits >= de_hits AND en_hits > 0 THEN 'en'
+        |         WHEN es_hits >= de_hits AND es_hits > 0 THEN 'es'
+        |         WHEN de_hits > 0 THEN 'de'
+        |         ELSE 'und' END AS lang_pred
+        |  FROM h)
+        |SELECT source, lang, lang_pred, count(*) AS n_docs
+        |FROM p WHERE lang <> lang_pred
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "pipeline_shards" -> // hash-sharded output plan with per-shard totals
+      """WITH s AS (
+        |  SELECT doc_id, n_chars,
+        |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 64 AS shard
+        |  FROM documents)
+        |SELECT shard, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_daily_cumulative" -> // daily per-type revenue + exact-decimal running total
+      """WITH daily AS (
+        |  SELECT date_trunc('day', ts) AS day, event_type,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS day_value,
+        |    count(*) AS n_events
+        |  FROM events GROUP BY 1, 2)
+        |SELECT day, event_type, day_value, n_events,
+        |  CAST(sum(CAST(day_value AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY event_type ORDER BY day
+        |    ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cum_value,
+        |  CAST(sum(n_events) OVER (
+        |    PARTITION BY event_type ORDER BY day
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_events
+        |FROM daily ORDER BY event_type, day""".stripMargin,
+    "dedup_canonical" -> // longest-member election per near-dup cluster
+      s"""WITH RECURSIVE p AS ($ngramJaccardOracle),
+        |edges AS (SELECT doc_a AS a, doc_b AS b FROM p
+        |          UNION ALL SELECT doc_b, doc_a FROM p),
+        |reach(id, comp) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT e.a, r.comp FROM edges e JOIN reach r ON e.b = r.id),
+        |comp AS (SELECT id AS doc_id, min(comp) AS component FROM reach GROUP BY 1)
+        |SELECT c.doc_id, c.component, d.n_chars,
+        |  first_value(c.doc_id) OVER (
+        |    PARTITION BY c.component ORDER BY d.n_chars DESC, c.doc_id) AS canonical_doc,
+        |  c.doc_id = first_value(c.doc_id) OVER (
+        |    PARTITION BY c.component ORDER BY d.n_chars DESC, c.doc_id) AS is_canonical
+        |FROM comp c JOIN documents d USING (doc_id)
+        |ORDER BY c.doc_id""".stripMargin
   )
 
   /** Shared CTE chain for the curation oracles: near-dup components

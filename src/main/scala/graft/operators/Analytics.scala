@@ -387,6 +387,36 @@ object Analytics {
       .orderBy("cohort_day", "day_offset")
   }
 
+  /** B26: daily revenue with a running cumulative per type — the
+    * window-on-aggregate pattern: the raw fact collapses to a tiny
+    * (days × types) grid FIRST (partial-agg'd shuffle), and only the
+    * grid pays the ordered window — a running window over raw events
+    * would serialize per-type scans. The cumulative sum runs in
+    * DECIMAL: windowed double addition is evaluated in different
+    * orders by different engines (segment trees vs running frames),
+    * so an exact-decimal carry is what keeps the gate hash stable —
+    * and is the right call at scale anyway (the grid is tiny; the
+    * decimal cost is nothing).
+    */
+  def dailyCumulative(t: Tables): DataFrame = {
+    val daily = t.events
+      .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+      .agg(Num.moneySum(col("value")).as("day_value"), count(lit(1)).as("n_events"))
+    val w = Window
+      .partitionBy("event_type")
+      .orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn(
+        "cum_value",
+        sum(col("day_value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .over(w)
+          .cast("double")
+      )
+      .withColumn("cum_events", sum("n_events").over(w))
+      .orderBy("event_type", "day")
+  }
+
   /** B25: per-type value rank percentiles — `percent_rank` (share of
     * peers strictly below) and `cume_dist` (share at-or-below) for
     * every event, filtered to the top decile. The per-group rank

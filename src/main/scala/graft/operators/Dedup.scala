@@ -395,6 +395,35 @@ object Dedup {
       )
       .orderBy("cluster_size")
 
+  /** Cluster canonicalization: the "which copy do we KEEP" policy on
+    * top of [[nearDupComponents]] — each near-dup cluster elects its
+    * longest member (ties to the smallest doc_id) as canonical, and
+    * every member row carries the verdict. min-id election is what
+    * exact dedup does by default; near-dup clusters want the most
+    * COMPLETE version (the longer doc usually contains the shorter),
+    * which is exactly the policy knob this operator exposes.
+    *
+    * Plan: component resolution dominates; the election is one
+    * row_number window over the component partitioning plus a
+    * broadcast-scale join of doc lengths (pruned to two columns).
+    */
+  def clusterCanonical(t: Tables): DataFrame = {
+    val byComp = Window
+      .partitionBy("component")
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    nearDupComponents(t)
+      .join(t.documents.select(col("doc_id"), col("n_chars")), "doc_id")
+      .withColumn("canonical_doc", first("doc_id").over(byComp))
+      .select(
+        col("doc_id"),
+        col("component"),
+        col("n_chars"),
+        col("canonical_doc"),
+        (col("doc_id") === col("canonical_doc")).as("is_canonical")
+      )
+      .orderBy("doc_id")
+  }
+
   /** Incremental corpus refresh — dedup a DELTA batch against an
     * existing BASE corpus without ever re-pairing base-vs-base. This
     * is the shape every recurring crawl runs: the corpus is petabytes

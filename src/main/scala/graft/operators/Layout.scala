@@ -56,4 +56,31 @@ object Layout {
       )
       .orderBy("file_id")
   }
+
+  /** Output-shard plan + skew audit: hash-assign every doc to one of
+    * `nShards` output shards and report per-shard row/byte totals with
+    * witness bounds. Balanced output files are a real 100 TB concern —
+    * a hot shard serializes the whole write stage and produces the
+    * pathological file a downstream reader chokes on; this is the
+    * pre-write audit that catches it. The hash is the same
+    * content-stable md5 the sampling family uses, so shard assignment
+    * survives repartitioning and corpus growth. Map-only projection +
+    * one tiny partial-agg'd shuffle (output = nShards rows at any
+    * input scale).
+    */
+  def shardPlan(t: Tables, nShards: Int = 64): DataFrame =
+    t.documents
+      .select(col("doc_id"), col("n_chars"))
+      .withColumn(
+        "shard",
+        conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10).cast("long") % nShards
+      )
+      .groupBy("shard")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        min("doc_id").as("min_doc"),
+        max("doc_id").as("max_doc")
+      )
+      .orderBy("shard")
 }

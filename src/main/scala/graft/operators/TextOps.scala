@@ -209,6 +209,31 @@ object TextOps {
       .withColumn("lang_pred", langPredFromHits)
       .orderBy("doc_id")
 
+  /** Language-label audit: the (source, claimed lang, predicted lang)
+    * disagreement matrix — every web-scale corpus carries mislabeled
+    * language metadata, and this is the audit that finds WHICH sources
+    * lie (a source whose labels disagree with content predictions gets
+    * its metadata distrusted pipeline-wide). One corpus scan (the
+    * langid features fold into the same projection as the metadata
+    * columns — no self-join against the standalone langid output), one
+    * tiny partial-agg'd shuffle; output ≤ sources × langs².
+    */
+  def langMismatch(t: Tables): DataFrame =
+    t.documents
+      .select(col("source"), col("lang"), wsdLowerCol.as("wsd"))
+      .select(
+        col("source"),
+        col("lang"),
+        hitsCol(EnMarkers).as("en_hits"),
+        hitsCol(EsMarkers).as("es_hits"),
+        hitsCol(DeMarkers).as("de_hits")
+      )
+      .withColumn("lang_pred", langPredFromHits)
+      .filter(col("lang") =!= col("lang_pred"))
+      .groupBy("source", "lang", "lang_pred")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("source", "lang", "lang_pred")
+
   /** Canonical bag-of-words fingerprint: md5 over the sorted distinct
     * lowercase words. Detects permutation/duplication rewrites that
     * exact hashing misses.

@@ -384,6 +384,20 @@ class PlanSpec extends SparkSpecBase {
     assert(!plan.contains("Join"), s"quota must be join-free:\n$plan")
   }
 
+  test("lang mismatch audit: one corpus scan, one keyed shuffle — no self-join on langid output") {
+    val plan = executedPlanString(graft.operators.TextOps.langMismatch(tables))
+    assert(!plan.contains("Join"), s"audit must fold langid into the metadata scan:\n$plan")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1, s"extra shuffles:\n$plan")
+  }
+
+  test("daily cumulative: the ordered window runs on the aggregated grid, not the fact") {
+    val plan = executedPlanString(Analytics.dailyCumulative(tables))
+    // fact → partial-agg'd (day, type) shuffle, then the window over
+    // event_type on the tiny grid — exactly two keyed exchanges
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 2, s"extra shuffles:\n$plan")
+    assert(plan.contains("Window"), s"running total must be a window:\n$plan")
+  }
+
   test("frequent words: MG sketch aggregates object-hash map-side; verify pass broadcasts candidates") {
     val plan = executedPlanString(graft.operators.TextOps.frequentWords(tables))
     // the typed-imperative summary runs in ObjectHashAggregate with a
