@@ -134,7 +134,9 @@ object SparkEntry {
     "text_lang_mismatch"   -> ((s, d) => TextOps.langMismatch(Tables(s, d))),
     "pipeline_shards"      -> ((s, d) => Layout.shardPlan(Tables(s, d))),
     "q_daily_cumulative"   -> ((s, d) => Analytics.dailyCumulative(Tables(s, d))),
-    "dedup_canonical"      -> ((s, d) => Dedup.clusterCanonical(Tables(s, d)))
+    "dedup_canonical"      -> ((s, d) => Dedup.clusterCanonical(Tables(s, d))),
+    "q_attribution"        -> ((s, d) => Analytics.attribution(Tables(s, d))),
+    "q_value_percentiles_approx" -> ((s, d) => Analytics.valuePercentilesApprox(Tables(s, d)))
   )
 
   /** kinesis_topic/main.go:23 — the demo topic payload. */
@@ -1299,7 +1301,21 @@ object SparkEntry {
         |  c.doc_id = first_value(c.doc_id) OVER (
         |    PARTITION BY c.component ORDER BY d.n_chars DESC, c.doc_id) AS is_canonical
         |FROM comp c JOIN documents d USING (doc_id)
-        |ORDER BY c.doc_id""".stripMargin
+        |ORDER BY c.doc_id""".stripMargin,
+    "q_attribution" -> // last-touch revenue per attributed click hour
+      """WITH c AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase'),
+        |j AS (
+        |  SELECT p.event_id, p.value, c.ts AS click_ts,
+        |    row_number() OVER (PARTITION BY p.event_id ORDER BY c.ts DESC, c.event_id DESC) AS rn
+        |  FROM p JOIN c ON c.user_id = p.user_id AND c.ts <= p.ts)
+        |SELECT date_trunc('hour', click_ts) AS click_hour, count(*) AS n_purchases,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS attributed_value
+        |FROM j WHERE rn = 1
+        |GROUP BY 1 ORDER BY 1""".stripMargin
+    // q_value_percentiles_approx: no oracle — KLL summary outputs are
+    // accuracy-bounded, not portable; AnalyticsSpec brackets them
+    // against the exact hash-gated twin
   )
 
   /** Shared CTE chain for the curation oracles: near-dup components

@@ -387,6 +387,72 @@ object Analytics {
       .orderBy("cohort_day", "day_offset")
   }
 
+  /** B27: last-touch revenue attribution — every purchase's value is
+    * credited to the latest at-or-before click by the same user, then
+    * rolled up to the click HOUR: "which engagement cohort drove the
+    * money", the attribution report behind every campaign dashboard.
+    * This composes the as-of carry with an aggregate, so the join
+    * never materializes per-pair rows beyond the purchase count.
+    *
+    * Plan: the union-tag running-window as-of kernel (ONE shuffle on
+    * user_id, no inequality join — Temporal.asofOn's shape, carrying
+    * the purchase value through the union) + a tiny partial-agg'd
+    * rollup on the attributed hour. Decimal money sum, as everywhere.
+    */
+  def attribution(t: Tables): DataFrame = {
+    val e = t.events.select("event_id", "ts", "user_id", "event_type", "value")
+    val clicks = e
+      .filter(col("event_type") === "click")
+      .select(
+        col("user_id"),
+        col("ts"),
+        col("event_id"),
+        lit(0).as("tag"),
+        struct(col("ts").as("c_ts"), col("event_id").as("c_id")).as("c"),
+        lit(null).cast("double").as("pval")
+      )
+    val purchases = e
+      .filter(col("event_type") === "purchase")
+      .select(
+        col("user_id"),
+        col("ts"),
+        col("event_id"),
+        lit(1).as("tag"),
+        lit(null).cast("struct<c_ts:timestamp,c_id:bigint>").as("c"),
+        col("value").as("pval")
+      )
+    val w = Window
+      .partitionBy("user_id")
+      .orderBy(col("ts"), col("tag"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    clicks
+      .unionByName(purchases)
+      .withColumn("last_click", last("c", ignoreNulls = true).over(w))
+      .filter(col("tag") === 1 && col("last_click").isNotNull)
+      .groupBy(date_trunc("hour", col("last_click.c_ts")).as("click_hour"))
+      .agg(count(lit(1)).as("n_purchases"), Num.moneySum(col("pval")).as("attributed_value"))
+      .orderBy("click_hour")
+  }
+
+  /** B13b: the approximate twin of [[valuePercentiles]] —
+    * `percentile_approx` (KLL-style quantile summary, mergeable and
+    * partial-aggregated) is the 100 TB path where the exact sort-based
+    * `percentile` would buffer each group's values. Rows-only in the
+    * gate (the summary's outputs are accuracy-bounded, not portable);
+    * AnalyticsSpec pins each approximate quantile inside the exact
+    * neighboring-quantile bracket, so the twin is spec-verified
+    * against the hash-gated exact operator.
+    */
+  def valuePercentilesApprox(t: Tables, accuracy: Int = 1000): DataFrame =
+    t.events
+      .groupBy("event_type")
+      .agg(
+        expr(s"percentile_approx(value, 0.5, $accuracy)").as("p50"),
+        expr(s"percentile_approx(value, 0.9, $accuracy)").as("p90"),
+        expr(s"percentile_approx(value, 0.99, $accuracy)").as("p99")
+      )
+      .orderBy("event_type")
+
   /** B26: daily revenue with a running cumulative per type — the
     * window-on-aggregate pattern: the raw fact collapses to a tiny
     * (days × types) grid FIRST (partial-agg'd shuffle), and only the
