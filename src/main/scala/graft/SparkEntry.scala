@@ -1050,12 +1050,7 @@ object SparkEntry {
         |FROM e GROUP BY 1 ORDER BY 1""".stripMargin,
     "dedup_components" ->
       s"""WITH RECURSIVE p AS ($ngramJaccardOracle),
-        |edges AS (SELECT doc_a AS a, doc_b AS b FROM p
-        |          UNION ALL SELECT doc_b, doc_a FROM p),
-        |reach(id, comp) AS (
-        |  SELECT a, a FROM edges
-        |  UNION
-        |  SELECT e.a, r.comp FROM edges e JOIN reach r ON e.b = r.id)
+        |$componentReachCtes
         |SELECT id AS doc_id, min(comp) AS component FROM reach
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "pipeline_curate" ->
@@ -1187,12 +1182,7 @@ object SparkEntry {
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "dedup_cluster_stats" -> // near-dup cluster size distribution
       s"""WITH RECURSIVE p AS ($ngramJaccardOracle),
-        |edges AS (SELECT doc_a AS a, doc_b AS b FROM p
-        |          UNION ALL SELECT doc_b, doc_a FROM p),
-        |reach(id, comp) AS (
-        |  SELECT a, a FROM edges
-        |  UNION
-        |  SELECT e.a, r.comp FROM edges e JOIN reach r ON e.b = r.id),
+        |$componentReachCtes,
         |comp AS (SELECT id AS doc_id, min(comp) AS component FROM reach GROUP BY 1),
         |sizes AS (SELECT component, count(*) AS cluster_size FROM comp GROUP BY 1)
         |SELECT cluster_size, count(*) AS n_clusters,
@@ -1288,12 +1278,7 @@ object SparkEntry {
         |FROM daily ORDER BY event_type, day""".stripMargin,
     "dedup_canonical" -> // longest-member election per near-dup cluster
       s"""WITH RECURSIVE p AS ($ngramJaccardOracle),
-        |edges AS (SELECT doc_a AS a, doc_b AS b FROM p
-        |          UNION ALL SELECT doc_b, doc_a FROM p),
-        |reach(id, comp) AS (
-        |  SELECT a, a FROM edges
-        |  UNION
-        |  SELECT e.a, r.comp FROM edges e JOIN reach r ON e.b = r.id),
+        |$componentReachCtes,
         |comp AS (SELECT id AS doc_id, min(comp) AS component FROM reach GROUP BY 1)
         |SELECT c.doc_id, c.component, d.n_chars,
         |  first_value(c.doc_id) OVER (
@@ -1318,18 +1303,28 @@ object SparkEntry {
     // against the exact hash-gated twin
   )
 
+  /** Shared recursive min-label reachability over a near-dup pairs CTE
+    * named `p` — the oracle twin of Dedup.nearDupComponents'
+    * propagation, interpolated by every component-consuming oracle
+    * (dedup_components, dedup_cluster_stats, dedup_canonical,
+    * curateCtes) so the component definition cannot drift between
+    * them.
+    */
+  private val componentReachCtes: String =
+    """edges AS (SELECT doc_a AS a, doc_b AS b FROM p
+      |          UNION ALL SELECT doc_b, doc_a FROM p),
+      |reach(id, comp) AS (
+      |  SELECT a, a FROM edges
+      |  UNION
+      |  SELECT e.a, r.comp FROM edges e JOIN reach r ON e.b = r.id)""".stripMargin
+
   /** Shared CTE chain for the curation oracles: near-dup components
     * (recursive CTE over the ngram pairs), token quality, language,
     * exact dedup — ending in a `curated` CTE of the surviving docs.
     */
   private lazy val curateCtes: String =
     s"""p AS ($ngramJaccardOracle),
-      |edges AS (SELECT doc_a AS a, doc_b AS b FROM p
-      |          UNION ALL SELECT doc_b, doc_a FROM p),
-      |reach(id, comp) AS (
-      |  SELECT a, a FROM edges
-      |  UNION
-      |  SELECT e.a, r.comp FROM edges e JOIN reach r ON e.b = r.id),
+      |$componentReachCtes,
       |comps AS (SELECT id AS doc_id, min(comp) AS near_dup_comp FROM reach GROUP BY 1),
       |q AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
       |lh AS (

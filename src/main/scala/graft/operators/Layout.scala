@@ -71,10 +71,7 @@ object Layout {
   def shardPlan(t: Tables, nShards: Int = 64): DataFrame =
     t.documents
       .select(col("doc_id"), col("n_chars"))
-      .withColumn(
-        "shard",
-        conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10).cast("long") % nShards
-      )
+      .withColumn("shard", Sampling.hashBucket(nShards))
       .groupBy("shard")
       .agg(
         count(lit(1)).as("n_docs"),

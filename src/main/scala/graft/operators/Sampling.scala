@@ -14,12 +14,17 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
-  /** Per-row hash bucket in [0, 100): first 8 hex digits of
-    * md5(doc_id), mod 100. Uniform, deterministic, engine-portable.
+  /** Per-row hash bucket in [0, mod): first 8 hex digits of
+    * md5(doc_id), mod `mod`. Uniform, deterministic, engine-portable —
+    * THE content-stable row hash of the sampling/split/shard family
+    * (Layout.shardPlan shares it), defined once so the stability
+    * contract ("a doc keeps its bucket forever") cannot drift between
+    * operators.
     */
-  private def hashBucket = {
-    conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10).cast("long") % 100
-  }
+  private[operators] def hashBucket(mod: Int): org.apache.spark.sql.Column =
+    conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10).cast("long") % mod
+
+  private def hashBucket: org.apache.spark.sql.Column = hashBucket(100)
 
   /** Stratified Bernoulli sample with per-source rates: high-value
     * sources (src0-src2) keep 50%, the rest 10%. Map-only — the filter

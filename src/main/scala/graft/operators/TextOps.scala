@@ -465,14 +465,21 @@ object TextOps {
     require(k <= graft.functions.FreqItemsAgg.Capacity + 1, "superset guarantee needs k <= cap+1")
     graft.functions.FreqItemsAgg.register(t.spark)
     val words = t.documents.select(explode(split(col("text"), " ")).as("word"))
-    val candidates = words
-      .agg(expr("mg_candidates(word)").as("cand"))
-      .select(explode(col("cand")).as("word"))
+    // the global token count rides in the SAME aggregation as the
+    // sketch — a separate words.agg(count) would be a third full
+    // corpus scan for one long
+    val summary = words.agg(
+      expr("mg_candidates(word)").as("cand"),
+      count(lit(1)).as("n_words")
+    )
+    // one-row broadcast + array_contains over ≤ Capacity entries keeps
+    // `summary` referenced exactly once (a separate exploded candidate
+    // join + count crossJoin would re-run the corpus aggregate)
     words
-      .join(broadcast(candidates), "word")
-      .groupBy("word")
+      .crossJoin(broadcast(summary))
+      .filter(array_contains(col("cand"), col("word")))
+      .groupBy("word", "n_words")
       .agg(count(lit(1)).as("cnt"))
-      .crossJoin(broadcast(words.agg(count(lit(1)).as("n_words"))))
       .filter(col("cnt") * k > col("n_words"))
       .select(col("word"), col("cnt"), col("n_words"))
       .orderBy(col("cnt").desc, col("word"))

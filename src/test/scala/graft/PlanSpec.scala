@@ -398,15 +398,21 @@ class PlanSpec extends SparkSpecBase {
     assert(plan.contains("Window"), s"running total must be a window:\n$plan")
   }
 
-  test("frequent words: MG sketch aggregates object-hash map-side; verify pass broadcasts candidates") {
+  test("frequent words: MG sketch aggregates object-hash map-side; verify pass broadcasts the summary") {
     val plan = executedPlanString(graft.operators.TextOps.frequentWords(tables))
     // the typed-imperative summary runs in ObjectHashAggregate with a
     // map-side partial — the corpus reaches the driver as ONE summary
     assert(plan.contains("ObjectHashAggregate"), s"MG summary not object-hash aggregated:\n$plan")
-    assert(plan.contains("BroadcastHashJoin"), s"candidates must broadcast into the verify scan:\n$plan")
     assert(!plan.contains("SortMergeJoin"), s"corpus shuffled into a join:\n$plan")
     // the only keyed exchange is the ≤Capacity-word verification count
     assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1, s"vocab-scale shuffle leaked:\n$plan")
+    // at most two corpus scans: sketch pass + verify pass (the token
+    // total rides in the sketch aggregate, never a third scan). When
+    // the rebalance exchange is present both passes share ONE scan
+    // through ReusedExchange.
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans <= 2, s"extra corpus scan:\n$plan")
+    assert(scans == 2 || plan.contains("ReusedExchange"), s"single scan without reuse:\n$plan")
   }
 
   test("incremental dedup: best-near-match runs through TopKPerKeyExec, no nested loop") {
