@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{HyperplaneExpr, MinHashExpr, MinHashUnion, SimHashExpr, VecExprs, WinnowExpr}
+import graft.functions.{HyperplaneExpr, MinHashExpr, MinHashUnion, MisraGriesCandidates, SimHashExpr, VecExprs, WinnowExpr}
 
 /** SparkSessionExtensions entry point: makes the engine's native
   * kernels first-class SQL functions in any session built with
@@ -73,6 +73,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo(classOf[MinHashUnion].getCanonicalName, "minhash_union"),
         (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
           MinHashUnion(exprs.head)
+      )
+    )
+    ext.injectFunction(
+      (
+        FunctionIdentifier("mg_candidates"),
+        new ExpressionInfo(classOf[MisraGriesCandidates].getCanonicalName, "mg_candidates"),
+        (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+          MisraGriesCandidates(exprs.head)
       )
     )
   }

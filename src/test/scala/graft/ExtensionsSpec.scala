@@ -61,6 +61,15 @@ class ExtensionsSpec extends AnyFunSuite {
         .collect()
         .head
       assert(agg.getInt(0) == graft.functions.MinHashExpr.NumHashes)
+      // the MG candidate summary: frequent item must survive via SQL
+      val mg = spark
+        .sql(
+          """SELECT mg_candidates(w) AS cand
+            |FROM (SELECT explode(array('hot','hot','hot','rare','hot')) AS w)""".stripMargin
+        )
+        .collect()
+        .head
+      assert(mg.getSeq[String](0).contains("hot"), "mg_candidates lost the frequent item")
     } finally spark.stop() // own JVM, own context — safe to stop
   }
 
