@@ -136,7 +136,10 @@ object SparkEntry {
     "q_daily_cumulative"   -> ((s, d) => Analytics.dailyCumulative(Tables(s, d))),
     "dedup_canonical"      -> ((s, d) => Dedup.clusterCanonical(Tables(s, d))),
     "q_attribution"        -> ((s, d) => Analytics.attribution(Tables(s, d))),
-    "q_value_percentiles_approx" -> ((s, d) => Analytics.valuePercentilesApprox(Tables(s, d)))
+    "q_value_percentiles_approx" -> ((s, d) => Analytics.valuePercentilesApprox(Tables(s, d))),
+    "q_asof_fresh"         -> ((s, d) => Temporal.asofPriorClickFresh(Tables(s, d))),
+    "q_event_transitions"  -> ((s, d) => EventOps.eventTransitions(Tables(s, d))),
+    "q_user_deciles"       -> ((s, d) => Analytics.userValueDeciles(Tables(s, d)))
   )
 
   /** kinesis_topic/main.go:23 — the demo topic payload. */
@@ -1297,10 +1300,43 @@ object SparkEntry {
         |SELECT date_trunc('hour', click_ts) AS click_hour, count(*) AS n_purchases,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS attributed_value
         |FROM j WHERE rn = 1
-        |GROUP BY 1 ORDER BY 1""".stripMargin
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // q_value_percentiles_approx: no oracle — KLL summary outputs are
     // accuracy-bounded, not portable; AnalyticsSpec brackets them
     // against the exact hash-gated twin
+    "q_asof_fresh" -> // bounded-staleness as-of: prior click at most 24h old
+      """WITH c AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'),
+        |j AS (
+        |  SELECT p.event_id, p.user_id, p.ts, c.event_id AS click_event_id, c.ts AS click_ts,
+        |    row_number() OVER (PARTITION BY p.event_id ORDER BY c.ts DESC, c.event_id DESC) AS rn
+        |  FROM p JOIN c ON c.user_id = p.user_id AND c.ts <= p.ts)
+        |SELECT event_id, user_id, ts, click_event_id, click_ts,
+        |  epoch_us(ts) - epoch_us(click_ts) AS gap_us
+        |FROM j WHERE rn = 1 AND epoch_us(ts) - epoch_us(click_ts) <= 86400000000
+        |ORDER BY event_id""".stripMargin,
+    "q_event_transitions" -> // first-order Markov transition counts per user history
+      """WITH o AS (
+        |  SELECT user_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        |  FROM events)
+        |SELECT prev_type, event_type AS next_type, count(*) AS n_transitions
+        |FROM o WHERE prev_type IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_user_deciles" -> // equi-depth LTV deciles via broadcast cutpoints (no global sort)
+      """WITH pu AS (
+        |  SELECT user_id, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |cuts AS (
+        |  SELECT quantile_cont(total_value, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS cuts
+        |  FROM pu),
+        |d AS (
+        |  SELECT user_id, total_value,
+        |    CAST(1 + len(list_filter(cuts.cuts, c -> total_value > c)) AS BIGINT) AS decile
+        |  FROM pu, cuts)
+        |SELECT decile, count(*) AS n_users,
+        |  CAST(sum(CAST(total_value AS DECIMAL(18,2))) AS DOUBLE) AS decile_value
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin
   )
 
   /** Shared recursive min-label reachability over a near-dup pairs CTE

@@ -453,6 +453,36 @@ object Analytics {
       )
       .orderBy("event_type")
 
+  /** B28: per-user lifetime-value deciles WITHOUT a global sort — the
+    * equi-depth bucketing problem at scale. `ntile(10)` over all users
+    * is a single-partition window (the serial dimension a billion-user
+    * table cannot pay); instead the nine exact decile CUTPOINTS come
+    * from one tiny aggregate, broadcast back, and each user's decile
+    * is `1 + #(cutpoints below)` via a 9-element fold — map-side,
+    * embarrassingly parallel, same answer. The length-gate pattern
+    * generalized from one threshold to an equi-depth histogram.
+    */
+  def userValueDeciles(t: Tables): DataFrame = {
+    val perUser = t.events
+      .filter(col("event_type") === "purchase")
+      .groupBy("user_id")
+      .agg(Num.moneySum(col("value")).as("total_value"))
+    val cuts = perUser.agg(
+      expr("percentile(total_value, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))").as("cuts")
+    )
+    perUser
+      .crossJoin(broadcast(cuts))
+      .withColumn(
+        "decile",
+        (lit(1) + expr(
+          "aggregate(cuts, 0, (acc, c) -> acc + CASE WHEN total_value > c THEN 1 ELSE 0 END)"
+        )).cast("long")
+      )
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_users"), Num.moneySum(col("total_value")).as("decile_value"))
+      .orderBy("decile")
+  }
+
   /** B26: daily revenue with a running cumulative per type — the
     * window-on-aggregate pattern: the raw fact collapses to a tiny
     * (days × types) grid FIRST (partial-agg'd shuffle), and only the

@@ -110,4 +110,28 @@ object EventOps {
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"), max(col("k")).as("max_k"))
       .orderBy("event_type")
+
+  /** Per-user event-type transition matrix (first-order Markov
+    * counts): how often does `prev → next` occur consecutively in a
+    * user's history? The behavioral-sequence statistic behind
+    * session-flow dashboards and next-action models; per-type COUNTS
+    * can't see ordering at all.
+    *
+    * ONE shuffle on user_id for the lag window (the (ts, event_id)
+    * ordering pins ties), then a tiny partial-agg'd rollup — output ≤
+    * types², at any input scale.
+    */
+  def eventTransitions(t: Tables): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id")
+      .orderBy(col("ts"), col("event_id"))
+    t.events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev_type", lag("event_type", 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .select(col("prev_type"), col("event_type").as("next_type"))
+      .groupBy("prev_type", "next_type")
+      .agg(count(lit(1)).as("n_transitions"))
+      .orderBy("prev_type", "next_type")
+  }
 }

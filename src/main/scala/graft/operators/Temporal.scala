@@ -103,6 +103,19 @@ object Temporal {
       .orderBy("event_id")
   }
 
+  /** Bounded-staleness as-of (inner): like [[asofPriorClick]] but the
+    * carried click must be FRESH — at most `maxGapHours` old at
+    * purchase time. This is the feature-freshness contract of every
+    * online feature store ("use the latest value, unless it is too
+    * stale to trust"). Because the as-of carry picks the CLOSEST prior
+    * click, filtering the carried gap is exact: if the latest click is
+    * stale, every earlier one is staler. Same single-shuffle kernel +
+    * a codegen'd filter — no second window, no join.
+    */
+  def asofPriorClickFresh(t: Tables, maxGapHours: Long = 24L): DataFrame =
+    asofOn(t.events, keepUnmatched = false)
+      .filter(col("gap_us") <= maxGapHours * HourUs)
+
   /** FORWARD as-of (inner): for every purchase, the EARLIEST click by
     * the same user at-or-after the purchase timestamp — the funnel
     * direction ("next action after X") of the backward kernel above.

@@ -384,6 +384,13 @@ class PlanSpec extends SparkSpecBase {
     assert(!plan.contains("Join"), s"quota must be join-free:\n$plan")
   }
 
+  test("user deciles: broadcast cutpoints, no window at all — the equi-depth bucketing has no serial stage") {
+    val plan = executedPlanString(Analytics.userValueDeciles(tables))
+    assert(!plan.contains("Window"), s"global ntile/sort leaked into the decile plan:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"cutpoints must broadcast:\n$plan")
+  }
+
   test("lang mismatch audit: one corpus scan, one keyed shuffle — no self-join on langid output") {
     val plan = executedPlanString(graft.operators.TextOps.langMismatch(tables))
     assert(!plan.contains("Join"), s"audit must fold langid into the metadata scan:\n$plan")
