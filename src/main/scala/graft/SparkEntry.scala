@@ -139,7 +139,8 @@ object SparkEntry {
     "q_value_percentiles_approx" -> ((s, d) => Analytics.valuePercentilesApprox(Tables(s, d))),
     "q_asof_fresh"         -> ((s, d) => Temporal.asofPriorClickFresh(Tables(s, d))),
     "q_event_transitions"  -> ((s, d) => EventOps.eventTransitions(Tables(s, d))),
-    "q_user_deciles"       -> ((s, d) => Analytics.userValueDeciles(Tables(s, d)))
+    "q_user_deciles"       -> ((s, d) => Analytics.userValueDeciles(Tables(s, d))),
+    "q_rolling_actives"    -> ((s, d) => EventOps.rollingActives(Tables(s, d)))
   )
 
   /** kinesis_topic/main.go:23 — the demo topic payload. */
@@ -1336,7 +1337,17 @@ object SparkEntry {
         |  FROM pu, cuts)
         |SELECT decile, count(*) AS n_users,
         |  CAST(sum(CAST(total_value AS DECIMAL(18,2))) AS DOUBLE) AS decile_value
-        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_rolling_actives" -> // 7-day rolling distinct active users per day
+      """WITH ud AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events),
+        |b AS (SELECT max(day) AS max_day FROM ud),
+        |cover AS (
+        |  SELECT DISTINCT user_id, rd AS report_day
+        |  FROM ud, b,
+        |    unnest(generate_series(ud.day, least(ud.day + INTERVAL 6 DAY, b.max_day),
+        |                           INTERVAL 1 DAY)) AS t(rd))
+        |SELECT report_day, count(*) AS active_users
+        |FROM cover GROUP BY 1 ORDER BY 1""".stripMargin
   )
 
   /** Shared recursive min-label reachability over a near-dup pairs CTE

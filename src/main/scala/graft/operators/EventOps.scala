@@ -111,6 +111,39 @@ object EventOps {
       .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"), max(col("k")).as("max_k"))
       .orderBy("event_type")
 
+  /** Rolling 7-day active users per day — the WAU curve. Sliding
+    * DISTINCT is the hard case: distinct doesn't partial-aggregate
+    * across overlapping windows, and the naive form is a range join of
+    * every report day against the whole activity table. Instead: (1)
+    * pre-distinct to (user, day) — corpus collapses to user-day
+    * granularity; (2) each active day covers at most `windowDays`
+    * report days, so EXPLODE that constant-size cover (the hopping-
+    * window trick applied to distinct), bounded to the data's last
+    * day; (3) distinct (user, report_day), then count = distinct
+    * users, Expand-free. Inflation is the constant window factor —
+    * never |days| × |activity|.
+    */
+  def rollingActives(t: Tables, windowDays: Int = 7): DataFrame = {
+    val userDays = t.events
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .distinct()
+    val bounds = userDays.agg(max("day").as("max_day"))
+    userDays
+      .crossJoin(broadcast(bounds))
+      .select(
+        col("user_id"),
+        explode(
+          expr(
+            s"sequence(day, least(day + interval ${windowDays - 1} days, max_day), interval 1 day)"
+          )
+        ).as("report_day")
+      )
+      .distinct()
+      .groupBy("report_day")
+      .agg(count(lit(1)).as("active_users"))
+      .orderBy("report_day")
+  }
+
   /** Per-user event-type transition matrix (first-order Markov
     * counts): how often does `prev → next` occur consecutively in a
     * user's history? The behavioral-sequence statistic behind
