@@ -241,6 +241,48 @@ class StreamingSpec extends SparkSpecBase {
     ), s"got $rows")
   }
 
+  test("online corpus refresh: foreachBatch merges each batch's admits into the base index") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the production loop the static-index admission spec can't show:
+    // every micro-batch probes the CURRENT index, and its admitted
+    // docs become part of the index the NEXT batch probes — the
+    // self-referential online refresh (stream → verdicts → index
+    // append), state held in the store rather than join state
+    val idxDir = Files.createTempDirectory("graft-idx").toString
+    Seq((1L, "alpha beta gamma")).toDF("doc_id", "text")
+      .select(col("doc_id"), graft.operators.Dedup.normTextHashCol.as("text_hash"))
+      .write.mode("overwrite").parquet(idxDir)
+    val verdicts = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Option[Long])]
+    val in = MemoryStream[(Long, String)]
+    val q = in.toDF().toDF("doc_id", "text").writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", ckpt())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val base = batch.sparkSession.read.parquet(idxDir)
+        val out  = KinesisLikePipeline.streamingAdmission(batch, base)
+        val rows = out.collect()
+        verdicts ++= rows.map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("verdict"),
+          Option(r.getAs[java.lang.Long]("base_doc")).map(_.toLong)))
+        out.filter(col("verdict") === "admit")
+          .select(col("doc_id"), col("text_hash"))
+          .write.mode("append").parquet(idxDir)
+        ()
+      }
+      .start()
+    in.addData((10L, "alpha beta gamma"), (11L, "brand new content"))
+    q.processAllAvailable()
+    in.addData((12L, "brand new content"), (13L, "other material"))
+    q.processAllAvailable()
+    q.stop()
+    val byDoc = verdicts.map(v => v._1 -> (v._2, v._3)).toMap
+    assert(byDoc(10L) == ("duplicate", Some(1L)), s"got $verdicts")
+    assert(byDoc(11L) == ("admit", None))
+    // 12 duplicates 11 ONLY if batch 1's admit reached the index
+    assert(byDoc(12L) == ("duplicate", Some(11L)), s"index merge lost batch-1 admits: $verdicts")
+    assert(byDoc(13L) == ("admit", None))
+  }
+
   test("stream-stream interval join correlates events within the time skew only") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
