@@ -384,6 +384,19 @@ class PlanSpec extends SparkSpecBase {
     assert(!plan.contains("Join"), s"quota must be join-free:\n$plan")
   }
 
+  test("attribution: union-tag as-of carry is join-free — one user shuffle plus the tiny hour rollup") {
+    val plan = executedPlanString(Analytics.attribution(tables))
+    assert(!plan.contains("Join"), s"attribution must carry value through the union, not join:\n$plan")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 2, s"extra shuffles:\n$plan")
+  }
+
+  test("rolling actives: constant-factor cover explode — no sort-merge join, three keyed exchanges") {
+    val plan = executedPlanString(graft.operators.EventOps.rollingActives(tables))
+    assert(!plan.contains("SortMergeJoin"), s"report days joined against activity:\n$plan")
+    // distinct (user, day) + distinct (user, report_day) + final count
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 3, s"extra shuffles:\n$plan")
+  }
+
   test("user deciles: broadcast cutpoints, no window at all — the equi-depth bucketing has no serial stage") {
     val plan = executedPlanString(Analytics.userValueDeciles(tables))
     assert(!plan.contains("Window"), s"global ntile/sort leaked into the decile plan:\n$plan")
