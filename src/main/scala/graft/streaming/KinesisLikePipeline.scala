@@ -132,6 +132,34 @@ object KinesisLikePipeline {
         col("sum_value")
       )
 
+  /** Rolling distinct active users per sliding window — the streaming
+    * twin of EventOps.rollingActives (the WAU curve, updated as events
+    * arrive). Streaming can't nest aggregations, so sliding DISTINCT
+    * uses the one supported composition: the `window()` generator
+    * (which PROPAGATES the event-time watermark, unlike a hand-built
+    * explode) fans each event into its overlapping windows, a
+    * watermark-bounded dropDuplicates keeps one (user, window) row,
+    * and the final count is then a plain aggregation. State =
+    * watermark-horizon user-window pairs on the dedup side plus open
+    * windows on the agg side — both watermark-bounded.
+    */
+  def rollingActiveCounts(
+      events: DataFrame,
+      window: String = "7 days",
+      slide: String = "1 day",
+      watermark: String = "1 day"
+  ): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .select(
+        org.apache.spark.sql.functions.window(col("ts"), window, slide).as("win"),
+        col("user_id")
+      )
+      .dropDuplicates("user_id", "win")
+      .groupBy(col("win"))
+      .agg(count(lit(1)).as("active_users"))
+      .select(col("win.start").as("window_start"), col("win.end").as("window_end"), col("active_users"))
+
   /** Stream-stream interval join: correlate two event streams on a
     * key within a bounded time skew. Both watermarks plus the interval
     * condition bound the join state on each side — without them a

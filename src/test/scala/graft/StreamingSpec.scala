@@ -241,6 +241,40 @@ class StreamingSpec extends SparkSpecBase {
     ), s"got $rows")
   }
 
+  test("rolling actives: sliding distinct counts each user once per window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long)]
+    val agg = KinesisLikePipeline.rollingActiveCounts(
+      in.toDF().toDF("ts", "user_id"),
+      window = "2 days", slide = "1 day", watermark = "1 day")
+    val q = agg.writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory")
+      .queryName("wau_out")
+      .option("checkpointLocation", ckpt())
+      .start()
+    // user 7 active twice on day 1 and once on day 2 — each window
+    // containing them must count them ONCE; user 9 only on day 2
+    in.addData(
+      (Timestamp.valueOf("2026-01-01 01:00:00"), 7L),
+      (Timestamp.valueOf("2026-01-01 09:00:00"), 7L),
+      (Timestamp.valueOf("2026-01-02 01:00:00"), 7L),
+      (Timestamp.valueOf("2026-01-02 02:00:00"), 9L)
+    )
+    q.processAllAvailable()
+    in.addData((Timestamp.valueOf("2026-01-10 00:00:00"), 1L)) // advance watermark
+    q.processAllAvailable()
+    val rows = spark.table("wau_out").collect()
+      .map(r => r.getAs[java.sql.Timestamp]("window_start").toString.take(10) ->
+        r.getAs[Long]("active_users")).toMap
+    q.stop()
+    // 2-day windows sliding daily: [12-31,01-02)={7}, [01-01,01-03)={7,9}, [01-02,01-04)={7,9}
+    assert(rows.get("2025-12-31") == Some(1L), s"got $rows")
+    assert(rows.get("2026-01-01") == Some(2L), s"got $rows")
+    assert(rows.get("2026-01-02") == Some(2L), s"got $rows")
+  }
+
   test("online corpus refresh: foreachBatch merges each batch's admits into the base index") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
