@@ -141,7 +141,13 @@ object SparkEntry {
     "q_asof_fresh"         -> ((s, d) => Temporal.asofPriorClickFresh(Tables(s, d))),
     "q_event_transitions"  -> ((s, d) => EventOps.eventTransitions(Tables(s, d))),
     "q_user_deciles"       -> ((s, d) => Analytics.userValueDeciles(Tables(s, d))),
-    "q_rolling_actives"    -> ((s, d) => EventOps.rollingActives(Tables(s, d)))
+    "q_rolling_actives"    -> ((s, d) => EventOps.rollingActives(Tables(s, d))),
+    "q_ship_priority"      -> ((s, d) => Analytics.shipPriorityMatrix(Tables(s, d))),
+    "q_custdist"           -> ((s, d) => Analytics.customerOrderDist(Tables(s, d))),
+    "q_large_orders"       -> ((s, d) => Analytics.largeOrders(Tables(s, d))),
+    "q_promo_revenue"      -> ((s, d) => Analytics.promoRevenueByMonth(Tables(s, d))),
+    "text_collocations"    -> ((s, d) => TextOps.collocations(Tables(s, d))),
+    "q_fuzzy_names"        -> ((s, d) => Joins.fuzzyNamePairs(Tables(s, d)))
   )
 
   /** kinesis_topic/main.go:23 — the demo topic payload. */
@@ -1348,7 +1354,62 @@ object SparkEntry {
         |    unnest(generate_series(ud.day, least(ud.day + INTERVAL 6 DAY, b.max_day),
         |                           INTERVAL 1 DAY)) AS t(rd))
         |SELECT report_day, count(*) AS active_users
-        |FROM cover GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM cover GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_ship_priority" -> // TPC-H Q12-style critical-vs-routine lineitem counts per line status
+      """SELECT l_linestatus,
+        |  sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS n_critical,
+        |  sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS n_routine
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_custdist" -> // TPC-H Q13-style order-count histogram incl. zero-order customers
+      """WITH pc AS (SELECT o_custkey, count(*) AS cnt FROM orders GROUP BY 1)
+        |SELECT coalesce(cnt, 0) AS n_orders, count(*) AS n_customers
+        |FROM customer LEFT JOIN pc ON c_custkey = o_custkey
+        |GROUP BY 1 ORDER BY n_customers DESC, n_orders DESC""".stripMargin,
+    "q_large_orders" -> // TPC-H Q18-style orders with total line quantity > 200
+      """WITH s AS (
+        |  SELECT l_orderkey, CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+        |  FROM lineitem GROUP BY 1)
+        |SELECT o_orderkey, c_name, o_orderdate, total_qty, o_totalprice
+        |FROM s JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey
+        |WHERE total_qty > 200
+        |ORDER BY total_qty DESC, o_orderkey""".stripMargin,
+    "q_promo_revenue" -> // TPC-H Q14-style promo vs total revenue per ship month (num/den, no float div)
+      """SELECT date_trunc('month', l_shipdate) AS ship_month,
+        |  CAST(sum(CASE WHEN p_type = 'PROMO'
+        |    THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,4))
+        |    ELSE CAST(0 AS DECIMAL(22,4)) END) AS DOUBLE) AS promo_revenue,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,4))) AS DOUBLE) AS total_revenue,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "text_collocations" -> // bigrams beating 1.4x the independence expectation, exact integer lift test
+      """WITH base AS (SELECT string_split(text, ' ') AS ws FROM documents),
+        |pr AS (
+        |  SELECT CASE WHEN i >= 0 THEN ws[i+1] END AS w1,
+        |         CASE WHEN i + 1 < len(ws) THEN ws[i+2] END AS w2,
+        |         count(*) AS c
+        |  FROM base, unnest(generate_series(-1, len(ws) - 1)) AS t(i)
+        |  GROUP BY 1, 2),
+        |u1 AS (SELECT w1 AS w, sum(c) AS c_first FROM pr WHERE w1 IS NOT NULL GROUP BY 1),
+        |u2 AS (SELECT w2 AS w, sum(c) AS c_second FROM pr WHERE w2 IS NOT NULL GROUP BY 1),
+        |tot AS (SELECT sum(c) AS n_tokens FROM pr WHERE w1 IS NOT NULL)
+        |SELECT w1, w2, c AS n_pair, c_first AS n_first, c_second AS n_second
+        |FROM pr, tot
+        |JOIN u1 ON w1 = u1.w JOIN u2 ON w2 = u2.w
+        |WHERE w1 IS NOT NULL AND w2 IS NOT NULL AND c >= 5
+        |  AND CAST(c AS HUGEINT) * n_tokens * 10 >= 14 * CAST(c_first AS HUGEINT) * c_second
+        |ORDER BY n_pair DESC, w1, w2""".stripMargin,
+    "q_fuzzy_names" -> // blocked levenshtein name linkage over DISTINCT names (noun block key)
+      """WITH n AS (
+        |  SELECT p_name, count(*) AS n_parts, split_part(p_name, ' ', 2) AS blk
+        |  FROM part GROUP BY 1, 3)
+        |SELECT a.p_name AS name_a, b.p_name AS name_b,
+        |  CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist,
+        |  a.n_parts AS n_a, b.n_parts AS n_b
+        |FROM n a JOIN n b ON a.blk = b.blk AND a.p_name < b.p_name
+        |WHERE levenshtein(a.p_name, b.p_name) <= 2
+        |ORDER BY name_a, name_b""".stripMargin
   )
 
   /** Shared recursive min-label reachability over a near-dup pairs CTE

@@ -535,4 +535,88 @@ object Analytics {
       .filter(col("pct_rank") >= 0.9)
       .orderBy("event_id")
   }
+
+  /** B31: TPC-H Q12-style shipping/priority matrix — per line status,
+    * how many lineitems belong to critical (urgent/high) vs. other
+    * orders. Conditional-count aggregation pushed into ONE partial agg
+    * after the fact-fact join; the only wide exchange is
+    * lineitem⋈orders on the order key (AQE free to pick the side).
+    * Counts are integers → bit-exact cross-engine.
+    */
+  def shipPriorityMatrix(t: Tables): DataFrame = {
+    val o = t.orders.select(col("o_orderkey"), col("o_orderpriority"))
+    val l = t.lineitem.select("l_orderkey", "l_linestatus")
+    val critical = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_linestatus")
+      .agg(
+        sum(when(critical, 1L).otherwise(0L)).as("n_critical"),
+        sum(when(critical, 0L).otherwise(1L)).as("n_routine")
+      )
+      .orderBy("l_linestatus")
+  }
+
+  /** B32: TPC-H Q13-style customer order-count distribution. Orders
+    * are pre-aggregated to one row per customer BEFORE the customer
+    * join — the join then moves |customers| rows instead of |orders|,
+    * and the second aggregation (histogram over n_orders) groups a
+    * tiny domain. Left join keeps zero-order customers (count 0).
+    * Two shuffles total (custkey, then n_orders); all-integer output.
+    */
+  def customerOrderDist(t: Tables): DataFrame = {
+    val perCust = t.orders.groupBy("o_custkey").agg(count(lit(1)).as("cnt"))
+    t.customer
+      .select("c_custkey")
+      .join(perCust, col("c_custkey") === col("o_custkey"), "left")
+      .select(coalesce(col("cnt"), lit(0L)).as("n_orders"))
+      .groupBy("n_orders")
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("n_customers").desc, col("n_orders").desc)
+  }
+
+  /** B33: TPC-H Q18-style large-volume orders — orders whose total
+    * line quantity exceeds a threshold, joined back to the customer.
+    * The quantity rollup happens FIRST (one shuffle on l_orderkey,
+    * map-side combined), the selective filter (>threshold keeps a few
+    * percent) runs on the aggregate, and only then do the survivors
+    * join orders/customer — at which point the left side is small
+    * enough that AQE converts both joins to broadcasts at any SF.
+    * Decimal quantity sum → order-independent, bit-exact.
+    */
+  def largeOrders(t: Tables, minQty: Double = 200.0): DataFrame = {
+    val big = t.lineitem
+      .groupBy("l_orderkey")
+      .agg(Num.moneySum(col("l_quantity")).as("total_qty"))
+      .filter(col("total_qty") > minQty)
+    big
+      .join(t.orders.select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(t.customer.select("c_custkey", "c_name"), col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("c_name"), col("o_orderdate"), col("total_qty"),
+        col("o_totalprice"))
+      .orderBy(col("total_qty").desc, col("o_orderkey"))
+  }
+
+  /** B34: TPC-H Q14-style promotion revenue by ship month. The
+    * float-ratio form (promo/total * 100) is NOT portable across
+    * engines, so the operator emits both decimal sums and leaves the
+    * division to the consumer — same numerator/denominator convention
+    * as [[graft.operators.Sampling]]'s mixture weights. Part is the
+    * broadcast dimension; lineitem aggregates in one shuffle on the
+    * ship month.
+    */
+  def promoRevenueByMonth(t: Tables): DataFrame = {
+    val p       = t.part.select(col("p_partkey"), (col("p_type") === "PROMO").as("is_promo"))
+    val revenue = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    t.lineitem
+      .select("l_partkey", "l_extendedprice", "l_discount", "l_shipdate")
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy(date_trunc("month", col("l_shipdate")).as("ship_month"))
+      .agg(
+        Num.moneySum4(when(col("is_promo"), revenue).otherwise(lit(0.0))).as("promo_revenue"),
+        Num.moneySum4(revenue).as("total_revenue"),
+        count(lit(1)).as("n_items")
+      )
+      .orderBy("ship_month")
+  }
 }

@@ -484,4 +484,63 @@ object TextOps {
       .select(col("word"), col("cnt"), col("n_words"))
       .orderBy(col("cnt").desc, col("word"))
   }
+
+  /** C33: collocation extraction — word bigrams whose observed count
+    * exceeds `liftTenths`/10 × the independence expectation
+    * c(w₁)·c(w₂)/N (a PMI > log(lift) cut), with a minimum support.
+    * The lift test is the cross-multiplied INTEGER comparison
+    * `c_xy·N·10 ≥ liftTenths·c₁·c₂` in Decimal(38,0) — no float
+    * division anywhere, so the oracle matches bit-exactly and the
+    * products can't overflow at petabyte token counts (38 digits ≫
+    * 2·10¹⁴ tokens squared).
+    *
+    * Plan shape: ONE corpus scan builds sentinel-padded (w₁,w₂) pairs
+    * shuffle-free (array transform + explode — no per-doc window, no
+    * doc_id shuffle), ONE exchange on the pair key aggregates them,
+    * and the aggregate — distinct-bigram-sized, orders of magnitude
+    * below the corpus — is MATERIALIZED once (localCheckpoint, or a
+    * reliable `checkpoint()` under `checkpointDir` for long-lived
+    * jobs, the [[graft.operators.Dedup]] convention) so its four
+    * consumers — unigram counts c(w) as sum-over-successors, the token
+    * total N, and the surviving pair rows — never re-run the corpus
+    * explode. The sentinel rows are what make first/second-element
+    * marginals equal full word counts, so ONE pass feeds everything.
+    * Unigram/total sides are vocabulary-sized → broadcast.
+    */
+  def collocations(
+      t: Tables,
+      minCount: Int = 5,
+      liftTenths: Int = 14,
+      checkpointDir: Option[String] = None
+  ): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    // pos -1 (null,first) and pos n-1 (last,null) sentinels: every word
+    // occurrence appears exactly once as w1 and once as w2, so both
+    // marginals of this one aggregate are the true unigram counts.
+    val pairsPlan = t.documents
+      .withColumn("ws", split(col("text"), " "))
+      .select(explode(expr(
+        "transform(sequence(-1, size(ws)-1), " +
+          "i -> struct(IF(i >= 0, ws[i], NULL) AS w1, IF(i+1 < size(ws), ws[i+1], NULL) AS w2))"
+      )).as("p"))
+      .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .agg(count(lit(1)).as("c"))
+    checkpointDir.foreach(t.spark.sparkContext.setCheckpointDir)
+    val pairs = if (checkpointDir.isDefined) pairsPlan.checkpoint() else pairsPlan.localCheckpoint()
+    val c1  = pairs.groupBy("w1").agg(sum("c").as("c_first")).filter(col("w1").isNotNull)
+    val c2  = pairs.groupBy("w2").agg(sum("c").as("c_second")).filter(col("w2").isNotNull)
+    val tot = pairs.filter(col("w1").isNotNull).agg(sum("c").as("n_tokens"))
+    pairs
+      .filter(col("w1").isNotNull && col("w2").isNotNull && col("c") >= minCount)
+      .join(broadcast(c1), "w1")
+      .join(broadcast(c2), "w2")
+      .crossJoin(broadcast(tot))
+      .filter(
+        col("c").cast(dec) * col("n_tokens") * lit(10) >=
+          lit(liftTenths) * col("c_first").cast(dec) * col("c_second")
+      )
+      .select(col("w1"), col("w2"), col("c").as("n_pair"),
+        col("c_first").as("n_first"), col("c_second").as("n_second"))
+      .orderBy(col("n_pair").desc, col("w1"), col("w2"))
+  }
 }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Analytics, Temporal}
+import graft.operators.{Analytics, Num, Temporal}
 import org.apache.spark.sql.functions._
 
 /** Operator-level checks for the analytics family that the SQL gate
@@ -58,5 +58,46 @@ class AnalyticsSpec extends SparkSpecBase {
     val op = Analytics.attribution(tables).collect()
       .map(r => r.getTimestamp(0) -> (r.getLong(1), r.getDouble(2))).toMap
     assert(op == byHand, s"attribution diverged from the pair view: ${op.size} vs ${byHand.size} hours")
+  }
+
+  test("order-count histogram conserves both customers and orders") {
+    val rows = Analytics.customerOrderDist(tables).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val nCustomers = rows.map(_._2).sum
+    val nOrders    = rows.map { case (k, v) => k * v }.sum
+    assert(nCustomers == tables.customer.count(), "histogram must cover every customer once")
+    assert(nOrders == tables.orders.count(), "sum(n_orders * n_customers) must equal |orders|")
+    assert(rows.exists(_._1 == 0L) || nCustomers == rows.filter(_._1 > 0).map(_._2).sum)
+  }
+
+  test("ship-priority matrix partitions the joined lineitem count exactly") {
+    val rows  = Analytics.shipPriorityMatrix(tables).collect()
+    val total = rows.map(r => r.getLong(1) + r.getLong(2)).sum
+    // inner join on a foreign key that always resolves: every lineitem counted once
+    assert(total == tables.lineitem.count(), s"critical+routine must cover all lineitems ($total)")
+  }
+
+  test("large orders are exactly the aggregate rows above the threshold") {
+    val got = Analytics.largeOrders(tables).collect()
+    assert(got.nonEmpty && got.forall(_.getAs[Double]("total_qty") > 200.0))
+    val expected = tables.lineitem.groupBy("l_orderkey")
+      .agg(Num.moneySum(col("l_quantity")).as("q"))
+      .filter(col("q") > 200.0).count()
+    assert(got.length == expected, "join-back must neither drop nor duplicate qualifying orders")
+  }
+
+  test("promo revenue is bounded by and sums to the unconditional revenue") {
+    val rows = Analytics.promoRevenueByMonth(tables).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (promo, total) = (r.getAs[Double]("promo_revenue"), r.getAs[Double]("total_revenue"))
+      assert(promo >= 0.0 && promo <= total, s"promo $promo outside [0, $total]")
+    }
+    val overall = tables.lineitem.agg(
+      Num.moneySum4(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev")
+    ).head().getDouble(0)
+    val summed = BigDecimal(rows.map(r => BigDecimal(r.getAs[Double]("total_revenue"))).sum.toDouble)
+    // month partition must conserve total revenue (decimal-exact sums)
+    assert((summed - BigDecimal(overall)).abs < BigDecimal("0.0001"), s"$summed vs $overall")
   }
 }

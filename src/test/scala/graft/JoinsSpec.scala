@@ -76,4 +76,28 @@ class JoinsSpec extends SparkSpecBase {
       .collect()
     assert(Joins.bucketedJoin(t, wh).collect().toSeq == plain.toSeq)
   }
+
+  test("fuzzy name pairs equal brute force over distinct names within blocks") {
+    val names = tables.part.select("p_name").collect().map(_.getString(0))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    def dist(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(
+          math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1)
+        )
+      d(a.length)(b.length)
+    }
+    val ks = names.keys.toSeq.sorted
+    val expected = (for {
+      a <- ks; b <- ks
+      if a < b && a.split(" ")(1) == b.split(" ")(1) && dist(a, b) <= 2
+    } yield (a, b, dist(a, b).toLong, names(a), names(b))).toSet
+    val got = Joins.fuzzyNamePairs(tables).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(expected.nonEmpty && got.toSet == expected, s"${got.length} vs ${expected.size}")
+  }
 }

@@ -67,6 +67,22 @@ class PlanSpec extends SparkSpecBase {
     assert(plan.contains("ReusedExchange"), s"slice index computed twice:\n$plan")
   }
 
+  test("fuzzy name self-join reuses one distinct-name exchange (shuffled hash join)") {
+    val plan = executedPlanString(graft.operators.Joins.fuzzyNamePairs(tables))
+    assert(plan.contains("ShuffledHashJoin"), s"expected shuffle-hash block join:\n$plan")
+    assert(plan.contains("ReusedExchange"), s"distinct-name aggregate computed twice:\n$plan")
+    assert("FileScan parquet".r.findAllIn(plan).size == 1, s"part must be scanned once:\n$plan")
+  }
+
+  test("collocation consumers read the materialized pair aggregate, not the corpus") {
+    val plan = executedPlanString(graft.operators.TextOps.collocations(tables))
+    // the explode/aggregate runs once at checkpoint time; the executed
+    // plan's four consumers must all read the checkpointed RDD — any
+    // FileScan here means the corpus pipeline leaked past the barrier
+    assert(!plan.contains("FileScan"), s"corpus re-scanned past the pair checkpoint:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"vocab sides must broadcast:\n$plan")
+  }
+
   test("pii redaction is a pure projection; order/epochs keep their minimal shuffle shape") {
     // pii: codegen'd regexps over the scan — the only exchange allowed
     // is the output sort's range partitioning

@@ -198,4 +198,23 @@ class TextOpsSpec extends SparkSpecBase {
     assert(got.forall(_.getAs[Long]("len_threshold") == threshold))
     assert(got.map(_.getAs[Long]("doc_id")).toSet == expected)
   }
+
+  test("collocations equal the brute-force integer-lift filter") {
+    val docs = tables.documents.select("text").collect().map(_.getString(0).split(" ", -1).toSeq)
+    val uni  = docs.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n    = docs.map(_.size).sum.toLong
+    val big  = docs.flatMap(ws => ws.zip(ws.drop(1)))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val expected = big.collect {
+      case ((w1, w2), c)
+          if c >= 5 &&
+            BigInt(c) * n * 10 >= BigInt(14) * uni(w1) * uni(w2) =>
+        (w1, w2, c, uni(w1), uni(w2))
+    }.toSet
+    val got = TextOps.collocations(tables).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSet == expected, s"${got.length} vs expected ${expected.size}")
+    // output ordering contract: support-descending, then lexicographic
+    assert(got.sortBy(x => (-x._3, x._1, x._2)).toSeq == got.toSeq)
+  }
 }
