@@ -147,7 +147,11 @@ object SparkEntry {
     "q_large_orders"       -> ((s, d) => Analytics.largeOrders(Tables(s, d))),
     "q_promo_revenue"      -> ((s, d) => Analytics.promoRevenueByMonth(Tables(s, d))),
     "text_collocations"    -> ((s, d) => TextOps.collocations(Tables(s, d))),
-    "q_fuzzy_names"        -> ((s, d) => Joins.fuzzyNamePairs(Tables(s, d)))
+    "q_fuzzy_names"        -> ((s, d) => Joins.fuzzyNamePairs(Tables(s, d))),
+    "text_chargram_profile" -> ((s, d) => TextOps.chargramLangProfile(Tables(s, d))),
+    "q_session_cap"        -> ((s, d) => EventOps.cappedSessions(Tables(s, d))),
+    "q_returned_items"     -> ((s, d) => Analytics.returnedItemReport(Tables(s, d))),
+    "q_top_supplier"       -> ((s, d) => Analytics.topSupplier(Tables(s, d)))
   )
 
   /** kinesis_topic/main.go:23 — the demo topic payload. */
@@ -1409,7 +1413,63 @@ object SparkEntry {
         |  a.n_parts AS n_a, b.n_parts AS n_b
         |FROM n a JOIN n b ON a.blk = b.blk AND a.p_name < b.p_name
         |WHERE levenshtein(a.p_name, b.p_name) <= 2
-        |ORDER BY name_a, name_b""".stripMargin
+        |ORDER BY name_a, name_b""".stripMargin,
+    "text_chargram_profile" -> // top-10 char trigrams per language — the langid training side
+      """WITH g AS (
+        |  SELECT lang, substring(text, i, 3) AS gram
+        |  FROM documents, unnest(generate_series(1, len(text) - 2)) AS t(i)
+        |  WHERE len(text) >= 3),
+        |c AS (SELECT lang, gram, count(*) AS cnt FROM g GROUP BY 1, 2),
+        |r AS (
+        |  SELECT lang, gram, cnt,
+        |    row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, gram) AS rnk
+        |  FROM c)
+        |SELECT lang, gram, cnt, CAST(rnk AS BIGINT) AS rnk
+        |FROM r WHERE rnk <= 10 ORDER BY lang, rnk""".stripMargin,
+    "q_session_cap" -> // gap(30m) + duration-cap(2h) sessionization, integer-microsecond boundaries
+      """WITH e AS (
+        |  SELECT user_id, event_id, ts, value, epoch_us(ts) AS us,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 30*60*1000000::BIGINT
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                           ROWS UNBOUNDED PRECEDING) AS gsid
+        |  FROM e),
+        |g AS (
+        |  SELECT *, min(us) OVER (PARTITION BY user_id, gsid) AS gstart
+        |  FROM s)
+        |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM g
+        |GROUP BY user_id, gsid, (us - gstart) // (120*60*1000000::BIGINT)
+        |ORDER BY user_id, session_start""".stripMargin,
+    "q_returned_items" -> // TPC-H Q10-style: top-20 customers by revenue lost to returns
+      """WITH lost AS (
+        |  SELECT o_custkey,
+        |    CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,4))) AS DOUBLE)
+        |      AS lost_revenue,
+        |    count(*) AS n_returned_items
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE l_returnflag = 'R'
+        |  GROUP BY 1)
+        |SELECT c_custkey, c_name, c_mktsegment, lost_revenue, n_returned_items
+        |FROM lost JOIN customer ON o_custkey = c_custkey
+        |ORDER BY lost_revenue DESC, c_custkey
+        |LIMIT 20""".stripMargin,
+    "q_top_supplier" -> // TPC-H Q15-style argmax supplier(s) by decimal-exact revenue
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,4))) AS DOUBLE)
+        |      AS revenue
+        |  FROM lineitem GROUP BY 1)
+        |SELECT s_suppkey, s_name, revenue
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE revenue = (SELECT max(revenue) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin
   )
 
   /** Shared recursive min-label reachability over a near-dup pairs CTE

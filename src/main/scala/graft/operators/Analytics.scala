@@ -605,6 +605,53 @@ object Analytics {
     * broadcast dimension; lineitem aggregates in one shuffle on the
     * ship month.
     */
+  /** B37: TPC-H Q10-style returned-item report — revenue lost to
+    * returned lineitems per customer, top 20. The selective fact
+    * filter (returnflag = 'R') runs AT THE SCAN (pushed to parquet),
+    * the per-order rollup happens on the filtered fact before any
+    * dimension join, and the final top-N is a TakeOrdered — no global
+    * sort. Decimal revenue → bit-exact.
+    */
+  def returnedItemReport(t: Tables, topN: Int = 20): DataFrame = {
+    val lost = t.lineitem
+      .filter(col("l_returnflag") === "R")
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+      .join(t.orders.select("o_orderkey", "o_custkey"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_custkey")
+      .agg(
+        Num.moneySum4(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("lost_revenue"),
+        count(lit(1)).as("n_returned_items")
+      )
+    lost
+      .join(t.customer.select("c_custkey", "c_name", "c_mktsegment"),
+        col("o_custkey") === col("c_custkey"))
+      .select("c_custkey", "c_name", "c_mktsegment", "lost_revenue", "n_returned_items")
+      .orderBy(col("lost_revenue").desc, col("c_custkey"))
+      .limit(topN)
+  }
+
+  /** B38: TPC-H Q15-style top supplier — the supplier(s) whose revenue
+    * EQUALS the global maximum, without a window over the whole
+    * aggregate: the per-supplier rollup (one keyed shuffle) feeds a
+    * single-row max that joins back BROADCAST, so the argmax costs one
+    * tiny extra aggregation instead of a global sort or a
+    * single-partition window. Ties all surface (deterministic order by
+    * suppkey). Decimal revenue keeps the equality test exact — the
+    * pattern float revenue would break.
+    */
+  def topSupplier(t: Tables): DataFrame = {
+    val perSupp = t.lineitem
+      .groupBy("l_suppkey")
+      .agg(Num.moneySum4(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+    val best = perSupp.agg(max(col("revenue")).as("best_revenue"))
+    perSupp
+      .join(broadcast(best), col("revenue") === col("best_revenue"))
+      .join(broadcast(t.supplier.select("s_suppkey", "s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select("s_suppkey", "s_name", "revenue")
+      .orderBy("s_suppkey")
+  }
+
   def promoRevenueByMonth(t: Tables): DataFrame = {
     val p       = t.part.select(col("p_partkey"), (col("p_type") === "PROMO").as("is_promo"))
     val revenue = col("l_extendedprice") * (lit(1.0) - col("l_discount"))

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.sources.Tables
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Batch twins of the streaming consumption model (the Kinesis side of
@@ -154,6 +155,48 @@ object EventOps {
     * ordering pins ties), then a tiny partial-agg'd rollup — output ≤
     * types², at any input scale.
     */
+  /** A10e: capped sessionization — sessions close on a 30-minute
+    * inactivity gap OR a 2-hour maximum duration, whichever first.
+    * `session_window` (A10b) only has the gap rule; the cap is what
+    * keeps a bot that fires every minute for a week from producing one
+    * week-long session (analytics convention: GA-style duration cap).
+    *
+    * ONE shuffle on user_id does all the per-event work as running
+    * frames over the same partitioning: lag for the gap break, running
+    * sum for the gap-session ordinal, running last(ignoreNulls) to
+    * carry the gap-session START (the composite-key window
+    * partitionBy(user, gsid) would re-shuffle; the carry does not) —
+    * then the cap is a pure map: sub-session = ⌊(ts − start)/cap⌋ in
+    * integer microseconds. The final per-session rollup is one
+    * partial-agg'd shuffle on the (user, gsid, sub) key. All
+    * boundaries are integer-µs arithmetic → bit-exact vs the oracle.
+    */
+  def cappedSessions(t: Tables, gapMinutes: Int = 30, capMinutes: Int = 120): DataFrame = {
+    val byUser  = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val running = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val gapUs   = gapMinutes * 60L * 1000000L
+    val capUs   = capMinutes * 60L * 1000000L
+    t.events
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("brk",
+        when(lag("us", 1).over(byUser).isNull || col("us") - lag("us", 1).over(byUser) > gapUs,
+          lit(1L)).otherwise(lit(0L)))
+      .withColumn("gsid", sum("brk").over(running))
+      .withColumn("gstart",
+        last(when(col("brk") === 1L, col("us")), ignoreNulls = true).over(running))
+      .withColumn("sub", ((col("us") - col("gstart")) / capUs).cast("long"))
+      .groupBy("user_id", "gsid", "sub")
+      .agg(
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        Num.moneySum(col("value")).as("sum_value")
+      )
+      .select("user_id", "session_start", "session_end", "n_events", "sum_value")
+      .orderBy("user_id", "session_start")
+  }
+
   def eventTransitions(t: Tables): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("user_id")

@@ -543,4 +543,34 @@ object TextOps {
         col("c_first").as("n_first"), col("c_second").as("n_second"))
       .orderBy(col("n_pair").desc, col("w1"), col("w2"))
   }
+
+  /** C34: per-language character-trigram profile — the top-k char
+    * n-grams by frequency for each language label. This is the
+    * TRAINING side of the n-gram language-ID heuristic ([[langId]]
+    * consumes exactly such profiles): run it over a labeled corpus,
+    * ship the tiny (langs × k) table, and the classifier is a
+    * broadcast probe.
+    *
+    * Plan: the n-gram explode is a codegen `sequence`/`substring`
+    * transform (map-side, no per-doc window), counts partial-aggregate
+    * into one (lang, gram) shuffle — the gram domain is bounded
+    * (alphabet³), so the aggregate is small at any corpus size — and
+    * the per-language top-k runs through the bounded-heap
+    * [[graft.plans.TopK]] operator, never a per-group sort. Ranking is
+    * integer-deterministic: (count desc, gram asc).
+    */
+  def chargramLangProfile(t: Tables, n: Int = 3, k: Int = 10): DataFrame = {
+    val grams = t.documents
+      .select(col("lang"), explode(expr(
+        s"IF(length(text) >= $n, " +
+          s"transform(sequence(1, length(text) - ${n - 1}), i -> substring(text, i, $n)), " +
+          "array())"
+      )).as("gram"))
+      .groupBy("lang", "gram")
+      .agg(count(lit(1)).as("cnt"))
+    graft.plans.TopK
+      .perKey(grams, Seq("lang"), Seq(col("cnt").desc, col("gram")), k)
+      .select("lang", "gram", "cnt", "rnk")
+      .orderBy("lang", "rnk")
+  }
 }

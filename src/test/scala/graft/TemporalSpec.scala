@@ -336,4 +336,53 @@ class TemporalSpec extends SparkSpecBase {
     val plan = executedPlanString(Dedup.contamination(tables))
     assert(plan.contains("BroadcastHashJoin"), s"benchmark set not broadcast:\n$plan")
   }
+
+  test("capped sessions refine gap sessions: conserved events, bounded duration") {
+    val capped = graft.operators.EventOps.cappedSessions(tables).collect()
+    // every event lands in exactly one session
+    assert(capped.map(_.getAs[Long]("n_events")).sum == tables.events.count())
+    // no session spans more than the 2h cap (boundary events at exactly
+    // start+2h open a NEW sub-session, so span is strictly < cap... plus
+    // the end event itself can sit at start + cap - 1µs)
+    capped.foreach { r =>
+      val span = r.getAs[java.sql.Timestamp]("session_end").getTime -
+        r.getAs[java.sql.Timestamp]("session_start").getTime
+      assert(span < 120 * 60 * 1000L, s"session spans ${span}ms >= 2h cap")
+    }
+    // the cap only ever SPLITS gap sessions: session count >= gap-only count,
+    // and total value is conserved against the gap-only operator
+    val gap = graft.operators.EventOps.sessionWindows(tables).collect()
+    assert(capped.length >= gap.length)
+    val cappedValue = capped.map(r => BigDecimal(r.getAs[Double]("sum_value"))).sum
+    val gapValue    = gap.map(r => BigDecimal(r.getAs[Double]("sum_value"))).sum
+    assert((cappedValue - gapValue).abs < BigDecimal("0.0001"), s"$cappedValue vs $gapValue")
+  }
+
+  test("chargram profile ranks are contiguous, counts non-increasing, through TopKPerKeyExec") {
+    val rows = graft.operators.TextOps.chargramLangProfile(tables).collect()
+    val byLang = rows.groupBy(_.getString(0))
+    assert(byLang.nonEmpty)
+    byLang.foreach { case (lang, rs) =>
+      val ranks = rs.map(_.getAs[Long]("rnk")).sorted
+      assert(ranks.toSeq == (1L to ranks.length).toSeq, s"$lang ranks not contiguous")
+      val counts = rs.sortBy(_.getAs[Long]("rnk")).map(_.getAs[Long]("cnt"))
+      assert(counts.zip(counts.drop(1)).forall { case (a, b) => a >= b }, s"$lang not sorted")
+    }
+    val plan = executedPlanString(graft.operators.TextOps.chargramLangProfile(tables))
+    assert(plan.contains("TopKPerKey"), s"top-k must use the bounded-heap operator:\n$plan")
+    assert(!plan.contains("Window"), s"no per-group sort window expected:\n$plan")
+  }
+
+  test("top supplier equals the brute-force argmax over per-supplier revenue") {
+    val perSupp = tables.lineitem
+      .groupBy("l_suppkey")
+      .agg(graft.operators.Num
+        .moneySum4(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+    val best     = perSupp.map(_._2).max
+    val expected = perSupp.filter(_._2 == best).map(_._1).toSet
+    val got      = graft.operators.Analytics.topSupplier(tables).collect()
+    assert(got.map(_.getAs[Long]("s_suppkey")).toSet == expected)
+    assert(got.forall(_.getAs[Double]("revenue") == best))
+  }
 }
