@@ -151,7 +151,10 @@ object SparkEntry {
     "text_chargram_profile" -> ((s, d) => TextOps.chargramLangProfile(Tables(s, d))),
     "q_session_cap"        -> ((s, d) => EventOps.cappedSessions(Tables(s, d))),
     "q_returned_items"     -> ((s, d) => Analytics.returnedItemReport(Tables(s, d))),
-    "q_top_supplier"       -> ((s, d) => Analytics.topSupplier(Tables(s, d)))
+    "q_top_supplier"       -> ((s, d) => Analytics.topSupplier(Tables(s, d))),
+    "q_bracket_revenue"    -> ((s, d) => Analytics.bracketRevenue(Tables(s, d))),
+    "q_rich_idle"          -> ((s, d) => Analytics.richIdleCustomers(Tables(s, d))),
+    "knn_filtered"         -> ((s, d) => Similarity.knnFiltered(Tables(s, d)))
   )
 
   /** kinesis_topic/main.go:23 — the demo topic payload. */
@@ -1469,7 +1472,49 @@ object SparkEntry {
         |SELECT s_suppkey, s_name, revenue
         |FROM rev JOIN supplier ON l_suppkey = s_suppkey
         |WHERE revenue = (SELECT max(revenue) FROM rev)
-        |ORDER BY s_suppkey""".stripMargin
+        |ORDER BY s_suppkey""".stripMargin,
+    "q_bracket_revenue" -> // TPC-H Q19-style OR-of-ANDs bracket predicate across the part join
+      """SELECT
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,4))) AS DOUBLE)
+        |    AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_type = 'PROMO' AND l_quantity BETWEEN 1 AND 11 AND p_size BETWEEN 1 AND 15)
+        |   OR (p_type = 'SMALL' AND l_quantity BETWEEN 10 AND 20 AND p_size BETWEEN 1 AND 25)
+        |   OR (p_type = 'LARGE' AND l_quantity BETWEEN 20 AND 30 AND p_size BETWEEN 1 AND 35)""".stripMargin,
+    "q_rich_idle" -> // TPC-H Q22-style: above segment-average balance, no orders (exact decimal compare)
+      """WITH seg AS (
+        |  SELECT c_mktsegment, sum(CAST(c_acctbal AS DECIMAL(18,2))) AS seg_sum,
+        |    count(*) AS seg_n
+        |  FROM customer GROUP BY 1),
+        |rich AS (
+        |  SELECT c.c_mktsegment, c.c_custkey, c.c_acctbal
+        |  FROM customer c JOIN seg USING (c_mktsegment)
+        |  WHERE CAST(c_acctbal AS DECIMAL(18,2)) * seg_n > seg_sum),
+        |idle AS (
+        |  SELECT * FROM rich
+        |  WHERE c_custkey NOT IN
+        |    (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'))
+        |SELECT c_mktsegment, count(*) AS n_customers,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+        |FROM idle GROUP BY 1 ORDER BY 1""".stripMargin,
+    "knn_filtered" -> // pre-filtered vector search: top-5 same-label cosine neighbors per query
+      """WITH n AS (
+        |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+        |    sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b)) AS nrm
+        |  FROM embeddings),
+        |c AS (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, a.label AS label,
+        |    list_reduce(list_transform(range(1, len(a.v) + 1), i -> a.v[CAST(i AS INT)] * b.v[CAST(i AS INT)]), (x, y) -> x + y)
+        |      / (a.nrm * b.nrm) AS cos
+        |  FROM n a JOIN n b ON a.vec_id <> b.vec_id AND a.label = b.label
+        |  WHERE a.vec_id < 10),
+        |r AS (
+        |  SELECT query_id, neighbor_id, label,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+        |  FROM c)
+        |SELECT query_id, neighbor_id, CAST(label AS INT) AS label, CAST(rank AS BIGINT) AS rank
+        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
   )
 
   /** Shared recursive min-label reachability over a near-dup pairs CTE

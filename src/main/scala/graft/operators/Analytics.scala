@@ -652,6 +652,64 @@ object Analytics {
       .orderBy("s_suppkey")
   }
 
+  /** B39: TPC-H Q19-style bracketed revenue — disjunction of
+    * conjunctive (type, quantity-bracket, size-bracket) predicates
+    * across the lineitem⋈part join. The OR-of-ANDs is the optimizer
+    * workout: Catalyst extracts the common `p_size >= 1` / quantity
+    * bounds where it can, the part side broadcasts, and the residual
+    * disjunction evaluates codegen'd inside the join — one fact scan,
+    * zero shuffles before the single-row aggregate.
+    */
+  def bracketRevenue(t: Tables): DataFrame = {
+    val p = t.part.select("p_partkey", "p_type", "p_size")
+    val bracket =
+      (col("p_type") === "PROMO" && col("l_quantity").between(1, 11) &&
+        col("p_size").between(1, 15)) ||
+        (col("p_type") === "SMALL" && col("l_quantity").between(10, 20) &&
+          col("p_size").between(1, 25)) ||
+        (col("p_type") === "LARGE" && col("l_quantity").between(20, 30) &&
+          col("p_size").between(1, 35))
+    t.lineitem
+      .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .filter(bracket)
+      .agg(
+        Num.moneySum4(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n_items")
+      )
+  }
+
+  /** B40: TPC-H Q22-style rich-but-idle customers — above their
+    * SEGMENT's average balance, but never placed an URGENT order (the
+    * sf fixture gives every customer SOME order, so the idle predicate
+    * targets the priority slice — same anti-join shape as Q22's
+    * "no orders in 7 years"). The "compare to a group aggregate"
+    * predicate is evaluated EXACTLY with a cross-multiplied decimal
+    * comparison (bal·n > Σbal) — an avg-double comparison would put
+    * boundary customers on different sides in different engines. Tiny
+    * per-segment aggregate broadcast back (the length-gate pattern),
+    * LEFT ANTI against the filtered orders — at scale the anti join
+    * shuffles on custkey once (filter pushed to the orders scan) and
+    * the report re-aggregates map-side.
+    */
+  def richIdleCustomers(t: Tables): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(18, 2)
+    val segStats = t.customer
+      .groupBy("c_mktsegment")
+      .agg(sum(col("c_acctbal").cast(dec)).as("seg_sum"), count(lit(1)).as("seg_n"))
+    val urgent = t.orders.filter(col("o_orderpriority") === "1-URGENT").select("o_custkey")
+    t.customer
+      .join(broadcast(segStats), "c_mktsegment")
+      .filter(col("c_acctbal").cast(dec) * col("seg_n") > col("seg_sum"))
+      .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_mktsegment")
+      .agg(
+        count(lit(1)).as("n_customers"),
+        sum(col("c_acctbal").cast(dec)).cast("double").as("total_bal")
+      )
+      .orderBy("c_mktsegment")
+  }
+
   def promoRevenueByMonth(t: Tables): DataFrame = {
     val p       = t.part.select(col("p_partkey"), (col("p_type") === "PROMO").as("is_promo"))
     val revenue = col("l_extendedprice") * (lit(1.0) - col("l_discount"))

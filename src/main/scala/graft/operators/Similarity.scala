@@ -50,6 +50,43 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** C7d: FILTERED vector search — top-k cosine neighbors restricted
+    * to a metadata predicate (here: same label as the query, the
+    * tenant/class restriction every production vector store needs).
+    *
+    * This is a PRE-filter: the predicate enters the join condition, so
+    * candidates are ranked only among survivors and the top-k is exact
+    * UNDER the filter. The alternative — post-filtering a global
+    * top-k — silently returns < k (or wrong) results whenever the
+    * filter is selective, which is the classic filtered-ANN bug. At
+    * scale the same shape composes with the IVF/LSH candidate paths:
+    * the predicate rides the candidate join either way, and a
+    * partition-pruned layout (label-partitioned parquet) turns it into
+    * a scan-level prune.
+    */
+  def knnFiltered(t: Tables, numQueries: Int = 10, k: Int = 5): DataFrame = {
+    graft.functions.VecExprs.register(t.spark)
+    val vecs = t.embeddings
+      .select(col("vec_id"), col("embedding").as("v"), col("label"))
+      .withColumn("nrm", expr("vec_norm(v)"))
+    val queries = vecs.filter(col("vec_id") < numQueries)
+    val w       = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    broadcast(queries)
+      .as("a")
+      .join(vecs.as("b"),
+        col("a.vec_id") =!= col("b.vec_id") && col("a.label") === col("b.label"))
+      .select(
+        col("a.vec_id").as("query_id"),
+        col("b.vec_id").as("neighbor_id"),
+        col("a.label").as("label"),
+        cosine.as("cos")
+      )
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "label", "rank")
+      .orderBy("query_id", "rank")
+  }
+
   /** Hyperplanes per table (bucket bits) and number of independent
     * hash tables. Miss probability for a pair with bucket-bit agreement
     * p is (1 - p^bits)^tables — tables is the recall lever, bits the

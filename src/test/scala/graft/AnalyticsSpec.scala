@@ -100,4 +100,43 @@ class AnalyticsSpec extends SparkSpecBase {
     // month partition must conserve total revenue (decimal-exact sums)
     assert((summed - BigDecimal(overall)).abs < BigDecimal("0.0001"), s"$summed vs $overall")
   }
+
+  test("bracket revenue equals the sum of its three disjoint brackets") {
+    val combined = Analytics.bracketRevenue(tables).collect()(0)
+    def one(ptype: String, qlo: Int, qhi: Int, shi: Int): (BigDecimal, Long) = {
+      val r = tables.lineitem
+        .join(tables.part.select("p_partkey", "p_type", "p_size"),
+          col("l_partkey") === col("p_partkey"))
+        .filter(col("p_type") === ptype && col("l_quantity").between(qlo, qhi) &&
+          col("p_size").between(1, shi))
+        .agg(
+          Num.moneySum4(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"),
+          count(lit(1)).as("n"))
+        .collect()(0)
+      (BigDecimal(r.getDouble(0)), r.getLong(1))
+    }
+    val parts = Seq(one("PROMO", 1, 11, 15), one("SMALL", 10, 20, 25), one("LARGE", 20, 30, 35))
+    // p_type values are mutually exclusive, so the disjunction must
+    // partition: revenue and count both add up exactly
+    assert(combined.getLong(1) == parts.map(_._2).sum)
+    assert((BigDecimal(combined.getDouble(0)) - parts.map(_._1).sum).abs < BigDecimal("0.0001"))
+  }
+
+  test("rich-idle customers match the brute-force segment-average + anti-join filter") {
+    val custs = tables.customer.select("c_custkey", "c_mktsegment", "c_acctbal").collect()
+      .map(r => (r.getLong(0), r.getString(1), BigDecimal(r.getDouble(2)).setScale(2)))
+    val urgent = tables.orders.filter(col("o_orderpriority") === "1-URGENT")
+      .select("o_custkey").collect().map(_.getLong(0)).toSet
+    val bySeg = custs.groupBy(_._2)
+    val expected = bySeg.toSeq.flatMap { case (seg, cs) =>
+      val total = cs.map(_._3).sum
+      val n     = cs.length
+      cs.filter(c => c._3 * n > total && !urgent.contains(c._1)).map(c => (seg, c._1, c._3))
+    }
+    val expBySeg = expected.groupBy(_._1).view
+      .mapValues(v => (v.size.toLong, v.map(_._3).sum)).toMap
+    val got = Analytics.richIdleCustomers(tables).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), BigDecimal(r.getDouble(2)).setScale(2))).toMap
+    assert(got == expBySeg, s"$got vs $expBySeg")
+  }
 }

@@ -63,4 +63,32 @@ class SimilaritySpec extends SparkSpecBase {
     info(f"LSH@6bit recall vs exact top-5: $recall%.2f")
     assert(recall >= 0.3, f"recall collapsed: $recall%.2f")
   }
+
+  test("filtered knn pre-filters: all neighbors share the query label, none leak from post-filter") {
+    import org.apache.spark.sql.functions._
+    val labels = tables.embeddings.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rows = Similarity.knnFiltered(tables).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (q, nb, lbl) = (r.getLong(0), r.getLong(1), r.getInt(2))
+      assert(labels(q) == lbl && labels(nb) == lbl, s"neighbor $nb label mismatch for query $q")
+    }
+    // pre-filter vs post-filter distinction: the filtered top-5 must
+    // contain every same-label member of the UNfiltered top-5 ranked
+    // at least as high — and k stays full whenever ≥ k survivors exist
+    val unfiltered = Similarity.knnBruteForce(tables).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val filtered = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    unfiltered.foreach { case (q, nb, _) =>
+      if (labels(nb) == labels(q))
+        assert(filtered.contains((q, nb)),
+          s"same-label global-top neighbor $nb missing from filtered result of $q")
+    }
+    val perQuery = rows.groupBy(_.getLong(0))
+    perQuery.foreach { case (q, rs) =>
+      val sameLabelPool = labels.count { case (id, l) => id != q && l == labels(q) }
+      assert(rs.length == math.min(5, sameLabelPool), s"query $q returned ${rs.length}")
+    }
+  }
 }
