@@ -132,6 +132,112 @@ object KinesisLikePipeline {
         col("sum_value")
       )
 
+  /** One in-flight capped (sub-)session per user (A10f state). Money
+    * rides as integer cents (the decimal-sum convention in streaming
+    * state form); times as epoch microseconds.
+    */
+  final case class CapSessState(
+      gapStartUs: Long,
+      subIdx: Long,
+      startUs: Long,
+      endUs: Long,
+      n: Long,
+      cents: Long
+  )
+
+  /** A finalized capped session. */
+  final case class CapSessOut(
+      user_id: Long,
+      session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp,
+      n_events: Long,
+      sum_value: Double
+  )
+
+  /** A10f: streaming CAPPED sessions — the twin of
+    * EventOps.cappedSessions, and the case where the built-in
+    * `session_window` state machine genuinely cannot express the
+    * semantics (it only merges on the gap; the duration cap needs a
+    * per-session carry), so this is the custom-state path:
+    * `flatMapGroupsWithState` with EventTimeTimeout.
+    *
+    * State is ONE open (sub-)session per user — constant per key, the
+    * 100 TB/day shape — holding the gap-session anchor (the cap is
+    * measured from the GAP session's first event, exactly like the
+    * batch kernel's ⌊(ts−gapStart)/cap⌋), the open sub-session bounds,
+    * and the running decimal-as-cents sum. Each batch's events for a
+    * key are processed in event-time order: a >gap jump finalizes and
+    * re-anchors; crossing a cap boundary finalizes the sub-session but
+    * KEEPS the anchor (that is the rule a fresh `session_window` can't
+    * track); otherwise the open session extends. A session with no
+    * successor finalizes when the watermark passes last + gap (the
+    * event-time timeout). In-order delivery within the watermark is
+    * assumed — the same contract the fMGWS sequencer documents.
+    */
+  def cappedSessionCounts(
+      events: DataFrame,
+      gapMinutes: Int = 30,
+      capMinutes: Int = 120,
+      watermark: String = "10 minutes"
+  ): Dataset[CapSessOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+    val capUs = capMinutes * 60L * 1000000L
+    def us(ts: java.sql.Timestamp): Long =
+      ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
+    def toTs(u: Long): java.sql.Timestamp = {
+      val t = new java.sql.Timestamp(u / 1000L)
+      t.setNanos(((u % 1000000L) * 1000L).toInt)
+      t
+    }
+    events
+      .withWatermark("ts", watermark)
+      .selectExpr("ts", "user_id", "value")
+      .as[(java.sql.Timestamp, Long, Double)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, in: Iterator[(java.sql.Timestamp, Long, Double)],
+         state: GroupState[CapSessState]) =>
+          def fin(s: CapSessState): CapSessOut =
+            CapSessOut(user, toTs(s.startUs), toTs(s.endUs), s.n, s.cents / 100.0)
+          if (state.hasTimedOut) {
+            val closed = state.getOption.map(fin).toSeq
+            state.remove()
+            closed.iterator
+          } else {
+            val out = scala.collection.mutable.ArrayBuffer.empty[CapSessOut]
+            var cur = state.getOption
+            in.toSeq.sortBy(e => us(e._1)).foreach { e =>
+              val eu = us(e._1)
+              val c  = math.round(e._3 * 100.0)
+              cur match {
+                case None =>
+                  cur = Some(CapSessState(eu, 0L, eu, eu, 1L, c))
+                case Some(s) if eu - s.endUs > gapUs =>
+                  out += fin(s) // gap break: finalize, re-anchor
+                  cur = Some(CapSessState(eu, 0L, eu, eu, 1L, c))
+                case Some(s) =>
+                  val sub = (eu - s.gapStartUs) / capUs
+                  if (sub != s.subIdx) {
+                    out += fin(s) // cap split: finalize, KEEP the anchor
+                    cur = Some(CapSessState(s.gapStartUs, sub, eu, eu, 1L, c))
+                  } else {
+                    cur = Some(s.copy(endUs = eu, n = s.n + 1L, cents = s.cents + c))
+                  }
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // event-time timeout at last + gap: past it no event can
+              // extend this session, so it is safe to finalize
+              state.setTimeoutTimestamp(s.endUs / 1000L + gapMinutes * 60L * 1000L)
+            }
+            out.iterator
+          }
+      }
+  }
+
   /** Rolling distinct active users per sliding window — the streaming
     * twin of EventOps.rollingActives (the WAU curve, updated as events
     * arrive). Streaming can't nest aggregations, so sliding DISTINCT

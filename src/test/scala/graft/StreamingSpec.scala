@@ -201,6 +201,48 @@ class StreamingSpec extends SparkSpecBase {
     assert(rows(1).getAs[Long]("n_events") == 1 && rows(1).getAs[Double]("sum_value") == 5.0)
   }
 
+  test("capped sessions: cap splits keep the gap anchor, timeout finalizes, across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in  = MemoryStream[(Timestamp, Long, Double)]
+    val out = KinesisLikePipeline.cappedSessionCounts(in.toDF().toDF("ts", "user_id", "value"))
+    val q = out.writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory")
+      .queryName("capsess_out")
+      .option("checkpointLocation", ckpt())
+      .start()
+    // user 7: events every 25 min (always inside the 30-min gap) from
+    // 00:00 to 02:30 — ONE gap session spanning 2.5h, which the 2-hour
+    // cap must split at the 02:00 boundary measured from the 00:00
+    // anchor. Delivered across two batches so the anchor carries.
+    def ev(hhmm: String, v: Double) = (Timestamp.valueOf(s"2026-01-01 $hhmm:00"), 7L, v)
+    in.addData(ev("00:00", 1.0), ev("00:25", 2.0), ev("00:50", 3.0))
+    q.processAllAvailable()
+    in.addData(ev("01:15", 4.0), ev("01:40", 5.0), ev("02:05", 6.0), ev("02:30", 7.0))
+    q.processAllAvailable()
+    // advance the watermark far past 02:30 + gap so the open
+    // sub-session times out and finalizes
+    in.addData((Timestamp.valueOf("2026-01-01 09:00:00"), 9L, 1.0))
+    q.processAllAvailable()
+    in.addData((Timestamp.valueOf("2026-01-01 12:00:00"), 9L, 1.0))
+    q.processAllAvailable()
+    val rows = spark.table("capsess_out").collect()
+      .filter(_.getAs[Long]("user_id") == 7L)
+      .sortBy(_.getAs[java.sql.Timestamp]("session_start").getTime)
+    q.stop()
+    assert(rows.length == 2, s"expected a cap split into 2 sessions, got ${rows.toSeq}")
+    assert(rows(0).getAs[java.sql.Timestamp]("session_start") == Timestamp.valueOf("2026-01-01 00:00:00"))
+    assert(rows(0).getAs[java.sql.Timestamp]("session_end") == Timestamp.valueOf("2026-01-01 01:40:00"))
+    assert(rows(0).getAs[Long]("n_events") == 5 && rows(0).getAs[Double]("sum_value") == 15.0)
+    // the second sub-session starts at its first event (02:05), not at
+    // the cap boundary — and exists only because the anchor survived
+    // the split (a fresh gap session would still be one session)
+    assert(rows(1).getAs[java.sql.Timestamp]("session_start") == Timestamp.valueOf("2026-01-01 02:05:00"))
+    assert(rows(1).getAs[java.sql.Timestamp]("session_end") == Timestamp.valueOf("2026-01-01 02:30:00"))
+    assert(rows(1).getAs[Long]("n_events") == 2 && rows(1).getAs[Double]("sum_value") == 13.0)
+  }
+
   test("streaming admission: stream-static probe of the base index, stateless across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
