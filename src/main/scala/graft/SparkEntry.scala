@@ -154,7 +154,9 @@ object SparkEntry {
     "q_top_supplier"       -> ((s, d) => Analytics.topSupplier(Tables(s, d))),
     "q_bracket_revenue"    -> ((s, d) => Analytics.bracketRevenue(Tables(s, d))),
     "q_rich_idle"          -> ((s, d) => Analytics.richIdleCustomers(Tables(s, d))),
-    "knn_filtered"         -> ((s, d) => Similarity.knnFiltered(Tables(s, d)))
+    "knn_filtered"         -> ((s, d) => Similarity.knnFiltered(Tables(s, d))),
+    "q_weekly_growth"      -> ((s, d) => Analytics.weeklyGrowth(Tables(s, d))),
+    "text_quality_norm"    -> ((s, d) => TextOps.qualityRankNorm(Tables(s, d)))
   )
 
   /** kinesis_topic/main.go:23 — the demo topic payload. */
@@ -1514,7 +1516,31 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
         |  FROM c)
         |SELECT query_id, neighbor_id, CAST(label AS INT) AS label, CAST(rank AS BIGINT) AS rank
-        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q_weekly_growth" -> // week-over-week counts per type: lag over the tiny aggregate grid
+      """WITH wk AS (
+        |  SELECT CAST(date_trunc('week', ts) AS TIMESTAMP) AS week, event_type,
+        |    count(*) AS n_events
+        |  FROM events GROUP BY 1, 2),
+        |g AS (
+        |  SELECT event_type, week, n_events,
+        |    lag(n_events) OVER (PARTITION BY event_type ORDER BY week) AS prev_events
+        |  FROM wk)
+        |SELECT event_type, week, n_events, prev_events
+        |FROM g WHERE prev_events IS NOT NULL
+        |ORDER BY event_type, week""".stripMargin,
+    "text_quality_norm" -> // per-source rank normalization: keep each source's top half by distinct words
+      """WITH s AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct_words
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, source, n_distinct_words,
+        |    percent_rank() OVER (PARTITION BY source ORDER BY n_distinct_words, doc_id)
+        |      AS pct_rank
+        |  FROM s)
+        |SELECT doc_id, source, n_distinct_words, pct_rank
+        |FROM r WHERE pct_rank >= 0.5 ORDER BY doc_id""".stripMargin
   )
 
   /** Shared recursive min-label reachability over a near-dup pairs CTE

@@ -710,6 +710,25 @@ object Analytics {
       .orderBy("c_mktsegment")
   }
 
+  /** B41: week-over-week traffic — each (type, week)'s count beside
+    * the previous week's, the growth-dashboard staple. The
+    * window-on-aggregate pattern again (B26): the fact collapses to
+    * the tiny (weeks × types) grid FIRST, only the grid pays the lag
+    * window; the ratio is left to the consumer (integer cur/prev
+    * columns are bit-exact, a growth-percent double is not).
+    */
+  def weeklyGrowth(t: Tables): DataFrame = {
+    val weekly = t.events
+      .groupBy(date_trunc("week", col("ts")).as("week"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+    val w = Window.partitionBy("event_type").orderBy("week")
+    weekly
+      .withColumn("prev_events", lag("n_events", 1).over(w))
+      .filter(col("prev_events").isNotNull)
+      .select("event_type", "week", "n_events", "prev_events")
+      .orderBy("event_type", "week")
+  }
+
   def promoRevenueByMonth(t: Tables): DataFrame = {
     val p       = t.part.select(col("p_partkey"), (col("p_type") === "PROMO").as("is_promo"))
     val revenue = col("l_extendedprice") * (lit(1.0) - col("l_discount"))

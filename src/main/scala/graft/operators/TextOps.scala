@@ -544,6 +544,32 @@ object TextOps {
       .orderBy(col("n_pair").desc, col("w1"), col("w2"))
   }
 
+  /** C36: per-source rank normalization of a quality signal — keep
+    * each source's top half by distinct-word count. Heterogeneous
+    * sources make absolute quality thresholds wrong (a "good" forum
+    * post scores like a "bad" article); rank-normalizing WITHIN the
+    * source and gating on the percentile is the standard fix, and this
+    * is that gate as a first-class operator (B25's events-side rank
+    * percentiles applied to curation).
+    *
+    * ONE shuffle on source for the window; `percent_rank` is the
+    * integer ratio (rank−1)/(n−1) → bit-exact cross-engine; the
+    * (signal, doc_id) ordering pins ties. At 100 TB the per-source
+    * partitions are the only sort surface — no global order anywhere.
+    */
+  def qualityRankNorm(t: Tables, keep: Double = 0.5): DataFrame = {
+    val scored = t.documents.select(
+      col("doc_id"),
+      col("source"),
+      size(array_distinct(split(col("text"), " "))).cast("long").as("n_distinct_words")
+    )
+    val w = Window.partitionBy("source").orderBy(col("n_distinct_words"), col("doc_id"))
+    scored
+      .withColumn("pct_rank", percent_rank().over(w))
+      .filter(col("pct_rank") >= keep)
+      .orderBy("doc_id")
+  }
+
   /** C34: per-language character-trigram profile — the top-k char
     * n-grams by frequency for each language label. This is the
     * TRAINING side of the n-gram language-ID heuristic ([[langId]]
