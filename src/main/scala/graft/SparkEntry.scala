@@ -156,7 +156,8 @@ object SparkEntry {
     "q_rich_idle"          -> ((s, d) => Analytics.richIdleCustomers(Tables(s, d))),
     "knn_filtered"         -> ((s, d) => Similarity.knnFiltered(Tables(s, d))),
     "q_weekly_growth"      -> ((s, d) => Analytics.weeklyGrowth(Tables(s, d))),
-    "text_quality_norm"    -> ((s, d) => TextOps.qualityRankNorm(Tables(s, d)))
+    "text_quality_norm"    -> ((s, d) => TextOps.qualityRankNorm(Tables(s, d))),
+    "multimodal_phash"     -> ((s, d) => Multimodal.perceptualHashTable(s, Tables(s, d)))
   )
 
   /** kinesis_topic/main.go:23 — the demo topic payload. */
@@ -1540,7 +1541,22 @@ object SparkEntry {
         |      AS pct_rank
         |  FROM s)
         |SELECT doc_id, source, n_distinct_words, pct_rank
-        |FROM r WHERE pct_rank >= 0.5 ORDER BY doc_id""".stripMargin
+        |FROM r WHERE pct_rank >= 0.5 ORDER BY doc_id""".stripMargin,
+    "multimodal_phash" -> // dHash stub leg: 9x8 evenly-sampled byte grid, 64 left>right bits
+      // (ASCII fixture: char codepoints == payload bytes; the signed
+      // BIGINT conversion mirrors Java's wrapping 1L << 63)
+      """WITH b AS (SELECT doc_id, text, len(text) AS n FROM documents),
+        |bits AS (
+        |  SELECT doc_id,
+        |    sum(CASE WHEN ascii(substring(text, CAST(((y*9 + x) * n) // 72 AS INT) + 1, 1)) >
+        |                  ascii(substring(text, CAST(((y*9 + x + 1) * n) // 72 AS INT) + 1, 1))
+        |        THEN CAST(power(2, y*8 + x) AS HUGEINT) ELSE CAST(0 AS HUGEINT) END) AS h
+        |  FROM b, unnest(generate_series(0, 7)) AS ty(y), unnest(generate_series(0, 7)) AS tx(x)
+        |  GROUP BY doc_id)
+        |SELECT doc_id,
+        |  CAST(CASE WHEN h >= CAST(power(2, 63) AS HUGEINT)
+        |       THEN h - CAST(power(2, 64) AS HUGEINT) ELSE h END AS BIGINT) AS dhash
+        |FROM bits ORDER BY doc_id""".stripMargin
   )
 
   /** Shared recursive min-label reachability over a near-dup pairs CTE

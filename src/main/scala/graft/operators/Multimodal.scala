@@ -240,6 +240,124 @@ object Multimodal {
       .orderBy("doc_id")
 
   /** A decoded audio record. */
+  /** A doc's 64-bit perceptual hash. */
+  final case class MediaHash(doc_id: Long, dhash: Long)
+
+  /** Difference-hash (dHash) bit pack: 8 rows × 8 left-vs-right
+    * comparisons over a 9×8 intensity grid → bits 0..63 (bit y·8+x set
+    * iff grid(x,y) > grid(x+1,y)). Shared by the real-image and stub
+    * paths so both produce the same bit layout.
+    */
+  private def packGrid(grid: (Int, Int) => Int): Long = {
+    var bits = 0L
+    var y    = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        if (grid(x, y) > grid(x + 1, y)) bits |= 1L << (y * 8 + x)
+        x += 1
+      }
+      y += 1
+    }
+    bits
+  }
+
+  /** Stub dHash for opaque payloads: the SAME 9×8 comparison structure
+    * over unsigned bytes sampled evenly from the payload
+    * (sample k = bytes[⌊k·n/72⌋]) — deterministic, total, and (for the
+    * gate's ASCII corpus) reproducible in portable SQL, so the whole
+    * kernel→hash path is hash-verified even though the real pixel leg
+    * only runs on images.
+    */
+  private def stubDhash(bytes: Array[Byte]): Long = {
+    val n = bytes.length
+    if (n == 0) 0L
+    else packGrid((x, y) => bytes((((y * 9 + x).toLong * n) / 72L).toInt) & 0xff)
+  }
+
+  /** C38: perceptual hash kernel — dHash over the 9×8 bilinear-scaled
+    * LUMA grid for real images (the classic near-dup signature for
+    * media: robust to re-encode, resize and small edits, 64 bits per
+    * asset regardless of size), byte-sampled stub otherwise. Same
+    * decode guards as [[decodeKernel]].
+    */
+  private[graft] def dhashKernel(bytes: Array[Byte]): Long =
+    if (!looksLikeImage(bytes)) stubDhash(bytes)
+    else {
+      try {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        if (img == null) stubDhash(bytes)
+        else {
+          val sc = new java.awt.image.BufferedImage(9, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g  = sc.createGraphics()
+          g.setRenderingHint(
+            java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR
+          )
+          g.drawImage(img, 0, 0, 9, 8, null)
+          g.dispose()
+          packGrid { (x, y) =>
+            val rgb = sc.getRGB(x, y)
+            (((rgb >> 16) & 255) * 299 + ((rgb >> 8) & 255) * 587 + (rgb & 255) * 114) / 1000
+          }
+        }
+      } catch { case _: Exception => stubDhash(bytes) }
+    }
+
+  /** Perceptual hashes over a `(doc_id, media)` frame — the
+    * [[decodeBytes]] mapPartitions shape (codec init amortized,
+    * executor-side, partitioning preserved).
+    */
+  def perceptualHashes(spark: SparkSession, media: DataFrame): Dataset[MediaHash] = {
+    import spark.implicits._
+    media
+      .select(col("doc_id"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) => MediaHash(id, dhashKernel(bytes)) })
+  }
+
+  /** C38 gate view: dHash of every document payload (text bytes take
+    * the stub leg — same plumbing, SQL-reproducible).
+    */
+  def perceptualHashTable(spark: SparkSession, t: Tables): DataFrame =
+    perceptualHashes(
+      spark,
+      t.documents.select(col("doc_id"), col("text").cast("binary").as("media"))
+    ).orderBy("doc_id").toDF()
+
+  /** C38b: perceptual near-dup pairs — assets within `maxHamming` bits
+    * of each other, candidate-generated by pigeonhole banding on the
+    * 64-bit hash (4 × 16-bit bands: any pair with hamming ≤ 3 shares
+    * at least one intact band, so recall is EXACT at the default
+    * threshold — the [[graft.operators.Dedup.simhashPairs]] argument
+    * applied to media). Self-join is shuffle_hash for the one-exchange
+    * ReusedExchange plan; never all-pairs.
+    */
+  def phashPairs(spark: SparkSession, media: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val hashes = perceptualHashes(spark, media).toDF()
+    val bands = hashes.select(
+      col("doc_id"),
+      col("dhash"),
+      posexplode(expr("transform(sequence(0, 3), b -> (dhash >> (b * 16)) & 65535)"))
+        .as(Seq("band_idx", "band_key"))
+    )
+    bands
+      .as("a")
+      .join(
+        bands.as("b").hint("shuffle_hash"),
+        col("a.band_idx") === col("b.band_idx") && col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id")
+      )
+      .select(
+        col("a.doc_id").as("doc_a"),
+        col("b.doc_id").as("doc_b"),
+        bit_count(expr("a.dhash ^ b.dhash")).cast("long").as("hamming")
+      )
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .orderBy("doc_a", "doc_b")
+  }
+
   final case class AudioMeta(
       doc_id: Long,
       is_audio: Boolean,

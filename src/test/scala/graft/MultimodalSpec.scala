@@ -149,4 +149,65 @@ class MultimodalSpec extends SparkSpecBase {
       assert(r.getAs[Int]("min_h") >= 16 && r.getAs[Int]("max_h") < 16 + 480)
     }
   }
+
+  /** A smooth gradient whose dHash is stable under resize/re-encode;
+    * `dir` flips the gradient so unrelated images are far in hamming.
+    */
+  private def gradientBytes(w: Int, h: Int, dir: Int, format: String = "png"): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until w).foreach { x =>
+      (0 until h).foreach { y =>
+        val v = if (dir > 0) (x * 255) / (w - 1) else 255 - (x * 255) / (w - 1)
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, format, out))
+    out.toByteArray
+  }
+
+  private def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  test("dhash: invariant under resize, far for reversed gradient, robust to a small edit") {
+    val base = Multimodal.dhashKernel(gradientBytes(64, 64, 1))
+    // rising gradient → every left<right comparison false → all-zero
+    // pattern; the REVERSED gradient sets all 64 bits
+    val reversed = Multimodal.dhashKernel(gradientBytes(64, 64, -1))
+    assert(hamming(base, reversed) == 64, s"gradient direction must dominate the hash")
+    // resize invariance: the same gradient at half size hashes equal —
+    // that is the point of perceptual over cryptographic hashing
+    val small = Multimodal.dhashKernel(gradientBytes(32, 32, 1))
+    assert(hamming(base, small) == 0, s"resize changed the hash by ${hamming(base, small)} bits")
+    // a small local edit (one bright square) flips few comparisons
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(gradientBytes(64, 64, 1)))
+    (28 until 36).foreach(x => (28 until 36).foreach(y => img.setRGB(x, y, 0xffffff)))
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    val edited = Multimodal.dhashKernel(out.toByteArray)
+    val d      = hamming(base, edited)
+    assert(d > 0 && d <= 6, s"small edit moved $d bits — expected a handful")
+  }
+
+  test("phash pairs: banding join surfaces the near-dup image, not the unrelated one") {
+    import spark.implicits._
+    val media = Seq(
+      (1L, gradientBytes(64, 64, 1)),
+      (2L, gradientBytes(48, 48, 1)),   // same scene, different size → near-dup of 1
+      (3L, gradientBytes(64, 64, -1)),  // reversed → unrelated
+      (4L, "just some text payload".getBytes("UTF-8"))
+    ).toDF("doc_id", "media")
+    val pairs = Multimodal.phashPairs(spark, media).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.exists { case (a, b, hm) => a == 1L && b == 2L && hm <= 3 },
+      s"resized twin not found in ${pairs.toSeq}")
+    assert(!pairs.exists { case (a, b, _) => Set(a, b).contains(3L) },
+      s"reversed gradient wrongly paired: ${pairs.toSeq}")
+    // band recall argument: any pair ≤ 3 bits apart shares an intact
+    // 16-bit band — verified brute-force on the fixture
+    val hashes = Multimodal.perceptualHashes(spark, media).collect()
+      .map(m => m.doc_id -> m.dhash).toMap
+    for (a <- hashes.keys; b <- hashes.keys if a < b && hamming(hashes(a), hashes(b)) <= 3)
+      assert(pairs.exists(p => p._1 == a && p._2 == b), s"banding missed ($a,$b)")
+  }
 }
