@@ -157,7 +157,9 @@ object SparkEntry {
     "knn_filtered"         -> ((s, d) => Similarity.knnFiltered(Tables(s, d))),
     "q_weekly_growth"      -> ((s, d) => Analytics.weeklyGrowth(Tables(s, d))),
     "text_quality_norm"    -> ((s, d) => TextOps.qualityRankNorm(Tables(s, d))),
-    "multimodal_phash"     -> ((s, d) => Multimodal.perceptualHashTable(s, Tables(s, d)))
+    "multimodal_phash"     -> ((s, d) => Multimodal.perceptualHashTable(s, Tables(s, d))),
+    "q_trade_matrix"       -> ((s, d) => Analytics.tradeMatrix(Tables(s, d))),
+    "q_market_share"       -> ((s, d) => Analytics.marketShare(Tables(s, d)))
   )
 
   /** kinesis_topic/main.go:23 — the demo topic payload. */
@@ -1556,7 +1558,45 @@ object SparkEntry {
         |SELECT doc_id,
         |  CAST(CASE WHEN h >= CAST(power(2, 63) AS HUGEINT)
         |       THEN h - CAST(power(2, 64) AS HUGEINT) ELSE h END AS BIGINT) AS dhash
-        |FROM bits ORDER BY doc_id""".stripMargin
+        |FROM bits ORDER BY doc_id""".stripMargin,
+    "q_trade_matrix" -> // TPC-H Q7-style bilateral (supplier nation, customer nation) volume
+      """WITH sn AS (
+        |  SELECT s_suppkey, n_name AS supp_nation
+        |  FROM supplier JOIN nation ON s_nationkey = n_nationkey),
+        |cn AS (
+        |  SELECT c_custkey, n_name AS cust_nation
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey)
+        |SELECT supp_nation, cust_nation,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,4))) AS DOUBLE)
+        |    AS volume,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN sn ON l_suppkey = s_suppkey
+        |JOIN cn ON o_custkey = c_custkey
+        |WHERE supp_nation <> cust_nation
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_market_share" -> // TPC-H Q8-style nation revenue vs total per year (num/den, no float div)
+      """WITH sn AS (
+        |  SELECT s_suppkey, n_name AS supp_nation
+        |  FROM supplier JOIN nation ON s_nationkey = n_nationkey),
+        |rc AS (
+        |  SELECT c_custkey
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |                JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'AMERICA')
+        |SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+        |  CAST(sum(CASE WHEN supp_nation = 'NATION_3'
+        |    THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,4))
+        |    ELSE CAST(0 AS DECIMAL(22,4)) END) AS DOUBLE) AS nation_revenue,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,4))) AS DOUBLE)
+        |    AS total_revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN rc ON o_custkey = c_custkey
+        |JOIN sn ON l_suppkey = s_suppkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 
   /** Shared recursive min-label reachability over a near-dup pairs CTE

@@ -710,6 +710,69 @@ object Analytics {
       .orderBy("c_mktsegment")
   }
 
+  /** B42: TPC-H Q7-style bilateral trade matrix — volume between every
+    * (supplier nation, customer nation) pair. The join TOPOLOGY is the
+    * new thing: the fact reaches `nation` along two different paths
+    * (lineitem→supplier→nation and lineitem→orders→customer→nation),
+    * so the same broadcast dimension is aliased twice and the pair key
+    * only exists after both legs resolve. Supplier/nation legs
+    * broadcast at any SF; orders⋈lineitem on the order key is the one
+    * wide exchange, the (nation × nation) rollup is tiny.
+    */
+  def tradeMatrix(t: Tables): DataFrame = {
+    val suppNation = t.supplier
+      .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val custNation = t.customer
+      .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    t.lineitem
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+      .join(t.orders.select("o_orderkey", "o_custkey"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(custNation), col("o_custkey") === col("c_custkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy("supp_nation", "cust_nation")
+      .agg(
+        Num.moneySum4(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("volume"),
+        count(lit(1)).as("n_items")
+      )
+      .orderBy("supp_nation", "cust_nation")
+  }
+
+  /** B43: TPC-H Q8-style market share — one nation's supplier revenue
+    * vs everyone's, per order year, inside one region's customer
+    * market. Emits the num/den decimal pair (B34's convention) instead
+    * of the non-portable float share. Same two-path topology as
+    * [[tradeMatrix]] plus the region restriction on the CUSTOMER side
+    * and a conditional numerator on the SUPPLIER side.
+    */
+  def marketShare(t: Tables, nation: String = "NATION_3", region: String = "AMERICA"): DataFrame = {
+    val suppNation = t.supplier
+      .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val regionCust = t.customer
+      .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === region)
+      .select(col("c_custkey"))
+    val revenue = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    t.lineitem
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+      .join(t.orders.select("o_orderkey", "o_custkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(regionCust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(year(col("o_orderdate")).as("order_year"))
+      .agg(
+        Num.moneySum4(when(col("supp_nation") === nation, revenue).otherwise(lit(0.0)))
+          .as("nation_revenue"),
+        Num.moneySum4(revenue).as("total_revenue"),
+        count(lit(1)).as("n_items")
+      )
+      .orderBy("order_year")
+  }
+
   /** B41: week-over-week traffic — each (type, week)'s count beside
     * the previous week's, the growth-dashboard staple. The
     * window-on-aggregate pattern again (B26): the fact collapses to

@@ -154,6 +154,52 @@ object KinesisLikePipeline {
       sum_value: Double
   )
 
+  /** The capped-session state machine shared by BOTH streaming
+    * backends (fMGWS A10f and transformWithState A10g — the emitPages
+    * precedent): fold event-time-sorted (µs, cents) rows into the open
+    * session, emitting finalized sub-sessions on gap breaks (re-anchor)
+    * and cap crossings (keep the anchor).
+    */
+  private def mergeCapEvents(
+      sorted: Seq[(Long, Long)],
+      init: Option[CapSessState],
+      gapUs: Long,
+      capUs: Long
+  ): (Seq[CapSessState], Option[CapSessState]) = {
+    val done = scala.collection.mutable.ArrayBuffer.empty[CapSessState]
+    var cur  = init
+    sorted.foreach { case (eu, c) =>
+      cur match {
+        case None =>
+          cur = Some(CapSessState(eu, 0L, eu, eu, 1L, c))
+        case Some(s) if eu - s.endUs > gapUs =>
+          done += s // gap break: finalize, re-anchor
+          cur = Some(CapSessState(eu, 0L, eu, eu, 1L, c))
+        case Some(s) =>
+          val sub = (eu - s.gapStartUs) / capUs
+          if (sub != s.subIdx) {
+            done += s // cap split: finalize, KEEP the anchor
+            cur = Some(CapSessState(s.gapStartUs, sub, eu, eu, 1L, c))
+          } else {
+            cur = Some(s.copy(endUs = eu, n = s.n + 1L, cents = s.cents + c))
+          }
+      }
+    }
+    (done.toSeq, cur)
+  }
+
+  private def capSessUs(ts: java.sql.Timestamp): Long =
+    ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
+
+  private def capSessTs(u: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp(u / 1000L)
+    t.setNanos(((u % 1000000L) * 1000L).toInt)
+    t
+  }
+
+  private def capSessOut(user: Long, s: CapSessState): CapSessOut =
+    CapSessOut(user, capSessTs(s.startUs), capSessTs(s.endUs), s.n, s.cents / 100.0)
+
   /** A10f: streaming CAPPED sessions — the twin of
     * EventOps.cappedSessions, and the case where the built-in
     * `session_window` state machine genuinely cannot express the
@@ -184,13 +230,6 @@ object KinesisLikePipeline {
     import spark.implicits._
     val gapUs = gapMinutes * 60L * 1000000L
     val capUs = capMinutes * 60L * 1000000L
-    def us(ts: java.sql.Timestamp): Long =
-      ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
-    def toTs(u: Long): java.sql.Timestamp = {
-      val t = new java.sql.Timestamp(u / 1000L)
-      t.setNanos(((u % 1000000L) * 1000L).toInt)
-      t
-    }
     events
       .withWatermark("ts", watermark)
       .selectExpr("ts", "user_id", "value")
@@ -199,43 +238,104 @@ object KinesisLikePipeline {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (user: Long, in: Iterator[(java.sql.Timestamp, Long, Double)],
          state: GroupState[CapSessState]) =>
-          def fin(s: CapSessState): CapSessOut =
-            CapSessOut(user, toTs(s.startUs), toTs(s.endUs), s.n, s.cents / 100.0)
           if (state.hasTimedOut) {
-            val closed = state.getOption.map(fin).toSeq
+            val closed = state.getOption.map(capSessOut(user, _)).toSeq
             state.remove()
             closed.iterator
           } else {
-            val out = scala.collection.mutable.ArrayBuffer.empty[CapSessOut]
-            var cur = state.getOption
-            in.toSeq.sortBy(e => us(e._1)).foreach { e =>
-              val eu = us(e._1)
-              val c  = math.round(e._3 * 100.0)
-              cur match {
-                case None =>
-                  cur = Some(CapSessState(eu, 0L, eu, eu, 1L, c))
-                case Some(s) if eu - s.endUs > gapUs =>
-                  out += fin(s) // gap break: finalize, re-anchor
-                  cur = Some(CapSessState(eu, 0L, eu, eu, 1L, c))
-                case Some(s) =>
-                  val sub = (eu - s.gapStartUs) / capUs
-                  if (sub != s.subIdx) {
-                    out += fin(s) // cap split: finalize, KEEP the anchor
-                    cur = Some(CapSessState(s.gapStartUs, sub, eu, eu, 1L, c))
-                  } else {
-                    cur = Some(s.copy(endUs = eu, n = s.n + 1L, cents = s.cents + c))
-                  }
-              }
-            }
+            val sorted = in.toSeq
+              .map(e => (capSessUs(e._1), math.round(e._3 * 100.0)))
+              .sortBy(_._1)
+            val (done, cur) = mergeCapEvents(sorted, state.getOption, gapUs, capUs)
             cur.foreach { s =>
               state.update(s)
               // event-time timeout at last + gap: past it no event can
               // extend this session, so it is safe to finalize
               state.setTimeoutTimestamp(s.endUs / 1000L + gapMinutes * 60L * 1000L)
             }
-            out.iterator
+            done.map(capSessOut(user, _)).iterator
           }
       }
+  }
+
+  /** A10g: [[cappedSessionCounts]] on the transformWithState engine
+    * (RocksDB provider) — the same shared state machine, with the
+    * timeout expressed as an EVENT-TIME TIMER: each batch re-arms a
+    * timer at last + gap, and because stale timers from earlier
+    * batches still fire, [[CappedSessionProcessor.handleExpiredTimer]]
+    * finalizes only when the stored session has actually aged past the
+    * gap at the timer's expiry (the guard the declarative timer API
+    * needs where fMGWS's setTimeoutTimestamp overwrote in place).
+    */
+  class CappedSessionProcessor(gapMinutes: Int = 30, capMinutes: Int = 120)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (java.sql.Timestamp, Long, Double), CapSessOut] {
+    import org.apache.spark.sql.streaming.{TimeMode, TTLConfig, ValueState}
+    import org.apache.spark.sql.{Encoders => Encs}
+
+    private val gapUs = gapMinutes * 60L * 1000000L
+    private val capUs = capMinutes * 60L * 1000000L
+
+    @transient private var sess: ValueState[CapSessState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      sess = getHandle.getValueState[CapSessState](
+        "sess", Encs.product[CapSessState], TTLConfig.NONE)
+
+    override def handleInputRows(
+        user: Long,
+        in: Iterator[(java.sql.Timestamp, Long, Double)],
+        timerValues: org.apache.spark.sql.streaming.TimerValues
+    ): Iterator[CapSessOut] = {
+      val sorted = in.toSeq
+        .map(e => (capSessUs(e._1), math.round(e._3 * 100.0)))
+        .sortBy(_._1)
+      val prev        = if (sess.exists()) Some(sess.get()) else None
+      val (done, cur) = mergeCapEvents(sorted, prev, gapUs, capUs)
+      cur.foreach { s =>
+        sess.update(s)
+        getHandle.registerTimer(s.endUs / 1000L + gapMinutes * 60L * 1000L)
+      }
+      done.map(capSessOut(user, _)).iterator
+    }
+
+    override def handleExpiredTimer(
+        user: Long,
+        timerValues: org.apache.spark.sql.streaming.TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo
+    ): Iterator[CapSessOut] = {
+      // stale-timer guard: a timer armed by an earlier batch fires even
+      // though later events extended the session — only finalize when
+      // the OPEN session really ends at/before this timer's horizon
+      val expiry = expiredTimerInfo.getExpiryTimeInMs()
+      if (sess.exists() && sess.get().endUs / 1000L + gapMinutes * 60L * 1000L <= expiry) {
+        val closed = capSessOut(user, sess.get())
+        sess.clear()
+        Iterator.single(closed)
+      } else Iterator.empty
+    }
+  }
+
+  /** [[cappedSessionCounts]] through transformWithState. */
+  def cappedSessionCountsTws(
+      events: DataFrame,
+      gapMinutes: Int = 30,
+      capMinutes: Int = 120,
+      watermark: String = "10 minutes"
+  ): Dataset[CapSessOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    events
+      .withWatermark("ts", watermark)
+      .selectExpr("ts", "user_id", "value")
+      .as[(java.sql.Timestamp, Long, Double)]
+      .groupByKey(_._2)
+      .transformWithState(
+        new CappedSessionProcessor(gapMinutes, capMinutes),
+        TimeMode.EventTime(),
+        OutputMode.Append()
+      )
   }
 
   /** Rolling distinct active users per sliding window — the streaming

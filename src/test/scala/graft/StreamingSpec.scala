@@ -243,6 +243,53 @@ class StreamingSpec extends SparkSpecBase {
     assert(rows(1).getAs[Long]("n_events") == 2 && rows(1).getAs[Double]("sum_value") == 13.0)
   }
 
+  test("capped sessions TWS twin: same finalized sessions via event-time timers (RocksDB)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    )
+    try {
+      val in  = MemoryStream[(Timestamp, Long, Double)]
+      val out = KinesisLikePipeline.cappedSessionCountsTws(in.toDF().toDF("ts", "user_id", "value"))
+      val q = out.writeStream
+        .outputMode(OutputMode.Append)
+        .format("memory")
+        .queryName("capsess_tws_out")
+        .option("checkpointLocation", ckpt())
+        .start()
+      def ev(hhmm: String, v: Double) = (Timestamp.valueOf(s"2026-01-01 $hhmm:00"), 7L, v)
+      // same fixture as the fMGWS spec: the two backends must finalize
+      // identical sessions — including via a STALE timer (the batch-1
+      // timer at 01:20 fires while batch-2 events extended the session;
+      // the guard must ignore it)
+      in.addData(ev("00:00", 1.0), ev("00:25", 2.0), ev("00:50", 3.0))
+      q.processAllAvailable()
+      in.addData(ev("01:15", 4.0), ev("01:40", 5.0), ev("02:05", 6.0), ev("02:30", 7.0))
+      q.processAllAvailable()
+      in.addData((Timestamp.valueOf("2026-01-01 09:00:00"), 9L, 1.0))
+      q.processAllAvailable()
+      in.addData((Timestamp.valueOf("2026-01-01 12:00:00"), 9L, 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("capsess_tws_out").collect()
+        .filter(_.getAs[Long]("user_id") == 7L)
+        .sortBy(_.getAs[java.sql.Timestamp]("session_start").getTime)
+      q.stop()
+      assert(rows.length == 2, s"expected the same cap split as fMGWS, got ${rows.toSeq}")
+      assert(rows(0).getAs[java.sql.Timestamp]("session_end") == Timestamp.valueOf("2026-01-01 01:40:00"))
+      assert(rows(0).getAs[Long]("n_events") == 5 && rows(0).getAs[Double]("sum_value") == 15.0)
+      assert(rows(1).getAs[java.sql.Timestamp]("session_start") == Timestamp.valueOf("2026-01-01 02:05:00"))
+      assert(rows(1).getAs[Long]("n_events") == 2 && rows(1).getAs[Double]("sum_value") == 13.0)
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None    => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming admission: stream-static probe of the base index, stateless across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
