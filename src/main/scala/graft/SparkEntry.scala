@@ -159,7 +159,8 @@ object SparkEntry {
     "text_quality_norm"    -> ((s, d) => TextOps.qualityRankNorm(Tables(s, d))),
     "multimodal_phash"     -> ((s, d) => Multimodal.perceptualHashTable(s, Tables(s, d))),
     "q_trade_matrix"       -> ((s, d) => Analytics.tradeMatrix(Tables(s, d))),
-    "q_market_share"       -> ((s, d) => Analytics.marketShare(Tables(s, d)))
+    "q_market_share"       -> ((s, d) => Analytics.marketShare(Tables(s, d))),
+    "q_trailing_revenue"   -> ((s, d) => Analytics.trailingRevenue(Tables(s, d)))
   )
 
   /** kinesis_topic/main.go:23 — the demo topic payload. */
@@ -1596,7 +1597,19 @@ object SparkEntry {
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN rc ON o_custkey = c_custkey
         |JOIN sn ON l_suppkey = s_suppkey
-        |GROUP BY 1 ORDER BY 1""".stripMargin
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_trailing_revenue" -> // trailing 7-day revenue per (day, type): VALUE-range frame over the grid
+      """WITH d AS (
+        |  SELECT date_trunc('day', ts) AS day, event_type,
+        |    sum(CAST(value AS DECIMAL(18,2))) AS day_value
+        |  FROM events WHERE event_type IN ('purchase', 'view')
+        |  GROUP BY 1, 2)
+        |SELECT day, event_type, CAST(day_value AS DOUBLE) AS day_value,
+        |  CAST(sum(day_value) OVER (
+        |    PARTITION BY event_type ORDER BY epoch_us(day)
+        |    RANGE BETWEEN 518400000000 PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    AS trailing_value
+        |FROM d ORDER BY event_type, day""".stripMargin
   )
 
   /** Shared recursive min-label reachability over a near-dup pairs CTE

@@ -773,6 +773,33 @@ object Analytics {
       .orderBy("order_year")
   }
 
+  /** B44: trailing 7-day revenue per day and type — the RANGE-frame
+    * window (every other frame in the codebase is ROWS/running): the
+    * frame is defined by a VALUE interval over the ordered day, so
+    * missing days shorten the window instead of silently widening it
+    * to 7 physical rows (the classic rows-frame bug on sparse series).
+    * Window-on-aggregate again: only the (days × types) grid pays the
+    * frame, and the range sum is decimal → order-independent.
+    */
+  def trailingRevenue(t: Tables, days: Int = 7): DataFrame = {
+    val daily = t.events
+      .filter(col("event_type") === "purchase" || col("event_type") === "view")
+      .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+      .agg(Num.moneySum(col("value")).as("day_value"))
+    val w = Window
+      .partitionBy("event_type")
+      .orderBy(col("day").cast("long"))
+      .rangeBetween(-(days - 1).toLong * 86400L, 0L)
+    daily
+      .withColumn(
+        "trailing_value",
+        sum(col("day_value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .over(w)
+          .cast("double")
+      )
+      .orderBy("event_type", "day")
+  }
+
   /** B41: week-over-week traffic — each (type, week)'s count beside
     * the previous week's, the growth-dashboard staple. The
     * window-on-aggregate pattern again (B26): the fact collapses to

@@ -107,4 +107,44 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(stratPlan.contains("TopKPerKey"), s"stratified sample not grafted:\n$stratPlan")
     } finally spark.stop()
   }
+
+  test("rewrite generalizes: a hand-written SQL row_number idiom on a fresh shape grafts") {
+    // a user authoring the chargram-profile idiom in raw SQL — a query
+    // shape the rule was never written against — must land on the
+    // bounded-heap operator and produce the operator's exact rows
+    val spark = SparkSession
+      .builder()
+      .master("local[2]")
+      .appName("graft-ext-sql-graft-spec")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      val t = graft.sources.Tables(spark, "/root/testdata/sf0.001")
+      t.documents.createOrReplaceTempView("documents")
+      val sql = spark.sql(
+        """WITH g AS (
+          |  SELECT lang, gram FROM (
+          |    SELECT lang, explode(
+          |      IF(length(text) >= 3,
+          |         transform(sequence(1, length(text) - 2), i -> substring(text, i, 3)),
+          |         array())) AS gram
+          |    FROM documents)),
+          |c AS (SELECT lang, gram, count(*) AS cnt FROM g GROUP BY 1, 2),
+          |r AS (
+          |  SELECT lang, gram, cnt,
+          |    CAST(row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, gram) AS BIGINT)
+          |      AS rnk
+          |  FROM c)
+          |SELECT lang, gram, cnt, rnk FROM r WHERE rnk <= 10
+          |ORDER BY lang, rnk""".stripMargin
+      )
+      val plan = sql.queryExecution.executedPlan.toString
+      assert(plan.contains("TopKPerKey"), s"SQL idiom not grafted:\n$plan")
+      val viaOperator = graft.operators.TextOps.chargramLangProfile(t).collect().map(_.toSeq).toSeq
+      assert(sql.collect().map(_.toSeq).toSeq == viaOperator,
+        "grafted SQL disagrees with the operator")
+    } finally spark.stop()
+  }
 }
