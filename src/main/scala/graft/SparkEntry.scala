@@ -160,7 +160,8 @@ object SparkEntry {
     "multimodal_phash"     -> ((s, d) => Multimodal.perceptualHashTable(s, Tables(s, d))),
     "q_trade_matrix"       -> ((s, d) => Analytics.tradeMatrix(Tables(s, d))),
     "q_market_share"       -> ((s, d) => Analytics.marketShare(Tables(s, d))),
-    "q_trailing_revenue"   -> ((s, d) => Analytics.trailingRevenue(Tables(s, d)))
+    "q_trailing_revenue"   -> ((s, d) => Analytics.trailingRevenue(Tables(s, d))),
+    "q_top_part_per_brand" -> ((s, d) => Analytics.topPartPerBrand(Tables(s, d)))
   )
 
   /** kinesis_topic/main.go:23 — the demo topic payload. */
@@ -1609,7 +1610,19 @@ object SparkEntry {
         |    PARTITION BY event_type ORDER BY epoch_us(day)
         |    RANGE BETWEEN 518400000000 PRECEDING AND CURRENT ROW) AS DOUBLE)
         |    AS trailing_value
-        |FROM d ORDER BY event_type, day""".stripMargin
+        |FROM d ORDER BY event_type, day""".stripMargin,
+    "q_top_part_per_brand" -> // per-brand argmax part by decimal revenue (top-k, k=1)
+      """WITH pp AS (
+        |  SELECT p_brand, p_partkey,
+        |    CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,4))) AS DOUBLE)
+        |      AS revenue
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  GROUP BY 1, 2),
+        |r AS (
+        |  SELECT p_brand, p_partkey, revenue,
+        |    row_number() OVER (PARTITION BY p_brand ORDER BY revenue DESC, p_partkey) AS rn
+        |  FROM pp)
+        |SELECT p_brand, p_partkey, revenue FROM r WHERE rn = 1 ORDER BY p_brand""".stripMargin
   )
 
   /** Shared recursive min-label reachability over a near-dup pairs CTE

@@ -773,6 +773,27 @@ object Analytics {
       .orderBy("order_year")
   }
 
+  /** B45: per-group argmax — each brand's single highest-revenue part
+    * (ties → smallest part key), through the bounded-heap TopKPerKey
+    * operator with k=1: the per-group argmax is just top-k's degenerate
+    * case, and the custom exec gives it without a per-group sort or a
+    * max_by (whose tie behavior is engine-defined — the struct-max
+    * trick is deterministic but not portable across engines either;
+    * the (revenue desc, key) rank IS). Decimal revenue keeps the
+    * ordering exact.
+    */
+  def topPartPerBrand(t: Tables): DataFrame = {
+    val perPart = t.lineitem
+      .join(broadcast(t.part.select("p_partkey", "p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand", "p_partkey")
+      .agg(Num.moneySum4(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+    graft.plans.TopK
+      .perKey(perPart, Seq("p_brand"), Seq(col("revenue").desc, col("p_partkey")), 1)
+      .select("p_brand", "p_partkey", "revenue")
+      .orderBy("p_brand")
+  }
+
   /** B44: trailing 7-day revenue per day and type — the RANGE-frame
     * window (every other frame in the codebase is ROWS/running): the
     * frame is defined by a VALUE interval over the ordered day, so

@@ -514,16 +514,21 @@ object TextOps {
       checkpointDir: Option[String] = None
   ): DataFrame = {
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
-    // pos -1 (null,first) and pos n-1 (last,null) sentinels: every word
-    // occurrence appears exactly once as w1 and once as w2, so both
-    // marginals of this one aggregate are the true unigram counts.
+    // Boundary sentinels — a token the corpus cannot contain — are
+    // CONCATENATED into the string before one raw split, and adjacent
+    // words pair up via slice+arrays_zip: every expression here is a
+    // codegen'd array op, because exploding a lambda-built
+    // `transform(...)` array re-evaluates the interpreted lambda per
+    // OUTPUT row (the §5 Generate finding, ~15×). The sentinel rows
+    // (∅,first)/(last,∅) are what make both marginals of this one
+    // aggregate equal the true unigram counts.
+    val S = "\u0001" // not producible by split(text, ' ') on any real text
     val pairsPlan = t.documents
-      .withColumn("ws", split(col("text"), " "))
+      .withColumn("ws", split(concat_ws(" ", lit(S), col("text"), lit(S)), " "))
       .select(explode(expr(
-        "transform(sequence(-1, size(ws)-1), " +
-          "i -> struct(IF(i >= 0, ws[i], NULL) AS w1, IF(i+1 < size(ws), ws[i+1], NULL) AS w2))"
+        "arrays_zip(slice(ws, 1, size(ws) - 1), slice(ws, 2, size(ws) - 1))"
       )).as("p"))
-      .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .groupBy(nullif(col("p.0"), lit(S)).as("w1"), nullif(col("p.1"), lit(S)).as("w2"))
       .agg(count(lit(1)).as("c"))
     checkpointDir.foreach(t.spark.sparkContext.setCheckpointDir)
     val pairs = if (checkpointDir.isDefined) pairsPlan.checkpoint() else pairsPlan.localCheckpoint()
@@ -586,12 +591,15 @@ object TextOps {
     * integer-deterministic: (count desc, gram asc).
     */
   def chargramLangProfile(t: Tables, n: Int = 3, k: Int = 10): DataFrame = {
+    // explode the codegen'd `sequence` of start offsets and slice the
+    // gram AFTER the explode (once per output row) — exploding a
+    // lambda-built transform(...) array would re-evaluate the
+    // interpreted lambda per output row (the §5 Generate finding)
     val grams = t.documents
-      .select(col("lang"), explode(expr(
-        s"IF(length(text) >= $n, " +
-          s"transform(sequence(1, length(text) - ${n - 1}), i -> substring(text, i, $n)), " +
-          "array())"
-      )).as("gram"))
+      .filter(length(col("text")) >= n)
+      .select(col("lang"), col("text"),
+        explode(expr(s"sequence(1, length(text) - ${n - 1})")).as("i"))
+      .select(col("lang"), expr(s"substring(text, i, $n)").as("gram"))
       .groupBy("lang", "gram")
       .agg(count(lit(1)).as("cnt"))
     graft.plans.TopK
