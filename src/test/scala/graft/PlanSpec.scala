@@ -483,4 +483,35 @@ class PlanSpec extends SparkSpecBase {
     // the only exchange allowed is the final order-by range partitioning
     assert("Exchange hashpartitioning".r.findAllIn(plan).isEmpty, s"unexpected shuffle:\n$plan")
   }
+
+  test("trade matrix: both nation legs broadcast, exactly one wide fact exchange pair") {
+    val plan = executedPlanString(graft.operators.Analytics.tradeMatrix(tables))
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2, s"nation legs not broadcast:\n$plan")
+    // the only hash exchanges: lineitem/orders on the order key + the
+    // tiny (nation, nation) rollup — never a fact shuffle per leg
+    val factExchanges = "Exchange hashpartitioning\\((?:l_orderkey|o_orderkey)"
+      .r.findAllIn(plan).size
+    assert(factExchanges <= 2, s"fact shuffled more than once per side:\n$plan")
+    assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"), plan)
+  }
+
+  test("custdist: customer joins the pre-aggregated order counts, not order rows") {
+    val plan = executedPlanString(graft.operators.Analytics.customerOrderDist(tables))
+    // the orders side must aggregate to per-customer counts BELOW the
+    // join: a HashAggregate on o_custkey feeds the join build/stream
+    // side, so the join moves |customers| rows, never |orders|
+    val joinIdx = plan.indexOfSlice("Join")
+    val aggIdx  = plan.indexOfSlice("HashAggregate(keys=[o_custkey")
+    assert(aggIdx >= 0, s"orders not pre-aggregated:\n$plan")
+    assert(joinIdx >= 0 && joinIdx < aggIdx, s"aggregate not below the join:\n$plan")
+  }
+
+  test("large orders: selective rollup filter lets AQE broadcast the join-backs") {
+    val plan = executedPlanString(graft.operators.Analytics.largeOrders(tables))
+    // the quantity rollup + >threshold filter shrink the left side far
+    // under the broadcast threshold — AQE must plan broadcast joins for
+    // the orders/customer join-backs, not sort-merge the full fact
+    assert(plan.contains("BroadcastHashJoin"), s"join-backs not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"full-fact sort-merge survived:\n$plan")
+  }
 }
