@@ -161,7 +161,8 @@ object SparkEntry {
     "q_trade_matrix"       -> ((s, d) => Analytics.tradeMatrix(Tables(s, d))),
     "q_market_share"       -> ((s, d) => Analytics.marketShare(Tables(s, d))),
     "q_trailing_revenue"   -> ((s, d) => Analytics.trailingRevenue(Tables(s, d))),
-    "q_top_part_per_brand" -> ((s, d) => Analytics.topPartPerBrand(Tables(s, d)))
+    "q_top_part_per_brand" -> ((s, d) => Analytics.topPartPerBrand(Tables(s, d))),
+    "q_asof_nearest"       -> ((s, d) => Temporal.asofNearestClick(Tables(s, d)))
   )
 
   /** kinesis_topic/main.go:23 — the demo topic payload. */
@@ -1622,7 +1623,36 @@ object SparkEntry {
         |  SELECT p_brand, p_partkey, revenue,
         |    row_number() OVER (PARTITION BY p_brand ORDER BY revenue DESC, p_partkey) AS rn
         |  FROM pp)
-        |SELECT p_brand, p_partkey, revenue FROM r WHERE rn = 1 ORDER BY p_brand""".stripMargin
+        |SELECT p_brand, p_partkey, revenue FROM r WHERE rn = 1 ORDER BY p_brand""".stripMargin,
+    "q_asof_nearest" -> // nearest click either side per purchase; ties -> prior (largest id), next side smallest id
+      """WITH c AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'),
+        |prev AS (
+        |  SELECT p.event_id, c.event_id AS cid, c.ts AS cts,
+        |    row_number() OVER (PARTITION BY p.event_id ORDER BY c.ts DESC, c.event_id DESC) AS rn
+        |  FROM p JOIN c ON c.user_id = p.user_id AND c.ts <= p.ts),
+        |nxt AS (
+        |  SELECT p.event_id, c.event_id AS cid, c.ts AS cts,
+        |    row_number() OVER (PARTITION BY p.event_id ORDER BY c.ts ASC, c.event_id ASC) AS rn
+        |  FROM p JOIN c ON c.user_id = p.user_id AND c.ts >= p.ts),
+        |j AS (
+        |  SELECT p.event_id, p.user_id, p.ts,
+        |    pr.cid AS p_cid, pr.cts AS p_cts, nx.cid AS n_cid, nx.cts AS n_cts,
+        |    epoch_us(p.ts) - epoch_us(pr.cts) AS gp, epoch_us(nx.cts) - epoch_us(p.ts) AS gn
+        |  FROM p
+        |  LEFT JOIN (SELECT * FROM prev WHERE rn = 1) pr ON pr.event_id = p.event_id
+        |  LEFT JOIN (SELECT * FROM nxt WHERE rn = 1) nx ON nx.event_id = p.event_id)
+        |SELECT event_id, user_id, ts,
+        |  CASE WHEN n_cid IS NULL OR (p_cid IS NOT NULL AND gp <= gn) THEN p_cid ELSE n_cid END
+        |    AS click_event_id,
+        |  CASE WHEN n_cid IS NULL OR (p_cid IS NOT NULL AND gp <= gn) THEN p_cts ELSE n_cts END
+        |    AS click_ts,
+        |  CASE WHEN n_cid IS NULL OR (p_cid IS NOT NULL AND gp <= gn) THEN gp ELSE gn END
+        |    AS gap_us,
+        |  CASE WHEN n_cid IS NULL OR (p_cid IS NOT NULL AND gp <= gn) THEN 'prior' ELSE 'next' END
+        |    AS direction
+        |FROM j WHERE p_cid IS NOT NULL OR n_cid IS NOT NULL
+        |ORDER BY event_id""".stripMargin
   )
 
   /** Shared recursive min-label reachability over a near-dup pairs CTE

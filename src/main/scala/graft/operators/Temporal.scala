@@ -170,6 +170,75 @@ object Temporal {
       .orderBy("event_id")
   }
 
+  /** B14d: NEAREST as-of (inner): for every purchase, the closest
+    * click in EITHER direction — the "nearest observation" join of
+    * sensor/feature alignment, where backward-only (B14) biases
+    * toward stale state and forward-only (B14b) toward lookahead.
+    * Ties (equal gap, including a click AT the purchase instant)
+    * resolve to the PRIOR side.
+    *
+    * Composes the two carries in ONE user_id exchange: both windows
+    * share the hash partitioning (only the in-partition sort order
+    * differs — Spark re-sorts locally, it does not re-shuffle), the
+    * backward carry under (ts, clickFirst, id) and the forward carry
+    * under the reversed order, then a codegen'd projection picks the
+    * smaller integer-µs gap. Tie conventions inherited from the
+    * kernels: equal-ts clicks resolve to the largest id on the prior
+    * side, smallest on the next side — both pinned by the oracle.
+    */
+  def asofNearestClick(t: Tables): DataFrame = asofNearestOn(t.events)
+
+  /** The nearest-as-of kernel over any events-shaped frame — exposed
+    * (like [[asofOn]]) so specs can drive tie-heavy crafted inputs.
+    */
+  def asofNearestOn(events: DataFrame): DataFrame = {
+    val e = events.select("event_id", "ts", "user_id", "event_type")
+    val clicks = e
+      .filter(col("event_type") === "click")
+      .select(
+        col("user_id"),
+        col("ts"),
+        col("event_id"),
+        lit(0).as("clickFirst"),
+        struct(col("ts").as("c_ts"), col("event_id").as("c_id")).as("c")
+      )
+    val purchases = e
+      .filter(col("event_type") === "purchase")
+      .select(
+        col("user_id"),
+        col("ts"),
+        col("event_id"),
+        lit(1).as("clickFirst"),
+        lit(null).cast("struct<c_ts:timestamp,c_id:bigint>").as("c")
+      )
+    val bw = Window
+      .partitionBy("user_id")
+      .orderBy(col("ts"), col("clickFirst"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fw = Window
+      .partitionBy("user_id")
+      .orderBy(col("ts").desc, col("clickFirst"), col("event_id").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val gapPrev = unix_micros(col("ts")) - unix_micros(col("prev_c.c_ts"))
+    val gapNext = unix_micros(col("next_c.c_ts")) - unix_micros(col("ts"))
+    val usePrev = col("next_c").isNull || (col("prev_c").isNotNull && gapPrev <= gapNext)
+    purchases
+      .unionByName(clicks)
+      .withColumn("prev_c", last("c", ignoreNulls = true).over(bw))
+      .withColumn("next_c", last("c", ignoreNulls = true).over(fw))
+      .filter(col("clickFirst") === 1 && (col("prev_c").isNotNull || col("next_c").isNotNull))
+      .select(
+        col("event_id"),
+        col("user_id"),
+        col("ts"),
+        when(usePrev, col("prev_c.c_id")).otherwise(col("next_c.c_id")).as("click_event_id"),
+        when(usePrev, col("prev_c.c_ts")).otherwise(col("next_c.c_ts")).as("click_ts"),
+        when(usePrev, gapPrev).otherwise(gapNext).as("gap_us"),
+        when(usePrev, lit("prior")).otherwise(lit("next")).as("direction")
+      )
+      .orderBy("event_id")
+  }
+
   /** Interval (range) join: per signup event, activity of the same user
     * inside [signup_ts, signup_ts + 1h). A naive `ts BETWEEN` join has
     * no equi-key and Spark plans BroadcastNestedLoop — quadratic and

@@ -337,6 +337,44 @@ class TemporalSpec extends SparkSpecBase {
     assert(plan.contains("BroadcastHashJoin"), s"benchmark set not broadcast:\n$plan")
   }
 
+  test("nearest as-of: prior wins ties, side conventions hold, one user exchange") {
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    def at(s: Int) = new java.sql.Timestamp(t0.getTime + s * 1000L)
+    val events = Seq(
+      // user 1: clicks AT the purchase instant → gap 0 both sides →
+      //   prior side wins, and the prior convention takes the LARGEST id
+      (100L, at(10), 1L, "click"),
+      (101L, at(10), 1L, "click"),
+      (200L, at(10), 1L, "purchase"),
+      // user 2: equidistant clicks (±5s) → tie → prior
+      (110L, at(5), 2L, "click"),
+      (111L, at(15), 2L, "click"),
+      (201L, at(10), 2L, "purchase"),
+      // user 3: only future clicks, two at the same instant → next
+      //   side takes the SMALLEST id
+      (120L, at(20), 3L, "click"),
+      (121L, at(20), 3L, "click"),
+      (202L, at(10), 3L, "purchase"),
+      // user 4: no clicks at all → dropped (inner)
+      (203L, at(10), 4L, "purchase")
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val got = Temporal.asofNearestOn(events).collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        ((r.getAs[Long]("click_event_id"), r.getAs[String]("direction"), r.getAs[Long]("gap_us"))))
+      .toMap
+    assert(got == Map(
+      200L -> ((101L, "prior", 0L)),
+      201L -> ((110L, "prior", 5000000L)),
+      202L -> ((120L, "next", 10000000L))
+    ), s"got $got")
+    // both carries must share ONE user_id exchange (two local sorts)
+    val plan = executedPlanString(Temporal.asofNearestClick(tables))
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(plan).size == 1,
+      s"expected one user exchange:\n$plan")
+    assert(!plan.contains("NestedLoop"), s"nearest as-of degenerated:\n$plan")
+  }
+
   test("capped sessions refine gap sessions: conserved events, bounded duration") {
     val capped = graft.operators.EventOps.cappedSessions(tables).collect()
     // every event lands in exactly one session
