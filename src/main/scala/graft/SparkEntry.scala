@@ -162,7 +162,9 @@ object SparkEntry {
     "q_market_share"       -> ((s, d) => Analytics.marketShare(Tables(s, d))),
     "q_trailing_revenue"   -> ((s, d) => Analytics.trailingRevenue(Tables(s, d))),
     "q_top_part_per_brand" -> ((s, d) => Analytics.topPartPerBrand(Tables(s, d))),
-    "q_asof_nearest"       -> ((s, d) => Temporal.asofNearestClick(Tables(s, d)))
+    "q_asof_nearest"       -> ((s, d) => Temporal.asofNearestClick(Tables(s, d))),
+    "pipeline_balance"     -> ((s, d) => Sampling.classBalance(Tables(s, d))),
+    "knn_centroids"        -> ((s, d) => Similarity.labelCentroids(Tables(s, d)))
   )
 
   /** kinesis_topic/main.go:23 — the demo topic payload. */
@@ -1652,7 +1654,26 @@ object SparkEntry {
         |  CASE WHEN n_cid IS NULL OR (p_cid IS NOT NULL AND gp <= gn) THEN 'prior' ELSE 'next' END
         |    AS direction
         |FROM j WHERE p_cid IS NOT NULL OR n_cid IS NOT NULL
-        |ORDER BY event_id""".stripMargin
+        |ORDER BY event_id""".stripMargin,
+    "pipeline_balance" -> // equalize every lang class to the smallest class size, hash order
+      """WITH target AS (
+        |  SELECT min(n) AS target FROM (SELECT lang, count(*) AS n FROM documents GROUP BY 1)),
+        |r AS (
+        |  SELECT doc_id, lang,
+        |    CAST(row_number() OVER (
+        |      PARTITION BY lang
+        |      ORDER BY md5('bal:' || CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rnk
+        |  FROM documents)
+        |SELECT doc_id, lang, rnk, target
+        |FROM r, target WHERE rnk <= target ORDER BY doc_id""".stripMargin,
+    "knn_centroids" -> // per-label fixed-point centroid sums: round(v*1e4) accumulated exactly
+      """WITH x AS (
+        |  SELECT label, unnest(embedding) AS e, generate_subscripts(embedding, 1) AS i
+        |  FROM embeddings)
+        |SELECT label, CAST(i - 1 AS BIGINT) AS dim,
+        |  sum(CAST(round(CAST(e AS DOUBLE) * 10000) AS BIGINT)) AS sum_q,
+        |  count(*) AS n_vecs
+        |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 
   /** Shared recursive min-label reachability over a near-dup pairs CTE

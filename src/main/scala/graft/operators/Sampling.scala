@@ -194,4 +194,32 @@ object Sampling {
       .select(col("doc_id"), col("source"), col("n_chars"), col("cum_chars"))
       .orderBy("doc_id")
   }
+
+  /** C39: class balancing — downsample every language class to the
+    * SMALLEST class's size, in deterministic hash order. The classic
+    * classifier-training fix for label skew (a 218:64 en:fr corpus
+    * teaches the model priors, not language), and the equalize-to-min
+    * policy that per-class FRACTIONS (stratified sampling, C17) cannot
+    * express because the target depends on a global aggregate.
+    *
+    * The min class size is a two-level aggregate collapsed to ONE
+    * broadcast row; per-class ranking is the sourceQuota hash-order
+    * pattern (unbiased within class, repartition-stable) over one
+    * shuffle on lang. Integer rank/target → exact oracle.
+    */
+  def classBalance(t: Tables): DataFrame = {
+    val target = t.documents
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"))
+      .agg(min("n_docs").as("target"))
+    val w = Window.partitionBy("lang").orderBy(col("hk"), col("doc_id"))
+    t.documents
+      .select(col("doc_id"), col("lang"))
+      .withColumn("hk", md5(concat(lit("bal:"), col("doc_id").cast("string"))))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .crossJoin(broadcast(target))
+      .filter(col("rnk") <= col("target"))
+      .select("doc_id", "lang", "rnk", "target")
+      .orderBy("doc_id")
+  }
 }

@@ -87,6 +87,26 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** C40: per-label centroid accumulation — the class-prototype /
+    * embedding-QA aggregate ("is label 3's cluster drifting?"). Raw
+    * float summation is partial-aggregation-order dependent, so the
+    * kernel QUANTIZES each component to fixed point first
+    * (round(v·10⁴) — both engines round half away from zero and the
+    * float→double widening is IEEE-identical) and accumulates exact
+    * integers: the 100 TB shape is one posexplode (codegen'd raw-array
+    * generator) + ONE (label, dim) shuffle of map-side-combined longs,
+    * output = labels × dims rows at any corpus size. Emits (Σq, n) —
+    * the consumer divides, the num/den convention again.
+    */
+  def labelCentroids(t: Tables, scale: Int = 10000): DataFrame =
+    t.embeddings
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(col("label"), col("dim").cast("long").as("dim"),
+        round(col("v").cast("double") * scale).cast("long").as("qv"))
+      .groupBy("label", "dim")
+      .agg(sum("qv").as("sum_q"), count(lit(1)).as("n_vecs"))
+      .orderBy("label", "dim")
+
   /** Hyperplanes per table (bucket bits) and number of independent
     * hash tables. Miss probability for a pair with bucket-bit agreement
     * p is (1 - p^bits)^tables — tables is the recall lever, bits the

@@ -337,6 +337,40 @@ class TemporalSpec extends SparkSpecBase {
     assert(plan.contains("BroadcastHashJoin"), s"benchmark set not broadcast:\n$plan")
   }
 
+  test("class balance equalizes every lang to the min class size, unbiased-by-hash") {
+    val rows = Sampling.classBalance(tables).collect()
+    val perLang = rows.groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    val counts = tables.documents.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val minCount = counts.values.min
+    assert(perLang.keySet == counts.keySet, "a class disappeared")
+    assert(perLang.values.forall(_ == minCount), s"classes unequal: $perLang (target $minCount)")
+    // the smallest class is kept whole — balancing only ever removes
+    val smallest = counts.minBy(_._2)._1
+    assert(perLang(smallest) == counts(smallest))
+  }
+
+  test("label centroids: quantized sums recover the per-label mean within half an ulp of 1e-4") {
+    val got = graft.operators.Similarity.labelCentroids(tables).collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    val raw = tables.embeddings.collect().flatMap { r =>
+      val label = r.getAs[Int]("label")
+      r.getSeq[Float](r.fieldIndex("embedding")).zipWithIndex.map { case (v, i) =>
+        (label, i.toLong) -> v.toDouble
+      }
+    }
+    val byKey = raw.groupBy(_._1).view.mapValues(vs => (vs.map(_._2).sum, vs.length)).toMap
+    assert(got.keySet == byKey.keySet)
+    got.foreach { case (k, (sumQ, n)) =>
+      val (exactSum, exactN) = byKey(k)
+      assert(n == exactN)
+      // each component quantizes within 5e-5, so the mean of the
+      // quantized sum is within 5e-5 of the float mean
+      val meanQ = sumQ.toDouble / 10000.0 / n
+      assert(math.abs(meanQ - exactSum / exactN) <= 5.1e-5, s"$k: $meanQ vs ${exactSum / exactN}")
+    }
+  }
+
   test("nearest as-of: prior wins ties, side conventions hold, one user exchange") {
     import spark.implicits._
     val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
