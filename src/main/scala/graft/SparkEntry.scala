@@ -164,7 +164,9 @@ object SparkEntry {
     "q_top_part_per_brand" -> ((s, d) => Analytics.topPartPerBrand(Tables(s, d))),
     "q_asof_nearest"       -> ((s, d) => Temporal.asofNearestClick(Tables(s, d))),
     "pipeline_balance"     -> ((s, d) => Sampling.classBalance(Tables(s, d))),
-    "knn_centroids"        -> ((s, d) => Similarity.labelCentroids(Tables(s, d)))
+    "knn_centroids"        -> ((s, d) => Similarity.labelCentroids(Tables(s, d))),
+    "q_partitioned_layout" -> ((s, d) =>
+      Layout.partitionedLayout(Tables(s, d), s"${System.getProperty("java.io.tmpdir")}/graft-partlayout"))
   )
 
   /** kinesis_topic/main.go:23 — the demo topic payload. */
@@ -1673,7 +1675,15 @@ object SparkEntry {
         |SELECT label, CAST(i - 1 AS BIGINT) AS dim,
         |  sum(CAST(round(CAST(e AS DOUBLE) * 10000) AS BIGINT)) AS sum_q,
         |  count(*) AS n_vecs
-        |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_partitioned_layout" -> // partition-pruned slice must equal the direct query
+      """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events
+        |WHERE event_type = 'purchase'
+        |  AND date_trunc('day', ts) >= TIMESTAMP '2024-01-10'
+        |  AND date_trunc('day', ts) < TIMESTAMP '2024-01-20'
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 
   /** Shared recursive min-label reachability over a near-dup pairs CTE

@@ -26,6 +26,38 @@ import org.apache.spark.sql.functions._
   */
 object Layout {
 
+  /** B46: hive-partitioned layout — the standard data-lake directory
+    * scheme (`.../event_type=click/day=.../part-*.parquet`): the
+    * writer `partitionBy`s the columns every consumer filters on, and
+    * a filtered read then PRUNES whole directories at PLANNING time
+    * (PartitionFilters, zero I/O for excluded partitions) — the
+    * coarse-grained twin of z-order's intra-file skipping (B16). The
+    * gate query writes events partitioned by (event_type, day), reads
+    * one type's slice back, and aggregates — values must equal the
+    * direct query (the layout changes the PLAN, never the values,
+    * same contract as B19's bucketed join). PlanSpec asserts the
+    * pruned scan shape.
+    */
+  def partitionedLayout(t: Tables, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    t.events
+      .withColumn("day", date_format(date_trunc("day", col("ts")), "yyyy-MM-dd"))
+      .write
+      .mode("overwrite")
+      .partitionBy("event_type", "day")
+      .parquet(dir)
+    t.spark.read
+      .parquet(dir)
+      .filter(col("event_type") === "purchase" && col("day") >= "2024-01-10" &&
+        col("day") < "2024-01-20")
+      // partition-column type inference reads `day` back as DATE;
+      // normalize to the written string form for the schema contract
+      .groupBy(date_format(col("day"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n_events"),
+        graft.operators.Num.moneySum(col("value")).as("sum_value"))
+      .orderBy("day")
+  }
+
   /** Morton-interleave the low `bits` of u (even positions) and v (odd
     * positions) — plain shift/mask arithmetic, whole-stage codegen'd.
     */

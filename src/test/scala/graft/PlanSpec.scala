@@ -506,6 +506,30 @@ class PlanSpec extends SparkSpecBase {
     assert(joinIdx >= 0 && joinIdx < aggIdx, s"aggregate not below the join:\n$plan")
   }
 
+  test("partitioned layout: filtered read prunes partitions at planning time") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-partlayout-spec").toString
+    val df  = graft.operators.Layout.partitionedLayout(tables, dir)
+    df.collect()
+    // the scan must carry PartitionFilters on BOTH partition columns —
+    // whole excluded directories never reach I/O
+    val scan = df.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") &&
+      scan.contains("event_type") && scan.contains("day"),
+      s"no partition pruning in scan:\n$scan")
+    // pruning is observable at the I/O layer: every file actually read
+    // by the filtered scan lives under purchase/day=2024-01-1x — the
+    // other 4 types × ~30 days of directories were never touched
+    val filesRead = tables.spark.read.parquet(dir)
+      .filter(org.apache.spark.sql.functions.expr(
+        "event_type = 'purchase' AND day >= '2024-01-10' AND day < '2024-01-20'"))
+      .select(org.apache.spark.sql.functions.input_file_name()).distinct()
+      .collect().map(_.getString(0))
+    assert(filesRead.nonEmpty)
+    assert(filesRead.forall(f =>
+      f.contains("event_type=purchase") && "day=2024-01-1\\d".r.findFirstIn(f).isDefined),
+      s"scan read outside the pruned partitions:\n${filesRead.mkString("\n")}")
+  }
+
   test("large orders: selective rollup filter lets AQE broadcast the join-backs") {
     val plan = executedPlanString(graft.operators.Analytics.largeOrders(tables))
     // the quantity rollup + >threshold filter shrink the left side far
