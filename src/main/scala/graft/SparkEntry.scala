@@ -166,7 +166,11 @@ object SparkEntry {
     "pipeline_balance"     -> ((s, d) => Sampling.classBalance(Tables(s, d))),
     "knn_centroids"        -> ((s, d) => Similarity.labelCentroids(Tables(s, d))),
     "q_partitioned_layout" -> ((s, d) =>
-      Layout.partitionedLayout(Tables(s, d), s"${System.getProperty("java.io.tmpdir")}/graft-partlayout"))
+      Layout.partitionedLayout(Tables(s, d), s"${System.getProperty("java.io.tmpdir")}/graft-partlayout")),
+    "q_profit_matrix"      -> ((s, d) => Analytics.profitMatrix(Tables(s, d))),
+    "q_important_parts"    -> ((s, d) => Analytics.importantParts(Tables(s, d))),
+    "q_small_qty_revenue"  -> ((s, d) => Analytics.smallQtyRevenue(Tables(s, d))),
+    "q_waiting_suppliers"  -> ((s, d) => Analytics.waitingSuppliers(Tables(s, d)))
   )
 
   /** kinesis_topic/main.go:23 — the demo topic payload. */
@@ -1683,7 +1687,64 @@ object SparkEntry {
         |WHERE event_type = 'purchase'
         |  AND date_trunc('day', ts) >= TIMESTAMP '2024-01-10'
         |  AND date_trunc('day', ts) < TIMESTAMP '2024-01-20'
-        |GROUP BY 1 ORDER BY 1""".stripMargin
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_profit_matrix" -> // TPC-H Q9-style (supplier nation, order year) volume for one product family
+      """WITH sn AS (
+        |  SELECT s_suppkey, n_name AS supp_nation
+        |  FROM supplier JOIN nation ON s_nationkey = n_nationkey)
+        |SELECT supp_nation, CAST(year(o_orderdate) AS INT) AS order_year,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,4))) AS DOUBLE)
+        |    AS profit,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey AND p_name LIKE '%gear%'
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN sn ON l_suppkey = s_suppkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_important_parts" -> // TPC-H Q11-style global-threshold filter over the per-part aggregate
+      """WITH ns AS (
+        |  SELECT s_suppkey FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE n_name = 'NATION_12'),
+        |pp AS (
+        |  SELECT l_partkey,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS part_value
+        |  FROM lineitem JOIN ns ON l_suppkey = s_suppkey
+        |  GROUP BY 1)
+        |SELECT l_partkey, part_value FROM pp
+        |WHERE part_value >
+        |  (SELECT CAST(sum(CAST(part_value AS DECIMAL(18,2))) AS DOUBLE) / count(*) * 1.1
+        |   FROM pp)
+        |ORDER BY l_partkey""".stripMargin,
+    "q_small_qty_revenue" -> // TPC-H Q17-style below-20%-of-part-average bracket, rolled up per brand
+      """WITH f AS (
+        |  SELECT p_brand, p_partkey, l_quantity, l_extendedprice
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |pa AS (
+        |  SELECT p_partkey AS a_partkey,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty
+        |  FROM f GROUP BY 1)
+        |SELECT p_brand,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS small_qty_revenue,
+        |  count(*) AS n_small_lines
+        |FROM f JOIN pa ON p_partkey = a_partkey
+        |WHERE l_quantity < 0.2 * avg_qty
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_waiting_suppliers" -> // TPC-H Q21-style exists/not-exists correlation (returnflag as the fault signal)
+      """WITH l1 AS (
+        |  SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem WHERE l_returnflag = 'R')
+        |SELECT s_name, n_name, count(*) AS numwait
+        |FROM l1
+        |JOIN orders ON o_orderkey = l1.l_orderkey AND o_orderstatus = 'F'
+        |JOIN supplier ON s_suppkey = l1.l_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE EXISTS (
+        |    SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM lineitem l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+        |      AND l3.l_returnflag = 'R')
+        |GROUP BY 1, 2 ORDER BY numwait DESC, s_name""".stripMargin
   )
 
   /** Shared recursive min-label reachability over a near-dup pairs CTE

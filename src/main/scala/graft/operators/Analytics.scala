@@ -854,4 +854,129 @@ object Analytics {
       )
       .orderBy("ship_month")
   }
+
+  /** B47: TPC-H Q9-style profit matrix — revenue by (supplier nation,
+    * order year) restricted to one product family (name-substring
+    * filter; the reference schema has no partsupp/supplycost, so the
+    * analog keeps Q9's four-way star topology and drops the cost
+    * subtraction). The part filter lands BEFORE the join as a
+    * broadcast of the ~1/6 matching keys, so the lineitem scan is
+    * pruned by the dimension predicate — the only wide exchange is
+    * lineitem⋈orders on the order key; supplier/nation broadcast.
+    */
+  def profitMatrix(t: Tables, namePattern: String = "%gear%"): DataFrame = {
+    val gearParts = t.part.filter(col("p_name").like(namePattern)).select("p_partkey")
+    val suppNation = t.supplier
+      .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    t.lineitem
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
+      .join(broadcast(gearParts), col("l_partkey") === col("p_partkey"))
+      .join(t.orders.select("o_orderkey", "o_orderdate"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("supp_nation"), year(col("o_orderdate")).as("order_year"))
+      .agg(
+        Num.moneySum4(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("profit"),
+        count(lit(1)).as("n_items")
+      )
+      .orderBy("supp_nation", "order_year")
+  }
+
+  /** B48: TPC-H Q11-style important parts — each part's shipped value
+    * from one nation's suppliers, kept only when it exceeds a multiple
+    * of the MEAN part value (Q11's global-threshold scalar subquery;
+    * the mean-relative threshold keeps selectivity stable across SFs
+    * where Q11's fixed fraction would pass everything at small SF and
+    * nothing at large). The per-part aggregate is computed ONCE and
+    * the single-row global reduction of it is broadcast back — the
+    * fact is scanned once, the threshold join is a BroadcastNestedLoop
+    * over one row, and both engines derive the double threshold from
+    * the identical exact-decimal total, so the boundary compare is
+    * bit-reproducible.
+    */
+  def importantParts(t: Tables, nation: String = "NATION_12", mult: Double = 1.1): DataFrame = {
+    val nationSupp = t.supplier
+      .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
+      .filter(col("n_name") === nation)
+      .select("s_suppkey")
+    val perPart = t.lineitem
+      .select("l_partkey", "l_suppkey", "l_extendedprice")
+      .join(broadcast(nationSupp), col("l_suppkey") === col("s_suppkey"))
+      .groupBy("l_partkey")
+      .agg(Num.moneySum(col("l_extendedprice")).as("part_value"))
+    val threshold = perPart.agg(
+      (Num.moneySum(col("part_value")) / count(lit(1)) * lit(mult)).as("threshold")
+    )
+    perPart
+      .join(broadcast(threshold))
+      .filter(col("part_value") > col("threshold"))
+      .select("l_partkey", "part_value")
+      .orderBy("l_partkey")
+  }
+
+  /** B49: TPC-H Q17-style small-quantity revenue — per brand, the
+    * revenue locked in lineitems whose quantity is below 20% of that
+    * PART's average quantity (the "small orders below reorder volume"
+    * report). The per-part average is an aggregate joined BACK by
+    * broadcast — that re-reads the pruned 3-column fact, which at scale
+    * is cheaper than the single-scan alternative (a partkey window
+    * shuffles the ENTIRE fact; the agg path shuffles only map-side
+    * partials and broadcasts the part-sized result). The average is the
+    * exact decimal sum over an int count → the 0.2× boundary compare
+    * reproduces bit-identically in the oracle.
+    */
+  def smallQtyRevenue(t: Tables): DataFrame = {
+    val brandOf = t.part.select("p_partkey", "p_brand")
+    val fact = t.lineitem
+      .select("l_partkey", "l_quantity", "l_extendedprice")
+      .join(broadcast(brandOf), col("l_partkey") === col("p_partkey"))
+    val perPartAvg = fact
+      .groupBy(col("p_partkey").as("a_partkey"))
+      .agg((Num.moneySum(col("l_quantity")) / count(lit(1))).as("avg_qty"))
+    fact
+      .join(broadcast(perPartAvg), col("p_partkey") === col("a_partkey"))
+      .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+      .groupBy("p_brand")
+      .agg(
+        Num.moneySum(col("l_extendedprice")).as("small_qty_revenue"),
+        count(lit(1)).as("n_small_lines")
+      )
+      .orderBy("p_brand")
+  }
+
+  /** B50: TPC-H Q21-style waiting-suppliers — per supplier, the count
+    * of finalized orders where that supplier was the ONLY one with a
+    * returned line while other suppliers also shipped on the order
+    * (returnflag stands in for the missing commit/receipt dates; the
+    * exists / not-exists correlation is intact). Q21's two correlated
+    * self-joins collapse into ONE shuffle of lineitem on the order key:
+    * the per-order supplier set and returned-supplier set are
+    * collect_set aggregates, and "exists another ∧ not exists another
+    * failing" is just size(returned)=1 ∧ size(all)>1 — order-set
+    * membership is commutative, so the nondeterministic collect order
+    * never leaks. The orders join lands on the same orderkey
+    * partitioning; supplier/nation broadcast at the end.
+    */
+  def waitingSuppliers(t: Tables): DataFrame = {
+    val perOrder = t.lineitem
+      .select("l_orderkey", "l_suppkey", "l_returnflag")
+      .groupBy("l_orderkey")
+      .agg(
+        collect_set(col("l_suppkey")).as("supps"),
+        collect_set(when(col("l_returnflag") === "R", col("l_suppkey"))).as("returned")
+      )
+      .filter(size(col("returned")) === 1 && size(col("supps")) > 1)
+      .select(col("l_orderkey"), col("returned").getItem(0).as("s_key"))
+    val finalized = t.orders.filter(col("o_orderstatus") === "F").select("o_orderkey")
+    val suppName = t.supplier
+      .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_name"))
+    perOrder
+      .join(finalized, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("s_key")
+      .agg(count(lit(1)).as("numwait"))
+      .join(broadcast(suppName), col("s_key") === col("s_suppkey"))
+      .select(col("s_name"), col("n_name"), col("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+  }
 }

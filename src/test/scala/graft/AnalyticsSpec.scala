@@ -139,4 +139,98 @@ class AnalyticsSpec extends SparkSpecBase {
       .map(r => r.getString(0) -> (r.getLong(1), BigDecimal(r.getDouble(2)).setScale(2))).toMap
     assert(got == expBySeg, s"$got vs $expBySeg")
   }
+
+  test("profit matrix partitions the product family's lineitems exactly") {
+    val rows = Analytics.profitMatrix(tables).collect()
+    assert(rows.nonEmpty)
+    val expected = tables.lineitem
+      .join(
+        broadcast(tables.part.filter(col("p_name").like("%gear%")).select("p_partkey")),
+        col("l_partkey") === col("p_partkey")
+      )
+      .count()
+    // every matching lineitem lands in exactly one (nation, year) cell
+    assert(rows.map(_.getLong(3)).sum == expected)
+    // and the cells conserve money: their sum equals the unpartitioned
+    // decimal revenue of the same fact slice
+    val cellTotal = rows.map(r => BigDecimal(r.getDouble(2))).sum
+    val grandTotal = BigDecimal(
+      tables.lineitem
+        .join(
+          broadcast(tables.part.filter(col("p_name").like("%gear%")).select("p_partkey")),
+          col("l_partkey") === col("p_partkey")
+        )
+        .agg(Num.moneySum4(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+        .collect()(0).getDouble(0)
+    )
+    assert((cellTotal - grandTotal).abs < BigDecimal("0.01"), s"$cellTotal vs $grandTotal")
+  }
+
+  test("important parts are exactly the per-part values above 1.1x the mean") {
+    val perPart = tables.lineitem
+      .join(
+        broadcast(
+          tables.supplier
+            .join(tables.nation, col("s_nationkey") === col("n_nationkey"))
+            .filter(col("n_name") === "NATION_12")
+            .select("s_suppkey")
+        ),
+        col("l_suppkey") === col("s_suppkey")
+      )
+      .groupBy("l_partkey")
+      .agg(Num.moneySum(col("l_extendedprice")).as("part_value"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getDouble(1))
+    assert(perPart.nonEmpty, "fixture must have NATION_12 supplier lines at sf0.001")
+    val threshold = perPart.map { case (_, v) => BigDecimal(v) }.sum / perPart.length * 1.1
+    // brute-force filter against the collected per-part values; the
+    // BigDecimal threshold differs from the operator's double one by
+    // <1 ulp, and no fixture value sits that close to the boundary
+    val expected = perPart.filter { case (_, v) => BigDecimal(v) > threshold }.toMap
+    val got = Analytics.importantParts(tables).collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == expected, s"${got.size} vs ${expected.size} above $threshold")
+    assert(got.nonEmpty, "threshold filtered everything — fixture too small")
+  }
+
+  test("small-quantity revenue matches the brute-force per-part 20% bracket") {
+    val lines = tables.lineitem.select("l_partkey", "l_quantity", "l_extendedprice").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    val brandOf = tables.part.select("p_partkey", "p_brand").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val avgQty = lines.groupBy(_._1).view.mapValues { ls =>
+      (ls.map(l => BigDecimal(l._2).setScale(2)).sum / ls.length).toDouble
+    }.toMap
+    val expected = lines
+      .filter { case (pk, q, _) => q < 0.2 * avgQty(pk) }
+      .groupBy { case (pk, _, _) => brandOf(pk) }
+      .view
+      .mapValues(ls => (ls.map(l => BigDecimal(l._3).setScale(2)).sum, ls.length.toLong))
+      .toMap
+    val got = Analytics.smallQtyRevenue(tables).collect()
+      .map(r => r.getString(0) -> (BigDecimal(r.getDouble(1)).setScale(2), r.getLong(2))).toMap
+    assert(got == expected, s"$got vs $expected")
+    assert(got.nonEmpty)
+  }
+
+  test("waiting suppliers match the brute-force exists/not-exists scan") {
+    val lines = tables.lineitem.select("l_orderkey", "l_suppkey", "l_returnflag").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val finalized = tables.orders.filter(col("o_orderstatus") === "F")
+      .select("o_orderkey").collect().map(_.getLong(0)).toSet
+    val suppName = tables.supplier.select("s_suppkey", "s_name").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expected = lines.groupBy(_._1).toSeq
+      .filter { case (ok, _) => finalized.contains(ok) }
+      .flatMap { case (_, ls) =>
+        val supps    = ls.map(_._2).distinct
+        val returned = ls.filter(_._3 == "R").map(_._2).distinct
+        if (supps.length > 1 && returned.length == 1) Some(returned.head) else None
+      }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      .map { case (sk, n) => suppName(sk) -> n }
+    val got = Analytics.waitingSuppliers(tables).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(got == expected, s"$got vs $expected")
+    assert(got.nonEmpty)
+  }
 }

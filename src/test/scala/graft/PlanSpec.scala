@@ -538,4 +538,32 @@ class PlanSpec extends SparkSpecBase {
     assert(plan.contains("BroadcastHashJoin"), s"join-backs not broadcast:\n$plan")
     assert(!plan.contains("SortMergeJoin"), s"full-fact sort-merge survived:\n$plan")
   }
+
+  test("waiting suppliers: one lineitem scan, correlation folded into one orderkey shuffle") {
+    val plan = executedPlanString(graft.operators.Analytics.waitingSuppliers(tables))
+    // Q21's two correlated self-joins must NOT appear: the per-order
+    // supplier/returned sets come from ONE aggregate of ONE fact scan
+    assert("Scan parquet .*lineitem".r.findAllIn(plan).length == 1,
+      s"lineitem self-joined instead of set-aggregated:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"correlation became a sort-merge self-join:\n$plan")
+  }
+
+  test("important parts: global threshold is a single-row broadcast over one fact scan") {
+    val plan = executedPlanString(graft.operators.Analytics.importantParts(tables))
+    // per-part aggregate feeds BOTH the threshold reduction and the
+    // filter; the threshold side joins back as a one-row broadcast
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"threshold must be a broadcast scalar, not a shuffle join:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"threshold join shuffled the aggregate:\n$plan")
+  }
+
+  test("small-quantity bracket: per-part average joins back by broadcast, never a fact window") {
+    val plan = executedPlanString(graft.operators.Analytics.smallQtyRevenue(tables))
+    // the single-scan alternative would shuffle the ENTIRE fact through
+    // a partkey window; the agg+join-back shape must keep the fact
+    // un-shuffled (map-side partials only) and broadcast the averages
+    assert(!plan.contains("Window"), s"per-part average became a full-fact window:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"average join-back not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"fact shuffled into the average join:\n$plan")
+  }
 }
