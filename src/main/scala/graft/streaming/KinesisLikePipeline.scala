@@ -381,7 +381,8 @@ object KinesisLikePipeline {
       tsLeft: String,
       tsRight: String,
       skew: String = "5 minutes",
-      watermark: String = "10 minutes"
+      watermark: String = "10 minutes",
+      joinType: String = "inner"
   ): DataFrame =
     left
       .withWatermark(tsLeft, watermark)
@@ -390,8 +391,31 @@ object KinesisLikePipeline {
         expr(
           s"""$keyLeft = $keyRight AND
              |$tsRight BETWEEN $tsLeft - INTERVAL $skew AND $tsLeft + INTERVAL $skew""".stripMargin
-        )
+        ),
+        joinType
       )
+
+  /** LEFT OUTER interval join — the "every click, matched or not"
+    * form. Same bounded state as the inner join, but an unmatched left
+    * row CANNOT emit when first seen (a matching right row may still
+    * arrive within the skew): it emits null-padded only once the
+    * watermark passes its join horizon and the engine evicts it from
+    * state. Downstream consumers must expect that delay — it is the
+    * price of a correct outer result on unbounded streams, and the
+    * reason the spec advances the watermark before asserting the
+    * unmatched row.
+    */
+  def intervalJoinLeft(
+      left: DataFrame,
+      right: DataFrame,
+      keyLeft: String,
+      keyRight: String,
+      tsLeft: String,
+      tsRight: String,
+      skew: String = "5 minutes",
+      watermark: String = "10 minutes"
+  ): DataFrame =
+    intervalJoin(left, right, keyLeft, keyRight, tsLeft, tsRight, skew, watermark, "left_outer")
 
   /** Streaming incremental dedup — the STREAM-STATIC join form of
     * Dedup.incrementalDedup's exact arm: a stream of incoming

@@ -438,6 +438,49 @@ class StreamingSpec extends SparkSpecBase {
     assert(rows.head.getAs[Long]("click_user") == 1L)
   }
 
+  test("left-outer interval join emits unmatched rows null-padded only past the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Timestamp, Long)]
+    val views  = MemoryStream[(Timestamp, Long)]
+    val joined = KinesisLikePipeline.intervalJoinLeft(
+      clicks.toDF().toDF("click_ts", "click_user"),
+      views.toDF().toDF("view_ts", "view_user"),
+      "click_user",
+      "view_user",
+      "click_ts",
+      "view_ts",
+      skew = "5 minutes",
+      watermark = "10 minutes"
+    )
+    val q = joined.writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory")
+      .queryName("ljoin_out")
+      .option("checkpointLocation", ckpt())
+      .start()
+    val ts = (m: Int) => Timestamp.valueOf(f"2026-01-01 00:$m%02d:00")
+    clicks.addData((ts(10), 1L), (ts(10), 2L))
+    views.addData((ts(12), 1L))
+    q.processAllAvailable()
+    // user 1 matched and emits immediately; user 2 is unmatched but its
+    // join horizon (10:00 + 5m skew + 10m watermark) hasn't passed —
+    // it must NOT have emitted yet
+    val early = spark.table("ljoin_out").collect()
+    assert(early.length == 1 && early.head.getAs[Long]("click_user") == 1L)
+    // advance both watermarks far past the horizon → state eviction
+    // emits the null-padded unmatched click
+    clicks.addData((ts(50), 9L))
+    views.addData((ts(50), 9L))
+    q.processAllAvailable()
+    val rows = spark.table("ljoin_out").collect()
+    q.stop()
+    val unmatched = rows.filter(r => r.getAs[Long]("click_user") == 2L)
+    assert(unmatched.length == 1, s"unmatched row missing: ${rows.mkString(",")}")
+    assert(unmatched.head.isNullAt(unmatched.head.fieldIndex("view_user")),
+      "unmatched click must null-pad the view side")
+  }
+
   test("watermarked stream dedup drops replayed content keys across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
