@@ -170,7 +170,8 @@ object SparkEntry {
     "q_profit_matrix"      -> ((s, d) => Analytics.profitMatrix(Tables(s, d))),
     "q_important_parts"    -> ((s, d) => Analytics.importantParts(Tables(s, d))),
     "q_small_qty_revenue"  -> ((s, d) => Analytics.smallQtyRevenue(Tables(s, d))),
-    "q_waiting_suppliers"  -> ((s, d) => Analytics.waitingSuppliers(Tables(s, d)))
+    "q_waiting_suppliers"  -> ((s, d) => Analytics.waitingSuppliers(Tables(s, d))),
+    "q_supplier_rank"      -> ((s, d) => Graph.supplierRank(Tables(s, d)))
   )
 
   /** kinesis_topic/main.go:23 — the demo topic payload. */
@@ -1744,7 +1745,23 @@ object SparkEntry {
         |    SELECT 1 FROM lineitem l3
         |    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
         |      AND l3.l_returnflag = 'R')
-        |GROUP BY 1, 2 ORDER BY numwait DESC, s_name""".stripMargin
+        |GROUP BY 1, 2 ORDER BY numwait DESC, s_name""".stripMargin,
+    "q_supplier_rank" -> // 3-round fixed-point PageRank over the customer<->supplier bipartite graph
+      """WITH pairs AS (
+        |  SELECT DISTINCT o_custkey*2 AS src, l_suppkey*2+1 AS dst
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |edges AS (SELECT src, dst FROM pairs UNION ALL SELECT dst, src FROM pairs),
+        |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+        |adj AS (SELECT e.src, e.dst, d.deg FROM edges e JOIN deg d USING (src)),
+        |r0 AS (SELECT DISTINCT src AS node, CAST(1000000 AS BIGINT) AS r FROM edges),
+        |r1 AS (SELECT dst AS node, 150000 + (sum(r // deg) * 85) // 100 AS r
+        |       FROM adj JOIN r0 ON adj.src = r0.node GROUP BY dst),
+        |r2 AS (SELECT dst AS node, 150000 + (sum(r // deg) * 85) // 100 AS r
+        |       FROM adj JOIN r1 ON adj.src = r1.node GROUP BY dst),
+        |r3 AS (SELECT dst AS node, 150000 + (sum(r // deg) * 85) // 100 AS r
+        |       FROM adj JOIN r2 ON adj.src = r2.node GROUP BY dst)
+        |SELECT (node - 1) // 2 AS s_suppkey, r AS rank_units
+        |FROM r3 WHERE node % 2 = 1 ORDER BY 1""".stripMargin
   )
 
   /** Shared recursive min-label reachability over a near-dup pairs CTE

@@ -233,4 +233,25 @@ class AnalyticsSpec extends SparkSpecBase {
     assert(got == expected, s"$got vs $expected")
     assert(got.nonEmpty)
   }
+
+  test("supplier rank matches a local fixed-point PageRank on the collected graph") {
+    val pairs = tables.lineitem
+      .join(tables.orders, col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct()
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val edges = pairs ++ pairs.map { case (a, b) => (b, a) }
+    val deg   = edges.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    var r     = deg.keys.map(_ -> 1000000L).toMap
+    for (_ <- 1 to 3) {
+      val s = edges.groupBy(_._2).view.mapValues(_.map { case (u, _) => r(u) / deg(u) }.sum).toMap
+      r = s.map { case (n, sum) => n -> (150000L + sum * 85 / 100) }
+    }
+    val expected = r.collect { case (n, v) if n % 2 == 1 => (n - 1) / 2 -> v }
+    val got = graft.operators.Graph.supplierRank(tables).collect()
+      .map(row => row.getLong(0) -> row.getLong(1)).toMap
+    assert(got == expected, s"${got.size} suppliers vs ${expected.size}")
+    assert(got.nonEmpty && got.valuesIterator.forall(_ >= 150000L))
+  }
 }
