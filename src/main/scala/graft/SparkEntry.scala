@@ -171,7 +171,8 @@ object SparkEntry {
     "q_important_parts"    -> ((s, d) => Analytics.importantParts(Tables(s, d))),
     "q_small_qty_revenue"  -> ((s, d) => Analytics.smallQtyRevenue(Tables(s, d))),
     "q_waiting_suppliers"  -> ((s, d) => Analytics.waitingSuppliers(Tables(s, d))),
-    "q_supplier_rank"      -> ((s, d) => Graph.supplierRank(Tables(s, d)))
+    "q_supplier_rank"      -> ((s, d) => Graph.supplierRank(Tables(s, d))),
+    "knn_label_purity"     -> ((s, d) => Similarity.knnLabelPurity(Tables(s, d)))
   )
 
   /** kinesis_topic/main.go:23 — the demo topic payload. */
@@ -1761,7 +1762,27 @@ object SparkEntry {
         |r3 AS (SELECT dst AS node, 150000 + (sum(r // deg) * 85) // 100 AS r
         |       FROM adj JOIN r2 ON adj.src = r2.node GROUP BY dst)
         |SELECT (node - 1) // 2 AS s_suppkey, r AS rank_units
-        |FROM r3 WHERE node % 2 = 1 ORDER BY 1""".stripMargin
+        |FROM r3 WHERE node % 2 = 1 ORDER BY 1""".stripMargin,
+    "knn_label_purity" -> // per-label purity@5 counts over the vec_id%5 query sample
+      """WITH n AS (
+        |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+        |    sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b)) AS nrm
+        |  FROM embeddings),
+        |c AS (
+        |  SELECT a.vec_id AS query_id, a.label AS label, b.label = a.label AS same,
+        |    list_reduce(list_transform(range(1, len(a.v) + 1), i -> a.v[CAST(i AS INT)] * b.v[CAST(i AS INT)]), (x, y) -> x + y)
+        |      / (a.nrm * b.nrm) AS cos,
+        |    b.vec_id AS neighbor_id
+        |  FROM n a JOIN n b ON a.vec_id <> b.vec_id
+        |  WHERE a.vec_id % 5 = 0),
+        |r AS (
+        |  SELECT label, query_id, same,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+        |  FROM c)
+        |SELECT label, count(DISTINCT query_id) AS n_queries,
+        |  sum(CASE WHEN same THEN 1 ELSE 0 END) AS same_label_hits,
+        |  count(*) AS n_neighbors
+        |FROM r WHERE rank <= 5 GROUP BY label ORDER BY label""".stripMargin
   )
 
   /** Shared recursive min-label reachability over a near-dup pairs CTE

@@ -50,6 +50,48 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** C41: embedding-space label purity@k — for a deterministic query
+    * sample, the fraction of each query's k nearest neighbors that
+    * share its label, rolled up per label. THE standard embedding-QA
+    * metric: a label whose members' neighborhoods are full of other
+    * labels is mislabeled, drifting, or not separable — checked before
+    * anyone trains on the vectors.
+    *
+    * Same broadcast-sample × corpus shape as [[knnBruteForce]] (exact
+    * under the sample; at 100 TB the sample is what you'd audit
+    * anyway), but the OUTPUT is integer hit/total counts per label —
+    * the purity ratio is the consumer's one division, and integers are
+    * what lets a float-free oracle hash-gate an all-pairs cosine
+    * pipeline.
+    */
+  def knnLabelPurity(t: Tables, sampleMod: Int = 5, k: Int = 5): DataFrame = {
+    graft.functions.VecExprs.register(t.spark)
+    val vecs = t.embeddings
+      .select(col("vec_id"), col("embedding").as("v"), col("label"))
+      .withColumn("nrm", expr("vec_norm(v)"))
+    val queries = vecs.filter(col("vec_id") % sampleMod === 0)
+    val w       = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    broadcast(queries)
+      .as("a")
+      .join(vecs.as("b"), col("a.vec_id") =!= col("b.vec_id"))
+      .select(
+        col("a.vec_id").as("query_id"),
+        col("a.label").as("label"),
+        (col("b.label") === col("a.label")).as("same"),
+        cosine.as("cos"),
+        col("b.vec_id").as("neighbor_id")
+      )
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .groupBy("label")
+      .agg(
+        countDistinct(col("query_id")).as("n_queries"),
+        sum(when(col("same"), 1L).otherwise(0L)).as("same_label_hits"),
+        count(lit(1)).as("n_neighbors")
+      )
+      .orderBy("label")
+  }
+
   /** C7d: FILTERED vector search — top-k cosine neighbors restricted
     * to a metadata predicate (here: same label as the query, the
     * tenant/class restriction every production vector store needs).

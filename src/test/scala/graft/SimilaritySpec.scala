@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.Similarity
+import org.apache.spark.sql.functions.col
 
 class SimilaritySpec extends SparkSpecBase {
 
@@ -90,5 +91,21 @@ class SimilaritySpec extends SparkSpecBase {
       val sameLabelPool = labels.count { case (id, l) => id != q && l == labels(q) }
       assert(rs.length == math.min(5, sameLabelPool), s"query $q returned ${rs.length}")
     }
+  }
+
+  test("label purity counts cover the full query sample with k neighbors each") {
+    val rows = Similarity.knnLabelPurity(tables).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    val sampled = tables.embeddings.filter(col("vec_id") % 5 === 0)
+      .groupBy("label").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    rows.foreach { case (label, nQueries, hits, nNeighbors) =>
+      assert(nQueries == sampled(label), s"label $label lost queries")
+      // corpus is far larger than k, so every query gets exactly k rows
+      assert(nNeighbors == nQueries * 5, s"label $label: $nNeighbors != ${nQueries * 5}")
+      assert(hits >= 0 && hits <= nNeighbors)
+    }
+    assert(rows.map(_._2).sum == sampled.values.sum, "every sampled vector audited once")
   }
 }
