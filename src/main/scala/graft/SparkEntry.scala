@@ -172,7 +172,8 @@ object SparkEntry {
     "q_small_qty_revenue"  -> ((s, d) => Analytics.smallQtyRevenue(Tables(s, d))),
     "q_waiting_suppliers"  -> ((s, d) => Analytics.waitingSuppliers(Tables(s, d))),
     "q_supplier_rank"      -> ((s, d) => Graph.supplierRank(Tables(s, d))),
-    "knn_label_purity"     -> ((s, d) => Similarity.knnLabelPurity(Tables(s, d)))
+    "knn_label_purity"     -> ((s, d) => Similarity.knnLabelPurity(Tables(s, d))),
+    "dedup_prefix_filter"  -> ((s, d) => Dedup.ngramJaccardPrefix(Tables(s, d)))
   )
 
   /** kinesis_topic/main.go:23 — the demo topic payload. */
@@ -821,6 +822,10 @@ object SparkEntry {
         |  count(*) OVER (PARTITION BY text_hash) AS group_size
         |FROM h ORDER BY doc_id""".stripMargin,
     "dedup_ngram_jaccard" -> ngramJaccardOracle,
+    // prefix filtering is lossless (pigeonhole on the lowest-ranked
+    // common token), so the candidate-pruned join must reproduce the
+    // full inverted-index pair set bit for bit
+    "dedup_prefix_filter" -> ngramJaccardOracle,
     "dedup_containment" -> // |A∩B|/min ≥ 0.8 quote-detection pairs that the jaccard bar drops
       """WITH docs AS (
         |  SELECT doc_id, text FROM documents

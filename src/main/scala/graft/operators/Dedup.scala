@@ -181,6 +181,82 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** C2f: prefix-filtered set-similarity join (AllPairs/PPJoin
+    * candidate generation) — the third distinct scale path to the SAME
+    * exact pair set as [[ngramJaccard]] (inverted index) and
+    * [[minhashLsh]] (probabilistic banding). Tokens get a global
+    * rarest-first total order (document frequency, ties by hashed
+    * shingle); each doc indexes only its first |d| − ⌈τ·|d|⌉ + 1
+    * tokens in that order. Pigeonhole on the LOWEST-ranked common
+    * token proves any pair with J ≥ τ collides inside both prefixes,
+    * so joining prefixes only is lossless — while the index (and the
+    * quadratic per-shingle join term) shrinks by the factor hot HEAD
+    * tokens are exactly the ones dropped: the prefix keeps the rare
+    * tail, where posting lists are short. Candidates are then verified
+    * with one exact array-intersection pass per pair.
+    *
+    * Plan: df window reuses the shingle partitioning, rank window is
+    * one doc_id exchange, the prefix self-join produces identical
+    * exchanges (ReusedExchange), and verification joins the candidate
+    * list (small by construction) back to the per-doc shingle arrays.
+    */
+  def ngramJaccardPrefix(t: Tables, tau: Double = JaccardTau): DataFrame = {
+    val posts = hashedPostings(t)
+    val ranked = posts
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("shingle")))
+      .withColumn(
+        "tok_rank",
+        row_number().over(Window.partitionBy("doc_id").orderBy(col("df"), col("shingle")))
+      )
+    val prefix = ranked
+      .filter(col("tok_rank") <= col("n_sh") - ceil(lit(tau) * col("n_sh")) + 1)
+      .select("doc_id", "shingle")
+    val candidates = prefix
+      .as("a")
+      .join(
+        prefix.as("b").hint("shuffle_hash"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id")
+      )
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val sets = shingled(t).select(col("doc_id"), col("sh"), col("n_sh"))
+    candidates
+      .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"), col("n_sh").as("na")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"), col("n_sh").as("nb")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .select(
+        col("doc_a"),
+        col("doc_b"),
+        (col("inter").cast("double") / (col("na") + col("nb") - col("inter"))).as("jaccard")
+      )
+      .filter(col("jaccard") >= tau)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Candidate-pair counts for the spec: (prefix-filtered, full-index)
+    * — the pruning factor the prefix guarantee buys before any
+    * verification work.
+    */
+  private[graft] def prefixCandidateCounts(t: Tables, tau: Double = JaccardTau): (Long, Long) = {
+    val posts = hashedPostings(t)
+    def pairs(p: DataFrame): Long = p
+      .as("a")
+      .join(p.as("b"), col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id"))
+      .distinct()
+      .count()
+    val ranked = posts
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("shingle")))
+      .withColumn(
+        "tok_rank",
+        row_number().over(Window.partitionBy("doc_id").orderBy(col("df"), col("shingle")))
+      )
+    val prefix = ranked
+      .filter(col("tok_rank") <= col("n_sh") - ceil(lit(tau) * col("n_sh")) + 1)
+      .select("doc_id", "shingle")
+    (pairs(prefix), pairs(posts.select("doc_id", "shingle")))
+  }
+
   /** C2g: containment near-dup pairs — |A∩B| / min(|A|,|B|) ≥ τ_c.
     * Containment (Broder's "inclusion") catches what resemblance
     * (Jaccard) structurally can't: a short document quoted wholesale

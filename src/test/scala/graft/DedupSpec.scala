@@ -14,6 +14,20 @@ class DedupSpec extends SparkSpecBase {
     assert(exact.nonEmpty, "test corpus has no near-dup pairs — spec is vacuous")
   }
 
+  test("prefix-filtered join: identical pairs to the full index from strictly fewer candidates") {
+    val full = Dedup.ngramJaccard(tables).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val pref = Dedup.ngramJaccardPrefix(tables).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(pref == full, s"prefix filter lost/invented pairs: ${pref.size} vs ${full.size}")
+    assert(pref.nonEmpty)
+    // the point of the prefix guarantee: the candidate set it verifies
+    // is a strict subset of the full inverted-index candidate set
+    val (prefCands, fullCands) = Dedup.prefixCandidateCounts(tables)
+    assert(prefCands < fullCands, s"no pruning: $prefCands vs $fullCands")
+    assert(prefCands >= pref.size.toLong, "candidates must cover every true pair")
+  }
+
   test("exact-dup groups partition the corpus") {
     val rows  = Dedup.exact(tables).collect()
     val total = tables.documents.count()
