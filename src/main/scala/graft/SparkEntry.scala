@@ -173,7 +173,10 @@ object SparkEntry {
     "q_waiting_suppliers"  -> ((s, d) => Analytics.waitingSuppliers(Tables(s, d))),
     "q_supplier_rank"      -> ((s, d) => Graph.supplierRank(Tables(s, d))),
     "knn_label_purity"     -> ((s, d) => Similarity.knnLabelPurity(Tables(s, d))),
-    "dedup_prefix_filter"  -> ((s, d) => Dedup.ngramJaccardPrefix(Tables(s, d)))
+    "dedup_prefix_filter"  -> ((s, d) => Dedup.ngramJaccardPrefix(Tables(s, d))),
+    "q_merge_upsert"       -> ((s, d) => Ingest.mergeUpsert(Tables(s, d))),
+    "q_integrity_audit"    -> ((s, d) => Ingest.integrityAudit(Tables(s, d))),
+    "q_unpivot_metrics"    -> ((s, d) => Analytics.unpivotMetrics(Tables(s, d)))
   )
 
   /** kinesis_topic/main.go:23 — the demo topic payload. */
@@ -1787,7 +1790,60 @@ object SparkEntry {
         |SELECT label, count(DISTINCT query_id) AS n_queries,
         |  sum(CASE WHEN same THEN 1 ELSE 0 END) AS same_label_hits,
         |  count(*) AS n_neighbors
-        |FROM r WHERE rank <= 5 GROUP BY label ORDER BY label""".stripMargin
+        |FROM r WHERE rank <= 5 GROUP BY label ORDER BY label""".stripMargin,
+    "q_merge_upsert" -> // MERGE-INTO via full outer join: post-merge per-type audit
+      """WITH base AS (
+        |  SELECT event_id, event_type, value FROM events WHERE event_id % 5 <> 0),
+        |delta AS (
+        |  SELECT event_id, event_type, value * 2 AS value FROM events WHERE event_id % 3 = 0),
+        |merged AS (
+        |  SELECT coalesce(b.event_id, d.event_id) AS event_id,
+        |    coalesce(d.event_type, b.event_type) AS event_type,
+        |    coalesce(d.value, b.value) AS value,
+        |    CASE WHEN d.event_id IS NULL THEN 'keep'
+        |         WHEN b.event_id IS NULL THEN 'insert' ELSE 'update' END AS action
+        |  FROM base b FULL OUTER JOIN delta d ON b.event_id = d.event_id)
+        |SELECT event_type, count(*) AS n_rows,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        |  sum(CASE WHEN action = 'insert' THEN 1 ELSE 0 END) AS n_inserted,
+        |  sum(CASE WHEN action = 'update' THEN 1 ELSE 0 END) AS n_updated,
+        |  sum(CASE WHEN action = 'keep' THEN 1 ELSE 0 END) AS n_kept
+        |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_integrity_audit" -> // FK-orphan anti joins + domain rules, one row per check
+      """SELECT * FROM (
+        |  SELECT 'lineitem_orphan_order' AS check, count(*) AS n_violations
+        |  FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+        |  UNION ALL
+        |  SELECT 'lineitem_orphan_part', count(*)
+        |  FROM lineitem WHERE l_partkey NOT IN (SELECT p_partkey FROM part)
+        |  UNION ALL
+        |  SELECT 'orders_orphan_customer', count(*)
+        |  FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+        |  UNION ALL
+        |  SELECT 'lineitem_discount_out_of_range', count(*)
+        |  FROM lineitem WHERE l_discount < 0.0 OR l_discount > 0.1
+        |  UNION ALL
+        |  SELECT 'lineitem_nonpositive_quantity', count(*)
+        |  FROM lineitem WHERE l_quantity <= 0.0
+        |  UNION ALL
+        |  SELECT 'lineitem_high_quantity', count(*) FROM lineitem WHERE l_quantity > 45.0
+        |  UNION ALL
+        |  SELECT 'orders_null_priority', count(*) FROM orders WHERE o_orderpriority IS NULL
+        |  UNION ALL
+        |  SELECT 'events_negative_value', count(*)
+        |  FROM events WHERE event_type = 'purchase' AND value < 0.0)
+        |ORDER BY 1""".stripMargin,
+    "q_unpivot_metrics" -> // wide per-flag metrics melted to (metric, value) rows
+      """WITH w AS (
+        |  SELECT l_returnflag,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |    CAST(count(*) AS DOUBLE) AS n_lines
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS metric_value FROM w
+        |UNION ALL SELECT l_returnflag, 'sum_price', sum_price FROM w
+        |UNION ALL SELECT l_returnflag, 'n_lines', n_lines FROM w
+        |ORDER BY 1, 2""".stripMargin
   )
 
   /** Shared recursive min-label reachability over a near-dup pairs CTE

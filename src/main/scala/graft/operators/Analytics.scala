@@ -855,6 +855,33 @@ object Analytics {
       .orderBy("ship_month")
   }
 
+  /** B52: unpivot/melt — the wide→long inverse of [[eventTypePivot]],
+    * completing the reshape pair: per-flag metric COLUMNS become
+    * (metric, value) ROWS. Spark's native `unpivot` plans an Expand
+    * (one pass, rows × metrics output, no shuffle beyond the feeding
+    * aggregate) — the same operator class the rollup/cube family uses,
+    * and the shape every metrics-export/long-format-ML step needs.
+    * Everything lands in one double value column, so the decimal sums
+    * are cast once and the count rides along as a double.
+    */
+  def unpivotMetrics(t: Tables): DataFrame = {
+    val wide = t.lineitem
+      .groupBy("l_returnflag")
+      .agg(
+        Num.moneySum(col("l_quantity")).as("sum_qty"),
+        Num.moneySum(col("l_extendedprice")).as("sum_price"),
+        count(lit(1)).cast("double").as("n_lines")
+      )
+    wide
+      .unpivot(
+        Array(col("l_returnflag")),
+        Array(col("sum_qty"), col("sum_price"), col("n_lines")),
+        "metric",
+        "metric_value"
+      )
+      .orderBy("l_returnflag", "metric")
+  }
+
   /** B47: TPC-H Q9-style profit matrix — revenue by (supplier nation,
     * order year) restricted to one product family (name-substring
     * filter; the reference schema has no partsupp/supplycost, so the

@@ -195,4 +195,88 @@ object Ingest {
         ).as("endpoint_arn")
       )
       .orderBy("c_custkey", "device_num")
+
+  /** A19: MERGE-INTO semantics as one relational plan — the nightly
+    * "apply the delta to the snapshot" table-maintenance op (Delta/
+    * Iceberg MERGE, SQL:2003 MERGE) without a table format: a FULL
+    * OUTER join of base and delta on the key, coalescing delta-wins
+    * columns. The deterministic stand-ins: base = events outside the
+    * %5 slice, delta = the %3 slice with doubled value — so the delta
+    * exercises BOTH arms: ids divisible by 3 but not 5 hit base rows
+    * (updates), ids divisible by 15 are absent from base (inserts),
+    * and the rest of base passes through (keeps). Emitted as a
+    * per-type audit of the POST-merge table
+    * (counts + decimal sums + action tallies) so the gate hashes the
+    * merge's effect, not a 600k-row dump.
+    *
+    * Scale: one shuffle each side on the merge key — exactly the
+    * copy-on-write MERGE join every lakehouse runs; AQE handles the
+    * usually-tiny delta side by broadcasting it.
+    */
+  def mergeUpsert(t: Tables): DataFrame = {
+    val base = t.events.filter(col("event_id") % 5 =!= 0)
+      .select("event_id", "event_type", "value")
+    val delta = t.events.filter(col("event_id") % 3 === 0)
+      .select(col("event_id"), col("event_type"), (col("value") * 2).as("value"))
+    base
+      .as("b")
+      .join(delta.as("d"), col("b.event_id") === col("d.event_id"), "full_outer")
+      .select(
+        coalesce(col("b.event_id"), col("d.event_id")).as("event_id"),
+        coalesce(col("d.event_type"), col("b.event_type")).as("event_type"),
+        coalesce(col("d.value"), col("b.value")).as("value"),
+        when(col("d.event_id").isNull, "keep")
+          .when(col("b.event_id").isNull, "insert")
+          .otherwise("update")
+          .as("action")
+      )
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        Num.moneySum(col("value")).as("sum_value"),
+        sum(when(col("action") === "insert", 1L).otherwise(0L)).as("n_inserted"),
+        sum(when(col("action") === "update", 1L).otherwise(0L)).as("n_updated"),
+        sum(when(col("action") === "keep", 1L).otherwise(0L)).as("n_kept")
+      )
+      .orderBy("event_type")
+  }
+
+  /** A20: referential-integrity / domain-constraint audit — the
+    * "expectations" pass every ingest runs before publishing a
+    * snapshot: each rule is one row of (check, n_violations). FK
+    * orphan checks are LEFT ANTI joins (lineitem→orders, lineitem→part,
+    * orders→customer — each one keyed shuffle, no row ever widened);
+    * domain checks are map-side filter counts on the same scans. A
+    * healthy fixture audits to zeros for the FK rows — the point of the
+    * gate is that the COUNTS, not just emptiness, reproduce: the
+    * discount/quantity domain rows are non-zero by construction.
+    */
+  def integrityAudit(t: Tables): DataFrame = {
+    def rule(name: String, violations: DataFrame): DataFrame =
+      violations.agg(count(lit(1)).as("n_violations")).select(lit(name).as("check"), col("n_violations"))
+    // ONE plan (union of one-row aggregates), not a driver loop of
+    // count() jobs: the scheduler runs the branches concurrently, and
+    // per-branch column pruning keeps each scan to its key/domain
+    // columns. The in-scan domain checks could fuse into one pass with
+    // conditional sums; kept as rules so adding/removing a rule is a
+    // one-line diff (the audit's actual change pattern).
+    Seq(
+      rule("lineitem_orphan_order",
+        t.lineitem.select("l_orderkey")
+          .join(t.orders.select("o_orderkey"), col("l_orderkey") === col("o_orderkey"), "left_anti")),
+      rule("lineitem_orphan_part",
+        t.lineitem.select("l_partkey")
+          .join(t.part.select("p_partkey"), col("l_partkey") === col("p_partkey"), "left_anti")),
+      rule("orders_orphan_customer",
+        t.orders.select("o_custkey")
+          .join(t.customer.select("c_custkey"), col("o_custkey") === col("c_custkey"), "left_anti")),
+      rule("lineitem_discount_out_of_range",
+        t.lineitem.filter(col("l_discount") < 0.0 || col("l_discount") > 0.1)),
+      rule("lineitem_nonpositive_quantity", t.lineitem.filter(col("l_quantity") <= 0.0)),
+      rule("lineitem_high_quantity", t.lineitem.filter(col("l_quantity") > 45.0)),
+      rule("orders_null_priority", t.orders.filter(col("o_orderpriority").isNull)),
+      rule("events_negative_value",
+        t.events.filter(col("event_type") === "purchase" && col("value") < 0.0))
+    ).reduce(_.unionByName(_)).orderBy("check")
+  }
 }

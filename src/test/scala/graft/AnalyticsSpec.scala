@@ -234,6 +234,45 @@ class AnalyticsSpec extends SparkSpecBase {
     assert(got.nonEmpty)
   }
 
+  test("merge upsert: actions partition the merged keyspace by the modular rule") {
+    val ids = tables.events.select("event_id").collect().map(_.getLong(0))
+    val expInsert = ids.count(id => id % 3 == 0 && id % 5 == 0).toLong // delta-only keys
+    val expUpdate = ids.count(id => id % 3 == 0 && id % 5 != 0).toLong // overlap keys
+    val expKeep   = ids.count(id => id % 3 != 0 && id % 5 != 0).toLong // base-only keys
+    val rows = graft.operators.Ingest.mergeUpsert(tables).collect()
+    assert(rows.map(_.getLong(3)).sum == expInsert, "insert arm")
+    assert(rows.map(_.getLong(4)).sum == expUpdate, "update arm")
+    assert(rows.map(_.getLong(5)).sum == expKeep, "keep arm")
+    assert(rows.map(_.getLong(1)).sum == expInsert + expUpdate + expKeep)
+    assert(expInsert > 0 && expUpdate > 0 && expKeep > 0, "fixture must exercise all three arms")
+  }
+
+  test("integrity audit: clean FKs audit to zero, domain rule counts match a recount") {
+    val rows = graft.operators.Ingest.integrityAudit(tables).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.size == 8)
+    Seq("lineitem_orphan_order", "lineitem_orphan_part", "orders_orphan_customer").foreach { c =>
+      assert(rows(c) == 0L, s"$c should be clean in the fixture, got ${rows(c)}")
+    }
+    val highQty = tables.lineitem.filter(col("l_quantity") > 45.0).count()
+    assert(rows("lineitem_high_quantity") == highQty)
+    assert(highQty > 0, "domain rule must be non-vacuous")
+  }
+
+  test("unpivot emits one row per (flag, metric) carrying the wide aggregate's value") {
+    val long = Analytics.unpivotMetrics(tables).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    val wide = tables.lineitem.groupBy("l_returnflag")
+      .agg(Num.moneySum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+      .collect()
+    assert(long.size == wide.length * 3)
+    wide.foreach { r =>
+      val flag = r.getString(0)
+      assert(long((flag, "sum_qty")) == r.getDouble(1), s"$flag sum_qty")
+      assert(long((flag, "n_lines")) == r.getLong(2).toDouble, s"$flag n_lines")
+    }
+  }
+
   test("supplier rank matches a local fixed-point PageRank on the collected graph") {
     val pairs = tables.lineitem
       .join(tables.orders, col("l_orderkey") === col("o_orderkey"))
