@@ -176,7 +176,9 @@ object SparkEntry {
     "dedup_prefix_filter"  -> ((s, d) => Dedup.ngramJaccardPrefix(Tables(s, d))),
     "q_merge_upsert"       -> ((s, d) => Ingest.mergeUpsert(Tables(s, d))),
     "q_integrity_audit"    -> ((s, d) => Ingest.integrityAudit(Tables(s, d))),
-    "q_unpivot_metrics"    -> ((s, d) => Analytics.unpivotMetrics(Tables(s, d)))
+    "q_unpivot_metrics"    -> ((s, d) => Analytics.unpivotMetrics(Tables(s, d))),
+    "q_incremental_agg"    -> ((s, d) => Analytics.incrementalAgg(Tables(s, d))),
+    "q_winsorized"         -> ((s, d) => Analytics.winsorized(Tables(s, d)))
   )
 
   /** kinesis_topic/main.go:23 — the demo topic payload. */
@@ -1843,7 +1845,29 @@ object SparkEntry {
         |SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS metric_value FROM w
         |UNION ALL SELECT l_returnflag, 'sum_price', sum_price FROM w
         |UNION ALL SELECT l_returnflag, 'n_lines', n_lines FROM w
-        |ORDER BY 1, 2""".stripMargin
+        |ORDER BY 1, 2""".stripMargin,
+    "q_incremental_agg" -> // state-merge refresh must equal the direct full aggregate
+      """SELECT event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_winsorized" -> // per-type [p1,p99] clipping with rank-discrete cutpoints
+      """WITH nn AS (SELECT event_type AS n_type, count(*) AS n FROM events GROUP BY 1),
+        |r AS (
+        |  SELECT event_type, value,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn
+        |  FROM events),
+        |c AS (
+        |  SELECT event_type AS c_type,
+        |    max(CASE WHEN rn = CAST(ceil(n * 0.01) AS BIGINT) THEN value END) AS lo,
+        |    max(CASE WHEN rn = CAST(ceil(n * 0.99) AS BIGINT) THEN value END) AS hi
+        |  FROM r JOIN nn ON event_type = n_type GROUP BY 1)
+        |SELECT event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_raw,
+        |  CAST(sum(CAST(CASE WHEN value < lo THEN lo WHEN value > hi THEN hi ELSE value END
+        |                AS DECIMAL(18,2))) AS DOUBLE) AS sum_winsorized,
+        |  sum(CASE WHEN value < lo OR value > hi THEN 1 ELSE 0 END) AS n_clipped
+        |FROM events JOIN c ON event_type = c_type
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 
   /** Shared recursive min-label reachability over a near-dup pairs CTE

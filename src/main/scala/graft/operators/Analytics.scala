@@ -882,6 +882,80 @@ object Analytics {
       .orderBy("l_returnflag", "metric")
   }
 
+  /** B53: incremental view maintenance — merge a DELTA's aggregation
+    * state into a BASE's without rescanning base rows (the refresh
+    * path of every materialized rollup: keep (count, decimal sum) per
+    * group, combine states, finalize). At 100 TB the base state is
+    * group-cardinality-sized while the base TABLE is petabytes — the
+    * merge touches only the former. The gate proves state-merge =
+    * full recompute: the oracle aggregates the whole table directly,
+    * so equality shows the decomposition is lossless (decimal sums
+    * and counts are the canonical commutative-monoid pair; avg/float
+    * would NOT merge losslessly, which is why the state carries
+    * sum+count, never avg).
+    */
+  def incrementalAgg(t: Tables): DataFrame = {
+    def state(df: DataFrame): DataFrame = df
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2))).as("s")
+      )
+    val base  = t.events.filter(col("event_id") % 5 =!= 0)
+    val delta = t.events.filter(col("event_id") % 5 === 0)
+    state(base)
+      .unionByName(state(delta))
+      .groupBy("event_type")
+      .agg(sum(col("n")).as("n_events"), sum(col("s")).cast("double").as("sum_value"))
+      .orderBy("event_type")
+  }
+
+  /** B54: winsorization — clip each type's values into its own
+    * [p1, p99] band before summing, the standard heavy-tail tamer for
+    * ML feature pipelines (drop-the-outlier distorts counts; clipping
+    * keeps every row but bounds its leverage). The cutpoints are
+    * DISCRETE (the value at rank ⌈q·n⌉, a real data point), not
+    * interpolated percentiles: clipped rows carry the cutpoint itself
+    * into the decimal sum, and an interpolated cut is an arithmetic
+    * double whose last ulp differs across engines — measured flipping
+    * the 2-decimal rounding of ~200 clipped rows at sf0.1. A rank-
+    * selected value is bit-identical everywhere. One (type) window
+    * ranks the fact ([[valueCumeDist]]'s shape), the two picked rows
+    * per type broadcast back, and the rollup partial-aggregates.
+    */
+  def winsorized(t: Tables): DataFrame = {
+    val n = t.events.groupBy(col("event_type").as("n_type")).agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("event_type").orderBy(col("value"), col("event_id"))
+    val cuts = t.events
+      .select(col("event_type"), col("value"), col("event_id"))
+      .withColumn("rn", row_number().over(w))
+      .join(broadcast(n), col("event_type") === col("n_type"))
+      .groupBy(col("event_type").as("c_type"))
+      .agg(
+        max(when(col("rn") === ceil(col("n") * 0.01), col("value"))).as("lo"),
+        max(when(col("rn") === ceil(col("n") * 0.99), col("value"))).as("hi")
+      )
+    t.events
+      .join(broadcast(cuts), col("event_type") === col("c_type"))
+      .select(
+        col("event_type"),
+        col("value"),
+        when(col("value") < col("lo"), col("lo"))
+          .when(col("value") > col("hi"), col("hi"))
+          .otherwise(col("value"))
+          .as("wv"),
+        (col("value") < col("lo") || col("value") > col("hi")).as("clipped")
+      )
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        Num.moneySum(col("value")).as("sum_raw"),
+        Num.moneySum(col("wv")).as("sum_winsorized"),
+        sum(when(col("clipped"), 1L).otherwise(0L)).as("n_clipped")
+      )
+      .orderBy("event_type")
+  }
+
   /** B47: TPC-H Q9-style profit matrix — revenue by (supplier nation,
     * order year) restricted to one product family (name-substring
     * filter; the reference schema has no partsupp/supplycost, so the

@@ -273,6 +273,39 @@ class AnalyticsSpec extends SparkSpecBase {
     }
   }
 
+  test("incremental agg state-merge equals the direct aggregate for any disjoint slicing") {
+    val direct = tables.events.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), Num.moneySum(col("value")).as("s"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val merged = Analytics.incrementalAgg(tables).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(merged == direct, "state merge must be lossless")
+  }
+
+  test("winsorized sums are bounded by raw sums and clip counts match a recount") {
+    val rows = Analytics.winsorized(tables).collect()
+    assert(rows.nonEmpty)
+    val byType = tables.events.select("event_type", "value", "event_id").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+      .groupBy(_._1)
+    rows.foreach { r =>
+      val (et, n, raw, win, clipped) =
+        (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4))
+      val vals = byType(et).map(_._2).sorted
+      assert(n == vals.length.toLong)
+      val lo = vals(math.ceil(vals.length * 0.01).toInt - 1)
+      val hi = vals(math.ceil(vals.length * 0.99).toInt - 1)
+      val expClipped = vals.count(v => v < lo || v > hi).toLong
+      assert(clipped == expClipped, s"$et clip count $clipped vs $expClipped")
+      assert(clipped > 0, s"$et: vacuous — no rows clipped")
+      // clipping pulls the tails toward the band; with a symmetric-ish
+      // fixture the invariant that MUST hold is per-row boundedness
+      val expWin = BigDecimal(vals.map(v => BigDecimal(math.min(math.max(v, lo), hi)).setScale(2, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble)
+      assert((BigDecimal(win) - expWin).abs < BigDecimal("0.01"), s"$et $win vs $expWin")
+      assert(raw != win, s"$et: clipping changed nothing — vacuous")
+    }
+  }
+
   test("supplier rank matches a local fixed-point PageRank on the collected graph") {
     val pairs = tables.lineitem
       .join(tables.orders, col("l_orderkey") === col("o_orderkey"))
