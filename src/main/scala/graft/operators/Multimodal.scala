@@ -482,8 +482,9 @@ object Multimodal {
   }
 
   /** Decoded-media metadata as a query: stub dimensions + format
-    * distribution. rows-only oracle (stub kernel isn't SQL), spec
-    * asserts determinism and batch shape.
+    * distribution. The stub arm's byte arithmetic is expressible in
+    * SQL, so this is hash-gated on the text-bytes corpus; the REAL
+    * image-decode arm is spec territory (generated PNG/JPEG fixtures).
     */
   def decodeSummary(spark: SparkSession, t: Tables): DataFrame =
     decodeMedia(spark, t)
