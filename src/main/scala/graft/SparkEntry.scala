@@ -178,7 +178,10 @@ object SparkEntry {
     "q_integrity_audit"    -> ((s, d) => Ingest.integrityAudit(Tables(s, d))),
     "q_unpivot_metrics"    -> ((s, d) => Analytics.unpivotMetrics(Tables(s, d))),
     "q_incremental_agg"    -> ((s, d) => Analytics.incrementalAgg(Tables(s, d))),
-    "q_winsorized"         -> ((s, d) => Analytics.winsorized(Tables(s, d)))
+    "q_winsorized"         -> ((s, d) => Analytics.winsorized(Tables(s, d))),
+    "q_min_cost_supplier"  -> ((s, d) => Analytics.minCostSupplier(Tables(s, d))),
+    "q_supplier_variety"   -> ((s, d) => Analytics.supplierVariety(Tables(s, d))),
+    "q_excess_shippers"    -> ((s, d) => Analytics.excessShippers(Tables(s, d)))
   )
 
   /** kinesis_topic/main.go:23 — the demo topic payload. */
@@ -1867,7 +1870,52 @@ object SparkEntry {
         |                AS DECIMAL(18,2))) AS DOUBLE) AS sum_winsorized,
         |  sum(CASE WHEN value < lo OR value > hi THEN 1 ELSE 0 END) AS n_clipped
         |FROM events JOIN c ON event_type = c_type
-        |GROUP BY 1 ORDER BY 1""".stripMargin
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_min_cost_supplier" -> // Q2-analog: per-part region-constrained argmin offer, ties -> min suppkey
+      """WITH rs AS (
+        |  SELECT s_suppkey, s_name, n_name
+        |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'ASIA'),
+        |offers AS (
+        |  SELECT l_partkey AS pk, p_brand, p_size, l_suppkey,
+        |    min(CAST(l_extendedprice AS DECIMAL(18,2))) AS offer
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey
+        |  JOIN rs ON l_suppkey = rs.s_suppkey
+        |  WHERE p_size IN (15, 25, 35)
+        |  GROUP BY 1, 2, 3, 4),
+        |best AS (
+        |  SELECT *, row_number() OVER (PARTITION BY pk ORDER BY offer, l_suppkey) AS rn
+        |  FROM offers)
+        |SELECT pk AS p_partkey, p_brand, p_size, s_name, n_name,
+        |  CAST(offer AS DOUBLE) AS best_offer
+        |FROM best JOIN rs ON best.l_suppkey = rs.s_suppkey
+        |WHERE rn = 1 ORDER BY p_partkey""".stripMargin,
+    "q_supplier_variety" -> // Q16-analog: distinct non-complaint suppliers per (brand, size)
+      """SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#7' AND l_suppkey % 7 <> 0
+        |GROUP BY 1, 2
+        |ORDER BY supplier_cnt DESC, p_brand, p_size""".stripMargin,
+    "q_excess_shippers" -> // Q20-analog: suppliers shipping >15% of a family part's total
+      """WITH pairs AS (
+        |  SELECT l_partkey AS pk, l_suppkey AS sk,
+        |    sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_name LIKE '%bolt%'
+        |  GROUP BY 1, 2),
+        |totals AS (SELECT pk, sum(qty) AS total_qty FROM pairs GROUP BY 1),
+        |dom AS (
+        |  SELECT sk, count(*) AS n_parts_dominated
+        |  FROM pairs JOIN totals USING (pk)
+        |  WHERE qty * 20 > total_qty * 3
+        |  GROUP BY 1)
+        |SELECT s_name, n_name, n_parts_dominated
+        |FROM dom
+        |JOIN supplier ON sk = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |ORDER BY s_name""".stripMargin
   )
 
   /** Shared recursive min-label reachability over a near-dup pairs CTE

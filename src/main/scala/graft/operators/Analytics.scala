@@ -1080,4 +1080,125 @@ object Analytics {
       .select(col("s_name"), col("n_name"), col("numwait"))
       .orderBy(col("numwait").desc, col("s_name"))
   }
+
+  /** B55: TPC-H Q2-style min-cost supplier — for each part in a size
+    * bracket, the cheapest offer from any supplier in ONE region
+    * (the schema has no partsupp/ps_supplycost, so the supplier's
+    * minimum extended price for the part stands in as the offer; the
+    * region-constrained correlated-argmin topology is intact). Ties →
+    * smallest supplier key, Q2's deterministic tiebreak.
+    *
+    * The (part, supplier) offer table is ONE lineitem shuffle (both
+    * dims broadcast-pruned BEFORE it, so the fact scan only keeps
+    * region-supplier × sized-part rows); the per-part argmin runs
+    * through the bounded-heap TopKPerKey exec (k = 1, no per-group
+    * sort); the name join-back broadcasts. Decimal offers end to end —
+    * the argmin compare and the output hash are both exact.
+    */
+  def minCostSupplier(
+      t: Tables,
+      region: String = "ASIA",
+      sizes: Seq[Int] = Seq(15, 25, 35)
+  ): DataFrame = {
+    val regionSupp = t.supplier
+      .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
+      .join(
+        broadcast(t.region.filter(col("r_name") === region)),
+        col("n_regionkey") === col("r_regionkey")
+      )
+      .select(col("s_suppkey"), col("s_name"), col("n_name"))
+    val sizedParts =
+      t.part.filter(col("p_size").isin(sizes: _*)).select("p_partkey", "p_brand", "p_size")
+    val offers = t.lineitem
+      .select("l_partkey", "l_suppkey", "l_extendedprice")
+      .join(broadcast(sizedParts), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(regionSupp.select("s_suppkey")), col("l_suppkey") === col("s_suppkey"))
+      .groupBy("p_partkey", "p_brand", "p_size", "l_suppkey")
+      .agg(
+        min(col("l_extendedprice").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .as("offer")
+      )
+    graft.plans.TopK
+      .perKey(offers, Seq("p_partkey"), Seq(col("offer").asc, col("l_suppkey").asc), 1)
+      .join(broadcast(regionSupp), col("l_suppkey") === col("s_suppkey"))
+      .select(
+        col("p_partkey"),
+        col("p_brand"),
+        col("p_size"),
+        col("s_name"),
+        col("n_name"),
+        col("offer").cast("double").as("best_offer")
+      )
+      .orderBy("p_partkey")
+  }
+
+  /** B56: TPC-H Q16-style supplier variety — distinct suppliers able
+    * to supply each (brand, size), excluding one brand and the
+    * "complaint" suppliers (suppkey % 7 = 0 stands in for Q16's
+    * `LIKE '%%Customer%%Complaints%%'` subquery; the NOT-IN shape is a
+    * LEFT ANTI join, never a collected driver-side list — at scale the
+    * complaint set is a table, not an IN-list).
+    *
+    * Two-phase distinct (B5b's pattern): the (brand, size, supplier)
+    * triple pre-dedupes on its full composite key spreading work over
+    * all partitions, then the count stage is a plain partial-agg'd
+    * count — no Expand, no per-group distinct state.
+    */
+  def supplierVariety(t: Tables, excludeBrand: String = "Brand#7"): DataFrame = {
+    val complaints = t.supplier.filter(col("s_suppkey") % 7 === 0).select("s_suppkey")
+    val parts = t.part
+      .filter(col("p_brand") =!= excludeBrand)
+      .select("p_partkey", "p_brand", "p_size")
+    t.lineitem
+      .select("l_partkey", "l_suppkey")
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(complaints), col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .select("p_brand", "p_size", "l_suppkey")
+      .distinct()
+      .groupBy("p_brand", "p_size")
+      .agg(count(lit(1)).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_size"))
+  }
+
+  /** B57: TPC-H Q20-style excess shippers — suppliers who DOMINATE
+    * some part in a product family: their shipped quantity exceeds
+    * 15% of the part's total across all suppliers, >15× the fair
+    * share of this fixture's ~100-supplier spread (Q20's
+    * `availqty > ½·Σshipped` re-expressed on the shipped side; the
+    * aggregate-then-semi-join chain is intact — dominance is a
+    * property of the per-(part, supplier) AGGREGATE, not any row).
+    * The fraction compare is cross-multiplied decimals
+    * (20·qty > 3·total) — no division, exact at the boundary.
+    *
+    * ONE lineitem shuffle builds the (part, supplier) quantity table;
+    * the per-part total is a RE-AGGREGATION of that same aggregate, so
+    * the second branch reuses the first's exchange (ReusedExchange —
+    * the fact is scanned once); totals broadcast back; supplier/nation
+    * names broadcast onto the tiny qualifying set.
+    */
+  def excessShippers(t: Tables, namePattern: String = "%bolt%"): DataFrame = {
+    val famParts = t.part.filter(col("p_name").like(namePattern)).select("p_partkey")
+    val pairs = t.lineitem
+      .select("l_partkey", "l_suppkey", "l_quantity")
+      .join(broadcast(famParts), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_partkey", "l_suppkey")
+      .agg(
+        sum(col("l_quantity").cast(org.apache.spark.sql.types.DecimalType(18, 2))).as("qty")
+      )
+    val totals = pairs
+      .groupBy(col("p_partkey").as("t_partkey"))
+      .agg(sum(col("qty")).as("total_qty"))
+    val dominant = pairs
+      .join(broadcast(totals), col("p_partkey") === col("t_partkey"))
+      .filter(col("qty") * 20 > col("total_qty") * 3)
+      .groupBy("l_suppkey")
+      .agg(count(lit(1)).as("n_parts_dominated"))
+    val suppName = t.supplier
+      .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "s_name", "n_name")
+    dominant
+      .join(broadcast(suppName), col("l_suppkey") === col("s_suppkey"))
+      .select("s_name", "n_name", "n_parts_dominated")
+      .orderBy("s_name")
+  }
 }

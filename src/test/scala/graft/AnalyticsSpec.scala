@@ -306,6 +306,71 @@ class AnalyticsSpec extends SparkSpecBase {
     }
   }
 
+  test("min-cost supplier is the brute-force per-part argmin over region offers") {
+    val rows = Analytics.minCostSupplier(tables).collect()
+    assert(rows.nonEmpty)
+    // brute-force: collect the region-constrained offers and argmin locally
+    val regionSupp = tables.supplier
+      .join(tables.nation, col("s_nationkey") === col("n_nationkey"))
+      .join(tables.region.filter(col("r_name") === "ASIA"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("s_suppkey").collect().map(_.getLong(0)).toSet
+    val offers = tables.lineitem
+      .join(tables.part.filter(col("p_size").isin(15, 25, 35)),
+        col("l_partkey") === col("p_partkey"))
+      .filter(col("l_suppkey").isInCollection(regionSupp))
+      .groupBy("p_partkey", "l_suppkey")
+      .agg(min(col("l_extendedprice").cast("decimal(18,2)")).as("offer"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDecimal(2)))
+    val best = offers.groupBy(_._1).map { case (pk, os) =>
+      pk -> os.minBy(o => (o._3, o._2))
+    }
+    assert(rows.length == best.size, "one row per part with any region offer")
+    rows.foreach { r =>
+      val (pk, offer) = (r.getLong(0), r.getDouble(5))
+      val (_, _, expOffer) = best(pk)
+      assert(offer == expOffer.doubleValue, s"part $pk offer $offer vs $expOffer")
+    }
+  }
+
+  test("supplier variety excludes complaint suppliers and the brand, counts recount") {
+    val rows = Analytics.supplierVariety(tables).collect()
+    assert(rows.nonEmpty)
+    val local = tables.lineitem
+      .join(tables.part, col("l_partkey") === col("p_partkey"))
+      .filter(col("p_brand") =!= "Brand#7" && col("l_suppkey") % 7 =!= 0)
+      .select("p_brand", "p_size", "l_suppkey").distinct().collect()
+      .map(r => (r.getString(0), r.getInt(1)))
+      .groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    assert(rows.length == local.size)
+    rows.foreach { r =>
+      assert(r.getString(0) != "Brand#7", "excluded brand must not appear")
+      assert(r.getLong(2) == local((r.getString(0), r.getInt(1))))
+    }
+  }
+
+  test("excess shippers exceed the 15% share threshold on some family part") {
+    val rows = Analytics.excessShippers(tables).collect()
+    assert(rows.nonEmpty, "fixture must produce at least one dominant supplier")
+    val pairs = tables.lineitem
+      .join(tables.part.filter(col("p_name").like("%bolt%")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("p_partkey", "l_suppkey")
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("qty"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDecimal(2)))
+    val totals = pairs.groupBy(_._1).map { case (pk, ps) =>
+      pk -> ps.map(p => BigDecimal(p._3)).sum
+    }
+    val domCounts = pairs
+      .filter(p => BigDecimal(p._3) * 20 > totals(p._1) * 3)
+      .groupBy(_._2).map { case (sk, ps) => sk -> ps.length.toLong }
+    val names = tables.supplier.select("s_suppkey", "s_name").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expected = domCounts.map { case (sk, n) => names(sk) -> n }
+    assert(rows.map(r => r.getString(0) -> r.getLong(2)).toMap == expected)
+  }
+
   test("supplier rank matches a local fixed-point PageRank on the collected graph") {
     val pairs = tables.lineitem
       .join(tables.orders, col("l_orderkey") === col("o_orderkey"))
