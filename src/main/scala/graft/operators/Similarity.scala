@@ -261,20 +261,24 @@ object Similarity {
 
   /** Corpus side: every vector assigned to its max-dot cell in one
     * codegen'd projection (centroid literals — a broadcast in spirit).
-    * Linear-size argmax: greatest() then a flat first-match chain — a
-    * pairwise struct reduce would nest CASEs 2^cells deep.
+    * TRULY linear argmax: the dots land in ONE array column and the
+    * cell is `array_position(dots, array_max(dots))` — first match on
+    * ties, same convention as a first-match CASE chain, but the
+    * expression tree is O(cells). (The previous flat chain of
+    * `when(dᵢ = greatest(d₀..dₙ))` inlined the n-arg greatest into
+    * each of the n branches — O(n²) generated code, and with 16
+    * subspaces stacked downstream it pushed the generated class past
+    * Janino's limits, silently de-codegening the whole stage.)
     */
   private def withCell(vecs: DataFrame, cents: Array[Array[Double]]): DataFrame = {
-    val dots = cents.zipWithIndex.map { case (c, i) =>
-      call_function("vec_dot", col("v"), centLit(c)).as(s"d$i")
-    }
-    val maxDot = greatest(cents.indices.map(i => col(s"d$i")): _*)
-    val argmax = cents.indices
-      .foldRight(lit(-1)) { case (i, acc) => when(col(s"d$i") === maxDot, lit(i)).otherwise(acc) }
+    val dotsArr = array(cents.map(c => call_function("vec_dot", col("v"), centLit(c))).toIndexedSeq: _*)
     vecs
-      .select((col("vec_id") +: col("v") +: col("nrm") +: dots.toIndexedSeq): _*)
-      .withColumn("cell", argmax)
-      .drop(cents.indices.map(i => s"d$i"): _*)
+      .select(col("vec_id"), col("v"), col("nrm"), dotsArr.as("dots"))
+      .withColumn(
+        "cell",
+        (array_position(col("dots"), array_max(col("dots"))) - 1).cast("int")
+      )
+      .drop("dots")
   }
 
   /** Query side: each query expands to its nprobe max-dot cells. */
@@ -422,19 +426,26 @@ object Similarity {
     val centsArr = array(cents.toIndexedSeq.map(centLit): _*)
     val withResid = withCell(vecs, cents)
       .withColumn("resid", zip_with(col("v"), element_at(centsArr, col("cell") + 1), (a, b) => a - b))
-    val encoded = (0 until m).foldLeft(withResid) { (df, s) =>
-      val sub = org.apache.spark.sql.functions.slice(col("resid"), s * dsub + 1, dsub)
-      val scores = (0 until ksub).map { j =>
-        val cw = codebooks(s)(j)
-        (call_function("vec_dot", sub, centLit(cw)) - lit(cw.map(x => x * x).sum / 2)).as(s"s$j")
-      }
-      val best = greatest((0 until ksub).map(j => col(s"s$j")): _*)
-      val argm = (0 until ksub)
-        .foldRight(lit(-1)) { case (j, acc) => when(col(s"s$j") === best, lit(j)).otherwise(acc) }
-      df.select((df.columns.map(col).toIndexedSeq ++ scores): _*)
-        .withColumn(s"code$s", argm)
-        .drop((0 until ksub).map(j => s"s$j"): _*)
-    }.drop("v", "resid", "nrm") // codes replace the vector — the PQ memory story
+    // per-subspace score ARRAYS in one projection, then every code is a
+    // linear array_position(sc, array_max(sc)) — the O(ksub²) CASE/
+    // greatest chain this replaces generated >10k lines of Java across
+    // the m stacked projections and fell back to interpreted execution
+    val withScores = withResid.select(
+      col("vec_id") +: col("cell") +:
+        (0 until m).map { s =>
+          val sub = org.apache.spark.sql.functions.slice(col("resid"), s * dsub + 1, dsub)
+          array((0 until ksub).map { j =>
+            val cw = codebooks(s)(j)
+            call_function("vec_dot", sub, centLit(cw)) - lit(cw.map(x => x * x).sum / 2)
+          }: _*).as(s"sc$s")
+        }: _*
+    )
+    val encoded = withScores.select(
+      col("vec_id") +: col("cell") +:
+        (0 until m).map { s =>
+          (array_position(col(s"sc$s"), array_max(col(s"sc$s"))) - 1).cast("int").as(s"code$s")
+        }: _*
+    ) // codes replace the vector — the PQ memory story
     // --- per-query tables, driver-built (numQueries×dims collect —
     // bounded): qcent[c] = q·centroid_c, lut[s*ksub+j] = q_s·cw(s)(j),
     // so ip(q, cent + recon) = qcent[cell] + Σ_s lut[s*ksub+code_s].
