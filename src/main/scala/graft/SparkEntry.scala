@@ -181,7 +181,10 @@ object SparkEntry {
     "q_winsorized"         -> ((s, d) => Analytics.winsorized(Tables(s, d))),
     "q_min_cost_supplier"  -> ((s, d) => Analytics.minCostSupplier(Tables(s, d))),
     "q_supplier_variety"   -> ((s, d) => Analytics.supplierVariety(Tables(s, d))),
-    "q_excess_shippers"    -> ((s, d) => Analytics.excessShippers(Tables(s, d)))
+    "q_excess_shippers"    -> ((s, d) => Analytics.excessShippers(Tables(s, d))),
+    "q_snapshot_diff"      -> ((s, d) => Ingest.snapshotDiff(Tables(s, d))),
+    "q_compaction_plan"    -> ((s, d) => Layout.compactionPlan(Tables(s, d))),
+    "q_heavy_hitters"      -> ((s, d) => Analytics.heavyHitters(Tables(s, d)))
   )
 
   /** kinesis_topic/main.go:23 — the demo topic payload. */
@@ -1915,7 +1918,55 @@ object SparkEntry {
         |FROM dom
         |JOIN supplier ON sk = s_suppkey
         |JOIN nation ON s_nationkey = n_nationkey
-        |ORDER BY s_name""".stripMargin
+        |ORDER BY s_name""".stripMargin,
+    "q_snapshot_diff" -> // CDC classification audit between two modular snapshots
+      """WITH a AS (
+        |  SELECT o_orderkey AS k, o_orderpriority AS pa,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS va
+        |  FROM orders WHERE o_orderkey % 11 <> 0),
+        |b AS (
+        |  SELECT o_orderkey AS k, o_orderpriority AS pb,
+        |    CAST(CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 1.0
+        |              ELSE o_totalprice END AS DECIMAL(18,2)) AS vb
+        |  FROM orders WHERE o_orderkey % 13 <> 0)
+        |SELECT COALESCE(pb, pa) AS priority,
+        |  CASE WHEN va IS NULL THEN 'added'
+        |       WHEN vb IS NULL THEN 'removed'
+        |       WHEN va <> vb THEN 'changed'
+        |       ELSE 'unchanged' END AS change_type,
+        |  count(*) AS n_rows,
+        |  CAST(sum(COALESCE(vb, 0) - COALESCE(va, 0)) AS DOUBLE) AS sum_delta
+        |FROM a FULL OUTER JOIN b USING (k)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_compaction_plan" -> // running-sum bin assignment over the per-(type, day) manifest
+      """WITH f AS (
+        |  SELECT event_type, date_trunc('day', ts) AS day, count(*) AS n_rows
+        |  FROM events GROUP BY 1, 2),
+        |t AS (
+        |  SELECT event_type AS tt, (sum(n_rows) + 7) // 8 AS target
+        |  FROM f GROUP BY 1),
+        |c AS (
+        |  SELECT f.*, COALESCE(sum(n_rows) OVER (
+        |    PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        |  FROM f),
+        |bins AS (
+        |  SELECT event_type, day, n_rows, cum_before // target AS bin
+        |  FROM c JOIN t ON event_type = tt)
+        |SELECT event_type, bin, count(*) AS n_files, sum(n_rows) AS total_rows,
+        |  min(day) AS first_day, max(day) AS last_day
+        |FROM bins GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_heavy_hitters" -> // users above 1.3x their type's mean event count, all-integer compare
+      """WITH c AS (
+        |  SELECT event_type, user_id, count(*) AS n_events
+        |  FROM events GROUP BY 1, 2),
+        |t AS (
+        |  SELECT event_type AS tt, sum(n_events) AS total, count(*) AS n_users
+        |  FROM c GROUP BY 1)
+        |SELECT event_type, user_id, n_events
+        |FROM c JOIN t ON event_type = tt
+        |WHERE n_events * n_users * 10 > total * 13
+        |ORDER BY 1, 2""".stripMargin
   )
 
   /** Shared recursive min-label reachability over a near-dup pairs CTE

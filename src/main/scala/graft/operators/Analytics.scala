@@ -1201,4 +1201,33 @@ object Analytics {
       .select("s_name", "n_name", "n_parts_dominated")
       .orderBy("s_name")
   }
+
+  /** B59: per-group heavy hitters — users whose event count within
+    * their type exceeds `liftNum/liftDen` × the type's mean
+    * (count·n_users > lift·total, cross-multiplied integers — a
+    * share-of-group double would put boundary users on different
+    * sides per engine). The RELATIVE threshold is what makes this a
+    * heavy-hitter detector rather than a top-k: the qualifying set is
+    * empty when the group is uniform and grows exactly with skew.
+    *
+    * One keyed shuffle builds the (type, user) counts; the per-type
+    * totals RE-AGGREGATE that aggregate (ReusedExchange — the fact is
+    * scanned once) and broadcast back. Complements the Misra-Gries
+    * sketch path (C29's frequent words): this is the exact form for
+    * when the group-key cardinality is shuffle-able; the sketch is for
+    * when it isn't.
+    */
+  def heavyHitters(t: Tables, liftNum: Int = 13, liftDen: Int = 10): DataFrame = {
+    val counts = t.events
+      .groupBy("event_type", "user_id")
+      .agg(count(lit(1)).as("n_events"))
+    val totals = counts
+      .groupBy(col("event_type").as("tt"))
+      .agg(sum(col("n_events")).as("total"), count(lit(1)).as("n_users"))
+    counts
+      .join(broadcast(totals), col("event_type") === col("tt"))
+      .filter(col("n_events") * col("n_users") * liftDen > col("total") * liftNum)
+      .select("event_type", "user_id", "n_events")
+      .orderBy("event_type", "user_id")
+  }
 }

@@ -279,4 +279,58 @@ object Ingest {
         t.events.filter(col("event_type") === "purchase" && col("value") < 0.0))
     ).reduce(_.unionByName(_)).orderBy("check")
   }
+
+  /** A22: snapshot diff (CDC) — the row-level change feed between two
+    * table snapshots, the primitive behind incremental downstream
+    * refresh and audit ("what changed since yesterday's publish").
+    * FULL OUTER join on the key classifies every row: in-new-only →
+    * added, in-old-only → removed, both with different values →
+    * changed, else unchanged; the deterministic stand-ins are two
+    * modular slices of orders with a +1.00 price adjustment on the %3
+    * slice, so every class is populated by construction. Emitted as
+    * the per-(priority, class) audit — counts plus the DECIMAL net
+    * value delta (added rows contribute +new, removed −old, changed
+    * the exact +1.00 adjustment), so the gate hashes the diff's
+    * effect, not a key dump.
+    *
+    * Scale: one keyed shuffle per snapshot — the same exchange the
+    * lakehouse CDC join pays; the value compare happens post-join
+    * row-at-a-time, never materializing the change set wider than the
+    * classified row.
+    */
+  def snapshotDiff(t: Tables): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(18, 2)
+    val old = t.orders
+      .filter(col("o_orderkey") % 11 =!= 0)
+      .select(
+        col("o_orderkey").as("key"),
+        col("o_orderpriority").as("prio_a"),
+        col("o_totalprice").cast(dec).as("val_a")
+      )
+    val neu = t.orders
+      .filter(col("o_orderkey") % 13 =!= 0)
+      .select(
+        col("o_orderkey").as("key"),
+        col("o_orderpriority").as("prio_b"),
+        when(col("o_orderkey") % 3 === 0, col("o_totalprice") + 1.0)
+          .otherwise(col("o_totalprice"))
+          .cast(dec)
+          .as("val_b")
+      )
+    old
+      .join(neu, Seq("key"), "full_outer")
+      .select(
+        coalesce(col("prio_b"), col("prio_a")).as("priority"),
+        when(col("val_a").isNull, "added")
+          .when(col("val_b").isNull, "removed")
+          .when(col("val_a") =!= col("val_b"), "changed")
+          .otherwise("unchanged")
+          .as("change_type"),
+        (coalesce(col("val_b"), lit(0).cast(dec)) - coalesce(col("val_a"), lit(0).cast(dec)))
+          .as("delta")
+      )
+      .groupBy("priority", "change_type")
+      .agg(count(lit(1)).as("n_rows"), sum(col("delta")).cast("double").as("sum_delta"))
+      .orderBy("priority", "change_type")
+  }
 }

@@ -112,4 +112,48 @@ object Layout {
         max("doc_id").as("max_doc")
       )
       .orderBy("shard")
+
+  /** B58: small-file compaction planner — the maintenance pass every
+    * streaming-ingested lake needs: thousands of per-micro-batch
+    * files coalesce into target-sized output groups, adjacent in the
+    * table's sort dimension so compaction preserves clustering. Each
+    * (type, day) partition stands in for a file; the plan assigns
+    * files to bins by `cum_before div target` over the day order — a
+    * RUNNING-SUM window, not first-fit (first-fit's bin reset is a
+    * sequential recurrence no window can express; the div form
+    * over-fills a bin by at most one file, the standard size-tiered
+    * compromise, and stays one window pass).
+    *
+    * The target is data-derived (⌈type total / binsPerType⌉, a tiny
+    * per-type aggregate broadcast back) so the plan scales with the
+    * partition, and everything downstream of the manifest aggregate
+    * touches MANIFEST-sized data — at 100 TB the planner reads file
+    * statistics, never file contents. All-integer arithmetic (`div`,
+    * never `/`) keeps the bin ids exact in any engine.
+    */
+  def compactionPlan(t: Tables, binsPerType: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val files = t.events
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_rows"))
+    val target = files
+      .groupBy(col("event_type").as("tt"))
+      .agg(expr(s"(sum(n_rows) + ${binsPerType - 1}) div $binsPerType").as("target"))
+    val w = Window
+      .partitionBy("event_type")
+      .orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    files
+      .join(broadcast(target), col("event_type") === col("tt"))
+      .withColumn("cum_before", coalesce(sum(col("n_rows")).over(w), lit(0L)))
+      .withColumn("bin", expr("cum_before div target"))
+      .groupBy("event_type", "bin")
+      .agg(
+        count(lit(1)).as("n_files"),
+        sum("n_rows").as("total_rows"),
+        min("day").as("first_day"),
+        max("day").as("last_day")
+      )
+      .orderBy("event_type", "bin")
+  }
 }

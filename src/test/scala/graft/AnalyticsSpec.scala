@@ -371,6 +371,70 @@ class AnalyticsSpec extends SparkSpecBase {
     assert(rows.map(r => r.getString(0) -> r.getLong(2)).toMap == expected)
   }
 
+  test("snapshot diff classifies every key by the modular rules and nets the +1 adjustments") {
+    val diff = graft.operators.Ingest.snapshotDiff(tables).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(diff.nonEmpty)
+    val orders = tables.orders.select("o_orderkey", "o_orderpriority", "o_totalprice")
+      .collect().map(r => (r.getLong(0), r.getString(1), BigDecimal(r.getDouble(2)).setScale(2, BigDecimal.RoundingMode.HALF_EVEN)))
+    val expected = orders.flatMap { case (k, prio, v) =>
+      val inA = k % 11 != 0
+      val inB = k % 13 != 0
+      val vb  = if (k % 3 == 0) v + 1 else v
+      if (!inA && !inB) None
+      else if (!inA) Some((prio, "added", vb))
+      else if (!inB) Some((prio, "removed", -v))
+      else if (v != vb) Some((prio, "changed", vb - v))
+      else Some((prio, "unchanged", BigDecimal(0)))
+    }.groupBy(p => (p._1, p._2)).map { case (key, ps) =>
+      key -> (ps.length.toLong, ps.map(_._3).sum.toDouble)
+    }
+    assert(diff.keySet == expected.keySet, "every class per priority must appear")
+    // counts are exact; deltas compare through the double cast
+    expected.foreach { case (key, (n, d)) =>
+      assert(diff(key)._1 == n, s"$key count ${diff(key)._1} vs $n")
+      assert(math.abs(diff(key)._2 - d) < 0.5, s"$key delta ${diff(key)._2} vs $d")
+    }
+    Seq("added", "removed", "changed", "unchanged").foreach { ct =>
+      assert(diff.keys.exists(_._2 == ct), s"class $ct must be populated by construction")
+    }
+  }
+
+  test("compaction plan conserves rows, bounds bin counts, and keeps bins day-contiguous") {
+    val plan = graft.operators.Layout.compactionPlan(tables).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getTimestamp(4), r.getTimestamp(5)))
+    assert(plan.nonEmpty)
+    val totalEvents = tables.events.count()
+    assert(plan.map(_._4).sum == totalEvents, "bins must conserve every row")
+    plan.groupBy(_._1).foreach { case (et, bins) =>
+      val sorted = bins.sortBy(_._2)
+      assert(sorted.length <= 9, s"$et: at most binsPerType+1 bins")
+      assert(sorted.map(_._2).distinct.length == sorted.length)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._6.before(b._5), s"$et: bin ${a._2} days must precede bin ${b._2}")
+        case _ =>
+      }
+    }
+  }
+
+  test("heavy hitters are exactly the users above the lift threshold") {
+    val hh = Analytics.heavyHitters(tables).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(hh.nonEmpty, "fixture has above-lift users at every SF")
+    val counts = tables.events.select("event_type", "user_id").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val byType = counts.groupBy(_._1._1)
+    val expected = byType.flatMap { case (_, cs) =>
+      val total  = cs.values.sum
+      val nUsers = cs.size.toLong
+      cs.filter { case (_, n) => n * nUsers * 10 > total * 13 }
+    }
+    assert(hh == expected)
+  }
+
   test("supplier rank matches a local fixed-point PageRank on the collected graph") {
     val pairs = tables.lineitem
       .join(tables.orders, col("l_orderkey") === col("o_orderkey"))
