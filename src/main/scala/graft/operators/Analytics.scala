@@ -1113,6 +1113,13 @@ object Analytics {
       .select("l_partkey", "l_suppkey", "l_extendedprice")
       .join(broadcast(sizedParts), col("l_partkey") === col("p_partkey"))
       .join(broadcast(regionSupp.select("s_suppkey")), col("l_suppkey") === col("s_suppkey"))
+      // ONE exchange for aggregate + argmin: hash-partitioning on
+      // p_partkey alone satisfies the aggregate's clustering on the
+      // full (part, brand, size, supplier) key (subset rule) AND
+      // TopKPerKey's per-part distribution — grouping directly would
+      // shuffle on all four keys and force a second exchange for the
+      // argmin. Partial aggregation still combines map-side first.
+      .repartition(col("p_partkey"))
       .groupBy("p_partkey", "p_brand", "p_size", "l_suppkey")
       .agg(
         min(col("l_extendedprice").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
@@ -1180,6 +1187,11 @@ object Analytics {
     val famParts = t.part.filter(col("p_name").like(namePattern)).select("p_partkey")
     val pairs = t.lineitem
       .select("l_partkey", "l_suppkey", "l_quantity")
+      // explicit null guard: the final supplier join infers
+      // isnotnull(l_suppkey) into ONE branch's scan, desyncing the two
+      // exchange subtrees and silencing ReusedExchange — pinning the
+      // constraint at the shared source keeps both branches canonical
+      .filter(col("l_partkey").isNotNull && col("l_suppkey").isNotNull)
       .join(broadcast(famParts), col("l_partkey") === col("p_partkey"))
       .groupBy("p_partkey", "l_suppkey")
       .agg(

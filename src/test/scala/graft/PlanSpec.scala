@@ -566,4 +566,37 @@ class PlanSpec extends SparkSpecBase {
     assert(plan.contains("BroadcastHashJoin"), s"average join-back not broadcast:\n$plan")
     assert(!plan.contains("SortMergeJoin"), s"fact shuffled into the average join:\n$plan")
   }
+
+  test("min-cost supplier: argmin through TopKPerKeyExec, dims broadcast, one fact shuffle") {
+    val plan = executedPlanString(Analytics.minCostSupplier(tables))
+    assert(plan.contains("TopKPerKey"), s"per-part argmin must use the bounded-heap exec:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"dims must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"fact shuffled into a dim join:\n$plan")
+    // exactly one keyed exchange: the (part, supplier) offer aggregate
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1, s"extra shuffles:\n$plan")
+  }
+
+  test("excess shippers: per-part totals reuse the pair-aggregate exchange (one fact scan)") {
+    val plan = executedPlanString(Analytics.excessShippers(tables))
+    assert(plan.contains("ReusedExchange"), s"pair aggregate computed twice:\n$plan")
+    assert("Scan parquet .*lineitem".r.findAllIn(plan).length == 1, s"fact scanned twice:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"totals/names must broadcast:\n$plan")
+  }
+
+  test("heavy hitters: type totals reuse the counts exchange (one events scan)") {
+    val plan = executedPlanString(Analytics.heavyHitters(tables))
+    assert(plan.contains("ReusedExchange"), s"counts aggregate computed twice:\n$plan")
+    assert("Scan parquet .*events".r.findAllIn(plan).length == 1, s"fact scanned twice:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"totals join must broadcast:\n$plan")
+  }
+
+  test("compaction plan: manifest-sized data past the one fact aggregate") {
+    val plan = executedPlanString(graft.operators.Layout.compactionPlan(tables))
+    // one fact scan collapses events to the (type, day) manifest; the
+    // running-sum window and target join operate on manifest rows only
+    assert("Scan parquet .*events".r.findAllIn(plan).length == 1, s"fact scanned twice:\n$plan")
+    assert(plan.contains("ReusedExchange") || plan.contains("BroadcastHashJoin"),
+      s"target aggregate must reuse or broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"manifest join shuffled:\n$plan")
+  }
 }
