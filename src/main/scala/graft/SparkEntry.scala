@@ -184,7 +184,8 @@ object SparkEntry {
     "q_excess_shippers"    -> ((s, d) => Analytics.excessShippers(Tables(s, d))),
     "q_snapshot_diff"      -> ((s, d) => Ingest.snapshotDiff(Tables(s, d))),
     "q_compaction_plan"    -> ((s, d) => Layout.compactionPlan(Tables(s, d))),
-    "q_heavy_hitters"      -> ((s, d) => Analytics.heavyHitters(Tables(s, d)))
+    "q_heavy_hitters"      -> ((s, d) => Analytics.heavyHitters(Tables(s, d))),
+    "q_watermark_skew"     -> ((s, d) => EventOps.watermarkSkew(Tables(s, d)))
   )
 
   /** kinesis_topic/main.go:23 — the demo topic payload. */
@@ -1966,7 +1967,19 @@ object SparkEntry {
         |SELECT event_type, user_id, n_events
         |FROM c JOIN t ON event_type = tt
         |WHERE n_events * n_users * 10 > total * 13
-        |ORDER BY 1, 2""".stripMargin
+        |ORDER BY 1, 2""".stripMargin,
+    "q_watermark_skew" -> // running-max watermark lateness under the 7-substream interleave
+      """WITH l AS (
+        |  SELECT event_type,
+        |    max(epoch_us(ts)) OVER (PARTITION BY event_type
+        |      ORDER BY date_trunc('hour', ts), event_id % 7, event_id)
+        |      - epoch_us(ts) AS late_us
+        |  FROM events)
+        |SELECT event_type, count(*) AS n_events,
+        |  sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS n_out_of_order,
+        |  max(late_us) AS max_late_us,
+        |  sum(CASE WHEN late_us > 600000000 THEN 1 ELSE 0 END) AS n_beyond_watermark
+        |FROM l GROUP BY 1 ORDER BY 1""".stripMargin
   )
 
   /** Shared recursive min-label reachability over a near-dup pairs CTE

@@ -210,4 +210,38 @@ object EventOps {
       .agg(count(lit(1)).as("n_transitions"))
       .orderBy("prev_type", "next_type")
   }
+
+  /** B60: watermark-skew profile — the event-time disorder analysis
+    * that SIZES a streaming watermark: per type, how many records
+    * arrive after a later-timestamped record has already been seen,
+    * the worst observed lateness, and how many would be dropped by a
+    * candidate delay. `withWatermark` is a blind guess without exactly
+    * this batch profile of the corpus.
+    *
+    * Arrival order is a deterministic multi-substream interleave (7
+    * sub-streams scrambled within each hour — the multi-shard ingest
+    * model where each shard is ordered but the merge is not, disorder
+    * bounded by the hour): running max event-time over that order is
+    * the watermark the stream would carry, lateness = watermark −
+    * event-time. ONE shuffle on event_type for the running window,
+    * tiny rollup on the same partitioning; all-integer µs so the
+    * profile is engine-exact.
+    */
+  def watermarkSkew(t: Tables, lateThresholdMin: Int = 10): DataFrame = {
+    val arrival = Window
+      .partitionBy("event_type")
+      .orderBy(date_trunc("hour", col("ts")), col("event_id") % 7, col("event_id"))
+    val thresholdUs = lateThresholdMin * 60L * 1000000L
+    t.events
+      .select(col("event_type"), col("event_id"), col("ts"))
+      .withColumn("late_us", max(unix_micros(col("ts"))).over(arrival) - unix_micros(col("ts")))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(when(col("late_us") > 0, 1L).otherwise(0L)).as("n_out_of_order"),
+        max(col("late_us")).as("max_late_us"),
+        sum(when(col("late_us") > thresholdUs, 1L).otherwise(0L)).as("n_beyond_watermark")
+      )
+      .orderBy("event_type")
+  }
 }

@@ -445,6 +445,42 @@ class TemporalSpec extends SparkSpecBase {
     assert(!plan.contains("Window"), s"no per-group sort window expected:\n$plan")
   }
 
+  test("watermark skew matches a local replay of the interleave, bounded by the hour") {
+    val rows = graft.operators.EventOps.watermarkSkew(tables).collect()
+    assert(rows.nonEmpty)
+    val byType = tables.events.select("event_type", "event_id", "ts").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getTimestamp(2)))
+      .groupBy(_._1)
+    rows.foreach { r =>
+      val (et, n, nOoo, maxLate, nBeyond) =
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      val evs = byType(et).sortBy { case (_, id, ts) =>
+        val hourMs = ts.getTime - java.util.concurrent.TimeUnit.MILLISECONDS
+          .toMillis(ts.getTime % 3600000L)
+        (hourMs, id % 7, id)
+      }
+      assert(n == evs.length.toLong)
+      var wm = Long.MinValue
+      var ooo = 0L; var beyond = 0L; var worst = 0L
+      evs.foreach { case (_, _, ts) =>
+        val us = ts.getTime * 1000L + (ts.getNanos % 1000000) / 1000
+        if (wm > us) {
+          ooo += 1
+          val late = wm - us
+          worst = math.max(worst, late)
+          if (late > 600000000L) beyond += 1
+        }
+        wm = math.max(wm, us)
+      }
+      assert(nOoo == ooo, s"$et out-of-order $nOoo vs $ooo")
+      assert(maxLate == worst, s"$et max lateness $maxLate vs $worst")
+      assert(nBeyond == beyond, s"$et beyond-watermark $nBeyond vs $beyond")
+      // the interleave scrambles WITHIN hours, so disorder is bounded
+      assert(maxLate < 3600000000L, s"$et lateness exceeds the hour bound")
+      assert(nOoo > 0, s"$et: vacuous — interleave produced no disorder")
+    }
+  }
+
   test("top supplier equals the brute-force argmax over per-supplier revenue") {
     val perSupp = tables.lineitem
       .groupBy("l_suppkey")
