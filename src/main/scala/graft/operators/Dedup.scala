@@ -201,7 +201,11 @@ object Dedup {
     * list (small by construction) back to the per-doc shingle arrays.
     */
   def ngramJaccardPrefix(t: Tables, tau: Double = JaccardTau): DataFrame = {
-    val posts = hashedPostings(t)
+    // Postings materialized ONCE (localCheckpoint, the minhashLsh
+    // pattern): the df/rank windows AND both verification probes read
+    // the same executor-local blocks instead of re-shingling the
+    // corpus — the original plan scanned documents SIX times.
+    val posts = hashedPostings(t).localCheckpoint()
     val ranked = posts
       .withColumn("df", count(lit(1)).over(Window.partitionBy("shingle")))
       .withColumn(
@@ -210,20 +214,34 @@ object Dedup {
       )
     val prefix = ranked
       .filter(col("tok_rank") <= col("n_sh") - ceil(lit(tau) * col("n_sh")) + 1)
-      .select("doc_id", "shingle")
+      .select("doc_id", "shingle", "n_sh")
     val candidates = prefix
       .as("a")
       .join(
         prefix.as("b").hint("shuffle_hash"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id")
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id") &&
+          // AllPairs length filter — J ≥ τ forces min(|A|,|B|) ≥
+          // τ·max(|A|,|B|), so mismatched sizes can be dropped inside
+          // the join before they ever become candidate rows (lossless)
+          col("a.n_sh") >= lit(tau) * col("b.n_sh") &&
+          col("b.n_sh") >= lit(tau) * col("a.n_sh")
       )
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    val sets = shingled(t).select(col("doc_id"), col("sh"), col("n_sh"))
+    // Verification COUNTS common postings per candidate pair: explode
+    // each pair against its doc_a postings, keep rows whose (doc_b,
+    // shingle) also posts, count survivors = |A∩B|. O(|A|) hash
+    // probes per pair — the per-pair array_intersect this replaces was
+    // O(|A|·|B|) element compares and dominated the whole operator
+    // (~10⁹ compares at sf0.1, measured 2× the operator's total).
     candidates
-      .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"), col("n_sh").as("na")), "doc_a")
-      .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"), col("n_sh").as("nb")), "doc_b")
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .join(posts.select(col("doc_id").as("doc_a"), col("shingle"), col("n_sh").as("na")), "doc_a")
+      .join(
+        posts.select(col("doc_id").as("doc_b"), col("shingle"), col("n_sh").as("nb")),
+        Seq("doc_b", "shingle")
+      )
+      .groupBy("doc_a", "doc_b", "na", "nb")
+      .agg(count(lit(1)).as("inter"))
       .select(
         col("doc_a"),
         col("doc_b"),

@@ -338,6 +338,76 @@ object KinesisLikePipeline {
       )
   }
 
+  /** One live heavy-hitter verdict row. */
+  final case class HeavyHitterOut(event_type: String, epoch: Long, user_id: Long, n_events: Long)
+
+  /** B59's streaming twin — a live skew MONITOR on the MapState
+    * primitive: per event_type, a map of per-user running counts
+    * (RocksDB-backed — the state the 100 TB/day path holds is user-
+    * cardinality-sized per type, with point get/put per input row, no
+    * full-state rewrite per trigger the way a ValueState[Map] would
+    * serialize). After each batch the group emits its CURRENT heavy
+    * hitters (count·n_users·liftDen > total·liftNum, the batch twin's
+    * exact integer rule) stamped with a per-group epoch, so the latest
+    * epoch IS the current dashboard and earlier epochs are its
+    * history. The emission pass iterates the map (O(users-in-state))
+    * — the monitor trade-off; the per-row update path never does.
+    */
+  class HeavyHitterProcessor(liftNum: Int = 13, liftDen: Int = 10)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, (String, Long), HeavyHitterOut] {
+    import org.apache.spark.sql.streaming.{MapState, TimeMode, TTLConfig, ValueState}
+    import org.apache.spark.sql.{Encoders => Encs}
+
+    @transient private var counts: MapState[Long, Long] = _
+    @transient private var epoch: ValueState[Long]      = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      counts = getHandle.getMapState[Long, Long](
+        "counts", Encs.scalaLong, Encs.scalaLong, TTLConfig.NONE)
+      epoch = getHandle.getValueState[Long]("epoch", Encs.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(
+        eventType: String,
+        in: Iterator[(String, Long)],
+        timerValues: org.apache.spark.sql.streaming.TimerValues
+    ): Iterator[HeavyHitterOut] = {
+      in.foreach { case (_, user) =>
+        val c = if (counts.containsKey(user)) counts.getValue(user) else 0L
+        counts.updateValue(user, c + 1L)
+      }
+      val e = (if (epoch.exists()) epoch.get() else 0L) + 1L
+      epoch.update(e)
+      val all   = counts.iterator().map { case (u, c) => (u, c) }.toArray
+      val total = all.iterator.map(_._2).sum
+      val nU    = all.length.toLong
+      all.iterator
+        .filter { case (_, c) => c * nU * liftDen > total * liftNum }
+        .map { case (u, c) => HeavyHitterOut(eventType, e, u, c) }
+    }
+  }
+
+  /** [[HeavyHitterProcessor]] wired to a stream of (event_type, user_id). */
+  def heavyHitterMonitor(
+      events: DataFrame,
+      liftNum: Int = 13,
+      liftDen: Int = 10
+  ): Dataset[HeavyHitterOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    events
+      .selectExpr("event_type", "user_id")
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .transformWithState(
+        new HeavyHitterProcessor(liftNum, liftDen),
+        TimeMode.None(),
+        OutputMode.Append()
+      )
+  }
+
   /** Rolling distinct active users per sliding window — the streaming
     * twin of EventOps.rollingActives (the WAU curve, updated as events
     * arrive). Streaming can't nest aggregations, so sliding DISTINCT

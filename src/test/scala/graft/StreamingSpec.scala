@@ -290,6 +290,52 @@ class StreamingSpec extends SparkSpecBase {
     }
   }
 
+  test("heavy-hitter monitor: MapState counts accumulate across batches (RocksDB)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    )
+    try {
+      val in  = MemoryStream[(String, Long)]
+      val out = KinesisLikePipeline.heavyHitterMonitor(in.toDF().toDF("event_type", "user_id"))
+      val q = out.writeStream
+        .outputMode(OutputMode.Append)
+        .format("memory")
+        .queryName("hh_out")
+        .option("checkpointLocation", ckpt())
+        .start()
+      // batch 1: user 1 has 3 of 6 click events over 4 users —
+      // 3·4·10 = 120 > 6·13 = 78, so user 1 is heavy
+      in.addData(("click", 1L), ("click", 1L), ("click", 1L),
+        ("click", 2L), ("click", 3L), ("click", 4L))
+      q.processAllAvailable()
+      // batch 2: users 2-4 catch up; user 1 drops below the lift —
+      // the verdict must flip, which only happens if batch-1 counts
+      // persisted in MapState
+      in.addData(("click", 2L), ("click", 2L), ("click", 3L), ("click", 3L),
+        ("click", 4L), ("click", 4L))
+      q.processAllAvailable()
+      val rows = spark.table("hh_out").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      q.stop()
+      val epoch1 = rows.filter(_._2 == 1L)
+      val epoch2 = rows.filter(_._2 == 2L)
+      assert(epoch1.toSet == Set(("click", 1L, 1L, 3L)),
+        s"epoch 1 must flag only user 1: ${epoch1.toSeq}")
+      // final counts: u1=3, u2=3, u3=3, u4=3 over total 12, 4 users —
+      // 3·4·10 = 120 vs 12·13 = 156: nobody is heavy once uniform
+      assert(epoch2.isEmpty, s"epoch 2 must flag nobody (uniform): ${epoch2.toSeq}")
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None    => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming admission: stream-static probe of the base index, stateless across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
