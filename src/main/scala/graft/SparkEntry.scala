@@ -185,7 +185,8 @@ object SparkEntry {
     "q_snapshot_diff"      -> ((s, d) => Ingest.snapshotDiff(Tables(s, d))),
     "q_compaction_plan"    -> ((s, d) => Layout.compactionPlan(Tables(s, d))),
     "q_heavy_hitters"      -> ((s, d) => Analytics.heavyHitters(Tables(s, d))),
-    "q_watermark_skew"     -> ((s, d) => EventOps.watermarkSkew(Tables(s, d)))
+    "q_watermark_skew"     -> ((s, d) => EventOps.watermarkSkew(Tables(s, d))),
+    "q_grouping_sets"      -> ((s, d) => Analytics.groupingSetsVolume(Tables(s, d)))
   )
 
   /** kinesis_topic/main.go:23 — the demo topic payload. */
@@ -1979,7 +1980,18 @@ object SparkEntry {
         |  sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS n_out_of_order,
         |  max(late_us) AS max_late_us,
         |  sum(CASE WHEN late_us > 600000000 THEN 1 ELSE 0 END) AS n_beyond_watermark
-        |FROM l GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM l GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_grouping_sets" -> // asymmetric margins: (region), (segment), () with grouping_id
+      """SELECT r_name AS region, c_mktsegment AS segment,
+        |  grouping(r_name) * 2 + grouping(c_mktsegment) AS gid,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_orders
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY GROUPING SETS ((r_name), (c_mktsegment), ())
+        |ORDER BY gid, region ASC NULLS FIRST, segment ASC NULLS FIRST""".stripMargin
   )
 
   /** Shared recursive min-label reachability over a near-dup pairs CTE

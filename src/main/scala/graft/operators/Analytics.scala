@@ -239,6 +239,36 @@ object Analytics {
       .orderBy(col("region").asc_nulls_first, col("segment").asc_nulls_first)
   }
 
+  /** B11c: explicit GROUPING SETS — the ASYMMETRIC margin report
+    * ((region), (segment), ()) that rollup/cube can't express without
+    * overcomputing: cube would also build the (region, segment) pair
+    * nobody asked for, paying 4/3 the Expand width. Same one-scan
+    * Expand shape as B11/B11b; `grouping_id` disambiguates a margin
+    * row from a genuine NULL dimension value — the reason SQL gave
+    * grouping sets their own function instead of leaving consumers to
+    * guess from NULLs.
+    */
+  def groupingSetsVolume(t: Tables): DataFrame = {
+    val dims = t.customer
+      .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"), col("r_name").as("region"), col("c_mktsegment").as("segment"))
+    t.orders
+      .join(broadcast(dims), col("o_custkey") === col("c_custkey"))
+      .select(col("region"), col("segment"), col("o_totalprice"))
+      .groupingSets(
+        Seq(Seq(expr("region")), Seq(expr("segment")), Seq.empty[org.apache.spark.sql.Column]),
+        expr("region"),
+        expr("segment")
+      )
+      .agg(
+        grouping_id().as("gid"),
+        Num.moneySum(col("o_totalprice")).as("revenue"),
+        count(lit(1)).as("n_orders")
+      )
+      .orderBy(col("gid"), col("region").asc_nulls_first, col("segment").asc_nulls_first)
+  }
+
   /** B12: pivot — events per user as one column per event type.
     * Types are enumerated (the scalable form: an un-enumerated pivot
     * needs a driver-side distinct pass first).

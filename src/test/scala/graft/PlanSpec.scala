@@ -567,6 +567,12 @@ class PlanSpec extends SparkSpecBase {
     assert(!plan.contains("SortMergeJoin"), s"fact shuffled into the average join:\n$plan")
   }
 
+  test("grouping sets: one Expand from one orders scan (3 sets, never 3 re-scans)") {
+    val plan = executedPlanString(Analytics.groupingSetsVolume(tables))
+    assert("Expand".r.findAllIn(plan).size == 1, s"expected exactly one Expand:\n$plan")
+    assert("Scan parquet .*orders".r.findAllIn(plan).size == 1, s"fact re-scanned:\n$plan")
+  }
+
   test("min-cost supplier: argmin through TopKPerKeyExec, dims broadcast, one fact shuffle") {
     val plan = executedPlanString(Analytics.minCostSupplier(tables))
     assert(plan.contains("TopKPerKey"), s"per-part argmin must use the bounded-heap exec:\n$plan")
