@@ -156,6 +156,15 @@ object ContentStore {
 
   private[graft] def committedFiles(path: String): Seq[String] =
     committedFiles(path, driverHadoopConf())
+
+  /** The store's CURRENT committed-manifest set — the snapshot
+    * identity to pin with the `manifests` read option. Capture at
+    * publish time, persist beside the run metadata, and any later read
+    * with the pin reproduces this exact corpus regardless of what has
+    * been appended since.
+    */
+  def snapshotManifests(path: String): Seq[String] =
+    manifestNames(path, driverHadoopConf())
 }
 
 private[graft] class ContentStoreTable(path: String)
@@ -182,15 +191,28 @@ private[graft] class ContentStoreTable(path: String)
     // source-owned consumed-manifest log
     val maxFilesPerTrigger = options.getInt("maxFilesPerTrigger", 0)
     val compactInterval    = options.getInt("compactInterval", 10)
+    // pinned-snapshot read: `manifests` (comma-separated manifest
+    // names) restricts the scan to exactly that committed set — the
+    // reproducibility contract a training pipeline needs ("re-read the
+    // corpus snapshot run X trained on") and the store's time travel
+    // primitive (manifest names carry writer UUIDs, so the SET, not a
+    // name ordering, is the snapshot identity; capture it with
+    // [[ContentStore.snapshotManifests]] at publish time). Commits
+    // landing after the pin are invisible by construction.
+    val pinnedManifests: Option[Seq[String]] =
+      Option(options.get("manifests")).map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
     new ScanBuilder {
       override def build(): Scan = new Scan with Batch {
         override def readSchema(): StructType = ContentStore.Schema
         override def toBatch: Batch           = this
-        override def planInputPartitions(): Array[InputPartition] =
-          ContentStore
-            .committedFiles(path, conf.value)
-            .map(f => StoreFilePartition(path, f): InputPartition)
-            .toArray
+        override def planInputPartitions(): Array[InputPartition] = {
+          val files = pinnedManifests match {
+            case Some(names) =>
+              names.flatMap(m => ContentStore.filesInManifest(path, m, conf.value))
+            case None => ContentStore.committedFiles(path, conf.value)
+          }
+          files.map(f => StoreFilePartition(path, f): InputPartition).toArray
+        }
         override def createReaderFactory(): PartitionReaderFactory = new StoreReaderFactory(conf)
         override def toMicroBatchStream(
             checkpointLocation: String

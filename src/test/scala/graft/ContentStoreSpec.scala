@@ -45,6 +45,32 @@ class ContentStoreSpec extends SparkSpecBase {
     )
   }
 
+  test("pinned-snapshot read reproduces the captured manifest set across later appends") {
+    import spark.implicits._
+    val dir = tmp()
+    Seq(("k1", "v1"), ("k2", "v2")).toDF("result_key", "payload")
+      .write.format("graft.sources.ContentStore").option("path", dir).mode("append").save()
+    val snapshot = graft.sources.ContentStore.snapshotManifests(dir)
+    assert(snapshot.size == 1, "one batch write = one manifest")
+    // a later append must NOT leak into a read pinned to the snapshot
+    Seq(("k3", "v3")).toDF("result_key", "payload")
+      .write.format("graft.sources.ContentStore").option("path", dir).mode("append").save()
+    val pinned = spark.read.format("graft.sources.ContentStore")
+      .option("path", dir).option("manifests", snapshot.mkString(","))
+      .load().as[(String, String)].collect().toSet
+    assert(pinned == Set(("k1", "v1"), ("k2", "v2")), s"pin leaked later commits: $pinned")
+    val full = spark.read.format("graft.sources.ContentStore")
+      .option("path", dir).load().count()
+    assert(full == 3, "unpinned read must see every commit")
+    // pinning the CURRENT set reproduces the full store
+    val now = graft.sources.ContentStore.snapshotManifests(dir)
+    assert(now.size == 2)
+    val repinned = spark.read.format("graft.sources.ContentStore")
+      .option("path", dir).option("manifests", now.mkString(","))
+      .load().count()
+    assert(repinned == 3)
+  }
+
   test("rows from a zombie task attempt are invisible to readers") {
     val dir     = tmp()
     val factory = factoryFor(dir)
