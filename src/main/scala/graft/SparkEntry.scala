@@ -186,7 +186,8 @@ object SparkEntry {
     "q_compaction_plan"    -> ((s, d) => Layout.compactionPlan(Tables(s, d))),
     "q_heavy_hitters"      -> ((s, d) => Analytics.heavyHitters(Tables(s, d))),
     "q_watermark_skew"     -> ((s, d) => EventOps.watermarkSkew(Tables(s, d))),
-    "q_grouping_sets"      -> ((s, d) => Analytics.groupingSetsVolume(Tables(s, d)))
+    "q_grouping_sets"      -> ((s, d) => Analytics.groupingSetsVolume(Tables(s, d))),
+    "text_topk_similar"    -> ((s, d) => Dedup.topKSimilarDocs(Tables(s, d)))
   )
 
   /** kinesis_topic/main.go:23 — the demo topic payload. */
@@ -1991,7 +1992,35 @@ object SparkEntry {
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY GROUPING SETS ((r_name), (c_mktsegment), ())
-        |ORDER BY gid, region ASC NULLS FIRST, segment ASC NULLS FIRST""".stripMargin
+        |ORDER BY gid, region ASC NULLS FIRST, segment ASC NULLS FIRST""".stripMargin,
+    "text_topk_similar" -> // top-3 Jaccard neighbors per sampled doc, (jaccard desc, id) rank
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
+        |      i -> concat_ws(' ', string_split(text, ' ')[CAST(i AS INT)],
+        |                     string_split(text, ' ')[CAST(i AS INT) + 1],
+        |                     string_split(text, ' ')[CAST(i AS INT) + 2]))) AS sh
+        |  FROM documents),
+        |sz AS (SELECT doc_id, len(sh) AS n_sh FROM s),
+        |p AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
+        |pairs AS (
+        |  SELECT a.doc_id AS query_doc, b.doc_id AS cand_doc, count(*) AS inter
+        |  FROM p a JOIN p b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+        |  WHERE a.doc_id % 20 = 0
+        |  GROUP BY 1, 2),
+        |j AS (
+        |  SELECT query_doc, cand_doc,
+        |    CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) AS jaccard
+        |  FROM pairs
+        |  JOIN sz sa ON query_doc = sa.doc_id
+        |  JOIN sz sb ON cand_doc = sb.doc_id),
+        |r AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY query_doc ORDER BY jaccard DESC, cand_doc) AS rnk
+        |  FROM j)
+        |SELECT query_doc, cand_doc, jaccard, rnk
+        |FROM r WHERE rnk <= 3 ORDER BY query_doc, rnk""".stripMargin
   )
 
   /** Shared recursive min-label reachability over a near-dup pairs CTE

@@ -1050,4 +1050,45 @@ object Dedup {
       .distinct()
       .orderBy("id_a", "id_b")
   }
+
+  /** C2h: top-k similar-document RETRIEVAL — for a deterministic doc
+    * sample, the k nearest documents by shingle Jaccard regardless of
+    * any threshold: the query-side twin of the τ-threshold dedup
+    * family ("show me what this doc nearly duplicates" / nearest-
+    * neighbor audit before deleting a cluster). A threshold join can't
+    * answer it (the right τ differs per doc); a top-k per query can.
+    *
+    * Inverted-index join restricted to the sample on the query side
+    * (candidates ∝ sample × posting co-occurrence, never corpus²),
+    * intersection counted by the same partial-agg'd posting join as
+    * C2, ranked through the bounded-heap TopKPerKey exec — no
+    * per-query sort. Jaccard is an integer-ratio double: bit-identical
+    * cross-engine, so the gate hashes it.
+    */
+  def topKSimilarDocs(t: Tables, sampleMod: Int = 20, k: Int = 3): DataFrame = {
+    val posts   = hashedPostings(t)
+    val queries = posts.filter(col("doc_id") % sampleMod === 0)
+    val scored = queries
+      .as("a")
+      .join(
+        posts.as("b").hint("shuffle_hash"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") =!= col("b.doc_id")
+      )
+      .groupBy(
+        col("a.doc_id").as("query_doc"),
+        col("b.doc_id").as("cand_doc"),
+        col("a.n_sh").as("na"),
+        col("b.n_sh").as("nb")
+      )
+      .agg(count(lit(1)).as("inter"))
+      .select(
+        col("query_doc"),
+        col("cand_doc"),
+        (col("inter").cast("double") / (col("na") + col("nb") - col("inter"))).as("jaccard")
+      )
+    graft.plans.TopK
+      .perKey(scored, Seq("query_doc"), Seq(col("jaccard").desc, col("cand_doc")), k)
+      .select("query_doc", "cand_doc", "jaccard", "rnk")
+      .orderBy("query_doc", "rnk")
+  }
 }

@@ -314,4 +314,19 @@ class DedupSpec extends SparkSpecBase {
     assert(got(30L)._1 == "near" && got(30L)._2.contains(3L))
     assert(got(40L) == ("new", None))
   }
+
+  test("top-k similar docs: contiguous ranks, non-increasing jaccard, TopKPerKey plan") {
+    val df   = Dedup.topKSimilarDocs(tables)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (q, rs) =>
+      val byRank = rs.sortBy(_.getAs[Long]("rnk"))
+      assert(byRank.map(_.getAs[Long]("rnk")).toSeq == (1L to byRank.length).toSeq,
+        s"query $q ranks not contiguous")
+      val js = byRank.map(_.getAs[Double]("jaccard"))
+      assert(js.zip(js.drop(1)).forall { case (a, b) => a >= b }, s"query $q not sorted")
+    }
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey"), s"ranking must use the bounded-heap exec:\n$plan")
+  }
 }
