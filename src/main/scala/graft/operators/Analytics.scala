@@ -949,21 +949,62 @@ object Analytics {
     * into the decimal sum, and an interpolated cut is an arithmetic
     * double whose last ulp differs across engines — measured flipping
     * the 2-decimal rounding of ~200 clipped rows at sf0.1. A rank-
-    * selected value is bit-identical everywhere. One (type) window
-    * ranks the fact ([[valueCumeDist]]'s shape), the two picked rows
-    * per type broadcast back, and the rollup partial-aggregates.
+    * selected value is bit-identical everywhere. Cutpoints come from
+    * two-pass histogram selection (no fact-wide sort — see the inline
+    * note), broadcast back, and the rollup partial-aggregates.
     */
   def winsorized(t: Tables): DataFrame = {
-    val n = t.events.groupBy(col("event_type").as("n_type")).agg(count(lit(1)).as("n"))
-    val w = Window.partitionBy("event_type").orderBy(col("value"), col("event_id"))
-    val cuts = t.events
-      .select(col("event_type"), col("value"), col("event_id"))
-      .withColumn("rn", row_number().over(w))
-      .join(broadcast(n), col("event_type") === col("n_type"))
+    // Rank-discrete cutpoint selection WITHOUT sorting the fact: the
+    // obvious row_number window shuffles and sorts every row through a
+    // per-type reducer (the serial dimension at corpus scale). Instead,
+    // classic two-pass selection: (1) a map-side unit-bucket histogram
+    // (types × value-range rows — tiny) locates each target rank's
+    // boundary bucket by cumulative count; (2) only the boundary
+    // bucket's rows — a broadcast-pruned sliver of the fact — get
+    // ranked for the residual offset. Three fact SCANS, zero fact
+    // shuffles or sorts; bucket-local (value, event_id) order restricted
+    // to one bucket equals the global order there, so the selected
+    // values are IDENTICAL to the windowed form (same oracle).
+    val ev   = t.events.select(col("event_type"), col("value"), col("event_id"))
+    val hist = ev
+      .groupBy(col("event_type").as("h_type"), floor(col("value")).as("bucket"))
+      .agg(count(lit(1)).as("c"))
+    val wb = Window
+      .partitionBy("h_type")
+      .orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum    = hist.withColumn("cum_before", coalesce(sum(col("c")).over(wb), lit(0L)))
+    val totals = hist.groupBy(col("h_type").as("n_type")).agg(sum(col("c")).as("n"))
+    val targets = totals
+      .select(
+        col("n_type"),
+        explode(
+          array(
+            struct(lit("lo").as("which"), ceil(col("n") * 0.01).cast("long").as("r")),
+            struct(lit("hi").as("which"), ceil(col("n") * 0.99).cast("long").as("r"))
+          )
+        ).as("t")
+      )
+      .select(col("n_type"), col("t.which").as("which"), col("t.r").as("r"))
+    val bounds = targets
+      .join(
+        cum,
+        col("n_type") === col("h_type") &&
+          col("cum_before") < col("r") && col("r") <= col("cum_before") + col("c")
+      )
+      .select(col("n_type"), col("which"), col("bucket"), (col("r") - col("cum_before")).as("residual"))
+    val slice = ev.join(
+      broadcast(bounds),
+      col("event_type") === col("n_type") && floor(col("value")) === col("bucket")
+    )
+    val ws = Window.partitionBy("event_type", "which").orderBy(col("value"), col("event_id"))
+    val cuts = slice
+      .withColumn("rn", row_number().over(ws))
+      .filter(col("rn") === col("residual"))
       .groupBy(col("event_type").as("c_type"))
       .agg(
-        max(when(col("rn") === ceil(col("n") * 0.01), col("value"))).as("lo"),
-        max(when(col("rn") === ceil(col("n") * 0.99), col("value"))).as("hi")
+        max(when(col("which") === "lo", col("value"))).as("lo"),
+        max(when(col("which") === "hi", col("value"))).as("hi")
       )
     t.events
       .join(broadcast(cuts), col("event_type") === col("c_type"))
