@@ -187,7 +187,8 @@ object SparkEntry {
     "q_heavy_hitters"      -> ((s, d) => Analytics.heavyHitters(Tables(s, d))),
     "q_watermark_skew"     -> ((s, d) => EventOps.watermarkSkew(Tables(s, d))),
     "q_grouping_sets"      -> ((s, d) => Analytics.groupingSetsVolume(Tables(s, d))),
-    "text_topk_similar"    -> ((s, d) => Dedup.topKSimilarDocs(Tables(s, d)))
+    "text_topk_similar"    -> ((s, d) => Dedup.topKSimilarDocs(Tables(s, d))),
+    "q_attribution_multi"  -> ((s, d) => Analytics.attributionMultiTouch(Tables(s, d)))
   )
 
   /** kinesis_topic/main.go:23 — the demo topic payload. */
@@ -2020,7 +2021,29 @@ object SparkEntry {
         |    PARTITION BY query_doc ORDER BY jaccard DESC, cand_doc) AS rnk
         |  FROM j)
         |SELECT query_doc, cand_doc, jaccard, rnk
-        |FROM r WHERE rnk <= 3 ORDER BY query_doc, rnk""".stripMargin
+        |FROM r WHERE rnk <= 3 ORDER BY query_doc, rnk""".stripMargin,
+    "q_attribution_multi" -> // equal-split integer-cents credit, remainder to earliest clicks
+      """WITH c AS (
+        |  SELECT user_id AS cu, epoch_us(ts) AS c_us, event_id AS c_id
+        |  FROM events WHERE event_type = 'click'),
+        |p AS (
+        |  SELECT user_id AS pu, epoch_us(ts) AS p_us, event_id AS p_id,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase'),
+        |pairs AS (
+        |  SELECT p.p_id, p.cents, c.c_us, c.c_id
+        |  FROM p JOIN c ON pu = cu
+        |    AND c_us < p_us AND c_us >= p_us - 86400000000),
+        |credited AS (
+        |  SELECT c_us,
+        |    cents // k + (CASE WHEN rn <= cents % k THEN 1 ELSE 0 END) AS credit_cents
+        |  FROM (
+        |    SELECT *, count(*) OVER (PARTITION BY p_id) AS k,
+        |      row_number() OVER (PARTITION BY p_id ORDER BY c_us, c_id) AS rn
+        |    FROM pairs))
+        |SELECT c_us // 3600000000 AS click_hour_seq,
+        |  count(*) AS n_credits, sum(credit_cents) AS attributed_cents
+        |FROM credited GROUP BY 1 ORDER BY 1""".stripMargin
   )
 
   /** Shared recursive min-label reachability over a near-dup pairs CTE

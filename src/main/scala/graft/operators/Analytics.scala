@@ -417,6 +417,66 @@ object Analytics {
       .orderBy("cohort_day", "day_offset")
   }
 
+  /** B27b: multi-touch (linear) attribution — each purchase's value
+    * splits EQUALLY across all the user's clicks in the prior 24 h,
+    * rolled up per click hour: the fairness counterpart of B27's
+    * last-touch rule. Division is where engines diverge (value/k is a
+    * repeating binary fraction), so credits are INTEGER CENTS: each
+    * pair gets `cents div k`, and the `cents mod k` remainder goes one
+    * cent each to the EARLIEST clicks — deterministic, and every
+    * purchase's value is conserved to the cent by construction.
+    *
+    * Pairs come from B15's bucketized interval join (clicks keyed by
+    * their 24 h bucket, each purchase probes its two covering buckets
+    * — candidates bounded by per-bucket co-occurrence, never a time
+    * self-join); the credit rank is a window over PAIRS per purchase,
+    * bounded by the window's click count, not the corpus. All-integer
+    * output (hour sequence, counts, cents) — nothing to round.
+    */
+  def attributionMultiTouch(t: Tables, windowHours: Long = 24): DataFrame = {
+    val winUs = windowHours * 3600L * 1000000L
+    val clicks = t.events
+      .filter(col("event_type") === "click")
+      .select(
+        col("user_id").as("c_user"),
+        unix_micros(col("ts")).as("c_us"),
+        col("event_id").as("c_id")
+      )
+      .withColumn("c_bucket", expr(s"c_us div $winUs"))
+    val purchases = t.events
+      .filter(col("event_type") === "purchase")
+      .select(
+        col("user_id").as("p_user"),
+        unix_micros(col("ts")).as("p_us"),
+        col("event_id").as("p_id"),
+        round(col("value") * 100).cast("long").as("cents")
+      )
+      // floor((x − w)/w) = floor(x/w) − 1, so the two probes are
+      // always distinct buckets
+      .withColumn(
+        "p_bucket",
+        explode(array(expr(s"p_us div $winUs"), expr(s"(p_us - $winUs) div $winUs")))
+      )
+    val pairs = purchases
+      .join(
+        clicks.hint("shuffle_hash"),
+        col("p_user") === col("c_user") && col("p_bucket") === col("c_bucket") &&
+          col("c_us") < col("p_us") && col("c_us") >= col("p_us") - winUs
+      )
+    val wk = Window.partitionBy("p_id")
+    val wr = Window.partitionBy("p_id").orderBy(col("c_us"), col("c_id"))
+    pairs
+      .withColumn("k", count(lit(1)).over(wk))
+      .withColumn("rn", row_number().over(wr))
+      .withColumn(
+        "credit_cents",
+        expr("cents div k") + when(col("rn") <= expr("cents % k"), 1L).otherwise(0L)
+      )
+      .groupBy(expr("c_us div 3600000000").as("click_hour_seq"))
+      .agg(count(lit(1)).as("n_credits"), sum(col("credit_cents")).as("attributed_cents"))
+      .orderBy("click_hour_seq")
+  }
+
   /** B27: last-touch revenue attribution — every purchase's value is
     * credited to the latest at-or-before click by the same user, then
     * rolled up to the click HOUR: "which engagement cohort drove the

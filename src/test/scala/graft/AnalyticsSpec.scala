@@ -435,6 +435,32 @@ class AnalyticsSpec extends SparkSpecBase {
     assert(hh == expected)
   }
 
+  test("multi-touch attribution conserves every attributed purchase to the cent") {
+    val rows = Analytics.attributionMultiTouch(tables).collect()
+    assert(rows.nonEmpty)
+    val totalCredited = rows.map(_.getLong(2)).sum
+    // recompute locally: cents of purchases with >=1 prior-24h click
+    val evs = tables.events.select("user_id", "event_type", "ts", "event_id", "value").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getTimestamp(2).getTime * 1000L + (r.getTimestamp(2).getNanos % 1000000) / 1000,
+        r.getLong(3), r.getDouble(4)))
+    val clicksByUser = evs.filter(_._2 == "click").groupBy(_._1)
+    val winUs = 24L * 3600L * 1000000L
+    var expected = 0L
+    var nCredits = 0L
+    evs.filter(_._2 == "purchase").foreach { case (u, _, pus, _, v) =>
+      val k = clicksByUser.getOrElse(u, Array.empty)
+        .count(c => c._3 < pus && c._3 >= pus - winUs)
+      if (k > 0) {
+        expected += math.round(v * 100)
+        nCredits += k
+      }
+    }
+    assert(totalCredited == expected,
+      s"credited $totalCredited cents vs attributed purchases' $expected")
+    assert(rows.map(_.getLong(1)).sum == nCredits)
+  }
+
   test("supplier rank matches a local fixed-point PageRank on the collected graph") {
     val pairs = tables.lineitem
       .join(tables.orders, col("l_orderkey") === col("o_orderkey"))
