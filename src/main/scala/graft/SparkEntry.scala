@@ -188,7 +188,8 @@ object SparkEntry {
     "q_watermark_skew"     -> ((s, d) => EventOps.watermarkSkew(Tables(s, d))),
     "q_grouping_sets"      -> ((s, d) => Analytics.groupingSetsVolume(Tables(s, d))),
     "text_topk_similar"    -> ((s, d) => Dedup.topKSimilarDocs(Tables(s, d))),
-    "q_attribution_multi"  -> ((s, d) => Analytics.attributionMultiTouch(Tables(s, d)))
+    "q_attribution_multi"  -> ((s, d) => Analytics.attributionMultiTouch(Tables(s, d))),
+    "dedup_bloom_admission" -> ((s, d) => Dedup.bloomAdmission(Tables(s, d)))
   )
 
   /** kinesis_topic/main.go:23 — the demo topic payload. */

@@ -1091,4 +1091,49 @@ object Dedup {
       .select("query_doc", "cand_doc", "jaccard", "rnk")
       .orderBy("query_doc", "rnk")
   }
+
+  /** C22b: Bloom-filter admission — the RAM-bounded front of C22's
+    * incremental dedup. The base corpus's normalized content hashes
+    * fold into ONE fixed-size bloom sketch (Spark's own
+    * BloomFilterAggregate, surfaced by [[graft.functions.BloomFuncs]]
+    * — mergeable binary state, map-side combined), the single-row
+    * sketch broadcasts, and the delta probes it with a codegen'd
+    * might_contain. Verdicts: 'new' is CERTAIN (blooms have no false
+    * negatives — safe to admit without further checks); 'seen_maybe'
+    * is FP-bounded and goes to the exact reconciliation (C22).
+    *
+    * At 100 TB this is the admission-control architecture: the exact
+    * hash index is a table you must shuffle-probe per batch, while
+    * the sketch is megabytes resident in every executor — probe at
+    * scan speed, pay the exact path only for the maybe set. rows-only
+    * in the gate (the sketch layout is engine-specific); DedupSpec
+    * proves zero false negatives against the exact twin on a crafted
+    * base/delta mix and bounds the false-positive count.
+    */
+  def bloomAdmission(t: Tables): DataFrame = bloomAdmissionOn(t.documents)
+
+  def bloomAdmissionOn(documents: DataFrame, estItems: Long = 1000000L): DataFrame = {
+    graft.functions.BloomFuncs.register(documents.sparkSession)
+    val isDelta = col("doc_id") % 10 === 0
+    val hashes  = documents.select(col("doc_id"), normTextHashCol.as("text_hash"))
+    // might_contain requires the sketch side be a constant or scalar
+    // subquery (the engine inlines its one-row result before the probe
+    // stage runs — the same "build once, ship everywhere" shape as a
+    // broadcast, minus a join node in the plan)
+    val sketchView = s"graft_bloom_sketch_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    hashes
+      .filter(!isDelta)
+      .agg(expr(s"bloom_agg(xxhash64(text_hash), ${estItems}L)").as("bf"))
+      .createOrReplaceTempView(sketchView)
+    hashes
+      .filter(isDelta)
+      .select(
+        col("doc_id"),
+        when(
+          expr(s"bloom_might_contain((SELECT bf FROM $sketchView), xxhash64(text_hash))"),
+          "seen_maybe"
+        ).otherwise("new").as("verdict")
+      )
+      .orderBy("doc_id")
+  }
 }

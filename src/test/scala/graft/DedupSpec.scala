@@ -315,6 +315,36 @@ class DedupSpec extends SparkSpecBase {
     assert(got(40L) == ("new", None))
   }
 
+  test("bloom admission: zero false negatives vs the exact twin, bounded false positives") {
+    import spark.implicits._
+    // crafted mix on the C22 split (delta = doc_id % 10 == 0): 20 and
+    // 30 duplicate base docs 3 and 7 exactly; 10 and 40 are new
+    val docs = Seq(
+      (3L, "alpha beta gamma delta"),
+      (7L, "epsilon zeta eta theta"),
+      (8L, "iota kappa lambda mu"),
+      (10L, "totally novel text one"),
+      (20L, "alpha  beta\tgamma delta"), // normalizes to doc 3's text
+      (30L, "epsilon zeta eta theta"),
+      (40L, "totally novel text two")
+    ).toDF("doc_id", "text")
+    val got = Dedup.bloomAdmissionOn(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.keySet == Set(10L, 20L, 30L, 40L), "delta slice is doc_id % 10 == 0")
+    // no false negatives: every true duplicate must be flagged
+    assert(got(20L) == "seen_maybe", "exact dup of base doc 3 missed — bloom broke its contract")
+    assert(got(30L) == "seen_maybe", "exact dup of base doc 7 missed")
+    // fixture-scale FP check on the real corpus: the synthetic corpus
+    // has no exact whole-doc duplicates, so every seen_maybe is a
+    // false positive — with 1M estimated items and ~450 base docs the
+    // sketch is effectively empty and FPs should be zero-ish
+    val corpus = Dedup.bloomAdmission(tables).collect()
+    assert(corpus.nonEmpty)
+    val fps = corpus.count(_.getString(1) == "seen_maybe")
+    assert(fps <= math.max(1, corpus.length / 20),
+      s"$fps false positives in ${corpus.length} probes — sketch undersized")
+  }
+
   test("top-k similar docs: contiguous ranks, non-increasing jaccard, TopKPerKey plan") {
     val df   = Dedup.topKSimilarDocs(tables)
     val rows = df.collect()
