@@ -167,6 +167,8 @@ object SparkEntry {
     "knn_centroids"        -> ((s, d) => Similarity.labelCentroids(Tables(s, d))),
     "q_partitioned_layout" -> ((s, d) =>
       Layout.partitionedLayout(Tables(s, d), s"${System.getProperty("java.io.tmpdir")}/graft-partlayout")),
+    "q_dpp_join" -> ((s, d) =>
+      Layout.dppJoin(Tables(s, d), s"${System.getProperty("java.io.tmpdir")}/graft-dpplayout")),
     "q_profit_matrix"      -> ((s, d) => Analytics.profitMatrix(Tables(s, d))),
     "q_important_parts"    -> ((s, d) => Analytics.importantParts(Tables(s, d))),
     "q_small_qty_revenue"  -> ((s, d) => Analytics.smallQtyRevenue(Tables(s, d))),
@@ -1710,6 +1712,15 @@ object SparkEntry {
         |WHERE event_type = 'purchase'
         |  AND date_trunc('day', ts) >= TIMESTAMP '2024-01-10'
         |  AND date_trunc('day', ts) < TIMESTAMP '2024-01-20'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_dpp_join" -> // runtime-pruned hot-day slice must equal the layout-free query
+      """WITH d AS (
+        |  SELECT date_trunc('day', ts) AS day, count(*) AS c FROM events GROUP BY 1),
+        |tot AS (SELECT sum(c) AS t FROM d),
+        |hot AS (SELECT day FROM d, tot WHERE c * 40 >= t)
+        |SELECT event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events JOIN hot ON date_trunc('day', events.ts) = hot.day
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_profit_matrix" -> // TPC-H Q9-style (supplier nation, order year) volume for one product family
       """WITH sn AS (

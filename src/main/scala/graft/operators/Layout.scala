@@ -58,6 +58,59 @@ object Layout {
       .orderBy("day")
   }
 
+  /** B61: dynamic partition pruning — the RUNTIME twin of B46's
+    * planning-time pruning, and the lever that makes dim-filtered fact
+    * scans cheap at 100 TB. B46 prunes when the partition predicate is
+    * a literal in the query; here the interesting partitions are only
+    * known after running a sub-query (the "hot days" — days holding at
+    * least 1/40 of all traffic), so static pruning can't help. Spark's
+    * `PartitionPruning` rule instead injects a
+    * `DynamicPruningExpression` into the fact scan's PartitionFilters:
+    * the dim side's broadcast is REUSED as an IN-subquery over the
+    * join key, and whole fact directories are skipped at execution
+    * time. On a date-partitioned 100 TB fact table this is the
+    * difference between scanning 3 hot days and scanning all of them.
+    *
+    * The hot-day rule is a cross-multiplied integer share
+    * (`c * 40 >= total`) so the dim is deterministic at every SF, and
+    * the values must equal the layout-free oracle (the layout changes
+    * the PLAN, never the values — same contract as B46/B19). PlanSpec
+    * asserts `dynamicpruningexpression` lands in the scan.
+    */
+  def dppJoin(t: Tables, dir: String): DataFrame = {
+    t.events
+      .withColumn("day", date_format(date_trunc("day", col("ts")), "yyyy-MM-dd"))
+      .write
+      .mode("overwrite")
+      .partitionBy("day")
+      .parquet(dir)
+    // partition-column inference reads `day` back as DATE
+    val fact = t.spark.read.parquet(dir)
+    val byDay = t.events
+      .groupBy(date_trunc("day", col("ts")).as("d"))
+      .agg(count(lit(1)).as("c"))
+    // total-traffic denominator as a global window over the ~#days-row
+    // aggregate (constant-partition window on dim-sized data, never the
+    // fact). Deliberately NOT a joined-in scalar: a join absorbs the
+    // share predicate into its condition, and Spark's PartitionPruning
+    // rule only fires when the filtering side keeps a selective Filter
+    // NODE — this formulation is what makes the DPP subquery plannable.
+    val hot = byDay
+      .withColumn(
+        "tot",
+        sum(col("c")).over(org.apache.spark.sql.expressions.Window.partitionBy(lit(0))))
+      .filter(col("c") * 40 >= col("tot"))
+      .select(to_date(col("d")).as("hot_day"))
+    fact
+      .join(broadcast(hot), col("day") === col("hot_day"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        Num.moneySum(col("value")).as("sum_value")
+      )
+      .orderBy("event_type")
+  }
+
   /** Morton-interleave the low `bits` of u (even positions) and v (odd
     * positions) — plain shift/mask arithmetic, whole-stage codegen'd.
     */

@@ -506,6 +506,22 @@ class PlanSpec extends SparkSpecBase {
     assert(joinIdx >= 0 && joinIdx < aggIdx, s"aggregate not below the join:\n$plan")
   }
 
+  test("dpp join: fact scan carries a runtime DynamicPruningExpression on day") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-dpp-spec").toString
+    val df  = graft.operators.Layout.dppJoin(tables, dir)
+    df.collect()
+    // the hot-day set is only known at runtime (it comes from an
+    // aggregate), so static pruning can't fire — the scan must instead
+    // carry a dynamicpruning subquery in its PartitionFilters, reusing
+    // the dim broadcast
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruningexpression"),
+      s"no dynamic partition pruning in:\n$plan")
+    val partFilters = "PartitionFilters: \\[[^\\]]*".r.findFirstIn(plan).getOrElse("")
+    assert(partFilters.toLowerCase.contains("dynamicpruning"),
+      s"dynamic pruning not in PartitionFilters:\n$plan")
+  }
+
   test("partitioned layout: filtered read prunes partitions at planning time") {
     val dir = java.nio.file.Files.createTempDirectory("graft-partlayout-spec").toString
     val df  = graft.operators.Layout.partitionedLayout(tables, dir)
