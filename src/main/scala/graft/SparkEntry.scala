@@ -174,6 +174,7 @@ object SparkEntry {
     "q_small_qty_revenue"  -> ((s, d) => Analytics.smallQtyRevenue(Tables(s, d))),
     "q_waiting_suppliers"  -> ((s, d) => Analytics.waitingSuppliers(Tables(s, d))),
     "q_supplier_rank"      -> ((s, d) => Graph.supplierRank(Tables(s, d))),
+    "q_triangle_counts"    -> ((s, d) => Graph.triangleCounts(Tables(s, d))),
     "knn_label_purity"     -> ((s, d) => Similarity.knnLabelPurity(Tables(s, d))),
     "dedup_prefix_filter"  -> ((s, d) => Dedup.ngramJaccardPrefix(Tables(s, d))),
     "q_merge_upsert"       -> ((s, d) => Ingest.mergeUpsert(Tables(s, d))),
@@ -1779,6 +1780,31 @@ object SparkEntry {
         |    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
         |      AND l3.l_returnflag = 'R')
         |GROUP BY 1, 2 ORDER BY numwait DESC, s_name""".stripMargin,
+    "q_triangle_counts" -> // degree-oriented triangle counts over the heavy co-purchase graph
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |  FROM lineitem WHERE l_quantity >= 45),
+        |e AS (
+        |  SELECT DISTINCT x.p AS a, y.p AS b
+        |  FROM li x JOIN li y ON x.o = y.o AND x.p < y.p),
+        |deg AS (
+        |  SELECT n, count(*) AS d FROM (
+        |    SELECT a AS n FROM e UNION ALL SELECT b AS n FROM e) u GROUP BY 1),
+        |oe AS (
+        |  SELECT
+        |    CASE WHEN da.d < db.d OR (da.d = db.d AND e.a < e.b) THEN e.a ELSE e.b END AS src,
+        |    CASE WHEN da.d < db.d OR (da.d = db.d AND e.a < e.b) THEN e.b ELSE e.a END AS dst
+        |  FROM e JOIN deg da ON e.a = da.n JOIN deg db ON e.b = db.n),
+        |tri AS (
+        |  SELECT e1.src AS x, e1.dst AS y, e2.dst AS z
+        |  FROM oe e1
+        |  JOIN oe e2 ON e1.dst = e2.src
+        |  JOIN oe e3 ON e3.src = e1.src AND e3.dst = e2.dst)
+        |SELECT node AS part_id, count(*) AS n_triangles FROM (
+        |  SELECT x AS node FROM tri
+        |  UNION ALL SELECT y AS node FROM tri
+        |  UNION ALL SELECT z AS node FROM tri) c
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_supplier_rank" -> // 3-round fixed-point PageRank over the customer<->supplier bipartite graph
       """WITH pairs AS (
         |  SELECT DISTINCT o_custkey*2 AS src, l_suppkey*2+1 AS dst

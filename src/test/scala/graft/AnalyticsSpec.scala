@@ -481,4 +481,34 @@ class AnalyticsSpec extends SparkSpecBase {
     assert(got == expected, s"${got.size} suppliers vs ${expected.size}")
     assert(got.nonEmpty && got.valuesIterator.forall(_ >= 150000L))
   }
+
+  test("triangle counts equal the brute-force enumeration (degree orientation exact)") {
+    import org.apache.spark.sql.functions._
+    // brute-force ground truth from the same heavy co-purchase edges
+    val li = tables.lineitem
+      .filter(col("l_quantity") >= 45)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .distinct()
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val edges = li
+      .groupBy(_._1)
+      .values
+      .flatMap { grp =>
+        val ps = grp.map(_._2).distinct.sorted
+        for (i <- ps.indices; j <- i + 1 until ps.length) yield (ps(i), ps(j))
+      }
+      .toSet
+    val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val triCorners = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    for ((a, b) <- edges; c <- adj.getOrElse(a, Set.empty) if c > b && edges((b, c))) {
+      triCorners(a) += 1; triCorners(b) += 1; triCorners(c) += 1
+    }
+    val got = graft.operators.Graph.triangleCounts(tables).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == triCorners.toMap, s"${got.size} nodes vs ${triCorners.size} expected")
+    assert(got.nonEmpty, "fixture produced no triangles — threshold too high")
+    // the per-corner totals triple-count each triangle
+    assert(got.valuesIterator.sum % 3 == 0)
+  }
 }
