@@ -191,6 +191,7 @@ object SparkEntry {
     "q_watermark_skew"     -> ((s, d) => EventOps.watermarkSkew(Tables(s, d))),
     "q_grouping_sets"      -> ((s, d) => Analytics.groupingSetsVolume(Tables(s, d))),
     "text_topk_similar"    -> ((s, d) => Dedup.topKSimilarDocs(Tables(s, d))),
+    "text_lm_coverage"     -> ((s, d) => TextOps.lmCoverage(Tables(s, d))),
     "q_attribution_multi"  -> ((s, d) => Analytics.attributionMultiTouch(Tables(s, d))),
     "dedup_bloom_admission" -> ((s, d) => Dedup.bloomAdmission(Tables(s, d)))
   )
@@ -2032,6 +2033,23 @@ object SparkEntry {
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY GROUPING SETS ((r_name), (c_mktsegment), ())
         |ORDER BY gid, region ASC NULLS FIRST, segment ASC NULLS FIRST""".stripMargin,
+    "text_lm_coverage" -> // bigram coverage of untrusted docs vs the src0-4 vocabulary
+      """WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+        |bg AS (
+        |  SELECT doc_id, source,
+        |    unnest(list_transform(range(1, len(ws)),
+        |      i -> concat_ws(' ', ws[CAST(i AS INT)], ws[CAST(i AS INT) + 1]))) AS bg
+        |  FROM w),
+        |vocab AS (
+        |  SELECT DISTINCT bg FROM bg
+        |  WHERE source IN ('src0','src1','src2','src3','src4')),
+        |ev AS (
+        |  SELECT b.doc_id, b.bg, v.bg AS hit
+        |  FROM bg b LEFT JOIN vocab v ON b.bg = v.bg
+        |  WHERE b.source NOT IN ('src0','src1','src2','src3','src4'))
+        |SELECT doc_id, count(*) AS n_bigrams, count(hit) AS n_hit,
+        |  (count(hit) * 10) // count(*) AS cov_decile
+        |FROM ev GROUP BY 1 ORDER BY 1""".stripMargin,
     "text_topk_similar" -> // top-3 Jaccard neighbors per sampled doc, (jaccard desc, id) rank
       """WITH s AS (
         |  SELECT doc_id,

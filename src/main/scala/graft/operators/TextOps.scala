@@ -549,6 +549,45 @@ object TextOps {
       .orderBy(col("n_pair").desc, col("w1"), col("w2"))
   }
 
+  /** C42: n-gram LM coverage — score every untrusted document by how
+    * much of it a bigram "language model" trained on the trusted slice
+    * (sources src0-src4) has seen: n_hit of n_bigrams occurrences fall
+    * inside the reference vocabulary, plus the integer coverage decile
+    * `(n_hit·10) div n_bigrams`. This is the cheap LM-perplexity proxy
+    * curation pipelines use for both quality gating (low coverage =
+    * gibberish / wrong register) and domain-shift detection — in
+    * integer counts, so the gate hashes exactly where a float log-prob
+    * never would cross-engine.
+    *
+    * Plan: both slices are disjoint filters of ONE corpus pass; each
+    * side builds bigrams map-side via the codegen'd slice+arrays_zip
+    * pairing (no per-doc window, no doc_id shuffle — the C33 finding).
+    * The vocabulary is a distinct aggregate on the bigram key and the
+    * membership join is hinted shuffle_hash on that same key: at
+    * 100 TB the distinct-bigram vocabulary is far beyond any broadcast
+    * threshold, and hash-partitioning both sides on `bg` is the only
+    * shape that scales (ReusedExchange does not apply — the sides are
+    * different slices). Per-doc rollup is one partial-agg'd shuffle.
+    */
+  def lmCoverage(t: Tables): DataFrame = {
+    val trustedSources = (0 to 4).map("src" + _)
+    def bigrams(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("ws", split(col("text"), " "))
+      .select(col("doc_id"), explode(expr(
+        "arrays_zip(slice(ws, 1, size(ws) - 1), slice(ws, 2, size(ws) - 1))")).as("p"))
+      .select(col("doc_id"), concat_ws(" ", col("p.0"), col("p.1")).as("bg"))
+    val vocab = bigrams(t.documents.filter(col("source").isin(trustedSources: _*)))
+      .select("bg")
+      .distinct()
+      .withColumn("hit", lit(1))
+    bigrams(t.documents.filter(!col("source").isin(trustedSources: _*)))
+      .join(vocab.hint("shuffle_hash"), Seq("bg"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), count(col("hit")).as("n_hit"))
+      .withColumn("cov_decile", expr("(n_hit * 10) div n_bigrams"))
+      .orderBy("doc_id")
+  }
+
   /** C36: per-source rank normalization of a quality signal — keep
     * each source's top half by distinct-word count. Heterogeneous
     * sources make absolute quality thresholds wrong (a "good" forum

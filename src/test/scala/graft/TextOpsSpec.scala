@@ -217,4 +217,28 @@ class TextOpsSpec extends SparkSpecBase {
     // output ordering contract: support-descending, then lexicographic
     assert(got.sortBy(x => (-x._3, x._1, x._2)).toSeq == got.toSeq)
   }
+
+  test("lm coverage equals the brute-force bigram membership count") {
+    import org.apache.spark.sql.functions.col
+    val trusted = (0 to 4).map("src" + _).toSet
+    val docs = tables.documents.select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def bigrams(text: String): Seq[(String, String)] = {
+      val ws = text.split(" ", -1)
+      ws.zip(ws.drop(1)).toSeq
+    }
+    val vocab = docs.filter(d => trusted(d._2)).flatMap(d => bigrams(d._3)).toSet
+    val expected = docs.filterNot(d => trusted(d._2)).flatMap { case (id, _, text) =>
+      val bs = bigrams(text)
+      if (bs.isEmpty) None
+      else {
+        val hit = bs.count(vocab)
+        Some(id -> ((bs.size.toLong, hit.toLong, hit.toLong * 10 / bs.size)))
+      }
+    }.toMap
+    val got = TextOps.lmCoverage(tables).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == expected, s"${got.size} docs vs expected ${expected.size}")
+    assert(got.nonEmpty && got.valuesIterator.forall { case (n, h, d) => h <= n && d <= 10 })
+  }
 }
