@@ -176,6 +176,7 @@ object SparkEntry {
     "q_supplier_rank"      -> ((s, d) => Graph.supplierRank(Tables(s, d))),
     "q_triangle_counts"    -> ((s, d) => Graph.triangleCounts(Tables(s, d))),
     "knn_label_purity"     -> ((s, d) => Similarity.knnLabelPurity(Tables(s, d))),
+    "knn_label_outliers"   -> ((s, d) => Similarity.labelOutliers(Tables(s, d))),
     "dedup_prefix_filter"  -> ((s, d) => Dedup.ngramJaccardPrefix(Tables(s, d))),
     "q_merge_upsert"       -> ((s, d) => Ingest.mergeUpsert(Tables(s, d))),
     "q_integrity_audit"    -> ((s, d) => Ingest.integrityAudit(Tables(s, d))),
@@ -1699,6 +1700,28 @@ object SparkEntry {
         |  FROM documents)
         |SELECT doc_id, lang, rnk, target
         |FROM r, target WHERE rnk <= target ORDER BY doc_id""".stripMargin,
+    "knn_label_outliers" -> // top-5 farthest-from-centroid per label, exact fixed-point d2*n2
+      """WITH x AS (
+        |  SELECT vec_id, label, unnest(embedding) AS e,
+        |    generate_subscripts(embedding, 1) AS i
+        |  FROM embeddings),
+        |q AS (
+        |  SELECT vec_id, label, i,
+        |    CAST(round(CAST(e AS DOUBLE) * 10000) AS BIGINT) AS qv
+        |  FROM x),
+        |c AS (SELECT label, i, sum(qv) AS sum_q, count(*) AS n FROM q GROUP BY 1, 2),
+        |d AS (
+        |  SELECT q.vec_id, q.label,
+        |    CAST(sum((c.n*q.qv - c.sum_q) * (c.n*q.qv - c.sum_q)) AS BIGINT) AS d2n2
+        |  FROM q JOIN c ON q.label = c.label AND q.i = c.i
+        |  GROUP BY 1, 2),
+        |r AS (
+        |  SELECT label, vec_id, d2n2,
+        |    CAST(row_number() OVER (
+        |      PARTITION BY label ORDER BY d2n2 DESC, vec_id) AS BIGINT) AS rnk
+        |  FROM d)
+        |SELECT label, vec_id, d2n2, rnk FROM r WHERE rnk <= 5
+        |ORDER BY label, rnk""".stripMargin,
     "knn_centroids" -> // per-label fixed-point centroid sums: round(v*1e4) accumulated exactly
       """WITH x AS (
         |  SELECT label, unnest(embedding) AS e, generate_subscripts(embedding, 1) AS i

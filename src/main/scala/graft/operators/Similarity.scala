@@ -140,6 +140,46 @@ object Similarity {
     * output = labels × dims rows at any corpus size. Emits (Σq, n) —
     * the consumer divides, the num/den convention again.
     */
+  /** C43: per-label farthest-from-centroid ranking — the mislabel /
+    * contamination triage list: for every label, the k vectors whose
+    * squared distance to the label centroid is largest. All arithmetic
+    * is EXACT fixed-point on the C40 quantization (qv = round(v·1e4)):
+    * the centroid mean sum_q/n is never divided out — distances are
+    * compared as d²·n² = Σ_dim (n·qv − sum_q)², an integer identity
+    * that is engine-portable (float centroid math would drift in the
+    * last bits and reorder equal-magnitude ties). Sums are Decimal(38)
+    * so petabyte-scale n²-inflated magnitudes can't overflow.
+    *
+    * Plan: the (label, dim) centroid aggregate is tiny (labels × dims)
+    * and broadcasts back onto one map-side explode of the vectors; the
+    * per-vector reduction is one partial-agg'd shuffle on vec_id; the
+    * per-label top-k runs through the bounded-heap TopKPerKey operator
+    * (O(n log k), no per-label sort). Ties pin on (d2n2 desc, vec_id).
+    */
+  def labelOutliers(t: Tables, k: Int = 5, scale: Int = 10000): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val q = t.embeddings
+      .select(col("vec_id"), col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(col("vec_id"), col("label"), col("dim"),
+        round(col("v").cast("double") * scale).cast("long").as("qv"))
+    val cent = q
+      .groupBy(col("label").as("c_label"), col("dim").as("c_dim"))
+      .agg(sum("qv").as("sum_q"), count(lit(1)).as("n"))
+    val d2 = q
+      .join(broadcast(cent), col("label") === col("c_label") && col("dim") === col("c_dim"))
+      .select(col("vec_id"), col("label"),
+        ((col("n") * col("qv") - col("sum_q")).cast(dec) *
+          (col("n") * col("qv") - col("sum_q")).cast(dec)).as("term"))
+      .groupBy("vec_id", "label")
+      .agg(sum("term").cast(dec).as("d2n2"))
+    graft.plans.TopK
+      .perKey(d2, Seq("label"), Seq(col("d2n2").desc, col("vec_id")), k)
+      // bigint output (exact to ~9e18 — covers every gate SF; the
+      // decimal is only needed transiently inside the sum)
+      .select(col("label"), col("vec_id"), col("d2n2").cast("long").as("d2n2"), col("rnk"))
+      .orderBy("label", "rnk")
+  }
+
   def labelCentroids(t: Tables, scale: Int = 10000): DataFrame =
     t.embeddings
       .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))

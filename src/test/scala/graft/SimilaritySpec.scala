@@ -108,4 +108,29 @@ class SimilaritySpec extends SparkSpecBase {
     }
     assert(rows.map(_._2).sum == sampled.values.sum, "every sampled vector audited once")
   }
+
+  test("label outliers equal the brute-force fixed-point distance ranking") {
+    val vecs = tables.embeddings.collect().map { r =>
+      (r.getLong(0), r.getInt(2), r.getSeq[Float](1).map(v => math.round(v.toDouble * 10000)).toArray)
+    }
+    val byLabel = vecs.groupBy(_._2)
+    val expected = byLabel.toSeq.flatMap { case (label, vs) =>
+      val n    = vs.length.toLong
+      val dims = vs.head._3.length
+      val sums = Array.tabulate(dims)(i => vs.map(_._3(i)).sum)
+      val d2 = vs.map { case (id, _, q) =>
+        val d2n2 = (0 until dims).map { i =>
+          val t = BigInt(n * q(i) - sums(i)); t * t
+        }.sum
+        (id, d2n2)
+      }
+      d2.sortBy { case (id, d) => (-d, id) }.take(5).zipWithIndex.map {
+        case ((id, d), r0) => (label, id) -> ((d.toLong, (r0 + 1).toLong))
+      }
+    }.toMap
+    val got = graft.operators.Similarity.labelOutliers(tables).collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got == expected, s"${got.size} rows vs expected ${expected.size}")
+    assert(got.size == byLabel.size * 5)
+  }
 }
