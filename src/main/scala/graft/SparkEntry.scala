@@ -38,6 +38,9 @@ object SparkEntry {
     "q_rollup_volume"      -> ((s, d) => Analytics.rollupVolume(Tables(s, d))),
     "q_cube_volume"        -> ((s, d) => Analytics.cubeVolume(Tables(s, d))),
     "q_salted_join"        -> ((s, d) => Joins.saltedJoin(Tables(s, d))),
+    "q_spj_store" -> ((s, d) =>
+      Joins.spjStoreJoin(Tables(spjSession(s), d),
+        s"${System.getProperty("java.io.tmpdir")}/graft-spjstore")),
     "q_bucketed_join" -> ((s, d) =>
       Joins.bucketedJoin(Tables(s, d), s"${System.getProperty("java.io.tmpdir")}/graft-warehouse")),
     "q_event_pivot"        -> ((s, d) => Analytics.eventTypePivot(Tables(s, d))),
@@ -218,6 +221,21 @@ object SparkEntry {
       val c = parent.newSession()
       c.conf.set("spark.graft.topk.autoRewrite", "false")
       ctlSessions.put(parent, c)
+      c
+    }
+  }
+
+  /** Cloned session for the storage-partitioned-join key: the SPJ
+    * confs (v2 bucketing, superset co-partition keys) are set by the
+    * operator on ITS session only — same isolation contract as
+    * [[controlSession]].
+    */
+  private val spjSessions = new java.util.WeakHashMap[SparkSession, SparkSession]()
+
+  def spjSession(parent: SparkSession): SparkSession = spjSessions.synchronized {
+    Option(spjSessions.get(parent)).getOrElse {
+      val c = parent.newSession()
+      spjSessions.put(parent, c)
       c
     }
   }
@@ -498,6 +516,18 @@ object SparkEntry {
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events e JOIN customer c ON e.user_id = c.c_custkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_spj_store" -> // store bucketing changes the PLAN, never the values
+      """WITH p AS (
+        |  SELECT 'u' || CAST(user_id AS VARCHAR) AS result_key,
+        |    sum(CAST(round(value * 100) AS BIGINT)) AS purchase_cents
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |c AS (
+        |  SELECT 'u' || CAST(user_id AS VARCHAR) AS result_key,
+        |    count(*) AS n_clicks
+        |  FROM events WHERE event_type = 'click' GROUP BY 1)
+        |SELECT p.result_key, p.purchase_cents, c.n_clicks
+        |FROM p JOIN c ON p.result_key = c.result_key
+        |ORDER BY 1""".stripMargin,
     "q_bucketed_join" -> // bucketed layout changes the PLAN, never the values
       """SELECT o_orderpriority, count(*) AS n_lines,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -12,15 +12,18 @@ import org.apache.spark.sql.connector.catalog.{
   TableCapability,
   TableProvider
 }
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
 import org.apache.spark.sql.connector.read.{
   Batch,
+  HasPartitionKey,
   InputPartition,
   PartitionReader,
   PartitionReaderFactory,
   Scan,
-  ScanBuilder
+  ScanBuilder,
+  SupportsReportPartitioning
 }
+import org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning
 import org.apache.spark.sql.connector.write.{
   BatchWrite,
   DataWriter,
@@ -86,8 +89,9 @@ import org.apache.spark.util.SerializableConfiguration
   * StreamIO.contentAddressedSink documents.
   */
 class ContentStore extends TableProvider {
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType = ContentStore.Schema
-  override def supportsExternalMetadata(): Boolean                        = true
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    if (options.getInt("bucketedRead", 0) > 0) ContentStore.BucketedSchema else ContentStore.Schema
+  override def supportsExternalMetadata(): Boolean = true
 
   override def getTable(
       schema: StructType,
@@ -96,7 +100,9 @@ class ContentStore extends TableProvider {
   ): Table = {
     val path = properties.get("path")
     require(path != null && path.nonEmpty, "ContentStore requires a 'path' option")
-    new ContentStoreTable(path)
+    val bucketedRead =
+      Option(properties.get("bucketedRead")).map(_.toInt).getOrElse(0)
+    new ContentStoreTable(path, bucketedRead)
   }
 }
 
@@ -107,6 +113,33 @@ object ContentStore {
       StructField("payload", StringType, nullable = false)
     )
   )
+
+  /** Bucketed reads expose the storage bucket as a third column so the
+    * scan can report KeyGroupedPartitioning over it (storage-
+    * partitioned joins resolve identity transforms against the read
+    * schema — no FunctionCatalog needed).
+    */
+  val BucketedSchema: StructType = StructType(
+    Schema.fields :+ StructField("bucket", org.apache.spark.sql.types.IntegerType, nullable = false)
+  )
+
+  /** The store's bucketing function: stable, JVM-independent (pure
+    * arithmetic over the key's chars), and OWNED by the store — two
+    * stores bucketed with the same `n` are co-partitioned by
+    * construction, which is what makes their join shuffle-free.
+    */
+  def bucketOf(key: String, n: Int): Int =
+    java.lang.Math.floorMod(scala.util.hashing.MurmurHash3.stringHash(key), n)
+
+  /** Bucket id carried in the data-file NAME (`b<i>-<uuid>`), so the
+    * manifest format is unchanged and non-bucketed readers treat
+    * bucketed files as opaque names.
+    */
+  private val BucketedFileName = "^b(\\d+)-.*$".r
+  private[graft] def bucketOfFile(name: String): Option[Int] = name match {
+    case BucketedFileName(b) => Some(b.toInt)
+    case _                   => None
+  }
 
   /** The session's Hadoop configuration (spark.hadoop.* applied) when a
     * session is active on this thread; plain defaults otherwise (tests
@@ -167,13 +200,14 @@ object ContentStore {
     manifestNames(path, driverHadoopConf())
 }
 
-private[graft] class ContentStoreTable(path: String)
+private[graft] class ContentStoreTable(path: String, bucketedRead: Int = 0)
     extends Table
     with SupportsRead
     with SupportsWrite {
 
-  override def name(): String       = s"graft_content_store($path)"
-  override def schema(): StructType = ContentStore.Schema
+  override def name(): String = s"graft_content_store($path)"
+  override def schema(): StructType =
+    if (bucketedRead > 0) ContentStore.BucketedSchema else ContentStore.Schema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(
       TableCapability.BATCH_READ,
@@ -201,18 +235,50 @@ private[graft] class ContentStoreTable(path: String)
     // landing after the pin are invisible by construction.
     val pinnedManifests: Option[Seq[String]] =
       Option(options.get("manifests")).map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
-    new ScanBuilder {
+    def committed(): Seq[String] = pinnedManifests match {
+      case Some(names) => names.flatMap(m => ContentStore.filesInManifest(path, m, conf.value))
+      case None        => ContentStore.committedFiles(path, conf.value)
+    }
+    if (bucketedRead > 0) {
+      // STORAGE-PARTITIONED read: one input partition per bucket,
+      // each declaring its bucket value (HasPartitionKey), and the
+      // scan reporting KeyGroupedPartitioning over the exposed
+      // `bucket` column. With spark.sql.sources.v2.bucketing.enabled,
+      // a join of two same-n stores on (bucket, result_key) — or an
+      // aggregate grouping on bucket — plans with ZERO exchange: the
+      // layout already is the distribution, the connector twin of
+      // B19's bucketed catalog tables. Empty buckets still emit a
+      // partition so both join sides present identical partition
+      // values.
+      val n = bucketedRead
+      new ScanBuilder {
+        override def build(): Scan = new Scan with Batch with SupportsReportPartitioning {
+          override def readSchema(): StructType = ContentStore.BucketedSchema
+          override def toBatch: Batch           = this
+          override def outputPartitioning(): KeyGroupedPartitioning =
+            new KeyGroupedPartitioning(Array(Expressions.identity("bucket")), n)
+          override def planInputPartitions(): Array[InputPartition] = {
+            val byBucket = committed().map { f =>
+              val b = ContentStore.bucketOfFile(f).getOrElse(
+                throw new IllegalStateException(
+                  s"ContentStore: bucketedRead=$n but file '$f' was not written bucketed"))
+              require(b < n, s"ContentStore: file '$f' bucket $b >= bucketedRead $n")
+              b -> f
+            }
+            (0 until n)
+              .map(b => StoreBucketPartition(path, b, byBucket.collect { case (`b`, f) => f }): InputPartition)
+              .toArray
+          }
+          override def createReaderFactory(): PartitionReaderFactory =
+            new BucketedStoreReaderFactory(conf)
+        }
+      }
+    } else new ScanBuilder {
       override def build(): Scan = new Scan with Batch {
         override def readSchema(): StructType = ContentStore.Schema
         override def toBatch: Batch           = this
-        override def planInputPartitions(): Array[InputPartition] = {
-          val files = pinnedManifests match {
-            case Some(names) =>
-              names.flatMap(m => ContentStore.filesInManifest(path, m, conf.value))
-            case None => ContentStore.committedFiles(path, conf.value)
-          }
-          files.map(f => StoreFilePartition(path, f): InputPartition).toArray
-        }
+        override def planInputPartitions(): Array[InputPartition] =
+          committed().map(f => StoreFilePartition(path, f): InputPartition).toArray
         override def createReaderFactory(): PartitionReaderFactory = new StoreReaderFactory(conf)
         override def toMicroBatchStream(
             checkpointLocation: String
@@ -231,9 +297,12 @@ private[graft] class ContentStoreTable(path: String)
     val keyIdx     = in.fieldIndex("result_key")
     val payloadIdx = in.fieldIndex("payload")
     val conf       = new SerializableConfiguration(ContentStore.driverHadoopConf())
+    // buckets=N: route rows to per-bucket files by the store-owned
+    // key hash, so a later bucketedRead=N scan is key-grouped
+    val buckets = info.options().getInt("buckets", 0)
     new WriteBuilder {
       override def build(): Write =
-        new ContentStoreWrite(path, info.queryId(), keyIdx, payloadIdx, conf)
+        new ContentStoreWrite(path, info.queryId(), keyIdx, payloadIdx, conf, buckets)
     }
   }
 }
@@ -243,12 +312,13 @@ private[graft] class ContentStoreWrite(
     queryId: String,
     keyIdx: Int,
     payloadIdx: Int,
-    conf: SerializableConfiguration
+    conf: SerializableConfiguration,
+    buckets: Int = 0
 ) extends Write {
 
   override def toBatch: BatchWrite = new BatchWrite {
     override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-      new StoreWriterFactory(path, keyIdx, payloadIdx, conf)
+      new StoreWriterFactory(path, keyIdx, payloadIdx, conf, buckets)
     // one manifest per job: readers see all-or-nothing of this write
     override def commit(messages: Array[WriterCommitMessage]): Unit =
       ContentStoreWrite.writeManifest(path, s"batch-$queryId-${UUID.randomUUID()}", messages, conf.value)
@@ -258,7 +328,7 @@ private[graft] class ContentStoreWrite(
 
   override def toStreaming: StreamingWrite = new StreamingWrite {
     override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
-      new StoreWriterFactory(path, keyIdx, payloadIdx, conf)
+      new StoreWriterFactory(path, keyIdx, payloadIdx, conf, buckets)
     // manifest keyed by (query, epoch): a replayed epoch is a no-op
     override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
       ContentStoreWrite.writeManifest(
@@ -299,7 +369,11 @@ private[graft] object ContentStoreWrite {
       deleteFiles(path, messages, hadoopConf)
       return
     }
-    val files = messages.collect { case StoreCommitMsg(f, n) if n > 0 => f }
+    val files = messages.flatMap {
+      case StoreCommitMsg(f, n) if n > 0   => Seq(f)
+      case StoreFilesCommitMsg(fs, n) if n > 0 => fs
+      case _                               => Seq.empty
+    }
     filesystem.mkdirs(manifestDir)
     val tmp = new Path(manifestDir, s".tmp-$name-${UUID.randomUUID()}")
     val out = filesystem.create(tmp, /* overwrite = */ false)
@@ -324,8 +398,10 @@ private[graft] object ContentStoreWrite {
   ): Unit = {
     val (filesystem, root) = ContentStore.fs(path, hadoopConf)
     messages.foreach {
-      case StoreCommitMsg(f, _) => filesystem.delete(new Path(root, s"data/$f"), false): Unit
-      case _                    => ()
+      case StoreCommitMsg(f, _)       => filesystem.delete(new Path(root, s"data/$f"), false): Unit
+      case StoreFilesCommitMsg(fs, _) =>
+        fs.foreach(f => filesystem.delete(new Path(root, s"data/$f"), false): Unit)
+      case _                          => ()
     }
   }
 }
@@ -336,15 +412,19 @@ private[graft] class StoreWriterFactory(
     path: String,
     keyIdx: Int,
     payloadIdx: Int,
-    conf: SerializableConfiguration
+    conf: SerializableConfiguration,
+    buckets: Int = 0
 ) extends DataWriterFactory
     with StreamingDataWriterFactory {
 
-  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new StoreDataWriter(path, keyIdx, payloadIdx, conf.value)
+  private def writer(): DataWriter[InternalRow] =
+    if (buckets > 0) new BucketedStoreDataWriter(path, keyIdx, payloadIdx, buckets, conf.value)
+    else new StoreDataWriter(path, keyIdx, payloadIdx, conf.value)
+
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = writer()
 
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
-    new StoreDataWriter(path, keyIdx, payloadIdx, conf.value)
+    writer()
 }
 
 /** Stage → rename-on-task-commit writer. The name is a fresh UUID per
@@ -392,7 +472,112 @@ private[graft] class StoreDataWriter(
   override def close(): Unit = ()
 }
 
+/** Bucketed twin of [[StoreDataWriter]]: each row routes to one of `n`
+  * per-bucket staging files by the store-owned key hash; task commit
+  * renames only the non-empty buckets. The bucket id travels in the
+  * FILE NAME (`b<i>-<uuid>`), so manifests and non-bucketed readers
+  * are untouched. A task therefore emits ≤ n files — the writer-side
+  * cost that buys every later join/aggregate on the key its shuffle.
+  */
+private[graft] class BucketedStoreDataWriter(
+    path: String,
+    keyIdx: Int,
+    payloadIdx: Int,
+    n: Int,
+    hadoopConf: Configuration
+) extends DataWriter[InternalRow] {
+
+  private val (filesystem, root) = ContentStore.fs(path, hadoopConf)
+  private val names    = Array.fill[String](n)(null)
+  private val stagings = Array.fill[Path](n)(null)
+  private val outs     = Array.fill[org.apache.hadoop.fs.FSDataOutputStream](n)(null)
+  private val rows     = Array.fill[Long](n)(0L)
+  private val enc      = Base64.getEncoder
+
+  override def write(row: InternalRow): Unit = {
+    val key = row.getUTF8String(keyIdx).toString
+    val b   = ContentStore.bucketOf(key, n)
+    if (outs(b) == null) {
+      names(b) = s"b$b-${UUID.randomUUID()}"
+      stagings(b) = new Path(root, s"data/.staging-${names(b)}")
+      filesystem.mkdirs(stagings(b).getParent)
+      outs(b) = filesystem.create(stagings(b), false)
+    }
+    val k = enc.encodeToString(row.getUTF8String(keyIdx).getBytes)
+    val v = enc.encodeToString(row.getUTF8String(payloadIdx).getBytes)
+    outs(b).write(s"$k\t$v\n".getBytes("UTF-8"))
+    rows(b) += 1
+  }
+
+  override def commit(): WriterCommitMessage = {
+    val committed = (0 until n).flatMap { b =>
+      if (rows(b) == 0) None
+      else {
+        outs(b).close()
+        if (!filesystem.rename(stagings(b), new Path(root, s"data/${names(b)}")))
+          throw new java.io.IOException(
+            s"ContentStore: task commit rename failed for ${stagings(b)}")
+        Some(names(b))
+      }
+    }
+    StoreFilesCommitMsg(committed, rows.sum)
+  }
+
+  override def abort(): Unit =
+    (0 until n).foreach { b =>
+      if (outs(b) != null) { outs(b).close(); filesystem.delete(stagings(b), false): Unit }
+    }
+
+  override def close(): Unit = ()
+}
+
+private[graft] case class StoreFilesCommitMsg(files: Seq[String], rows: Long)
+    extends WriterCommitMessage
+
 private[graft] case class StoreFilePartition(path: String, file: String) extends InputPartition
+
+/** One key-grouped input partition: every committed file of one
+  * bucket, declaring its partition value for storage-partitioned
+  * planning.
+  */
+private[graft] case class StoreBucketPartition(path: String, bucket: Int, files: Seq[String])
+    extends InputPartition
+    with HasPartitionKey {
+  override def partitionKey(): InternalRow = InternalRow(bucket)
+}
+
+private[graft] class BucketedStoreReaderFactory(conf: SerializableConfiguration)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p                  = partition.asInstanceOf[StoreBucketPartition]
+    val (filesystem, root) = ContentStore.fs(p.path, conf.value)
+    val dec                = Base64.getDecoder
+    new PartitionReader[InternalRow] {
+      private val remaining                       = p.files.iterator
+      private var reader: java.io.BufferedReader  = _
+      private var line: String                    = _
+      @scala.annotation.tailrec
+      override def next(): Boolean = {
+        if (reader == null) {
+          if (!remaining.hasNext) return false
+          reader = new java.io.BufferedReader(new java.io.InputStreamReader(
+            filesystem.open(new Path(root, s"data/${remaining.next()}")), "UTF-8"))
+        }
+        line = reader.readLine()
+        if (line != null) true
+        else { reader.close(); reader = null; next() }
+      }
+      override def get(): InternalRow = {
+        val Array(k, v) = line.split("\t", 2)
+        InternalRow(
+          UTF8String.fromBytes(dec.decode(k)),
+          UTF8String.fromBytes(dec.decode(v)),
+          p.bucket)
+      }
+      override def close(): Unit = if (reader != null) reader.close()
+    }
+  }
+}
 
 /** Streaming READ: tail the manifest log. Every committed manifest —
   * a streaming epoch from an upstream writer or a one-shot batch job —

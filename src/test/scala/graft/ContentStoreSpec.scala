@@ -437,4 +437,66 @@ class ContentStoreSpec extends SparkSpecBase {
     // nothing further → offset stays put
     assert(stream.latestOffset(next, ReadLimit.allAvailable()) == StoreBatchOffset(1))
   }
+
+  test("bucketed write + bucketedRead round-trips with store-hash bucket ids") {
+    import spark.implicits._
+    val dir = tmp()
+    val rows = (1 to 200).map(i => (s"key$i", s"payload$i"))
+    rows.toDF("result_key", "payload")
+      .write.format("graft.sources.ContentStore")
+      .option("path", dir).option("buckets", 8).mode("append").save()
+    val got = spark.read.format("graft.sources.ContentStore")
+      .option("path", dir).option("bucketedRead", 8).load()
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2)))
+    assert(got.map(t => (t._1, t._2)).toSet == rows.toSet)
+    // every row's bucket column is the store hash of its key
+    assert(got.forall { case (k, _, b) => b == ContentStore.bucketOf(k, 8) })
+    // the layout really is bucketed: each committed file holds one bucket
+    assert(ContentStore.committedFiles(dir, hconf)
+      .forall(f => graft.sources.ContentStore.bucketOfFile(f).exists(_ < 8)))
+    // a non-bucketed read of the same store still sees plain rows
+    assert(readBack(dir).size == 200)
+  }
+
+  test("storage-partitioned join of two co-bucketed stores plans with zero shuffle") {
+    import spark.implicits._
+    val dirA = tmp(); val dirB = tmp()
+    val left  = (1 to 300).map(i => (s"u$i", s"a$i"))
+    val right = (151 to 450).map(i => (s"u$i", s"b$i"))
+    left.toDF("result_key", "payload").write.format("graft.sources.ContentStore")
+      .option("path", dirA).option("buckets", 4).mode("append").save()
+    right.toDF("result_key", "payload").write.format("graft.sources.ContentStore")
+      .option("path", dirB).option("buckets", 4).mode("append").save()
+    val confs = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold"   -> "-1",
+      // join keys (bucket, result_key) are a SUPERSET of the partition
+      // key — co-location still holds (equal keys ⇒ equal bucket), but
+      // the exact-match default would reject it
+      "spark.sql.requireAllClusterKeysForCoPartition" -> "false")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      def store(dir: String) = spark.read.format("graft.sources.ContentStore")
+        .option("path", dir).option("bucketedRead", 4).load()
+      val a = store(dirA)
+      val b = store(dirB).withColumnRenamed("payload", "payload_b")
+      val joined = a.join(b, Seq("bucket", "result_key"))
+        .select("result_key", "payload", "payload_b")
+      val got = joined.collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+      val expected = (151 to 300).map(i => (s"u$i", s"a$i", s"b$i")).toSet
+      assert(got == expected, s"${got.size} rows vs ${expected.size}")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"storage-partitioned join must not shuffle or broadcast:\n$plan")
+      // and an aggregate grouping on the partition key is exchange-free too
+      val agg = store(dirA).groupBy("bucket").count()
+      agg.collect()
+      val aggPlan = agg.queryExecution.executedPlan.toString
+      assert(!aggPlan.contains("Exchange"), s"bucket aggregate must not shuffle:\n$aggPlan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
 }
