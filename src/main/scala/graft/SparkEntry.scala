@@ -62,6 +62,7 @@ object SparkEntry {
     "q_topic_fanout_count" -> ((s, d) => Paging.topicFanoutCounts(Tables(s, d))),
     "q_hourly_window"      -> ((s, d) => EventOps.hourlyWindow(Tables(s, d))),
     "q_session_windows"    -> ((s, d) => EventOps.sessionWindows(Tables(s, d))),
+    "q_peak_concurrency"   -> ((s, d) => EventOps.peakConcurrency(Tables(s, d))),
     "q_props_extract"      -> ((s, d) => EventOps.propsExtract(Tables(s, d))),
     "q_csv_roundtrip"      -> ((s, d) => Ingest.csvRoundtrip(Tables(s, d))),
     "q_jsonl_roundtrip"    -> ((s, d) => Ingest.jsonlRoundtrip(Tables(s, d))),
@@ -437,6 +438,41 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS window_start, event_type, count(*) AS n_events,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_peak_concurrency" -> // sweep-line daily peak: carry_in + max within-day running delta
+      """WITH o AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |           OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM events),
+        |s AS (
+        |  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+        |                                ROWS UNBOUNDED PRECEDING) AS sess_id
+        |  FROM o),
+        |sess AS (
+        |  SELECT user_id, sess_id, min(ts) AS st, max(ts) + INTERVAL 30 MINUTE AS en
+        |  FROM s GROUP BY 1, 2),
+        |d AS (
+        |  SELECT CAST(date_trunc('day', st) AS DATE) AS day, st AS ts, 1 AS delta FROM sess
+        |  UNION ALL
+        |  SELECT CAST(date_trunc('day', en) AS DATE) AS day, en AS ts, -1 AS delta FROM sess),
+        |r AS (
+        |  SELECT day, sum(delta) OVER (PARTITION BY day ORDER BY ts, delta
+        |                               ROWS UNBOUNDED PRECEDING) AS run
+        |  FROM d),
+        |m AS (SELECT day, max(run) AS max_run FROM r GROUP BY 1),
+        |c0 AS (
+        |  SELECT unnest(generate_series(
+        |      CAST(date_trunc('day', st) AS DATE) + 1,
+        |      CAST(date_trunc('day', en) AS DATE), INTERVAL 1 DAY)) AS dts
+        |  FROM sess
+        |  WHERE CAST(date_trunc('day', en) AS DATE) > CAST(date_trunc('day', st) AS DATE)),
+        |cc AS (SELECT CAST(dts AS DATE) AS day, count(*) AS carry FROM c0 GROUP BY 1)
+        |SELECT strftime(COALESCE(m.day, cc.day), '%Y-%m-%d') AS day,
+        |  CAST(COALESCE(cc.carry, 0) +
+        |       greatest(0, COALESCE(m.max_run, 0)) AS BIGINT) AS peak_concurrent
+        |FROM m FULL OUTER JOIN cc ON m.day = cc.day
+        |ORDER BY 1""".stripMargin,
     "q_session_windows" ->
       """WITH o AS (
         |  SELECT user_id, ts, value,

@@ -49,6 +49,70 @@ object EventOps {
     * Spark merges events into a session while each event starts
     * strictly before the previous event's ts+gap (end-exclusive).
     */
+  /** B64: peak session concurrency per day — the max number of user
+    * sessions simultaneously open (capacity planning's load curve, and
+    * the textbook sweep-line aggregation). A naive sweep is a GLOBAL
+    * sort — inherently serial; the scalable decomposition buckets the
+    * timeline and splits concurrency into carry_in(bucket) + a
+    * running-delta max WITHIN the bucket:
+    *
+    *  - sessions (A10b semantics: 30-min gap, end = last event + gap,
+    *    half-open [start, end)) come from ONE user_id shuffle;
+    *  - each session emits (+1 at start, −1 at end) into its DAY
+    *    bucket; the within-day running sum needs only a per-day
+    *    window — partition size is the day's session count, and at
+    *    higher density the bucket narrows to hours with the SAME
+    *    carry decomposition (the bucket width is the knob; there is
+    *    never a global sort);
+    *  - carry_in(D) = sessions spanning D's start — a bounded
+    *    `sequence` explode over (start_day, end_day] (multi-day
+    *    sessions only), one tiny per-day count;
+    *  - peak(D) = carry_in + max(0, max running delta). Exact: at any
+    *    instant t in D, concurrency = carry_in + starts≤t − ends≤t,
+    *    and tie groups at one timestamp (−1 before +1: half-open
+    *    intervals — a session ending exactly when another starts is
+    *    NOT concurrent with it) leave the prefix max invariant under
+    *    any permutation within equal (ts, delta).
+    */
+  def peakConcurrency(t: Tables, gapMinutes: Int = 30): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts")
+    val runW   = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sess = t.events
+      .select(col("user_id"), col("ts"))
+      .withColumn(
+        "new_sess",
+        when(lag("ts", 1).over(byUser).isNull ||
+          unix_micros(col("ts")) - unix_micros(lag("ts", 1).over(byUser)) >=
+            gapMinutes * 60L * 1000000L, 1).otherwise(0))
+      .withColumn("sid", sum("new_sess").over(runW))
+      .groupBy("user_id", "sid")
+      .agg(min("ts").as("start"),
+        (max("ts") + expr(s"INTERVAL $gapMinutes MINUTES")).as("end"))
+    val deltas = sess
+      .select(to_date(col("start")).as("day"), col("start").as("ts"), lit(1).as("delta"))
+      .unionAll(sess.select(to_date(col("end")).as("day"), col("end").as("ts"), lit(-1).as("delta")))
+    val wDay = Window
+      .partitionBy("day")
+      .orderBy(col("ts"), col("delta"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val dayMax = deltas
+      .withColumn("run", sum("delta").over(wDay))
+      .groupBy("day")
+      .agg(max("run").as("max_run"))
+    val carry = sess
+      .filter(to_date(col("end")) > to_date(col("start")))
+      .select(explode(expr("sequence(date_add(to_date(start), 1), to_date(end))")).as("day"))
+      .groupBy("day")
+      .agg(count(lit(1)).as("carry"))
+    dayMax
+      .join(carry, Seq("day"), "full_outer")
+      .select(
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        (coalesce(col("carry"), lit(0L)) +
+          greatest(lit(0L), coalesce(col("max_run"), lit(0L)))).as("peak_concurrent"))
+      .orderBy("day")
+  }
+
   def sessionWindows(t: Tables, gap: String = "30 minutes"): DataFrame =
     t.events
       .groupBy(session_window(col("ts"), gap), col("user_id"))

@@ -493,4 +493,48 @@ class TemporalSpec extends SparkSpecBase {
     assert(got.map(_.getAs[Long]("s_suppkey")).toSet == expected)
     assert(got.forall(_.getAs[Double]("revenue") == best))
   }
+
+  test("peak concurrency equals a brute-force global sweep per day") {
+    import org.apache.spark.sql.functions.col
+    val gapUs = 30L * 60 * 1000000
+    val evts = tables.events.select(col("user_id"), col("ts")).collect()
+      .map { r =>
+        val t = r.getTimestamp(1)
+        (r.getLong(0), Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000)
+      }
+    // sessions: per-user gap split, half-open [start, last + gap)
+    val sessions = evts.groupBy(_._1).values.flatMap { grp =>
+      val ts  = grp.map(_._2).sorted
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      var start = ts.head
+      for (i <- 1 until ts.length) {
+        if (ts(i) - ts(i - 1) >= gapUs) { out += ((start, ts(i - 1) + gapUs)); start = ts(i) }
+      }
+      out += ((start, ts.last + gapUs))
+      out
+    }.toSeq
+    // global sweep: -1 strictly before +1 at equal instants (half-open)
+    val deltas   = sessions.flatMap { case (s, e) => Seq((s, 1), (e, -1)) }.sorted
+    val usPerDay = 86400L * 1000000
+    val dayPeaks = scala.collection.mutable.Map.empty[Long, Long]
+    var cur      = 0L
+    var lastDay  = Math.floorDiv(deltas.head._1, usPerDay)
+    for ((ts, d) <- deltas) {
+      val day = Math.floorDiv(ts, usPerDay)
+      // the level is flat between deltas: every day crossed (including
+      // this one, before its first delta) peaks at least at `cur`
+      for (dd <- (lastDay + 1) to day) dayPeaks(dd) = math.max(dayPeaks.getOrElse(dd, 0L), cur)
+      lastDay = day
+      cur += d
+      dayPeaks(day) = math.max(dayPeaks.getOrElse(day, 0L), cur)
+    }
+    val expected = dayPeaks.toSeq
+      .filter(_._2 > 0)
+      .map { case (day, pk) => java.time.LocalDate.ofEpochDay(day).toString -> pk }
+      .toMap
+    val got = graft.operators.EventOps.peakConcurrency(tables).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == expected, s"got ${got.size} days vs expected ${expected.size}")
+    assert(got.nonEmpty && got.valuesIterator.forall(_ >= 1))
+  }
 }
