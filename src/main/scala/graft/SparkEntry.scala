@@ -38,6 +38,9 @@ object SparkEntry {
     "q_rollup_volume"      -> ((s, d) => Analytics.rollupVolume(Tables(s, d))),
     "q_cube_volume"        -> ((s, d) => Analytics.cubeVolume(Tables(s, d))),
     "q_salted_join"        -> ((s, d) => Joins.saltedJoin(Tables(s, d))),
+    "q_store_skipping" -> ((s, d) =>
+      Joins.storeSkippingRead(Tables(s, d),
+        s"${System.getProperty("java.io.tmpdir")}/graft-skipstore")),
     "q_spj_store" -> ((s, d) =>
       Joins.spjStoreJoin(Tables(spjSession(s), d),
         s"${System.getProperty("java.io.tmpdir")}/graft-spjstore")),
@@ -551,6 +554,12 @@ object SparkEntry {
       """SELECT c_mktsegment, count(*) AS n_events,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_store_skipping" -> // file skipping is I/O-only: values equal the store-free query
+      """SELECT printf('u%06d', user_id) AS result_key,
+        |  sum(CAST(round(value * 100) AS BIGINT)) AS purchase_cents
+        |FROM events
+        |WHERE event_type = 'purchase' AND user_id >= 100 AND user_id < 500
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_spj_store" -> // store bucketing changes the PLAN, never the values
       """WITH p AS (

@@ -187,6 +187,34 @@ object ContentStore {
   private[graft] def committedFiles(path: String, conf: Configuration): Seq[String] =
     manifestNames(path, conf).flatMap(m => filesInManifest(path, m, conf))
 
+  /** Per-file (minKey, maxKey) bounds from a manifest's side stats
+    * file, if the writer recorded them — absent for legacy stores,
+    * bucketed files, or a lost best-effort stats rename; every absent
+    * entry just reads un-skipped.
+    */
+  private[graft] def statsForManifest(
+      path: String,
+      name: String,
+      conf: Configuration
+  ): Map[String, (UTF8String, UTF8String)] = {
+    val (filesystem, root) = fs(path, conf)
+    val statsPath          = new Path(root, s"_stats/$name")
+    if (!filesystem.exists(statsPath)) return Map.empty
+    val dec    = Base64.getDecoder
+    val reader = new java.io.BufferedReader(
+      new java.io.InputStreamReader(filesystem.open(statsPath), "UTF-8"))
+    try Iterator
+      .continually(reader.readLine())
+      .takeWhile(_ != null)
+      .filter(_.nonEmpty)
+      .map { line =>
+        val Array(f, mn, mx) = line.split("\t", 3)
+        f -> (UTF8String.fromBytes(dec.decode(mn)), UTF8String.fromBytes(dec.decode(mx)))
+      }
+      .toMap
+    finally reader.close()
+  }
+
   private[graft] def committedFiles(path: String): Seq[String] =
     committedFiles(path, driverHadoopConf())
 
@@ -273,12 +301,78 @@ private[graft] class ContentStoreTable(path: String, bucketedRead: Int = 0)
             new BucketedStoreReaderFactory(conf)
         }
       }
-    } else new ScanBuilder {
+    } else new ScanBuilder with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
+      // FILE SKIPPING on the key: writers record each file's
+      // [minKey, maxKey] (binary UTF-8 order) in a manifest side file;
+      // pushed result_key predicates prune whole files at PLANNING
+      // time — the Iceberg-manifest pattern. Pruning is best-effort
+      // (files without stats always read) and every filter stays
+      // residual: the engine re-applies it row-level, so a bound can
+      // only skip I/O, never change results. Effective exactly when
+      // the writer clustered keys (e.g. repartitionByRange before the
+      // write) — the same contract as parquet min/max skipping.
+      import org.apache.spark.sql.sources._
+      private var pruning: Array[Filter] = Array.empty
+
+      private def prunable(f: Filter): Boolean = f match {
+        case EqualTo("result_key", _: String)            => true
+        case GreaterThan("result_key", _: String)        => true
+        case GreaterThanOrEqual("result_key", _: String) => true
+        case LessThan("result_key", _: String)           => true
+        case LessThanOrEqual("result_key", _: String)    => true
+        case StringStartsWith("result_key", _)           => true
+        case In("result_key", vs) => vs.nonEmpty && vs.forall(_.isInstanceOf[String])
+        case _                    => false
+      }
+
+      override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+        pruning = filters.filter(prunable)
+        filters // all residual — skipping is I/O-only
+      }
+      override def pushedFilters(): Array[Filter] = pruning
+
+      private def u(s: String) = UTF8String.fromString(s)
+
+      /** Smallest string above every `p`-prefixed string, or null when
+        * unbounded (prefix ends in U+FFFF).
+        */
+      private def prefixUpper(p: String): String =
+        if (p.isEmpty || p.last == '\uffff') null
+        else p.init + (p.last + 1).toChar
+
+      private def mayMatch(f: Filter, mn: UTF8String, mx: UTF8String): Boolean = f match {
+        case EqualTo("result_key", v: String) =>
+          mn.compareTo(u(v)) <= 0 && mx.compareTo(u(v)) >= 0
+        case GreaterThan("result_key", v: String)        => mx.compareTo(u(v)) > 0
+        case GreaterThanOrEqual("result_key", v: String) => mx.compareTo(u(v)) >= 0
+        case LessThan("result_key", v: String)           => mn.compareTo(u(v)) < 0
+        case LessThanOrEqual("result_key", v: String)    => mn.compareTo(u(v)) <= 0
+        case StringStartsWith("result_key", p) =>
+          mx.compareTo(u(p)) >= 0 &&
+            (prefixUpper(p) == null || mn.compareTo(u(prefixUpper(p))) < 0)
+        case In("result_key", vs) =>
+          vs.exists(v => mayMatch(EqualTo("result_key", v.asInstanceOf[String]), mn, mx))
+        case _ => true
+      }
+
       override def build(): Scan = new Scan with Batch {
         override def readSchema(): StructType = ContentStore.Schema
         override def toBatch: Batch           = this
-        override def planInputPartitions(): Array[InputPartition] =
-          committed().map(f => StoreFilePartition(path, f): InputPartition).toArray
+        override def planInputPartitions(): Array[InputPartition] = {
+          val names = pinnedManifests.getOrElse(ContentStore.manifestNames(path, conf.value))
+          names
+            .flatMap { m =>
+              val stats = ContentStore.statsForManifest(path, m, conf.value)
+              ContentStore.filesInManifest(path, m, conf.value).filter { f =>
+                stats.get(f) match {
+                  case Some((mn, mx)) => pruning.forall(mayMatch(_, mn, mx))
+                  case None           => true
+                }
+              }
+            }
+            .map(f => StoreFilePartition(path, f): InputPartition)
+            .toArray
+        }
         override def createReaderFactory(): PartitionReaderFactory = new StoreReaderFactory(conf)
         override def toMicroBatchStream(
             checkpointLocation: String
@@ -370,11 +464,32 @@ private[graft] object ContentStoreWrite {
       return
     }
     val files = messages.flatMap {
-      case StoreCommitMsg(f, n) if n > 0   => Seq(f)
-      case StoreFilesCommitMsg(fs, n) if n > 0 => fs
-      case _                               => Seq.empty
+      case m: StoreCommitMsg if m.rows > 0       => Seq(m.file)
+      case StoreFilesCommitMsg(fs, n) if n > 0   => fs
+      case _                                     => Seq.empty
+    }
+    // file-level key-range stats ride in a SIDE file (`_stats/<name>`),
+    // written before the manifest rename: a visible manifest either has
+    // its stats or readers fall back to no-skipping — old stores and
+    // old readers are both unaffected (manifest format unchanged)
+    val enc = Base64.getEncoder
+    val statLines = messages.collect {
+      case m: StoreCommitMsg if m.rows > 0 && m.minKey != null =>
+        val mn = enc.encodeToString(m.minKey.getBytes("UTF-8"))
+        val mx = enc.encodeToString(m.maxKey.getBytes("UTF-8"))
+        s"${m.file}\t$mn\t$mx"
     }
     filesystem.mkdirs(manifestDir)
+    if (statLines.nonEmpty) {
+      val statsDir = new Path(root, "_stats")
+      filesystem.mkdirs(statsDir)
+      val statsTmp = new Path(statsDir, s".tmp-$name-${UUID.randomUUID()}")
+      val statsOut = filesystem.create(statsTmp, false)
+      statsOut.write(statLines.mkString("\n").getBytes("UTF-8"))
+      statsOut.close()
+      // best-effort: a lost stats rename only disables skipping
+      filesystem.rename(statsTmp, new Path(statsDir, name)): Unit
+    }
     val tmp = new Path(manifestDir, s".tmp-$name-${UUID.randomUUID()}")
     val out = filesystem.create(tmp, /* overwrite = */ false)
     out.write(files.mkString("\n").getBytes("UTF-8"))
@@ -398,7 +513,8 @@ private[graft] object ContentStoreWrite {
   ): Unit = {
     val (filesystem, root) = ContentStore.fs(path, hadoopConf)
     messages.foreach {
-      case StoreCommitMsg(f, _)       => filesystem.delete(new Path(root, s"data/$f"), false): Unit
+      case m: StoreCommitMsg          =>
+        filesystem.delete(new Path(root, s"data/${m.file}"), false): Unit
       case StoreFilesCommitMsg(fs, _) =>
         fs.foreach(f => filesystem.delete(new Path(root, s"data/$f"), false): Unit)
       case _                          => ()
@@ -406,7 +522,12 @@ private[graft] object ContentStoreWrite {
   }
 }
 
-private[graft] case class StoreCommitMsg(file: String, rows: Long) extends WriterCommitMessage
+private[graft] case class StoreCommitMsg(
+    file: String,
+    rows: Long,
+    minKey: String = null,
+    maxKey: String = null
+) extends WriterCommitMessage
 
 private[graft] class StoreWriterFactory(
     path: String,
@@ -444,10 +565,19 @@ private[graft] class StoreDataWriter(
   private val staging            = new Path(root, s"data/.staging-$file")
   private lazy val out = { filesystem.mkdirs(staging.getParent); filesystem.create(staging, false) }
   private var rows               = 0L
+  // UTF8String order = binary UTF-8 order — the SAME ordering the
+  // engine's string comparisons use, so the recorded bounds are valid
+  // for pruning any pushed range predicate (Java String's UTF-16
+  // ordering would disagree on supplementary characters)
+  private var minKey: UTF8String = _
+  private var maxKey: UTF8String = _
   private val enc                = Base64.getEncoder
 
   override def write(row: InternalRow): Unit = {
-    val k = enc.encodeToString(row.getUTF8String(keyIdx).getBytes)
+    val key = row.getUTF8String(keyIdx)
+    if (minKey == null || key.compareTo(minKey) < 0) minKey = key.clone()
+    if (maxKey == null || key.compareTo(maxKey) > 0) maxKey = key.clone()
+    val k = enc.encodeToString(key.getBytes)
     val v = enc.encodeToString(row.getUTF8String(payloadIdx).getBytes)
     out.write(s"$k\t$v\n".getBytes("UTF-8"))
     rows += 1
@@ -462,7 +592,9 @@ private[graft] class StoreDataWriter(
       if (!filesystem.rename(staging, new Path(root, s"data/$file")))
         throw new java.io.IOException(s"ContentStore: task commit rename failed for $staging")
     }
-    StoreCommitMsg(file, rows)
+    StoreCommitMsg(file, rows,
+      if (minKey == null) null else minKey.toString,
+      if (maxKey == null) null else maxKey.toString)
   }
 
   override def abort(): Unit = {

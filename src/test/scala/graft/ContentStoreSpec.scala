@@ -438,6 +438,41 @@ class ContentStoreSpec extends SparkSpecBase {
     assert(stream.latestOffset(next, ReadLimit.allAvailable()) == StoreBatchOffset(1))
   }
 
+  test("key-range stats skip files at planning time; results unchanged") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val dir = tmp()
+    // range-clustered write: 4 tasks → 4 files with disjoint key ranges
+    (1 to 400).map(i => (f"k$i%04d", s"v$i")).toDF("result_key", "payload")
+      .repartitionByRange(4, col("result_key"))
+      .write.format("graft.sources.ContentStore").option("path", dir).mode("append").save()
+    val allFiles = ContentStore.committedFiles(dir, hconf)
+    assert(allFiles.size == 4, s"expected 4 range files, got $allFiles")
+    // stats side file recorded bounds for every file
+    val manifest = ContentStore.manifestNames(dir, hconf).head
+    val stats    = ContentStore.statsForManifest(dir, manifest, hconf)
+    assert(stats.keySet == allFiles.toSet)
+    // the filtered scan's partition count IS its planned file count
+    // (one input partition per surviving file, filters are narrow)
+    val store = spark.read.format("graft.sources.ContentStore").option("path", dir).load()
+    val point = store.filter(col("result_key") === "k0042")
+    assert(point.collect().map(_.getString(1)).toSeq == Seq("v42"))
+    assert(point.rdd.getNumPartitions == 1,
+      s"point lookup must plan 1 file, planned ${point.rdd.getNumPartitions}")
+    // range predicate: the first half of the key space can never need
+    // all 4 disjoint-range files
+    val range = store.filter(col("result_key") < "k0200")
+    assert(range.count() == 199)
+    assert(range.rdd.getNumPartitions <= 3,
+      s"range scan planned ${range.rdd.getNumPartitions} of 4 files")
+    // prefix predicate: 100 contiguous keys
+    val prefix = store.filter(col("result_key").startsWith("k03"))
+    assert(prefix.count() == 100)
+    assert(prefix.rdd.getNumPartitions <= 3)
+    // an unfiltered read still sees everything
+    assert(store.count() == 400)
+  }
+
   test("bucketed write + bucketedRead round-trips with store-hash bucket ids") {
     import spark.implicits._
     val dir = tmp()
