@@ -88,6 +88,10 @@ object EventOps {
       .groupBy("user_id", "sid")
       .agg(min("ts").as("start"),
         (max("ts") + expr(s"INTERVAL $gapMinutes MINUTES")).as("end"))
+      // session-count-sized, but referenced THREE times below (both
+      // delta projections + the carry explode) — materialize once so
+      // the events window runs once, not per branch
+      .localCheckpoint()
     val deltas = sess
       .select(to_date(col("start")).as("day"), col("start").as("ts"), lit(1).as("delta"))
       .unionAll(sess.select(to_date(col("end")).as("day"), col("end").as("ts"), lit(-1).as("delta")))
