@@ -355,23 +355,41 @@ private[graft] class ContentStoreTable(path: String, bucketedRead: Int = 0)
         case _ => true
       }
 
-      override def build(): Scan = new Scan with Batch {
+      override def build(): Scan = new Scan
+        with Batch
+        with org.apache.spark.sql.connector.read.SupportsReportStatistics {
         override def readSchema(): StructType = ContentStore.Schema
         override def toBatch: Batch           = this
-        override def planInputPartitions(): Array[InputPartition] = {
+        private def survivingFiles(): Seq[String] = {
           val names = pinnedManifests.getOrElse(ContentStore.manifestNames(path, conf.value))
-          names
-            .flatMap { m =>
-              val stats = ContentStore.statsForManifest(path, m, conf.value)
-              ContentStore.filesInManifest(path, m, conf.value).filter { f =>
-                stats.get(f) match {
-                  case Some((mn, mx)) => pruning.forall(mayMatch(_, mn, mx))
-                  case None           => true
-                }
+          names.flatMap { m =>
+            val stats = ContentStore.statsForManifest(path, m, conf.value)
+            ContentStore.filesInManifest(path, m, conf.value).filter { f =>
+              stats.get(f) match {
+                case Some((mn, mx)) => pruning.forall(mayMatch(_, mn, mx))
+                case None           => true
               }
             }
-            .map(f => StoreFilePartition(path, f): InputPartition)
-            .toArray
+          }
+        }
+        override def planInputPartitions(): Array[InputPartition] =
+          survivingFiles().map(f => StoreFilePartition(path, f): InputPartition).toArray
+        /** Real size statistics over the SURVIVING (post-skip) file
+          * set — without them a V2 relation defaults to "huge" and the
+          * planner never broadcasts a store, however small; with them a
+          * dim-sized (or range-pruned) store joins broadcast with no
+          * user hint. Base64 framing overestimates raw bytes ~1.33×,
+          * which errs on the safe (non-broadcast) side.
+          */
+        override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
+          val (filesystem, root) = ContentStore.fs(path, conf.value)
+          val bytes = survivingFiles().map { f =>
+            filesystem.getFileStatus(new Path(root, s"data/$f")).getLen
+          }.sum
+          new org.apache.spark.sql.connector.read.Statistics {
+            override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(bytes)
+            override def numRows(): java.util.OptionalLong     = java.util.OptionalLong.empty()
+          }
         }
         override def createReaderFactory(): PartitionReaderFactory = new StoreReaderFactory(conf)
         override def toMicroBatchStream(

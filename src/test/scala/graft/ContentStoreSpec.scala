@@ -473,6 +473,21 @@ class ContentStoreSpec extends SparkSpecBase {
     assert(store.count() == 400)
   }
 
+  test("reported size statistics let the planner broadcast a small store unhinted") {
+    import org.apache.spark.sql.functions.{col, concat_ws, lit}
+    import spark.implicits._
+    val dir = tmp()
+    (1 to 50).map(i => (s"k$i", s"v$i")).toDF("result_key", "payload")
+      .write.format("graft.sources.ContentStore").option("path", dir).mode("append").save()
+    val store = spark.read.format("graft.sources.ContentStore").option("path", dir).load()
+    val big   = spark.range(100000).select(concat_ws("", lit("k"), col("id")).as("result_key"))
+    val joined = big.join(store, Seq("result_key"))
+    assert(joined.count() == 50)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"small store (real size stats) must broadcast without a hint:\n$plan")
+  }
+
   test("bucketed write + bucketedRead round-trips with store-hash bucket ids") {
     import spark.implicits._
     val dir = tmp()
