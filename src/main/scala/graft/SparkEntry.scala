@@ -66,6 +66,7 @@ object SparkEntry {
     "q_hourly_window"      -> ((s, d) => EventOps.hourlyWindow(Tables(s, d))),
     "q_session_windows"    -> ((s, d) => EventOps.sessionWindows(Tables(s, d))),
     "q_peak_concurrency"   -> ((s, d) => EventOps.peakConcurrency(Tables(s, d))),
+    "q_user_signatures"    -> ((s, d) => Analytics.userSignatures(Tables(s, d))),
     "q_props_extract"      -> ((s, d) => EventOps.propsExtract(Tables(s, d))),
     "q_csv_roundtrip"      -> ((s, d) => Ingest.csvRoundtrip(Tables(s, d))),
     "q_jsonl_roundtrip"    -> ((s, d) => Ingest.jsonlRoundtrip(Tables(s, d))),
@@ -441,6 +442,15 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS window_start, event_type, count(*) AS n_events,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_user_signatures" -> // canonical sorted type-set signature histogram (order-safe listagg)
+      """WITH u AS (
+        |  SELECT user_id, date_trunc('day', ts) AS day,
+        |    string_agg(DISTINCT event_type, '|' ORDER BY event_type) AS type_signature,
+        |    count(*) AS n_events
+        |  FROM events GROUP BY 1, 2)
+        |SELECT type_signature, count(*) AS n_user_days,
+        |  CAST(sum(n_events) AS BIGINT) AS n_events
+        |FROM u GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_peak_concurrency" -> // sweep-line daily peak: carry_in + max within-day running delta
       """WITH o AS (
         |  SELECT user_id, ts,

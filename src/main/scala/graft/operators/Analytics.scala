@@ -1373,4 +1373,25 @@ object Analytics {
       .select("event_type", "user_id", "n_events")
       .orderBy("event_type", "user_id")
   }
+
+  /** B66: behavioral-signature histogram — each user's DISTINCT event
+    * types collapse to one canonical string (sorted, '|'-joined) and
+    * the corpus reduces to signature → (user-days, events); the unit is the user-DAY (whole-history signatures saturate to the full type set). Grouped
+    * concatenation is the classic determinism trap: a bare
+    * listagg/collect_list is partition-order-dependent and can never
+    * hash-gate (or reproduce between two runs of the same job) — the
+    * order-safe form is collect_SET + array_sort + array_join, which
+    * stays partial-aggregable (sets merge map-side) and yields one
+    * canonical value on any cluster. Two keyed shuffles, both on
+    * shrinking data (users, then signatures ≤ 2^|types|).
+    */
+  def userSignatures(t: Tables): DataFrame =
+    t.events
+      .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .agg(
+        array_join(array_sort(collect_set(col("event_type"))), "|").as("type_signature"),
+        count(lit(1)).as("n_events"))
+      .groupBy("type_signature")
+      .agg(count(lit(1)).as("n_user_days"), sum("n_events").as("n_events"))
+      .orderBy("type_signature")
 }
