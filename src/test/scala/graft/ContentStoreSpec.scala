@@ -128,6 +128,35 @@ class ContentStoreSpec extends SparkSpecBase {
     assert(ContentStore.committedFiles(dir).nonEmpty)
   }
 
+  test("streaming epoch writes honor the bucketed layout; SPJ-readable afterwards") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = tmp()
+    val in  = MemoryStream[(String, String)]
+    val q = in.toDF().toDF("result_key", "payload")
+      .writeStream.format("graft.sources.ContentStore")
+      .option("path", dir).option("buckets", 4)
+      .option("checkpointLocation", tmp())
+      .start()
+    in.addData((1 to 60).map(i => (s"sk$i", s"v$i")): _*)
+    q.processAllAvailable()
+    in.addData((61 to 120).map(i => (s"sk$i", s"v$i")): _*)
+    q.processAllAvailable()
+    q.stop()
+    // every epoch-committed file carries a bucket id < 4
+    val files = ContentStore.committedFiles(dir, hconf)
+    assert(files.nonEmpty &&
+      files.forall(f => ContentStore.bucketOfFile(f).exists(_ < 4)), files.toString)
+    // the streamed store is key-grouped readable with correct buckets
+    val got = spark.read.format("graft.sources.ContentStore")
+      .option("path", dir).option("bucketedRead", 4).load()
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2)))
+    assert(got.map(t => (t._1, t._2)).toSet ==
+      (1 to 120).map(i => (s"sk$i", s"v$i")).toSet)
+    assert(got.forall { case (k, _, b) => b == ContentStore.bucketOf(k, 4) })
+  }
+
   test("readStream tails the manifest log exactly-once across restarts") {
     import spark.implicits._
     val dir  = tmp()
