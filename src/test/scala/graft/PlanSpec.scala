@@ -506,6 +506,22 @@ class PlanSpec extends SparkSpecBase {
     assert(joinIdx >= 0 && joinIdx < aggIdx, s"aggregate not below the join:\n$plan")
   }
 
+  test("triangle counting: oriented wedge join plans hash joins, never a cartesian") {
+    val plan = executedPlanString(graft.operators.Graph.triangleCounts(tables))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"),
+      s"triangle join must stay equi-keyed:\n$plan")
+    assert(plan.contains("ShuffledHashJoin"), s"expected hinted hash joins in:\n$plan")
+  }
+
+  test("lm coverage: vocabulary membership joins shuffle-hash on the bigram key") {
+    val plan = executedPlanString(graft.operators.TextOps.lmCoverage(tables))
+    // the distinct-bigram vocabulary is far beyond any broadcast
+    // threshold at scale — the plan must hash-partition both sides on
+    // bg, not broadcast the vocab
+    assert(plan.contains("ShuffledHashJoin"), s"membership join not shuffle-hash:\n$plan")
+    assert(!plan.contains("BroadcastHashJoin"), s"vocab must not broadcast:\n$plan")
+  }
+
   test("dpp join: fact scan carries a runtime DynamicPruningExpression on day") {
     val dir = java.nio.file.Files.createTempDirectory("graft-dpp-spec").toString
     val df  = graft.operators.Layout.dppJoin(tables, dir)
