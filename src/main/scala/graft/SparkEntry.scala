@@ -67,6 +67,11 @@ object SparkEntry {
     "q_session_windows"    -> ((s, d) => EventOps.sessionWindows(Tables(s, d))),
     "q_peak_concurrency"   -> ((s, d) => EventOps.peakConcurrency(Tables(s, d))),
     "q_user_signatures"    -> ((s, d) => Analytics.userSignatures(Tables(s, d))),
+    "q_audience_overlap"   -> ((s, d) => EventOps.audienceOverlap(Tables(s, d))),
+    "q_rolling_actives_sketch" -> ((s, d) => EventOps.rollingActivesSketch(Tables(s, d))),
+    "q_scd2_history"       -> ((s, d) => EventOps.scd2History(Tables(s, d))),
+    "q_pareto_parts"       -> ((s, d) => Analytics.paretoParts(Tables(s, d))),
+    "q_graph_reach"        -> ((s, d) => Graph.graphReach(Tables(s, d))),
     "q_props_extract"      -> ((s, d) => EventOps.propsExtract(Tables(s, d))),
     "q_csv_roundtrip"      -> ((s, d) => Ingest.csvRoundtrip(Tables(s, d))),
     "q_jsonl_roundtrip"    -> ((s, d) => Ingest.jsonlRoundtrip(Tables(s, d))),
@@ -451,6 +456,48 @@ object SparkEntry {
         |SELECT type_signature, count(*) AS n_user_days,
         |  CAST(sum(n_events) AS BIGINT) AS n_events
         |FROM u GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_audience_overlap" -> // distinct-user co-occurrence per unordered type pair
+      """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events)
+        |SELECT a.event_type AS type_a, b.event_type AS type_b, count(*) AS n_users
+        |FROM ut a JOIN ut b ON a.user_id = b.user_id AND a.event_type < b.event_type
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_scd2_history" -> // SCD2 validity intervals: change rows + lead close
+      """WITH o AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        |  FROM events),
+        |chg AS (
+        |  SELECT user_id, event_id, ts, event_type FROM o
+        |  WHERE prev_type IS NULL OR prev_type <> event_type)
+        |SELECT user_id, event_type AS attr_value, ts AS valid_from,
+        |  epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS valid_to_us
+        |FROM chg ORDER BY user_id, valid_from""".stripMargin,
+    "q_pareto_parts" -> // 2D skyline: per-size min-price candidates + strict frontier
+      """WITH ps AS (SELECT p_size, min(p_retailprice) AS best_price FROM part GROUP BY 1),
+        |f AS (
+        |  SELECT p_size, best_price,
+        |    min(best_price) OVER (ORDER BY p_size DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS min_larger
+        |  FROM ps)
+        |SELECT p.p_size, p.p_retailprice AS frontier_price, count(*) AS n_parts,
+        |  min(p.p_partkey) AS witness_partkey
+        |FROM part p JOIN f ON p.p_size = f.p_size AND p.p_retailprice = f.best_price
+        |WHERE f.min_larger IS NULL OR f.best_price < f.min_larger
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+    "q_graph_reach" -> // BFS min-hop distances from the %7 supplier seed slice, per-hop counts
+      """WITH RECURSIVE pairs AS (
+        |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |edges AS (SELECT src, dst FROM pairs UNION ALL SELECT dst, src FROM pairs),
+        |bfs AS (
+        |  SELECT s_suppkey * 2 + 1 AS node, 0 AS hop FROM supplier WHERE s_suppkey % 7 = 0
+        |  UNION
+        |  SELECT e.dst AS node, b.hop + 1 AS hop
+        |  FROM bfs b JOIN edges e ON b.node = e.src WHERE b.hop < 3),
+        |md AS (SELECT node, min(hop) AS hop FROM bfs GROUP BY 1)
+        |SELECT hop, CAST(sum(CASE WHEN node % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_customers,
+        |  CAST(sum(CASE WHEN node % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_suppliers
+        |FROM md GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_peak_concurrency" -> // sweep-line daily peak: carry_in + max within-day running delta
       """WITH o AS (
         |  SELECT user_id, ts,

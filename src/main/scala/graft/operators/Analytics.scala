@@ -1394,4 +1394,37 @@ object Analytics {
       .groupBy("type_signature")
       .agg(count(lit(1)).as("n_user_days"), sum("n_events").as("n_events"))
       .orderBy("type_signature")
+
+  /** B68: Pareto frontier (2D skyline) of parts on (price ↓, size ↑) —
+    * "no other part is at least as big AND cheaper": the
+    * multi-objective shortlist (cost vs capability) a plain ORDER BY
+    * cannot express, and whose textbook form is an O(n²) NOT EXISTS
+    * self-join.
+    *
+    * The scale hinge is that ONE dimension is domain-bounded (sizes —
+    * like C24's value-domain histogram): any non-min-price part at a
+    * given size is dominated by that size's min-price part, so the
+    * frontier is a subset of the per-size argmin rows. That collapses
+    * the corpus to ≤ |size domain| candidates in one partial-agg'd
+    * shuffle; the cross-size dominance test is a running strict-min
+    * window over the TINY candidate set (never a window over the
+    * fact), and the membership join back for counts/witness is a
+    * broadcast. Price doubles are min/filter-only passthroughs —
+    * engine-stable to hash (B23's rule).
+    */
+  def paretoParts(t: Tables): DataFrame = {
+    val perSize = t.part.groupBy("p_size").agg(min("p_retailprice").as("best_price"))
+    val largerSizes = Window.orderBy(col("p_size").desc).rowsBetween(Window.unboundedPreceding, -1)
+    val frontier = perSize
+      .withColumn("min_larger", min("best_price").over(largerSizes))
+      .filter(col("min_larger").isNull || col("best_price") < col("min_larger"))
+      .select(col("p_size").as("f_size"), col("best_price"))
+    t.part
+      .join(
+        broadcast(frontier),
+        col("p_size") === col("f_size") && col("p_retailprice") === col("best_price"))
+      .groupBy(col("p_size"), col("p_retailprice").as("frontier_price"))
+      .agg(count(lit(1)).as("n_parts"), min("p_partkey").as("witness_partkey"))
+      .orderBy("p_size")
+  }
 }

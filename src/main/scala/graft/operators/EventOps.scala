@@ -213,6 +213,41 @@ object EventOps {
       .orderBy("report_day")
   }
 
+  /** B30b: sketch-state rolling actives — the 100 TB architecture for
+    * B30's curve: one HLL sketch per DAY (Spark's DataSketches
+    * `hll_sketch_agg`, a mergeable TypedImperativeAggregate that
+    * partial-aggregates map-side), then each report day UNIONS its ≤
+    * `windowDays` daily sketches. The exact form explodes every
+    * (user, day) row into its 7-day cover — input × window-factor
+    * rows through two wide shuffles; here the corpus is touched once
+    * (the daily-sketch build) and everything after runs on the
+    * DAYS-sized sketch table (KBs per row at any corpus size). This
+    * is the Druid/Pinot-style sketch-rollup pattern: store mergeable
+    * state at ingest granularity, answer any window by merging.
+    * Rows-only in the gate (sketch estimates are library-versioned,
+    * not portable SQL); spec pins each estimate against the exact
+    * operator's value within HLL error.
+    */
+  def rollingActivesSketch(t: Tables, windowDays: Int = 7, lgConfigK: Int = 12): DataFrame = {
+    val daily = t.events
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(hll_sketch_agg(col("user_id"), lgConfigK).as("sk"))
+    val bounds = daily.agg(max("day").as("max_day"))
+    daily
+      .crossJoin(broadcast(bounds))
+      .select(
+        col("sk"),
+        explode(
+          expr(
+            s"sequence(day, least(day + interval ${windowDays - 1} days, max_day), interval 1 day)"
+          )
+        ).as("report_day")
+      )
+      .groupBy("report_day")
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("active_users_est"))
+      .orderBy("report_day")
+  }
+
   /** Per-user event-type transition matrix (first-order Markov
     * counts): how often does `prev → next` occur consecutively in a
     * user's history? The behavioral-sequence statistic behind
@@ -263,6 +298,65 @@ object EventOps {
       )
       .select("user_id", "session_start", "session_end", "n_events", "sum_value")
       .orderBy("user_id", "session_start")
+  }
+
+  /** B67: audience-overlap matrix — for every unordered pair of event
+    * types, how many distinct users did BOTH (the cross-sell /
+    * co-engagement report behind "viewers who also purchase"). A
+    * per-type distinct count can't see the intersection; the exact
+    * answer needs user-level set intersection.
+    *
+    * Shape: collapse to distinct (user, type) FIRST (one partial-agg'd
+    * shuffle — the postings table), then self-join on user_id with
+    * `type_a < type_b`. Both sides are the same subtree hinted
+    * shuffle_hash, so they canonicalize to ONE exchange
+    * (ReusedExchange — the C2 inverted-index discipline), and per-user
+    * inflation is bounded by C(|types|, 2) — a constant, never n².
+    * The pair rollup is tiny (≤ types² rows) at any corpus size.
+    */
+  def audienceOverlap(t: Tables): DataFrame = {
+    val ut = t.events.select(col("user_id"), col("event_type")).distinct()
+    ut.as("a")
+      .join(
+        ut.as("b").hint("shuffle_hash"),
+        col("a.user_id") === col("b.user_id") && col("a.event_type") < col("b.event_type"))
+      .select(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"))
+      .groupBy("type_a", "type_b")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("type_a", "type_b")
+  }
+
+  /** B69: SCD Type-2 history build — compress each user's event-type
+    * stream into validity intervals [valid_from, valid_to), one row
+    * per CHANGE of the tracked attribute (consecutive duplicates
+    * collapse into the open interval; the newest interval's valid_to
+    * is NULL = current). This is the slowly-changing-dimension build
+    * every warehouse runs to turn a change feed into a point-in-time
+    * joinable dimension.
+    *
+    * ONE shuffle on user_id: the change detector (lag) and the
+    * interval close (lead over the filtered change rows) share the
+    * same (user_id, ts, event_id) sort, so Catalyst plans one exchange
+    * and the filter between the two Window nodes preserves both the
+    * partitioning and the order. Output is change-count-sized — at
+    * 100 TB the interval table is as small as the attribute churn.
+    * The nullable close edge is emitted as epoch-µs (`valid_to_us`,
+    * NULL = current) — the gate convention for nullable instants
+    * (asofPriorClickLeft's `click_ts_us`).
+    */
+  def scd2History(t: Tables): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    t.events
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("prev_type", lag("event_type", 1).over(w))
+      .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+      .withColumn("valid_to_us", unix_micros(lead("ts", 1).over(w)))
+      .select(
+        col("user_id"),
+        col("event_type").as("attr_value"),
+        col("ts").as("valid_from"),
+        col("valid_to_us"))
+      .orderBy("user_id", "valid_from")
   }
 
   def eventTransitions(t: Tables): DataFrame = {

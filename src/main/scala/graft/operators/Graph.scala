@@ -91,10 +91,11 @@ object Graph {
       .orderBy("part_id")
   }
 
-  def supplierRank(t: Tables, iterations: Int = 3): DataFrame = {
-    require(iterations >= 1, "rank needs at least one propagation round")
-    // node ids: customers even (2k), suppliers odd (2k+1) — one bigint
-    // key space, no string concat in the hot path
+  /** Symmetrized customer↔supplier trading edges. Node ids: customers
+    * even (2k), suppliers odd (2k+1) — one bigint key space, no string
+    * concat in the hot path. Shared by supplierRank and graphReach.
+    */
+  private def tradingEdges(t: Tables): DataFrame = {
     val pairs = t.lineitem
       .select("l_orderkey", "l_suppkey")
       .join(t.orders.select("o_orderkey", "o_custkey"), col("l_orderkey") === col("o_orderkey"))
@@ -103,7 +104,51 @@ object Graph {
         (col("l_suppkey") * 2 + 1).as("dst")
       )
       .distinct()
-    val edges = pairs.unionAll(pairs.select(col("dst").as("src"), col("src").as("dst")))
+    pairs.unionAll(pairs.select(col("dst").as("src"), col("src").as("dst")))
+  }
+
+  /** B70: multi-hop reach (BFS) from a seed set — "everyone within k
+    * hops of nation 0's suppliers" over the trading graph, counted per
+    * hop at FIRST reach. The frontier-expansion pattern complements
+    * min-label propagation (C2c, converges globally) and fixed-round
+    * PageRank (B51, dense iteration): BFS work per round is bounded by
+    * the FRONTIER's edges, not the graph — the anti-join against the
+    * reached set keeps re-expansion at zero, and `localCheckpoint` per
+    * round keeps the plan flat (components' contract). The graph is
+    * bipartite, so hops alternate customer/supplier sides — the
+    * per-hop (n_customers, n_suppliers) split makes that visible.
+    */
+  def graphReach(t: Tables, maxHops: Int = 3, seedMod: Int = 7): DataFrame = {
+    val adj = tradingEdges(t).localCheckpoint() // feeds every round once
+    // modular seed slice: deterministic and non-empty at every SF
+    // (a fixed nation has zero suppliers at the smallest fixture)
+    val seeds = t.supplier
+      .filter(col("s_suppkey") % seedMod === 0)
+      .select((col("s_suppkey") * 2 + 1).as("node"), lit(0).as("hop"))
+    var reached  = seeds.localCheckpoint()
+    var frontier = reached
+    for (h <- 1 to maxHops) {
+      frontier = frontier
+        .join(adj, col("node") === col("src"))
+        .select(col("dst").as("node"))
+        .distinct()
+        .join(reached.select(col("node").as("seen")), col("node") === col("seen"), "left_anti")
+        .select(col("node"), lit(h).as("hop"))
+        .localCheckpoint()
+      reached = reached.unionAll(frontier).localCheckpoint()
+    }
+    reached
+      .groupBy("hop")
+      .agg(
+        sum(when(col("node") % 2 === 0, 1L).otherwise(0L)).as("n_customers"),
+        sum(when(col("node") % 2 === 1, 1L).otherwise(0L)).as("n_suppliers")
+      )
+      .orderBy("hop")
+  }
+
+  def supplierRank(t: Tables, iterations: Int = 3): DataFrame = {
+    require(iterations >= 1, "rank needs at least one propagation round")
+    val edges = tradingEdges(t)
     val adj = edges
       .join(edges.groupBy("src").agg(count(lit(1)).as("deg")), "src")
       .localCheckpoint() // computed once; rounds must not replay the fact join

@@ -494,6 +494,129 @@ class TemporalSpec extends SparkSpecBase {
     assert(got.forall(_.getAs[Double]("revenue") == best))
   }
 
+  test("audience overlap equals brute-force set intersections, one reused exchange") {
+    val byUser = tables.events
+      .select(col("user_id"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .distinct
+    val byType = byUser.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    val types  = byType.keys.toSeq.sorted
+    val expected = (for {
+      i <- types.indices
+      j <- i + 1 until types.length
+      n = (byType(types(i)) & byType(types(j))).size if n > 0
+    } yield (types(i), types(j)) -> n.toLong).toMap
+    val df  = graft.operators.EventOps.audienceOverlap(tables)
+    val got = df.collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == expected, s"${got.size} pairs vs ${expected.size}")
+    assert(got.nonEmpty)
+    // both legs of the self-join come from ONE distinct (user, type) exchange
+    assert(executedPlanString(df).contains("ReusedExchange"), "postings exchange not reused")
+  }
+
+  test("scd2 intervals are contiguous, change at every boundary, and cover every event") {
+    def us(t: java.sql.Timestamp): Long =
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000
+    val ivs = graft.operators.EventOps.scd2History(tables)
+      .collect()
+      .map(r =>
+        (r.getLong(0), r.getString(1), us(r.getTimestamp(2)),
+          if (r.isNullAt(3)) Long.MaxValue else r.getLong(3)))
+      .groupBy(_._1)
+    val evts = tables.events
+      .select(col("user_id"), col("ts"), col("event_type"), col("event_id"))
+      .collect()
+      .map(r => (r.getLong(0), us(r.getTimestamp(1)), r.getString(2), r.getLong(3)))
+    assert(ivs.nonEmpty)
+    for ((_, rows) <- ivs) {
+      val sorted = rows.sortBy(_._3)
+      // contiguous: each interval closes exactly where the next opens; last open
+      for (Array(a, b) <- sorted.sliding(2).map(_.toArray)) {
+        assert(a._4 == b._3, "gap or overlap between consecutive intervals")
+        assert(a._2 != b._2, "consecutive intervals with unchanged attribute")
+      }
+      assert(sorted.last._4 == Long.MaxValue, "newest interval must be open")
+    }
+    // point-in-time correctness: each event's type equals its covering interval's attr
+    for ((u, ts, tpe, _) <- evts) {
+      val cover = ivs(u).filter(iv => iv._3 <= ts && ts < iv._4)
+      assert(cover.length == 1, s"event at $ts covered by ${cover.length} intervals")
+      assert(cover.head._2 == tpe)
+    }
+    // first interval opens at the user's first event
+    val firstEvt = evts.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    for ((u, rows) <- ivs) assert(rows.map(_._3).min == firstEvt(u))
+  }
+
+  test("graph reach equals brute-force BFS per hop over the trading graph") {
+    val pairs = tables.lineitem
+      .join(tables.orders, col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct()
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val adj = (pairs ++ pairs.map { case (a, b) => (b, a) })
+      .groupBy(_._1)
+      .view
+      .mapValues(_.map(_._2).toSet)
+      .toMap
+    val seeds = tables.supplier
+      .filter(col("s_suppkey") % 7 === 0)
+      .collect()
+      .map(r => r.getLong(0) * 2 + 1)
+      .toSet
+    var dist     = seeds.map(_ -> 0).toMap
+    var frontier = seeds
+    for (h <- 1 to 3) {
+      frontier = frontier.flatMap(n => adj.getOrElse(n, Set.empty)).diff(dist.keySet)
+      dist ++= frontier.map(_ -> h)
+    }
+    val expected = dist.groupBy(_._2).view.mapValues { m =>
+      (m.keys.count(_ % 2 == 0).toLong, m.keys.count(_ % 2 == 1).toLong)
+    }.toMap
+    val got = graft.operators.Graph.graphReach(tables)
+      .collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(got == expected, s"hops $got vs $expected")
+    assert(got.contains(0) && got.size > 1, "BFS never left the seed set")
+  }
+
+  test("pareto frontier: exactly the non-dominated (size, price) points, counts and witnesses exact") {
+    val parts = tables.part
+      .select(col("p_partkey"), col("p_size"), col("p_retailprice"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    def dominated(s: Int, p: Double): Boolean =
+      parts.exists { case (_, s2, p2) => s2 >= s && p2 <= p && (s2 > s || p2 < p) }
+    val got = graft.operators.Analytics.paretoParts(tables)
+      .collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getLong(2), r.getLong(3)))
+    assert(got.nonEmpty)
+    for ((s, p, n, w) <- got) {
+      assert(!dominated(s, p), s"frontier point ($s, $p) is dominated")
+      val at = parts.filter { case (_, s2, p2) => s2 == s && p2 == p }
+      assert(n == at.length.toLong && w == at.map(_._1).min)
+    }
+    val nonDominated = parts.collect { case (_, s, p) if !dominated(s, p) => (s, p) }.toSet
+    assert(got.map(t => (t._1, t._2)).toSet == nonDominated, "frontier incomplete")
+  }
+
+  test("sketch rolling actives: same day grid as exact, each estimate within HLL error") {
+    val exact = graft.operators.EventOps.rollingActives(tables)
+      .collect().map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+    val est = graft.operators.EventOps.rollingActivesSketch(tables)
+      .collect().map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+    assert(est.keySet == exact.keySet, "report-day grids differ")
+    for ((d, e) <- est) {
+      val x = exact(d)
+      // lgConfigK=12 → ~1.6% RSE; small counts run in HLL sparse mode
+      // (near-exact). 5% + small absolute floor is a stable bound.
+      assert(math.abs(e - x) <= math.max(3L, x * 5 / 100), s"$d: est $e vs exact $x")
+    }
+  }
+
   test("peak concurrency equals a brute-force global sweep per day") {
     import org.apache.spark.sql.functions.col
     val gapUs = 30L * 60 * 1000000
