@@ -72,6 +72,8 @@ object SparkEntry {
     "q_scd2_history"       -> ((s, d) => EventOps.scd2History(Tables(s, d))),
     "q_pareto_parts"       -> ((s, d) => Analytics.paretoParts(Tables(s, d))),
     "q_graph_reach"        -> ((s, d) => Graph.graphReach(Tables(s, d))),
+    "q_link_prediction"    -> ((s, d) => Graph.linkPrediction(Tables(s, d))),
+    "q_sample_weighted"    -> ((s, d) => Sampling.weightedSample(Tables(s, d))),
     "q_props_extract"      -> ((s, d) => EventOps.propsExtract(Tables(s, d))),
     "q_csv_roundtrip"      -> ((s, d) => Ingest.csvRoundtrip(Tables(s, d))),
     "q_jsonl_roundtrip"    -> ((s, d) => Ingest.jsonlRoundtrip(Tables(s, d))),
@@ -498,6 +500,29 @@ object SparkEntry {
         |SELECT hop, CAST(sum(CASE WHEN node % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_customers,
         |  CAST(sum(CASE WHEN node % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_suppliers
         |FROM md GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_link_prediction" -> // common-neighbor scores for non-adjacent pairs, hub centers excluded
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem WHERE l_quantity >= 45),
+        |e AS (SELECT DISTINCT x.p AS a, y.p AS b FROM li x JOIN li y ON x.o = y.o AND x.p < y.p),
+        |sym AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+        |deg AS (SELECT a, count(*) AS d FROM sym GROUP BY 1),
+        |nb AS (SELECT s.a AS center, s.b AS nbr FROM sym s JOIN deg ON s.a = deg.a
+        |       WHERE deg.d <= 64),
+        |sc AS (
+        |  SELECT x.nbr AS a, y.nbr AS b, count(*) AS common_neighbors
+        |  FROM nb x JOIN nb y ON x.center = y.center AND x.nbr < y.nbr
+        |  GROUP BY 1, 2)
+        |SELECT a, b, common_neighbors FROM sc
+        |WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.a = sc.a AND e.b = sc.b)
+        |ORDER BY common_neighbors DESC, a, b LIMIT 20""".stripMargin,
+    "q_sample_weighted" -> // size-weighted Bernoulli draw: 60-bit hash vs cross-multiplied integers
+      """WITH tot AS (SELECT sum(n_chars) AS total_chars FROM documents)
+        |SELECT doc_id, source, n_chars
+        |FROM documents, tot
+        |WHERE CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS HUGEINT)
+        |        * total_chars
+        |      < 100 * CAST(n_chars AS HUGEINT) * CAST(1152921504606846976 AS HUGEINT)
+        |ORDER BY doc_id""".stripMargin,
     "q_peak_concurrency" -> // sweep-line daily peak: carry_in + max within-day running delta
       """WITH o AS (
         |  SELECT user_id, ts,

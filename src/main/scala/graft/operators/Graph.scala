@@ -53,16 +53,67 @@ object Graph {
     * and closure check are plain keyed shuffles, and the per-corner
     * attribution is one explode + partial-agg'd count.
     */
-  def triangleCounts(t: Tables, minQty: Int = 45): DataFrame = {
+  /** Heavy co-purchase edges: parts adjacent when some order holds
+    * both at `l_quantity >= minQty`; canonical a < b, distinct. The
+    * per-order pair join is shuffle_hash-hinted so both legs share
+    * one exchange. Shared by triangleCounts and linkPrediction.
+    */
+  private def heavyEdges(t: Tables, minQty: Int): DataFrame = {
     val li = t.lineitem
       .filter(col("l_quantity") >= minQty)
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
       .distinct()
-    val e = li
-      .as("x")
+    li.as("x")
       .join(li.as("y").hint("shuffle_hash"), col("x.o") === col("y.o") && col("x.p") < col("y.p"))
       .select(col("x.p").as("a"), col("y.p").as("b"))
       .distinct()
+  }
+
+  /** B71: common-neighbor link prediction — the "bought together with
+    * the same things, never together themselves" recommendation: for
+    * every NON-adjacent part pair, count shared co-purchase
+    * neighbors, report the strongest `topN` pairs. The wedge
+    * enumeration is the Σdeg² center blowup (B62's skew story in its
+    * rawest form — here wedges are wanted, so degree orientation
+    * doesn't apply); the standard fix IS the semantic one: hub
+    * centers (degree > `maxDeg`) carry no signal for link prediction
+    * (co-occurring through a part that everything co-occurs with
+    * means nothing), so they are EXCLUDED by rule, which
+    * simultaneously bounds per-center wedge work at C(maxDeg, 2) —
+    * the df-cap discipline (C2b) as a first-class model parameter,
+    * not an approximation: the cap is part of the operator's
+    * definition, so the oracle applies the same rule and the result
+    * is exact.
+    *
+    * One exchange on the center key (both adjacency legs
+    * shuffle_hash-hinted → ReusedExchange), partial-agg'd pair
+    * counts, LEFT ANTI against the edge list to drop existing edges,
+    * TakeOrdered for the top-N ((score desc, a, b) is a total order —
+    * deterministic at the cut).
+    */
+  def linkPrediction(t: Tables, minQty: Int = 45, maxDeg: Int = 64, topN: Int = 20): DataFrame = {
+    val e   = heavyEdges(t, minQty)
+    val sym = e.unionAll(e.select(col("b").as("a"), col("a").as("b")))
+    val deg = sym.groupBy("a").agg(count(lit(1)).as("d"))
+    val nb = sym
+      .join(deg.filter(col("d") <= maxDeg).select(col("a").as("c")), col("a") === col("c"))
+      .select(col("a").as("center"), col("b").as("nbr"))
+    val scores = nb
+      .as("x")
+      .join(
+        nb.as("y").hint("shuffle_hash"),
+        col("x.center") === col("y.center") && col("x.nbr") < col("y.nbr"))
+      .select(col("x.nbr").as("a"), col("y.nbr").as("b"))
+      .groupBy("a", "b")
+      .agg(count(lit(1)).as("common_neighbors"))
+    scores
+      .join(e, Seq("a", "b"), "left_anti")
+      .orderBy(col("common_neighbors").desc, col("a"), col("b"))
+      .limit(topN)
+  }
+
+  def triangleCounts(t: Tables, minQty: Int = 45): DataFrame = {
+    val e = heavyEdges(t, minQty)
     val deg = e
       .select(col("a").as("n"))
       .unionAll(e.select(col("b").as("n")))

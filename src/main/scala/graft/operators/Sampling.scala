@@ -222,4 +222,36 @@ object Sampling {
       .select("doc_id", "lang", "rnk", "target")
       .orderBy("doc_id")
   }
+
+  /** C44: size-weighted Bernoulli sampling — each doc kept with
+    * probability ∝ its n_chars (expected `targetDocs` draws), the
+    * importance-sampling knob (keep long docs preferentially without
+    * a hard gate) that uniform hash sampling (C17) and hard quotas
+    * (C28) can't express.
+    *
+    * The draw must stay a pure row function (repartition-stable,
+    * engine-portable), so the acceptance test is INTEGER: a 60-bit
+    * md5 slice `h` accepts iff h · Σchars < target · n_chars · 2⁶⁰,
+    * cross-multiplied in Decimal(38,0) (≤10²⁷ here — no float, no
+    * division, bit-exact in any engine; the float form `h/2⁶⁰ < p`
+    * would put boundary docs on different sides per engine). Map-only
+    * over the scan plus one broadcast single-row total; scan speed at
+    * any corpus size. Docs with p ≥ 1 (n_chars ≥ Σ/target) are always
+    * kept — the compare form needs no min().
+    */
+  def weightedSample(t: Tables, targetDocs: Int = 100): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec   = DecimalType(38, 0)
+    val h60   = conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10).cast(dec)
+    val pow60 = lit(1152921504606846976L).cast(dec) // 2^60
+    val total = t.documents.agg(sum(col("n_chars")).as("total_chars"))
+    t.documents
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .crossJoin(broadcast(total))
+      .filter(
+        h60 * col("total_chars").cast(dec) <
+          lit(targetDocs).cast(dec) * col("n_chars").cast(dec) * pow60)
+      .select("doc_id", "source", "n_chars")
+      .orderBy("doc_id")
+  }
 }

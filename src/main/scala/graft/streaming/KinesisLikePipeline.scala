@@ -341,6 +341,79 @@ object KinesisLikePipeline {
   /** One live heavy-hitter verdict row. */
   final case class HeavyHitterOut(event_type: String, epoch: Long, user_id: Long, n_events: Long)
 
+  /** One per-user feature snapshot after a batch: total events seen and
+    * the last-k values (cents, most recent first).
+    */
+  final case class RecentFeatOut(user_id: Long, epoch: Long, n_seen: Long, recent: Seq[Long])
+
+  /** C45: online last-k feature buffer on the LISTSTATE primitive —
+    * the third transformWithState state shape alongside ValueState
+    * (A10g's session record) and MapState (B59b's counter map): per
+    * user, the rolling "last 3 transaction values" feature every
+    * online feature store serves. ListState is the right container
+    * because the hot path is APPEND (RocksDB list merge per input
+    * row — no read-modify-write of the whole buffer the way a
+    * ValueState[Seq] would serialize); the k-trim touches the list
+    * only once per batch per key, bounded by k + that batch's rows.
+    * Rows are time-ordered WITHIN each batch before appending (multi-
+    * shard arrival order inside a batch is not meaningful); across
+    * batches the buffer keeps arrival order — the at-ingest contract
+    * of a live feature buffer. Emits one snapshot per active user per
+    * batch, epoch-stamped like the heavy-hitter monitor.
+    */
+  class RecentBufferProcessor(k: Int = 3)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Long, Long), RecentFeatOut] {
+    import org.apache.spark.sql.streaming.{ListState, TimeMode, TTLConfig, ValueState}
+    import org.apache.spark.sql.{Encoders => Encs}
+
+    @transient private var buf: ListState[(Long, Long)] = _ // (tsUs, cents)
+    @transient private var seen: ValueState[Long]       = _
+    @transient private var epoch: ValueState[Long]      = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      buf = getHandle.getListState[(Long, Long)](
+        "buf", Encs.tuple(Encs.scalaLong, Encs.scalaLong), TTLConfig.NONE)
+      seen = getHandle.getValueState[Long]("seen", Encs.scalaLong, TTLConfig.NONE)
+      epoch = getHandle.getValueState[Long]("epoch", Encs.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(
+        userId: Long,
+        in: Iterator[(Long, Long, Long)],
+        timerValues: org.apache.spark.sql.streaming.TimerValues
+    ): Iterator[RecentFeatOut] = {
+      val rows = in.toArray.sortBy(_._2) // time order within the batch
+      rows.foreach { case (_, tsUs, cents) => buf.appendValue((tsUs, cents)) }
+      val all = buf.get().toArray
+      if (all.length > k) buf.put(all.takeRight(k))
+      val n = (if (seen.exists()) seen.get() else 0L) + rows.length
+      seen.update(n)
+      val e = (if (epoch.exists()) epoch.get() else 0L) + 1L
+      epoch.update(e)
+      Iterator.single(
+        RecentFeatOut(userId, e, n, all.takeRight(k).reverseIterator.map(_._2).toSeq))
+    }
+  }
+
+  /** [[RecentBufferProcessor]] wired to a stream of
+    * (user_id, ts_us, cents).
+    */
+  def recentFeatureBuffer(events: DataFrame, k: Int = 3): Dataset[RecentFeatOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    events
+      .selectExpr("user_id", "ts_us", "cents")
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(
+        new RecentBufferProcessor(k),
+        TimeMode.None(),
+        OutputMode.Append()
+      )
+  }
+
   /** B59's streaming twin — a live skew MONITOR on the MapState
     * primitive: per event_type, a map of per-user running counts
     * (RocksDB-backed — the state the 100 TB/day path holds is user-

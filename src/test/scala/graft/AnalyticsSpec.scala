@@ -482,6 +482,73 @@ class AnalyticsSpec extends SparkSpecBase {
     assert(got.nonEmpty && got.valuesIterator.forall(_ >= 150000L))
   }
 
+  test("link prediction equals brute force; hub cap bounds wedge centers") {
+    import org.apache.spark.sql.functions._
+    val li = tables.lineitem
+      .filter(col("l_quantity") >= 45)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .distinct()
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val edges = li
+      .groupBy(_._1)
+      .values
+      .flatMap { grp =>
+        val ps = grp.map(_._2).distinct.sorted
+        for (i <- ps.indices; j <- i + 1 until ps.length) yield (ps(i), ps(j))
+      }
+      .toSet
+    val adjAll = (edges.toSeq ++ edges.toSeq.map { case (a, b) => (b, a) })
+      .groupBy(_._1)
+      .view
+      .mapValues(_.map(_._2).toSet)
+      .toMap
+    def expectedTop(maxDeg: Int, topN: Int): Seq[(Long, Long, Long)] = {
+      val scores = scala.collection.mutable.Map.empty[(Long, Long), Long].withDefaultValue(0L)
+      for ((c, nbrs) <- adjAll if nbrs.size <= maxDeg; s <- nbrs.toSeq.sorted) {
+        for (t2 <- nbrs.toSeq.sorted if s < t2) scores((s, t2)) += 1
+      }
+      scores.toSeq
+        .collect { case ((a, b), n) if !edges((a, b)) => (a, b, n) }
+        .sortBy { case (a, b, n) => (-n, a, b) }
+        .take(topN)
+    }
+    for (cap <- Seq(64, 2)) {
+      val got = graft.operators.Graph.linkPrediction(tables, maxDeg = cap)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSeq
+      assert(got == expectedTop(cap, 20), s"cap $cap mismatch")
+    }
+    assert(graft.operators.Graph.linkPrediction(tables).collect().nonEmpty)
+  }
+
+  test("weighted sample equals exact integer acceptance, and prefers long docs") {
+    import org.apache.spark.sql.functions._
+    val docs = tables.documents
+      .select(col("doc_id"), col("n_chars"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val total = docs.map(_._2).sum
+    val md    = java.security.MessageDigest.getInstance("MD5")
+    def h60(id: Long): BigInt = {
+      val hex = md.digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      BigInt(hex.substring(0, 15), 16)
+    }
+    val expected = docs.collect {
+      case (id, n) if h60(id) * BigInt(total) < BigInt(100) * BigInt(n) * BigInt(2).pow(60) => id
+    }.toSet
+    val got = graft.operators.Sampling.weightedSample(tables)
+      .collect()
+      .map(_.getLong(0))
+      .toSet
+    assert(got == expected, s"${got.size} kept vs ${expected.size} expected")
+    assert(got.nonEmpty && got.size < docs.length, "sample should be a proper subset")
+    // weighting bias: mean length of kept docs exceeds the corpus mean
+    val byId = docs.toMap
+    assert(got.map(byId).sum * docs.length > total * got.size, "no length bias — weighting broken")
+  }
+
   test("triangle counts equal the brute-force enumeration (degree orientation exact)") {
     import org.apache.spark.sql.functions._
     // brute-force ground truth from the same heavy co-purchase edges

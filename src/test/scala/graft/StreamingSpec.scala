@@ -336,6 +336,49 @@ class StreamingSpec extends SparkSpecBase {
     }
   }
 
+  test("feature buffer: ListState appends across batches, trims to last-k (RocksDB)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    )
+    try {
+      val in  = MemoryStream[(Long, Long, Long)]
+      val out = KinesisLikePipeline.recentFeatureBuffer(
+        in.toDF().toDF("user_id", "ts_us", "cents"))
+      val q = out.writeStream
+        .outputMode(OutputMode.Append)
+        .format("memory")
+        .queryName("feat_out")
+        .option("checkpointLocation", ckpt())
+        .start()
+      // batch 1: user 1 gets two values out of time order (30 before 10)
+      in.addData((1L, 30L, 300L), (1L, 10L, 100L), (2L, 5L, 50L))
+      q.processAllAvailable()
+      // batch 2: two more for user 1 — the 4-value history must trim
+      // to the last 3, which only works if batch-1 state persisted
+      in.addData((1L, 40L, 400L), (1L, 50L, 500L))
+      q.processAllAvailable()
+      val rows = spark.table("feat_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getSeq[Long](3)))
+      q.stop()
+      // epoch 1: batch rows were time-sorted before appending
+      assert(rows.contains((1L, 1L, 2L, Seq(300L, 100L))), s"epoch1 u1: ${rows.toSeq}")
+      assert(rows.contains((2L, 1L, 1L, Seq(50L))))
+      // epoch 2: n_seen counts ALL 4 events, buffer holds only the last 3
+      assert(rows.contains((1L, 2L, 4L, Seq(500L, 400L, 300L))), s"epoch2 u1: ${rows.toSeq}")
+      // user 2 idle in batch 2: no new snapshot
+      assert(rows.count(_._1 == 2L) == 1)
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None    => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming admission: stream-static probe of the base index, stateless across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
