@@ -69,6 +69,8 @@ object SparkEntry {
     "q_user_signatures"    -> ((s, d) => Analytics.userSignatures(Tables(s, d))),
     "q_audience_overlap"   -> ((s, d) => EventOps.audienceOverlap(Tables(s, d))),
     "q_rolling_actives_sketch" -> ((s, d) => EventOps.rollingActivesSketch(Tables(s, d))),
+    "q_session_paths"      -> ((s, d) => EventOps.sessionPaths(Tables(s, d))),
+    "q_rfm_segments"       -> ((s, d) => Analytics.rfmSegments(Tables(s, d))),
     "q_scd2_history"       -> ((s, d) => EventOps.scd2History(Tables(s, d))),
     "q_pareto_parts"       -> ((s, d) => Analytics.paretoParts(Tables(s, d))),
     "q_graph_reach"        -> ((s, d) => Graph.graphReach(Tables(s, d))),
@@ -500,6 +502,52 @@ object SparkEntry {
         |SELECT hop, CAST(sum(CASE WHEN node % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_customers,
         |  CAST(sum(CASE WHEN node % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_suppliers
         |FROM md GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_rfm_segments" -> // RFM quartile segments: three broadcast-cutpoint scorings in one pass
+      """WITH p AS (
+        |  SELECT user_id, max(ts) AS last_ts, count(*) AS freq,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS mon
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |mx AS (SELECT max(last_ts) AS mts FROM p),
+        |u AS (
+        |  SELECT user_id,
+        |    CAST(date_diff('day', CAST(last_ts AS DATE), CAST(mts AS DATE)) AS BIGINT) AS rec_days,
+        |    freq, mon
+        |  FROM p, mx),
+        |c AS (
+        |  SELECT quantile_cont(rec_days, [0.25,0.5,0.75]) AS rc,
+        |    quantile_cont(freq, [0.25,0.5,0.75]) AS fc,
+        |    quantile_cont(mon, [0.25,0.5,0.75]) AS mc
+        |  FROM u),
+        |s AS (
+        |  SELECT 'R' || CAST(1 + len(list_filter(c.rc, x -> u.rec_days > x)) AS VARCHAR)
+        |      || 'F' || CAST(1 + len(list_filter(c.fc, x -> u.freq > x)) AS VARCHAR)
+        |      || 'M' || CAST(1 + len(list_filter(c.mc, x -> u.mon > x)) AS VARCHAR) AS segment,
+        |    u.mon AS mon
+        |  FROM u, c)
+        |SELECT segment, count(*) AS n_users,
+        |  CAST(sum(CAST(mon AS DECIMAL(18,2))) AS DOUBLE) AS segment_value
+        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_session_paths" -> // ordered journey paths per gap session, first 5 steps, histogrammed
+      """WITH o AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |           OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |              >= INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM events),
+        |s AS (
+        |  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                           ROWS UNBOUNDED PRECEDING) AS gsid
+        |  FROM o),
+        |r AS (
+        |  SELECT user_id, gsid, event_type, ts, event_id,
+        |    row_number() OVER (PARTITION BY user_id, gsid ORDER BY ts, event_id) AS rk
+        |  FROM s),
+        |p AS (
+        |  SELECT user_id, gsid,
+        |    string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+        |  FROM r WHERE rk <= 5 GROUP BY 1, 2)
+        |SELECT path, count(*) AS n_sessions FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_link_prediction" -> // common-neighbor scores for non-adjacent pairs, hub centers excluded
       """WITH li AS (
         |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem WHERE l_quantity >= 45),

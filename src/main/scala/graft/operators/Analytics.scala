@@ -573,6 +573,55 @@ object Analytics {
       .orderBy("decile")
   }
 
+  /** B73: RFM segmentation — each purchasing user scored into
+    * quartiles on Recency (days since last purchase, against the
+    * corpus's last day), Frequency (purchase count) and Monetary
+    * (decimal-summed value), concatenated to the classic "R2F4M3"
+    * segment label and histogrammed — the marketing-segmentation
+    * report, three B28 equi-depth scorings composed in ONE pass.
+    *
+    * Same scale shape as B28: one keyed shuffle to the per-user
+    * aggregate, cutpoints from one tiny aggregate broadcast back,
+    * quartile = 1 + #(cutpoints strictly below) via a 3-element fold
+    * (no window, no global sort anywhere — PlanSpec's B28 guarantee
+    * holds here too). All three dimensions score high-value-high by
+    * the same rule (recency is days-since, so R4 = longest idle);
+    * the final rollup is ≤ 4³ rows at any scale.
+    */
+  def rfmSegments(t: Tables): DataFrame = {
+    val perUser = t.events
+      .filter(col("event_type") === "purchase")
+      .groupBy("user_id")
+      .agg(
+        max(col("ts")).as("last_ts"),
+        count(lit(1)).as("freq"),
+        Num.moneySum(col("value")).as("mon"))
+    val corpusEnd = perUser.agg(max("last_ts").as("mts"))
+    val u = perUser
+      .crossJoin(broadcast(corpusEnd))
+      .select(
+        col("user_id"),
+        datediff(col("mts").cast("date"), col("last_ts").cast("date")).cast("long").as("rec_days"),
+        col("freq"),
+        col("mon"))
+    val cuts = u.agg(
+      expr("percentile(rec_days, array(0.25,0.5,0.75))").as("rc"),
+      expr("percentile(freq, array(0.25,0.5,0.75))").as("fc"),
+      expr("percentile(mon, array(0.25,0.5,0.75))").as("mc"))
+    def score(v: String, c: String) =
+      expr(s"1 + aggregate($c, 0, (acc, x) -> acc + CASE WHEN $v > x THEN 1 ELSE 0 END)")
+    u.crossJoin(broadcast(cuts))
+      .select(
+        concat(
+          lit("R"), score("rec_days", "rc"),
+          lit("F"), score("freq", "fc"),
+          lit("M"), score("mon", "mc")).as("segment"),
+        col("mon"))
+      .groupBy("segment")
+      .agg(count(lit(1)).as("n_users"), Num.moneySum(col("mon")).as("segment_value"))
+      .orderBy("segment")
+  }
+
   /** B26: daily revenue with a running cumulative per type — the
     * window-on-aggregate pattern: the raw fact collapses to a tiny
     * (days × types) grid FIRST (partial-agg'd shuffle), and only the

@@ -213,6 +213,49 @@ object EventOps {
       .orderBy("report_day")
   }
 
+  /** B72: session journey paths — the ordered event-type path of each
+    * gap session (first `maxLen` steps, '>'-joined) histogrammed over
+    * the corpus: the clickstream "top user journeys" report, the
+    * ORDERED counterpart of both the transition matrix (B29, first-
+    * order only) and the signature histogram (B66, order-blind).
+    *
+    * Ordered grouped concatenation IS hash-gateable when the order is
+    * a total one: collect_list gathers structs in ANY partition order
+    * (partial-aggregable), `array_sort` imposes the (ts, event_id)
+    * total order exactly once per group, and the projection joins the
+    * sorted field — the order-safe form of DuckDB's
+    * `string_agg(... ORDER BY)`. Sessionization and the in-session
+    * rank both run as running frames over the SAME user_id
+    * partitioning (cappedSessions' carry trick: rank-in-session =
+    * row_number − row_number-at-session-start, no composite-key
+    * re-shuffle), so the whole operator is ONE wide shuffle plus two
+    * shrinking rollups (sessions, then distinct paths ≤ typesᵐᵃˣᴸᵉⁿ).
+    */
+  def sessionPaths(t: Tables, gapMinutes: Int = 30, maxLen: Int = 5): DataFrame = {
+    val byUser  = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val running = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val gapUs   = gapMinutes * 60L * 1000000L
+    t.events
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("brk",
+        when(lag("us", 1).over(byUser).isNull || col("us") - lag("us", 1).over(byUser) >= gapUs,
+          lit(1L)).otherwise(lit(0L)))
+      .withColumn("gsid", sum("brk").over(running))
+      .withColumn("rn", row_number().over(byUser))
+      .withColumn("start_rn",
+        last(when(col("brk") === 1L, col("rn")), ignoreNulls = true).over(running))
+      .filter(col("rn") - col("start_rn") < maxLen)
+      .groupBy("user_id", "gsid")
+      .agg(
+        array_join(
+          expr("transform(array_sort(collect_list(struct(us, event_id, event_type))), x -> x.event_type)"),
+          ">").as("path"))
+      .groupBy("path")
+      .agg(count(lit(1)).as("n_sessions"))
+      .orderBy("path")
+  }
+
   /** B30b: sketch-state rolling actives — the 100 TB architecture for
     * B30's curve: one HLL sketch per DAY (Spark's DataSketches
     * `hll_sketch_agg`, a mergeable TypedImperativeAggregate that

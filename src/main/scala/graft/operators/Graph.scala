@@ -186,7 +186,9 @@ object Graph {
         .join(reached.select(col("node").as("seen")), col("node") === col("seen"), "left_anti")
         .select(col("node"), lit(h).as("hop"))
         .localCheckpoint()
-      reached = reached.unionAll(frontier).localCheckpoint()
+      // reached is a union of already-materialized frontiers — no
+      // checkpoint of its own (one job less per round)
+      reached = reached.unionAll(frontier)
     }
     reached
       .groupBy("hop")

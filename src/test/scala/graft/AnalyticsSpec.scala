@@ -482,6 +482,52 @@ class AnalyticsSpec extends SparkSpecBase {
     assert(got.nonEmpty && got.valuesIterator.forall(_ >= 150000L))
   }
 
+  test("rfm segments equal a local replay; no window in the plan") {
+    import org.apache.spark.sql.functions._
+    def us(t: java.sql.Timestamp): Long = Math.floorDiv(t.getTime, 1000L)
+    val purchases = tables.events
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), BigDecimal(r.getDouble(2)).setScale(2, BigDecimal.RoundingMode.HALF_UP)))
+    val perUser = purchases.groupBy(_._1).map { case (u, rows) =>
+      val last = rows.map(_._2).maxBy(t => (us(t), t.getNanos))
+      (u, last, rows.length.toLong, rows.map(_._3).sum.toDouble)
+    }.toSeq
+    val maxDay = perUser.map(_._2).maxBy(t => (us(t), t.getNanos)).toLocalDateTime.toLocalDate
+    val users = perUser.map { case (u, last, f, m) =>
+      (u, java.time.temporal.ChronoUnit.DAYS.between(last.toLocalDateTime.toLocalDate, maxDay), f, m)
+    }
+    def quart(vs: Seq[Double]): Seq[Double] = {
+      val s = vs.sorted
+      Seq(0.25, 0.5, 0.75).map { q =>
+        val pos  = q * (s.length - 1)
+        val lo   = pos.toInt
+        val frac = pos - lo
+        // mirror the engines' interpolation form: lo + (hi - lo) * frac
+        if (lo + 1 < s.length) s(lo) + (s(lo + 1) - s(lo)) * frac else s(lo)
+      }
+    }
+    val rc = quart(users.map(_._2.toDouble))
+    val fc = quart(users.map(_._3.toDouble))
+    val mc = quart(users.map(_._4))
+    def sc(v: Double, c: Seq[Double]) = 1 + c.count(v > _)
+    val expected = users
+      .groupBy { case (_, r, f, m) =>
+        s"R${sc(r.toDouble, rc)}F${sc(f.toDouble, fc)}M${sc(m, mc)}"
+      }
+      .map { case (seg, rows) =>
+        seg -> (rows.length.toLong,
+          rows.map(r => BigDecimal(r._4).setScale(2, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble)
+      }
+    val df  = graft.operators.Analytics.rfmSegments(tables)
+    val got = df.collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got == expected, s"${got.size} segments vs ${expected.size}")
+    assert(got.keysIterator.forall(_.matches("R[1-4]F[1-4]M[1-4]")))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "RFM must not plan a window")
+  }
+
   test("link prediction equals brute force; hub cap bounds wedge centers") {
     import org.apache.spark.sql.functions._
     val li = tables.lineitem

@@ -603,6 +603,32 @@ class TemporalSpec extends SparkSpecBase {
     assert(got.map(t => (t._1, t._2)).toSet == nonDominated, "frontier incomplete")
   }
 
+  test("session paths equal a local replay of gap-split ordered journeys") {
+    def us(t: java.sql.Timestamp): Long =
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000
+    val gapUs = 30L * 60 * 1000000
+    val evts = tables.events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), us(r.getTimestamp(1)), r.getLong(2), r.getString(3)))
+    val paths = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    for ((_, grp) <- evts.groupBy(_._1)) {
+      val sorted   = grp.sortBy(e => (e._2, e._3))
+      val sessions = scala.collection.mutable.ArrayBuffer(scala.collection.mutable.ArrayBuffer(sorted.head))
+      for (Array(prev, cur) <- sorted.sliding(2).map(_.toArray)) {
+        if (cur._2 - prev._2 >= gapUs) sessions += scala.collection.mutable.ArrayBuffer(cur)
+        else sessions.last += cur
+      }
+      for (s <- sessions) paths(s.take(5).map(_._4).mkString(">")) += 1L
+    }
+    val got = graft.operators.EventOps.sessionPaths(tables)
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .toMap
+    assert(got == paths.toMap, s"${got.size} paths vs ${paths.size} expected")
+    assert(got.nonEmpty && got.keysIterator.exists(_.contains(">")))
+  }
+
   test("sketch rolling actives: same day grid as exact, each estimate within HLL error") {
     val exact = graft.operators.EventOps.rollingActives(tables)
       .collect().map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
