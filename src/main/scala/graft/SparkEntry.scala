@@ -44,6 +44,9 @@ object SparkEntry {
     "q_spj_store" -> ((s, d) =>
       Joins.spjStoreJoin(Tables(spjSession(s), d),
         s"${System.getProperty("java.io.tmpdir")}/graft-spjstore")),
+    "q_store_runtime_prune" -> ((s, d) =>
+      Joins.storeRuntimePrunedJoin(Tables(s, d),
+        s"${System.getProperty("java.io.tmpdir")}/graft-rtprunestore")),
     "q_bucketed_join" -> ((s, d) =>
       Joins.bucketedJoin(Tables(s, d), s"${System.getProperty("java.io.tmpdir")}/graft-warehouse")),
     "q_event_pivot"        -> ((s, d) => Analytics.eventTypePivot(Tables(s, d))),
@@ -691,6 +694,19 @@ object SparkEntry {
         |FROM events
         |WHERE event_type = 'purchase' AND user_id >= 100 AND user_id < 500
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_store_runtime_prune" -> // runtime pruning is I/O-only: values equal the store-free join
+      """WITH p AS (
+        |  SELECT printf('u%06d', user_id) AS result_key,
+        |    sum(CAST(round(value * 100) AS BIGINT)) AS purchase_cents
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+        |h AS (
+        |  SELECT printf('u%06d', user_id) AS result_key,
+        |    CAST(count(*) AS BIGINT) AS n_clicks
+        |  FROM events WHERE event_type = 'click' GROUP BY user_id
+        |  HAVING count(*) >= 17)
+        |SELECT p.result_key, p.purchase_cents, h.n_clicks
+        |FROM p JOIN h USING (result_key)
+        |ORDER BY 1""".stripMargin,
     "q_spj_store" -> // store bucketing changes the PLAN, never the values
       """WITH p AS (
         |  SELECT 'u' || CAST(user_id AS VARCHAR) AS result_key,

@@ -357,16 +357,47 @@ private[graft] class ContentStoreTable(path: String, bucketedRead: Int = 0)
 
       override def build(): Scan = new Scan
         with Batch
-        with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+        with org.apache.spark.sql.connector.read.SupportsReportStatistics
+        with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
         override def readSchema(): StructType = ContentStore.Schema
         override def toBatch: Batch           = this
+
+        /** RUNTIME file skipping — DPP for the connector: declaring
+          * `result_key` filterable lets Spark's PartitionPruning rule
+          * inject a dynamic IN-subquery when the store joins a
+          * filtered dimension on the key; at execution the engine
+          * hands the build side's actual key set to [[filter]] and
+          * re-plans input partitions, so the SAME manifest side stats
+          * that serve planning-time bounds (B65) now prune against
+          * keys only known at runtime. Values can't change — runtime
+          * filters, like pushed ones, stay residual (Spark re-applies
+          * the join itself); only I/O shrinks. In-values arrive as
+          * external Strings (translateRuntimeFilter converts), but
+          * normalize defensively.
+          */
+        private var runtimeFilters: Array[Filter] = Array.empty
+        override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+          Array(Expressions.column("result_key"))
+        override def filter(filters: Array[Filter]): Unit = {
+          def norm(f: Filter): Filter = f match {
+            case In("result_key", vs) =>
+              In("result_key", vs.map {
+                case u: UTF8String => u.toString
+                case other         => other
+              })
+            case other => other
+          }
+          runtimeFilters = filters.map(norm).filter(prunable)
+        }
+
         private def survivingFiles(): Seq[String] = {
+          val effective = pruning ++ runtimeFilters
           val names = pinnedManifests.getOrElse(ContentStore.manifestNames(path, conf.value))
           names.flatMap { m =>
             val stats = ContentStore.statsForManifest(path, m, conf.value)
             ContentStore.filesInManifest(path, m, conf.value).filter { f =>
               stats.get(f) match {
-                case Some((mn, mx)) => pruning.forall(mayMatch(_, mn, mx))
+                case Some((mn, mx)) => effective.forall(mayMatch(_, mn, mx))
                 case None           => true
               }
             }

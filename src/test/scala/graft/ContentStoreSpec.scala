@@ -502,6 +502,48 @@ class ContentStoreSpec extends SparkSpecBase {
     assert(store.count() == 400)
   }
 
+  test("runtime filters prune files: API prunes to the covering subset, DPP reaches the scan") {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    import spark.implicits._
+    val dir = tmp()
+    (1 to 400).map(i => (f"k$i%04d", s"v$i")).toDF("result_key", "payload")
+      .repartitionByRange(4, col("result_key"))
+      .write.format("graft.sources.ContentStore").option("path", dir).mode("append").save()
+    // API level: a runtime IN-filter must re-plan to only covering files
+    val table = new graft.sources.ContentStoreTable(dir)
+    val scan = table
+      .newScanBuilder(new org.apache.spark.sql.util.CaseInsensitiveStringMap(java.util.Map.of()))
+      .build()
+    val rf = scan.asInstanceOf[org.apache.spark.sql.connector.read.SupportsRuntimeFiltering]
+    assert(rf.filterAttributes().map(_.describe()).toSeq == Seq("result_key"))
+    assert(scan.toBatch.planInputPartitions().length == 4)
+    rf.filter(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.In("result_key", Array("k0042", "k0043"))))
+    assert(scan.toBatch.planInputPartitions().length == 1,
+      "two same-range runtime keys must prune to the one covering file")
+    // end to end: a filtered-dim join injects a dynamic pruning
+    // subquery into the store scan (reusing the dim broadcast)
+    val store = spark.read.format("graft.sources.ContentStore").option("path", dir).load()
+    // dim must NOT be a LocalRelation: ConvertToLocalRelation would
+    // fold the Filter node away and DPP sees no selective predicate
+    val dim = spark.range(1, 401)
+      .select(org.apache.spark.sql.functions.format_string("k%04d", col("id")).as("result_key"),
+        col("id").as("grp"))
+      .filter(col("grp") >= 390)
+    val joined = store.join(broadcast(dim), Seq("result_key"))
+    assert(joined.count() == 11)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"runtime filter must reach the store scan:\n$plan")
+    // the gate query's shape (dim = aggregate + HAVING-style filter
+    // over parquet) must inject the same dynamic pruning
+    val gate     = graft.operators.Joins.storeRuntimePrunedJoin(tables, tmp())
+    val gatePlan = gate.queryExecution.executedPlan.toString
+    assert(gate.collect().nonEmpty)
+    assert(gatePlan.toLowerCase.contains("dynamicpruning"),
+      s"gate join must runtime-prune the store scan:\n$gatePlan")
+  }
+
   test("reported size statistics let the planner broadcast a small store unhinted") {
     import org.apache.spark.sql.functions.{col, concat_ws, lit}
     import spark.implicits._
