@@ -74,6 +74,7 @@ object SparkEntry {
     "q_rolling_actives_sketch" -> ((s, d) => EventOps.rollingActivesSketch(Tables(s, d))),
     "q_session_paths"      -> ((s, d) => EventOps.sessionPaths(Tables(s, d))),
     "q_rfm_segments"       -> ((s, d) => Analytics.rfmSegments(Tables(s, d))),
+    "q_join_forecast"      -> ((s, d) => Layout.joinForecast(Tables(s, d))),
     "q_scd2_history"       -> ((s, d) => EventOps.scd2History(Tables(s, d))),
     "q_pareto_parts"       -> ((s, d) => Analytics.paretoParts(Tables(s, d))),
     "q_graph_reach"        -> ((s, d) => Graph.graphReach(Tables(s, d))),
@@ -505,6 +506,18 @@ object SparkEntry {
         |SELECT hop, CAST(sum(CASE WHEN node % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_customers,
         |  CAST(sum(CASE WHEN node % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_suppliers
         |FROM md GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_join_forecast" -> // self-join output size from per-key counts alone; hot-key census
+      """WITH c AS (
+        |  SELECT user_id, count(*) AS n, count(*) * count(*) AS pairs
+        |  FROM events GROUP BY 1),
+        |s AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_keys, CAST(sum(n) AS BIGINT) AS n_rows,
+        |    CAST(sum(pairs) AS BIGINT) AS forecast_pairs, CAST(max(pairs) AS BIGINT) AS max_pairs
+        |  FROM c),
+        |h AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_max_keys, min(user_id) AS witness_key
+        |  FROM c, s WHERE c.pairs = s.max_pairs)
+        |SELECT s.*, h.* FROM s, h""".stripMargin,
     "q_rfm_segments" -> // RFM quartile segments: three broadcast-cutpoint scorings in one pass
       """WITH p AS (
         |  SELECT user_id, max(ts) AS last_ts, count(*) AS freq,

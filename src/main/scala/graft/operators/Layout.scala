@@ -209,4 +209,36 @@ object Layout {
       )
       .orderBy("event_type", "bin")
   }
+
+  /** B74: join-explosion forecast — the pre-flight audit for a
+    * self-join (or any fact⋈fact) on a candidate key: output size is
+    * EXACTLY Σₖ n(k)² rows, computable from per-key counts alone, so
+    * the 100 TB engine answers "will events⋈events on user_id
+    * explode?" from a key-histogram pass without ever running the
+    * join — the diagnostic sibling of the shard-skew audit (C31) and
+    * the skew-salting lever (B18): forecast first, salt or block the
+    * hot key second.
+    *
+    * One partial-agg'd shuffle to per-key counts, then two branches
+    * over that (key-cardinality-sized) aggregate: the global summary
+    * and the hot-key census (keys AT the max product, min-key
+    * witness) joined back via a broadcast single-row max — argmax
+    * without a sort (B38's rule). All-integer output, one row.
+    */
+  def joinForecast(t: Tables): DataFrame = {
+    val counts = t.events
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), col("n"), (col("n") * col("n")).as("pairs"))
+    val summary = counts.agg(
+      count(lit(1)).as("n_keys"),
+      sum("n").as("n_rows"),
+      sum("pairs").as("forecast_pairs"),
+      max("pairs").as("max_pairs"))
+    val hot = counts
+      .crossJoin(broadcast(summary.select(col("max_pairs").as("mp"))))
+      .filter(col("pairs") === col("mp"))
+      .agg(count(lit(1)).as("n_max_keys"), min("user_id").as("witness_key"))
+    summary.crossJoin(hot)
+  }
 }

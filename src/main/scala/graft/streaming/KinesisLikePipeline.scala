@@ -560,6 +560,25 @@ object KinesisLikePipeline {
   ): DataFrame =
     intervalJoin(left, right, keyLeft, keyRight, tsLeft, tsRight, skew, watermark, "left_outer")
 
+  /** FULL-outer interval join — completes the stream-stream join-mode
+    * matrix (inner / left / full): unmatched rows from EITHER side
+    * null-pad once the watermark proves no partner can arrive. Both
+    * sides' state is watermark-evicted, and eviction is what emits —
+    * the same correctness/delay trade as the left form, paid on both
+    * sides.
+    */
+  def intervalJoinFull(
+      left: DataFrame,
+      right: DataFrame,
+      keyLeft: String,
+      keyRight: String,
+      tsLeft: String,
+      tsRight: String,
+      skew: String = "5 minutes",
+      watermark: String = "10 minutes"
+  ): DataFrame =
+    intervalJoin(left, right, keyLeft, keyRight, tsLeft, tsRight, skew, watermark, "full_outer")
+
   /** Streaming incremental dedup — the STREAM-STATIC join form of
     * Dedup.incrementalDedup's exact arm: a stream of incoming
     * documents probes the (static, pre-built) base-corpus hash index

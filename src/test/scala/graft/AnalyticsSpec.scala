@@ -482,6 +482,22 @@ class AnalyticsSpec extends SparkSpecBase {
     assert(got.nonEmpty && got.valuesIterator.forall(_ >= 150000L))
   }
 
+  test("join forecast equals the actual self-join output size") {
+    import org.apache.spark.sql.functions._
+    val e = tables.events.select(col("user_id"), col("event_id"))
+    val actualPairs = e.as("a")
+      .join(e.as("b"), col("a.user_id") === col("b.user_id"))
+      .count()
+    val row = graft.operators.Layout.joinForecast(tables).collect().head
+    assert(row.getAs[Long]("forecast_pairs") == actualPairs,
+      "forecast must equal the real join's output size")
+    val counts = e.groupBy("user_id").count().collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(row.getAs[Long]("n_keys") == counts.length.toLong)
+    assert(row.getAs[Long]("max_pairs") == counts.map(c => c._2 * c._2).max)
+    val maxN = counts.map(_._2).max
+    assert(row.getAs[Long]("witness_key") == counts.filter(_._2 == maxN).map(_._1).min)
+  }
+
   test("rfm segments equal a local replay; no window in the plan") {
     import org.apache.spark.sql.functions._
     def us(t: java.sql.Timestamp): Long = Math.floorDiv(t.getTime, 1000L)

@@ -570,6 +570,50 @@ class StreamingSpec extends SparkSpecBase {
       "unmatched click must null-pad the view side")
   }
 
+  test("full-outer interval join null-pads unmatched rows from BOTH sides past the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Timestamp, Long)]
+    val views  = MemoryStream[(Timestamp, Long)]
+    val joined = KinesisLikePipeline.intervalJoinFull(
+      clicks.toDF().toDF("click_ts", "click_user"),
+      views.toDF().toDF("view_ts", "view_user"),
+      "click_user",
+      "view_user",
+      "click_ts",
+      "view_ts",
+      skew = "5 minutes",
+      watermark = "10 minutes"
+    )
+    val q = joined.writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory")
+      .queryName("fjoin_out")
+      .option("checkpointLocation", ckpt())
+      .start()
+    val ts = (m: Int) => Timestamp.valueOf(f"2026-01-01 00:$m%02d:00")
+    // user 1 matches; click-only user 2 and view-only user 3 do not
+    clicks.addData((ts(10), 1L), (ts(10), 2L))
+    views.addData((ts(12), 1L), (ts(12), 3L))
+    q.processAllAvailable()
+    val early = spark.table("fjoin_out").collect()
+    assert(early.length == 1 && early.head.getAs[Long]("click_user") == 1L,
+      s"only the match may emit before the horizon: ${early.mkString(",")}")
+    clicks.addData((ts(50), 9L))
+    views.addData((ts(50), 9L))
+    q.processAllAvailable()
+    val rows = spark.table("fjoin_out").collect()
+    q.stop()
+    val clickOnly = rows.filter(r => !r.isNullAt(r.fieldIndex("click_user"))
+      && r.getAs[Long]("click_user") == 2L)
+    assert(clickOnly.length == 1 && clickOnly.head.isNullAt(clickOnly.head.fieldIndex("view_user")),
+      s"click-only row must null-pad the view side: ${rows.mkString(",")}")
+    val viewOnly = rows.filter(r => !r.isNullAt(r.fieldIndex("view_user"))
+      && r.getAs[Long]("view_user") == 3L)
+    assert(viewOnly.length == 1 && viewOnly.head.isNullAt(viewOnly.head.fieldIndex("click_user")),
+      s"view-only row must null-pad the click side: ${rows.mkString(",")}")
+  }
+
   test("watermarked stream dedup drops replayed content keys across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
