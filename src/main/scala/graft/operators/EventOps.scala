@@ -213,6 +213,37 @@ object EventOps {
       .orderBy("report_day")
   }
 
+  /** B76: ingest burst dedup — collapse retry/replay bursts (same
+    * user + type within `toleranceSec`) to their EARLIEST event: the
+    * batch cleanup for at-least-once delivery where replays carry
+    * fresh event ids and slightly-shifted timestamps, so exact-key
+    * dedup (C1) and the streaming content-key dedup (C15) both miss
+    * them. A burst is a gap-based micro-session CHAIN (each kept
+    * event absorbs everything within the tolerance of its
+    * predecessor), which is exactly the sessionization kernel at a
+    * seconds-scale gap.
+    *
+    * ONE shuffle on user_id (the (user, type) grouping rides the
+    * same exchange via in-partition sort — partitionBy(user_id)
+    * alone, order by (type, ts, id)): lag gap-break per (user, type)
+    * run, keep burst openers only. Map-side after the one exchange;
+    * output = distinct-burst-sized.
+    */
+  def eventDedup(t: Tables, toleranceSec: Int = 90): DataFrame = {
+    val w     = Window.partitionBy("user_id").orderBy(col("event_type"), col("ts"), col("event_id"))
+    val tolUs = toleranceSec * 1000000L
+    t.events
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"), col("value"))
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("prev_type", lag("event_type", 1).over(w))
+      .withColumn("prev_us", lag("us", 1).over(w))
+      .filter(
+        col("prev_type").isNull || col("prev_type") =!= col("event_type") ||
+          col("us") - col("prev_us") >= tolUs)
+      .select("user_id", "event_id", "ts", "event_type", "value")
+      .orderBy("event_id")
+  }
+
   /** B72: session journey paths — the ordered event-type path of each
     * gap session (first `maxLen` steps, '>'-joined) histogrammed over
     * the corpus: the clickstream "top user journeys" report, the
