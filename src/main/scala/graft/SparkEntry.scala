@@ -73,6 +73,7 @@ object SparkEntry {
     "q_audience_overlap"   -> ((s, d) => EventOps.audienceOverlap(Tables(s, d))),
     "q_rolling_actives_sketch" -> ((s, d) => EventOps.rollingActivesSketch(Tables(s, d))),
     "q_session_paths"      -> ((s, d) => EventOps.sessionPaths(Tables(s, d))),
+    "q_event_dedup"        -> ((s, d) => EventOps.eventDedup(Tables(s, d))),
     "q_rfm_segments"       -> ((s, d) => Analytics.rfmSegments(Tables(s, d))),
     "q_join_forecast"      -> ((s, d) => Layout.joinForecast(Tables(s, d))),
     "q_scd2_history"       -> ((s, d) => EventOps.scd2History(Tables(s, d))),
@@ -564,6 +565,16 @@ object SparkEntry {
         |    string_agg(event_type, '>' ORDER BY ts, event_id) AS path
         |  FROM r WHERE rk <= 5 GROUP BY 1, 2)
         |SELECT path, count(*) AS n_sessions FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_event_dedup" -> // burst dedup: keep openers of 90s-gap chains per (user, type)
+      """WITH l AS (
+        |  SELECT user_id, event_id, ts, event_type, value,
+        |    lag(epoch_us(ts)) OVER (
+        |      PARTITION BY user_id, event_type ORDER BY ts, event_id) AS prev_us
+        |  FROM events)
+        |SELECT user_id, event_id, ts, event_type, value
+        |FROM l
+        |WHERE prev_us IS NULL OR epoch_us(ts) - prev_us >= 90000000
+        |ORDER BY event_id""".stripMargin,
     "q_link_prediction" -> // common-neighbor scores for non-adjacent pairs, hub centers excluded
       """WITH li AS (
         |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem WHERE l_quantity >= 45),
@@ -703,14 +714,14 @@ object SparkEntry {
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_store_skipping" -> // file skipping is I/O-only: values equal the store-free query
       """SELECT printf('u%06d', user_id) AS result_key,
-        |  sum(CAST(round(value * 100) AS BIGINT)) AS purchase_cents
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS purchase_cents
         |FROM events
         |WHERE event_type = 'purchase' AND user_id >= 100 AND user_id < 500
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_store_runtime_prune" -> // runtime pruning is I/O-only: values equal the store-free join
       """WITH p AS (
         |  SELECT printf('u%06d', user_id) AS result_key,
-        |    sum(CAST(round(value * 100) AS BIGINT)) AS purchase_cents
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS purchase_cents
         |  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
         |h AS (
         |  SELECT printf('u%06d', user_id) AS result_key,
@@ -723,7 +734,7 @@ object SparkEntry {
     "q_spj_store" -> // store bucketing changes the PLAN, never the values
       """WITH p AS (
         |  SELECT 'u' || CAST(user_id AS VARCHAR) AS result_key,
-        |    sum(CAST(round(value * 100) AS BIGINT)) AS purchase_cents
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS purchase_cents
         |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
         |c AS (
         |  SELECT 'u' || CAST(user_id AS VARCHAR) AS result_key,
@@ -1642,8 +1653,8 @@ object SparkEntry {
         |FROM cover GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_ship_priority" -> // TPC-H Q12-style critical-vs-routine lineitem counts per line status
       """SELECT l_linestatus,
-        |  sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS n_critical,
-        |  sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS n_routine
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS n_critical,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS n_routine
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_custdist" -> // TPC-H Q13-style order-count histogram incl. zero-order customers
@@ -1679,7 +1690,8 @@ object SparkEntry {
         |u1 AS (SELECT w1 AS w, sum(c) AS c_first FROM pr WHERE w1 IS NOT NULL GROUP BY 1),
         |u2 AS (SELECT w2 AS w, sum(c) AS c_second FROM pr WHERE w2 IS NOT NULL GROUP BY 1),
         |tot AS (SELECT sum(c) AS n_tokens FROM pr WHERE w1 IS NOT NULL)
-        |SELECT w1, w2, c AS n_pair, c_first AS n_first, c_second AS n_second
+        |SELECT w1, w2, c AS n_pair,
+        |  CAST(c_first AS BIGINT) AS n_first, CAST(c_second AS BIGINT) AS n_second
         |FROM pr, tot
         |JOIN u1 ON w1 = u1.w JOIN u2 ON w2 = u2.w
         |WHERE w1 IS NOT NULL AND w2 IS NOT NULL AND c >= 5
@@ -1961,7 +1973,7 @@ object SparkEntry {
         |  SELECT label, unnest(embedding) AS e, generate_subscripts(embedding, 1) AS i
         |  FROM embeddings)
         |SELECT label, CAST(i - 1 AS BIGINT) AS dim,
-        |  sum(CAST(round(CAST(e AS DOUBLE) * 10000) AS BIGINT)) AS sum_q,
+        |  CAST(sum(CAST(round(CAST(e AS DOUBLE) * 10000) AS BIGINT)) AS BIGINT) AS sum_q,
         |  count(*) AS n_vecs
         |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_partitioned_layout" -> // partition-pruned slice must equal the direct query
@@ -2077,7 +2089,7 @@ object SparkEntry {
         |       FROM adj JOIN r1 ON adj.src = r1.node GROUP BY dst),
         |r3 AS (SELECT dst AS node, 150000 + (sum(r // deg) * 85) // 100 AS r
         |       FROM adj JOIN r2 ON adj.src = r2.node GROUP BY dst)
-        |SELECT (node - 1) // 2 AS s_suppkey, r AS rank_units
+        |SELECT (node - 1) // 2 AS s_suppkey, CAST(r AS BIGINT) AS rank_units
         |FROM r3 WHERE node % 2 = 1 ORDER BY 1""".stripMargin,
     "knn_label_purity" -> // per-label purity@5 counts over the vec_id%5 query sample
       """WITH n AS (
@@ -2096,7 +2108,7 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
         |  FROM c)
         |SELECT label, count(DISTINCT query_id) AS n_queries,
-        |  sum(CASE WHEN same THEN 1 ELSE 0 END) AS same_label_hits,
+        |  CAST(sum(CASE WHEN same THEN 1 ELSE 0 END) AS BIGINT) AS same_label_hits,
         |  count(*) AS n_neighbors
         |FROM r WHERE rank <= 5 GROUP BY label ORDER BY label""".stripMargin,
     "q_merge_upsert" -> // MERGE-INTO via full outer join: post-merge per-type audit
@@ -2113,9 +2125,9 @@ object SparkEntry {
         |  FROM base b FULL OUTER JOIN delta d ON b.event_id = d.event_id)
         |SELECT event_type, count(*) AS n_rows,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
-        |  sum(CASE WHEN action = 'insert' THEN 1 ELSE 0 END) AS n_inserted,
-        |  sum(CASE WHEN action = 'update' THEN 1 ELSE 0 END) AS n_updated,
-        |  sum(CASE WHEN action = 'keep' THEN 1 ELSE 0 END) AS n_kept
+        |  CAST(sum(CASE WHEN action = 'insert' THEN 1 ELSE 0 END) AS BIGINT) AS n_inserted,
+        |  CAST(sum(CASE WHEN action = 'update' THEN 1 ELSE 0 END) AS BIGINT) AS n_updated,
+        |  CAST(sum(CASE WHEN action = 'keep' THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
         |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_integrity_audit" -> // FK-orphan anti joins + domain rules, one row per check
       """SELECT * FROM (
@@ -2171,7 +2183,7 @@ object SparkEntry {
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_raw,
         |  CAST(sum(CAST(CASE WHEN value < lo THEN lo WHEN value > hi THEN hi ELSE value END
         |                AS DECIMAL(18,2))) AS DOUBLE) AS sum_winsorized,
-        |  sum(CASE WHEN value < lo OR value > hi THEN 1 ELSE 0 END) AS n_clipped
+        |  CAST(sum(CASE WHEN value < lo OR value > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped
         |FROM events JOIN c ON event_type = c_type
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_min_cost_supplier" -> // Q2-analog: per-part region-constrained argmin offer, ties -> min suppkey
@@ -2251,9 +2263,10 @@ object SparkEntry {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
         |  FROM f),
         |bins AS (
-        |  SELECT event_type, day, n_rows, cum_before // target AS bin
+        |  SELECT event_type, day, n_rows, CAST(cum_before // target AS BIGINT) AS bin
         |  FROM c JOIN t ON event_type = tt)
-        |SELECT event_type, bin, count(*) AS n_files, sum(n_rows) AS total_rows,
+        |SELECT event_type, bin, count(*) AS n_files,
+        |  CAST(sum(n_rows) AS BIGINT) AS total_rows,
         |  min(day) AS first_day, max(day) AS last_day
         |FROM bins GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_heavy_hitters" -> // users above 1.3x their type's mean event count, all-integer compare
@@ -2275,9 +2288,9 @@ object SparkEntry {
         |      - epoch_us(ts) AS late_us
         |  FROM events)
         |SELECT event_type, count(*) AS n_events,
-        |  sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS n_out_of_order,
+        |  CAST(sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_out_of_order,
         |  max(late_us) AS max_late_us,
-        |  sum(CASE WHEN late_us > 600000000 THEN 1 ELSE 0 END) AS n_beyond_watermark
+        |  CAST(sum(CASE WHEN late_us > 600000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_beyond_watermark
         |FROM l GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_grouping_sets" -> // asymmetric margins: (region), (segment), () with grouping_id
       """SELECT r_name AS region, c_mktsegment AS segment,
@@ -2355,7 +2368,7 @@ object SparkEntry {
         |      row_number() OVER (PARTITION BY p_id ORDER BY c_us, c_id) AS rn
         |    FROM pairs))
         |SELECT c_us // 3600000000 AS click_hour_seq,
-        |  count(*) AS n_credits, sum(credit_cents) AS attributed_cents
+        |  count(*) AS n_credits, CAST(sum(credit_cents) AS BIGINT) AS attributed_cents
         |FROM credited GROUP BY 1 ORDER BY 1""".stripMargin
   )
 

@@ -67,7 +67,10 @@ object KinesisLikePipeline {
     events
       .withWatermark("ts", watermark)
       .groupBy(org.apache.spark.sql.functions.window(col("ts"), window), col("event_type"))
-      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      // Decimal sum like the batch twin and the hopping/session
+      // siblings: cross-partition float addition order would make the
+      // streaming sums nondeterministic.
+      .agg(count(lit(1)).as("n_events"), graft.operators.Num.moneySum(col("value")).as("sum_value"))
       .select(
         col("window.start").as("window_start"),
         col("event_type"),

@@ -137,6 +137,55 @@ class StreamingSpec extends SparkSpecBase {
     assert(click.getAs[Double]("sum_value") == 5.0)
   }
 
+  test("tumbling windows: multi-batch streaming sums equal the batch twin bit-for-bit") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String, Double)]
+    val agg = KinesisLikePipeline.windowedCounts(
+      in.toDF().toDF("ts", "event_type", "value"),
+      window = "1 hour",
+      watermark = "10 minutes"
+    )
+    val q = agg.writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory")
+      .queryName("win_eq_out")
+      .option("checkpointLocation", ckpt())
+      .start()
+    // Float-hostile values over 3 hours, delivered in 3 batches so the
+    // state-store partial sums must merge across batches: only the
+    // decimal sum makes this equal the one-shot batch aggregation.
+    val base = Timestamp.valueOf("2026-01-01 00:00:00").getTime
+    val fixture = (0 until 300).map { i =>
+      (new Timestamp(base + (i % 3) * 3600000L + (i * 7 % 60) * 60000L),
+        if (i % 2 == 0) "click" else "view",
+        0.01 * i + 0.1)
+    }
+    fixture.grouped(100).foreach { b => in.addData(b); q.processAllAvailable() }
+    in.addData((Timestamp.valueOf("2026-01-01 09:00:00"), "flush", 0.0))
+    q.processAllAvailable()
+    val streamed = spark
+      .table("win_eq_out")
+      .filter(col("event_type").isin("click", "view"))
+      .collect()
+      .map(r =>
+        (r.getAs[Timestamp]("window_start"), r.getAs[String]("event_type"),
+          r.getAs[Long]("n_events"), r.getAs[Double]("sum_value")))
+      .toSet
+    q.stop()
+    val batch = fixture
+      .toDF("ts", "event_type", "value")
+      .groupBy(date_trunc("hour", col("ts")).as("window_start"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), graft.operators.Num.moneySum(col("value")).as("sum_value"))
+      .collect()
+      .map(r =>
+        (r.getAs[Timestamp]("window_start"), r.getAs[String]("event_type"),
+          r.getAs[Long]("n_events"), r.getAs[Double]("sum_value")))
+      .toSet
+    assert(streamed == batch)
+    assert(streamed.size == 6) // 3 hours x 2 types all finalized
+  }
+
   test("hopping windows: each event finalizes into its 4 overlapping windows") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

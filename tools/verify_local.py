@@ -22,6 +22,11 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
+    # Timestamp unit (ns vs us) is a pandas artifact, not a type
+    # divergence the driver sees — normalize to us before comparing.
+    for c in df.columns:
+        if str(df[c].dtype).startswith("datetime64[ns"):
+            df[c] = df[c].astype(df[c].dtype.name.replace("[ns", "[us"))
     df = df.sort_values(by=list(df.columns), ignore_index=True)
     return df
 
@@ -64,8 +69,19 @@ def main(sfdir: str, outdir: str) -> int:
             print(f"[FAIL] {name}: rows {len(a)} vs oracle {len(b)}")
             failures += 1
             continue
+        # Dtype-strict: the driver's hash is representation-sensitive
+        # (round 7 shipped 13 DuckDB-HUGEINT-vs-Spark-BIGINT failures that
+        # a check_dtype=False compare green-lit). An oracle sum() over
+        # integers is HUGEINT, which fetchdf() surfaces as float64/object
+        # — any dtype divergence here is a real gate failure.
+        bad_types = [(c, str(a[c].dtype), str(b[c].dtype))
+                     for c in a.columns if a[c].dtype != b[c].dtype]
+        if bad_types:
+            print(f"[FAIL] {name}: dtype mismatch (spark vs oracle): {bad_types}")
+            failures += 1
+            continue
         try:
-            pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
+            pd.testing.assert_frame_equal(a, b, check_dtype=True, check_exact=True)
             print(f"[ok] {name}: {len(a)} rows exact-match")
         except AssertionError as ex:
             print(f"[FAIL] {name}: value mismatch\n{str(ex)[:600]}")
