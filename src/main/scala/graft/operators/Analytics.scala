@@ -435,6 +435,12 @@ object Analytics {
     */
   def attributionMultiTouch(t: Tables, windowHours: Long = 24): DataFrame = {
     val winUs = windowHours * 3600L * 1000000L
+    // FLOOR division, not `div`: div truncates toward zero, so near
+    // the epoch (x < w) the two purchase probes would collapse into
+    // the same bucket 0 and double-credit every qualifying click.
+    // floor(x/w) = (x − pmod(x, w)) div w is exact for any sign, and
+    // floor((x−w)/w) = floor(x/w) − 1 holds unconditionally.
+    def fdiv(x: String): Column = expr(s"($x - pmod($x, $winUs)) div $winUs")
     val clicks = t.events
       .filter(col("event_type") === "click")
       .select(
@@ -442,7 +448,7 @@ object Analytics {
         unix_micros(col("ts")).as("c_us"),
         col("event_id").as("c_id")
       )
-      .withColumn("c_bucket", expr(s"c_us div $winUs"))
+      .withColumn("c_bucket", fdiv("c_us"))
     val purchases = t.events
       .filter(col("event_type") === "purchase")
       .select(
@@ -451,12 +457,7 @@ object Analytics {
         col("event_id").as("p_id"),
         round(col("value") * 100).cast("long").as("cents")
       )
-      // floor((x − w)/w) = floor(x/w) − 1, so the two probes are
-      // always distinct buckets
-      .withColumn(
-        "p_bucket",
-        explode(array(expr(s"p_us div $winUs"), expr(s"(p_us - $winUs) div $winUs")))
-      )
+      .withColumn("p_bucket", explode(array(fdiv("p_us"), fdiv("p_us") - 1)))
     val pairs = purchases
       .join(
         clicks.hint("shuffle_hash"),

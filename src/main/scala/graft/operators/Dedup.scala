@@ -150,10 +150,24 @@ object Dedup {
       maxPostings: Option[Int] = None
   ): DataFrame = {
     val postings = maxPostings.fold(raw) { cap =>
-      // document frequency per shingle reuses the shingle partitioning
-      // the self-join needs anyway
-      val freq = Window.partitionBy("shingle")
-      raw.withColumn("df", count(lit(1)).over(freq)).filter(col("df") <= cap).drop("df")
+      // document frequency via partial-agg'd groupBy + semi-join-back,
+      // NOT a window: a window partition is unsplittable, so one
+      // stopword-class shingle would serialize its whole posting list
+      // through a single reducer's buffer. The groupBy map-side
+      // combines to one (shingle, df) row per mapper and the join-back
+      // is AQE-splittable skew; both shuffles stay on the same shingle
+      // key the self-join needs.
+      // materialized once: the df agg and the semi-join probe are
+      // different exchange payloads (partial-agg'd vs raw rows), so
+      // ReuseExchange can't share them — without this the shingling
+      // subtree would run twice
+      val posts = raw.localCheckpoint()
+      val keep = posts
+        .groupBy("shingle")
+        .agg(count(lit(1)).as("df"))
+        .filter(col("df") <= cap)
+        .select("shingle")
+      posts.join(keep.hint("shuffle_hash"), Seq("shingle"), "left_semi")
     }
     // shuffle-hash self-join: both sides produce IDENTICAL exchanges,
     // so ReuseExchange computes the posting list once. Also the only
@@ -195,10 +209,12 @@ object Dedup {
     * tail, where posting lists are short. Candidates are then verified
     * with one exact array-intersection pass per pair.
     *
-    * Plan: df window reuses the shingle partitioning, rank window is
-    * one doc_id exchange, the prefix self-join produces identical
-    * exchanges (ReusedExchange), and verification joins the candidate
-    * list (small by construction) back to the per-doc shingle arrays.
+    * Plan: document frequency is a partial-agg'd groupBy joined back
+    * on the shingle key (skew-immune — a window partition on a hot
+    * shingle would be unsplittable), the rank window is one doc_id
+    * exchange, the prefix self-join produces identical exchanges
+    * (ReusedExchange), and verification joins the candidate list
+    * (small by construction) back to the per-doc shingle arrays.
     */
   def ngramJaccardPrefix(t: Tables, tau: Double = JaccardTau): DataFrame = {
     // Postings materialized ONCE (localCheckpoint, the minhashLsh
@@ -206,8 +222,15 @@ object Dedup {
     // the same executor-local blocks instead of re-shingling the
     // corpus — the original plan scanned documents SIX times.
     val posts = hashedPostings(t).localCheckpoint()
+    // document frequency via partial-agg'd groupBy + join-back, NOT a
+    // window on the shingle: a window partition is unsplittable, so a
+    // stopword-class shingle would serialize its full posting list
+    // through one reducer. The agg map-side combines to one (shingle,
+    // df) row per mapper; the join-back is AQE-splittable skew; posts
+    // is checkpointed so both sides read executor-local blocks.
+    val dfBy = posts.groupBy("shingle").agg(count(lit(1)).as("df"))
     val ranked = posts
-      .withColumn("df", count(lit(1)).over(Window.partitionBy("shingle")))
+      .join(dfBy.hint("shuffle_hash"), Seq("shingle"))
       .withColumn(
         "tok_rank",
         row_number().over(Window.partitionBy("doc_id").orderBy(col("df"), col("shingle")))
@@ -264,7 +287,7 @@ object Dedup {
       .distinct()
       .count()
     val ranked = posts
-      .withColumn("df", count(lit(1)).over(Window.partitionBy("shingle")))
+      .join(posts.groupBy("shingle").agg(count(lit(1)).as("df")), Seq("shingle"))
       .withColumn(
         "tok_rank",
         row_number().over(Window.partitionBy("doc_id").orderBy(col("df"), col("shingle")))
@@ -414,16 +437,24 @@ object Dedup {
     * and corpus reports rank sources by exactly this number.
     *
     * Plan: the shared inverted index ([[hashedPostings]]) gets its
-    * document frequency from a window over the shingle — the SAME
-    * partitioning the dedup self-join shuffles on — then one
-    * partial-agg'd groupBy back on doc_id. Two shuffles total, both
-    * keyed, no self-join: cost is O(postings), not O(pairs), so the
-    * signal is strictly cheaper than any pairwise dedup at 100 TB.
+    * document frequency from a partial-agg'd `groupBy(shingle)` joined
+    * back on the same key — NOT a shingle window: a window partition
+    * is unsplittable and un-partial-aggregable, so one stopword-class
+    * shingle would serialize its entire posting list through a single
+    * reducer, while the groupBy map-side combines and the join-back is
+    * AQE-splittable skew. Then one partial-agg'd groupBy back on
+    * doc_id. All shuffles keyed, no self-join: cost is O(postings),
+    * not O(pairs), so the signal is strictly cheaper than any pairwise
+    * dedup at 100 TB.
     */
   def dupShingleFrac(t: Tables): DataFrame = {
-    val byShingle = Window.partitionBy("shingle")
-    hashedPostings(t)
-      .withColumn("df", count(lit(1)).over(byShingle))
+    // checkpointed: the df agg and the join probe can't share an
+    // exchange (partial-agg'd vs raw payloads), so without this the
+    // shingling subtree would run twice
+    val posts = hashedPostings(t).localCheckpoint()
+    val dfBy  = posts.groupBy("shingle").agg(count(lit(1)).as("df"))
+    posts
+      .join(dfBy.hint("shuffle_hash"), Seq("shingle"))
       .groupBy("doc_id", "n_sh")
       .agg(sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup_sh"))
       .select(
@@ -444,15 +475,18 @@ object Dedup {
     * point where a source went stale.
     *
     * Plan: identical scale shape to [[dupShingleFrac]] — the shared
-    * inverted index gets its first-occurrence doc from a min window
-    * over the shingle (the same partitioning the dedup self-join
-    * shuffles on), then one partial-agg'd groupBy back on doc_id. Two
-    * keyed shuffles, O(postings), no self-join.
+    * inverted index gets its first-occurrence doc from a partial-agg'd
+    * `groupBy(shingle).agg(min(doc_id))` joined back on the same key
+    * (min partial-aggregates map-side; a shingle window would funnel a
+    * hot shingle's full posting list through one reducer), then one
+    * partial-agg'd groupBy back on doc_id. All keyed shuffles,
+    * O(postings), no self-join.
     */
   def noveltyFrac(t: Tables): DataFrame = {
-    val byShingle = Window.partitionBy("shingle")
-    hashedPostings(t)
-      .withColumn("first_doc", min("doc_id").over(byShingle))
+    val posts   = hashedPostings(t).localCheckpoint()
+    val firstBy = posts.groupBy("shingle").agg(min("doc_id").as("first_doc"))
+    posts
+      .join(firstBy.hint("shuffle_hash"), Seq("shingle"))
       .groupBy("doc_id", "n_sh")
       .agg(sum(when(col("first_doc") < col("doc_id"), 1L).otherwise(0L)).as("n_seen"))
       .select(

@@ -637,4 +637,23 @@ class PlanSpec extends SparkSpecBase {
       s"target aggregate must reuse or broadcast:\n$plan")
     assert(!plan.contains("SortMergeJoin"), s"manifest join shuffled:\n$plan")
   }
+
+  test("no operator windows over the shingle key (hot-shingle partitions are unsplittable)") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    // a Window.partitionBy(shingle) funnels a stopword-class shingle's
+    // entire posting list through one reducer; every per-shingle
+    // statistic must be a partial-agg'd groupBy + join-back instead
+    val dedups = Seq(
+      "prefix"  -> graft.operators.Dedup.ngramJaccardPrefix(tables),
+      "capped"  -> graft.operators.Dedup.ngramJaccardCapped(tables),
+      "dupfrac" -> graft.operators.Dedup.dupShingleFrac(tables),
+      "novelty" -> graft.operators.Dedup.noveltyFrac(tables)
+    )
+    for ((name, df) <- dedups) {
+      val shingleWindows = df.queryExecution.optimizedPlan.collect {
+        case w: LWindow if w.partitionSpec.exists(_.references.exists(_.name == "shingle")) => w
+      }
+      assert(shingleWindows.isEmpty, s"$name windows over the shingle key: $shingleWindows")
+    }
+  }
 }

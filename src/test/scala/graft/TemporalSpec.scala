@@ -686,4 +686,32 @@ class TemporalSpec extends SparkSpecBase {
     assert(got == expected, s"got ${got.size} days vs expected ${expected.size}")
     assert(got.nonEmpty && got.valuesIterator.forall(_ >= 1))
   }
+
+  test("event dedup keeps exactly the openers of 90s gap chains per (user, type)") {
+    val events = tables.events
+      .select("user_id", "event_id", "ts", "event_type")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2).getTime * 1000L, r.getString(3)))
+    // local replay: within each (user, type) stream ordered by (ts,
+    // id), a row survives iff it opens a burst — no predecessor within
+    // the 90 s tolerance
+    val expected = events
+      .groupBy(e => (e._1, e._4))
+      .valuesIterator
+      .flatMap { run =>
+        val sorted = run.sortBy(e => (e._3, e._2))
+        sorted.zipWithIndex.collect {
+          case (e, 0)                                      => e._2
+          case (e, i) if e._3 - sorted(i - 1)._3 >= 90000000L => e._2
+        }
+      }
+      .toSet
+    val got = graft.operators.EventOps.eventDedup(tables).collect().map(_.getLong(1)).toSet
+    assert(got == expected, s"got ${got.size} openers vs expected ${expected.size}")
+    assert(got.size < events.length, "dedup must actually drop burst followers")
+    // scale shape: ONE events exchange — the (user, type) grouping
+    // rides the user_id partitioning via in-partition sort
+    val plan = executedPlanString(graft.operators.EventOps.eventDedup(tables))
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1, s"extra shuffles:\n$plan")
+  }
 }
