@@ -22,14 +22,22 @@ final case class Tables(spark: SparkSession, dir: String) {
   def part: DataFrame       = t("part")
   def orders: DataFrame     = t("orders")
   def lineitem: DataFrame   = t("lineitem")
-  /** events.parquet stores ts as TIMESTAMP(NANOS), which Spark 4's
-    * vectorized reader rejects — read nanos as long (legacy conf) and
-    * rebuild a microsecond timestamp. Truncation to micros is fine for
-    * every operator (coarsest unit we group on is minutes).
+  /** events.parquet has shipped with two ts layouts: TIMESTAMP(NANOS)
+    * (which Spark 4's vectorized reader rejects — read nanos as long
+    * via the legacy conf and rebuild a microsecond timestamp) and
+    * plain TIMESTAMP_NTZ(MICROS). Normalize BOTH to session-local
+    * TimestampType micros: the session TZ is pinned to UTC, so the
+    * NTZ→LTZ cast is value-identity and every operator sees one type.
     */
   def events: DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t("events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val df = t("events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
   /** documents/embeddings feed CPU-heavy per-row pipelines (shingling,
     * minhash, simhash, vector math). The test corpus ships as ONE

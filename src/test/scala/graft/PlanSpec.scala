@@ -368,18 +368,27 @@ class PlanSpec extends SparkSpecBase {
     assert("Scan parquet .*documents".r.findAllIn(plan).length == 2, s"extra corpus scans:\n$plan")
   }
 
-  test("dup-shingle fraction: no self-join — df window shares the shingle partitioning") {
+  test("dup-shingle fraction: df is a partial-agg'd groupBy joined back — never a shingle window") {
     val plan = executedPlanString(graft.operators.Dedup.dupShingleFrac(tables))
-    assert(!plan.contains("Join"), s"dup fraction must be join-free (window + agg):\n$plan")
-    // postings build (doc_id windows) + shingle df window + final doc_id
-    // agg — three keyed exchanges, no pair-space blowup anywhere
-    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 3, s"extra shuffles:\n$plan")
+    // a Window.partitionBy(shingle) is unsplittable on a hot shingle;
+    // the groupBy df + shuffle-hash join-back partial-aggregates
+    // map-side and stays AQE-splittable on skew
+    assert(!plan.contains("Window"), s"df must not be a shingle window:\n$plan")
+    assert(plan.contains("ShuffledHashJoin"), s"df join-back must be shuffle-hash:\n$plan")
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"),
+      s"df/doc aggs must partial-aggregate map-side:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"pair-space blowup:\n$plan")
   }
 
-  test("novelty fraction: join-free like dupfrac — first-doc window shares the shingle partitioning") {
+  test("novelty fraction: first-doc min is a partial-agg'd groupBy joined back — never a shingle window") {
     val plan = executedPlanString(graft.operators.Dedup.noveltyFrac(tables))
-    assert(!plan.contains("Join"), s"novelty must be join-free (window + agg):\n$plan")
-    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 3, s"extra shuffles:\n$plan")
+    assert(!plan.contains("Window"), s"first-doc must not be a shingle window:\n$plan")
+    assert(plan.contains("ShuffledHashJoin"), s"first-doc join-back must be shuffle-hash:\n$plan")
+    assert(plan.contains("partial_min") || plan.contains("partial_sum"),
+      s"aggs must partial-aggregate map-side:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"pair-space blowup:\n$plan")
   }
 
   test("value outliers: both stat tables broadcast — the fact never sort-merge joins") {

@@ -152,16 +152,20 @@ class StreamingSpec extends SparkSpecBase {
       .queryName("win_eq_out")
       .option("checkpointLocation", ckpt())
       .start()
-    // Float-hostile values over 3 hours, delivered in 3 batches so the
-    // state-store partial sums must merge across batches: only the
-    // decimal sum makes this equal the one-shot batch aggregation.
+    // Float-hostile values over 3 hours. Batches must advance in event
+    // time (globally ts-sorted, small slices) so every window straddles
+    // a batch boundary and the state-store partial sums must merge
+    // across batches — delivering all 3 hours in every batch would let
+    // the watermark close hours 0–1 after batch one and drop the rest
+    // as late. Only the decimal sum makes the merged result equal the
+    // one-shot batch aggregation.
     val base = Timestamp.valueOf("2026-01-01 00:00:00").getTime
     val fixture = (0 until 300).map { i =>
       (new Timestamp(base + (i % 3) * 3600000L + (i * 7 % 60) * 60000L),
         if (i % 2 == 0) "click" else "view",
         0.01 * i + 0.1)
     }
-    fixture.grouped(100).foreach { b => in.addData(b); q.processAllAvailable() }
+    fixture.sortBy(_._1.getTime).grouped(40).foreach { b => in.addData(b); q.processAllAvailable() }
     in.addData((Timestamp.valueOf("2026-01-01 09:00:00"), "flush", 0.0))
     q.processAllAvailable()
     val streamed = spark

@@ -708,7 +708,27 @@ class TemporalSpec extends SparkSpecBase {
       .toSet
     val got = graft.operators.EventOps.eventDedup(tables).collect().map(_.getLong(1)).toSet
     assert(got == expected, s"got ${got.size} openers vs expected ${expected.size}")
-    assert(got.size < events.length, "dedup must actually drop burst followers")
+    // the corpus may contain no sub-90s bursts at this SF, so the
+    // "followers actually drop" guarantee runs on a synthetic burst
+    // fixture: user 1 fires a 3-event click burst (0s, 30s, 80s apart
+    // → one chain, opener id 10), then a 95s-later click reopens
+    // (id 13); user 2's view at +30s is a different (user, type) run
+    import spark.implicits._
+    val tmp  = java.nio.file.Files.createTempDirectory("dedup_fixture").toString
+    val t0   = 1700000000000000L
+    Seq(
+      (10L, t0, 1L, "click", 1.0, "{}"),
+      (11L, t0 + 30000000L, 1L, "click", 1.0, "{}"),
+      (12L, t0 + 80000000L, 1L, "click", 1.0, "{}"),
+      (13L, t0 + 80000000L + 95000000L, 1L, "click", 1.0, "{}"),
+      (20L, t0 + 30000000L, 2L, "view", 1.0, "{}")
+    ).toDF("event_id", "us", "user_id", "event_type", "value", "props")
+      .withColumn("ts", timestamp_micros(col("us"))).drop("us")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val burst = graft.operators.EventOps
+      .eventDedup(graft.sources.Tables(spark, tmp))
+      .collect().map(_.getLong(1)).toSet
+    assert(burst == Set(10L, 13L, 20L), s"burst fixture openers: $burst")
     // scale shape: ONE events exchange — the (user, type) grouping
     // rides the user_id partitioning via in-partition sort
     val plan = executedPlanString(graft.operators.EventOps.eventDedup(tables))
