@@ -58,6 +58,63 @@ object SparkEntry {
     "q_lambda_event_decode" -> ((s, d) => MathOps.lambdaEventDecode(Tables(s, d))),
     "q_dsv2_problems"      -> ((s, _) => MathOps.dsv2Problems(s)),
     "q_stream_problems"    -> ((s, _) => graft.streaming.KinesisLikePipeline.problemStreamToStore(s)),
+    // file-source replay gate keys: the STREAMING twins (real
+    // readStream → watermark → state store → Append sink micro-batch
+    // execution via StreamReplay) hash-checked against the SAME DuckDB
+    // oracles as their batch siblings — sentinel rows close every real
+    // window, so streaming == batch exactly (see StreamReplay scaladoc)
+    "q_stream_hourly" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      graft.streaming.StreamReplay
+        .replayEvents(s, d)(df =>
+          graft.streaming.KinesisLikePipeline.windowedCounts(df, "1 hour", "1 minute"))
+        .filter(col("event_type") =!= graft.streaming.StreamReplay.FlushType)
+        .orderBy("window_start", "event_type")
+    }),
+    "q_stream_hopping" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      graft.streaming.StreamReplay
+        .replayEvents(s, d)(df =>
+          graft.streaming.KinesisLikePipeline
+            .hoppingCounts(df, "1 hour", "15 minutes", "1 minute"))
+        .filter(col("event_type") =!= graft.streaming.StreamReplay.FlushType)
+        .orderBy("window_start", "event_type")
+    }),
+    "q_stream_sessions" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      graft.streaming.StreamReplay
+        .replayEvents(s, d)(df =>
+          graft.streaming.KinesisLikePipeline.sessionCounts(df, "30 minutes", "1 minute"))
+        .filter(col("user_id") =!= -1L)
+        .orderBy("user_id", "session_start")
+    }),
+    "q_stream_distinct" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, concat_ws, date_trunc}
+      graft.streaming.StreamReplay
+        .replayEvents(s, d)(df =>
+          graft.streaming.KinesisLikePipeline
+            .dedupByKey(
+              // project to the dedup key BEFORE the stateful op: the
+              // emitted row must be a pure function of the key (first-
+              // seen payloads are batch-order-dependent otherwise)
+              df.select(
+                col("ts"),
+                col("user_id"),
+                col("event_type"),
+                date_trunc("hour", col("ts")).as("hour_start"),
+                concat_ws("|", col("user_id"), col("event_type"),
+                  date_trunc("hour", col("ts")).cast("long")).as("dedup_key")
+              ),
+              keyCol = "dedup_key",
+              tsCol = "ts",
+              // retention must span the whole corpus for exact global
+              // dedup in this replay; production uses a bounded horizon
+              watermark = "400 days"
+            )
+            .drop("ts", "dedup_key"))
+        .filter(col("event_type") =!= graft.streaming.StreamReplay.FlushType)
+        .orderBy("user_id", "event_type", "hour_start")
+    }),
     "q_topic_pagecount"    -> ((s, d) => Paging.topicPageCounts(Tables(s, d))),
     "q_settings_override"  -> ((s, d) => Paging.settingsOverride(Tables(s, d))),
     "q_page_arns"          -> ((s, d) => Paging.pageArns(Tables(s, d), topicId = 1, pageNum = 2)),
@@ -377,6 +434,40 @@ object SparkEntry {
         |  substr(md5(concat('add-', CAST(seq AS VARCHAR))), 1, 1) AS key_prefix
         |FROM generate_series(0, 9999) t(seq)
         |ORDER BY seq""".stripMargin,
+    // streaming replay keys: the drained Append-mode sink equals the
+    // batch aggregation (StreamReplay sentinels close every real
+    // window), so each oracle is its batch twin's SQL verbatim
+    "q_stream_hourly" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_stream_hopping" ->
+      """WITH w AS (
+        |  SELECT make_timestamp(epoch_us(ts) - (epoch_us(ts) % 900000000) - k * 900000000) AS window_start,
+        |    event_type, value
+        |  FROM events, unnest(generate_series(0, 3)) AS t(k))
+        |SELECT window_start, event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_stream_sessions" ->
+      """WITH o AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |           OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM events),
+        |s AS (
+        |  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+        |                                ROWS UNBOUNDED PRECEDING) AS sess_id
+        |  FROM o)
+        |SELECT min(ts) AS session_start, max(ts) + INTERVAL 30 MINUTE AS session_end,
+        |  user_id, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM s GROUP BY user_id, sess_id
+        |ORDER BY user_id, session_start""".stripMargin,
+    "q_stream_distinct" ->
+      """SELECT DISTINCT user_id, event_type, date_trunc('hour', ts) AS hour_start
+        |FROM events ORDER BY 1, 2, 3""".stripMargin,
     "q_topic_pagecount" ->
       """SELECT CAST(c.c_nationkey AS BIGINT) AS topic_id, count(*) AS n_devices,
         |  CAST(floor(count(*)/100)+1 AS BIGINT) AS page_count

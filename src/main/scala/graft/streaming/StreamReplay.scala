@@ -1,0 +1,155 @@
+package graft.streaming
+
+import java.nio.file.{Files, Path}
+import java.nio.file.attribute.FileTime
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.sources.Tables
+
+/** File-source REPLAY harness: drives the streaming operators through
+  * the driver's hash gate by re-feeding the batch `events` corpus as a
+  * sequence of time-ordered micro-batches.
+  *
+  * Until now the streaming twins (tumbling/hopping/session windows,
+  * exactly-once dedup) were spec-only: MemoryStream fixtures proved
+  * streaming == batch on small hand data, but the driver's DuckDB
+  * oracle never saw the streaming PATH. This harness closes that gap:
+  *
+  *   events.parquet → K time-contiguous slice files (controlled names
+  *   AND mtimes, so FileStreamSource admits them oldest-first) →
+  *   `readStream` + `maxFilesPerTrigger=1` (one slice per micro-batch,
+  *   so watermark advancement, state-store merges ACROSS batches, and
+  *   Append-mode finalization all genuinely execute) → the streaming
+  *   transform under test → parquet sink + checkpoint, drained with
+  *   `Trigger.AvailableNow` → read back as a batch DataFrame for the
+  *   gate compare.
+  *
+  * Two far-future SENTINEL slices (`_flush` rows 30/60 days past the
+  * corpus max, negative ids) land in the final micro-batches: the
+  * first pushes the watermark past every real window's end + gap, the
+  * second runs one more batch under that watermark so state evicted by
+  * it is emitted even under the "watermark updates from the PREVIOUS
+  * batch's max event time" rule. Every real window therefore
+  * finalizes, the sentinels' own windows never do (their ends exceed
+  * the final watermark), and the drained output is exactly the batch
+  * aggregation of the corpus — giving the streaming path the SAME
+  * exact SQL oracle as its batch twin. Callers filter the sentinel
+  * key (`event_type = '_flush'` / `user_id = -1`) off the read-back.
+  *
+  * This is a GATE harness, not a production source: in production the
+  * slices are the files/offsets that arrive over time (Kinesis shards,
+  * content-store epochs — see StreamIO), and the same transforms run
+  * unchanged. Slicing cost here is one min/max agg + K filtered
+  * single-file writes of the test corpus.
+  */
+object StreamReplay {
+
+  /** Events schema pinned for the file stream source (inference is
+    * disabled for streaming reads, and must match Tables.events'
+    * normalized shape).
+    */
+  val eventsDdl =
+    "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE, props STRING"
+
+  /** Sentinel event_type — never occurs in the corpus. */
+  val FlushType = "_flush"
+
+  private val MicrosPerDay = 86400L * 1000000L
+
+  /** Micro-batch count of the most recent replay (test telemetry). */
+  @volatile var lastBatchCount: Long = -1L
+
+  /** Replay the sf events table through `xform` (a streaming
+    * DataFrame transform) and return the drained sink as a batch
+    * DataFrame. `slices` micro-batches of real data + 2 sentinel
+    * batches.
+    */
+  def replayEvents(spark: SparkSession, sfDir: String, slices: Int = 4)(
+      xform: DataFrame => DataFrame
+  ): DataFrame = {
+    val tmp   = Files.createTempDirectory("graft-replay")
+    val inDir = Files.createDirectories(tmp.resolve("in"))
+
+    val ev = Tables(spark, sfDir).events
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    val bounds = ev.agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head()
+    val minUs  = bounds.getLong(0)
+    val maxUs  = bounds.getLong(1)
+    val spanUs = math.max(1L, maxUs - minUs)
+
+    // time-contiguous slices: slice i covers [minUs + i*span/K, next)
+    // — contiguity (not equal row counts) is what matters, so the
+    // boundaries come from one min/max agg, never a global sort
+    for (i <- 0 until slices) {
+      val lo   = minUs + spanUs * i / slices
+      val hi   = minUs + spanUs * (i + 1) / slices
+      val cond =
+        if (i == slices - 1) unix_micros(col("ts")) >= lo
+        else unix_micros(col("ts")) >= lo && unix_micros(col("ts")) < hi
+      writeSlice(spark, tmp, inDir, i, ev.filter(cond))
+    }
+    // sentinel slices: see scaladoc — two, so the second batch runs
+    // under the watermark the first advanced
+    for ((days, i) <- Seq(30L, 60L).zipWithIndex) {
+      val sentinel = spark
+        .range(1)
+        .select(
+          lit(-1L - i).as("event_id"),
+          timestamp_micros(lit(maxUs + days * MicrosPerDay)).as("ts"),
+          lit(-1L).as("user_id"),
+          lit(FlushType).as("event_type"),
+          lit(0.0).as("value"),
+          lit("{}").as("props")
+        )
+      writeSlice(spark, tmp, inDir, slices + i, sentinel)
+    }
+
+    val stream = spark.readStream
+      .schema(eventsDdl)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(inDir.toString)
+
+    val outDir = tmp.resolve("out").toString
+    val query = xform(stream).writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", tmp.resolve("ckpt").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    // test-only telemetry: specs assert the replay genuinely executed
+    // one micro-batch per slice (plus sentinels), not a single drain
+    lastBatchCount = Option(query.lastProgress).map(_.batchId + 1).getOrElse(-1L)
+
+    spark.read.parquet(outDir)
+  }
+
+  /** Write one slice as a single parquet file with a deterministic
+    * name AND mtime: FileStreamSource orders admitted files by
+    * modification time, so epoch-spaced mtimes (one minute apart, far
+    * in the past) pin the micro-batch order regardless of how fast the
+    * writes complete.
+    */
+  private def writeSlice(
+      spark: SparkSession,
+      tmp: Path,
+      inDir: Path,
+      i: Int,
+      df: DataFrame
+  ): Unit = {
+    val stage = tmp.resolve(f"stage-$i%04d")
+    df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+    val part = Files
+      .list(stage)
+      .filter(p => p.getFileName.toString.startsWith("part-") &&
+        p.getFileName.toString.endsWith(".parquet"))
+      .findFirst()
+      .orElseThrow(() => new IllegalStateException(s"no part file in $stage"))
+    val dest = inDir.resolve(f"slice-$i%04d.parquet")
+    Files.move(part, dest)
+    Files.setLastModifiedTime(dest, FileTime.fromMillis(1000000000000L + i * 60000L))
+  }
+}

@@ -804,4 +804,30 @@ class StreamingSpec extends SparkSpecBase {
       }
     }
   }
+
+  test("file replay drains the corpus through real micro-batches and equals the batch twin") {
+    import graft.streaming.StreamReplay
+    val slices = 3
+    val streamed = StreamReplay
+      .replayEvents(spark, sfDir, slices = slices)(df =>
+        KinesisLikePipeline.windowedCounts(df, "1 hour", "1 minute"))
+      .filter(col("event_type") =!= StreamReplay.FlushType)
+      .collect()
+      .map(r =>
+        (r.getAs[java.sql.Timestamp]("window_start"), r.getAs[String]("event_type"),
+          r.getAs[Long]("n_events"), r.getAs[Double]("sum_value")))
+      .toSet
+    // one micro-batch per slice file + 2 sentinel batches — the replay
+    // must exercise cross-batch state merges, not a single-batch drain
+    assert(StreamReplay.lastBatchCount >= slices + 2,
+      s"expected >=${slices + 2} micro-batches, got ${StreamReplay.lastBatchCount}")
+    val batch = graft.operators.EventOps
+      .hourlyWindow(tables)
+      .collect()
+      .map(r =>
+        (r.getAs[java.sql.Timestamp]("window_start"), r.getAs[String]("event_type"),
+          r.getAs[Long]("n_events"), r.getAs[Double]("sum_value")))
+      .toSet
+    assert(streamed == batch, s"streamed ${streamed.size} windows vs batch ${batch.size}")
+  }
 }
