@@ -88,6 +88,42 @@ object SparkEntry {
         .filter(col("user_id") =!= -1L)
         .orderBy("user_id", "session_start")
     }),
+    // the CUSTOM stateful processors hash-gated: capped sessions need
+    // per-session carry state no built-in window expresses — fMGWS
+    // with EventTimeTimeout, and the same machine on the
+    // transformWithState engine (RocksDB provider, event-time timers)
+    "q_stream_session_cap" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      graft.streaming.StreamReplay
+        .replayEvents(s, d)(df =>
+          graft.streaming.KinesisLikePipeline
+            .cappedSessionCounts(df, gapMinutes = 30, capMinutes = 120, watermark = "1 minute")
+            .toDF())
+        .filter(col("user_id") =!= -1L)
+        .orderBy("user_id", "session_start")
+    }),
+    "q_stream_session_cap_tws" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val key  = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        graft.streaming.StreamReplay
+          .replayEvents(s, d)(df =>
+            graft.streaming.KinesisLikePipeline
+              .cappedSessionCountsTws(df, gapMinutes = 30, capMinutes = 120,
+                watermark = "1 minute")
+              .toDF())
+          .filter(col("user_id") =!= -1L)
+          .orderBy("user_id", "session_start")
+      } finally {
+        prev match {
+          case Some(p) => s.conf.set(key, p)
+          case None    => s.conf.unset(key)
+        }
+      }
+    }),
     "q_stream_distinct" -> ((s, d) => {
       import org.apache.spark.sql.functions.{col, concat_ws, date_trunc}
       graft.streaming.StreamReplay
@@ -319,6 +355,31 @@ object SparkEntry {
   /** DuckDB-dialect oracle for each SQL-expressible query. Column names
     * and row ordering match the Spark plans exactly.
     */
+  /** Shared by q_session_cap and its two streaming replay twins — one
+    * SQL definition, three execution paths under the hash gate.
+    */
+  private val StreamCapSessionOracle: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, ts, value, epoch_us(ts) AS us,
+      |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+      |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 30*60*1000000::BIGINT
+      |         THEN 1 ELSE 0 END AS brk
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |s AS (
+      |  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                           ROWS UNBOUNDED PRECEDING) AS gsid
+      |  FROM e),
+      |g AS (
+      |  SELECT *, min(us) OVER (PARTITION BY user_id, gsid) AS gstart
+      |  FROM s)
+      |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+      |  count(*) AS n_events,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM g
+      |GROUP BY user_id, gsid, (us - gstart) // (120*60*1000000::BIGINT)
+      |ORDER BY user_id, session_start""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
@@ -468,6 +529,10 @@ object SparkEntry {
     "q_stream_distinct" ->
       """SELECT DISTINCT user_id, event_type, date_trunc('hour', ts) AS hour_start
         |FROM events ORDER BY 1, 2, 3""".stripMargin,
+    // both capped-session replay keys reuse q_session_cap's oracle: the
+    // custom state machines must reproduce the batch kernel exactly
+    "q_stream_session_cap" -> StreamCapSessionOracle,
+    "q_stream_session_cap_tws" -> StreamCapSessionOracle,
     "q_topic_pagecount" ->
       """SELECT CAST(c.c_nationkey AS BIGINT) AS topic_id, count(*) AS n_devices,
         |  CAST(floor(count(*)/100)+1 AS BIGINT) AS page_count
