@@ -104,11 +104,7 @@ object SparkEntry {
     }),
     "q_stream_session_cap_tws" -> ((s, d) => {
       import org.apache.spark.sql.functions.col
-      val key  = "spark.sql.streaming.stateStore.providerClass"
-      val prev = s.conf.getOption(key)
-      s.conf.set(key,
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      try {
+      withRocksDb(s) {
         graft.streaming.StreamReplay
           .replayEvents(s, d)(df =>
             graft.streaming.KinesisLikePipeline
@@ -117,11 +113,66 @@ object SparkEntry {
               .toDF())
           .filter(col("user_id") =!= -1L)
           .orderBy("user_id", "session_start")
-      } finally {
-        prev match {
-          case Some(p) => s.conf.set(key, p)
-          case None    => s.conf.unset(key)
-        }
+      }
+    }),
+    // sliding distinct actives through the watermark-propagating
+    // window() + dropDuplicates composition (A10d's twin)
+    "q_stream_rolling_actives" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, lit, max}
+      // the trailing AvailableNow flush batch also finalizes the FIRST
+      // sentinel's windows — they start after the corpus max ts, so
+      // bound the read-back there to keep only real windows
+      val maxTs = Tables(s, d).events.agg(max(col("ts"))).head().getTimestamp(0)
+      graft.streaming.StreamReplay
+        .replayEvents(s, d)(df =>
+          graft.streaming.KinesisLikePipeline
+            .rollingActiveCounts(df, "7 days", "1 day", "1 day"))
+        .filter(col("window_start") <= lit(maxTs))
+        .orderBy("window_start")
+    }),
+    // MapState skew monitor: the FINAL epoch per event_type carries the
+    // full-corpus counts, so the live dashboard's last frame must equal
+    // the batch heavy-hitter rule exactly
+    "q_stream_heavy_hitters" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions.{col, max}
+      withRocksDb(s) {
+        graft.streaming.StreamReplay
+          .replayEvents(s, d)(df =>
+            graft.streaming.KinesisLikePipeline.heavyHitterMonitor(df).toDF())
+          .filter(col("event_type") =!= graft.streaming.StreamReplay.FlushType)
+          .withColumn("max_epoch", max("epoch").over(Window.partitionBy("event_type")))
+          .filter(col("epoch") === col("max_epoch"))
+          .select("event_type", "user_id", "n_events")
+          .orderBy("event_type", "user_id")
+      }
+    }),
+    // ListState feature buffer: the final per-user snapshot is the
+    // last-3-values feature vector over the whole corpus
+    "q_stream_feature_buffer" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions.{col, concat_ws, max, round, unix_micros}
+      withRocksDb(s) {
+        graft.streaming.StreamReplay
+          .replayEvents(s, d)(df =>
+            graft.streaming.KinesisLikePipeline
+              .recentFeatureBuffer(
+                df.select(
+                  col("user_id"),
+                  unix_micros(col("ts")).as("ts_us"),
+                  round(col("value") * 100).cast("long").as("cents")
+                ),
+                k = 3)
+              .toDF())
+          .filter(col("user_id") =!= -1L)
+          .withColumn("max_epoch", max("epoch").over(Window.partitionBy("user_id")))
+          .filter(col("epoch") === col("max_epoch"))
+          .select(
+            col("user_id"),
+            col("n_seen"),
+            concat_ws(",", col("recent").cast("array<string>")).as("recent_csv")
+          )
+          .orderBy("user_id")
       }
     }),
     "q_stream_distinct" -> ((s, d) => {
@@ -355,6 +406,23 @@ object SparkEntry {
   /** DuckDB-dialect oracle for each SQL-expressible query. Column names
     * and row ordering match the Spark plans exactly.
     */
+  /** transformWithState requires the RocksDB state-store provider;
+    * scope the session conf to one gate key and restore it after (the
+    * streaming query inside runs eagerly, so restoration in `finally`
+    * cannot race the returned batch DataFrame's later execution).
+    */
+  private def withRocksDb[T](s: SparkSession)(body: => T): T = {
+    val key  = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body
+    finally prev match {
+      case Some(p) => s.conf.set(key, p)
+      case None    => s.conf.unset(key)
+    }
+  }
+
   /** Shared by q_session_cap and its two streaming replay twins — one
     * SQL definition, three execution paths under the hash gate.
     */
@@ -379,6 +447,22 @@ object SparkEntry {
       |FROM g
       |GROUP BY user_id, gsid, (us - gstart) // (120*60*1000000::BIGINT)
       |ORDER BY user_id, session_start""".stripMargin
+
+  /** Users above 1.3× their type's mean event count, all-integer
+    * compare — shared by the batch key and the streaming monitor's
+    * final-epoch frame.
+    */
+  private val HeavyHittersOracle: String =
+    """WITH c AS (
+      |  SELECT event_type, user_id, count(*) AS n_events
+      |  FROM events GROUP BY 1, 2),
+      |t AS (
+      |  SELECT event_type AS tt, sum(n_events) AS total, count(*) AS n_users
+      |  FROM c GROUP BY 1)
+      |SELECT event_type, user_id, n_events
+      |FROM c JOIN t ON event_type = tt
+      |WHERE n_events * n_users * 10 > total * 13
+      |ORDER BY 1, 2""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -533,6 +617,26 @@ object SparkEntry {
     // custom state machines must reproduce the batch kernel exactly
     "q_stream_session_cap" -> StreamCapSessionOracle,
     "q_stream_session_cap_tws" -> StreamCapSessionOracle,
+    "q_stream_rolling_actives" -> // epoch-aligned 7d windows sliding 1d: each event fans into 7
+      """WITH w AS (
+        |  SELECT make_timestamp(epoch_us(ts) - (epoch_us(ts) % 86400000000::BIGINT)
+        |                        - k * 86400000000::BIGINT) AS window_start,
+        |    user_id
+        |  FROM events, unnest(generate_series(0, 6)) AS t(k))
+        |SELECT window_start, window_start + INTERVAL 7 DAY AS window_end,
+        |  count(DISTINCT user_id) AS active_users
+        |FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_stream_heavy_hitters" -> HeavyHittersOracle,
+    "q_stream_feature_buffer" -> // last-3 cents per user, most recent first
+      """WITH r AS (
+        |  SELECT user_id, CAST(round(value * 100) AS BIGINT) AS cents,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC) AS rn,
+        |    count(*) OVER (PARTITION BY user_id) AS n_seen
+        |  FROM events)
+        |SELECT user_id, n_seen,
+        |  string_agg(CAST(cents AS VARCHAR), ',' ORDER BY rn) AS recent_csv
+        |FROM r WHERE rn <= 3
+        |GROUP BY user_id, n_seen ORDER BY user_id""".stripMargin,
     "q_topic_pagecount" ->
       """SELECT CAST(c.c_nationkey AS BIGINT) AS topic_id, count(*) AS n_devices,
         |  CAST(floor(count(*)/100)+1 AS BIGINT) AS page_count
@@ -2425,17 +2529,7 @@ object SparkEntry {
         |  CAST(sum(n_rows) AS BIGINT) AS total_rows,
         |  min(day) AS first_day, max(day) AS last_day
         |FROM bins GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-    "q_heavy_hitters" -> // users above 1.3x their type's mean event count, all-integer compare
-      """WITH c AS (
-        |  SELECT event_type, user_id, count(*) AS n_events
-        |  FROM events GROUP BY 1, 2),
-        |t AS (
-        |  SELECT event_type AS tt, sum(n_events) AS total, count(*) AS n_users
-        |  FROM c GROUP BY 1)
-        |SELECT event_type, user_id, n_events
-        |FROM c JOIN t ON event_type = tt
-        |WHERE n_events * n_users * 10 > total * 13
-        |ORDER BY 1, 2""".stripMargin,
+    "q_heavy_hitters" -> HeavyHittersOracle,
     "q_watermark_skew" -> // running-max watermark lateness under the 7-substream interleave
       """WITH l AS (
         |  SELECT event_type,
