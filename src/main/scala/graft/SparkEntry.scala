@@ -175,6 +175,51 @@ object SparkEntry {
           .orderBy("user_id")
       }
     }),
+    // A16 stream-stream interval joins through the replay: clicks and
+    // purchases read the same slice files via two independent file
+    // sources. INNER emits on match (no watermark needed to emit);
+    // FULL null-pads a row only when both watermarks prove no partner
+    // can arrive, so its sentinels carry click/purchase types to pass
+    // the side filters and drive both watermark collectors
+    "q_stream_interval_join" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      graft.streaming.StreamReplay
+        .replayEventsPair(s, d)((l, r) =>
+          graft.streaming.KinesisLikePipeline.intervalJoin(
+            l.filter(col("event_type") === "click")
+              .select(col("user_id").as("c_user"), col("event_id").as("c_id"),
+                col("ts").as("c_ts")),
+            r.filter(col("event_type") === "purchase")
+              .select(col("user_id").as("p_user"), col("event_id").as("p_id"),
+                col("ts").as("p_ts")),
+            keyLeft = "c_user", keyRight = "p_user",
+            tsLeft = "c_ts", tsRight = "p_ts",
+            skew = "5 minutes", watermark = "1 minute"
+          ))
+        .select(
+          col("c_user").as("user_id"),
+          col("c_id").as("click_id"), col("c_ts").as("click_ts"),
+          col("p_id").as("purchase_id"), col("p_ts").as("purchase_ts"))
+        .orderBy("user_id", "click_id", "purchase_id")
+    }),
+    "q_stream_interval_full" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{coalesce, col}
+      graft.streaming.StreamReplay
+        .replayEventsPair(s, d, sentinelTypes = Seq("click", "purchase"))((l, r) =>
+          graft.streaming.KinesisLikePipeline.intervalJoinFull(
+            l.filter(col("event_type") === "click")
+              .select(col("user_id").as("c_user"), col("event_id").as("c_id"),
+                col("ts").as("c_ts")),
+            r.filter(col("event_type") === "purchase")
+              .select(col("user_id").as("p_user"), col("event_id").as("p_id"),
+                col("ts").as("p_ts")),
+            keyLeft = "c_user", keyRight = "p_user",
+            tsLeft = "c_ts", tsRight = "p_ts",
+            skew = "5 minutes", watermark = "1 minute"
+          ))
+        .filter(coalesce(col("c_user"), col("p_user")) =!= -1L)
+        .orderBy("c_user", "c_id", "p_id")
+    }),
     "q_stream_distinct" -> ((s, d) => {
       import org.apache.spark.sql.functions.{col, concat_ws, date_trunc}
       graft.streaming.StreamReplay
@@ -627,6 +672,22 @@ object SparkEntry {
         |  count(DISTINCT user_id) AS active_users
         |FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_stream_heavy_hitters" -> HeavyHittersOracle,
+    "q_stream_interval_join" -> // click⋈purchase per user within ±5 minutes
+      """SELECT c.user_id, c.event_id AS click_id, c.ts AS click_ts,
+        |  p.event_id AS purchase_id, p.ts AS purchase_ts
+        |FROM events c JOIN events p ON c.user_id = p.user_id
+        |  AND p.ts BETWEEN c.ts - INTERVAL 5 MINUTE AND c.ts + INTERVAL 5 MINUTE
+        |WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+        |ORDER BY 1, 2, 4""".stripMargin,
+    "q_stream_interval_full" -> // the full-outer form: unmatched on either side null-pad
+      """WITH c AS (SELECT user_id AS c_user, event_id AS c_id, ts AS c_ts
+        |           FROM events WHERE event_type = 'click'),
+        |     p AS (SELECT user_id AS p_user, event_id AS p_id, ts AS p_ts
+        |           FROM events WHERE event_type = 'purchase')
+        |SELECT c_user, c_id, c_ts, p_user, p_id, p_ts
+        |FROM c FULL JOIN p ON c_user = p_user
+        |  AND p_ts BETWEEN c_ts - INTERVAL 5 MINUTE AND c_ts + INTERVAL 5 MINUTE
+        |ORDER BY c_user, c_id, p_id""".stripMargin,
     "q_stream_feature_buffer" -> // last-3 cents per user, most recent first
       """WITH r AS (
         |  SELECT user_id, CAST(round(value * 100) AS BIGINT) AS cents,

@@ -69,7 +69,35 @@ object StreamReplay {
     */
   def replayEvents(spark: SparkSession, sfDir: String, slices: Int = 4)(
       xform: DataFrame => DataFrame
-  ): DataFrame = {
+  ): DataFrame =
+    replayEventsMulti(spark, sfDir, slices, Seq(FlushType), 1)(ss => xform(ss.head))
+
+  /** Two-source variant for STREAM-STREAM joins: both streams read the
+    * same slice files through independent file sources (their offsets
+    * advance in the same admission order, and stream-stream self-join
+    * restrictions never apply). `sentinelTypes` lets the sentinels
+    * carry event types that PASS the per-side type filters — a
+    * filtered-out sentinel would never reach a side's
+    * EventTimeWatermark collector, and an outer join only null-pads a
+    * row once the watermark on BOTH sides proves no partner can
+    * arrive. Sentinel rows keep user_id -1, so join output filters
+    * them by key, not type.
+    */
+  def replayEventsPair(
+      spark: SparkSession,
+      sfDir: String,
+      slices: Int = 4,
+      sentinelTypes: Seq[String] = Seq(FlushType)
+  )(xform: (DataFrame, DataFrame) => DataFrame): DataFrame =
+    replayEventsMulti(spark, sfDir, slices, sentinelTypes, 2)(ss => xform(ss(0), ss(1)))
+
+  private def replayEventsMulti(
+      spark: SparkSession,
+      sfDir: String,
+      slices: Int,
+      sentinelTypes: Seq[String],
+      nSources: Int
+  )(xform: Seq[DataFrame] => DataFrame): DataFrame = {
     val tmp   = Files.createTempDirectory("graft-replay")
     val inDir = Files.createDirectories(tmp.resolve("in"))
 
@@ -92,28 +120,34 @@ object StreamReplay {
       writeSlice(spark, tmp, inDir, i, ev.filter(cond))
     }
     // sentinel slices: see scaladoc — two, so the second batch runs
-    // under the watermark the first advanced
+    // under the watermark the first advanced; one row per sentinel
+    // type so per-side type filters still see a watermark carrier
     for ((days, i) <- Seq(30L, 60L).zipWithIndex) {
-      val sentinel = spark
-        .range(1)
-        .select(
-          lit(-1L - i).as("event_id"),
-          timestamp_micros(lit(maxUs + days * MicrosPerDay)).as("ts"),
-          lit(-1L).as("user_id"),
-          lit(FlushType).as("event_type"),
-          lit(0.0).as("value"),
-          lit("{}").as("props")
-        )
+      val ts       = maxUs + days * MicrosPerDay
+      val sentinel = sentinelTypes.zipWithIndex
+        .map { case (tpe, j) =>
+          spark
+            .range(1)
+            .select(
+              lit(-1L - i * sentinelTypes.size - j).as("event_id"),
+              timestamp_micros(lit(ts)).as("ts"),
+              lit(-1L).as("user_id"),
+              lit(tpe).as("event_type"),
+              lit(0.0).as("value"),
+              lit("{}").as("props")
+            )
+        }
+        .reduce(_.unionAll(_))
       writeSlice(spark, tmp, inDir, slices + i, sentinel)
     }
 
-    val stream = spark.readStream
+    def source(): DataFrame = spark.readStream
       .schema(eventsDdl)
       .option("maxFilesPerTrigger", "1")
       .parquet(inDir.toString)
 
     val outDir = tmp.resolve("out").toString
-    val query = xform(stream).writeStream
+    val query = xform(Seq.fill(nSources)(source())).writeStream
       .format("parquet")
       .option("path", outDir)
       .option("checkpointLocation", tmp.resolve("ckpt").toString)
