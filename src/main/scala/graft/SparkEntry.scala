@@ -175,6 +175,21 @@ object SparkEntry {
           .orderBy("user_id")
       }
     }),
+    // C22's online front door: delta documents STREAM against the
+    // static base-corpus hash index (stream-static join keeps no join
+    // state — base is hash-probed per micro-batch), each batch
+    // emitting admit/duplicate verdicts; oracle = the exact-arm SQL
+    "q_stream_admission" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val base = Tables(s, d).documents
+        .filter(col("doc_id") % 10 =!= 0)
+        .select(col("doc_id"), graft.operators.Dedup.normTextHashCol.as("text_hash"))
+      graft.streaming.StreamReplay
+        .replayDocuments(s, d)(docs =>
+          graft.streaming.KinesisLikePipeline
+            .streamingAdmission(docs.filter(col("doc_id") % 10 === 0), base))
+        .orderBy("doc_id")
+    }),
     // A16 stream-stream interval joins through the replay: clicks and
     // purchases read the same slice files via two independent file
     // sources. INNER emits on match (no watermark needed to emit);
@@ -672,6 +687,18 @@ object SparkEntry {
         |  count(DISTINCT user_id) AS active_users
         |FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_stream_heavy_hitters" -> HeavyHittersOracle,
+    "q_stream_admission" -> // delta docs vs the static base hash index, per micro-batch
+      """WITH h AS (
+        |  SELECT doc_id, md5(regexp_replace(trim(text), '\s+', ' ', 'g')) AS text_hash
+        |  FROM documents),
+        |b AS (
+        |  SELECT text_hash, min(doc_id) AS base_doc
+        |  FROM h WHERE doc_id % 10 <> 0 GROUP BY 1)
+        |SELECT d.doc_id, d.text_hash,
+        |  CASE WHEN b.base_doc IS NOT NULL THEN 'duplicate' ELSE 'admit' END AS verdict,
+        |  b.base_doc
+        |FROM h d LEFT JOIN b USING (text_hash)
+        |WHERE d.doc_id % 10 = 0 ORDER BY d.doc_id""".stripMargin,
     "q_stream_interval_join" -> // click⋈purchase per user within ±5 minutes
       """SELECT c.user_id, c.event_id AS click_id, c.ts AS click_ts,
         |  p.event_id AS purchase_id, p.ts AS purchase_ts

@@ -91,6 +91,36 @@ object StreamReplay {
   )(xform: (DataFrame, DataFrame) => DataFrame): DataFrame =
     replayEventsMulti(spark, sfDir, slices, sentinelTypes, 2)(ss => xform(ss(0), ss(1)))
 
+  /** Documents schema pinned for the file stream source. */
+  val documentsDdl =
+    "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG"
+
+  /** Replay the sf documents table as doc_id-contiguous micro-batches.
+    * For STATELESS streaming transforms (stream-static joins,
+    * per-row scoring): no watermark is involved, so no sentinels —
+    * the drained sink is complete once every slice is processed.
+    */
+  def replayDocuments(spark: SparkSession, sfDir: String, slices: Int = 4)(
+      xform: DataFrame => DataFrame
+  ): DataFrame = {
+    val tmp   = Files.createTempDirectory("graft-replay")
+    val inDir = Files.createDirectories(tmp.resolve("in"))
+    val docs = Tables(spark, sfDir).documents
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    val bounds = docs.agg(min(col("doc_id")), max(col("doc_id"))).head()
+    val minId  = bounds.getLong(0)
+    val span   = math.max(1L, bounds.getLong(1) - minId)
+    for (i <- 0 until slices) {
+      val lo   = minId + span * i / slices
+      val hi   = minId + span * (i + 1) / slices
+      val cond =
+        if (i == slices - 1) col("doc_id") >= lo
+        else col("doc_id") >= lo && col("doc_id") < hi
+      writeSlice(spark, tmp, inDir, i, docs.filter(cond))
+    }
+    drain(spark, tmp, inDir, documentsDdl, 1)(ss => xform(ss.head))
+  }
+
   private def replayEventsMulti(
       spark: SparkSession,
       sfDir: String,
@@ -141,8 +171,21 @@ object StreamReplay {
       writeSlice(spark, tmp, inDir, slices + i, sentinel)
     }
 
+    drain(spark, tmp, inDir, eventsDdl, nSources)(xform)
+  }
+
+  /** Start `nSources` independent file sources over the slice dir, run
+    * the transform, drain to parquet under AvailableNow, read back.
+    */
+  private def drain(
+      spark: SparkSession,
+      tmp: Path,
+      inDir: Path,
+      schemaDdl: String,
+      nSources: Int
+  )(xform: Seq[DataFrame] => DataFrame): DataFrame = {
     def source(): DataFrame = spark.readStream
-      .schema(eventsDdl)
+      .schema(schemaDdl)
       .option("maxFilesPerTrigger", "1")
       .parquet(inDir.toString)
 
