@@ -190,16 +190,28 @@ object StreamReplay {
       .parquet(inDir.toString)
 
     val outDir = tmp.resolve("out").toString
-    val query = xform(Seq.fill(nSources)(source())).writeStream
-      .format("parquet")
-      .option("path", outDir)
-      .option("checkpointLocation", tmp.resolve("ckpt").toString)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    query.awaitTermination()
-    // test-only telemetry: specs assert the replay genuinely executed
-    // one micro-batch per slice (plus sentinels), not a single drain
-    lastBatchCount = Option(query.lastProgress).map(_.batchId + 1).getOrElse(-1L)
+    // Stateful operators allocate one state-store instance per shuffle
+    // partition PER micro-batch commit — at gate scale (≤100k rows,
+    // 6-8 batches) 32 partitions is pure commit overhead, so the
+    // replay pins a smaller width for its own streaming query. The
+    // conf is restored before the read-back; in production the state
+    // partition count is sized to stream throughput at the first
+    // deploy (it is fixed by the checkpoint thereafter).
+    val spKey = "spark.sql.shuffle.partitions"
+    val prev  = spark.conf.get(spKey)
+    spark.conf.set(spKey, math.min(8, prev.toInt).toString)
+    try {
+      val query = xform(Seq.fill(nSources)(source())).writeStream
+        .format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", tmp.resolve("ckpt").toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+      // test-only telemetry: specs assert the replay genuinely executed
+      // one micro-batch per slice (plus sentinels), not a single drain
+      lastBatchCount = Option(query.lastProgress).map(_.batchId + 1).getOrElse(-1L)
+    } finally spark.conf.set(spKey, prev)
 
     spark.read.parquet(outDir)
   }
