@@ -175,6 +175,15 @@ object SparkEntry {
           .orderBy("user_id")
       }
     }),
+    // continuous similarity search: probe vectors stream in batches
+    // and rank exactly against the static corpus per micro-batch
+    // (foreachBatch gives full batch semantics); every query lives in
+    // one batch, so the drained union equals the all-queries top-k
+    "q_stream_knn" -> ((s, d) =>
+      graft.streaming.StreamReplay
+        .replayEmbeddings(s, d)(batch =>
+          graft.operators.Similarity.streamingKnn(Tables(s, d), batch, k = 5))
+        .orderBy("query_id", "rank")),
     // C22's online front door: delta documents STREAM against the
     // static base-corpus hash index (stream-static join keeps no join
     // state — base is hash-probed per micro-batch), each batch
@@ -687,6 +696,22 @@ object SparkEntry {
         |  count(DISTINCT user_id) AS active_users
         |FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_stream_heavy_hitters" -> HeavyHittersOracle,
+    "q_stream_knn" -> // per-batch exact rank == all-queries brute force
+      """WITH n AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+        |    sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b)) AS nrm
+        |  FROM embeddings),
+        |c AS (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |    list_reduce(list_transform(range(1, len(a.v) + 1), i -> a.v[CAST(i AS INT)] * b.v[CAST(i AS INT)]), (x, y) -> x + y)
+        |      / (a.nrm * b.nrm) AS cos
+        |  FROM n a JOIN n b ON a.vec_id <> b.vec_id),
+        |r AS (
+        |  SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+        |  FROM c)
+        |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank FROM r
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "q_stream_admission" -> // delta docs vs the static base hash index, per micro-batch
       """WITH h AS (
         |  SELECT doc_id, md5(regexp_replace(trim(text), '\s+', ' ', 'g')) AS text_hash

@@ -32,13 +32,19 @@ object Similarity {
     * the right choice whenever |queries| is broadcast-sized even at
     * 100 TB corpus scale.
     */
-  def knnBruteForce(t: Tables, numQueries: Int = 10, k: Int = 5): DataFrame = {
-    val vecs    = vectors(t)
-    val queries = vecs.filter(col("vec_id") < numQueries)
-    val w       = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+  def knnBruteForce(t: Tables, numQueries: Int = 10, k: Int = 5): DataFrame =
+    knnOn(vectors(t).filter(col("vec_id") < numQueries), vectors(t), k)
+
+  /** Shared exact-top-k core: broadcast the (bounded) query side
+    * against the corpus, rank per query. Also the per-micro-batch
+    * kernel of the CONTINUOUS similarity search (q_stream_knn), where
+    * `queries` is one streamed batch of probe vectors.
+    */
+  private[graft] def knnOn(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
     broadcast(queries)
       .as("a")
-      .join(vecs.as("b"), col("a.vec_id") =!= col("b.vec_id"))
+      .join(corpus.as("b"), col("a.vec_id") =!= col("b.vec_id"))
       .select(
         col("a.vec_id").as("query_id"),
         col("b.vec_id").as("neighbor_id"),
@@ -48,6 +54,23 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank")
       .orderBy("query_id", "rank")
+  }
+
+  /** Continuous similarity search's per-batch kernel: a streamed batch
+    * of probe vectors (raw embeddings schema) ranked exactly against
+    * the static corpus. Every query lives in exactly one micro-batch,
+    * so the drained union over batches equals the all-queries batch
+    * top-k — which is what lets the streaming path share the
+    * brute-force oracle. At 100 TB the static side is served by the
+    * IVF/PQ index keys; the per-batch probe side stays broadcast-sized
+    * by construction (it is one micro-batch).
+    */
+  def streamingKnn(t: Tables, probes: DataFrame, k: Int = 5): DataFrame = {
+    graft.functions.VecExprs.register(t.spark)
+    val q = probes
+      .select(col("vec_id"), col("embedding").as("v"))
+      .withColumn("nrm", expr("vec_norm(v)"))
+    knnOn(q, vectors(t), k)
   }
 
   /** C41: embedding-space label purity@k — for a deterministic query

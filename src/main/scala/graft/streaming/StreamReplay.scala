@@ -121,6 +121,56 @@ object StreamReplay {
     drain(spark, tmp, inDir, documentsDdl, 1)(ss => xform(ss.head))
   }
 
+  /** Embeddings schema pinned for the file stream source. */
+  val embeddingsDdl = "vec_id LONG, embedding ARRAY<FLOAT>, label INT"
+
+  /** Replay the sf embeddings table as vec_id-contiguous micro-batches
+    * through a foreachBatch sink: `perBatch` maps each streamed batch
+    * (a genuine batch DataFrame, so windows/ranks are legal) and its
+    * result appends to the drained output. The foreachBatch form is
+    * the idiomatic Structured Streaming answer for per-batch logic
+    * that needs full batch semantics — here, continuous top-k
+    * similarity search.
+    */
+  def replayEmbeddings(spark: SparkSession, sfDir: String, slices: Int = 4)(
+      perBatch: DataFrame => DataFrame
+  ): DataFrame = {
+    val tmp   = Files.createTempDirectory("graft-replay")
+    val inDir = Files.createDirectories(tmp.resolve("in"))
+    val emb   = Tables(spark, sfDir).embeddings.select("vec_id", "embedding", "label")
+    val bounds = emb.agg(min(col("vec_id")), max(col("vec_id"))).head()
+    val minId  = bounds.getLong(0)
+    val span   = math.max(1L, bounds.getLong(1) - minId)
+    for (i <- 0 until slices) {
+      val lo   = minId + span * i / slices
+      val hi   = minId + span * (i + 1) / slices
+      val cond =
+        if (i == slices - 1) col("vec_id") >= lo
+        else col("vec_id") >= lo && col("vec_id") < hi
+      writeSlice(spark, tmp, inDir, i, emb.filter(cond))
+    }
+    val outDir = tmp.resolve("out").toString
+    val spKey  = "spark.sql.shuffle.partitions"
+    val prev   = spark.conf.get(spKey)
+    spark.conf.set(spKey, math.min(8, prev.toInt).toString)
+    try {
+      val query = spark.readStream
+        .schema(embeddingsDdl)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(inDir.toString)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          perBatch(batch).write.mode("append").parquet(outDir)
+        }
+        .option("checkpointLocation", tmp.resolve("ckpt").toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+      lastBatchCount = Option(query.lastProgress).map(_.batchId + 1).getOrElse(-1L)
+    } finally spark.conf.set(spKey, prev)
+    spark.read.parquet(outDir)
+  }
+
   private def replayEventsMulti(
       spark: SparkSession,
       sfDir: String,
