@@ -384,6 +384,7 @@ object SparkEntry {
     "text_collocations"    -> ((s, d) => TextOps.collocations(Tables(s, d))),
     "q_fuzzy_names"        -> ((s, d) => Joins.fuzzyNamePairs(Tables(s, d))),
     "text_chargram_profile" -> ((s, d) => TextOps.chargramLangProfile(Tables(s, d))),
+    "text_next_word"       -> ((s, d) => TextOps.nextWordModel(Tables(s, d))),
     "q_session_cap"        -> ((s, d) => EventOps.cappedSessions(Tables(s, d))),
     "q_returned_items"     -> ((s, d) => Analytics.returnedItemReport(Tables(s, d))),
     "q_top_supplier"       -> ((s, d) => Analytics.topSupplier(Tables(s, d))),
@@ -2092,6 +2093,22 @@ object SparkEntry {
         |  FROM c)
         |SELECT lang, gram, cnt, CAST(rnk AS BIGINT) AS rnk
         |FROM r WHERE rnk <= 10 ORDER BY lang, rnk""".stripMargin,
+    "text_next_word" -> // top-3 continuations per head word with >= 20 bigram slots
+      """WITH base AS (SELECT string_split(text, ' ') AS ws FROM documents),
+        |pr AS (
+        |  SELECT ws[i+1] AS head, ws[i+2] AS next_word, count(*) AS n_pair
+        |  FROM base, unnest(generate_series(0, len(ws) - 2)) AS t(i)
+        |  GROUP BY 1, 2),
+        |h AS (
+        |  SELECT head AS hh, CAST(sum(n_pair) AS BIGINT) AS n_head
+        |  FROM pr GROUP BY 1),
+        |r AS (
+        |  SELECT head, next_word, n_pair, n_head,
+        |    row_number() OVER (PARTITION BY head ORDER BY n_pair DESC, next_word) AS rnk
+        |  FROM pr JOIN h ON head = hh
+        |  WHERE n_head >= 20)
+        |SELECT head, CAST(rnk AS BIGINT) AS rnk, next_word, n_pair, n_head
+        |FROM r WHERE rnk <= 3 ORDER BY head, rnk""".stripMargin,
     "q_session_cap" -> // gap(30m) + duration-cap(2h) sessionization, integer-microsecond boundaries
       """WITH e AS (
         |  SELECT user_id, event_id, ts, value, epoch_us(ts) AS us,

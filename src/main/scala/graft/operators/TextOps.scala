@@ -646,4 +646,46 @@ object TextOps {
       .select("lang", "gram", "cnt", "rnk")
       .orderBy("lang", "rnk")
   }
+
+  /** C46: bigram next-word model — for every head word with at least
+    * `minHead` bigram occurrences, the top-k continuations by count:
+    * the count-based conditional LM table (the estimation side of
+    * C42's coverage scorer, and the suggestion model behind every
+    * "type-ahead" demo). All-integer output (pair and head counts,
+    * dense rank) — the consumer's smoothing/normalization is their
+    * one division, and integers are what hash-gates an LM estimate.
+    *
+    * Plan: adjacent pairs via the codegen'd slice+arrays_zip pairing
+    * (C33's rule — no per-doc window, no interpreted lambda explode),
+    * partial-agg'd into one (head, next) shuffle; head totals are a
+    * partial-agg'd groupBy joined back on the head key (vocabulary-
+    * sized, skew-safe — never a window over a hot head word); the
+    * per-head top-k runs through the bounded-heap
+    * [[graft.plans.TopK]] operator, never a per-group sort.
+    */
+  def nextWordModel(t: Tables, minHead: Int = 20, k: Int = 3): DataFrame = {
+    val pairs = t.documents
+      .withColumn("ws", split(col("text"), " "))
+      .filter(size(col("ws")) >= 2)
+      .select(explode(expr(
+        "arrays_zip(slice(ws, 1, size(ws) - 1), slice(ws, 2, size(ws) - 1))"
+      )).as("p"))
+      .groupBy(col("p.0").as("head"), col("p.1").as("next_word"))
+      .agg(count(lit(1)).as("n_pair"))
+    // n_head counts bigram OCCURRENCES of the head (successor slots),
+    // not unigram tokens: a document-final token heads no bigram
+    val heads = pairs
+      .groupBy("head")
+      .agg(sum("n_pair").as("n_head"))
+      .filter(col("n_head") >= minHead)
+    graft.plans.TopK
+      .perKey(
+        pairs.join(heads.hint("shuffle_hash"), "head"),
+        Seq("head"),
+        Seq(col("n_pair").desc, col("next_word")),
+        k
+      )
+      .select("head", "rnk", "next_word", "n_pair", "n_head")
+      .orderBy("head", "rnk")
+  }
 }

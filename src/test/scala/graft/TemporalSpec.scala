@@ -445,6 +445,33 @@ class TemporalSpec extends SparkSpecBase {
     assert(!plan.contains("Window"), s"no per-group sort window expected:\n$plan")
   }
 
+  test("next-word model: local bigram replay agrees; head totals join back, top-k through TopKPerKeyExec") {
+    val rows = graft.operators.TextOps.nextWordModel(tables).collect()
+    // local replay: adjacent pairs per doc, successor-slot head counts
+    val docs = tables.documents.select("text").collect().map(_.getString(0))
+    val pairCounts = docs
+      .flatMap { t => val ws = t.split(" ", -1); ws.dropRight(1).zip(ws.drop(1)) }
+      .groupBy(identity).map { case (p, a) => (p, a.length.toLong) }
+    val headCounts = pairCounts.groupBy(_._1._1).map { case (h, m) => (h, m.values.sum) }
+    val expected = pairCounts.toSeq
+      .groupBy(_._1._1)
+      .filter { case (h, _) => headCounts(h) >= 20L }
+      .flatMap { case (h, ps) =>
+        ps.sortBy { case ((_, w2), c) => (-c, w2) }.take(3).zipWithIndex.map {
+          case (((_, w2), c), i) => (h, (i + 1).toLong, w2, c, headCounts(h))
+        }
+      }
+      .toSet
+    val got = rows.map(r =>
+      (r.getString(0), r.getAs[Long]("rnk"), r.getString(2),
+        r.getAs[Long]("n_pair"), r.getAs[Long]("n_head"))).toSet
+    assert(got == expected, s"got ${got.size} rows vs expected ${expected.size}")
+    val plan = executedPlanString(graft.operators.TextOps.nextWordModel(tables))
+    assert(plan.contains("TopKPerKey"), s"top-k must use the bounded-heap operator:\n$plan")
+    assert(!plan.contains("Window"), s"no per-group sort window expected:\n$plan")
+    assert(plan.contains("ShuffledHashJoin"), s"head totals must join back shuffle-hash:\n$plan")
+  }
+
   test("watermark skew matches a local replay of the interleave, bounded by the hour") {
     val rows = graft.operators.EventOps.watermarkSkew(tables).collect()
     assert(rows.nonEmpty)
