@@ -805,6 +805,78 @@ class StreamingSpec extends SparkSpecBase {
     }
   }
 
+  test("file replay recovers from a mid-stream stop: checkpoint restart is exactly-once") {
+    import java.nio.file.attribute.FileTime
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    val tmp   = Files.createTempDirectory("graft-restart")
+    val inDir = Files.createDirectories(tmp.resolve("in"))
+    // 4 time-ordered slices of 300 rows + a far-future flush sentinel,
+    // mtimes pin FileStreamSource admission order (one per micro-batch)
+    val base = Timestamp.valueOf("2026-01-01 00:00:00").getTime
+    val rows = (0 until 1200).map { i =>
+      (i.toLong, new Timestamp(base + i * 30000L), (i % 7).toLong,
+        if (i % 2 == 0) "click" else "view", 0.01 * i + 0.1, "{}")
+    }
+    def writeSlice(i: Int, df: org.apache.spark.sql.DataFrame): Unit = {
+      val stage = tmp.resolve(f"stage-$i%02d")
+      df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val part = Files.list(stage).filter(_.getFileName.toString.endsWith(".parquet"))
+        .findFirst().get()
+      val dest = inDir.resolve(f"slice-$i%02d.parquet")
+      Files.move(part, dest)
+      Files.setLastModifiedTime(dest, FileTime.fromMillis(1000000000000L + i * 60000L))
+    }
+    rows.grouped(300).zipWithIndex.foreach { case (b, i) =>
+      writeSlice(i, b.toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    }
+    writeSlice(4, Seq((-1L, Timestamp.valueOf("2026-03-01 00:00:00"), -1L, "_flush", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    writeSlice(5, Seq((-2L, Timestamp.valueOf("2026-04-01 00:00:00"), -1L, "_flush", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+
+    val out = tmp.resolve("out").toString
+    val ck  = tmp.resolve("ck").toString
+    def startQuery() = KinesisLikePipeline
+      .windowedCounts(
+        spark.readStream.schema(graft.streaming.StreamReplay.eventsDdl)
+          .option("maxFilesPerTrigger", "1").parquet(inDir.toString),
+        "1 hour", "1 minute")
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow()).start()
+
+    // run 1: stop as soon as at least one batch committed — whatever
+    // batch is in flight dies with the query
+    val q1 = startQuery()
+    val deadline = System.nanoTime() + 60L * 1000000000L
+    while (Option(q1.lastProgress).forall(_.batchId < 1) && q1.isActive &&
+      System.nanoTime() < deadline) Thread.sleep(50)
+    q1.stop()
+    // run 2: same checkpoint + sink, drain the rest
+    val q2 = startQuery()
+    q2.awaitTermination()
+
+    // the metadata-aware read ignores any uncommitted orphan files, so
+    // a replayed batch cannot surface twice: the recovered sink must
+    // equal the one-shot batch aggregation exactly
+    val streamed = spark.read.parquet(out)
+      .filter(col("event_type") =!= "_flush")
+      .collect()
+      .map(r => (r.getAs[Timestamp]("window_start"), r.getAs[String]("event_type"),
+        r.getAs[Long]("n_events"), r.getAs[Double]("sum_value")))
+      .toSet
+    val batch = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .groupBy(date_trunc("hour", col("ts")).as("window_start"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        graft.operators.Num.moneySum(col("value")).as("sum_value"))
+      .collect()
+      .map(r => (r.getAs[Timestamp]("window_start"), r.getAs[String]("event_type"),
+        r.getAs[Long]("n_events"), r.getAs[Double]("sum_value")))
+      .toSet
+    assert(streamed == batch, s"recovered sink ${streamed.size} windows vs batch ${batch.size}")
+  }
+
   test("file replay drains the corpus through real micro-batches and equals the batch twin") {
     import graft.streaming.StreamReplay
     val slices = 3
