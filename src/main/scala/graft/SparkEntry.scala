@@ -175,6 +175,30 @@ object SparkEntry {
           .orderBy("user_id")
       }
     }),
+    // A14's page sequencer hash-gated: hourly per-user digests replay
+    // as the topic-message stream; the per-topic global sequence must
+    // continue across micro-batches exactly as the gaps-and-islands
+    // oracle replays it (fMGWS backend, and transformWithState below)
+    "q_stream_pageseq" -> ((s, d) => {
+      import s.implicits._
+      graft.streaming.StreamReplay
+        .replayTopicMessages(s, d)(df =>
+          graft.streaming.KinesisLikePipeline
+            .pageSequencer(s, df.as[graft.streaming.KinesisLikePipeline.TopicMsg])
+            .toDF())
+        .orderBy("topic_id", "global_seq")
+    }),
+    "q_stream_pageseq_tws" -> ((s, d) => {
+      import s.implicits._
+      withRocksDb(s) {
+        graft.streaming.StreamReplay
+          .replayTopicMessages(s, d)(df =>
+            graft.streaming.KinesisLikePipeline
+              .pageSequencerTws(s, df.as[graft.streaming.KinesisLikePipeline.TopicMsg])
+              .toDF())
+          .orderBy("topic_id", "global_seq")
+      }
+    }),
     // continuous similarity search: probe vectors stream in batches
     // and rank exactly against the static corpus per micro-batch
     // (foreachBatch gives full batch semantics); every query lives in
@@ -534,6 +558,34 @@ object SparkEntry {
       |WHERE n_events * n_users * 10 > total * 13
       |ORDER BY 1, 2""".stripMargin
 
+  /** A14's sequencer replayed in SQL: per-topic chronological messages
+    * fan into `(n/page_size)+1` pages with first/last notes and a
+    * cumulative global sequence — shared by both state backends' keys.
+    */
+  private val PageSeqOracle: String =
+    """WITH m AS (
+      |  SELECT user_id AS topic_id, date_trunc('hour', ts) AS hr, count(*) AS n_devices
+      |  FROM events GROUP BY 1, 2),
+      |f AS (
+      |  SELECT topic_id, CAST(CAST(epoch(hr) AS BIGINT) AS VARCHAR) AS message,
+      |    n_devices // 10 + 1 AS page_count,
+      |    row_number() OVER (PARTITION BY topic_id ORDER BY hr) AS rn
+      |  FROM m),
+      |c AS (
+      |  SELECT *, sum(page_count) OVER (PARTITION BY topic_id ORDER BY rn
+      |                                  ROWS UNBOUNDED PRECEDING) - page_count AS prior
+      |  FROM f),
+      |p AS (
+      |  SELECT topic_id, k AS page_num, page_count,
+      |    CAST(prior + k AS BIGINT) AS global_seq, message,
+      |    CASE WHEN k = 1 THEN 'Count: 1st page sent'
+      |         WHEN k = page_count THEN 'Count: Last Page Sent: ' || page_count
+      |         ELSE '' END AS note
+      |  FROM c, unnest(generate_series(1, page_count)) AS t(k))
+      |SELECT topic_id, CAST(page_num AS BIGINT) AS page_num,
+      |  CAST(page_count AS BIGINT) AS page_count, global_seq, message, note
+      |FROM p ORDER BY topic_id, global_seq""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
@@ -697,6 +749,8 @@ object SparkEntry {
         |  count(DISTINCT user_id) AS active_users
         |FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_stream_heavy_hitters" -> HeavyHittersOracle,
+    "q_stream_pageseq" -> PageSeqOracle,
+    "q_stream_pageseq_tws" -> PageSeqOracle,
     "q_stream_knn" -> // per-batch exact rank == all-queries brute force
       """WITH n AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,

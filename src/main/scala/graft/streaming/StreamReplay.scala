@@ -171,6 +171,49 @@ object StreamReplay {
     spark.read.parquet(outDir)
   }
 
+  /** Topic-message schema pinned for the file stream source (A14's
+    * sequencer input).
+    */
+  val topicsDdl = "topic_id LONG, message STRING, n_devices LONG, page_size LONG"
+
+  /** Replay hourly per-user device digests as the A14 sequencer's
+    * topic-message stream: topic = user, one message per active hour,
+    * n_devices = that hour's event count, page_size 10. The message
+    * string is the hour's epoch seconds (fixed-width, so the
+    * sequencer's within-batch sort by message IS chronological order),
+    * and slices are hour-contiguous — together they pin the per-topic
+    * total order the oracle replays. No watermark, no sentinels: the
+    * sequencer emits every page as its message is processed.
+    */
+  def replayTopicMessages(spark: SparkSession, sfDir: String, slices: Int = 4)(
+      xform: DataFrame => DataFrame
+  ): DataFrame = {
+    val tmp   = Files.createTempDirectory("graft-replay")
+    val inDir = Files.createDirectories(tmp.resolve("in"))
+    val msgs = Tables(spark, sfDir).events
+      .groupBy(col("user_id").as("topic_id"), date_trunc("hour", col("ts")).as("hr"))
+      .agg(count(lit(1)).as("n_devices"))
+      .select(
+        col("topic_id"),
+        unix_timestamp(col("hr")).cast("string").as("message"),
+        col("n_devices"),
+        lit(10L).as("page_size"),
+        unix_timestamp(col("hr")).as("hr_s")
+      )
+    val bounds = msgs.agg(min(col("hr_s")), max(col("hr_s"))).head()
+    val minS   = bounds.getLong(0)
+    val span   = math.max(1L, bounds.getLong(1) - minS)
+    for (i <- 0 until slices) {
+      val lo   = minS + span * i / slices
+      val hi   = minS + span * (i + 1) / slices
+      val cond =
+        if (i == slices - 1) col("hr_s") >= lo
+        else col("hr_s") >= lo && col("hr_s") < hi
+      writeSlice(spark, tmp, inDir, i, msgs.filter(cond).drop("hr_s"))
+    }
+    drain(spark, tmp, inDir, topicsDdl, 1)(ss => xform(ss.head))
+  }
+
   private def replayEventsMulti(
       spark: SparkSession,
       sfDir: String,
