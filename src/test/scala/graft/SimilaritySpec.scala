@@ -53,6 +53,32 @@ class SimilaritySpec extends SparkSpecBase {
     info(f"IVF-flat recall on the same cells: $flatRecall%.2f")
   }
 
+  test("IVF-PQ recall on a clustered fixture is production-shaped (>= 0.7)") {
+    // the corpus embeddings are near-random unit vectors — PQ's
+    // documented worst case (no manifold to exploit). Real embedding
+    // spaces are clustered; this fixture is 10 tight clusters in the
+    // corpus dimensionality, where the IVF cells align with the real
+    // structure and the refine stage recovers what quantization loses
+    import spark.implicits._
+    val rng  = new scala.util.Random(42)
+    val dim  = 64
+    val centers = Array.fill(10)(Array.fill(dim)(rng.nextGaussian()))
+    val rows = (0 until 500).map { i =>
+      val c   = centers(i % 10)
+      val v   = c.map(x => (x + 0.15 * rng.nextGaussian()).toFloat)
+      (i.toLong, v.toSeq, i % 10)
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("clustered_emb").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val tc     = graft.sources.Tables(spark, tmp)
+    val exact  = Similarity.knnBruteForce(tc).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq     = Similarity.knnIvfPq(tc).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & pq).size.toDouble / exact.size
+    info(f"IVF-PQ clustered-fixture recall vs exact top-5: $recall%.2f")
+    assert(recall >= 0.7, f"clustered recall too low: $recall%.2f")
+  }
+
   test("LSH knn recall vs brute force is usable at 6 bits") {
     val exact = Similarity
       .knnBruteForce(tables)
