@@ -47,6 +47,9 @@ object SparkEntry {
     "q_store_runtime_prune" -> ((s, d) =>
       Joins.storeRuntimePrunedJoin(Tables(s, d),
         s"${System.getProperty("java.io.tmpdir")}/graft-rtprunestore")),
+    "q_store_consumer_lag" -> ((s, d) =>
+      Joins.consumerLagAudit(Tables(s, d),
+        s"${System.getProperty("java.io.tmpdir")}/graft-lagstore")),
     "q_bucketed_join" -> ((s, d) =>
       Joins.bucketedJoin(Tables(s, d), s"${System.getProperty("java.io.tmpdir")}/graft-warehouse")),
     "q_event_pivot"        -> ((s, d) => Analytics.eventTypePivot(Tables(s, d))),
@@ -1159,6 +1162,19 @@ object SparkEntry {
         |SELECT p.result_key, p.purchase_cents, h.n_clicks
         |FROM p JOIN h USING (result_key)
         |ORDER BY 1""".stripMargin,
+    "q_store_consumer_lag" -> // backlog rows per pending epoch; slice rule mirrors the Scala bounds
+      """WITH b AS (
+        |  SELECT min(epoch_us(ts)) AS mn,
+        |    greatest(max(epoch_us(ts)) - min(epoch_us(ts)), 1) AS span
+        |  FROM events),
+        |r AS (
+        |  SELECT CASE WHEN epoch_us(ts) >= mn + span * 3 // 4 THEN 3
+        |              WHEN epoch_us(ts) >= mn + span * 2 // 4 THEN 2
+        |              WHEN epoch_us(ts) >= mn + span * 1 // 4 THEN 1
+        |              ELSE 0 END AS pos
+        |  FROM events, b)
+        |SELECT CAST(pos + 1 AS BIGINT) AS position, count(*) AS n_rows
+        |FROM r WHERE pos >= 2 GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_spj_store" -> // store bucketing changes the PLAN, never the values
       """WITH p AS (
         |  SELECT 'u' || CAST(user_id AS VARCHAR) AS result_key,
