@@ -31,7 +31,14 @@ object Bench {
     // sorted order: Map iteration is hash-random, which hands one
     // query the suite's cold-start (JIT, codegen, page cache) by
     // lottery and makes per-query numbers incomparable across rounds
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // local iteration only (driver leaves it unset): bench a named
+    // subset, e.g. SPARK_GRAFT_BENCH_ONLY=dedup_ngram_jaccard,q_funnel
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    val results = SparkEntry.queries.toSeq
+      .filter(kv => only.forall(_.contains(kv._1)))
+      .sortBy(_._1)
+      .map { case (name, fn) =>
       // free the previous query's checkpoint blocks deterministically —
       // localCheckpoint RDDs sit in executor storage until the context
       // cleaner gets to them, and 70+ queries of debris shows up as

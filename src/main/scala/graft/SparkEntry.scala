@@ -163,6 +163,7 @@ object SparkEntry {
                 df.select(
                   col("user_id"),
                   unix_micros(col("ts")).as("ts_us"),
+                  col("event_id"),
                   round(col("value") * 100).cast("long").as("cents")
                 ),
                 k = 3)
@@ -201,6 +202,20 @@ object SparkEntry {
               .toDF())
           .orderBy("topic_id", "global_seq")
       }
+    }),
+    // A9's streaming leg: the SNS first/last notifications fall out of
+    // the sequencer's note column — same replay, notify rows only, so
+    // lcount.go:139-156's notification derivation is gated end to end
+    "q_stream_first_last" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      import s.implicits._
+      graft.streaming.StreamReplay
+        .replayTopicMessages(s, d)(df =>
+          graft.streaming.KinesisLikePipeline
+            .pageSequencer(s, df.as[graft.streaming.KinesisLikePipeline.TopicMsg])
+            .toDF()
+            .filter(col("note") =!= ""))
+        .orderBy("topic_id", "global_seq")
     }),
     // continuous similarity search: probe vectors stream in batches
     // and rank exactly against the static corpus per micro-batch
@@ -271,6 +286,29 @@ object SparkEntry {
         .filter(coalesce(col("c_user"), col("p_user")) =!= -1L)
         .orderBy("c_user", "c_id", "p_id")
     }),
+    // LEFT OUTER completes the gated join-mode matrix (inner / left /
+    // full on the same machinery): every click emits, matched or
+    // null-padded once the purchase-side watermark proves no partner.
+    // Sentinels carry BOTH types — an unmatched left row only evicts
+    // (and emits) when the RIGHT side's watermark passes its horizon.
+    "q_stream_interval_left" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      graft.streaming.StreamReplay
+        .replayEventsPair(s, d, sentinelTypes = Seq("click", "purchase"))((l, r) =>
+          graft.streaming.KinesisLikePipeline.intervalJoinLeft(
+            l.filter(col("event_type") === "click")
+              .select(col("user_id").as("c_user"), col("event_id").as("c_id"),
+                col("ts").as("c_ts")),
+            r.filter(col("event_type") === "purchase")
+              .select(col("user_id").as("p_user"), col("event_id").as("p_id"),
+                col("ts").as("p_ts")),
+            keyLeft = "c_user", keyRight = "p_user",
+            tsLeft = "c_ts", tsRight = "p_ts",
+            skew = "5 minutes", watermark = "1 minute"
+          ))
+        .filter(col("c_user") =!= -1L)
+        .orderBy("c_user", "c_id", "p_id")
+    }),
     "q_stream_distinct" -> ((s, d) => {
       import org.apache.spark.sql.functions.{col, concat_ws, date_trunc}
       graft.streaming.StreamReplay
@@ -303,6 +341,23 @@ object SparkEntry {
     "q_page_arns"          -> ((s, d) => Paging.pageArns(Tables(s, d), topicId = 1, pageNum = 2)),
     "q_pages_scalable"     -> ((s, d) => Paging.pagesScalable(Tables(s, d))),
     "q_sqs_batches"        -> ((s, d) => Paging.sqsBatches(Tables(s, d), topicId = 1)),
+    // A15's SQS-batch SINK leg under the gate: payloads stream through
+    // batchedQueueSink (real foreachBatch JSON batch lines), the
+    // read-back canonicalizes each entry array with sort_array, and
+    // the oracle replays the per-micro-batch per-topic grouping rule
+    "q_stream_sqs_batches" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{array_join, col, size, sort_array}
+      graft.streaming.StreamReplay
+        .replayQueueBatches(s, d, TopicMessage)
+        .select(
+          col("topic_id"),
+          col("micro_batch"),
+          col("send_batch").as("batch_id"),
+          size(col("entries")).cast("long").as("batch_size"),
+          array_join(sort_array(col("entries")), "|").as("members")
+        )
+        .orderBy("topic_id", "micro_batch", "batch_id")
+    }),
     "q_fanout_payload"     -> ((s, d) => Paging.fanoutPayloads(Tables(s, d), topicId = 1, message = TopicMessage)),
     "q_first_last_page"    -> ((s, d) => Paging.firstLastPageNotifications(Tables(s, d))),
     "q_topic_fanout_count" -> ((s, d) => Paging.topicFanoutCounts(Tables(s, d))),
@@ -563,9 +618,10 @@ object SparkEntry {
 
   /** A14's sequencer replayed in SQL: per-topic chronological messages
     * fan into `(n/page_size)+1` pages with first/last notes and a
-    * cumulative global sequence — shared by both state backends' keys.
+    * cumulative global sequence — the CTE base shared by both state
+    * backends' keys and the A9 notify twin below.
     */
-  private val PageSeqOracle: String =
+  private val PageSeqBase: String =
     """WITH m AS (
       |  SELECT user_id AS topic_id, date_trunc('hour', ts) AS hr, count(*) AS n_devices
       |  FROM events GROUP BY 1, 2),
@@ -587,7 +643,16 @@ object SparkEntry {
       |  FROM c, unnest(generate_series(1, page_count)) AS t(k))
       |SELECT topic_id, CAST(page_num AS BIGINT) AS page_num,
       |  CAST(page_count AS BIGINT) AS page_count, global_seq, message, note
-      |FROM p ORDER BY topic_id, global_seq""".stripMargin
+      |FROM p""".stripMargin
+
+  private val PageSeqOracle: String =
+    PageSeqBase + "\nORDER BY topic_id, global_seq"
+
+  /** A9's streaming leg — the sequencer's SNS-notify rows only
+    * (lcount.go:139-156): first and last page of every message.
+    */
+  private val PageSeqNotifyOracle: String =
+    PageSeqBase + "\nWHERE note <> '' ORDER BY topic_id, global_seq"
 
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -754,6 +819,7 @@ object SparkEntry {
     "q_stream_heavy_hitters" -> HeavyHittersOracle,
     "q_stream_pageseq" -> PageSeqOracle,
     "q_stream_pageseq_tws" -> PageSeqOracle,
+    "q_stream_first_last" -> PageSeqNotifyOracle,
     "q_stream_knn" -> // per-batch exact rank == all-queries brute force
       """WITH n AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
@@ -798,10 +864,19 @@ object SparkEntry {
         |FROM c FULL JOIN p ON c_user = p_user
         |  AND p_ts BETWEEN c_ts - INTERVAL 5 MINUTE AND c_ts + INTERVAL 5 MINUTE
         |ORDER BY c_user, c_id, p_id""".stripMargin,
+    "q_stream_interval_left" -> // left-outer form: every click, null-padded if unmatched
+      """WITH c AS (SELECT user_id AS c_user, event_id AS c_id, ts AS c_ts
+        |           FROM events WHERE event_type = 'click'),
+        |     p AS (SELECT user_id AS p_user, event_id AS p_id, ts AS p_ts
+        |           FROM events WHERE event_type = 'purchase')
+        |SELECT c_user, c_id, c_ts, p_user, p_id, p_ts
+        |FROM c LEFT JOIN p ON c_user = p_user
+        |  AND p_ts BETWEEN c_ts - INTERVAL 5 MINUTE AND c_ts + INTERVAL 5 MINUTE
+        |ORDER BY c_user, c_id, p_id""".stripMargin,
     "q_stream_feature_buffer" -> // last-3 cents per user, most recent first
       """WITH r AS (
         |  SELECT user_id, CAST(round(value * 100) AS BIGINT) AS cents,
-        |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC) AS rn,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn,
         |    count(*) OVER (PARTITION BY user_id) AS n_seen
         |  FROM events)
         |SELECT user_id, n_seen,
@@ -855,6 +930,22 @@ object SparkEntry {
         |SELECT CAST(floor((rn-1)/10) AS BIGINT) AS batch_id, count(*) AS batch_size,
         |  CAST(min(rn) AS BIGINT) AS first_rn, CAST(max(rn) AS BIGINT) AS last_rn
         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_stream_sqs_batches" -> // A15 sink: per micro-batch (device_id%4) per topic, batches of 10
+      """WITH d AS (
+        |  SELECT CAST(c.c_nationkey AS BIGINT) AS topic_id, o.o_orderkey AS device_id,
+        |    base64(encode(concat('arn:', concat('arn:', o.o_orderkey), '|',
+        |      'THIS IS THIS MESSAGE PAYLOAD THAT WILL GO TO THE USER!!!!!'))) AS payload_b64
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+        |r AS (
+        |  SELECT topic_id, CAST(device_id % 4 AS BIGINT) AS micro_batch, payload_b64,
+        |    row_number() OVER (PARTITION BY device_id % 4, topic_id
+        |                       ORDER BY payload_b64) AS rn
+        |  FROM d)
+        |SELECT topic_id, micro_batch, CAST(floor((rn-1)/10) AS BIGINT) AS batch_id,
+        |  count(*) AS batch_size,
+        |  string_agg(payload_b64, '|' ORDER BY payload_b64) AS members
+        |FROM r GROUP BY 1, 2, CAST(floor((rn-1)/10) AS BIGINT)
+        |ORDER BY 1, 2, 3""".stripMargin,
     "q_fanout_payload" ->
       """WITH d AS (
         |  SELECT o.o_custkey AS user_id, concat('arn:', o.o_orderkey) AS endpoint_arn,
@@ -2179,27 +2270,9 @@ object SparkEntry {
         |  WHERE n_head >= 20)
         |SELECT head, CAST(rnk AS BIGINT) AS rnk, next_word, n_pair, n_head
         |FROM r WHERE rnk <= 3 ORDER BY head, rnk""".stripMargin,
-    "q_session_cap" -> // gap(30m) + duration-cap(2h) sessionization, integer-microsecond boundaries
-      """WITH e AS (
-        |  SELECT user_id, event_id, ts, value, epoch_us(ts) AS us,
-        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
-        |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 30*60*1000000::BIGINT
-        |         THEN 1 ELSE 0 END AS brk
-        |  FROM events
-        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-        |s AS (
-        |  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |                           ROWS UNBOUNDED PRECEDING) AS gsid
-        |  FROM e),
-        |g AS (
-        |  SELECT *, min(us) OVER (PARTITION BY user_id, gsid) AS gstart
-        |  FROM s)
-        |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
-        |  count(*) AS n_events,
-        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-        |FROM g
-        |GROUP BY user_id, gsid, (us - gstart) // (120*60*1000000::BIGINT)
-        |ORDER BY user_id, session_start""".stripMargin,
+    // gap(30m) + duration-cap(2h) sessionization — ONE SQL definition
+    // shared with both streaming replay twins (see StreamCapSessionOracle)
+    "q_session_cap" -> StreamCapSessionOracle,
     "q_returned_items" -> // TPC-H Q10-style: top-20 customers by revenue lost to returns
       """WITH lost AS (
         |  SELECT o_custkey,

@@ -146,6 +146,23 @@ object Paging {
       )
       .orderBy("rn")
 
+  /** A15's sink input: EVERY device's fan-out payload (all topics),
+    * formatted like [[fanoutPayloads]] (lpage.go:135's double "arn:"
+    * prefix kept faithfully). device_id rides along as the
+    * deterministic replay-slicing key.
+    */
+  def queuePayloads(t: Tables, message: String): DataFrame =
+    devices(t)
+      .select(
+        col("topic_id"),
+        col("device_id"),
+        regexp_replace(
+          base64(concat(lit("arn:"), col("endpoint_arn"), lit("|"), lit(message)).cast("binary")),
+          "[\\r\\n]",
+          ""
+        ).as("payload_b64")
+      )
+
   /** A9: first/last-page notification rows — lambda_count/lcount.go:
     * 139-156 (SNS publish on 1st and last page), lambda_page/lpage.go:
     * 166-173. A topic with one page emits both rows, like the

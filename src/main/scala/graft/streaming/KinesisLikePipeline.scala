@@ -366,7 +366,7 @@ object KinesisLikePipeline {
     */
   class RecentBufferProcessor(k: Int = 3)
       extends org.apache.spark.sql.streaming.StatefulProcessor[
-        Long, (Long, Long, Long), RecentFeatOut] {
+        Long, (Long, Long, Long, Long), RecentFeatOut] {
     import org.apache.spark.sql.streaming.{ListState, TimeMode, TTLConfig, ValueState}
     import org.apache.spark.sql.{Encoders => Encs}
 
@@ -383,11 +383,15 @@ object KinesisLikePipeline {
 
     override def handleInputRows(
         userId: Long,
-        in: Iterator[(Long, Long, Long)],
+        in: Iterator[(Long, Long, Long, Long)],
         timerValues: org.apache.spark.sql.streaming.TimerValues
     ): Iterator[RecentFeatOut] = {
-      val rows = in.toArray.sortBy(_._2) // time order within the batch
-      rows.foreach { case (_, tsUs, cents) => buf.appendValue((tsUs, cents)) }
+      // time order within the batch, event_id tiebreak: two same-user
+      // events in the same microsecond must still buffer in ONE order
+      // (the oracle's ORDER BY ts, event_id) regardless of partition
+      // arrival order
+      val rows = in.toArray.sortBy(r => (r._2, r._3))
+      rows.foreach { case (_, tsUs, _, cents) => buf.appendValue((tsUs, cents)) }
       val all = buf.get().toArray
       if (all.length > k) buf.put(all.takeRight(k))
       val n = (if (seen.exists()) seen.get() else 0L) + rows.length
@@ -400,15 +404,15 @@ object KinesisLikePipeline {
   }
 
   /** [[RecentBufferProcessor]] wired to a stream of
-    * (user_id, ts_us, cents).
+    * (user_id, ts_us, event_id, cents).
     */
   def recentFeatureBuffer(events: DataFrame, k: Int = 3): Dataset[RecentFeatOut] = {
     val spark = events.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.streaming.TimeMode
     events
-      .selectExpr("user_id", "ts_us", "cents")
-      .as[(Long, Long, Long)]
+      .selectExpr("user_id", "ts_us", "event_id", "cents")
+      .as[(Long, Long, Long, Long)]
       .groupByKey(_._1)
       .transformWithState(
         new RecentBufferProcessor(k),

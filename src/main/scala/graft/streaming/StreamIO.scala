@@ -97,9 +97,11 @@ object StreamIO {
       payloads: DataFrame,
       outDir: String,
       checkpoint: String,
-      batchSize: Int = 10
-  ): StreamingQuery =
-    payloads.writeStream
+      batchSize: Int = 10,
+      availableNow: Boolean = false
+  ): StreamingQuery = {
+    val base = payloads.writeStream
+    (if (availableNow) base.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()) else base)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         import org.apache.spark.sql.expressions.Window
@@ -115,4 +117,5 @@ object StreamIO {
           .json(outDir)
       }
       .start()
+  }
 }

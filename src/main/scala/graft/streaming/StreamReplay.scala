@@ -62,6 +62,50 @@ object StreamReplay {
   /** Micro-batch count of the most recent replay (test telemetry). */
   @volatile var lastBatchCount: Long = -1L
 
+  /** One temp root per JVM for every replay's slices, checkpoints and
+    * drained sinks, removed by a shutdown hook — repeated Verify/Bench
+    * runs no longer accumulate orphaned graft-replay-* trees.
+    */
+  private lazy val root: Path = {
+    val r = Files.createTempDirectory("graft-replay")
+    sys.addShutdownHook(deleteTree(r))
+    r
+  }
+
+  private val runCounter = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Slice directories are immutable once built, and most replay keys
+    * ask for the SAME slicing of the same corpus (default 4 slices +
+    * flush sentinels), so slicing once per (table, sfDir, slices,
+    * sentinels) and re-reading across the 17+ q_stream_* gate keys
+    * removes ~15 redundant slice builds per Verify/Bench run. Each
+    * drain still gets its own checkpoint and sink — only the INPUT
+    * files are shared, which is exactly the production shape (many
+    * consumers over one arrival log).
+    */
+  private val sliceCache = new java.util.concurrent.ConcurrentHashMap[String, Path]()
+
+  private val sliceCounter = new java.util.concurrent.atomic.AtomicLong()
+
+  private def cachedSlices(key: String)(build: Path => Unit): Path =
+    sliceCache.computeIfAbsent(
+      key,
+      _ => {
+        val dir =
+          Files.createDirectories(root.resolve(f"slices-${sliceCounter.getAndIncrement()}%03d"))
+        build(dir)
+        dir
+      }
+    )
+
+  private def deleteTree(p: Path): Unit =
+    if (Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      val us = Files.walk(p)
+      try us.iterator().asScala.toSeq.reverseIterator.foreach(f => Files.deleteIfExists(f))
+      finally us.close()
+    }
+
   /** Replay the sf events table through `xform` (a streaming
     * DataFrame transform) and return the drained sink as a batch
     * DataFrame. `slices` micro-batches of real data + 2 sentinel
@@ -103,22 +147,22 @@ object StreamReplay {
   def replayDocuments(spark: SparkSession, sfDir: String, slices: Int = 4)(
       xform: DataFrame => DataFrame
   ): DataFrame = {
-    val tmp   = Files.createTempDirectory("graft-replay")
-    val inDir = Files.createDirectories(tmp.resolve("in"))
-    val docs = Tables(spark, sfDir).documents
-      .select("doc_id", "text", "lang", "source", "n_chars")
-    val bounds = docs.agg(min(col("doc_id")), max(col("doc_id"))).head()
-    val minId  = bounds.getLong(0)
-    val span   = math.max(1L, bounds.getLong(1) - minId)
-    for (i <- 0 until slices) {
-      val lo   = minId + span * i / slices
-      val hi   = minId + span * (i + 1) / slices
-      val cond =
-        if (i == slices - 1) col("doc_id") >= lo
-        else col("doc_id") >= lo && col("doc_id") < hi
-      writeSlice(spark, tmp, inDir, i, docs.filter(cond))
+    val inDir = cachedSlices(s"documents|$sfDir|$slices") { dir =>
+      val docs = Tables(spark, sfDir).documents
+        .select("doc_id", "text", "lang", "source", "n_chars")
+      val bounds = docs.agg(min(col("doc_id")), max(col("doc_id"))).head()
+      val minId  = bounds.getLong(0)
+      val span   = math.max(1L, bounds.getLong(1) - minId)
+      for (i <- 0 until slices) {
+        val lo   = minId + span * i / slices
+        val hi   = minId + span * (i + 1) / slices
+        val cond =
+          if (i == slices - 1) col("doc_id") >= lo
+          else col("doc_id") >= lo && col("doc_id") < hi
+        writeSlice(dir, i, docs.filter(cond))
+      }
     }
-    drain(spark, tmp, inDir, documentsDdl, 1)(ss => xform(ss.head))
+    drain(spark, inDir, documentsDdl, 1)(ss => xform(ss.head))
   }
 
   /** Embeddings schema pinned for the file stream source. */
@@ -135,21 +179,23 @@ object StreamReplay {
   def replayEmbeddings(spark: SparkSession, sfDir: String, slices: Int = 4)(
       perBatch: DataFrame => DataFrame
   ): DataFrame = {
-    val tmp   = Files.createTempDirectory("graft-replay")
-    val inDir = Files.createDirectories(tmp.resolve("in"))
-    val emb   = Tables(spark, sfDir).embeddings.select("vec_id", "embedding", "label")
-    val bounds = emb.agg(min(col("vec_id")), max(col("vec_id"))).head()
-    val minId  = bounds.getLong(0)
-    val span   = math.max(1L, bounds.getLong(1) - minId)
-    for (i <- 0 until slices) {
-      val lo   = minId + span * i / slices
-      val hi   = minId + span * (i + 1) / slices
-      val cond =
-        if (i == slices - 1) col("vec_id") >= lo
-        else col("vec_id") >= lo && col("vec_id") < hi
-      writeSlice(spark, tmp, inDir, i, emb.filter(cond))
+    val inDir = cachedSlices(s"embeddings|$sfDir|$slices") { dir =>
+      val emb    = Tables(spark, sfDir).embeddings.select("vec_id", "embedding", "label")
+      val bounds = emb.agg(min(col("vec_id")), max(col("vec_id"))).head()
+      val minId  = bounds.getLong(0)
+      val span   = math.max(1L, bounds.getLong(1) - minId)
+      for (i <- 0 until slices) {
+        val lo   = minId + span * i / slices
+        val hi   = minId + span * (i + 1) / slices
+        val cond =
+          if (i == slices - 1) col("vec_id") >= lo
+          else col("vec_id") >= lo && col("vec_id") < hi
+        writeSlice(dir, i, emb.filter(cond))
+      }
     }
-    val outDir = tmp.resolve("out").toString
+    val run    = Files.createDirectories(root.resolve(f"run-${runCounter.getAndIncrement()}%04d"))
+    val outDir = run.resolve("out").toString
+    val ckpt   = run.resolve("ckpt")
     val spKey  = "spark.sql.shuffle.partitions"
     val prev   = spark.conf.get(spKey)
     spark.conf.set(spKey, math.min(8, prev.toInt).toString)
@@ -162,12 +208,13 @@ object StreamReplay {
         .foreachBatch { (batch: DataFrame, _: Long) =>
           perBatch(batch).write.mode("append").parquet(outDir)
         }
-        .option("checkpointLocation", tmp.resolve("ckpt").toString)
+        .option("checkpointLocation", ckpt.toString)
         .trigger(Trigger.AvailableNow())
         .start()
       query.awaitTermination()
       lastBatchCount = Option(query.lastProgress).map(_.batchId + 1).getOrElse(-1L)
     } finally spark.conf.set(spKey, prev)
+    deleteTree(ckpt)
     spark.read.parquet(outDir)
   }
 
@@ -188,30 +235,85 @@ object StreamReplay {
   def replayTopicMessages(spark: SparkSession, sfDir: String, slices: Int = 4)(
       xform: DataFrame => DataFrame
   ): DataFrame = {
-    val tmp   = Files.createTempDirectory("graft-replay")
-    val inDir = Files.createDirectories(tmp.resolve("in"))
-    val msgs = Tables(spark, sfDir).events
-      .groupBy(col("user_id").as("topic_id"), date_trunc("hour", col("ts")).as("hr"))
-      .agg(count(lit(1)).as("n_devices"))
-      .select(
-        col("topic_id"),
-        unix_timestamp(col("hr")).cast("string").as("message"),
-        col("n_devices"),
-        lit(10L).as("page_size"),
-        unix_timestamp(col("hr")).as("hr_s")
-      )
-    val bounds = msgs.agg(min(col("hr_s")), max(col("hr_s"))).head()
-    val minS   = bounds.getLong(0)
-    val span   = math.max(1L, bounds.getLong(1) - minS)
-    for (i <- 0 until slices) {
-      val lo   = minS + span * i / slices
-      val hi   = minS + span * (i + 1) / slices
-      val cond =
-        if (i == slices - 1) col("hr_s") >= lo
-        else col("hr_s") >= lo && col("hr_s") < hi
-      writeSlice(spark, tmp, inDir, i, msgs.filter(cond).drop("hr_s"))
+    val inDir = cachedSlices(s"topics|$sfDir|$slices") { dir =>
+      val msgs = Tables(spark, sfDir).events
+        .groupBy(col("user_id").as("topic_id"), date_trunc("hour", col("ts")).as("hr"))
+        .agg(count(lit(1)).as("n_devices"))
+        .select(
+          col("topic_id"),
+          unix_timestamp(col("hr")).cast("string").as("message"),
+          col("n_devices"),
+          lit(10L).as("page_size"),
+          unix_timestamp(col("hr")).as("hr_s")
+        )
+      val bounds = msgs.agg(min(col("hr_s")), max(col("hr_s"))).head()
+      val minS   = bounds.getLong(0)
+      val span   = math.max(1L, bounds.getLong(1) - minS)
+      for (i <- 0 until slices) {
+        val lo   = minS + span * i / slices
+        val hi   = minS + span * (i + 1) / slices
+        val cond =
+          if (i == slices - 1) col("hr_s") >= lo
+          else col("hr_s") >= lo && col("hr_s") < hi
+        writeSlice(dir, i, msgs.filter(cond).drop("hr_s"))
+      }
     }
-    drain(spark, tmp, inDir, topicsDdl, 1)(ss => xform(ss.head))
+    drain(spark, inDir, topicsDdl, 1)(ss => xform(ss.head))
+  }
+
+  /** Payloads schema pinned for the file stream source (A15's queue
+    * sink input).
+    */
+  val payloadsDdl = "topic_id LONG, device_id LONG, payload_b64 STRING"
+
+  /** Replay the device fan-out payloads through the A15
+    * [[StreamIO.batchedQueueSink]] (SQS SendMessageBatch groups of 10,
+    * lpage.go:135-146) and read the emitted JSON batch lines back.
+    *
+    * Micro-batch membership must be a pure row function for the SQL
+    * oracle to replay it, so slice i = rows with device_id % slices
+    * == i (the sink is stateless — any partitioning works, unlike the
+    * time-contiguity the watermark replays need). With a fresh
+    * checkpoint and mtime-ordered admission, foreachBatch's batchId is
+    * exactly the slice index, so the oracle recomputes `micro_batch`
+    * as device_id % slices. collect_list order inside an entry array
+    * is arrival-dependent — callers canonicalize with sort_array on
+    * the read-back.
+    */
+  def replayQueueBatches(
+      spark: SparkSession,
+      sfDir: String,
+      message: String,
+      slices: Int = 4,
+      batchSize: Int = 10
+  ): DataFrame = {
+    val inDir = cachedSlices(s"payloads|$sfDir|$slices") { dir =>
+      val pay = graft.operators.Paging.queuePayloads(Tables(spark, sfDir), message)
+      for (i <- 0 until slices)
+        writeSlice(dir, i, pay.filter(pmod(col("device_id"), lit(slices)) === i))
+    }
+    val run    = Files.createDirectories(root.resolve(f"run-${runCounter.getAndIncrement()}%04d"))
+    val outDir = run.resolve("out").toString
+    val ckpt   = run.resolve("ckpt")
+    val spKey  = "spark.sql.shuffle.partitions"
+    val prev   = spark.conf.get(spKey)
+    spark.conf.set(spKey, math.min(8, prev.toInt).toString)
+    try {
+      val query = StreamIO.batchedQueueSink(
+        spark.readStream
+          .schema(payloadsDdl)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(inDir.toString),
+        outDir,
+        ckpt.toString,
+        batchSize,
+        availableNow = true
+      )
+      query.awaitTermination()
+      lastBatchCount = Option(query.lastProgress).map(_.batchId + 1).getOrElse(-1L)
+    } finally spark.conf.set(spKey, prev)
+    deleteTree(ckpt)
+    spark.read.json(outDir)
   }
 
   private def replayEventsMulti(
@@ -221,50 +323,49 @@ object StreamReplay {
       sentinelTypes: Seq[String],
       nSources: Int
   )(xform: Seq[DataFrame] => DataFrame): DataFrame = {
-    val tmp   = Files.createTempDirectory("graft-replay")
-    val inDir = Files.createDirectories(tmp.resolve("in"))
+    val inDir = cachedSlices(s"events|$sfDir|$slices|${sentinelTypes.mkString(",")}") { dir =>
+      val ev = Tables(spark, sfDir).events
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      val bounds = ev.agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head()
+      val minUs  = bounds.getLong(0)
+      val maxUs  = bounds.getLong(1)
+      val spanUs = math.max(1L, maxUs - minUs)
 
-    val ev = Tables(spark, sfDir).events
-      .select("event_id", "ts", "user_id", "event_type", "value", "props")
-    val bounds = ev.agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head()
-    val minUs  = bounds.getLong(0)
-    val maxUs  = bounds.getLong(1)
-    val spanUs = math.max(1L, maxUs - minUs)
-
-    // time-contiguous slices: slice i covers [minUs + i*span/K, next)
-    // — contiguity (not equal row counts) is what matters, so the
-    // boundaries come from one min/max agg, never a global sort
-    for (i <- 0 until slices) {
-      val lo   = minUs + spanUs * i / slices
-      val hi   = minUs + spanUs * (i + 1) / slices
-      val cond =
-        if (i == slices - 1) unix_micros(col("ts")) >= lo
-        else unix_micros(col("ts")) >= lo && unix_micros(col("ts")) < hi
-      writeSlice(spark, tmp, inDir, i, ev.filter(cond))
+      // time-contiguous slices: slice i covers [minUs + i*span/K, next)
+      // — contiguity (not equal row counts) is what matters, so the
+      // boundaries come from one min/max agg, never a global sort
+      for (i <- 0 until slices) {
+        val lo   = minUs + spanUs * i / slices
+        val hi   = minUs + spanUs * (i + 1) / slices
+        val cond =
+          if (i == slices - 1) unix_micros(col("ts")) >= lo
+          else unix_micros(col("ts")) >= lo && unix_micros(col("ts")) < hi
+        writeSlice(dir, i, ev.filter(cond))
+      }
+      // sentinel slices: see scaladoc — two, so the second batch runs
+      // under the watermark the first advanced; one row per sentinel
+      // type so per-side type filters still see a watermark carrier
+      for ((days, i) <- Seq(30L, 60L).zipWithIndex) {
+        val ts       = maxUs + days * MicrosPerDay
+        val sentinel = sentinelTypes.zipWithIndex
+          .map { case (tpe, j) =>
+            spark
+              .range(1)
+              .select(
+                lit(-1L - i * sentinelTypes.size - j).as("event_id"),
+                timestamp_micros(lit(ts)).as("ts"),
+                lit(-1L).as("user_id"),
+                lit(tpe).as("event_type"),
+                lit(0.0).as("value"),
+                lit("{}").as("props")
+              )
+          }
+          .reduce(_.unionAll(_))
+        writeSlice(dir, slices + i, sentinel)
+      }
     }
-    // sentinel slices: see scaladoc — two, so the second batch runs
-    // under the watermark the first advanced; one row per sentinel
-    // type so per-side type filters still see a watermark carrier
-    for ((days, i) <- Seq(30L, 60L).zipWithIndex) {
-      val ts       = maxUs + days * MicrosPerDay
-      val sentinel = sentinelTypes.zipWithIndex
-        .map { case (tpe, j) =>
-          spark
-            .range(1)
-            .select(
-              lit(-1L - i * sentinelTypes.size - j).as("event_id"),
-              timestamp_micros(lit(ts)).as("ts"),
-              lit(-1L).as("user_id"),
-              lit(tpe).as("event_type"),
-              lit(0.0).as("value"),
-              lit("{}").as("props")
-            )
-        }
-        .reduce(_.unionAll(_))
-      writeSlice(spark, tmp, inDir, slices + i, sentinel)
-    }
 
-    drain(spark, tmp, inDir, eventsDdl, nSources)(xform)
+    drain(spark, inDir, eventsDdl, nSources)(xform)
   }
 
   /** Start `nSources` independent file sources over the slice dir, run
@@ -272,7 +373,6 @@ object StreamReplay {
     */
   private def drain(
       spark: SparkSession,
-      tmp: Path,
       inDir: Path,
       schemaDdl: String,
       nSources: Int
@@ -282,7 +382,9 @@ object StreamReplay {
       .option("maxFilesPerTrigger", "1")
       .parquet(inDir.toString)
 
-    val outDir = tmp.resolve("out").toString
+    val run    = Files.createDirectories(root.resolve(f"run-${runCounter.getAndIncrement()}%04d"))
+    val outDir = run.resolve("out").toString
+    val ckpt   = run.resolve("ckpt")
     // Stateful operators allocate one state-store instance per shuffle
     // partition PER micro-batch commit — at gate scale (≤100k rows,
     // 6-8 batches) 32 partitions is pure commit overhead, so the
@@ -297,7 +399,7 @@ object StreamReplay {
       val query = xform(Seq.fill(nSources)(source())).writeStream
         .format("parquet")
         .option("path", outDir)
-        .option("checkpointLocation", tmp.resolve("ckpt").toString)
+        .option("checkpointLocation", ckpt.toString)
         .trigger(Trigger.AvailableNow())
         .start()
       query.awaitTermination()
@@ -305,6 +407,10 @@ object StreamReplay {
       // one micro-batch per slice (plus sentinels), not a single drain
       lastBatchCount = Option(query.lastProgress).map(_.batchId + 1).getOrElse(-1L)
     } finally spark.conf.set(spKey, prev)
+    // the drained query committed; its checkpoint (offsets + state
+    // snapshots, the bulk of a replay's footprint) is dead weight now.
+    // `out` stays until the JVM shutdown hook — the read-back is lazy.
+    deleteTree(ckpt)
 
     spark.read.parquet(outDir)
   }
@@ -315,23 +421,21 @@ object StreamReplay {
     * in the past) pin the micro-batch order regardless of how fast the
     * writes complete.
     */
-  private def writeSlice(
-      spark: SparkSession,
-      tmp: Path,
-      inDir: Path,
-      i: Int,
-      df: DataFrame
-  ): Unit = {
-    val stage = tmp.resolve(f"stage-$i%04d")
+  private[graft] def writeSlice(inDir: Path, i: Int, df: DataFrame): Unit = {
+    val stage = inDir.resolve(f"_stage-$i%04d")
     df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
-    val part = Files
-      .list(stage)
-      .filter(p => p.getFileName.toString.startsWith("part-") &&
-        p.getFileName.toString.endsWith(".parquet"))
-      .findFirst()
-      .orElseThrow(() => new IllegalStateException(s"no part file in $stage"))
+    val listing = Files.list(stage)
+    val part =
+      try
+        listing
+          .filter(p => p.getFileName.toString.startsWith("part-") &&
+            p.getFileName.toString.endsWith(".parquet"))
+          .findFirst()
+          .orElseThrow(() => new IllegalStateException(s"no part file in $stage"))
+      finally listing.close()
     val dest = inDir.resolve(f"slice-$i%04d.parquet")
     Files.move(part, dest)
     Files.setLastModifiedTime(dest, FileTime.fromMillis(1000000000000L + i * 60000L))
+    deleteTree(stage)
   }
 }

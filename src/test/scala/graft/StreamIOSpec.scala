@@ -53,6 +53,31 @@ class StreamIOSpec extends SparkSpecBase {
     assert(batches.filter(col("topic_id") === 2).count() == 1)
   }
 
+  test("queue-batch replay: one micro-batch per slice, every payload in exactly one ≤batchSize batch") {
+    import graft.streaming.StreamReplay
+    val slices = 3
+    val out    = StreamReplay.replayQueueBatches(spark, sfDir, "MSG", slices = slices, batchSize = 10)
+    assert(StreamReplay.lastBatchCount == slices,
+      s"expected $slices micro-batches, got ${StreamReplay.lastBatchCount}")
+    val rows = out
+      .select(col("topic_id"), col("micro_batch"), col("send_batch"),
+        size(col("entries")).as("n"), explode(col("entries")).as("payload"))
+      .collect()
+    // conservation: every fan-out payload lands in exactly one batch
+    val expected = graft.operators.Paging.queuePayloads(tables, "MSG").count()
+    assert(rows.length.toLong == expected, s"${rows.length} batched vs $expected payloads")
+    assert(rows.map(_.getAs[String]("payload")).distinct.length.toLong == expected)
+    // the SendMessageBatch contract: never more than batchSize entries,
+    // and within a (micro_batch, topic) only the LAST batch may be short
+    val groups = rows.map(r => ((r.getLong(1), r.getLong(0)), (r.getLong(2), r.getInt(3))))
+      .groupBy(_._1).values
+    groups.foreach { g =>
+      val byBatch = g.map(_._2).distinct.sortBy(_._1)
+      assert(byBatch.forall(_._2 <= 10))
+      assert(byBatch.init.forall(_._2 == 10), s"short batch before the tail: ${byBatch.toSeq}")
+    }
+  }
+
   test("end-to-end topic fan-out: message stream → page sequencer → batched queue sink") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -398,21 +398,22 @@ class StreamingSpec extends SparkSpecBase {
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
     )
     try {
-      val in  = MemoryStream[(Long, Long, Long)]
+      val in  = MemoryStream[(Long, Long, Long, Long)]
       val out = KinesisLikePipeline.recentFeatureBuffer(
-        in.toDF().toDF("user_id", "ts_us", "cents"))
+        in.toDF().toDF("user_id", "ts_us", "event_id", "cents"))
       val q = out.writeStream
         .outputMode(OutputMode.Append)
         .format("memory")
         .queryName("feat_out")
         .option("checkpointLocation", ckpt())
         .start()
-      // batch 1: user 1 gets two values out of time order (30 before 10)
-      in.addData((1L, 30L, 300L), (1L, 10L, 100L), (2L, 5L, 50L))
+      // batch 1: user 1 gets two values out of time order (30 before
+      // 10) plus a same-microsecond tie broken by event_id (11 vs 12)
+      in.addData((1L, 30L, 12L, 300L), (1L, 10L, 11L, 100L), (2L, 5L, 13L, 50L))
       q.processAllAvailable()
       // batch 2: two more for user 1 — the 4-value history must trim
       // to the last 3, which only works if batch-1 state persisted
-      in.addData((1L, 40L, 400L), (1L, 50L, 500L))
+      in.addData((1L, 40L, 14L, 400L), (1L, 50L, 15L, 500L))
       q.processAllAvailable()
       val rows = spark.table("feat_out").collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getSeq[Long](3)))
@@ -818,15 +819,8 @@ class StreamingSpec extends SparkSpecBase {
       (i.toLong, new Timestamp(base + i * 30000L), (i % 7).toLong,
         if (i % 2 == 0) "click" else "view", 0.01 * i + 0.1, "{}")
     }
-    def writeSlice(i: Int, df: org.apache.spark.sql.DataFrame): Unit = {
-      val stage = tmp.resolve(f"stage-$i%02d")
-      df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
-      val part = Files.list(stage).filter(_.getFileName.toString.endsWith(".parquet"))
-        .findFirst().get()
-      val dest = inDir.resolve(f"slice-$i%02d.parquet")
-      Files.move(part, dest)
-      Files.setLastModifiedTime(dest, FileTime.fromMillis(1000000000000L + i * 60000L))
-    }
+    def writeSlice(i: Int, df: org.apache.spark.sql.DataFrame): Unit =
+      graft.streaming.StreamReplay.writeSlice(inDir, i, df)
     rows.grouped(300).zipWithIndex.foreach { case (b, i) =>
       writeSlice(i, b.toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
     }
