@@ -336,6 +336,14 @@ object SparkEntry {
         .filter(col("event_type") =!= graft.streaming.StreamReplay.FlushType)
         .orderBy("user_id", "event_type", "hour_start")
     }),
+    // A18's STREAMING_WRITE leg: documents stream into a fresh
+    // ContentStore (epoch-keyed manifests, stage+rename commits); each
+    // published manifest is read back PINNED and must list exactly its
+    // micro-batch's rows — the commit protocol itself under the hash
+    "q_stream_store_write" -> ((s, d) =>
+      graft.streaming.StreamReplay
+        .replayDocumentsToStore(s, d)
+        .orderBy("epoch", "result_key")),
     "q_topic_pagecount"    -> ((s, d) => Paging.topicPageCounts(Tables(s, d))),
     "q_settings_override"  -> ((s, d) => Paging.settingsOverride(Tables(s, d))),
     "q_page_arns"          -> ((s, d) => Paging.pageArns(Tables(s, d), topicId = 1, pageNum = 2)),
@@ -883,6 +891,10 @@ object SparkEntry {
         |  string_agg(CAST(cents AS VARCHAR), ',' ORDER BY rn) AS recent_csv
         |FROM r WHERE rn <= 3
         |GROUP BY user_id, n_seen ORDER BY user_id""".stripMargin,
+    "q_stream_store_write" -> // each epoch manifest == its micro-batch (doc_id%4) exactly
+      """SELECT CAST(doc_id % 4 AS BIGINT) AS epoch,
+        |  concat('doc-', doc_id) AS result_key, text AS payload
+        |FROM documents ORDER BY 1, 2""".stripMargin,
     "q_topic_pagecount" ->
       """SELECT CAST(c.c_nationkey AS BIGINT) AS topic_id, count(*) AS n_devices,
         |  CAST(floor(count(*)/100)+1 AS BIGINT) AS page_count

@@ -237,7 +237,23 @@ object Dedup {
       )
     val prefix = ranked
       .filter(col("tok_rank") <= col("n_sh") - ceil(lit(tau) * col("n_sh")) + 1)
-      .select("doc_id", "shingle", "n_sh")
+      .select("doc_id", "shingle", "n_sh", "tok_rank")
+    // PPJoin POSITIONAL filter: J ≥ τ forces an overlap of at least
+    // ⌈τ/(1+τ)·(|A|+|B|)⌉, and a pair's FIRST common token (in the
+    // global rarest-first order) at ranks i in A, j in B caps the
+    // achievable overlap at 1 + min(|A|−i, |B|−j) — nothing before i
+    // in A is shared (it would order before the first common token).
+    // A collision surviving the join must therefore satisfy
+    //   1 + min(na−i, nb−j)  ≥  τ/(1+τ)·(na+nb)
+    // for SOME common token; the true pair's first-collision always
+    // does, so OR-over-collisions (the join + distinct) is lossless.
+    // The bound is evaluated in exact integer math: τ as the rational
+    // num/den of its shortest decimal form, cross-multiplied — a
+    // double ⌈·⌉ can land 1 too high at exact-boundary sums and would
+    // prune a pair sitting exactly at τ.
+    val tauB = BigDecimal(tau)
+    val den  = BigDecimal(10).pow(tauB.scale).toLongExact
+    val num  = (tauB * den).toLongExact
     val candidates = prefix
       .as("a")
       .join(
@@ -247,7 +263,11 @@ object Dedup {
           // τ·max(|A|,|B|), so mismatched sizes can be dropped inside
           // the join before they ever become candidate rows (lossless)
           col("a.n_sh") >= lit(tau) * col("b.n_sh") &&
-          col("b.n_sh") >= lit(tau) * col("a.n_sh")
+          col("b.n_sh") >= lit(tau) * col("a.n_sh") &&
+          (lit(1L) + least(
+            col("a.n_sh") - col("a.tok_rank"),
+            col("b.n_sh") - col("b.tok_rank")
+          )) * lit(den + num) >= lit(num) * (col("a.n_sh") + col("b.n_sh"))
       )
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
@@ -274,15 +294,21 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** Candidate-pair counts for the spec: (prefix-filtered, full-index)
-    * — the pruning factor the prefix guarantee buys before any
-    * verification work.
+  /** Candidate-pair counts for the spec: (positional+prefix, prefix
+    * only, full index) — the pruning each successive PPJoin filter
+    * buys before any verification work.
     */
-  private[graft] def prefixCandidateCounts(t: Tables, tau: Double = JaccardTau): (Long, Long) = {
+  private[graft] def prefixCandidateCounts(
+      t: Tables,
+      tau: Double = JaccardTau
+  ): (Long, Long, Long) = {
     val posts = hashedPostings(t)
-    def pairs(p: DataFrame): Long = p
+    def pairs(p: DataFrame, extra: Column = lit(true)): Long = p
       .as("a")
-      .join(p.as("b"), col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .join(
+        p.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id") && extra
+      )
       .select(col("a.doc_id"), col("b.doc_id"))
       .distinct()
       .count()
@@ -294,8 +320,20 @@ object Dedup {
       )
     val prefix = ranked
       .filter(col("tok_rank") <= col("n_sh") - ceil(lit(tau) * col("n_sh")) + 1)
-      .select("doc_id", "shingle")
-    (pairs(prefix), pairs(posts.select("doc_id", "shingle")))
+      .select("doc_id", "shingle", "n_sh", "tok_rank")
+    val tauB = BigDecimal(tau)
+    val den  = BigDecimal(10).pow(tauB.scale).toLongExact
+    val num  = (tauB * den).toLongExact
+    val positional =
+      (lit(1L) + least(
+        col("a.n_sh") - col("a.tok_rank"),
+        col("b.n_sh") - col("b.tok_rank")
+      )) * lit(den + num) >= lit(num) * (col("a.n_sh") + col("b.n_sh"))
+    (
+      pairs(prefix, positional),
+      pairs(prefix.select("doc_id", "shingle")),
+      pairs(posts.select("doc_id", "shingle"))
+    )
   }
 
   /** C2g: containment near-dup pairs — |A∩B| / min(|A|,|B|) ≥ τ_c.

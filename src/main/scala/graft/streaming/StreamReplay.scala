@@ -316,6 +316,65 @@ object StreamReplay {
     spark.read.json(outDir)
   }
 
+  /** A18's STREAMING_WRITE leg under the gate: stream the documents
+    * corpus (doc_id % slices micro-batches — the SQL-replayable
+    * membership rule) into a FRESH ContentStore through the DSv2
+    * streaming writer, then read each published epoch manifest back as
+    * a pinned-snapshot read. The surface (epoch, result_key, payload)
+    * pins the commit protocol itself: an epoch's manifest must list
+    * exactly its micro-batch's rows (stage+rename task commits, atomic
+    * manifest publication, epoch-keyed exactly-once), and the
+    * manifest-pinned read must reproduce that exact file set. The
+    * per-manifest loop is driver-side but bounded by #epochs = slices
+    * + the final empty batch — manifest COUNT, never data volume.
+    */
+  def replayDocumentsToStore(spark: SparkSession, sfDir: String, slices: Int = 4): DataFrame = {
+    val inDir = cachedSlices(s"docstore|$sfDir|$slices") { dir =>
+      val docs = Tables(spark, sfDir).documents.select(
+        concat(lit("doc-"), col("doc_id")).as("result_key"),
+        col("text").as("payload"),
+        pmod(col("doc_id"), lit(slices)).as("slice")
+      )
+      for (i <- 0 until slices)
+        writeSlice(dir, i, docs.filter(col("slice") === i).drop("slice"))
+    }
+    val run   = Files.createDirectories(root.resolve(f"run-${runCounter.getAndIncrement()}%04d"))
+    val store = run.resolve("store").toString
+    val ckpt  = run.resolve("ckpt")
+    val spKey = "spark.sql.shuffle.partitions"
+    val prev  = spark.conf.get(spKey)
+    spark.conf.set(spKey, math.min(8, prev.toInt).toString)
+    try {
+      val query = spark.readStream
+        .schema("result_key STRING, payload STRING")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(inDir.toString)
+        .writeStream
+        .format("graft.sources.ContentStore")
+        .option("path", store)
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+      lastBatchCount = Option(query.lastProgress).map(_.batchId + 1).getOrElse(-1L)
+    } finally spark.conf.set(spKey, prev)
+    deleteTree(ckpt)
+    // one committed manifest per epoch, named epoch-<queryId>-<epochId>;
+    // pin the read to each manifest and tag rows with its epoch id
+    graft.sources.ContentStore
+      .snapshotManifests(store)
+      .map { m =>
+        val epoch = m.substring(m.lastIndexOf('-') + 1).toLong
+        spark.read
+          .format("graft.sources.ContentStore")
+          .option("path", store)
+          .option("manifests", m)
+          .load()
+          .select(lit(epoch).as("epoch"), col("result_key"), col("payload"))
+      }
+      .reduce(_.unionAll(_))
+  }
+
   private def replayEventsMulti(
       spark: SparkSession,
       sfDir: String,

@@ -22,10 +22,13 @@ class DedupSpec extends SparkSpecBase {
     assert(pref == full, s"prefix filter lost/invented pairs: ${pref.size} vs ${full.size}")
     assert(pref.nonEmpty)
     // the point of the prefix guarantee: the candidate set it verifies
-    // is a strict subset of the full inverted-index candidate set
-    val (prefCands, fullCands) = Dedup.prefixCandidateCounts(tables)
-    assert(prefCands < fullCands, s"no pruning: $prefCands vs $fullCands")
-    assert(prefCands >= pref.size.toLong, "candidates must cover every true pair")
+    // is a strict subset of the full inverted-index candidate set, and
+    // the PPJoin positional bound prunes it strictly further — while
+    // still covering every true pair (the equality assert above)
+    val (posCands, prefCands, fullCands) = Dedup.prefixCandidateCounts(tables)
+    assert(prefCands < fullCands, s"no prefix pruning: $prefCands vs $fullCands")
+    assert(posCands < prefCands, s"no positional pruning: $posCands vs $prefCands")
+    assert(posCands >= pref.size.toLong, "candidates must cover every true pair")
   }
 
   test("exact-dup groups partition the corpus") {
