@@ -484,6 +484,7 @@ object SparkEntry {
     "q_weekly_growth"      -> ((s, d) => Analytics.weeklyGrowth(Tables(s, d))),
     "text_quality_norm"    -> ((s, d) => TextOps.qualityRankNorm(Tables(s, d))),
     "multimodal_phash"     -> ((s, d) => Multimodal.perceptualHashTable(s, Tables(s, d))),
+    "multimodal_phash_pairs" -> ((s, d) => Multimodal.phashPairsGate(s, Tables(s, d))),
     "q_trade_matrix"       -> ((s, d) => Analytics.tradeMatrix(Tables(s, d))),
     "q_market_share"       -> ((s, d) => Analytics.marketShare(Tables(s, d))),
     "q_trailing_revenue"   -> ((s, d) => Analytics.trailingRevenue(Tables(s, d))),
@@ -661,6 +662,27 @@ object SparkEntry {
     */
   private val PageSeqNotifyOracle: String =
     PageSeqBase + "\nWHERE note <> '' ORDER BY topic_id, global_seq"
+
+  /** The dHash-in-SQL CTE chain over a caller-provided corpus
+    * selection — shared by multimodal_phash (hash listing) and the
+    * C38b pairs key so the two oracles cannot drift. ASCII fixture:
+    * char codepoints == payload bytes; the signed BIGINT conversion
+    * mirrors Java's wrapping 1L << 63.
+    */
+  private def phashHashesSql(corpusSelect: String): String =
+    s"""WITH corpus AS ($corpusSelect),
+       |b AS (SELECT doc_id, text, len(text) AS n FROM corpus),
+       |bits AS (
+       |  SELECT doc_id,
+       |    sum(CASE WHEN ascii(substring(text, CAST(((y*9 + x) * n) // 72 AS INT) + 1, 1)) >
+       |                  ascii(substring(text, CAST(((y*9 + x + 1) * n) // 72 AS INT) + 1, 1))
+       |        THEN CAST(power(2, y*8 + x) AS HUGEINT) ELSE CAST(0 AS HUGEINT) END) AS h
+       |  FROM b, unnest(generate_series(0, 7)) AS ty(y), unnest(generate_series(0, 7)) AS tx(x)
+       |  GROUP BY doc_id),
+       |h AS (SELECT doc_id,
+       |  CAST(CASE WHEN h >= CAST(power(2, 63) AS HUGEINT)
+       |       THEN h - CAST(power(2, 64) AS HUGEINT) ELSE h END AS BIGINT) AS dhash
+       |FROM bits)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -2375,20 +2397,23 @@ object SparkEntry {
         |SELECT doc_id, source, n_distinct_words, pct_rank
         |FROM r WHERE pct_rank >= 0.5 ORDER BY doc_id""".stripMargin,
     "multimodal_phash" -> // dHash stub leg: 9x8 evenly-sampled byte grid, 64 left>right bits
-      // (ASCII fixture: char codepoints == payload bytes; the signed
-      // BIGINT conversion mirrors Java's wrapping 1L << 63)
-      """WITH b AS (SELECT doc_id, text, len(text) AS n FROM documents),
-        |bits AS (
-        |  SELECT doc_id,
-        |    sum(CASE WHEN ascii(substring(text, CAST(((y*9 + x) * n) // 72 AS INT) + 1, 1)) >
-        |                  ascii(substring(text, CAST(((y*9 + x + 1) * n) // 72 AS INT) + 1, 1))
-        |        THEN CAST(power(2, y*8 + x) AS HUGEINT) ELSE CAST(0 AS HUGEINT) END) AS h
-        |  FROM b, unnest(generate_series(0, 7)) AS ty(y), unnest(generate_series(0, 7)) AS tx(x)
-        |  GROUP BY doc_id)
-        |SELECT doc_id,
-        |  CAST(CASE WHEN h >= CAST(power(2, 63) AS HUGEINT)
-        |       THEN h - CAST(power(2, 64) AS HUGEINT) ELSE h END AS BIGINT) AS dhash
-        |FROM bits ORDER BY doc_id""".stripMargin,
+      (phashHashesSql("SELECT doc_id, text FROM documents") +
+        "\nSELECT doc_id, dhash FROM h ORDER BY doc_id"),
+    "multimodal_phash_pairs" -> // C38b: banded hamming ≤ 3 pairs over corpus + mutated twins
+      (phashHashesSql(
+        """SELECT doc_id, text FROM documents
+          |  UNION ALL
+          |  SELECT -doc_id - 1 AS doc_id,
+          |    substr(text, 1, greatest(len(text)//2, 1) - 1) || 'z' ||
+          |      substr(text, greatest(len(text)//2, 1) + 1) AS text
+          |  FROM documents WHERE doc_id % 37 = 0""".stripMargin
+      ) +
+        """
+          |SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+          |  CAST(bit_count(xor(a.dhash, b2.dhash)) AS BIGINT) AS hamming
+          |FROM h a JOIN h b2 ON a.doc_id < b2.doc_id
+          |WHERE bit_count(xor(a.dhash, b2.dhash)) <= 3
+          |ORDER BY 1, 2""".stripMargin),
     "q_trade_matrix" -> // TPC-H Q7-style bilateral (supplier nation, customer nation) volume
       """WITH sn AS (
         |  SELECT s_suppkey, n_name AS supp_nation

@@ -358,6 +358,32 @@ object Multimodal {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** C38b's gate surface: [[phashPairs]] over the corpus PLUS a
+    * deterministic near-dup fixture — the synthetic corpus has no
+    * hamming-≤3 media pairs (spot-checked 0 at sf0.001/sf0.01), so,
+    * like [[graft.operators.Dedup.containmentPairs]]'s quote fixture,
+    * every doc_id % 37 == 0 document gets a twin with ONE character
+    * substituted at its midpoint, id negated (collision-free at any
+    * corpus size). A single in-place byte edit perturbs at most the
+    * grid cells that sample it, so twins land within the banded
+    * threshold and the pair surface is non-vacuous; the oracle
+    * replays fixture, hash, and hamming join exactly.
+    */
+  def phashPairsGate(spark: SparkSession, t: Tables): DataFrame = {
+    val mutated = t.documents
+      .filter(col("doc_id") % 37 === 0)
+      .select(
+        (-col("doc_id") - 1L).as("doc_id"),
+        concat(
+          expr("substring(text, 1, greatest(cast(length(text)/2 as int), 1) - 1)"),
+          lit("z"),
+          expr("substring(text, greatest(cast(length(text)/2 as int), 1) + 1)")
+        ).as("text")
+      )
+    val corpus = t.documents.select(col("doc_id"), col("text")).unionAll(mutated)
+    phashPairs(spark, corpus.select(col("doc_id"), col("text").cast("binary").as("media")))
+  }
+
   final case class AudioMeta(
       doc_id: Long,
       is_audio: Boolean,
