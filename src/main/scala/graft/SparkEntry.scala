@@ -344,6 +344,13 @@ object SparkEntry {
       graft.streaming.StreamReplay
         .replayDocumentsToStore(s, d)
         .orderBy("epoch", "result_key")),
+    // ...and the MICRO_BATCH_READ leg: a streaming query tails the
+    // manifest log of a freshly written store one manifest per
+    // micro-batch; the drained sink must reproduce the corpus exactly
+    "q_stream_store_tail" -> ((s, d) =>
+      graft.streaming.StreamReplay
+        .replayStoreTail(s, d)
+        .orderBy("result_key")),
     "q_topic_pagecount"    -> ((s, d) => Paging.topicPageCounts(Tables(s, d))),
     "q_settings_override"  -> ((s, d) => Paging.settingsOverride(Tables(s, d))),
     "q_page_arns"          -> ((s, d) => Paging.pageArns(Tables(s, d), topicId = 1, pageNum = 2)),
@@ -917,6 +924,9 @@ object SparkEntry {
       """SELECT CAST(doc_id % 4 AS BIGINT) AS epoch,
         |  concat('doc-', doc_id) AS result_key, text AS payload
         |FROM documents ORDER BY 1, 2""".stripMargin,
+    "q_stream_store_tail" -> // manifest-tailing read: drained corpus == the table exactly
+      """SELECT concat('doc-', doc_id) AS result_key, text AS payload
+        |FROM documents ORDER BY 1""".stripMargin,
     "q_topic_pagecount" ->
       """SELECT CAST(c.c_nationkey AS BIGINT) AS topic_id, count(*) AS n_devices,
         |  CAST(floor(count(*)/100)+1 AS BIGINT) AS page_count

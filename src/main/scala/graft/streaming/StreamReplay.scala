@@ -375,6 +375,56 @@ object StreamReplay {
       .reduce(_.unionAll(_))
   }
 
+  /** A18's MICRO_BATCH_READ leg under the gate — the read-side twin of
+    * [[replayDocumentsToStore]]: K batch writes publish K manifests
+    * into a fresh store, then a streaming query TAILS the manifest log
+    * (`maxFilesPerTrigger=1` → whole-manifest admission, one per
+    * micro-batch) and drains to a parquet sink. The drained corpus
+    * must equal the documents table exactly — offsets, manifest
+    * admission order, per-batch file reads, and the sink's exactly-
+    * once commit all under the hash.
+    */
+  def replayStoreTail(spark: SparkSession, sfDir: String, writes: Int = 4): DataFrame = {
+    val run   = Files.createDirectories(root.resolve(f"run-${runCounter.getAndIncrement()}%04d"))
+    val store = run.resolve("store").toString
+    val out   = run.resolve("out").toString
+    val ckpt  = run.resolve("ckpt")
+    val docs = Tables(spark, sfDir).documents.select(
+      concat(lit("doc-"), col("doc_id")).as("result_key"),
+      col("text").as("payload"),
+      pmod(col("doc_id"), lit(writes)).as("slice")
+    )
+    for (i <- 0 until writes)
+      docs
+        .filter(col("slice") === i)
+        .drop("slice")
+        .write
+        .format("graft.sources.ContentStore")
+        .option("path", store)
+        .mode("append")
+        .save()
+    val spKey = "spark.sql.shuffle.partitions"
+    val prev  = spark.conf.get(spKey)
+    spark.conf.set(spKey, math.min(8, prev.toInt).toString)
+    try {
+      val query = spark.readStream
+        .format("graft.sources.ContentStore")
+        .option("path", store)
+        .option("maxFilesPerTrigger", "1")
+        .load()
+        .writeStream
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+      lastBatchCount = Option(query.lastProgress).map(_.batchId + 1).getOrElse(-1L)
+    } finally spark.conf.set(spKey, prev)
+    deleteTree(ckpt)
+    spark.read.parquet(out)
+  }
+
   private def replayEventsMulti(
       spark: SparkSession,
       sfDir: String,
