@@ -59,6 +59,16 @@ object StreamReplay {
 
   private val MicrosPerDay = 86400L * 1000000L
 
+  /** Shuffle width pinned for the replays' own streaming queries:
+    * stateful operators allocate (and commit) one state-store instance
+    * per shuffle partition PER micro-batch, so at gate scale (≤100k
+    * rows, 6-8 batches) narrow is faster — measured 8→4 on the
+    * slowest replay keys before pinning. Production sizes this to
+    * stream throughput at first deploy (fixed by the checkpoint
+    * thereafter).
+    */
+  private val ReplayShuffleWidth = 4
+
   /** Micro-batch count of the most recent replay (test telemetry). */
   @volatile var lastBatchCount: Long = -1L
 
@@ -198,7 +208,7 @@ object StreamReplay {
     val ckpt   = run.resolve("ckpt")
     val spKey  = "spark.sql.shuffle.partitions"
     val prev   = spark.conf.get(spKey)
-    spark.conf.set(spKey, math.min(8, prev.toInt).toString)
+    spark.conf.set(spKey, math.min(ReplayShuffleWidth, prev.toInt).toString)
     try {
       val query = spark.readStream
         .schema(embeddingsDdl)
@@ -297,7 +307,7 @@ object StreamReplay {
     val ckpt   = run.resolve("ckpt")
     val spKey  = "spark.sql.shuffle.partitions"
     val prev   = spark.conf.get(spKey)
-    spark.conf.set(spKey, math.min(8, prev.toInt).toString)
+    spark.conf.set(spKey, math.min(ReplayShuffleWidth, prev.toInt).toString)
     try {
       val query = StreamIO.batchedQueueSink(
         spark.readStream
@@ -343,7 +353,7 @@ object StreamReplay {
     val ckpt  = run.resolve("ckpt")
     val spKey = "spark.sql.shuffle.partitions"
     val prev  = spark.conf.get(spKey)
-    spark.conf.set(spKey, math.min(8, prev.toInt).toString)
+    spark.conf.set(spKey, math.min(ReplayShuffleWidth, prev.toInt).toString)
     try {
       val query = spark.readStream
         .schema("result_key STRING, payload STRING")
@@ -405,7 +415,7 @@ object StreamReplay {
         .save()
     val spKey = "spark.sql.shuffle.partitions"
     val prev  = spark.conf.get(spKey)
-    spark.conf.set(spKey, math.min(8, prev.toInt).toString)
+    spark.conf.set(spKey, math.min(ReplayShuffleWidth, prev.toInt).toString)
     try {
       val query = spark.readStream
         .format("graft.sources.ContentStore")
@@ -503,7 +513,7 @@ object StreamReplay {
     // deploy (it is fixed by the checkpoint thereafter).
     val spKey = "spark.sql.shuffle.partitions"
     val prev  = spark.conf.get(spKey)
-    spark.conf.set(spKey, math.min(8, prev.toInt).toString)
+    spark.conf.set(spKey, math.min(ReplayShuffleWidth, prev.toInt).toString)
     try {
       val query = xform(Seq.fill(nSources)(source())).writeStream
         .format("parquet")
