@@ -647,6 +647,16 @@ class PlanSpec extends SparkSpecBase {
     assert(!plan.contains("SortMergeJoin"), s"manifest join shuffled:\n$plan")
   }
 
+  test("phash pair join: banded self-join reuses one hash exchange, never all-pairs") {
+    val plan = executedPlanString(
+      graft.operators.Multimodal.phashPairsGate(spark, tables))
+    assert(plan.contains("ShuffledHashJoin"), s"banded join must be shuffle-hash:\n$plan")
+    assert(plan.contains("ReusedExchange"),
+      s"identical band sides must share one exchange:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs plan leaked in:\n$plan")
+  }
+
   test("no operator windows over the shingle key (hot-shingle partitions are unsplittable)") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     // a Window.partitionBy(shingle) funnels a stopword-class shingle's
