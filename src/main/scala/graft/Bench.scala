@@ -34,7 +34,11 @@ object Bench {
     // local iteration only (driver leaves it unset): bench a named
     // subset, e.g. SPARK_GRAFT_BENCH_ONLY=dedup_ngram_jaccard,q_funnel
     val only: Option[Set[String]] =
-      sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+      sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // a typo'd name would otherwise silently bench nothing
+    only.foreach(o =>
+      (o -- SparkEntry.queries.keySet).foreach(n => println(s"unknown bench query: $n"))
+    )
     val results = SparkEntry.queries.toSeq
       .filter(kv => only.forall(_.contains(kv._1)))
       .sortBy(_._1)

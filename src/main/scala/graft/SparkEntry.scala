@@ -183,15 +183,7 @@ object SparkEntry {
     // as the topic-message stream; the per-topic global sequence must
     // continue across micro-batches exactly as the gaps-and-islands
     // oracle replays it (fMGWS backend, and transformWithState below)
-    "q_stream_pageseq" -> ((s, d) => {
-      import s.implicits._
-      graft.streaming.StreamReplay
-        .replayTopicMessages(s, d)(df =>
-          graft.streaming.KinesisLikePipeline
-            .pageSequencer(s, df.as[graft.streaming.KinesisLikePipeline.TopicMsg])
-            .toDF())
-        .orderBy("topic_id", "global_seq")
-    }),
+    "q_stream_pageseq" -> ((s, d) => pageSeqDrain(s, d).orderBy("topic_id", "global_seq")),
     "q_stream_pageseq_tws" -> ((s, d) => {
       import s.implicits._
       withRocksDb(s) {
@@ -204,17 +196,13 @@ object SparkEntry {
       }
     }),
     // A9's streaming leg: the SNS first/last notifications fall out of
-    // the sequencer's note column — same replay, notify rows only, so
-    // lcount.go:139-156's notification derivation is gated end to end
+    // the sequencer's note column — notify rows only, filtered off the
+    // SHARED sequencer drain (one streaming execution for both keys),
+    // so lcount.go:139-156's notification derivation is gated end to end
     "q_stream_first_last" -> ((s, d) => {
       import org.apache.spark.sql.functions.col
-      import s.implicits._
-      graft.streaming.StreamReplay
-        .replayTopicMessages(s, d)(df =>
-          graft.streaming.KinesisLikePipeline
-            .pageSequencer(s, df.as[graft.streaming.KinesisLikePipeline.TopicMsg])
-            .toDF()
-            .filter(col("note") =!= ""))
+      pageSeqDrain(s, d)
+        .filter(col("note") =!= "")
         .orderBy("topic_id", "global_seq")
     }),
     // continuous similarity search: probe vectors stream in batches
@@ -241,27 +229,20 @@ object SparkEntry {
             .streamingAdmission(docs.filter(col("doc_id") % 10 === 0), base))
         .orderBy("doc_id")
     }),
-    // A16 stream-stream interval joins through the replay: clicks and
-    // purchases read the same slice files via two independent file
-    // sources. INNER emits on match (no watermark needed to emit);
-    // FULL null-pads a row only when both watermarks prove no partner
-    // can arrive, so its sentinels carry click/purchase types to pass
-    // the side filters and drive both watermark collectors
+    // A16 stream-stream interval joins: the gate drains the FULL-outer
+    // join ONCE (cached per JVM, see intervalFullDrain) and each mode
+    // key derives its exact row set — full's drained output is matched
+    // rows (= inner's emit-on-match set) plus unmatched-left (what left
+    // adds, null-padded at watermark eviction) plus unmatched-right.
+    // Mode-specific EXECUTION (inner's matchless emission, left's
+    // single-sided eviction) stays spec-covered on MemoryStream
+    // fixtures (StreamingSpec); the oracle gates all three row sets.
     "q_stream_interval_join" -> ((s, d) => {
       import org.apache.spark.sql.functions.col
-      graft.streaming.StreamReplay
-        .replayEventsPair(s, d)((l, r) =>
-          graft.streaming.KinesisLikePipeline.intervalJoin(
-            l.filter(col("event_type") === "click")
-              .select(col("user_id").as("c_user"), col("event_id").as("c_id"),
-                col("ts").as("c_ts")),
-            r.filter(col("event_type") === "purchase")
-              .select(col("user_id").as("p_user"), col("event_id").as("p_id"),
-                col("ts").as("p_ts")),
-            keyLeft = "c_user", keyRight = "p_user",
-            tsLeft = "c_ts", tsRight = "p_ts",
-            skew = "5 minutes", watermark = "1 minute"
-          ))
+      // matched rows only: both sides present; sentinel pairs (the only
+      // matches with user -1) drop with the key filter
+      intervalFullDrain(s, d)
+        .filter(col("c_user") =!= -1L && col("p_user").isNotNull)
         .select(
           col("c_user").as("user_id"),
           col("c_id").as("click_id"), col("c_ts").as("click_ts"),
@@ -270,42 +251,16 @@ object SparkEntry {
     }),
     "q_stream_interval_full" -> ((s, d) => {
       import org.apache.spark.sql.functions.{coalesce, col}
-      graft.streaming.StreamReplay
-        .replayEventsPair(s, d, sentinelTypes = Seq("click", "purchase"))((l, r) =>
-          graft.streaming.KinesisLikePipeline.intervalJoinFull(
-            l.filter(col("event_type") === "click")
-              .select(col("user_id").as("c_user"), col("event_id").as("c_id"),
-                col("ts").as("c_ts")),
-            r.filter(col("event_type") === "purchase")
-              .select(col("user_id").as("p_user"), col("event_id").as("p_id"),
-                col("ts").as("p_ts")),
-            keyLeft = "c_user", keyRight = "p_user",
-            tsLeft = "c_ts", tsRight = "p_ts",
-            skew = "5 minutes", watermark = "1 minute"
-          ))
+      intervalFullDrain(s, d)
         .filter(coalesce(col("c_user"), col("p_user")) =!= -1L)
         .orderBy("c_user", "c_id", "p_id")
     }),
-    // LEFT OUTER completes the gated join-mode matrix (inner / left /
-    // full on the same machinery): every click emits, matched or
-    // null-padded once the purchase-side watermark proves no partner.
-    // Sentinels carry BOTH types — an unmatched left row only evicts
-    // (and emits) when the RIGHT side's watermark passes its horizon.
+    // LEFT OUTER = full minus unmatched-right: `c_user =!= -1` is also
+    // null-rejecting, so the one predicate drops both the sentinels and
+    // the right-only rows
     "q_stream_interval_left" -> ((s, d) => {
       import org.apache.spark.sql.functions.col
-      graft.streaming.StreamReplay
-        .replayEventsPair(s, d, sentinelTypes = Seq("click", "purchase"))((l, r) =>
-          graft.streaming.KinesisLikePipeline.intervalJoinLeft(
-            l.filter(col("event_type") === "click")
-              .select(col("user_id").as("c_user"), col("event_id").as("c_id"),
-                col("ts").as("c_ts")),
-            r.filter(col("event_type") === "purchase")
-              .select(col("user_id").as("p_user"), col("event_id").as("p_id"),
-                col("ts").as("p_ts")),
-            keyLeft = "c_user", keyRight = "p_user",
-            tsLeft = "c_ts", tsRight = "p_ts",
-            skew = "5 minutes", watermark = "1 minute"
-          ))
+      intervalFullDrain(s, d)
         .filter(col("c_user") =!= -1L)
         .orderBy("c_user", "c_id", "p_id")
     }),
@@ -579,6 +534,47 @@ object SparkEntry {
     * streaming query inside runs eagerly, so restoration in `finally`
     * cannot race the returned batch DataFrame's later execution).
     */
+  /** The A16 mode trio's ONE streaming drain: clicks and purchases from
+    * independent file sources, FULL-outer interval join, sentinels
+    * carrying both types so each side's watermark collector sees a
+    * carrier. Cached per (sfDir) in StreamReplay's drain cache — the
+    * three gate keys each filter/project this superset instead of
+    * draining the same two-source replay three times (~20s → ~9s of the
+    * streaming bill at sf0.1).
+    */
+  private def intervalFullDrain(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    graft.streaming.StreamReplay
+      .replayEventsPair(s, d, sentinelTypes = Seq("click", "purchase"),
+        cacheKey = Some(s"intervalFull|$d"))((l, r) =>
+        graft.streaming.KinesisLikePipeline.intervalJoinFull(
+          l.filter(col("event_type") === "click")
+            .select(col("user_id").as("c_user"), col("event_id").as("c_id"),
+              col("ts").as("c_ts")),
+          r.filter(col("event_type") === "purchase")
+            .select(col("user_id").as("p_user"), col("event_id").as("p_id"),
+              col("ts").as("p_ts")),
+          keyLeft = "c_user", keyRight = "p_user",
+          tsLeft = "c_ts", tsRight = "p_ts",
+          skew = "5 minutes", watermark = "1 minute"
+        ))
+  }
+
+  /** A14's sequencer drained once (fMGWS backend) for both its gate key
+    * and A9's notify twin — the notify rows are `note <> ''` of the
+    * SAME drained output, exactly as PageSeqNotifyOracle filters
+    * PageSeqBase. The transformWithState backend keeps its own drain:
+    * dual-backend gating is the point of the _tws key.
+    */
+  private def pageSeqDrain(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.streaming.StreamReplay
+      .replayTopicMessages(s, d, cacheKey = Some(s"pageseq|$d"))(df =>
+        graft.streaming.KinesisLikePipeline
+          .pageSequencer(s, df.as[graft.streaming.KinesisLikePipeline.TopicMsg])
+          .toDF())
+  }
+
   private def withRocksDb[T](s: SparkSession)(body: => T): T = {
     val key  = "spark.sql.streaming.stateStore.providerClass"
     val prev = s.conf.getOption(key)
@@ -614,6 +610,58 @@ object SparkEntry {
       |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       |FROM g
       |GROUP BY user_id, gsid, (us - gstart) // (120*60*1000000::BIGINT)
+      |ORDER BY user_id, session_start""".stripMargin
+
+  /** Top-3 events per user by value — shared by the window variant, the
+    * custom TopKPerKeyExec operator, and the rewrite-disabled control:
+    * three physical plans, one SQL definition under the hash gate.
+    */
+  private val TopEventsOracle: String =
+    """SELECT user_id, event_id, event_type, value, rnk FROM (
+      |  SELECT user_id, event_id, event_type, value,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rnk
+      |  FROM events) t
+      |WHERE rnk <= 3
+      |ORDER BY user_id, rnk""".stripMargin
+
+  /** Tumbling-hour aggregate — shared by the batch window key and its
+    * streaming replay twin.
+    */
+  private val HourlyWindowOracle: String =
+    """SELECT date_trunc('hour', ts) AS window_start, event_type, count(*) AS n_events,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** 1h windows sliding 15min (each event fans into 4 slide-aligned
+    * windows) — shared by the batch hopping key and its streaming twin.
+    */
+  private val HoppingWindowOracle: String =
+    """WITH w AS (
+      |  SELECT make_timestamp(epoch_us(ts) - (epoch_us(ts) % 900000000) - k * 900000000) AS window_start,
+      |    event_type, value
+      |  FROM events, unnest(generate_series(0, 3)) AS t(k))
+      |SELECT window_start, event_type, count(*) AS n_events,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** 30-minute-gap session windows — shared by the batch session key and
+    * its streaming replay twin.
+    */
+  private val SessionWindowsOracle: String =
+    """WITH o AS (
+      |  SELECT user_id, ts, value,
+      |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+      |           OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 30 MINUTE
+      |         THEN 1 ELSE 0 END AS new_sess
+      |  FROM events),
+      |s AS (
+      |  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+      |                                ROWS UNBOUNDED PRECEDING) AS sess_id
+      |  FROM o)
+      |SELECT min(ts) AS session_start, max(ts) + INTERVAL 30 MINUTE AS session_end,
+      |  user_id, count(*) AS n_events,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM s GROUP BY user_id, sess_id
       |ORDER BY user_id, session_start""".stripMargin
 
   /** Users above 1.3× their type's mean event count, all-integer
@@ -724,27 +772,9 @@ object SparkEntry {
         |JOIN region r ON n.n_regionkey = r.r_regionkey
         |GROUP BY r.r_name
         |ORDER BY r.r_name""".stripMargin,
-    "q_top_events_per_user" ->
-      """SELECT user_id, event_id, event_type, value, rnk FROM (
-        |  SELECT user_id, event_id, event_type, value,
-        |    row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rnk
-        |  FROM events) t
-        |WHERE rnk <= 3
-        |ORDER BY user_id, rnk""".stripMargin,
-    "q_top_events_topk_op" -> // custom TopKPerKeyExec, same semantics as the window variant
-      """SELECT user_id, event_id, event_type, value, rnk FROM (
-        |  SELECT user_id, event_id, event_type, value,
-        |    row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rnk
-        |  FROM events) t
-        |WHERE rnk <= 3
-        |ORDER BY user_id, rnk""".stripMargin,
-    "q_top_events_window_ctl" -> // rewrite disabled: the plain Window plan under the same oracle
-      """SELECT user_id, event_id, event_type, value, rnk FROM (
-        |  SELECT user_id, event_id, event_type, value,
-        |    row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rnk
-        |  FROM events) t
-        |WHERE rnk <= 3
-        |ORDER BY user_id, rnk""".stripMargin,
+    "q_top_events_per_user" -> TopEventsOracle,
+    "q_top_events_topk_op" -> TopEventsOracle, // custom TopKPerKeyExec, same semantics
+    "q_top_events_window_ctl" -> TopEventsOracle, // rewrite disabled: plain Window plan
     "q_distinct_users" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
         |FROM events
@@ -809,34 +839,9 @@ object SparkEntry {
     // streaming replay keys: the drained Append-mode sink equals the
     // batch aggregation (StreamReplay sentinels close every real
     // window), so each oracle is its batch twin's SQL verbatim
-    "q_stream_hourly" ->
-      """SELECT date_trunc('hour', ts) AS window_start, event_type, count(*) AS n_events,
-        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-    "q_stream_hopping" ->
-      """WITH w AS (
-        |  SELECT make_timestamp(epoch_us(ts) - (epoch_us(ts) % 900000000) - k * 900000000) AS window_start,
-        |    event_type, value
-        |  FROM events, unnest(generate_series(0, 3)) AS t(k))
-        |SELECT window_start, event_type, count(*) AS n_events,
-        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-        |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-    "q_stream_sessions" ->
-      """WITH o AS (
-        |  SELECT user_id, ts, value,
-        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
-        |           OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 30 MINUTE
-        |         THEN 1 ELSE 0 END AS new_sess
-        |  FROM events),
-        |s AS (
-        |  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
-        |                                ROWS UNBOUNDED PRECEDING) AS sess_id
-        |  FROM o)
-        |SELECT min(ts) AS session_start, max(ts) + INTERVAL 30 MINUTE AS session_end,
-        |  user_id, count(*) AS n_events,
-        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-        |FROM s GROUP BY user_id, sess_id
-        |ORDER BY user_id, session_start""".stripMargin,
+    "q_stream_hourly" -> HourlyWindowOracle,
+    "q_stream_hopping" -> HoppingWindowOracle,
+    "q_stream_sessions" -> SessionWindowsOracle,
     "q_stream_distinct" ->
       """SELECT DISTINCT user_id, event_type, date_trunc('hour', ts) AS hour_start
         |FROM events ORDER BY 1, 2, 3""".stripMargin,
@@ -1018,10 +1023,7 @@ object SparkEntry {
         |  CAST(ceil(count(*)/10.0) AS BIGINT) AS n_batches
         |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
-    "q_hourly_window" ->
-      """SELECT date_trunc('hour', ts) AS window_start, event_type, count(*) AS n_events,
-        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_hourly_window" -> HourlyWindowOracle,
     "q_user_signatures" -> // canonical sorted type-set signature histogram (order-safe listagg)
       """WITH u AS (
         |  SELECT user_id, date_trunc('day', ts) AS day,
@@ -1199,22 +1201,7 @@ object SparkEntry {
         |       greatest(0, COALESCE(m.max_run, 0)) AS BIGINT) AS peak_concurrent
         |FROM m FULL OUTER JOIN cc ON m.day = cc.day
         |ORDER BY 1""".stripMargin,
-    "q_session_windows" ->
-      """WITH o AS (
-        |  SELECT user_id, ts, value,
-        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
-        |           OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 30 MINUTE
-        |         THEN 1 ELSE 0 END AS new_sess
-        |  FROM events),
-        |s AS (
-        |  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
-        |                                ROWS UNBOUNDED PRECEDING) AS sess_id
-        |  FROM o)
-        |SELECT min(ts) AS session_start, max(ts) + INTERVAL 30 MINUTE AS session_end,
-        |  user_id, count(*) AS n_events,
-        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-        |FROM s GROUP BY user_id, sess_id
-        |ORDER BY user_id, session_start""".stripMargin,
+    "q_session_windows" -> SessionWindowsOracle,
     "q_props_extract" ->
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
@@ -1444,14 +1431,7 @@ object SparkEntry {
         |SELECT event_id, user_id, ts, click_event_id, click_ts,
         |  epoch_us(click_ts) - epoch_us(ts) AS gap_us
         |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin,
-    "q_hopping_window" -> // 1h windows every 15min: each event lands in 4 slide-aligned windows
-      """WITH w AS (
-        |  SELECT make_timestamp(epoch_us(ts) - (epoch_us(ts) % 900000000) - k * 900000000) AS window_start,
-        |    event_type, value
-        |  FROM events, unnest(generate_series(0, 3)) AS t(k))
-        |SELECT window_start, event_type, count(*) AS n_events,
-        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-        |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_hopping_window" -> HoppingWindowOracle, // 1h windows every 15min, 4 per event
     "q_gapfill" -> // dense hourly grid per type; missing hours as explicit zeros
       """WITH hourly AS (
         |  SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS n

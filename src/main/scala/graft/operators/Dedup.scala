@@ -62,7 +62,7 @@ object Dedup {
     */
   private[operators] def hashedPostings(t: Tables): DataFrame = hashedPostingsOn(t.documents)
 
-  private[operators] def hashedPostingsOn(documents: DataFrame): DataFrame =
+  private[graft] def hashedPostingsOn(documents: DataFrame): DataFrame =
     shingledPostingsOn(documents)
       .select(col("doc_id"), col("n_sh"), xxhash64(col("sh")).as("shingle"))
 
@@ -139,6 +139,30 @@ object Dedup {
   private def ngramJaccardImpl(t: Tables, tau: Double, maxPostings: Option[Int]): DataFrame =
     ngramJaccardFrom(hashedPostings(t), tau, maxPostings)
 
+  /** Document-frequency cap as a semi-join-back, NOT a window: a
+    * window partition on the shingle is unsplittable, so one
+    * stopword-class shingle would serialize its full posting list
+    * through a single reducer's buffer. The groupBy map-side combines
+    * to one (shingle, df) row per mapper; `keep` (distinct sub-cap
+    * shingles, bounded by vocabulary) is checkpointed so the
+    * semi-join's probe side is a plain exchange over materialized
+    * blocks — which makes BOTH join children shuffle stages, the shape
+    * AQE's skew rule matches. The caller materializes the RESULT
+    * (see [[ngramJaccardFrom]]) so this join stays a terminal stage,
+    * where a hot-shingle partition is legally skew-splittable.
+    * private[graft] so SkewEndToEndSpec can execute exactly this
+    * subtree against a hostile corpus and assert the split fires.
+    */
+  private[graft] def cappedPostings(posts: DataFrame, cap: Int): DataFrame = {
+    val keep = posts
+      .groupBy("shingle")
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= cap)
+      .select("shingle")
+      .localCheckpoint()
+    posts.join(keep.hint("shuffle_hash"), Seq("shingle"), "left_semi")
+  }
+
   /** [[ngramJaccard]] over a caller-provided (possibly materialized)
     * posting table — the shared-scan entry point for compositions.
     * Postings carry the doc's shingle count so NO size-lookup joins
@@ -150,24 +174,21 @@ object Dedup {
       maxPostings: Option[Int] = None
   ): DataFrame = {
     val postings = maxPostings.fold(raw) { cap =>
-      // document frequency via partial-agg'd groupBy + semi-join-back,
-      // NOT a window: a window partition is unsplittable, so one
-      // stopword-class shingle would serialize its whole posting list
-      // through a single reducer's buffer. The groupBy map-side
-      // combines to one (shingle, df) row per mapper and the join-back
-      // is AQE-splittable skew; both shuffles stay on the same shingle
-      // key the self-join needs.
       // materialized once: the df agg and the semi-join probe are
       // different exchange payloads (partial-agg'd vs raw rows), so
       // ReuseExchange can't share them — without this the shingling
       // subtree would run twice
       val posts = raw.localCheckpoint()
-      val keep = posts
-        .groupBy("shingle")
-        .agg(count(lit(1)).as("df"))
-        .filter(col("df") <= cap)
-        .select("shingle")
-      posts.join(keep.hint("shuffle_hash"), Seq("shingle"), "left_semi")
+      // the capped postings are materialized TOO, for two scale
+      // reasons proven on executed plans (SkewEndToEndSpec): fused
+      // into the pair self-join, (a) the semi-join runs once per join
+      // LEG (exchange-level reuse can't share a join), and (b) its
+      // output partitioning is required by the pair join, so AQE's
+      // OptimizeSkewedJoin must NOT split a hot-shingle partition —
+      // the one place the hostile-corpus skew still serializes. As a
+      // terminal checkpoint stage the semi-join runs once and its hot
+      // partitions are legally splittable.
+      cappedPostings(posts, cap).localCheckpoint()
     }
     // shuffle-hash self-join: both sides produce IDENTICAL exchanges,
     // so ReuseExchange computes the posting list once. Also the only
@@ -216,6 +237,20 @@ object Dedup {
     * (ReusedExchange), and verification joins the candidate list
     * (small by construction) back to the per-doc shingle arrays.
     */
+  /** τ as the exact rational num/den of its shortest decimal form — the
+    * positional-filter bound cross-multiplies in LongType, where a τ with
+    * a long decimal form (e.g. 1.0/3 at scale 16, den=10^16) could wrap
+    * (1+min)·(den+num) past Long.MaxValue with ANSI off and silently
+    * prune true pairs. Shingle counts are < 10^9, so scale ≤ 6 keeps
+    * every product under 10^16.
+    */
+  private def tauRational(tau: Double): (Long, Long) = {
+    val tauB = BigDecimal(tau)
+    require(tauB.scale <= 6, s"tau=$tau needs decimal scale <= 6 (got ${tauB.scale})")
+    val den = BigDecimal(10).pow(tauB.scale).toLongExact
+    ((tauB * den).toLongExact, den)
+  }
+
   def ngramJaccardPrefix(t: Tables, tau: Double = JaccardTau): DataFrame = {
     // Postings materialized ONCE (localCheckpoint, the minhashLsh
     // pattern): the df/rank windows AND both verification probes read
@@ -251,9 +286,7 @@ object Dedup {
     // num/den of its shortest decimal form, cross-multiplied — a
     // double ⌈·⌉ can land 1 too high at exact-boundary sums and would
     // prune a pair sitting exactly at τ.
-    val tauB = BigDecimal(tau)
-    val den  = BigDecimal(10).pow(tauB.scale).toLongExact
-    val num  = (tauB * den).toLongExact
+    val (num, den) = tauRational(tau)
     val candidates = prefix
       .as("a")
       .join(
@@ -321,9 +354,7 @@ object Dedup {
     val prefix = ranked
       .filter(col("tok_rank") <= col("n_sh") - ceil(lit(tau) * col("n_sh")) + 1)
       .select("doc_id", "shingle", "n_sh", "tok_rank")
-    val tauB = BigDecimal(tau)
-    val den  = BigDecimal(10).pow(tauB.scale).toLongExact
-    val num  = (tauB * den).toLongExact
+    val (num, den) = tauRational(tau)
     val positional =
       (lit(1L) + least(
         col("a.n_sh") - col("a.tok_rank"),

@@ -108,6 +108,17 @@ object StreamReplay {
       }
     )
 
+  /** Drained-sink cache: gate-key FAMILIES that run the SAME streaming
+    * pipeline over the same slices (the interval-join mode trio derives
+    * from one full-outer drain; A9's notify rows are a filter of A14's
+    * sequencer drain) drain once per JVM and read the one sink. The
+    * caller-supplied key IS the pipeline identity — callers must never
+    * reuse a key across different transforms. Only the SINK is shared;
+    * each family still executes its full micro-batch replay once, so
+    * the streaming path stays under the oracle.
+    */
+  private val drainCache = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
   private def deleteTree(p: Path): Unit =
     if (Files.exists(p)) {
       import scala.jdk.CollectionConverters._
@@ -141,9 +152,10 @@ object StreamReplay {
       spark: SparkSession,
       sfDir: String,
       slices: Int = 4,
-      sentinelTypes: Seq[String] = Seq(FlushType)
+      sentinelTypes: Seq[String] = Seq(FlushType),
+      cacheKey: Option[String] = None
   )(xform: (DataFrame, DataFrame) => DataFrame): DataFrame =
-    replayEventsMulti(spark, sfDir, slices, sentinelTypes, 2)(ss => xform(ss(0), ss(1)))
+    replayEventsMulti(spark, sfDir, slices, sentinelTypes, 2, cacheKey)(ss => xform(ss(0), ss(1)))
 
   /** Documents schema pinned for the file stream source. */
   val documentsDdl =
@@ -242,7 +254,12 @@ object StreamReplay {
     * total order the oracle replays. No watermark, no sentinels: the
     * sequencer emits every page as its message is processed.
     */
-  def replayTopicMessages(spark: SparkSession, sfDir: String, slices: Int = 4)(
+  def replayTopicMessages(
+      spark: SparkSession,
+      sfDir: String,
+      slices: Int = 4,
+      cacheKey: Option[String] = None
+  )(
       xform: DataFrame => DataFrame
   ): DataFrame = {
     val inDir = cachedSlices(s"topics|$sfDir|$slices") { dir =>
@@ -268,7 +285,7 @@ object StreamReplay {
         writeSlice(dir, i, msgs.filter(cond).drop("hr_s"))
       }
     }
-    drain(spark, inDir, topicsDdl, 1)(ss => xform(ss.head))
+    drain(spark, inDir, topicsDdl, 1, cacheKey)(ss => xform(ss.head))
   }
 
   /** Payloads schema pinned for the file stream source (A15's queue
@@ -297,7 +314,10 @@ object StreamReplay {
       slices: Int = 4,
       batchSize: Int = 10
   ): DataFrame = {
-    val inDir = cachedSlices(s"payloads|$sfDir|$slices") { dir =>
+    // message participates in the payload content (base64 bodies), so it
+    // must participate in the cache key — same sfDir/slices with a
+    // different message is a different slice set
+    val inDir = cachedSlices(s"payloads|$sfDir|$slices|${message.hashCode}") { dir =>
       val pay = graft.operators.Paging.queuePayloads(Tables(spark, sfDir), message)
       for (i <- 0 until slices)
         writeSlice(dir, i, pay.filter(pmod(col("device_id"), lit(slices)) === i))
@@ -440,7 +460,8 @@ object StreamReplay {
       sfDir: String,
       slices: Int,
       sentinelTypes: Seq[String],
-      nSources: Int
+      nSources: Int,
+      cacheKey: Option[String] = None
   )(xform: Seq[DataFrame] => DataFrame): DataFrame = {
     val inDir = cachedSlices(s"events|$sfDir|$slices|${sentinelTypes.mkString(",")}") { dir =>
       val ev = Tables(spark, sfDir).events
@@ -484,13 +505,25 @@ object StreamReplay {
       }
     }
 
-    drain(spark, inDir, eventsDdl, nSources)(xform)
+    drain(spark, inDir, eventsDdl, nSources, cacheKey)(xform)
   }
 
   /** Start `nSources` independent file sources over the slice dir, run
     * the transform, drain to parquet under AvailableNow, read back.
     */
   private def drain(
+      spark: SparkSession,
+      inDir: Path,
+      schemaDdl: String,
+      nSources: Int,
+      cacheKey: Option[String] = None
+  )(xform: Seq[DataFrame] => DataFrame): DataFrame = cacheKey match {
+    case Some(key) =>
+      drainCache.computeIfAbsent(key, _ => drainOnce(spark, inDir, schemaDdl, nSources)(xform))
+    case None => drainOnce(spark, inDir, schemaDdl, nSources)(xform)
+  }
+
+  private def drainOnce(
       spark: SparkSession,
       inDir: Path,
       schemaDdl: String,
