@@ -1531,13 +1531,9 @@ object SparkEntry {
         |  md5(regexp_replace(t2, '${graft.operators.TextOps.PhonePat}', '<PHONE>', 'g')) AS redacted_hash
         |FROM r2 ORDER BY doc_id""".stripMargin,
     "text_contaminate" -> // distinct-trigram overlap with the doc_id%97=0 benchmark slice
-      """WITH s AS (
+      s"""WITH s AS (
         |  SELECT doc_id,
-        |    list_distinct(list_transform(
-        |      range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
-        |      i -> concat_ws(' ', string_split(text, ' ')[CAST(i AS INT)],
-        |                     string_split(text, ' ')[CAST(i AS INT) + 1],
-        |                     string_split(text, ' ')[CAST(i AS INT) + 2]))) AS sh
+        |    $shingleListExpr AS sh
         |  FROM documents),
         |p AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS shingle FROM s),
         |bench AS (SELECT DISTINCT shingle FROM p WHERE doc_id % 97 = 0)
@@ -1652,7 +1648,7 @@ object SparkEntry {
     // full inverted-index pair set bit for bit
     "dedup_prefix_filter" -> ngramJaccardOracle,
     "dedup_containment" -> // |A∩B|/min ≥ 0.8 quote-detection pairs that the jaccard bar drops
-      """WITH docs AS (
+      s"""WITH docs AS (
         |  SELECT doc_id, text FROM documents
         |  UNION ALL
         |  SELECT -doc_id - 1,
@@ -1661,11 +1657,7 @@ object SparkEntry {
         |  FROM documents WHERE doc_id % 29 = 0),
         |s AS (
         |  SELECT doc_id,
-        |    list_distinct(list_transform(
-        |      range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
-        |      i -> concat_ws(' ', string_split(text, ' ')[CAST(i AS INT)],
-        |                     string_split(text, ' ')[CAST(i AS INT) + 1],
-        |                     string_split(text, ' ')[CAST(i AS INT) + 2]))) AS sh
+        |    $shingleListExpr AS sh
         |  FROM docs),
         |sz AS (SELECT doc_id, len(sh) AS n_sh FROM s),
         |p AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
@@ -1702,13 +1694,9 @@ object SparkEntry {
         |WHERE old_hash IS NULL OR new_hash IS NULL OR old_hash <> new_hash
         |ORDER BY doc_id""".stripMargin,
     "text_dupfrac" -> // share of each doc's distinct trigrams appearing in >= 2 docs
-      """WITH s AS (
+      s"""WITH s AS (
         |  SELECT doc_id,
-        |    list_distinct(list_transform(
-        |      range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
-        |      i -> concat_ws(' ', string_split(text, ' ')[CAST(i AS INT)],
-        |                     string_split(text, ' ')[CAST(i AS INT) + 1],
-        |                     string_split(text, ' ')[CAST(i AS INT) + 2]))) AS sh
+        |    $shingleListExpr AS sh
         |  FROM documents),
         |p AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
         |d AS (SELECT shingle, count(*) AS df FROM p GROUP BY 1)
@@ -1718,7 +1706,7 @@ object SparkEntry {
         |FROM p JOIN d USING (shingle)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "dedup_incremental" -> // delta slice (doc_id%10=0) deduped against the base corpus
-      """WITH h AS (
+      raw"""WITH h AS (
         |  SELECT doc_id, md5(regexp_replace(trim(text), '\s+', ' ', 'g')) AS text_hash
         |  FROM documents),
         |ex AS (
@@ -1727,11 +1715,7 @@ object SparkEntry {
         |  WHERE d.doc_id % 10 = 0 GROUP BY 1),
         |s AS (
         |  SELECT doc_id,
-        |    list_distinct(list_transform(
-        |      range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
-        |      i -> concat_ws(' ', string_split(text, ' ')[CAST(i AS INT)],
-        |                     string_split(text, ' ')[CAST(i AS INT) + 1],
-        |                     string_split(text, ' ')[CAST(i AS INT) + 2]))) AS sh
+        |    $shingleListExpr AS sh
         |  FROM documents),
         |sz AS (SELECT doc_id, len(sh) AS n_sh FROM s),
         |p AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
@@ -1838,13 +1822,9 @@ object SparkEntry {
         |WHERE CAST(pairs.inter AS DOUBLE) / (sa.n_fp + sb.n_fp - pairs.inter) >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin,
     "dedup_source_sim_exact" -> // exact slice Jaccard over per-source distinct trigram sets
-      """WITH s AS (
+      s"""WITH s AS (
         |  SELECT doc_id,
-        |    list_distinct(list_transform(
-        |      range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
-        |      i -> concat_ws(' ', string_split(text, ' ')[CAST(i AS INT)],
-        |                     string_split(text, ' ')[CAST(i AS INT) + 1],
-        |                     string_split(text, ' ')[CAST(i AS INT) + 2]))) AS sh
+        |    $shingleListExpr AS sh
         |  FROM documents),
         |p AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
         |sl AS (SELECT DISTINCT d.source, p.shingle FROM p JOIN documents d USING (doc_id)),
@@ -1936,11 +1916,7 @@ object SparkEntry {
         |  FROM bgc GROUP BY 1),
         |cs AS (
         |  SELECT doc_id,
-        |    unnest(list_distinct(list_transform(
-        |      range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
-        |      i -> concat_ws(' ', string_split(text, ' ')[CAST(i AS INT)],
-        |                     string_split(text, ' ')[CAST(i AS INT) + 1],
-        |                     string_split(text, ' ')[CAST(i AS INT) + 2])))) AS shingle
+        |    unnest($shingleListExpr) AS shingle
         |  FROM documents),
         |bench AS (SELECT DISTINCT shingle FROM cs WHERE doc_id % 97 = 0),
         |cont AS (
@@ -2031,13 +2007,9 @@ object SparkEntry {
         |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank FROM r
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "text_novelty" -> // fraction of each doc's distinct trigrams FIRST introduced by it
-      """WITH s AS (
+      s"""WITH s AS (
         |  SELECT doc_id,
-        |    list_distinct(list_transform(
-        |      range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
-        |      i -> concat_ws(' ', string_split(text, ' ')[CAST(i AS INT)],
-        |                     string_split(text, ' ')[CAST(i AS INT) + 1],
-        |                     string_split(text, ' ')[CAST(i AS INT) + 2]))) AS sh
+        |    $shingleListExpr AS sh
         |  FROM documents),
         |p AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
         |f AS (SELECT shingle, min(doc_id) AS first_doc FROM p GROUP BY 1)
@@ -2871,13 +2843,9 @@ object SparkEntry {
         |  (count(hit) * 10) // count(*) AS cov_decile
         |FROM ev GROUP BY 1 ORDER BY 1""".stripMargin,
     "text_topk_similar" -> // top-3 Jaccard neighbors per sampled doc, (jaccard desc, id) rank
-      """WITH s AS (
+      s"""WITH s AS (
         |  SELECT doc_id,
-        |    list_distinct(list_transform(
-        |      range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
-        |      i -> concat_ws(' ', string_split(text, ' ')[CAST(i AS INT)],
-        |                     string_split(text, ' ')[CAST(i AS INT) + 1],
-        |                     string_split(text, ' ')[CAST(i AS INT) + 2]))) AS sh
+        |    $shingleListExpr AS sh
         |  FROM documents),
         |sz AS (SELECT doc_id, len(sh) AS n_sh FROM s),
         |p AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
@@ -3043,6 +3011,18 @@ object SparkEntry {
       |    FROM sj GROUP BY doc_id) agg USING (doc_id)),
       |fps AS (SELECT * FROM longfp UNION ALL SELECT * FROM shortfp)""".stripMargin
 
+  /** DuckDB expression: the distinct trigram-shingle list of a `text`
+    * column — THE shingle definition every dedup/text oracle shares
+    * (matches Dedup.shingled; one definition means a shingling change
+    * breaks one string, not nine near-identical CTE copies).
+    */
+  private val shingleListExpr: String =
+    """list_distinct(list_transform(
+      |      range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
+      |      i -> concat_ws(' ', string_split(text, ' ')[CAST(i AS INT)],
+      |                     string_split(text, ' ')[CAST(i AS INT) + 1],
+      |                     string_split(text, ' ')[CAST(i AS INT) + 2])))""".stripMargin
+
   /** Shared oracle for C2 (exact inverted-index Jaccard), C3 (MinHash-
     * LSH verified candidates — equal output whp, see Dedup.scala
     * banding analysis), and — with a document-frequency cap on the
@@ -3056,11 +3036,7 @@ object SparkEntry {
     }
     s"""WITH s AS (
       |  SELECT doc_id,
-      |    list_distinct(list_transform(
-      |      range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
-      |      i -> concat_ws(' ', string_split(text, ' ')[CAST(i AS INT)],
-      |                     string_split(text, ' ')[CAST(i AS INT) + 1],
-      |                     string_split(text, ' ')[CAST(i AS INT) + 2]))) AS sh
+      |    $shingleListExpr AS sh
       |  FROM documents),
       |sz AS (SELECT doc_id, len(sh) AS n_sh FROM s),
       |p AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
