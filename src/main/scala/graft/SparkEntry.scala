@@ -66,21 +66,40 @@ object SparkEntry {
     // execution via StreamReplay) hash-checked against the SAME DuckDB
     // oracles as their batch siblings — sentinel rows close every real
     // window, so streaming == batch exactly (see StreamReplay scaladoc)
+    // A23's two fixed-window keys roll up from ONE drained 15-minute
+    // tumbling aggregate (quarterHourDrain): both window shapes are
+    // unions of 15-min buckets (1h tumbling = 4 aligned buckets; each
+    // 1h/15min hopping window = 4 slide-aligned buckets), and count /
+    // decimal money sum are associative, so the rollup is EXACT — the
+    // streaming-cube pattern a production topology runs (aggregate the
+    // finest grain once in the stream, derive every coarser window
+    // downstream). Direct 1-hour and hopping window EXECUTION stays
+    // spec-covered on MemoryStream (StreamingSpec); both derived row
+    // sets still hash against the same DuckDB oracles.
     "q_stream_hourly" -> ((s, d) => {
-      import org.apache.spark.sql.functions.col
-      graft.streaming.StreamReplay
-        .replayEvents(s, d)(df =>
-          graft.streaming.KinesisLikePipeline.windowedCounts(df, "1 hour", "1 minute"))
+      import org.apache.spark.sql.functions.{col, date_trunc, sum}
+      quarterHourDrain(s, d)
         .filter(col("event_type") =!= graft.streaming.StreamReplay.FlushType)
+        .groupBy(date_trunc("hour", col("window_start")).as("window_start"), col("event_type"))
+        .agg(
+          sum(col("n_events")).as("n_events"),
+          graft.operators.Num.moneySum(col("sum_value")).as("sum_value"))
         .orderBy("window_start", "event_type")
     }),
     "q_stream_hopping" -> ((s, d) => {
-      import org.apache.spark.sql.functions.col
-      graft.streaming.StreamReplay
-        .replayEvents(s, d)(df =>
-          graft.streaming.KinesisLikePipeline
-            .hoppingCounts(df, "1 hour", "15 minutes", "1 minute"))
+      import org.apache.spark.sql.functions.{col, expr, sum}
+      quarterHourDrain(s, d)
         .filter(col("event_type") =!= graft.streaming.StreamReplay.FlushType)
+        .select(
+          col("window_start").as("bucket"), col("event_type"),
+          col("n_events"), col("sum_value"),
+          expr("explode(sequence(0, 3))").as("k"))
+        .groupBy(
+          expr("timestampadd(MINUTE, -15 * k, bucket)").as("window_start"),
+          col("event_type"))
+        .agg(
+          sum(col("n_events")).as("n_events"),
+          graft.operators.Num.moneySum(col("sum_value")).as("sum_value"))
         .orderBy("window_start", "event_type")
     }),
     "q_stream_sessions" -> ((s, d) => {
@@ -542,6 +561,16 @@ object SparkEntry {
     * draining the same two-source replay three times (~20s → ~9s of the
     * streaming bill at sf0.1).
     */
+  /** The finest-grain fixed-window aggregate (15-minute tumbling,
+    * watermarked, real micro-batch execution) drained once per JVM —
+    * q_stream_hourly and q_stream_hopping both roll up from it (see
+    * the gate-key comment for why the rollup is exact).
+    */
+  private def quarterHourDrain(s: SparkSession, d: String): DataFrame =
+    graft.streaming.StreamReplay
+      .replayEvents(s, d, cacheKey = Some(s"quarterHour|$d"))(df =>
+        graft.streaming.KinesisLikePipeline.windowedCounts(df, "15 minutes", "1 minute"))
+
   private def intervalFullDrain(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions.col
     graft.streaming.StreamReplay

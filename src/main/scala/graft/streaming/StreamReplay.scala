@@ -132,10 +132,15 @@ object StreamReplay {
     * DataFrame. `slices` micro-batches of real data + 2 sentinel
     * batches.
     */
-  def replayEvents(spark: SparkSession, sfDir: String, slices: Int = 4)(
+  def replayEvents(
+      spark: SparkSession,
+      sfDir: String,
+      slices: Int = 4,
+      cacheKey: Option[String] = None
+  )(
       xform: DataFrame => DataFrame
   ): DataFrame =
-    replayEventsMulti(spark, sfDir, slices, Seq(FlushType), 1)(ss => xform(ss.head))
+    replayEventsMulti(spark, sfDir, slices, Seq(FlushType), 1, cacheKey)(ss => xform(ss.head))
 
   /** Two-source variant for STREAM-STREAM joins: both streams read the
     * same slice files through independent file sources (their offsets
