@@ -896,4 +896,34 @@ class StreamingSpec extends SparkSpecBase {
       .toSet
     assert(streamed == batch, s"streamed ${streamed.size} windows vs batch ${batch.size}")
   }
+
+  // the gate's quarterHourDrain rollup (SparkEntry): with direct
+  // streaming == batch twin proven above, rollup == batch twin here
+  // gives rollup == direct streaming transitively — and with a
+  // different slice count than the gate, so slice-independence of the
+  // derivation is asserted too
+  test("hourly and hopping roll up EXACTLY from one drained 15-minute aggregate") {
+    import graft.streaming.StreamReplay
+    val buckets = StreamReplay
+      .replayEvents(spark, sfDir, slices = 3)(df =>
+        KinesisLikePipeline.windowedCounts(df, "15 minutes", "1 minute"))
+      .filter(col("event_type") =!= StreamReplay.FlushType)
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .collect()
+      .map(r => (r.getAs[java.sql.Timestamp]("window_start"), r.getAs[String]("event_type"),
+        r.getAs[Long]("n_events"), r.getAs[Double]("sum_value")))
+      .toSet
+    val hourly = buckets
+      .groupBy(date_trunc("hour", col("window_start")).as("window_start"), col("event_type"))
+      .agg(sum("n_events").as("n_events"),
+        graft.operators.Num.moneySum(col("sum_value")).as("sum_value"))
+    assert(key(hourly) == key(graft.operators.EventOps.hourlyWindow(tables)))
+    val hopping = buckets
+      .select(col("window_start").as("bucket"), col("event_type"),
+        col("n_events"), col("sum_value"), expr("explode(sequence(0, 3))").as("k"))
+      .groupBy(expr("timestampadd(MINUTE, -15 * k, bucket)").as("window_start"), col("event_type"))
+      .agg(sum("n_events").as("n_events"),
+        graft.operators.Num.moneySum(col("sum_value")).as("sum_value"))
+    assert(key(hopping) == key(graft.operators.EventOps.hoppingWindow(tables)))
+  }
 }
