@@ -412,6 +412,10 @@ object SparkEntry {
     "pipeline_pack"        -> ((s, d) => Curation.packTokenBudget(Tables(s, d))),
     "pipeline_chunk"       -> ((s, d) => Curation.chunkTokens(Tables(s, d))),
     "dedup_passage"        -> ((s, d) => Curation.passageDedup(Tables(s, d))),
+    "dedup_substring"      -> ((s, d) => Dedup.substringSpans(Tables(s, d))),
+    "contaminate_semantic" -> ((s, d) => Similarity.semanticContamination(Tables(s, d))),
+    "embed_quantize"       -> ((s, d) => Similarity.quantizeInt8(Tables(s, d))),
+    "pipeline_drift"       -> ((s, d) => Curation.versionDrift(Tables(s, d))),
     "q_zorder_layout"      -> ((s, d) => Layout.zorderLayout(Tables(s, d))),
     "q_orc_roundtrip"      -> ((s, d) => Ingest.orcRoundtrip(Tables(s, d))),
     "text_repetition"      -> ((s, d) => TextOps.repetition(Tables(s, d))),
@@ -1734,6 +1738,84 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS dup_frac
         |FROM p JOIN d USING (shingle)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "dedup_substring" -> // maximal duplicated 5-token spans (corpus + the %31 splice fixture)
+      """WITH docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT -doc_id - 1,
+        |    concat_ws(' ',
+        |      array_to_string(list_slice(string_split(text, ' '), 1, 10), ' '),
+        |      'uq' || CAST(doc_id AS VARCHAR) || 'a',
+        |      'uq' || CAST(doc_id AS VARCHAR) || 'b',
+        |      'uq' || CAST(doc_id AS VARCHAR) || 'c',
+        |      'uq' || CAST(doc_id AS VARCHAR) || 'd',
+        |      'uq' || CAST(doc_id AS VARCHAR) || 'e',
+        |      'uq' || CAST(doc_id AS VARCHAR) || 'f',
+        |      array_to_string(list_slice(string_split(text, ' '), 21, 30), ' '))
+        |  FROM documents WHERE doc_id % 31 = 1 AND len(string_split(text, ' ')) >= 30),
+        |w AS (SELECT doc_id, string_split(text, ' ') AS ws,
+        |        len(string_split(text, ' ')) AS n FROM docs),
+        |win AS (
+        |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+        |    array_to_string(list_slice(ws, CAST(i AS INT), CAST(i + 4 AS INT)), ' ') AS gram
+        |  FROM (SELECT doc_id, ws, unnest(generate_series(1, n - 4)) AS i FROM w WHERE n >= 5)),
+        |c AS (SELECT gram FROM win GROUP BY 1 HAVING count(*) >= 2),
+        |d AS (SELECT win.doc_id, win.pos FROM win JOIN c USING (gram)),
+        |isl AS (
+        |  SELECT doc_id, pos,
+        |    CASE WHEN pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 5
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM d),
+        |g AS (SELECT doc_id, pos,
+        |        sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM isl)
+        |SELECT doc_id, min(pos) AS span_start, max(pos) + 4 AS span_end,
+        |  max(pos) + 5 - min(pos) AS span_tokens
+        |FROM g GROUP BY doc_id, island ORDER BY doc_id, span_start""".stripMargin,
+    "contaminate_semantic" -> // corpus vectors within cosine 0.3 of any eval vector (vec_id%41=0)
+      """WITH n AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+        |    sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b)) AS nrm
+        |  FROM embeddings),
+        |c AS (
+        |  SELECT b.vec_id AS vec_id, a.vec_id AS eval_vec_id,
+        |    list_reduce(list_transform(range(1, len(a.v) + 1), i -> a.v[CAST(i AS INT)] * b.v[CAST(i AS INT)]), (x, y) -> x + y)
+        |      / (a.nrm * b.nrm) AS cos
+        |  FROM n a JOIN n b ON a.vec_id % 41 = 0 AND b.vec_id % 41 <> 0),
+        |f AS (SELECT vec_id, eval_vec_id, cos,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, eval_vec_id) AS rn
+        |  FROM c WHERE cos >= 0.3)
+        |SELECT vec_id, eval_vec_id, cos FROM f WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+    "embed_quantize" -> // int8 scalar quantization: per-vector max-abs scale, codes in [-127, 127]
+      """WITH s AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |m AS (SELECT vec_id, v,
+        |    list_reduce(list_transform(v, x -> abs(x)), (a, b) -> CASE WHEN a >= b THEN a ELSE b END) AS scale
+        |  FROM s)
+        |SELECT vec_id, CAST(i - 1 AS BIGINT) AS dim,
+        |  CAST(CASE WHEN scale = 0 THEN 0 ELSE round(v[CAST(i AS INT)] * 127.0 / scale) END AS BIGINT) AS code,
+        |  scale
+        |FROM (SELECT vec_id, v, scale, unnest(generate_series(1, len(v))) AS i FROM m)
+        |ORDER BY vec_id, dim""".stripMargin,
+    "pipeline_drift" -> // length-distribution drift between the two simulated corpus versions
+      """WITH v1 AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 11 = 3 THEN substr(text, 1, greatest(len(text) - 10, 1))
+        |         ELSE text END AS text
+        |  FROM documents WHERE doc_id % 17 <> 2),
+        |v2 AS (SELECT doc_id, text FROM documents WHERE doc_id % 13 <> 5),
+        |h1 AS (SELECT CAST(floor(len(text) / 100) AS BIGINT) AS bucket, count(*) AS n FROM v1 GROUP BY 1),
+        |h2 AS (SELECT CAST(floor(len(text) / 100) AS BIGINT) AS bucket, count(*) AS n FROM v2 GROUP BY 1),
+        |b AS (SELECT coalesce(h1.bucket, h2.bucket) AS bucket,
+        |        coalesce(h1.n, 0) AS n_v1, coalesce(h2.n, 0) AS n_v2
+        |      FROM h1 FULL OUTER JOIN h2 ON h1.bucket = h2.bucket),
+        |c AS (SELECT bucket, n_v1, n_v2,
+        |        CAST(sum(n_v1) OVER (ORDER BY bucket) AS BIGINT) AS cum_v1,
+        |        CAST(sum(n_v2) OVER (ORDER BY bucket) AS BIGINT) AS cum_v2,
+        |        CAST(sum(n_v1) OVER () AS BIGINT) AS tot1,
+        |        CAST(sum(n_v2) OVER () AS BIGINT) AS tot2 FROM b)
+        |SELECT bucket, n_v1, n_v2, cum_v1, cum_v2,
+        |  CAST((abs(CAST(cum_v1 AS HUGEINT) * tot2 - CAST(cum_v2 AS HUGEINT) * tot1) * 1000000)
+        |       // (CAST(tot1 AS HUGEINT) * tot2) AS BIGINT) AS drift_ppm
+        |FROM c ORDER BY bucket""".stripMargin,
     "dedup_incremental" -> // delta slice (doc_id%10=0) deduped against the base corpus
       raw"""WITH h AS (
         |  SELECT doc_id, md5(regexp_replace(trim(text), '\s+', ' ', 'g')) AS text_hash

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.sources.Tables
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** End-to-end training-data curation: the composition a 100 TB corpus
@@ -205,6 +206,16 @@ object Curation {
     * a truncated text).
     */
   def snapshotDiff(t: Tables): DataFrame = {
+    val (v1, v2) = simulatedVersions(t)
+    snapshotDiffOn(v1, v2)
+  }
+
+  /** The two deterministic simulated corpus versions shared by
+    * [[snapshotDiff]] (row-level changelog) and [[versionDrift]]
+    * (distribution-level audit): V1 lacks the %17==2 docs, V2 lacks
+    * %13==5, and %11==3 docs are edited (V1 holds a truncated text).
+    */
+  private def simulatedVersions(t: Tables): (DataFrame, DataFrame) = {
     val v1 = t.documents
       .filter(col("doc_id") % 17 =!= 2)
       .select(
@@ -215,7 +226,66 @@ object Curation {
         ).otherwise(col("text")).as("text")
       )
     val v2 = t.documents.filter(col("doc_id") % 13 =!= 5).select(col("doc_id"), col("text"))
-    snapshotDiffOn(v1, v2)
+    (v1, v2)
+  }
+
+  /** C48: corpus-version distribution drift — the DISTRIBUTION-level
+    * release audit the row-level changelog (C25) can't give: per
+    * length-bucket counts for both versions, running cumulative counts,
+    * and the Kolmogorov-Smirnov statistic in exact integer parts-per-
+    * million: ⌊10⁶·|cum_v1·N2 − cum_v2·N1| / (N1·N2)⌋. The cross-
+    * multiplication runs in Decimal(38,0) (a Long product wraps past
+    * ~3·10⁹ docs; 38 digits never do at any corpus size) and the
+    * floor-division is exact integer arithmetic — num − (num mod den)
+    * over den, never a rounded decimal quotient — so the bounded
+    * [0, 10⁶] result hash-gates. A silent shift in the document-length
+    * profile between releases — the classic symptom of a broken
+    * extractor or an over-aggressive new filter — shows up here as a
+    * drift spike even when the changed-row count looks routine.
+    *
+    * Shape: two corpus scans → per-version tiny histogram (partial-
+    * agg'd groupBy, output = bucket domain), full-outer merge of the
+    * two histograms, then running-sum/total windows over the
+    * bucket-count rows only — the corpus is never sorted or shuffled
+    * beyond the two histogram aggregations at any scale.
+    */
+  def versionDrift(t: Tables, bucketChars: Int = 100): DataFrame = {
+    val (v1, v2) = simulatedVersions(t)
+    def hist(v: DataFrame, n: String): DataFrame =
+      v.groupBy(floor(length(col("text")) / bucketChars).cast("long").as("bucket"))
+        .agg(count(lit(1)).as(n))
+    val merged = hist(v1, "n_v1")
+      .join(hist(v2, "n_v2"), Seq("bucket"), "full_outer")
+      .select(
+        col("bucket"),
+        coalesce(col("n_v1"), lit(0L)).as("n_v1"),
+        coalesce(col("n_v2"), lit(0L)).as("n_v2")
+      )
+    val cum = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy()
+    val dec = "decimal(38,0)"
+    val num = abs(
+      col("cum_v1").cast(dec) * col("tot2").cast(dec) -
+        col("cum_v2").cast(dec) * col("tot1").cast(dec)
+    ) * lit(1000000L).cast(dec)
+    val den = col("tot1").cast(dec) * col("tot2").cast(dec)
+    merged
+      .withColumn("cum_v1", sum("n_v1").over(cum))
+      .withColumn("cum_v2", sum("n_v2").over(cum))
+      .withColumn("tot1", sum("n_v1").over(all))
+      .withColumn("tot2", sum("n_v2").over(all))
+      .select(
+        col("bucket"),
+        col("n_v1"),
+        col("n_v2"),
+        col("cum_v1"),
+        col("cum_v2"),
+        // exact integer floor division: (num - num%den)/den — the
+        // quotient is a true integer, so the decimal division cannot
+        // round; a direct num/den would round at the result scale
+        ((num - pmod(num, den)) / den).cast("long").as("drift_ppm")
+      )
+      .orderBy("bucket")
   }
 
   /** Context-window chunking: slice each document's token stream into

@@ -1213,6 +1213,95 @@ object Dedup {
     * proves zero false negatives against the exact twin on a crafted
     * base/delta mix and bounds the false-positive count.
     */
+  /** C47: exact substring-SPAN dedup — maximal duplicated token spans
+    * per document, the modality the doc-level (C1/C2) and fixed-chunk
+    * (C1b) paths both miss: a k-token run copied verbatim anywhere in
+    * the corpus (Lee et al.'s "Deduplicating Training Data" substring
+    * semantics, realized as rolling windows instead of a suffix array
+    * so it distributes). A token position is "duplicated" when some
+    * corpus-duplicated k-window covers it; spans are the maximal runs
+    * of duplicated positions — exactly the ranges a span-removal pass
+    * would cut.
+    *
+    * Shape: posexplode + lead windows build each doc's k-grams (the
+    * C2 shingle rule at k=5), occurrences count in ONE partial-agg'd
+    * groupBy on the gram hash, duplicated positions come back via a
+    * shuffle_hash join on that hash (groupBy + join-back — never a
+    * count() window over a hot gram), and the island merge is a lag/
+    * running-sum window on the doc_id partitioning (bounded by doc
+    * length at any corpus size). Output ∝ duplicated mass. Joining on
+    * xxhash64 of the gram, not the string (narrower shuffle; collision
+    * P ≈ n²/2⁶⁵ — the string-keyed DuckDB oracle would flag one).
+    *
+    * The real corpus's partial spans all start mid-doc with ONE island
+    * per doc, so the island BREAK is additionally gate-covered by a
+    * derived splice fixture (doc_id % 31 == 1, ≥ 30 words): tokens
+    * 1-10 and 21-30 of the source pasted around six unique middle
+    * tokens — two copied chunks separated by never-duplicated text
+    * force two islands in both the fixture doc (negated-id space, the
+    * containment fixture's aliasing-proof rule) and its source.
+    */
+  def substringSpans(t: Tables, k: Int = 5): DataFrame = {
+    val ws = split(col("text"), " ")
+    val spliced = t.documents
+      .filter(col("doc_id") % 31 === 1 && size(ws) >= 30)
+      .select(
+        (-col("doc_id") - 1L).as("doc_id"),
+        concat_ws(
+          " ",
+          concat_ws(" ", slice(ws, 1, 10)) +:
+            (('a' to 'f').map(s =>
+              concat(lit("uq"), col("doc_id").cast("string"), lit(s.toString))
+            ) :+ concat_ws(" ", slice(ws, 21, 10))): _*
+        ).as("text")
+      )
+    substringSpansOn(
+      t.documents.select(col("doc_id"), col("text")).unionByName(spliced),
+      k
+    )
+  }
+
+  /** [[substringSpans]] over any (doc_id, text) frame. */
+  def substringSpansOn(documents: DataFrame, k: Int = 5): DataFrame = {
+    require(k >= 2, s"window length must be >= 2, got $k")
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val wins = documents
+      .select(
+        col("doc_id"),
+        size(split(col("text"), " ")).as("n_words"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "w"))
+      )
+      .withColumn(
+        "gram",
+        concat_ws(" ", col("w") +: (1 until k).map(i => lead("w", i).over(byDoc)): _*)
+      )
+      .filter(col("n_words") >= k && col("pos") <= col("n_words") - k)
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), xxhash64(col("gram")).as("gh"))
+    val dupGrams = wins
+      .groupBy("gh")
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2)
+    val dupPos = wins
+      .join(dupGrams.hint("shuffle_hash"), "gh")
+      .select("doc_id", "pos")
+    val byDocPos = Window.partitionBy("doc_id").orderBy("pos")
+    dupPos
+      .withColumn(
+        "brk",
+        when(col("pos") > lag("pos", 1).over(byDocPos) + k, 1L).otherwise(0L)
+      )
+      .withColumn("island", sum("brk").over(byDocPos))
+      .groupBy("doc_id", "island")
+      .agg(min("pos").as("span_start"), (max("pos") + (k - 1)).as("span_end"))
+      .select(
+        col("doc_id"),
+        col("span_start"),
+        col("span_end"),
+        (col("span_end") - col("span_start") + 1L).as("span_tokens")
+      )
+      .orderBy("doc_id", "span_start")
+  }
+
   def bloomAdmission(t: Tables): DataFrame = bloomAdmissionOn(t.documents)
 
   def bloomAdmissionOn(documents: DataFrame, estItems: Long = 1000000L): DataFrame = {

@@ -590,4 +590,75 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank")
       .orderBy("query_id", "rank")
   }
+
+  /** C49: SEMANTIC decontamination — corpus vectors within cosine τ of
+    * any held-out eval vector (vec_id % 41 == 0 stands in for the
+    * benchmark embedding set), each with its strongest eval match.
+    * The embedding-space complement of the n-gram overlap check (C19):
+    * paraphrased benchmark leakage shares no 3-gram but sits right on
+    * top of the eval point in embedding space, so a release pass runs
+    * BOTH before training.
+    *
+    * Same shape as C6: the eval set is bounded → broadcast against
+    * one corpus scan, τ-filter, then best-match via the per-corpus-
+    * vector rank (cos desc, eval id asc pins ties) — the corpus never
+    * self-joins and never shuffles before the flagged subset. Composes
+    * with the IVF/LSH candidate paths when the eval set outgrows a
+    * broadcast. Cosine is the C5/C6 vec_dot kernel, so the doubles
+    * hash-gate cross-engine.
+    */
+  def semanticContamination(t: Tables, tau: Double = 0.3, evalMod: Int = 41): DataFrame = {
+    val n    = vectors(t)
+    val eval = n.filter(col("vec_id") % evalMod === 0)
+    val rest = n.filter(col("vec_id") % evalMod =!= 0)
+    val w    = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("eval_vec_id"))
+    broadcast(eval)
+      .as("a")
+      .join(rest.as("b"), cosine >= tau)
+      .select(
+        col("b.vec_id").as("vec_id"),
+        col("a.vec_id").as("eval_vec_id"),
+        cosine.as("cos")
+      )
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("vec_id", "eval_vec_id", "cos")
+      .orderBy("vec_id")
+  }
+
+  /** C50: int8 scalar quantization (the FAISS SQ8 storage path) — each
+    * vector's components scaled by its own max-abs to codes in
+    * [-127, 127]: code_d = round(v_d · 127 / scale). This is the
+    * 4×-compression layout a 100 TB embedding table ships to the
+    * serving index; the exact integer codes (plus the one float scale
+    * per vector) are what make the op hash-gateable where a float
+    * re-encode never would be. Zero vectors quantize to all-zero codes.
+    *
+    * Map-only: one codegen'd array_max projection + one posexplode —
+    * no shuffle at any scale until the output sort. The multiply-then-
+    * divide order and the double widening are pinned to match the
+    * oracle's arithmetic bit for bit (both engines round half away
+    * from zero).
+    */
+  def quantizeInt8(t: Tables): DataFrame =
+    t.embeddings
+      .select(
+        col("vec_id"),
+        col("embedding"),
+        expr("array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))").as("scale")
+      )
+      .select(
+        col("vec_id"),
+        col("scale"),
+        posexplode(col("embedding")).as(Seq("dim", "x"))
+      )
+      .select(
+        col("vec_id"),
+        col("dim").cast("long").as("dim"),
+        when(col("scale") === 0.0, 0L)
+          .otherwise(round(col("x").cast("double") * lit(127.0) / col("scale")).cast("long"))
+          .as("code"),
+        col("scale")
+      )
+      .orderBy("vec_id", "dim")
 }

@@ -640,4 +640,28 @@ class AnalyticsSpec extends SparkSpecBase {
     // the per-corner totals triple-count each triangle
     assert(got.valuesIterator.sum % 3 == 0)
   }
+
+  test("version drift: buckets, cumulatives, and the ppm KS stat match a driver-side replay") {
+    val docs = tables.documents.selectExpr("doc_id", "length(text) AS n").collect()
+      .map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    val v1 = docs.collect {
+      case (id, n) if id % 17 != 2 => if (id % 11 == 3) math.max(n - 10, 1) else n
+    }.toSeq
+    val v2 = docs.collect { case (id, n) if id % 13 != 5 => n }.toSeq
+    val h1 = v1.groupBy(_ / 100).view.mapValues(_.size.toLong).toMap
+    val h2 = v2.groupBy(_ / 100).view.mapValues(_.size.toLong).toMap
+    val buckets = (h1.keySet ++ h2.keySet).toSeq.sorted
+    val (tot1, tot2) = (v1.size.toLong, v2.size.toLong)
+    var (c1, c2) = (0L, 0L)
+    val expected = buckets.map { b =>
+      c1 += h1.getOrElse(b, 0L); c2 += h2.getOrElse(b, 0L)
+      val ppm = (BigInt(c1) * tot2 - BigInt(c2) * tot1).abs * 1000000 / (BigInt(tot1) * tot2)
+      (b, h1.getOrElse(b, 0L), h2.getOrElse(b, 0L), c1, c2, ppm.toLong)
+    }
+    val got = graft.operators.Curation.versionDrift(tables).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(got.toSeq == expected, s"got=${got.toSeq}\nexpected=$expected")
+    assert(got.forall(_._6 <= 1000000L), "ppm stat out of [0, 1e6]")
+    assert(got.map(_._2).sum == tot1 && got.map(_._3).sum == tot2, "histogram mass lost")
+  }
 }

@@ -362,4 +362,66 @@ class DedupSpec extends SparkSpecBase {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("TopKPerKey"), s"ranking must use the bounded-heap exec:\n$plan")
   }
+
+  test("substring spans: island merge, abutting coverage, boundaries, within-doc repeats") {
+    import spark.implicits._
+    val docs = Seq(
+      // doc1/doc2 share a 6-token run (two overlapping 5-windows) AND a
+      // tail 5-token run — two islands per doc, one starting mid-doc
+      (1L, "a1 a2 a3 a4 a5 a6 x1 x2 x3 x4 x5 x6 c1 c2 c3 c4 c5"),
+      (2L, "y1 y2 y3 a1 a2 a3 a4 a5 a6 y4 y5 y6 y7 y8 y9 c1 c2 c3 c4 c5"),
+      (3L, "z1 z2 z3 z4"), // shorter than k: no windows at all
+      // the same 5-run twice in ONE doc — within-doc multiplicity counts
+      (4L, "r1 r2 r3 r4 r5 q1 r1 r2 r3 r4 r5"),
+      // doc5's windows at pos 0 and 5 duplicate (via doc6/doc7) but
+      // 1-4 don't: coverage [0,4]+[5,9] ABUTS -> must merge to [0,9]
+      (5L, "b1 b2 b3 b4 b5 b6 b7 b8 b9 b10"),
+      (6L, "m1 b1 b2 b3 b4 b5 m2 m3 m4 m5 m6"),
+      (7L, "n1 n2 b6 b7 b8 b9 b10 n3 n4 n5")
+    ).toDF("doc_id", "text")
+    val got = Dedup.substringSpansOn(docs, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val expected = Set(
+      (1L, 0L, 5L, 6L), (1L, 12L, 16L, 5L),
+      (2L, 3L, 8L, 6L), (2L, 15L, 19L, 5L),
+      (4L, 0L, 4L, 5L), (4L, 6L, 10L, 5L),
+      (5L, 0L, 9L, 10L),
+      (6L, 1L, 5L, 5L), (7L, 2L, 6L, 5L)
+    )
+    assert(got == expected, s"missing=${expected -- got} extra=${got -- expected}")
+  }
+
+  test("substring spans on the corpus + splice fixture equal a driver-side brute-force replay") {
+    val k = 5
+    val base = tables.documents.selectExpr("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toSeq).toMap
+    val fixture = base.collect {
+      case (id, ws) if id % 31 == 1 && ws.size >= 30 =>
+        (-id - 1) -> (ws.slice(0, 10) ++ ('a' to 'f').map(s => s"uq$id$s") ++ ws.slice(20, 30))
+    }
+    val docs = base ++ fixture
+    val grams = docs.toSeq.flatMap { case (id, ws) =>
+      (0 to ws.size - k).map(p => (id, p.toLong, ws.slice(p, p + k).mkString(" ")))
+    }
+    val counts = grams.groupBy(_._3).view.mapValues(_.size).toMap
+    val expected = grams.filter(g => counts(g._3) >= 2).groupBy(_._1).flatMap { case (id, gs) =>
+      val ps = gs.map(_._2).sorted
+      // islands: break when the next window starts past prev coverage + 1
+      val islands = ps.tail.foldLeft(List(List(ps.head))) {
+        case (acc @ cur :: rest, p) => if (p > cur.head + k) List(p) :: acc else (p :: cur) :: rest
+        case (Nil, p)               => List(List(p))
+      }
+      islands.map(isl => (id, isl.min, isl.max + k - 1, isl.max + k - isl.min))
+    }.toSet
+    val got = Dedup.substringSpans(tables).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == expected, s"missing=${expected -- got} extra=${got -- expected}")
+    assert(got.nonEmpty)
+    // the splice fixture must land in the output with TWO islands — the
+    // break path proven on the gate's own corpus, not just crafted docs
+    val fixtureSpans = got.filter(_._1 < 0).groupBy(_._1)
+    assert(fixtureSpans.nonEmpty, "splice fixture produced no spans")
+    assert(fixtureSpans.exists(_._2.size >= 2),
+      "no fixture doc carries two islands — the break path is untested on the gate")
+  }
 }

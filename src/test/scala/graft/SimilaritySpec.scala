@@ -159,4 +159,48 @@ class SimilaritySpec extends SparkSpecBase {
     assert(got == expected, s"${got.size} rows vs expected ${expected.size}")
     assert(got.size == byLabel.size * 5)
   }
+
+  test("semantic contamination: flags exactly the brute-force tau set with true argmax matches") {
+    val vecs = tables.embeddings.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val evalIds = vecs.keys.filter(_ % 41 == 0).toSeq.sorted
+    val expected = vecs.keys.filter(_ % 41 != 0).flatMap { id =>
+      val hits = evalIds.map(e => (e, cos(vecs(id), vecs(e)))).filter(_._2 >= 0.3)
+      if (hits.isEmpty) None
+      else Some(id -> hits.minBy { case (e, c) => (-c, e) }._1)
+    }.toMap
+    val got = graft.operators.Similarity.semanticContamination(tables).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected, s"flagged=${got.size} expected=${expected.size}")
+    assert(got.nonEmpty, "no contamination flagged — tau too high for the fixture corpus")
+    assert(got.keys.forall(_ % 41 != 0), "an eval vector flagged itself")
+  }
+
+  test("int8 quantization: codes bounded, max component saturates, reconstruction within half-step") {
+    val rows = graft.operators.Similarity.quantizeInt8(tables).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (_, _, c, _) => c >= -127 && c <= 127 }, "code out of int8 range")
+    val byVec = rows.groupBy(_._1)
+    val vecs = tables.embeddings.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    byVec.foreach { case (id, dims) =>
+      val v     = vecs(id)
+      val scale = dims.head._4
+      assert(math.abs(scale - v.map(math.abs).max) < 1e-12, s"vec $id scale mismatch")
+      if (scale > 0) {
+        assert(dims.map { case (_, _, c, _) => math.abs(c) }.max == 127L,
+          s"vec $id: max-abs component must saturate to ±127")
+        // dequantized error is at most half a quantization step
+        dims.foreach { case (_, d, c, _) =>
+          val err = math.abs(c * scale / 127.0 - v(d.toInt))
+          assert(err <= scale / 254.0 + 1e-9, s"vec $id dim $d err $err")
+        }
+      } else assert(dims.forall(_._3 == 0L), s"zero vector $id must code to zeros")
+    }
+  }
 }
