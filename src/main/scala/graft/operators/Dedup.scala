@@ -1265,6 +1265,10 @@ object Dedup {
   def substringSpansOn(documents: DataFrame, k: Int = 5): DataFrame = {
     require(k >= 2, s"window length must be >= 2, got $k")
     val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    // checkpointed, the dupShingleFrac rule: the occurrence count and
+    // the join-back probe can't share an exchange (partial-agg'd vs raw
+    // position payloads), so without this the scan + posexplode + lead
+    // window subtree would run twice
     val wins = documents
       .select(
         col("doc_id"),
@@ -1277,6 +1281,7 @@ object Dedup {
       )
       .filter(col("n_words") >= k && col("pos") <= col("n_words") - k)
       .select(col("doc_id"), col("pos").cast("long").as("pos"), xxhash64(col("gram")).as("gh"))
+      .localCheckpoint()
     val dupGrams = wins
       .groupBy("gh")
       .agg(count(lit(1)).as("cnt"))

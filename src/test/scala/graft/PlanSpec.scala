@@ -675,4 +675,24 @@ class PlanSpec extends SparkSpecBase {
       assert(shingleWindows.isEmpty, s"$name windows over the shingle key: $shingleWindows")
     }
   }
+
+  test("substring spans: checkpointed window build, shuffle-hash join-back, no gram-key window") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val df   = graft.operators.Dedup.substringSpans(tables)
+    val plan = executedPlanString(df)
+    assert(plan.contains("ShuffledHashJoin"),
+      s"duplicated positions must come back via a hash join on the gram hash:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs plan leaked in:\n$plan")
+    // the scan + posexplode + lead-window subtree feeds BOTH the
+    // occurrence count and the join probe; the checkpoint means the
+    // final plan reads the materialized windows, never the corpus again
+    assert(!plan.contains("FileScan"),
+      s"window build re-scans the corpus — checkpoint lost:\n$plan")
+    val gramWindows = df.queryExecution.optimizedPlan.collect {
+      case w: LWindow if w.partitionSpec.exists(_.references.exists(_.name == "gh")) => w
+    }
+    assert(gramWindows.isEmpty,
+      s"per-gram stats must be groupBy + join-back, not a window: $gramWindows")
+  }
 }
