@@ -414,6 +414,7 @@ object SparkEntry {
     "dedup_passage"        -> ((s, d) => Curation.passageDedup(Tables(s, d))),
     "dedup_substring"      -> ((s, d) => Dedup.substringSpans(Tables(s, d))),
     "contaminate_semantic" -> ((s, d) => Similarity.semanticContamination(Tables(s, d))),
+    "dedup_semantic"       -> ((s, d) => Similarity.semanticDedup(Tables(s, d))),
     "embed_quantize"       -> ((s, d) => Similarity.quantizeInt8(Tables(s, d))),
     "pipeline_drift"       -> ((s, d) => Curation.versionDrift(Tables(s, d))),
     "q_zorder_layout"      -> ((s, d) => Layout.zorderLayout(Tables(s, d))),

@@ -591,6 +591,48 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** C51: SEMANTIC dedup (the SemDeDup architecture, Abbas et al.
+    * 2023) — cluster the embedding space, then prune near-duplicates
+    * WITHIN each cluster only: every vector is assigned its max-dot
+    * k-means cell (the C7b IVF machinery: bounded driver-side training
+    * sample, spherical Lloyd rounds, codegen'd argmax literals), and a
+    * vector is dropped when a LOWER-id vector in the SAME cell sits
+    * within cosine τ (the min-id keeper convention the exact-dedup
+    * family uses). This is the embedding-dedup path that actually runs
+    * at 100 TB: the pairwise work is Σ cell² instead of n² — the
+    * cluster assignment is what makes a trillion-vector prune
+    * tractable, at the price of missing cross-cell pairs (the recall
+    * trade the paper measures; SimilaritySpec pins it against the
+    * exact C5 pairs).
+    *
+    * Output: every corpus vector with its cell and keep/drop verdict.
+    * rows-only in the gate (k-means centroids aren't SQL-expressible);
+    * the spec replays the within-cell prune exactly from the
+    * operator's own cell assignment.
+    */
+  def semanticDedup(t: Tables, tau: Double = 0.4, cells: Int = IvfCells): DataFrame = {
+    val vecs  = vectors(t)
+    val cents = trainCentroids(trainSample(vecs), cells)
+    // checkpointed: the pair join consumes the assignment twice (both
+    // sides) and the verdict join a third time — one materialization,
+    // the dupShingleFrac rule
+    val cellv = withCell(vecs, cents).localCheckpoint()
+    val dropped = cellv
+      .as("a")
+      .join(
+        cellv.as("b").hint("shuffle_hash"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id")
+      )
+      .filter(cosine >= tau)
+      .select(col("b.vec_id").as("vec_id"))
+      .distinct()
+    cellv
+      .select(col("vec_id"), col("cell").cast("long").as("cell"))
+      .join(dropped.withColumn("dropped", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"), coalesce(col("dropped"), lit(false)).as("dropped"))
+      .orderBy("vec_id")
+  }
+
   /** C49: SEMANTIC decontamination — corpus vectors within cosine τ of
     * any held-out eval vector (vec_id % 41 == 0 stands in for the
     * benchmark embedding set), each with its strongest eval match.

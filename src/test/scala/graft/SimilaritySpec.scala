@@ -180,6 +180,39 @@ class SimilaritySpec extends SparkSpecBase {
     assert(got.keys.forall(_ % 41 != 0), "an eval vector flagged itself")
   }
 
+  test("semantic dedup: within-cell prune replays exactly; same-cell exact pairs all caught") {
+    val rows = graft.operators.Similarity.semanticDedup(tables).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(rows.nonEmpty)
+    val cellOf = rows.map(r => r._1 -> r._2).toMap
+    val vecs = tables.embeddings.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    assert(cellOf.keySet == vecs.keySet, "every corpus vector must get a verdict")
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    // the prune is EXACT given the operator's own cell assignment:
+    // dropped iff a lower-id vector in the same cell is within tau
+    val ids = vecs.keys.toSeq.sorted
+    val expectedDropped = ids.filter { id =>
+      ids.exists(o => o < id && cellOf(o) == cellOf(id) && cos(vecs(o), vecs(id)) >= 0.4)
+    }.toSet
+    val gotDropped = rows.filter(_._3).map(_._1).toSet
+    assert(gotDropped == expectedDropped,
+      s"missing=${expectedDropped -- gotDropped} extra=${gotDropped -- expectedDropped}")
+    // vs the exact pairwise baseline: a same-cell exact pair ALWAYS
+    // drops its higher id; cross-cell pairs are the (measured) misses
+    val exact = graft.operators.Dedup.embeddingCosine(tables).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    if (exact.nonEmpty) {
+      val sameCell = exact.filter { case (a, b) => cellOf(a) == cellOf(b) }
+      assert(sameCell.forall { case (_, b) => gotDropped.contains(b) },
+        "a same-cell exact near-dup survived the prune")
+      info(f"cell recall vs exact tau-pairs: ${sameCell.size}/${exact.length}")
+    }
+  }
+
   test("int8 quantization: codes bounded, max component saturates, reconstruction within half-step") {
     val rows = graft.operators.Similarity.quantizeInt8(tables).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
