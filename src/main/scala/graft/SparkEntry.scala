@@ -413,6 +413,7 @@ object SparkEntry {
     "pipeline_chunk"       -> ((s, d) => Curation.chunkTokens(Tables(s, d))),
     "dedup_passage"        -> ((s, d) => Curation.passageDedup(Tables(s, d))),
     "dedup_substring"      -> ((s, d) => Dedup.substringSpans(Tables(s, d))),
+    "pipeline_despan"      -> ((s, d) => Dedup.despan(Tables(s, d))),
     "contaminate_semantic" -> ((s, d) => Similarity.semanticContamination(Tables(s, d))),
     "dedup_semantic"       -> ((s, d) => Similarity.semanticDedup(Tables(s, d))),
     "embed_quantize"       -> ((s, d) => Similarity.quantizeInt8(Tables(s, d))),
@@ -1772,6 +1773,27 @@ object SparkEntry {
         |SELECT doc_id, min(pos) AS span_start, max(pos) + 4 AS span_end,
         |  max(pos) + 5 - min(pos) AS span_tokens
         |FROM g GROUP BY doc_id, island ORDER BY doc_id, span_start""".stripMargin,
+    "pipeline_despan" -> // cleaned corpus after cutting duplicated 5-token spans (lowest doc owns)
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws,
+        |        len(string_split(text, ' ')) AS n FROM documents),
+        |win AS (
+        |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+        |    array_to_string(list_slice(ws, CAST(i AS INT), CAST(i + 4 AS INT)), ' ') AS gram
+        |  FROM (SELECT doc_id, ws, unnest(generate_series(1, n - 4)) AS i FROM w WHERE n >= 5)),
+        |g AS (SELECT gram, count(*) AS cnt, min(doc_id) AS min_doc FROM win GROUP BY 1),
+        |cuts AS (
+        |  SELECT DISTINCT win.doc_id, unnest(generate_series(win.pos, win.pos + 4)) AS cutpos
+        |  FROM win JOIN g USING (gram) WHERE g.cnt >= 2 AND win.doc_id <> g.min_doc),
+        |toks AS (
+        |  SELECT doc_id, unnest(ws) AS tok,
+        |    CAST(unnest(generate_series(0, n - 1)) AS BIGINT) AS pos FROM w),
+        |f AS (
+        |  SELECT t.doc_id, t.pos, t.tok, c.cutpos IS NOT NULL AS cut
+        |  FROM toks t LEFT JOIN cuts c ON t.doc_id = c.doc_id AND t.pos = c.cutpos)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  CAST(sum(CASE WHEN cut THEN 1 ELSE 0 END) AS BIGINT) AS n_cut,
+        |  md5(coalesce(string_agg(CASE WHEN NOT cut THEN tok END, ' ' ORDER BY pos), '')) AS clean_hash
+        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
     "contaminate_semantic" -> // corpus vectors within cosine 0.3 of any eval vector (vec_id%41=0)
       """WITH n AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,

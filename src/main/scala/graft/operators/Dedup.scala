@@ -1261,15 +1261,17 @@ object Dedup {
     )
   }
 
-  /** [[substringSpans]] over any (doc_id, text) frame. */
-  def substringSpansOn(documents: DataFrame, k: Int = 5): DataFrame = {
+  /** The rolling k-gram windows (doc_id, pos, gram hash) shared by
+    * [[substringSpansOn]] and [[despanOn]] — checkpointed, the
+    * dupShingleFrac rule: the occurrence count and the join-back probe
+    * can't share an exchange (partial-agg'd vs raw position payloads),
+    * so without this the scan + posexplode + lead window subtree would
+    * run twice.
+    */
+  private def kgramWindows(documents: DataFrame, k: Int): DataFrame = {
     require(k >= 2, s"window length must be >= 2, got $k")
     val byDoc = Window.partitionBy("doc_id").orderBy("pos")
-    // checkpointed, the dupShingleFrac rule: the occurrence count and
-    // the join-back probe can't share an exchange (partial-agg'd vs raw
-    // position payloads), so without this the scan + posexplode + lead
-    // window subtree would run twice
-    val wins = documents
+    documents
       .select(
         col("doc_id"),
         size(split(col("text"), " ")).as("n_words"),
@@ -1282,6 +1284,11 @@ object Dedup {
       .filter(col("n_words") >= k && col("pos") <= col("n_words") - k)
       .select(col("doc_id"), col("pos").cast("long").as("pos"), xxhash64(col("gram")).as("gh"))
       .localCheckpoint()
+  }
+
+  /** [[substringSpans]] over any (doc_id, text) frame. */
+  def substringSpansOn(documents: DataFrame, k: Int = 5): DataFrame = {
+    val wins = kgramWindows(documents, k)
     val dupGrams = wins
       .groupBy("gh")
       .agg(count(lit(1)).as("cnt"))
@@ -1305,6 +1312,58 @@ object Dedup {
         (col("span_end") - col("span_start") + 1L).as("span_tokens")
       )
       .orderBy("doc_id", "span_start")
+  }
+
+  /** C52: substring-span REMOVAL — the composition that applies C47's
+    * duplicated spans back onto the corpus and emits the cleaned
+    * training text (Lee et al.'s dedup actually ends here, not at the
+    * span report). Policy: the LOWEST doc_id carrying a duplicated
+    * k-gram owns it and keeps its text intact; every other document
+    * cuts the token positions covered by that gram's windows. Per doc:
+    * original token count, cut count, and the md5 of the cleaned text
+    * (narrow hash output instead of re-shipping 100 TB of strings
+    * through the gate; the production variant writes the text).
+    * Fully-duplicated non-owner docs clean to the empty string — the
+    * exact-dup non-keepers are the degenerate whole-doc span case.
+    *
+    * Shape: the checkpointed k-gram windows feed one partial-agg'd
+    * (cnt, min_doc) stats groupBy + shuffle_hash join-back; foreign
+    * windows explode to covered positions (∝ duplicated mass); ONE
+    * more corpus scan rebuilds tokens, left-joins the cut positions on
+    * (doc_id, pos), and a per-doc aggregate reassembles the kept
+    * tokens in position order. Two corpus scans total, all shuffles
+    * keyed, per-doc work bounded by doc length.
+    */
+  def despan(t: Tables, k: Int = 5): DataFrame = despanOn(t.documents, k)
+
+  def despanOn(documents: DataFrame, k: Int = 5): DataFrame = {
+    val wins = kgramWindows(documents, k)
+    val stats = wins
+      .groupBy("gh")
+      .agg(count(lit(1)).as("cnt"), min("doc_id").as("min_doc"))
+      .filter(col("cnt") >= 2)
+    val cuts = wins
+      .join(stats.hint("shuffle_hash"), "gh")
+      .filter(col("doc_id") =!= col("min_doc"))
+      .select(col("doc_id"), explode(sequence(col("pos"), col("pos") + (k - 1))).as("pos"))
+      .distinct()
+      .withColumn("cut", lit(true))
+    documents
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("w"))
+      .join(cuts.hint("shuffle_hash"), Seq("doc_id", "pos"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("cut"), 1L).otherwise(0L)).as("n_cut"),
+        md5(
+          concat_ws(
+            " ",
+            expr("transform(array_sort(collect_list(CASE WHEN cut IS NULL THEN struct(pos, w) END)), s -> s.w)")
+          )
+        ).as("clean_hash")
+      )
+      .orderBy("doc_id")
   }
 
   def bloomAdmission(t: Tables): DataFrame = bloomAdmissionOn(t.documents)

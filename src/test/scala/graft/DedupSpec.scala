@@ -424,4 +424,47 @@ class DedupSpec extends SparkSpecBase {
     assert(fixtureSpans.exists(_._2.size >= 2),
       "no fixture doc carries two islands — the break path is untested on the gate")
   }
+
+  test("despan equals a driver-side replay; cuts stay inside reported spans; owners keep all") {
+    val k = 5
+    val docs = tables.documents.selectExpr("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toSeq).toMap
+    val grams = docs.toSeq.flatMap { case (id, ws) =>
+      (0 to ws.size - k).map(p => (id, p, ws.slice(p, p + k).mkString(" ")))
+    }
+    val byGram = grams.groupBy(_._3)
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val expected = docs.map { case (id, ws) =>
+      val cutPos = grams.collect {
+        case (d, p, g) if d == id && byGram(g).size >= 2 && byGram(g).map(_._1).min != id =>
+          (p until p + k)
+      }.flatten.toSet
+      val kept = ws.zipWithIndex.collect { case (w, p) if !cutPos.contains(p) => w }
+      id -> ((ws.size.toLong, cutPos.size.toLong, md5hex(kept.mkString(" "))))
+    }
+    val got = Dedup.despan(tables).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got == expected,
+      s"mismatched docs: ${expected.collect { case (id, e) if got.get(id) != Some(e) => id }.take(5)}")
+    // cross-op consistency: every cut position lies inside a reported
+    // span of that doc (foreign dup coverage is a subset of ALL dup
+    // coverage, which is exactly what substringSpans reports)
+    val spans = Dedup.substringSpansOn(tables.documents.selectExpr("doc_id", "text")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(s => (s._2, s._3))).toMap
+    expected.foreach { case (id, (n, nCut, _)) =>
+      if (nCut > 0) {
+        val ss = spans.getOrElse(id, Array.empty[(Long, Long)])
+        val cutPos = grams.collect {
+          case (d, p, g) if d == id && byGram(g).size >= 2 && byGram(g).map(_._1).min != id =>
+            (p until p + k)
+        }.flatten.toSet
+        assert(cutPos.forall(p => ss.exists { case (s, e) => p >= s && p <= e }),
+          s"doc $id cut outside its spans")
+      }
+      assert(nCut <= n)
+    }
+  }
 }
