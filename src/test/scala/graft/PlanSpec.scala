@@ -695,4 +695,15 @@ class PlanSpec extends SparkSpecBase {
     assert(gramWindows.isEmpty,
       s"per-gram stats must be groupBy + join-back, not a window: $gramWindows")
   }
+
+  test("despan: exactly one corpus re-scan past the checkpointed windows, keyed joins only") {
+    val plan = executedPlanString(graft.operators.Dedup.despan(tables))
+    val scans = "FileScan".r.findAllIn(plan).length
+    assert(scans == 1,
+      s"despan must re-scan the corpus exactly once for the token rebuild, saw $scans:\n$plan")
+    assert(plan.contains("ShuffledHashJoin"),
+      s"stats join-back and cut probe must be hash joins:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs plan leaked in:\n$plan")
+  }
 }
