@@ -110,4 +110,35 @@ class SqlSurfaceSpec extends SparkSpecBase {
       Dedup.simhashes(tables).limit(5).collect().map(_.getAs[Long]("simhash")).toSeq
     assert(rows.map(_.getAs[Long]("sh")).toSeq == viaOperator)
   }
+
+  test("gate hygiene: every query key is oracle-gated or on the explicit rows-only list") {
+    // the driver treats a queries key with no oracleSql entry as a
+    // weaker rows-only check — which is correct ONLY for the genuinely
+    // approximate operators below. A typo'd oracle key (or a new gate
+    // landing without its oracle) must fail HERE, not silently ship as
+    // a rows-only pass.
+    val rowsOnlyByDesign = Set(
+      "q_approx_distinct_users",    // HLL sketch
+      "q_rolling_actives_sketch",   // HLL sketch
+      "q_value_percentiles_approx", // approx-percentile sketch
+      "dedup_source_sim",           // minhash-union sketch
+      "dedup_embedding_lsh",        // hyperplane-LSH candidates
+      "dedup_bloom_admission",      // bloom sketch layout
+      "dedup_semantic",             // k-means cells aren't SQL-expressible
+      "knn_lsh",                    // LSH ANN
+      "knn_ivf",                    // IVF ANN
+      "knn_ivfpq"                   // IVF-PQ ANN
+    )
+    val q = graft.SparkEntry.queries.keySet
+    val o = graft.SparkEntry.oracleSql.keySet
+    val orphanOracles = o -- q
+    assert(orphanOracles.isEmpty, s"oracleSql keys with no query: $orphanOracles")
+    val ungated = q -- o -- rowsOnlyByDesign
+    assert(ungated.isEmpty,
+      s"queries with neither an oracle nor a rows-only justification: $ungated")
+    val staleRowsOnly = rowsOnlyByDesign -- q
+    assert(staleRowsOnly.isEmpty, s"rows-only list names unknown queries: $staleRowsOnly")
+    val shadowed = rowsOnlyByDesign & o
+    assert(shadowed.isEmpty, s"rows-only-listed queries that DO have oracles now: $shadowed")
+  }
 }
