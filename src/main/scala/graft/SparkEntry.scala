@@ -1803,7 +1803,8 @@ object SparkEntry {
         |  SELECT b.vec_id AS vec_id, a.vec_id AS eval_vec_id,
         |    list_reduce(list_transform(range(1, len(a.v) + 1), i -> a.v[CAST(i AS INT)] * b.v[CAST(i AS INT)]), (x, y) -> x + y)
         |      / (a.nrm * b.nrm) AS cos
-        |  FROM n a JOIN n b ON a.vec_id % 41 = 0 AND b.vec_id % 41 <> 0),
+        |  FROM n a JOIN n b ON a.vec_id % 41 = 0 AND b.vec_id % 41 <> 0
+        |    AND a.nrm > 0 AND b.nrm > 0),
         |f AS (SELECT vec_id, eval_vec_id, cos,
         |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, eval_vec_id) AS rn
         |  FROM c WHERE cos >= 0.3)

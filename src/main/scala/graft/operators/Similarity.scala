@@ -617,11 +617,16 @@ object Similarity {
     // sides) and the verdict join a third time — one materialization,
     // the dupShingleFrac rule
     val cellv = withCell(vecs, cents).localCheckpoint()
+    // nrm > 0 on both sides: a zero vector has no direction — its
+    // cosine is 0/0 = NaN, which Spark's NaN-is-largest comparison
+    // would silently treat as >= tau. Zero vectors are always KEPT
+    // (they still get a verdict row through the left join below).
     val dropped = cellv
       .as("a")
       .join(
         cellv.as("b").hint("shuffle_hash"),
-        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id")
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id") &&
+          col("a.nrm") > 0 && col("b.nrm") > 0
       )
       .filter(cosine >= tau)
       .select(col("b.vec_id").as("vec_id"))
@@ -654,9 +659,11 @@ object Similarity {
     val eval = n.filter(col("vec_id") % evalMod === 0)
     val rest = n.filter(col("vec_id") % evalMod =!= 0)
     val w    = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("eval_vec_id"))
+    // nrm > 0 both sides: a zero-norm vector's cosine is NaN, and
+    // Spark's NaN-is-largest comparison would flag every pairing
     broadcast(eval)
       .as("a")
-      .join(rest.as("b"), cosine >= tau)
+      .join(rest.as("b"), cosine >= tau && col("a.nrm") > 0 && col("b.nrm") > 0)
       .select(
         col("b.vec_id").as("vec_id"),
         col("a.vec_id").as("eval_vec_id"),
@@ -687,7 +694,11 @@ object Similarity {
       .select(
         col("vec_id"),
         col("embedding"),
-        expr("array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))").as("scale")
+        // abs/max over the raw floats, ONE scalar widening after — no
+        // doubled per-row array (the vectors() rule); abs and max
+        // commute with the exact float→double widening, so the scale
+        // is bit-identical to the oracle's widen-first arithmetic
+        expr("CAST(array_max(transform(embedding, x -> abs(x))) AS DOUBLE)").as("scale")
       )
       .select(
         col("vec_id"),

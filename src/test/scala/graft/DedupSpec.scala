@@ -436,12 +436,16 @@ class DedupSpec extends SparkSpecBase {
     def md5hex(s: String): String =
       java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
         .map("%02x".format(_)).mkString
+    // one pass over the gram list: per-doc foreign-cut positions
+    val cutsByDoc: Map[Long, Set[Int]] = grams
+      .collect {
+        case (d, p, g) if byGram(g).size >= 2 && byGram(g).map(_._1).min != d =>
+          d -> (p until p + k)
+      }
+      .groupBy(_._1).view.mapValues(_.flatMap(_._2).toSet).toMap
     val expected = docs.map { case (id, ws) =>
-      val cutPos = grams.collect {
-        case (d, p, g) if d == id && byGram(g).size >= 2 && byGram(g).map(_._1).min != id =>
-          (p until p + k)
-      }.flatten.toSet
-      val kept = ws.zipWithIndex.collect { case (w, p) if !cutPos.contains(p) => w }
+      val cutPos = cutsByDoc.getOrElse(id, Set.empty)
+      val kept   = ws.zipWithIndex.collect { case (w, p) if !cutPos.contains(p) => w }
       id -> ((ws.size.toLong, cutPos.size.toLong, md5hex(kept.mkString(" "))))
     }
     val got = Dedup.despan(tables).collect()
@@ -457,11 +461,7 @@ class DedupSpec extends SparkSpecBase {
     expected.foreach { case (id, (n, nCut, _)) =>
       if (nCut > 0) {
         val ss = spans.getOrElse(id, Array.empty[(Long, Long)])
-        val cutPos = grams.collect {
-          case (d, p, g) if d == id && byGram(g).size >= 2 && byGram(g).map(_._1).min != id =>
-            (p until p + k)
-        }.flatten.toSet
-        assert(cutPos.forall(p => ss.exists { case (s, e) => p >= s && p <= e }),
+        assert(cutsByDoc(id).forall(p => ss.exists { case (s, e) => p >= s && p <= e }),
           s"doc $id cut outside its spans")
       }
       assert(nCut <= n)

@@ -5,6 +5,17 @@ import org.apache.spark.sql.functions.col
 
 class SimilaritySpec extends SparkSpecBase {
 
+  /** vec_id → widened embedding, the shared replay loader. */
+  private def collectVecs: Map[Long, Array[Double]] =
+    tables.embeddings.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+
+  /** Replay cosine — keep the summation order mirroring vec_dot. */
+  private def cosOf(a: Array[Double], b: Array[Double]): Double = {
+    val dot = a.zip(b).map { case (x, y) => x * y }.sum
+    dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+  }
+
   test("brute-force knn: every query gets exactly k ranked neighbors") {
     val rows = Similarity.knnBruteForce(tables, numQueries = 10, k = 5).collect()
     assert(rows.length == 50)
@@ -161,15 +172,11 @@ class SimilaritySpec extends SparkSpecBase {
   }
 
   test("semantic contamination: flags exactly the brute-force tau set with true argmax matches") {
-    val vecs = tables.embeddings.collect()
-      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
-    def cos(a: Array[Double], b: Array[Double]): Double = {
-      val dot = a.zip(b).map { case (x, y) => x * y }.sum
-      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
-    }
-    val evalIds = vecs.keys.filter(_ % 41 == 0).toSeq.sorted
-    val expected = vecs.keys.filter(_ % 41 != 0).flatMap { id =>
-      val hits = evalIds.map(e => (e, cos(vecs(id), vecs(e)))).filter(_._2 >= 0.3)
+    val vecs = collectVecs
+    def nz(id: Long): Boolean = vecs(id).exists(_ != 0.0) // operator's nrm > 0 guard
+    val evalIds = vecs.keys.filter(id => id % 41 == 0 && nz(id)).toSeq.sorted
+    val expected = vecs.keys.filter(id => id % 41 != 0 && nz(id)).flatMap { id =>
+      val hits = evalIds.map(e => (e, cosOf(vecs(id), vecs(e)))).filter(_._2 >= 0.3)
       if (hits.isEmpty) None
       else Some(id -> hits.minBy { case (e, c) => (-c, e) }._1)
     }.toMap
@@ -185,18 +192,16 @@ class SimilaritySpec extends SparkSpecBase {
       .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
     assert(rows.nonEmpty)
     val cellOf = rows.map(r => r._1 -> r._2).toMap
-    val vecs = tables.embeddings.collect()
-      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val vecs   = collectVecs
     assert(cellOf.keySet == vecs.keySet, "every corpus vector must get a verdict")
-    def cos(a: Array[Double], b: Array[Double]): Double = {
-      val dot = a.zip(b).map { case (x, y) => x * y }.sum
-      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
-    }
     // the prune is EXACT given the operator's own cell assignment:
-    // dropped iff a lower-id vector in the same cell is within tau
+    // dropped iff a NONZERO lower-id vector in the same cell is within
+    // tau (zero-norm vectors have no direction and are always kept)
+    def nz(id: Long): Boolean = vecs(id).exists(_ != 0.0)
     val ids = vecs.keys.toSeq.sorted
     val expectedDropped = ids.filter { id =>
-      ids.exists(o => o < id && cellOf(o) == cellOf(id) && cos(vecs(o), vecs(id)) >= 0.4)
+      nz(id) && ids.exists(o =>
+        o < id && nz(o) && cellOf(o) == cellOf(id) && cosOf(vecs(o), vecs(id)) >= 0.4)
     }.toSet
     val gotDropped = rows.filter(_._3).map(_._1).toSet
     assert(gotDropped == expectedDropped,
@@ -219,8 +224,7 @@ class SimilaritySpec extends SparkSpecBase {
     assert(rows.nonEmpty)
     assert(rows.forall { case (_, _, c, _) => c >= -127 && c <= 127 }, "code out of int8 range")
     val byVec = rows.groupBy(_._1)
-    val vecs = tables.embeddings.collect()
-      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val vecs  = collectVecs
     byVec.foreach { case (id, dims) =>
       val v     = vecs(id)
       val scale = dims.head._4
