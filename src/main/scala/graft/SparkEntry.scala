@@ -418,6 +418,16 @@ object SparkEntry {
     "dedup_semantic"       -> ((s, d) => Similarity.semanticDedup(Tables(s, d))),
     "embed_quantize"       -> ((s, d) => Similarity.quantizeInt8(Tables(s, d))),
     "pipeline_drift"       -> ((s, d) => Curation.versionDrift(Tables(s, d))),
+    // C53: the drift monitor ONLINE — V2 docs stream in doc_id%4
+    // micro-batches, each batch reduces to an epoch-stamped partial
+    // histogram, and the drained partials assemble into the per-epoch
+    // drift trajectory vs the static V1 baseline
+    "q_stream_drift" -> ((s, d) =>
+      Curation.driftTrajectory(
+        Tables(s, d),
+        graft.streaming.StreamReplay
+          .replayDocumentsBatches(s, d)((batch, epoch) => Curation.driftPartial(batch, epoch))
+      )),
     "q_zorder_layout"      -> ((s, d) => Layout.zorderLayout(Tables(s, d))),
     "q_orc_roundtrip"      -> ((s, d) => Ingest.orcRoundtrip(Tables(s, d))),
     "text_repetition"      -> ((s, d) => TextOps.repetition(Tables(s, d))),
@@ -1840,6 +1850,33 @@ object SparkEntry {
         |  CAST((abs(CAST(cum_v1 AS HUGEINT) * tot2 - CAST(cum_v2 AS HUGEINT) * tot1) * 1000000)
         |       // (CAST(tot1 AS HUGEINT) * tot2) AS BIGINT) AS drift_ppm
         |FROM c ORDER BY bucket""".stripMargin,
+    "q_stream_drift" -> // per-epoch drift trajectory: cumulative V2 arrivals vs the static V1 baseline
+      """WITH v1 AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 11 = 3 THEN substr(text, 1, greatest(len(text) - 10, 1))
+        |         ELSE text END AS text
+        |  FROM documents WHERE doc_id % 17 <> 2),
+        |v2 AS (SELECT doc_id, text FROM documents WHERE doc_id % 13 <> 5),
+        |h1 AS (SELECT CAST(floor(len(text) / 100) AS BIGINT) AS bucket, count(*) AS n_v1 FROM v1 GROUP BY 1),
+        |part AS (SELECT doc_id % 4 AS epoch, CAST(floor(len(text) / 100) AS BIGINT) AS bucket,
+        |           count(*) AS n FROM v2 GROUP BY 1, 2),
+        |h2 AS (SELECT bucket, sum(n) AS n2 FROM part GROUP BY 1),
+        |bk AS (SELECT coalesce(h1.bucket, h2.bucket) AS bucket, coalesce(h1.n_v1, 0) AS n_v1
+        |       FROM h1 FULL OUTER JOIN h2 ON h1.bucket = h2.bucket),
+        |grid AS (SELECT ep.epoch, bk.bucket, bk.n_v1
+        |         FROM (SELECT DISTINCT epoch FROM part) ep CROSS JOIN bk),
+        |cp AS (
+        |  SELECT g.epoch, g.bucket, g.n_v1, CAST(coalesce(sum(p.n), 0) AS BIGINT) AS n_v2_cum
+        |  FROM grid g LEFT JOIN part p ON p.bucket = g.bucket AND p.epoch <= g.epoch
+        |  GROUP BY 1, 2, 3),
+        |c AS (SELECT epoch, bucket, n_v1, n_v2_cum,
+        |        CAST(sum(n_v1) OVER (PARTITION BY epoch ORDER BY bucket) AS BIGINT) AS cum_v1,
+        |        CAST(sum(n_v2_cum) OVER (PARTITION BY epoch ORDER BY bucket) AS BIGINT) AS cum_v2,
+        |        CAST(sum(n_v1) OVER (PARTITION BY epoch) AS BIGINT) AS tot1,
+        |        CAST(sum(n_v2_cum) OVER (PARTITION BY epoch) AS BIGINT) AS tot2 FROM cp)
+        |SELECT epoch, bucket, n_v1, n_v2_cum, cum_v1, cum_v2,
+        |  CAST((abs(CAST(cum_v1 AS HUGEINT) * tot2 - CAST(cum_v2 AS HUGEINT) * tot1) * 1000000)
+        |       // (CAST(tot1 AS HUGEINT) * tot2) AS BIGINT) AS drift_ppm
+        |FROM c ORDER BY epoch, bucket""".stripMargin,
     "dedup_incremental" -> // delta slice (doc_id%10=0) deduped against the base corpus
       raw"""WITH h AS (
         |  SELECT doc_id, md5(regexp_replace(trim(text), '\s+', ' ', 'g')) AS text_hash

@@ -263,12 +263,6 @@ object Curation {
       )
     val cum = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val all = Window.partitionBy()
-    val dec = "decimal(38,0)"
-    val num = abs(
-      col("cum_v1").cast(dec) * col("tot2").cast(dec) -
-        col("cum_v2").cast(dec) * col("tot1").cast(dec)
-    ) * lit(1000000L).cast(dec)
-    val den = col("tot1").cast(dec) * col("tot2").cast(dec)
     merged
       .withColumn("cum_v1", sum("n_v1").over(cum))
       .withColumn("cum_v2", sum("n_v2").over(cum))
@@ -280,12 +274,90 @@ object Curation {
         col("n_v2"),
         col("cum_v1"),
         col("cum_v2"),
-        // exact integer floor division: (num - num%den)/den — the
-        // quotient is a true integer, so the decimal division cannot
-        // round; a direct num/den would round at the result scale
-        ((num - pmod(num, den)) / den).cast("long").as("drift_ppm")
+        driftPpm.as("drift_ppm")
       )
       .orderBy("bucket")
+  }
+
+  /** ⌊10⁶·|cum_v1·tot2 − cum_v2·tot1| / (tot1·tot2)⌋ over the four
+    * named columns, in exact Decimal(38,0) arithmetic. The floor
+    * division is (num − num mod den)/den — the quotient is a true
+    * integer, so the decimal division cannot round; a direct num/den
+    * would round at the result scale. Shared by [[versionDrift]] and
+    * [[driftTrajectory]].
+    */
+  private def driftPpm: org.apache.spark.sql.Column = {
+    val dec = "decimal(38,0)"
+    val num = abs(
+      col("cum_v1").cast(dec) * col("tot2").cast(dec) -
+        col("cum_v2").cast(dec) * col("tot1").cast(dec)
+    ) * lit(1000000L).cast(dec)
+    val den = col("tot1").cast(dec) * col("tot2").cast(dec)
+    ((num - pmod(num, den)) / den).cast("long")
+  }
+
+  /** Per-micro-batch half of the STREAMING drift monitor (C53): the
+    * arriving batch's V2 slice reduced to a partial length-histogram
+    * stamped with its arrival epoch. Map-side partial agg per batch —
+    * state never accumulates in the stream; the trajectory assembly
+    * happens on the drained partials ([[driftTrajectory]]).
+    */
+  def driftPartial(batch: DataFrame, epoch: Long, bucketChars: Int = 100): DataFrame =
+    batch
+      .filter(col("doc_id") % 13 =!= 5)
+      .groupBy(floor(length(col("text")) / bucketChars).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("epoch", lit(epoch))
+
+  /** Assembly half of C53: from the drained per-epoch partial
+    * histograms, the drift TRAJECTORY — for every (epoch, bucket),
+    * the cumulative V2 histogram of everything arrived so far against
+    * the static V1 baseline, with the same integer-ppm KS statistic
+    * as [[versionDrift]]. The KS ratio is scale-normalized, so a
+    * half-arrived crawl compares fairly against the full baseline —
+    * the monitor answers "is this crawl drifting?" per epoch, not
+    * just at the end. All frames past the drained partials are
+    * histogram-sized: the grid is epochs × buckets, the windows run
+    * on the tiny epoch partitions.
+    */
+  def driftTrajectory(t: Tables, partials: DataFrame, bucketChars: Int = 100): DataFrame = {
+    val (v1, _) = simulatedVersions(t)
+    val h1 = v1
+      .groupBy(floor(length(col("text")) / bucketChars).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_v1"))
+    val buckets = h1
+      .join(partials.groupBy("bucket").agg(sum("n").as("n2full")), Seq("bucket"), "full_outer")
+      .select(col("bucket"), coalesce(col("n_v1"), lit(0L)).as("n_v1"))
+    val grid = partials.select("epoch").distinct().crossJoin(buckets)
+    val cumParts = grid
+      .as("g")
+      .join(
+        partials.as("p"),
+        col("p.bucket") === col("g.bucket") && col("p.epoch") <= col("g.epoch"),
+        "left"
+      )
+      .groupBy(col("g.epoch").as("epoch"), col("g.bucket").as("bucket"), col("g.n_v1").as("n_v1"))
+      .agg(coalesce(sum("p.n"), lit(0L)).as("n_v2_cum"))
+    val wB = Window
+      .partitionBy("epoch")
+      .orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wE = Window.partitionBy("epoch")
+    cumParts
+      .withColumn("cum_v1", sum("n_v1").over(wB))
+      .withColumn("cum_v2", sum("n_v2_cum").over(wB))
+      .withColumn("tot1", sum("n_v1").over(wE))
+      .withColumn("tot2", sum("n_v2_cum").over(wE))
+      .select(
+        col("epoch"),
+        col("bucket"),
+        col("n_v1"),
+        col("n_v2_cum"),
+        col("cum_v1"),
+        col("cum_v2"),
+        driftPpm.as("drift_ppm")
+      )
+      .orderBy("epoch", "bucket")
   }
 
   /** Context-window chunking: slice each document's token stream into

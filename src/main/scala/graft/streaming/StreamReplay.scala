@@ -245,6 +245,48 @@ object StreamReplay {
     spark.read.parquet(outDir)
   }
 
+  /** Replay the documents corpus as doc_id % slices micro-batches
+    * through a foreachBatch sink that ALSO receives the batch id —
+    * for per-epoch monitors whose output is keyed by arrival epoch.
+    * Membership is a pure row function (the queue-payload rule), so a
+    * SQL oracle can replay each epoch's exact membership; with a
+    * fresh checkpoint and mtime-ordered admission, batchId == slice
+    * index (the replayQueueBatches / docstore precedent).
+    */
+  def replayDocumentsBatches(spark: SparkSession, sfDir: String, slices: Int = 4)(
+      perBatch: (DataFrame, Long) => DataFrame
+  ): DataFrame = {
+    val inDir = cachedSlices(s"docmod|$sfDir|$slices") { dir =>
+      val docs = Tables(spark, sfDir).documents
+        .select("doc_id", "text", "lang", "source", "n_chars")
+      for (i <- 0 until slices)
+        writeSlice(dir, i, docs.filter(pmod(col("doc_id"), lit(slices)) === i))
+    }
+    val run    = Files.createDirectories(root.resolve(f"run-${runCounter.getAndIncrement()}%04d"))
+    val outDir = run.resolve("out").toString
+    val ckpt   = run.resolve("ckpt")
+    val spKey  = "spark.sql.shuffle.partitions"
+    val prev   = spark.conf.get(spKey)
+    spark.conf.set(spKey, math.min(ReplayShuffleWidth, prev.toInt).toString)
+    try {
+      val query = spark.readStream
+        .schema(documentsDdl)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(inDir.toString)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          perBatch(batch, id).write.mode("append").parquet(outDir)
+        }
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+      lastBatchCount = Option(query.lastProgress).map(_.batchId + 1).getOrElse(-1L)
+    } finally spark.conf.set(spKey, prev)
+    deleteTree(ckpt)
+    spark.read.parquet(outDir)
+  }
+
   /** Topic-message schema pinned for the file stream source (A14's
     * sequencer input).
     */

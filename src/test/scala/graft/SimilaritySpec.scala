@@ -82,12 +82,18 @@ class SimilaritySpec extends SparkSpecBase {
     val tmp = java.nio.file.Files.createTempDirectory("clustered_emb").toString
     rows.toDF("vec_id", "embedding", "label")
       .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
-    val tc     = graft.sources.Tables(spark, tmp)
-    val exact  = Similarity.knnBruteForce(tc).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val pq     = Similarity.knnIvfPq(tc).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val recall = (exact & pq).size.toDouble / exact.size
-    info(f"IVF-PQ clustered-fixture recall vs exact top-5: $recall%.2f")
-    assert(recall >= 0.7, f"clustered recall too low: $recall%.2f")
+    val tc    = graft.sources.Tables(spark, tmp)
+    val exact = Similarity.knnBruteForce(tc).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallOf(ann: Set[(Long, Long)]): Double = (exact & ann).size.toDouble / exact.size
+    val pq  = recallOf(Similarity.knnIvfPq(tc).collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+    val ivf = recallOf(Similarity.knnIvf(tc).collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+    val lsh = recallOf(Similarity.knnLsh(tc).collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+    info(f"clustered-fixture recall vs exact top-5: IVF-PQ $pq%.2f, IVF-flat $ivf%.2f, LSH $lsh%.2f")
+    assert(pq >= 0.7, f"IVF-PQ clustered recall too low: $pq%.2f")
+    // every ANN arm gets its production-shaped floor, not just PQ —
+    // near-random corpus vectors are the worst case all three share
+    assert(ivf >= 0.9, f"IVF-flat clustered recall too low: $ivf%.2f") // measured 1.00
+    assert(lsh >= 0.8, f"LSH clustered recall too low: $lsh%.2f")      // measured 1.00
   }
 
   test("LSH knn recall vs brute force is usable at 6 bits") {

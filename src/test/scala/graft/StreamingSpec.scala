@@ -926,4 +926,31 @@ class StreamingSpec extends SparkSpecBase {
         graft.operators.Num.moneySum(col("sum_value")).as("sum_value"))
     assert(key(hopping) == key(graft.operators.EventOps.hoppingWindow(tables)))
   }
+
+  test("streaming drift trajectory: final epoch equals the batch versionDrift; ppm monotone-safe") {
+    val partials = graft.streaming.StreamReplay.replayDocumentsBatches(spark, sfDir)((batch, epoch) =>
+      graft.operators.Curation.driftPartial(batch, epoch))
+    val traj = graft.operators.Curation.driftTrajectory(tables, partials).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6)))
+    assert(traj.nonEmpty)
+    val lastEpoch = traj.map(_._1).max
+    assert(lastEpoch == 3L, s"expected 4 replay epochs, last was $lastEpoch")
+    // once every V2 doc has arrived, the trajectory's final epoch IS
+    // the batch operator's answer (modulo the epoch column)
+    val finalRows = traj.filter(_._1 == lastEpoch)
+      .map(t => (t._2, t._3, t._4, t._5, t._6, t._7)).toSet
+    val batchRows = graft.operators.Curation.versionDrift(tables).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5))).toSet
+    assert(finalRows == batchRows,
+      s"missing=${batchRows -- finalRows} extra=${finalRows -- batchRows}")
+    // every epoch's stat stays in [0, 1e6] and cumulative masses never shrink
+    assert(traj.forall(t => t._7 >= 0L && t._7 <= 1000000L))
+    traj.groupBy(_._2).foreach { case (bucket, rows) =>
+      val byEpoch = rows.sortBy(_._1).map(_._4)
+      assert(byEpoch.zip(byEpoch.drop(1)).forall { case (a, b) => a <= b },
+        s"bucket $bucket cumulative v2 mass shrank across epochs")
+    }
+  }
 }
