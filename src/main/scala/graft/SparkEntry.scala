@@ -482,6 +482,7 @@ object SparkEntry {
     "text_quality_norm"    -> ((s, d) => TextOps.qualityRankNorm(Tables(s, d))),
     "multimodal_phash"     -> ((s, d) => Multimodal.perceptualHashTable(s, Tables(s, d))),
     "multimodal_phash_pairs" -> ((s, d) => Multimodal.phashPairsGate(s, Tables(s, d))),
+    "multimodal_components"  -> ((s, d) => Multimodal.phashComponents(s, Tables(s, d))),
     "q_trade_matrix"       -> ((s, d) => Analytics.tradeMatrix(Tables(s, d))),
     "q_market_share"       -> ((s, d) => Analytics.marketShare(Tables(s, d))),
     "q_trailing_revenue"   -> ((s, d) => Analytics.trailingRevenue(Tables(s, d))),
@@ -2548,6 +2549,23 @@ object SparkEntry {
           |FROM h a JOIN h b2 ON a.doc_id < b2.doc_id
           |WHERE bit_count(xor(a.dhash, b2.dhash)) <= 3
           |ORDER BY 1, 2""".stripMargin),
+    "multimodal_components" -> // C38c: duplicate groups over the perceptual pair graph
+      (phashHashesSql(
+        """SELECT doc_id, text FROM documents
+          |  UNION ALL
+          |  SELECT -doc_id - 1 AS doc_id,
+          |    substr(text, 1, greatest(len(text)//2, 1) - 1) || 'z' ||
+          |      substr(text, greatest(len(text)//2, 1) + 1) AS text
+          |  FROM documents WHERE doc_id % 37 = 0""".stripMargin
+      ).replaceFirst("WITH ", "WITH RECURSIVE ") +
+        s""",
+          |p AS (
+          |  SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b
+          |  FROM h a JOIN h b2 ON a.doc_id < b2.doc_id
+          |  WHERE bit_count(xor(a.dhash, b2.dhash)) <= 3),
+          |$componentReachCtes
+          |SELECT id AS doc_id, min(comp) AS component FROM reach
+          |GROUP BY 1 ORDER BY 1""".stripMargin),
     "q_trade_matrix" -> // TPC-H Q7-style bilateral (supplier nation, customer nation) volume
       """WITH sn AS (
         |  SELECT s_suppkey, n_name AS supp_nation

@@ -1036,6 +1036,21 @@ object Dedup {
     // pipeline twice
     val posts = postings.getOrElse(hashedPostings(t))
     val pairs = materialize(ngramJaccardFrom(posts, tau).select(col("doc_a"), col("doc_b")))
+    componentsFromPairs(pairs, materialize)
+  }
+
+  /** The min-label-propagation loop of [[nearDupComponents]] over ANY
+    * materialized (doc_a, doc_b) pair list — shared with the media
+    * near-dup resolution ([[graft.operators.Multimodal]] C38c), whose
+    * edges come from the banded perceptual-hash join instead of the
+    * shingle index. `pairs` must already be materialized (checkpoint /
+    * localCheckpoint); its blocks are freed once the iteration
+    * converges.
+    */
+  private[graft] def componentsFromPairs(
+      pairs: DataFrame,
+      materialize: DataFrame => DataFrame
+  ): DataFrame = {
     val edges = pairs
       .unionAll(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
     // round 0 folded into initialization: from identity labels the

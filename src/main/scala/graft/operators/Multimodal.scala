@@ -384,6 +384,21 @@ object Multimodal {
     phashPairs(spark, corpus.select(col("doc_id"), col("text").cast("binary").as("media")))
   }
 
+  /** C38c: media duplicate GROUPS — connected components over the
+    * perceptual near-dup pair graph, what an image/video dedup
+    * actually ships (pairs under-merge: re-encode chains A≈B≈C must
+    * collapse to one asset even when A's and C's hashes drift past
+    * the pairwise threshold). The resolution loop is
+    * [[graft.operators.Dedup.componentsFromPairs]] verbatim —
+    * pointer-jumping min-label propagation, O(log diameter) rounds —
+    * over [[phashPairsGate]]'s banded hamming edges (corpus + the
+    * midpoint-mutation twins, so the group surface is non-vacuous).
+    */
+  def phashComponents(spark: SparkSession, t: Tables): DataFrame = {
+    val pairs = phashPairsGate(spark, t).select("doc_a", "doc_b").localCheckpoint()
+    graft.operators.Dedup.componentsFromPairs(pairs, df => df.localCheckpoint())
+  }
+
   final case class AudioMeta(
       doc_id: Long,
       is_audio: Boolean,

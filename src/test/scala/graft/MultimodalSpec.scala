@@ -210,4 +210,29 @@ class MultimodalSpec extends SparkSpecBase {
     for (a <- hashes.keys; b <- hashes.keys if a < b && hamming(hashes(a), hashes(b)) <= 3)
       assert(pairs.exists(p => p._1 == a && p._2 == b), s"banding missed ($a,$b)")
   }
+
+  test("phash components equal a driver-side union-find over the gate's pair graph") {
+    val pairs = Multimodal.phashPairsGate(spark, tables).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "fixture produced no pairs — component spec is vacuous")
+    // union-find replay
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = parent.keys.map(id => id -> find(id)).toMap
+    val got = Multimodal.phashComponents(spark, tables).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // min-label propagation labels each component by its min member id;
+    // path-compressed union-by-min does the same
+    assert(got == expected, s"missing=${expected.keySet -- got.keySet} diff=${
+      got.collect { case (k, v) if expected.get(k) != Some(v) => (k, v, expected.get(k)) }.take(5)}")
+    // every twin pair is resolved into one group
+    pairs.foreach { case (a, b) => assert(got(a) == got(b), s"pair ($a,$b) split across groups") }
+  }
 }
