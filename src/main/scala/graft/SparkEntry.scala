@@ -917,7 +917,8 @@ object SparkEntry {
         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
         |    list_reduce(list_transform(range(1, len(a.v) + 1), i -> a.v[CAST(i AS INT)] * b.v[CAST(i AS INT)]), (x, y) -> x + y)
         |      / (a.nrm * b.nrm) AS cos
-        |  FROM n a JOIN n b ON a.vec_id <> b.vec_id),
+        |  FROM n a JOIN n b ON a.vec_id <> b.vec_id
+        |  WHERE a.nrm > 0 AND b.nrm > 0),
         |r AS (
         |  SELECT query_id, neighbor_id,
         |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
@@ -2159,7 +2160,8 @@ object SparkEntry {
         |  FROM embeddings)
         |SELECT a.vec_id AS id_a, b.vec_id AS id_b
         |FROM n a JOIN n b ON a.vec_id < b.vec_id
-        |WHERE list_reduce(list_transform(range(1, len(a.v) + 1), i -> a.v[CAST(i AS INT)] * b.v[CAST(i AS INT)]), (x, y) -> x + y)
+        |WHERE a.nrm > 0 AND b.nrm > 0
+        |  AND list_reduce(list_transform(range(1, len(a.v) + 1), i -> a.v[CAST(i AS INT)] * b.v[CAST(i AS INT)]), (x, y) -> x + y)
         |      / (a.nrm * b.nrm) >= 0.4
         |ORDER BY id_a, id_b""".stripMargin,
     "knn_bruteforce" ->
@@ -2172,7 +2174,7 @@ object SparkEntry {
         |    list_reduce(list_transform(range(1, len(a.v) + 1), i -> a.v[CAST(i AS INT)] * b.v[CAST(i AS INT)]), (x, y) -> x + y)
         |      / (a.nrm * b.nrm) AS cos
         |  FROM n a JOIN n b ON a.vec_id <> b.vec_id
-        |  WHERE a.vec_id < 10),
+        |  WHERE a.vec_id < 10 AND a.nrm > 0 AND b.nrm > 0),
         |r AS (
         |  SELECT query_id, neighbor_id,
         |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
@@ -2500,7 +2502,7 @@ object SparkEntry {
         |    list_reduce(list_transform(range(1, len(a.v) + 1), i -> a.v[CAST(i AS INT)] * b.v[CAST(i AS INT)]), (x, y) -> x + y)
         |      / (a.nrm * b.nrm) AS cos
         |  FROM n a JOIN n b ON a.vec_id <> b.vec_id AND a.label = b.label
-        |  WHERE a.vec_id < 10),
+        |  WHERE a.vec_id < 10 AND a.nrm > 0 AND b.nrm > 0),
         |r AS (
         |  SELECT query_id, neighbor_id, label,
         |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
@@ -2824,7 +2826,7 @@ object SparkEntry {
         |      / (a.nrm * b.nrm) AS cos,
         |    b.vec_id AS neighbor_id
         |  FROM n a JOIN n b ON a.vec_id <> b.vec_id
-        |  WHERE a.vec_id % 5 = 0),
+        |  WHERE a.vec_id % 5 = 0 AND a.nrm > 0 AND b.nrm > 0),
         |r AS (
         |  SELECT label, query_id, same,
         |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank

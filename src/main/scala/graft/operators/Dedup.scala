@@ -1140,7 +1140,9 @@ object Dedup {
     * plumbing, bucketed candidates instead of the full pair space).
     */
   def embeddingCosine(t: Tables, tau: Double = 0.4): DataFrame = {
-    val n = Similarity.vectors(t)
+    // zero-norm guard: 0/0 cosine is NaN, which Spark's NaN-is-largest
+    // comparison would treat as >= tau (the knnOn rule)
+    val n = Similarity.vectors(t).filter(col("nrm") > 0)
     n.as("a")
       .join(n.as("b"), col("a.vec_id") < col("b.vec_id"))
       .filter(Similarity.cosine >= tau)

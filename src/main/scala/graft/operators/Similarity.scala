@@ -42,9 +42,13 @@ object Similarity {
     */
   private[graft] def knnOn(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
-    broadcast(queries)
+    // zero-norm guard (both sides): 0/0 cosine is NaN, and Spark's
+    // NaN-is-largest ordering would rank a zero vector FIRST for every
+    // query — a zero vector has no direction, so it neither queries
+    // nor neighbors. Uniform across the C5/C6 family.
+    broadcast(queries.filter(col("nrm") > 0))
       .as("a")
-      .join(corpus.as("b"), col("a.vec_id") =!= col("b.vec_id"))
+      .join(corpus.filter(col("nrm") > 0).as("b"), col("a.vec_id") =!= col("b.vec_id"))
       .select(
         col("a.vec_id").as("query_id"),
         col("b.vec_id").as("neighbor_id"),
@@ -92,6 +96,7 @@ object Similarity {
     val vecs = t.embeddings
       .select(col("vec_id"), col("embedding").as("v"), col("label"))
       .withColumn("nrm", expr("vec_norm(v)"))
+      .filter(col("nrm") > 0) // the knnOn zero-norm rule
     val queries = vecs.filter(col("vec_id") % sampleMod === 0)
     val w       = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
     broadcast(queries)
@@ -134,6 +139,7 @@ object Similarity {
     val vecs = t.embeddings
       .select(col("vec_id"), col("embedding").as("v"), col("label"))
       .withColumn("nrm", expr("vec_norm(v)"))
+      .filter(col("nrm") > 0) // the knnOn zero-norm rule
     val queries = vecs.filter(col("vec_id") < numQueries)
     val w       = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
     broadcast(queries)
@@ -230,6 +236,7 @@ object Similarity {
   private[operators] def bandedVectors(t: Tables): DataFrame = {
     graft.functions.HyperplaneExpr.register(t.spark)
     vectors(t)
+      .filter(col("nrm") > 0) // the knnOn zero-norm rule
       .select(
         col("vec_id"),
         col("v"),
@@ -376,7 +383,7 @@ object Similarity {
       cells: Int = IvfCells,
       nprobe: Int = IvfProbes
   ): DataFrame = {
-    val vecs   = vectors(t)
+    val vecs   = vectors(t).filter(col("nrm") > 0) // the knnOn zero-norm rule
     val cents  = trainCentroids(trainSample(vecs), cells)
     val celled = withCell(vecs, cents)
     val probes = queryProbes(vecs, cents, numQueries, nprobe)
@@ -432,7 +439,7 @@ object Similarity {
       m: Int = PqSubspaces,
       ksub: Int = PqCodewords
   ): DataFrame = {
-    val vecs  = vectors(t)
+    val vecs  = vectors(t).filter(col("nrm") > 0) // the knnOn zero-norm rule
     val train = trainSample(vecs)
     val cents = trainCentroids(train, cells)
     // --- codebook training on sample RESIDUALS (v − cell centroid):
