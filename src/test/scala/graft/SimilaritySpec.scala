@@ -177,6 +177,51 @@ class SimilaritySpec extends SparkSpecBase {
     assert(got.size == byLabel.size * 5)
   }
 
+  test("zero-norm vectors neither rank, flag, nor drop — but still get verdicts") {
+    // no SF fixture carries a zero vector, so the NaN-cosine guard is
+    // proven here on a crafted corpus: vec 0 is an eval-slice zero
+    // vector (vec_id % 41 == 0), vec 82 a corpus zero vector, the rest
+    // are near-duplicates of one direction
+    import spark.implicits._
+    val dim = 8
+    def unitish(seed: Int): Seq[Float] =
+      (0 until dim).map(i => (if (i == seed % dim) 1.0f else 0.001f * (seed + i)))
+    val fixed = Seq[(Long, Seq[Float], Int)](
+      (0L, Seq.fill(dim)(0.0f), 0),   // zero EVAL vector (0 % 41 == 0)
+      (1L, unitish(1), 0),
+      (2L, unitish(1), 0),            // near-dup of 1
+      (41L, unitish(3), 1),           // nonzero eval vector (41 % 41 == 0)
+      (43L, unitish(3), 1),           // corpus near-dup of eval 41
+      (83L, Seq.fill(dim)(0.0f), 1)   // zero CORPUS vector (83 % 41 != 0)
+    )
+    val tmp = java.nio.file.Files.createTempDirectory("zero_emb").toString
+    fixed.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val tc = graft.sources.Tables(spark, tmp)
+    // knn: the zero vector is neither query nor neighbor
+    val knn = Similarity.knnBruteForce(tc, numQueries = 100, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(knn.nonEmpty)
+    assert(!knn.exists { case (q, n) => q == 0L || n == 0L || q == 83L || n == 83L },
+      s"zero vector ranked: ${knn.filter(p => Set(p._1, p._2).intersect(Set(0L, 83L)).nonEmpty).toSeq}")
+    // pair join: the zero vector is never a near-dup pair member
+    val pairs = graft.operators.Dedup.embeddingCosine(tc).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((1L, 2L)), s"real near-dup pair missing from ${pairs.toSeq}")
+    assert(!pairs.exists(p => Set(p._1, p._2).intersect(Set(0L, 83L)).nonEmpty))
+    // contamination: a zero eval vector flags nothing; a zero corpus
+    // vector is never flagged; the real eval near-dup still flags
+    val flagged = Similarity.semanticContamination(tc).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(flagged.get(43L) == Some(41L), s"real contamination missed: $flagged")
+    assert(!flagged.contains(83L) && !flagged.valuesIterator.contains(0L), s"zero vec flagged: $flagged")
+    // semantic dedup: zero vectors get verdict rows, always kept
+    val verdicts = Similarity.semanticDedup(tc).collect()
+      .map(r => (r.getLong(0), r.getBoolean(2))).toMap
+    assert(verdicts.keySet == fixed.map(_._1).toSet, "a vector lost its verdict row")
+    assert(verdicts(0L) == false && verdicts(83L) == false, "zero vector dropped")
+  }
+
   test("semantic contamination: flags exactly the brute-force tau set with true argmax matches") {
     val vecs = collectVecs
     def nz(id: Long): Boolean = vecs(id).exists(_ != 0.0) // operator's nrm > 0 guard
