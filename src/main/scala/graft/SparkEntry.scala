@@ -1722,12 +1722,7 @@ object SparkEntry {
         |  AND CAST(pairs.inter AS DOUBLE) / (sa.n_sh + sb.n_sh - pairs.inter) < 0.5
         |ORDER BY doc_a, doc_b""".stripMargin,
     "pipeline_snapshot_diff" -> // added/removed/changed changelog between two simulated snapshots
-      """WITH v1 AS (
-        |  SELECT doc_id,
-        |    CASE WHEN doc_id % 11 = 3 THEN substr(text, 1, greatest(len(text) - 10, 1))
-        |         ELSE text END AS text
-        |  FROM documents WHERE doc_id % 17 <> 2),
-        |v2 AS (SELECT doc_id, text FROM documents WHERE doc_id % 13 <> 5),
+      s"""WITH $simulatedVersionCtes,
         |j AS (
         |  SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
         |    md5(v1.text) AS old_hash, md5(v2.text) AS new_hash
@@ -1833,11 +1828,7 @@ object SparkEntry {
         |FROM (SELECT vec_id, v, scale, unnest(generate_series(1, len(v))) AS i FROM m)
         |ORDER BY vec_id, dim""".stripMargin,
     "pipeline_drift" -> // length-distribution drift between the two simulated corpus versions
-      """WITH v1 AS (
-        |  SELECT doc_id, CASE WHEN doc_id % 11 = 3 THEN substr(text, 1, greatest(len(text) - 10, 1))
-        |         ELSE text END AS text
-        |  FROM documents WHERE doc_id % 17 <> 2),
-        |v2 AS (SELECT doc_id, text FROM documents WHERE doc_id % 13 <> 5),
+      s"""WITH $simulatedVersionCtes,
         |h1 AS (SELECT CAST(floor(len(text) / 100) AS BIGINT) AS bucket, count(*) AS n FROM v1 GROUP BY 1),
         |h2 AS (SELECT CAST(floor(len(text) / 100) AS BIGINT) AS bucket, count(*) AS n FROM v2 GROUP BY 1),
         |b AS (SELECT coalesce(h1.bucket, h2.bucket) AS bucket,
@@ -1849,35 +1840,30 @@ object SparkEntry {
         |        CAST(sum(n_v1) OVER () AS BIGINT) AS tot1,
         |        CAST(sum(n_v2) OVER () AS BIGINT) AS tot2 FROM b)
         |SELECT bucket, n_v1, n_v2, cum_v1, cum_v2,
-        |  CAST((abs(CAST(cum_v1 AS HUGEINT) * tot2 - CAST(cum_v2 AS HUGEINT) * tot1) * 1000000)
-        |       // (CAST(tot1 AS HUGEINT) * tot2) AS BIGINT) AS drift_ppm
+        |  $driftPpmSql
         |FROM c ORDER BY bucket""".stripMargin,
     "q_stream_drift" -> // per-epoch drift trajectory: cumulative V2 arrivals vs the static V1 baseline
-      """WITH v1 AS (
-        |  SELECT doc_id, CASE WHEN doc_id % 11 = 3 THEN substr(text, 1, greatest(len(text) - 10, 1))
-        |         ELSE text END AS text
-        |  FROM documents WHERE doc_id % 17 <> 2),
-        |v2 AS (SELECT doc_id, text FROM documents WHERE doc_id % 13 <> 5),
+      s"""WITH $simulatedVersionCtes,
         |h1 AS (SELECT CAST(floor(len(text) / 100) AS BIGINT) AS bucket, count(*) AS n_v1 FROM v1 GROUP BY 1),
         |part AS (SELECT doc_id % 4 AS epoch, CAST(floor(len(text) / 100) AS BIGINT) AS bucket,
         |           count(*) AS n FROM v2 GROUP BY 1, 2),
-        |h2 AS (SELECT bucket, sum(n) AS n2 FROM part GROUP BY 1),
+        |h2 AS (SELECT DISTINCT bucket FROM part),
         |bk AS (SELECT coalesce(h1.bucket, h2.bucket) AS bucket, coalesce(h1.n_v1, 0) AS n_v1
         |       FROM h1 FULL OUTER JOIN h2 ON h1.bucket = h2.bucket),
         |grid AS (SELECT ep.epoch, bk.bucket, bk.n_v1
         |         FROM (SELECT DISTINCT epoch FROM part) ep CROSS JOIN bk),
         |cp AS (
-        |  SELECT g.epoch, g.bucket, g.n_v1, CAST(coalesce(sum(p.n), 0) AS BIGINT) AS n_v2_cum
-        |  FROM grid g LEFT JOIN part p ON p.bucket = g.bucket AND p.epoch <= g.epoch
-        |  GROUP BY 1, 2, 3),
+        |  SELECT g.epoch, g.bucket, g.n_v1,
+        |    CAST(sum(coalesce(p.n, 0)) OVER (PARTITION BY g.bucket ORDER BY g.epoch) AS BIGINT)
+        |      AS n_v2_cum
+        |  FROM grid g LEFT JOIN part p ON p.bucket = g.bucket AND p.epoch = g.epoch),
         |c AS (SELECT epoch, bucket, n_v1, n_v2_cum,
         |        CAST(sum(n_v1) OVER (PARTITION BY epoch ORDER BY bucket) AS BIGINT) AS cum_v1,
         |        CAST(sum(n_v2_cum) OVER (PARTITION BY epoch ORDER BY bucket) AS BIGINT) AS cum_v2,
         |        CAST(sum(n_v1) OVER (PARTITION BY epoch) AS BIGINT) AS tot1,
         |        CAST(sum(n_v2_cum) OVER (PARTITION BY epoch) AS BIGINT) AS tot2 FROM cp)
         |SELECT epoch, bucket, n_v1, n_v2_cum, cum_v1, cum_v2,
-        |  CAST((abs(CAST(cum_v1 AS HUGEINT) * tot2 - CAST(cum_v2 AS HUGEINT) * tot1) * 1000000)
-        |       // (CAST(tot1 AS HUGEINT) * tot2) AS BIGINT) AS drift_ppm
+        |  $driftPpmSql
         |FROM c ORDER BY epoch, bucket""".stripMargin,
     "dedup_incremental" -> // delta slice (doc_id%10=0) deduped against the base corpus
       raw"""WITH h AS (
@@ -2537,34 +2523,14 @@ object SparkEntry {
       (phashHashesSql("SELECT doc_id, text FROM documents") +
         "\nSELECT doc_id, dhash FROM h ORDER BY doc_id"),
     "multimodal_phash_pairs" -> // C38b: banded hamming ≤ 3 pairs over corpus + mutated twins
-      (phashHashesSql(
-        """SELECT doc_id, text FROM documents
-          |  UNION ALL
-          |  SELECT -doc_id - 1 AS doc_id,
-          |    substr(text, 1, greatest(len(text)//2, 1) - 1) || 'z' ||
-          |      substr(text, greatest(len(text)//2, 1) + 1) AS text
-          |  FROM documents WHERE doc_id % 37 = 0""".stripMargin
-      ) +
-        """
-          |SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b,
-          |  CAST(bit_count(xor(a.dhash, b2.dhash)) AS BIGINT) AS hamming
-          |FROM h a JOIN h b2 ON a.doc_id < b2.doc_id
-          |WHERE bit_count(xor(a.dhash, b2.dhash)) <= 3
-          |ORDER BY 1, 2""".stripMargin),
-    "multimodal_components" -> // C38c: duplicate groups over the perceptual pair graph
-      (phashHashesSql(
-        """SELECT doc_id, text FROM documents
-          |  UNION ALL
-          |  SELECT -doc_id - 1 AS doc_id,
-          |    substr(text, 1, greatest(len(text)//2, 1) - 1) || 'z' ||
-          |      substr(text, greatest(len(text)//2, 1) + 1) AS text
-          |  FROM documents WHERE doc_id % 37 = 0""".stripMargin
-      ).replaceFirst("WITH ", "WITH RECURSIVE ") +
+      (phashHashesSql(phashTwinCorpusSql) +
         s""",
-          |p AS (
-          |  SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b
-          |  FROM h a JOIN h b2 ON a.doc_id < b2.doc_id
-          |  WHERE bit_count(xor(a.dhash, b2.dhash)) <= 3),
+          |$phashPairsCte
+          |SELECT doc_a, doc_b, hamming FROM p ORDER BY 1, 2""".stripMargin),
+    "multimodal_components" -> // C38c: duplicate groups over the perceptual pair graph
+      (phashHashesSql(phashTwinCorpusSql).replaceFirst("WITH ", "WITH RECURSIVE ") +
+        s""",
+          |$phashPairsCte,
           |$componentReachCtes
           |SELECT id AS doc_id, min(comp) AS component FROM reach
           |GROUP BY 1 ORDER BY 1""".stripMargin),
@@ -3089,6 +3055,46 @@ object SparkEntry {
     * curateCtes) so the component definition cannot drift between
     * them.
     */
+  /** The two simulated corpus versions (Curation.simulatedVersions'
+    * SQL mirror) shared by the snapshot-diff and both drift oracles —
+    * one definition, so the version rules cannot drift between the
+    * row-level, batch-distribution, and streaming-distribution gates.
+    */
+  private val simulatedVersionCtes: String =
+    """v1 AS (
+      |  SELECT doc_id, CASE WHEN doc_id % 11 = 3 THEN substr(text, 1, greatest(len(text) - 10, 1))
+      |         ELSE text END AS text
+      |  FROM documents WHERE doc_id % 17 <> 2),
+      |v2 AS (SELECT doc_id, text FROM documents WHERE doc_id % 13 <> 5)""".stripMargin
+
+  /** The exact integer-ppm KS statistic over (cum_v1, cum_v2, tot1,
+    * tot2) columns — the HUGEINT mirror of Curation.driftPpm, shared
+    * by both drift oracles.
+    */
+  private val driftPpmSql: String =
+    """CAST((abs(CAST(cum_v1 AS HUGEINT) * tot2 - CAST(cum_v2 AS HUGEINT) * tot1) * 1000000)
+      |       // (CAST(tot1 AS HUGEINT) * tot2) AS BIGINT) AS drift_ppm""".stripMargin
+
+  /** The C38b twin corpus (midpoint-mutation fixture) and banded-pair
+    * CTE shared by the phash pair and component oracles — one
+    * definition, so the fixture rule and hamming threshold cannot
+    * drift between the pair gate and the group gate built on it.
+    */
+  private val phashTwinCorpusSql: String =
+    """SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT -doc_id - 1 AS doc_id,
+      |    substr(text, 1, greatest(len(text)//2, 1) - 1) || 'z' ||
+      |      substr(text, greatest(len(text)//2, 1) + 1) AS text
+      |  FROM documents WHERE doc_id % 37 = 0""".stripMargin
+
+  private val phashPairsCte: String =
+    """p AS (
+      |  SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+      |    CAST(bit_count(xor(a.dhash, b2.dhash)) AS BIGINT) AS hamming
+      |  FROM h a JOIN h b2 ON a.doc_id < b2.doc_id
+      |  WHERE bit_count(xor(a.dhash, b2.dhash)) <= 3)""".stripMargin
+
   private val componentReachCtes: String =
     """edges AS (SELECT doc_a AS a, doc_b AS b FROM p
       |          UNION ALL SELECT doc_b, doc_a FROM p),

@@ -326,18 +326,20 @@ object Curation {
       .groupBy(floor(length(col("text")) / bucketChars).cast("long").as("bucket"))
       .agg(count(lit(1)).as("n_v1"))
     val buckets = h1
-      .join(partials.groupBy("bucket").agg(sum("n").as("n2full")), Seq("bucket"), "full_outer")
+      .join(partials.select("bucket").distinct(), Seq("bucket"), "full_outer")
       .select(col("bucket"), coalesce(col("n_v1"), lit(0L)).as("n_v1"))
     val grid = partials.select("epoch").distinct().crossJoin(buckets)
+    // equality join onto the grid, then one cumulative window over the
+    // epoch axis — linear in epochs × buckets (a p.epoch <= g.epoch
+    // theta join would re-sum every earlier epoch per cell)
+    val wEp = Window
+      .partitionBy("bucket")
+      .orderBy("epoch")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cumParts = grid
-      .as("g")
-      .join(
-        partials.as("p"),
-        col("p.bucket") === col("g.bucket") && col("p.epoch") <= col("g.epoch"),
-        "left"
-      )
-      .groupBy(col("g.epoch").as("epoch"), col("g.bucket").as("bucket"), col("g.n_v1").as("n_v1"))
-      .agg(coalesce(sum("p.n"), lit(0L)).as("n_v2_cum"))
+      .join(partials, Seq("epoch", "bucket"), "left")
+      .withColumn("n_v2_cum", sum(coalesce(col("n"), lit(0L))).over(wEp))
+      .select("epoch", "bucket", "n_v1", "n_v2_cum")
     val wB = Window
       .partitionBy("epoch")
       .orderBy("bucket")

@@ -333,7 +333,14 @@ object Multimodal {
     * applied to media). Self-join is shuffle_hash for the one-exchange
     * ReusedExchange plan; never all-pairs.
     */
-  def phashPairs(spark: SparkSession, media: DataFrame, maxHamming: Int = 3): DataFrame = {
+  def phashPairs(spark: SparkSession, media: DataFrame, maxHamming: Int = 3): DataFrame =
+    phashPairsRaw(spark, media, maxHamming).orderBy("doc_a", "doc_b")
+
+  /** [[phashPairs]] without the gate-facing output sort — for
+    * consumers like the component resolution whose next step is a
+    * shuffle that destroys order anyway.
+    */
+  private def phashPairsRaw(spark: SparkSession, media: DataFrame, maxHamming: Int): DataFrame = {
     val hashes = perceptualHashes(spark, media).toDF()
     val bands = hashes.select(
       col("doc_id"),
@@ -355,7 +362,6 @@ object Multimodal {
       )
       .distinct()
       .filter(col("hamming") <= maxHamming)
-      .orderBy("doc_a", "doc_b")
   }
 
   /** C38b's gate surface: [[phashPairs]] over the corpus PLUS a
@@ -369,7 +375,13 @@ object Multimodal {
     * threshold and the pair surface is non-vacuous; the oracle
     * replays fixture, hash, and hamming join exactly.
     */
-  def phashPairsGate(spark: SparkSession, t: Tables): DataFrame = {
+  def phashPairsGate(spark: SparkSession, t: Tables): DataFrame =
+    phashPairs(spark, twinMedia(t))
+
+  /** The C38b twin corpus as a media frame — shared by the pair gate
+    * and the component resolution so the fixture rule cannot drift.
+    */
+  private def twinMedia(t: Tables): DataFrame = {
     val mutated = t.documents
       .filter(col("doc_id") % 37 === 0)
       .select(
@@ -380,8 +392,10 @@ object Multimodal {
           expr("substring(text, greatest(cast(length(text)/2 as int), 1) + 1)")
         ).as("text")
       )
-    val corpus = t.documents.select(col("doc_id"), col("text")).unionAll(mutated)
-    phashPairs(spark, corpus.select(col("doc_id"), col("text").cast("binary").as("media")))
+    t.documents
+      .select(col("doc_id"), col("text"))
+      .unionAll(mutated)
+      .select(col("doc_id"), col("text").cast("binary").as("media"))
   }
 
   /** C38c: media duplicate GROUPS — connected components over the
@@ -395,7 +409,11 @@ object Multimodal {
     * midpoint-mutation twins, so the group surface is non-vacuous).
     */
   def phashComponents(spark: SparkSession, t: Tables): DataFrame = {
-    val pairs = phashPairsGate(spark, t).select("doc_a", "doc_b").localCheckpoint()
+    // the raw (unsorted) pair pipeline: the component loop's first step
+    // is a shuffle, so the gate-facing output sort would be pure waste
+    val pairs = phashPairsRaw(spark, twinMedia(t), maxHamming = 3)
+      .select("doc_a", "doc_b")
+      .localCheckpoint()
     graft.operators.Dedup.componentsFromPairs(pairs, df => df.localCheckpoint())
   }
 

@@ -220,29 +220,7 @@ object StreamReplay {
         writeSlice(dir, i, emb.filter(cond))
       }
     }
-    val run    = Files.createDirectories(root.resolve(f"run-${runCounter.getAndIncrement()}%04d"))
-    val outDir = run.resolve("out").toString
-    val ckpt   = run.resolve("ckpt")
-    val spKey  = "spark.sql.shuffle.partitions"
-    val prev   = spark.conf.get(spKey)
-    spark.conf.set(spKey, math.min(ReplayShuffleWidth, prev.toInt).toString)
-    try {
-      val query = spark.readStream
-        .schema(embeddingsDdl)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(inDir.toString)
-        .writeStream
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          perBatch(batch).write.mode("append").parquet(outDir)
-        }
-        .option("checkpointLocation", ckpt.toString)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      query.awaitTermination()
-      lastBatchCount = Option(query.lastProgress).map(_.batchId + 1).getOrElse(-1L)
-    } finally spark.conf.set(spKey, prev)
-    deleteTree(ckpt)
-    spark.read.parquet(outDir)
+    drainForeachBatch(spark, inDir, embeddingsDdl)((batch, _) => perBatch(batch))
   }
 
   /** Replay the documents corpus as doc_id % slices micro-batches
@@ -262,6 +240,18 @@ object StreamReplay {
       for (i <- 0 until slices)
         writeSlice(dir, i, docs.filter(pmod(col("doc_id"), lit(slices)) === i))
     }
+    drainForeachBatch(spark, inDir, documentsDdl)(perBatch)
+  }
+
+  /** Shared foreachBatch drain: stream the slice files one per
+    * micro-batch, hand each batch (plus its id) to `perBatch`, append
+    * results to a fresh out dir, read the union back. Checkpoint
+    * cleanup sits in the finally so a throwing `perBatch` can't leak
+    * the dir until JVM exit.
+    */
+  private def drainForeachBatch(spark: SparkSession, inDir: Path, ddl: String)(
+      perBatch: (DataFrame, Long) => DataFrame
+  ): DataFrame = {
     val run    = Files.createDirectories(root.resolve(f"run-${runCounter.getAndIncrement()}%04d"))
     val outDir = run.resolve("out").toString
     val ckpt   = run.resolve("ckpt")
@@ -270,7 +260,7 @@ object StreamReplay {
     spark.conf.set(spKey, math.min(ReplayShuffleWidth, prev.toInt).toString)
     try {
       val query = spark.readStream
-        .schema(documentsDdl)
+        .schema(ddl)
         .option("maxFilesPerTrigger", "1")
         .parquet(inDir.toString)
         .writeStream
@@ -282,8 +272,10 @@ object StreamReplay {
         .start()
       query.awaitTermination()
       lastBatchCount = Option(query.lastProgress).map(_.batchId + 1).getOrElse(-1L)
-    } finally spark.conf.set(spKey, prev)
-    deleteTree(ckpt)
+    } finally {
+      spark.conf.set(spKey, prev)
+      deleteTree(ckpt)
+    }
     spark.read.parquet(outDir)
   }
 

@@ -180,7 +180,7 @@ class SimilaritySpec extends SparkSpecBase {
   test("zero-norm vectors neither rank, flag, nor drop — but still get verdicts") {
     // no SF fixture carries a zero vector, so the NaN-cosine guard is
     // proven here on a crafted corpus: vec 0 is an eval-slice zero
-    // vector (vec_id % 41 == 0), vec 82 a corpus zero vector, the rest
+    // vector (vec_id % 41 == 0), vec 83 a corpus zero vector, the rest
     // are near-duplicates of one direction
     import spark.implicits._
     val dim = 8
