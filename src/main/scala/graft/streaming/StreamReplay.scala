@@ -233,30 +233,58 @@ object StreamReplay {
     */
   def replayDocumentsBatches(spark: SparkSession, sfDir: String, slices: Int = 4)(
       perBatch: (DataFrame, Long) => DataFrame
-  ): DataFrame = {
-    val inDir = cachedSlices(s"docmod|$sfDir|$slices") { dir =>
+  ): DataFrame =
+    drainForeachBatch(spark, documentsModSlices(spark, sfDir, slices), documentsDdl)(perBatch)
+
+  /** The doc_id % slices slice set behind [[replayDocumentsBatches]]
+    * (cached per JVM) — exposed for the restart-recovery spec, which
+    * needs to drive [[drainForeachBatchAt]] against its own dirs.
+    */
+  private[graft] def documentsModSlices(spark: SparkSession, sfDir: String, slices: Int): Path =
+    cachedSlices(s"docmod|$sfDir|$slices") { dir =>
       val docs = Tables(spark, sfDir).documents
         .select("doc_id", "text", "lang", "source", "n_chars")
       for (i <- 0 until slices)
         writeSlice(dir, i, docs.filter(pmod(col("doc_id"), lit(slices)) === i))
     }
-    drainForeachBatch(spark, inDir, documentsDdl)(perBatch)
-  }
 
   /** Shared foreachBatch drain: stream the slice files one per
-    * micro-batch, hand each batch (plus its id) to `perBatch`, append
-    * results to a fresh out dir, read the union back. Checkpoint
-    * cleanup sits in the finally so a throwing `perBatch` can't leak
-    * the dir until JVM exit.
+    * micro-batch, hand each batch (plus its id) to `perBatch`, and
+    * read the union of per-batch outputs back. Each batch writes its
+    * OWN subdirectory in overwrite mode — a crash between the sink
+    * write and the checkpoint commit replays that batch on restart,
+    * and the overwrite makes the replay idempotent where a flat
+    * append would duplicate the batch's rows (the ContentStore
+    * epoch-keyed exactly-once rule, applied to the drain harness;
+    * StreamingSpec proves it by killing a drain mid-batch and
+    * resuming). The checkpoint is deleted only after a successful
+    * drain — a failed run stays resumable via
+    * [[drainForeachBatchAt]]; the JVM-exit root cleanup bounds the
+    * leak if nothing resumes it.
     */
   private def drainForeachBatch(spark: SparkSession, inDir: Path, ddl: String)(
       perBatch: (DataFrame, Long) => DataFrame
   ): DataFrame = {
-    val run    = Files.createDirectories(root.resolve(f"run-${runCounter.getAndIncrement()}%04d"))
-    val outDir = run.resolve("out").toString
-    val ckpt   = run.resolve("ckpt")
-    val spKey  = "spark.sql.shuffle.partitions"
-    val prev   = spark.conf.get(spKey)
+    val run  = Files.createDirectories(root.resolve(f"run-${runCounter.getAndIncrement()}%04d"))
+    val ckpt = run.resolve("ckpt")
+    val out  = drainForeachBatchAt(spark, inDir, ddl, run.resolve("out").toString, ckpt)(perBatch)
+    deleteTree(ckpt)
+    out
+  }
+
+  /** [[drainForeachBatch]] against caller-owned out/checkpoint dirs —
+    * the resumable form (re-invoking with the same dirs continues
+    * from the last committed batch).
+    */
+  private[graft] def drainForeachBatchAt(
+      spark: SparkSession,
+      inDir: Path,
+      ddl: String,
+      outDir: String,
+      ckpt: Path
+  )(perBatch: (DataFrame, Long) => DataFrame): DataFrame = {
+    val spKey = "spark.sql.shuffle.partitions"
+    val prev  = spark.conf.get(spKey)
     spark.conf.set(spKey, math.min(ReplayShuffleWidth, prev.toInt).toString)
     try {
       val query = spark.readStream
@@ -265,18 +293,17 @@ object StreamReplay {
         .parquet(inDir.toString)
         .writeStream
         .foreachBatch { (batch: DataFrame, id: Long) =>
-          perBatch(batch, id).write.mode("append").parquet(outDir)
+          // per-batch dir (no '=': a partition-style name would add an
+          // inferred column to the read-back schema)
+          perBatch(batch, id).write.mode("overwrite").parquet(s"$outDir/b$id")
         }
         .option("checkpointLocation", ckpt.toString)
         .trigger(Trigger.AvailableNow())
         .start()
       query.awaitTermination()
       lastBatchCount = Option(query.lastProgress).map(_.batchId + 1).getOrElse(-1L)
-    } finally {
-      spark.conf.set(spKey, prev)
-      deleteTree(ckpt)
-    }
-    spark.read.parquet(outDir)
+    } finally spark.conf.set(spKey, prev)
+    spark.read.option("recursiveFileLookup", "true").parquet(outDir)
   }
 
   /** Topic-message schema pinned for the file stream source (A14's
