@@ -113,9 +113,19 @@ object StreamIO {
           .agg(collect_list(col("payload_b64")).as("entries"))
           .withColumn("micro_batch", lit(batchId))
           .write
-          .mode("append")
-          .json(outDir)
+          // per-batch dir, overwrite: a crash between this write and
+          // the checkpoint commit replays the batch on restart, and
+          // the overwrite makes the replay idempotent where a flat
+          // append would emit the batch's send-groups twice (the
+          // drain-harness exactly-once rule; dir name avoids '=' so
+          // the read-back schema gains no inferred column)
+          .mode("overwrite")
+          .json(s"$outDir/b$batchId")
       }
       .start()
   }
+
+  /** Read a [[batchedQueueSink]] output dir (per-batch subdirs). */
+  def readQueueBatches(spark: SparkSession, outDir: String): DataFrame =
+    spark.read.option("recursiveFileLookup", "true").json(outDir)
 }

@@ -409,7 +409,7 @@ object StreamReplay {
       lastBatchCount = Option(query.lastProgress).map(_.batchId + 1).getOrElse(-1L)
     } finally spark.conf.set(spKey, prev)
     deleteTree(ckpt)
-    spark.read.json(outDir)
+    StreamIO.readQueueBatches(spark, outDir)
   }
 
   /** A18's STREAMING_WRITE leg under the gate: stream the documents

@@ -421,7 +421,7 @@ class ContentStoreSpec extends SparkSpecBase {
     val pageSchema = org.apache.spark.sql.types.StructType.fromDDL(
       "page_num LONG, page_count LONG, global_seq LONG, message STRING, note STRING"
     )
-    val lines = spark.read.json(queueDir)
+    val lines = StreamIO.readQueueBatches(spark, queueDir)
     // SendMessageBatch contract: no line carries more than 10 entries
     assert(lines.select(size(col("entries")).as("n")).collect().forall(_.getInt(0) <= 10))
     val pages = lines

@@ -47,7 +47,7 @@ class StreamIOSpec extends SparkSpecBase {
     in.addData((1L to 7L).map(i => (1L, s"p$i")) ++ Seq((2L, "x")): _*)
     q.processAllAvailable()
     q.stop()
-    val batches = spark.read.json(out)
+    val batches = StreamIO.readQueueBatches(spark, out)
     val t1 = batches.filter(col("topic_id") === 1).select("entries").as[Seq[String]].collect()
     assert(t1.map(_.size).sorted.toSeq == Seq(1, 3, 3)) // 7 payloads → 3+3+1
     assert(batches.filter(col("topic_id") === 2).count() == 1)
@@ -103,7 +103,7 @@ class StreamIOSpec extends SparkSpecBase {
     in.addData(KinesisLikePipeline.TopicMsg(7, "again", 15, 10)) // 15/10+1 = 2 pages
     q.processAllAvailable()
     q.stop()
-    val batches = spark.read.json(out)
+    val batches = StreamIO.readQueueBatches(spark, out)
     val decoded = batches
       .select(col("micro_batch"), explode(col("entries")).as("e"))
       .select(col("micro_batch"), unbase64(col("e")).cast("string").as("m"))
