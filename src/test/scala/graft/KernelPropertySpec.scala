@@ -111,4 +111,38 @@ class KernelPropertySpec extends SparkSpecBase {
     assert(row.getAs[Long]("n_bad") == 1L)
     assert(row.getAs[Long]("n_value_ok") == 2L, "corrupt null-value line must not count value_ok")
   }
+
+  test("substring spans: random tiny-alphabet corpora agree with brute force (fuzz)") {
+    // a 4-token alphabet forces heavy gram collisions — random docs
+    // exercise island merges/breaks, doc-boundary windows, repeated
+    // grams at both ends, and sub-k docs far beyond the crafted cases
+    import spark.implicits._
+    val k = 3
+    for (round <- 0 until 3) {
+      val docs = (0 until 30).map { i =>
+        val n = rng.nextInt(12) // 0..11 tokens, incl. empty and sub-k docs
+        (i.toLong, Seq.fill(n)(s"w${rng.nextInt(4)}").mkString(" "))
+      }
+      val got = graft.operators.Dedup
+        .substringSpansOn(docs.toDF("doc_id", "text"), k)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      val toks  = docs.map { case (id, t) => id -> t.split(" ", -1).toSeq }.toMap
+      val grams = toks.toSeq.flatMap { case (id, ws) =>
+        (0 to ws.size - k).map(p => (id, p.toLong, ws.slice(p, p + k).mkString(" ")))
+      }
+      val counts = grams.groupBy(_._3).view.mapValues(_.size).toMap
+      val expected = grams.filter(g => counts(g._3) >= 2).groupBy(_._1).flatMap { case (id, gs) =>
+        val ps = gs.map(_._2).sorted
+        val islands = ps.tail.foldLeft(List(List(ps.head))) {
+          case (acc @ cur :: rest, p) => if (p > cur.head + k) List(p) :: acc else (p :: cur) :: rest
+          case (Nil, p)               => List(List(p))
+        }
+        islands.map(isl => (id, isl.min, isl.max + k - 1, isl.max + k - isl.min))
+      }.toSet
+      assert(got == expected,
+        s"round $round: missing=${expected -- got} extra=${got -- expected}\ncorpus=$docs")
+    }
+  }
 }
