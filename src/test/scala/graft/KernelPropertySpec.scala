@@ -145,4 +145,37 @@ class KernelPropertySpec extends SparkSpecBase {
         s"round $round: missing=${expected -- got} extra=${got -- expected}\ncorpus=$docs")
     }
   }
+
+  test("despan: random tiny-alphabet corpora agree with brute force (fuzz)") {
+    import spark.implicits._
+    val k = 3
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    for (round <- 0 until 3) {
+      val docs = (0 until 30).map { i =>
+        val n = rng.nextInt(12)
+        (i.toLong, Seq.fill(n)(s"w${rng.nextInt(4)}").mkString(" "))
+      }
+      val got = graft.operators.Dedup
+        .despanOn(docs.toDF("doc_id", "text"), k)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+        .toMap
+      val toks  = docs.map { case (id, t) => id -> t.split(" ", -1).toSeq }.toMap
+      val grams = toks.toSeq.flatMap { case (id, ws) =>
+        (0 to ws.size - k).map(p => (id, p, ws.slice(p, p + k).mkString(" ")))
+      }
+      val byGram = grams.groupBy(_._3)
+      val expected = toks.map { case (id, ws) =>
+        val cutPos = grams.collect {
+          case (d, p, g) if d == id && byGram(g).size >= 2 && byGram(g).map(_._1).min != id =>
+            (p until p + k)
+        }.flatten.toSet
+        val kept = ws.zipWithIndex.collect { case (w, p) if !cutPos.contains(p) => w }
+        id -> ((ws.size.toLong, cutPos.size.toLong, md5hex(kept.mkString(" "))))
+      }
+      assert(got == expected, s"round $round mismatch\ncorpus=$docs")
+    }
+  }
 }
