@@ -796,12 +796,15 @@ object KinesisLikePipeline {
       .awaitTermination()
     // explicit schema pins key_prefix (a partition directory column) to
     // string — inference would read all-digit prefixes back as ints
-    spark.read
-      .schema(
-        "seq LONG, partition_key STRING, num1 LONG, num2 LONG, " +
-          "answer STRING, result_key STRING, key_prefix STRING"
+    StreamIO
+      .readContentAddressed(
+        spark,
+        outDir,
+        Some(
+          "seq LONG, partition_key STRING, num1 LONG, num2 LONG, " +
+            "answer STRING, result_key STRING, key_prefix STRING"
+        )
       )
-      .parquet(outDir)
       .select("seq", "partition_key", "num1", "num2", "answer", "result_key", "key_prefix")
       .orderBy("seq")
   }

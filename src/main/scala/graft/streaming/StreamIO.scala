@@ -43,11 +43,16 @@ object StreamIO {
         ).as("data")
       )
 
-  /** S3-analog sink: append stream rows into parquet partitioned by
-    * the first `prefixChars` hex chars of `result_key`'s digest (the
-    * same fan-out trick S3 key design uses). Exactly-once per batch:
-    * keys are deterministic and the parquet commit protocol dedups
-    * task retries.
+  /** S3-analog sink: stream rows into parquet partitioned by the
+    * first `prefixChars` hex chars of `result_key`'s digest (the same
+    * fan-out trick S3 key design uses). Exactly-once: the parquet
+    * commit protocol dedups TASK retries, and each micro-batch owns
+    * its own overwrite-mode subdirectory so a BATCH replay after a
+    * crash-restart (sink write done, checkpoint commit lost)
+    * overwrites instead of double-appending — the same rule as the
+    * queue sink and the drain harness. Read the output back with
+    * [[readContentAddressed]] (per-batch dirs, prefix partitions
+    * inside).
     *
     * Size `prefixChars` to the volume: every micro-batch pays file +
     * commit overhead per touched prefix directory (measured ~2.6 s
@@ -65,7 +70,7 @@ object StreamIO {
     val base = answered.writeStream
     (if (availableNow) base.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()) else base)
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // strip the literal producer prefix only — md5 hex contains a-f,
         // so a greedy [a-z-]+ strip would also eat leading hex letters
         // of the digest and collapse the 256 prefixes to ~160
@@ -80,11 +85,33 @@ object StreamIO {
           // land in one task's one file
           .repartition(col("key_prefix"))
           .write
-          .mode("append")
+          .mode("overwrite")
           .partitionBy("key_prefix")
-          .parquet(outDir)
+          .parquet(s"$outDir/b$batchId")
       }
       .start()
+  }
+
+  /** Read a [[contentAddressedSink]] output dir: per-batch `b<id>`
+    * subdirectories, each prefix-partitioned inside. Each batch dir is
+    * its own partition-discovery root (so `key_prefix` survives as a
+    * column — a recursive file lookup would drop it, and one glob read
+    * trips CONFLICTING_DIRECTORY_STRUCTURES), unioned by name. The
+    * driver-side dir listing is bounded by BATCH COUNT, never data
+    * volume — the content store's per-manifest-loop class.
+    */
+  def readContentAddressed(
+      spark: SparkSession,
+      outDir: String,
+      schemaDdl: Option[String] = None
+  ): DataFrame = {
+    def reader = schemaDdl.fold(spark.read)(s => spark.read.schema(s))
+    val dirs = Option(new java.io.File(outDir).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.matches("b\\d+"))
+      .map(_.getPath)
+      .sorted
+    require(dirs.nonEmpty, s"no batch directories under $outDir")
+    dirs.map(reader.parquet(_)).reduce(_.unionByName(_))
   }
 
   /** SQS-analog sink: within each micro-batch, rows are grouped into

@@ -27,7 +27,7 @@ class StreamIOSpec extends SparkSpecBase {
     in.addData(("a", env(1, 2)), ("b", env(30, 12)))
     q.processAllAvailable()
     q.stop()
-    val rows = spark.read.parquet(out)
+    val rows = StreamIO.readContentAddressed(spark, out)
     assert(rows.count() == 2)
     assert(rows.columns.contains("key_prefix"))
     assert(rows.filter(col("answer") === "30 + 12 = 42").count() == 1)

@@ -931,33 +931,43 @@ class StreamingSpec extends SparkSpecBase {
     import graft.streaming.{StreamReplay => SR}
     val inDir = SR.documentsModSlices(spark, sfDir, 4)
     val run   = java.nio.file.Files.createTempDirectory("drain_restart")
-    val out   = run.resolve("out").toString
-    val ckpt  = run.resolve("ckpt")
-    def partial(batch: org.apache.spark.sql.DataFrame, epoch: Long) =
-      graft.operators.Curation.driftPartial(batch, epoch)
-    // first attempt dies INSIDE batch 2's sink write, after batches
-    // 0-1 committed (and after batch 2 may have partially written)
-    val boom = new java.util.concurrent.atomic.AtomicBoolean(true)
-    val failed = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
-      SR.drainForeachBatchAt(spark, inDir, SR.documentsDdl, out, ckpt) { (b, id) =>
-        val p = partial(b, id)
-        if (id == 2L && boom.getAndSet(false)) {
-          p.write.mode("overwrite").parquet(s"$out/b$id") // partial sink output lands
-          throw new RuntimeException("injected crash after sink write, before commit")
+    try {
+      val out  = run.resolve("out").toString
+      val ckpt = run.resolve("ckpt")
+      def partial(batch: org.apache.spark.sql.DataFrame, epoch: Long) =
+        graft.operators.Curation.driftPartial(batch, epoch)
+      // first attempt dies INSIDE batch 2's sink write, after batches
+      // 0-1 committed (and after batch 2 may have partially written)
+      val boom = new java.util.concurrent.atomic.AtomicBoolean(true)
+      val failed = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        SR.drainForeachBatchAt(spark, inDir, SR.documentsDdl, out, ckpt) { (b, id) =>
+          val p = partial(b, id)
+          if (id == 2L && boom.getAndSet(false)) {
+            p.write.mode("overwrite").parquet(s"$out/b$id") // partial sink output lands
+            throw new RuntimeException("injected crash after sink write, before commit")
+          }
+          p
         }
-        p
       }
+      assert(failed.getMessage.contains("injected crash") ||
+        Option(failed.getCause).exists(_.getMessage.contains("injected crash")))
+      // resume against the SAME dirs: committed batches 0-1 must not
+      // re-run; batch 2's replay must overwrite, not append
+      val resumed = SR.drainForeachBatchAt(spark, inDir, SR.documentsDdl, out, ckpt)(partial)
+        .collect().map(r => (r.getLong(2), r.getLong(0), r.getLong(1))).sorted.toSeq
+      val clean = SR.replayDocumentsBatches(spark, sfDir)(partial)
+        .collect().map(r => (r.getLong(2), r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(resumed == clean,
+        s"crash-resume drain diverged from a clean drain:\nresumed=$resumed\nclean  =$clean")
+    } finally {
+      // outside StreamReplay's shutdown-cleaned root — delete here or
+      // every suite run leaves a /tmp/drain_restart* tree behind
+      import scala.jdk.CollectionConverters._
+      val files = java.nio.file.Files.walk(run)
+      try files.iterator().asScala.toSeq.reverseIterator
+        .foreach(f => java.nio.file.Files.deleteIfExists(f))
+      finally files.close()
     }
-    assert(failed.getMessage.contains("injected crash") ||
-      Option(failed.getCause).exists(_.getMessage.contains("injected crash")))
-    // resume against the SAME dirs: committed batches 0-1 must not
-    // re-run; batch 2's replay must overwrite, not append
-    val resumed = SR.drainForeachBatchAt(spark, inDir, SR.documentsDdl, out, ckpt)(partial)
-      .collect().map(r => (r.getLong(2), r.getLong(0), r.getLong(1))).sorted.toSeq
-    val clean = SR.replayDocumentsBatches(spark, sfDir)(partial)
-      .collect().map(r => (r.getLong(2), r.getLong(0), r.getLong(1))).sorted.toSeq
-    assert(resumed == clean,
-      s"crash-resume drain diverged from a clean drain:\nresumed=$resumed\nclean  =$clean")
   }
 
   test("streaming drift trajectory: final epoch equals the batch versionDrift; ppm monotone-safe") {
