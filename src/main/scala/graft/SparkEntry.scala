@@ -414,6 +414,7 @@ object SparkEntry {
     "dedup_passage"        -> ((s, d) => Curation.passageDedup(Tables(s, d))),
     "dedup_substring"      -> ((s, d) => Dedup.substringSpans(Tables(s, d))),
     "pipeline_despan"      -> ((s, d) => Dedup.despan(Tables(s, d))),
+    "dedup_df_profile"     -> ((s, d) => Dedup.dfProfile(Tables(s, d))),
     "contaminate_semantic" -> ((s, d) => Similarity.semanticContamination(Tables(s, d))),
     "dedup_semantic"       -> ((s, d) => Similarity.semanticDedup(Tables(s, d))),
     "embed_quantize"       -> ((s, d) => Similarity.quantizeInt8(Tables(s, d))),
@@ -1747,6 +1748,20 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS dup_frac
         |FROM p JOIN d USING (shingle)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "dedup_df_profile" -> // shingle df histogram + per-bucket join cost mass (the cap-sizing audit)
+      s"""WITH s AS (
+        |  SELECT doc_id,
+        |    $shingleListExpr AS sh
+        |  FROM documents),
+        |p AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
+        |d AS (SELECT shingle, count(*) AS df FROM p GROUP BY 1),
+        |b AS (SELECT df, count(*) AS n_shingles FROM d GROUP BY 1),
+        |m AS (SELECT df, n_shingles,
+        |        CAST(CAST(n_shingles AS HUGEINT) * (CAST(df AS HUGEINT) * (df - 1) // 2) AS BIGINT)
+        |          AS pair_mass FROM b)
+        |SELECT df, n_shingles, pair_mass,
+        |  CAST(sum(pair_mass) OVER (ORDER BY df DESC) AS BIGINT) AS cum_pair_mass_above
+        |FROM m ORDER BY df DESC""".stripMargin,
     "dedup_substring" -> // maximal duplicated 5-token spans (corpus + the %31 splice fixture)
       """WITH docs AS (
         |  SELECT doc_id, text FROM documents

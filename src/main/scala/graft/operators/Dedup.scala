@@ -1383,6 +1383,53 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** C54: shingle document-frequency PROFILE — the audit a dedup
+    * engineer runs before sizing the df cap (C2b's 100): for each
+    * distinct df value, how many shingles carry it and how much
+    * inverted-index JOIN COST that bucket contributes. A shingle in df
+    * documents produces df·(df−1)/2 candidate pairs, so
+    * `pair_mass = n_shingles · df·(df−1)/2` is exactly the per-bucket
+    * term of the self-join's cost sum — the cumulative column answers
+    * "what fraction of the join disappears if I cap at df ≤ X", which
+    * is the number the cap constant must be defended with.
+    *
+    * Shape: the shared postings index → one partial-agg'd groupBy on
+    * the shingle hash (df per shingle) → one tiny groupBy on df
+    * (output = distinct df values at any corpus size) → a running-sum
+    * window over those few rows. The products are computed in
+    * Decimal(38,0) (df² · shingle counts) and REPORTED as longs —
+    * exact until the candidate mass itself passes 2⁶³ pairs, at which
+    * point the report's message is already "cap everything" (an
+    * overflow surfaces as null under non-ANSI decimal→long, not a
+    * silent wrap).
+    */
+  def dfProfile(t: Tables): DataFrame = {
+    val dec = "decimal(38,0)"
+    val byDf = Window
+      .orderBy(col("df").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hashedPostings(t)
+      .groupBy("shingle")
+      .agg(count(lit(1)).as("df"))
+      .groupBy("df")
+      .agg(count(lit(1)).as("n_shingles"))
+      .withColumn(
+        // df·(df−1)/2 without a decimal division (whose result scale
+        // could overflow-null at extreme precision): one of the two
+        // factors is even, so halve THAT one in exact integer `div`
+        // and multiply in Decimal(38,0)
+        "pairs_per_shingle",
+        when(
+          pmod(col("df"), lit(2)) === 0,
+          expr("df div 2").cast(dec) * (col("df") - 1L).cast(dec)
+        ).otherwise(col("df").cast(dec) * expr("(df - 1) div 2").cast(dec)).cast(dec)
+      )
+      .withColumn("pair_mass", (col("n_shingles").cast(dec) * col("pairs_per_shingle")).cast("long"))
+      .withColumn("cum_pair_mass_above", sum("pair_mass").over(byDf).cast("long"))
+      .select(col("df"), col("n_shingles"), col("pair_mass"), col("cum_pair_mass_above"))
+      .orderBy(col("df").desc)
+  }
+
   def bloomAdmission(t: Tables): DataFrame = bloomAdmissionOn(t.documents)
 
   def bloomAdmissionOn(documents: DataFrame, estItems: Long = 1000000L): DataFrame = {

@@ -425,6 +425,31 @@ class DedupSpec extends SparkSpecBase {
       "no fixture doc carries two islands — the break path is untested on the gate")
   }
 
+  test("df profile equals a BigInt replay; cumulative mass is the exact cap-savings curve") {
+    def trigrams(text: String): Set[String] = {
+      val ws = text.split(" ", -1)
+      // the shingledPostings rule: sub-3-word docs yield ONE shortened
+      // shingle (concat_ws skips the null leads at the tail)
+      if (ws.length < 3) Set(ws.mkString(" "))
+      else (0 to ws.length - 3).map(p => ws.slice(p, p + 3).mkString(" ")).toSet
+    }
+    val dfByShingle = tables.documents.selectExpr("doc_id", "text").collect()
+      .flatMap(r => trigrams(r.getString(1)))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val hist = dfByShingle.valuesIterator.toSeq.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val expected = hist.toSeq.sortBy(-_._1).foldLeft((BigInt(0), List.empty[(Long, Long, Long, Long)])) {
+      case ((cum, acc), (df, n)) =>
+        val mass = BigInt(n) * (BigInt(df) * (df - 1) / 2)
+        (cum + mass, acc :+ ((df, n, mass.toLong, (cum + mass).toLong)))
+    }._2
+    val got = Dedup.dfProfile(tables).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toList
+    assert(got == expected, s"got=$got\nexpected=$expected")
+    // the profile's totals must account for every posting exactly
+    val totalPostings = got.map { case (df, n, _, _) => df * n }.sum
+    assert(totalPostings == dfByShingle.valuesIterator.sum, "posting mass lost in the histogram")
+  }
+
   test("despan equals a driver-side replay; cuts stay inside reported spans; owners keep all") {
     val k = 5
     val docs = tables.documents.selectExpr("doc_id", "text").collect()
