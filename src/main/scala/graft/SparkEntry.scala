@@ -415,6 +415,7 @@ object SparkEntry {
     "dedup_substring"      -> ((s, d) => Dedup.substringSpans(Tables(s, d))),
     "pipeline_despan"      -> ((s, d) => Dedup.despan(Tables(s, d))),
     "dedup_df_profile"     -> ((s, d) => Dedup.dfProfile(Tables(s, d))),
+    "dedup_modality_agreement" -> ((s, d) => Dedup.modalityAgreement(Tables(s, d))),
     "contaminate_semantic" -> ((s, d) => Similarity.semanticContamination(Tables(s, d))),
     "dedup_semantic"       -> ((s, d) => Similarity.semanticDedup(Tables(s, d))),
     "embed_quantize"       -> ((s, d) => Similarity.quantizeInt8(Tables(s, d))),
@@ -1748,6 +1749,21 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS dup_frac
         |FROM p JOIN d USING (shingle)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "dedup_modality_agreement" -> // text near-dup pairs scored against their embedding cosine
+      s"""WITH p AS ($ngramJaccardOracle),
+        |n AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+        |    sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b)) AS nrm
+        |  FROM embeddings)
+        |SELECT p.doc_a, p.doc_b, p.jaccard,
+        |  list_reduce(list_transform(range(1, len(a.v) + 1), i -> a.v[CAST(i AS INT)] * b.v[CAST(i AS INT)]), (x, y) -> x + y)
+        |    / (a.nrm * b.nrm) AS cos,
+        |  list_reduce(list_transform(range(1, len(a.v) + 1), i -> a.v[CAST(i AS INT)] * b.v[CAST(i AS INT)]), (x, y) -> x + y)
+        |    / (a.nrm * b.nrm) >= 0.3 AS embeddings_agree
+        |FROM p
+        |JOIN n a ON p.doc_a = a.vec_id AND a.nrm > 0
+        |JOIN n b ON p.doc_b = b.vec_id AND b.nrm > 0
+        |ORDER BY p.doc_a, p.doc_b""".stripMargin,
     "dedup_df_profile" -> // shingle df histogram + per-bucket join cost mass (the cap-sizing audit)
       s"""WITH s AS (
         |  SELECT doc_id,

@@ -1430,6 +1430,36 @@ object Dedup {
       .orderBy(col("df").desc)
   }
 
+  /** C55: cross-modal AGREEMENT audit — every text near-dup pair
+    * (C2's exact τ set) scored against its embedding cosine: pairs
+    * the text signal calls duplicates but the embedding space places
+    * far apart are the mislabeled/misaligned-embedding triage list
+    * (if the embeddings were trained right, verbatim near-dups MUST
+    * embed close — disagreement indicts the vectors, not the text).
+    * The inverse audit (embedding-close, text-far) is C5 ∖ C2's pair
+    * set; this direction is the one with a ground truth to lean on.
+    *
+    * Pairs restricted to ids carrying embeddings (inner joins — the
+    * corpus and vector table needn't be 1:1 at scale). Two keyed
+    * joins on the pair ends; the pair list ∝ duplicate mass, never
+    * corpus². Cosine is the C5/C6 kernel with its zero-norm guard, so
+    * the doubles hash-gate.
+    */
+  def modalityAgreement(t: Tables, tauE: Double = 0.3): DataFrame = {
+    val n = Similarity.vectors(t).filter(col("nrm") > 0)
+    ngramJaccard(t)
+      .join(n.as("a"), col("doc_a") === col("a.vec_id"))
+      .join(n.as("b"), col("doc_b") === col("b.vec_id"))
+      .select(
+        col("doc_a"),
+        col("doc_b"),
+        col("jaccard"),
+        Similarity.cosine.as("cos"),
+        (Similarity.cosine >= tauE).as("embeddings_agree")
+      )
+      .orderBy("doc_a", "doc_b")
+  }
+
   def bloomAdmission(t: Tables): DataFrame = bloomAdmissionOn(t.documents)
 
   def bloomAdmissionOn(documents: DataFrame, estItems: Long = 1000000L): DataFrame = {

@@ -450,6 +450,24 @@ class DedupSpec extends SparkSpecBase {
     assert(totalPostings == dfByShingle.valuesIterator.sum, "posting mass lost in the histogram")
   }
 
+  test("modality agreement covers every embeddable near-dup pair with replayed cosines") {
+    val vecs = tables.embeddings.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val pairs = Dedup.ngramJaccard(tables).collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expected = pairs.filter { case (a, b) => vecs.contains(a) && vecs.contains(b) }
+      .map { case (a, b) => (a, b) -> (cos(vecs(a), vecs(b)) >= 0.3) }.toMap
+    assert(expected.nonEmpty, "no embeddable near-dup pairs — spec is vacuous")
+    val got = Dedup.modalityAgreement(tables).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getBoolean(4)).toMap
+    assert(got == expected,
+      s"missing=${expected.keySet -- got.keySet} flagdiff=${
+        got.collect { case (k, v) if expected.get(k).exists(_ != v) => k }.take(5)}")
+  }
+
   test("despan equals a driver-side replay; cuts stay inside reported spans; owners keep all") {
     val k = 5
     val docs = tables.documents.selectExpr("doc_id", "text").collect()
