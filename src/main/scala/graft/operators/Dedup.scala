@@ -153,10 +153,19 @@ object Dedup {
     * private[graft] so SkewEndToEndSpec can execute exactly this
     * subtree against a hostile corpus and assert the split fires.
     */
+  /** Per-shingle document frequency over a posting table — ONE
+    * definition shared by the cap enforcement ([[cappedPostings]]),
+    * the prefix ordering ([[ngramJaccardPrefix]]), the boilerplate
+    * signals ([[dupShingleFrac]]), and the cap-sizing audit
+    * ([[dfProfile]]): the quantity the audit measures and the
+    * quantity the cap enforces must be the same expression by
+    * construction.
+    */
+  private def shingleDf(posts: DataFrame): DataFrame =
+    posts.groupBy("shingle").agg(count(lit(1)).as("df"))
+
   private[graft] def cappedPostings(posts: DataFrame, cap: Int): DataFrame = {
-    val keep = posts
-      .groupBy("shingle")
-      .agg(count(lit(1)).as("df"))
+    val keep = shingleDf(posts)
       .filter(col("df") <= cap)
       .select("shingle")
       .localCheckpoint()
@@ -263,7 +272,7 @@ object Dedup {
     // through one reducer. The agg map-side combines to one (shingle,
     // df) row per mapper; the join-back is AQE-splittable skew; posts
     // is checkpointed so both sides read executor-local blocks.
-    val dfBy = posts.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val dfBy = shingleDf(posts)
     val ranked = posts
       .join(dfBy.hint("shuffle_hash"), Seq("shingle"))
       .withColumn(
@@ -346,7 +355,7 @@ object Dedup {
       .distinct()
       .count()
     val ranked = posts
-      .join(posts.groupBy("shingle").agg(count(lit(1)).as("df")), Seq("shingle"))
+      .join(shingleDf(posts), Seq("shingle"))
       .withColumn(
         "tok_rank",
         row_number().over(Window.partitionBy("doc_id").orderBy(col("df"), col("shingle")))
@@ -521,7 +530,7 @@ object Dedup {
     // exchange (partial-agg'd vs raw payloads), so without this the
     // shingling subtree would run twice
     val posts = hashedPostings(t).localCheckpoint()
-    val dfBy  = posts.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val dfBy  = shingleDf(posts)
     posts
       .join(dfBy.hint("shuffle_hash"), Seq("shingle"))
       .groupBy("doc_id", "n_sh")
@@ -1396,21 +1405,19 @@ object Dedup {
     * Shape: the shared postings index → one partial-agg'd groupBy on
     * the shingle hash (df per shingle) → one tiny groupBy on df
     * (output = distinct df values at any corpus size) → a running-sum
-    * window over those few rows. The products are computed in
-    * Decimal(38,0) (df² · shingle counts) and REPORTED as longs —
-    * exact until the candidate mass itself passes 2⁶³ pairs, at which
-    * point the report's message is already "cap everything" (an
-    * overflow surfaces as null under non-ANSI decimal→long, not a
-    * silent wrap).
+    * window over those few rows. ALL arithmetic — products AND the
+    * cumulative sum — runs in Decimal(38,0); only the two reported
+    * columns cast to long at the very end, mirroring the oracle's
+    * HUGEINT sum-then-cast shape (summing after an early long cast
+    * would skip a null'd overflowed bucket and silently understate
+    * exactly the mass the audit exists to expose).
     */
   def dfProfile(t: Tables): DataFrame = {
     val dec = "decimal(38,0)"
     val byDf = Window
       .orderBy(col("df").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    hashedPostings(t)
-      .groupBy("shingle")
-      .agg(count(lit(1)).as("df"))
+    shingleDf(hashedPostings(t))
       .groupBy("df")
       .agg(count(lit(1)).as("n_shingles"))
       .withColumn(
@@ -1424,9 +1431,14 @@ object Dedup {
           expr("df div 2").cast(dec) * (col("df") - 1L).cast(dec)
         ).otherwise(col("df").cast(dec) * expr("(df - 1) div 2").cast(dec)).cast(dec)
       )
-      .withColumn("pair_mass", (col("n_shingles").cast(dec) * col("pairs_per_shingle")).cast("long"))
-      .withColumn("cum_pair_mass_above", sum("pair_mass").over(byDf).cast("long"))
-      .select(col("df"), col("n_shingles"), col("pair_mass"), col("cum_pair_mass_above"))
+      .withColumn("pair_mass_dec", (col("n_shingles").cast(dec) * col("pairs_per_shingle")).cast(dec))
+      .withColumn("cum_pair_mass_above", sum("pair_mass_dec").over(byDf).cast("long"))
+      .select(
+        col("df"),
+        col("n_shingles"),
+        col("pair_mass_dec").cast("long").as("pair_mass"),
+        col("cum_pair_mass_above")
+      )
       .orderBy(col("df").desc)
   }
 

@@ -457,15 +457,22 @@ class DedupSpec extends SparkSpecBase {
       val dot = a.zip(b).map { case (x, y) => x * y }.sum
       dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
     }
-    val pairs = Dedup.ngramJaccard(tables).collect().map(r => (r.getLong(0), r.getLong(1)))
-    val expected = pairs.filter { case (a, b) => vecs.contains(a) && vecs.contains(b) }
-      .map { case (a, b) => (a, b) -> (cos(vecs(a), vecs(b)) >= 0.3) }.toMap
+    val pairs = Dedup.ngramJaccard(tables).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // the full row replays: jaccard passthrough, the cosine VALUE
+    // (sequential fold — bitwise vs vec_dot), and the tau flag
+    val expected = pairs.collect {
+      case (a, b, j) if vecs.contains(a) && vecs.contains(b) =>
+        val c = cos(vecs(a), vecs(b))
+        (a, b) -> ((j, c, c >= 0.3))
+    }.toMap
     assert(expected.nonEmpty, "no embeddable near-dup pairs — spec is vacuous")
     val got = Dedup.modalityAgreement(tables).collect()
-      .map(r => (r.getLong(0), r.getLong(1)) -> r.getBoolean(4)).toMap
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getDouble(2), r.getDouble(3), r.getBoolean(4))))
+      .toMap
     assert(got == expected,
-      s"missing=${expected.keySet -- got.keySet} flagdiff=${
-        got.collect { case (k, v) if expected.get(k).exists(_ != v) => k }.take(5)}")
+      s"missing=${expected.keySet -- got.keySet} diff=${
+        got.collect { case (k, v) if expected.get(k).exists(_ != v) => (k, v, expected(k)) }.take(3)}")
   }
 
   test("despan equals a driver-side replay; cuts stay inside reported spans; owners keep all") {
