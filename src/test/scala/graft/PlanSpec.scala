@@ -696,6 +696,18 @@ class PlanSpec extends SparkSpecBase {
       s"per-gram stats must be groupBy + join-back, not a window: $gramWindows")
   }
 
+  test("df profile and modality agreement: keyed joins only, no pair-space blowups") {
+    val profile = executedPlanString(graft.operators.Dedup.dfProfile(tables))
+    assert(!profile.contains("CartesianProduct") && !profile.contains("BroadcastNestedLoopJoin"),
+      s"df profile must be aggregation-only:\n$profile")
+    val agree = executedPlanString(graft.operators.Dedup.modalityAgreement(tables))
+    assert(!agree.contains("CartesianProduct") && !agree.contains("BroadcastNestedLoopJoin"),
+      s"modality agreement leaked an all-pairs join:\n$agree")
+    // the vector table attaches via equi-joins on the pair ends
+    assert(agree.contains("ShuffledHashJoin") || agree.contains("BroadcastHashJoin") ||
+      agree.contains("SortMergeJoin"), s"pair-end joins must be keyed:\n$agree")
+  }
+
   test("despan: exactly one corpus re-scan past the checkpointed windows, keyed joins only") {
     val plan = executedPlanString(graft.operators.Dedup.despan(tables))
     val scans = "FileScan".r.findAllIn(plan).length
