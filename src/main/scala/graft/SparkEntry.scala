@@ -416,6 +416,7 @@ object SparkEntry {
     "pipeline_despan"      -> ((s, d) => Dedup.despan(Tables(s, d))),
     "dedup_df_profile"     -> ((s, d) => Dedup.dfProfile(Tables(s, d))),
     "dedup_modality_agreement" -> ((s, d) => Dedup.modalityAgreement(Tables(s, d))),
+    "dedup_paraphrase"     -> ((s, d) => Dedup.paraphraseCandidates(Tables(s, d))),
     "contaminate_semantic" -> ((s, d) => Similarity.semanticContamination(Tables(s, d))),
     "dedup_semantic"       -> ((s, d) => Similarity.semanticDedup(Tables(s, d))),
     "embed_quantize"       -> ((s, d) => Similarity.quantizeInt8(Tables(s, d))),
@@ -1764,6 +1765,39 @@ object SparkEntry {
         |JOIN n a ON p.doc_a = a.vec_id AND a.nrm > 0
         |JOIN n b ON p.doc_b = b.vec_id AND b.nrm > 0
         |ORDER BY p.doc_a, p.doc_b""".stripMargin,
+    "dedup_paraphrase" -> // embedding-near but text-far pairs, with both scores attached
+      s"""WITH n AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+        |    sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b)) AS nrm
+        |  FROM embeddings),
+        |ep AS (
+        |  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+        |    list_reduce(list_transform(range(1, len(a.v) + 1), i -> a.v[CAST(i AS INT)] * b.v[CAST(i AS INT)]), (x, y) -> x + y)
+        |      / (a.nrm * b.nrm) AS cos
+        |  FROM n a JOIN n b ON a.vec_id < b.vec_id AND a.nrm > 0 AND b.nrm > 0
+        |  WHERE list_reduce(list_transform(range(1, len(a.v) + 1), i -> a.v[CAST(i AS INT)] * b.v[CAST(i AS INT)]), (x, y) -> x + y)
+        |      / (a.nrm * b.nrm) >= 0.4),
+        |tp AS ($ngramJaccardOracle),
+        |c AS (SELECT ep.* FROM ep LEFT JOIN tp
+        |      ON ep.doc_a = tp.doc_a AND ep.doc_b = tp.doc_b WHERE tp.doc_a IS NULL),
+        |s AS (
+        |  SELECT doc_id,
+        |    $shingleListExpr AS sh
+        |  FROM documents),
+        |sz AS (SELECT doc_id, len(sh) AS n_sh FROM s),
+        |p AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
+        |i AS (
+        |  SELECT c.doc_a, c.doc_b, count(*) AS inter
+        |  FROM c JOIN p pa ON pa.doc_id = c.doc_a
+        |         JOIN p pb ON pb.doc_id = c.doc_b AND pb.shingle = pa.shingle
+        |  GROUP BY 1, 2)
+        |SELECT c.doc_a, c.doc_b, c.cos,
+        |  coalesce(CAST(i.inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.inter), 0.0) AS jaccard
+        |FROM c
+        |LEFT JOIN i ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b
+        |JOIN sz sa ON c.doc_a = sa.doc_id
+        |JOIN sz sb ON c.doc_b = sb.doc_id
+        |ORDER BY c.doc_a, c.doc_b""".stripMargin,
     "dedup_df_profile" -> // shingle df histogram + per-bucket join cost mass (the cap-sizing audit)
       s"""WITH s AS (
         |  SELECT doc_id,

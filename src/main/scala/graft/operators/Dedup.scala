@@ -1472,6 +1472,69 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** C56: paraphrase candidates — the INVERSE of the C55 agreement
+    * audit: pairs the embedding space places close (cosine ≥ τe) that
+    * the text signal does NOT call near-dups (below the C2 τ set) —
+    * exactly the paraphrase/translation/rewrite duplication that
+    * motivates semantic dedup in the first place, surfaced with BOTH
+    * scores so a reviewer sees how far apart the signals are. Each
+    * survivor carries its exact (sub-threshold) shingle Jaccard,
+    * computed only for the candidate pairs — never a second all-pairs
+    * text pass.
+    *
+    * Shape: the C5 embedding pair join (broadcast/AQE at test SF; the
+    * LSH/IVF candidate paths at scale) → left-anti against the exact
+    * C2 pair set → the survivors' postings intersect through a
+    * two-key (doc, shingle) equi-join restricted to candidate ids —
+    * cost ∝ candidate mass × shingle sizes. Zero-shared-shingle pairs
+    * report jaccard 0.
+    */
+  def paraphraseCandidates(
+      t: Tables,
+      tauE: Double = 0.4,
+      tauJ: Double = JaccardTau
+  ): DataFrame = {
+    val n = Similarity.vectors(t).filter(col("nrm") > 0)
+    val embPairs = n
+      .as("a")
+      .join(n.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .filter(Similarity.cosine >= tauE)
+      .select(
+        col("a.vec_id").as("doc_a"),
+        col("b.vec_id").as("doc_b"),
+        Similarity.cosine.as("cos")
+      )
+    // checkpointed: the candidate list feeds the intersection join AND
+    // the final assembly (the dupShingleFrac rule)
+    val cands = embPairs
+      .join(ngramJaccard(t, tauJ).select("doc_a", "doc_b"), Seq("doc_a", "doc_b"), "left_anti")
+      .localCheckpoint()
+    val posts = hashedPostings(t)
+    val inter = cands
+      .select("doc_a", "doc_b")
+      .join(posts.as("pa"), col("doc_a") === col("pa.doc_id"))
+      .join(
+        posts.as("pb").hint("shuffle_hash"),
+        col("pb.doc_id") === col("doc_b") && col("pa.shingle") === col("pb.shingle")
+      )
+      .groupBy(col("doc_a"), col("doc_b"), col("pa.n_sh").as("na"), col("pb.n_sh").as("nb"))
+      .agg(count(lit(1)).as("inter"))
+      .select(
+        col("doc_a"),
+        col("doc_b"),
+        (col("inter").cast("double") / (col("na") + col("nb") - col("inter"))).as("jaccard")
+      )
+    cands
+      .join(inter, Seq("doc_a", "doc_b"), "left")
+      .select(
+        col("doc_a"),
+        col("doc_b"),
+        col("cos"),
+        coalesce(col("jaccard"), lit(0.0)).as("jaccard")
+      )
+      .orderBy("doc_a", "doc_b")
+  }
+
   def bloomAdmission(t: Tables): DataFrame = bloomAdmissionOn(t.documents)
 
   def bloomAdmissionOn(documents: DataFrame, estItems: Long = 1000000L): DataFrame = {

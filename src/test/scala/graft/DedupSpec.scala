@@ -475,6 +475,20 @@ class DedupSpec extends SparkSpecBase {
         got.collect { case (k, v) if expected.get(k).exists(_ != v) => (k, v, expected(k)) }.take(3)}")
   }
 
+  test("paraphrase candidates partition the embedding pairs against the text tau set") {
+    val emb  = Dedup.embeddingCosine(tables).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val text = Dedup.ngramJaccard(tables).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val para = Dedup.paraphraseCandidates(tables).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2), r.getDouble(3)))
+    assert(para.nonEmpty)
+    // exactly the embedding pairs NOT in the text set — no leaks, no losses
+    assert(para.map(_._1).toSet == emb -- text,
+      s"para=${para.map(_._1).toSet} expected=${emb -- text}")
+    // every survivor is below the text threshold by construction
+    assert(para.forall(_._3 < Dedup.JaccardTau), "a tau-passing text pair leaked through")
+    assert(para.forall(_._2 >= 0.4), "a sub-tauE cosine leaked through")
+  }
+
   test("despan equals a driver-side replay; cuts stay inside reported spans; owners keep all") {
     val k = 5
     val docs = tables.documents.selectExpr("doc_id", "text").collect()
