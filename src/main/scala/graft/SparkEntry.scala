@@ -417,6 +417,7 @@ object SparkEntry {
     "dedup_df_profile"     -> ((s, d) => Dedup.dfProfile(Tables(s, d))),
     "dedup_modality_agreement" -> ((s, d) => Dedup.modalityAgreement(Tables(s, d))),
     "dedup_paraphrase"     -> ((s, d) => Dedup.paraphraseCandidates(Tables(s, d))),
+    "dedup_paraphrase_lsh" -> ((s, d) => Dedup.paraphraseCandidatesLsh(Tables(s, d))),
     "contaminate_semantic" -> ((s, d) => Similarity.semanticContamination(Tables(s, d))),
     "dedup_semantic"       -> ((s, d) => Similarity.semanticDedup(Tables(s, d))),
     "embed_quantize"       -> ((s, d) => Similarity.quantizeInt8(Tables(s, d))),

@@ -1482,12 +1482,16 @@ object Dedup {
     * computed only for the candidate pairs — never a second all-pairs
     * text pass.
     *
-    * Shape: the C5 embedding pair join (broadcast/AQE at test SF; the
-    * LSH/IVF candidate paths at scale) → left-anti against the exact
-    * C2 pair set → the survivors' postings intersect through a
-    * two-key (doc, shingle) equi-join restricted to candidate ids —
-    * cost ∝ candidate mass × shingle sizes. Zero-shared-shingle pairs
-    * report jaccard 0.
+    * Shape: the C5 embedding pair join (broadcast/AQE at test SF) →
+    * left-anti against the exact C2 pair set → the survivors' postings
+    * intersect through a two-key (doc, shingle) equi-join restricted
+    * to candidate ids — cost ∝ candidate mass × shingle sizes.
+    * Zero-shared-shingle pairs report jaccard 0.
+    *
+    * This exact arm is the correctness baseline (all-pairs cosine —
+    * quadratic in the vector count); [[paraphraseCandidatesLsh]] is
+    * the 100 TB path, sourcing candidates from the C5 hyperplane-LSH
+    * banded buckets with the identical downstream pipeline.
     */
   def paraphraseCandidates(
       t: Tables,
@@ -1504,10 +1508,61 @@ object Dedup {
         col("b.vec_id").as("doc_b"),
         Similarity.cosine.as("cos")
       )
+    paraphraseFrom(t, embPairs, tauJ)
+  }
+
+  /** C56 scale arm: paraphrase candidates with the embedding pair
+    * source swapped from the all-pairs cosine join to the C5
+    * hyperplane-LSH banded buckets ([[embeddingCosineLsh]]'s candidate
+    * shape — shuffle on (table, bucket), cost ∝ tables × Σ bucket²,
+    * never n²), exact cosine verified per candidate. The anti-join vs
+    * the text τ set and the posting-intersect Jaccard compose
+    * unchanged, so output rows are a SUBSET of the exact arm with
+    * identical attached scores — rows-only in the gate (LSH bucketing
+    * isn't SQL-expressible), recall spec-pinned against the exact arm
+    * (the C5/C7 discipline).
+    */
+  def paraphraseCandidatesLsh(
+      t: Tables,
+      tauE: Double = 0.4,
+      tauJ: Double = JaccardTau
+  ): DataFrame = {
+    val banded = Similarity.bandedVectors(t)
+    val embPairs = banded
+      .as("a")
+      .join(
+        banded.as("b").hint("shuffle_hash"),
+        col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id")
+      )
+      .filter(Similarity.cosine >= tauE)
+      .select(
+        col("a.vec_id").as("doc_a"),
+        col("b.vec_id").as("doc_b"),
+        Similarity.cosine.as("cos")
+      )
+      // a pair colliding in several bands appears once; cos is a pure
+      // function of the pair, so the 3-column distinct is pair-distinct
+      .distinct()
+    paraphraseFrom(t, embPairs, tauJ)
+  }
+
+  /** Shared back half of the paraphrase pipeline: anti-join the
+    * embedding-near pairs against the exact text τ set, then compute
+    * each survivor's exact sub-threshold Jaccard via a posting
+    * intersect restricted to candidate ids.
+    */
+  private def paraphraseFrom(t: Tables, embPairs: DataFrame, tauJ: Double): DataFrame = {
+    // endpoints must exist in documents — mirrors the oracle's inner
+    // sz joins (docs ⊇ vectors at every SF today; the semi-joins pin
+    // the rule so the two definitions cannot drift if that changes)
+    val docIds = t.documents.select(col("doc_id"))
     // checkpointed: the candidate list feeds the intersection join AND
     // the final assembly (the dupShingleFrac rule)
     val cands = embPairs
       .join(ngramJaccard(t, tauJ).select("doc_a", "doc_b"), Seq("doc_a", "doc_b"), "left_anti")
+      .join(docIds.select(col("doc_id").as("doc_a")), Seq("doc_a"), "left_semi")
+      .join(docIds.select(col("doc_id").as("doc_b")), Seq("doc_b"), "left_semi")
       .localCheckpoint()
     val posts = hashedPostings(t)
     val inter = cands

@@ -105,13 +105,39 @@ object StreamIO {
       outDir: String,
       schemaDdl: Option[String] = None
   ): DataFrame = {
+    import org.apache.hadoop.fs.Path
     def reader = schemaDdl.fold(spark.read)(s => spark.read.schema(s))
-    val dirs = Option(new java.io.File(outDir).listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.matches("b\\d+"))
-      .map(_.getPath)
-      .sorted
-    require(dirs.nonEmpty, s"no batch directories under $outDir")
-    dirs.map(reader.parquet(_)).reduce(_.unionByName(_))
+    // Hadoop FileSystem listing so hdfs://, s3a://, and file: URIs all
+    // work — driver-local java.io.File would only see the local disk
+    val root = new Path(outDir)
+    val fs   = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // an empty micro-batch leaves a b<id> dir with only _SUCCESS
+    // (partitionBy with zero rows emits no part files) — schema
+    // inference would fail on it, so batch dirs without parquet part
+    // files are skipped; they carry no rows either way
+    def hasParquet(p: Path): Boolean = {
+      val it = fs.listFiles(p, true)
+      var found = false
+      while (!found && it.hasNext()) found = it.next().getPath.getName.endsWith(".parquet")
+      found
+    }
+    val dirs =
+      (if (fs.exists(root)) fs.listStatus(root) else Array.empty[org.apache.hadoop.fs.FileStatus])
+        .filter(s => s.isDirectory && s.getPath.getName.matches("b\\d+") && hasParquet(s.getPath))
+        .map(_.getPath.toString)
+        .sorted
+    if (dirs.isEmpty) {
+      // a sink that committed nothing yet is an empty table, not an error
+      val ddl = schemaDdl.getOrElse(
+        throw new IllegalArgumentException(
+          s"no batch directories under $outDir and no schema supplied to shape an empty result"
+        )
+      )
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(ddl)
+      )
+    } else dirs.map(reader.parquet(_)).reduce(_.unionByName(_))
   }
 
   /** SQS-analog sink: within each micro-batch, rows are grouped into

@@ -645,7 +645,8 @@ class AnalyticsSpec extends SparkSpecBase {
     val docs = tables.documents.selectExpr("doc_id", "length(text) AS n").collect()
       .map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
     val v1 = docs.collect {
-      case (id, n) if id % 17 != 2 => if (id % 11 == 3) math.max(n - 10, 1) else n
+      // substr on an empty text yields length 0, not max(n-10, 1)
+      case (id, n) if id % 17 != 2 => if (id % 11 == 3) { if (n == 0) 0L else math.max(n - 10, 1) } else n
     }.toSeq
     val v2 = docs.collect { case (id, n) if id % 13 != 5 => n }.toSeq
     val h1 = v1.groupBy(_ / 100).view.mapValues(_.size.toLong).toMap

@@ -489,6 +489,50 @@ class DedupSpec extends SparkSpecBase {
     assert(para.forall(_._2 >= 0.4), "a sub-tauE cosine leaked through")
   }
 
+  test("paraphrase LSH arm: subset of exact with identical scores; clustered-fixture recall") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getDouble(2), r.getDouble(3)))).toMap
+    val exact = rows(Dedup.paraphraseCandidates(tables))
+    val lsh   = rows(Dedup.paraphraseCandidatesLsh(tables))
+    // cosine is verified exactly per candidate and the downstream
+    // pipeline is shared, so LSH output ⊆ exact with equal scores
+    assert((lsh.keySet -- exact.keySet).isEmpty, s"non-exact pairs: ${lsh.keySet -- exact.keySet}")
+    lsh.foreach { case (k, v) => assert(exact(k) == v, s"scores diverge on $k: ${exact(k)} vs $v") }
+    val corpusRecall =
+      if (exact.isEmpty) 1.0 else (exact.keySet & lsh.keySet).size.toDouble / exact.size
+    info(f"paraphrase LSH recall vs exact on the corpus: $corpusRecall%.2f (${exact.size} pairs)")
+    assert(corpusRecall >= 0.4, f"corpus recall collapsed: $corpusRecall%.2f")
+
+    // production-shaped fixture: 10 tight embedding clusters (real
+    // paraphrase/translation pairs sit on top of each other) over
+    // unique-vocabulary texts (zero shared shingles → every emb pair
+    // is a paraphrase candidate). Here LSH recall must be near-total.
+    import spark.implicits._
+    val rng     = new scala.util.Random(7)
+    val dim     = 64
+    val centers = Array.fill(10)(Array.fill(dim)(rng.nextGaussian()))
+    val embRows = (0 until 300).map { i =>
+      (i.toLong, centers(i % 10).map(x => (x + 0.15 * rng.nextGaussian()).toFloat).toSeq, i % 10)
+    }
+    val docRows = (0 until 300).map { i =>
+      val text = (0 until 12).map(j => s"w${i}x$j").mkString(" ")
+      (i.toLong, text, "en", "synthetic", text.length.toLong)
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("paraphrase_clustered").toString
+    embRows.toDF("vec_id", "embedding", "label").write.mode("overwrite")
+      .parquet(s"$tmp/embeddings.parquet")
+    docRows.toDF("doc_id", "text", "lang", "source", "n_chars").write.mode("overwrite")
+      .parquet(s"$tmp/documents.parquet")
+    val tc      = graft.sources.Tables(spark, tmp)
+    val cEx     = rows(Dedup.paraphraseCandidates(tc))
+    val cLsh    = rows(Dedup.paraphraseCandidatesLsh(tc))
+    assert(cEx.nonEmpty, "clustered fixture produced no paraphrase pairs")
+    assert((cLsh.keySet -- cEx.keySet).isEmpty)
+    val cRecall = (cEx.keySet & cLsh.keySet).size.toDouble / cEx.size
+    info(f"paraphrase LSH recall on the clustered fixture: $cRecall%.2f (${cEx.size} pairs)")
+    assert(cRecall >= 0.9, f"clustered recall too low: $cRecall%.2f")
+  }
+
   test("despan equals a driver-side replay; cuts stay inside reported spans; owners keep all") {
     val k = 5
     val docs = tables.documents.selectExpr("doc_id", "text").collect()

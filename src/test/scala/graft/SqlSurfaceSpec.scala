@@ -123,6 +123,7 @@ class SqlSurfaceSpec extends SparkSpecBase {
       "q_value_percentiles_approx", // approx-percentile sketch
       "dedup_source_sim",           // minhash-union sketch
       "dedup_embedding_lsh",        // hyperplane-LSH candidates
+      "dedup_paraphrase_lsh",       // the same LSH candidates feeding the paraphrase pipeline
       "dedup_bloom_admission",      // bloom sketch layout
       "dedup_semantic",             // k-means cells aren't SQL-expressible
       "knn_lsh",                    // LSH ANN

@@ -33,6 +33,30 @@ class StreamIOSpec extends SparkSpecBase {
     assert(rows.filter(col("answer") === "30 + 12 = 42").count() == 1)
   }
 
+  test("content-addressed read: empty sink output and row-less batch dirs degrade gracefully") {
+    val out = tmp("graft-s3-empty")
+    val ddl = "result_key STRING, answer STRING, key_prefix STRING"
+    // no b<id> dirs at all: an empty table shaped by the schema, not an error
+    val none = StreamIO.readContentAddressed(spark, out, Some(ddl))
+    assert(none.count() == 0 && none.columns.toSet == Set("result_key", "answer", "key_prefix"))
+    // a missing root behaves the same (a sink that never committed)
+    assert(StreamIO.readContentAddressed(spark, s"$out/never-created", Some(ddl)).count() == 0)
+    // an empty micro-batch leaves b<id> with only _SUCCESS (partitionBy
+    // with zero rows writes no part files) — it must be skipped, not
+    // fed to the per-dir reader where schema inference would throw
+    val b0 = new java.io.File(s"$out/b0"); b0.mkdirs()
+    new java.io.File(b0, "_SUCCESS").createNewFile()
+    assert(StreamIO.readContentAddressed(spark, out, Some(ddl)).count() == 0)
+    // without a schema and nothing readable, the error names the problem
+    val ex = intercept[IllegalArgumentException](StreamIO.readContentAddressed(spark, out))
+    assert(ex.getMessage.contains("no batch directories"))
+    // a real batch beside the empty one reads fine and skips the empty
+    spark.range(2).selectExpr("concat('add-', id) AS result_key", "'1 + 1 = 2' AS answer",
+        "'0' AS key_prefix")
+      .write.parquet(s"$out/b1")
+    assert(StreamIO.readContentAddressed(spark, out, Some(ddl)).count() == 2)
+  }
+
   test("batched queue sink groups payloads into fixed-size send batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
