@@ -420,6 +420,7 @@ object SparkEntry {
     "dedup_paraphrase_lsh" -> ((s, d) => Dedup.paraphraseCandidatesLsh(Tables(s, d))),
     "contaminate_semantic" -> ((s, d) => Similarity.semanticContamination(Tables(s, d))),
     "dedup_semantic"       -> ((s, d) => Similarity.semanticDedup(Tables(s, d))),
+    "dedup_semantic_miss"  -> ((s, d) => Similarity.semanticMissAudit(Tables(s, d))),
     "embed_quantize"       -> ((s, d) => Similarity.quantizeInt8(Tables(s, d))),
     "pipeline_drift"       -> ((s, d) => Curation.versionDrift(Tables(s, d))),
     // C53: the drift monitor ONLINE — V2 docs stream in doc_id%4

@@ -1362,7 +1362,18 @@ object Dedup {
     */
   def despan(t: Tables, k: Int = 5): DataFrame = despanOn(t.documents, k)
 
-  def despanOn(documents: DataFrame, k: Int = 5): DataFrame = {
+  def despanOn(documents: DataFrame, k: Int = 5): DataFrame =
+    despanTextOn(documents, k)
+      .select(col("doc_id"), col("n_tokens"), col("n_cut"), md5(col("clean_text")).as("clean_hash"))
+      .orderBy("doc_id")
+
+  /** [[despanOn]] with the cleaned TEXT in the output instead of its
+    * md5 — the production variant a training pipeline actually writes
+    * (the gate hashes to avoid re-shipping 100 TB of strings; a
+    * corpus rewrite needs the strings). Same plan up to the final
+    * projection.
+    */
+  def despanTextOn(documents: DataFrame, k: Int = 5): DataFrame = {
     val wins = kgramWindows(documents, k)
     val stats = wins
       .groupBy("gh")
@@ -1382,14 +1393,11 @@ object Dedup {
       .agg(
         count(lit(1)).as("n_tokens"),
         sum(when(col("cut"), 1L).otherwise(0L)).as("n_cut"),
-        md5(
-          concat_ws(
-            " ",
-            expr("transform(array_sort(collect_list(CASE WHEN cut IS NULL THEN struct(pos, w) END)), s -> s.w)")
-          )
-        ).as("clean_hash")
+        concat_ws(
+          " ",
+          expr("transform(array_sort(collect_list(CASE WHEN cut IS NULL THEN struct(pos, w) END)), s -> s.w)")
+        ).as("clean_text")
       )
-      .orderBy("doc_id")
   }
 
   /** C54: shingle document-frequency PROFILE — the audit a dedup

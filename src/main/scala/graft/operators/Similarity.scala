@@ -645,6 +645,62 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** C57: SemDeDup cross-cell MISS audit — the number a user needs
+    * before choosing `cells`: [[semanticDedup]] only prunes pairs that
+    * land in the SAME k-means cell, so every exact-τ pair split across
+    * two cells is a duplicate the cluster prune silently keeps (the
+    * recall trade Abbas et al. measure). Per cell: vector count, exact
+    * pairs contained within it, and exact pairs crossing out of it
+    * (a crossing pair counts once at each endpoint cell — Σ within +
+    * Σ crossing / 2 = the full exact pair set, spec-asserted). A high
+    * crossing share says "use fewer cells or add a neighbor-cell
+    * probe"; near-zero says the cell count is safe.
+    *
+    * Ground truth comes from the existing exact C5 arm — one
+    * corpus-scale pair join at AUDIT SF (the audit runs on a sample /
+    * test slice to size `cells`; at 100 TB the exact arm is replaced
+    * by the C5 LSH candidates, understating misses only by LSH's own
+    * miss rate). Two keyed joins tag the pair ends with cells; all
+    * counts integer. rows-only in the gate (cell ids come from the
+    * k-means training — not SQL-expressible, C51's rule); the spec
+    * replays the classification exactly from semanticDedup's own cell
+    * output.
+    */
+  def semanticMissAudit(t: Tables, tau: Double = 0.4, cells: Int = IvfCells): DataFrame = {
+    val vecs  = vectors(t)
+    val cents = trainCentroids(trainSample(vecs), cells)
+    // checkpointed: feeds both pair-end joins and the per-cell census
+    val cellv = withCell(vecs, cents)
+      .select(col("vec_id"), col("cell").cast("long").as("cell"))
+      .localCheckpoint()
+    val tagged = graft.operators.Dedup
+      .embeddingCosine(t, tau)
+      .join(cellv.select(col("vec_id").as("id_a"), col("cell").as("cell_a")), Seq("id_a"))
+      .join(cellv.select(col("vec_id").as("id_b"), col("cell").as("cell_b")), Seq("id_b"))
+      .localCheckpoint()
+    val within = tagged
+      .filter(col("cell_a") === col("cell_b"))
+      .groupBy(col("cell_a").as("cell"))
+      .agg(count(lit(1)).as("pairs_within"))
+    val crossing = tagged
+      .filter(col("cell_a") =!= col("cell_b"))
+      .select(explode(array(col("cell_a"), col("cell_b"))).as("cell"))
+      .groupBy("cell")
+      .agg(count(lit(1)).as("pairs_crossing"))
+    cellv
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n_vectors"))
+      .join(within, Seq("cell"), "left")
+      .join(crossing, Seq("cell"), "left")
+      .select(
+        col("cell"),
+        col("n_vectors"),
+        coalesce(col("pairs_within"), lit(0L)).as("pairs_within"),
+        coalesce(col("pairs_crossing"), lit(0L)).as("pairs_crossing")
+      )
+      .orderBy("cell")
+  }
+
   /** C49: SEMANTIC decontamination — corpus vectors within cosine τ of
     * any held-out eval vector (vec_id % 41 == 0 stands in for the
     * benchmark embedding set), each with its strongest eval match.

@@ -533,6 +533,38 @@ class DedupSpec extends SparkSpecBase {
     assert(cRecall >= 0.9, f"clustered recall too low: $cRecall%.2f")
   }
 
+  test("despan fixed point: cleaned corpus round-trips the content store with zero cross-doc spans") {
+    // the property a user of span removal actually relies on: after
+    // cutting, no k-gram appears in two different documents — running
+    // the substring dedup again finds nothing cross-doc to remove.
+    // (Within-doc repeats in OWNER docs legitimately survive: the
+    // lowest doc keeps its text intact by policy.)
+    val k = 5
+    val cleaned = Dedup
+      .despanTextOn(tables.documents.select("doc_id", "text"), k)
+      .selectExpr("concat('doc-', doc_id) AS result_key", "clean_text AS payload")
+    val dir = java.nio.file.Files.createTempDirectory("despan-store").toString
+    cleaned.write.format("graft.sources.ContentStore").option("path", dir).mode("append").save()
+    def byDoc(rows: Array[org.apache.spark.sql.Row]): Map[Long, String] = rows
+      .map(r => r.getAs[String]("result_key").stripPrefix("doc-").toLong
+        -> r.getAs[String]("payload")).toMap
+    val back   = byDoc(spark.read.format("graft.sources.ContentStore").option("path", dir).load().collect())
+    val direct = byDoc(cleaned.collect())
+    assert(back == direct, "content-store round trip altered the cleaned corpus")
+    // driver-side cross-doc gram census over the round-tripped corpus
+    val docsPerGram = scala.collection.mutable.Map.empty[String, scala.collection.mutable.Set[Long]]
+    back.foreach { case (id, text) =>
+      val ws = text.split(" ", -1)
+      if (ws.length >= k)
+        (0 to ws.length - k).foreach { p =>
+          docsPerGram.getOrElseUpdate(ws.slice(p, p + k).mkString(" "), scala.collection.mutable.Set.empty) += id
+        }
+    }
+    val crossDoc = docsPerGram.filter(_._2.size >= 2)
+    assert(crossDoc.isEmpty,
+      s"cross-doc duplicated $k-grams survive despan: ${crossDoc.take(3).map { case (g, d) => (g, d.toSeq.sorted) }}")
+  }
+
   test("despan equals a driver-side replay; cuts stay inside reported spans; owners keep all") {
     val k = 5
     val docs = tables.documents.selectExpr("doc_id", "text").collect()

@@ -269,6 +269,34 @@ class SimilaritySpec extends SparkSpecBase {
     }
   }
 
+  test("semantic miss audit: per-cell classification replays exactly; pair mass conserved") {
+    val cellOf = graft.operators.Similarity.semanticDedup(tables).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val audit = graft.operators.Similarity.semanticMissAudit(tables).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(audit.nonEmpty)
+    // centroid training is deterministic, so the audit's cells are
+    // semanticDedup's cells — the per-cell vector census must agree
+    val expVectors = cellOf.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    assert(audit.view.mapValues(_._1).toMap == expVectors, "per-cell vector census diverges")
+    val exact = graft.operators.Dedup.embeddingCosine(tables).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val within   = exact.filter { case (a, b) => cellOf(a) == cellOf(b) }
+    val crossing = exact.filter { case (a, b) => cellOf(a) != cellOf(b) }
+    val expWithin = within.groupBy { case (a, _) => cellOf(a) }.view.mapValues(_.size.toLong).toMap
+    val expCross = crossing.flatMap { case (a, b) => Seq(cellOf(a), cellOf(b)) }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    audit.foreach { case (cell, (_, w, c)) =>
+      assert(w == expWithin.getOrElse(cell, 0L), s"cell $cell pairs_within $w")
+      assert(c == expCross.getOrElse(cell, 0L), s"cell $cell pairs_crossing $c")
+    }
+    // conservation: each exact pair appears once as within or twice as
+    // crossing endpoints — nothing dropped, nothing double-counted
+    assert(audit.values.map(_._2).sum == within.size.toLong)
+    assert(audit.values.map(_._3).sum == 2L * crossing.size)
+    info(s"exact pairs ${exact.length}: within-cell ${within.size}, crossing ${crossing.size}")
+  }
+
   test("int8 quantization: codes bounded, max component saturates, reconstruction within half-step") {
     val rows = graft.operators.Similarity.quantizeInt8(tables).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))

@@ -126,6 +126,7 @@ class SqlSurfaceSpec extends SparkSpecBase {
       "dedup_paraphrase_lsh",       // the same LSH candidates feeding the paraphrase pipeline
       "dedup_bloom_admission",      // bloom sketch layout
       "dedup_semantic",             // k-means cells aren't SQL-expressible
+      "dedup_semantic_miss",        // per-cell split of the exact pairs — same k-means cells
       "knn_lsh",                    // LSH ANN
       "knn_ivf",                    // IVF ANN
       "knn_ivfpq"                   // IVF-PQ ANN
