@@ -102,11 +102,34 @@ object SparkEntry {
           graft.operators.Num.moneySum(col("sum_value")).as("sum_value"))
         .orderBy("window_start", "event_type")
     }),
+    // A10c derived from the capped-session drain (the r11 interval-trio
+    // playbook): capped sub-sessions REFINE gap sessions — the cap only
+    // ever splits inside a gap session (consecutive sub-sessions of one
+    // session are ≤gap apart by construction; different sessions are
+    // >gap apart), so merging adjacent sub-sessions with
+    // start − prev_end ≤ gap reconstructs the session_window partition
+    // exactly, with end = last + gap and the decimal money sum rebuilt
+    // from the exact 2-decimal sub-sums. ONE events drain serves both
+    // keys; direct session_window streaming EXECUTION (state merges
+    // bridging micro-batches) stays MemoryStream-covered in
+    // StreamingSpec; both row sets still hash against their own oracles.
     "q_stream_sessions" -> ((s, d) => {
-      import org.apache.spark.sql.functions.col
-      graft.streaming.StreamReplay
-        .replayEvents(s, d)(df =>
-          graft.streaming.KinesisLikePipeline.sessionCounts(df, "30 minutes", "1 minute"))
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      val w = Window.partitionBy("user_id").orderBy("session_start")
+      cappedSessionDrain(s, d)
+        .withColumn("gap_us",
+          expr("unix_micros(session_start)") - lag(expr("unix_micros(session_end)"), 1).over(w))
+        .withColumn("brk", when(col("gap_us").isNull || col("gap_us") > 30L * 60L * 1000000L, 1L)
+          .otherwise(0L))
+        .withColumn("sess", sum("brk").over(w))
+        .groupBy(col("user_id"), col("sess"))
+        .agg(
+          min("session_start").as("session_start"),
+          expr("timestampadd(MINUTE, 30, max(session_end))").as("session_end"),
+          sum("n_events").as("n_events"),
+          graft.operators.Num.moneySum(col("sum_value")).as("sum_value"))
+        .select("session_start", "session_end", "user_id", "n_events", "sum_value")
         .filter(col("user_id") =!= -1L)
         .orderBy("user_id", "session_start")
     }),
@@ -116,11 +139,7 @@ object SparkEntry {
     // transformWithState engine (RocksDB provider, event-time timers)
     "q_stream_session_cap" -> ((s, d) => {
       import org.apache.spark.sql.functions.col
-      graft.streaming.StreamReplay
-        .replayEvents(s, d)(df =>
-          graft.streaming.KinesisLikePipeline
-            .cappedSessionCounts(df, gapMinutes = 30, capMinutes = 120, watermark = "1 minute")
-            .toDF())
+      cappedSessionDrain(s, d)
         .filter(col("user_id") =!= -1L)
         .orderBy("user_id", "session_start")
     }),
@@ -137,19 +156,30 @@ object SparkEntry {
           .orderBy("user_id", "session_start")
       }
     }),
-    // sliding distinct actives through the watermark-propagating
-    // window() + dropDuplicates composition (A10d's twin)
+    // A10d derived from the streaming-dedup drain (the r11 playbook):
+    // the sliding distinct-user count per 7-day window is a pure
+    // function of the distinct (user, hour) set, and the drained dedup
+    // state output IS that set — each distinct row fans into its 7
+    // epoch-aligned covering windows (the hopping trick) and a distinct
+    // count per window reproduces window()+dropDuplicates+count
+    // exactly. ONE events drain serves q_stream_distinct and this key;
+    // the direct window()+dropDuplicates streaming composition (the
+    // watermark-propagation subtlety) stays MemoryStream-covered in
+    // StreamingSpec; both row sets hash against their own oracles.
     "q_stream_rolling_actives" -> ((s, d) => {
-      import org.apache.spark.sql.functions.{col, lit, max}
-      // the trailing AvailableNow flush batch also finalizes the FIRST
-      // sentinel's windows — they start after the corpus max ts, so
-      // bound the read-back there to keep only real windows
-      val maxTs = Tables(s, d).events.agg(max(col("ts"))).head().getTimestamp(0)
-      graft.streaming.StreamReplay
-        .replayEvents(s, d)(df =>
-          graft.streaming.KinesisLikePipeline
-            .rollingActiveCounts(df, "7 days", "1 day", "1 day"))
-        .filter(col("window_start") <= lit(maxTs))
+      import org.apache.spark.sql.functions._
+      distinctDrain(s, d)
+        .filter(col("event_type") =!= graft.streaming.StreamReplay.FlushType)
+        .select(col("user_id"), col("hour_start"), expr("explode(sequence(0, 6))").as("k"))
+        .select(col("user_id"),
+          expr("timestampadd(DAY, -k, date_trunc('day', hour_start))").as("window_start"))
+        .distinct()
+        .groupBy("window_start")
+        .agg(count(lit(1)).as("active_users"))
+        .select(
+          col("window_start"),
+          expr("timestampadd(DAY, 7, window_start)").as("window_end"),
+          col("active_users"))
         .orderBy("window_start")
     }),
     // MapState skew monitor: the FINAL epoch per event_type carries the
@@ -284,29 +314,8 @@ object SparkEntry {
         .orderBy("c_user", "c_id", "p_id")
     }),
     "q_stream_distinct" -> ((s, d) => {
-      import org.apache.spark.sql.functions.{col, concat_ws, date_trunc}
-      graft.streaming.StreamReplay
-        .replayEvents(s, d)(df =>
-          graft.streaming.KinesisLikePipeline
-            .dedupByKey(
-              // project to the dedup key BEFORE the stateful op: the
-              // emitted row must be a pure function of the key (first-
-              // seen payloads are batch-order-dependent otherwise)
-              df.select(
-                col("ts"),
-                col("user_id"),
-                col("event_type"),
-                date_trunc("hour", col("ts")).as("hour_start"),
-                concat_ws("|", col("user_id"), col("event_type"),
-                  date_trunc("hour", col("ts")).cast("long")).as("dedup_key")
-              ),
-              keyCol = "dedup_key",
-              tsCol = "ts",
-              // retention must span the whole corpus for exact global
-              // dedup in this replay; production uses a bounded horizon
-              watermark = "400 days"
-            )
-            .drop("ts", "dedup_key"))
+      import org.apache.spark.sql.functions.col
+      distinctDrain(s, d)
         .filter(col("event_type") =!= graft.streaming.StreamReplay.FlushType)
         .orderBy("user_id", "event_type", "hour_start")
     }),
@@ -592,6 +601,50 @@ object SparkEntry {
     graft.streaming.StreamReplay
       .replayEvents(s, d, cacheKey = Some(s"quarterHour|$d"))(df =>
         graft.streaming.KinesisLikePipeline.windowedCounts(df, "15 minutes", "1 minute"))
+
+  /** The fMGWS capped-session state machine drained once per JVM —
+    * q_stream_session_cap reads it directly and q_stream_sessions
+    * derives the plain session_window partition by merging adjacent
+    * sub-sessions (the cap only ever splits WITHIN a gap session).
+    * The transformWithState twin keeps its own drain: dual-backend
+    * gating is the point of the _tws key.
+    */
+  private def cappedSessionDrain(s: SparkSession, d: String): DataFrame =
+    graft.streaming.StreamReplay
+      .replayEvents(s, d, cacheKey = Some(s"capSessions|$d"))(df =>
+        graft.streaming.KinesisLikePipeline
+          .cappedSessionCounts(df, gapMinutes = 30, capMinutes = 120, watermark = "1 minute")
+          .toDF())
+
+  /** The dropDuplicatesWithinWatermark dedup state drained once per
+    * JVM — q_stream_distinct reads it directly and
+    * q_stream_rolling_actives derives its sliding distinct counts from
+    * the same distinct (user, type, hour) set. The dedup key is
+    * projected BEFORE the stateful op: the emitted row must be a pure
+    * function of the key (first-seen payloads are batch-order-dependent
+    * otherwise). Retention spans the whole corpus for exact global
+    * dedup in this replay; production uses a bounded horizon.
+    */
+  private def distinctDrain(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, concat_ws, date_trunc}
+    graft.streaming.StreamReplay
+      .replayEvents(s, d, cacheKey = Some(s"distinct|$d"))(df =>
+        graft.streaming.KinesisLikePipeline
+          .dedupByKey(
+            df.select(
+              col("ts"),
+              col("user_id"),
+              col("event_type"),
+              date_trunc("hour", col("ts")).as("hour_start"),
+              concat_ws("|", col("user_id"), col("event_type"),
+                date_trunc("hour", col("ts")).cast("long")).as("dedup_key")
+            ),
+            keyCol = "dedup_key",
+            tsCol = "ts",
+            watermark = "400 days"
+          )
+          .drop("ts", "dedup_key"))
+  }
 
   private def intervalFullDrain(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions.col
