@@ -518,19 +518,21 @@ class DedupSpec extends SparkSpecBase {
       val text = (0 until 12).map(j => s"w${i}x$j").mkString(" ")
       (i.toLong, text, "en", "synthetic", text.length.toLong)
     }
-    val tmp = java.nio.file.Files.createTempDirectory("paraphrase_clustered").toString
-    embRows.toDF("vec_id", "embedding", "label").write.mode("overwrite")
-      .parquet(s"$tmp/embeddings.parquet")
-    docRows.toDF("doc_id", "text", "lang", "source", "n_chars").write.mode("overwrite")
-      .parquet(s"$tmp/documents.parquet")
-    val tc      = graft.sources.Tables(spark, tmp)
-    val cEx     = rows(Dedup.paraphraseCandidates(tc))
-    val cLsh    = rows(Dedup.paraphraseCandidatesLsh(tc))
-    assert(cEx.nonEmpty, "clustered fixture produced no paraphrase pairs")
-    assert((cLsh.keySet -- cEx.keySet).isEmpty)
-    val cRecall = (cEx.keySet & cLsh.keySet).size.toDouble / cEx.size
-    info(f"paraphrase LSH recall on the clustered fixture: $cRecall%.2f (${cEx.size} pairs)")
-    assert(cRecall >= 0.9, f"clustered recall too low: $cRecall%.2f")
+    val tmp = java.nio.file.Files.createTempDirectory("paraphrase_clustered")
+    try {
+      embRows.toDF("vec_id", "embedding", "label").write.mode("overwrite")
+        .parquet(s"$tmp/embeddings.parquet")
+      docRows.toDF("doc_id", "text", "lang", "source", "n_chars").write.mode("overwrite")
+        .parquet(s"$tmp/documents.parquet")
+      val tc      = graft.sources.Tables(spark, tmp.toString)
+      val cEx     = rows(Dedup.paraphraseCandidates(tc))
+      val cLsh    = rows(Dedup.paraphraseCandidatesLsh(tc))
+      assert(cEx.nonEmpty, "clustered fixture produced no paraphrase pairs")
+      assert((cLsh.keySet -- cEx.keySet).isEmpty)
+      val cRecall = (cEx.keySet & cLsh.keySet).size.toDouble / cEx.size
+      info(f"paraphrase LSH recall on the clustered fixture: $cRecall%.2f (${cEx.size} pairs)")
+      assert(cRecall >= 0.9, f"clustered recall too low: $cRecall%.2f")
+    } finally deleteTree(tmp)
   }
 
   test("despan fixed point: cleaned corpus round-trips the content store with zero cross-doc spans") {
@@ -543,26 +545,29 @@ class DedupSpec extends SparkSpecBase {
     val cleaned = Dedup
       .despanTextOn(tables.documents.select("doc_id", "text"), k)
       .selectExpr("concat('doc-', doc_id) AS result_key", "clean_text AS payload")
-    val dir = java.nio.file.Files.createTempDirectory("despan-store").toString
-    cleaned.write.format("graft.sources.ContentStore").option("path", dir).mode("append").save()
-    def byDoc(rows: Array[org.apache.spark.sql.Row]): Map[Long, String] = rows
-      .map(r => r.getAs[String]("result_key").stripPrefix("doc-").toLong
-        -> r.getAs[String]("payload")).toMap
-    val back   = byDoc(spark.read.format("graft.sources.ContentStore").option("path", dir).load().collect())
-    val direct = byDoc(cleaned.collect())
-    assert(back == direct, "content-store round trip altered the cleaned corpus")
-    // driver-side cross-doc gram census over the round-tripped corpus
-    val docsPerGram = scala.collection.mutable.Map.empty[String, scala.collection.mutable.Set[Long]]
-    back.foreach { case (id, text) =>
-      val ws = text.split(" ", -1)
-      if (ws.length >= k)
-        (0 to ws.length - k).foreach { p =>
-          docsPerGram.getOrElseUpdate(ws.slice(p, p + k).mkString(" "), scala.collection.mutable.Set.empty) += id
-        }
-    }
-    val crossDoc = docsPerGram.filter(_._2.size >= 2)
-    assert(crossDoc.isEmpty,
-      s"cross-doc duplicated $k-grams survive despan: ${crossDoc.take(3).map { case (g, d) => (g, d.toSeq.sorted) }}")
+    val dirP = java.nio.file.Files.createTempDirectory("despan-store")
+    try {
+      val dir = dirP.toString
+      cleaned.write.format("graft.sources.ContentStore").option("path", dir).mode("append").save()
+      def byDoc(rows: Array[org.apache.spark.sql.Row]): Map[Long, String] = rows
+        .map(r => r.getAs[String]("result_key").stripPrefix("doc-").toLong
+          -> r.getAs[String]("payload")).toMap
+      val back   = byDoc(spark.read.format("graft.sources.ContentStore").option("path", dir).load().collect())
+      val direct = byDoc(cleaned.collect())
+      assert(back == direct, "content-store round trip altered the cleaned corpus")
+      // driver-side cross-doc gram census over the round-tripped corpus
+      val docsPerGram = scala.collection.mutable.Map.empty[String, scala.collection.mutable.Set[Long]]
+      back.foreach { case (id, text) =>
+        val ws = text.split(" ", -1)
+        if (ws.length >= k)
+          (0 to ws.length - k).foreach { p =>
+            docsPerGram.getOrElseUpdate(ws.slice(p, p + k).mkString(" "), scala.collection.mutable.Set.empty) += id
+          }
+      }
+      val crossDoc = docsPerGram.filter(_._2.size >= 2)
+      assert(crossDoc.isEmpty,
+        s"cross-doc duplicated $k-grams survive despan: ${crossDoc.take(3).map { case (g, d) => (g, d.toSeq.sorted) }}")
+    } finally deleteTree(dirP)
   }
 
   test("despan equals a driver-side replay; cuts stay inside reported spans; owners keep all") {

@@ -718,4 +718,38 @@ class PlanSpec extends SparkSpecBase {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       s"all-pairs plan leaked in:\n$plan")
   }
+
+  test("paraphrase candidates: the exact arm is all-pairs BY DESIGN, the LSH arm never is") {
+    // the exact arm's a < b cosine self-join is the quadratic
+    // correctness baseline — it genuinely plans as a nested-loop join
+    val exact = executedPlanString(graft.operators.Dedup.embeddingCosine(tables))
+    assert(exact.contains("BroadcastNestedLoopJoin") || exact.contains("CartesianProduct"),
+      s"expected the documented all-pairs shape in the exact arm:\n$exact")
+    // the LSH candidate shape (shared by dedup_embedding_lsh and
+    // dedup_paraphrase_lsh's candidate stage) joins banded buckets on
+    // (table, bucket) — keyed shuffle-hash, cost ∝ Σ bucket², never n²
+    val lsh = executedPlanString(graft.operators.Dedup.embeddingCosineLsh(tables))
+    assert(lsh.contains("ShuffledHashJoin"),
+      s"banded candidates must join shuffle-hash on (tbl, bucket):\n$lsh")
+    assert(!lsh.contains("CartesianProduct") && !lsh.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs plan leaked into the LSH arm:\n$lsh")
+    // the shared back half (anti-join vs the text τ set + posting
+    // intersect) reads the checkpointed candidate list through keyed
+    // joins only — no pair-space blowup past the candidate stage
+    val para = executedPlanString(graft.operators.Dedup.paraphraseCandidatesLsh(tables))
+    assert(!para.contains("CartesianProduct") && !para.contains("BroadcastNestedLoopJoin"),
+      s"paraphrase back half leaked an all-pairs join:\n$para")
+  }
+
+  test("semantic miss audit: past the checkpointed tagged pairs, census joins are keyed only") {
+    // the ground-truth pair list is the exact C5 arm (all-pairs by
+    // design, same as the paraphrase baseline — asserted above); the
+    // AUDIT's own work past that checkpoint is the per-cell census and
+    // two tiny classification rollups joined back on the cell key
+    val plan = executedPlanString(graft.operators.Similarity.semanticMissAudit(tables))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"the audit's own stages must never form a pair space:\n$plan")
+    assert(plan.contains("ShuffledHashJoin") || plan.contains("BroadcastHashJoin") ||
+      plan.contains("SortMergeJoin"), s"census joins must be keyed:\n$plan")
+  }
 }

@@ -11,6 +11,19 @@ trait SparkSpecBase extends AnyFunSuite {
   lazy val spark: SparkSession = SparkSpecBase.session
   val sfDir: String            = "/root/testdata/sf0.001"
   def tables: Tables           = Tables(spark, sfDir)
+
+  /** Delete a spec-created temp tree (call in a finally — temp dirs
+    * outside StreamReplay's shutdown-cleaned root accumulate one per
+    * suite run otherwise).
+    */
+  def deleteTree(p: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      val files = java.nio.file.Files.walk(p)
+      try files.iterator().asScala.toSeq.reverseIterator
+        .foreach(f => java.nio.file.Files.deleteIfExists(f))
+      finally files.close()
+    }
 }
 
 object SparkSpecBase {
