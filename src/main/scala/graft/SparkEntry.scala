@@ -432,6 +432,7 @@ object SparkEntry {
     "dedup_semantic_miss"  -> ((s, d) => Similarity.semanticMissAudit(Tables(s, d))),
     "embed_quantize"       -> ((s, d) => Similarity.quantizeInt8(Tables(s, d))),
     "pipeline_drift"       -> ((s, d) => Curation.versionDrift(Tables(s, d))),
+    "pipeline_pad_audit"   -> ((s, d) => Curation.padAudit(Tables(s, d))),
     // C53: the drift monitor ONLINE — V2 docs stream in doc_id%4
     // micro-batches, each batch reduces to an epoch-stamped partial
     // histogram, and the drained partials assemble into the per-epoch
@@ -1947,6 +1948,25 @@ object SparkEntry {
         |  scale
         |FROM (SELECT vec_id, v, scale, unnest(generate_series(1, len(v))) AS i FROM m)
         |ORDER BY vec_id, dim""".stripMargin,
+    "pipeline_pad_audit" -> // padding-waste curve for equi-depth length-bucketed batching
+      """WITH h AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS len, count(*) AS cnt
+        |           FROM documents GROUP BY 1),
+        |t AS (SELECT sum(cnt) AS n FROM h),
+        |c AS (SELECT len, cnt,
+        |        coalesce(sum(cnt) OVER (ORDER BY len ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS lo
+        |      FROM h),
+        |e AS (
+        |  SELECT nb, b, len, cnt, lo, n,
+        |    greatest(0, least(lo + cnt, (n * (b + 1)) // nb) - greatest(lo, (n * b) // nb)) AS docs_in
+        |  FROM c, t, unnest([1, 2, 4, 8, 16]) AS u(nb), unnest(generate_series(0, 15)) AS v(b)
+        |  WHERE b < nb),
+        |p AS (SELECT nb, b, max(len) AS bucket_max, sum(docs_in) AS n_docs, sum(len * docs_in) AS real
+        |      FROM e WHERE docs_in > 0 GROUP BY 1, 2),
+        |s AS (SELECT nb, sum(bucket_max * n_docs) AS padded, sum(real) AS real FROM p GROUP BY 1)
+        |SELECT CAST(nb AS BIGINT) AS n_buckets, CAST(padded AS BIGINT) AS padded_tokens,
+        |  CAST(real AS BIGINT) AS real_tokens, CAST(padded - real AS BIGINT) AS waste_tokens,
+        |  CAST((CAST(padded - real AS HUGEINT) * 1000000) // CAST(padded AS HUGEINT) AS BIGINT) AS waste_ppm
+        |FROM s ORDER BY 1""".stripMargin,
     "pipeline_drift" -> // length-distribution drift between the two simulated corpus versions
       s"""WITH $simulatedVersionCtes,
         |h1 AS (SELECT CAST(floor(len(text) / 100) AS BIGINT) AS bucket, count(*) AS n FROM v1 GROUP BY 1),

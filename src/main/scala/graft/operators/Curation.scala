@@ -467,4 +467,82 @@ object Curation {
       )
       .orderBy("source", "bin_id")
   }
+
+  /** C58: padding-waste curve for length-bucketed batching — the audit
+    * behind the sequence-bucketing knob: a training batch pads every
+    * sequence in a bucket to the bucket's max length, so the cost of
+    * choosing B equi-depth length buckets is
+    * `waste(B) = Σ_b max_len(b)·n_docs(b) − Σ len` wasted pad tokens.
+    * One row per candidate B with (padded, real, waste, integer-ppm
+    * waste share) — the curve is provably non-increasing for doubling
+    * B (the ⌊n·b/B⌋ rank boundaries NEST when B doubles, so finer
+    * buckets refine coarser ones; spec-asserted).
+    *
+    * Scale shape: the corpus collapses to a per-length histogram in
+    * ONE partial-agg'd shuffle (output = length domain — C24's
+    * bounded-domain rule); everything after runs on histogram × 16
+    * rows. Equi-depth WITHOUT per-doc ranks: docs of length L occupy
+    * the rank interval (cum_before, cum_before + cnt], bucket b of B
+    * covers ranks (⌊n·b/B⌋, ⌊n·(b+1)/B⌋], and the per-(length, bucket)
+    * doc count is the integer interval overlap — no global sort, no
+    * row_number, exact at any scale. The ppm share follows the C48
+    * discipline: Decimal(38,0) cross-multiplication with
+    * num − (num mod den) floor division (waste·10⁶ overflows a Long
+    * past ~9·10¹² padded tokens).
+    */
+  def padAudit(t: Tables, maxBuckets: Int = 16): DataFrame = {
+    val dec = "decimal(38,0)"
+    // tiny: |length domain| rows; checkpointed because both the total
+    // and the cumulative read it (two references would re-scan the
+    // corpus — the round-6 column-pruning finding)
+    val hist = t.documents
+      .select(size(split(col("text"), " ")).cast("long").as("len"))
+      .groupBy("len")
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val total = hist.agg(sum("cnt").as("n"))
+    val wLen = Window
+      .orderBy("len")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val exploded = hist
+      .withColumn("lo", coalesce(sum("cnt").over(wLen), lit(0L)))
+      .crossJoin(broadcast(total))
+      // candidate bucket counts 1,2,4,8,16 × bucket index, cross-form
+      // so the oracle's unnest mirrors it exactly
+      .withColumn("nb", explode(typedLit(Seq.iterate(1L, 5)(_ * 2).takeWhile(_ <= maxBuckets))))
+      .withColumn("b", explode(expr(s"sequence(0L, ${maxBuckets - 1}L)")))
+      .filter(col("b") < col("nb"))
+      .withColumn(
+        "docs_in",
+        greatest(
+          lit(0L),
+          least(col("lo") + col("cnt"), expr("n * (b + 1) div nb")) -
+            greatest(col("lo"), expr("n * b div nb"))
+        )
+      )
+      .filter(col("docs_in") > 0)
+    exploded
+      .groupBy("nb", "b")
+      .agg(
+        max("len").as("bucket_max"),
+        sum("docs_in").as("n_docs"),
+        sum(col("len") * col("docs_in")).as("real")
+      )
+      .groupBy("nb")
+      .agg(
+        sum(col("bucket_max") * col("n_docs")).as("padded_tokens"),
+        sum("real").as("real_tokens")
+      )
+      .withColumn("waste_tokens", col("padded_tokens") - col("real_tokens"))
+      .withColumn("num", (col("waste_tokens").cast(dec) * lit(1000000L).cast(dec)).cast(dec))
+      .withColumn("den", col("padded_tokens").cast(dec))
+      .select(
+        col("nb").as("n_buckets"),
+        col("padded_tokens"),
+        col("real_tokens"),
+        col("waste_tokens"),
+        ((col("num") - (col("num") % col("den"))) / col("den")).cast("long").as("waste_ppm")
+      )
+      .orderBy("n_buckets")
+  }
 }

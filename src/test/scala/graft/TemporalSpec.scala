@@ -297,6 +297,39 @@ class TemporalSpec extends SparkSpecBase {
     }
   }
 
+  test("pad audit equals a BigInt replay; doubling buckets never increases waste") {
+    val lens = tables.documents.selectExpr("size(split(text, ' ')) AS n").collect()
+      .map(_.getInt(0).toLong).sorted
+    val n = BigInt(lens.length)
+    def replay(nb: Long): (BigInt, BigInt) = {
+      // bucket b covers sorted ranks (⌊n·b/nb⌋, ⌊n·(b+1)/nb⌋]
+      val buckets = (0L until nb).map { b =>
+        val lo = (n * b / nb).toInt
+        val hi = (n * (b + 1) / nb).toInt
+        lens.slice(lo, hi)
+      }.filter(_.nonEmpty)
+      val padded = buckets.map(bs => BigInt(bs.max) * bs.length).sum
+      val real   = buckets.map(bs => bs.map(BigInt(_)).sum).sum
+      (padded, real)
+    }
+    val got = Curation.padAudit(tables).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got.keySet == Set(1L, 2L, 4L, 8L, 16L))
+    got.foreach { case (nb, (padded, real, waste, ppm)) =>
+      val (ep, er) = replay(nb)
+      assert(BigInt(padded) == ep && BigInt(real) == er, s"B=$nb: ($padded,$real) vs ($ep,$er)")
+      assert(waste == padded - real)
+      assert(BigInt(ppm) == BigInt(waste) * 1000000 / BigInt(padded), s"B=$nb ppm")
+    }
+    // the ⌊n·b/B⌋ boundaries NEST when B doubles, so finer buckets
+    // refine coarser ones — waste is non-increasing along the curve
+    Seq(1L, 2L, 4L, 8L).foreach { nb =>
+      assert(got(nb * 2)._3 <= got(nb)._3, s"waste grew doubling B=$nb")
+    }
+    // conservation: every doc padded exactly once
+    got.values.foreach { case (_, real, _, _) => assert(BigInt(real) == lens.map(BigInt(_)).sum) }
+  }
+
   test("z-order files bound BOTH dimensions (the skipping guarantee a 1-D sort can't give)") {
     val df    = graft.operators.Layout.zorderLayout(tables)
     val files = df.collect()
