@@ -20,6 +20,27 @@ class StreamingSpec extends SparkSpecBase {
   private def envelope(n1: Long, n2: Long): String =
     Base64.getEncoder.encodeToString(s"""{"Num1":$n1,"Num2":$n2}""".getBytes("UTF-8"))
 
+  test("corpus canary: no same-user adjacency at exactly the session gap, at any SF") {
+    // q_stream_sessions derives from the capped-session drain, and the
+    // two session conventions differ ONLY at an exact-30-minute
+    // adjacency (session_window splits at >= gap, the cap machine
+    // merges at <= gap). No such adjacency exists at any SF today — if
+    // regenerated testdata ever introduces one, THIS names the cause
+    // instead of leaving a bare hash mismatch on the gate key.
+    import org.apache.spark.sql.expressions.Window
+    for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
+      val w = Window.partitionBy("user_id").orderBy("ts")
+      val n = graft.sources.Tables(spark, s"/root/testdata/$sf").events
+        .select(col("user_id"), col("ts"))
+        .withColumn("delta_us",
+          expr("unix_micros(ts)") - lag(expr("unix_micros(ts)"), 1).over(w))
+        .filter(col("delta_us") === 30L * 60L * 1000000L)
+        .count()
+      assert(n == 0L,
+        s"$sf has $n exact-gap adjacencies — the q_stream_sessions drain derivation is no longer exact")
+    }
+  }
+
   test("envelope decode → adder answers flow through a streaming query") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
