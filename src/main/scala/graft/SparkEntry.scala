@@ -452,6 +452,7 @@ object SparkEntry {
     "pipeline_snapshot_diff" -> ((s, d) => Curation.snapshotDiff(Tables(s, d))),
     "dedup_incremental"    -> ((s, d) => Dedup.incrementalDedup(Tables(s, d))),
     "text_bpe_merges"      -> ((s, d) => TextOps.bpeMergeCandidates(Tables(s, d))),
+    "text_bpe_apply"       -> ((s, d) => TextOps.bpeApply(Tables(s, d))),
     "text_length_gate"     -> ((s, d) => TextOps.lengthPercentileGate(Tables(s, d))),
     "q_asof_forward"       -> ((s, d) => Temporal.asofNextClick(Tables(s, d))),
     "q_hopping_window"     -> ((s, d) => EventOps.hoppingWindow(Tables(s, d))),
@@ -2060,6 +2061,41 @@ object SparkEntry {
         |FROM pairs
         |ORDER BY pair_count DESC, pair ASC
         |LIMIT ${TextOps.BpeTopK}""".stripMargin,
+    "text_bpe_apply" -> // compression curve from applying the C23 merge table (wrapped-token replace)
+      s"""WITH RECURSIVE
+        |v AS (
+        |  SELECT w, count(*) AS cnt
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  WHERE w <> '' GROUP BY 1),
+        |mp AS (
+        |  SELECT substr(w, CAST(i AS INT), 2) AS pair, sum(cnt) AS pair_count
+        |  FROM v, unnest(generate_series(1, len(w) - 1)) AS t(i)
+        |  WHERE len(w) >= 2 GROUP BY 1),
+        |m AS (
+        |  SELECT pair, row_number() OVER (ORDER BY pair_count DESC, pair ASC) AS rnk
+        |  FROM (SELECT pair, pair_count FROM mp
+        |        ORDER BY pair_count DESC, pair ASC LIMIT ${TextOps.BpeTopK})),
+        |enc AS (
+        |  SELECT w, cnt, len(w) AS nchar,
+        |    chr(31) || array_to_string(list_transform(range(1, len(w) + 1), i -> w[CAST(i AS INT)]), chr(31)||chr(31)) || chr(31) AS s
+        |  FROM v),
+        |ap AS (
+        |  SELECT w, cnt, nchar, s, 0 AS r FROM enc
+        |  UNION ALL
+        |  SELECT ap.w, ap.cnt, ap.nchar,
+        |    replace(ap.s,
+        |      chr(31)||substr(m.pair, 1, 1)||chr(31)||chr(31)||substr(m.pair, 2, 1)||chr(31),
+        |      chr(31)||m.pair||chr(31)),
+        |    ap.r + 1
+        |  FROM ap JOIN m ON m.rnk = ap.r + 1
+        |  WHERE ap.r < ${TextOps.BpeTopK}),
+        |tok AS (
+        |  SELECT r, cnt, nchar, (len(s) - len(replace(s, chr(31), ''))) // 2 AS ntok
+        |  FROM ap WHERE r IN (0, 10, 25, 50))
+        |SELECT CAST(r AS BIGINT) AS n_merges,
+        |  CAST(sum(cnt * ntok) AS BIGINT) AS corpus_tokens,
+        |  CAST(sum(cnt * nchar) AS BIGINT) AS corpus_chars
+        |FROM tok GROUP BY 1 ORDER BY 1""".stripMargin,
     "text_length_gate" -> // exact percentile_disc threshold via per-value histogram + running sum
       """WITH h AS (SELECT n_chars, count(*) AS c FROM documents GROUP BY 1),
         |cdf AS (

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.sources.Tables
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -392,6 +392,72 @@ object TextOps {
       .agg(sum("cnt").as("pair_count"))
       .orderBy(col("pair_count").desc, col("pair").asc)
       .limit(k)
+  }
+
+  /** C59: APPLY the learned BPE merge table — the other half of
+    * tokenizer induction (C23 learns the merges; a tokenizer is only
+    * real once the corpus is re-tokenized with them). For each merge
+    * budget K ∈ {0, 10, 25, 50}: the corpus token count after applying
+    * the first K merges in rank order, beside the raw char count — the
+    * compression curve that says how many merges the tokenizer needs
+    * (K=0 is char-level, so corpus_tokens == corpus_chars there;
+    * token counts are provably non-increasing in K, spec-asserted).
+    *
+    * Application is UDF-free: each word encodes as separator-WRAPPED
+    * tokens (`␟c₁␟␟c₂␟…` — every token delimited on BOTH sides, so a
+    * literal `replace` of `␟a␟␟b␟` → `␟ab␟` matches exactly at token
+    * boundaries: partial-token prefixes can't false-match and adjacent
+    * pair occurrences don't overlap, reproducing BPE's leftmost
+    * non-overlapping merge order), and the K-budget chains share
+    * prefixes in ONE projection (s₁₀ extends s₀, s₂₅ extends s₁₀ …) —
+    * all codegen'd string functions over the DISTINCT-WORD table
+    * (C23's trick: corpus-sized shuffle to vocab once, then vocab-sized
+    * map work), one tiny aggregate, stack to the 4-row curve. The
+    * merge table is a bounded driver-side collect (50 rows — the IVF
+    * centroid precedent); ranks are integer-exact (count desc, pair
+    * asc), so the oracle's recursive-CTE application walks the
+    * identical table.
+    */
+  def bpeApply(t: Tables, k: Int = BpeTopK): DataFrame = {
+    val sep = "\u001f" // unit separator — never occurs in corpus text
+    // rank-ordered merge table; each pair is two chars (C23's shape)
+    val merges: Seq[String] =
+      bpeMergeCandidates(t, k).collect().map(_.getString(0)).toSeq
+    require(merges.forall(p => p.length == 2 && !p.contains(sep)), "malformed merge table")
+    def step(s: Column, pair: String): Column = {
+      val (a, b) = (pair.substring(0, 1), pair.substring(1, 2))
+      call_function("replace", s, lit(s"$sep$a$sep$sep$b$sep"), lit(s"$sep$pair$sep"))
+    }
+    val budgets = Seq(0, 10, 25, 50).filter(_ <= merges.length)
+    val encoded =
+      concat(lit(sep), array_join(split(col("w"), ""), sep + sep), lit(sep))
+    // incremental chains: each budget's column extends the previous one,
+    // so the 4 token counts share their replace prefixes in ONE projection
+    val chains: Seq[(Int, Column)] = budgets.tail.scanLeft(budgets.head -> encoded) {
+      case ((prevK, prevS), curK) => curK -> merges.slice(prevK, curK).foldLeft(prevS)(step)
+    }
+    def ntok(s: Column): Column =
+      ((length(s) - length(call_function("replace", s, lit(sep), lit("")))) / 2).cast("long")
+    val one = t.documents
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w")
+      .agg(count(lit(1)).as("cnt"))
+      .select(
+        col("cnt") +: length(col("w")).cast("long").as("nchar") +:
+          chains.map { case (kk, s) => ntok(s).as(s"tok$kk") }: _*
+      )
+      .agg(
+        sum(col("cnt") * col("nchar")).as("corpus_chars"),
+        chains.map { case (kk, _) => sum(col("cnt") * col(s"tok$kk")).as(s"t$kk") }: _*
+      )
+    val stackArgs = chains.map { case (kk, _) => s"${kk}L, t$kk" }.mkString(", ")
+    one
+      .select(
+        expr(s"stack(${chains.length}, $stackArgs) AS (n_merges, corpus_tokens)"),
+        col("corpus_chars")
+      )
+      .orderBy("n_merges")
   }
 
   /** Corpus-relative length gate: keep documents at or above the q-th

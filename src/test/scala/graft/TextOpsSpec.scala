@@ -187,6 +187,43 @@ class TextOpsSpec extends SparkSpecBase {
     assert(got.length == TextOps.BpeTopK)
   }
 
+  test("BPE apply equals a token-level driver replay; compression monotone in merge budget") {
+    // independent validation of the wrapped-separator replace trick:
+    // replay merge application at the TOKEN level (leftmost
+    // non-overlapping pair merge per rank) and demand identical counts
+    val merges = TextOps.bpeMergeCandidates(tables).collect().map(_.getString(0)).toSeq
+    val words = tables.documents.selectExpr("explode(split(text, ' ')) AS w").collect()
+      .map(_.getString(0)).filter(_.nonEmpty)
+    def tokensAfter(w: String, k: Int): Int = {
+      var toks = w.map(_.toString).toVector
+      merges.take(k).foreach { pair =>
+        val (a, b) = (pair.substring(0, 1), pair.substring(1, 2))
+        val out    = Vector.newBuilder[String]
+        var i      = 0
+        while (i < toks.length) {
+          if (i + 1 < toks.length && toks(i) == a && toks(i + 1) == b) { out += pair; i += 2 }
+          else { out += toks(i); i += 1 }
+        }
+        toks = out.result()
+      }
+      toks.length
+    }
+    val chars = words.map(_.length.toLong).sum
+    val expected = Seq(0, 10, 25, 50)
+      .map(k => k.toLong -> words.map(w => tokensAfter(w, k).toLong).sum).toMap
+    val got = TextOps.bpeApply(tables).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got.keySet == expected.keySet)
+    got.foreach { case (k, (tok, ch)) =>
+      assert(ch == chars, s"K=$k chars $ch vs $chars")
+      assert(tok == expected(k), s"K=$k tokens $tok vs ${expected(k)}")
+    }
+    assert(got(0L)._1 == chars, "zero merges must be char-level")
+    Seq(0L -> 10L, 10L -> 25L, 25L -> 50L).foreach { case (a, b) =>
+      assert(got(b)._1 <= got(a)._1, s"token count grew from K=$a to K=$b")
+    }
+  }
+
   test("length percentile gate keeps exactly the docs at/above the exact p75 of n_chars") {
     val lens = tables.documents.select("doc_id", "n_chars").collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Number]("n_chars").longValue())
