@@ -741,6 +741,28 @@ class PlanSpec extends SparkSpecBase {
       s"paraphrase back half leaked an all-pairs join:\n$para")
   }
 
+  test("pad audit: one corpus scan to the histogram; everything after runs on histogram rows") {
+    val plan = executedPlanString(graft.operators.Curation.padAudit(tables))
+    // the length histogram is checkpointed, so the executed plan reads
+    // materialized histogram rows — the corpus never reappears
+    assert(!plan.contains("FileScan"),
+      s"pad audit must not re-scan the corpus past the histogram:\n$plan")
+    // the single-row total broadcasts back (the B48 one-row-BNLJ
+    // precedent); a real pair-space CartesianProduct must never appear
+    assert(!plan.contains("CartesianProduct"),
+      s"pad audit formed a cartesian pair space:\n$plan")
+  }
+
+  test("bpe apply: corpus shuffles to vocab once; merge chains are map-side string work") {
+    val plan = executedPlanString(graft.operators.TextOps.bpeApply(tables))
+    // one corpus scan feeds the vocab aggregate (the merge-table scan
+    // happens driver-side before the plan); all replace chains sit in
+    // a projection over the vocab — no join, no second wide shuffle
+    val scans = "FileScan".r.findAllIn(plan).length
+    assert(scans == 1, s"expected one corpus scan for the vocab, saw $scans:\n$plan")
+    assert(!plan.contains("Join"), s"merge application must be join-free:\n$plan")
+  }
+
   test("semantic miss audit: past the checkpointed tagged pairs, census joins are keyed only") {
     // the ground-truth pair list is the exact C5 arm (all-pairs by
     // design, same as the paraphrase baseline — asserted above); the
