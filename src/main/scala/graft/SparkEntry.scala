@@ -453,6 +453,7 @@ object SparkEntry {
     "dedup_incremental"    -> ((s, d) => Dedup.incrementalDedup(Tables(s, d))),
     "text_bpe_merges"      -> ((s, d) => TextOps.bpeMergeCandidates(Tables(s, d))),
     "text_bpe_apply"       -> ((s, d) => TextOps.bpeApply(Tables(s, d))),
+    "text_vocab_coverage"  -> ((s, d) => TextOps.vocabCoverage(Tables(s, d))),
     "text_length_gate"     -> ((s, d) => TextOps.lengthPercentileGate(Tables(s, d))),
     "q_asof_forward"       -> ((s, d) => Temporal.asofNextClick(Tables(s, d))),
     "q_hopping_window"     -> ((s, d) => EventOps.hoppingWindow(Tables(s, d))),
@@ -2096,6 +2097,46 @@ object SparkEntry {
         |  CAST(sum(cnt * ntok) AS BIGINT) AS corpus_tokens,
         |  CAST(sum(cnt * nchar) AS BIGINT) AS corpus_chars
         |FROM tok GROUP BY 1 ORDER BY 1""".stripMargin,
+    "text_vocab_coverage" -> // OOV curve over the post-merge token inventory (the vocab-size knob)
+      s"""WITH RECURSIVE
+        |v AS (
+        |  SELECT w, count(*) AS cnt
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  WHERE w <> '' GROUP BY 1),
+        |mp AS (
+        |  SELECT substr(w, CAST(i AS INT), 2) AS pair, sum(cnt) AS pair_count
+        |  FROM v, unnest(generate_series(1, len(w) - 1)) AS t(i)
+        |  WHERE len(w) >= 2 GROUP BY 1),
+        |m AS (
+        |  SELECT pair, row_number() OVER (ORDER BY pair_count DESC, pair ASC) AS rnk
+        |  FROM (SELECT pair, pair_count FROM mp
+        |        ORDER BY pair_count DESC, pair ASC LIMIT ${TextOps.BpeTopK})),
+        |enc AS (
+        |  SELECT w, cnt,
+        |    chr(31) || array_to_string(list_transform(range(1, len(w) + 1), i -> w[CAST(i AS INT)]), chr(31)||chr(31)) || chr(31) AS s
+        |  FROM v),
+        |ap AS (
+        |  SELECT w, cnt, s, 0 AS r FROM enc
+        |  UNION ALL
+        |  SELECT ap.w, ap.cnt,
+        |    replace(ap.s,
+        |      chr(31)||substr(m.pair, 1, 1)||chr(31)||chr(31)||substr(m.pair, 2, 1)||chr(31),
+        |      chr(31)||m.pair||chr(31)),
+        |    ap.r + 1
+        |  FROM ap JOIN m ON m.rnk = ap.r + 1
+        |  WHERE ap.r < ${TextOps.BpeTopK}),
+        |tokf AS (
+        |  SELECT cnt, unnest(string_split(substr(s, 2, len(s) - 2), chr(31)||chr(31))) AS token
+        |  FROM ap WHERE r = ${TextOps.BpeTopK}),
+        |inv AS (SELECT token, sum(cnt) AS c FROM tokf GROUP BY 1),
+        |rk AS (SELECT token, c, row_number() OVER (ORDER BY c DESC, token ASC) AS rnk FROM inv),
+        |tot AS (SELECT sum(c) AS total FROM inv),
+        |cov AS (SELECT vv, sum(c) AS covered
+        |        FROM rk, unnest([4, 16, 64, 256]) AS u(vv) WHERE rnk <= vv GROUP BY 1)
+        |SELECT CAST(vv AS BIGINT) AS vocab_size, CAST(covered AS BIGINT) AS tokens_covered,
+        |  CAST(total AS BIGINT) AS total_tokens,
+        |  CAST((CAST(total - covered AS HUGEINT) * 1000000) // CAST(total AS HUGEINT) AS BIGINT) AS oov_ppm
+        |FROM cov, tot ORDER BY 1""".stripMargin,
     "text_length_gate" -> // exact percentile_disc threshold via per-value histogram + running sum
       """WITH h AS (SELECT n_chars, count(*) AS c FROM documents GROUP BY 1),
         |cdf AS (

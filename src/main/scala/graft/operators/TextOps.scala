@@ -418,31 +418,58 @@ object TextOps {
     * asc), so the oracle's recursive-CTE application walks the
     * identical table.
     */
-  def bpeApply(t: Tables, k: Int = BpeTopK): DataFrame = {
-    val sep = "\u001f" // unit separator — never occurs in corpus text
-    // rank-ordered merge table; each pair is two chars (C23's shape)
-    val merges: Seq[String] =
-      bpeMergeCandidates(t, k).collect().map(_.getString(0)).toSeq
-    require(merges.forall(p => p.length == 2 && !p.contains(sep)), "malformed merge table")
-    def step(s: Column, pair: String): Column = {
-      val (a, b) = (pair.substring(0, 1), pair.substring(1, 2))
-      call_function("replace", s, lit(s"$sep$a$sep$sep$b$sep"), lit(s"$sep$pair$sep"))
-    }
-    val budgets = Seq(0, 10, 25, 50).filter(_ <= merges.length)
-    val encoded =
-      concat(lit(sep), array_join(split(col("w"), ""), sep + sep), lit(sep))
-    // incremental chains: each budget's column extends the previous one,
-    // so the 4 token counts share their replace prefixes in ONE projection
-    val chains: Seq[(Int, Column)] = budgets.tail.scanLeft(budgets.head -> encoded) {
-      case ((prevK, prevS), curK) => curK -> merges.slice(prevK, curK).foldLeft(prevS)(step)
-    }
-    def ntok(s: Column): Column =
-      ((length(s) - length(call_function("replace", s, lit(sep), lit("")))) / 2).cast("long")
-    val one = t.documents
+  /** Unit separator for the wrapped-token BPE encoding — never occurs
+    * in corpus text.
+    */
+  private val BpeSep = "\u001f"
+
+  /** Rank-ordered merge table (bounded 50-row driver collect — the IVF
+    * centroid precedent). Shared by [[bpeApply]] and [[vocabCoverage]]
+    * so both walk the identical table the C23 oracle ranks.
+    */
+  private def mergeTable(t: Tables, k: Int): Seq[String] = {
+    val merges = bpeMergeCandidates(t, k).collect().map(_.getString(0)).toSeq
+    require(merges.forall(p => p.length == 2 && !p.contains(BpeSep)), "malformed merge table")
+    merges
+  }
+
+  /** One merge application on a wrapped-token string: both-side
+    * delimiting makes the literal replace match exactly at token
+    * boundaries (no partial-token false matches; adjacent pair
+    * occurrences are non-overlapping = BPE's leftmost order).
+    */
+  private def bpeStep(s: Column, pair: String): Column = {
+    val (a, b) = (pair.substring(0, 1), pair.substring(1, 2))
+    call_function("replace", s,
+      lit(s"$BpeSep$a$BpeSep$BpeSep$b$BpeSep"), lit(s"$BpeSep$pair$BpeSep"))
+  }
+
+  /** A word column encoded as separator-wrapped single-char tokens. */
+  private def bpeEncoded: Column =
+    concat(lit(BpeSep), array_join(split(col("w"), ""), BpeSep + BpeSep), lit(BpeSep))
+
+  /** Non-empty corpus words with frequencies — the distinct-word table
+    * all BPE work runs on (corpus-sized shuffle to vocab once).
+    */
+  private def wordCounts(t: Tables): DataFrame =
+    t.documents
       .select(explode(split(col("text"), " ")).as("w"))
       .filter(col("w") =!= "")
       .groupBy("w")
       .agg(count(lit(1)).as("cnt"))
+
+  def bpeApply(t: Tables, k: Int = BpeTopK): DataFrame = {
+    val sep     = BpeSep
+    val merges  = mergeTable(t, k)
+    val budgets = Seq(0, 10, 25, 50).filter(_ <= merges.length)
+    // incremental chains: each budget's column extends the previous one,
+    // so the 4 token counts share their replace prefixes in ONE projection
+    val chains: Seq[(Int, Column)] = budgets.tail.scanLeft(budgets.head -> bpeEncoded) {
+      case ((prevK, prevS), curK) => curK -> merges.slice(prevK, curK).foldLeft(prevS)(bpeStep)
+    }
+    def ntok(s: Column): Column =
+      ((length(s) - length(call_function("replace", s, lit(sep), lit("")))) / 2).cast("long")
+    val one = wordCounts(t)
       .select(
         col("cnt") +: length(col("w")).cast("long").as("nchar") +:
           chains.map { case (kk, s) => ntok(s).as(s"tok$kk") }: _*
@@ -458,6 +485,52 @@ object TextOps {
         col("corpus_chars")
       )
       .orderBy("n_merges")
+  }
+
+  /** C60: token-frequency / OOV coverage curve over the post-merge
+    * token inventory — the vocab-size knob beside [[bpeApply]]'s merge
+    * budget: after the full merge table applies, how much of the
+    * corpus do the top-V most frequent tokens cover, for V ∈
+    * {4, 16, 64, 256}? The inventory is structurally bounded at
+    * |alphabet| + |merge table| distinct tokens (every merge adds one
+    * token), so the ranking, running coverage, and the final curve all
+    * run on a ≤~120-row frame no matter the corpus size — the corpus
+    * touches only the one word-count shuffle shared with bpeApply.
+    * OOV is reported in exact integer ppm (the C48 Decimal(38,0)
+    * floor-division discipline — covered·10⁶ overflows a Long past
+    * ~9·10¹² tokens).
+    */
+  def vocabCoverage(t: Tables, k: Int = BpeTopK, vs: Seq[Int] = Seq(4, 16, 64, 256)): DataFrame = {
+    val dec    = "decimal(38,0)"
+    val merges = mergeTable(t, k)
+    val full   = merges.foldLeft(bpeEncoded)(bpeStep)
+    // explode the final token strings; inventory ≤ alphabet + merges
+    val inv = wordCounts(t)
+      .select(col("cnt"), full.as("s"))
+      .select(col("cnt"),
+        explode(split(expr("substring(s, 2, length(s) - 2)"), BpeSep + BpeSep)).as("token"))
+      .groupBy("token")
+      .agg(sum("cnt").as("c"))
+      .localCheckpoint() // total + ranked coverage both read it
+    val wRank = Window.orderBy(col("c").desc, col("token").asc)
+    val total = inv.agg(sum("c").as("total"))
+    inv
+      .withColumn("rnk", row_number().over(wRank))
+      .withColumn("v", explode(typedLit(vs.map(_.toLong))))
+      .filter(col("rnk") <= col("v"))
+      .groupBy("v")
+      .agg(sum("c").as("tokens_covered"))
+      .crossJoin(broadcast(total))
+      .withColumn("num",
+        ((col("total") - col("tokens_covered")).cast(dec) * lit(1000000L).cast(dec)).cast(dec))
+      .withColumn("den", col("total").cast(dec))
+      .select(
+        col("v").as("vocab_size"),
+        col("tokens_covered"),
+        col("total").as("total_tokens"),
+        ((col("num") - (col("num") % col("den"))) / col("den")).cast("long").as("oov_ppm")
+      )
+      .orderBy("vocab_size")
   }
 
   /** Corpus-relative length gate: keep documents at or above the q-th

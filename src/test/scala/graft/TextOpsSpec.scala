@@ -224,6 +224,44 @@ class TextOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("vocab coverage equals a token-level replay; total matches the K=50 apply count") {
+    val merges = TextOps.bpeMergeCandidates(tables).collect().map(_.getString(0)).toSeq
+    val words = tables.documents.selectExpr("explode(split(text, ' ')) AS w").collect()
+      .map(_.getString(0)).filter(_.nonEmpty)
+    def tokensOf(w: String): Vector[String] = {
+      var toks = w.map(_.toString).toVector
+      merges.foreach { pair =>
+        val (a, b) = (pair.substring(0, 1), pair.substring(1, 2))
+        val out    = Vector.newBuilder[String]
+        var i      = 0
+        while (i < toks.length) {
+          if (i + 1 < toks.length && toks(i) == a && toks(i + 1) == b) { out += pair; i += 2 }
+          else { out += toks(i); i += 1 }
+        }
+        toks = out.result()
+      }
+      toks
+    }
+    val inv = words.flatMap(tokensOf).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    // structural bound: every merge adds at most one token kind
+    val alphabet = words.flatMap(_.toSeq).toSet.size
+    assert(inv.size <= alphabet + merges.length,
+      s"inventory ${inv.size} exceeds alphabet $alphabet + ${merges.length} merges")
+    val ranked = inv.toSeq.sortBy { case (tok, c) => (-c, tok) }
+    val total  = inv.values.sum
+    val expected = Seq(4, 16, 64, 256).map { v =>
+      val covered = ranked.take(v).map(_._2).sum
+      v.toLong -> ((covered, total, BigInt(total - covered) * 1000000 / BigInt(total)))
+    }.toMap
+    val got = TextOps.vocabCoverage(tables).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), BigInt(r.getLong(3))))).toMap
+    assert(got == expected, s"got=$got expected=$expected")
+    // cross-op consistency: the coverage total IS bpeApply's K=50 count
+    val applyK50 = TextOps.bpeApply(tables).collect()
+      .collectFirst { case r if r.getLong(0) == 50L => r.getLong(1) }.get
+    assert(applyK50 == total, s"apply K=50 $applyK50 vs coverage total $total")
+  }
+
   test("length percentile gate keeps exactly the docs at/above the exact p75 of n_chars") {
     val lens = tables.documents.select("doc_id", "n_chars").collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Number]("n_chars").longValue())
