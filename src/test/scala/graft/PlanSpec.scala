@@ -763,6 +763,17 @@ class PlanSpec extends SparkSpecBase {
     assert(!plan.contains("Join"), s"merge application must be join-free:\n$plan")
   }
 
+  test("vocab coverage: everything past the checkpointed token inventory is inventory-sized") {
+    val plan = executedPlanString(graft.operators.TextOps.vocabCoverage(tables))
+    // the inventory (≤ alphabet + merges rows) is checkpointed; the
+    // ranking window, coverage explode, and single-row total broadcast
+    // all read it — the corpus never reappears in the executed plan
+    assert(!plan.contains("FileScan"),
+      s"vocab coverage must not re-scan the corpus past the inventory:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"only the single-row total may broadcast (one-row BNLJ):\n$plan")
+  }
+
   test("semantic miss audit: past the checkpointed tagged pairs, census joins are keyed only") {
     // the ground-truth pair list is the exact C5 arm (all-pairs by
     // design, same as the paraphrase baseline — asserted above); the
