@@ -187,6 +187,21 @@ class TextOpsSpec extends SparkSpecBase {
     assert(got.length == TextOps.BpeTopK)
   }
 
+  test("corpus canary: the BPE wrap separator (0x1F) never occurs in corpus text, at any SF") {
+    // bpeApply/vocabCoverage encode tokens with 0x1F delimiters; a
+    // corpus containing that byte would corrupt the encoding in BOTH
+    // the operator and its oracle — not necessarily identically. No SF
+    // carries it today; if regenerated testdata ever does, THIS names
+    // the cause (the exact-session-gap canary's pattern).
+    import org.apache.spark.sql.functions.col
+    for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
+      val n = graft.sources.Tables(spark, s"/root/testdata/$sf").documents
+        .filter(col("text").contains("\u001f"))
+        .count()
+      assert(n == 0L, s"$sf has $n docs containing 0x1F — the BPE wrap encoding is unsafe")
+    }
+  }
+
   test("BPE apply equals a token-level driver replay; compression monotone in merge budget") {
     // independent validation of the wrapped-separator replace trick:
     // replay merge application at the TOKEN level (leftmost
