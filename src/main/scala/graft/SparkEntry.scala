@@ -405,6 +405,7 @@ object SparkEntry {
     "dedup_winnow"         -> ((s, d) => Dedup.winnowPairs(Tables(s, d))),
     "pipeline_curate"      -> ((s, d) => Curation.curate(Tables(s, d))),
     "pipeline_curate_full" -> ((s, d) => Curation.curateFull(Tables(s, d))),
+    "pipeline_release"     -> ((s, d) => Curation.releaseManifest(Tables(s, d))),
     "q_asof_join"          -> ((s, d) => Temporal.asofPriorClick(Tables(s, d))),
     "q_asof_left"          -> ((s, d) => Temporal.asofPriorClickLeft(Tables(s, d))),
     "q_range_join"         -> ((s, d) => Temporal.signupActivity(Tables(s, d))),
@@ -2281,29 +2282,85 @@ object SparkEntry {
         |SELECT doc_id, n_tokens, lang_pred FROM curated ORDER BY doc_id""".stripMargin,
     "pipeline_curate_full" -> // curate + repetition gate + decontamination anti-join
       s"""WITH RECURSIVE $curateCtes,
-        |wbg AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-        |bg AS (
-        |  SELECT doc_id,
-        |    unnest(list_transform(range(1, len(ws)),
-        |      i -> concat_ws(' ', ws[CAST(i AS INT)], ws[CAST(i AS INT) + 1]))) AS bg
-        |  FROM wbg),
-        |bgc AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY 1, 2),
-        |rep AS (
-        |  SELECT doc_id, CAST(max(c) AS DOUBLE) / CAST(sum(c) AS BIGINT) AS top_bigram_frac
-        |  FROM bgc GROUP BY 1),
-        |cs AS (
-        |  SELECT doc_id,
-        |    unnest($shingleListExpr) AS shingle
-        |  FROM documents),
-        |bench AS (SELECT DISTINCT shingle FROM cs WHERE doc_id % 97 = 0),
-        |cont AS (
-        |  SELECT DISTINCT cs.doc_id FROM cs JOIN bench USING (shingle)
-        |  WHERE cs.doc_id % 97 <> 0)
+        |$repContCtes
         |SELECT c.doc_id, c.n_tokens, c.lang_pred, rep.top_bigram_frac
         |FROM curated c JOIN rep USING (doc_id)
         |WHERE rep.top_bigram_frac < 0.08
         |  AND c.doc_id NOT IN (SELECT doc_id FROM cont)
         |ORDER BY c.doc_id""".stripMargin,
+    "pipeline_release" -> // the end-to-end release flagship: curateFull gates →
+      // semantic decontamination → despan over survivors → per-source
+      // clean-char quota → hash split → (split, source) token packing →
+      // hash shard; one manifest row per released doc
+      s"""WITH RECURSIVE $curateCtes,
+        |$repContCtes,
+        |sn AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+        |    sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b)) AS nrm
+        |  FROM embeddings),
+        |sc AS (
+        |  SELECT DISTINCT b.vec_id AS doc_id
+        |  FROM sn a JOIN sn b ON a.vec_id % 41 = 0 AND b.vec_id % 41 <> 0
+        |    AND a.nrm > 0 AND b.nrm > 0
+        |  WHERE list_reduce(list_transform(range(1, len(a.v) + 1), i -> a.v[CAST(i AS INT)] * b.v[CAST(i AS INT)]), (x, y) -> x + y)
+        |      / (a.nrm * b.nrm) >= 0.3),
+        |surv AS (
+        |  SELECT c.doc_id FROM curated c JOIN rep USING (doc_id)
+        |  WHERE rep.top_bigram_frac < 0.08
+        |    AND c.doc_id NOT IN (SELECT doc_id FROM cont)
+        |    AND c.doc_id NOT IN (SELECT doc_id FROM sc)),
+        |dw AS (SELECT d.doc_id, string_split(d.text, ' ') AS ws,
+        |        len(string_split(d.text, ' ')) AS n
+        |       FROM documents d JOIN surv USING (doc_id)),
+        |dwin AS (
+        |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+        |    array_to_string(list_slice(ws, CAST(i AS INT), CAST(i + 4 AS INT)), ' ') AS gram
+        |  FROM (SELECT doc_id, ws, unnest(generate_series(1, n - 4)) AS i FROM dw WHERE n >= 5)),
+        |dg AS (SELECT gram, count(*) AS cnt, min(doc_id) AS min_doc FROM dwin GROUP BY 1),
+        |dcuts AS (
+        |  SELECT DISTINCT dwin.doc_id, unnest(generate_series(dwin.pos, dwin.pos + 4)) AS cutpos
+        |  FROM dwin JOIN dg USING (gram) WHERE dg.cnt >= 2 AND dwin.doc_id <> dg.min_doc),
+        |dtoks AS (
+        |  SELECT doc_id, unnest(ws) AS tok,
+        |    CAST(unnest(generate_series(0, n - 1)) AS BIGINT) AS pos FROM dw),
+        |dflag AS (
+        |  SELECT t.doc_id, t.pos, t.tok, c.cutpos IS NOT NULL AS cut
+        |  FROM dtoks t LEFT JOIN dcuts c ON t.doc_id = c.doc_id AND t.pos = c.cutpos),
+        |cleaned AS (
+        |  SELECT doc_id, count(*) AS n_tokens,
+        |    CAST(sum(CASE WHEN cut THEN 1 ELSE 0 END) AS BIGINT) AS n_cut,
+        |    coalesce(string_agg(CASE WHEN NOT cut THEN tok END, ' ' ORDER BY pos), '') AS clean_text
+        |  FROM dflag GROUP BY 1),
+        |qh AS (
+        |  SELECT cl.doc_id, d.source, cl.n_tokens, cl.n_cut, cl.clean_text,
+        |    CAST(strlen(cl.clean_text) AS BIGINT) AS clean_chars,
+        |    md5(CAST(cl.doc_id AS VARCHAR)) AS hk
+        |  FROM cleaned cl JOIN documents d USING (doc_id)),
+        |qc AS (
+        |  SELECT *, CAST(sum(clean_chars) OVER (
+        |      PARTITION BY source ORDER BY hk, doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_chars
+        |  FROM qh),
+        |qk AS (
+        |  SELECT *,
+        |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 AS bucket
+        |  FROM qc WHERE cum_chars <= 2000),
+        |sp AS (
+        |  SELECT *,
+        |    CASE WHEN bucket < 80 THEN 'train'
+        |         WHEN bucket < 90 THEN 'val'
+        |         ELSE 'test' END AS split,
+        |    n_tokens - n_cut AS n_clean
+        |  FROM qk),
+        |pk AS (
+        |  SELECT *, sum(n_clean) OVER (
+        |      PARTITION BY split, source ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum_tokens
+        |  FROM sp)
+        |SELECT doc_id, source, split,
+        |  CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 64 AS shard,
+        |  CAST(floor((cum_tokens - n_clean) / 256) AS BIGINT) AS bin_id,
+        |  n_tokens, n_cut, CAST(n_clean AS BIGINT) AS n_clean, clean_chars, cum_chars,
+        |  md5(clean_text) AS clean_hash
+        |FROM pk ORDER BY doc_id""".stripMargin,
     "text_langid" ->
       """WITH h AS (
         |  SELECT doc_id,
@@ -3353,6 +3410,32 @@ object SparkEntry {
       |  LEFT JOIN comps USING (doc_id)
       |  WHERE q.n_tokens >= 30 AND l.lang_pred = 'en' AND d.doc_id = e.keep_doc_id
       |    AND (comps.near_dup_comp IS NULL OR comps.near_dup_comp = d.doc_id))""".stripMargin
+
+  /** Repetition-gate + n-gram-decontamination CTE block shared by the
+    * pipeline_curate_full and pipeline_release oracles — ends in `rep`
+    * (per-doc top-bigram fraction) and `cont` (contaminated doc ids).
+    * One definition, same discipline as [[curateCtes]]: a gate change
+    * breaks one string, not two drifting copies.
+    */
+  private lazy val repContCtes: String =
+    s"""wbg AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |bg AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(range(1, len(ws)),
+      |      i -> concat_ws(' ', ws[CAST(i AS INT)], ws[CAST(i AS INT) + 1]))) AS bg
+      |  FROM wbg),
+      |bgc AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY 1, 2),
+      |rep AS (
+      |  SELECT doc_id, CAST(max(c) AS DOUBLE) / CAST(sum(c) AS BIGINT) AS top_bigram_frac
+      |  FROM bgc GROUP BY 1),
+      |cs AS (
+      |  SELECT doc_id,
+      |    unnest($shingleListExpr) AS shingle
+      |  FROM documents),
+      |bench AS (SELECT DISTINCT shingle FROM cs WHERE doc_id % 97 = 0),
+      |cont AS (
+      |  SELECT DISTINCT cs.doc_id FROM cs JOIN bench USING (shingle)
+      |  WHERE cs.doc_id % 97 <> 0)""".stripMargin
 
   /** The 8 2-bit quantized feature dims packed into a 16-bit PQ code —
     * DuckDB twin of Multimodal.embedBuckets' code expression.

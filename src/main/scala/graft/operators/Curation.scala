@@ -545,4 +545,107 @@ object Curation {
       )
       .orderBy("n_buckets")
   }
+
+  /** C61: the END-TO-END release flagship — every stage of a corpus
+    * release run as ONE composed pipeline, emitting the per-document
+    * release manifest a training run reads:
+    *
+    *   [[curateFull]] (quality → language → exact dedup → near-dup
+    *   components → repetition gate → n-gram decontamination) →
+    *   semantic decontamination (anti-join the C49 flagged set — the
+    *   embedding-space complement of the n-gram check; a release runs
+    *   BOTH) → span removal over the survivors ([[Dedup.despanTextOn]]
+    *   — remaining cross-doc 5-gram spans are cut, lowest doc owns) →
+    *   per-source char quota on the CLEANED text (hash order, C28's
+    *   policy) → hash-range train/val/test split (C17b) → token-budget
+    *   packing within each (split, source) over cleaned token counts
+    *   (C18's prefix-sum bins) → hash shard assignment (C31).
+    *
+    * One row per released doc: identity, placement (split/shard/bin)
+    * and the despan accounting (n_cut, clean_hash) — the manifest plus
+    * the cleaned-text hash is exactly what the downstream trainer and
+    * the release audit consume. The whole chain is SQL-expressible, so
+    * the COMPOSITION sits under the DuckDB hash gate — per-stage gates
+    * can't see a composition regression (the round-6 lesson: it's the
+    * joins BETWEEN stages where scan sharing silently breaks).
+    *
+    * Scale shape / scan budget (spec-asserted): the dominant cost,
+    * the shingle posting index, is built ONCE inside curateFull and
+    * feeds near-dup pairs AND n-gram decontamination; the curation DAG
+    * runs ONCE — the surviving id list (output-sized, narrow) is
+    * materialized via the [[Dedup.nearDupComponents]] checkpoint
+    * contract, and every later stage joins THROUGH it rather than
+    * re-running the gates. Full-text corpus scans: 1 curation signals
+    * + 1 bigram + 1 postings + 2 despan (windows / token rebuild,
+    * both restricted to survivors via the checkpointed id list) = 5,
+    * plus one column-pruned (doc_id, source) scan for quota grouping
+    * — constant, independent of stage count. Embeddings are scanned
+    * for the eval broadcast + one corpus-vector pass (C49's shape).
+    * At 100 TB the id-list joins key on doc_id — with the corpus in
+    * the bucketed layout (B19) they are exchange-free on the corpus
+    * side; the quota/pack windows are per-(source)/(split, source),
+    * the same bounded serial dimension as the standalone stages.
+    */
+  def releaseManifest(
+      t: Tables,
+      checkpointDir: Option[String] = None,
+      quotaChars: Long = 2000L,
+      packBudget: Int = 256,
+      nShards: Int = 64
+  ): DataFrame = {
+    val curated = curateFull(t, checkpointDir)
+    val semCont = Similarity
+      .semanticContamination(t)
+      .select(col("vec_id").as("doc_id"))
+    val ids0 = curated
+      .select("doc_id")
+      .join(semCont, Seq("doc_id"), "left_anti")
+    // the id list is OUTPUT-sized and narrow; materializing it here is
+    // what keeps the curation DAG single-run — despan's two corpus
+    // scans re-join this checkpoint, not the gate pipeline
+    val ids =
+      if (checkpointDir.isDefined) ids0.checkpoint() else ids0.localCheckpoint()
+    val clean = Dedup.despanTextOn(
+      t.documents.select(col("doc_id"), col("text")).join(ids, "doc_id")
+    )
+    val byQuota = Window
+      .partitionBy("source")
+      .orderBy(col("hk"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val byPack = Window
+      .partitionBy("split", "source")
+      .orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    clean
+      .join(t.documents.select(col("doc_id"), col("source")), "doc_id")
+      .withColumn("clean_chars", length(col("clean_text")).cast("long"))
+      .withColumn("hk", md5(col("doc_id").cast("string")))
+      .withColumn("cum_chars", sum("clean_chars").over(byQuota))
+      .filter(col("cum_chars") <= quotaChars)
+      .withColumn("bucket", Sampling.hashBucket(100))
+      .withColumn(
+        "split",
+        when(col("bucket") < 80, lit("train"))
+          .when(col("bucket") < 90, lit("val"))
+          .otherwise(lit("test"))
+      )
+      .withColumn("n_clean", (col("n_tokens") - col("n_cut")).cast("long"))
+      .withColumn("cum_tokens", sum("n_clean").over(byPack))
+      .withColumn("bin_id", floor((col("cum_tokens") - col("n_clean")) / packBudget))
+      .withColumn("shard", Sampling.hashBucket(nShards))
+      .select(
+        col("doc_id"),
+        col("source"),
+        col("split"),
+        col("shard"),
+        col("bin_id"),
+        col("n_tokens"),
+        col("n_cut"),
+        col("n_clean"),
+        col("clean_chars"),
+        col("cum_chars"),
+        md5(col("clean_text")).as("clean_hash")
+      )
+      .orderBy("doc_id")
+  }
 }
