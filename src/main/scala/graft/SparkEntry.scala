@@ -2128,7 +2128,11 @@ object SparkEntry {
         |  WHERE ap.r < ${TextOps.BpeTopK}),
         |tokf AS (
         |  SELECT cnt, unnest(string_split(substr(s, 2, len(s) - 2), chr(31)||chr(31))) AS token
-        |  FROM ap WHERE r = ${TextOps.BpeTopK}),
+        |  -- final recursion level DYNAMICALLY: if the corpus yields fewer
+        |  -- than BpeTopK distinct pairs the recursion stops at |merges|,
+        |  -- and the operator (which applies merges.length merges) agrees —
+        |  -- a fixed r = BpeTopK would return zero rows there
+        |  FROM ap WHERE r = (SELECT max(r) FROM ap)),
         |inv AS (SELECT token, sum(cnt) AS c FROM tokf GROUP BY 1),
         |rk AS (SELECT token, c, row_number() OVER (ORDER BY c DESC, token ASC) AS rnk FROM inv),
         |tot AS (SELECT sum(c) AS total FROM inv),

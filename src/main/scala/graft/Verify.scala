@@ -30,6 +30,29 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // corpus canary folded into the gate harness (ADVICE r12): the
+    // q_stream_sessions derivation from the capped-session drain is
+    // exact ONLY while no same-user adjacency sits at exactly the
+    // 30-minute gap (session_window splits at >= gap, the cap machine
+    // merges at <= gap). If regenerated testdata ever violates that,
+    // this names the cause right in the gate output instead of
+    // leaving a bare hash mismatch on the key.
+    if (only.forall(_.contains("q_stream_sessions"))) {
+      import org.apache.spark.sql.functions._
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id").orderBy("ts")
+      val exactGap = graft.sources.Tables(spark, sfDir).events
+        .select(col("user_id"), col("ts"))
+        .withColumn("delta_us",
+          expr("unix_micros(ts)") - lag(expr("unix_micros(ts)"), 1).over(w))
+        .filter(col("delta_us") === 30L * 60L * 1000000L)
+        .count()
+      if (exactGap > 0)
+        System.err.println(
+          s"[verify] CANARY q_stream_sessions: $sfDir has $exactGap same-user adjacencies at " +
+            "exactly the 30-minute session gap — the drain derivation is no longer exact; " +
+            "expect a hash mismatch on q_stream_sessions (see SparkEntry derivation comment)"
+        )
+    }
     SparkEntry.queries.filter(kv => only.forall(_.contains(kv._1))).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

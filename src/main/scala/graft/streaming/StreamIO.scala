@@ -121,8 +121,19 @@ object StreamIO {
       while (!found && it.hasNext()) found = it.next().getPath.getName.endsWith(".parquet")
       found
     }
+    val rootExists = fs.exists(root)
+    // "root exists with no committed batches" (a sink that hasn't
+    // fired) and "root does not exist" (likely a typo'd/misconfigured
+    // outDir) both shape an empty result when a schema is supplied,
+    // but only the former is silent — the latter is named on stderr so
+    // a misconfiguration can't masquerade as an empty sink
+    if (!rootExists && schemaDdl.isDefined)
+      System.err.println(
+        s"[StreamIO] readContentAddressed: root path $outDir does not exist — " +
+          "returning an empty frame; check the sink's outDir if a committed sink was expected"
+      )
     val dirs =
-      (if (fs.exists(root)) fs.listStatus(root) else Array.empty[org.apache.hadoop.fs.FileStatus])
+      (if (rootExists) fs.listStatus(root) else Array.empty[org.apache.hadoop.fs.FileStatus])
         .filter(s => s.isDirectory && s.getPath.getName.matches("b\\d+") && hasParquet(s.getPath))
         .map(_.getPath.toString)
         .sorted

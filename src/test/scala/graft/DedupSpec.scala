@@ -501,7 +501,11 @@ class DedupSpec extends SparkSpecBase {
     val corpusRecall =
       if (exact.isEmpty) 1.0 else (exact.keySet & lsh.keySet).size.toDouble / exact.size
     info(f"paraphrase LSH recall vs exact on the corpus: $corpusRecall%.2f (${exact.size} pairs)")
-    assert(corpusRecall >= 0.4, f"corpus recall collapsed: $corpusRecall%.2f")
+    // measured 0.68 on the near-random sf0.001 corpus (r12); floor at
+    // 0.55 (ADVICE r12 asked for a bound close enough to the measured
+    // value that a real recall regression — not band-count noise —
+    // fails the spec instead of hiding under a 0.4 floor)
+    assert(corpusRecall >= 0.55, f"corpus recall regressed: $corpusRecall%.2f (measured 0.68)")
 
     // production-shaped fixture: 10 tight embedding clusters (real
     // paraphrase/translation pairs sit on top of each other) over

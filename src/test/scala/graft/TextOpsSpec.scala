@@ -277,6 +277,56 @@ class TextOpsSpec extends SparkSpecBase {
     assert(applyK50 == total, s"apply K=50 $applyK50 vs coverage total $total")
   }
 
+  test("vocab coverage on a corpus with fewer pairs than BpeTopK still emits the full curve") {
+    // the oracle selects its final recursion level dynamically
+    // (max(r), not a fixed BpeTopK) so a short merge table can't
+    // zero the gate — pin the OPERATOR's matching behavior on a
+    // two-letter corpus (≤4 distinct pairs ≪ 50 merges)
+    import org.apache.spark.sql.functions._
+    val tmp  = java.nio.file.Files.createTempDirectory("graft-few-pairs")
+    try {
+      val texts = Seq("aa ab aa ba", "ab aa bb", "aa aa ab")
+      val base  = tables.documents.limit(1)
+      texts.zipWithIndex
+        .map { case (txt, i) =>
+          base.withColumn("doc_id", lit(i.toLong)).withColumn("text", lit(txt))
+        }
+        .reduce(_ unionAll _)
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+      val tt     = graft.sources.Tables(spark, tmp.toString)
+      val merges = TextOps.bpeMergeCandidates(tt).collect().map(_.getString(0)).toSeq
+      assert(merges.length < TextOps.BpeTopK, "fixture must under-fill the merge table")
+      val rows = TextOps.vocabCoverage(tt).collect()
+      assert(rows.length == 4, s"curve must keep all 4 vocab sizes, got ${rows.length}")
+      // replay the SHORT merge table driver-side — the whole point of
+      // the dynamic final level is that all |merges| merges apply
+      def tokensOf(w: String): Vector[String] = {
+        var toks = w.map(_.toString).toVector
+        merges.foreach { pair =>
+          val (a, b) = (pair.substring(0, 1), pair.substring(1, 2))
+          val out    = Vector.newBuilder[String]
+          var i      = 0
+          while (i < toks.length) {
+            if (i + 1 < toks.length && toks(i) == a && toks(i + 1) == b) { out += pair; i += 2 }
+            else { out += toks(i); i += 1 }
+          }
+          toks = out.result()
+        }
+        toks
+      }
+      val inv = texts.flatMap(_.split(" ")).filter(_.nonEmpty).flatMap(tokensOf)
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val ranked = inv.toSeq.sortBy { case (tok, c) => (-c, tok) }
+      val total  = inv.values.sum
+      val expected = Seq(4L, 16L, 64L, 256L).map { v =>
+        v -> ((ranked.take(v.toInt).map(_._2).sum, total))
+      }.toMap
+      val got = rows.map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      assert(got == expected, s"got=$got expected=$expected")
+    } finally deleteTree(tmp)
+  }
+
   test("length percentile gate keeps exactly the docs at/above the exact p75 of n_chars") {
     val lens = tables.documents.select("doc_id", "n_chars").collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Number]("n_chars").longValue())
