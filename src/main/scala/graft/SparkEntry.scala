@@ -428,6 +428,7 @@ object SparkEntry {
     "dedup_modality_agreement" -> ((s, d) => Dedup.modalityAgreement(Tables(s, d))),
     "dedup_paraphrase"     -> ((s, d) => Dedup.paraphraseCandidates(Tables(s, d))),
     "dedup_paraphrase_lsh" -> ((s, d) => Dedup.paraphraseCandidatesLsh(Tables(s, d))),
+    "dedup_paraphrase_ivf" -> ((s, d) => Dedup.paraphraseCandidatesIvf(Tables(s, d))),
     "contaminate_semantic" -> ((s, d) => Similarity.semanticContamination(Tables(s, d))),
     "dedup_semantic"       -> ((s, d) => Similarity.semanticDedup(Tables(s, d))),
     "dedup_semantic_miss"  -> ((s, d) => Similarity.semanticMissAudit(Tables(s, d))),

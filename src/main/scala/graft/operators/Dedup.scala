@@ -1555,6 +1555,43 @@ object Dedup {
     paraphraseFrom(t, embPairs, tauJ)
   }
 
+  /** C56 third arm — IVF-cell candidates: paraphrase pairs sourced
+    * from the C51 k-means cell assignment (pairs sharing a cell —
+    * Σ cell² instead of n², the SemDeDup candidate shape), exact
+    * cosine verified per candidate, then the identical anti-join +
+    * posting-intersect back half. Completes the C5-family symmetry:
+    * the embedding-pair surface now has the same three arms
+    * (exact / hyperplane-LSH / IVF-cell) as the dedup surface, so a
+    * user choosing a scale path for one chooses it for both. Output ⊆
+    * the exact arm with identical scores; cross-cell pairs are the
+    * misses, and the C57 audit is the tool that sizes `cells` against
+    * that miss mass. rows-only in the gate (k-means cells aren't
+    * SQL-expressible — C51's rule); recall spec-pinned on the corpus
+    * and the clustered fixture beside the LSH arm.
+    */
+  def paraphraseCandidatesIvf(
+      t: Tables,
+      tauE: Double = 0.4,
+      tauJ: Double = JaccardTau
+  ): DataFrame = {
+    // checkpointed: both sides of the within-cell pair join read it
+    val cellv = Similarity.cellAssignments(t).localCheckpoint()
+    val embPairs = cellv
+      .as("a")
+      .join(
+        cellv.as("b").hint("shuffle_hash"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id") &&
+          col("a.nrm") > 0 && col("b.nrm") > 0
+      )
+      .filter(Similarity.cosine >= tauE)
+      .select(
+        col("a.vec_id").as("doc_a"),
+        col("b.vec_id").as("doc_b"),
+        Similarity.cosine.as("cos")
+      )
+    paraphraseFrom(t, embPairs, tauJ)
+  }
+
   /** Shared back half of the paraphrase pipeline: anti-join the
     * embedding-near pairs against the exact text τ set, then compute
     * each survivor's exact sub-threshold Jaccard via a posting

@@ -351,6 +351,19 @@ object Similarity {
       .drop("dots")
   }
 
+  /** Corpus vectors with their max-dot k-means cell — the C51
+    * candidate machinery (bounded training sample → spherical Lloyd →
+    * codegen'd argmax) as ONE definition for every operator that
+    * sources candidates from IVF cells: [[semanticDedup]],
+    * [[semanticMissAudit]], and Dedup.paraphraseCandidatesIvf. Not
+    * materialized here — each caller checkpoints per its own reuse
+    * shape.
+    */
+  private[operators] def cellAssignments(t: Tables, cells: Int = IvfCells): DataFrame = {
+    val vecs = vectors(t)
+    withCell(vecs, trainCentroids(trainSample(vecs), cells))
+  }
+
   /** Query side: each query expands to its nprobe max-dot cells. */
   private def queryProbes(
       vecs: DataFrame,
@@ -618,12 +631,10 @@ object Similarity {
     * operator's own cell assignment.
     */
   def semanticDedup(t: Tables, tau: Double = 0.4, cells: Int = IvfCells): DataFrame = {
-    val vecs  = vectors(t)
-    val cents = trainCentroids(trainSample(vecs), cells)
     // checkpointed: the pair join consumes the assignment twice (both
     // sides) and the verdict join a third time — one materialization,
     // the dupShingleFrac rule
-    val cellv = withCell(vecs, cents).localCheckpoint()
+    val cellv = cellAssignments(t, cells).localCheckpoint()
     // nrm > 0 on both sides: a zero vector has no direction — its
     // cosine is 0/0 = NaN, which Spark's NaN-is-largest comparison
     // would silently treat as >= tau. Zero vectors are always KEPT
@@ -667,10 +678,8 @@ object Similarity {
     * output.
     */
   def semanticMissAudit(t: Tables, tau: Double = 0.4, cells: Int = IvfCells): DataFrame = {
-    val vecs  = vectors(t)
-    val cents = trainCentroids(trainSample(vecs), cells)
     // checkpointed: feeds both pair-end joins and the per-cell census
-    val cellv = withCell(vecs, cents)
+    val cellv = cellAssignments(t, cells)
       .select(col("vec_id"), col("cell").cast("long").as("cell"))
       .localCheckpoint()
     val tagged = graft.operators.Dedup

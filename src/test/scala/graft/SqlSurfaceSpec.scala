@@ -124,6 +124,7 @@ class SqlSurfaceSpec extends SparkSpecBase {
       "dedup_source_sim",           // minhash-union sketch
       "dedup_embedding_lsh",        // hyperplane-LSH candidates
       "dedup_paraphrase_lsh",       // the same LSH candidates feeding the paraphrase pipeline
+      "dedup_paraphrase_ivf",       // k-means-cell candidates feeding the paraphrase pipeline
       "dedup_bloom_admission",      // bloom sketch layout
       "dedup_semantic",             // k-means cells aren't SQL-expressible
       "dedup_semantic_miss",        // per-cell split of the exact pairs — same k-means cells
