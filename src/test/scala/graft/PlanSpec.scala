@@ -739,6 +739,14 @@ class PlanSpec extends SparkSpecBase {
     val para = executedPlanString(graft.operators.Dedup.paraphraseCandidatesLsh(tables))
     assert(!para.contains("CartesianProduct") && !para.contains("BroadcastNestedLoopJoin"),
       s"paraphrase back half leaked an all-pairs join:\n$para")
+    // the IVF arm's candidate stage joins the checkpointed cell
+    // assignment on cell equality — keyed shuffle-hash like the LSH
+    // arm (cost ∝ Σ cell²), and the shared back half stays keyed too
+    val ivf = executedPlanString(graft.operators.Dedup.paraphraseCandidatesIvf(tables))
+    assert(ivf.contains("ShuffledHashJoin"),
+      s"IVF candidates must join shuffle-hash on cell:\n$ivf")
+    assert(!ivf.contains("CartesianProduct") && !ivf.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs plan leaked into the IVF arm:\n$ivf")
   }
 
   test("pad audit: one corpus scan to the histogram; everything after runs on histogram rows") {
