@@ -46,6 +46,22 @@ object Bench {
     only.foreach(o =>
       (o -- SparkEntry.queries.keySet).foreach(n => println(s"unknown bench query: $n"))
     )
+    // subset runs need a deeper warm-up than the generic one above: in
+    // a full run the alphabetically-earlier suite JITs the posting/
+    // window/agg machinery before any given key, and a 3-key subset
+    // measured the same keys ~40% slower for that reason alone (r13:
+    // dedup_prefix_filter 6.8-7.8 s subset vs 4.9-5.4 s full). Run two
+    // representative heavy queries untimed — DIFFERENT keys than any
+    // subset target would pre-warm its own codegen cache and read
+    // artificially fast, so this stays a fixed pair.
+    if (only.isDefined) {
+      Seq("dedup_ngram_jaccard", "q_funnel").foreach { n =>
+        try SparkEntry.queries(n)(spark, sfDir).queryExecution.toRdd.count()
+        catch { case _: Throwable => () }
+      }
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      System.gc()
+    }
     val results = SparkEntry.queries.toSeq
       .filter(kv => only.forall(_.contains(kv._1)))
       .sortBy(_._1)
