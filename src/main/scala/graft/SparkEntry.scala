@@ -377,6 +377,7 @@ object SparkEntry {
     "q_props_extract"      -> ((s, d) => EventOps.propsExtract(Tables(s, d))),
     "q_csv_roundtrip"      -> ((s, d) => Ingest.csvRoundtrip(Tables(s, d))),
     "q_jsonl_roundtrip"    -> ((s, d) => Ingest.jsonlRoundtrip(Tables(s, d))),
+    "q_xml_roundtrip"      -> ((s, d) => Ingest.xmlRoundtrip(Tables(s, d))),
     "q_jsonl_audit"        -> ((s, d) => Ingest.jsonlAudit(Tables(s, d))),
     "q_mixture_weights"    -> ((s, d) => Sampling.mixtureWeights(Tables(s, d))),
     "q_value_histogram"    -> ((s, d) => Analytics.valueHistogram(Tables(s, d))),
@@ -1323,6 +1324,11 @@ object SparkEntry {
     "q_jsonl_roundtrip" -> // JSON write→parse is lossless ⇒ aggregate matches the original
       """SELECT event_type, count(*) AS n, CAST(sum(event_id) AS BIGINT) AS sum_ids,
         |  CAST(sum(user_id) AS BIGINT) AS sum_users
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_xml_roundtrip" -> // XML write→parse is lossless ⇒ aggregate matches the original
+      """SELECT event_type, count(*) AS n, CAST(sum(event_id) AS BIGINT) AS sum_ids,
+        |  CAST(sum(user_id) AS BIGINT) AS sum_users,
+        |  min(event_id) AS min_id, max(event_id) AS max_id
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_jsonl_audit" -> // permissive parse classifies exactly the truncated slice as corrupt
       """SELECT event_type, count(*) AS n_lines,

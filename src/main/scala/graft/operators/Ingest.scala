@@ -122,6 +122,54 @@ object Ingest {
       .orderBy("event_type")
   }
 
+  /** A11e: XML round trip — serialize events rows to XML elements
+    * (to_xml) the way a legacy enterprise feed carries them, parse
+    * back typed (from_xml — Spark 4's built-in XML support, evaluated
+    * in-plan like from_json), and aggregate EVERY parsed field plus
+    * the id extremes. Completes the serialization matrix begun by CSV
+    * (A11), ORC (A11b) and JSONL (A11c): all of Spark's built-in
+    * text/columnar codecs now prove lossless write→parse cycles under
+    * the same original-parquet oracle discipline. Map-only until the
+    * per-type aggregate — scan-speed at any corpus size.
+    */
+  def xmlRoundtrip(t: Tables): DataFrame = xmlRoundtripOn(t.events)
+
+  /** The round-trip kernel over any frame with (event_id, user_id,
+    * event_type) — exposed so specs can drive XML-hostile inputs
+    * (`&`, `<`, quotes: entity escaping is exactly where an XML cycle
+    * silently corrupts, and the group keys would shift if it did).
+    */
+  private[graft] def xmlRoundtripOn(events: DataFrame): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType
+      .fromDDL("event_id LONG, user_id LONG, event_type STRING")
+    val lines = events.select(
+      to_xml(struct(col("event_id"), col("user_id"), col("event_type"))).as("line")
+    )
+    lines
+      // ignoreSurroundingSpaces defaults TRUE and would trim padded
+      // strings on parse — the one silent lossy default in the cycle
+      // (entity escaping round-trips correctly out of the box;
+      // whitespace fidelity needs the opt-out, spec-pinned)
+      .select(from_xml(col("line"), schema,
+        java.util.Collections.singletonMap("ignoreSurroundingSpaces", "false")).as("r"))
+      .select(
+        col("r.event_id").as("event_id"),
+        col("r.user_id").as("user_id"),
+        col("r.event_type").as("event_type")
+      )
+      .groupBy("event_type")
+      // aggregate every parsed field — an unused field would be pruned
+      // out of from_xml entirely and its round trip never validated
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("event_id")).as("sum_ids"),
+        sum(col("user_id")).as("sum_users"),
+        min(col("event_id")).as("min_id"),
+        max(col("event_id")).as("max_id")
+      )
+      .orderBy("event_type")
+  }
+
   /** A11d: malformed-record audit — the PERMISSIVE-mode half of real
     * JSONL ingestion (the Lambda consumers assume well-formed
     * envelopes; a production reader cannot). A deterministic slice

@@ -112,6 +112,25 @@ class KernelPropertySpec extends SparkSpecBase {
     assert(row.getAs[Long]("n_value_ok") == 2L, "corrupt null-value line must not count value_ok")
   }
 
+  test("xmlRoundtrip: entity-hostile type strings survive the to_xml/from_xml cycle") {
+    import spark.implicits._
+    // escaping is the failure mode an aggregate-only gate could miss if
+    // it never saw a hostile key: these BECOME the group keys, so any
+    // entity corruption ('&' -> '&amp;' surviving, '<' truncating the
+    // element) shifts a key and fails the count/sum comparison
+    val hostile = Seq("a&b", "x<y>", "q\"uo'te", "unié中", "  pad  ")
+    val events = hostile.zipWithIndex.flatMap { case (t, i) =>
+      Seq((i * 2L, t, 100L + i), (i * 2L + 1L, t, 200L + i))
+    }.toDF("event_id", "event_type", "user_id")
+    val rows = graft.operators.Ingest.xmlRoundtripOn(events).collect()
+    val got  = rows.map(r => r.getAs[String]("event_type") ->
+      ((r.getAs[Long]("n"), r.getAs[Long]("sum_ids"), r.getAs[Long]("sum_users")))).toMap
+    hostile.zipWithIndex.foreach { case (t, i) =>
+      assert(got.contains(t), s"type '$t' did not survive the XML cycle: keys=${got.keySet}")
+      assert(got(t) == ((2L, i * 4L + 1L, 300L + 2L * i)), s"aggregates shifted for '$t': ${got(t)}")
+    }
+  }
+
   test("substring spans: random tiny-alphabet corpora agree with brute force (fuzz)") {
     // a 4-token alphabet forces heavy gram collisions — random docs
     // exercise island merges/breaks, doc-boundary windows, repeated
