@@ -454,6 +454,7 @@ object SparkEntry {
     "dedup_containment"    -> ((s, d) => Dedup.containmentPairs(Tables(s, d))),
     "pipeline_snapshot_diff" -> ((s, d) => Curation.snapshotDiff(Tables(s, d))),
     "dedup_incremental"    -> ((s, d) => Dedup.incrementalDedup(Tables(s, d))),
+    "dedup_incremental_lsh" -> ((s, d) => Dedup.incrementalDedupLsh(Tables(s, d))),
     "text_bpe_merges"      -> ((s, d) => TextOps.bpeMergeCandidates(Tables(s, d))),
     "text_bpe_apply"       -> ((s, d) => TextOps.bpeApply(Tables(s, d))),
     "text_vocab_coverage"  -> ((s, d) => TextOps.vocabCoverage(Tables(s, d))),
@@ -2016,46 +2017,9 @@ object SparkEntry {
         |  $driftPpmSql
         |FROM c ORDER BY epoch, bucket""".stripMargin,
     "dedup_incremental" -> // delta slice (doc_id%10=0) deduped against the base corpus
-      raw"""WITH h AS (
-        |  SELECT doc_id, md5(regexp_replace(trim(text), '\s+', ' ', 'g')) AS text_hash
-        |  FROM documents),
-        |ex AS (
-        |  SELECT d.doc_id, min(b.doc_id) AS exact_match
-        |  FROM h d JOIN h b ON d.text_hash = b.text_hash AND b.doc_id % 10 <> 0
-        |  WHERE d.doc_id % 10 = 0 GROUP BY 1),
-        |s AS (
-        |  SELECT doc_id,
-        |    $shingleListExpr AS sh
-        |  FROM documents),
-        |sz AS (SELECT doc_id, len(sh) AS n_sh FROM s),
-        |p AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
-        |pairs AS (
-        |  SELECT d.doc_id, b.doc_id AS base_doc, count(*) AS inter
-        |  FROM p d JOIN p b ON d.shingle = b.shingle
-        |  WHERE d.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
-        |  GROUP BY 1, 2),
-        |near AS (
-        |  SELECT pairs.doc_id, pairs.base_doc,
-        |    CAST(pairs.inter AS DOUBLE) / (sa.n_sh + sb.n_sh - pairs.inter) AS jaccard
-        |  FROM pairs
-        |  JOIN sz sa ON pairs.doc_id = sa.doc_id
-        |  JOIN sz sb ON pairs.base_doc = sb.doc_id
-        |  WHERE CAST(pairs.inter AS DOUBLE) / (sa.n_sh + sb.n_sh - pairs.inter) >= 0.5),
-        |nb AS (
-        |  SELECT doc_id, base_doc AS near_match, jaccard FROM (
-        |    SELECT doc_id, base_doc, jaccard,
-        |      row_number() OVER (PARTITION BY doc_id ORDER BY jaccard DESC, base_doc ASC) AS rn
-        |    FROM near) WHERE rn = 1)
-        |SELECT dl.doc_id,
-        |  CASE WHEN ex.exact_match IS NOT NULL THEN 'exact'
-        |       WHEN nb.near_match IS NOT NULL THEN 'near'
-        |       ELSE 'new' END AS dup_kind,
-        |  coalesce(ex.exact_match, nb.near_match) AS match_doc_id,
-        |  CASE WHEN ex.exact_match IS NULL THEN nb.jaccard END AS near_jaccard
-        |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) dl
-        |LEFT JOIN ex USING (doc_id)
-        |LEFT JOIN nb USING (doc_id)
-        |ORDER BY dl.doc_id""".stripMargin,
+      incrementalDedupOracle,
+    "dedup_incremental_lsh" -> // LSH-probe variant = exact probe whp (band-miss (1-s^4)^32; see C3)
+      incrementalDedupOracle,
     "text_bpe_merges" -> // top-50 adjacent char pairs over the distinct-word table, weighted by word count
       s"""WITH v AS (
         |  SELECT w, count(*) AS cnt
@@ -3421,6 +3385,54 @@ object SparkEntry {
       |  LEFT JOIN comps USING (doc_id)
       |  WHERE q.n_tokens >= 30 AND l.lang_pred = 'en' AND d.doc_id = e.keep_doc_id
       |    AND (comps.near_dup_comp IS NULL OR comps.near_dup_comp = d.doc_id))""".stripMargin
+
+  /** Shared oracle for C22 `dedup_incremental` (exact posting-index
+    * probe) and C22d `dedup_incremental_lsh` (band-index probe with
+    * exact verification — equal output whp, the C3/C2 relationship):
+    * delta slice (doc_id % 10 = 0) classified exact/near/new against
+    * the base corpus with the best near match's exact Jaccard.
+    */
+  private lazy val incrementalDedupOracle: String =
+    raw"""WITH h AS (
+      |  SELECT doc_id, md5(regexp_replace(trim(text), '\s+', ' ', 'g')) AS text_hash
+      |  FROM documents),
+      |ex AS (
+      |  SELECT d.doc_id, min(b.doc_id) AS exact_match
+      |  FROM h d JOIN h b ON d.text_hash = b.text_hash AND b.doc_id % 10 <> 0
+      |  WHERE d.doc_id % 10 = 0 GROUP BY 1),
+      |s AS (
+      |  SELECT doc_id,
+      |    $shingleListExpr AS sh
+      |  FROM documents),
+      |sz AS (SELECT doc_id, len(sh) AS n_sh FROM s),
+      |p AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
+      |pairs AS (
+      |  SELECT d.doc_id, b.doc_id AS base_doc, count(*) AS inter
+      |  FROM p d JOIN p b ON d.shingle = b.shingle
+      |  WHERE d.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+      |  GROUP BY 1, 2),
+      |near AS (
+      |  SELECT pairs.doc_id, pairs.base_doc,
+      |    CAST(pairs.inter AS DOUBLE) / (sa.n_sh + sb.n_sh - pairs.inter) AS jaccard
+      |  FROM pairs
+      |  JOIN sz sa ON pairs.doc_id = sa.doc_id
+      |  JOIN sz sb ON pairs.base_doc = sb.doc_id
+      |  WHERE CAST(pairs.inter AS DOUBLE) / (sa.n_sh + sb.n_sh - pairs.inter) >= 0.5),
+      |nb AS (
+      |  SELECT doc_id, base_doc AS near_match, jaccard FROM (
+      |    SELECT doc_id, base_doc, jaccard,
+      |      row_number() OVER (PARTITION BY doc_id ORDER BY jaccard DESC, base_doc ASC) AS rn
+      |    FROM near) WHERE rn = 1)
+      |SELECT dl.doc_id,
+      |  CASE WHEN ex.exact_match IS NOT NULL THEN 'exact'
+      |       WHEN nb.near_match IS NOT NULL THEN 'near'
+      |       ELSE 'new' END AS dup_kind,
+      |  coalesce(ex.exact_match, nb.near_match) AS match_doc_id,
+      |  CASE WHEN ex.exact_match IS NULL THEN nb.jaccard END AS near_jaccard
+      |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) dl
+      |LEFT JOIN ex USING (doc_id)
+      |LEFT JOIN nb USING (doc_id)
+      |ORDER BY dl.doc_id""".stripMargin
 
   /** Repetition-gate + n-gram-decontamination CTE block shared by the
     * pipeline_curate_full and pipeline_release oracles — ends in `rep`

@@ -704,6 +704,19 @@ object Dedup {
         (col("inter").cast("double") / (col("nd") + col("nb") - col("inter"))).as("jaccard")
       )
       .filter(col("jaccard") >= tau)
+    incrementalVerdict(documents, exactMatch, nearAll)
+  }
+
+  /** Shared verdict assembly for the C22 family: best near match per
+    * delta doc (exact-Jaccard-scored, already τ-filtered) + the
+    * exact-hash arm folded into the exact/near/new classification.
+    */
+  private def incrementalVerdict(
+      documents: DataFrame,
+      exactMatch: DataFrame,
+      nearAll: DataFrame
+  ): DataFrame = {
+    val isDelta = col("doc_id") % 10 === 0
     val nearBest = graft.plans.TopK
       .perKey(nearAll, Seq("doc_id"), Seq(col("jaccard").desc, col("base_doc")), 1)
       .select(col("doc_id"), col("base_doc").as("near_match"), col("jaccard"))
@@ -722,6 +735,68 @@ object Dedup {
         when(col("exact_match").isNull, col("jaccard")).as("near_jaccard")
       )
       .orderBy("doc_id")
+  }
+
+  /** C22d: the C22 incremental probe through the LSH SIGNATURE index —
+    * the deployment shape when the base corpus is 100 TB: a nightly
+    * delta doesn't re-join the full posting index (C22's plan — cost ∝
+    * delta×base shared-shingle mass, which still touches every base
+    * posting bucket a delta shingle hits); it probes the base's STORED
+    * minhash band index (32 band keys per base doc, written once and
+    * maintained incrementally — the C3 signature table as a persistent
+    * asset) with the delta's band keys. The probe is an equi-join on
+    * (band_idx, band_key) whose cost tracks band-bucket collisions,
+    * then exact Jaccard verification on the candidate pairs ONLY and
+    * the identical verdict assembly. The C3 discipline: verified
+    * output equals the exact probe whp (band-miss prob (1−s⁴)³² —
+    * corpus near-dups sit at s ≈ 0.9 where that is ~1e-15), so the
+    * key shares C22's exact oracle exactly as C3 shares C2's. The
+    * exact-hash arm stays a hash equi-join — there is nothing to
+    * approximate about equality at any scale.
+    */
+  def incrementalDedupLsh(
+      t: Tables,
+      tau: Double = JaccardTau,
+      checkpointDir: Option[String] = None
+  ): DataFrame = {
+    val isDelta = col("doc_id") % 10 === 0
+    val hashes  = t.documents.select(col("doc_id"), normTextHashCol.as("text_hash"))
+    val exactMatch = hashes
+      .filter(isDelta)
+      .join(
+        hashes
+          .filter(!isDelta)
+          .select(col("doc_id").as("base_doc"), col("text_hash"))
+          .hint("shuffle_hash"),
+        "text_hash"
+      )
+      .groupBy("doc_id")
+      .agg(min("base_doc").as("exact_match"))
+    val s     = minhashSignatures(t, checkpointDir)
+    val bands = bandKeys(s)
+    val candidates = bands
+      .filter(isDelta)
+      .as("d")
+      .join(
+        bands.filter(!isDelta).as("b").hint("shuffle_hash"),
+        col("d.band_idx") === col("b.band_idx") && col("d.band_key") === col("b.band_key")
+      )
+      .select(col("d.doc_id").as("doc_id"), col("b.doc_id").as("base_doc"))
+      .distinct()
+    val sh = s.select(col("doc_id"), col("sh"), col("n_sh"))
+    val nearAll = candidates
+      .as("c")
+      .join(sh.as("sa"), col("c.doc_id") === col("sa.doc_id"))
+      .join(sh.as("sb"), col("c.base_doc") === col("sb.doc_id"))
+      .select(
+        col("c.doc_id").as("doc_id"),
+        col("c.base_doc").as("base_doc"),
+        (size(array_intersect(col("sa.sh"), col("sb.sh"))).cast("double") /
+          (col("sa.n_sh") + col("sb.n_sh") - size(array_intersect(col("sa.sh"), col("sb.sh")))))
+          .as("jaccard")
+      )
+      .filter(col("jaccard") >= tau)
+    incrementalVerdict(t.documents, exactMatch, nearAll)
   }
 
   // --- MinHash-LSH (C3) ---------------------------------------------------
@@ -748,33 +823,44 @@ object Dedup {
     * fault-tolerant); on a real cluster pass a reliable location and
     * the signature table becomes a replayable `checkpoint()`.
     */
-  def minhashLsh(
-      t: Tables,
-      tau: Double = JaccardTau,
-      checkpointDir: Option[String] = None
-  ): DataFrame = {
+  /** The materialized minhash signature table (doc_id, sh, n_sh, sig)
+    * — shared by [[minhashLsh]] and [[incrementalDedupLsh]]. The
+    * signature map pass (shingle → crc32 → minhash_sig) is the
+    * dominant cost at scale and feeds several plan sites (band-join
+    * sides + verify-join sides), so it materializes exactly once —
+    * without the checkpoint, Catalyst re-evaluates the whole pipeline
+    * per site (~3-4× the map work; measured in round 1's bench audit).
+    */
+  private def minhashSignatures(t: Tables, checkpointDir: Option[String]): DataFrame = {
     graft.functions.MinHashExpr.register(t.spark)
     checkpointDir.foreach(t.spark.sparkContext.setCheckpointDir)
-    // The signature map pass (shingle → crc32 → minhash_sig) is the
-    // dominant cost of this query at scale, and it feeds FOUR plan
-    // sites: both sides of the band self-join and both sides of the
-    // verify join. Materialize it exactly once — without the
-    // checkpoint, Catalyst re-evaluates the whole pipeline per site
-    // (~3-4× the map work; measured in round 1's bench audit).
     val sigs = shingled(t)
       .withColumn("shx", expr(s"transform(sh, v -> crc32(v) % ${MinHashP}L)"))
       .withColumn("sig", expr("minhash_sig(shx)"))
       .select(col("doc_id"), col("sh"), col("n_sh"), col("sig"))
-    val s = if (checkpointDir.isDefined) sigs.checkpoint() else sigs.localCheckpoint()
-    // the 32-element band array is cheap to build; exploding it costs
-    // 32 re-evals of slice+concat per doc — still small next to the
-    // band shuffle that follows
-    val bands = s.select(
+    if (checkpointDir.isDefined) sigs.checkpoint() else sigs.localCheckpoint()
+  }
+
+  /** Banded keys (doc_id, band_idx, band_key) of a signature table,
+    * 32 bands × 4 rows. The 32-element band array is cheap to build;
+    * exploding it costs 32 re-evals of slice+concat per doc — still
+    * small next to the band shuffle that follows.
+    */
+  private def bandKeys(s: DataFrame): DataFrame =
+    s.select(
       col("doc_id"),
       posexplode(
         expr(s"transform(sequence(0, ${Bands - 1}), b -> concat_ws(',', slice(sig, b * $RowsPerBand + 1, $RowsPerBand)))")
       ).as(Seq("band_idx", "band_key"))
     )
+
+  def minhashLsh(
+      t: Tables,
+      tau: Double = JaccardTau,
+      checkpointDir: Option[String] = None
+  ): DataFrame = {
+    val s     = minhashSignatures(t, checkpointDir)
+    val bands = bandKeys(s)
     // shuffle-hash, like the C2 posting join: both sides canonicalize
     // to the same exchange (ReusedExchange, asserted in PlanSpec), and
     // a band table never broadcasts at 100 TB anyway

@@ -212,6 +212,20 @@ class DedupSpec extends SparkSpecBase {
     }
   }
 
+  test("incremental LSH probe equals the exact posting probe row for row") {
+    // the C3/C2 relationship applied to the C22 probe: band candidates
+    // + exact verification must reproduce the posting-index result
+    // exactly on this corpus (band-miss prob (1-s^4)^32 is ~1e-15 at
+    // the s≈0.9 the generated near-dups sit at), and the plan must
+    // probe BANDS, not postings — the whole point of the variant
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map { r =>
+      (r.getAs[Long]("doc_id"), r.getAs[String]("dup_kind"),
+        Option(r.getAs[Any]("match_doc_id")),
+        Option(r.getAs[Any]("near_jaccard")))
+    }.toSeq
+    assert(rows(Dedup.incrementalDedupLsh(tables)) == rows(Dedup.incrementalDedup(tables)))
+  }
+
   test("incremental dedup: verdict precedence and matches agree with a naive base-vs-delta pass") {
     val docs = tables.documents.select("doc_id", "text").collect()
     def norm(s: String)  = s.trim.replaceAll("\\s+", " ")
