@@ -150,6 +150,22 @@ class ReleaseSpec extends SparkSpecBase {
     assert(rows.forall(r => (0 until 64).contains(r.getAs[Long]("shard").toInt)))
   }
 
+  test("release with a reliable checkpoint dir equals the localCheckpoint result") {
+    // the deployment path: the survivor-id list and the shingle index
+    // checkpoint to a reliable location (HDFS/S3) instead of
+    // executor-local blocks — same result, real files written
+    val dirP = java.nio.file.Files.createTempDirectory("release-ckpt")
+    try {
+      val local    = Curation.releaseManifest(tables).collect().map(_.toSeq)
+      val reliable = Curation
+        .releaseManifest(tables, checkpointDir = Some(dirP.toString))
+        .collect()
+        .map(_.toSeq)
+      assert(reliable.toSeq == local.toSeq)
+      assert(dirP.toFile.listFiles().nonEmpty, "no reliable checkpoint written")
+    } finally deleteTree(dirP)
+  }
+
   test("release manifest round-trips the content store (the write a release ends with)") {
     val manifest = Curation
       .releaseManifest(tables)
