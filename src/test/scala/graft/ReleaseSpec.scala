@@ -150,6 +150,19 @@ class ReleaseSpec extends SparkSpecBase {
     assert(rows.forall(r => (0 until 64).contains(r.getAs[Long]("shard").toInt)))
   }
 
+  test("released set is near-dup free: no text-tau pair survives with both endpoints released") {
+    // the invariant the whole front half exists to establish — and the
+    // release criterion behind the split-leakage audit: a near-dup
+    // pair with both ends in the release would leak train→test however
+    // the split falls, and exact-dedup/near-dup-component gates are
+    // supposed to have made that impossible
+    val released = Curation.releaseManifest(tables).collect().map(_.getAs[Long]("doc_id")).toSet
+    val pairs = Dedup.ngramJaccard(tables).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => released(a) && released(b) }
+    assert(pairs.isEmpty, s"near-dup pairs fully inside the release: ${pairs.take(5).toSeq}")
+  }
+
   test("release with a reliable checkpoint dir equals the localCheckpoint result") {
     // the deployment path: the survivor-id list and the shingle index
     // checkpoint to a reliable location (HDFS/S3) instead of
