@@ -212,6 +212,25 @@ class DedupSpec extends SparkSpecBase {
     }
   }
 
+  test("corpus canary: near-dup pairs stay far above the LSH band-miss cliff, at any SF") {
+    // dedup_minhash_lsh and dedup_incremental_lsh share their EXACT
+    // oracles on a whp argument: band-miss prob (1-s^4)^32 is ~5e-8 at
+    // the s ≥ 0.8 every generated near-dup sits at today (measured
+    // min: 0.89/0.90/0.80 across SFs). A pair at s ≈ 0.5-0.6 would
+    // make misses material (~13% at 0.5) and those keys would start
+    // hash-mismatching nondeterministically — if regenerated testdata
+    // ever introduces tau-marginal pairs, THIS names the cause instead
+    // of leaving flaky gate failures on the LSH-shared-oracle keys.
+    for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
+      val t = graft.sources.Tables(spark, s"/root/testdata/$sf")
+      val minJ = Dedup.ngramJaccard(t).agg(org.apache.spark.sql.functions.min("jaccard"))
+        .collect().head.getDouble(0)
+      assert(minJ >= 0.7,
+        f"$sf has a near-dup pair at jaccard $minJ%.3f — LSH band-miss is no longer " +
+          "negligible; expect flaky hash mismatches on dedup_minhash_lsh / dedup_incremental_lsh")
+    }
+  }
+
   test("incremental LSH probe equals the exact posting probe row for row") {
     // the C3/C2 relationship applied to the C22 probe: band candidates
     // + exact verification must reproduce the posting-index result
