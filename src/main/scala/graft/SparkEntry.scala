@@ -463,6 +463,7 @@ object SparkEntry {
     "q_hopping_window"     -> ((s, d) => EventOps.hoppingWindow(Tables(s, d))),
     "q_gapfill"            -> ((s, d) => EventOps.gapFillHourly(Tables(s, d))),
     "multimodal_meta"      -> ((s, d) => Multimodal.mediaMeta(Tables(s, d))),
+    "multimodal_binary_ingest" -> ((s, d) => Multimodal.binaryIngest(Tables(s, d))),
     "multimodal_decode"    -> ((s, d) => Multimodal.decodeSummary(s, Tables(s, d))),
     "multimodal_frames"    -> ((s, d) => Multimodal.sampleFrames(s, Tables(s, d))),
     "multimodal_embed"     -> ((s, d) => Multimodal.embedBuckets(Tables(s, d))),
@@ -2385,6 +2386,11 @@ object SparkEntry {
         |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
         |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "multimodal_meta" ->
+      """SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+        |  sha256(text) AS sha256
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "multimodal_binary_ingest" -> // file write→binaryFile scan is byte-lossless ⇒ metadata
+      // recomputed from file CONTENT matches the original-table oracle
       """SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
         |  sha256(text) AS sha256
         |FROM documents ORDER BY doc_id""".stripMargin,

@@ -50,6 +50,50 @@ object Multimodal {
       )
       .orderBy("doc_id")
 
+  /** C12b: raw media FILES through Spark's `binaryFile` source — the
+    * ingest path real multimodal pipelines start from (a directory of
+    * image/audio blobs, one row per file with path/length/content),
+    * where every other multimodal op here starts from an
+    * already-ingested binary COLUMN. One deterministic .bin file per
+    * document is materialized executor-side (fixture generator — the
+    * corpus ships parquet; a production lake already HAS the files),
+    * then `format("binaryFile")` scans them and the typed metadata is
+    * recomputed from the file CONTENT — matching the original-table
+    * oracle proves the file write→scan cycle byte-lossless, the
+    * serialization-matrix discipline applied to raw blobs.
+    *
+    * Scale shape: the binaryFile scan parallelizes per file (driver
+    * lists paths — bounded by file count, the content-store manifest
+    * rule), content never shuffles before the narrow (id, length,
+    * sha256) projection, and the id comes from the file NAME so the
+    * join back to catalog metadata is a pure column parse, no lookup.
+    */
+  def binaryIngest(
+      t: Tables,
+      dir: String = graft.operators.Ingest.scratchDir("graft-binfiles")
+  ): DataFrame = {
+    t.documents
+      .select(col("doc_id"), col("text"))
+      .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+        rows.foreach { r =>
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(dir, s"doc_${r.getLong(0)}.bin"),
+            r.getString(1).getBytes("UTF-8")
+          )
+        }
+      }
+    t.spark.read
+      .format("binaryFile")
+      .option("pathGlobFilter", "*.bin")
+      .load(dir)
+      .select(
+        regexp_extract(col("path"), "doc_(\\d+)\\.bin$", 1).cast("long").as("doc_id"),
+        col("length").as("n_bytes"),
+        sha2(col("content"), 256).as("sha256")
+      )
+      .orderBy("doc_id")
+  }
+
   /** Decode kernel: real `javax.imageio` header decode for payloads
     * whose magic bytes say image; deterministic stub for everything
     * else. The magic check runs FIRST so non-image bytes (the gate's

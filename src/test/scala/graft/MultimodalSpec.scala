@@ -20,6 +20,24 @@ class MultimodalSpec extends SparkSpecBase {
     assert(a.head.n_bytes == text0.getBytes("UTF-8").length.toLong)
   }
 
+  test("binary-file ingest: one file per doc, id from the name, bytes content-addressed") {
+    val dirP = java.nio.file.Files.createTempDirectory("graft-binspec")
+    try {
+      val rows = Multimodal.binaryIngest(tables, dirP.toString).collect()
+      val nDocs = tables.documents.count()
+      assert(rows.length.toLong == nDocs, s"${rows.length} rows for $nDocs docs")
+      val files = dirP.toFile.listFiles().filter(_.getName.endsWith(".bin"))
+      assert(files.length.toLong == nDocs, "one .bin file per document")
+      // independent pin: doc 0's sha256 recomputed from the FILE bytes
+      val fileBytes = java.nio.file.Files.readAllBytes(dirP.resolve("doc_0.bin"))
+      val expect = MessageDigest.getInstance("SHA-256").digest(fileBytes)
+        .map("%02x".format(_)).mkString
+      val row0 = rows.find(_.getAs[Long]("doc_id") == 0L).get
+      assert(row0.getAs[String]("sha256") == expect)
+      assert(row0.getAs[Long]("n_bytes") == fileBytes.length.toLong)
+    } finally deleteTree(dirP)
+  }
+
   test("decode preserves upstream partitioning (parallelism is caller-controlled)") {
     import spark.implicits._
     val reparted = tables.documents
