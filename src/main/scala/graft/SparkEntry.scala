@@ -464,6 +464,11 @@ object SparkEntry {
     "q_gapfill"            -> ((s, d) => EventOps.gapFillHourly(Tables(s, d))),
     "multimodal_meta"      -> ((s, d) => Multimodal.mediaMeta(Tables(s, d))),
     "multimodal_binary_ingest" -> ((s, d) => Multimodal.binaryIngest(Tables(s, d))),
+    // C12b's streaming leg: the same .bin landing dir consumed by a
+    // binaryFile file-source query in bounded micro-batches — the
+    // media-drop pattern, drained metadata == batch ingest exactly
+    "q_stream_binary_ingest" -> ((s, d) =>
+      graft.streaming.StreamReplay.replayBinaryIngest(s, d).orderBy("doc_id")),
     "multimodal_decode"    -> ((s, d) => Multimodal.decodeSummary(s, Tables(s, d))),
     "multimodal_frames"    -> ((s, d) => Multimodal.sampleFrames(s, Tables(s, d))),
     "multimodal_embed"     -> ((s, d) => Multimodal.embedBuckets(Tables(s, d))),
@@ -2391,6 +2396,10 @@ object SparkEntry {
         |FROM documents ORDER BY doc_id""".stripMargin,
     "multimodal_binary_ingest" -> // file write→binaryFile scan is byte-lossless ⇒ metadata
       // recomputed from file CONTENT matches the original-table oracle
+      """SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+        |  sha256(text) AS sha256
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_stream_binary_ingest" -> // streaming binaryFile drain == the batch ingest == the table
       """SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
         |  sha256(text) AS sha256
         |FROM documents ORDER BY doc_id""".stripMargin,

@@ -72,6 +72,19 @@ object Multimodal {
       t: Tables,
       dir: String = graft.operators.Ingest.scratchDir("graft-binfiles")
   ): DataFrame = {
+    writeBinaryFixture(t, dir)
+    binaryMetaProjection(
+      t.spark.read
+        .format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(dir)
+    ).orderBy("doc_id")
+  }
+
+  /** The deterministic one-.bin-per-doc fixture writer shared by the
+    * batch and streaming binaryFile ingest drains.
+    */
+  private[graft] def writeBinaryFixture(t: Tables, dir: String): Unit =
     t.documents
       .select(col("doc_id"), col("text"))
       .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
@@ -82,17 +95,17 @@ object Multimodal {
           )
         }
       }
-    t.spark.read
-      .format("binaryFile")
-      .option("pathGlobFilter", "*.bin")
-      .load(dir)
-      .select(
-        regexp_extract(col("path"), "doc_(\\d+)\\.bin$", 1).cast("long").as("doc_id"),
-        col("length").as("n_bytes"),
-        sha2(col("content"), 256).as("sha256")
-      )
-      .orderBy("doc_id")
-  }
+
+  /** Typed-metadata projection over a binaryFile scan (batch or
+    * stream): id parsed from the file name, byte length, sha256
+    * content address — pure column work, no lookup.
+    */
+  private[graft] def binaryMetaProjection(scan: DataFrame): DataFrame =
+    scan.select(
+      regexp_extract(col("path"), "doc_(\\d+)\\.bin$", 1).cast("long").as("doc_id"),
+      col("length").as("n_bytes"),
+      sha2(col("content"), 256).as("sha256")
+    )
 
   /** Decode kernel: real `javax.imageio` header decode for payloads
     * whose magic bytes say image; deterministic stub for everything

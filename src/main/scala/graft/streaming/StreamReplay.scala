@@ -471,6 +471,55 @@ object StreamReplay {
       .reduce(_.unionAll(_))
   }
 
+  /** C12b's STREAMING leg — continuous raw-media ingestion: the same
+    * one-.bin-per-doc fixture directory, consumed by a streaming
+    * `binaryFile` file-source query in bounded micro-batches
+    * (`maxFilesPerTrigger` sized for ~`batches` triggers) and drained
+    * to a parquet sink through the identical typed-metadata
+    * projection. The drained metadata must equal the batch ingest
+    * exactly — file-source listing/admission, per-batch binary reads,
+    * and the sink's exactly-once commit all under the hash. This is
+    * the media-drop pattern: a landing directory that keeps receiving
+    * blobs, with the catalog row extracted en route.
+    */
+  def replayBinaryIngest(spark: SparkSession, sfDir: String, batches: Int = 4): DataFrame = {
+    val run  = Files.createDirectories(root.resolve(f"run-${runCounter.getAndIncrement()}%04d"))
+    val bin  = Files.createDirectories(run.resolve("bin")).toString
+    val out  = run.resolve("out").toString
+    val ckpt = run.resolve("ckpt")
+    val t    = Tables(spark, sfDir)
+    graft.operators.Multimodal.writeBinaryFixture(t, bin)
+    val nFiles  = t.documents.count()
+    val perTrig = math.max(1L, (nFiles + batches - 1) / batches)
+    val spKey = "spark.sql.shuffle.partitions"
+    val prev  = spark.conf.get(spKey)
+    spark.conf.set(spKey, math.min(ReplayShuffleWidth, prev.toInt).toString)
+    try {
+      val scan = spark.readStream
+        .format("binaryFile")
+        .schema(
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "path STRING, modificationTime TIMESTAMP, length LONG, content BINARY"
+          )
+        )
+        .option("pathGlobFilter", "*.bin")
+        .option("maxFilesPerTrigger", perTrig.toString)
+        .load(bin)
+      val query = graft.operators.Multimodal
+        .binaryMetaProjection(scan)
+        .writeStream
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+      lastBatchCount = Option(query.lastProgress).map(_.batchId + 1).getOrElse(-1L)
+    } finally spark.conf.set(spKey, prev)
+    deleteTree(ckpt)
+    spark.read.parquet(out)
+  }
+
   /** A18's MICRO_BATCH_READ leg under the gate — the read-side twin of
     * [[replayDocumentsToStore]]: K batch writes publish K manifests
     * into a fresh store, then a streaming query TAILS the manifest log

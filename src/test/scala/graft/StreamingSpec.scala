@@ -892,6 +892,23 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamed == batch, s"recovered sink ${streamed.size} windows vs batch ${batch.size}")
   }
 
+  test("streaming binaryFile ingest drains in bounded micro-batches and equals the batch ingest") {
+    import graft.streaming.StreamReplay
+    val streamed = StreamReplay.replayBinaryIngest(spark, sfDir, batches = 4)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_bytes"), r.getAs[String]("sha256")))
+      .toSet
+    // maxFilesPerTrigger = ceil(n/4) must yield ~4 real micro-batches,
+    // not one bulk admission
+    assert(StreamReplay.lastBatchCount >= 4,
+      s"expected >=4 micro-batches, got ${StreamReplay.lastBatchCount}")
+    val batch = graft.operators.Multimodal.binaryIngest(tables)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_bytes"), r.getAs[String]("sha256")))
+      .toSet
+    assert(streamed == batch, "streamed binary metadata diverged from the batch ingest")
+  }
+
   test("file replay drains the corpus through real micro-batches and equals the batch twin") {
     import graft.streaming.StreamReplay
     val slices = 3
