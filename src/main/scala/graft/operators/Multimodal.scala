@@ -68,18 +68,42 @@ object Multimodal {
     * sha256) projection, and the id comes from the file NAME so the
     * join back to catalog metadata is a pure column parse, no lookup.
     */
-  def binaryIngest(
-      t: Tables,
-      dir: String = graft.operators.Ingest.scratchDir("graft-binfiles")
-  ): DataFrame = {
+  def binaryIngest(t: Tables): DataFrame =
+    binaryIngestFrom(t, sharedBinaryFixture(t))
+
+  /** [[binaryIngest]] over an explicit landing directory — writes a
+    * fresh fixture there; specs use it for isolated runs.
+    */
+  def binaryIngest(t: Tables, dir: String): DataFrame = {
     writeBinaryFixture(t, dir)
+    binaryIngestFrom(t, dir)
+  }
+
+  private def binaryIngestFrom(t: Tables, dir: String): DataFrame =
     binaryMetaProjection(
       t.spark.read
         .format("binaryFile")
         .option("pathGlobFilter", "*.bin")
         .load(dir)
     ).orderBy("doc_id")
-  }
+
+  /** One fixture directory per corpus per JVM (the StreamReplay
+    * slice-cache rule): the .bin files are a pure function of the
+    * documents table, so the batch ingest, the streaming drain, and
+    * repeat bench iterations all read ONE write — at sf0.1 that is
+    * 5000 small-file creations saved per extra reader.
+    */
+  private val fixtureDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[graft] def sharedBinaryFixture(t: Tables): String =
+    fixtureDirs.computeIfAbsent(
+      t.dir,
+      _ => {
+        val d = graft.operators.Ingest.scratchDir("graft-binfiles")
+        writeBinaryFixture(t, d)
+        d
+      }
+    )
 
   /** The deterministic one-.bin-per-doc fixture writer shared by the
     * batch and streaming binaryFile ingest drains.

@@ -481,14 +481,27 @@ object StreamReplay {
     * and the sink's exactly-once commit all under the hash. This is
     * the media-drop pattern: a landing directory that keeps receiving
     * blobs, with the catalog row extracted en route.
+    *
+    * MEASURED (r13, sf0.1 = 5000 files): the drain costs ~11 s almost
+    * independent of batch count (1 vs 4 batches: 12.2 vs 10.8 s) while
+    * the batch scan of the same files is ~2 s — the file-stream
+    * source's per-file admission (listing snapshots + offset/metadata
+    * log entries per file) costs ~2 ms/file. That is the STREAMING
+    * sibling of the reference's one-object-per-record anti-pattern: a
+    * production media drop at 10⁹ blobs batches arrivals into
+    * archives/manifests (the ContentStore path, A18) rather than
+    * letting per-file admission dominate; this drain keeps the
+    * raw-directory shape because proving THAT path correct is its job.
     */
   def replayBinaryIngest(spark: SparkSession, sfDir: String, batches: Int = 4): DataFrame = {
     val run  = Files.createDirectories(root.resolve(f"run-${runCounter.getAndIncrement()}%04d"))
-    val bin  = Files.createDirectories(run.resolve("bin")).toString
     val out  = run.resolve("out").toString
     val ckpt = run.resolve("ckpt")
     val t    = Tables(spark, sfDir)
-    graft.operators.Multimodal.writeBinaryFixture(t, bin)
+    // the landing dir is the JVM-shared fixture (pure function of the
+    // corpus) — the batch key, this drain, and repeat bench iterations
+    // all read one 5000-file write
+    val bin     = graft.operators.Multimodal.sharedBinaryFixture(t)
     val nFiles  = t.documents.count()
     val perTrig = math.max(1L, (nFiles + batches - 1) / batches)
     val spKey = "spark.sql.shuffle.partitions"
