@@ -2314,7 +2314,7 @@ object SparkEntry {
         |  FROM dflag GROUP BY 1),
         |qh AS (
         |  SELECT cl.doc_id, d.source, cl.n_tokens, cl.n_cut, cl.clean_text,
-        |    CAST(strlen(cl.clean_text) AS BIGINT) AS clean_chars,
+        |    CAST(length(cl.clean_text) AS BIGINT) AS clean_chars,
         |    md5(CAST(cl.doc_id AS VARCHAR)) AS hk
         |  FROM cleaned cl JOIN documents d USING (doc_id)),
         |qc AS (

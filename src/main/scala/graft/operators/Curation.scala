@@ -618,6 +618,9 @@ object Curation {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     clean
       .join(t.documents.select(col("doc_id"), col("source")), "doc_id")
+      // quota counts Unicode CODE POINTS on both engines: Spark
+      // length() = UTF8String.numChars, oracle uses DuckDB length()
+      // (not strlen, which counts BYTES and diverges off-ASCII)
       .withColumn("clean_chars", length(col("clean_text")).cast("long"))
       .withColumn("hk", md5(col("doc_id").cast("string")))
       .withColumn("cum_chars", sum("clean_chars").over(byQuota))

@@ -55,6 +55,9 @@ class ReleaseSpec extends SparkSpecBase {
       val (nt, nc, ct) = clean(id)
       Staged(id, srcOf(id), nt, nc, ct)
     }
+    // clean_chars counts Unicode CODE POINTS (the operator/oracle
+    // convention) — String.length would count UTF-16 units instead
+    def nCodePoints(s: String): Long = s.codePointCount(0, s.length).toLong
     val kept = staged
       .groupBy(_.source)
       .flatMap { case (_, docs) =>
@@ -62,7 +65,7 @@ class ReleaseSpec extends SparkSpecBase {
         docs
           .sortBy(d => (md5hex(d.docId.toString), d.docId))
           .flatMap { d =>
-            cum += d.cleanText.length
+            cum += nCodePoints(d.cleanText)
             if (cum <= QuotaChars) Some(d -> cum) else None
           }
       }
@@ -83,7 +86,7 @@ class ReleaseSpec extends SparkSpecBase {
           val binId  = cumTok / PackBudget // cum BEFORE this doc
           cumTok += nClean
           d.docId -> ((d.source, split, bucket(d.docId, 64), binId, d.nTokens, d.nCut, nClean,
-            d.cleanText.length.toLong, cum, md5hex(d.cleanText)))
+            nCodePoints(d.cleanText), cum, md5hex(d.cleanText)))
         }
       }
 
