@@ -61,8 +61,17 @@ object Bench {
       Seq("dedup_ngram_jaccard", "q_funnel")
         .filterNot(n => only.exists(_.contains(n)))
         .foreach { n =>
+          // NonFatal only: an OOM/VMError here must surface, and a
+          // renamed/broken warm-up key must say so — silently skipping
+          // re-introduces the ~40% cold-JIT subset bias this block
+          // exists to remove
           try SparkEntry.queries(n)(spark, sfDir).queryExecution.toRdd.count()
-          catch { case _: Throwable => () }
+          catch {
+            case scala.util.control.NonFatal(e) =>
+              System.err.println(
+                s"bench warm-up query '$n' failed (${e.getClass.getSimpleName}: ${e.getMessage}) — subset numbers may run cold"
+              )
+          }
         }
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
       System.gc()

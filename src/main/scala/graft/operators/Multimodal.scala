@@ -113,9 +113,20 @@ object Multimodal {
       .select(col("doc_id"), col("text"))
       .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
         rows.foreach { r =>
-          java.nio.file.Files.write(
-            java.nio.file.Paths.get(dir, s"doc_${r.getLong(0)}.bin"),
-            r.getString(1).getBytes("UTF-8")
+          // content is deterministic but truncate+write is not atomic:
+          // a task retry / speculative duplicate interleaving with the
+          // first writer could expose a torn file. Stage under a
+          // per-attempt temp name and rename into place — last full
+          // write wins, readers never see a partial.
+          val target = java.nio.file.Paths.get(dir, s"doc_${r.getLong(0)}.bin")
+          val tmp = java.nio.file.Paths
+            .get(dir, s".doc_${r.getLong(0)}.${java.util.UUID.randomUUID()}.tmp")
+          java.nio.file.Files.write(tmp, r.getString(1).getBytes("UTF-8"))
+          java.nio.file.Files.move(
+            tmp,
+            target,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING
           )
         }
       }

@@ -69,8 +69,20 @@ object StreamReplay {
     */
   private val ReplayShuffleWidth = 4
 
-  /** Micro-batch count of the most recent replay (test telemetry). */
-  @volatile var lastBatchCount: Long = -1L
+  /** Micro-batch count (data-carrying batches only) of the most recent
+    * replay ON THIS THREAD (test telemetry). Counted from
+    * `recentProgress` with `numInputRows > 0` rather than the last
+    * progress's batchId: AvailableNow can run a trailing no-data batch
+    * (which would overcount real data batches), and a ThreadLocal keeps
+    * concurrent replays in parallel test runs from clobbering each
+    * other's value before the assertion reads it.
+    */
+  private val lastBatchCountTl: ThreadLocal[Long] = new ThreadLocal[Long] {
+    override def initialValue(): Long = -1L
+  }
+  def lastBatchCount: Long = lastBatchCountTl.get()
+  private def recordBatchCount(query: org.apache.spark.sql.streaming.StreamingQuery): Unit =
+    lastBatchCountTl.set(query.recentProgress.count(_.numInputRows > 0).toLong)
 
   /** One temp root per JVM for every replay's slices, checkpoints and
     * drained sinks, removed by a shutdown hook — repeated Verify/Bench
@@ -301,7 +313,7 @@ object StreamReplay {
         .trigger(Trigger.AvailableNow())
         .start()
       query.awaitTermination()
-      lastBatchCount = Option(query.lastProgress).map(_.batchId + 1).getOrElse(-1L)
+      recordBatchCount(query)
     } finally spark.conf.set(spKey, prev)
     spark.read.option("recursiveFileLookup", "true").parquet(outDir)
   }
@@ -406,7 +418,7 @@ object StreamReplay {
         availableNow = true
       )
       query.awaitTermination()
-      lastBatchCount = Option(query.lastProgress).map(_.batchId + 1).getOrElse(-1L)
+      recordBatchCount(query)
     } finally spark.conf.set(spKey, prev)
     deleteTree(ckpt)
     StreamIO.readQueueBatches(spark, outDir)
@@ -452,7 +464,7 @@ object StreamReplay {
         .trigger(Trigger.AvailableNow())
         .start()
       query.awaitTermination()
-      lastBatchCount = Option(query.lastProgress).map(_.batchId + 1).getOrElse(-1L)
+      recordBatchCount(query)
     } finally spark.conf.set(spKey, prev)
     deleteTree(ckpt)
     // one committed manifest per epoch, named epoch-<queryId>-<epochId>;
@@ -527,7 +539,7 @@ object StreamReplay {
         .trigger(Trigger.AvailableNow())
         .start()
       query.awaitTermination()
-      lastBatchCount = Option(query.lastProgress).map(_.batchId + 1).getOrElse(-1L)
+      recordBatchCount(query)
     } finally spark.conf.set(spKey, prev)
     deleteTree(ckpt)
     spark.read.parquet(out)
@@ -577,7 +589,7 @@ object StreamReplay {
         .trigger(Trigger.AvailableNow())
         .start()
       query.awaitTermination()
-      lastBatchCount = Option(query.lastProgress).map(_.batchId + 1).getOrElse(-1L)
+      recordBatchCount(query)
     } finally spark.conf.set(spKey, prev)
     deleteTree(ckpt)
     spark.read.parquet(out)
@@ -685,7 +697,7 @@ object StreamReplay {
       query.awaitTermination()
       // test-only telemetry: specs assert the replay genuinely executed
       // one micro-batch per slice (plus sentinels), not a single drain
-      lastBatchCount = Option(query.lastProgress).map(_.batchId + 1).getOrElse(-1L)
+      recordBatchCount(query)
     } finally spark.conf.set(spKey, prev)
     // the drained query committed; its checkpoint (offsets + state
     // snapshots, the bulk of a replay's footprint) is dead weight now.

@@ -221,7 +221,7 @@ class DedupSpec extends SparkSpecBase {
     // hash-mismatching nondeterministically — if regenerated testdata
     // ever introduces tau-marginal pairs, THIS names the cause instead
     // of leaving flaky gate failures on the LSH-shared-oracle keys.
-    for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
+    for (sf <- availableSfDirs) {
       val t   = graft.sources.Tables(spark, s"/root/testdata/$sf")
       val row = Dedup.ngramJaccard(t).agg(org.apache.spark.sql.functions.min("jaccard"))
         .collect().head

@@ -54,6 +54,32 @@ class SchemaCanarySpec extends SparkSpecBase {
     ("embeddings", _.embeddings, "vec_id BIGINT,embedding ARRAY<FLOAT>,label INT")
   )
 
+  test("canary: every embeddings.vec_id has a documents row (docs ⊇ vectors), at any SF") {
+    // The C55/C56 oracles (modality agreement, paraphrase mining) join
+    // embeddings to documents on vec_id = doc_id and ASSUME the doc
+    // side covers every vector — a regenerated corpus that breaks the
+    // containment would silently drop pairs from those operators while
+    // their DuckDB oracles did the same, leaving the drift invisible
+    // to the hash gate. This names it at the round boundary instead.
+    for (sf <- availableSfDirs) {
+      val t = Tables(spark, s"/root/testdata/$sf")
+      val orphans = t.embeddings
+        .select(org.apache.spark.sql.functions.col("vec_id"))
+        .join(
+          t.documents.select(org.apache.spark.sql.functions.col("doc_id")),
+          org.apache.spark.sql.functions.col("vec_id") ===
+            org.apache.spark.sql.functions.col("doc_id"),
+          "left_anti"
+        )
+        .count()
+      assert(
+        orphans == 0L,
+        s"$sf has $orphans embeddings.vec_id values with no documents row — " +
+          "the docs ⊇ vectors invariant the C55/C56 oracles assume no longer holds"
+      )
+    }
+  }
+
   for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
     val t = Tables(spark, s"/root/testdata/$sf")
     test(s"canary: $sf normalized schemas unchanged") {

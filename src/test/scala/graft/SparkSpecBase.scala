@@ -16,6 +16,18 @@ trait SparkSpecBase extends AnyFunSuite {
     * outside StreamReplay's shutdown-cleaned root accumulate one per
     * suite run otherwise).
     */
+  /** SF directories actually present under /root/testdata — corpus
+    * canaries iterate THIS instead of hardcoding the bench-scale SFs,
+    * so a checkout with only the required sf0.001 skips (with a note)
+    * instead of failing on an opaque missing-path error.
+    */
+  def availableSfDirs: Seq[String] = {
+    val all = Seq("sf0.001", "sf0.01", "sf0.1")
+    val present = all.filter(sf => new java.io.File(s"/root/testdata/$sf").isDirectory)
+    (all.toSet -- present.toSet).foreach(sf => info(s"skipping absent testdata dir $sf"))
+    present
+  }
+
   def deleteTree(p: java.nio.file.Path): Unit =
     if (java.nio.file.Files.exists(p)) {
       import scala.jdk.CollectionConverters._
