@@ -407,6 +407,7 @@ object SparkEntry {
     "pipeline_curate"      -> ((s, d) => Curation.curate(Tables(s, d))),
     "pipeline_curate_full" -> ((s, d) => Curation.curateFull(Tables(s, d))),
     "pipeline_release"     -> ((s, d) => Curation.releaseManifest(Tables(s, d))),
+    "pipeline_release_delta" -> ((s, d) => Curation.releaseDelta(Tables(s, d))),
     "q_asof_join"          -> ((s, d) => Temporal.asofPriorClick(Tables(s, d))),
     "q_asof_left"          -> ((s, d) => Temporal.asofPriorClickLeft(Tables(s, d))),
     "q_range_join"         -> ((s, d) => Temporal.signupActivity(Tables(s, d))),
@@ -455,6 +456,7 @@ object SparkEntry {
     "pipeline_snapshot_diff" -> ((s, d) => Curation.snapshotDiff(Tables(s, d))),
     "dedup_incremental"    -> ((s, d) => Dedup.incrementalDedup(Tables(s, d))),
     "dedup_incremental_lsh" -> ((s, d) => Dedup.incrementalDedupLsh(Tables(s, d))),
+    "dedup_incremental_persisted" -> ((s, d) => Dedup.incrementalDedupPersisted(Tables(s, d))),
     "text_bpe_merges"      -> ((s, d) => TextOps.bpeMergeCandidates(Tables(s, d))),
     "text_bpe_apply"       -> ((s, d) => TextOps.bpeApply(Tables(s, d))),
     "text_vocab_coverage"  -> ((s, d) => TextOps.vocabCoverage(Tables(s, d))),
@@ -2026,6 +2028,8 @@ object SparkEntry {
       incrementalDedupOracle,
     "dedup_incremental_lsh" -> // LSH-probe variant = exact probe whp (band-miss (1-s^4)^32; see C3)
       incrementalDedupOracle,
+    "dedup_incremental_persisted" -> // C22d's band probe against the PERSISTED (ContentStore) index = same output
+      incrementalDedupOracle,
     "text_bpe_merges" -> // top-50 adjacent char pairs over the distinct-word table, weighted by word count
       s"""WITH v AS (
         |  SELECT w, count(*) AS cnt
@@ -2273,75 +2277,28 @@ object SparkEntry {
       // semantic decontamination → despan over survivors → per-source
       // clean-char quota → hash split → (split, source) token packing →
       // hash shard; one manifest row per released doc
-      s"""WITH RECURSIVE $curateCtes,
-        |$repContCtes,
-        |sn AS (
-        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
-        |    sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b)) AS nrm
-        |  FROM embeddings),
-        |sc AS (
-        |  SELECT DISTINCT b.vec_id AS doc_id
-        |  FROM sn a JOIN sn b ON a.vec_id % 41 = 0 AND b.vec_id % 41 <> 0
-        |    AND a.nrm > 0 AND b.nrm > 0
-        |  WHERE list_reduce(list_transform(range(1, len(a.v) + 1), i -> a.v[CAST(i AS INT)] * b.v[CAST(i AS INT)]), (x, y) -> x + y)
-        |      / (a.nrm * b.nrm) >= 0.3),
-        |surv AS (
-        |  SELECT c.doc_id FROM curated c JOIN rep USING (doc_id)
-        |  WHERE rep.top_bigram_frac < 0.08
-        |    AND c.doc_id NOT IN (SELECT doc_id FROM cont)
-        |    AND c.doc_id NOT IN (SELECT doc_id FROM sc)),
-        |dw AS (SELECT d.doc_id, string_split(d.text, ' ') AS ws,
-        |        len(string_split(d.text, ' ')) AS n
-        |       FROM documents d JOIN surv USING (doc_id)),
-        |dwin AS (
-        |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
-        |    array_to_string(list_slice(ws, CAST(i AS INT), CAST(i + 4 AS INT)), ' ') AS gram
-        |  FROM (SELECT doc_id, ws, unnest(generate_series(1, n - 4)) AS i FROM dw WHERE n >= 5)),
-        |dg AS (SELECT gram, count(*) AS cnt, min(doc_id) AS min_doc FROM dwin GROUP BY 1),
-        |dcuts AS (
-        |  SELECT DISTINCT dwin.doc_id, unnest(generate_series(dwin.pos, dwin.pos + 4)) AS cutpos
-        |  FROM dwin JOIN dg USING (gram) WHERE dg.cnt >= 2 AND dwin.doc_id <> dg.min_doc),
-        |dtoks AS (
-        |  SELECT doc_id, unnest(ws) AS tok,
-        |    CAST(unnest(generate_series(0, n - 1)) AS BIGINT) AS pos FROM dw),
-        |dflag AS (
-        |  SELECT t.doc_id, t.pos, t.tok, c.cutpos IS NOT NULL AS cut
-        |  FROM dtoks t LEFT JOIN dcuts c ON t.doc_id = c.doc_id AND t.pos = c.cutpos),
-        |cleaned AS (
-        |  SELECT doc_id, count(*) AS n_tokens,
-        |    CAST(sum(CASE WHEN cut THEN 1 ELSE 0 END) AS BIGINT) AS n_cut,
-        |    coalesce(string_agg(CASE WHEN NOT cut THEN tok END, ' ' ORDER BY pos), '') AS clean_text
-        |  FROM dflag GROUP BY 1),
-        |qh AS (
-        |  SELECT cl.doc_id, d.source, cl.n_tokens, cl.n_cut, cl.clean_text,
-        |    CAST(length(cl.clean_text) AS BIGINT) AS clean_chars,
-        |    md5(CAST(cl.doc_id AS VARCHAR)) AS hk
-        |  FROM cleaned cl JOIN documents d USING (doc_id)),
-        |qc AS (
-        |  SELECT *, CAST(sum(clean_chars) OVER (
-        |      PARTITION BY source ORDER BY hk, doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_chars
-        |  FROM qh),
-        |qk AS (
-        |  SELECT *,
-        |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 AS bucket
-        |  FROM qc WHERE cum_chars <= 2000),
-        |sp AS (
-        |  SELECT *,
-        |    CASE WHEN bucket < 80 THEN 'train'
-        |         WHEN bucket < 90 THEN 'val'
-        |         ELSE 'test' END AS split,
-        |    n_tokens - n_cut AS n_clean
-        |  FROM qk),
-        |pk AS (
-        |  SELECT *, sum(n_clean) OVER (
-        |      PARTITION BY split, source ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum_tokens
-        |  FROM sp)
-        |SELECT doc_id, source, split,
-        |  CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 64 AS shard,
-        |  CAST(floor((cum_tokens - n_clean) / 256) AS BIGINT) AS bin_id,
-        |  n_tokens, n_cut, CAST(n_clean AS BIGINT) AS n_clean, clean_chars, cum_chars,
-        |  md5(clean_text) AS clean_hash
-        |FROM pk ORDER BY doc_id""".stripMargin,
+      releaseOracleOver("documents"),
+    "pipeline_release_delta" -> // C62: the C61 chain instantiated per simulated corpus
+      // version (C25's V1/V2) in separate subquery scopes, full-outer
+      // diffed into the enter/leave/moved/stay changelog
+      s"""WITH m1 AS (SELECT * FROM (
+        |${releaseOracleOver("vdocs", releaseV1Cte)}
+        |)),
+        |m2 AS (SELECT * FROM (
+        |${releaseOracleOver("vdocs", releaseV2Cte)}
+        |))
+        |SELECT coalesce(m1.doc_id, m2.doc_id) AS doc_id,
+        |  CASE WHEN m1.doc_id IS NULL THEN 'enter'
+        |       WHEN m2.doc_id IS NULL THEN 'leave'
+        |       WHEN m1.split <> m2.split OR m1.shard <> m2.shard
+        |            OR m1.bin_id <> m2.bin_id OR m1.clean_hash <> m2.clean_hash THEN 'moved'
+        |       ELSE 'stay' END AS change,
+        |  m1.split AS old_split, m2.split AS new_split,
+        |  m1.shard AS old_shard, m2.shard AS new_shard,
+        |  m1.bin_id AS old_bin, m2.bin_id AS new_bin,
+        |  m1.clean_hash AS old_clean_hash, m2.clean_hash AS new_clean_hash
+        |FROM m1 FULL OUTER JOIN m2 ON m1.doc_id = m2.doc_id
+        |ORDER BY 1""".stripMargin,
     "text_langid" ->
       """WITH h AS (
         |  SELECT doc_id,
@@ -3371,17 +3328,24 @@ object SparkEntry {
     * (recursive CTE over the ngram pairs), token quality, language,
     * exact dedup — ending in a `curated` CTE of the surviving docs.
     */
-  private lazy val curateCtes: String =
-    s"""p AS ($ngramJaccardOracle),
+  private lazy val curateCtes: String = curateCtesOver("documents")
+
+  /** [[curateCtes]] parameterized by the documents relation name — the
+    * release-delta oracle instantiates the chain per simulated corpus
+    * version (inside separate subquery scopes, so the CTE names don't
+    * collide); every other curation oracle uses the base table.
+    */
+  private def curateCtesOver(docs: String): String =
+    s"""p AS (${ngramOracle(None, docs)}),
       |$componentReachCtes,
       |comps AS (SELECT id AS doc_id, min(comp) AS near_dup_comp FROM reach GROUP BY 1),
-      |q AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
+      |q AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM $docs),
       |lh AS (
       |  SELECT doc_id,
       |    CAST(len(list_intersect(list_distinct(string_split(lower(text), ' ')), ['the','a','of','and','in','is'])) AS BIGINT) AS en_hits,
       |    CAST(len(list_intersect(list_distinct(string_split(lower(text), ' ')), ['el','la','de','los','que','y'])) AS BIGINT) AS es_hits,
       |    CAST(len(list_intersect(list_distinct(string_split(lower(text), ' ')), ['der','die','das','und','ist','mit'])) AS BIGINT) AS de_hits
-      |  FROM documents),
+      |  FROM $docs),
       |l AS (
       |  SELECT doc_id,
       |    CASE WHEN en_hits >= es_hits AND en_hits >= de_hits AND en_hits > 0 THEN 'en'
@@ -3392,10 +3356,10 @@ object SparkEntry {
       |e AS (
       |  SELECT doc_id,
       |    min(doc_id) OVER (PARTITION BY md5(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS keep_doc_id
-      |  FROM documents),
+      |  FROM $docs),
       |curated AS (
       |  SELECT d.doc_id, q.n_tokens, l.lang_pred
-      |  FROM documents d
+      |  FROM $docs d
       |  JOIN q USING (doc_id) JOIN l USING (doc_id) JOIN e USING (doc_id)
       |  LEFT JOIN comps USING (doc_id)
       |  WHERE q.n_tokens >= 30 AND l.lang_pred = 'en' AND d.doc_id = e.keep_doc_id
@@ -3455,8 +3419,12 @@ object SparkEntry {
     * One definition, same discipline as [[curateCtes]]: a gate change
     * breaks one string, not two drifting copies.
     */
-  private lazy val repContCtes: String =
-    s"""wbg AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+  private lazy val repContCtes: String = repContCtesOver("documents")
+
+  /** [[repContCtes]] parameterized by the documents relation name —
+    * same contract as [[curateCtesOver]]. */
+  private def repContCtesOver(docs: String): String =
+    s"""wbg AS (SELECT doc_id, string_split(text, ' ') AS ws FROM $docs),
       |bg AS (
       |  SELECT doc_id,
       |    unnest(list_transform(range(1, len(ws)),
@@ -3469,7 +3437,7 @@ object SparkEntry {
       |cs AS (
       |  SELECT doc_id,
       |    unnest($shingleListExpr) AS shingle
-      |  FROM documents),
+      |  FROM $docs),
       |bench AS (SELECT DISTINCT shingle FROM cs WHERE doc_id % 97 = 0),
       |cont AS (
       |  SELECT DISTINCT cs.doc_id FROM cs JOIN bench USING (shingle)
@@ -3564,7 +3532,7 @@ object SparkEntry {
     * banding analysis), and — with a document-frequency cap on the
     * posting list, mirroring ngramJaccardCapped — C2b.
     */
-  private def ngramOracle(cap: Option[Int]): String = {
+  private def ngramOracle(cap: Option[Int], docs: String = "documents"): String = {
     val postings = cap.fold("SELECT doc_id, shingle FROM p") { c =>
       s"""SELECT p.doc_id, p.shingle FROM p
          |  JOIN (SELECT shingle, count(*) AS c FROM p GROUP BY 1) df USING (shingle)
@@ -3573,7 +3541,7 @@ object SparkEntry {
     s"""WITH s AS (
       |  SELECT doc_id,
       |    $shingleListExpr AS sh
-      |  FROM documents),
+      |  FROM $docs),
       |sz AS (SELECT doc_id, len(sh) AS n_sh FROM s),
       |p AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
       |pc AS ($postings),
@@ -3590,5 +3558,99 @@ object SparkEntry {
       |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+
+  /** The complete C61 release-manifest oracle over documents relation
+    * `docs`, with `prelude` CTEs (the simulated-version definitions)
+    * injected ahead of the chain — instantiated once for the
+    * pipeline_release gate and twice (separate subquery scopes) by
+    * pipeline_release_delta. One definition: a release-rule change
+    * breaks one string, not three drifting copies.
+    */
+  private def releaseOracleOver(docs: String, prelude: String = ""): String = {
+    val pre = if (prelude.isEmpty) "" else prelude + "\n"
+    s"""WITH RECURSIVE $pre${curateCtesOver(docs)},
+      |${repContCtesOver(docs)},
+        |sn AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+        |    sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b)) AS nrm
+        |  FROM embeddings),
+        |sc AS (
+        |  SELECT DISTINCT b.vec_id AS doc_id
+        |  FROM sn a JOIN sn b ON a.vec_id % 41 = 0 AND b.vec_id % 41 <> 0
+        |    AND a.nrm > 0 AND b.nrm > 0
+        |  WHERE list_reduce(list_transform(range(1, len(a.v) + 1), i -> a.v[CAST(i AS INT)] * b.v[CAST(i AS INT)]), (x, y) -> x + y)
+        |      / (a.nrm * b.nrm) >= 0.3),
+        |surv AS (
+        |  SELECT c.doc_id FROM curated c JOIN rep USING (doc_id)
+        |  WHERE rep.top_bigram_frac < 0.08
+        |    AND c.doc_id NOT IN (SELECT doc_id FROM cont)
+        |    AND c.doc_id NOT IN (SELECT doc_id FROM sc)),
+        |dw AS (SELECT d.doc_id, string_split(d.text, ' ') AS ws,
+        |        len(string_split(d.text, ' ')) AS n
+        |       FROM $docs d JOIN surv USING (doc_id)),
+        |dwin AS (
+        |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+        |    array_to_string(list_slice(ws, CAST(i AS INT), CAST(i + 4 AS INT)), ' ') AS gram
+        |  FROM (SELECT doc_id, ws, unnest(generate_series(1, n - 4)) AS i FROM dw WHERE n >= 5)),
+        |dg AS (SELECT gram, count(*) AS cnt, min(doc_id) AS min_doc FROM dwin GROUP BY 1),
+        |dcuts AS (
+        |  SELECT DISTINCT dwin.doc_id, unnest(generate_series(dwin.pos, dwin.pos + 4)) AS cutpos
+        |  FROM dwin JOIN dg USING (gram) WHERE dg.cnt >= 2 AND dwin.doc_id <> dg.min_doc),
+        |dtoks AS (
+        |  SELECT doc_id, unnest(ws) AS tok,
+        |    CAST(unnest(generate_series(0, n - 1)) AS BIGINT) AS pos FROM dw),
+        |dflag AS (
+        |  SELECT t.doc_id, t.pos, t.tok, c.cutpos IS NOT NULL AS cut
+        |  FROM dtoks t LEFT JOIN dcuts c ON t.doc_id = c.doc_id AND t.pos = c.cutpos),
+        |cleaned AS (
+        |  SELECT doc_id, count(*) AS n_tokens,
+        |    CAST(sum(CASE WHEN cut THEN 1 ELSE 0 END) AS BIGINT) AS n_cut,
+        |    coalesce(string_agg(CASE WHEN NOT cut THEN tok END, ' ' ORDER BY pos), '') AS clean_text
+        |  FROM dflag GROUP BY 1),
+        |qh AS (
+        |  SELECT cl.doc_id, d.source, cl.n_tokens, cl.n_cut, cl.clean_text,
+        |    CAST(length(cl.clean_text) AS BIGINT) AS clean_chars,
+        |    md5(CAST(cl.doc_id AS VARCHAR)) AS hk
+        |  FROM cleaned cl JOIN $docs d USING (doc_id)),
+        |qc AS (
+        |  SELECT *, CAST(sum(clean_chars) OVER (
+        |      PARTITION BY source ORDER BY hk, doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_chars
+        |  FROM qh),
+        |qk AS (
+        |  SELECT *,
+        |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 AS bucket
+        |  FROM qc WHERE cum_chars <= 2000),
+        |sp AS (
+        |  SELECT *,
+        |    CASE WHEN bucket < 80 THEN 'train'
+        |         WHEN bucket < 90 THEN 'val'
+        |         ELSE 'test' END AS split,
+        |    n_tokens - n_cut AS n_clean
+        |  FROM qk),
+        |pk AS (
+        |  SELECT *, sum(n_clean) OVER (
+        |      PARTITION BY split, source ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum_tokens
+        |  FROM sp)
+        |SELECT doc_id, source, split,
+        |  CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 64 AS shard,
+        |  CAST(floor((cum_tokens - n_clean) / 256) AS BIGINT) AS bin_id,
+        |  n_tokens, n_cut, CAST(n_clean AS BIGINT) AS n_clean, clean_chars, cum_chars,
+        |  md5(clean_text) AS clean_hash
+        |FROM pk ORDER BY doc_id""".stripMargin
+  }
+
+  /** V1/V2 simulated-version CTEs for the release-delta oracle — the
+    * SQL mirror of Curation.simulatedVersionDocs (same rules as
+    * simulatedVersionCtes, full column set, named for the per-version
+    * subquery scope).
+    */
+  private val releaseV1Cte: String =
+    """vdocs AS (
+      |  SELECT doc_id, CASE WHEN doc_id % 11 = 3 THEN substr(text, 1, greatest(len(text) - 10, 1))
+      |         ELSE text END AS text, lang, source, n_chars
+      |  FROM documents WHERE doc_id % 17 <> 2),""".stripMargin
+
+  private val releaseV2Cte: String =
+    "vdocs AS (SELECT * FROM documents WHERE doc_id % 13 <> 5),"
   private val ngramJaccardOracle: String = ngramOracle(None)
 }

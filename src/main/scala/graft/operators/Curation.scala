@@ -216,16 +216,27 @@ object Curation {
     * %13==5, and %11==3 docs are edited (V1 holds a truncated text).
     */
   private def simulatedVersions(t: Tables): (DataFrame, DataFrame) = {
+    val (v1, v2) = simulatedVersionDocs(t)
+    (v1.select(col("doc_id"), col("text")), v2.select(col("doc_id"), col("text")))
+  }
+
+  /** The same two simulated versions as FULL documents frames (every
+    * column, V1's edited text substituted in place) — what
+    * [[releaseDelta]] feeds the whole release chain through Tables'
+    * docsOverride. One definition of the version rules; the
+    * (doc_id, text) projection above derives from it.
+    */
+  private def simulatedVersionDocs(t: Tables): (DataFrame, DataFrame) = {
     val v1 = t.documents
       .filter(col("doc_id") % 17 =!= 2)
-      .select(
-        col("doc_id"),
+      .withColumn(
+        "text",
         when(
           col("doc_id") % 11 === 3,
           expr("substr(text, 1, greatest(length(text) - 10, 1))")
-        ).otherwise(col("text")).as("text")
+        ).otherwise(col("text"))
       )
-    val v2 = t.documents.filter(col("doc_id") % 13 =!= 5).select(col("doc_id"), col("text"))
+    val v2 = t.documents.filter(col("doc_id") % 13 =!= 5)
     (v1, v2)
   }
 
@@ -648,6 +659,81 @@ object Curation {
         col("clean_chars"),
         col("cum_chars"),
         md5(col("clean_text")).as("clean_hash")
+      )
+      .orderBy("doc_id")
+  }
+
+  /** C62: the release DELTA manifest — the versioned-release story on
+    * top of C61: run the ENTIRE release pipeline over corpus versions
+    * V1 and V2 ([[simulatedVersionDocs]], the same deterministic
+    * versions C25/C48 audit) and emit one row per doc in EITHER
+    * release:
+    *
+    *   'enter' — in V2's release only (new/retained content, must be
+    *             processed);
+    *   'leave' — in V1's release only (deleted, displaced by quota, or
+    *             newly gated — downstream must drop it);
+    *   'moved' — in both but placement (split/shard/bin) or cleaned
+    *             content hash changed (must be re-packed / re-tokenized);
+    *   'stay'  — identical placement and content (the re-use set: the
+    *             row that lets a trainer skip re-processing, which is
+    *             the whole point of a delta manifest).
+    *
+    * This is what bounds nightly re-processing: the C25 row-level text
+    * diff says what changed in the CORPUS; this says what changed in
+    * the RELEASE — quota displacement and packing make those differ in
+    * both directions (an untouched doc can move bins because an
+    * upstream doc left; an edited doc can stay gated out).
+    *
+    * Scale shape: two full release runs (inherently 2× C61's corpus
+    * scans — spec-bounded at exactly that) joined full-outer on doc_id;
+    * each release's curation DAG runs once behind its own checkpointed
+    * id list, nothing is recomputed across versions, and the join is
+    * manifest-sized (released docs, not corpus).
+    */
+  def releaseDelta(t: Tables, checkpointDir: Option[String] = None): DataFrame = {
+    val (v1, v2) = simulatedVersionDocs(t)
+    val m1       = releaseManifest(t.copy(docsOverride = Some(v1)), checkpointDir)
+    val m2       = releaseManifest(t.copy(docsOverride = Some(v2)), checkpointDir)
+    val a = m1.select(
+      col("doc_id"),
+      col("split").as("old_split"),
+      col("shard").as("old_shard"),
+      col("bin_id").as("old_bin"),
+      col("clean_hash").as("old_clean_hash")
+    )
+    val b = m2.select(
+      col("doc_id"),
+      col("split").as("new_split"),
+      col("shard").as("new_shard"),
+      col("bin_id").as("new_bin"),
+      col("clean_hash").as("new_clean_hash")
+    )
+    a.join(b, Seq("doc_id"), "full_outer")
+      .withColumn(
+        "change",
+        when(col("old_clean_hash").isNull, "enter")
+          .when(col("new_clean_hash").isNull, "leave")
+          .when(
+            col("old_split") =!= col("new_split") ||
+              col("old_shard") =!= col("new_shard") ||
+              col("old_bin") =!= col("new_bin") ||
+              col("old_clean_hash") =!= col("new_clean_hash"),
+            "moved"
+          )
+          .otherwise("stay")
+      )
+      .select(
+        col("doc_id"),
+        col("change"),
+        col("old_split"),
+        col("new_split"),
+        col("old_shard"),
+        col("new_shard"),
+        col("old_bin"),
+        col("new_bin"),
+        col("old_clean_hash"),
+        col("new_clean_hash")
       )
       .orderBy("doc_id")
   }

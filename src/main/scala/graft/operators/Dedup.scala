@@ -4,6 +4,7 @@ import graft.sources.Tables
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.SparkSession
 
 /** Deduplication operators for LLM-training-data curation (SURVEY.md
   * §2 C1-C5) over `documents`. None of them ever does an n² document
@@ -717,11 +718,24 @@ object Dedup {
       nearAll: DataFrame
   ): DataFrame = {
     val isDelta = col("doc_id") % 10 === 0
+    incrementalVerdictIds(documents.filter(isDelta).select(col("doc_id")), exactMatch, nearAll)
+  }
+
+  /** [[incrementalVerdict]] over an explicit delta-id frame — the
+    * persisted-index probe supplies its delta as its own input (the
+    * deployment shape: tonight's batch is a separate arrival, not a
+    * slice predicate over the corpus), so the verdict assembly must
+    * not re-derive the delta from `documents`.
+    */
+  private def incrementalVerdictIds(
+      deltaIds: DataFrame,
+      exactMatch: DataFrame,
+      nearAll: DataFrame
+  ): DataFrame = {
     val nearBest = graft.plans.TopK
       .perKey(nearAll, Seq("doc_id"), Seq(col("jaccard").desc, col("base_doc")), 1)
       .select(col("doc_id"), col("base_doc").as("near_match"), col("jaccard"))
-    documents
-      .filter(isDelta)
+    deltaIds
       .select(col("doc_id"))
       .join(exactMatch, Seq("doc_id"), "left")
       .join(nearBest, Seq("doc_id"), "left")
@@ -797,6 +811,202 @@ object Dedup {
       )
       .filter(col("jaccard") >= tau)
     incrementalVerdict(t.documents, exactMatch, nearAll)
+  }
+
+  // --- C22e: persisted signature index ------------------------------------
+  // The C22d band probe with the index as a REAL persisted asset instead
+  // of a within-run checkpoint: signatures live in a ContentStore (A18's
+  // manifest-committed epochs), the probe reads a PINNED snapshot, and
+  // each admitted delta appends its signatures as a new epoch — the
+  // index-maintenance loop every nightly refresh runs. The reference's
+  // consumers probe persistent Postgres state the same way
+  // (lambda-count/lcount.go:206-237) — state is read, not recomputed.
+
+  /** JSON payload schema of one signature-index row (see
+    * [[writeSignatureIndex]]). `sh` stores the raw distinct trigram
+    * shingles so candidate verification is the EXACT Jaccard the C22
+    * oracle computes; a deployment squeezed for index bytes could store
+    * the crc32'd shingle keys instead (5-10× narrower, equal whp) at
+    * the price of leaving the shared exact oracle.
+    */
+  private val IndexPayloadDdl =
+    "doc_id BIGINT, text_hash STRING, n_sh INT, sig ARRAY<BIGINT>, sh ARRAY<STRING>"
+
+  /** One signature-index row per document: content hash (the exact-dup
+    * probe key), distinct shingle set + size (exact verification), and
+    * the 128-hash minhash signature (band candidate generation) — the
+    * full per-doc state the incremental probe needs, so probing never
+    * touches the corpus text. Map-only over the input scan.
+    */
+  private def indexRowsOn(spark: SparkSession, docs: DataFrame): DataFrame = {
+    graft.functions.MinHashExpr.register(spark)
+    docs
+      .select(col("doc_id"), normTextHashCol.as("text_hash"), split(col("text"), " ").as("ws"))
+      .select(
+        col("doc_id"),
+        col("text_hash"),
+        expr(
+          """array_distinct(transform(
+            |  sequence(1, greatest(size(ws) - 2, 1)),
+            |  i -> concat_ws(' ', try_element_at(ws, i), try_element_at(ws, i + 1), try_element_at(ws, i + 2))))""".stripMargin
+        ).as("sh")
+      )
+      .withColumn("n_sh", size(col("sh")))
+      .withColumn("shx", expr(s"transform(sh, v -> crc32(v) % ${MinHashP}L)"))
+      .withColumn("sig", expr("minhash_sig(shx)"))
+      .select("doc_id", "text_hash", "n_sh", "sig", "sh")
+  }
+
+  /** C22e (producer): write `docs`' signature-index rows into the
+    * ContentStore at `storeDir` as ONE manifest-committed epoch —
+    * content-addressed key `sig/<doc_id>`, JSON payload
+    * ([[IndexPayloadDdl]]). Run once over the base corpus (the C3
+    * signature pass, the dominant cost, paid exactly once), then per
+    * admitted delta via [[appendAdmittedSignatures]].
+    */
+  def writeSignatureIndex(spark: SparkSession, docs: DataFrame, storeDir: String): Unit =
+    indexRowsOn(spark, docs)
+      .select(
+        concat(lit("sig/"), col("doc_id")).as("result_key"),
+        to_json(struct(col("doc_id"), col("text_hash"), col("n_sh"), col("sig"), col("sh")))
+          .as("payload")
+      )
+      .write
+      .format("graft.sources.ContentStore")
+      .option("path", storeDir)
+      .mode("append")
+      .save()
+
+  /** The signature index read back from a PINNED manifest snapshot —
+    * commits landing after the pin are invisible (the store's
+    * time-travel contract), so a probe is reproducible mid-append.
+    */
+  def readSignatureIndex(spark: SparkSession, storeDir: String, manifests: Seq[String]): DataFrame =
+    spark.read
+      .format("graft.sources.ContentStore")
+      .option("path", storeDir)
+      .option("manifests", manifests.mkString(","))
+      .load()
+      .select(
+        from_json(col("payload"), org.apache.spark.sql.types.StructType.fromDDL(IndexPayloadDdl))
+          .as("r")
+      )
+      .select(col("r.doc_id"), col("r.text_hash"), col("r.n_sh"), col("r.sig"), col("r.sh"))
+
+  /** C22e (maintenance): append the ADMITTED delta docs' signature rows
+    * as a new store epoch — after this commit, the next nightly's
+    * snapshot sees tonight's admissions as probe targets. 'exact' and
+    * 'near' verdicts are NOT indexed (their keeper/match already is —
+    * indexing both sides would make every future probe double-report).
+    */
+  def appendAdmittedSignatures(
+      spark: SparkSession,
+      delta: DataFrame,
+      verdicts: DataFrame,
+      storeDir: String
+  ): Unit =
+    writeSignatureIndex(
+      spark,
+      delta.join(verdicts.filter(col("dup_kind") === "new").select("doc_id"), "doc_id"),
+      storeDir
+    )
+
+  /** C22e: the C22d incremental probe against the PERSISTED signature
+    * index — the full 100 TB deployment shape: the base corpus's
+    * signatures are a maintained store asset written ONCE (plus one
+    * small epoch per admitted delta), and tonight's probe reads the
+    * pinned index snapshot plus its OWN delta input. The corpus text is
+    * never rescanned and the signature pass never re-runs over the
+    * base — probe cost is delta map work + band-bucket collisions +
+    * exact verification of candidates, identical verdict assembly and
+    * the same whp argument as C22d, so the key shares C22's exact
+    * oracle.
+    *
+    * The delta's signature subtree is deliberately NOT checkpointed:
+    * it appears at three plan sites (exact-hash arm, band side, verify
+    * side), but a nightly delta is orders of magnitude smaller than
+    * the base whose recompute the r1 measurement was about — the 3×
+    * delta map work buys a fully declarative plan the spec can assert
+    * scan-by-scan (SignatureIndexSpec pins: zero corpus scans).
+    *
+    * Join shapes mirror C22d (shuffle_hash on the index side; with a
+    * realistically small nightly delta AQE broadcasts the delta side
+    * of the band join instead — both beat sort-merge on an index that
+    * never fits a broadcast).
+    */
+  def incrementalDedupPersisted(
+      spark: SparkSession,
+      delta: DataFrame,
+      storeDir: String,
+      manifests: Seq[String],
+      tau: Double
+  ): DataFrame = {
+    val idx       = readSignatureIndex(spark, storeDir, manifests)
+    val deltaRows = indexRowsOn(spark, delta)
+    val exactMatch = deltaRows
+      .select(col("doc_id"), col("text_hash"))
+      .join(
+        idx.select(col("doc_id").as("base_doc"), col("text_hash")).hint("shuffle_hash"),
+        "text_hash"
+      )
+      .groupBy("doc_id")
+      .agg(min("base_doc").as("exact_match"))
+    val candidates = bandKeys(deltaRows)
+      .as("d")
+      .join(
+        bandKeys(idx).as("b").hint("shuffle_hash"),
+        col("d.band_idx") === col("b.band_idx") && col("d.band_key") === col("b.band_key")
+      )
+      .select(col("d.doc_id").as("doc_id"), col("b.doc_id").as("base_doc"))
+      .distinct()
+    val nearAll = candidates
+      .as("c")
+      .join(deltaRows.select(col("doc_id"), col("sh"), col("n_sh")).as("sa"), col("c.doc_id") === col("sa.doc_id"))
+      .join(idx.select(col("doc_id"), col("sh"), col("n_sh")).as("sb"), col("c.base_doc") === col("sb.doc_id"))
+      .select(
+        col("c.doc_id").as("doc_id"),
+        col("c.base_doc").as("base_doc"),
+        (size(array_intersect(col("sa.sh"), col("sb.sh"))).cast("double") /
+          (col("sa.n_sh") + col("sb.n_sh") - size(array_intersect(col("sa.sh"), col("sb.sh")))))
+          .as("jaccard")
+      )
+      .filter(col("jaccard") >= tau)
+    incrementalVerdictIds(delta.select(col("doc_id")), exactMatch, nearAll)
+  }
+
+  /** Gate entry for C22e: base = the non-delta slice, indexed once per
+    * (corpus, JVM) into a scratch ContentStore with the snapshot pinned
+    * at write time — repeat gate/bench runs re-probe the SAME pinned
+    * epoch (deterministic even after spec-driven appends), paying only
+    * the probe, which is the deployment cost model (the index write is
+    * the amortized once asset build).
+    */
+  def incrementalDedupPersisted(t: Tables, tau: Double = JaccardTau): DataFrame = {
+    val (store, pin) = sharedBaseIndex(t)
+    incrementalDedupPersisted(
+      t.spark,
+      t.documents.filter(col("doc_id") % 10 === 0),
+      store,
+      pin,
+      tau
+    )
+  }
+
+  private val indexDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Seq[String])]()
+
+  private def sharedBaseIndex(t: Tables): (String, Seq[String]) = {
+    // the cache key is the corpus DIR — an overridden documents frame
+    // must not be served (or build) the base corpus's index
+    require(t.docsOverride.isEmpty, "sharedBaseIndex requires the on-disk corpus")
+    indexDirs.computeIfAbsent(
+      t.dir,
+      _ => {
+        val dir = graft.operators.Ingest.scratchDir("graft-sigindex")
+        writeSignatureIndex(t.spark, t.documents.filter(col("doc_id") % 10 =!= 0), dir)
+        (dir, graft.sources.ContentStore.snapshotManifests(dir))
+      }
+    )
   }
 
   // --- MinHash-LSH (C3) ---------------------------------------------------

@@ -12,7 +12,18 @@ import org.apache.spark.sql.functions._
   * materialize here; each query should present one end-to-end logical
   * plan to the optimizer.
   */
-final case class Tables(spark: SparkSession, dir: String) {
+/** @param docsOverride substitute `documents` frame (same schema) — the
+  *   versioned-release operators run the WHOLE curation/release chain
+  *   over a simulated corpus version by overriding the one input
+  *   rather than threading a frame through every stage signature;
+  *   None (the default, and every gate entry point) reads the parquet
+  *   corpus.
+  */
+final case class Tables(
+    spark: SparkSession,
+    dir: String,
+    docsOverride: Option[DataFrame] = None
+) {
   private def t(name: String): DataFrame = spark.read.parquet(s"$dir/$name.parquet")
 
   def region: DataFrame     = t("region")
@@ -55,6 +66,6 @@ final case class Tables(spark: SparkSession, dir: String) {
     if (df.inputFiles.length < cores / 2) df.repartition(cores) else df
   }
 
-  def documents: DataFrame  = rebalanced("documents")
+  def documents: DataFrame  = docsOverride.getOrElse(rebalanced("documents"))
   def embeddings: DataFrame = rebalanced("embeddings")
 }

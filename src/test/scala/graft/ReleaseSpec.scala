@@ -128,6 +128,64 @@ class ReleaseSpec extends SparkSpecBase {
     }
   }
 
+  test("release delta equals two manifest runs diffed; scan budget ≤ 2× a single release") {
+    // C62's claim is pure composition: the changelog IS the full-outer
+    // diff of two pipeline_release runs over the simulated versions —
+    // replay exactly that through the public pieces (docsOverride +
+    // releaseManifest) and compare row for row
+    val v1 = tables.documents
+      .filter(col("doc_id") % 17 =!= 2)
+      .withColumn(
+        "text",
+        when(
+          col("doc_id") % 11 === 3,
+          expr("substr(text, 1, greatest(length(text) - 10, 1))")
+        ).otherwise(col("text"))
+      )
+    val v2 = tables.documents.filter(col("doc_id") % 13 =!= 5)
+    def manifest(docs: org.apache.spark.sql.DataFrame) =
+      Curation
+        .releaseManifest(tables.copy(docsOverride = Some(docs)))
+        .collect()
+        .map(r =>
+          r.getAs[Long]("doc_id") ->
+            ((r.getAs[String]("split"), r.getAs[Long]("shard"), r.getAs[Long]("bin_id"),
+              r.getAs[String]("clean_hash")))
+        )
+        .toMap
+    val (m1, m2) = (manifest(v1), manifest(v2))
+    val expected = (m1.keySet ++ m2.keySet).map { id =>
+      val change = (m1.get(id), m2.get(id)) match {
+        case (None, Some(_))                  => "enter"
+        case (Some(_), None)                  => "leave"
+        case (Some(a), Some(b)) if a == b     => "stay"
+        case _                                => "moved"
+      }
+      id -> change
+    }.toMap
+
+    val df = Curation.releaseDelta(tables)
+    val got = df.collect()
+    assert(got.map(_.getAs[Long]("doc_id")).toSet == expected.keySet)
+    got.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[String]("change") == expected(id), s"doc $id")
+      assert(Option(r.getAs[String]("old_clean_hash")) == m1.get(id).map(_._4), s"doc $id old hash")
+      assert(Option(r.getAs[String]("new_clean_hash")) == m2.get(id).map(_._4), s"doc $id new hash")
+    }
+    // all four classes genuinely occur on this corpus (sf0.001 measures
+    // 80/17/16/9 stay/leave/enter/moved) — an empty class would mean
+    // the version rules or the diff silently degenerated
+    assert(got.map(_.getAs[String]("change")).toSet == Set("enter", "leave", "moved", "stay"))
+
+    // two releases are inherently 2× C61's ≤4-scan budget — and not one
+    // scan more: a 9th corpus scan means a version's curation DAG
+    // escaped its checkpointed id list
+    val plan  = df.queryExecution.executedPlan.toString
+    val scans = plan.linesIterator.filter(_.contains("FileScan")).toSeq
+    assert(scans.size <= 8, s"delta scan budget exceeded (${scans.size}):\n${scans.mkString("\n")}")
+  }
+
   test("release quota, packing and placement invariants hold per group") {
     val rows = Curation.releaseManifest(tables).collect()
     // quota: the running budget never exceeds the cap, per source

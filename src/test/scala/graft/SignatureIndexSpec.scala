@@ -1,0 +1,122 @@
+package graft
+
+import graft.operators.Dedup
+import graft.sources.ContentStore
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
+/** C22e: the incremental probe against the PERSISTED signature index
+  * (ContentStore epochs). Pins the three claims the gate alone can't:
+  * the probe equals the in-memory exact probe row for row, its plan
+  * reads ONLY the delta input + the store (zero corpus scans — no
+  * full-corpus signature recompute), and the epoch-append maintenance
+  * loop makes tonight's admissions tomorrow's probe targets while a
+  * pinned snapshot stays frozen.
+  */
+class SignatureIndexSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def verdictRows(df: DataFrame) =
+    df.collect().map { r =>
+      (
+        r.getAs[Long]("doc_id"),
+        r.getAs[String]("dup_kind"),
+        Option(r.getAs[Any]("match_doc_id")),
+        Option(r.getAs[Any]("near_jaccard"))
+      )
+    }.toSeq
+
+  private def executedPlanString(df: DataFrame): String = {
+    df.collect() // materialize so AQE finalizes the plan
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan.toString
+      case p                        => p.toString
+    }
+  }
+
+  // 12-word fixtures → 10 distinct trigram shingles each; appending two
+  // words makes a 12-shingle variant sharing 10 → jaccard 10/12 ≈ 0.833,
+  // comfortably over τ=0.5 and under exact-hash equality
+  private val textA = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+  private val textB = "one two three four five six seven eight nine ten eleven twelve"
+  private val textX = "red orange yellow green blue indigo violet cyan magenta umber teal pink"
+
+  test("persisted-index probe equals the in-memory exact posting probe row for row") {
+    // same discipline as the C22d spec: the band probe against the
+    // STORE must reproduce the posting-index verdicts exactly on the
+    // corpus (band-miss prob (1-s^4)^32 ≈ 1e-15 at the s≈0.9 corpus
+    // near-dups; the pinned snapshot removes any run-order dependence)
+    assert(
+      verdictRows(Dedup.incrementalDedupPersisted(tables)) ==
+        verdictRows(Dedup.incrementalDedup(tables))
+    )
+  }
+
+  test("probe plan reads only the delta input and the store — zero corpus scans") {
+    val storeRoot = java.nio.file.Files.createTempDirectory("graft-sigindex-spec")
+    val store     = storeRoot.toString
+    try {
+    Dedup.writeSignatureIndex(spark, Seq((1L, textA), (2L, textB)).toDF("doc_id", "text"), store)
+    val pin   = ContentStore.snapshotManifests(store)
+    val delta = Seq((100L, textX), (101L, textA + " nu xi")).toDF("doc_id", "text")
+    val probe = Dedup.incrementalDedupPersisted(spark, delta, store, pin, Dedup.JaccardTau)
+    val plan  = executedPlanString(probe)
+    // the delta arrives as its own input (here a LocalTableScan) and the
+    // base side comes from the store — a file scan in this plan could
+    // only be a full-corpus signature recompute, the exact regression
+    // the persisted index exists to prevent
+    assert(!plan.contains("FileScan"), s"probe plan re-scans a file source:\n$plan")
+    assert(plan.contains("graft_content_store"), s"probe plan never reads the store:\n$plan")
+    assert(
+      verdictRows(probe) == Seq(
+        (100L, "new", None, None),
+        (101L, "near", Some(1L), Some(10.0 / 12.0))
+      )
+    )
+    } finally deleteTree(storeRoot)
+  }
+
+  test("maintenance loop: appended epoch becomes a probe target; a pinned snapshot does not") {
+    val storeRoot = java.nio.file.Files.createTempDirectory("graft-sigindex-spec")
+    val store     = storeRoot.toString
+    try {
+    Dedup.writeSignatureIndex(spark, Seq((1L, textA), (2L, textB)).toDF("doc_id", "text"), store)
+    val pin1 = ContentStore.snapshotManifests(store)
+
+    // delta 1: X is new, Y an exact copy of A (whitespace-normalized),
+    // Z a near-dup of B — verdict precedence end to end
+    val delta1 = Seq(
+      (100L, textX),
+      (101L, "alpha  beta gamma delta epsilon zeta eta theta iota kappa lambda mu"),
+      (102L, textB + " thirteen fourteen")
+    ).toDF("doc_id", "text")
+    val v1 = Dedup.incrementalDedupPersisted(spark, delta1, store, pin1, Dedup.JaccardTau)
+    val got1 = verdictRows(v1)
+    assert(got1.map(r => (r._1, r._2, r._3)) == Seq(
+      (100L, "new", None),
+      (101L, "exact", Some(1L)),
+      (102L, "near", Some(2L))
+    ))
+    assert(math.abs(got1(2)._4.get.asInstanceOf[Double] - 10.0 / 12.0) < 1e-12)
+
+    // maintenance: ONLY the admitted doc (X) joins the index, as a new
+    // manifest-committed epoch
+    Dedup.appendAdmittedSignatures(spark, delta1, v1, store)
+    val pin2 = ContentStore.snapshotManifests(store)
+    assert(pin2.size > pin1.size, "append did not commit a new manifest epoch")
+    assert(Dedup.readSignatureIndex(spark, store, pin2).count() == 3L)
+
+    // delta 2: W near-dups the doc delta 1 ADMITTED — the maintained
+    // snapshot matches it, the pinned pre-append snapshot cannot
+    val delta2 = Seq((200L, textX + " maroon olive")).toDF("doc_id", "text")
+    assert(
+      verdictRows(Dedup.incrementalDedupPersisted(spark, delta2, store, pin2, Dedup.JaccardTau))
+        .map(r => (r._1, r._2, r._3)) == Seq((200L, "near", Some(100L)))
+    )
+    assert(
+      verdictRows(Dedup.incrementalDedupPersisted(spark, delta2, store, pin1, Dedup.JaccardTau)) ==
+        Seq((200L, "new", None, None))
+    )
+    } finally deleteTree(storeRoot)
+  }
+}
