@@ -471,6 +471,12 @@ object SparkEntry {
     // media-drop pattern, drained metadata == batch ingest exactly
     "q_stream_binary_ingest" -> ((s, d) =>
       graft.streaming.StreamReplay.replayBinaryIngest(s, d).orderBy("doc_id")),
+    "multimodal_archive_ingest" -> ((s, d) => Multimodal.archiveIngest(Tables(s, d))),
+    // C12c's streaming leg: the same blobs as ContentStore ARCHIVES,
+    // tailed one archive per micro-batch — the per-file admission
+    // anti-pattern's documented fix, gated equal to the per-file keys
+    "q_stream_archive_ingest" -> ((s, d) =>
+      graft.streaming.StreamReplay.replayArchiveIngest(s, d).orderBy("doc_id")),
     "multimodal_decode"    -> ((s, d) => Multimodal.decodeSummary(s, Tables(s, d))),
     "multimodal_frames"    -> ((s, d) => Multimodal.sampleFrames(s, Tables(s, d))),
     "multimodal_embed"     -> ((s, d) => Multimodal.embedBuckets(Tables(s, d))),
@@ -2357,6 +2363,14 @@ object SparkEntry {
         |  sha256(text) AS sha256
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_stream_binary_ingest" -> // streaming binaryFile drain == the batch ingest == the table
+      """SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+        |  sha256(text) AS sha256
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "multimodal_archive_ingest" -> // archive (ContentStore) landing of the same blobs == the table
+      """SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+        |  sha256(text) AS sha256
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_stream_archive_ingest" -> // streaming archive tail == the batch archive read == the table
       """SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
         |  sha256(text) AS sha256
         |FROM documents ORDER BY doc_id""".stripMargin,

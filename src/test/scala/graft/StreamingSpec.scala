@@ -909,6 +909,27 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamed == batch, "streamed binary metadata diverged from the batch ingest")
   }
 
+  test("archive ingest (batch + streaming tail) equals the per-file binary ingest blob for blob") {
+    import graft.streaming.StreamReplay
+    // C12c's claim: the SAME blobs at archive granularity yield the
+    // SAME typed metadata as the one-.bin-per-doc landing — the
+    // documented fix for per-file admission must change the cost
+    // model, not the content
+    def meta(df: org.apache.spark.sql.DataFrame) = df
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_bytes"), r.getAs[String]("sha256")))
+      .toSet
+    val perFile  = meta(graft.operators.Multimodal.binaryIngest(tables))
+    val archived = meta(graft.operators.Multimodal.archiveIngest(tables))
+    assert(archived == perFile, "archive metadata diverged from the per-file ingest")
+    val tailed = meta(StreamReplay.replayArchiveIngest(spark, sfDir))
+    // one archive per micro-batch: sf0.001's 500 docs land as 2
+    // archives per epoch x 4 epochs
+    assert(StreamReplay.lastBatchCount >= 4,
+      s"expected >=4 micro-batches, got ${StreamReplay.lastBatchCount}")
+    assert(tailed == perFile, "tailed archive metadata diverged from the per-file ingest")
+  }
+
   test("file replay drains the corpus through real micro-batches and equals the batch twin") {
     import graft.streaming.StreamReplay
     val slices = 3
