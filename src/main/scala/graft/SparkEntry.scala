@@ -50,6 +50,9 @@ object SparkEntry {
     "q_store_consumer_lag" -> ((s, d) =>
       Joins.consumerLagAudit(Tables(s, d),
         s"${System.getProperty("java.io.tmpdir")}/graft-lagstore")),
+    "q_store_lifecycle" -> ((s, d) =>
+      Joins.storeLifecycleRead(Tables(s, d),
+        s"${System.getProperty("java.io.tmpdir")}/graft-lifecyclestore")),
     "q_bucketed_join" -> ((s, d) =>
       Joins.bucketedJoin(Tables(s, d), s"${System.getProperty("java.io.tmpdir")}/graft-warehouse")),
     "q_event_pivot"        -> ((s, d) => Analytics.eventTypePivot(Tables(s, d))),
@@ -1415,6 +1418,11 @@ object SparkEntry {
         |SELECT p.result_key, p.purchase_cents, h.n_clicks
         |FROM p JOIN h USING (result_key)
         |ORDER BY 1""".stripMargin,
+    "q_store_lifecycle" -> // compaction + vacuum are layout/metadata-only: values equal the store-free query
+      """SELECT printf('u%06d', user_id) AS result_key,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS purchase_cents
+        |FROM events WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_store_consumer_lag" -> // backlog rows per pending epoch; slice rule mirrors the Scala bounds
       """WITH b AS (
         |  SELECT min(epoch_us(ts)) AS mn,

@@ -183,9 +183,52 @@ object ContentStore {
     finally reader.close()
   }
 
-  /** Data files recorded by any committed manifest, in manifest order. */
+  /** Source manifests replaced by a compaction manifest, if `name` is
+    * one — recorded in a `_compacted/<name>` sidecar written (temp +
+    * rename) BEFORE the compaction manifest becomes visible, so a
+    * visible compaction always has its sources list. `None` for
+    * ordinary manifests.
+    */
+  private[graft] def compactSourcesOf(
+      path: String,
+      name: String,
+      conf: Configuration
+  ): Option[Seq[String]] = {
+    val (filesystem, root) = fs(path, conf)
+    val p                  = new Path(root, s"_compacted/$name")
+    if (!filesystem.exists(p)) return None
+    val reader = new java.io.BufferedReader(
+      new java.io.InputStreamReader(filesystem.open(p), "UTF-8")
+    )
+    try Some(Iterator.continually(reader.readLine()).takeWhile(_ != null).filter(_.nonEmpty).toList)
+    finally reader.close()
+  }
+
+  /** The LOGICAL manifest set: every committed manifest minus sources
+    * shadowed by a visible compaction manifest (StoreLifecycle
+    * .compactEpochs). A compaction commit rewrites N source epochs
+    * into one manifest and records the replaced names in
+    * `_compacted/`; from that rename on, readers must see the
+    * replacement INSTEAD of the sources — unioning both would double
+    * the compacted rows. The shadowed sources stay on disk (pinned
+    * pre-compaction snapshots and lagging streaming tails still read
+    * them by name) until a vacuum's retention horizon expires them.
+    * Sources of EVERY visible compaction are subtracted — including a
+    * compaction that is itself shadowed by a later one — so nested
+    * compaction needs no special casing.
+    */
+  private[graft] def effectiveManifestNames(path: String, conf: Configuration): Seq[String] = {
+    val raw = manifestNames(path, conf)
+    val shadowed: Set[String] =
+      raw.flatMap(m => compactSourcesOf(path, m, conf).getOrElse(Seq.empty)).toSet
+    raw.filterNot(shadowed)
+  }
+
+  /** Data files recorded by any live (non-shadowed) committed
+    * manifest, in manifest order.
+    */
   private[graft] def committedFiles(path: String, conf: Configuration): Seq[String] =
-    manifestNames(path, conf).flatMap(m => filesInManifest(path, m, conf))
+    effectiveManifestNames(path, conf).flatMap(m => filesInManifest(path, m, conf))
 
   /** Per-file (minKey, maxKey) bounds from a manifest's side stats
     * file, if the writer recorded them — absent for legacy stores,
@@ -222,10 +265,12 @@ object ContentStore {
     * identity to pin with the `manifests` read option. Capture at
     * publish time, persist beside the run metadata, and any later read
     * with the pin reproduces this exact corpus regardless of what has
-    * been appended since.
+    * been appended since. The snapshot is the EFFECTIVE set (shadowed
+    * compaction sources excluded) — pinning a source beside its
+    * replacement would double-read the compacted rows.
     */
   def snapshotManifests(path: String): Seq[String] =
-    manifestNames(path, driverHadoopConf())
+    effectiveManifestNames(path, driverHadoopConf())
 }
 
 private[graft] class ContentStoreTable(path: String, bucketedRead: Int = 0)
@@ -392,7 +437,7 @@ private[graft] class ContentStoreTable(path: String, bucketedRead: Int = 0)
 
         private def survivingFiles(): Seq[String] = {
           val effective = pruning ++ runtimeFilters
-          val names = pinnedManifests.getOrElse(ContentStore.manifestNames(path, conf.value))
+          val names = pinnedManifests.getOrElse(ContentStore.effectiveManifestNames(path, conf.value))
           names.flatMap { m =>
             val stats = ContentStore.statsForManifest(path, m, conf.value)
             ContentStore.filesInManifest(path, m, conf.value).filter { f =>
@@ -443,9 +488,18 @@ private[graft] class ContentStoreTable(path: String, bucketedRead: Int = 0)
     // buckets=N: route rows to per-bucket files by the store-owned
     // key hash, so a later bucketedRead=N scan is key-grouped
     val buckets = info.options().getInt("buckets", 0)
+    // compaction commits (StoreLifecycle.compactEpochs) override the
+    // manifest name (deterministic from the source set, so a racing
+    // duplicate compaction loses the rename and aborts cleanly) and
+    // declare the source manifests this commit replaces
+    val manifestName = Option(info.options().get("manifestName")).filter(_.nonEmpty)
+    val compactSources = Option(info.options().get("compactSources"))
+      .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+      .filter(_.nonEmpty)
     new WriteBuilder {
       override def build(): Write =
-        new ContentStoreWrite(path, info.queryId(), keyIdx, payloadIdx, conf, buckets)
+        new ContentStoreWrite(path, info.queryId(), keyIdx, payloadIdx, conf, buckets,
+          manifestName, compactSources)
     }
   }
 }
@@ -456,15 +510,27 @@ private[graft] class ContentStoreWrite(
     keyIdx: Int,
     payloadIdx: Int,
     conf: SerializableConfiguration,
-    buckets: Int = 0
+    buckets: Int = 0,
+    manifestName: Option[String] = None,
+    compactSources: Option[Seq[String]] = None
 ) extends Write {
 
   override def toBatch: BatchWrite = new BatchWrite {
     override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
       new StoreWriterFactory(path, keyIdx, payloadIdx, conf, buckets)
-    // one manifest per job: readers see all-or-nothing of this write
+    // one manifest per job: readers see all-or-nothing of this write.
+    // A compaction commit (explicit deterministic name) is idempotent:
+    // losing the manifest rename to an identically-named racer IS the
+    // already-compacted case — drop this job's files, keep the winner.
     override def commit(messages: Array[WriterCommitMessage]): Unit =
-      ContentStoreWrite.writeManifest(path, s"batch-$queryId-${UUID.randomUUID()}", messages, conf.value)
+      ContentStoreWrite.writeManifest(
+        path,
+        manifestName.getOrElse(s"batch-$queryId-${UUID.randomUUID()}"),
+        messages,
+        conf.value,
+        idempotent = manifestName.isDefined,
+        compactSources = compactSources
+      )
     override def abort(messages: Array[WriterCommitMessage]): Unit =
       ContentStoreWrite.deleteFiles(path, messages, conf.value)
   }
@@ -501,7 +567,8 @@ private[graft] object ContentStoreWrite {
       name: String,
       messages: Array[WriterCommitMessage],
       hadoopConf: Configuration,
-      idempotent: Boolean = false
+      idempotent: Boolean = false,
+      compactSources: Option[Seq[String]] = None
   ): Unit = {
     val (filesystem, root) = ContentStore.fs(path, hadoopConf)
     val manifestDir        = new Path(root, "_manifest")
@@ -538,6 +605,29 @@ private[graft] object ContentStoreWrite {
       statsOut.close()
       // best-effort: a lost stats rename only disables skipping
       filesystem.rename(statsTmp, new Path(statsDir, name)): Unit
+    }
+    // a compaction's replaced-sources sidecar goes in BEFORE the
+    // manifest rename: a visible compaction manifest always has its
+    // sources list (readers need it to shadow the originals). A crash
+    // between the two leaves an orphan sidecar with no manifest —
+    // never consulted, swept by vacuum. First write wins (a racing
+    // identical compaction writes identical content).
+    compactSources.foreach { srcs =>
+      val compactedDir = new Path(root, "_compacted")
+      filesystem.mkdirs(compactedDir)
+      val target = new Path(compactedDir, name)
+      if (!filesystem.exists(target)) {
+        val sidecarTmp = new Path(compactedDir, s".tmp-$name-${UUID.randomUUID()}")
+        val sout       = filesystem.create(sidecarTmp, false)
+        try sout.write(srcs.mkString("\n").getBytes("UTF-8"))
+        finally sout.close()
+        if (!filesystem.rename(sidecarTmp, target)) {
+          filesystem.delete(sidecarTmp, false): Unit
+          if (!filesystem.exists(target))
+            throw new java.io.IOException(
+              s"ContentStore: compaction sidecar commit failed (rename to $target)")
+        }
+      }
     }
     val tmp = new Path(manifestDir, s".tmp-$name-${UUID.randomUUID()}")
     val out = filesystem.create(tmp, /* overwrite = */ false)
@@ -862,12 +952,12 @@ private[graft] class StoreMicroBatchStream(
     }
     val consumed = consumedAt(start)
     val fresh = availableNowTarget
-      .getOrElse(ContentStore.manifestNames(path, conf.value).toVector)
+      .getOrElse(ContentStore.effectiveManifestNames(path, conf.value).toVector)
       .filterNot(consumed)
       .sorted
     if (fresh.isEmpty) StoreBatchOffset(b)
     else {
-      val admitted = admitUpTo(fresh, maxFilesIn(limit))
+      val admitted = admitUpTo(fresh, maxFilesIn(limit), consumed)
       log.writeEntry(b + 1, admitted)
       if ((b + 1) % compactInterval == 0) {
         log.writeCompact(b + 1, (consumed ++ admitted).toVector.sorted)
@@ -878,9 +968,11 @@ private[graft] class StoreMicroBatchStream(
   }
 
   /** Whole manifests in sorted order while the data-file budget lasts;
-    * always at least one, so one over-limit epoch cannot stall.
+    * always at least one, so one over-limit epoch cannot stall. File
+    * counts are EFFECTIVE counts — what the batch will actually emit
+    * for this tail given its consumed set.
     */
-  private def admitUpTo(fresh: Seq[String], maxFiles: Int): Seq[String] =
+  private def admitUpTo(fresh: Seq[String], maxFiles: Int, consumed: Set[String]): Seq[String] =
     if (maxFiles == Int.MaxValue) fresh
     else {
       val out   = Vector.newBuilder[String]
@@ -890,12 +982,54 @@ private[graft] class StoreMicroBatchStream(
       var done  = false
       while (it.hasNext && !done) {
         val m = it.next()
-        val k = ContentStore.filesInManifest(path, m, conf.value).size
+        val k = effectiveStreamFiles(m, consumed).size
         if (first || total + k <= maxFiles) { out += m; total += k; first = false }
         else done = true
       }
       out.result()
     }
+
+  /** True if this tail has already consumed `m` or (recursively) any
+    * source a compaction manifest `m` replaced — the signal that some
+    * of `m`'s rewritten rows were already emitted through the
+    * originals.
+    */
+  private def anyConsumedUnder(m: String, consumed: Set[String]): Boolean =
+    consumed(m) || ContentStore
+      .compactSourcesOf(path, m, conf.value)
+      .exists(_.exists(anyConsumedUnder(_, consumed)))
+
+  /** The files batch admission of `m` emits for a tail with this
+    * consumed set — the exactly-once rule across compaction:
+    *
+    *  - an ordinary manifest emits its listed files;
+    *  - a compaction manifest none of whose sources this tail has
+    *    seen emits its own (rewritten) files — a fresh tail reads the
+    *    compacted form and never the originals (they are shadowed out
+    *    of the effective listing it admits from);
+    *  - a compaction manifest with ANY consumed source must NOT emit
+    *    its rewritten files (they contain rows the tail already saw);
+    *    it emits the files of its not-yet-consumed sources directly —
+    *    those manifests are shadowed but still on disk under the
+    *    vacuum retention grace, which must exceed the maximum tail
+    *    lag (the same contract the consumed-manifest log's own
+    *    retention note states). Recursion handles a compacted
+    *    compaction.
+    *
+    * Admitting `m` then marks the whole subtree consumed (the sources
+    * never reappear in the effective listing), so every row is
+    * emitted exactly once in all three cases. Deterministic given
+    * (consumed set, durable `_compacted/` sidecars), so a crash
+    * replay of the batch plans the identical file set.
+    */
+  private def effectiveStreamFiles(m: String, consumed: Set[String]): Seq[String] =
+    if (consumed(m)) Seq.empty
+    else
+      ContentStore.compactSourcesOf(path, m, conf.value) match {
+        case Some(srcs) if srcs.exists(anyConsumedUnder(_, consumed)) =>
+          srcs.flatMap(effectiveStreamFiles(_, consumed))
+        case _ => ContentStore.filesInManifest(path, m, conf.value)
+      }
 
   private def maxFilesIn(limit: ReadLimit): Int = limit match {
     case f: ReadMaxFiles     => f.maxFiles()
@@ -906,7 +1040,7 @@ private[graft] class StoreMicroBatchStream(
   }
 
   override def prepareForTriggerAvailableNow(): Unit =
-    availableNowTarget = Some(ContentStore.manifestNames(path, conf.value).toVector)
+    availableNowTarget = Some(ContentStore.effectiveManifestNames(path, conf.value).toVector)
 
   override def deserializeOffset(json: String): Offset = {
     val t = json.trim
@@ -942,7 +1076,14 @@ private[graft] class StoreMicroBatchStream(
       case _ =>
         val s = batchOf(start)
         val e = batchOf(end)
-        (s + 1 to e).flatMap(log.readEntry)
+        // replan with the consumed set AS OF each batch's admission
+        // (consumedThrough(i-1)), so a compaction manifest expands to
+        // the same effective file set it was admitted with — crash
+        // replays stay deterministic
+        return (s + 1 to e).iterator.flatMap { i =>
+          val consumedBefore = log.consumedThrough(i - 1)
+          log.readEntry(i).flatMap(m => effectiveStreamFiles(m, consumedBefore))
+        }.map(f => StoreFilePartition(path, f): InputPartition).toArray
     }
     manifests
       .flatMap(m => ContentStore.filesInManifest(path, m, conf.value))

@@ -1,0 +1,174 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.spark.sql.SparkSession
+
+/** Store maintenance — the lifecycle half every log-structured store
+  * needs once appends are continuous (A18's streaming epochs, C22e's
+  * nightly signature-index appends): without it manifest count and
+  * dead bytes grow without bound. Two operations, the OPTIMIZE/VACUUM
+  * pair of lakehouse formats (Delta/Iceberg), re-expressed on the
+  * ContentStore's manifest protocol:
+  *
+  *  - [[compactEpochs]]: rewrite the N oldest live manifests' rows
+  *    into one manifest ("compact-&lt;hash&gt;", sources recorded in a
+  *    `_compacted/` sidecar committed before the manifest rename).
+  *    The swap is ATOMIC at the manifest rename: readers resolve the
+  *    sidecar and shadow the replaced sources out of the effective
+  *    listing ([[ContentStore.effectiveManifestNames]]), so no reader
+  *    ever sees sources and replacement together. The shadowed
+  *    sources stay on disk — pinned pre-compaction snapshots and
+  *    lagging streaming tails keep reading them by name — until
+  *    [[vacuum]]'s retention grace expires them. Streaming tails stay
+  *    exactly-once across the swap via the consumed-set rule on the
+  *    source (StoreMicroBatchStream.effectiveStreamFiles).
+  *
+  *  - [[vacuum]]: age-gated garbage collection — expire shadowed
+  *    source manifests once every compaction referencing them is
+  *    older than the grace, then sweep unreferenced data files
+  *    (crashed-executor orphans, `.staging-*` leftovers, expired
+  *    sources' data) and stale `.tmp-*`/sidecar metadata. The grace
+  *    horizon is the store's retention CONTRACT: it must exceed both
+  *    the maximum streaming-tail lag and the lifetime of any pinned
+  *    snapshot naming a shadowed manifest — vacuuming past a pin
+  *    breaks that pin's time travel, exactly Delta's
+  *    `deletedFileRetentionDuration` trade. `grace = 0` is the
+  *    test/teardown setting; production keeps days.
+  *
+  * At 100 TB scale both ops are bounded by METADATA, not data:
+  * compaction's rewrite job is a distributed pinned-snapshot read of
+  * only the chosen sources (never the whole store), and vacuum is one
+  * listing of `_manifest/` + `data/` plus per-manifest line reads —
+  * no row ever moves through the driver. Single-maintenance-process
+  * assumption: two concurrent compactions over the SAME source set
+  * race benignly (deterministic manifest name — the loser's rename
+  * fails idempotently and its files are dropped); overlapping but
+  * unequal source sets require the caller to serialize maintenance,
+  * the same operational rule Delta's OPTIMIZE has without a
+  * transaction-log arbiter.
+  */
+object StoreLifecycle {
+
+  /** Rewrite all but the newest `keepLast` live manifests into one
+    * compaction manifest. Returns the new manifest name, or None if
+    * fewer than two manifests would be compacted (nothing to gain).
+    * `buckets` must match the store's write-side bucketing (0 for
+    * unbucketed) so the rewritten files keep the layout contract.
+    */
+  def compactEpochs(
+      spark: SparkSession,
+      path: String,
+      keepLast: Int = 0,
+      buckets: Int = 0
+  ): Option[String] = {
+    val conf    = ContentStore.driverHadoopConf()
+    val live    = ContentStore.effectiveManifestNames(path, conf)
+    val sources = live.dropRight(keepLast)
+    if (sources.size < 2) return None
+    val digest = MessageDigest.getInstance("SHA-256")
+      .digest(sources.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    val name = "compact-" + digest.take(8).map("%02x".format(_)).mkString
+    val src = spark.read
+      .format("graft.sources.ContentStore")
+      .option("path", path)
+      .option("manifests", sources.mkString(","))
+      .load()
+    val writer = src.write
+      .format("graft.sources.ContentStore")
+      .option("path", path)
+      .option("manifestName", name)
+      .option("compactSources", sources.mkString(","))
+      .mode("append")
+    (if (buckets > 0) writer.option("buckets", buckets) else writer).save()
+    Some(name)
+  }
+
+  /** One GC action taken by [[vacuum]]: what was deleted and why. */
+  final case class VacuumAction(kind: String, name: String)
+
+  /** Age-gated store GC. Deletes, in order:
+    *
+    *  1. `expired_manifest` — shadowed source manifests every
+    *     referencing compaction of which is at least `graceMs` old
+    *     (plus their `_stats/`/`_compacted/` sidecars);
+    *  2. `stale_tmp_manifest` — `.tmp-*` manifests older than grace
+    *     (a crashed driver's unrenamed commit);
+    *  3. `orphan_file` / `stale_staging` — `data/` files older than
+    *     grace that no surviving manifest references (crashed-task
+    *     staging, aborted attempts, expired sources' data);
+    *  4. `stale_sidecar` — `_compacted/`/`_stats/` entries older than
+    *     grace with no matching manifest (a crash between sidecar and
+    *     manifest rename).
+    *
+    * The grace gate makes every step safe against in-flight writers:
+    * a data file renamed by a committing task is unreferenced only
+    * until its driver's manifest rename, which lands well inside any
+    * production grace. `graceMs = 0` assumes a quiesced store.
+    */
+  def vacuum(path: String, graceMs: Long, hadoopConf: Configuration): Seq[VacuumAction] = {
+    val (fsys, root) = ContentStore.fs(path, hadoopConf)
+    val now          = System.currentTimeMillis()
+    def aged(st: FileStatus): Boolean = now - st.getModificationTime >= graceMs
+    val out = Seq.newBuilder[VacuumAction]
+
+    val manifestDir = new Path(root, "_manifest")
+    val rawStatus: Seq[FileStatus] =
+      if (fsys.exists(manifestDir)) fsys.listStatus(manifestDir).toIndexedSeq else Seq.empty
+    val committed = rawStatus.filterNot(_.getPath.getName.startsWith("."))
+    val names     = committed.map(_.getPath.getName)
+    val nameSet   = names.toSet
+    val mtime     = committed.map(st => st.getPath.getName -> st.getModificationTime).toMap
+
+    // shadowed source -> the compactions that replaced it (still on disk)
+    val referencing: Map[String, Seq[String]] = names
+      .flatMap(c => ContentStore.compactSourcesOf(path, c, hadoopConf).getOrElse(Seq.empty).map(_ -> c))
+      .groupBy(_._1)
+      .map { case (src, pairs) => src -> pairs.map(_._2) }
+    val expired: Set[String] = referencing.collect {
+      case (src, compacts)
+          if nameSet(src) && compacts.forall(c => mtime.get(c).exists(t => now - t >= graceMs)) =>
+        src
+    }.toSet
+    expired.toSeq.sorted.foreach { m =>
+      fsys.delete(new Path(manifestDir, m), false): Unit
+      fsys.delete(new Path(root, s"_stats/$m"), false): Unit
+      fsys.delete(new Path(root, s"_compacted/$m"), false): Unit
+      out += VacuumAction("expired_manifest", m)
+    }
+
+    rawStatus.filter(st => st.getPath.getName.startsWith(".tmp-") && aged(st)).foreach { st =>
+      fsys.delete(st.getPath, false): Unit
+      out += VacuumAction("stale_tmp_manifest", st.getPath.getName)
+    }
+
+    val survivors  = names.filterNot(expired)
+    val referenced = survivors.flatMap(m => ContentStore.filesInManifest(path, m, hadoopConf)).toSet
+    val dataDir    = new Path(root, "data")
+    if (fsys.exists(dataDir)) fsys.listStatus(dataDir).foreach { st =>
+      val n = st.getPath.getName
+      if (!referenced(n) && aged(st)) {
+        fsys.delete(st.getPath, false): Unit
+        out += VacuumAction(if (n.startsWith(".staging-")) "stale_staging" else "orphan_file", n)
+      }
+    }
+
+    // sidecars for manifests that no longer exist (crashed commits or
+    // just-expired sources); a LIVE manifest's sidecars are never
+    // touched — `_compacted/` entries are what lagging tails resolve
+    for (side <- Seq("_compacted", "_stats")) {
+      val dir = new Path(root, side)
+      if (fsys.exists(dir)) fsys.listStatus(dir).foreach { st =>
+        val n = st.getPath.getName
+        if ((n.startsWith(".tmp-") || !nameSet(n) || expired(n)) && aged(st)) {
+          fsys.delete(st.getPath, false): Unit
+          out += VacuumAction("stale_sidecar", s"$side/$n")
+        }
+      }
+    }
+    out.result()
+  }
+}

@@ -1,0 +1,212 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.sources.{ContentStore, ContentStoreWrite, StoreLifecycle}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.streaming.Trigger
+
+/** B78: the store's OPTIMIZE/VACUUM pair — compaction's atomic
+  * manifest swap (contents preserved, sources shadowed, pins honored
+  * until retention) and vacuum's age-gated GC, plus the exactly-once
+  * rule streaming tails follow across a compaction.
+  */
+class StoreLifecycleSpec extends SparkSpecBase {
+
+  private def tmp(): String = Files.createTempDirectory("graft-lifecycle").toString
+  private def hconf         = spark.sessionState.newHadoopConf()
+
+  private def writeOne(dir: String, rows: (String, String)*): Unit = {
+    import spark.implicits._
+    rows.toSeq.toDF("result_key", "payload").coalesce(1)
+      .write.format("graft.sources.ContentStore").option("path", dir).mode("append").save()
+  }
+
+  private def readAll(dir: String): Set[(String, String)] =
+    spark.read.format("graft.sources.ContentStore").option("path", dir).load()
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+
+  private def dataFiles(dir: String): Set[String] = {
+    val (fs, root) = ContentStore.fs(dir, hconf)
+    val d          = new Path(root, "data")
+    if (!fs.exists(d)) Set.empty
+    else fs.listStatus(d).map(_.getPath.getName).toSet
+  }
+
+  /** Resumable AvailableNow drain into a json file sink (the one sink
+    * that recovers from a checkpoint — the ContentStoreSpec pattern),
+    * returning every key landed so far.
+    */
+  private def drainTo(dir: String, ckpt: String, outDir: String): Seq[String] = {
+    val q = spark.readStream.format("graft.sources.ContentStore").option("path", dir).load()
+      .writeStream.format("json").option("path", outDir)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.read.schema("result_key STRING, payload STRING").json(outDir)
+      .collect().map(_.getString(0)).sorted.toSeq
+  }
+
+  test("compaction preserves contents, shadows sources atomically, and keeps keepLast epochs live") {
+    val dir = tmp()
+    writeOne(dir, "a" -> "1", "b" -> "2")
+    writeOne(dir, "c" -> "3")
+    writeOne(dir, "d" -> "4")
+    val before = readAll(dir)
+    val name   = StoreLifecycle.compactEpochs(spark, dir, keepLast = 1)
+    assert(name.exists(_.startsWith("compact-")))
+    assert(readAll(dir) == before, "compaction must not change logical contents")
+    // raw listing keeps the shadowed sources on disk for pins/tails...
+    assert(ContentStore.manifestNames(dir, hconf).size == 4, "3 epochs + 1 compaction on disk")
+    // ...but the effective (and snapshot) view is replacement + kept epoch
+    val eff = ContentStore.snapshotManifests(dir)
+    assert(eff.size == 2 && eff.exists(_.startsWith("compact-")),
+      s"effective set must be [compaction, kept epoch], got $eff")
+    // compacting again has nothing to fold (one compaction + one kept)
+    assert(StoreLifecycle.compactEpochs(spark, dir, keepLast = 1).isEmpty)
+  }
+
+  test("pre-compaction pins read the originals until vacuum's grace expires them") {
+    val dir = tmp()
+    writeOne(dir, "a" -> "1")
+    writeOne(dir, "b" -> "2")
+    val pin = ContentStore.snapshotManifests(dir)
+    StoreLifecycle.compactEpochs(spark, dir)
+    def pinned() = spark.read.format("graft.sources.ContentStore")
+      .option("path", dir).option("manifests", pin.mkString(",")).load()
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(pinned() == Set("a" -> "1", "b" -> "2"),
+      "a pin captured before compaction must keep reading the source manifests")
+    // a generous grace keeps everything: the just-written compaction is young
+    assert(StoreLifecycle.vacuum(dir, graceMs = 24L * 3600 * 1000, hconf).isEmpty)
+    assert(pinned() == Set("a" -> "1", "b" -> "2"))
+    // grace 0 (quiesced store): the shadowed sources expire, the pin is
+    // past its retention horizon — the documented time-travel trade
+    val acts = StoreLifecycle.vacuum(dir, graceMs = 0L, hconf)
+    assert(acts.count(_.kind == "expired_manifest") == 2, s"both sources must expire: $acts")
+    assert(acts.count(_.kind == "orphan_file") == 2, s"their data files must be swept: $acts")
+    intercept[Exception](pinned())
+    assert(readAll(dir) == Set("a" -> "1", "b" -> "2"), "the live view is unaffected")
+  }
+
+  test("vacuum sweeps litter by age and never touches referenced or young files") {
+    val dir = tmp()
+    writeOne(dir, "a" -> "1")
+    val (fs, root) = ContentStore.fs(dir, hconf)
+    def plant(name: String, backdate: Boolean): Unit = {
+      val f = new Path(root, s"data/$name")
+      val o = fs.create(f, false); o.write("eA==\teA==\n".getBytes("UTF-8")); o.close()
+      if (backdate) fs.setTimes(f, 0L, -1L): Unit
+    }
+    plant(".staging-crashed", backdate = true)
+    plant("orphan-old", backdate = true)
+    plant("orphan-young", backdate = false) // an in-flight writer's not-yet-committed file
+    val tmpManifest = new Path(root, "_manifest/.tmp-crashed-commit")
+    val o = fs.create(tmpManifest, false); o.write("x".getBytes("UTF-8")); o.close()
+    fs.setTimes(tmpManifest, 0L, -1L): Unit
+    val acts = StoreLifecycle.vacuum(dir, graceMs = 60000L, hconf)
+    assert(acts.map(a => (a.kind, a.name)).toSet ==
+      Set(("stale_staging", ".staging-crashed"), ("orphan_file", "orphan-old"),
+        ("stale_tmp_manifest", ".tmp-crashed-commit")),
+      s"grace must spare the young orphan and all referenced files: $acts")
+    assert(dataFiles(dir).contains("orphan-young"))
+    assert(readAll(dir) == Set("a" -> "1"))
+    // once past the grace (0 = everything qualifies) the young orphan goes too
+    assert(StoreLifecycle.vacuum(dir, 0L, hconf).map(_.name) == Seq("orphan-young"))
+  }
+
+  test("a tail that consumed some sources stays exactly-once across compaction") {
+    val dir  = tmp()
+    val ckpt = tmp()
+    val out  = tmp()
+    def drain(): Seq[String] = drainTo(dir, ckpt, out)
+    writeOne(dir, "a" -> "1")
+    writeOne(dir, "b" -> "2")
+    assert(drain() == Seq("a", "b"), "tail consumes the first two epochs")
+    writeOne(dir, "c" -> "3")
+    writeOne(dir, "d" -> "4")
+    // compact EVERYTHING — including the two epochs the tail already saw
+    StoreLifecycle.compactEpochs(spark, dir)
+    // the tail must emit only c,d (through the shadowed-but-on-disk
+    // source manifests), never the compaction's rewritten a,b
+    assert(drain() == Seq("a", "b", "c", "d"),
+      "exactly the two unseen epochs arrive, nothing replays")
+    // and the compaction manifest is now consumed: nothing further
+    assert(drain() == Seq("a", "b", "c", "d"))
+  }
+
+  test("a tail that consumed everything sees a later compaction as already-consumed") {
+    val dir  = tmp()
+    val ckpt = tmp()
+    val out  = tmp()
+    def drain(): Seq[String] = drainTo(dir, ckpt, out)
+    writeOne(dir, "a" -> "1")
+    writeOne(dir, "b" -> "2")
+    assert(drain() == Seq("a", "b"))
+    StoreLifecycle.compactEpochs(spark, dir)
+    assert(drain() == Seq("a", "b"), "the compaction carries no rows this tail hasn't seen")
+    // a FRESH tail (new checkpoint) reads the compacted form, once
+    assert(drainTo(dir, tmp(), tmp()) == Seq("a", "b"))
+  }
+
+  test("nested compaction: a lagging tail resolves through both layers exactly-once") {
+    val dir  = tmp()
+    val ckpt = tmp()
+    val out  = tmp()
+    def drain(): Seq[String] = drainTo(dir, ckpt, out)
+    writeOne(dir, "a" -> "1")
+    assert(drain() == Seq("a"), "tail consumes only the first epoch")
+    writeOne(dir, "b" -> "2")
+    writeOne(dir, "c" -> "3")
+    // first compaction folds a,b (keepLast=1 keeps c)
+    StoreLifecycle.compactEpochs(spark, dir, keepLast = 1)
+    writeOne(dir, "d" -> "4")
+    // second folds [compact(a,b), c, d] — a compaction of a compaction
+    assert(StoreLifecycle.compactEpochs(spark, dir).isDefined)
+    // the tail saw only 'a': it must now get b (via the inner
+    // compaction's un-consumed source), c and d — each exactly once
+    assert(drain() == Seq("a", "b", "c", "d"))
+    // a fresh tail reads the outermost compaction directly
+    assert(readAll(dir) == Set("a" -> "1", "b" -> "2", "c" -> "3", "d" -> "4"))
+  }
+
+  test("a racing duplicate compaction commit loses idempotently") {
+    import spark.implicits._
+    val dir = tmp()
+    writeOne(dir, "a" -> "1")
+    writeOne(dir, "b" -> "2")
+    val sources = ContentStore.snapshotManifests(dir)
+    val name    = StoreLifecycle.compactEpochs(spark, dir).get
+    val filesAfter = dataFiles(dir)
+    // the losing racer: an identical compaction job (same deterministic
+    // name, same sources) commits after the winner — its manifest
+    // rename must no-op and its rewritten files must be dropped
+    spark.read.format("graft.sources.ContentStore")
+      .option("path", dir).option("manifests", sources.mkString(",")).load()
+      .write.format("graft.sources.ContentStore")
+      .option("path", dir).option("manifestName", name)
+      .option("compactSources", sources.mkString(","))
+      .mode("append").save()
+    assert(dataFiles(dir) == filesAfter, "the loser's files must not survive")
+    assert(ContentStore.manifestNames(dir, hconf).count(_ == name) == 1)
+    assert(readAll(dir) == Set("a" -> "1", "b" -> "2"))
+  }
+
+  test("gate fixture: lifecycle read equals the store-free profile and leaves a clean store") {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft-lifecyclestore-spec"
+    val out = graft.operators.Joins.storeLifecycleRead(tables, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    import org.apache.spark.sql.functions._
+    val oracle = tables.events.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+      .select(format_string("u%06d", col("user_id")), col("cents"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(out == oracle, "maintenance must never change values")
+    // the store ends maintained: compaction + kept epoch, no litter
+    assert(ContentStore.manifestNames(dir, hconf).size == 2,
+      "expired sources must be gone from disk")
+    val litter = dataFiles(dir).filter(f => f.startsWith(".staging") || f.startsWith("orphan"))
+    assert(litter.isEmpty, s"vacuum must have swept the planted litter: $litter")
+  }
+}
