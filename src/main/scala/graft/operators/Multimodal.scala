@@ -122,12 +122,17 @@ object Multimodal {
           val tmp = java.nio.file.Paths
             .get(dir, s".doc_${r.getLong(0)}.${java.util.UUID.randomUUID()}.tmp")
           java.nio.file.Files.write(tmp, r.getString(1).getBytes("UTF-8"))
-          java.nio.file.Files.move(
-            tmp,
-            target,
-            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-            java.nio.file.StandardCopyOption.REPLACE_EXISTING
-          )
+          try
+            java.nio.file.Files.move(tmp, target, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          catch {
+            // with ATOMIC_MOVE the other copy options are ignored and
+            // replace-on-exists is implementation-specific (POSIX
+            // rename replaces; other filesystems may throw) — a loser
+            // racing an identical deterministic write just stands down
+            case _: java.nio.file.FileAlreadyExistsException |
+                _: java.nio.file.AccessDeniedException =>
+              java.nio.file.Files.deleteIfExists(tmp): Unit
+          }
         }
       }
 
@@ -152,9 +157,11 @@ object Multimodal {
         .load()
     ).orderBy("doc_id")
 
-  /** Blobs per archive data file. 256 at gate scale exercises multi-
-    * archive stores at every SF (sf0.001's 500 docs → 2 archives per
-    * epoch); production sizes archives to ~100 MB-1 GB. */
+  /** Blobs per archive data file. 256 at gate scale keeps the store
+    * multi-archive overall (sf0.001's 500 docs land as 4 single-
+    * archive epochs — ceil(125/256) = 1 per epoch; sf0.01+ also go
+    * multi-archive WITHIN an epoch); production sizes archives to
+    * ~100 MB-1 GB. */
   val BlobsPerArchive = 256
 
   /** One archive store per corpus per JVM (the [[sharedBinaryFixture]]
@@ -165,7 +172,11 @@ object Multimodal {
     */
   private val archiveDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  private[graft] def sharedArchiveStore(t: Tables): String =
+  private[graft] def sharedArchiveStore(t: Tables): String = {
+    // the cache key is the corpus DIR — an overridden documents frame
+    // cached under it would be served for later base-corpus reads
+    // (the sharedBaseIndex rule)
+    require(t.docsOverride.isEmpty, "sharedArchiveStore requires the on-disk corpus")
     archiveDirs.computeIfAbsent(
       t.dir,
       _ => {
@@ -190,6 +201,7 @@ object Multimodal {
         d
       }
     )
+  }
 
   /** Typed-metadata projection over a ContentStore archive scan (batch
     * or stream): id parsed from the blob KEY, byte length and sha256

@@ -219,8 +219,23 @@ object ContentStore {
     */
   private[graft] def effectiveManifestNames(path: String, conf: Configuration): Seq[String] = {
     val raw = manifestNames(path, conf)
-    val shadowed: Set[String] =
-      raw.flatMap(m => compactSourcesOf(path, m, conf).getOrElse(Seq.empty)).toSet
+    // ONE listing of `_compacted/` to find which manifests are
+    // compactions — never a per-manifest exists() probe, which on an
+    // object store would turn every trigger/scan listing into O(N)
+    // metadata round trips (the exact listing-cost growth compaction
+    // exists to bound)
+    val (filesystem, root) = fs(path, conf)
+    val compactedDir       = new Path(root, "_compacted")
+    val sidecars: Set[String] =
+      if (!filesystem.exists(compactedDir)) Set.empty
+      else
+        filesystem.listStatus(compactedDir).map(_.getPath.getName)
+          .filterNot(_.startsWith(".")).toSet
+    if (sidecars.isEmpty) return raw
+    val shadowed: Set[String] = raw
+      .filter(sidecars)
+      .flatMap(m => compactSourcesOf(path, m, conf).getOrElse(Seq.empty))
+      .toSet
     raw.filterNot(shadowed)
   }
 

@@ -65,9 +65,23 @@ object StoreLifecycle {
       keepLast: Int = 0,
       buckets: Int = 0
   ): Option[String] = {
-    val conf    = ContentStore.driverHadoopConf()
-    val live    = ContentStore.effectiveManifestNames(path, conf)
-    val sources = live.dropRight(keepLast)
+    val conf = ContentStore.driverHadoopConf()
+    val live = ContentStore.effectiveManifestNames(path, conf).toSet
+    // "newest" means COMMIT order, which the lexical name order does
+    // not give (batch manifests are UUID-named; epoch ids are
+    // unpadded, so epoch-q-10 sorts before epoch-q-9): order by the
+    // manifest file's modification time — the commit rename's
+    // timestamp — with the name as a deterministic tie-break, so
+    // keepLast really protects the hot tail an active consumer is
+    // about to read
+    val (filesystem, root) = ContentStore.fs(path, conf)
+    val byCommitTime = filesystem
+      .listStatus(new Path(root, "_manifest"))
+      .filter(st => live(st.getPath.getName))
+      .sortBy(st => (st.getModificationTime, st.getPath.getName))
+      .map(_.getPath.getName)
+      .toSeq
+    val sources = byCommitTime.dropRight(keepLast)
     if (sources.size < 2) return None
     val digest = MessageDigest.getInstance("SHA-256")
       .digest(sources.mkString("\n").getBytes(StandardCharsets.UTF_8))

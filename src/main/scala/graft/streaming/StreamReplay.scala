@@ -81,8 +81,20 @@ object StreamReplay {
     override def initialValue(): Long = -1L
   }
   def lastBatchCount: Long = lastBatchCountTl.get()
-  private def recordBatchCount(query: org.apache.spark.sql.streaming.StreamingQuery): Unit =
-    lastBatchCountTl.set(query.recentProgress.count(_.numInputRows > 0).toLong)
+  private def recordBatchCount(query: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    val recent = query.recentProgress
+    // recentProgress is a BOUNDED ring (spark.sql.streaming
+    // .numRecentProgressUpdates, default 100): a replay running more
+    // micro-batches than the cap would silently lose its head and
+    // undercount. No current replay comes near the cap — fail loudly
+    // the day one does instead of handing specs a truncated number.
+    val cap = query.sparkSession.conf
+      .getOption("spark.sql.streaming.numRecentProgressUpdates").map(_.toInt).getOrElse(100)
+    require(recent.length < cap,
+      s"replay ran >=$cap micro-batches and recentProgress truncated; raise " +
+        "spark.sql.streaming.numRecentProgressUpdates for this session or lastBatchCount lies")
+    lastBatchCountTl.set(recent.count(_.numInputRows > 0).toLong)
+  }
 
   /** One temp root per JVM for every replay's slices, checkpoints and
     * drained sinks, removed by a shutdown hook — repeated Verify/Bench

@@ -80,7 +80,11 @@ class SchemaCanarySpec extends SparkSpecBase {
     }
   }
 
-  for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
+  // registration-time twin of availableSfDirs (info() is test-scoped,
+  // so the filter is silent here): a checkout with only sf0.001 just
+  // registers fewer per-SF tests instead of failing on a missing path
+  for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")
+       if new java.io.File(s"/root/testdata/$sf").isDirectory) {
     val t = Tables(spark, s"/root/testdata/$sf")
     test(s"canary: $sf normalized schemas unchanged") {
       val drift = expected.flatMap { case (name, load, ddl) =>

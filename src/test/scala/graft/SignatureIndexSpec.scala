@@ -119,4 +119,38 @@ class SignatureIndexSpec extends SparkSpecBase {
     )
     } finally deleteTree(storeRoot)
   }
+
+  test("index compaction: verdicts and the zero-corpus-scan plan survive OPTIMIZE + VACUUM") {
+    // the B78 lifecycle composed with C22e: after enough nightly
+    // appends the index store compacts its epoch tail — probes through
+    // the post-compaction snapshot must be indistinguishable, and the
+    // plan still reads only the store (compaction cannot reintroduce a
+    // corpus scan)
+    val storeRoot = java.nio.file.Files.createTempDirectory("graft-sigindex-spec")
+    val store     = storeRoot.toString
+    try {
+      Dedup.writeSignatureIndex(spark, Seq((1L, textA), (2L, textB)).toDF("doc_id", "text"), store)
+      val pin0   = ContentStore.snapshotManifests(store)
+      val delta1 = Seq((100L, textX)).toDF("doc_id", "text")
+      val v1     = Dedup.incrementalDedupPersisted(spark, delta1, store, pin0, Dedup.JaccardTau)
+      Dedup.appendAdmittedSignatures(spark, delta1, v1, store)
+      val delta2 = Seq((200L, textX + " maroon olive"), (201L, textA)).toDF("doc_id", "text")
+      def probe(pin: Seq[String]) =
+        verdictRows(Dedup.incrementalDedupPersisted(spark, delta2, store, pin, Dedup.JaccardTau))
+      val before = probe(ContentStore.snapshotManifests(store))
+
+      assert(graft.sources.StoreLifecycle.compactEpochs(spark, store).isDefined)
+      val pinC = ContentStore.snapshotManifests(store)
+      assert(pinC.size == 1 && pinC.head.startsWith("compact-"),
+        s"base + append epochs must fold into one manifest: $pinC")
+      assert(probe(pinC) == before, "compaction changed probe verdicts")
+
+      graft.sources.StoreLifecycle.vacuum(store, 0L, spark.sessionState.newHadoopConf()): Unit
+      val after = Dedup.incrementalDedupPersisted(spark, delta2, store, pinC, Dedup.JaccardTau)
+      val plan  = executedPlanString(after)
+      assert(!plan.contains("FileScan"), s"post-lifecycle probe re-scans a file source:\n$plan")
+      assert(plan.contains("graft_content_store"), s"post-lifecycle probe skips the store:\n$plan")
+      assert(verdictRows(after) == before, "vacuum changed probe verdicts")
+    } finally deleteTree(storeRoot)
+  }
 }

@@ -192,6 +192,47 @@ class StoreLifecycleSpec extends SparkSpecBase {
     assert(readAll(dir) == Set("a" -> "1", "b" -> "2"))
   }
 
+  test("compacting co-bucketed stores preserves the layout: SPJ stays zero-exchange") {
+    import spark.implicits._
+    // the B63 claim under maintenance: compaction rewrites files, so a
+    // bucketed store must compact WITH its bucket count or the
+    // shuffle-free join layout silently degrades to exchanges
+    val dirA = tmp(); val dirB = tmp()
+    def publish(dir: String, rows: Seq[(String, String)]): Unit =
+      rows.toDF("result_key", "payload").write.format("graft.sources.ContentStore")
+        .option("path", dir).option("buckets", 4).mode("append").save()
+    publish(dirA, (1 to 150).map(i => (s"u$i", s"a$i")))
+    publish(dirA, (151 to 300).map(i => (s"u$i", s"a$i")))
+    publish(dirB, (151 to 300).map(i => (s"u$i", s"b$i")))
+    publish(dirB, (301 to 450).map(i => (s"u$i", s"b$i")))
+    Seq(dirA, dirB).foreach { d =>
+      assert(StoreLifecycle.compactEpochs(spark, d, buckets = 4).isDefined)
+      StoreLifecycle.vacuum(d, 0L, hconf): Unit
+      assert(ContentStore.manifestNames(d, hconf).size == 1)
+    }
+    val confs = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold"   -> "-1",
+      "spark.sql.requireAllClusterKeysForCoPartition" -> "false")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      def store(dir: String) = spark.read.format("graft.sources.ContentStore")
+        .option("path", dir).option("bucketedRead", 4).load()
+      val joined = store(dirA)
+        .join(store(dirB).withColumnRenamed("payload", "payload_b"), Seq("bucket", "result_key"))
+        .select("result_key", "payload", "payload_b")
+      val got = joined.collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+      assert(got == (151 to 300).map(i => (s"u$i", s"a$i", s"b$i")).toSet)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"join over compacted co-bucketed stores must stay shuffle-free:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("gate fixture: lifecycle read equals the store-free profile and leaves a clean store") {
     val dir = s"${System.getProperty("java.io.tmpdir")}/graft-lifecyclestore-spec"
     val out = graft.operators.Joins.storeLifecycleRead(tables, dir)
