@@ -2361,27 +2361,18 @@ object SparkEntry {
         |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
         |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
         |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-    "multimodal_meta" ->
-      """SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
-        |  sha256(text) AS sha256
-        |FROM documents ORDER BY doc_id""".stripMargin,
-    "multimodal_binary_ingest" -> // file write→binaryFile scan is byte-lossless ⇒ metadata
-      // recomputed from file CONTENT matches the original-table oracle
-      """SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
-        |  sha256(text) AS sha256
-        |FROM documents ORDER BY doc_id""".stripMargin,
-    "q_stream_binary_ingest" -> // streaming binaryFile drain == the batch ingest == the table
-      """SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
-        |  sha256(text) AS sha256
-        |FROM documents ORDER BY doc_id""".stripMargin,
-    "multimodal_archive_ingest" -> // archive (ContentStore) landing of the same blobs == the table
-      """SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
-        |  sha256(text) AS sha256
-        |FROM documents ORDER BY doc_id""".stripMargin,
-    "q_stream_archive_ingest" -> // streaming archive tail == the batch archive read == the table
-      """SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
-        |  sha256(text) AS sha256
-        |FROM documents ORDER BY doc_id""".stripMargin,
+    // ONE oracle for every blob-metadata surface (C12/C12b/C12c): the
+    // typed metadata recomputed from landed CONTENT — per-doc .bin
+    // files (batch + streaming) or ContentStore archives (batch +
+    // streaming tail) — must equal the original table, because every
+    // landing path is byte-lossless. One val bound to five keys, the
+    // incrementalDedupOracle rule: a metadata-contract change breaks
+    // one string, not five.
+    "multimodal_meta"           -> blobMetadataOracle,
+    "multimodal_binary_ingest"  -> blobMetadataOracle,
+    "q_stream_binary_ingest"    -> blobMetadataOracle,
+    "multimodal_archive_ingest" -> blobMetadataOracle,
+    "q_stream_archive_ingest"   -> blobMetadataOracle,
     "dedup_embedding" ->
       """WITH n AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
@@ -3386,6 +3377,16 @@ object SparkEntry {
       |  LEFT JOIN comps USING (doc_id)
       |  WHERE q.n_tokens >= 30 AND l.lang_pred = 'en' AND d.doc_id = e.keep_doc_id
       |    AND (comps.near_dup_comp IS NULL OR comps.near_dup_comp = d.doc_id))""".stripMargin
+
+  /** Shared oracle for the five blob-metadata keys (multimodal_meta +
+    * the per-file and archive ingest pairs): doc id, byte length and
+    * sha256 of the document text — what any byte-lossless landing of
+    * the corpus must reproduce from stored content alone.
+    */
+  private lazy val blobMetadataOracle: String =
+    """SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+      |  sha256(text) AS sha256
+      |FROM documents ORDER BY doc_id""".stripMargin
 
   /** Shared oracle for C22 `dedup_incremental` (exact posting-index
     * probe) and C22d `dedup_incremental_lsh` (band-index probe with

@@ -79,17 +79,32 @@ object Dedup {
     * [[shingledPostings]] and DuckDB's out-of-bounds-is-NULL oracle
     * semantics.
     */
+  /** THE trigram-shingle rule over a `ws` word-array column — one
+    * definition shared by [[shingled]] (the C2/C3 in-memory paths) and
+    * [[indexRowsOn]] (the C22e persisted index), because a drifting
+    * copy would silently make the persisted index's signatures diverge
+    * from the in-memory probe they are spec-pinned to equal row for
+    * row.
+    */
+  private val ShingleArrayExpr =
+    """array_distinct(transform(
+      |  sequence(1, greatest(size(ws) - 2, 1)),
+      |  i -> concat_ws(' ', try_element_at(ws, i), try_element_at(ws, i + 1), try_element_at(ws, i + 2))))""".stripMargin
+
+  /** THE minhash-signature stage over an `sh` shingle column (crc32 →
+    * mod P → 128-hash `minhash_sig`) — same single-definition rule as
+    * [[ShingleArrayExpr]]; shared by [[minhashSignatures]] and
+    * [[indexRowsOn]]. Callers register [[graft.functions.MinHashExpr]]
+    * first.
+    */
+  private def withMinhashSig(df: DataFrame): DataFrame =
+    df.withColumn("shx", expr(s"transform(sh, v -> crc32(v) % ${MinHashP}L)"))
+      .withColumn("sig", expr("minhash_sig(shx)"))
+
   private def shingled(t: Tables): DataFrame =
     t.documents
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
-      .select(
-        col("doc_id"),
-        expr(
-          """array_distinct(transform(
-            |  sequence(1, greatest(size(ws) - 2, 1)),
-            |  i -> concat_ws(' ', try_element_at(ws, i), try_element_at(ws, i + 1), try_element_at(ws, i + 2))))""".stripMargin
-        ).as("sh")
-      )
+      .select(col("doc_id"), expr(ShingleArrayExpr).as("sh"))
       .withColumn("n_sh", size(col("sh")))
 
   /** C1: exact dedup — hash-groupBy on md5 of whitespace-normalized
@@ -840,21 +855,12 @@ object Dedup {
     */
   private def indexRowsOn(spark: SparkSession, docs: DataFrame): DataFrame = {
     graft.functions.MinHashExpr.register(spark)
-    docs
-      .select(col("doc_id"), normTextHashCol.as("text_hash"), split(col("text"), " ").as("ws"))
-      .select(
-        col("doc_id"),
-        col("text_hash"),
-        expr(
-          """array_distinct(transform(
-            |  sequence(1, greatest(size(ws) - 2, 1)),
-            |  i -> concat_ws(' ', try_element_at(ws, i), try_element_at(ws, i + 1), try_element_at(ws, i + 2))))""".stripMargin
-        ).as("sh")
-      )
-      .withColumn("n_sh", size(col("sh")))
-      .withColumn("shx", expr(s"transform(sh, v -> crc32(v) % ${MinHashP}L)"))
-      .withColumn("sig", expr("minhash_sig(shx)"))
-      .select("doc_id", "text_hash", "n_sh", "sig", "sh")
+    withMinhashSig(
+      docs
+        .select(col("doc_id"), normTextHashCol.as("text_hash"), split(col("text"), " ").as("ws"))
+        .select(col("doc_id"), col("text_hash"), expr(ShingleArrayExpr).as("sh"))
+        .withColumn("n_sh", size(col("sh")))
+    ).select("doc_id", "text_hash", "n_sh", "sig", "sh")
   }
 
   /** C22e (producer): write `docs`' signature-index rows into the
@@ -922,12 +928,18 @@ object Dedup {
     * the same whp argument as C22d, so the key shares C22's exact
     * oracle.
     *
-    * The delta's signature subtree is deliberately NOT checkpointed:
-    * it appears at three plan sites (exact-hash arm, band side, verify
-    * side), but a nightly delta is orders of magnitude smaller than
-    * the base whose recompute the r1 measurement was about — the 3×
-    * delta map work buys a fully declarative plan the spec can assert
-    * scan-by-scan (SignatureIndexSpec pins: zero corpus scans).
+    * The INDEX read is materialized (localCheckpoint) exactly like
+    * [[minhashSignatures]] and for the same reason: it feeds three
+    * plan sites (exact-hash arm, band side, verify side), and without
+    * materialization Catalyst re-runs the store scan + JSON parse per
+    * site — 3× the I/O on the one asset that IS big at 100 TB (a
+    * cluster deployment would use a reliable checkpoint dir, same
+    * trade as minhashSignatures' checkpointDir contract). The DELTA's
+    * signature subtree stays un-checkpointed: a nightly delta is
+    * orders of magnitude smaller, and leaving it declarative keeps the
+    * probe plan scan-assertable (SignatureIndexSpec pins: the index
+    * subtree reads ONLY the store, and the probe plan holds zero file
+    * scans and zero store re-reads).
     *
     * Join shapes mirror C22d (shuffle_hash on the index side; with a
     * realistically small nightly delta AQE broadcasts the delta side
@@ -941,7 +953,7 @@ object Dedup {
       manifests: Seq[String],
       tau: Double
   ): DataFrame = {
-    val idx       = readSignatureIndex(spark, storeDir, manifests)
+    val idx       = readSignatureIndex(spark, storeDir, manifests).localCheckpoint()
     val deltaRows = indexRowsOn(spark, delta)
     val exactMatch = deltaRows
       .select(col("doc_id"), col("text_hash"))
@@ -1044,9 +1056,7 @@ object Dedup {
   private def minhashSignatures(t: Tables, checkpointDir: Option[String]): DataFrame = {
     graft.functions.MinHashExpr.register(t.spark)
     checkpointDir.foreach(t.spark.sparkContext.setCheckpointDir)
-    val sigs = shingled(t)
-      .withColumn("shx", expr(s"transform(sh, v -> crc32(v) % ${MinHashP}L)"))
-      .withColumn("sig", expr("minhash_sig(shx)"))
+    val sigs = withMinhashSig(shingled(t))
       .select(col("doc_id"), col("sh"), col("n_sh"), col("sig"))
     if (checkpointDir.isDefined) sigs.checkpoint() else sigs.localCheckpoint()
   }

@@ -276,6 +276,25 @@ object ContentStore {
   private[graft] def committedFiles(path: String): Seq[String] =
     committedFiles(path, driverHadoopConf())
 
+  /** The store's write-side bucket count, recorded once by the first
+    * bucketed commit in a `_buckets` metadata file — a LAYOUT fact of
+    * the store, not a per-caller parameter: maintenance (compaction)
+    * must rewrite with the same count or the shuffle-free bucketed-
+    * join contract silently degrades to exchanges. 0 = unbucketed (or
+    * a legacy bucketed store written before the metadata existed — for
+    * those, [[StoreLifecycle.compactEpochs]]'s explicit override
+    * remains).
+    */
+  def recordedBuckets(path: String, conf: Configuration): Int = {
+    val (filesystem, root) = fs(path, conf)
+    val p                  = new Path(root, "_buckets")
+    if (!filesystem.exists(p)) return 0
+    val reader = new java.io.BufferedReader(
+      new java.io.InputStreamReader(filesystem.open(p), "UTF-8"))
+    try Option(reader.readLine()).map(_.trim).flatMap(_.toIntOption).getOrElse(0)
+    finally reader.close()
+  }
+
   /** The store's CURRENT committed-manifest set — the snapshot
     * identity to pin with the `manifests` read option. Capture at
     * publish time, persist beside the run metadata, and any later read
@@ -544,7 +563,8 @@ private[graft] class ContentStoreWrite(
         messages,
         conf.value,
         idempotent = manifestName.isDefined,
-        compactSources = compactSources
+        compactSources = compactSources,
+        buckets = buckets
       )
     override def abort(messages: Array[WriterCommitMessage]): Unit =
       ContentStoreWrite.deleteFiles(path, messages, conf.value)
@@ -560,7 +580,8 @@ private[graft] class ContentStoreWrite(
         s"epoch-$queryId-$epochId",
         messages,
         conf.value,
-        idempotent = true
+        idempotent = true,
+        buckets = buckets
       )
     override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
       ContentStoreWrite.deleteFiles(path, messages, conf.value)
@@ -583,7 +604,8 @@ private[graft] object ContentStoreWrite {
       messages: Array[WriterCommitMessage],
       hadoopConf: Configuration,
       idempotent: Boolean = false,
-      compactSources: Option[Seq[String]] = None
+      compactSources: Option[Seq[String]] = None,
+      buckets: Int = 0
   ): Unit = {
     val (filesystem, root) = ContentStore.fs(path, hadoopConf)
     val manifestDir        = new Path(root, "_manifest")
@@ -593,6 +615,29 @@ private[graft] object ContentStoreWrite {
       // replayed files so they can't be double-counted later
       deleteFiles(path, messages, hadoopConf)
       return
+    }
+    // a bucketed commit records the store's bucket count once (first
+    // write wins, temp+rename) — the layout fact maintenance reads
+    // back so compaction can't silently rewrite a bucketed store
+    // unbucketed. A DIFFERENT recorded count is a real layout
+    // violation: fail the commit before any manifest becomes visible.
+    if (buckets > 0) {
+      val recorded = ContentStore.recordedBuckets(path, hadoopConf)
+      if (recorded == 0) {
+        val metaTmp = new Path(root, s"._buckets-tmp-${UUID.randomUUID()}")
+        val mout    = filesystem.create(metaTmp, false)
+        try mout.write(buckets.toString.getBytes("UTF-8"))
+        finally mout.close()
+        if (!filesystem.rename(metaTmp, new Path(root, "_buckets"))) {
+          filesystem.delete(metaTmp, false): Unit // racer landed first; verify below
+        }
+        val now = ContentStore.recordedBuckets(path, hadoopConf)
+        if (now != buckets)
+          throw new IllegalStateException(
+            s"ContentStore: store $path is bucketed with n=$now; this write used buckets=$buckets")
+      } else if (recorded != buckets)
+        throw new IllegalStateException(
+          s"ContentStore: store $path is bucketed with n=$recorded; this write used buckets=$buckets")
     }
     val files = messages.flatMap {
       case m: StoreCommitMsg if m.rows > 0       => Seq(m.file)

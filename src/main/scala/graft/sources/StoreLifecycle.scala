@@ -56,8 +56,16 @@ object StoreLifecycle {
   /** Rewrite all but the newest `keepLast` live manifests into one
     * compaction manifest. Returns the new manifest name, or None if
     * fewer than two manifests would be compacted (nothing to gain).
-    * `buckets` must match the store's write-side bucketing (0 for
-    * unbucketed) so the rewritten files keep the layout contract.
+    *
+    * Bucketing is a LAYOUT fact of the store, read back from the
+    * `_buckets` metadata the first bucketed commit recorded
+    * ([[ContentStore.recordedBuckets]]) — maintenance preserves the
+    * layout without every caller having to know it (a forgotten
+    * parameter would silently rewrite a bucketed store unbucketed and
+    * degrade every later storage-partitioned join to exchanges). The
+    * explicit `buckets` override exists only for legacy bucketed
+    * stores written before the metadata; passing a value that
+    * CONTRADICTS recorded metadata throws.
     */
   def compactEpochs(
       spark: SparkSession,
@@ -65,20 +73,43 @@ object StoreLifecycle {
       keepLast: Int = 0,
       buckets: Int = 0
   ): Option[String] = {
-    val conf = ContentStore.driverHadoopConf()
-    val live = ContentStore.effectiveManifestNames(path, conf).toSet
+    val conf     = ContentStore.driverHadoopConf()
+    val recorded = ContentStore.recordedBuckets(path, conf)
+    require(buckets == 0 || recorded == 0 || buckets == recorded,
+      s"compactEpochs(buckets=$buckets) contradicts the store's recorded bucket count $recorded")
+    val effBuckets = if (buckets > 0) buckets else recorded
+    val live       = ContentStore.effectiveManifestNames(path, conf).toSet
+    // before listing _manifest/ directly: an empty or brand-new store
+    // (manifestNames already guards the missing directory) has nothing
+    // to compact — return None like every other nothing-to-do path
+    if (live.size - keepLast < 2) return None
     // "newest" means COMMIT order, which the lexical name order does
     // not give (batch manifests are UUID-named; epoch ids are
     // unpadded, so epoch-q-10 sorts before epoch-q-9): order by the
-    // manifest file's modification time — the commit rename's
-    // timestamp — with the name as a deterministic tie-break, so
-    // keepLast really protects the hot tail an active consumer is
-    // about to read
+    // manifest file's modification time. Rename preserves mtime, so
+    // the timestamp is the manifest WRITE, which the committer renames
+    // within the same driver call — commit order for any sequential
+    // committer, and within the race window for genuinely concurrent
+    // ones (where no order is more correct). Coarse-granularity
+    // filesystems (1 s object-store shims) tie consecutive epochs of
+    // one writer, so the tie-break must NOT be plain lexical (that
+    // re-inverts epoch-10 < epoch-9): break ties numerically on a
+    // trailing integer when prefixes match, then by name — keepLast
+    // really protects the hot tail an active consumer is about to
+    // read.
     val (filesystem, root) = ContentStore.fs(path, conf)
     val byCommitTime = filesystem
       .listStatus(new Path(root, "_manifest"))
       .filter(st => live(st.getPath.getName))
-      .sortBy(st => (st.getModificationTime, st.getPath.getName))
+      .sortBy { st =>
+        val n = st.getPath.getName
+        val (prefix, num) = n.lastIndexOf('-') match {
+          case i if i >= 0 =>
+            n.drop(i + 1).toLongOption.filter(_ >= 0).map((n.take(i), _)).getOrElse((n, -1L))
+          case _ => (n, -1L)
+        }
+        (st.getModificationTime, prefix, num, n)
+      }
       .map(_.getPath.getName)
       .toSeq
     val sources = byCommitTime.dropRight(keepLast)
@@ -97,7 +128,7 @@ object StoreLifecycle {
       .option("manifestName", name)
       .option("compactSources", sources.mkString(","))
       .mode("append")
-    (if (buckets > 0) writer.option("buckets", buckets) else writer).save()
+    (if (effBuckets > 0) writer.option("buckets", effBuckets) else writer).save()
     Some(name)
   }
 
@@ -137,8 +168,18 @@ object StoreLifecycle {
     val nameSet   = names.toSet
     val mtime     = committed.map(st => st.getPath.getName -> st.getModificationTime).toMap
 
-    // shadowed source -> the compactions that replaced it (still on disk)
+    // shadowed source -> the compactions that replaced it (still on
+    // disk). Which manifests are compactions comes from ONE listing of
+    // `_compacted/` — the same no-per-manifest-exists()-probe rule as
+    // ContentStore.effectiveManifestNames; only actual compactions'
+    // sidecars are then read.
+    val compactedDir = new Path(root, "_compacted")
+    val sidecarNames: Set[String] =
+      if (fsys.exists(compactedDir))
+        fsys.listStatus(compactedDir).map(_.getPath.getName).filterNot(_.startsWith(".")).toSet
+      else Set.empty
     val referencing: Map[String, Seq[String]] = names
+      .filter(sidecarNames)
       .flatMap(c => ContentStore.compactSourcesOf(path, c, hadoopConf).getOrElse(Seq.empty).map(_ -> c))
       .groupBy(_._1)
       .map { case (src, pairs) => src -> pairs.map(_._2) }
@@ -181,6 +222,17 @@ object StoreLifecycle {
           fsys.delete(st.getPath, false): Unit
           out += VacuumAction("stale_sidecar", s"$side/$n")
         }
+      }
+    }
+
+    // a crashed bucket-metadata write leaves `._buckets-tmp-*` at the
+    // store root; the committed `_buckets` file itself is layout
+    // metadata and never swept
+    if (fsys.exists(root)) fsys.listStatus(root).foreach { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("._buckets-tmp-") && aged(st)) {
+        fsys.delete(st.getPath, false): Unit
+        out += VacuumAction("stale_tmp_meta", n)
       }
     }
     out.result()

@@ -7,11 +7,13 @@ import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 
 /** C22e: the incremental probe against the PERSISTED signature index
   * (ContentStore epochs). Pins the three claims the gate alone can't:
-  * the probe equals the in-memory exact probe row for row, its plan
-  * reads ONLY the delta input + the store (zero corpus scans — no
-  * full-corpus signature recompute), and the epoch-append maintenance
-  * loop makes tonight's admissions tomorrow's probe targets while a
-  * pinned snapshot stays frozen.
+  * the probe equals the in-memory exact probe row for row, its inputs
+  * are ONLY the delta + the store read exactly once (the index subtree
+  * scans nothing but the store, and the probe plan holds neither a
+  * file scan — no full-corpus signature recompute — nor a store
+  * re-read per consumer), and the epoch-append maintenance loop makes
+  * tonight's admissions tomorrow's probe targets while a pinned
+  * snapshot stays frozen.
   */
 class SignatureIndexSpec extends SparkSpecBase {
   import spark.implicits._
@@ -52,21 +54,29 @@ class SignatureIndexSpec extends SparkSpecBase {
     )
   }
 
-  test("probe plan reads only the delta input and the store — zero corpus scans") {
+  test("probe reads the store once and the plan holds zero corpus scans") {
     val storeRoot = java.nio.file.Files.createTempDirectory("graft-sigindex-spec")
     val store     = storeRoot.toString
     try {
     Dedup.writeSignatureIndex(spark, Seq((1L, textA), (2L, textB)).toDF("doc_id", "text"), store)
-    val pin   = ContentStore.snapshotManifests(store)
+    val pin = ContentStore.snapshotManifests(store)
+    // provenance: the index subtree reads ONLY the store — a file scan
+    // there could only be a full-corpus signature recompute, the exact
+    // regression the persisted index exists to prevent
+    val idxPlan = executedPlanString(Dedup.readSignatureIndex(spark, store, pin))
+    assert(idxPlan.contains("graft_content_store"), s"index subtree skips the store:\n$idxPlan")
+    assert(!idxPlan.contains("FileScan"), s"index subtree re-scans a file source:\n$idxPlan")
     val delta = Seq((100L, textX), (101L, textA + " nu xi")).toDF("doc_id", "text")
     val probe = Dedup.incrementalDedupPersisted(spark, delta, store, pin, Dedup.JaccardTau)
     val plan  = executedPlanString(probe)
-    // the delta arrives as its own input (here a LocalTableScan) and the
-    // base side comes from the store — a file scan in this plan could
-    // only be a full-corpus signature recompute, the exact regression
-    // the persisted index exists to prevent
+    // the delta arrives as its own input (here a LocalTableScan); the
+    // base side is the MATERIALIZED index, read from the store exactly
+    // once — so the probe plan itself holds neither a file scan (no
+    // corpus recompute) nor a store scan (no per-consumer re-read of
+    // the one asset that is big at 100 TB; it feeds three plan sites)
     assert(!plan.contains("FileScan"), s"probe plan re-scans a file source:\n$plan")
-    assert(plan.contains("graft_content_store"), s"probe plan never reads the store:\n$plan")
+    assert(!plan.contains("graft_content_store"),
+      s"probe plan re-reads the store per consumer instead of the materialized index:\n$plan")
     assert(
       verdictRows(probe) == Seq(
         (100L, "new", None, None),
@@ -146,10 +156,15 @@ class SignatureIndexSpec extends SparkSpecBase {
       assert(probe(pinC) == before, "compaction changed probe verdicts")
 
       graft.sources.StoreLifecycle.vacuum(store, 0L, spark.sessionState.newHadoopConf()): Unit
+      // same plan discipline as the zero-corpus-scan test, post-lifecycle:
+      // index subtree = store only; probe plan = no file scan, no store
+      // re-read (the materialized index is read once)
+      val idxPlan = executedPlanString(Dedup.readSignatureIndex(spark, store, pinC))
+      assert(idxPlan.contains("graft_content_store"), s"post-lifecycle index skips the store:\n$idxPlan")
+      assert(!idxPlan.contains("FileScan"), s"post-lifecycle index re-scans a file source:\n$idxPlan")
       val after = Dedup.incrementalDedupPersisted(spark, delta2, store, pinC, Dedup.JaccardTau)
       val plan  = executedPlanString(after)
       assert(!plan.contains("FileScan"), s"post-lifecycle probe re-scans a file source:\n$plan")
-      assert(plan.contains("graft_content_store"), s"post-lifecycle probe skips the store:\n$plan")
       assert(verdictRows(after) == before, "vacuum changed probe verdicts")
     } finally deleteTree(storeRoot)
   }

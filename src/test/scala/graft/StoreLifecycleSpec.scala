@@ -205,8 +205,14 @@ class StoreLifecycleSpec extends SparkSpecBase {
     publish(dirA, (151 to 300).map(i => (s"u$i", s"a$i")))
     publish(dirB, (151 to 300).map(i => (s"u$i", s"b$i")))
     publish(dirB, (301 to 450).map(i => (s"u$i", s"b$i")))
+    // bucketing is recorded store metadata (the first bucketed commit
+    // writes `_buckets`), so maintenance needs NO caller-supplied
+    // count — a bare compactEpochs must preserve the layout; a
+    // contradicting explicit count must refuse
     Seq(dirA, dirB).foreach { d =>
-      assert(StoreLifecycle.compactEpochs(spark, d, buckets = 4).isDefined)
+      assert(ContentStore.recordedBuckets(d, hconf) == 4)
+      intercept[IllegalArgumentException](StoreLifecycle.compactEpochs(spark, d, buckets = 8))
+      assert(StoreLifecycle.compactEpochs(spark, d).isDefined)
       StoreLifecycle.vacuum(d, 0L, hconf): Unit
       assert(ContentStore.manifestNames(d, hconf).size == 1)
     }

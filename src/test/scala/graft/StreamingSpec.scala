@@ -923,8 +923,8 @@ class StreamingSpec extends SparkSpecBase {
     val archived = meta(graft.operators.Multimodal.archiveIngest(tables))
     assert(archived == perFile, "archive metadata diverged from the per-file ingest")
     val tailed = meta(StreamReplay.replayArchiveIngest(spark, sfDir))
-    // one archive per micro-batch: sf0.001's 500 docs land as 2
-    // archives per epoch x 4 epochs
+    // one archive per micro-batch: sf0.001's 500 docs land as 4
+    // single-archive epochs (ceil(125/256) = 1 archive each)
     assert(StreamReplay.lastBatchCount >= 4,
       s"expected >=4 micro-batches, got ${StreamReplay.lastBatchCount}")
     assert(tailed == perFile, "tailed archive metadata diverged from the per-file ingest")
