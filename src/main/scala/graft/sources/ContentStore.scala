@@ -493,9 +493,19 @@ private[graft] class ContentStoreTable(path: String, bucketedRead: Int = 0)
           */
         override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
           val (filesystem, root) = ContentStore.fs(path, conf.value)
-          val bytes = survivingFiles().map { f =>
-            filesystem.getFileStatus(new Path(root, s"data/$f")).getLen
-          }.sum
+          // ONE listing of data/, not one getFileStatus per surviving
+          // file — the same no-per-entry-probe rule as
+          // effectiveManifestNames: planning-time metadata cost must
+          // not grow one RPC per data file on an object store. A file
+          // a manifest lists but the listing missed (can't happen
+          // after a committed rename, but belt-and-braces) just
+          // contributes 0 — statistics are estimates.
+          val dataDir = new Path(root, "data")
+          val lens: Map[String, Long] =
+            if (!filesystem.exists(dataDir)) Map.empty
+            else
+              filesystem.listStatus(dataDir).map(st => st.getPath.getName -> st.getLen).toMap
+          val bytes = survivingFiles().map(f => lens.getOrElse(f, 0L)).sum
           new org.apache.spark.sql.connector.read.Statistics {
             override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(bytes)
             override def numRows(): java.util.OptionalLong     = java.util.OptionalLong.empty()
