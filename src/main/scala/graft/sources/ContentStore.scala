@@ -629,10 +629,17 @@ private[graft] object ContentStoreWrite {
     // a bucketed commit records the store's bucket count once (first
     // write wins, temp+rename) — the layout fact maintenance reads
     // back so compaction can't silently rewrite a bucketed store
-    // unbucketed. A DIFFERENT recorded count is a real layout
-    // violation: fail the commit before any manifest becomes visible.
+    // unbucketed. A commit CONTRADICTING recorded metadata — a
+    // different count, or an unbucketed write into a bucketed store —
+    // is a real layout violation: it would poison every later
+    // bucketedRead (the scan throws on the first unbucketed file
+    // name), so fail THIS commit before any manifest becomes visible,
+    // at the writer that is wrong rather than the reader that isn't.
+    val recorded = ContentStore.recordedBuckets(path, hadoopConf)
+    if (buckets == 0 && recorded > 0)
+      throw new IllegalStateException(
+        s"ContentStore: store $path is bucketed with n=$recorded; unbucketed write refused")
     if (buckets > 0) {
-      val recorded = ContentStore.recordedBuckets(path, hadoopConf)
       if (recorded == 0) {
         val metaTmp = new Path(root, s"._buckets-tmp-${UUID.randomUUID()}")
         val mout    = filesystem.create(metaTmp, false)

@@ -579,6 +579,40 @@ class ContentStoreSpec extends SparkSpecBase {
     assert(readBack(dir).size == 200)
   }
 
+  test("bucketing is a recorded layout contract: contradicting writes refuse, the store survives") {
+    import spark.implicits._
+    // the first bucketed commit records `_buckets`; any later commit
+    // that contradicts it — a different count, or an unbucketed write
+    // — must fail at the WRITER (before its manifest is visible)
+    // instead of silently poisoning every later bucketedRead
+    val dir = tmp()
+    def write(rows: Seq[(String, String)], buckets: Int): Unit = {
+      val w = rows.toDF("result_key", "payload")
+        .write.format("graft.sources.ContentStore").option("path", dir).mode("append")
+      (if (buckets > 0) w.option("buckets", buckets) else w).save()
+    }
+    write((1 to 50).map(i => (s"k$i", s"v$i")), buckets = 4)
+    assert(ContentStore.recordedBuckets(dir, hconf) == 4)
+    def refuses(body: => Unit): Unit = {
+      val e = intercept[Exception](body)
+      val chain = Iterator.iterate[Throwable](e)(_.getCause).takeWhile(_ != null).toSeq
+      assert(chain.exists(t =>
+        t.isInstanceOf[IllegalStateException] && t.getMessage.contains("bucketed with n=4")),
+        s"expected the layout refusal, got: $e")
+    }
+    refuses(write(Seq("x" -> "y"), buckets = 8))
+    refuses(write(Seq("x" -> "y"), buckets = 0))
+    // the refused commits left no manifest and no data: the store
+    // still reads whole, bucketed, with its recorded count
+    assert(ContentStore.recordedBuckets(dir, hconf) == 4)
+    assert(readBack(dir).size == 50)
+    val got = spark.read.format("graft.sources.ContentStore")
+      .option("path", dir).option("bucketedRead", 4).load().count()
+    assert(got == 50)
+    write((51 to 60).map(i => (s"k$i", s"v$i")), buckets = 4) // matching append still lands
+    assert(readBack(dir).size == 60)
+  }
+
   test("storage-partitioned join of two co-bucketed stores plans with zero shuffle") {
     import spark.implicits._
     val dirA = tmp(); val dirB = tmp()
