@@ -127,10 +127,16 @@ object Multimodal {
           catch {
             // with ATOMIC_MOVE the other copy options are ignored and
             // replace-on-exists is implementation-specific (POSIX
-            // rename replaces; other filesystems may throw) — a loser
-            // racing an identical deterministic write just stands down
-            case _: java.nio.file.FileAlreadyExistsException |
-                _: java.nio.file.AccessDeniedException =>
+            // rename replaces; other filesystems may throw or report
+            // access-denied) — a loser racing an identical
+            // deterministic write just stands down. Standing down is
+            // legitimate ONLY when the target really exists; an
+            // AccessDenied with no target is a genuine permission
+            // failure that must fail the task, not silently drop the
+            // blob from the landed corpus.
+            case e @ (_: java.nio.file.FileAlreadyExistsException |
+                _: java.nio.file.AccessDeniedException) =>
+              if (!java.nio.file.Files.exists(target)) throw e
               java.nio.file.Files.deleteIfExists(tmp): Unit
           }
         }

@@ -641,14 +641,36 @@ private[graft] object ContentStoreWrite {
         s"ContentStore: store $path is bucketed with n=$recorded; unbucketed write refused")
     if (buckets > 0) {
       if (recorded == 0) {
-        val metaTmp = new Path(root, s"._buckets-tmp-${UUID.randomUUID()}")
-        val mout    = filesystem.create(metaTmp, false)
-        try mout.write(buckets.toString.getBytes("UTF-8"))
-        finally mout.close()
-        if (!filesystem.rename(metaTmp, new Path(root, "_buckets"))) {
-          filesystem.delete(metaTmp, false): Unit // racer landed first; verify below
+        // create-EXCLUSIVE on the final name, not tmp+rename: Hadoop's
+        // local rename maps to rename(2), which REPLACES an existing
+        // destination — two racing first commits with different counts
+        // could then both "win" and the verify below would miss the
+        // loser. create(overwrite=false) is the atomic-exclusive
+        // primitive on every FileSystem; the racing loser gets
+        // FileAlreadyExists and falls through to the verify. (A reader
+        // can observe the file between create and close and parse 0 —
+        // a microsecond window only another CONCURRENT commit could
+        // hit, and concurrent unserialized commits on one store are
+        // already outside the maintenance contract.)
+        def tryRecord(): Int = {
+          try {
+            val mout = filesystem.create(new Path(root, "_buckets"), /* overwrite = */ false)
+            try mout.write(buckets.toString.getBytes("UTF-8"))
+            finally mout.close()
+          } catch {
+            case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+                _: java.nio.file.FileAlreadyExistsException => () // racer landed first
+          }
+          ContentStore.recordedBuckets(path, hadoopConf)
         }
-        val now = ContentStore.recordedBuckets(path, hadoopConf)
+        var now = tryRecord()
+        if (now == 0) {
+          // an existing-but-unparseable file is a writer that crashed
+          // between create and close — heal (delete, re-record once);
+          // the delete+create race still has exactly one winner
+          filesystem.delete(new Path(root, "_buckets"), false): Unit
+          now = tryRecord()
+        }
         if (now != buckets)
           throw new IllegalStateException(
             s"ContentStore: store $path is bucketed with n=$now; this write used buckets=$buckets")
@@ -1034,7 +1056,7 @@ private[graft] class StoreMicroBatchStream(
       .sorted
     if (fresh.isEmpty) StoreBatchOffset(b)
     else {
-      val admitted = admitUpTo(fresh, maxFilesIn(limit), consumed)
+      val admitted = admitUpTo(fresh, maxFilesIn(limit), consumed, sidecarResolver())
       log.writeEntry(b + 1, admitted)
       if ((b + 1) % compactInterval == 0) {
         log.writeCompact(b + 1, (consumed ++ admitted).toVector.sorted)
@@ -1044,12 +1066,41 @@ private[graft] class StoreMicroBatchStream(
     }
   }
 
+  /** One `_compacted/` listing + memoized sidecar reads serving a
+    * whole admission or planning pass — never a per-manifest exists()
+    * probe (the [[ContentStore.effectiveManifestNames]] rule applied
+    * to the streaming path, where admit + plan previously paid one
+    * metadata round trip per manifest per trigger). Memoizing is exact
+    * because a sidecar is immutable and committed BEFORE its manifest
+    * rename: any manifest visible to this pass has its sidecar visible
+    * to this (later) listing, and an ordinary manifest never gains
+    * one.
+    */
+  private def sidecarResolver(): String => Option[Seq[String]] = {
+    val (filesystem, root) = ContentStore.fs(path, conf.value)
+    val compactedDir       = new Path(root, "_compacted")
+    val names: Set[String] =
+      if (!filesystem.exists(compactedDir)) Set.empty
+      else
+        filesystem.listStatus(compactedDir).map(_.getPath.getName)
+          .filterNot(_.startsWith(".")).toSet
+    val cache = scala.collection.mutable.HashMap.empty[String, Option[Seq[String]]]
+    m =>
+      if (!names(m)) None
+      else cache.getOrElseUpdate(m, ContentStore.compactSourcesOf(path, m, conf.value))
+  }
+
   /** Whole manifests in sorted order while the data-file budget lasts;
     * always at least one, so one over-limit epoch cannot stall. File
     * counts are EFFECTIVE counts — what the batch will actually emit
     * for this tail given its consumed set.
     */
-  private def admitUpTo(fresh: Seq[String], maxFiles: Int, consumed: Set[String]): Seq[String] =
+  private def admitUpTo(
+      fresh: Seq[String],
+      maxFiles: Int,
+      consumed: Set[String],
+      sources: String => Option[Seq[String]]
+  ): Seq[String] =
     if (maxFiles == Int.MaxValue) fresh
     else {
       val out   = Vector.newBuilder[String]
@@ -1059,7 +1110,7 @@ private[graft] class StoreMicroBatchStream(
       var done  = false
       while (it.hasNext && !done) {
         val m = it.next()
-        val k = effectiveStreamFiles(m, consumed).size
+        val k = effectiveStreamFiles(m, consumed, sources).size
         if (first || total + k <= maxFiles) { out += m; total += k; first = false }
         else done = true
       }
@@ -1071,10 +1122,12 @@ private[graft] class StoreMicroBatchStream(
     * of `m`'s rewritten rows were already emitted through the
     * originals.
     */
-  private def anyConsumedUnder(m: String, consumed: Set[String]): Boolean =
-    consumed(m) || ContentStore
-      .compactSourcesOf(path, m, conf.value)
-      .exists(_.exists(anyConsumedUnder(_, consumed)))
+  private def anyConsumedUnder(
+      m: String,
+      consumed: Set[String],
+      sources: String => Option[Seq[String]]
+  ): Boolean =
+    consumed(m) || sources(m).exists(_.exists(anyConsumedUnder(_, consumed, sources)))
 
   /** The files batch admission of `m` emits for a tail with this
     * consumed set — the exactly-once rule across compaction:
@@ -1099,12 +1152,16 @@ private[graft] class StoreMicroBatchStream(
     * (consumed set, durable `_compacted/` sidecars), so a crash
     * replay of the batch plans the identical file set.
     */
-  private def effectiveStreamFiles(m: String, consumed: Set[String]): Seq[String] =
+  private def effectiveStreamFiles(
+      m: String,
+      consumed: Set[String],
+      sources: String => Option[Seq[String]]
+  ): Seq[String] =
     if (consumed(m)) Seq.empty
     else
-      ContentStore.compactSourcesOf(path, m, conf.value) match {
-        case Some(srcs) if srcs.exists(anyConsumedUnder(_, consumed)) =>
-          srcs.flatMap(effectiveStreamFiles(_, consumed))
+      sources(m) match {
+        case Some(srcs) if srcs.exists(anyConsumedUnder(_, consumed, sources)) =>
+          srcs.flatMap(effectiveStreamFiles(_, consumed, sources))
         case _ => ContentStore.filesInManifest(path, m, conf.value)
       }
 
@@ -1157,9 +1214,10 @@ private[graft] class StoreMicroBatchStream(
         // (consumedThrough(i-1)), so a compaction manifest expands to
         // the same effective file set it was admitted with — crash
         // replays stay deterministic
+        val sources = sidecarResolver()
         return (s + 1 to e).iterator.flatMap { i =>
           val consumedBefore = log.consumedThrough(i - 1)
-          log.readEntry(i).flatMap(m => effectiveStreamFiles(m, consumedBefore))
+          log.readEntry(i).flatMap(m => effectiveStreamFiles(m, consumedBefore, sources))
         }.map(f => StoreFilePartition(path, f): InputPartition).toArray
     }
     manifests

@@ -96,7 +96,11 @@ object StoreLifecycle {
     // re-inverts epoch-10 < epoch-9): break ties numerically on a
     // trailing integer when prefixes match, then by name — keepLast
     // really protects the hot tail an active consumer is about to
-    // read.
+    // read. UUID-named BATCH manifests tied within one timestamp
+    // granule stay arbitrary — their names carry no order to recover;
+    // the numeric case (one writer's sequential epochs, the
+    // continuous-append shape compaction exists for) is the one that
+    // must hold.
     val (filesystem, root) = ContentStore.fs(path, conf)
     val byCommitTime = filesystem
       .listStatus(new Path(root, "_manifest"))
@@ -222,17 +226,6 @@ object StoreLifecycle {
           fsys.delete(st.getPath, false): Unit
           out += VacuumAction("stale_sidecar", s"$side/$n")
         }
-      }
-    }
-
-    // a crashed bucket-metadata write leaves `._buckets-tmp-*` at the
-    // store root; the committed `_buckets` file itself is layout
-    // metadata and never swept
-    if (fsys.exists(root)) fsys.listStatus(root).foreach { st =>
-      val n = st.getPath.getName
-      if (n.startsWith("._buckets-tmp-") && aged(st)) {
-        fsys.delete(st.getPath, false): Unit
-        out += VacuumAction("stale_tmp_meta", n)
       }
     }
     out.result()

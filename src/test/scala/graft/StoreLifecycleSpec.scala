@@ -115,18 +115,22 @@ class StoreLifecycleSpec extends SparkSpecBase {
     assert(StoreLifecycle.vacuum(dir, 0L, hconf).map(_.name) == Seq("orphan-young"))
   }
 
-  test("vacuum sweeps a crashed bucket-metadata write but never the committed _buckets") {
+  test("a crashed empty _buckets write self-heals on the next bucketed commit") {
     import spark.implicits._
+    // create-exclusive means a writer that dies between create and
+    // close leaves an EMPTY _buckets; the next bucketed commit must
+    // heal it (delete + re-record) instead of refusing forever, and
+    // vacuum must never touch the layout metadata
     val dir = tmp()
+    val (fs, root) = ContentStore.fs(dir, hconf)
+    fs.mkdirs(root)
+    fs.create(new Path(root, "_buckets"), false).close() // the crash artifact
+    assert(ContentStore.recordedBuckets(dir, hconf) == 0)
     Seq("a" -> "1", "b" -> "2").toDF("result_key", "payload")
       .write.format("graft.sources.ContentStore")
       .option("path", dir).option("buckets", 2).mode("append").save()
-    val (fs, root) = ContentStore.fs(dir, hconf)
-    val crashed    = new Path(root, "._buckets-tmp-crashed")
-    val o          = fs.create(crashed, false); o.write("2".getBytes("UTF-8")); o.close()
-    fs.setTimes(crashed, 0L, -1L): Unit
-    val acts = StoreLifecycle.vacuum(dir, graceMs = 60000L, hconf)
-    assert(acts.map(a => (a.kind, a.name)) == Seq(("stale_tmp_meta", "._buckets-tmp-crashed")))
+    assert(ContentStore.recordedBuckets(dir, hconf) == 2, "commit must heal the empty metadata")
+    assert(StoreLifecycle.vacuum(dir, 0L, hconf).isEmpty)
     assert(ContentStore.recordedBuckets(dir, hconf) == 2, "vacuum must spare the layout metadata")
     assert(readAll(dir) == Set("a" -> "1", "b" -> "2"))
   }
