@@ -53,6 +53,9 @@ object SparkEntry {
     "q_store_lifecycle" -> ((s, d) =>
       Joins.storeLifecycleRead(Tables(s, d),
         s"${System.getProperty("java.io.tmpdir")}/graft-lifecyclestore")),
+    "q_store_pinned_read" -> ((s, d) =>
+      Joins.storePinnedRead(Tables(s, d),
+        s"${System.getProperty("java.io.tmpdir")}/graft-pinstore")),
     "q_bucketed_join" -> ((s, d) =>
       Joins.bucketedJoin(Tables(s, d), s"${System.getProperty("java.io.tmpdir")}/graft-warehouse")),
     "q_event_pivot"        -> ((s, d) => Analytics.eventTypePivot(Tables(s, d))),
@@ -1419,6 +1422,13 @@ object SparkEntry {
         |FROM p JOIN h USING (result_key)
         |ORDER BY 1""".stripMargin,
     "q_store_lifecycle" -> // compaction + vacuum are layout/metadata-only: values equal the store-free query
+      """SELECT printf('u%06d', user_id) AS result_key,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS purchase_cents
+        |FROM events WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_store_pinned_read" -> // a leased pre-compaction pin reads the ORIGINAL corpus across
+      // compaction + grace-0 vacuum: values equal the store-free profile
+      // and exclude the post-pin click epoch entirely
       """SELECT printf('u%06d', user_id) AS result_key,
         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS purchase_cents
         |FROM events WHERE event_type = 'purchase'

@@ -493,19 +493,32 @@ private[graft] class ContentStoreTable(path: String, bucketedRead: Int = 0)
           */
         override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
           val (filesystem, root) = ContentStore.fs(path, conf.value)
-          // ONE listing of data/, not one getFileStatus per surviving
-          // file — the same no-per-entry-probe rule as
-          // effectiveManifestNames: planning-time metadata cost must
-          // not grow one RPC per data file on an object store. A file
-          // a manifest lists but the listing missed (can't happen
+          // Sizing strategy picks the cheaper metadata shape for the
+          // PRUNED set, not the store: a wide scan sizes via ONE
+          // listing of data/ (never one getFileStatus RPC per file —
+          // the effectiveManifestNames rule), but when stats pruning
+          // leaves only a handful of survivors the listing inverts the
+          // cost (a 10⁶-file store is ~10³ paged-list RPCs to size a
+          // 1-file scan), so a small survivor set probes per-file
+          // instead — O(min(surviving, listing pages)) either way. A
+          // file a manifest lists but the probe missed (can't happen
           // after a committed rename, but belt-and-braces) just
           // contributes 0 — statistics are estimates.
-          val dataDir = new Path(root, "data")
-          val lens: Map[String, Long] =
-            if (!filesystem.exists(dataDir)) Map.empty
-            else
-              filesystem.listStatus(dataDir).map(st => st.getPath.getName -> st.getLen).toMap
-          val bytes = survivingFiles().map(f => lens.getOrElse(f, 0L)).sum
+          val surviving = survivingFiles()
+          val dataDir   = new Path(root, "data")
+          val bytes =
+            if (surviving.size <= 64)
+              surviving.map { f =>
+                try filesystem.getFileStatus(new Path(dataDir, f)).getLen
+                catch { case _: java.io.FileNotFoundException => 0L }
+              }.sum
+            else {
+              val lens: Map[String, Long] =
+                if (!filesystem.exists(dataDir)) Map.empty
+                else
+                  filesystem.listStatus(dataDir).map(st => st.getPath.getName -> st.getLen).toMap
+              surviving.map(f => lens.getOrElse(f, 0L)).sum
+            }
           new org.apache.spark.sql.connector.read.Statistics {
             override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(bytes)
             override def numRows(): java.util.OptionalLong     = java.util.OptionalLong.empty()
@@ -732,6 +745,24 @@ private[graft] object ContentStoreWrite {
     val out = filesystem.create(tmp, /* overwrite = */ false)
     out.write(files.mkString("\n").getBytes("UTF-8"))
     out.close()
+    // re-check the layout refusal at the last write before visibility:
+    // the heal path above (delete + re-create on an unparseable
+    // `_buckets`) opens a window where recordedBuckets reads 0, so an
+    // unbucketed commit racing a healing bucketed one could pass the
+    // entry check yet land a manifest into a bucketed store. Concurrent
+    // unserialized commits are already outside the maintenance
+    // contract, but this is the same cheap belt the bucketed arm's
+    // post-create verify wears — one metadata read per unbucketed
+    // commit, taken after the manifest content is staged so the window
+    // is the rename alone.
+    if (buckets == 0) {
+      val recheck = ContentStore.recordedBuckets(path, hadoopConf)
+      if (recheck > 0) {
+        filesystem.delete(tmp, false): Unit
+        throw new IllegalStateException(
+          s"ContentStore: store $path is bucketed with n=$recheck; unbucketed write refused")
+      }
+    }
     if (!filesystem.rename(tmp, manifest)) {
       filesystem.delete(tmp, false): Unit
       if (idempotent && filesystem.exists(manifest)) {
@@ -1310,11 +1341,21 @@ private[graft] class ManifestConsumedLog(dir: Path, hadoopConf: Configuration) {
     set.toSet
   }
 
-  /** Delete entries a fresh rebuild no longer needs: plain entries at
-    * or before `n - interval` are covered by an earlier compact (the
-    * engine only ever replans batches AFTER its last committed offset,
-    * which a full interval of slack comfortably clears), and compacts
-    * older than the previous one are superseded.
+  /** Delete entries a fresh rebuild no longer needs. Retention must
+    * cover BOTH readers: a fresh rebuild (consumedThrough(n), which
+    * needs the latest compact plus entries after it) and a crash
+    * REPLAY of an old batch i (planInputPartitions calls
+    * consumedThrough(i-1), which reads from the latest compact ≤ i-1
+    * forward — up to a full interval of entries OLDER than i). The
+    * engine's offset WAL leads its committed offset by at most one
+    * batch, so i ≥ n; but pinning retention to that engine-internal
+    * invariant would break silently if it ever widened. Keeping plain
+    * entries to `n - 2·interval` (matching the compact retention, one
+    * extra interval of slack) makes the replay window safe on its own
+    * terms: the oldest entry consumedThrough(i-1) can need is
+    * latestCompact(i-1)+1 > i-1-interval ≥ n-1-interval, inside the
+    * retained range with an interval to spare. Cost: the log holds at
+    * most `interval` extra one-line files.
     */
   def cleanup(n: Long, interval: Int): Unit =
     if (fsys.exists(dir)) {
@@ -1331,7 +1372,7 @@ private[graft] class ManifestConsumedLog(dir: Path, hadoopConf: Configuration) {
           }
         } else {
           name.toLongOption.foreach { e =>
-            if (e <= n - interval) fsys.delete(st.getPath, false): Unit
+            if (e <= n - 2L * interval) fsys.delete(st.getPath, false): Unit
           }
         }
       }

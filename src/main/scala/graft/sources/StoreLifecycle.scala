@@ -2,10 +2,13 @@ package graft.sources
 
 import java.nio.charset.StandardCharsets
 import java.security.MessageDigest
+import java.util.UUID
 
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileStatus, Path}
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.util.SerializableConfiguration
 
 /** Store maintenance — the lifecycle half every log-structured store
   * needs once appends are continuous (A18's streaming epochs, C22e's
@@ -41,9 +44,11 @@ import org.apache.spark.sql.SparkSession
   *
   * At 100 TB scale both ops are bounded by METADATA, not data:
   * compaction's rewrite job is a distributed pinned-snapshot read of
-  * only the chosen sources (never the whole store), and vacuum is one
-  * listing of `_manifest/` + `data/` plus per-manifest line reads —
-  * no row ever moves through the driver. Single-maintenance-process
+  * only the chosen sources (never the whole store), and vacuum's
+  * driver footprint is O(manifest count) + O(deleted names) — the
+  * referenced-file diff (manifest lines × `data/` listing) runs as a
+  * Spark left-anti join, never as a driver Set (at 10⁹ blobs that Set
+  * is tens of GB of strings). Single-maintenance-process
   * assumption: two concurrent compactions over the SAME source set
   * race benignly (deterministic manifest name — the loser's rename
   * fails idempotently and its files are dropped); overlapping but
@@ -52,6 +57,12 @@ import org.apache.spark.sql.SparkSession
   * transaction-log arbiter.
   */
 object StoreLifecycle {
+
+  /** Job group the [[vacuum]] referenced-file diff runs under — specs
+    * pin that GC's file diff executed as a distributed job, not a
+    * driver walk.
+    */
+  val VacuumJobGroup = "graft-vacuum-gc"
 
   /** Rewrite all but the newest `keepLast` live manifests into one
     * compaction manifest. Returns the new manifest name, or None if
@@ -136,20 +147,93 @@ object StoreLifecycle {
     Some(name)
   }
 
-  /** One GC action taken by [[vacuum]]: what was deleted and why. */
+  /** One GC action taken by [[vacuum]]: what was deleted (or, for
+    * `pinned_manifest_kept`, deliberately NOT deleted) and why.
+    */
   final case class VacuumAction(kind: String, name: String)
+
+  /** A pin LEASE: the retention contract made checkable. A consumer
+    * that captures a snapshot for later time travel (a training run
+    * pinning its corpus) writes a lease naming the manifests and an
+    * expiry; [[vacuum]] refuses to expire a shadowed manifest any
+    * unexpired lease names (reporting `pinned_manifest_kept` instead)
+    * and sweeps the lease file itself once past its expiry
+    * (`expired_lease`). Without this, the grace horizon is a
+    * documented trade the operator must remember — the same reason
+    * `_buckets` made the layout recorded metadata instead of a
+    * trusted parameter.
+    */
+  final case class PinLease(id: String, expiresAtMs: Long, manifests: Seq[String])
+
+  /** Write a pin lease (`_pins/<id>`: expiry millis, then one manifest
+    * name per line; temp + rename like every store metadata write).
+    * `manifests` defaults to the store's CURRENT effective snapshot —
+    * the "snapshot and lease it" publish step. Returns the lease.
+    */
+  def acquirePin(
+      path: String,
+      id: String,
+      ttlMs: Long,
+      hadoopConf: Configuration,
+      manifests: Option[Seq[String]] = None
+  ): PinLease = {
+    require(id.matches("[A-Za-z0-9._-]+"), s"pin id must be [A-Za-z0-9._-]+, got: $id")
+    val names = manifests.getOrElse(ContentStore.effectiveManifestNames(path, hadoopConf))
+    val lease = PinLease(id, System.currentTimeMillis() + ttlMs, names)
+    val (fsys, root) = ContentStore.fs(path, hadoopConf)
+    val pinsDir      = new Path(root, "_pins")
+    fsys.mkdirs(pinsDir)
+    val tmp = new Path(pinsDir, s".tmp-$id-${UUID.randomUUID()}")
+    val out = fsys.create(tmp, false)
+    try out.write((lease.expiresAtMs.toString +: names).mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    if (!fsys.rename(tmp, new Path(pinsDir, id))) {
+      fsys.delete(tmp, false): Unit
+      throw new java.io.IOException(s"ContentStore: pin lease rename failed for $id")
+    }
+    lease
+  }
+
+  /** Drop a pin lease (the consumer finished early). Idempotent. */
+  def releasePin(path: String, id: String, hadoopConf: Configuration): Unit = {
+    val (fsys, root) = ContentStore.fs(path, hadoopConf)
+    fsys.delete(new Path(root, s"_pins/$id"), false): Unit
+  }
+
+  /** All recorded pin leases (live and expired). One listing +
+    * one small read per lease — lease count, never file count.
+    */
+  def pins(path: String, hadoopConf: Configuration): Seq[PinLease] = {
+    val (fsys, root) = ContentStore.fs(path, hadoopConf)
+    val pinsDir      = new Path(root, "_pins")
+    if (!fsys.exists(pinsDir)) return Seq.empty
+    fsys.listStatus(pinsDir).toSeq.map(_.getPath.getName).filterNot(_.startsWith(".")).sorted.map {
+      id =>
+        val reader = new java.io.BufferedReader(
+          new java.io.InputStreamReader(fsys.open(new Path(pinsDir, id)), "UTF-8"))
+        val lines =
+          try Iterator.continually(reader.readLine()).takeWhile(_ != null).filter(_.nonEmpty).toList
+          finally reader.close()
+        PinLease(id, lines.headOption.flatMap(_.toLongOption).getOrElse(0L), lines.drop(1))
+    }
+  }
 
   /** Age-gated store GC. Deletes, in order:
     *
     *  1. `expired_manifest` — shadowed source manifests every
     *     referencing compaction of which is at least `graceMs` old
-    *     (plus their `_stats/`/`_compacted/` sidecars);
-    *  2. `stale_tmp_manifest` — `.tmp-*` manifests older than grace
+    *     (plus their `_stats/`/`_compacted/` sidecars); a manifest an
+    *     UNEXPIRED pin lease names is kept and reported
+    *     (`pinned_manifest_kept`) — the lease turns the retention
+    *     contract into a checked invariant;
+    *  2. `expired_lease` — pin leases past their own expiry (the
+    *     lease's horizon, not the grace, is its gate);
+    *  3. `stale_tmp_manifest` — `.tmp-*` manifests older than grace
     *     (a crashed driver's unrenamed commit);
-    *  3. `orphan_file` / `stale_staging` — `data/` files older than
+    *  4. `orphan_file` / `stale_staging` — `data/` files older than
     *     grace that no surviving manifest references (crashed-task
     *     staging, aborted attempts, expired sources' data);
-    *  4. `stale_sidecar` — `_compacted/`/`_stats/` entries older than
+    *  5. `stale_sidecar` — `_compacted/`/`_stats/` entries older than
     *     grace with no matching manifest (a crash between sidecar and
     *     manifest rename).
     *
@@ -157,8 +241,26 @@ object StoreLifecycle {
     * a data file renamed by a committing task is unreferenced only
     * until its driver's manifest rename, which lands well inside any
     * production grace. `graceMs = 0` assumes a quiesced store.
+    *
+    * The referenced-file diff (step 4) runs as a SPARK JOB, never on
+    * the driver: survivor manifests' lines and the `data/` listing are
+    * two DataFrames and the deletion candidates are their left-anti
+    * join, deleted where they are found (Delta VACUUM's shape). At a
+    * 10⁹-blob store the referenced-file set is tens of GB — a
+    * driver-resident Set would be the one scale-killer in an otherwise
+    * metadata-bounded operation. Driver memory here is O(manifest
+    * count) + O(deleted files) — the deleted names ARE the return
+    * value, sized by garbage, not by the store. The `data/` listing
+    * itself streams through one task (a flat directory has no
+    * parallel listing; `listStatusIterator` pages it without ever
+    * holding the full array).
     */
-  def vacuum(path: String, graceMs: Long, hadoopConf: Configuration): Seq[VacuumAction] = {
+  def vacuum(
+      spark: SparkSession,
+      path: String,
+      graceMs: Long,
+      hadoopConf: Configuration
+  ): Seq[VacuumAction] = {
     val (fsys, root) = ContentStore.fs(path, hadoopConf)
     val now          = System.currentTimeMillis()
     def aged(st: FileStatus): Boolean = now - st.getModificationTime >= graceMs
@@ -187,16 +289,27 @@ object StoreLifecycle {
       .flatMap(c => ContentStore.compactSourcesOf(path, c, hadoopConf).getOrElse(Seq.empty).map(_ -> c))
       .groupBy(_._1)
       .map { case (src, pairs) => src -> pairs.map(_._2) }
-    val expired: Set[String] = referencing.collect {
+    val allLeases = pins(path, hadoopConf)
+    val (liveLeases, deadLeases) = allLeases.partition(_.expiresAtMs > now)
+    val pinned: Set[String] = liveLeases.flatMap(_.manifests).toSet
+    val expirable: Set[String] = referencing.collect {
       case (src, compacts)
           if nameSet(src) && compacts.forall(c => mtime.get(c).exists(t => now - t >= graceMs)) =>
         src
     }.toSet
+    val expired = expirable.filterNot(pinned)
+    // report every shadowed manifest a live lease saved from expiry —
+    // the operator-visible "why is my store not shrinking" answer
+    (expirable & pinned).toSeq.sorted.foreach(m => out += VacuumAction("pinned_manifest_kept", m))
     expired.toSeq.sorted.foreach { m =>
       fsys.delete(new Path(manifestDir, m), false): Unit
       fsys.delete(new Path(root, s"_stats/$m"), false): Unit
       fsys.delete(new Path(root, s"_compacted/$m"), false): Unit
       out += VacuumAction("expired_manifest", m)
+    }
+    deadLeases.foreach { l =>
+      fsys.delete(new Path(root, s"_pins/${l.id}"), false): Unit
+      out += VacuumAction("expired_lease", l.id)
     }
 
     rawStatus.filter(st => st.getPath.getName.startsWith(".tmp-") && aged(st)).foreach { st =>
@@ -204,20 +317,72 @@ object StoreLifecycle {
       out += VacuumAction("stale_tmp_manifest", st.getPath.getName)
     }
 
-    val survivors  = names.filterNot(expired)
-    val referenced = survivors.flatMap(m => ContentStore.filesInManifest(path, m, hadoopConf)).toSet
-    val dataDir    = new Path(root, "data")
-    if (fsys.exists(dataDir)) fsys.listStatus(dataDir).foreach { st =>
-      val n = st.getPath.getName
-      if (!referenced(n) && aged(st)) {
-        fsys.delete(st.getPath, false): Unit
+    val survivors = names.filterNot(expired)
+    val dataDir   = new Path(root, "data")
+    if (fsys.exists(dataDir)) {
+      // the distributed referenced-file diff (scaladoc above): names
+      // this listing misses are files landing AFTER the listing — all
+      // younger than any production grace, spared by the mtime gate
+      // exactly like the old driver-side walk
+      import spark.implicits._
+      val sconf       = new SerializableConfiguration(hadoopConf)
+      val dataDirStr  = dataDir.toString
+      val cutoff      = now - graceMs
+      val survivorPaths = survivors.map(m => new Path(root, s"_manifest/$m").toString)
+      val referenced =
+        (if (survivorPaths.isEmpty) spark.emptyDataset[String]
+         else spark.read.textFile(survivorPaths: _*))
+          .filter(_.nonEmpty)
+          .toDF("name")
+      val listing = spark
+        .range(0, 1, 1, numPartitions = 1)
+        .flatMap { _ =>
+          val d  = new Path(dataDirStr)
+          val fl = d.getFileSystem(sconf.value)
+          if (!fl.exists(d)) Iterator.empty
+          else {
+            val it = fl.listStatusIterator(d)
+            Iterator
+              .continually(())
+              .takeWhile(_ => it.hasNext)
+              .map { _ =>
+                val st = it.next()
+                (st.getPath.getName, st.getModificationTime)
+              }
+          }
+        }
+        .toDF("name", "mtime")
+      spark.sparkContext.setJobGroup(
+        VacuumJobGroup, s"vacuum $path: referenced-file diff", interruptOnCancel = false)
+      val deleted =
+        try
+          listing
+            .where(col("mtime") <= lit(cutoff))
+            .join(referenced, Seq("name"), "left_anti")
+            .select("name")
+            .as[String]
+            .mapPartitions { it =>
+              // delete where found: the candidate set (∝ garbage) never
+              // funnels through the driver just to issue deletes
+              val fl = new Path(dataDirStr).getFileSystem(sconf.value)
+              it.map { n =>
+                fl.delete(new Path(dataDirStr, n), false): Unit
+                n
+              }
+            }
+            .collect()
+            .sorted
+        finally spark.sparkContext.clearJobGroup()
+      deleted.foreach { n =>
         out += VacuumAction(if (n.startsWith(".staging-")) "stale_staging" else "orphan_file", n)
       }
     }
 
     // sidecars for manifests that no longer exist (crashed commits or
     // just-expired sources); a LIVE manifest's sidecars are never
-    // touched — `_compacted/` entries are what lagging tails resolve
+    // touched — `_compacted/` entries are what lagging tails resolve.
+    // `_pins/` gets only its `.tmp-*` sweep: lease ids are not manifest
+    // names, so the no-matching-manifest rule must not apply to them.
     for (side <- Seq("_compacted", "_stats")) {
       val dir = new Path(root, side)
       if (fsys.exists(dir)) fsys.listStatus(dir).foreach { st =>
@@ -226,6 +391,14 @@ object StoreLifecycle {
           fsys.delete(st.getPath, false): Unit
           out += VacuumAction("stale_sidecar", s"$side/$n")
         }
+      }
+    }
+    val pinsDir = new Path(root, "_pins")
+    if (fsys.exists(pinsDir)) fsys.listStatus(pinsDir).foreach { st =>
+      val n = st.getPath.getName
+      if (n.startsWith(".tmp-") && aged(st)) {
+        fsys.delete(st.getPath, false): Unit
+        out += VacuumAction("stale_sidecar", s"_pins/$n")
       }
     }
     out.result()

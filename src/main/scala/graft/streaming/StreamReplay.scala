@@ -94,7 +94,13 @@ object StreamReplay {
     // with the note pointing at the fix.
     val cap = query.sparkSession.conf
       .getOption("spark.sql.streaming.numRecentProgressUpdates").map(_.toInt).getOrElse(100)
-    if (recent.length >= cap) {
+    // a full ring alone doesn't prove truncation: a replay of EXACTLY
+    // cap micro-batches fills the ring losslessly. The tell is the
+    // batch-id span — lastProgress.batchId + 1 total batches (fresh
+    // checkpoints start at 0; every replay here creates one) vs the
+    // ring's length. Only a span the ring can't hold means loss.
+    val totalBatches = Option(query.lastProgress).map(_.batchId + 1).getOrElse(0L)
+    if (recent.length >= cap && totalBatches > recent.length) {
       System.err.println(
         s"[graft] replay ran >=$cap micro-batches and recentProgress truncated; " +
           "lastBatchCount is unreliable (-1) — raise " +

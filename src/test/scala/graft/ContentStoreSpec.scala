@@ -320,12 +320,15 @@ class ContentStoreSpec extends SparkSpecBase {
     assert(drain() == (1 to 5).map(i => s"k$i").toSet)
 
     // the source-owned log compacted (batches 1..5, interval 2 →
-    // compacts at 2 and 4; cleanup removed entries ≤ 2)
+    // compacts at 2 and 4). Retention keeps plain entries to
+    // n - 2·interval — the crash-replay window (consumedThrough(i-1)
+    // reads up to an interval OLDER than the replayed batch) plus an
+    // interval of slack — so at n=4 nothing is deleted yet
     val logDir = new java.io.File(s"$ckpt/sources/0/manifest-log")
     val logFiles = logDir.list().toSet
     assert(logFiles.exists(_.endsWith(".compact")), s"no compaction written: $logFiles")
-    assert(!logFiles.contains("1") && !logFiles.contains("2"),
-      s"compaction must delete superseded entries: $logFiles")
+    assert(logFiles.contains("1") && logFiles.contains("2"),
+      s"entries inside the replay-safety window must be retained: $logFiles")
 
     // the ENGINE-checkpointed offset is one monotonic batch id — its
     // JSON never grows with manifest history
@@ -340,6 +343,11 @@ class ContentStoreSpec extends SparkSpecBase {
     // exactly the new ones
     (6 to 7).foreach(i => writeOne(dir, s"k$i" -> s"v$i"))
     assert(drain() == (1 to 7).map(i => s"k$i").toSet, "restart after compaction lost or duplicated rows")
+    // the batch-6 compact's cleanup crossed the 2·interval horizon:
+    // entries 1,2 are now outside every replay window and deleted
+    val afterFiles = logDir.list().toSet
+    assert(!afterFiles.contains("1") && !afterFiles.contains("2"),
+      s"entries past the 2-interval horizon must be deleted: $afterFiles")
   }
 
   test("full relay chain: problem stream → store epochs → tailing sequencer → batched queue, exactly-once across a mid-chain restart") {

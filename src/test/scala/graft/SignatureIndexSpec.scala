@@ -155,7 +155,7 @@ class SignatureIndexSpec extends SparkSpecBase {
         s"base + append epochs must fold into one manifest: $pinC")
       assert(probe(pinC) == before, "compaction changed probe verdicts")
 
-      graft.sources.StoreLifecycle.vacuum(store, 0L, spark.sessionState.newHadoopConf()): Unit
+      graft.sources.StoreLifecycle.vacuum(spark, store, 0L, spark.sessionState.newHadoopConf()): Unit
       // same plan discipline as the zero-corpus-scan test, post-lifecycle:
       // index subtree = store only; probe plan = no file scan, no store
       // re-read (the materialized index is read once)

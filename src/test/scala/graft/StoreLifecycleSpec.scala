@@ -78,11 +78,11 @@ class StoreLifecycleSpec extends SparkSpecBase {
     assert(pinned() == Set("a" -> "1", "b" -> "2"),
       "a pin captured before compaction must keep reading the source manifests")
     // a generous grace keeps everything: the just-written compaction is young
-    assert(StoreLifecycle.vacuum(dir, graceMs = 24L * 3600 * 1000, hconf).isEmpty)
+    assert(StoreLifecycle.vacuum(spark, dir, graceMs = 24L * 3600 * 1000, hconf).isEmpty)
     assert(pinned() == Set("a" -> "1", "b" -> "2"))
     // grace 0 (quiesced store): the shadowed sources expire, the pin is
     // past its retention horizon — the documented time-travel trade
-    val acts = StoreLifecycle.vacuum(dir, graceMs = 0L, hconf)
+    val acts = StoreLifecycle.vacuum(spark, dir, graceMs = 0L, hconf)
     assert(acts.count(_.kind == "expired_manifest") == 2, s"both sources must expire: $acts")
     assert(acts.count(_.kind == "orphan_file") == 2, s"their data files must be swept: $acts")
     intercept[Exception](pinned())
@@ -104,7 +104,7 @@ class StoreLifecycleSpec extends SparkSpecBase {
     val tmpManifest = new Path(root, "_manifest/.tmp-crashed-commit")
     val o = fs.create(tmpManifest, false); o.write("x".getBytes("UTF-8")); o.close()
     fs.setTimes(tmpManifest, 0L, -1L): Unit
-    val acts = StoreLifecycle.vacuum(dir, graceMs = 60000L, hconf)
+    val acts = StoreLifecycle.vacuum(spark, dir, graceMs = 60000L, hconf)
     assert(acts.map(a => (a.kind, a.name)).toSet ==
       Set(("stale_staging", ".staging-crashed"), ("orphan_file", "orphan-old"),
         ("stale_tmp_manifest", ".tmp-crashed-commit")),
@@ -112,7 +112,7 @@ class StoreLifecycleSpec extends SparkSpecBase {
     assert(dataFiles(dir).contains("orphan-young"))
     assert(readAll(dir) == Set("a" -> "1"))
     // once past the grace (0 = everything qualifies) the young orphan goes too
-    assert(StoreLifecycle.vacuum(dir, 0L, hconf).map(_.name) == Seq("orphan-young"))
+    assert(StoreLifecycle.vacuum(spark, dir, 0L, hconf).map(_.name) == Seq("orphan-young"))
   }
 
   test("a crashed empty _buckets write self-heals on the next bucketed commit") {
@@ -130,7 +130,7 @@ class StoreLifecycleSpec extends SparkSpecBase {
       .write.format("graft.sources.ContentStore")
       .option("path", dir).option("buckets", 2).mode("append").save()
     assert(ContentStore.recordedBuckets(dir, hconf) == 2, "commit must heal the empty metadata")
-    assert(StoreLifecycle.vacuum(dir, 0L, hconf).isEmpty)
+    assert(StoreLifecycle.vacuum(spark, dir, 0L, hconf).isEmpty)
     assert(ContentStore.recordedBuckets(dir, hconf) == 2, "vacuum must spare the layout metadata")
     assert(readAll(dir) == Set("a" -> "1", "b" -> "2"))
   }
@@ -233,7 +233,7 @@ class StoreLifecycleSpec extends SparkSpecBase {
       assert(ContentStore.recordedBuckets(d, hconf) == 4)
       intercept[IllegalArgumentException](StoreLifecycle.compactEpochs(spark, d, buckets = 8))
       assert(StoreLifecycle.compactEpochs(spark, d).isDefined)
-      StoreLifecycle.vacuum(d, 0L, hconf): Unit
+      StoreLifecycle.vacuum(spark, d, 0L, hconf): Unit
       assert(ContentStore.manifestNames(d, hconf).size == 1)
     }
     val confs = Seq(
@@ -257,6 +257,107 @@ class StoreLifecycleSpec extends SparkSpecBase {
       case (k, Some(v)) => spark.conf.set(k, v)
       case (k, None)    => spark.conf.unset(k)
     }
+  }
+
+  test("an unexpired pin lease keeps its manifests through a grace-0 vacuum; release then sweeps") {
+    val dir = tmp()
+    writeOne(dir, "a" -> "1")
+    writeOne(dir, "b" -> "2")
+    val lease = StoreLifecycle.acquirePin(dir, "run-1", ttlMs = 3600_000L, hconf)
+    assert(lease.manifests == ContentStore.snapshotManifests(dir))
+    // post-pin append the lease must not cover
+    writeOne(dir, "c" -> "3")
+    StoreLifecycle.compactEpochs(spark, dir)
+    def pinned() = spark.read.format("graft.sources.ContentStore")
+      .option("path", dir).option("manifests", lease.manifests.mkString(",")).load()
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    // grace 0 is maximally hostile: without the lease both pinned
+    // sources would expire (the second test above proves exactly that)
+    val acts = StoreLifecycle.vacuum(spark, dir, 0L, hconf)
+    assert(acts.filter(_.kind == "pinned_manifest_kept").map(_.name).toSet == lease.manifests.toSet,
+      s"the two leased sources must be kept and reported: $acts")
+    assert(acts.count(_.kind == "expired_manifest") == 1,
+      s"the unleased post-pin source expires normally: $acts")
+    assert(pinned() == Set("a" -> "1", "b" -> "2"),
+      "the leased snapshot must read exactly through maintenance")
+    assert(readAll(dir) == Set("a" -> "1", "b" -> "2", "c" -> "3"), "live view unaffected")
+    // consumer done: release, and the next vacuum reclaims the holdback
+    StoreLifecycle.releasePin(dir, "run-1", hconf)
+    val acts2 = StoreLifecycle.vacuum(spark, dir, 0L, hconf)
+    assert(acts2.filter(_.kind == "expired_manifest").map(_.name).toSet == lease.manifests.toSet,
+      s"released sources must expire on the next vacuum: $acts2")
+    intercept[Exception](pinned())
+    assert(readAll(dir) == Set("a" -> "1", "b" -> "2", "c" -> "3"))
+  }
+
+  test("an expired lease protects nothing and is itself swept") {
+    val dir = tmp()
+    writeOne(dir, "a" -> "1")
+    writeOne(dir, "b" -> "2")
+    // already past expiry at vacuum time
+    StoreLifecycle.acquirePin(dir, "stale-run", ttlMs = -1L, hconf): Unit
+    StoreLifecycle.compactEpochs(spark, dir)
+    val acts = StoreLifecycle.vacuum(spark, dir, 0L, hconf)
+    assert(acts.count(_.kind == "expired_manifest") == 2,
+      s"an expired lease must not hold sources: $acts")
+    assert(acts.map(_.kind).count(_ == "expired_lease") == 1 &&
+      acts.exists(a => a.kind == "expired_lease" && a.name == "stale-run"),
+      s"the dead lease file must be swept: $acts")
+    assert(StoreLifecycle.pins(dir, hconf).isEmpty)
+    assert(readAll(dir) == Set("a" -> "1", "b" -> "2"))
+  }
+
+  test("vacuum's referenced-file diff runs as a Spark job, not a driver walk") {
+    // the 100 TB argument: at a 10⁹-blob store the referenced-file set
+    // is tens of GB — it must never materialize on the driver. The pin
+    // is behavioral (the diff's jobs carry the vacuum job group) on the
+    // SAME fixture the litter test uses, so the distributed path is the
+    // one producing the already-asserted VacuumActions.
+    val dir = tmp()
+    writeOne(dir, "a" -> "1")
+    val (fs, root) = ContentStore.fs(dir, hconf)
+    val f = new Path(root, "data/orphan-old")
+    val o = fs.create(f, false); o.write("eA==\teA==\n".getBytes("UTF-8")); o.close()
+    fs.setTimes(f, 0L, -1L): Unit
+    val groups = java.util.Collections.synchronizedList(new java.util.ArrayList[String]())
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        val g = Option(js.properties).map(_.getProperty("spark.jobGroup.id")).orNull
+        if (g != null) groups.add(g): Unit
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val acts = StoreLifecycle.vacuum(spark, dir, 0L, hconf)
+      assert(acts.map(a => (a.kind, a.name)) == Seq(("orphan_file", "orphan-old")))
+      // listener delivery is async; poll briefly instead of touching
+      // the private listenerBus API
+      import scala.jdk.CollectionConverters._
+      val deadline = System.currentTimeMillis() + 10000
+      while (!groups.asScala.contains(StoreLifecycle.VacuumJobGroup) &&
+        System.currentTimeMillis() < deadline) Thread.sleep(50)
+      assert(groups.asScala.contains(StoreLifecycle.VacuumJobGroup),
+        s"the referenced-file diff must run under the vacuum job group, saw: $groups")
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(readAll(dir) == Set("a" -> "1"), "referenced files survive the distributed diff")
+  }
+
+  test("gate fixture: pinned read equals the store-free profile across compaction + vacuum") {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft-pinstore-spec"
+    val out = graft.operators.Joins.storePinnedRead(tables, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    import org.apache.spark.sql.functions._
+    val oracle = tables.events.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+      .select(format_string("u%06d", col("user_id")), col("cents"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(out == oracle, "the leased pin must reproduce the pre-append corpus exactly")
+    // the post-release vacuum reclaimed the holdback: only the
+    // compaction manifest remains, and the lease registry is empty
+    assert(ContentStore.manifestNames(dir, hconf).size == 1,
+      "released sources must be gone from disk")
+    assert(StoreLifecycle.pins(dir, hconf).isEmpty, "the released lease must be gone")
   }
 
   test("gate fixture: lifecycle read equals the store-free profile and leaves a clean store") {
