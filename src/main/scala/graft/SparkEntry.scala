@@ -463,6 +463,7 @@ object SparkEntry {
     "dedup_incremental"    -> ((s, d) => Dedup.incrementalDedup(Tables(s, d))),
     "dedup_incremental_lsh" -> ((s, d) => Dedup.incrementalDedupLsh(Tables(s, d))),
     "dedup_incremental_persisted" -> ((s, d) => Dedup.incrementalDedupPersisted(Tables(s, d))),
+    "dedup_incremental_columnar" -> ((s, d) => Dedup.incrementalDedupColumnar(Tables(s, d))),
     "text_bpe_merges"      -> ((s, d) => TextOps.bpeMergeCandidates(Tables(s, d))),
     "text_bpe_apply"       -> ((s, d) => TextOps.bpeApply(Tables(s, d))),
     "text_vocab_coverage"  -> ((s, d) => TextOps.vocabCoverage(Tables(s, d))),
@@ -2053,6 +2054,8 @@ object SparkEntry {
     "dedup_incremental_lsh" -> // LSH-probe variant = exact probe whp (band-miss (1-s^4)^32; see C3)
       incrementalDedupOracle,
     "dedup_incremental_persisted" -> // C22d's band probe against the PERSISTED (ContentStore) index = same output
+      incrementalDedupOracle,
+    "dedup_incremental_columnar" -> // C22e's probe against the COLUMNAR (ParquetEpochs) index = same output
       incrementalDedupOracle,
     "text_bpe_merges" -> // top-50 adjacent char pairs over the distinct-word table, weighted by word count
       s"""WITH v AS (

@@ -952,9 +952,25 @@ object Dedup {
       storeDir: String,
       manifests: Seq[String],
       tau: Double
+  ): DataFrame =
+    persistedProbe(
+      delta,
+      indexRowsOn(spark, delta),
+      readSignatureIndex(spark, storeDir, manifests).localCheckpoint(),
+      tau
+    )
+
+  /** The probe body shared by the JSON-payload (C22e) and columnar
+    * (C22f) persisted indexes — identical verdict assembly over an
+    * already-materialized index frame, so the two keys differ ONLY in
+    * the index storage format they read.
+    */
+  private def persistedProbe(
+      delta: DataFrame,
+      deltaRows: DataFrame,
+      idx: DataFrame,
+      tau: Double
   ): DataFrame = {
-    val idx       = readSignatureIndex(spark, storeDir, manifests).localCheckpoint()
-    val deltaRows = indexRowsOn(spark, delta)
     val exactMatch = deltaRows
       .select(col("doc_id"), col("text_hash"))
       .join(
@@ -1017,6 +1033,103 @@ object Dedup {
         val dir = graft.operators.Ingest.scratchDir("graft-sigindex")
         writeSignatureIndex(t.spark, t.documents.filter(col("doc_id") % 10 =!= 0), dir)
         (dir, graft.sources.ContentStore.snapshotManifests(dir))
+      }
+    )
+  }
+
+  // --- C22f: columnar (parquet-payload) signature index --------------------
+  // The C22e asset with the payload format the probe numbers argue for:
+  // IndexPayloadBench measured the K-V JSON epoch 2.5× slower to read
+  // at 90k rows (1.42 vs 0.57 s) with the gap in the text/base64 DATA
+  // FILE format (raw store scan 1.35 s; from_json adds only ~5%) — so
+  // the index rides ParquetEpochs: parquet parts behind the SAME
+  // manifest protocol (atomic rename commits, pinned snapshots,
+  // sidecar-shadowed compaction, vacuum, pin leases all unchanged).
+  // The probe is byte-identical to C22e's (persistedProbe) — the two
+  // gate keys differ only in index storage, and share C22's oracle.
+
+  /** C22f (producer): write the signature index as ONE columnar epoch;
+    * returns the manifest name.
+    */
+  def writeSignatureIndexColumnar(
+      spark: SparkSession,
+      docs: DataFrame,
+      storeDir: String
+  ): String =
+    graft.sources.ParquetEpochs.append(indexRowsOn(spark, docs), storeDir)
+
+  /** The columnar index read back from a PINNED manifest snapshot —
+    * same time-travel contract as [[readSignatureIndex]], no JSON
+    * parse and no base64 framing in the scan.
+    */
+  def readSignatureIndexColumnar(
+      spark: SparkSession,
+      storeDir: String,
+      manifests: Seq[String]
+  ): DataFrame =
+    graft.sources.ParquetEpochs
+      .read(spark, storeDir, manifests)
+      .select("doc_id", "text_hash", "n_sh", "sig", "sh")
+
+  /** C22f (maintenance): the [[appendAdmittedSignatures]] twin —
+    * admitted delta signatures become one new columnar epoch.
+    */
+  def appendAdmittedSignaturesColumnar(
+      spark: SparkSession,
+      delta: DataFrame,
+      verdicts: DataFrame,
+      storeDir: String
+  ): String =
+    writeSignatureIndexColumnar(
+      spark,
+      delta.join(verdicts.filter(col("dup_kind") === "new").select("doc_id"), "doc_id"),
+      storeDir
+    )
+
+  /** C22f: the C22e probe against the COLUMNAR persisted index —
+    * identical verdicts (same [[persistedProbe]] body, same whp
+    * argument, same shared C22 oracle), ~2.5× cheaper index read.
+    */
+  def incrementalDedupColumnar(
+      spark: SparkSession,
+      delta: DataFrame,
+      storeDir: String,
+      manifests: Seq[String],
+      tau: Double
+  ): DataFrame =
+    persistedProbe(
+      delta,
+      indexRowsOn(spark, delta),
+      readSignatureIndexColumnar(spark, storeDir, manifests).localCheckpoint(),
+      tau
+    )
+
+  /** Gate entry for C22f — the [[incrementalDedupPersisted]] cost
+    * model (index built once per (corpus, JVM), pinned at write time;
+    * repeat runs pay only the probe) over the columnar asset.
+    */
+  def incrementalDedupColumnar(t: Tables, tau: Double = JaccardTau): DataFrame = {
+    val (store, pin) = sharedColumnarIndex(t)
+    incrementalDedupColumnar(
+      t.spark,
+      t.documents.filter(col("doc_id") % 10 === 0),
+      store,
+      pin,
+      tau
+    )
+  }
+
+  private val columnarIndexDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Seq[String])]()
+
+  private def sharedColumnarIndex(t: Tables): (String, Seq[String]) = {
+    require(t.docsOverride.isEmpty, "sharedColumnarIndex requires the on-disk corpus")
+    columnarIndexDirs.computeIfAbsent(
+      t.dir,
+      _ => {
+        val dir = graft.operators.Ingest.scratchDir("graft-sigindex-pq")
+        val m   = writeSignatureIndexColumnar(t.spark, t.documents.filter(col("doc_id") % 10 =!= 0), dir)
+        (dir, Seq(m))
       }
     )
   }

@@ -64,32 +64,17 @@ object StoreLifecycle {
     */
   val VacuumJobGroup = "graft-vacuum-gc"
 
-  /** Rewrite all but the newest `keepLast` live manifests into one
-    * compaction manifest. Returns the new manifest name, or None if
-    * fewer than two manifests would be compacted (nothing to gain).
-    *
-    * Bucketing is a LAYOUT fact of the store, read back from the
-    * `_buckets` metadata the first bucketed commit recorded
-    * ([[ContentStore.recordedBuckets]]) — maintenance preserves the
-    * layout without every caller having to know it (a forgotten
-    * parameter would silently rewrite a bucketed store unbucketed and
-    * degrade every later storage-partitioned join to exchanges). The
-    * explicit `buckets` override exists only for legacy bucketed
-    * stores written before the metadata; passing a value that
-    * CONTRADICTS recorded metadata throws.
+  /** Source selection + deterministic name shared by every compaction
+    * variant (the DSv2 K-V rewrite below and [[ParquetEpochs.compact]]'s
+    * columnar rewrite): the all-but-`keepLast`-newest live manifests in
+    * COMMIT order, or None when fewer than two would fold.
     */
-  def compactEpochs(
-      spark: SparkSession,
+  private[sources] def compactionPlan(
       path: String,
-      keepLast: Int = 0,
-      buckets: Int = 0
-  ): Option[String] = {
-    val conf     = ContentStore.driverHadoopConf()
-    val recorded = ContentStore.recordedBuckets(path, conf)
-    require(buckets == 0 || recorded == 0 || buckets == recorded,
-      s"compactEpochs(buckets=$buckets) contradicts the store's recorded bucket count $recorded")
-    val effBuckets = if (buckets > 0) buckets else recorded
-    val live       = ContentStore.effectiveManifestNames(path, conf).toSet
+      keepLast: Int,
+      conf: Configuration
+  ): Option[(Seq[String], String)] = {
+    val live = ContentStore.effectiveManifestNames(path, conf).toSet
     // before listing _manifest/ directly: an empty or brand-new store
     // (manifestNames already guards the missing directory) has nothing
     // to compact — return None like every other nothing-to-do path
@@ -131,20 +116,49 @@ object StoreLifecycle {
     if (sources.size < 2) return None
     val digest = MessageDigest.getInstance("SHA-256")
       .digest(sources.mkString("\n").getBytes(StandardCharsets.UTF_8))
-    val name = "compact-" + digest.take(8).map("%02x".format(_)).mkString
-    val src = spark.read
-      .format("graft.sources.ContentStore")
-      .option("path", path)
-      .option("manifests", sources.mkString(","))
-      .load()
-    val writer = src.write
-      .format("graft.sources.ContentStore")
-      .option("path", path)
-      .option("manifestName", name)
-      .option("compactSources", sources.mkString(","))
-      .mode("append")
-    (if (effBuckets > 0) writer.option("buckets", effBuckets) else writer).save()
-    Some(name)
+    Some((sources, "compact-" + digest.take(8).map("%02x".format(_)).mkString))
+  }
+
+  /** Rewrite all but the newest `keepLast` live manifests into one
+    * compaction manifest. Returns the new manifest name, or None if
+    * fewer than two manifests would be compacted (nothing to gain).
+    *
+    * Bucketing is a LAYOUT fact of the store, read back from the
+    * `_buckets` metadata the first bucketed commit recorded
+    * ([[ContentStore.recordedBuckets]]) — maintenance preserves the
+    * layout without every caller having to know it (a forgotten
+    * parameter would silently rewrite a bucketed store unbucketed and
+    * degrade every later storage-partitioned join to exchanges). The
+    * explicit `buckets` override exists only for legacy bucketed
+    * stores written before the metadata; passing a value that
+    * CONTRADICTS recorded metadata throws.
+    */
+  def compactEpochs(
+      spark: SparkSession,
+      path: String,
+      keepLast: Int = 0,
+      buckets: Int = 0
+  ): Option[String] = {
+    val conf     = ContentStore.driverHadoopConf()
+    val recorded = ContentStore.recordedBuckets(path, conf)
+    require(buckets == 0 || recorded == 0 || buckets == recorded,
+      s"compactEpochs(buckets=$buckets) contradicts the store's recorded bucket count $recorded")
+    val effBuckets = if (buckets > 0) buckets else recorded
+    compactionPlan(path, keepLast, conf).map { case (sources, name) =>
+      val src = spark.read
+        .format("graft.sources.ContentStore")
+        .option("path", path)
+        .option("manifests", sources.mkString(","))
+        .load()
+      val writer = src.write
+        .format("graft.sources.ContentStore")
+        .option("path", path)
+        .option("manifestName", name)
+        .option("compactSources", sources.mkString(","))
+        .mode("append")
+      (if (effBuckets > 0) writer.option("buckets", effBuckets) else writer).save()
+      name
+    }
   }
 
   /** One GC action taken by [[vacuum]]: what was deleted (or, for
@@ -227,7 +241,10 @@ object StoreLifecycle {
     *     (`pinned_manifest_kept`) — the lease turns the retention
     *     contract into a checked invariant;
     *  2. `expired_lease` — pin leases past their own expiry (the
-    *     lease's horizon, not the grace, is its gate);
+    *     lease's horizon, not the grace, is its gate); a LIVE lease
+    *     naming a manifest that no longer exists is flagged
+    *     `broken_pin` (`<id>:<manifest>`) — nothing to delete, but
+    *     the consumer learns before its next read throws;
     *  3. `stale_tmp_manifest` — `.tmp-*` manifests older than grace
     *     (a crashed driver's unrenamed commit);
     *  4. `orphan_file` / `stale_staging` — `data/` files older than
@@ -301,6 +318,15 @@ object StoreLifecycle {
     // report every shadowed manifest a live lease saved from expiry —
     // the operator-visible "why is my store not shrinking" answer
     (expirable & pinned).toSeq.sorted.foreach(m => out += VacuumAction("pinned_manifest_kept", m))
+    // a LIVE lease naming a manifest that no longer exists is a broken
+    // pin (leased after the fact, or vacuumed by a pre-lease-era run):
+    // nothing can be un-deleted, but the consumer deserves a flag
+    // before its next read throws
+    liveLeases.foreach { l =>
+      l.manifests.filterNot(nameSet).sorted.foreach { m =>
+        out += VacuumAction("broken_pin", s"${l.id}:$m")
+      }
+    }
     expired.toSeq.sorted.foreach { m =>
       fsys.delete(new Path(manifestDir, m), false): Unit
       fsys.delete(new Path(root, s"_stats/$m"), false): Unit
@@ -315,6 +341,17 @@ object StoreLifecycle {
     rawStatus.filter(st => st.getPath.getName.startsWith(".tmp-") && aged(st)).foreach { st =>
       fsys.delete(st.getPath, false): Unit
       out += VacuumAction("stale_tmp_manifest", st.getPath.getName)
+    }
+
+    // crashed columnar appends ([[ParquetEpochs.append]]) leave whole
+    // `_staging/<uuid>/` directories; a staging dir's mtime stops
+    // moving the moment its writer dies, so the age gate applies as-is
+    val stagingRoot = new Path(root, "_staging")
+    if (fsys.exists(stagingRoot)) fsys.listStatus(stagingRoot).foreach { st =>
+      if (aged(st)) {
+        fsys.delete(st.getPath, true): Unit
+        out += VacuumAction("stale_staging", s"_staging/${st.getPath.getName}")
+      }
     }
 
     val survivors = names.filterNot(expired)

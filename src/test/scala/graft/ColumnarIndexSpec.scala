@@ -1,0 +1,162 @@
+package graft
+
+import graft.operators.Dedup
+import graft.sources.{ContentStore, ParquetEpochs, StoreLifecycle}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
+/** C22f: the incremental probe against the COLUMNAR (ParquetEpochs)
+  * signature index. Pins what the gate alone can't: verdicts equal the
+  * JSON-payload persisted probe AND the in-memory exact probe row for
+  * row (the payload format must be invisible to semantics), the index
+  * frame's provenance is exactly the index store's parquet files (no
+  * corpus scan, no K-V store read), the probe plan reads the
+  * materialized index once, and the full maintenance story — epoch
+  * append, pinned-snapshot freezing, columnar OPTIMIZE + vacuum —
+  * behaves identically to the K-V store's.
+  */
+class ColumnarIndexSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def verdictRows(df: DataFrame) =
+    df.collect().map { r =>
+      (
+        r.getAs[Long]("doc_id"),
+        r.getAs[String]("dup_kind"),
+        Option(r.getAs[Any]("match_doc_id")),
+        Option(r.getAs[Any]("near_jaccard"))
+      )
+    }.toSeq
+
+  private def executedPlanString(df: DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan.toString
+      case p                        => p.toString
+    }
+  }
+
+  private val textA = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+  private val textB = "one two three four five six seven eight nine ten eleven twelve"
+  private val textX = "red orange yellow green blue indigo violet cyan magenta umber teal pink"
+
+  test("columnar probe equals the JSON persisted probe and the in-memory probe row for row") {
+    val columnar = verdictRows(Dedup.incrementalDedupColumnar(tables))
+    assert(columnar == verdictRows(Dedup.incrementalDedupPersisted(tables)))
+    assert(columnar == verdictRows(Dedup.incrementalDedup(tables)))
+  }
+
+  test("index provenance is the store's parquet files only; probe reads it once") {
+    val storeRoot = java.nio.file.Files.createTempDirectory("graft-pqindex-spec")
+    val store     = storeRoot.toString
+    try {
+      val m =
+        Dedup.writeSignatureIndexColumnar(
+          spark, Seq((1L, textA), (2L, textB)).toDF("doc_id", "text"), store)
+      val idx = Dedup.readSignatureIndexColumnar(spark, store, Seq(m))
+      // provenance: every input file of the index frame lives under the
+      // index store's data/ — a corpus path here would be the
+      // full-signature recompute the persisted asset exists to prevent
+      val inputs = idx.inputFiles
+      assert(inputs.nonEmpty && inputs.forall(_.contains(storeRoot.getFileName.toString)),
+        s"index must read only the store's parquet files: ${inputs.mkString(",")}")
+      val delta = Seq((100L, textX), (101L, textA + " nu xi")).toDF("doc_id", "text")
+      val probe = Dedup.incrementalDedupColumnar(spark, delta, store, Seq(m), Dedup.JaccardTau)
+      val plan  = executedPlanString(probe)
+      // the index is materialized before the probe: the probe plan has
+      // no scan of any kind beyond the delta's LocalTableScan
+      assert(!plan.contains("FileScan"), s"probe plan re-scans a file source:\n$plan")
+      assert(!plan.contains("graft_content_store"), s"probe plan reads a K-V store:\n$plan")
+      assert(
+        verdictRows(probe) == Seq(
+          (100L, "new", None, None),
+          (101L, "near", Some(1L), Some(10.0 / 12.0))
+        )
+      )
+    } finally deleteTree(storeRoot)
+  }
+
+  test("maintenance loop: columnar append becomes a probe target; a pinned snapshot stays frozen") {
+    val storeRoot = java.nio.file.Files.createTempDirectory("graft-pqindex-spec")
+    val store     = storeRoot.toString
+    try {
+      Dedup.writeSignatureIndexColumnar(
+        spark, Seq((1L, textA), (2L, textB)).toDF("doc_id", "text"), store): Unit
+      val pin1 = ParquetEpochs.snapshot(store)
+      val delta1 = Seq(
+        (100L, textX),
+        (101L, "alpha  beta gamma delta epsilon zeta eta theta iota kappa lambda mu"),
+        (102L, textB + " thirteen fourteen")
+      ).toDF("doc_id", "text")
+      val v1 = Dedup.incrementalDedupColumnar(spark, delta1, store, pin1, Dedup.JaccardTau)
+      assert(verdictRows(v1).map(r => (r._1, r._2, r._3)) == Seq(
+        (100L, "new", None),
+        (101L, "exact", Some(1L)),
+        (102L, "near", Some(2L))
+      ))
+      Dedup.appendAdmittedSignaturesColumnar(spark, delta1, v1, store): Unit
+      val pin2 = ParquetEpochs.snapshot(store)
+      assert(pin2.size > pin1.size, "append did not commit a new manifest epoch")
+      assert(Dedup.readSignatureIndexColumnar(spark, store, pin2).count() == 3L)
+      val delta2 = Seq((200L, textX + " maroon olive")).toDF("doc_id", "text")
+      assert(
+        verdictRows(Dedup.incrementalDedupColumnar(spark, delta2, store, pin2, Dedup.JaccardTau))
+          .map(r => (r._1, r._2, r._3)) == Seq((200L, "near", Some(100L)))
+      )
+      assert(
+        verdictRows(Dedup.incrementalDedupColumnar(spark, delta2, store, pin1, Dedup.JaccardTau)) ==
+          Seq((200L, "new", None, None))
+      )
+    } finally deleteTree(storeRoot)
+  }
+
+  test("columnar OPTIMIZE + vacuum: verdicts survive, sources expire, staging litter sweeps") {
+    val storeRoot = java.nio.file.Files.createTempDirectory("graft-pqindex-spec")
+    val store     = storeRoot.toString
+    val hconf     = spark.sessionState.newHadoopConf()
+    try {
+      Dedup.writeSignatureIndexColumnar(
+        spark, Seq((1L, textA), (2L, textB)).toDF("doc_id", "text"), store): Unit
+      val pin0   = ParquetEpochs.snapshot(store)
+      val delta1 = Seq((100L, textX)).toDF("doc_id", "text")
+      val v1     = Dedup.incrementalDedupColumnar(spark, delta1, store, pin0, Dedup.JaccardTau)
+      Dedup.appendAdmittedSignaturesColumnar(spark, delta1, v1, store): Unit
+      val delta2 = Seq((200L, textX + " maroon olive"), (201L, textA)).toDF("doc_id", "text")
+      def probe(pin: Seq[String]) =
+        verdictRows(Dedup.incrementalDedupColumnar(spark, delta2, store, pin, Dedup.JaccardTau))
+      val before = probe(ParquetEpochs.snapshot(store))
+
+      // plant a crashed columnar append: an orphaned staging dir
+      val (fs, root) = ContentStore.fs(store, hconf)
+      val crashed    = new org.apache.hadoop.fs.Path(root, "_staging/crashed-writer")
+      fs.mkdirs(crashed)
+      val of = fs.create(new org.apache.hadoop.fs.Path(crashed, "part-00000.parquet"), false)
+      of.write("dead".getBytes("UTF-8")); of.close()
+      fs.setTimes(crashed, 0L, -1L): Unit
+
+      assert(ParquetEpochs.compact(spark, store).isDefined)
+      val pinC = ParquetEpochs.snapshot(store)
+      assert(pinC.size == 1 && pinC.head.startsWith("compact-"),
+        s"base + append epochs must fold into one manifest: $pinC")
+      assert(probe(pinC) == before, "columnar compaction changed probe verdicts")
+
+      val acts = StoreLifecycle.vacuum(spark, store, 0L, hconf)
+      assert(acts.count(_.kind == "expired_manifest") == 2,
+        s"both shadowed source epochs must expire: $acts")
+      assert(acts.exists(a => a.kind == "stale_staging" && a.name == "_staging/crashed-writer"),
+        s"the crashed staging dir must sweep: $acts")
+      assert(probe(pinC) == before, "vacuum changed probe verdicts")
+      // racing duplicate compaction: the deterministic name loses the
+      // rename idempotently and its rewritten files are dropped
+      val filesAfter = fs.listStatus(new org.apache.hadoop.fs.Path(root, "data"))
+        .map(_.getPath.getName).toSet
+      ParquetEpochs.append(
+        ParquetEpochs.read(spark, store, pinC), store, Some(pinC.head),
+        Some(Seq("src-a", "src-b"))): Unit
+      val filesRetry = fs.listStatus(new org.apache.hadoop.fs.Path(root, "data"))
+        .map(_.getPath.getName).toSet
+      assert(filesRetry == filesAfter, "a losing duplicate compaction must drop its files")
+      assert(probe(pinC) == before)
+    } finally deleteTree(storeRoot)
+  }
+}

@@ -290,6 +290,19 @@ class StoreLifecycleSpec extends SparkSpecBase {
     assert(readAll(dir) == Set("a" -> "1", "b" -> "2", "c" -> "3"))
   }
 
+  test("a live lease naming a vanished manifest is flagged broken_pin") {
+    val dir = tmp()
+    writeOne(dir, "a" -> "1")
+    StoreLifecycle.acquirePin(dir, "too-late", ttlMs = 3600_000L, hconf,
+      manifests = Some(Seq("epoch-that-never-was"))): Unit
+    val acts = StoreLifecycle.vacuum(spark, dir, 0L, hconf)
+    assert(acts.contains(StoreLifecycle.VacuumAction("broken_pin", "too-late:epoch-that-never-was")),
+      s"vacuum must flag the unreadable pin: $acts")
+    // the lease itself is live, so it is NOT swept
+    assert(StoreLifecycle.pins(dir, hconf).map(_.id) == Seq("too-late"))
+    StoreLifecycle.releasePin(dir, "too-late", hconf)
+  }
+
   test("an expired lease protects nothing and is itself swept") {
     val dir = tmp()
     writeOne(dir, "a" -> "1")
