@@ -813,20 +813,45 @@ object Dedup {
       .select(col("d.doc_id").as("doc_id"), col("b.doc_id").as("base_doc"))
       .distinct()
     val sh = s.select(col("doc_id"), col("sh"), col("n_sh"))
-    val nearAll = candidates
+    val nearAll = candidateJaccard(
+      candidates,
+      sh,
+      sh.withColumnRenamed("doc_id", "base_doc_key"),
+      tau
+    )
+    incrementalVerdict(t.documents, exactMatch, nearAll)
+  }
+
+  /** Exact-Jaccard verification of (doc_id, base_doc) candidate pairs
+    * against the two sides' shingle frames — the shared tail of every
+    * incremental probe. The intersection size is bound ONCE
+    * (`inter`) before the ratio: codegen subexpression elimination
+    * would already dedupe the double `array_intersect`, but the
+    * intermediate makes the intent explicit rather than relying on it.
+    */
+  private def candidateJaccard(
+      candidates: DataFrame,
+      deltaSh: DataFrame,
+      baseSh: DataFrame,
+      tau: Double
+  ): DataFrame =
+    candidates
       .as("c")
-      .join(sh.as("sa"), col("c.doc_id") === col("sa.doc_id"))
-      .join(sh.as("sb"), col("c.base_doc") === col("sb.doc_id"))
+      .join(deltaSh.as("sa"), col("c.doc_id") === col("sa.doc_id"))
+      .join(baseSh.as("sb"), col("c.base_doc") === col("sb.base_doc_key"))
       .select(
         col("c.doc_id").as("doc_id"),
         col("c.base_doc").as("base_doc"),
-        (size(array_intersect(col("sa.sh"), col("sb.sh"))).cast("double") /
-          (col("sa.n_sh") + col("sb.n_sh") - size(array_intersect(col("sa.sh"), col("sb.sh")))))
-          .as("jaccard")
+        size(array_intersect(col("sa.sh"), col("sb.sh"))).as("inter"),
+        col("sa.n_sh").as("n_a"),
+        col("sb.n_sh").as("n_b")
+      )
+      .select(
+        col("doc_id"),
+        col("base_doc"),
+        (col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter"))).as("jaccard")
       )
       .filter(col("jaccard") >= tau)
-    incrementalVerdict(t.documents, exactMatch, nearAll)
-  }
 
   // --- C22e: persisted signature index ------------------------------------
   // The C22d band probe with the index as a REAL persisted asset instead
@@ -987,18 +1012,12 @@ object Dedup {
       )
       .select(col("d.doc_id").as("doc_id"), col("b.doc_id").as("base_doc"))
       .distinct()
-    val nearAll = candidates
-      .as("c")
-      .join(deltaRows.select(col("doc_id"), col("sh"), col("n_sh")).as("sa"), col("c.doc_id") === col("sa.doc_id"))
-      .join(idx.select(col("doc_id"), col("sh"), col("n_sh")).as("sb"), col("c.base_doc") === col("sb.doc_id"))
-      .select(
-        col("c.doc_id").as("doc_id"),
-        col("c.base_doc").as("base_doc"),
-        (size(array_intersect(col("sa.sh"), col("sb.sh"))).cast("double") /
-          (col("sa.n_sh") + col("sb.n_sh") - size(array_intersect(col("sa.sh"), col("sb.sh")))))
-          .as("jaccard")
-      )
-      .filter(col("jaccard") >= tau)
+    val nearAll = candidateJaccard(
+      candidates,
+      deltaRows.select(col("doc_id"), col("sh"), col("n_sh")),
+      idx.select(col("doc_id").as("base_doc_key"), col("sh"), col("n_sh")),
+      tau
+    )
     incrementalVerdictIds(delta.select(col("doc_id")), exactMatch, nearAll)
   }
 
@@ -1207,17 +1226,13 @@ object Dedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     val sh = s.select(col("doc_id"), col("sh"), col("n_sh"))
-    candidates
-      .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(sh.as("sb"), col("doc_b") === col("sb.doc_id"))
-      .select(
-        col("doc_a"),
-        col("doc_b"),
-        (size(array_intersect(col("sa.sh"), col("sb.sh"))).cast("double") /
-          (col("sa.n_sh") + col("sb.n_sh") - size(array_intersect(col("sa.sh"), col("sb.sh")))))
-          .as("jaccard")
-      )
-      .filter(col("jaccard") >= tau)
+    candidateJaccard(
+      candidates.select(col("doc_a").as("doc_id"), col("doc_b").as("base_doc")),
+      sh,
+      sh.withColumnRenamed("doc_id", "base_doc_key"),
+      tau
+    )
+      .select(col("doc_id").as("doc_a"), col("base_doc").as("doc_b"), col("jaccard"))
       .orderBy("doc_a", "doc_b")
   }
 
