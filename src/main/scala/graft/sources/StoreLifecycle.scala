@@ -216,20 +216,32 @@ object StoreLifecycle {
 
   /** All recorded pin leases (live and expired). One listing +
     * one small read per lease — lease count, never file count.
+    *
+    * Unlike compaction/vacuum, acquire/release are CONSUMER
+    * operations outside the single-maintenance-process contract, so a
+    * lease listed here may be released (deleted) before its read — a
+    * vanished lease is simply skipped, exactly what a just-released
+    * pin means. (Re-acquiring an existing id renews it where the
+    * filesystem renames over the target — local/POSIX; on
+    * fail-on-existing filesystems renewal is releasePin + acquirePin.)
     */
   def pins(path: String, hadoopConf: Configuration): Seq[PinLease] = {
     val (fsys, root) = ContentStore.fs(path, hadoopConf)
     val pinsDir      = new Path(root, "_pins")
     if (!fsys.exists(pinsDir)) return Seq.empty
-    fsys.listStatus(pinsDir).toSeq.map(_.getPath.getName).filterNot(_.startsWith(".")).sorted.map {
-      id =>
-        val reader = new java.io.BufferedReader(
-          new java.io.InputStreamReader(fsys.open(new Path(pinsDir, id)), "UTF-8"))
-        val lines =
-          try Iterator.continually(reader.readLine()).takeWhile(_ != null).filter(_.nonEmpty).toList
-          finally reader.close()
-        PinLease(id, lines.headOption.flatMap(_.toLongOption).getOrElse(0L), lines.drop(1))
-    }
+    fsys.listStatus(pinsDir).toSeq.map(_.getPath.getName).filterNot(_.startsWith(".")).sorted
+      .flatMap { id =>
+        try {
+          val reader = new java.io.BufferedReader(
+            new java.io.InputStreamReader(fsys.open(new Path(pinsDir, id)), "UTF-8"))
+          val lines =
+            try Iterator.continually(reader.readLine()).takeWhile(_ != null).filter(_.nonEmpty).toList
+            finally reader.close()
+          Some(PinLease(id, lines.headOption.flatMap(_.toLongOption).getOrElse(0L), lines.drop(1)))
+        } catch {
+          case _: java.io.FileNotFoundException => None // released between listing and read
+        }
+      }
   }
 
   /** Age-gated store GC. Deletes, in order:

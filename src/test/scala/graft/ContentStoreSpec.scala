@@ -567,6 +567,32 @@ class ContentStoreSpec extends SparkSpecBase {
       s"small store (real size stats) must broadcast without a hint:\n$plan")
   }
 
+  test("size statistics hold on both sides of the listing threshold") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // estimateStatistics sizes <=64 survivors per-file and larger sets
+    // via one data/ listing (the RPC-economy trade); both branches must
+    // report real bytes. 70 single-row files forces the listing branch;
+    // a stats-pruned read of the same store drops to the per-file one.
+    val dir = tmp()
+    val df = (1 to 70).map(i => (f"k$i%03d", s"v$i")).toDF("result_key", "payload")
+      .repartitionByRange(70, col("result_key")).sortWithinPartitions("result_key")
+    df.write.format("graft.sources.ContentStore").option("path", dir).mode("append").save()
+    def sizeOf(d: org.apache.spark.sql.DataFrame): BigInt =
+      d.queryExecution.optimizedPlan.stats.sizeInBytes
+    val full = spark.read.format("graft.sources.ContentStore").option("path", dir).load()
+    val fullSize = sizeOf(full)
+    val nFiles = ContentStore.committedFiles(dir).length
+    assert(nFiles == 70, s"fixture must span the threshold: $nFiles")
+    assert(fullSize > 0 && fullSize < 1000000, s"listing-branch stats must be real bytes: $fullSize")
+    // key-range pruning leaves ~1 surviving file -> per-file branch
+    val pruned = full.filter(col("result_key") === "k001")
+    assert(pruned.count() == 1)
+    val prunedSize = sizeOf(pruned)
+    assert(prunedSize > 0 && prunedSize < fullSize,
+      s"per-file-branch stats must shrink with pruning: $prunedSize vs $fullSize")
+  }
+
   test("bucketed write + bucketedRead round-trips with store-hash bucket ids") {
     import spark.implicits._
     val dir = tmp()
