@@ -91,9 +91,25 @@ object IndexPayloadBench {
       drainAll(graft.operators.Dedup.readSignatureIndex(spark, store, pin)))
     val pqS   = timeMedian(iters)(drainAll(spark.read.parquet(pq)))
 
+    // end-to-end probe shape over the columnar asset: declarative
+    // (three pruned scans — the shipped C22f shape) vs the JSON path's
+    // localCheckpoint materialization. The trade inverts with the
+    // payload format; see incrementalDedupColumnar's scaladoc.
+    val pqStore = s"$store-colstore"
+    val colMan  = graft.operators.Dedup.writeSignatureIndexColumnar(spark, docs, pqStore)
+    val delta   = t.documents.filter(col("doc_id") % 10 === 0)
+    val tau     = graft.operators.Dedup.JaccardTau
+    val declS = timeMedian(iters)(
+      graft.operators.Dedup
+        .incrementalDedupColumnar(spark, delta, pqStore, Seq(colMan), tau).count(): Unit)
+    val ckptS = timeMedian(iters)(
+      graft.operators.Dedup
+        .incrementalDedupColumnarCkpt(spark, delta, pqStore, Seq(colMan), tau).count(): Unit)
+
     println(
       s"""{"metric":"sigindex_probe_payload","rows":$rows,"raw_store_s":$rawS,""" +
-        s""""json_s":$jsonS,"parquet_s":$pqS,"sf_dir":"$sfDir","iters":$iters}""")
+        s""""json_s":$jsonS,"parquet_s":$pqS,"probe_declarative_s":$declS,""" +
+        s""""probe_checkpointed_s":$ckptS,"sf_dir":"$sfDir","iters":$iters}""")
     spark.stop()
   }
 }

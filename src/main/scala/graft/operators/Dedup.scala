@@ -1107,9 +1107,44 @@ object Dedup {
 
   /** C22f: the C22e probe against the COLUMNAR persisted index —
     * identical verdicts (same [[persistedProbe]] body, same whp
-    * argument, same shared C22 oracle), ~2.5× cheaper index read.
+    * argument, same shared C22 oracle), cheaper index access.
+    *
+    * Unlike the JSON probe this one is fully DECLARATIVE — no
+    * localCheckpoint. The materialization trade INVERTS with the
+    * payload format: the JSON index is an opaque text payload, so its
+    * three plan sites would each pay the full scan + parse
+    * (checkpointing measured −23% in r14); a parquet index lets each
+    * site push its OWN column pruning (exact arm: doc_id+text_hash;
+    * band side: doc_id+sig; verify: doc_id+sh+n_sh), and three pruned
+    * scans beat one full materialization — MEASURED (IndexPayloadBench
+    * probe_declarative_s vs probe_checkpointed_s, medians of 5,
+    * whole-probe including the constant delta signature work): 1.02
+    * vs 1.16 s at the gate index, 3.76 vs 4.06 s at 20×; the isolated
+    * index-access gap is larger (1.3–1.45×). At 100 TB the bigger win
+    * is memory: a checkpoint holds the whole index — shingle arrays
+    * dominating — resident on executors for the probe's lifetime;
+    * pruned scans hold nothing.
     */
   def incrementalDedupColumnar(
+      spark: SparkSession,
+      delta: DataFrame,
+      storeDir: String,
+      manifests: Seq[String],
+      tau: Double
+  ): DataFrame =
+    persistedProbe(
+      delta,
+      indexRowsOn(spark, delta),
+      readSignatureIndexColumnar(spark, storeDir, manifests),
+      tau
+    )
+
+  /** Measurement twin of [[incrementalDedupColumnar]] with the JSON
+    * path's localCheckpoint — exists so IndexPayloadBench can keep the
+    * materialization trade's number reproducible beside the shipped
+    * shape.
+    */
+  private[graft] def incrementalDedupColumnarCkpt(
       spark: SparkSession,
       delta: DataFrame,
       storeDir: String,

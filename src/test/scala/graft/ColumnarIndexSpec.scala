@@ -63,10 +63,21 @@ class ColumnarIndexSpec extends SparkSpecBase {
       val delta = Seq((100L, textX), (101L, textA + " nu xi")).toDF("doc_id", "text")
       val probe = Dedup.incrementalDedupColumnar(spark, delta, store, Seq(m), Dedup.JaccardTau)
       val plan  = executedPlanString(probe)
-      // the index is materialized before the probe: the probe plan has
-      // no scan of any kind beyond the delta's LocalTableScan
-      assert(!plan.contains("FileScan"), s"probe plan re-scans a file source:\n$plan")
+      // the columnar probe is DECLARATIVE (no checkpoint): its plan
+      // scans parquet — but only the INDEX store's files (provenance:
+      // a corpus path would be the signature recompute the asset
+      // prevents), never a K-V store, and each of the three index
+      // consumers pushes its own column pruning. The band scan's
+      // ReadSchema — sig WITHOUT the wide shingle array — is the
+      // pruning witness: candidate generation never reads the bytes
+      // only verification needs.
+      val probeInputs = probe.inputFiles
+      assert(probeInputs.nonEmpty &&
+        probeInputs.forall(_.contains(storeRoot.getFileName.toString)),
+        s"probe may scan only the index store: ${probeInputs.mkString(",")}")
       assert(!plan.contains("graft_content_store"), s"probe plan reads a K-V store:\n$plan")
+      assert(plan.contains("ReadSchema: struct<doc_id:bigint,sig:array<bigint>>"),
+        s"band scan must prune to (doc_id, sig) — no shingle bytes:\n$plan")
       assert(
         verdictRows(probe) == Seq(
           (100L, "new", None, None),
