@@ -100,6 +100,16 @@ class ContentStore extends TableProvider {
   ): Table = {
     val path = properties.get("path")
     require(path != null && path.nonEmpty, "ContentStore requires a 'path' option")
+    // payload format is recorded store metadata (the `_buckets` rule):
+    // a columnar (ParquetEpochs) store's data files are parquet parts
+    // this K-V reader would garbage-decode and this K-V writer would
+    // corrupt with mixed formats — refuse loudly at table resolution,
+    // one metadata read per table instantiation
+    ContentStore.recordedFormat(path, ContentStore.driverHadoopConf()).foreach { fmt =>
+      throw new IllegalStateException(
+        s"ContentStore: store $path holds '$fmt'-format data files (see ParquetEpochs); " +
+          "the K-V reader/writer cannot use it")
+    }
     val bucketedRead =
       Option(properties.get("bucketedRead")).map(_.toInt).getOrElse(0)
     new ContentStoreTable(path, bucketedRead)
@@ -292,6 +302,23 @@ object ContentStore {
     val reader = new java.io.BufferedReader(
       new java.io.InputStreamReader(filesystem.open(p), "UTF-8"))
     try Option(reader.readLine()).map(_.trim).flatMap(_.toIntOption).getOrElse(0)
+    finally reader.close()
+  }
+
+  /** Payload FORMAT of the store's data files, recorded once by the
+    * first columnar append (`_format` = "parquet"). Absent = the K-V
+    * line format (the default, and every legacy store). The same
+    * recorded-layout-fact rule as `_buckets`: the format is a property
+    * of the STORE, not a per-caller parameter, and the wrong decoder
+    * must refuse at the boundary instead of garbage-decoding.
+    */
+  private[graft] def recordedFormat(path: String, conf: Configuration): Option[String] = {
+    val (filesystem, root) = fs(path, conf)
+    val p                  = new Path(root, "_format")
+    if (!filesystem.exists(p)) return None
+    val reader = new java.io.BufferedReader(
+      new java.io.InputStreamReader(filesystem.open(p), "UTF-8"))
+    try Option(reader.readLine()).map(_.trim).filter(_.nonEmpty)
     finally reader.close()
   }
 

@@ -28,10 +28,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * What a columnar store does NOT get (deliberately): the DSv2
   * `graft.sources.ContentStore` scan/tail — that reader decodes the
-  * K-V line format and would garbage-decode parquet, so a store holds
-  * ONE payload format for its lifetime (the caller's contract, same
-  * as bucketed naming). Batch probe assets (the C22f signature index)
-  * are exactly the consumers that never needed the streaming tail.
+  * K-V line format and would garbage-decode parquet. One payload
+  * format per store is ENFORCED, not trusted: the first columnar
+  * append records `_format` = "parquet" (the `_buckets` rule), the
+  * K-V surface refuses a marked store at table resolution, and
+  * [[append]]/[[read]] refuse the inverse misuses. Batch probe assets
+  * (the C22f signature index) are exactly the consumers that never
+  * needed the streaming tail.
   *
   * Crash windows, all converging to the existing GC story: a crashed
   * write leaves `_staging/<uuid>/` (swept by vacuum's age gate);
@@ -56,6 +59,7 @@ object ParquetEpochs {
   ): String = {
     val conf         = ContentStore.driverHadoopConf()
     val (fsys, root) = ContentStore.fs(storeDir, conf)
+    ensureFormat(storeDir, conf)
     val uuid         = UUID.randomUUID().toString
     val staging      = new Path(root, s"_staging/$uuid")
     df.write.parquet(staging.toString)
@@ -84,6 +88,53 @@ object ParquetEpochs {
     name
   }
 
+  /** First columnar append records the store's payload format
+    * (`_format` = "parquet", create-exclusive first-write-wins with
+    * the `_buckets` heal for a crashed empty write); the K-V DSv2
+    * surface refuses a marked store at table resolution and this
+    * refuses the inverse — a columnar append into an EXISTING unmarked
+    * (= K-V) store, which would mix undecodable formats in one
+    * `data/`. A crash between the marker and the first manifest
+    * leaves an empty store marked columnar — it was destined to be
+    * one; vacuum treats it like any empty store.
+    */
+  private def ensureFormat(
+      storeDir: String,
+      conf: org.apache.hadoop.conf.Configuration
+  ): Unit = {
+    val (fsys, root) = ContentStore.fs(storeDir, conf)
+    ContentStore.recordedFormat(storeDir, conf) match {
+      case Some("parquet") => ()
+      case Some(other) =>
+        throw new IllegalStateException(
+          s"ParquetEpochs: store $storeDir records format '$other'; cannot append parquet epochs")
+      case None =>
+        if (ContentStore.manifestNames(storeDir, conf).nonEmpty)
+          throw new IllegalStateException(
+            s"ParquetEpochs: store $storeDir is an existing K-V store; columnar append refused")
+        def tryRecord(): Option[String] = {
+          try {
+            fsys.mkdirs(root)
+            val out = fsys.create(new Path(root, "_format"), /* overwrite = */ false)
+            try out.write("parquet".getBytes("UTF-8"))
+            finally out.close()
+          } catch {
+            case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+                _: java.nio.file.FileAlreadyExistsException => () // racer landed first
+          }
+          ContentStore.recordedFormat(storeDir, conf)
+        }
+        var now = tryRecord()
+        if (now.isEmpty) { // crashed-empty heal, the _buckets pattern
+          fsys.delete(new Path(root, "_format"), false): Unit
+          now = tryRecord()
+        }
+        if (!now.contains("parquet"))
+          throw new IllegalStateException(
+            s"ParquetEpochs: store $storeDir raced to format '${now.orNull}'")
+    }
+  }
+
   /** Read the union of the named (pinned) manifests' parquet files —
     * the same time-travel contract as the K-V store's `manifests`
     * option: commits after the pin are invisible. Manifest resolution
@@ -93,6 +144,9 @@ object ParquetEpochs {
   def read(spark: SparkSession, storeDir: String, manifests: Seq[String]): DataFrame = {
     val conf      = ContentStore.driverHadoopConf()
     val (_, root) = ContentStore.fs(storeDir, conf)
+    if (!ContentStore.recordedFormat(storeDir, conf).contains("parquet"))
+      throw new IllegalStateException(
+        s"ParquetEpochs: store $storeDir is not a columnar store (no 'parquet' format marker)")
     val files = manifests
       .flatMap(m => ContentStore.filesInManifest(storeDir, m, conf))
       .map(f => new Path(root, s"data/$f").toString)

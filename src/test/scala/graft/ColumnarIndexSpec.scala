@@ -121,6 +121,42 @@ class ColumnarIndexSpec extends SparkSpecBase {
     } finally deleteTree(storeRoot)
   }
 
+  test("payload format is recorded store metadata: every mixed use refuses loudly") {
+    val colRoot = java.nio.file.Files.createTempDirectory("graft-pqindex-spec")
+    val kvRoot  = java.nio.file.Files.createTempDirectory("graft-pqindex-spec")
+    try {
+      val col = colRoot.toString
+      val kv  = kvRoot.toString
+      ParquetEpochs.append(Seq((1L, "a")).toDF("doc_id", "text"), col): Unit
+      Seq(("k", "v")).toDF("result_key", "payload")
+        .write.format("graft.sources.ContentStore").option("path", kv).mode("append").save()
+      // K-V read of a columnar store: refused at table resolution, not
+      // garbage-decoded at runtime
+      val e1 = intercept[Exception] {
+        spark.read.format("graft.sources.ContentStore").option("path", col).load().collect()
+      }
+      assert(e1.getMessage.contains("format"), e1.getMessage)
+      // K-V write into a columnar store: same gate
+      val e2 = intercept[Exception] {
+        Seq(("k", "v")).toDF("result_key", "payload")
+          .write.format("graft.sources.ContentStore").option("path", col).mode("append").save()
+      }
+      assert(e2.getMessage.contains("format"), e2.getMessage)
+      // columnar append into an existing (unmarked = K-V) store
+      val e3 = intercept[IllegalStateException] {
+        ParquetEpochs.append(Seq((2L, "b")).toDF("doc_id", "text"), kv)
+      }
+      assert(e3.getMessage.contains("K-V"), e3.getMessage)
+      // columnar read of a K-V store
+      val e4 = intercept[IllegalStateException] {
+        ParquetEpochs.read(spark, kv, ContentStore.snapshotManifests(kv))
+      }
+      assert(e4.getMessage.contains("format marker"), e4.getMessage)
+      // and the non-mixed paths still work
+      assert(ParquetEpochs.read(spark, col, ParquetEpochs.snapshot(col)).count() == 1L)
+    } finally { deleteTree(colRoot); deleteTree(kvRoot) }
+  }
+
   test("columnar OPTIMIZE + vacuum: verdicts survive, sources expire, staging litter sweeps") {
     val storeRoot = java.nio.file.Files.createTempDirectory("graft-pqindex-spec")
     val store     = storeRoot.toString
