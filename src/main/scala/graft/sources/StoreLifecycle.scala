@@ -283,12 +283,18 @@ object StoreLifecycle {
     * itself streams through one task (a flat directory has no
     * parallel listing; `listStatusIterator` pages it without ever
     * holding the full array).
+    *
+    * `dryRun = true` computes and returns the SAME actions without
+    * deleting anything (Delta's `VACUUM ... DRY RUN`) — the operator's
+    * "what would a grace of X reclaim, and is anything pinned" probe
+    * before committing to a destructive pass.
     */
   def vacuum(
       spark: SparkSession,
       path: String,
       graceMs: Long,
-      hadoopConf: Configuration
+      hadoopConf: Configuration,
+      dryRun: Boolean = false
   ): Seq[VacuumAction] = {
     val (fsys, root) = ContentStore.fs(path, hadoopConf)
     val now          = System.currentTimeMillis()
@@ -340,18 +346,20 @@ object StoreLifecycle {
       }
     }
     expired.toSeq.sorted.foreach { m =>
-      fsys.delete(new Path(manifestDir, m), false): Unit
-      fsys.delete(new Path(root, s"_stats/$m"), false): Unit
-      fsys.delete(new Path(root, s"_compacted/$m"), false): Unit
+      if (!dryRun) {
+        fsys.delete(new Path(manifestDir, m), false): Unit
+        fsys.delete(new Path(root, s"_stats/$m"), false): Unit
+        fsys.delete(new Path(root, s"_compacted/$m"), false): Unit
+      }
       out += VacuumAction("expired_manifest", m)
     }
     deadLeases.foreach { l =>
-      fsys.delete(new Path(root, s"_pins/${l.id}"), false): Unit
+      if (!dryRun) fsys.delete(new Path(root, s"_pins/${l.id}"), false): Unit
       out += VacuumAction("expired_lease", l.id)
     }
 
     rawStatus.filter(st => st.getPath.getName.startsWith(".tmp-") && aged(st)).foreach { st =>
-      fsys.delete(st.getPath, false): Unit
+      if (!dryRun) fsys.delete(st.getPath, false): Unit
       out += VacuumAction("stale_tmp_manifest", st.getPath.getName)
     }
 
@@ -361,7 +369,7 @@ object StoreLifecycle {
     val stagingRoot = new Path(root, "_staging")
     if (fsys.exists(stagingRoot)) fsys.listStatus(stagingRoot).foreach { st =>
       if (aged(st)) {
-        fsys.delete(st.getPath, true): Unit
+        if (!dryRun) fsys.delete(st.getPath, true): Unit
         out += VacuumAction("stale_staging", s"_staging/${st.getPath.getName}")
       }
     }
@@ -375,6 +383,7 @@ object StoreLifecycle {
       // exactly like the old driver-side walk
       import spark.implicits._
       val sconf       = new SerializableConfiguration(hadoopConf)
+      val dry         = dryRun // serialized into the delete closure
       val dataDirStr  = dataDir.toString
       val cutoff      = now - graceMs
       val survivorPaths = survivors.map(m => new Path(root, s"_manifest/$m").toString)
@@ -415,7 +424,7 @@ object StoreLifecycle {
               // funnels through the driver just to issue deletes
               val fl = new Path(dataDirStr).getFileSystem(sconf.value)
               it.map { n =>
-                fl.delete(new Path(dataDirStr, n), false): Unit
+                if (!dry) fl.delete(new Path(dataDirStr, n), false): Unit
                 n
               }
             }
@@ -432,12 +441,17 @@ object StoreLifecycle {
     // touched — `_compacted/` entries are what lagging tails resolve.
     // `_pins/` gets only its `.tmp-*` sweep: lease ids are not manifest
     // names, so the no-matching-manifest rule must not apply to them.
+    // the expired(n) clause is belt-and-braces for a real run (it only
+    // fires if the expired step's own sidecar delete failed); in a dry
+    // run those sidecars still exist but their removal is already
+    // IMPLIED by the expired_manifest actions — reporting them here
+    // too would make the plan claim more actions than the real run
     for (side <- Seq("_compacted", "_stats")) {
       val dir = new Path(root, side)
       if (fsys.exists(dir)) fsys.listStatus(dir).foreach { st =>
         val n = st.getPath.getName
-        if ((n.startsWith(".tmp-") || !nameSet(n) || expired(n)) && aged(st)) {
-          fsys.delete(st.getPath, false): Unit
+        if ((n.startsWith(".tmp-") || !nameSet(n) || (!dryRun && expired(n))) && aged(st)) {
+          if (!dryRun) fsys.delete(st.getPath, false): Unit
           out += VacuumAction("stale_sidecar", s"$side/$n")
         }
       }
@@ -446,7 +460,7 @@ object StoreLifecycle {
     if (fsys.exists(pinsDir)) fsys.listStatus(pinsDir).foreach { st =>
       val n = st.getPath.getName
       if (n.startsWith(".tmp-") && aged(st)) {
-        fsys.delete(st.getPath, false): Unit
+        if (!dryRun) fsys.delete(st.getPath, false): Unit
         out += VacuumAction("stale_sidecar", s"_pins/$n")
       }
     }

@@ -290,6 +290,30 @@ class StoreLifecycleSpec extends SparkSpecBase {
     assert(readAll(dir) == Set("a" -> "1", "b" -> "2", "c" -> "3"))
   }
 
+  test("dry-run vacuum reports the real run's actions and deletes nothing") {
+    val dir = tmp()
+    writeOne(dir, "a" -> "1")
+    writeOne(dir, "b" -> "2")
+    StoreLifecycle.compactEpochs(spark, dir)
+    val (fs, root) = ContentStore.fs(dir, hconf)
+    val f = new Path(root, "data/orphan-old")
+    val o = fs.create(f, false); o.write("eA==\teA==\n".getBytes("UTF-8")); o.close()
+    fs.setTimes(f, 0L, -1L): Unit
+    val filesBefore    = dataFiles(dir)
+    val manifestBefore = ContentStore.manifestNames(dir, hconf)
+    val planned = StoreLifecycle.vacuum(spark, dir, 0L, hconf, dryRun = true)
+    assert(planned.count(_.kind == "expired_manifest") == 2 &&
+      planned.exists(a => a.kind == "orphan_file" && a.name == "orphan-old"),
+      s"dry run must report the full plan: $planned")
+    assert(dataFiles(dir) == filesBefore, "dry run must not touch data files")
+    assert(ContentStore.manifestNames(dir, hconf) == manifestBefore,
+      "dry run must not touch manifests")
+    val real = StoreLifecycle.vacuum(spark, dir, 0L, hconf)
+    assert(real.toSet == planned.toSet, "the real run must execute exactly the dry-run plan")
+    assert(!dataFiles(dir).contains("orphan-old"))
+    assert(readAll(dir) == Set("a" -> "1", "b" -> "2"))
+  }
+
   test("a live lease naming a vanished manifest is flagged broken_pin") {
     val dir = tmp()
     writeOne(dir, "a" -> "1")
