@@ -288,13 +288,21 @@ object StoreLifecycle {
     * deleting anything (Delta's `VACUUM ... DRY RUN`) — the operator's
     * "what would a grace of X reclaim, and is anything pinned" probe
     * before committing to a destructive pass.
+    *
+    * `reportCap` bounds the RETURNED per-file action names (deletion
+    * itself is never capped): at a store with 10⁸ orphans the name
+    * list would be the new O(garbage) driver residency the
+    * distributed diff just removed, so names past the cap collapse
+    * into one `swept_unreported` action carrying the exact remainder
+    * count.
     */
   def vacuum(
       spark: SparkSession,
       path: String,
       graceMs: Long,
       hadoopConf: Configuration,
-      dryRun: Boolean = false
+      dryRun: Boolean = false,
+      reportCap: Int = 10000
   ): Seq[VacuumAction] = {
     val (fsys, root) = ContentStore.fs(path, hadoopConf)
     val now          = System.currentTimeMillis()
@@ -412,7 +420,15 @@ object StoreLifecycle {
         .toDF("name", "mtime")
       spark.sparkContext.setJobGroup(
         VacuumJobGroup, s"vacuum $path: referenced-file diff", interruptOnCancel = false)
-      val deleted =
+      // the return value must not become the new O(garbage) driver
+      // residency the diff just removed: each partition deletes ALL
+      // its candidates but reports at most `reportCap` names plus its
+      // exact count; the driver keeps the global first `reportCap`
+      // names and one overflow summary. Deletion is always complete —
+      // only the REPORT is capped (Delta VACUUM reports a count for
+      // the same reason).
+      val cap = reportCap
+      val perPartition =
         try
           listing
             .where(col("mtime") <= lit(cutoff))
@@ -422,18 +438,25 @@ object StoreLifecycle {
             .mapPartitions { it =>
               // delete where found: the candidate set (∝ garbage) never
               // funnels through the driver just to issue deletes
-              val fl = new Path(dataDirStr).getFileSystem(sconf.value)
-              it.map { n =>
-                if (!dry) fl.delete(new Path(dataDirStr, n), false): Unit
-                n
+              val fl    = new Path(dataDirStr).getFileSystem(sconf.value)
+              var n     = 0L
+              val names = scala.collection.mutable.ArrayBuffer.empty[String]
+              it.foreach { f =>
+                if (!dry) fl.delete(new Path(dataDirStr, f), false): Unit
+                n += 1
+                if (names.size < cap) names += f
               }
+              Iterator.single((n, names.toSeq))
             }
             .collect()
-            .sorted
         finally spark.sparkContext.clearJobGroup()
-      deleted.foreach { n =>
+      val total    = perPartition.map(_._1).sum
+      val reported = perPartition.flatMap(_._2).sorted.take(cap)
+      reported.foreach { n =>
         out += VacuumAction(if (n.startsWith(".staging-")) "stale_staging" else "orphan_file", n)
       }
+      if (total > reported.length)
+        out += VacuumAction("swept_unreported", (total - reported.length).toString)
     }
 
     // sidecars for manifests that no longer exist (crashed commits or

@@ -314,6 +314,24 @@ class StoreLifecycleSpec extends SparkSpecBase {
     assert(readAll(dir) == Set("a" -> "1", "b" -> "2"))
   }
 
+  test("the orphan report caps while deletion stays complete") {
+    val dir = tmp()
+    writeOne(dir, "a" -> "1")
+    val (fs, root) = ContentStore.fs(dir, hconf)
+    for (i <- 1 to 5) {
+      val f = new Path(root, f"data/orphan-$i%02d")
+      val o = fs.create(f, false); o.write("eA==\teA==\n".getBytes("UTF-8")); o.close()
+      fs.setTimes(f, 0L, -1L): Unit
+    }
+    val acts = StoreLifecycle.vacuum(spark, dir, 60000L, hconf, reportCap = 3)
+    assert(acts.count(_.kind == "orphan_file") == 3, s"report must cap at 3: $acts")
+    assert(acts.exists(a => a.kind == "swept_unreported" && a.name == "2"),
+      s"the remainder count must be exact: $acts")
+    val left = dataFiles(dir).filter(_.startsWith("orphan-"))
+    assert(left.isEmpty, s"deletion must never be capped: $left")
+    assert(readAll(dir) == Set("a" -> "1"))
+  }
+
   test("a live lease naming a vanished manifest is flagged broken_pin") {
     val dir = tmp()
     writeOne(dir, "a" -> "1")
