@@ -340,6 +340,14 @@ object SparkEntry {
       graft.streaming.StreamReplay
         .replayStoreTail(s, d)
         .orderBy("result_key")),
+    // ...and the COLUMNAR store's tail (C22g): ParquetEpochs epochs
+    // drained one manifest per micro-batch through the vectorized
+    // parquet reader; the drained typed corpus must reproduce the
+    // documents table exactly
+    "q_stream_columnar_tail" -> ((s, d) =>
+      graft.streaming.StreamReplay
+        .replayColumnarTail(s, d)
+        .orderBy("doc_id")),
     "q_topic_pagecount"    -> ((s, d) => Paging.topicPageCounts(Tables(s, d))),
     "q_settings_override"  -> ((s, d) => Paging.settingsOverride(Tables(s, d))),
     "q_page_arns"          -> ((s, d) => Paging.pageArns(Tables(s, d), topicId = 1, pageNum = 2)),
@@ -1065,6 +1073,9 @@ object SparkEntry {
     "q_stream_store_tail" -> // manifest-tailing read: drained corpus == the table exactly
       """SELECT concat('doc-', doc_id) AS result_key, text AS payload
         |FROM documents ORDER BY 1""".stripMargin,
+    "q_stream_columnar_tail" -> // columnar (ParquetEpochs) tail: typed drained corpus == table
+      """SELECT doc_id, lang, source, n_chars, text
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_topic_pagecount" ->
       """SELECT CAST(c.c_nationkey AS BIGINT) AS topic_id, count(*) AS n_devices,
         |  CAST(floor(count(*)/100)+1 AS BIGINT) AS page_count

@@ -1,0 +1,210 @@
+package graft.sources
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.hadoop.mapreduce.TaskAttemptID
+import org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{
+  InputPartition,
+  PartitionReader,
+  PartitionReaderFactory,
+  Scan,
+  ScanBuilder
+}
+import org.apache.spark.sql.execution.datasources.parquet.VectorizedParquetRecordReader
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.util.SerializableConfiguration
+
+/** Streaming MICRO_BATCH_READ leg for COLUMNAR ([[ParquetEpochs]])
+  * stores — the completion of the store-surface matrix: a K-V store's
+  * epochs already feed downstream pipelines as micro-batches (A18's
+  * `graft.sources.ContentStore` tail); this gives the parquet-payload
+  * stores — the format the BIG asset uses — the same leg.
+  *
+  * {{{
+  * spark.readStream.format("graft.sources.ColumnarStore")
+  *   .option("path", dir)                 // a ParquetEpochs store
+  *   .option("maxFilesPerTrigger", "1")   // whole-manifest admission
+  *   .load()
+  * }}}
+  *
+  * Nothing about the tail PROTOCOL changes — manifests name files, so
+  * offsets, the source-owned consumed-manifest log, whole-manifest
+  * admission, compaction shadowing, and exactly-once restart semantics
+  * are all [[StoreMicroBatchStream]] verbatim (this stream IS that
+  * class, with one override). Only the per-batch FILE READ differs:
+  * each admitted data file is an ordinary parquet part, read by
+  * Spark's own vectorized parquet reader
+  * ([[VectorizedParquetRecordReader]] — public; the same kernel the
+  * built-in parquet source plans) against the store's recorded
+  * `_schema`, so column pruning-by-schema, dictionary decoding and
+  * batch decompression match the batch path's `spark.read.parquet`.
+  *
+  * Resolution needs no data-file footer read: [[ParquetEpochs.append]]
+  * records the one-per-store row schema in `_schema` and enforces that
+  * every later epoch matches it, which is exactly what makes a FIXED
+  * streaming schema sound here. A marked-parquet store missing the
+  * marker (written before it existed) resolves with a pointed error —
+  * one heal-forward append records it.
+  *
+  * Read-only by design: appends are manifest-commit operations
+  * ([[ParquetEpochs.append]] — distributed parquet stage + atomic
+  * manifest rename), not row writes; a STREAMING_WRITE leg would
+  * duplicate that protocol for no new capability (foreachBatch +
+  * append covers the rare stream-into-columnar case, epoch-idempotent
+  * via the batchId-derived manifest name).
+  *
+  * Reference analog: the S3-put → S3-notify → Lambda handoff
+  * (s3_lambda/download.go:60-92) that A18 models, now for typed
+  * payloads.
+  */
+class ColumnarStore extends TableProvider {
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val path = options.get("path")
+    require(path != null && path.nonEmpty, "ColumnarStore requires a 'path' option")
+    val conf = ContentStore.driverHadoopConf()
+    ColumnarStore.requireParquet(path, conf)
+    ParquetEpochs
+      .recordedSchema(path, conf)
+      .getOrElse(
+        throw new IllegalStateException(
+          s"ColumnarStore: store $path has no recorded _schema (written before the marker " +
+            "existed) — one ParquetEpochs.append heals it forward"))
+  }
+
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: java.util.Map[String, String]
+  ): Table = {
+    val path = properties.get("path")
+    require(path != null && path.nonEmpty, "ColumnarStore requires a 'path' option")
+    ColumnarStore.requireParquet(path, ContentStore.driverHadoopConf())
+    new ColumnarStoreTable(path, schema)
+  }
+}
+
+private[graft] object ColumnarStore {
+  /** The inverse of the K-V provider's refusal: this surface decodes
+    * parquet parts and nothing else.
+    */
+  def requireParquet(path: String, conf: Configuration): Unit =
+    if (!ContentStore.recordedFormat(path, conf).contains("parquet"))
+      throw new IllegalStateException(
+        s"ColumnarStore: store $path is not a columnar (ParquetEpochs) store; " +
+          "use graft.sources.ContentStore for K-V stores")
+}
+
+private[graft] class ColumnarStoreTable(path: String, tableSchema: StructType)
+    extends Table
+    with SupportsRead {
+
+  override def name(): String          = s"graft_columnar_store($path)"
+  override def schema(): StructType    = tableSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val conf               = new SerializableConfiguration(ContentStore.driverHadoopConf())
+    val maxFilesPerTrigger = options.getInt("maxFilesPerTrigger", 0)
+    val compactInterval    = options.getInt("compactInterval", 10)
+    new ScanBuilder {
+      override def build(): Scan = new Scan {
+        override def readSchema(): StructType = tableSchema
+        // batch reads go through ParquetEpochs.read (a plain parquet
+        // scan with full pushdown/pruning — strictly better than any
+        // re-implementation here); this surface is the streaming leg
+        override def toMicroBatchStream(
+            checkpointLocation: String
+        ): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+          new ColumnarMicroBatchStream(
+            path, conf, checkpointLocation, maxFilesPerTrigger, compactInterval, tableSchema)
+      }
+    }
+  }
+}
+
+/** [[StoreMicroBatchStream]] with the per-file read swapped to
+  * parquet: offsets, admission, the consumed-manifest log and
+  * compaction-aware exactly-once are all inherited verbatim.
+  */
+private[graft] class ColumnarMicroBatchStream(
+    path: String,
+    conf: SerializableConfiguration,
+    checkpointLocation: String,
+    maxFilesPerTrigger: Int,
+    compactInterval: Int,
+    schema: StructType
+) extends StoreMicroBatchStream(path, conf, checkpointLocation, maxFilesPerTrigger, compactInterval) {
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ColumnarStoreReaderFactory(schema, conf)
+}
+
+/** One vectorized parquet reader per admitted data file. The reader is
+  * Spark's own ([[VectorizedParquetRecordReader]]), initialized the
+  * way ParquetFileFormat initializes it: the requested Spark schema
+  * travels in the task conf under the engine's
+  * `...parquet.row.requested_schema` key and the file is opened
+  * through the SAME serialized Hadoop configuration every other store
+  * code path uses (S3A credentials and endpoints apply unchanged).
+  * Rebase modes are pinned CORRECTED/UTC: every file in a columnar
+  * store was written by this library on Spark ≥ 4 (proleptic
+  * calendar), never by a legacy writer.
+  */
+private[graft] class ColumnarStoreReaderFactory(
+    schema: StructType,
+    conf: SerializableConfiguration
+) extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p            = partition.asInstanceOf[StoreFilePartition]
+    val (fsys, root) = ContentStore.fs(p.path, conf.value)
+    val file         = new Path(root, s"data/${p.file}")
+    val len          = fsys.getFileStatus(file).getLen
+    val taskConf     = new Configuration(conf.value)
+    // the engine's read-support contract (ParquetReadSupport.
+    // SPARK_ROW_REQUESTED_SCHEMA — a stable on-wire key; the object
+    // holding the constant is package-private)
+    taskConf.set("org.apache.spark.sql.parquet.row.requested_schema", schema.json)
+    taskConf.set(
+      org.apache.parquet.hadoop.ParquetInputFormat.READ_SUPPORT_CLASS,
+      "org.apache.spark.sql.execution.datasources.parquet.ParquetReadSupport")
+    // the schema converter reads all five flags from the task conf
+    // with NO defaults (ParquetFileFormat always stamps them) — every
+    // one must be present, at the engine's default values
+    taskConf.setBoolean("spark.sql.caseSensitive", false)
+    taskConf.setBoolean("spark.sql.parquet.binaryAsString", false)
+    taskConf.setBoolean("spark.sql.parquet.int96AsTimestamp", true)
+    taskConf.setBoolean("spark.sql.parquet.inferTimestampNTZ.enabled", true)
+    taskConf.setBoolean("spark.sql.legacy.parquet.nanosAsLong", false)
+    val reader = new VectorizedParquetRecordReader(
+      /* convertTz = */ null,
+      /* datetimeRebaseMode = */ "CORRECTED", /* datetimeRebaseTz = */ "UTC",
+      /* int96RebaseMode = */ "CORRECTED", /* int96RebaseTz = */ "UTC",
+      /* useOffHeap = */ false,
+      /* capacity = */ 4096)
+    // the old-API split: Spark's reader base casts to mapred.FileSplit
+    // (which extends the mapreduce one), so only this type satisfies
+    // both the signature and the cast
+    val split = new org.apache.hadoop.mapred.FileSplit(file, 0, len, Array.empty[String])
+    try
+      reader.initialize(split, new TaskAttemptContextImpl(taskConf, new TaskAttemptID()))
+    catch {
+      case e: Throwable =>
+        reader.close()
+        throw new java.io.IOException(s"ColumnarStore: cannot open parquet part $file", e)
+    }
+    new PartitionReader[InternalRow] {
+      override def next(): Boolean    = reader.nextKeyValue()
+      override def get(): InternalRow = reader.getCurrentValue.asInstanceOf[InternalRow]
+      override def close(): Unit      = reader.close()
+    }
+  }
+}

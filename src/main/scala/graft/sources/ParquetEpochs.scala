@@ -3,7 +3,8 @@ package graft.sources
 import java.util.UUID
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types.{DataType, StructType}
 
 /** TYPED (columnar) epochs behind the ContentStore manifest protocol —
   * the payload-format variant for store assets whose rows are WIDE and
@@ -60,6 +61,7 @@ object ParquetEpochs {
     val conf         = ContentStore.driverHadoopConf()
     val (fsys, root) = ContentStore.fs(storeDir, conf)
     ensureFormat(storeDir, conf)
+    ensureSchema(df.schema, storeDir, conf)
     val uuid         = UUID.randomUUID().toString
     val staging      = new Path(root, s"_staging/$uuid")
     df.write.parquet(staging.toString)
@@ -135,11 +137,92 @@ object ParquetEpochs {
     }
   }
 
+  /** The store's recorded ROW SCHEMA (`_schema`, Spark schema JSON),
+    * written by the first [[append]] with every field nullable — the
+    * same shape `spark.read.parquet` reports — so streaming consumers
+    * ([[ColumnarStore]]) can resolve the table without opening a data
+    * file, and an empty pinned read can still produce a typed frame.
+    * Absent only for stores written before the marker existed; the
+    * next append heals it forward.
+    */
+  def recordedSchema(storeDir: String, conf: org.apache.hadoop.conf.Configuration): Option[StructType] = {
+    val (fsys, root) = ContentStore.fs(storeDir, conf)
+    val p            = new Path(root, "_schema")
+    if (!fsys.exists(p)) return None
+    val reader = new java.io.BufferedReader(
+      new java.io.InputStreamReader(fsys.open(p), "UTF-8"))
+    val json =
+      try Iterator.continually(reader.readLine()).takeWhile(_ != null).mkString("\n").trim
+      finally reader.close()
+    if (json.isEmpty) None
+    else Some(DataType.fromJson(json).asInstanceOf[StructType])
+  }
+
+  /** One ROW SCHEMA per store, the `_format`/`_buckets` rule applied to
+    * the payload's shape: the first append records it (all-nullable,
+    * matching what a parquet read-back reports); every later append
+    * must match by field NAME and TYPE in order (nullability-
+    * insensitive — parquet reads are nullable regardless). Mixed
+    * schemas in one store would make the streaming tail's fixed
+    * resolution schema silently misread older/newer epochs — refuse at
+    * the writer that is wrong, before any file is staged. A store
+    * written before the marker existed records on its next append
+    * (heal-forward), the same lazy migration as the legacy offset.
+    */
+  private def ensureSchema(
+      schema: StructType,
+      storeDir: String,
+      conf: org.apache.hadoop.conf.Configuration
+  ): Unit = {
+    val (fsys, root) = ContentStore.fs(storeDir, conf)
+    def signature(s: StructType): Seq[(String, String)] =
+      s.fields.toSeq.map(f => (f.name, f.dataType.catalogString))
+    recordedSchema(storeDir, conf) match {
+      case Some(rec) =>
+        if (signature(rec) != signature(schema))
+          throw new IllegalStateException(
+            s"ParquetEpochs: store $storeDir records schema ${rec.catalogString}; " +
+              s"append with ${schema.catalogString} refused (one row schema per store)")
+      case None =>
+        val nullable = StructType(schema.fields.map(_.copy(nullable = true)))
+        def tryRecord(): Option[StructType] = {
+          try {
+            fsys.mkdirs(root)
+            val out = fsys.create(new Path(root, "_schema"), /* overwrite = */ false)
+            try out.write(nullable.json.getBytes("UTF-8"))
+            finally out.close()
+          } catch {
+            case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+                _: java.nio.file.FileAlreadyExistsException => () // racer landed first
+          }
+          recordedSchema(storeDir, conf)
+        }
+        var now = tryRecord()
+        if (now.isEmpty) { // crashed-empty heal, the _buckets pattern
+          fsys.delete(new Path(root, "_schema"), false): Unit
+          now = tryRecord()
+        }
+        now match {
+          case Some(won) if signature(won) != signature(nullable) =>
+            throw new IllegalStateException(
+              s"ParquetEpochs: store $storeDir raced to schema ${won.catalogString}; " +
+                s"this append used ${nullable.catalogString}")
+          case None =>
+            throw new IllegalStateException(
+              s"ParquetEpochs: could not record schema for store $storeDir")
+          case _ => ()
+        }
+    }
+  }
+
   /** Read the union of the named (pinned) manifests' parquet files —
     * the same time-travel contract as the K-V store's `manifests`
     * option: commits after the pin are invisible. Manifest resolution
     * is metadata-bounded (line reads); the data read is a plain
-    * parquet scan with all its pruning.
+    * parquet scan with all its pruning. A pin whose manifests list no
+    * data files (an epoch that admitted nothing) reads as an EMPTY
+    * frame with the store's recorded schema — the same answer the K-V
+    * twin gives, not an error.
     */
   def read(spark: SparkSession, storeDir: String, manifests: Seq[String]): DataFrame = {
     val conf      = ContentStore.driverHadoopConf()
@@ -150,7 +233,13 @@ object ParquetEpochs {
     val files = manifests
       .flatMap(m => ContentStore.filesInManifest(storeDir, m, conf))
       .map(f => new Path(root, s"data/$f").toString)
-    require(files.nonEmpty, s"ParquetEpochs.read: no data files under manifests $manifests")
+    if (files.isEmpty) {
+      val schema = recordedSchema(storeDir, conf).getOrElse(
+        throw new IllegalStateException(
+          s"ParquetEpochs.read: no data files under manifests $manifests and no recorded " +
+            s"schema for $storeDir (pre-marker store) — cannot type an empty read"))
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    }
     spark.read.parquet(files: _*)
   }
 

@@ -667,6 +667,50 @@ object StreamReplay {
     spark.read.parquet(out)
   }
 
+  /** The COLUMNAR store's MICRO_BATCH_READ leg under the gate — the
+    * C22f/B79 asset format gaining A18's tail: K
+    * [[graft.sources.ParquetEpochs.append]] epochs publish the typed
+    * documents corpus into a fresh columnar store, then a streaming
+    * query tails it through `graft.sources.ColumnarStore`
+    * (`maxFilesPerTrigger=1` → whole-manifest admission) and drains to
+    * a parquet sink. The drained corpus must equal the table exactly —
+    * the same contract as `q_stream_store_tail`, with the per-batch
+    * read now the vectorized parquet kernel and the row schema the
+    * store's recorded `_schema` (long/string/long columns, not the K-V
+    * string pair).
+    */
+  def replayColumnarTail(spark: SparkSession, sfDir: String, writes: Int = 4): DataFrame = {
+    val run   = Files.createDirectories(root.resolve(f"run-${runCounter.getAndIncrement()}%04d"))
+    val store = run.resolve("store").toString
+    val out   = run.resolve("out").toString
+    val ckpt  = run.resolve("ckpt")
+    val docs = Tables(spark, sfDir).documents
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"), col("text"))
+    for (i <- 0 until writes)
+      graft.sources.ParquetEpochs.append(
+        docs.filter(pmod(col("doc_id"), lit(writes)) === i), store)
+    val spKey = "spark.sql.shuffle.partitions"
+    val prev  = spark.conf.get(spKey)
+    spark.conf.set(spKey, math.min(ReplayShuffleWidth, prev.toInt).toString)
+    try {
+      val query = spark.readStream
+        .format("graft.sources.ColumnarStore")
+        .option("path", store)
+        .option("maxFilesPerTrigger", "1")
+        .load()
+        .writeStream
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+      recordBatchCount(query)
+    } finally spark.conf.set(spKey, prev)
+    deleteTree(ckpt)
+    spark.read.parquet(out)
+  }
+
   private def replayEventsMulti(
       spark: SparkSession,
       sfDir: String,

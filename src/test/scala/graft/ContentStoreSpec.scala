@@ -210,6 +210,112 @@ class ContentStoreSpec extends SparkSpecBase {
     assert(drain().size == 5)
   }
 
+  test("columnar tail: ColumnarStore readStream drains ParquetEpochs manifests exactly-once across restarts") {
+    import spark.implicits._
+    val dir  = tmp()
+    val ckpt = tmp()
+
+    def appendEpoch(rows: (Long, String, Double)*): Unit =
+      graft.sources.ParquetEpochs.append(
+        rows.toSeq.toDF("id", "name", "score"), dir)
+
+    val outDir = tmp()
+    def drain(): Set[(Long, String, Double)] = {
+      val q = spark.readStream
+        .format("graft.sources.ColumnarStore")
+        .option("path", dir)
+        .option("maxFilesPerTrigger", "1")
+        .load()
+        .writeStream
+        .format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.read.parquet(outDir).as[(Long, String, Double)].collect().toSet
+    }
+
+    appendEpoch((1L, "a", 0.5))
+    appendEpoch((2L, "b", 1.5), (3L, "c", 2.5))
+    assert(drain() == Set((1L, "a", 0.5), (2L, "b", 1.5), (3L, "c", 2.5)))
+
+    // typed schema survives the tail: the stream resolved from _schema
+    val streamSchema = spark.readStream
+      .format("graft.sources.ColumnarStore").option("path", dir).load().schema
+    assert(streamSchema.map(f => (f.name, f.dataType.typeName)) ==
+      Seq(("id", "long"), ("name", "string"), ("score", "double")))
+
+    // two more epochs land while the reader is down; the restarted
+    // reader (same checkpoint) picks up ONLY the new manifests
+    appendEpoch((4L, "d", 3.5))
+    appendEpoch((5L, "e", 4.5))
+    assert(drain() ==
+      Set((1L, "a", 0.5), (2L, "b", 1.5), (3L, "c", 2.5), (4L, "d", 3.5), (5L, "e", 4.5)))
+
+    // nothing new → an AvailableNow drain terminates without appending
+    assert(drain().size == 5)
+
+    // the K-V surface refuses the columnar store, and vice versa
+    val eKv = intercept[IllegalStateException] {
+      spark.read.format("graft.sources.ContentStore").option("path", dir).load()
+    }
+    assert(eKv.getMessage.contains("parquet"))
+    val kvDir = tmp()
+    Seq(("k1", "v1")).toDF("result_key", "payload")
+      .write.format("graft.sources.ContentStore").option("path", kvDir).mode("append").save()
+    val eCol = intercept[IllegalStateException] {
+      spark.readStream.format("graft.sources.ColumnarStore").option("path", kvDir).load()
+    }
+    assert(eCol.getMessage.contains("not a columnar"))
+  }
+
+  test("columnar tail stays exactly-once across compaction (rewritten epochs not re-emitted)") {
+    import spark.implicits._
+    val dir  = tmp()
+    val ckpt = tmp()
+    def appendEpoch(rows: (Long, String, Double)*): Unit =
+      graft.sources.ParquetEpochs.append(rows.toSeq.toDF("id", "name", "score"), dir)
+
+    val outDir = tmp()
+    def drain(): Set[Long] = {
+      val q = spark.readStream
+        .format("graft.sources.ColumnarStore")
+        .option("path", dir)
+        .load()
+        .writeStream
+        .format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.read.parquet(outDir).select("id").as[Long].collect().toSet
+    }
+
+    appendEpoch((1L, "a", 0.5))
+    appendEpoch((2L, "b", 1.5))
+    assert(drain() == Set(1L, 2L))
+    // columnar OPTIMIZE folds both epochs; the tail has consumed the
+    // sources, so the compaction manifest must emit NOTHING for them
+    assert(graft.sources.ParquetEpochs.compact(spark, dir).isDefined)
+    appendEpoch((3L, "c", 2.5))
+    assert(drain() == Set(1L, 2L, 3L), "compaction must not replay consumed rows")
+  }
+
+  test("schema is one-per-store: a mismatched columnar append refuses") {
+    import spark.implicits._
+    val dir = tmp()
+    graft.sources.ParquetEpochs.append(Seq((1L, "a")).toDF("id", "name"), dir)
+    val e = intercept[IllegalStateException] {
+      graft.sources.ParquetEpochs.append(Seq((1L, 2L)).toDF("id", "other"), dir)
+    }
+    assert(e.getMessage.contains("one row schema per store"))
+    // an empty pinned read types itself from the recorded schema
+    val empty = graft.sources.ParquetEpochs.read(spark, dir, Seq.empty)
+    assert(empty.schema.fieldNames.toSeq == Seq("id", "name") && empty.count() == 0)
+  }
+
   test("streaming relay: problem stream writes epochs, a second query tails them") {
     // the handoff the streaming read exists for: pipeline A's epochs
     // become pipeline B's micro-batches, with the store as the
