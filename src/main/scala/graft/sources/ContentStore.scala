@@ -143,12 +143,53 @@ object ContentStore {
 
   /** Bucket id carried in the data-file NAME (`b<i>-<uuid>`), so the
     * manifest format is unchanged and non-bucketed readers treat
-    * bucketed files as opaque names.
+    * bucketed files as opaque names. Shard-layout prefixes
+    * (`s<k>/b<i>-<uuid>`) are stripped first — sharding is a LISTING
+    * layout, orthogonal to bucketing.
     */
   private val BucketedFileName = "^b(\\d+)-.*$".r
-  private[graft] def bucketOfFile(name: String): Option[Int] = name match {
+  private[graft] def bucketOfFile(name: String): Option[Int] = baseName(name) match {
     case BucketedFileName(b) => Some(b.toInt)
     case _                   => None
+  }
+
+  /** Last path segment of a (possibly shard-prefixed) data-file name. */
+  private[graft] def baseName(f: String): String = f.substring(f.lastIndexOf('/') + 1)
+
+  /** Shard of a data file's BASE name under an `n`-way layout — the
+    * same stable string hash as [[bucketOf]], over the writer-generated
+    * name rather than the row key (sharding balances LISTINGS, not
+    * data; any even spread works and the name is already random).
+    */
+  private[graft] def shardOf(base: String, n: Int): Int =
+    java.lang.Math.floorMod(scala.util.hashing.MurmurHash3.stringHash(base), n)
+
+  /** Manifest-recorded (data-dir-relative) name for a base name under
+    * an `n`-way shard layout; the flat name when unsharded.
+    */
+  private[graft] def shardedName(base: String, n: Int): String =
+    if (n <= 0) base else s"s${shardOf(base, n)}/$base"
+
+  /** The store's data-file SHARD count (`_datashards` metadata, first
+    * sharded commit wins — the `_buckets` recorded-layout rule): large
+    * stores spread `data/` across N subdirectories (`s<k>/`, keyed by
+    * a hash of each file's base name) so that maintenance LISTINGS
+    * parallelize — vacuum pages one shard per task instead of paging a
+    * flat 10⁹-entry directory through a single task, and on prefix-
+    * listing object stores each task's LIST runs against its own key
+    * prefix. Readers never care (manifests record the relative name;
+    * every open resolves `data/<name>` directly), so sharding changes
+    * no read path and mixes safely with legacy flat files. 0 = flat
+    * (the default, and every store written before the layout existed).
+    */
+  def recordedDataShards(path: String, conf: Configuration): Int = {
+    val (filesystem, root) = fs(path, conf)
+    val p                  = new Path(root, "_datashards")
+    if (!filesystem.exists(p)) return 0
+    val reader = new java.io.BufferedReader(
+      new java.io.InputStreamReader(filesystem.open(p), "UTF-8"))
+    try Option(reader.readLine()).map(_.trim).flatMap(_.toIntOption).getOrElse(0)
+    finally reader.close()
   }
 
   /** The session's Hadoop configuration (spark.hadoop.* applied) when a
@@ -540,10 +581,18 @@ private[graft] class ContentStoreTable(path: String, bucketedRead: Int = 0)
                 catch { case _: java.io.FileNotFoundException => 0L }
               }.sum
             else {
-              val lens: Map[String, Long] =
-                if (!filesystem.exists(dataDir)) Map.empty
+              // shard-layout stores keep data files under `s<k>/`
+              // subdirectories — size from one listing per shard (keys
+              // stay the manifest-relative names)
+              val shards = ContentStore.recordedDataShards(path, conf.value)
+              val dirs = (dataDir, "") +:
+                (0 until shards).map(k => (new Path(dataDir, s"s$k"), s"s$k/"))
+              val lens: Map[String, Long] = dirs.flatMap { case (d, prefix) =>
+                if (!filesystem.exists(d)) Seq.empty
                 else
-                  filesystem.listStatus(dataDir).map(st => st.getPath.getName -> st.getLen).toMap
+                  filesystem.listStatus(d).toSeq.filterNot(_.isDirectory)
+                    .map(st => (prefix + st.getPath.getName) -> st.getLen)
+              }.toMap
               surviving.map(f => lens.getOrElse(f, 0L)).sum
             }
           new org.apache.spark.sql.connector.read.Statistics {
@@ -572,6 +621,20 @@ private[graft] class ContentStoreTable(path: String, bucketedRead: Int = 0)
     // buckets=N: route rows to per-bucket files by the store-owned
     // key hash, so a later bucketedRead=N scan is key-grouped
     val buckets = info.options().getInt("buckets", 0)
+    // dataShards=N: spread data files across N `s<k>/` subdirectories
+    // so maintenance listings parallelize (ContentStore
+    // .recordedDataShards). The layout is a store fact: a writer that
+    // omits the option ADOPTS the recorded count (maintenance rewrites
+    // preserve the layout without knowing it); an explicit count that
+    // contradicts recorded metadata is refused here, before any file
+    // stages.
+    val optShards      = info.options().getInt("dataShards", 0)
+    val recordedShards = ContentStore.recordedDataShards(path, conf.value)
+    if (optShards > 0 && recordedShards > 0 && optShards != recordedShards)
+      throw new IllegalStateException(
+        s"ContentStore: store $path shards data files $recordedShards ways; " +
+          s"this write used dataShards=$optShards")
+    val dataShards = if (optShards > 0) optShards else recordedShards
     // compaction commits (StoreLifecycle.compactEpochs) override the
     // manifest name (deterministic from the source set, so a racing
     // duplicate compaction loses the rename and aborts cleanly) and
@@ -583,7 +646,7 @@ private[graft] class ContentStoreTable(path: String, bucketedRead: Int = 0)
     new WriteBuilder {
       override def build(): Write =
         new ContentStoreWrite(path, info.queryId(), keyIdx, payloadIdx, conf, buckets,
-          manifestName, compactSources)
+          manifestName, compactSources, dataShards)
     }
   }
 }
@@ -596,12 +659,13 @@ private[graft] class ContentStoreWrite(
     conf: SerializableConfiguration,
     buckets: Int = 0,
     manifestName: Option[String] = None,
-    compactSources: Option[Seq[String]] = None
+    compactSources: Option[Seq[String]] = None,
+    dataShards: Int = 0
 ) extends Write {
 
   override def toBatch: BatchWrite = new BatchWrite {
     override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-      new StoreWriterFactory(path, keyIdx, payloadIdx, conf, buckets)
+      new StoreWriterFactory(path, keyIdx, payloadIdx, conf, buckets, dataShards)
     // one manifest per job: readers see all-or-nothing of this write.
     // A compaction commit (explicit deterministic name) is idempotent:
     // losing the manifest rename to an identically-named racer IS the
@@ -614,7 +678,8 @@ private[graft] class ContentStoreWrite(
         conf.value,
         idempotent = manifestName.isDefined,
         compactSources = compactSources,
-        buckets = buckets
+        buckets = buckets,
+        dataShards = dataShards
       )
     override def abort(messages: Array[WriterCommitMessage]): Unit =
       ContentStoreWrite.deleteFiles(path, messages, conf.value)
@@ -622,7 +687,7 @@ private[graft] class ContentStoreWrite(
 
   override def toStreaming: StreamingWrite = new StreamingWrite {
     override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
-      new StoreWriterFactory(path, keyIdx, payloadIdx, conf, buckets)
+      new StoreWriterFactory(path, keyIdx, payloadIdx, conf, buckets, dataShards)
     // manifest keyed by (query, epoch): a replayed epoch is a no-op
     override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
       ContentStoreWrite.writeManifest(
@@ -631,7 +696,8 @@ private[graft] class ContentStoreWrite(
         messages,
         conf.value,
         idempotent = true,
-        buckets = buckets
+        buckets = buckets,
+        dataShards = dataShards
       )
     override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
       ContentStoreWrite.deleteFiles(path, messages, conf.value)
@@ -655,7 +721,8 @@ private[graft] object ContentStoreWrite {
       hadoopConf: Configuration,
       idempotent: Boolean = false,
       compactSources: Option[Seq[String]] = None,
-      buckets: Int = 0
+      buckets: Int = 0,
+      dataShards: Int = 0
   ): Unit = {
     val (filesystem, root) = ContentStore.fs(path, hadoopConf)
     val manifestDir        = new Path(root, "_manifest")
@@ -717,6 +784,41 @@ private[graft] object ContentStoreWrite {
       } else if (recorded != buckets)
         throw new IllegalStateException(
           s"ContentStore: store $path is bucketed with n=$recorded; this write used buckets=$buckets")
+    }
+    // shard layout is recorded metadata exactly like `_buckets` (first
+    // sharded commit wins, create-exclusive + crashed-empty heal): a
+    // commit whose count CONTRADICTS the record must fail before its
+    // manifest becomes visible — its files sit in `s<k>/` directories
+    // a vacuum planned from the recorded count would never list. (A
+    // racing loser's already-staged files land exactly there; the
+    // recorded-count vacuum still sweeps them because the top-level
+    // listing task recurses into unrecognized subdirectories.)
+    if (dataShards > 0) {
+      val recordedShards = ContentStore.recordedDataShards(path, hadoopConf)
+      if (recordedShards == 0) {
+        def tryRecord(): Int = {
+          try {
+            val mout = filesystem.create(new Path(root, "_datashards"), /* overwrite = */ false)
+            try mout.write(dataShards.toString.getBytes("UTF-8"))
+            finally mout.close()
+          } catch {
+            case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+                _: java.nio.file.FileAlreadyExistsException => () // racer landed first
+          }
+          ContentStore.recordedDataShards(path, hadoopConf)
+        }
+        var now = tryRecord()
+        if (now == 0) {
+          filesystem.delete(new Path(root, "_datashards"), false): Unit
+          now = tryRecord()
+        }
+        if (now != dataShards)
+          throw new IllegalStateException(
+            s"ContentStore: store $path shards data files $now ways; this write used dataShards=$dataShards")
+      } else if (recordedShards != dataShards)
+        throw new IllegalStateException(
+          s"ContentStore: store $path shards data files $recordedShards ways; " +
+            s"this write used dataShards=$dataShards")
     }
     val files = messages.flatMap {
       case m: StoreCommitMsg if m.rows > 0       => Seq(m.file)
@@ -830,13 +932,15 @@ private[graft] class StoreWriterFactory(
     keyIdx: Int,
     payloadIdx: Int,
     conf: SerializableConfiguration,
-    buckets: Int = 0
+    buckets: Int = 0,
+    dataShards: Int = 0
 ) extends DataWriterFactory
     with StreamingDataWriterFactory {
 
   private def writer(): DataWriter[InternalRow] =
-    if (buckets > 0) new BucketedStoreDataWriter(path, keyIdx, payloadIdx, buckets, conf.value)
-    else new StoreDataWriter(path, keyIdx, payloadIdx, conf.value)
+    if (buckets > 0)
+      new BucketedStoreDataWriter(path, keyIdx, payloadIdx, buckets, conf.value, dataShards)
+    else new StoreDataWriter(path, keyIdx, payloadIdx, conf.value, dataShards)
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = writer()
 
@@ -853,12 +957,18 @@ private[graft] class StoreDataWriter(
     path: String,
     keyIdx: Int,
     payloadIdx: Int,
-    hadoopConf: Configuration
+    hadoopConf: Configuration,
+    dataShards: Int = 0
 ) extends DataWriter[InternalRow] {
 
   private val (filesystem, root) = ContentStore.fs(path, hadoopConf)
-  private val file               = UUID.randomUUID().toString
-  private val staging            = new Path(root, s"data/.staging-$file")
+  // sharded layouts stage INSIDE the shard directory (rename stays a
+  // same-directory move; the orphan sweep finds a crashed staging file
+  // in the one listing task that owns its shard)
+  private val file               = ContentStore.shardedName(UUID.randomUUID().toString, dataShards)
+  private val staging = new Path(
+    root,
+    s"data/${file.take(file.lastIndexOf('/') + 1)}.staging-${ContentStore.baseName(file)}")
   private lazy val out = { filesystem.mkdirs(staging.getParent); filesystem.create(staging, false) }
   private var rows               = 0L
   // UTF8String order = binary UTF-8 order — the SAME ordering the
@@ -912,7 +1022,8 @@ private[graft] class BucketedStoreDataWriter(
     keyIdx: Int,
     payloadIdx: Int,
     n: Int,
-    hadoopConf: Configuration
+    hadoopConf: Configuration,
+    dataShards: Int = 0
 ) extends DataWriter[InternalRow] {
 
   private val (filesystem, root) = ContentStore.fs(path, hadoopConf)
@@ -926,8 +1037,11 @@ private[graft] class BucketedStoreDataWriter(
     val key = row.getUTF8String(keyIdx).toString
     val b   = ContentStore.bucketOf(key, n)
     if (outs(b) == null) {
-      names(b) = s"b$b-${UUID.randomUUID()}"
-      stagings(b) = new Path(root, s"data/.staging-${names(b)}")
+      names(b) = ContentStore.shardedName(s"b$b-${UUID.randomUUID()}", dataShards)
+      stagings(b) = new Path(
+        root,
+        s"data/${names(b).take(names(b).lastIndexOf('/') + 1)}" +
+          s".staging-${ContentStore.baseName(names(b))}")
       filesystem.mkdirs(stagings(b).getParent)
       outs(b) = filesystem.create(stagings(b), false)
     }

@@ -51,17 +51,30 @@ object ParquetEpochs {
     * write under `_staging/<uuid>/`, renamed into `data/` under
     * collision-free names, and become visible only at the manifest
     * rename — readers see the whole epoch or none of it.
+    *
+    * `dataShards` (or the store's recorded `_datashards` layout, which
+    * a caller omitting the parameter adopts) spreads the moved parts
+    * across `s<k>/` subdirectories so maintenance listings parallelize
+    * — see [[ContentStore.recordedDataShards]]; readers are unaffected
+    * (manifests record the relative names).
     */
   def append(
       df: DataFrame,
       storeDir: String,
       manifestName: Option[String] = None,
-      compactSources: Option[Seq[String]] = None
+      compactSources: Option[Seq[String]] = None,
+      dataShards: Int = 0
   ): String = {
     val conf         = ContentStore.driverHadoopConf()
     val (fsys, root) = ContentStore.fs(storeDir, conf)
     ensureFormat(storeDir, conf)
     ensureSchema(df.schema, storeDir, conf)
+    val recordedShards = ContentStore.recordedDataShards(storeDir, conf)
+    if (dataShards > 0 && recordedShards > 0 && dataShards != recordedShards)
+      throw new IllegalStateException(
+        s"ParquetEpochs: store $storeDir shards data files $recordedShards ways; " +
+          s"this append used dataShards=$dataShards")
+    val shards       = if (dataShards > 0) dataShards else recordedShards
     val uuid         = UUID.randomUUID().toString
     val staging      = new Path(root, s"_staging/$uuid")
     df.write.parquet(staging.toString)
@@ -72,8 +85,10 @@ object ParquetEpochs {
       .sorted
     fsys.mkdirs(new Path(root, "data"))
     val moved = parts.zipWithIndex.map { case (part, i) =>
-      val dest = f"pq-$uuid-$i%05d.parquet"
-      if (!fsys.rename(new Path(staging, part), new Path(root, s"data/$dest")))
+      val dest = ContentStore.shardedName(f"pq-$uuid-$i%05d.parquet", shards)
+      val destPath = new Path(root, s"data/$dest")
+      fsys.mkdirs(destPath.getParent)
+      if (!fsys.rename(new Path(staging, part), destPath))
         throw new java.io.IOException(s"ParquetEpochs: staging move failed for $part")
       dest
     }.toSeq
@@ -85,7 +100,8 @@ object ParquetEpochs {
       Array(StoreFilesCommitMsg(moved, moved.size.toLong)),
       conf,
       idempotent = manifestName.isDefined,
-      compactSources = compactSources
+      compactSources = compactSources,
+      dataShards = shards
     )
     name
   }

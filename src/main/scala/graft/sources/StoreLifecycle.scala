@@ -400,22 +400,43 @@ object StoreLifecycle {
          else spark.read.textFile(survivorPaths: _*))
           .filter(_.nonEmpty)
           .toDF("name")
+      // SHARDED listing: one task per recorded `s<k>/` shard plus one
+      // for the top level, so the last serial leg of GC parallelizes —
+      // at a 10⁹-blob store a single task paging one flat directory is
+      // the bottleneck; with the store's recorded shard layout each
+      // task pages only its own prefix. Task -1 (top level) emits the
+      // legacy flat files, skips the recorded shard directories (each
+      // owned by its task), and recurses INLINE into any unrecognized
+      // subdirectory — files stranded by a racing first commit that
+      // lost the `_datashards` record still enter the diff. Unsharded
+      // stores plan exactly the old single task.
+      val nShards = ContentStore.recordedDataShards(path, hadoopConf)
+      val taskIds = (-1 until nShards).toSeq
       val listing = spark
-        .range(0, 1, 1, numPartitions = 1)
-        .flatMap { _ =>
-          val d  = new Path(dataDirStr)
-          val fl = d.getFileSystem(sconf.value)
-          if (!fl.exists(d)) Iterator.empty
-          else {
-            val it = fl.listStatusIterator(d)
-            Iterator
-              .continually(())
-              .takeWhile(_ => it.hasNext)
-              .map { _ =>
-                val st = it.next()
-                (st.getPath.getName, st.getModificationTime)
-              }
-          }
+        .createDataset(spark.sparkContext.parallelize(taskIds, taskIds.size))
+        .flatMap { tid =>
+          val dataDir = new Path(dataDirStr)
+          val fl      = dataDir.getFileSystem(sconf.value)
+          def page(d: Path, prefix: String, recurse: Boolean): Iterator[(String, Long)] =
+            if (!fl.exists(d)) Iterator.empty
+            else {
+              val it = fl.listStatusIterator(d)
+              Iterator
+                .continually(())
+                .takeWhile(_ => it.hasNext)
+                .map(_ => it.next())
+                .flatMap { st =>
+                  val nm = st.getPath.getName
+                  if (st.isDirectory) {
+                    val owned = nm.startsWith("s") &&
+                      nm.drop(1).toIntOption.exists(k => k >= 0 && k < nShards)
+                    if (!owned && recurse) page(st.getPath, s"$prefix$nm/", recurse = false)
+                    else Iterator.empty
+                  } else Iterator.single((s"$prefix$nm", st.getModificationTime))
+                }
+            }
+          if (tid < 0) page(dataDir, "", recurse = true)
+          else page(new Path(dataDir, s"s$tid"), s"s$tid/", recurse = false)
         }
         .toDF("name", "mtime")
       spark.sparkContext.setJobGroup(
@@ -453,7 +474,12 @@ object StoreLifecycle {
       val total    = perPartition.map(_._1).sum
       val reported = perPartition.flatMap(_._2).sorted.take(cap)
       reported.foreach { n =>
-        out += VacuumAction(if (n.startsWith(".staging-")) "stale_staging" else "orphan_file", n)
+        // names are data/-relative (possibly `s<k>/`-prefixed) —
+        // classify on the base name
+        out += VacuumAction(
+          if (ContentStore.baseName(n).startsWith(".staging-")) "stale_staging"
+          else "orphan_file",
+          n)
       }
       if (total > reported.length)
         out += VacuumAction("swept_unreported", (total - reported.length).toString)

@@ -397,6 +397,113 @@ class StoreLifecycleSpec extends SparkSpecBase {
     assert(readAll(dir) == Set("a" -> "1"), "referenced files survive the distributed diff")
   }
 
+  test("sharded data layout: listing parallelizes, actions and contents unchanged") {
+    import spark.implicits._
+    val dir = tmp()
+    // first write declares the layout; the second (option-free) write
+    // must ADOPT it from the recorded metadata
+    (1 to 40).map(i => (s"k$i", s"v$i")).toDF("result_key", "payload")
+      .write.format("graft.sources.ContentStore")
+      .option("path", dir).option("dataShards", 7).mode("append").save()
+    (41 to 60).map(i => (s"k$i", s"v$i")).toDF("result_key", "payload")
+      .write.format("graft.sources.ContentStore")
+      .option("path", dir).mode("append").save()
+    assert(ContentStore.recordedDataShards(dir, hconf) == 7)
+    val (fs, root) = ContentStore.fs(dir, hconf)
+    val committed  = ContentStore.committedFiles(dir, hconf)
+    assert(committed.nonEmpty && committed.forall(_.matches("s[0-6]/.+")),
+      s"every data file must carry a shard prefix: $committed")
+    assert(readAll(dir) == (1 to 60).map(i => (s"k$i", s"v$i")).toSet)
+    // a contradicting explicit count refuses before staging
+    val e = intercept[Exception] {
+      Seq(("x", "y")).toDF("result_key", "payload")
+        .write.format("graft.sources.ContentStore")
+        .option("path", dir).option("dataShards", 3).mode("append").save()
+    }
+    assert(e.getMessage.contains("shards data files 7 ways"))
+
+    // plant garbage in a shard dir, a flat legacy orphan, and a
+    // stranded file in an UNRECORDED subdirectory (a racing loser's
+    // shard) — all three must enter the distributed diff
+    def plant(rel: String): Unit = {
+      val f = new Path(root, s"data/$rel")
+      fs.mkdirs(f.getParent)
+      val o = fs.create(f, false); o.write("eA==\teA==\n".getBytes("UTF-8")); o.close()
+      fs.setTimes(f, 0L, -1L): Unit
+    }
+    plant("s3/orphan-in-shard")
+    plant("orphan-flat")
+    plant("s9/orphan-stranded")
+
+    // the listing stage must be one task per shard + one top-level
+    val stageTasks = java.util.Collections.synchronizedList(new java.util.ArrayList[Int]())
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        val g = Option(js.properties).map(_.getProperty("spark.jobGroup.id")).orNull
+        if (g == StoreLifecycle.VacuumJobGroup)
+          js.stageInfos.foreach(si => stageTasks.add(si.numTasks): Unit)
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val acts =
+      try StoreLifecycle.vacuum(spark, dir, 0L, hconf)
+      finally {
+        import scala.jdk.CollectionConverters._
+        val deadline = System.currentTimeMillis() + 10000
+        while (!stageTasks.asScala.contains(8) && System.currentTimeMillis() < deadline)
+          Thread.sleep(50)
+        spark.sparkContext.removeSparkListener(listener)
+      }
+    import scala.jdk.CollectionConverters._
+    assert(stageTasks.asScala.contains(8),
+      s"the sharded listing must plan 7 shard tasks + 1 top-level, saw stages: $stageTasks")
+    assert(acts.filter(_.kind == "orphan_file").map(_.name).toSet ==
+      Set("s3/orphan-in-shard", "orphan-flat", "s9/orphan-stranded"),
+      s"all three planted orphans must be swept: $acts")
+    assert(readAll(dir) == (1 to 60).map(i => (s"k$i", s"v$i")).toSet,
+      "referenced sharded files must survive the diff")
+    // maintenance preserves the layout: compaction's rewrite adopted
+    // the recorded shard count
+    assert(StoreLifecycle.compactEpochs(spark, dir).exists(_.startsWith("compact-")))
+    val afterCompact = ContentStore.committedFiles(dir, hconf)
+    assert(afterCompact.forall(_.matches("s[0-6]/.+")),
+      s"compaction must rewrite into the recorded shard layout: $afterCompact")
+    assert(readAll(dir) == (1 to 60).map(i => (s"k$i", s"v$i")).toSet)
+  }
+
+  test("sharded + bucketed compose: key-grouped read over a shard-prefixed layout") {
+    import spark.implicits._
+    val dir = tmp()
+    (1 to 30).map(i => (s"k$i", s"v$i")).toDF("result_key", "payload")
+      .write.format("graft.sources.ContentStore")
+      .option("path", dir).option("buckets", 2).option("dataShards", 3).mode("append").save()
+    val files = ContentStore.committedFiles(dir, hconf)
+    assert(files.forall(f => f.matches("s[0-2]/b[01]-.+")), s"shard/bucket name shape: $files")
+    val got = spark.read.format("graft.sources.ContentStore")
+      .option("path", dir).option("bucketedRead", 2).load()
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2)))
+    assert(got.map(t => (t._1, t._2)).toSet == (1 to 30).map(i => (s"k$i", s"v$i")).toSet)
+    assert(got.forall { case (k, _, b) => b == ContentStore.bucketOf(k, 2) })
+  }
+
+  test("sharded columnar store: append adopts the layout and the tail drains it") {
+    import spark.implicits._
+    val dir = tmp()
+    graft.sources.ParquetEpochs.append(
+      Seq((1L, "a"), (2L, "b")).toDF("id", "name"), dir, dataShards = 4)
+    graft.sources.ParquetEpochs.append(Seq((3L, "c")).toDF("id", "name"), dir)
+    assert(ContentStore.recordedDataShards(dir, hconf) == 4)
+    val files = ContentStore.committedFiles(dir, hconf)
+    assert(files.forall(_.matches("s[0-3]/pq-.+\\.parquet")), s"sharded parquet parts: $files")
+    val q = spark.readStream
+      .format("graft.sources.ColumnarStore").option("path", dir).load()
+      .writeStream.format("memory").queryName("sharded_columnar_tail")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(spark.table("sharded_columnar_tail").as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b"), (3L, "c")))
+  }
+
   test("gate fixture: pinned read equals the store-free profile across compaction + vacuum") {
     val dir = s"${System.getProperty("java.io.tmpdir")}/graft-pinstore-spec"
     val out = graft.operators.Joins.storePinnedRead(tables, dir)
