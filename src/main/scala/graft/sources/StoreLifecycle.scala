@@ -182,7 +182,15 @@ object StoreLifecycle {
   /** Write a pin lease (`_pins/<id>`: expiry millis, then one manifest
     * name per line; temp + rename like every store metadata write).
     * `manifests` defaults to the store's CURRENT effective snapshot —
-    * the "snapshot and lease it" publish step. Returns the lease.
+    * the "snapshot and lease it" publish step. An EXPLICIT manifest
+    * list is validated against the store's committed manifests (one
+    * listing): naming a manifest that does not exist is refused HERE,
+    * where the caller can still react, instead of deferred to a
+    * `broken_pin` flag at the next vacuum (a lease can still BECOME
+    * broken later — a pre-lease-era vacuum's deletions — which the
+    * vacuum flag continues to catch). Shadowed compaction sources are
+    * valid targets: pinning a pre-compaction snapshot is the feature.
+    * Returns the lease.
     */
   def acquirePin(
       path: String,
@@ -192,20 +200,64 @@ object StoreLifecycle {
       manifests: Option[Seq[String]] = None
   ): PinLease = {
     require(id.matches("[A-Za-z0-9._-]+"), s"pin id must be [A-Za-z0-9._-]+, got: $id")
+    manifests.foreach { names =>
+      val committed = ContentStore.manifestNames(path, hadoopConf).toSet
+      val missing   = names.filterNot(committed)
+      require(missing.isEmpty,
+        s"acquirePin($id): manifests not committed in $path: ${missing.mkString(", ")}")
+    }
     val names = manifests.getOrElse(ContentStore.effectiveManifestNames(path, hadoopConf))
     val lease = PinLease(id, System.currentTimeMillis() + ttlMs, names)
+    writeLease(path, lease, hadoopConf)
+    lease
+  }
+
+  /** Extend a live lease's horizon to now + `ttlMs`, keeping its
+    * manifest set — the long-training-run move that previously forced
+    * over-provisioned TTLs (a run outliving its lease lost its
+    * snapshot at the next vacuum). The lease must exist and be
+    * unexpired: renewing an expired id is refused — its manifests may
+    * already be vacuumed, so silently resurrecting the lease would
+    * manufacture a broken pin; re-acquire (with validation) instead.
+    * Renewal is a read-modify-rename of the lease file; like acquire/
+    * release it is a CONSUMER op racing vacuum at most one lease-read
+    * window (see [[vacuum]]'s pre-delete re-read).
+    */
+  def renewPin(path: String, id: String, ttlMs: Long, hadoopConf: Configuration): PinLease = {
+    val existing = pins(path, hadoopConf).find(_.id == id).getOrElse(
+      throw new IllegalArgumentException(s"renewPin($id): no such lease in $path"))
+    val now = System.currentTimeMillis()
+    if (existing.expiresAtMs <= now)
+      throw new IllegalArgumentException(
+        s"renewPin($id): lease expired at ${existing.expiresAtMs} (now $now) — its manifests " +
+          "may already be vacuumed; re-acquire instead")
+    val renewed = existing.copy(expiresAtMs = now + ttlMs)
+    writeLease(path, renewed, hadoopConf)
+    renewed
+  }
+
+  /** Temp + rename lease write. Rename REPLACES an existing target on
+    * POSIX/HDFS (renewal in place); on a fail-on-existing filesystem
+    * the fallback is delete + rename — a one-metadata-op window where
+    * no lease file exists, acceptable for a consumer op already
+    * covered by vacuum's pre-delete re-read.
+    */
+  private def writeLease(path: String, lease: PinLease, hadoopConf: Configuration): Unit = {
     val (fsys, root) = ContentStore.fs(path, hadoopConf)
     val pinsDir      = new Path(root, "_pins")
     fsys.mkdirs(pinsDir)
-    val tmp = new Path(pinsDir, s".tmp-$id-${UUID.randomUUID()}")
-    val out = fsys.create(tmp, false)
-    try out.write((lease.expiresAtMs.toString +: names).mkString("\n").getBytes("UTF-8"))
+    val target = new Path(pinsDir, lease.id)
+    val tmp    = new Path(pinsDir, s".tmp-${lease.id}-${UUID.randomUUID()}")
+    val out    = fsys.create(tmp, false)
+    try out.write((lease.expiresAtMs.toString +: lease.manifests).mkString("\n").getBytes("UTF-8"))
     finally out.close()
-    if (!fsys.rename(tmp, new Path(pinsDir, id))) {
-      fsys.delete(tmp, false): Unit
-      throw new java.io.IOException(s"ContentStore: pin lease rename failed for $id")
+    if (!fsys.rename(tmp, target)) {
+      fsys.delete(target, false): Unit
+      if (!fsys.rename(tmp, target)) {
+        fsys.delete(tmp, false): Unit
+        throw new java.io.IOException(s"ContentStore: pin lease rename failed for ${lease.id}")
+      }
     }
-    lease
   }
 
   /** Drop a pin lease (the consumer finished early). Idempotent. */
@@ -217,13 +269,11 @@ object StoreLifecycle {
   /** All recorded pin leases (live and expired). One listing +
     * one small read per lease — lease count, never file count.
     *
-    * Unlike compaction/vacuum, acquire/release are CONSUMER
+    * Unlike compaction/vacuum, acquire/release/renew are CONSUMER
     * operations outside the single-maintenance-process contract, so a
     * lease listed here may be released (deleted) before its read — a
     * vanished lease is simply skipped, exactly what a just-released
-    * pin means. (Re-acquiring an existing id renews it where the
-    * filesystem renames over the target — local/POSIX; on
-    * fail-on-existing filesystems renewal is releasePin + acquirePin.)
+    * pin means.
     */
   def pins(path: String, hadoopConf: Configuration): Seq[PinLease] = {
     val (fsys, root) = ContentStore.fs(path, hadoopConf)
@@ -340,10 +390,22 @@ object StoreLifecycle {
           if nameSet(src) && compacts.forall(c => mtime.get(c).exists(t => now - t >= graceMs)) =>
         src
     }.toSet
-    val expired = expirable.filterNot(pinned)
+    // acquire/renew are consumer ops allowed to race this maintenance
+    // pass: a lease landing between the entry snapshot above and the
+    // destructive loop below would not be honored. Re-read `_pins`
+    // immediately before deleting — one extra listing + lease-count
+    // reads, narrowing the unprotected window to the delete loop
+    // itself (a pin acquired INSIDE that window still needs the grace
+    // horizon to cover its acquire latency, the documented contract).
+    val latePinned: Set[String] =
+      if (expirable.isEmpty) Set.empty
+      else
+        pins(path, hadoopConf).filter(_.expiresAtMs > now).flatMap(_.manifests).toSet -- pinned
+    val allPinned = pinned ++ latePinned
+    val expired   = expirable.filterNot(allPinned)
     // report every shadowed manifest a live lease saved from expiry —
     // the operator-visible "why is my store not shrinking" answer
-    (expirable & pinned).toSeq.sorted.foreach(m => out += VacuumAction("pinned_manifest_kept", m))
+    (expirable & allPinned).toSeq.sorted.foreach(m => out += VacuumAction("pinned_manifest_kept", m))
     // a LIVE lease naming a manifest that no longer exists is a broken
     // pin (leased after the fact, or vacuumed by a pre-lease-era run):
     // nothing can be un-deleted, but the consumer deserves a flag
@@ -395,9 +457,25 @@ object StoreLifecycle {
       val dataDirStr  = dataDir.toString
       val cutoff      = now - graceMs
       val survivorPaths = survivors.map(m => new Path(root, s"_manifest/$m").toString)
+      // survivor manifest lines read through the SAME serialized
+      // caller conf as the listing and the deletes (spark.read.textFile
+      // would resolve them with the SESSION's Hadoop conf — on a store
+      // needing conf-specific FS settings the two could diverge)
       val referenced =
         (if (survivorPaths.isEmpty) spark.emptyDataset[String]
-         else spark.read.textFile(survivorPaths: _*))
+         else {
+           val slices = math.max(
+             1, math.min(survivorPaths.size, spark.sparkContext.defaultParallelism))
+           spark.createDataset(
+             spark.sparkContext.parallelize(survivorPaths, slices).flatMap { mp =>
+               val p      = new Path(mp)
+               val fl     = p.getFileSystem(sconf.value)
+               val reader = new java.io.BufferedReader(
+                 new java.io.InputStreamReader(fl.open(p), "UTF-8"))
+               try Iterator.continually(reader.readLine()).takeWhile(_ != null).toList
+               finally reader.close()
+             })
+         })
           .filter(_.nonEmpty)
           .toDF("name")
       // SHARDED listing: one task per recorded `s<k>/` shard plus one

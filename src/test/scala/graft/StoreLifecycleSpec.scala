@@ -332,17 +332,69 @@ class StoreLifecycleSpec extends SparkSpecBase {
     assert(readAll(dir) == Set("a" -> "1"))
   }
 
-  test("a live lease naming a vanished manifest is flagged broken_pin") {
+  test("acquire refuses a lease naming an uncommitted manifest; one broken later is flagged broken_pin") {
     val dir = tmp()
     writeOne(dir, "a" -> "1")
-    StoreLifecycle.acquirePin(dir, "too-late", ttlMs = 3600_000L, hconf,
-      manifests = Some(Seq("epoch-that-never-was"))): Unit
+    // acquire-time validation: the caller learns NOW, not at the next
+    // vacuum (ADVICE r15 / VERDICT-r15 item 3)
+    val e = intercept[IllegalArgumentException] {
+      StoreLifecycle.acquirePin(dir, "too-late", ttlMs = 3600_000L, hconf,
+        manifests = Some(Seq("epoch-that-never-was")))
+    }
+    assert(e.getMessage.contains("epoch-that-never-was"))
+    assert(StoreLifecycle.pins(dir, hconf).isEmpty, "a refused acquire must write nothing")
+    // a lease can still BECOME broken (e.g. a pre-lease-era vacuum
+    // deleted its manifest): vacuum flags it
+    val m = ContentStore.manifestNames(dir, hconf).head
+    StoreLifecycle.acquirePin(dir, "was-valid", ttlMs = 3600_000L, hconf,
+      manifests = Some(Seq(m))): Unit
+    val (fs, root) = ContentStore.fs(dir, hconf)
+    fs.delete(new Path(root, s"_manifest/$m"), false): Unit
     val acts = StoreLifecycle.vacuum(spark, dir, 0L, hconf)
-    assert(acts.contains(StoreLifecycle.VacuumAction("broken_pin", "too-late:epoch-that-never-was")),
-      s"vacuum must flag the unreadable pin: $acts")
+    assert(acts.contains(StoreLifecycle.VacuumAction("broken_pin", s"was-valid:$m")),
+      s"vacuum must flag the broken pin: $acts")
     // the lease itself is live, so it is NOT swept
-    assert(StoreLifecycle.pins(dir, hconf).map(_.id) == Seq("too-late"))
-    StoreLifecycle.releasePin(dir, "too-late", hconf)
+    assert(StoreLifecycle.pins(dir, hconf).map(_.id) == Seq("was-valid"))
+    StoreLifecycle.releasePin(dir, "was-valid", hconf)
+  }
+
+  test("renewPin extends the horizon across a vacuum that would have expired the original TTL") {
+    val dir = tmp()
+    writeOne(dir, "a" -> "1")
+    writeOne(dir, "b" -> "2")
+    val snapshot = ContentStore.snapshotManifests(dir)
+    // a short lease the training run is about to outlive (generous
+    // enough to survive the compaction between acquire and renew)
+    val orig = StoreLifecycle.acquirePin(dir, "long-run", ttlMs = 5000L, hconf)
+    StoreLifecycle.compactEpochs(spark, dir)
+    // the run renews BEFORE expiry; the renewed horizon must carry the
+    // original manifest set
+    val renewed = StoreLifecycle.renewPin(dir, "long-run", ttlMs = 3600_000L, hconf)
+    assert(renewed.manifests == snapshot, "renewal must keep the leased manifest set")
+    // wait out the ORIGINAL horizon, so only the renewal holds the pin
+    val wait = orig.expiresAtMs - System.currentTimeMillis() + 100
+    if (wait > 0) Thread.sleep(wait)
+    val acts = StoreLifecycle.vacuum(spark, dir, 0L, hconf)
+    assert(acts.count(_.kind == "pinned_manifest_kept") == 2 &&
+      !acts.exists(_.kind == "expired_manifest"),
+      s"the renewed lease must keep holding both sources: $acts")
+    // the pinned snapshot still reads
+    import spark.implicits._
+    val pinnedRead = spark.read.format("graft.sources.ContentStore")
+      .option("path", dir).option("manifests", snapshot.mkString(","))
+      .load().as[(String, String)].collect().toSet
+    assert(pinnedRead == Set("a" -> "1", "b" -> "2"))
+    // renewing a missing or expired lease refuses
+    intercept[IllegalArgumentException] {
+      StoreLifecycle.renewPin(dir, "no-such-lease", ttlMs = 1000L, hconf)
+    }
+    StoreLifecycle.releasePin(dir, "long-run", hconf)
+    StoreLifecycle.acquirePin(dir, "already-dead", ttlMs = -1L, hconf): Unit
+    val e2 = intercept[IllegalArgumentException] {
+      StoreLifecycle.renewPin(dir, "already-dead", ttlMs = 1000L, hconf)
+    }
+    assert(e2.getMessage.contains("re-acquire"))
+    StoreLifecycle.releasePin(dir, "already-dead", hconf)
   }
 
   test("an expired lease protects nothing and is itself swept") {
