@@ -25,7 +25,7 @@ object Ingest {
     }: Unit
   }
 
-  private[operators] def scratchDir(prefix: String): String = {
+  private[graft] def scratchDir(prefix: String): String = {
     hook
     val p = java.nio.file.Files.createTempDirectory(prefix)
     scratch.synchronized(scratch += p)
