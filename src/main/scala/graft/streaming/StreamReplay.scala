@@ -98,9 +98,17 @@ object StreamReplay {
     // cap micro-batches fills the ring losslessly. The tell is the
     // batch-id span — lastProgress.batchId + 1 total batches (fresh
     // checkpoints start at 0; every replay here creates one) vs the
-    // ring's length. Only a span the ring can't hold means loss.
+    // ring's DISTINCT batch ids, not its length: no-data/idle progress
+    // events share a batchId with their batch, so a ring padded by
+    // them can evict real entries while totalBatches <= length. Head
+    // check as the second belt: a full ring whose oldest entry is not
+    // batch 0 provably lost the head. (Residual corner: batch 0
+    // emitting BOTH a data and an idle event and losing only the data
+    // one passes both tells — acceptable for spec telemetry.)
     val totalBatches = Option(query.lastProgress).map(_.batchId + 1).getOrElse(0L)
-    if (recent.length >= cap && totalBatches > recent.length) {
+    val distinctIds  = recent.iterator.map(_.batchId).toSet.size
+    if (recent.length >= cap &&
+        (totalBatches > distinctIds || recent.headOption.exists(_.batchId != 0))) {
       System.err.println(
         s"[graft] replay ran >=$cap micro-batches and recentProgress truncated; " +
           "lastBatchCount is unreliable (-1) — raise " +
