@@ -790,24 +790,24 @@ object Dedup {
   ): DataFrame = {
     val isDelta = col("doc_id") % 10 === 0
     val hashes  = t.documents.select(col("doc_id"), normTextHashCol.as("text_hash"))
-    val exactMatch = hashes
-      .filter(isDelta)
+    // delta side broadcast, base side exchange-free — the same
+    // measured shape as persistedProbe (the nightly delta fits a
+    // broadcast; the base-sized index never does)
+    val exactMatch = broadcast(hashes.filter(isDelta))
       .join(
         hashes
           .filter(!isDelta)
-          .select(col("doc_id").as("base_doc"), col("text_hash"))
-          .hint("shuffle_hash"),
+          .select(col("doc_id").as("base_doc"), col("text_hash")),
         "text_hash"
       )
       .groupBy("doc_id")
       .agg(min("base_doc").as("exact_match"))
     val s     = minhashSignatures(t, checkpointDir)
     val bands = bandKeys(s)
-    val candidates = bands
-      .filter(isDelta)
+    val candidates = broadcast(bands.filter(isDelta))
       .as("d")
       .join(
-        bands.filter(!isDelta).as("b").hint("shuffle_hash"),
+        bands.filter(!isDelta).as("b"),
         col("d.band_idx") === col("b.band_idx") && col("d.band_key") === col("b.band_key")
       )
       .select(col("d.doc_id").as("doc_id"), col("b.doc_id").as("base_doc"))
