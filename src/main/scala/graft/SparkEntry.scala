@@ -348,6 +348,13 @@ object SparkEntry {
       graft.streaming.StreamReplay
         .replayColumnarTail(s, d)
         .orderBy("doc_id")),
+    // ...and its STREAMING-WRITE twin (C22h): micro-batches become
+    // epoch-idempotent columnar manifests via foreachBatch + append;
+    // each pinned epoch must list exactly its micro-batch's rows
+    "q_stream_columnar_write" -> ((s, d) =>
+      graft.streaming.StreamReplay
+        .replayColumnarWrite(s, d)
+        .orderBy("epoch", "doc_id")),
     "q_topic_pagecount"    -> ((s, d) => Paging.topicPageCounts(Tables(s, d))),
     "q_settings_override"  -> ((s, d) => Paging.settingsOverride(Tables(s, d))),
     "q_page_arns"          -> ((s, d) => Paging.pageArns(Tables(s, d), topicId = 1, pageNum = 2)),
@@ -1076,6 +1083,9 @@ object SparkEntry {
     "q_stream_columnar_tail" -> // columnar (ParquetEpochs) tail: typed drained corpus == table
       """SELECT doc_id, lang, source, n_chars, text
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_stream_columnar_write" -> // each columnar epoch manifest == its micro-batch exactly
+      """SELECT CAST(doc_id % 4 AS BIGINT) AS epoch, doc_id, lang, n_chars, text
+        |FROM documents ORDER BY 1, 2""".stripMargin,
     "q_topic_pagecount" ->
       """SELECT CAST(c.c_nationkey AS BIGINT) AS topic_id, count(*) AS n_devices,
         |  CAST(floor(count(*)/100)+1 AS BIGINT) AS page_count

@@ -259,6 +259,49 @@ object ParquetEpochs {
     spark.read.parquet(files: _*)
   }
 
+  /** STREAMING append leg — the write-side twin of the
+    * [[ColumnarStore]] tail, completing the columnar store's
+    * read/write × batch/streaming matrix: each micro-batch becomes ONE
+    * manifest-committed columnar epoch via `foreachBatch` + [[append]].
+    *
+    * Exactly-once on the engine's at-least-once replay: the manifest
+    * name is keyed (writer id, batchId), and the writer id derives
+    * from the CHECKPOINT location — stable across restarts of the same
+    * logical query (the engine's own query id is not available before
+    * `start()`), distinct for different queries sharing a store. A
+    * crash-restart replays the batch, stages fresh parquet parts, and
+    * loses the idempotent manifest rename — the replayed files are
+    * dropped by [[ContentStoreWrite.writeManifest]]'s
+    * already-committed path, exactly the K-V STREAMING_WRITE protocol.
+    *
+    * This is deliberately `foreachBatch`, not a DSv2 StreamingWrite:
+    * the epoch commit is a driver-side manifest operation around a
+    * distributed parquet stage (the [[append]] protocol), and
+    * duplicating it as connector machinery would add surface without
+    * capability.
+    */
+  def streamingAppend(
+      stream: DataFrame,
+      storeDir: String,
+      checkpoint: String,
+      availableNow: Boolean = false,
+      dataShards: Int = 0
+  ): org.apache.spark.sql.streaming.StreamingQuery = {
+    val writerId = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(checkpoint.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+    val base = stream.writeStream
+    (if (availableNow)
+       base.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+     else base)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
+        append(batch, storeDir,
+          manifestName = Some(s"epoch-pq-$writerId-$batchId"),
+          dataShards = dataShards): Unit
+      }
+      .start()
+  }
+
   /** The live snapshot to pin — identical semantics to
     * [[ContentStore.snapshotManifests]] (it IS that call; the manifest
     * layer is shared).

@@ -719,6 +719,56 @@ object StreamReplay {
     spark.read.parquet(out)
   }
 
+  /** The COLUMNAR store's STREAMING-WRITE leg under the gate — the
+    * write-side twin of [[replayColumnarTail]] and the typed sibling
+    * of [[replayDocumentsToStore]]: the typed documents corpus streams
+    * from time-ordered slice files (one per micro-batch) through
+    * [[graft.sources.ParquetEpochs.streamingAppend]] into a fresh
+    * columnar store; each published epoch manifest is then read back
+    * PINNED and must list exactly its micro-batch's rows — the
+    * foreachBatch epoch-commit protocol itself under the hash.
+    */
+  def replayColumnarWrite(spark: SparkSession, sfDir: String, slices: Int = 4): DataFrame = {
+    val inDir = cachedSlices(s"docstore-typed|$sfDir|$slices") { dir =>
+      val docs = Tables(spark, sfDir).documents.select(
+        col("doc_id"), col("lang"), col("n_chars"), col("text"),
+        pmod(col("doc_id"), lit(slices)).as("slice")
+      )
+      for (i <- 0 until slices)
+        writeSlice(dir, i, docs.filter(col("slice") === i).drop("slice"))
+    }
+    val run   = Files.createDirectories(root.resolve(f"run-${runCounter.getAndIncrement()}%04d"))
+    val store = run.resolve("store").toString
+    val ckpt  = run.resolve("ckpt").toString
+    val spKey = "spark.sql.shuffle.partitions"
+    val prev  = spark.conf.get(spKey)
+    spark.conf.set(spKey, math.min(ReplayShuffleWidth, prev.toInt).toString)
+    try {
+      val query = graft.sources.ParquetEpochs.streamingAppend(
+        spark.readStream
+          .schema("doc_id LONG, lang STRING, n_chars LONG, text STRING")
+          .option("maxFilesPerTrigger", "1")
+          .parquet(inDir.toString),
+        store,
+        ckpt,
+        availableNow = true
+      )
+      query.awaitTermination()
+      recordBatchCount(query)
+    } finally spark.conf.set(spKey, prev)
+    // one committed manifest per epoch, named epoch-pq-<writer>-<id>;
+    // pin the read to each manifest and tag rows with its epoch id
+    graft.sources.ParquetEpochs
+      .snapshot(store)
+      .map { m =>
+        val epoch = m.substring(m.lastIndexOf('-') + 1).toLong
+        graft.sources.ParquetEpochs
+          .read(spark, store, Seq(m))
+          .select(lit(epoch).as("epoch"), col("doc_id"), col("lang"), col("n_chars"), col("text"))
+      }
+      .reduce(_.unionAll(_))
+  }
+
   private def replayEventsMulti(
       spark: SparkSession,
       sfDir: String,

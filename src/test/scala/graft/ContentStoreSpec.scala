@@ -303,6 +303,50 @@ class ContentStoreSpec extends SparkSpecBase {
     assert(drain() == Set(1L, 2L, 3L), "compaction must not replay consumed rows")
   }
 
+  test("columnar streamingAppend: one epoch per micro-batch, exactly-once across restarts") {
+    import spark.implicits._
+    val src  = tmp()
+    val dir  = tmp()
+    val ckpt = tmp()
+    def addSlice(name: String, rows: (Long, String)*): Unit =
+      rows.toSeq.toDF("id", "name").coalesce(1).write.parquet(s"$src/$name")
+    def drain(): Unit = {
+      val q = graft.sources.ParquetEpochs.streamingAppend(
+        spark.readStream.schema("id LONG, name STRING")
+          .option("maxFilesPerTrigger", "1")
+          .option("recursiveFileLookup", "true")
+          .parquet(src),
+        dir, ckpt, availableNow = true)
+      q.awaitTermination()
+    }
+    addSlice("s0", (1L, "a"), (2L, "b"))
+    addSlice("s1", (3L, "c"))
+    drain()
+    val manifests1 = graft.sources.ParquetEpochs.snapshot(dir)
+    assert(manifests1.size == 2 && manifests1.forall(_.startsWith("epoch-pq-")),
+      s"one epoch manifest per micro-batch: $manifests1")
+    // restart with nothing new: no new manifests, no replayed rows
+    drain()
+    assert(graft.sources.ParquetEpochs.snapshot(dir) == manifests1)
+    // new slice while the writer is down; the restart appends ONLY it
+    addSlice("s2", (4L, "d"))
+    drain()
+    val all = graft.sources.ParquetEpochs.read(
+      spark, dir, graft.sources.ParquetEpochs.snapshot(dir))
+    assert(all.as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")))
+    // a REPLAYED epoch commit (same manifest name) is a no-op: files
+    // staged by the replay are dropped, the store is unchanged
+    val before = graft.sources.ParquetEpochs.snapshot(dir).toSet
+    graft.sources.ParquetEpochs.append(
+      Seq((99L, "zombie")).toDF("id", "name"), dir,
+      manifestName = Some(before.head)): Unit
+    assert(graft.sources.ParquetEpochs.snapshot(dir).toSet == before)
+    assert(!graft.sources.ParquetEpochs.read(spark, dir, before.toSeq)
+      .as[(Long, String)].collect().toSet.contains((99L, "zombie")),
+      "replayed epoch's files must be dropped, not merged")
+  }
+
   test("schema is one-per-store: a mismatched columnar append refuses") {
     import spark.implicits._
     val dir = tmp()
