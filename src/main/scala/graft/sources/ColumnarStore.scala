@@ -69,12 +69,13 @@ class ColumnarStore extends TableProvider {
     require(path != null && path.nonEmpty, "ColumnarStore requires a 'path' option")
     val conf = ContentStore.driverHadoopConf()
     ColumnarStore.requireParquet(path, conf)
-    ParquetEpochs
+    val full = ParquetEpochs
       .recordedSchema(path, conf)
       .getOrElse(
         throw new IllegalStateException(
           s"ColumnarStore: store $path has no recorded _schema (written before the marker " +
             "existed) — one ParquetEpochs.append heals it forward"))
+    ColumnarStore.applyColumns(full, Option(options.get("columns")), path)
   }
 
   override def supportsExternalMetadata(): Boolean = true
@@ -100,6 +101,35 @@ private[graft] object ColumnarStore {
       throw new IllegalStateException(
         s"ColumnarStore: store $path is not a columnar (ParquetEpochs) store; " +
           "use graft.sources.ContentStore for K-V stores")
+
+  /** Apply the `columns` option (comma-separated subset, store order
+    * preserved) to the recorded schema. This is the streaming path's
+    * COLUMN PRUNING: the engine never calls pruneColumns on a
+    * MicroBatchStream scan (verified — a SupportsPushDownRequiredColumns
+    * builder's hook never fires under a projected streaming query), so
+    * a relay that needs two columns of a text-heavy store would read
+    * every text chunk of every epoch without this. The pruned schema
+    * reaches the parquet reader's requested-schema conf and parquet
+    * skips the unselected column chunks entirely. Measured honestly:
+    * on the sf0.1 documents shape a (doc_id, n_chars) read touches
+    * 6.2% of the store's bytes (the text chunks are 93.4%) — 16× less
+    * I/O, which is the 100 TB cost driver on cold object storage;
+    * local page-cached wall time does NOT separate (1.4-1.7 s either
+    * way at 1M rows, ScratchColumnarTail), because snappy decode at 32
+    * threads is not the bottleneck a network read is.
+    */
+  def applyColumns(full: StructType, columns: Option[String], path: String): StructType =
+    columns.map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty)) match {
+      case None | Some(Seq()) => full
+      case Some(names) =>
+        val known   = full.fieldNames.toSet
+        val unknown = names.filterNot(known)
+        require(unknown.isEmpty,
+          s"ColumnarStore: store $path has no column(s) ${unknown.mkString(", ")} " +
+            s"(recorded schema: ${full.catalogString})")
+        val wanted = names.toSet
+        StructType(full.fields.filter(f => wanted(f.name)))
+    }
 }
 
 private[graft] class ColumnarStoreTable(path: String, tableSchema: StructType)
@@ -120,7 +150,13 @@ private[graft] class ColumnarStoreTable(path: String, tableSchema: StructType)
         override def readSchema(): StructType = tableSchema
         // batch reads go through ParquetEpochs.read (a plain parquet
         // scan with full pushdown/pruning — strictly better than any
-        // re-implementation here); this surface is the streaming leg
+        // re-implementation here); this surface is the streaming leg.
+        // Column pruning arrives via the `columns` OPTION at table
+        // resolution (ColumnarStore.applyColumns): the engine does not
+        // call pruneColumns on streaming scans, and a ColumnarBatch
+        // handoff measured no win over the row reader at 1M rows
+        // (ScratchColumnarTail: 1.50-1.62 vs 1.44-1.68 s aggregate
+        // drains) — so neither ships.
         override def toMicroBatchStream(
             checkpointLocation: String
         ): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
@@ -163,7 +199,7 @@ private[graft] class ColumnarStoreReaderFactory(
     conf: SerializableConfiguration
 ) extends PartitionReaderFactory {
 
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+  private def open(partition: InputPartition): VectorizedParquetRecordReader = {
     val p            = partition.asInstanceOf[StoreFilePartition]
     val (fsys, root) = ContentStore.fs(p.path, conf.value)
     val file         = new Path(root, s"data/${p.file}")
@@ -201,6 +237,11 @@ private[graft] class ColumnarStoreReaderFactory(
         reader.close()
         throw new java.io.IOException(s"ColumnarStore: cannot open parquet part $file", e)
     }
+    reader
+  }
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val reader = open(partition)
     new PartitionReader[InternalRow] {
       override def next(): Boolean    = reader.nextKeyValue()
       override def get(): InternalRow = reader.getCurrentValue.asInstanceOf[InternalRow]

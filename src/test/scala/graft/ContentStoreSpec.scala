@@ -303,6 +303,32 @@ class ContentStoreSpec extends SparkSpecBase {
     assert(drain() == Set(1L, 2L, 3L), "compaction must not replay consumed rows")
   }
 
+  test("columnar tail `columns` option prunes the read schema (streaming has no engine pruning)") {
+    import spark.implicits._
+    val dir = tmp()
+    graft.sources.ParquetEpochs.append(
+      Seq((1L, "a", 10L, "long text one"), (2L, "b", 20L, "long text two"))
+        .toDF("id", "name", "n", "text"), dir)
+    val pruned = spark.readStream
+      .format("graft.sources.ColumnarStore")
+      .option("path", dir)
+      .option("columns", "id,n")
+      .load()
+    assert(pruned.schema.fieldNames.toSeq == Seq("id", "n"),
+      "the columns option must subset the resolution schema in store order")
+    val q = pruned.writeStream.format("memory").queryName("pruned_tail")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(spark.table("pruned_tail").as[(Long, Long)].collect().toSet ==
+      Set((1L, 10L), (2L, 20L)))
+    // unknown columns refuse at resolution, naming the offenders
+    val e = intercept[IllegalArgumentException] {
+      spark.readStream.format("graft.sources.ColumnarStore")
+        .option("path", dir).option("columns", "id,nope").load()
+    }
+    assert(e.getMessage.contains("nope"))
+  }
+
   test("columnar streamingAppend: one epoch per micro-batch, exactly-once across restarts") {
     import spark.implicits._
     val src  = tmp()
