@@ -348,6 +348,14 @@ object SparkEntry {
       graft.streaming.StreamReplay
         .replayColumnarTail(s, d)
         .orderBy("doc_id")),
+    // ...the PRUNED tail (C22g's `columns` option under the hash): the
+    // read schema subsets to (doc_id, n_chars) at resolution, parquet
+    // skips the text chunks (93% of store bytes), and the drained
+    // two-column corpus must still reproduce the table exactly
+    "q_stream_columnar_tail_pruned" -> ((s, d) =>
+      graft.streaming.StreamReplay
+        .replayColumnarTail(s, d, columns = Some("doc_id,n_chars"))
+        .orderBy("doc_id")),
     // ...and its STREAMING-WRITE twin (C22h): micro-batches become
     // epoch-idempotent columnar manifests via foreachBatch + append;
     // each pinned epoch must list exactly its micro-batch's rows
@@ -1083,6 +1091,8 @@ object SparkEntry {
     "q_stream_columnar_tail" -> // columnar (ParquetEpochs) tail: typed drained corpus == table
       """SELECT doc_id, lang, source, n_chars, text
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_stream_columnar_tail_pruned" -> // columns-option tail: pruned drained corpus == table
+      """SELECT doc_id, n_chars FROM documents ORDER BY doc_id""",
     "q_stream_columnar_write" -> // each columnar epoch manifest == its micro-batch exactly
       """SELECT CAST(doc_id % 4 AS BIGINT) AS epoch, doc_id, lang, n_chars, text
         |FROM documents ORDER BY 1, 2""".stripMargin,

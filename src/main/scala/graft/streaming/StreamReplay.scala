@@ -687,7 +687,12 @@ object StreamReplay {
     * store's recorded `_schema` (long/string/long columns, not the K-V
     * string pair).
     */
-  def replayColumnarTail(spark: SparkSession, sfDir: String, writes: Int = 4): DataFrame = {
+  def replayColumnarTail(
+      spark: SparkSession,
+      sfDir: String,
+      writes: Int = 4,
+      columns: Option[String] = None
+  ): DataFrame = {
     val run   = Files.createDirectories(root.resolve(f"run-${runCounter.getAndIncrement()}%04d"))
     val store = run.resolve("store").toString
     val out   = run.resolve("out").toString
@@ -701,10 +706,11 @@ object StreamReplay {
     val prev  = spark.conf.get(spKey)
     spark.conf.set(spKey, math.min(ReplayShuffleWidth, prev.toInt).toString)
     try {
-      val query = spark.readStream
+      val reader = spark.readStream
         .format("graft.sources.ColumnarStore")
         .option("path", store)
         .option("maxFilesPerTrigger", "1")
+      val query = columns.fold(reader)(c => reader.option("columns", c))
         .load()
         .writeStream
         .format("parquet")
