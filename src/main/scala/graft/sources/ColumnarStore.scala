@@ -53,10 +53,14 @@ import org.apache.spark.util.SerializableConfiguration
   *
   * Read-only by design: appends are manifest-commit operations
   * ([[ParquetEpochs.append]] — distributed parquet stage + atomic
-  * manifest rename), not row writes; a STREAMING_WRITE leg would
-  * duplicate that protocol for no new capability (foreachBatch +
-  * append covers the rare stream-into-columnar case, epoch-idempotent
-  * via the batchId-derived manifest name).
+  * manifest rename), not row writes; the streaming WRITE leg is
+  * [[ParquetEpochs.streamingAppend]] (foreachBatch + epoch-idempotent
+  * manifest names), not a DSv2 StreamingWrite that would duplicate
+  * that protocol.
+  *
+  * `columns` option: explicit projection pushed to the parquet read
+  * (see [[ColumnarStore.applyColumns]] for the measurement) — the
+  * engine does not prune streaming scans itself.
   *
   * Reference analog: the S3-put → S3-notify → Lambda handoff
   * (s3_lambda/download.go:60-92) that A18 models, now for typed
