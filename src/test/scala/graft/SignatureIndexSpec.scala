@@ -77,6 +77,14 @@ class SignatureIndexSpec extends SparkSpecBase {
     assert(!plan.contains("FileScan"), s"probe plan re-scans a file source:\n$plan")
     assert(!plan.contains("graft_content_store"),
       s"probe plan re-reads the store per consumer instead of the materialized index:\n$plan")
+    // exchange-free index side (r16, measured 0.595 → 0.364 s at
+    // sf0.1): BOTH probe joins broadcast the delta, so the index-side
+    // subtrees must carry NO shuffle — a ShuffledHashJoin here means
+    // the exploded band keys (32/doc) go through the wire again
+    assert(!plan.contains("ShuffledHashJoin"),
+      s"probe must broadcast the delta side, not shuffle the index:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"probe joins must plan as broadcast (delta build side):\n$plan")
     assert(
       verdictRows(probe) == Seq(
         (100L, "new", None, None),
