@@ -485,8 +485,8 @@ object SparkEntry {
     "pipeline_snapshot_diff" -> ((s, d) => Curation.snapshotDiff(Tables(s, d))),
     "dedup_incremental"    -> ((s, d) => Dedup.incrementalDedup(Tables(s, d))),
     "dedup_incremental_lsh" -> ((s, d) => Dedup.incrementalDedupLsh(Tables(s, d))),
-    "dedup_incremental_persisted" -> ((s, d) => Dedup.incrementalDedupPersisted(Tables(s, d))),
-    "dedup_incremental_columnar" -> ((s, d) => Dedup.incrementalDedupColumnar(Tables(s, d))),
+    "dedup_incremental_persisted" -> ((s, d) => Dedup.incrementalDedupPersisted(Tables(s, d), Dedup.JaccardTau)),
+    "dedup_incremental_columnar" -> ((s, d) => Dedup.incrementalDedupColumnar(Tables(s, d), Dedup.JaccardTau)),
     "text_bpe_merges"      -> ((s, d) => TextOps.bpeMergeCandidates(Tables(s, d))),
     "text_bpe_apply"       -> ((s, d) => TextOps.bpeApply(Tables(s, d))),
     "text_vocab_coverage"  -> ((s, d) => TextOps.vocabCoverage(Tables(s, d))),

@@ -786,28 +786,35 @@ object Dedup {
   def incrementalDedupLsh(
       t: Tables,
       tau: Double = JaccardTau,
-      checkpointDir: Option[String] = None
+      checkpointDir: Option[String] = None,
+      broadcastDelta: Boolean = true
   ): DataFrame = {
     val isDelta = col("doc_id") % 10 === 0
     val hashes  = t.documents.select(col("doc_id"), normTextHashCol.as("text_hash"))
     // delta side broadcast, base side exchange-free — the same
     // measured shape as persistedProbe (the nightly delta fits a
-    // broadcast; the base-sized index never does)
-    val exactMatch = broadcast(hashes.filter(isDelta))
+    // broadcast; the base-sized index never does).
+    // broadcastDelta=false is the over-threshold escape hatch here
+    // exactly as on persistedProbe — without it the forced hint would
+    // bypass the size threshold and an over-sized delta would fail
+    // (driver OOM / broadcast limit) with no way to opt out.
+    def small(df: DataFrame): DataFrame = if (broadcastDelta) broadcast(df) else df
+    def big(df: DataFrame): DataFrame   = if (broadcastDelta) df else df.hint("shuffle_hash")
+    val exactMatch = small(hashes.filter(isDelta))
       .join(
-        hashes
+        big(hashes
           .filter(!isDelta)
-          .select(col("doc_id").as("base_doc"), col("text_hash")),
+          .select(col("doc_id").as("base_doc"), col("text_hash"))),
         "text_hash"
       )
       .groupBy("doc_id")
       .agg(min("base_doc").as("exact_match"))
     val s     = minhashSignatures(t, checkpointDir)
     val bands = bandKeys(s)
-    val candidates = broadcast(bands.filter(isDelta))
+    val candidates = small(bands.filter(isDelta))
       .as("d")
       .join(
-        bands.filter(!isDelta).as("b"),
+        big(bands.filter(!isDelta)).as("b"),
         col("d.band_idx") === col("b.band_idx") && col("d.band_key") === col("b.band_key")
       )
       .select(col("d.doc_id").as("doc_id"), col("b.doc_id").as("base_doc"))
@@ -986,13 +993,15 @@ object Dedup {
       delta: DataFrame,
       storeDir: String,
       manifests: Seq[String],
-      tau: Double
+      tau: Double,
+      broadcastDelta: Boolean = true
   ): DataFrame =
     persistedProbe(
       delta,
       indexRowsOn(spark, delta),
       readSignatureIndex(spark, storeDir, manifests).localCheckpoint(),
-      tau
+      tau,
+      broadcastDelta
     )
 
   /** The probe body shared by the JSON-payload (C22e) and columnar
@@ -1045,7 +1054,7 @@ object Dedup {
     * the probe, which is the deployment cost model (the index write is
     * the amortized once asset build).
     */
-  def incrementalDedupPersisted(t: Tables, tau: Double = JaccardTau): DataFrame = {
+  def incrementalDedupPersisted(t: Tables, tau: Double): DataFrame = {
     val (store, pin) = sharedBaseIndex(t)
     incrementalDedupPersisted(
       t.spark,
@@ -1147,13 +1156,15 @@ object Dedup {
       delta: DataFrame,
       storeDir: String,
       manifests: Seq[String],
-      tau: Double
+      tau: Double,
+      broadcastDelta: Boolean = true
   ): DataFrame =
     persistedProbe(
       delta,
       indexRowsOn(spark, delta),
       readSignatureIndexColumnar(spark, storeDir, manifests),
-      tau
+      tau,
+      broadcastDelta
     )
 
   /** Measurement twin of [[incrementalDedupColumnar]] with the JSON
@@ -1179,7 +1190,7 @@ object Dedup {
     * model (index built once per (corpus, JVM), pinned at write time;
     * repeat runs pay only the probe) over the columnar asset.
     */
-  def incrementalDedupColumnar(t: Tables, tau: Double = JaccardTau): DataFrame = {
+  def incrementalDedupColumnar(t: Tables, tau: Double): DataFrame = {
     val (store, pin) = sharedColumnarIndex(t)
     incrementalDedupColumnar(
       t.spark,

@@ -184,7 +184,60 @@ private[graft] class ColumnarMicroBatchStream(
     schema: StructType
 ) extends StoreMicroBatchStream(path, conf, checkpointLocation, maxFilesPerTrigger, compactInterval) {
   override def createReaderFactory(): PartitionReaderFactory =
-    new ColumnarStoreReaderFactory(schema, conf)
+    new ColumnarStoreReaderFactory(schema, conf, ParquetConverterFlags.fromActiveSession())
+}
+
+/** The five schema-converter flags ParquetReadSupport reads from the
+  * task conf with NO defaults. Captured from the ACTIVE session's
+  * SQLConf at scan build time (driver side) rather than hardcoded at
+  * engine defaults, so a session running with e.g.
+  * `spark.sql.caseSensitive=true` or a changed parquet flag reads
+  * columnar stores under the SAME semantics as every other parquet
+  * scan in that session.
+  */
+private[graft] case class ParquetConverterFlags(
+    caseSensitive: Boolean,
+    binaryAsString: Boolean,
+    int96AsTimestamp: Boolean,
+    inferTimestampNTZ: Boolean,
+    nanosAsLong: Boolean
+) extends Serializable {
+  def stamp(taskConf: Configuration): Unit = {
+    taskConf.setBoolean("spark.sql.caseSensitive", caseSensitive)
+    taskConf.setBoolean("spark.sql.parquet.binaryAsString", binaryAsString)
+    taskConf.setBoolean("spark.sql.parquet.int96AsTimestamp", int96AsTimestamp)
+    taskConf.setBoolean("spark.sql.parquet.inferTimestampNTZ.enabled", inferTimestampNTZ)
+    taskConf.setBoolean("spark.sql.legacy.parquet.nanosAsLong", nanosAsLong)
+  }
+}
+
+private[graft] object ParquetConverterFlags {
+  /** Engine defaults — the values stamped before this existed; the
+    * fallback when no session is active on the building thread.
+    */
+  val defaults: ParquetConverterFlags =
+    ParquetConverterFlags(
+      caseSensitive = false,
+      binaryAsString = false,
+      int96AsTimestamp = true,
+      inferTimestampNTZ = true,
+      nanosAsLong = false)
+
+  def fromActiveSession(): ParquetConverterFlags =
+    org.apache.spark.sql.SparkSession.getActiveSession match {
+      case Some(s) =>
+        val c = s.sessionState.conf
+        def flag(key: String, dflt: Boolean): Boolean =
+          c.getConfString(key, dflt.toString).toBoolean
+        ParquetConverterFlags(
+          caseSensitive = c.caseSensitiveAnalysis,
+          binaryAsString = flag("spark.sql.parquet.binaryAsString", defaults.binaryAsString),
+          int96AsTimestamp = flag("spark.sql.parquet.int96AsTimestamp", defaults.int96AsTimestamp),
+          inferTimestampNTZ =
+            flag("spark.sql.parquet.inferTimestampNTZ.enabled", defaults.inferTimestampNTZ),
+          nanosAsLong = flag("spark.sql.legacy.parquet.nanosAsLong", defaults.nanosAsLong))
+      case None => defaults
+    }
 }
 
 /** One vectorized parquet reader per admitted data file. The reader is
@@ -200,7 +253,8 @@ private[graft] class ColumnarMicroBatchStream(
   */
 private[graft] class ColumnarStoreReaderFactory(
     schema: StructType,
-    conf: SerializableConfiguration
+    conf: SerializableConfiguration,
+    flags: ParquetConverterFlags = ParquetConverterFlags.defaults
 ) extends PartitionReaderFactory {
 
   private def open(partition: InputPartition): VectorizedParquetRecordReader = {
@@ -218,12 +272,9 @@ private[graft] class ColumnarStoreReaderFactory(
       "org.apache.spark.sql.execution.datasources.parquet.ParquetReadSupport")
     // the schema converter reads all five flags from the task conf
     // with NO defaults (ParquetFileFormat always stamps them) — every
-    // one must be present, at the engine's default values
-    taskConf.setBoolean("spark.sql.caseSensitive", false)
-    taskConf.setBoolean("spark.sql.parquet.binaryAsString", false)
-    taskConf.setBoolean("spark.sql.parquet.int96AsTimestamp", true)
-    taskConf.setBoolean("spark.sql.parquet.inferTimestampNTZ.enabled", true)
-    taskConf.setBoolean("spark.sql.legacy.parquet.nanosAsLong", false)
+    // one must be present, at the values the BUILDING session ran with
+    // (captured at scan build; see ParquetConverterFlags)
+    flags.stamp(taskConf)
     val reader = new VectorizedParquetRecordReader(
       /* convertTz = */ null,
       /* datetimeRebaseMode = */ "CORRECTED", /* datetimeRebaseTz = */ "UTC",

@@ -346,6 +346,49 @@ object ContentStore {
     finally reader.close()
   }
 
+  /** How long an EMPTY layout marker (`_buckets`/`_datashards`/
+    * `_format`/`_schema`) must sit unmodified before a writer may heal
+    * it (delete + re-record). An empty read is ambiguous: a writer
+    * that CRASHED between create and close (permanently empty — heal
+    * it), or a concurrent racer observed in the microseconds between
+    * ITS create and close (about to become valid — deleting it would
+    * let both writers pass validation with DIFFERENT values, silently
+    * breaking the one-record-per-store invariant). mtime disambiguates:
+    * only a marker older than this grace is crash residue.
+    */
+  private[graft] val MarkerHealGraceMs = 10000L
+
+  /** Resolve an empty-marker read without breaking the first-write-
+    * wins invariant: retry the read with a short backoff (a racing
+    * writer's close is microseconds away — the common resolution),
+    * then delete ONLY a marker whose mtime is past
+    * [[MarkerHealGraceMs]] (true crash residue). A fresh-but-still-
+    * empty marker is left in place — the caller's re-read fails its
+    * own validation and the NEXT writer past the grace heals it; the
+    * conservative failure, vs the silent split-brain the eager delete
+    * risked.
+    */
+  private[graft] def healEmptyMarker(
+      filesystem: org.apache.hadoop.fs.FileSystem,
+      marker: Path,
+      readValid: () => Boolean,
+      graceMs: Long = MarkerHealGraceMs
+  ): Unit = {
+    var tries = 0
+    var valid = readValid()
+    while (!valid && tries < 5) {
+      Thread.sleep(20L << tries)
+      tries += 1
+      valid = readValid()
+    }
+    if (!valid) {
+      val stale =
+        try System.currentTimeMillis() - filesystem.getFileStatus(marker).getModificationTime >= graceMs
+        catch { case _: java.io.FileNotFoundException => false } // vanished — another healer won
+      if (stale) filesystem.delete(marker, false): Unit
+    }
+  }
+
   /** Payload FORMAT of the store's data files, recorded once by the
     * first columnar append (`_format` = "parquet"). Absent = the K-V
     * line format (the default, and every legacy store). The same
@@ -772,10 +815,12 @@ private[graft] object ContentStoreWrite {
         }
         var now = tryRecord()
         if (now == 0) {
-          // an existing-but-unparseable file is a writer that crashed
-          // between create and close — heal (delete, re-record once);
+          // an existing-but-empty file is EITHER a crashed writer OR a
+          // racer observed between its create and close — retry, then
+          // heal only past the mtime grace (healEmptyMarker scaladoc);
           // the delete+create race still has exactly one winner
-          filesystem.delete(new Path(root, "_buckets"), false): Unit
+          ContentStore.healEmptyMarker(filesystem, new Path(root, "_buckets"),
+            () => ContentStore.recordedBuckets(path, hadoopConf) != 0)
           now = tryRecord()
         }
         if (now != buckets)
@@ -809,7 +854,8 @@ private[graft] object ContentStoreWrite {
         }
         var now = tryRecord()
         if (now == 0) {
-          filesystem.delete(new Path(root, "_datashards"), false): Unit
+          ContentStore.healEmptyMarker(filesystem, new Path(root, "_datashards"),
+            () => ContentStore.recordedDataShards(path, hadoopConf) != 0)
           now = tryRecord()
         }
         if (now != dataShards)

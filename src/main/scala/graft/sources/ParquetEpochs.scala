@@ -143,8 +143,9 @@ object ParquetEpochs {
           ContentStore.recordedFormat(storeDir, conf)
         }
         var now = tryRecord()
-        if (now.isEmpty) { // crashed-empty heal, the _buckets pattern
-          fsys.delete(new Path(root, "_format"), false): Unit
+        if (now.isEmpty) { // crashed-empty heal, the _buckets pattern (mtime-gated)
+          ContentStore.healEmptyMarker(fsys, new Path(root, "_format"),
+            () => ContentStore.recordedFormat(storeDir, conf).nonEmpty)
           now = tryRecord()
         }
         if (!now.contains("parquet"))
@@ -214,8 +215,9 @@ object ParquetEpochs {
           recordedSchema(storeDir, conf)
         }
         var now = tryRecord()
-        if (now.isEmpty) { // crashed-empty heal, the _buckets pattern
-          fsys.delete(new Path(root, "_schema"), false): Unit
+        if (now.isEmpty) { // crashed-empty heal, the _buckets pattern (mtime-gated)
+          ContentStore.healEmptyMarker(fsys, new Path(root, "_schema"),
+            () => recordedSchema(storeDir, conf).nonEmpty)
           now = tryRecord()
         }
         now match {
@@ -287,8 +289,18 @@ object ParquetEpochs {
       availableNow: Boolean = false,
       dataShards: Int = 0
   ): org.apache.spark.sql.streaming.StreamingQuery = {
+    // the writer id must be stable across RESTARTS of the same logical
+    // query, and a restart may spell the same checkpoint differently
+    // (relative vs absolute, trailing slash, file: scheme) — hash the
+    // FS-qualified URI, not the raw string, or a replayed micro-batch
+    // commits under a fresh manifest name and duplicates its rows
+    // instead of hitting the idempotent already-committed path
+    val qualified = {
+      val (fsys, _) = ContentStore.fs(checkpoint, ContentStore.driverHadoopConf())
+      fsys.makeQualified(new Path(checkpoint)).toUri.toString.stripSuffix("/")
+    }
     val writerId = java.security.MessageDigest.getInstance("SHA-256")
-      .digest(checkpoint.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+      .digest(qualified.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
     val base = stream.writeStream
     (if (availableNow)
        base.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

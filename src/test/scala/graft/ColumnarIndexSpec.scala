@@ -41,8 +41,8 @@ class ColumnarIndexSpec extends SparkSpecBase {
   private val textX = "red orange yellow green blue indigo violet cyan magenta umber teal pink"
 
   test("columnar probe equals the JSON persisted probe and the in-memory probe row for row") {
-    val columnar = verdictRows(Dedup.incrementalDedupColumnar(tables))
-    assert(columnar == verdictRows(Dedup.incrementalDedupPersisted(tables)))
+    val columnar = verdictRows(Dedup.incrementalDedupColumnar(tables, Dedup.JaccardTau))
+    assert(columnar == verdictRows(Dedup.incrementalDedupPersisted(tables, Dedup.JaccardTau)))
     assert(columnar == verdictRows(Dedup.incrementalDedup(tables)))
   }
 

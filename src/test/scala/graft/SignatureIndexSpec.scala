@@ -49,7 +49,7 @@ class SignatureIndexSpec extends SparkSpecBase {
     // corpus (band-miss prob (1-s^4)^32 ≈ 1e-15 at the s≈0.9 corpus
     // near-dups; the pinned snapshot removes any run-order dependence)
     assert(
-      verdictRows(Dedup.incrementalDedupPersisted(tables)) ==
+      verdictRows(Dedup.incrementalDedupPersisted(tables, Dedup.JaccardTau)) ==
         verdictRows(Dedup.incrementalDedup(tables))
     )
   }

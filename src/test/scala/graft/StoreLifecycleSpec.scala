@@ -120,11 +120,16 @@ class StoreLifecycleSpec extends SparkSpecBase {
     // create-exclusive means a writer that dies between create and
     // close leaves an EMPTY _buckets; the next bucketed commit must
     // heal it (delete + re-record) instead of refusing forever, and
-    // vacuum must never touch the layout metadata
+    // vacuum must never touch the layout metadata. The heal is
+    // mtime-gated (a FRESH empty marker may be a concurrent racer
+    // mid-close, not crash residue — see the fresh-marker test), so
+    // the crash artifact is backdated past the grace here.
     val dir = tmp()
     val (fs, root) = ContentStore.fs(dir, hconf)
     fs.mkdirs(root)
-    fs.create(new Path(root, "_buckets"), false).close() // the crash artifact
+    val marker = new Path(root, "_buckets")
+    fs.create(marker, false).close() // the crash artifact
+    fs.setTimes(marker, System.currentTimeMillis() - 2 * ContentStore.MarkerHealGraceMs, -1)
     assert(ContentStore.recordedBuckets(dir, hconf) == 0)
     Seq("a" -> "1", "b" -> "2").toDF("result_key", "payload")
       .write.format("graft.sources.ContentStore")
@@ -133,6 +138,30 @@ class StoreLifecycleSpec extends SparkSpecBase {
     assert(StoreLifecycle.vacuum(spark, dir, 0L, hconf).isEmpty)
     assert(ContentStore.recordedBuckets(dir, hconf) == 2, "vacuum must spare the layout metadata")
     assert(readAll(dir) == Set("a" -> "1", "b" -> "2"))
+  }
+
+  test("a FRESH empty _buckets marker refuses the commit instead of healing") {
+    import spark.implicits._
+    // the split-brain guard: an empty marker younger than the grace
+    // may be a concurrent first commit observed between ITS create and
+    // close — deleting it could discard that racer's about-to-be-valid
+    // record and let two writers record DIFFERENT counts. The safe
+    // answer is to refuse THIS commit (retry-later semantics); the
+    // marker must survive untouched for the racer (or a post-grace
+    // heal) to resolve.
+    val dir = tmp()
+    val (fs, root) = ContentStore.fs(dir, hconf)
+    fs.mkdirs(root)
+    val marker = new Path(root, "_buckets")
+    fs.create(marker, false).close() // fresh: mtime = now
+    val ex = intercept[Exception] {
+      Seq("a" -> "1").toDF("result_key", "payload")
+        .write.format("graft.sources.ContentStore")
+        .option("path", dir).option("buckets", 2).mode("append").save()
+    }
+    assert(ex.getMessage != null)
+    assert(fs.exists(marker), "a fresh empty marker must not be deleted")
+    assert(ContentStore.recordedBuckets(dir, hconf) == 0)
   }
 
   test("a tail that consumed some sources stays exactly-once across compaction") {
