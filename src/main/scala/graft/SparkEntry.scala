@@ -487,6 +487,7 @@ object SparkEntry {
     "dedup_incremental_lsh" -> ((s, d) => Dedup.incrementalDedupLsh(Tables(s, d))),
     "dedup_incremental_persisted" -> ((s, d) => Dedup.incrementalDedupPersisted(Tables(s, d), Dedup.JaccardTau)),
     "dedup_incremental_columnar" -> ((s, d) => Dedup.incrementalDedupColumnar(Tables(s, d), Dedup.JaccardTau)),
+    "dedup_incremental_components" -> ((s, d) => Dedup.incrementalComponents(Tables(s, d), Dedup.JaccardTau)),
     "text_bpe_merges"      -> ((s, d) => TextOps.bpeMergeCandidates(Tables(s, d))),
     "text_bpe_apply"       -> ((s, d) => TextOps.bpeApply(Tables(s, d))),
     "text_vocab_coverage"  -> ((s, d) => TextOps.vocabCoverage(Tables(s, d))),
@@ -2315,11 +2316,11 @@ object SparkEntry {
         |SELECT bucket, count(*) AS n_frames, count(DISTINCT doc_id) AS n_docs,
         |  min(doc_id) AS min_doc
         |FROM e GROUP BY 1 ORDER BY 1""".stripMargin,
-    "dedup_components" ->
-      s"""WITH RECURSIVE p AS ($ngramJaccardOracle),
-        |$componentReachCtes
-        |SELECT id AS doc_id, min(comp) AS component FROM reach
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "dedup_components" -> componentsOracleSql,
+    "dedup_incremental_components" -> // C22i: maintained labels (base C2c state + merged
+      // delta edges) must equal batch C2c over base ∪ delta = the full
+      // corpus — the dedup_components oracle, shared verbatim
+      componentsOracleSql,
     "pipeline_curate" ->
       s"""WITH RECURSIVE $curateCtes
         |SELECT doc_id, n_tokens, lang_pred FROM curated ORDER BY doc_id""".stripMargin,
@@ -3372,6 +3373,16 @@ object SparkEntry {
       |    CAST(bit_count(xor(a.dhash, b2.dhash)) AS BIGINT) AS hamming
       |  FROM h a JOIN h b2 ON a.doc_id < b2.doc_id
       |  WHERE bit_count(xor(a.dhash, b2.dhash)) <= 3)""".stripMargin
+
+  /** Batch near-dup component labels over the full corpus — shared by
+    * C2c `dedup_components` and C22i `dedup_incremental_components`
+    * (the maintained state must equal the batch resolution exactly).
+    */
+  private lazy val componentsOracleSql: String =
+    s"""WITH RECURSIVE p AS ($ngramJaccardOracle),
+      |$componentReachCtes
+      |SELECT id AS doc_id, min(comp) AS component FROM reach
+      |GROUP BY 1 ORDER BY 1""".stripMargin
 
   private val componentReachCtes: String =
     """edges AS (SELECT doc_a AS a, doc_b AS b FROM p

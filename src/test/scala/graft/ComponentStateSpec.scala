@@ -1,0 +1,144 @@
+package graft
+
+import graft.operators.Dedup
+import graft.sources.{ContentStore, ParquetEpochs}
+import org.apache.spark.sql.DataFrame
+
+/** C22i: incremental COMPONENT maintenance — persisted labels beside
+  * the signature index, delta edges merged by label-graph contraction.
+  * Pins the claims the gate alone can't: a SECOND delta merges through
+  * the FIRST delta's patched state (the maintained loop composes), a
+  * cross-cluster bridge doc collapses two persisted components to one
+  * min label, a newly-paired base singleton enters the state, an empty
+  * delta is a no-op, and the monotonicity invariant's dangerous case —
+  * a doc whose only state row is a PATCH row getting relabeled again —
+  * resolves correctly (stale smaller-label rows never resurrect
+  * because labels only decrease and min() reads the newest).
+  */
+class ComponentStateSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private val tau = 0.4
+
+  // 12-word texts: 10 distinct trigram shingles each; "+2 words"
+  // variants share 10 of 12 (J ≈ 0.83); the A++B concatenation holds
+  // all 10 of each side's shingles among its 22 (J = 10/22 ≈ 0.455 ≥
+  // 0.4 to BOTH clusters while A vs B is 0 — the bridge shape)
+  private val textA = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+  private val textB = "one two three four five six seven eight nine ten eleven twelve"
+  private val textX = "red orange yellow green blue indigo violet cyan magenta umber teal pink"
+
+  private def df(rows: (Long, String)*): DataFrame = rows.toDF("doc_id", "text")
+
+  private def labels(state: DataFrame): Map[Long, Long] =
+    state.collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("component")).toMap
+
+  private def batchComponents(docs: DataFrame): Map[Long, Long] =
+    labels(
+      Dedup.nearDupComponents(tables, tau, None, Some(Dedup.hashedPostingsOn(docs))))
+
+  /** Build the two persisted assets (signature index + component state)
+    * for a base corpus in fresh scratch stores; returns (sigDir,
+    * sigPin, stateDir, statePin).
+    */
+  private def buildBase(base: DataFrame): (String, Seq[String], String, Seq[String]) = {
+    val sigRoot   = java.nio.file.Files.createTempDirectory("graft-compstate-sig")
+    val stateRoot = java.nio.file.Files.createTempDirectory("graft-compstate-lbl")
+    val sigDir    = sigRoot.toString + "/store"
+    val stateDir  = stateRoot.toString + "/store"
+    val sigMan    = Dedup.writeSignatureIndexColumnar(spark, base, sigDir)
+    val stateMan = Dedup.writeComponentState(
+      Dedup.nearDupComponents(tables, tau, None, Some(Dedup.hashedPostingsOn(base))),
+      stateDir)
+    (sigDir, Seq(sigMan), stateDir, Seq(stateMan))
+  }
+
+  test("gate twin: maintained labels equal batch C2c over the full corpus") {
+    val maintained = labels(Dedup.incrementalComponents(tables, Dedup.JaccardTau))
+    val batch = labels(
+      Dedup.nearDupComponents(
+        tables,
+        Dedup.JaccardTau,
+        None,
+        Some(Dedup.hashedPostingsOn(tables.documents))))
+    assert(maintained == batch)
+  }
+
+  test("a second delta merges through the first delta's patched state") {
+    // base: two separate clusters {1,2} and {5,6} plus singleton 9
+    val base = df(
+      1L -> textA, 2L -> (textA + " nu xi"),
+      5L -> textB, 6L -> (textB + " aa bb"),
+      9L -> textX)
+    val (sigDir, sigPin, stateDir, statePin) = buildBase(base)
+    assert(labels(Dedup.readComponentState(spark, stateDir, statePin)) ==
+      Map(1L -> 1L, 2L -> 1L, 5L -> 5L, 6L -> 5L))
+
+    // delta1: 100 joins cluster {5,6}; 101 pairs the base SINGLETON 9
+    // (a node with no state row); 102 pairs nothing (stays absent)
+    val delta1 = df(
+      100L -> (textB + " cc dd"),
+      101L -> (textX + " yy zz"),
+      102L -> "unrelated words entirely disjoint from every other document in this fixture")
+    val patch1 = Dedup.mergeDeltaComponents(
+      spark, delta1, sigDir, sigPin, stateDir, statePin, tau)
+    val sig1  = Dedup.writeSignatureIndexColumnar(spark, delta1, sigDir)
+    val pin1  = statePin :+ patch1
+    val state1 = labels(Dedup.readComponentState(spark, stateDir, pin1))
+    assert(state1 == batchComponents(base.unionAll(delta1)))
+    assert(state1 == Map(1L -> 1L, 2L -> 1L, 5L -> 5L, 6L -> 5L, 100L -> 5L,
+      9L -> 9L, 101L -> 9L))
+
+    // delta2: the BRIDGE — near both cluster 1 and cluster 5, which
+    // must collapse them (and delta1's 100, whose ONLY state row is
+    // patch1's) to min label 1; merged THROUGH the maintained state,
+    // with the sig pin now including delta1's epoch
+    val delta2 = df(200L -> (textA + " " + textB))
+    val patch2 = Dedup.mergeDeltaComponents(
+      spark, delta2, sigDir, sigPin :+ sig1, stateDir, pin1, tau)
+    val state2 = labels(Dedup.readComponentState(spark, stateDir, pin1 :+ patch2))
+    assert(state2 == batchComponents(base.unionAll(delta1).unionAll(delta2)))
+    assert(state2 == Map(1L -> 1L, 2L -> 1L, 5L -> 1L, 6L -> 1L, 100L -> 1L,
+      200L -> 1L, 9L -> 9L, 101L -> 9L))
+    // the monotonicity case in the flesh: 100's label went 5 (patch1)
+    // → 1 (patch2); the raw store holds both rows and min() resolves
+    val raw100 = ParquetEpochs.read(spark, stateDir, pin1 :+ patch2)
+      .filter($"doc_id" === 100L).collect().map(_.getAs[Long]("component")).sorted
+    assert(raw100.toSeq == Seq(1L, 5L), "expected one patch row per merge for doc 100")
+  }
+
+  test("an empty delta appends a no-op patch and the state is unchanged") {
+    val base = df(1L -> textA, 2L -> (textA + " nu xi"))
+    val (sigDir, sigPin, stateDir, statePin) = buildBase(base)
+    val before = labels(Dedup.readComponentState(spark, stateDir, statePin))
+    val patch = Dedup.mergeDeltaComponents(
+      spark, df(), sigDir, sigPin, stateDir, statePin, tau)
+    assert(labels(Dedup.readComponentState(spark, stateDir, statePin :+ patch)) == before)
+  }
+
+  test("a frozen pre-merge pin keeps reading the pre-merge labels (time travel)") {
+    val base = df(1L -> textA, 2L -> (textA + " nu xi"), 5L -> textB)
+    val (sigDir, sigPin, stateDir, statePin) = buildBase(base)
+    val before = labels(Dedup.readComponentState(spark, stateDir, statePin))
+    Dedup.mergeDeltaComponents(
+      spark, df(100L -> (textB + " cc dd")), sigDir, sigPin, stateDir, statePin, tau): Unit
+    assert(labels(Dedup.readComponentState(spark, stateDir, statePin)) == before,
+      "commits after the pin must stay invisible to it")
+  }
+
+  test("component state survives columnar OPTIMIZE + VACUUM with identical labels") {
+    // the state is an ordinary ParquetEpochs store, so the B78
+    // maintenance loop must preserve the resolved labels — including
+    // min() resolution across rows that compaction folds into one epoch
+    val base = df(1L -> textA, 2L -> (textA + " nu xi"), 5L -> textB, 6L -> (textB + " aa bb"))
+    val (sigDir, sigPin, stateDir, statePin) = buildBase(base)
+    val patch = Dedup.mergeDeltaComponents(
+      spark, df(200L -> (textA + " " + textB)), sigDir, sigPin, stateDir, statePin, tau)
+    val before = labels(Dedup.readComponentState(spark, stateDir, statePin :+ patch))
+    ParquetEpochs.compact(spark, stateDir, keepLast = 0)
+    graft.sources.StoreLifecycle.vacuum(spark, stateDir, 0L,
+      ContentStore.driverHadoopConf()): Unit
+    val pinAfter = ContentStore.snapshotManifests(stateDir)
+    assert(labels(Dedup.readComponentState(spark, stateDir, pinAfter)) == before)
+  }
+}
