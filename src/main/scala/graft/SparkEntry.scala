@@ -56,6 +56,9 @@ object SparkEntry {
     "q_store_pinned_read" -> ((s, d) =>
       Joins.storePinnedRead(Tables(s, d),
         s"${System.getProperty("java.io.tmpdir")}/graft-pinstore")),
+    "q_store_migrate" -> ((s, d) =>
+      Joins.storeMigratedRead(Tables(s, d),
+        s"${System.getProperty("java.io.tmpdir")}/graft-migratestore")),
     "q_bucketed_join" -> ((s, d) =>
       Joins.bucketedJoin(Tables(s, d), s"${System.getProperty("java.io.tmpdir")}/graft-warehouse")),
     "q_event_pivot"        -> ((s, d) => Analytics.eventTypePivot(Tables(s, d))),
@@ -1455,6 +1458,12 @@ object SparkEntry {
         |FROM p JOIN h USING (result_key)
         |ORDER BY 1""".stripMargin,
     "q_store_lifecycle" -> // compaction + vacuum are layout/metadata-only: values equal the store-free query
+      """SELECT printf('u%06d', user_id) AS result_key,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS purchase_cents
+        |FROM events WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_store_migrate" -> // B80: K-V → columnar migration is layout-only — the migrated
+      // pin's values equal the store-free purchase profile
       """SELECT printf('u%06d', user_id) AS result_key,
         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS purchase_cents
         |FROM events WHERE event_type = 'purchase'

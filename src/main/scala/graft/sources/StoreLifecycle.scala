@@ -161,6 +161,85 @@ object StoreLifecycle {
     }
   }
 
+  /** K-V → COLUMNAR store migration (r17, VERDICT-r16 item 3) — the
+    * conversion path B78's OPTIMIZE opened but never closed: a K-V
+    * store that grew into the measured 2.5×-slower payload
+    * (IndexPayloadBench, C22f row) previously had no exit except a
+    * manual read/re-append. One-format-per-store enforcement is
+    * UNTOUCHED: the source stays K-V (still readable, still marked),
+    * the destination is a NEW columnar store — migration is a copy
+    * plus an equivalence gate, never an in-place rewrite.
+    *
+    * Shape: the source snapshot is pinned with a LEASE for the
+    * migration window (a concurrent vacuum cannot reclaim shadowed
+    * manifests mid-copy; the lease is released in the finally —
+    * pre-existing consumer pins are never touched), then each source
+    * manifest becomes ONE columnar epoch under the deterministic name
+    * `migrate-<source manifest>`: a crashed-and-rerun migration
+    * replays into the idempotent already-committed path (its replayed
+    * parquet parts are dropped, exactly the streaming-epoch rule) and
+    * converges on the same destination state. A destination holding
+    * manifests from anything OTHER than this source snapshot is
+    * refused — re-running after the SOURCE was compacted would
+    * otherwise double-land the rows under new names beside the old
+    * (use a fresh destination after source maintenance).
+    *
+    * `verify = true` (the default) gates the copy before returning:
+    * equal row counts and an empty multiset difference between the
+    * pinned source read and the migrated epochs. Bucketing is NOT
+    * carried: the columnar surface has no bucketed read, so a bucketed
+    * source migrates as plain rows (document the SPJ loss at the call
+    * site); `dataShards` seeds the destination's listing layout.
+    *
+    * Returns the destination manifest names in source order — the pin
+    * to publish for readers of the migrated asset.
+    */
+  def migrateToColumnar(
+      spark: SparkSession,
+      sourceDir: String,
+      destDir: String,
+      pinTtlMs: Long = 60 * 60 * 1000L,
+      verify: Boolean = true,
+      dataShards: Int = 0
+  ): Seq[String] = {
+    val conf = ContentStore.driverHadoopConf()
+    if (ContentStore.recordedFormat(sourceDir, conf).contains("parquet"))
+      throw new IllegalStateException(
+        s"migrateToColumnar: $sourceDir is already a columnar store")
+    val lease = acquirePin(sourceDir, s"migrate-${UUID.randomUUID()}", pinTtlMs, conf)
+    try {
+      val names    = lease.manifests
+      val expected = names.map(m => s"migrate-$m").toSet
+      val alien    = ContentStore.manifestNames(destDir, conf).filterNot(expected)
+      if (alien.nonEmpty)
+        throw new IllegalStateException(
+          s"migrateToColumnar: destination $destDir holds manifests not from this " +
+            s"source snapshot (${alien.take(3).mkString(", ")}…) — use a fresh destination")
+      val out = names.map { m =>
+        val epoch = spark.read
+          .format("graft.sources.ContentStore")
+          .option("path", sourceDir)
+          .option("manifests", m)
+          .load()
+        ParquetEpochs.append(epoch, destDir, Some(s"migrate-$m"), dataShards = dataShards)
+      }
+      if (verify && names.nonEmpty) {
+        val src = spark.read
+          .format("graft.sources.ContentStore")
+          .option("path", sourceDir)
+          .option("manifests", names.mkString(","))
+          .load()
+        val dst  = ParquetEpochs.read(spark, destDir, out)
+        val srcN = src.count()
+        val dstN = dst.count()
+        if (srcN != dstN || !src.exceptAll(dst).isEmpty)
+          throw new IllegalStateException(
+            s"migrateToColumnar: equivalence check failed ($srcN source vs $dstN migrated rows)")
+      }
+      out
+    } finally releasePin(sourceDir, lease.id, conf)
+  }
+
   /** One GC action taken by [[vacuum]]: what was deleted (or, for
     * `pinned_manifest_kept`, deliberately NOT deleted) and why.
     */

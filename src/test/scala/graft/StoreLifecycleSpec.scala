@@ -620,4 +620,72 @@ class StoreLifecycleSpec extends SparkSpecBase {
     val litter = dataFiles(dir).filter(f => f.startsWith(".staging") || f.startsWith("orphan"))
     assert(litter.isEmpty, s"vacuum must have swept the planted litter: $litter")
   }
+
+  test("K-V → columnar migration copies row-for-row and leaves source pins intact") {
+    val src = tmp()
+    val dst = tmp() + "/columnar"
+    writeOne(src, "a" -> "1", "b" -> "2")
+    writeOne(src, "c" -> "3")
+    writeOne(src, "a" -> "1") // duplicate row — the multiset check must carry it
+    val before = spark.read.format("graft.sources.ContentStore").option("path", src).load()
+      .collect().map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+    // a pre-existing consumer pin must survive the migration window
+    val consumer = StoreLifecycle.acquirePin(src, "training-run", 600000L, hconf)
+    val out      = StoreLifecycle.migrateToColumnar(spark, src, dst)
+    assert(out.size == 3, "one columnar epoch per source manifest")
+    assert(out.forall(_.startsWith("migrate-")))
+    assert(ContentStore.recordedFormat(dst, hconf).contains("parquet"))
+    val migrated = graft.sources.ParquetEpochs.read(spark, dst, out)
+      .collect().map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+    assert(migrated == before, "migration must preserve the multiset of rows")
+    // source untouched: still K-V readable, consumer pin still live,
+    // migration's own lease released
+    assert(readAll(src) == before.toSet)
+    assert(StoreLifecycle.pins(src, hconf).map(_.id) == Seq("training-run"))
+    StoreLifecycle.releasePin(src, consumer.id, hconf)
+  }
+
+  test("migration re-run converges idempotently; a columnar source and an alien dest refuse") {
+    val src = tmp()
+    val dst = tmp() + "/columnar"
+    writeOne(src, "a" -> "1")
+    writeOne(src, "b" -> "2")
+    val first  = StoreLifecycle.migrateToColumnar(spark, src, dst)
+    val second = StoreLifecycle.migrateToColumnar(spark, src, dst)
+    assert(second == first, "a re-run must land the same deterministic epochs")
+    assert(ContentStore.manifestNames(dst, hconf).toSet == first.toSet,
+      "idempotent replays must not add epochs")
+    assert(graft.sources.ParquetEpochs.read(spark, dst, first).count() == 2)
+    // a columnar store is not a migration SOURCE
+    val ex1 = intercept[IllegalStateException] {
+      StoreLifecycle.migrateToColumnar(spark, dst, tmp() + "/x")
+    }
+    assert(ex1.getMessage.contains("already a columnar store"))
+    // a dest holding manifests from anywhere else refuses (re-running
+    // after source compaction would double-land rows under new names)
+    val src2 = tmp()
+    writeOne(src2, "z" -> "9")
+    val ex2 = intercept[IllegalStateException] {
+      StoreLifecycle.migrateToColumnar(spark, src2, dst)
+    }
+    assert(ex2.getMessage.contains("not from this source snapshot"))
+  }
+
+  test("migration pins its window: the equivalence check reads the leased snapshot") {
+    // an append landing AFTER the migration's pin must not appear in
+    // the migrated store or fail the verify — the lease freezes the
+    // window exactly like every other pinned consumer
+    val src = tmp()
+    val dst = tmp() + "/columnar"
+    writeOne(src, "a" -> "1")
+    val out = StoreLifecycle.migrateToColumnar(spark, src, dst)
+    writeOne(src, "late" -> "9")
+    assert(graft.sources.ParquetEpochs.read(spark, dst, out)
+      .collect().map(_.getString(0)).toSeq == Seq("a"))
+    // and a follow-up migration to a FRESH dest carries the new epoch
+    val dst2 = tmp() + "/columnar2"
+    val out2 = StoreLifecycle.migrateToColumnar(spark, src, dst2)
+    assert(graft.sources.ParquetEpochs.read(spark, dst2, out2)
+      .collect().map(_.getString(0)).sorted.toSeq == Seq("a", "late"))
+  }
 }
