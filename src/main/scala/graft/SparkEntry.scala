@@ -41,6 +41,9 @@ object SparkEntry {
     "q_store_skipping" -> ((s, d) =>
       Joins.storeSkippingRead(Tables(s, d),
         s"${System.getProperty("java.io.tmpdir")}/graft-skipstore")),
+    "q_store_skipping_columnar" -> ((s, d) =>
+      Joins.storeSkippingColumnarRead(Tables(s, d),
+        s"${System.getProperty("java.io.tmpdir")}/graft-skipstore-pq")),
     "q_spj_store" -> ((s, d) =>
       Joins.spjStoreJoin(Tables(spjSession(s), d),
         s"${System.getProperty("java.io.tmpdir")}/graft-spjstore")),
@@ -1440,6 +1443,13 @@ object SparkEntry {
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_store_skipping" -> // file skipping is I/O-only: values equal the store-free query
       """SELECT printf('u%06d', user_id) AS result_key,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS purchase_cents
+        |FROM events
+        |WHERE event_type = 'purchase' AND user_id >= 100 AND user_id < 500
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_store_skipping_columnar" -> // B65b: columnar-store file skipping is I/O-only —
+      // the key-scoped pinned read equals the store-free range query
+      """SELECT user_id,
         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS purchase_cents
         |FROM events
         |WHERE event_type = 'purchase' AND user_id >= 100 AND user_id < 500

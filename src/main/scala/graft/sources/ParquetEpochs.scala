@@ -94,6 +94,7 @@ object ParquetEpochs {
     }.toSeq
     fsys.delete(staging, true): Unit
     val name = manifestName.getOrElse(s"batch-pq-$uuid")
+    writeFileStats(fsys, root, name, moved, conf)
     ContentStoreWrite.writeManifest(
       storeDir,
       name,
@@ -259,6 +260,231 @@ object ParquetEpochs {
       return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
     }
     spark.read.parquet(files: _*)
+  }
+
+  /** One recorded [min, max] bound for one (file, column), with the
+    * comparison domain tagged: "long" bounds compare numerically,
+    * "string" bounds compare unsigned byte-wise over UTF-8 — the SAME
+    * total order `UTF8String.compareTo` gives Spark string predicates,
+    * so a skip decision can never disagree with the residual filter.
+    */
+  private[graft] final case class ColumnBound(tag: String, minL: Long, maxL: Long,
+      minB: Array[Byte], maxB: Array[Byte]) {
+    def mayContainLong(lo: Long, hi: Long): Boolean =
+      tag == "long" && maxL >= lo && minL <= hi
+    def mayContainString(lo: Array[Byte], hi: Array[Byte]): Boolean =
+      tag == "string" && unsignedCompare(maxB, lo) >= 0 && unsignedCompare(minB, hi) <= 0
+  }
+
+  private def unsignedCompare(a: Array[Byte], b: Array[Byte]): Int = {
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      val d = (a(i) & 0xff) - (b(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    a.length - b.length
+  }
+
+  /** COLUMNAR file-range stats (B65 parity for the parquet payload,
+    * measured first — ColumnarSkipBench: at 1,024 files a key-scoped
+    * point read is 3.0× faster planned-pruned than footer-pruned
+    * (0.49 → 0.17 s), 2.6× on a 2% range; at 256 files the gap is
+    * ~15%, so the win is file-count-proportional — exactly the shape a
+    * nightly-append store grows into at 100 TB): each append records,
+    * per moved part and per top-level integral/string column, the
+    * parquet FOOTER's min/max into `_stats/<manifest>` (5-field lines
+    * `file\tcol\ttag\tmin\tmax`; long bounds as decimal, string bounds
+    * base64). Footer reads are metadata-only (no data pages) and the
+    * loop is bounded by parts-per-epoch — the same driver-side cost
+    * class as the manifest commit itself. Ordering mirrors the K-V
+    * writer: sidecar lands BEFORE the manifest rename, so a visible
+    * manifest either has its stats or readers fall back to
+    * no-skipping; the rename is best-effort first-write-wins (a
+    * replayed idempotent append loses the rename and the original's
+    * stats — which describe the files that actually survived — stay).
+    * Columns whose footer stats are absent/untrusted in ANY row group
+    * are omitted for that file (conservative: omitted = never skipped).
+    */
+  private def writeFileStats(
+      fsys: org.apache.hadoop.fs.FileSystem,
+      root: Path,
+      name: String,
+      moved: Seq[String],
+      conf: org.apache.hadoop.conf.Configuration
+  ): Unit = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import scala.jdk.CollectionConverters._
+    val enc = java.util.Base64.getEncoder
+    val lines = moved.flatMap { f =>
+      val footer =
+        try {
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromPath(new Path(root, s"data/$f"), conf)
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try r.getFooter finally r.close()
+        } catch { case _: Exception => null } // unreadable footer: no stats, no skip
+      if (footer == null) Seq.empty
+      else {
+        val blocks = footer.getBlocks.asScala.toSeq
+        if (blocks.isEmpty) Seq.empty
+        else {
+          // per-column chunks across all row groups, keyed by dotted path
+          val byCol = blocks.flatMap(_.getColumns.asScala).groupBy(_.getPath.toDotString)
+          byCol.toSeq.sortBy(_._1).flatMap { case (colName, chunks) =>
+            if (colName.contains('.') || chunks.size != blocks.size) None
+            else {
+              val pt      = chunks.head.getPrimitiveType
+              val logical = pt.getLogicalTypeAnnotation
+              val trusted = chunks.forall { c =>
+                val s: org.apache.parquet.column.statistics.Statistics[_] = c.getStatistics
+                s != null && !s.isEmpty && s.hasNonNullValue
+              }
+              if (!trusted) None
+              else pt.getPrimitiveTypeName match {
+                case PrimitiveTypeName.INT64 | PrimitiveTypeName.INT32
+                    if logical == null ||
+                      logical.isInstanceOf[LogicalTypeAnnotation.IntLogicalTypeAnnotation] =>
+                  val mins = chunks.map(_.getStatistics.genericGetMin.asInstanceOf[Number].longValue)
+                  val maxs = chunks.map(_.getStatistics.genericGetMax.asInstanceOf[Number].longValue)
+                  Some(s"$f\t$colName\tlong\t${mins.min}\t${maxs.max}")
+                case PrimitiveTypeName.BINARY
+                    if logical.isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation] =>
+                  val mins = chunks.map(_.getStatistics.genericGetMin
+                    .asInstanceOf[org.apache.parquet.io.api.Binary].getBytes)
+                  val maxs = chunks.map(_.getStatistics.genericGetMax
+                    .asInstanceOf[org.apache.parquet.io.api.Binary].getBytes)
+                  val mn = mins.reduce((a, b) => if (unsignedCompare(a, b) <= 0) a else b)
+                  val mx = maxs.reduce((a, b) => if (unsignedCompare(a, b) >= 0) a else b)
+                  Some(s"$f\t$colName\tstring\t${enc.encodeToString(mn)}\t${enc.encodeToString(mx)}")
+                case _ => None // decimals/timestamps/doubles: not a store key shape
+              }
+            }
+          }
+        }
+      }
+    }
+    if (lines.nonEmpty) {
+      val statsDir = new Path(root, "_stats")
+      fsys.mkdirs(statsDir)
+      val tmp = new Path(statsDir, s".tmp-$name-${UUID.randomUUID()}")
+      val out = fsys.create(tmp, false)
+      try out.write(lines.mkString("\n").getBytes("UTF-8"))
+      finally out.close()
+      // best-effort, first-write-wins: a lost rename only disables skipping
+      if (!fsys.rename(tmp, new Path(statsDir, name))) fsys.delete(tmp, false): Unit
+    }
+  }
+
+  /** Per-file recorded bounds for `column` across the pinned manifests
+    * — Map(file → bound); files or manifests without a usable entry
+    * are simply absent (and therefore never skipped).
+    */
+  private[graft] def columnBounds(
+      storeDir: String,
+      manifests: Seq[String],
+      column: String,
+      conf: org.apache.hadoop.conf.Configuration
+  ): Map[String, ColumnBound] = {
+    val (fsys, root) = ContentStore.fs(storeDir, conf)
+    val dec          = java.util.Base64.getDecoder
+    manifests.flatMap { m =>
+      val p = new Path(root, s"_stats/$m")
+      if (!fsys.exists(p)) Seq.empty
+      else {
+        val reader = new java.io.BufferedReader(
+          new java.io.InputStreamReader(fsys.open(p), "UTF-8"))
+        try Iterator
+          .continually(reader.readLine())
+          .takeWhile(_ != null)
+          .filter(_.nonEmpty)
+          .flatMap { line =>
+            line.split("\t", 5) match {
+              case Array(f, c, "long", mn, mx) if c == column =>
+                Some(f -> ColumnBound("long", mn.toLong, mx.toLong, null, null))
+              case Array(f, c, "string", mn, mx) if c == column =>
+                Some(f -> ColumnBound("string", 0L, 0L, dec.decode(mn), dec.decode(mx)))
+              case _ => None // K-V 3-field lines or other columns
+            }
+          }
+          .toList
+        finally reader.close()
+      }
+    }.toMap
+  }
+
+  /** The data files a key-scoped read actually plans: the pinned
+    * manifests' files minus those whose recorded `column` range cannot
+    * overlap [lo, hi]. `lo`/`hi` accept Long/Int (compared numerically
+    * against "long" bounds) or String (compared unsigned byte-wise
+    * over UTF-8 against "string" bounds — Spark's own string order);
+    * any type/tag mismatch or missing bound keeps the file. Exposed
+    * for specs; [[readRange]] is the consumer.
+    */
+  def plannedFiles(
+      storeDir: String,
+      manifests: Seq[String],
+      column: String,
+      lo: Any,
+      hi: Any
+  ): Seq[String] = {
+    val conf   = ContentStore.driverHadoopConf()
+    val files  = manifests.flatMap(m => ContentStore.filesInManifest(storeDir, m, conf))
+    val bounds = columnBounds(storeDir, manifests, column, conf)
+    def longOf(v: Any): Option[Long] = v match {
+      case l: Long => Some(l)
+      case i: Int  => Some(i.toLong)
+      case _       => None
+    }
+    (longOf(lo), longOf(hi), lo, hi) match {
+      case (Some(l), Some(h), _, _) =>
+        files.filter(f => bounds.get(f).forall(_.mayContainLong(l, h)))
+      case (_, _, l: String, h: String) =>
+        val lb = l.getBytes("UTF-8"); val hb = h.getBytes("UTF-8")
+        files.filter(f => bounds.get(f).forall(_.mayContainString(lb, hb)))
+      case _ => files
+    }
+  }
+
+  /** Key-scoped pinned read with PLANNING-time file skipping — result
+    * is EXACTLY `read(...).filter(column between lo and hi)` (the
+    * residual filter is always applied; stats only shrink the planned
+    * file list), so legacy stores without `_stats`, lost best-effort
+    * renames, and unrecorded columns all degrade to the plain scan,
+    * never to wrong answers. Ships on a measurement (ColumnarSkipBench,
+    * committed): planning-time skipping beats parquet footer pruning
+    * 3.0×/2.6× (point/2%-range) at 1,024 files and the gap grows with
+    * file count — the B65 contract, effective exactly when the writer
+    * clustered the key (e.g. repartitionByRange before append).
+    */
+  def readRange(
+      spark: SparkSession,
+      storeDir: String,
+      manifests: Seq[String],
+      column: String,
+      lo: Any,
+      hi: Any
+  ): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val conf      = ContentStore.driverHadoopConf()
+    val (_, root) = ContentStore.fs(storeDir, conf)
+    if (!ContentStore.recordedFormat(storeDir, conf).contains("parquet"))
+      throw new IllegalStateException(
+        s"ParquetEpochs: store $storeDir is not a columnar store (no 'parquet' format marker)")
+    val kept = plannedFiles(storeDir, manifests, column, lo, hi)
+      .map(f => new Path(root, s"data/$f").toString)
+    val base =
+      if (kept.nonEmpty) spark.read.parquet(kept: _*)
+      else {
+        val schema = recordedSchema(storeDir, conf).getOrElse(
+          throw new IllegalStateException(
+            s"ParquetEpochs.readRange: every file pruned and no recorded schema for " +
+              s"$storeDir (pre-marker store) — cannot type an empty read"))
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+      }
+    base.filter(col(column).between(lit(lo), lit(hi)))
   }
 
   /** STREAMING append leg — the write-side twin of the

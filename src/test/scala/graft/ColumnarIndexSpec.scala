@@ -206,4 +206,91 @@ class ColumnarIndexSpec extends SparkSpecBase {
       assert(probe(pinC) == before)
     } finally deleteTree(storeRoot)
   }
+
+  test("file skipping: a key-scoped read plans only overlapping files, values identical") {
+    val storeRoot = java.nio.file.Files.createTempDirectory("graft-pqskip-spec")
+    val store     = storeRoot.toString
+    try {
+      import org.apache.spark.sql.functions._
+      // two range-clustered epochs of 8 parts each: doc_id 0..799 and
+      // 800..1599 — the layout a nightly per-range append produces
+      def epoch(lo: Long): DataFrame = spark
+        .range(lo, lo + 800)
+        .select(col("id").as("doc_id"), md5(col("id").cast("string")).as("text_hash"))
+        .repartitionByRange(8, col("doc_id"))
+        .sortWithinPartitions("doc_id")
+      ParquetEpochs.append(epoch(0L), store): Unit
+      ParquetEpochs.append(epoch(800L), store): Unit
+      val pin = ParquetEpochs.snapshot(store)
+      assert(ParquetEpochs.plannedFiles(store, pin, "doc_id", 0L, 1599L).size == 16)
+
+      // LONG point: one file planned; result == unpruned read + filter
+      val full = ParquetEpochs.read(spark, store, pin)
+      def rows(df: DataFrame): Seq[(Long, String)] =
+        df.collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text_hash")))
+          .toSeq.sorted
+      assert(ParquetEpochs.plannedFiles(store, pin, "doc_id", 1203L, 1203L).size == 1)
+      val point = ParquetEpochs.readRange(spark, store, pin, "doc_id", 1203L, 1203L)
+      assert(point.inputFiles.length == 1, "point read must PLAN one file, not filter 16")
+      assert(rows(point) == rows(full.filter(col("doc_id") === 1203L)))
+
+      // LONG range crossing the epoch boundary: both epochs' stats merge
+      val range = ParquetEpochs.readRange(spark, store, pin, "doc_id", 700L, 900L)
+      assert(range.inputFiles.length < 16 && range.inputFiles.length >= 2)
+      assert(rows(range) == rows(full.filter(col("doc_id").between(700L, 900L))))
+
+      // STRING bounds prune too (unsigned UTF-8 order = Spark's order);
+      // md5 is uniform so a narrow hex range keeps few files at best —
+      // assert only correctness + that the plumbing recorded bounds
+      val h  = rows(full.filter(col("doc_id") === 42L)).head._2
+      val sp = ParquetEpochs.readRange(spark, store, pin, "text_hash", h, h)
+      assert(rows(sp) == rows(full.filter(col("text_hash") === h)))
+
+      // a disjoint predicate plans ZERO files and still types the frame
+      assert(ParquetEpochs.plannedFiles(store, pin, "doc_id", 5000L, 6000L).isEmpty)
+      val empty = ParquetEpochs.readRange(spark, store, pin, "doc_id", 5000L, 6000L)
+      assert(empty.columns.toSeq == Seq("doc_id", "text_hash") && empty.count() == 0L)
+
+      // legacy store / lost best-effort rename: no stats = no skipping,
+      // never wrong answers
+      val hconf      = spark.sessionState.newHadoopConf()
+      val (fs, root) = ContentStore.fs(store, hconf)
+      pin.foreach(m => fs.delete(new org.apache.hadoop.fs.Path(root, s"_stats/$m"), false): Unit)
+      assert(ParquetEpochs.plannedFiles(store, pin, "doc_id", 1203L, 1203L).size == 16)
+      assert(rows(ParquetEpochs.readRange(spark, store, pin, "doc_id", 1203L, 1203L)) ==
+        rows(full.filter(col("doc_id") === 1203L)))
+    } finally deleteTree(storeRoot)
+  }
+
+  test("file skipping: compaction re-records stats for the rewritten epoch") {
+    val storeRoot = java.nio.file.Files.createTempDirectory("graft-pqskip-spec")
+    val store     = storeRoot.toString
+    try {
+      import org.apache.spark.sql.functions._
+      ParquetEpochs.append(
+        spark.range(0, 400).select(col("id").as("doc_id"))
+          .repartitionByRange(4, col("doc_id")).sortWithinPartitions("doc_id"),
+        store): Unit
+      ParquetEpochs.append(
+        spark.range(400, 800).select(col("id").as("doc_id"))
+          .repartitionByRange(4, col("doc_id")).sortWithinPartitions("doc_id"),
+        store): Unit
+      val before = ParquetEpochs
+        .readRange(spark, store, ParquetEpochs.snapshot(store), "doc_id", 100L, 110L)
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(ParquetEpochs.compact(spark, store).isDefined)
+      val pinC = ParquetEpochs.snapshot(store)
+      // the rewritten epoch carries its own footer-derived bounds: the
+      // sidecar exists and a point read over the compacted store still
+      // answers exactly (plan-count depends on the rewrite's row
+      // clustering, so only the sidecar presence is pinned)
+      assert(
+        ParquetEpochs.columnBounds(
+          store, pinC, "doc_id", spark.sessionState.newHadoopConf()).nonEmpty,
+        "compacted manifest must have a _stats sidecar")
+      assert(ParquetEpochs
+        .readRange(spark, store, pinC, "doc_id", 100L, 110L)
+        .collect().map(_.getLong(0)).sorted.toSeq == before)
+    } finally deleteTree(storeRoot)
+  }
 }
