@@ -494,6 +494,7 @@ object SparkEntry {
     "dedup_incremental_persisted" -> ((s, d) => Dedup.incrementalDedupPersisted(Tables(s, d), Dedup.JaccardTau)),
     "dedup_incremental_columnar" -> ((s, d) => Dedup.incrementalDedupColumnar(Tables(s, d), Dedup.JaccardTau)),
     "dedup_incremental_components" -> ((s, d) => Dedup.incrementalComponents(Tables(s, d), Dedup.JaccardTau)),
+    "dedup_component_lookup" -> ((s, d) => Dedup.componentLookup(Tables(s, d), Dedup.JaccardTau, 0L, 299L)),
     "text_bpe_merges"      -> ((s, d) => TextOps.bpeMergeCandidates(Tables(s, d))),
     "text_bpe_apply"       -> ((s, d) => TextOps.bpeApply(Tables(s, d))),
     "text_vocab_coverage"  -> ((s, d) => TextOps.vocabCoverage(Tables(s, d))),
@@ -2340,6 +2341,14 @@ object SparkEntry {
       // delta edges) must equal batch C2c over base ∪ delta = the full
       // corpus — the dedup_components oracle, shared verbatim
       componentsOracleSql,
+    "dedup_component_lookup" -> // C22j: the band lookup through the skipping read must
+      // equal batch C2c restricted to the band — components compute
+      // globally (a label can live outside the band), THEN filter
+      s"""WITH RECURSIVE p AS ($ngramJaccardOracle),
+        |$componentReachCtes
+        |SELECT id AS doc_id, min(comp) AS component FROM reach
+        |WHERE id BETWEEN 0 AND 299
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "pipeline_curate" ->
       s"""WITH RECURSIVE $curateCtes
         |SELECT doc_id, n_tokens, lang_pred FROM curated ORDER BY doc_id""".stripMargin,

@@ -1249,10 +1249,28 @@ object Dedup {
     * ONE columnar epoch — run once over the BASE corpus's batch C2c
     * output, then maintained per delta by [[mergeDeltaComponents]].
     * Returns the manifest name to pin.
+    *
+    * `rangeClusterParts` > 0 range-clusters the epoch on doc_id before
+    * the append — the write-side discipline that makes the store's
+    * footer-derived `_stats` bounds tight (B65b), so a label LOOKUP
+    * ([[componentLabelsInRange]]) plans only the covering files
+    * instead of scanning the whole state. 0 (the default) keeps the
+    * caller's partitioning — right for a state that is only ever read
+    * whole (the C22i maintenance loop itself).
     */
-  def writeComponentState(labels: DataFrame, storeDir: String): String =
+  def writeComponentState(
+      labels: DataFrame,
+      storeDir: String,
+      rangeClusterParts: Int = 0
+  ): String = {
+    val rows = labels.select(col("doc_id"), col("component"))
     graft.sources.ParquetEpochs.append(
-      labels.select(col("doc_id"), col("component")), storeDir)
+      if (rangeClusterParts > 0)
+        rows.repartitionByRange(rangeClusterParts, col("doc_id"))
+          .sortWithinPartitions("doc_id")
+      else rows,
+      storeDir)
+  }
 
   /** The maintained labels read back from a PINNED manifest snapshot:
     * current label = min(component) per doc (see the monotonicity
@@ -1265,6 +1283,32 @@ object Dedup {
   ): DataFrame =
     graft.sources.ParquetEpochs
       .read(spark, storeDir, manifests)
+      .groupBy("doc_id")
+      .agg(min("component").as("component"))
+
+  /** C22j: the SERVING read of the maintained state — "which cluster
+    * is this doc in" for a doc_id band, the query a dedup pipeline
+    * answers per ingest decision. Goes through
+    * [[graft.sources.ParquetEpochs.readRange]], so with a
+    * range-clustered state ([[writeComponentState]]'s
+    * `rangeClusterParts`) the read PLANS only the files whose recorded
+    * doc_id range covers the band (B65b skipping as a consumer: point
+    * lookups on a 100 TB label asset open O(covering files), not the
+    * store) — and since every state row for a doc carries its doc_id,
+    * the band keeps ALL of a kept doc's rows, so min(component) per
+    * doc is the exact maintained label (the monotonicity invariant);
+    * unclustered or legacy stores degrade to the full scan with
+    * identical values.
+    */
+  def componentLabelsInRange(
+      spark: SparkSession,
+      storeDir: String,
+      manifests: Seq[String],
+      lo: Long,
+      hi: Long
+  ): DataFrame =
+    graft.sources.ParquetEpochs
+      .readRange(spark, storeDir, manifests, "doc_id", lo, hi)
       .groupBy("doc_id")
       .agg(min("component").as("component"))
 
@@ -1402,6 +1446,30 @@ object Dedup {
       tau
     )
     readComponentState(t.spark, stateStore, statePin :+ patch).orderBy("doc_id")
+  }
+
+  /** Gate entry for C22j — maintain the state exactly as C22i does
+    * (shared base, fresh patch), then answer the serving question for
+    * a doc_id band through the skipping read. Values must equal batch
+    * C2c over the full corpus restricted to the band (labels can live
+    * OUTSIDE the band — the oracle computes components globally, then
+    * filters), which is why this shares dedup_components' recursive
+    * CTE with only a WHERE added.
+    */
+  def componentLookup(t: Tables, tau: Double, lo: Long, hi: Long): DataFrame = {
+    val (sigStore, sigPin)     = sharedColumnarIndex(t)
+    val (stateStore, statePin) = sharedComponentState(t)
+    val patch = mergeDeltaComponents(
+      t.spark,
+      t.documents.filter(col("doc_id") % 10 === 0),
+      sigStore,
+      sigPin,
+      stateStore,
+      statePin,
+      tau
+    )
+    componentLabelsInRange(t.spark, stateStore, statePin :+ patch, lo, hi)
+      .orderBy("doc_id")
   }
 
   private val componentStateDirs =

@@ -141,4 +141,35 @@ class ComponentStateSpec extends SparkSpecBase {
     val pinAfter = ContentStore.snapshotManifests(stateDir)
     assert(labels(Dedup.readComponentState(spark, stateDir, pinAfter)) == before)
   }
+
+  test("C22j: band label lookup plans only covering files, values equal the full-state filter") {
+    import org.apache.spark.sql.functions._
+    val root  = java.nio.file.Files.createTempDirectory("graft-compstate-lkp")
+    val store = root.toString + "/store"
+    try {
+      // a range-CLUSTERED base epoch (8 files, 200 ids each) of 4-doc
+      // clusters, plus one unclustered patch epoch merging {100..103}
+      // down to label 96 — labels only decrease (monotonicity)
+      val m0 = Dedup.writeComponentState(
+        spark.range(0, 1600).select(
+          col("id").as("doc_id"), (col("id") - col("id") % 4).as("component")),
+        store, rangeClusterParts = 8)
+      val m1 = Dedup.writeComponentState(
+        spark.range(100, 104).select(col("id").as("doc_id"), lit(96L).as("component")),
+        store)
+      val pin   = Seq(m0, m1)
+      val hconf = spark.sessionState.newHadoopConf()
+      val total = pin.flatMap(m => ContentStore.filesInManifest(store, m, hconf)).size
+      val planned = ParquetEpochs.plannedFiles(store, pin, "doc_id", 100L, 110L)
+      assert(planned.nonEmpty && planned.size < total,
+        s"band lookup must plan a covering subset, not $total files (got ${planned.size})")
+      val lookup = labels(Dedup.componentLabelsInRange(spark, store, pin, 100L, 110L))
+      val full = labels(
+        Dedup.readComponentState(spark, store, pin).filter(col("doc_id").between(100L, 110L)))
+      assert(lookup == full)
+      // the patch's smaller label wins inside the band; untouched docs
+      // keep their base label
+      assert(lookup(100L) == 96L && lookup(103L) == 96L && lookup(104L) == 104L)
+    } finally deleteTree(root)
+  }
 }
