@@ -426,6 +426,7 @@ object SparkEntry {
     "knn_bruteforce"       -> ((s, d) => Similarity.knnBruteForce(Tables(s, d))),
     "knn_lsh"              -> ((s, d) => Similarity.knnLsh(Tables(s, d))),
     "knn_ivf"              -> ((s, d) => Similarity.knnIvf(Tables(s, d))),
+    "knn_ivf_persisted"    -> ((s, d) => Similarity.knnIvfPersisted(Tables(s, d))),
     "knn_ivfpq"            -> ((s, d) => Similarity.knnIvfPq(Tables(s, d))),
     "text_langid"          -> ((s, d) => TextOps.langId(Tables(s, d))),
     "text_quality"         -> ((s, d) => TextOps.qualityScores(Tables(s, d))),

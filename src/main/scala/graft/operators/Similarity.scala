@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.sources.Tables
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -410,6 +410,118 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank")
       .orderBy("query_id", "rank")
+  }
+
+  // --- C7e: the PERSISTED IVF index asset ---------------------------------
+  // knnIvf trains centroids and runs the full-corpus cell-assignment
+  // projection PER RUN — fine for a one-shot query, wrong for the
+  // deployment shape, where the index is built nightly and served many
+  // times (FAISS: train/add once, search many). Here both halves persist
+  // as ParquetEpochs store assets (the C22e/f pattern applied to ANN):
+  // a probe reads the PINNED index and pays neither training nor the
+  // corpus projection — and never opens the embeddings table at all.
+
+  /** C7e (build): persist the IVF index as TWO store assets (one row
+    * schema per store is enforced, so centroids and assignments cannot
+    * share one): `centStore` holds the cells×dims centroid table —
+    * metadata-sized, the probe collects it like a broadcast — and
+    * `asgStore` holds (vec_id, v, nrm, cell): the corpus vectors WITH
+    * their max-dot cell, range-clustered BY CELL so the footer-derived
+    * `_stats` bounds (B65b) are tight and a cell-scoped serving read
+    * plans only the covering files. Returns the two manifest names to
+    * pin. Maintenance is the store's own: OPTIMIZE/vacuum/pins apply,
+    * and a re-build into a fresh store is the re-train cadence.
+    */
+  def buildIvfIndex(
+      t: Tables,
+      centStore: String,
+      asgStore: String,
+      cells: Int = IvfCells
+  ): (String, String) = {
+    val spark = t.spark
+    import spark.implicits._
+    val vecs  = vectors(t).filter(col("nrm") > 0)
+    val cents = trainCentroids(trainSample(vecs), cells)
+    val mc = graft.sources.ParquetEpochs.append(
+      cents.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) }.toDF("cell", "c"),
+      centStore)
+    val ma = graft.sources.ParquetEpochs.append(
+      withCell(vecs, cents)
+        .repartitionByRange(cells, col("cell"), col("vec_id"))
+        .sortWithinPartitions("cell", "vec_id"),
+      asgStore)
+    (mc, ma)
+  }
+
+  /** The pinned centroid table read back — bounded (cells rows), the
+    * same driver-side class as the training collects.
+    */
+  def readIvfCentroids(
+      spark: SparkSession,
+      centStore: String,
+      manifests: Seq[String]
+  ): Array[Array[Double]] =
+    graft.sources.ParquetEpochs
+      .read(spark, centStore, manifests)
+      .orderBy("cell")
+      .collect()
+      .map(_.getSeq[Double](1).toArray)
+
+  /** C7e (probe): [[knnIvf]]'s search half over the PINNED assets —
+    * centroids from the tiny store (collected, like a broadcast),
+    * candidates from the assignments store with each query probing its
+    * nprobe best cells. No training, no corpus projection, no
+    * embeddings scan: provenance is the two stores' parquet files only
+    * (spec-pinned), and with the cell-clustered layout a single cell's
+    * candidates live in O(1) files (the serving read; spec pins
+    * plannedFiles). Verdicts equal a fresh [[knnIvf]] run row for row
+    * — centroid training is deterministic (hash-ordered sample,
+    * 1e-6-rounded means), so persisting it is pure factoring.
+    */
+  def knnIvfPersisted(
+      spark: SparkSession,
+      centStore: String,
+      centPin: Seq[String],
+      asgStore: String,
+      asgPin: Seq[String],
+      numQueries: Int = 10,
+      k: Int = 5,
+      nprobe: Int = IvfProbes
+  ): DataFrame = {
+    graft.functions.VecExprs.register(spark)
+    val cents  = readIvfCentroids(spark, centStore, centPin)
+    val celled = graft.sources.ParquetEpochs.read(spark, asgStore, asgPin)
+    val probes = queryProbes(celled, cents, numQueries, nprobe)
+    val w      = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    broadcast(probes)
+      .as("a")
+      .join(celled.as("b"), col("a.cell") === col("b.cell") && col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("query_id"), col("b.vec_id").as("neighbor_id"), cosine.as("cos"))
+      .distinct()
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank")
+      .orderBy("query_id", "rank")
+  }
+
+  private val ivfIndexDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Seq[String], String, Seq[String])]()
+
+  /** Gate entry for C7e — the index is built once per (corpus, JVM)
+    * and pinned at write time (the [[Dedup.incrementalDedupPersisted]]
+    * cost model); repeat runs pay only the probe.
+    */
+  def knnIvfPersisted(t: Tables): DataFrame = {
+    val (cs, cp, as_, ap) = ivfIndexDirs.computeIfAbsent(
+      t.dir,
+      _ => {
+        val centDir = graft.operators.Ingest.scratchDir("graft-ivfcent")
+        val asgDir  = graft.operators.Ingest.scratchDir("graft-ivfasg")
+        val (mc, ma) = buildIvfIndex(t, centDir, asgDir)
+        (centDir, Seq(mc), asgDir, Seq(ma))
+      }
+    )
+    knnIvfPersisted(t.spark, cs, cp, as_, ap)
   }
 
   /** PQ geometry: m subspaces of dims/m dimensions, ksub codewords

@@ -346,7 +346,9 @@ object ParquetEpochs {
               else pt.getPrimitiveTypeName match {
                 case PrimitiveTypeName.INT64 | PrimitiveTypeName.INT32
                     if logical == null ||
-                      logical.isInstanceOf[LogicalTypeAnnotation.IntLogicalTypeAnnotation] =>
+                      (logical.isInstanceOf[LogicalTypeAnnotation.IntLogicalTypeAnnotation] &&
+                        logical.asInstanceOf[LogicalTypeAnnotation.IntLogicalTypeAnnotation]
+                          .isSigned) => // unsigned ints compare unsigned — don't record
                   val mins = chunks.map(_.getStatistics.genericGetMin.asInstanceOf[Number].longValue)
                   val maxs = chunks.map(_.getStatistics.genericGetMax.asInstanceOf[Number].longValue)
                   Some(s"$f\t$colName\tlong\t${mins.min}\t${maxs.max}")

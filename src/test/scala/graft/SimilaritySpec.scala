@@ -44,6 +44,36 @@ class SimilaritySpec extends SparkSpecBase {
     assert(recall >= 0.3, f"recall collapsed: $recall%.2f")
   }
 
+  test("C7e: persisted-index probe equals a fresh IVF run; serving read plans O(1) files") {
+    import graft.sources.{ContentStore, ParquetEpochs}
+    // the shared gate fixture builds the two store assets once
+    val persisted = Similarity.knnIvfPersisted(tables)
+    // provenance FIRST (inputFiles on the pre-collect frame): the probe
+    // reads the two stores' parquet only — never embeddings.parquet
+    // (the corpus projection it exists to not pay)
+    val inputs = persisted.inputFiles
+    assert(inputs.nonEmpty && inputs.forall(f =>
+      f.contains("graft-ivfcent") || f.contains("graft-ivfasg")),
+      s"persisted probe must read only the index stores: ${inputs.mkString(",")}")
+    val a = persisted.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val b = Similarity.knnIvf(tables).collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(a.toSeq == b.toSeq,
+      "persisted probe must equal the fresh train+project+search run row for row")
+    // the serving shape: one cell's candidates live in O(1) files of the
+    // cell-clustered assignments store (B65b bounds on the int cell col)
+    val root  = java.nio.file.Files.createTempDirectory("graft-ivfserve")
+    try {
+      val (_, ma) = Similarity.buildIvfIndex(
+        tables, root.toString + "/cent", root.toString + "/asg")
+      val asg   = root.toString + "/asg"
+      val hconf = spark.sessionState.newHadoopConf()
+      val total = ContentStore.filesInManifest(asg, ma, hconf).size
+      val planned = ParquetEpochs.plannedFiles(asg, Seq(ma), "cell", 3L, 3L)
+      assert(planned.nonEmpty && planned.size < total,
+        s"a one-cell read must plan a covering subset of the $total files (got ${planned.size})")
+    } finally deleteTree(root)
+  }
+
   test("IVF-PQ knn: deterministic, structurally sound, usable recall from 64-bit codes") {
     val a = Similarity.knnIvfPq(tables).collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     val b = Similarity.knnIvfPq(tables).collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))

@@ -130,6 +130,7 @@ class SqlSurfaceSpec extends SparkSpecBase {
       "dedup_semantic_miss",        // per-cell split of the exact pairs — same k-means cells
       "knn_lsh",                    // LSH ANN
       "knn_ivf",                    // IVF ANN
+      "knn_ivf_persisted",          // the same IVF search over the pinned store asset
       "knn_ivfpq"                   // IVF-PQ ANN
     )
     val q = graft.SparkEntry.queries.keySet
