@@ -362,6 +362,15 @@ object SparkEntry {
       graft.streaming.StreamReplay
         .replayColumnarTail(s, d, columns = Some("doc_id,n_chars"))
         .orderBy("doc_id")),
+    // ...the SHARD-SCOPED tail (C22g's keyRange option): the consumer
+    // tails only its doc_id slice — per-batch partition planning drops
+    // files whose footer bounds can't overlap (B65b on the stream),
+    // the consumer's own between-filter restores row exactness, and
+    // the drained slice must equal the table's slice
+    "q_stream_columnar_tail_ranged" -> ((s, d) =>
+      graft.streaming.StreamReplay
+        .replayColumnarTail(s, d, keyRange = Some(("doc_id", 100L, 349L)))
+        .orderBy("doc_id")),
     // ...and its STREAMING-WRITE twin (C22h): micro-batches become
     // epoch-idempotent columnar manifests via foreachBatch + append;
     // each pinned epoch must list exactly its micro-batch's rows
@@ -1102,6 +1111,10 @@ object SparkEntry {
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_stream_columnar_tail_pruned" -> // columns-option tail: pruned drained corpus == table
       """SELECT doc_id, n_chars FROM documents ORDER BY doc_id""",
+    "q_stream_columnar_tail_ranged" -> // keyRange tail + the consumer's own filter == the slice
+      """SELECT doc_id, lang, source, n_chars, text
+        |FROM documents WHERE doc_id BETWEEN 100 AND 349
+        |ORDER BY doc_id""".stripMargin,
     "q_stream_columnar_write" -> // each columnar epoch manifest == its micro-batch exactly
       """SELECT CAST(doc_id % 4 AS BIGINT) AS epoch, doc_id, lang, n_chars, text
         |FROM documents ORDER BY 1, 2""".stripMargin,

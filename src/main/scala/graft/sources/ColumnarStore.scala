@@ -79,6 +79,11 @@ class ColumnarStore extends TableProvider {
         throw new IllegalStateException(
           s"ColumnarStore: store $path has no recorded _schema (written before the marker " +
             "existed) — one ParquetEpochs.append heals it forward"))
+    // keyRange options validate at RESOLUTION (newScanBuilder is lazy —
+    // a typo would otherwise surface only at stream start, or worse,
+    // silently disable pruning). Against the FULL schema: the pruning
+    // column need not be in the `columns` projection.
+    ColumnarStore.validateKeyRange(options, Some(full), path): Unit
     ColumnarStore.applyColumns(full, Option(options.get("columns")), path)
   }
 
@@ -105,6 +110,29 @@ private[graft] object ColumnarStore {
       throw new IllegalStateException(
         s"ColumnarStore: store $path is not a columnar (ParquetEpochs) store; " +
           "use graft.sources.ContentStore for K-V stores")
+
+  /** The keyRange option triple, validated: all three together, and
+    * the column must exist in the store's recorded schema when one is
+    * known. Returns the parsed triple.
+    */
+  def validateKeyRange(
+      options: CaseInsensitiveStringMap,
+      full: Option[StructType],
+      path: String
+  ): Option[(String, String, String)] =
+    (Option(options.get("keyRangeColumn")),
+      Option(options.get("keyRangeLo")),
+      Option(options.get("keyRangeHi"))) match {
+      case (None, None, None) => None
+      case (Some(c), Some(lo), Some(hi)) =>
+        require(full.forall(_.fieldNames.contains(c)),
+          s"ColumnarStore: store $path has no column '$c' for keyRangeColumn " +
+            s"(recorded schema: ${full.map(_.catalogString).getOrElse("<none>")})")
+        Some((c, lo, hi))
+      case _ =>
+        throw new IllegalArgumentException(
+          "ColumnarStore: keyRangeColumn, keyRangeLo and keyRangeHi must be set together")
+    }
 
   /** Apply the `columns` option (comma-separated subset, store order
     * preserved) to the recorded schema. This is the streaming path's
@@ -149,6 +177,12 @@ private[graft] class ColumnarStoreTable(path: String, tableSchema: StructType)
     val conf               = new SerializableConfiguration(ContentStore.driverHadoopConf())
     val maxFilesPerTrigger = options.getInt("maxFilesPerTrigger", 0)
     val compactInterval    = options.getInt("compactInterval", 10)
+    // keyRange* options: FILE-level skipping for a shard-scoped tail
+    // (see ColumnarMicroBatchStream.planInputPartitions). Re-validated
+    // here for the externally-supplied-schema path; the readStream
+    // path already validated at inferSchema (resolution time).
+    val keyRange = ColumnarStore.validateKeyRange(
+      options, ParquetEpochs.recordedSchema(path, conf.value), path)
     new ScanBuilder {
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = tableSchema
@@ -165,7 +199,8 @@ private[graft] class ColumnarStoreTable(path: String, tableSchema: StructType)
             checkpointLocation: String
         ): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
           new ColumnarMicroBatchStream(
-            path, conf, checkpointLocation, maxFilesPerTrigger, compactInterval, tableSchema)
+            path, conf, checkpointLocation, maxFilesPerTrigger, compactInterval, tableSchema,
+            keyRange)
       }
     }
   }
@@ -174,6 +209,23 @@ private[graft] class ColumnarStoreTable(path: String, tableSchema: StructType)
 /** [[StoreMicroBatchStream]] with the per-file read swapped to
   * parquet: offsets, admission, the consumed-manifest log and
   * compaction-aware exactly-once are all inherited verbatim.
+  *
+  * `keyRange` (the `keyRangeColumn`/`keyRangeLo`/`keyRangeHi` options):
+  * FILE-level skipping for a SHARD-SCOPED tail — N consumers each
+  * tailing their own key slice of one store (the fan-out-by-key
+  * deployment) would otherwise each read EVERY epoch in full, N× the
+  * store per pass. Each micro-batch's admitted files are filtered
+  * against the store's `_stats` footer bounds (B65b; one merged
+  * metadata-bounded map, built lazily once per stream), so a consumer
+  * opens only the files whose recorded range can overlap its slice —
+  * with range-clustered appends, ~1/N of each epoch. The contract is
+  * the `columns` option's: an I/O option, not a predicate — rows
+  * OUTSIDE the range from covering files are still emitted (stats are
+  * file-granular), so compose it with your own filter; files without
+  * recorded bounds always pass. Offsets/admission/replay are untouched
+  * — pruning happens at partition PLANNING, after whole-manifest
+  * admission, so a crash replay of batch i prunes identically (the
+  * bounds of already-committed files are immutable).
   */
 private[graft] class ColumnarMicroBatchStream(
     path: String,
@@ -181,8 +233,46 @@ private[graft] class ColumnarMicroBatchStream(
     checkpointLocation: String,
     maxFilesPerTrigger: Int,
     compactInterval: Int,
-    schema: StructType
+    schema: StructType,
+    keyRange: Option[(String, String, String)] = None
 ) extends StoreMicroBatchStream(path, conf, checkpointLocation, maxFilesPerTrigger, compactInterval) {
+
+  // one metadata read per STREAM, not per batch: bounds of committed
+  // files never change (append-only store; compaction writes NEW files
+  // whose stats land before their manifest), and files committed after
+  // stream start gain entries on the next rebuild — miss = conservative
+  // include, never wrong results
+  @volatile private var boundsCache: Map[String, ParquetEpochs.ColumnBound] = null
+  private def bounds(column: String): Map[String, ParquetEpochs.ColumnBound] = {
+    if (boundsCache == null)
+      boundsCache = ParquetEpochs.allColumnBounds(path, column, conf.value)
+    boundsCache
+  }
+
+  override def planInputPartitions(
+      start: org.apache.spark.sql.connector.read.streaming.Offset,
+      end: org.apache.spark.sql.connector.read.streaming.Offset
+  ): Array[InputPartition] = {
+    val parts = super.planInputPartitions(start, end)
+    keyRange match {
+      case None => parts
+      case Some((column, lo, hi)) =>
+        val b = {
+          val known = bounds(column)
+          // a file admitted after the cache was built: refresh once —
+          // its stats sidecar landed before its manifest became visible
+          if (parts.exists(p => !known.contains(p.asInstanceOf[StoreFilePartition].file))) {
+            boundsCache = ParquetEpochs.allColumnBounds(path, column, conf.value)
+          }
+          bounds(column)
+        }
+        parts.filter { p =>
+          b.get(p.asInstanceOf[StoreFilePartition].file)
+            .forall(ParquetEpochs.mayOverlap(_, lo, hi))
+        }
+    }
+  }
+
   override def createReaderFactory(): PartitionReaderFactory =
     new ColumnarStoreReaderFactory(schema, conf, ParquetConverterFlags.fromActiveSession())
 }

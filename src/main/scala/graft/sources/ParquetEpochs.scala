@@ -417,6 +417,40 @@ object ParquetEpochs {
     }.toMap
   }
 
+  /** Every recorded bound for `column` across ALL `_stats` sidecars in
+    * the store — file names are store-unique (uuid-derived), so one
+    * merged map serves consumers that see files without knowing their
+    * manifest (the streaming tail's partitions). One directory listing
+    * plus one line-read per manifest: metadata-bounded, the offset
+    * log's own cost class.
+    */
+  private[graft] def allColumnBounds(
+      storeDir: String,
+      column: String,
+      conf: org.apache.hadoop.conf.Configuration
+  ): Map[String, ColumnBound] = {
+    val (fsys, root) = ContentStore.fs(storeDir, conf)
+    val statsDir     = new Path(root, "_stats")
+    if (!fsys.exists(statsDir)) return Map.empty
+    val names = fsys.listStatus(statsDir).map(_.getPath.getName)
+      .filterNot(_.startsWith(".tmp-")).toSeq
+    columnBounds(storeDir, names, column, conf)
+  }
+
+  /** Conservative overlap test against STRING-typed range endpoints
+    * (the form options arrive in): a "long" bound parses them as
+    * longs — unparseable endpoints keep the file; a "string" bound
+    * compares unsigned UTF-8 bytes (Spark's own string order).
+    */
+  private[graft] def mayOverlap(b: ColumnBound, lo: String, hi: String): Boolean =
+    b.tag match {
+      case "long" =>
+        try b.mayContainLong(lo.trim.toLong, hi.trim.toLong)
+        catch { case _: NumberFormatException => true }
+      case "string" => b.mayContainString(lo.getBytes("UTF-8"), hi.getBytes("UTF-8"))
+      case _        => true
+    }
+
   /** The data files a key-scoped read actually plans: the pinned
     * manifests' files minus those whose recorded `column` range cannot
     * overlap [lo, hi]. `lo`/`hi` accept Long/Int (compared numerically

@@ -691,7 +691,8 @@ object StreamReplay {
       spark: SparkSession,
       sfDir: String,
       writes: Int = 4,
-      columns: Option[String] = None
+      columns: Option[String] = None,
+      keyRange: Option[(String, Long, Long)] = None
   ): DataFrame = {
     val run   = Files.createDirectories(root.resolve(f"run-${runCounter.getAndIncrement()}%04d"))
     val store = run.resolve("store").toString
@@ -699,9 +700,16 @@ object StreamReplay {
     val ckpt  = run.resolve("ckpt")
     val docs = Tables(spark, sfDir).documents
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"), col("text"))
-    for (i <- 0 until writes)
+    for (i <- 0 until writes) {
+      val slice = docs.filter(pmod(col("doc_id"), lit(writes)) === i)
+      // the ranged tail's fixture range-clusters each epoch (the B65b
+      // write discipline) so the keyRange options have bounds to prune
+      // against; the plain tail keeps the writer's own layout
       graft.sources.ParquetEpochs.append(
-        docs.filter(pmod(col("doc_id"), lit(writes)) === i), store)
+        keyRange.fold(slice)(_ =>
+          slice.repartitionByRange(4, col("doc_id")).sortWithinPartitions("doc_id")),
+        store)
+    }
     val spKey = "spark.sql.shuffle.partitions"
     val prev  = spark.conf.get(spKey)
     spark.conf.set(spKey, math.min(ReplayShuffleWidth, prev.toInt).toString)
@@ -710,8 +718,17 @@ object StreamReplay {
         .format("graft.sources.ColumnarStore")
         .option("path", store)
         .option("maxFilesPerTrigger", "1")
-      val query = columns.fold(reader)(c => reader.option("columns", c))
-        .load()
+      val withCols = columns.fold(reader)(c => reader.option("columns", c))
+      val loaded = keyRange.fold(withCols) { case (c, lo, hi) =>
+        withCols.option("keyRangeColumn", c)
+          .option("keyRangeLo", lo.toString).option("keyRangeHi", hi.toString)
+      }.load()
+      // keyRange is an I/O option, not a predicate (stats are
+      // file-granular): the consumer composes its OWN filter, which
+      // restores exactness over the covering files' out-of-range rows
+      val query = keyRange.fold(loaded) { case (c, lo, hi) =>
+        loaded.where(col(c).between(lit(lo), lit(hi)))
+      }
         .writeStream
         .format("parquet")
         .option("path", out)

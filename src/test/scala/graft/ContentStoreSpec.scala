@@ -329,6 +329,55 @@ class ContentStoreSpec extends SparkSpecBase {
     assert(e.getMessage.contains("nope"))
   }
 
+  test("columnar tail keyRange option prunes non-covering files at partition planning") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val dir = tmp()
+    // two range-clustered epochs: ids 0..399 and 400..799, 4 files each
+    def epoch(lo: Long): org.apache.spark.sql.DataFrame =
+      spark.range(lo, lo + 400).selectExpr("id", "id * 2 AS v")
+        .repartitionByRange(4, col("id")).sortWithinPartitions("id")
+    graft.sources.ParquetEpochs.append(epoch(0L), dir): Unit
+    graft.sources.ParquetEpochs.append(epoch(400L), dir): Unit
+    val schema = graft.sources.ParquetEpochs.recordedSchema(dir, hconf).get
+    // direct stream: the ranged plan is a strict subset of the 8 files
+    val ranged = new graft.sources.ColumnarMicroBatchStream(
+      dir, sconf, tmp(), 0, 10, schema, Some(("id", "100", "199")))
+    val end   = ranged.latestOffset(ranged.initialOffset(), ReadLimit.allAvailable())
+    val parts = ranged.planInputPartitions(ranged.initialOffset(), end)
+    assert(parts.nonEmpty && parts.length < 8,
+      s"keyRange [100,199] must plan a covering subset of 8 clustered files, got ${parts.length}")
+    val unranged = new graft.sources.ColumnarMicroBatchStream(
+      dir, sconf, tmp(), 0, 10, schema, None)
+    val end2 = unranged.latestOffset(unranged.initialOffset(), ReadLimit.allAvailable())
+    assert(unranged.planInputPartitions(unranged.initialOffset(), end2).length == 8)
+    // end-to-end: the pruned tail + the consumer's own filter == the slice
+    // (keyRange is an I/O option — covering files still emit out-of-range rows)
+    val q = spark.readStream.format("graft.sources.ColumnarStore")
+      .option("path", dir)
+      .option("keyRangeColumn", "id").option("keyRangeLo", "100").option("keyRangeHi", "199")
+      .load()
+      .where(col("id").between(100L, 199L))
+      .writeStream.format("memory").queryName("ranged_tail")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(spark.table("ranged_tail").collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      (100L to 199L).map(i => (i, i * 2)).toSet)
+    // incomplete option triples refuse at resolution
+    val e = intercept[Exception] {
+      spark.readStream.format("graft.sources.ColumnarStore")
+        .option("path", dir).option("keyRangeColumn", "id").load()
+    }
+    assert(e.getMessage.contains("keyRange"))
+    // a typo'd column refuses with the recorded schema in the message
+    val e2 = intercept[Exception] {
+      spark.readStream.format("graft.sources.ColumnarStore")
+        .option("path", dir).option("keyRangeColumn", "nope")
+        .option("keyRangeLo", "1").option("keyRangeHi", "2").load()
+    }
+    assert(e2.getMessage.contains("nope"))
+  }
+
   test("columnar streamingAppend: one epoch per micro-batch, exactly-once across restarts") {
     import spark.implicits._
     val src  = tmp()
