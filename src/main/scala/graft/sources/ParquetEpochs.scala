@@ -587,11 +587,31 @@ object ParquetEpochs {
     * same source selection, deterministic name, sidecar shadowing and
     * race idempotence as [[StoreLifecycle.compactEpochs]], different
     * rewrite kernel.
+    *
+    * `clusterBy` = (column, parts): range-cluster the rewritten epoch.
+    * Without it, the rewrite's arbitrary row order makes every
+    * rewritten file's footer bounds span the whole key domain, so the
+    * `_stats` skipping the clustered appends bought ([[readRange]],
+    * the keyRange tail, C22j lookups) silently degrades to
+    * read-everything after the first OPTIMIZE. Compaction is exactly
+    * the moment to (re)establish clustering — it is the one pass that
+    * rewrites history anyway; values cannot move either way (one
+    * extra range shuffle inside the rewrite).
     */
-  def compact(spark: SparkSession, storeDir: String, keepLast: Int = 0): Option[String] = {
+  def compact(
+      spark: SparkSession,
+      storeDir: String,
+      keepLast: Int = 0,
+      clusterBy: Option[(String, Int)] = None
+  ): Option[String] = {
     val conf = ContentStore.driverHadoopConf()
     StoreLifecycle.compactionPlan(storeDir, keepLast, conf).map { case (sources, name) =>
-      append(read(spark, storeDir, sources), storeDir, Some(name), Some(sources))
+      val rows = read(spark, storeDir, sources)
+      val rewritten = clusterBy.fold(rows) { case (c, parts) =>
+        import org.apache.spark.sql.functions.col
+        rows.repartitionByRange(parts, col(c)).sortWithinPartitions(c)
+      }
+      append(rewritten, storeDir, Some(name), Some(sources))
       name
     }
   }

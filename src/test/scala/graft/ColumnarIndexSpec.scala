@@ -293,4 +293,33 @@ class ColumnarIndexSpec extends SparkSpecBase {
         .collect().map(_.getLong(0)).sorted.toSeq == before)
     } finally deleteTree(storeRoot)
   }
+
+  test("file skipping: clusterBy compaction re-establishes tight bounds") {
+    val storeRoot = java.nio.file.Files.createTempDirectory("graft-pqskip-spec")
+    val store     = storeRoot.toString
+    try {
+      import org.apache.spark.sql.functions._
+      // two epochs deliberately INTERLEAVED on the key (each file spans
+      // the whole domain): plain compaction would keep the wide bounds
+      for (par <- Seq(0, 1))
+        ParquetEpochs.append(
+          spark.range(0, 800).filter(col("id") % 2 === par)
+            .select(col("id").as("doc_id")).repartition(4),
+          store): Unit
+      val wide = ParquetEpochs
+        .plannedFiles(store, ParquetEpochs.snapshot(store), "doc_id", 100L, 110L)
+      assert(wide.size == 8, s"interleaved epochs must have domain-wide bounds: ${wide.size}")
+      val before = ParquetEpochs
+        .readRange(spark, store, ParquetEpochs.snapshot(store), "doc_id", 100L, 110L)
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(ParquetEpochs.compact(spark, store, clusterBy = Some(("doc_id", 8))).isDefined)
+      val pinC = ParquetEpochs.snapshot(store)
+      val tight = ParquetEpochs.plannedFiles(store, pinC, "doc_id", 100L, 110L)
+      assert(tight.size < 8 && tight.nonEmpty,
+        s"clusterBy compaction must restore skipping (planned ${tight.size} of 8)")
+      assert(ParquetEpochs
+        .readRange(spark, store, pinC, "doc_id", 100L, 110L)
+        .collect().map(_.getLong(0)).sorted.toSeq == before)
+    } finally deleteTree(storeRoot)
+  }
 }
