@@ -436,6 +436,7 @@ object SparkEntry {
     "knn_lsh"              -> ((s, d) => Similarity.knnLsh(Tables(s, d))),
     "knn_ivf"              -> ((s, d) => Similarity.knnIvf(Tables(s, d))),
     "knn_ivf_persisted"    -> ((s, d) => Similarity.knnIvfPersisted(Tables(s, d))),
+    "knn_ivf_incremental"  -> ((s, d) => Similarity.knnIvfIncremental(Tables(s, d))),
     "knn_ivfpq"            -> ((s, d) => Similarity.knnIvfPq(Tables(s, d))),
     "text_langid"          -> ((s, d) => TextOps.langId(Tables(s, d))),
     "text_quality"         -> ((s, d) => TextOps.qualityScores(Tables(s, d))),
@@ -505,6 +506,13 @@ object SparkEntry {
     "dedup_incremental_columnar" -> ((s, d) => Dedup.incrementalDedupColumnar(Tables(s, d), Dedup.JaccardTau)),
     "dedup_incremental_components" -> ((s, d) => Dedup.incrementalComponents(Tables(s, d), Dedup.JaccardTau)),
     "dedup_component_lookup" -> ((s, d) => Dedup.componentLookup(Tables(s, d), Dedup.JaccardTau, 0L, 299L)),
+    // C22k: the C22i merge per MICRO-BATCH from two virgin stores — no
+    // offline base build; the drained patch stream's min-per-doc must
+    // equal batch C2c over the whole corpus (the shared recursive CTE)
+    "q_stream_components" -> ((s, d) =>
+      graft.streaming.StreamReplay
+        .replayComponentMaintenance(s, d, Dedup.JaccardTau)
+        .orderBy("doc_id")),
     "text_bpe_merges"      -> ((s, d) => TextOps.bpeMergeCandidates(Tables(s, d))),
     "text_bpe_apply"       -> ((s, d) => TextOps.bpeApply(Tables(s, d))),
     "text_vocab_coverage"  -> ((s, d) => TextOps.vocabCoverage(Tables(s, d))),
@@ -2354,6 +2362,10 @@ object SparkEntry {
     "dedup_incremental_components" -> // C22i: maintained labels (base C2c state + merged
       // delta edges) must equal batch C2c over base ∪ delta = the full
       // corpus — the dedup_components oracle, shared verbatim
+      componentsOracleSql,
+    "q_stream_components" -> // C22k: the same contract for the STREAMING form —
+      // micro-batch merges from two virgin stores must land on batch
+      // C2c over the whole corpus; same oracle, shared verbatim
       componentsOracleSql,
     "dedup_component_lookup" -> // C22j: the band lookup through the skipping read must
       // equal batch C2c restricted to the band — components compute

@@ -1099,9 +1099,10 @@ object Dedup {
   def writeSignatureIndexColumnar(
       spark: SparkSession,
       docs: DataFrame,
-      storeDir: String
+      storeDir: String,
+      manifestName: Option[String] = None
   ): String =
-    graft.sources.ParquetEpochs.append(indexRowsOn(spark, docs), storeDir)
+    graft.sources.ParquetEpochs.append(indexRowsOn(spark, docs), storeDir, manifestName)
 
   /** The columnar index read back from a PINNED manifest snapshot —
     * same time-travel contract as [[readSignatureIndex]], no JSON
@@ -1340,6 +1341,16 @@ object Dedup {
     * against the (old label → new label) remap with NO resolution pass
     * (the monotonicity invariant). `broadcastDelta = false` is the same
     * over-threshold escape hatch as the probes'.
+    *
+    * EMPTY pins bootstrap: `sigManifests` empty means no corpus is
+    * indexed yet (delta↔base edges are vacuously none — the store may
+    * be virgin, so it is never opened), and `stateManifests` empty
+    * means no labels exist yet (prior state is the typed empty frame).
+    * Merging the FIRST batch into empty state is therefore batch C2c
+    * over that batch — the maintenance is self-bootstrapping, which is
+    * what lets the STREAMING form (C22k) start from two virgin stores.
+    * `manifestName` makes the patch append idempotent for epoch-keyed
+    * writers (the C22h discipline).
     */
   def mergeDeltaComponents(
       spark: SparkSession,
@@ -1349,7 +1360,8 @@ object Dedup {
       stateStoreDir: String,
       stateManifests: Seq[String],
       tau: Double,
-      broadcastDelta: Boolean = true
+      broadcastDelta: Boolean = true,
+      manifestName: Option[String] = None
   ): String = {
     def small(df: DataFrame): DataFrame       = if (broadcastDelta) broadcast(df) else df
     def big(df: DataFrame): DataFrame         = if (broadcastDelta) df else df.hint("shuffle_hash")
@@ -1358,14 +1370,23 @@ object Dedup {
     // so this merge sees exactly the edges the index probe sees
     val deltaRows  = materialize(indexRowsOn(spark, delta).select("doc_id", "n_sh", "sh"))
     val deltaPosts = deltaRows.select(col("doc_id"), col("n_sh"), explode(col("sh")).as("s"))
-    val basePosts = readSignatureIndexColumnar(spark, sigStoreDir, sigManifests)
-      .select(col("doc_id").as("base_doc"), col("n_sh").as("base_n"), explode(col("sh")).as("s"))
-    val db = small(deltaPosts)
-      .join(big(basePosts), "s")
-      .groupBy(col("doc_id"), col("base_doc"), col("n_sh"), col("base_n"))
-      .agg(count(lit(1)).as("inter"))
-      .filter(col("inter").cast("double") / (col("n_sh") + col("base_n") - col("inter")) >= tau)
-      .select(col("doc_id").as("u"), col("base_doc").as("v"))
+    val db =
+      if (sigManifests.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("u", org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.LongType))))
+      else {
+        val basePosts = readSignatureIndexColumnar(spark, sigStoreDir, sigManifests)
+          .select(col("doc_id").as("base_doc"), col("n_sh").as("base_n"), explode(col("sh")).as("s"))
+        small(deltaPosts)
+          .join(big(basePosts), "s")
+          .groupBy(col("doc_id"), col("base_doc"), col("n_sh"), col("base_n"))
+          .agg(count(lit(1)).as("inter"))
+          .filter(col("inter").cast("double") / (col("n_sh") + col("base_n") - col("inter")) >= tau)
+          .select(col("doc_id").as("u"), col("base_doc").as("v"))
+      }
     // delta↔delta edges — the delta is small; AQE picks the join
     val dd = deltaPosts
       .as("a")
@@ -1384,7 +1405,14 @@ object Dedup {
     // the raw state (map-side) before the tiny min-resolve; any
     // unlabeled endpoint (every delta doc, a base doc that was a
     // singleton) IS its own label
-    val rawState = graft.sources.ParquetEpochs.read(spark, stateStoreDir, stateManifests)
+    val rawState =
+      if (stateManifests.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("component", org.apache.spark.sql.types.LongType))))
+      else graft.sources.ParquetEpochs.read(spark, stateStoreDir, stateManifests)
     val touched  = edges.select(col("v").as("doc_id")).distinct()
     val vLabels = rawState
       .join(broadcast(touched), Seq("doc_id"), "leftsemi")
@@ -1419,7 +1447,8 @@ object Dedup {
         Seq("component")
       )
       .select(col("doc_id"), col("newc").as("component"))
-    val name = graft.sources.ParquetEpochs.append(newRows.unionAll(relabeled), stateStoreDir)
+    val name =
+      graft.sources.ParquetEpochs.append(newRows.unionAll(relabeled), stateStoreDir, manifestName)
     freeMaterialized(deltaRows)
     freeMaterialized(edges)
     name

@@ -340,7 +340,7 @@ object Similarity {
     * subspaces stacked downstream it pushed the generated class past
     * Janino's limits, silently de-codegening the whole stage.)
     */
-  private def withCell(vecs: DataFrame, cents: Array[Array[Double]]): DataFrame = {
+  private[graft] def withCell(vecs: DataFrame, cents: Array[Array[Double]]): DataFrame = {
     val dotsArr = array(cents.map(c => call_function("vec_dot", col("v"), centLit(c))).toIndexedSeq: _*)
     vecs
       .select(col("vec_id"), col("v"), col("nrm"), dotsArr.as("dots"))
@@ -437,10 +437,22 @@ object Similarity {
       centStore: String,
       asgStore: String,
       cells: Int = IvfCells
+  ): (String, String) =
+    buildIvfIndexFrom(t.spark, vectors(t), centStore, asgStore, cells)
+
+  /** [[buildIvfIndex]] over an explicit (vec_id, v, nrm) corpus slice —
+    * the form the incremental story needs (train on the BASE corpus,
+    * [[addToIvfIndex]] the rest against those centroids).
+    */
+  def buildIvfIndexFrom(
+      spark: SparkSession,
+      corpus: DataFrame,
+      centStore: String,
+      asgStore: String,
+      cells: Int = IvfCells
   ): (String, String) = {
-    val spark = t.spark
     import spark.implicits._
-    val vecs  = vectors(t).filter(col("nrm") > 0)
+    val vecs  = corpus.filter(col("nrm") > 0)
     val cents = trainCentroids(trainSample(vecs), cells)
     val mc = graft.sources.ParquetEpochs.append(
       cents.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) }.toDF("cell", "c"),
@@ -491,6 +503,21 @@ object Similarity {
     graft.functions.VecExprs.register(spark)
     val cents  = readIvfCentroids(spark, centStore, centPin)
     val celled = graft.sources.ParquetEpochs.read(spark, asgStore, asgPin)
+    ivfSearch(celled, cents, numQueries, k, nprobe)
+  }
+
+  /** The IVF search half over ANY celled (vec_id, v, nrm, cell) corpus
+    * — the body [[knnIvfPersisted]] runs on the pinned store read and
+    * the frozen-centroid reference the C7f equality spec pins the
+    * incremental index against.
+    */
+  private[graft] def ivfSearch(
+      celled: DataFrame,
+      cents: Array[Array[Double]],
+      numQueries: Int,
+      k: Int,
+      nprobe: Int
+  ): DataFrame = {
     val probes = queryProbes(celled, cents, numQueries, nprobe)
     val w      = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
     broadcast(probes)
@@ -502,6 +529,37 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank")
       .orderBy("query_id", "rank")
+  }
+
+  /** C7f (add): the INCREMENTAL leg of the persisted index — FAISS's
+    * `add()` contract applied to the store asset: NEW vectors are
+    * assigned to the PINNED centroids (frozen — adding never retrains;
+    * re-training is a re-build into a fresh store, the nightly cadence)
+    * and appended as ONE cell-clustered epoch, so the B65b footer
+    * bounds stay tight across base + delta manifests and a cell-scoped
+    * serving read keeps planning O(covering files). Returns the epoch's
+    * manifest name; probe with base pins plus every add pin.
+    *
+    * Work is ∝ the delta (one argmax projection + one range shuffle of
+    * the delta rows) — the whole point: the 100 TB corpus assignment is
+    * never re-paid. Zero-norm vectors are dropped exactly as the build
+    * drops them (the knnOn rule), so probing base+adds equals a
+    * frozen-centroid assignment of the union corpus — spec-pinned.
+    */
+  def addToIvfIndex(
+      spark: SparkSession,
+      newVecs: DataFrame,
+      centStore: String,
+      centPin: Seq[String],
+      asgStore: String
+  ): String = {
+    graft.functions.VecExprs.register(spark)
+    val cents = readIvfCentroids(spark, centStore, centPin)
+    graft.sources.ParquetEpochs.append(
+      withCell(newVecs.filter(col("nrm") > 0), cents)
+        .repartitionByRange(cents.length, col("cell"), col("vec_id"))
+        .sortWithinPartitions("cell", "vec_id"),
+      asgStore)
   }
 
   private val ivfIndexDirs =
@@ -519,6 +577,35 @@ object Similarity {
         val asgDir  = graft.operators.Ingest.scratchDir("graft-ivfasg")
         val (mc, ma) = buildIvfIndex(t, centDir, asgDir)
         (centDir, Seq(mc), asgDir, Seq(ma))
+      }
+    )
+    knnIvfPersisted(t.spark, cs, cp, as_, ap)
+  }
+
+  private val ivfIncrDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Seq[String], String, Seq[String])]()
+
+  /** Gate entry for C7f — the deployment loop end to end: the index is
+    * TRAINED AND BUILT on the base corpus slice (vec_id % 10 ≠ 0) once
+    * per (corpus, JVM), the delta slice is ADDED against the frozen
+    * centroids as its own epoch, and the probe searches the pinned
+    * union (base + add manifests). Queries land on both slices, so the
+    * verdicts exercise cross-epoch candidate sets; rows-only by design
+    * (IVF ANN, like C7b/C7e) with the frozen-centroid equality spec as
+    * the exactness bracket.
+    */
+  def knnIvfIncremental(t: Tables): DataFrame = {
+    val (cs, cp, as_, ap) = ivfIncrDirs.computeIfAbsent(
+      t.dir,
+      _ => {
+        val centDir = graft.operators.Ingest.scratchDir("graft-ivficent")
+        val asgDir  = graft.operators.Ingest.scratchDir("graft-ivfiasg")
+        val vecs    = vectors(t)
+        val (mc, ma) = buildIvfIndexFrom(
+          t.spark, vecs.filter(col("vec_id") % 10 =!= 0), centDir, asgDir)
+        val madd = addToIvfIndex(
+          t.spark, vecs.filter(col("vec_id") % 10 === 0), centDir, Seq(mc), asgDir)
+        (centDir, Seq(mc), asgDir, Seq(ma, madd))
       }
     )
     knnIvfPersisted(t.spark, cs, cp, as_, ap)

@@ -792,6 +792,58 @@ object StreamReplay {
       .reduce(_.unionAll(_))
   }
 
+  /** C22k: STREAMING near-dup COMPONENT maintenance — the C22i merge
+    * run per micro-batch, which is the reference's consumer shape made
+    * literal (persistent state updated per event batch,
+    * lambda-count/lcount.go:206-237): documents arrive as doc_id %
+    * slices micro-batches (disjoint ids — the C22 admission contract)
+    * into TWO virgin store assets, and each batch (1) MERGES its edges
+    * into the maintained labels against the pins of every EARLIER
+    * batch, then (2) appends its own signatures so later batches can
+    * see edges into it. Batch 0 merges into empty pins — the
+    * self-bootstrapping case [[graft.operators.Dedup.mergeDeltaComponents]]
+    * documents — so no offline base build ever runs; the whole
+    * component state is stream-maintained from nothing.
+    *
+    * Exactly-once without a consumed-log: both per-batch appends use
+    * EPOCH-KEYED manifest names (`comp-<id>` / `sig-<id>`, the C22h
+    * discipline — first-write-wins makes a crash-replayed batch
+    * converge), and the pins for batch N are DERIVED from the manifest
+    * names themselves (every `sig-*`/`comp-*` with index < N), never
+    * from driver memory — a restarted writer reconstructs exactly the
+    * pre-batch view, excluding its own crashed batch's appends. The
+    * drained sink is the patch-epoch stream read back from the store;
+    * min(component) per doc over all patches IS the maintained label
+    * (the monotonicity invariant), and must equal batch C2c over the
+    * whole corpus — the shared recursive-CTE oracle, verbatim.
+    */
+  def replayComponentMaintenance(
+      spark: SparkSession,
+      sfDir: String,
+      tau: Double,
+      slices: Int = 4
+  ): DataFrame = {
+    val inDir      = documentsModSlices(spark, sfDir, slices)
+    val run        = Files.createDirectories(root.resolve(f"run-${runCounter.getAndIncrement()}%04d"))
+    val sigStore   = run.resolve("sig").toString
+    val stateStore = run.resolve("state").toString
+    def earlier(names: Seq[String], prefix: String, bid: Long): Seq[String] =
+      names.filter(n => n.startsWith(prefix) && n.stripPrefix(prefix).toLong < bid)
+    val drained = drainForeachBatch(spark, inDir, documentsDdl) { (batch, bid) =>
+      val sigPins =
+        earlier(graft.sources.ParquetEpochs.snapshot(sigStore), "sig-", bid)
+      val statePins =
+        earlier(graft.sources.ParquetEpochs.snapshot(stateStore), "comp-", bid)
+      val patch = graft.operators.Dedup.mergeDeltaComponents(
+        spark, batch, sigStore, sigPins, stateStore, statePins, tau,
+        manifestName = Some(f"comp-$bid%05d"))
+      graft.operators.Dedup.writeSignatureIndexColumnar(
+        spark, batch, sigStore, Some(f"sig-$bid%05d")): Unit
+      graft.sources.ParquetEpochs.read(spark, stateStore, Seq(patch))
+    }
+    drained.groupBy("doc_id").agg(min(col("component")).as("component"))
+  }
+
   private def replayEventsMulti(
       spark: SparkSession,
       sfDir: String,

@@ -142,6 +142,57 @@ class ComponentStateSpec extends SparkSpecBase {
     assert(labels(Dedup.readComponentState(spark, stateDir, pinAfter)) == before)
   }
 
+  test("C22k: merging into EMPTY pins bootstraps — first batch equals batch C2c over itself") {
+    // the streaming form starts from two VIRGIN stores: batch 0 merges
+    // with no sig pins (no base edges — the store is never opened) and
+    // no state pins (prior state is the typed empty frame); the patch
+    // must therefore BE batch C2c over that batch alone
+    val root     = java.nio.file.Files.createTempDirectory("graft-compstate-boot")
+    val sigDir   = root.toString + "/sig"
+    val stateDir = root.toString + "/state"
+    try {
+      val b0 = df(1L -> textA, 2L -> (textA + " nu xi"), 5L -> textB, 9L -> textX)
+      val patch = Dedup.mergeDeltaComponents(
+        spark, b0, sigDir, Seq.empty, stateDir, Seq.empty, tau)
+      assert(labels(Dedup.readComponentState(spark, stateDir, Seq(patch))) ==
+        batchComponents(b0))
+      // neither empty pin opened a store: the sig store was never
+      // written, so it must still be absent on disk
+      assert(!new java.io.File(sigDir).exists(), "empty sig pins must not touch the store")
+    } finally deleteTree(root)
+  }
+
+  test("C22k: an epoch-keyed replayed merge converges (first-write-wins, state unchanged)") {
+    val base = df(1L -> textA, 2L -> (textA + " nu xi"), 5L -> textB)
+    val (sigDir, sigPin, stateDir, statePin) = buildBase(base)
+    val delta = df(100L -> (textB + " cc dd"))
+    val patch = Dedup.mergeDeltaComponents(
+      spark, delta, sigDir, sigPin, stateDir, statePin, tau,
+      manifestName = Some("comp-00001"))
+    val after = labels(Dedup.readComponentState(spark, stateDir, statePin :+ patch))
+    // the crash-replay: same batch, same epoch-keyed name — the append
+    // loses the manifest rename idempotently and nothing changes
+    val replay = Dedup.mergeDeltaComponents(
+      spark, delta, sigDir, sigPin, stateDir, statePin, tau,
+      manifestName = Some("comp-00001"))
+    assert(replay == patch)
+    assert(ContentStore.snapshotManifests(stateDir).count(_ == "comp-00001") == 1)
+    assert(labels(Dedup.readComponentState(spark, stateDir, statePin :+ patch)) == after)
+  }
+
+  test("C22k: the streamed maintenance equals batch C2c over the whole corpus") {
+    val streamed = labels(
+      graft.streaming.StreamReplay
+        .replayComponentMaintenance(spark, sfDir, Dedup.JaccardTau))
+    val batch = labels(
+      Dedup.nearDupComponents(
+        tables,
+        Dedup.JaccardTau,
+        None,
+        Some(Dedup.hashedPostingsOn(tables.documents))))
+    assert(streamed == batch)
+  }
+
   test("C22j: band label lookup plans only covering files, values equal the full-state filter") {
     import org.apache.spark.sql.functions._
     val root  = java.nio.file.Files.createTempDirectory("graft-compstate-lkp")

@@ -74,6 +74,51 @@ class SimilaritySpec extends SparkSpecBase {
     } finally deleteTree(root)
   }
 
+  test("C7f: add() against frozen centroids equals the frozen-centroid union assignment; probe exact over base+add pins") {
+    import graft.sources.{ContentStore, ParquetEpochs}
+    import org.apache.spark.sql.functions.expr
+    graft.functions.VecExprs.register(spark)
+    val root = java.nio.file.Files.createTempDirectory("graft-ivfadd")
+    try {
+      val cent = root.toString + "/cent"
+      val asg  = root.toString + "/asg"
+      val vecs = tables.embeddings
+        .select(col("vec_id"), col("embedding").as("v"))
+        .withColumn("nrm", expr("vec_norm(v)"))
+      val base  = vecs.filter(col("vec_id") % 10 =!= 0)
+      val delta = vecs.filter(col("vec_id") % 10 === 0)
+      val (mc, ma) = Similarity.buildIvfIndexFrom(spark, base, cent, asg)
+      val madd     = Similarity.addToIvfIndex(spark, delta, cent, Seq(mc), asg)
+      // (1) the add NEVER retrains: the centroid store still holds only
+      // the base build's epoch
+      assert(ParquetEpochs.snapshot(cent) == Seq(mc), "add() must not touch the centroid store")
+      val cents = Similarity.readIvfCentroids(spark, cent, Seq(mc))
+      // (2) base + add epochs == a frozen-centroid assignment of the
+      // union corpus, as (vec_id, cell) multisets — FAISS add semantics
+      val stored = ParquetEpochs.read(spark, asg, Seq(ma, madd))
+        .select("vec_id", "cell").collect().map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+      val ref = Similarity.withCell(vecs.filter(col("nrm") > 0), cents)
+        .select("vec_id", "cell").collect().map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+      assert(stored == ref, "stored assignments must equal the frozen-centroid union assignment")
+      // (3) the probe over the pinned union equals the search body over
+      // the reference frame — the exactness bracket for the rows-only key
+      val probed = Similarity.knnIvfPersisted(spark, cent, Seq(mc), asg, Seq(ma, madd))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      val refSearch = Similarity
+        .ivfSearch(Similarity.withCell(vecs.filter(col("nrm") > 0), cents), cents,
+          numQueries = 10, k = 5, nprobe = Similarity.IvfProbes)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(probed == refSearch, "probe over base+add pins must equal the frozen-centroid search")
+      // (4) the add epoch is cell-clustered: a one-cell read plans a
+      // strict subset of its files (B65b bounds stay tight across adds)
+      val hconf   = spark.sessionState.newHadoopConf()
+      val total   = ContentStore.filesInManifest(asg, madd, hconf).size
+      val planned = ParquetEpochs.plannedFiles(asg, Seq(madd), "cell", 3L, 3L)
+      assert(total > 1 && planned.size < total,
+        s"one-cell read over the add epoch must plan < $total files (got ${planned.size})")
+    } finally deleteTree(root)
+  }
+
   test("IVF-PQ knn: deterministic, structurally sound, usable recall from 64-bit codes") {
     val a = Similarity.knnIvfPq(tables).collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     val b = Similarity.knnIvfPq(tables).collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
