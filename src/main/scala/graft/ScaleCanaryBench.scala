@@ -48,12 +48,13 @@ object ScaleCanaryBench {
   )
 
   // 10 distinct vowel permutations; copy 0 is the identity (the
-  // original sf0.1 rows ride along unchanged)
-  private val Perms = Seq(
+  // original sf0.1 rows ride along unchanged). Shared with
+  // ComponentMergeBench — one synthesis rule, one set of caveats.
+  private[graft] val Perms = Seq(
     "aeiou", "eioua", "iouae", "ouaei", "uaeio",
     "eaiuo", "ieoau", "oaeui", "uoiea", "aieuo")
 
-  private def mutateLongWords(textCol: String, perm: String) =
+  private[graft] def mutateLongWords(textCol: String, perm: String) =
     expr(
       s"array_join(transform(split($textCol, ' '), " +
         s"w -> IF(length(w) >= 4, translate(w, 'aeiou', '$perm'), w)), ' ')")

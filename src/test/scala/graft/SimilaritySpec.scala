@@ -116,6 +116,19 @@ class SimilaritySpec extends SparkSpecBase {
       val planned = ParquetEpochs.plannedFiles(asg, Seq(madd), "cell", 3L, 3L)
       assert(total > 1 && planned.size < total,
         s"one-cell read over the add epoch must plan < $total files (got ${planned.size})")
+      // (5) the ops loop closes: after N adds, OPTIMIZE with
+      // clusterBy(cell) folds the epochs into one range-clustered
+      // rewrite — probe results identical over the compacted pin, and
+      // the one-cell serving read still plans a strict file subset
+      val mcomp = ParquetEpochs.compact(spark, asg, keepLast = 0,
+        clusterBy = Some(("cell", 8))).get
+      val compacted = Similarity.knnIvfPersisted(spark, cent, Seq(mc), asg, Seq(mcomp))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(compacted == probed, "compaction must not move probe verdicts")
+      val totalC   = ContentStore.filesInManifest(asg, mcomp, hconf).size
+      val plannedC = ParquetEpochs.plannedFiles(asg, Seq(mcomp), "cell", 3L, 3L)
+      assert(totalC > 1 && plannedC.size < totalC,
+        s"one-cell read over the compacted epoch must plan < $totalC files (got ${plannedC.size})")
     } finally deleteTree(root)
   }
 
