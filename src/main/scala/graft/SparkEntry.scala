@@ -437,6 +437,7 @@ object SparkEntry {
     "knn_ivf"              -> ((s, d) => Similarity.knnIvf(Tables(s, d))),
     "knn_ivf_persisted"    -> ((s, d) => Similarity.knnIvfPersisted(Tables(s, d))),
     "knn_ivf_incremental"  -> ((s, d) => Similarity.knnIvfIncremental(Tables(s, d))),
+    "knn_ivf_serve"        -> ((s, d) => Similarity.knnIvfServe(Tables(s, d))),
     "knn_ivfpq"            -> ((s, d) => Similarity.knnIvfPq(Tables(s, d))),
     "text_langid"          -> ((s, d) => TextOps.langId(Tables(s, d))),
     "text_quality"         -> ((s, d) => TextOps.qualityScores(Tables(s, d))),

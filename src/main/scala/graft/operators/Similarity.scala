@@ -582,6 +582,60 @@ object Similarity {
     knnIvfPersisted(t.spark, cs, cp, as_, ap)
   }
 
+  /** C7g (serve): the SINGLE-QUERY read path over the persisted index
+    * — the other half of the FAISS deployment (build/add nightly,
+    * serve per request): the query VECTOR arrives externally, its
+    * nprobe best cells are picked driver-side against the collected
+    * centroid table (cells×dims — metadata-sized, same class as the
+    * training collect), and candidates come from ONE
+    * [[graft.sources.ParquetEpochs.readRange]] per probed cell — with
+    * the cell-clustered layout (build, add, and clusterBy compaction
+    * all maintain it) each opens O(covering files), so a request
+    * against a 100 TB index reads O(nprobe) files, not the store. The
+    * per-cell residual filter keeps covering-file overspill out;
+    * `excludeId` drops the query's own row when the query vector came
+    * from the corpus (the knnIvfPersisted self-exclusion rule, so
+    * serve == probe restricted to that query — spec-pinned).
+    */
+  def knnIvfServe(
+      spark: SparkSession,
+      centStore: String,
+      centPin: Seq[String],
+      asgStore: String,
+      asgPin: Seq[String],
+      query: Array[Float],
+      k: Int = 5,
+      nprobe: Int = IvfProbes,
+      excludeId: Option[Long] = None
+  ): DataFrame = {
+    graft.functions.VecExprs.register(spark)
+    val cents = readIvfCentroids(spark, centStore, centPin)
+    val qd    = query.map(_.toDouble)
+    val qn    = math.sqrt(qd.map(x => x * x).sum)
+    val probedCells = cents.zipWithIndex
+      .map { case (c, i) => (i, c.zip(qd).map { case (a, b) => a * b }.sum) }
+      .sortBy { case (i, d) => (-d, i) }
+      .take(nprobe)
+      .map(_._1)
+    val qLit = array(query.toIndexedSeq.map(v => lit(v)): _*)
+    val cand = probedCells
+      .map(c =>
+        graft.sources.ParquetEpochs
+          .readRange(spark, asgStore, asgPin, "cell", c.toLong, c.toLong))
+      .reduce(_.unionAll(_))
+    val scored = excludeId.fold(cand)(id => cand.filter(col("vec_id") =!= id))
+      .select(
+        col("vec_id").as("neighbor_id"),
+        (call_function("vec_dot", qLit, col("v")) / (col("nrm") * lit(qn))).as("cos"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+      .limit(k)
+    scored
+      .withColumn(
+        "rank",
+        row_number().over(Window.orderBy(col("cos").desc, col("neighbor_id"))).cast("long"))
+      .select("neighbor_id", "rank")
+  }
+
   private val ivfIncrDirs =
     new java.util.concurrent.ConcurrentHashMap[String, (String, Seq[String], String, Seq[String])]()
 
@@ -595,7 +649,12 @@ object Similarity {
     * the exactness bracket.
     */
   def knnIvfIncremental(t: Tables): DataFrame = {
-    val (cs, cp, as_, ap) = ivfIncrDirs.computeIfAbsent(
+    val (cs, cp, as_, ap) = incrementalIndex(t)
+    knnIvfPersisted(t.spark, cs, cp, as_, ap)
+  }
+
+  private def incrementalIndex(t: Tables): (String, Seq[String], String, Seq[String]) =
+    ivfIncrDirs.computeIfAbsent(
       t.dir,
       _ => {
         val centDir = graft.operators.Ingest.scratchDir("graft-ivficent")
@@ -608,7 +667,22 @@ object Similarity {
         (centDir, Seq(mc), asgDir, Seq(ma, madd))
       }
     )
-    knnIvfPersisted(t.spark, cs, cp, as_, ap)
+
+  /** Gate entry for C7g — one request against the shared incremental
+    * index (base build + frozen-centroid add): the query vector is
+    * vec 0's embedding handed over DRIVER-side (a serving request
+    * arrives externally — one bounded row read, never a corpus scan),
+    * self-excluded so the verdicts equal the C7e/C7f probe restricted
+    * to query 0 (spec-pinned).
+    */
+  def knnIvfServe(t: Tables): DataFrame = {
+    val (cs, cp, as_, ap) = incrementalIndex(t)
+    val q = t.embeddings
+      .filter(col("vec_id") === 0L)
+      .head()
+      .getSeq[Float](1)
+      .toArray
+    knnIvfServe(t.spark, cs, cp, as_, ap, q, excludeId = Some(0L))
   }
 
   /** PQ geometry: m subspaces of dims/m dimensions, ksub codewords

@@ -132,6 +132,45 @@ class SimilaritySpec extends SparkSpecBase {
     } finally deleteTree(root)
   }
 
+  test("C7g: single-query serve equals the probe restricted to that query; reads only probed-cell files") {
+    import graft.sources.ParquetEpochs
+    import org.apache.spark.sql.functions.expr
+    graft.functions.VecExprs.register(spark)
+    val root = java.nio.file.Files.createTempDirectory("graft-ivfserve2")
+    try {
+      val cent = root.toString + "/cent"
+      val asg  = root.toString + "/asg"
+      val vecs = tables.embeddings
+        .select(col("vec_id"), col("embedding").as("v"))
+        .withColumn("nrm", expr("vec_norm(v)"))
+      val (mc, ma) = Similarity.buildIvfIndexFrom(spark, vecs, cent, asg)
+      val q = tables.embeddings.filter(col("vec_id") === 0L).head().getSeq[Float](1).toArray
+      val served = Similarity
+        .knnIvfServe(spark, cent, Seq(mc), asg, Seq(ma), q, excludeId = Some(0L))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val probed = Similarity.knnIvfPersisted(spark, cent, Seq(mc), asg, Seq(ma))
+        .filter(col("query_id") === 0L)
+        .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+      assert(served == probed,
+        "serve(vec 0's embedding, self-excluded) must equal the probe's query-0 verdicts")
+      // the request's I/O: the union of its nprobe per-cell ranged reads
+      // plans a strict subset of the store's files (the serving shape —
+      // O(nprobe) covering files, not the index)
+      val cents = Similarity.readIvfCentroids(spark, cent, Seq(mc))
+      val qd    = q.map(_.toDouble)
+      val probedCells = cents.zipWithIndex
+        .map { case (c, i) => (i, c.zip(qd).map { case (a, b) => a * b }.sum) }
+        .sortBy { case (i, d) => (-d, i) }.take(Similarity.IvfProbes).map(_._1)
+      val hconf = spark.sessionState.newHadoopConf()
+      val total = graft.sources.ContentStore.filesInManifest(asg, ma, hconf).size
+      val opened = probedCells
+        .flatMap(c => ParquetEpochs.plannedFiles(asg, Seq(ma), "cell", c.toLong, c.toLong))
+        .distinct
+      assert(opened.nonEmpty && opened.size < total,
+        s"a serve request must open a strict subset of the $total files (got ${opened.size})")
+    } finally deleteTree(root)
+  }
+
   test("IVF-PQ knn: deterministic, structurally sound, usable recall from 64-bit codes") {
     val a = Similarity.knnIvfPq(tables).collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     val b = Similarity.knnIvfPq(tables).collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))

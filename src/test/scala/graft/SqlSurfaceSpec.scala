@@ -132,6 +132,7 @@ class SqlSurfaceSpec extends SparkSpecBase {
       "knn_ivf",                    // IVF ANN
       "knn_ivf_persisted",          // the same IVF search over the pinned store asset
       "knn_ivf_incremental",        // the same search over base + frozen-centroid add epochs
+      "knn_ivf_serve",              // one request's nprobe-cell ranged read of the same index
       "knn_ivfpq"                   // IVF-PQ ANN
     )
     val q = graft.SparkEntry.queries.keySet
