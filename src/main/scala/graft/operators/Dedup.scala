@@ -1352,6 +1352,40 @@ object Dedup {
     * `manifestName` makes the patch append idempotent for epoch-keyed
     * writers (the C22h discipline).
     */
+  /** The merge's delta↔base edge derivation — exposed so the plan spec
+    * can pin the PROBE ASYMMETRY on the frame itself (broadcast delta
+    * postings, index side exchange-free: no ShuffledHashJoin, no
+    * SortMergeJoin — the r16-measured shape the scale story rides on).
+    * Empty `sigManifests` short-circuits to a typed empty frame — the
+    * virgin store is never opened (the C22k bootstrap).
+    */
+  private[graft] def deltaBaseEdges(
+      spark: SparkSession,
+      deltaPosts: DataFrame,
+      sigStoreDir: String,
+      sigManifests: Seq[String],
+      tau: Double,
+      broadcastDelta: Boolean
+  ): DataFrame =
+    if (sigManifests.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("u", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.LongType))))
+    else {
+      def small(df: DataFrame): DataFrame = if (broadcastDelta) broadcast(df) else df
+      def big(df: DataFrame): DataFrame   = if (broadcastDelta) df else df.hint("shuffle_hash")
+      val basePosts = readSignatureIndexColumnar(spark, sigStoreDir, sigManifests)
+        .select(col("doc_id").as("base_doc"), col("n_sh").as("base_n"), explode(col("sh")).as("s"))
+      small(deltaPosts)
+        .join(big(basePosts), "s")
+        .groupBy(col("doc_id"), col("base_doc"), col("n_sh"), col("base_n"))
+        .agg(count(lit(1)).as("inter"))
+        .filter(col("inter").cast("double") / (col("n_sh") + col("base_n") - col("inter")) >= tau)
+        .select(col("doc_id").as("u"), col("base_doc").as("v"))
+    }
+
   def mergeDeltaComponents(
       spark: SparkSession,
       delta: DataFrame,
@@ -1370,23 +1404,7 @@ object Dedup {
     // so this merge sees exactly the edges the index probe sees
     val deltaRows  = materialize(indexRowsOn(spark, delta).select("doc_id", "n_sh", "sh"))
     val deltaPosts = deltaRows.select(col("doc_id"), col("n_sh"), explode(col("sh")).as("s"))
-    val db =
-      if (sigManifests.isEmpty)
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField("u", org.apache.spark.sql.types.LongType),
-            org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.LongType))))
-      else {
-        val basePosts = readSignatureIndexColumnar(spark, sigStoreDir, sigManifests)
-          .select(col("doc_id").as("base_doc"), col("n_sh").as("base_n"), explode(col("sh")).as("s"))
-        small(deltaPosts)
-          .join(big(basePosts), "s")
-          .groupBy(col("doc_id"), col("base_doc"), col("n_sh"), col("base_n"))
-          .agg(count(lit(1)).as("inter"))
-          .filter(col("inter").cast("double") / (col("n_sh") + col("base_n") - col("inter")) >= tau)
-          .select(col("doc_id").as("u"), col("base_doc").as("v"))
-      }
+    val db = deltaBaseEdges(spark, deltaPosts, sigStoreDir, sigManifests, tau, broadcastDelta)
     // delta↔delta edges — the delta is small; AQE picks the join
     val dd = deltaPosts
       .as("a")

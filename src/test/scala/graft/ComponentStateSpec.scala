@@ -142,6 +142,30 @@ class ComponentStateSpec extends SparkSpecBase {
     assert(labels(Dedup.readComponentState(spark, stateDir, pinAfter)) == before)
   }
 
+  test("C22i plan: delta-base edges broadcast the delta; the index side is exchange-free") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.functions.{col, explode}
+    val base = df(1L -> textA, 2L -> (textA + " nu xi"), 5L -> textB)
+    val (sigDir, sigPin, _, _) = buildBase(base)
+    val deltaPosts = Dedup
+      .indexRowsOn(spark, df(100L -> (textB + " cc dd")))
+      .select(col("doc_id"), col("n_sh"), explode(col("sh")).as("s"))
+    val edges = Dedup.deltaBaseEdges(spark, deltaPosts, sigDir, sigPin, tau,
+      broadcastDelta = true)
+    edges.collect(): Unit
+    val plan = edges.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan.toString
+      case p                        => p.toString
+    }
+    // the probe asymmetry the scale story rides on (r16 measured it on
+    // the probes; the merge shares the shape): the nightly delta is the
+    // broadcast side, the corpus-sized index never crosses the wire
+    assert(plan.contains("BroadcastHashJoin"),
+      s"merge edge join must broadcast the delta postings:\n$plan")
+    assert(!plan.contains("ShuffledHashJoin") && !plan.contains("SortMergeJoin"),
+      s"merge edge join must not shuffle the index side:\n$plan")
+  }
+
   test("C22k: merging into EMPTY pins bootstraps — first batch equals batch C2c over itself") {
     // the streaming form starts from two VIRGIN stores: batch 0 merges
     // with no sig pins (no base edges — the store is never opened) and
