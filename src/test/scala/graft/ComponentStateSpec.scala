@@ -142,6 +142,24 @@ class ComponentStateSpec extends SparkSpecBase {
     assert(labels(Dedup.readComponentState(spark, stateDir, pinAfter)) == before)
   }
 
+  test("contracted resolution: the driver union-find equals the distributed min-label loop") {
+    // chain (7-3-9-1: min label 1 through a path), separate pair
+    // (20-15), a star (40-{41,42,43}), and a late cross-edge collapsing
+    // the chain into the star — the shapes union-by-min must get right
+    val pairs = Seq(
+      (7L, 3L), (9L, 3L), (9L, 1L), (20L, 15L),
+      (41L, 40L), (42L, 40L), (43L, 40L), (40L, 7L))
+    def labelsOf(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaDriver = labelsOf(Dedup.contractedComponents(
+      pairs.toDF("doc_a", "doc_b").localCheckpoint(), _.localCheckpoint()))
+    val viaLoop = labelsOf(Dedup.componentsFromPairs(
+      pairs.toDF("doc_a", "doc_b").localCheckpoint(), _.localCheckpoint()))
+    assert(viaDriver == viaLoop)
+    assert(viaDriver(43L) == 1L && viaDriver(20L) == 15L,
+      s"cross-edge must collapse star+chain to min label 1: $viaDriver")
+  }
+
   test("C22i plan: delta-base edges broadcast the delta; the index side is exchange-free") {
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     import org.apache.spark.sql.functions.{col, explode}
