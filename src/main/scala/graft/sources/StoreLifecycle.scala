@@ -189,7 +189,14 @@ object StoreLifecycle {
     * pinned source read and the migrated epochs. Bucketing is NOT
     * carried: the columnar surface has no bucketed read, so a bucketed
     * source migrates as plain rows (document the SPJ loss at the call
-    * site); `dataShards` seeds the destination's listing layout.
+    * site) — but `clusterBy = (column, parts)` hands the destination
+    * the columnar surface's OWN access path instead: each migrated
+    * epoch is range-clustered on the key so its recorded footer bounds
+    * are tight and key-scoped reads plan O(covering files) (B65b) from
+    * the first read — the migration is the one moment the whole store
+    * is rewritten anyway, so clustering it costs one extra range
+    * shuffle per epoch and nothing later. `dataShards` seeds the
+    * destination's listing layout.
     *
     * Returns the destination manifest names in source order — the pin
     * to publish for readers of the migrated asset.
@@ -200,7 +207,8 @@ object StoreLifecycle {
       destDir: String,
       pinTtlMs: Long = 60 * 60 * 1000L,
       verify: Boolean = true,
-      dataShards: Int = 0
+      dataShards: Int = 0,
+      clusterBy: Option[(String, Int)] = None
   ): Seq[String] = {
     val conf = ContentStore.driverHadoopConf()
     if (ContentStore.recordedFormat(sourceDir, conf).contains("parquet"))
@@ -221,7 +229,11 @@ object StoreLifecycle {
           .option("path", sourceDir)
           .option("manifests", m)
           .load()
-        ParquetEpochs.append(epoch, destDir, Some(s"migrate-$m"), dataShards = dataShards)
+        val laid = clusterBy.fold(epoch) { case (c, parts) =>
+          import org.apache.spark.sql.functions.col
+          epoch.repartitionByRange(parts, col(c)).sortWithinPartitions(c)
+        }
+        ParquetEpochs.append(laid, destDir, Some(s"migrate-$m"), dataShards = dataShards)
       }
       if (verify && names.nonEmpty) {
         val src = spark.read

@@ -671,6 +671,35 @@ class StoreLifecycleSpec extends SparkSpecBase {
     assert(ex2.getMessage.contains("not from this source snapshot"))
   }
 
+  test("clusterBy migration is row-identical and hands the destination key-range skipping") {
+    import spark.implicits._
+    val src = tmp()
+    val dst = tmp() + "/columnar"
+    // one big K-V epoch of string keys — the migration rewrite is the
+    // moment to range-cluster, and string keys exercise the unsigned
+    // UTF-8 bound side of the stats
+    (0 until 400).map(i => (f"k$i%05d", i.toString)).toDF("result_key", "payload")
+      .repartition(4)
+      .write.format("graft.sources.ContentStore").option("path", src).mode("append").save()
+    val out = StoreLifecycle.migrateToColumnar(spark, src, dst,
+      clusterBy = Some(("result_key", 4)))
+    val migrated = graft.sources.ParquetEpochs.read(spark, dst, out)
+      .collect().map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+    assert(migrated == (0 until 400).map(i => (f"k$i%05d", i.toString)).sorted,
+      "clustering must never change the rows")
+    // the layout pays off at the first read: a key-scoped point read
+    // plans a strict subset of the epoch's files
+    val total   = out.flatMap(m => ContentStore.filesInManifest(dst, m, hconf)).size
+    val planned = graft.sources.ParquetEpochs
+      .plannedFiles(dst, out, "result_key", "k00100", "k00110")
+    assert(total > 1 && planned.nonEmpty && planned.size < total,
+      s"clustered migration must skip files on a key-range read ($total planned ${planned.size})")
+    val ranged = graft.sources.ParquetEpochs
+      .readRange(spark, dst, out, "result_key", "k00100", "k00110")
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(ranged == (100 to 110).map(i => f"k$i%05d"), "skipping must never change values")
+  }
+
   test("migration pins its window: the equivalence check reads the leased snapshot") {
     // an append landing AFTER the migration's pin must not appear in
     // the migrated store or fail the verify — the lease freezes the
