@@ -827,21 +827,35 @@ object StreamReplay {
     val run        = Files.createDirectories(root.resolve(f"run-${runCounter.getAndIncrement()}%04d"))
     val sigStore   = run.resolve("sig").toString
     val stateStore = run.resolve("state").toString
-    def earlier(names: Seq[String], prefix: String, bid: Long): Seq[String] =
-      names.filter(n => n.startsWith(prefix) && n.stripPrefix(prefix).toLong < bid)
-    val drained = drainForeachBatch(spark, inDir, documentsDdl) { (batch, bid) =>
-      val sigPins =
-        earlier(graft.sources.ParquetEpochs.snapshot(sigStore), "sig-", bid)
-      val statePins =
-        earlier(graft.sources.ParquetEpochs.snapshot(stateStore), "comp-", bid)
-      val patch = graft.operators.Dedup.mergeDeltaComponents(
-        spark, batch, sigStore, sigPins, stateStore, statePins, tau,
-        manifestName = Some(f"comp-$bid%05d"))
-      graft.operators.Dedup.writeSignatureIndexColumnar(
-        spark, batch, sigStore, Some(f"sig-$bid%05d")): Unit
-      graft.sources.ParquetEpochs.read(spark, stateStore, Seq(patch))
-    }
+    val drained = drainForeachBatch(spark, inDir, documentsDdl)(
+      componentMaintenanceBatch(spark, sigStore, stateStore, tau))
     drained.groupBy("doc_id").agg(min(col("component")).as("component"))
+  }
+
+  /** One micro-batch of the C22k loop — factored so the crash-resume
+    * spec can drive it through [[drainForeachBatchAt]] with an
+    * injected failure. The pins for batch N are DERIVED from the
+    * manifest names (index < N): on a crash replay the batch's own
+    * already-committed `comp-<N>`/`sig-<N>` epochs are excluded, so
+    * the re-run computes against its exact pre-batch view and its
+    * re-appends lose the manifest rename idempotently.
+    */
+  private[graft] def componentMaintenanceBatch(
+      spark: SparkSession,
+      sigStore: String,
+      stateStore: String,
+      tau: Double
+  )(batch: DataFrame, bid: Long): DataFrame = {
+    def earlier(names: Seq[String], prefix: String): Seq[String] =
+      names.filter(n => n.startsWith(prefix) && n.stripPrefix(prefix).toLong < bid)
+    val sigPins   = earlier(graft.sources.ParquetEpochs.snapshot(sigStore), "sig-")
+    val statePins = earlier(graft.sources.ParquetEpochs.snapshot(stateStore), "comp-")
+    val patch = graft.operators.Dedup.mergeDeltaComponents(
+      spark, batch, sigStore, sigPins, stateStore, statePins, tau,
+      manifestName = Some(f"comp-$bid%05d"))
+    graft.operators.Dedup.writeSignatureIndexColumnar(
+      spark, batch, sigStore, Some(f"sig-$bid%05d")): Unit
+    graft.sources.ParquetEpochs.read(spark, stateStore, Seq(patch))
   }
 
   private def replayEventsMulti(

@@ -222,6 +222,51 @@ class ComponentStateSpec extends SparkSpecBase {
     assert(labels(Dedup.readComponentState(spark, stateDir, statePin :+ patch)) == after)
   }
 
+  test("C22k crash-resume: a replayed batch re-derives pins from manifest names and converges") {
+    import graft.streaming.{StreamReplay => SR}
+    val inDir = SR.documentsModSlices(spark, sfDir, 4)
+    val run   = java.nio.file.Files.createTempDirectory("graft-compstate-restart")
+    try {
+      val out        = run.resolve("out").toString
+      val ckpt       = run.resolve("ckpt")
+      val sigStore   = run.resolve("sig").toString
+      val stateStore = run.resolve("state").toString
+      val body = SR.componentMaintenanceBatch(spark, sigStore, stateStore, Dedup.JaccardTau) _
+      // first attempt dies in batch 2 AFTER both store appends landed
+      // (comp-00002/sig-00002 committed) but BEFORE the checkpoint
+      // commit — the dangerous replay window for a store-writing loop
+      val boom = new java.util.concurrent.atomic.AtomicBoolean(true)
+      val failed = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        SR.drainForeachBatchAt(spark, inDir, SR.documentsDdl, out, ckpt) { (b, id) =>
+          val p = body(b, id)
+          if (id == 2L && boom.getAndSet(false)) {
+            p.write.mode("overwrite").parquet(s"$out/b$id")
+            throw new RuntimeException("injected crash after store appends, before commit")
+          }
+          p
+        }
+      }
+      assert(failed.getMessage.contains("injected crash") ||
+        Option(failed.getCause).exists(_.getMessage.contains("injected crash")))
+      // resume with the same dirs: batch 2 replays — its pins must
+      // exclude its own crashed epochs, its re-appends lose the rename
+      val resumed = SR.drainForeachBatchAt(spark, inDir, SR.documentsDdl, out, ckpt)(body)
+        .groupBy("doc_id")
+        .agg(org.apache.spark.sql.functions.min("component").as("component"))
+      val batch = labels(
+        Dedup.nearDupComponents(
+          tables, Dedup.JaccardTau, None, Some(Dedup.hashedPostingsOn(tables.documents))))
+      assert(labels(resumed) == batch, "crash-resumed maintenance diverged from batch C2c")
+      // exactly one epoch per batch per store — the replay added none
+      val sigNames   = ContentStore.snapshotManifests(sigStore)
+      val stateNames = ContentStore.snapshotManifests(stateStore)
+      assert(sigNames.sorted == (0 to 3).map(i => f"sig-$i%05d"),
+        s"replay must not add sig epochs: $sigNames")
+      assert(stateNames.sorted == (0 to 3).map(i => f"comp-$i%05d"),
+        s"replay must not add state epochs: $stateNames")
+    } finally deleteTree(run)
+  }
+
   test("C22k: the streamed maintenance equals batch C2c over the whole corpus") {
     val streamed = labels(
       graft.streaming.StreamReplay
