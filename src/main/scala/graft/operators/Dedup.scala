@@ -1877,10 +1877,11 @@ object Dedup {
     * converges.
     */
   /** Pair count up to which the CONTRACTED label graph resolves
-    * driver-side (≤ ~32 MB of longs at the cap). The contraction
-    * argument makes this the common case by construction — nodes ∝
-    * delta edge endpoints — so the bound is a safety valve, not a
-    * tuning knob.
+    * driver-side — ~2M collected Rows is a few hundred MB transient
+    * plus ~64 MB of map entries, comfortably inside any real driver.
+    * The contraction argument makes the typical merge collect
+    * thousands, not millions (nodes ∝ delta edge endpoints), so the
+    * bound is a safety valve, not a tuning knob.
     */
   private val ContractedDriverMaxPairs = 2000000L
 

@@ -835,10 +835,20 @@ object StreamReplay {
   /** One micro-batch of the C22k loop — factored so the crash-resume
     * spec can drive it through [[drainForeachBatchAt]] with an
     * injected failure. The pins for batch N are DERIVED from the
-    * manifest names (index < N): on a crash replay the batch's own
-    * already-committed `comp-<N>`/`sig-<N>` epochs are excluded, so
-    * the re-run computes against its exact pre-batch view and its
-    * re-appends lose the manifest rename idempotently.
+    * manifest names as snapshot MINUS this batch's own (and any later)
+    * epoch names: on a crash replay the batch's already-committed
+    * `comp-<N>`/`sig-<N>` epochs are excluded, so the re-run computes
+    * against its exact pre-batch view and its re-appends lose the
+    * manifest rename idempotently — while everything ELSE in the
+    * snapshot rides along, which is what keeps the loop correct under
+    * store maintenance: an OPTIMIZE between batches folds old epochs
+    * into a `compact-*` manifest, and a prefix-match pin derivation
+    * would silently drop ALL prior state at the next batch (the
+    * subtraction form keeps it). Maintenance during the CRASH WINDOW
+    * must not fold an in-flight batch's own epoch — run compaction
+    * with `keepLast ≥ 1` (its parameter exists for exactly this), or
+    * quiesce the writer; ComponentStateSpec pins the between-batches
+    * case.
     */
   private[graft] def componentMaintenanceBatch(
       spark: SparkSession,
@@ -846,10 +856,13 @@ object StreamReplay {
       stateStore: String,
       tau: Double
   )(batch: DataFrame, bid: Long): DataFrame = {
-    def earlier(names: Seq[String], prefix: String): Seq[String] =
-      names.filter(n => n.startsWith(prefix) && n.stripPrefix(prefix).toLong < bid)
-    val sigPins   = earlier(graft.sources.ParquetEpochs.snapshot(sigStore), "sig-")
-    val statePins = earlier(graft.sources.ParquetEpochs.snapshot(stateStore), "comp-")
+    def pinsFor(names: Seq[String], prefix: String): Seq[String] =
+      names.filterNot(n =>
+        n.startsWith(prefix) &&
+          n.stripPrefix(prefix).forall(_.isDigit) &&
+          n.stripPrefix(prefix).toLong >= bid)
+    val sigPins   = pinsFor(graft.sources.ParquetEpochs.snapshot(sigStore), "sig-")
+    val statePins = pinsFor(graft.sources.ParquetEpochs.snapshot(stateStore), "comp-")
     val patch = graft.operators.Dedup.mergeDeltaComponents(
       spark, batch, sigStore, sigPins, stateStore, statePins, tau,
       manifestName = Some(f"comp-$bid%05d"))

@@ -267,6 +267,43 @@ class ComponentStateSpec extends SparkSpecBase {
     } finally deleteTree(run)
   }
 
+  test("C22k: store OPTIMIZE between batches keeps the loop's derived pins correct") {
+    // the pin derivation is snapshot MINUS own-and-later epochs — a
+    // prefix MATCH would return empty pins after compaction folds the
+    // old comp-*/sig-* epochs into compact-* manifests, silently
+    // dropping all prior state; this drives the loop across an
+    // OPTIMIZE of both stores and demands batch equality anyway
+    import graft.streaming.{StreamReplay => SR}
+    val run        = java.nio.file.Files.createTempDirectory("graft-compstate-opt")
+    val sigStore   = run.resolve("sig").toString
+    val stateStore = run.resolve("state").toString
+    try {
+      val body = SR.componentMaintenanceBatch(spark, sigStore, stateStore, tau) _
+      val slices = Seq(
+        df(1L -> textA, 2L -> (textA + " nu xi")),
+        df(5L -> textB, 6L -> (textB + " aa bb")),
+        df(100L -> (textB + " cc dd"), 101L -> textX),
+        df(200L -> (textA + " " + textB)) // the bridge, after the OPTIMIZE
+      )
+      body(slices(0), 0L).collect(): Unit
+      body(slices(1), 1L).collect(): Unit
+      // nightly maintenance lands mid-stream: fold every epoch of both
+      // stores (no in-flight batch, so keepLast = 0 is legal here)
+      assert(ParquetEpochs.compact(spark, sigStore, keepLast = 0).nonEmpty)
+      assert(ParquetEpochs.compact(spark, stateStore, keepLast = 0).nonEmpty)
+      body(slices(2), 2L).collect(): Unit
+      body(slices(3), 3L).collect(): Unit
+      val maintained = labels(
+        Dedup.readComponentState(spark, stateStore, ContentStore.snapshotManifests(stateStore)))
+      val all = slices.reduce(_.unionAll(_))
+      assert(maintained == batchComponents(all),
+        "maintenance across an OPTIMIZE must still equal batch C2c")
+      // the bridge doc's merge proves the post-compaction pins carried
+      // the PRE-compaction state: everything collapses to label 1
+      assert(maintained(200L) == 1L && maintained(100L) == 1L && maintained(6L) == 1L)
+    } finally deleteTree(run)
+  }
+
   test("C22k: the streamed maintenance equals batch C2c over the whole corpus") {
     val streamed = labels(
       graft.streaming.StreamReplay
