@@ -62,6 +62,12 @@ object SparkEntry {
     "q_store_migrate" -> ((s, d) =>
       Joins.storeMigratedRead(Tables(s, d),
         s"${System.getProperty("java.io.tmpdir")}/graft-migratestore")),
+    "q_store_delete" -> ((s, d) =>
+      Joins.storeDeletedRead(Tables(s, d),
+        s"${System.getProperty("java.io.tmpdir")}/graft-deletestore")),
+    "q_store_delete_columnar" -> ((s, d) =>
+      Joins.columnarDeletedRead(Tables(s, d),
+        s"${System.getProperty("java.io.tmpdir")}/graft-deletestore-pq")),
     "q_bucketed_join" -> ((s, d) =>
       Joins.bucketedJoin(Tables(s, d), s"${System.getProperty("java.io.tmpdir")}/graft-warehouse")),
     "q_event_pivot"        -> ((s, d) => Analytics.eventTypePivot(Tables(s, d))),
@@ -1502,6 +1508,16 @@ object SparkEntry {
         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS purchase_cents
         |FROM events WHERE event_type = 'purchase'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_store_delete" -> // B81: copy-on-write RTBF delete — the post-delete store equals
+      // the store-free profile minus the purged user cohort
+      """SELECT printf('u%06d', user_id) AS result_key,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS purchase_cents
+        |FROM events WHERE event_type = 'purchase' AND user_id % 7 <> 3
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_store_delete_columnar" -> // B81b: columnar deleteWhere — post-delete snapshot equals
+      // the corpus minus the purged doc cohort
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE doc_id % 13 <> 5 ORDER BY doc_id""".stripMargin,
     "q_store_pinned_read" -> // a leased pre-compaction pin reads the ORIGINAL corpus across
       // compaction + grace-0 vacuum: values equal the store-free profile
       // and exclude the post-pin click epoch entirely

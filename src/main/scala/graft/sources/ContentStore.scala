@@ -756,6 +756,14 @@ private[graft] object ContentStoreWrite {
     * epoch) commits, losing the rename race to an existing manifest IS
     * the already-committed case: the replayed files are dropped so they
     * can't be double-counted.
+    *
+    * `carryMessages` are files this manifest LISTS (and records stats
+    * for) but did not write — the carry-forward a copy-on-write delete
+    * needs: a replacement manifest re-lists the untouched files of the
+    * manifests it shadows by NAME, so nothing moves on disk and
+    * vacuum's referenced-file diff keeps them live. Carried files are
+    * never deleted on the idempotent already-committed path — they
+    * belong to the store, not to this (possibly replayed) commit.
     */
   def writeManifest(
       path: String,
@@ -765,7 +773,8 @@ private[graft] object ContentStoreWrite {
       idempotent: Boolean = false,
       compactSources: Option[Seq[String]] = None,
       buckets: Int = 0,
-      dataShards: Int = 0
+      dataShards: Int = 0,
+      carryMessages: Array[WriterCommitMessage] = Array.empty
   ): Unit = {
     val (filesystem, root) = ContentStore.fs(path, hadoopConf)
     val manifestDir        = new Path(root, "_manifest")
@@ -866,7 +875,7 @@ private[graft] object ContentStoreWrite {
           s"ContentStore: store $path shards data files $recordedShards ways; " +
             s"this write used dataShards=$dataShards")
     }
-    val files = messages.flatMap {
+    val files = (carryMessages ++ messages).flatMap {
       case m: StoreCommitMsg if m.rows > 0       => Seq(m.file)
       case StoreFilesCommitMsg(fs, n) if n > 0   => fs
       case _                                     => Seq.empty
@@ -876,7 +885,7 @@ private[graft] object ContentStoreWrite {
     // its stats or readers fall back to no-skipping — old stores and
     // old readers are both unaffected (manifest format unchanged)
     val enc = Base64.getEncoder
-    val statLines = messages.collect {
+    val statLines = (carryMessages ++ messages).collect {
       case m: StoreCommitMsg if m.rows > 0 && m.minKey != null =>
         val mn = enc.encodeToString(m.minKey.getBytes("UTF-8"))
         val mx = enc.encodeToString(m.maxKey.getBytes("UTF-8"))

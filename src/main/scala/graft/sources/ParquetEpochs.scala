@@ -57,13 +57,20 @@ object ParquetEpochs {
     * across `s<k>/` subdirectories so maintenance listings parallelize
     * — see [[ContentStore.recordedDataShards]]; readers are unaffected
     * (manifests record the relative names).
+    *
+    * `carryFiles` are existing store data files this manifest re-lists
+    * BY NAME without writing them — the [[deleteWhere]] carry-forward:
+    * their footer stats are re-recorded under this manifest's sidecar
+    * (the shadowed sources' sidecars die with them at vacuum) and they
+    * are never deleted on the idempotent already-committed path.
     */
   def append(
       df: DataFrame,
       storeDir: String,
       manifestName: Option[String] = None,
       compactSources: Option[Seq[String]] = None,
-      dataShards: Int = 0
+      dataShards: Int = 0,
+      carryFiles: Seq[String] = Nil
   ): String = {
     val conf         = ContentStore.driverHadoopConf()
     val (fsys, root) = ContentStore.fs(storeDir, conf)
@@ -94,7 +101,7 @@ object ParquetEpochs {
     }.toSeq
     fsys.delete(staging, true): Unit
     val name = manifestName.getOrElse(s"batch-pq-$uuid")
-    writeFileStats(fsys, root, name, moved, conf)
+    writeFileStats(fsys, root, name, carryFiles ++ moved, conf)
     ContentStoreWrite.writeManifest(
       storeDir,
       name,
@@ -102,7 +109,10 @@ object ParquetEpochs {
       conf,
       idempotent = manifestName.isDefined,
       compactSources = compactSources,
-      dataShards = shards
+      dataShards = shards,
+      carryMessages =
+        if (carryFiles.isEmpty) Array.empty
+        else Array(StoreFilesCommitMsg(carryFiles, carryFiles.size.toLong))
     )
     name
   }
@@ -521,6 +531,106 @@ object ParquetEpochs {
         spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
       }
     base.filter(col(column).between(lit(lo), lit(hi)))
+  }
+
+  /** Record-level DELETE on a columnar store — [[StoreLifecycle
+    * .deleteKeys]]'s twin for the parquet payload, same copy-on-write
+    * protocol, different rewrite kernel. Removes every row whose
+    * `column` equals one of `values` from the current effective
+    * snapshot:
+    *
+    *  1. PLAN — candidate files via the recorded `_stats` bounds
+    *     (B65b): a file whose [min,max] for `column` covers no target
+    *     value is never opened; missing/mismatched bounds keep the
+    *     file (conservative, the plannedFiles rule). On a clustered
+    *     store the read set is O(covering files).
+    *  2. LOCATE — one metadata-cheap pass over the candidates finds
+    *     which files actually HOLD matches (per-file match counts via
+    *     the `_metadata.file_path` column); match-free candidates are
+    *     carried untouched, so stats imprecision never causes write
+    *     amplification.
+    *  3. REWRITE + COMMIT — the matched files' surviving rows become
+    *     one fresh epoch (range-clustered when `clusterBy` is given —
+    *     the rewrite is the free moment to re-establish the skipping
+    *     layout, the [[compact]] rule), committed as ONE replacement
+    *     manifest (`delete-pq-<hash>`, deterministic) that also
+    *     carries every untouched file of the affected manifests by
+    *     name, with a `_compacted/` sidecar shadowing them — the
+    *     atomic-swap, pin, streaming-tail and vacuum semantics are
+    *     exactly [[StoreLifecycle.deleteKeys]]'s (see its scaladoc for
+    *     the point-in-time and retention contract).
+    *
+    * Rows with a NULL `column` never match (SQL `IN` semantics).
+    * Returns a [[StoreLifecycle.DeleteReport]]: `rewrittenFiles` = new
+    * parts written, `droppedFiles` = matched source files replaced,
+    * `carriedFiles` = re-listed untouched.
+    */
+  def deleteWhere(
+      spark: SparkSession,
+      storeDir: String,
+      column: String,
+      values: Seq[Any],
+      clusterBy: Option[(String, Int)] = None
+  ): StoreLifecycle.DeleteReport = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, not}
+    val conf = ContentStore.driverHadoopConf()
+    if (!ContentStore.recordedFormat(storeDir, conf).contains("parquet"))
+      throw new IllegalStateException(
+        s"ParquetEpochs.deleteWhere: store $storeDir is not a columnar store — " +
+          "use StoreLifecycle.deleteKeys for the K-V payload")
+    val live = ContentStore.effectiveManifestNames(storeDir, conf)
+    if (values.isEmpty || live.isEmpty) return StoreLifecycle.DeleteReport(None, 0L, 0, 0, 0)
+    val (_, root)       = ContentStore.fs(storeDir, conf)
+    val filesByManifest = live.map(m => m -> ContentStore.filesInManifest(storeDir, m, conf))
+    val bounds          = columnBounds(storeDir, live, column, conf)
+    def mayHold(f: String): Boolean = bounds.get(f) match {
+      case None => true
+      case Some(b) =>
+        values.exists {
+          case l: Long if b.tag == "long" => b.mayContainLong(l, l)
+          case i: Int if b.tag == "long"  => b.mayContainLong(i.toLong, i.toLong)
+          case s: String if b.tag == "string" =>
+            val bs = s.getBytes("UTF-8"); b.mayContainString(bs, bs)
+          case _ => true // type/tag mismatch: never skip on it
+        }
+    }
+    val candidates = filesByManifest.flatMap(_._2).filter(mayHold)
+    if (candidates.isEmpty) return StoreLifecycle.DeleteReport(None, 0L, 0, 0, 0)
+    val pathOf    = candidates.map(f => f -> new Path(root, s"data/$f").toString).toMap
+    val matchPred = col(column).isin(values: _*)
+    // per-file match counts in one pass; file names are store-unique
+    // (uuid-derived) so the hidden file path maps back by base name
+    val perFile = spark.read
+      .parquet(candidates.map(pathOf): _*)
+      .filter(matchPred)
+      .groupBy(col("_metadata.file_path").as("fp"))
+      .count()
+      .collect()
+    val deleted = perFile.map(_.getLong(1)).sum
+    if (deleted == 0L) return StoreLifecycle.DeleteReport(None, 0L, 0, 0, 0)
+    val matchedBases =
+      perFile.map(r => ContentStore.baseName(r.getString(0))).toSet
+    val matchedFiles = candidates.filter(f => matchedBases(ContentStore.baseName(f))).toSet
+    val affected = filesByManifest.collect {
+      case (m, fs) if fs.exists(matchedFiles) => m
+    }
+    val carried = affected.flatMap(m =>
+      filesByManifest.toMap.apply(m).filterNot(matchedFiles))
+    val survivors = spark.read
+      .parquet(matchedFiles.toSeq.sorted.map(pathOf): _*)
+      .filter(not(coalesce(matchPred, lit(false)))) // NULL column never matches: keep
+    val laid = clusterBy.fold(survivors) { case (c, parts) =>
+      survivors.repartitionByRange(parts, col(c)).sortWithinPartitions(c)
+    }
+    val digest = java.security.MessageDigest.getInstance("SHA-256")
+    digest.update(affected.mkString("\n").getBytes("UTF-8"))
+    values.map(String.valueOf).sorted.foreach { v =>
+      digest.update(0.toByte); digest.update(v.getBytes("UTF-8"))
+    }
+    val name = "delete-pq-" + digest.digest().take(8).map("%02x".format(_)).mkString
+    append(laid, storeDir, Some(name), Some(affected), carryFiles = carried)
+    val newParts = ContentStore.filesInManifest(storeDir, name, conf).size - carried.size
+    StoreLifecycle.DeleteReport(Some(name), deleted, newParts, matchedFiles.size, carried.size)
   }
 
   /** STREAMING append leg — the write-side twin of the

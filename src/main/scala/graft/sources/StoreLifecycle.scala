@@ -252,6 +252,236 @@ object StoreLifecycle {
     } finally releasePin(sourceDir, lease.id, conf)
   }
 
+  /** Outcome of one [[deleteKeys]] pass. `manifest` is the committed
+    * replacement manifest (None = no live row matched — nothing
+    * committed, store untouched); `deletedRows` the rows removed from
+    * the live snapshot; the three file counts say how the affected
+    * manifests' files fared: rewritten without their matches, dropped
+    * entirely (every row matched), or carried into the replacement BY
+    * NAME untouched.
+    */
+  final case class DeleteReport(
+      manifest: Option[String],
+      deletedRows: Long,
+      rewrittenFiles: Int,
+      droppedFiles: Int,
+      carriedFiles: Int)
+
+  /** Record-level DELETE on a K-V store — the right-to-be-forgotten
+    * primitive a 100 TB training corpus needs (remove these document
+    * keys everywhere) without rewriting the store: copy-on-write at
+    * FILE granularity on the existing shadowing protocol, the shape of
+    * Delta's DELETE.
+    *
+    *  1. PLAN — candidate files are pruned twice before any data read:
+    *     by the `_stats` key-range sidecars (a file whose [min,max]
+    *     covers no target key is skipped) and, on a bucketed store, by
+    *     the key hash (file `b<i>-*` can only hold keys of bucket i).
+    *     On a key-clustered store the rewrite set is O(covering
+    *     files), not O(store).
+    *  2. REWRITE — one distributed pass, one task per candidate file:
+    *     stream the line format, drop rows whose key is in the
+    *     broadcast delete set, stage + rename a replacement file
+    *     (bucket prefix preserved, so KeyGroupedPartitioning and the
+    *     shuffle-free bucketed join survive the delete). A candidate
+    *     that held NO target key discards its staging and is carried
+    *     untouched; a file whose every row matched is dropped.
+    *  3. COMMIT — ONE replacement manifest (`delete-<hash>`,
+    *     deterministic over affected sources + key set) lists the
+    *     rewritten files plus every untouched file of the affected
+    *     manifests BY NAME (writeManifest's carry path: no data moves,
+    *     vacuum's survivor diff keeps carried files live), with a
+    *     `_compacted/` sidecar shadowing the affected manifests —
+    *     readers swap atomically at the rename, exactly the OPTIMIZE
+    *     protocol. Unaffected manifests are not touched at all.
+    *
+    * Semantics are POINT-IN-TIME: the delete applies to the current
+    * effective snapshot; a key re-appended later is live again. Pinned
+    * pre-delete snapshots still read the original rows until vacuum's
+    * grace expires the shadowed sources (time travel is the feature —
+    * an RTBF purge is only complete after the retention grace, the
+    * same contract as Delta's deletedFileRetentionDuration). A
+    * streaming tail that already consumed an affected manifest is
+    * unaffected (exactly-once holds: the replacement's carried names
+    * emit nothing for it); a tail lagging BEHIND the delete may still
+    * see deleted rows from not-yet-consumed shadowed sources, bounded
+    * by the same grace.
+    *
+    * The delete set is BROADCAST (the deletion-vector trade: an RTBF
+    * batch is ~10⁶ keys ≈ tens of MB, dwarfed by the corpus); batch a
+    * larger purge into multiple calls. Crash before the manifest
+    * rename leaves only unreferenced rewritten files — vacuum sweeps
+    * them; a rerun converges. Maintenance ops on one store are
+    * caller-serialized (the compactEpochs contract).
+    */
+  def deleteKeys(spark: SparkSession, path: String, keys: Seq[String]): DeleteReport = {
+    val conf = ContentStore.driverHadoopConf()
+    ContentStore.recordedFormat(path, conf).foreach { fmt =>
+      throw new IllegalStateException(
+        s"deleteKeys: store $path holds '$fmt'-format data files — use ParquetEpochs.deleteWhere")
+    }
+    val keySet = keys.toSet
+    val live   = ContentStore.effectiveManifestNames(path, conf)
+    if (keySet.isEmpty || live.isEmpty) return DeleteReport(None, 0L, 0, 0, 0)
+    val buckets = ContentStore.recordedBuckets(path, conf)
+    val shards  = ContentStore.recordedDataShards(path, conf)
+    // candidate pruning runs in UTF8String (binary UTF-8) order — the
+    // SAME total order the writers recorded the bounds in; Java
+    // String's UTF-16 order would disagree on supplementary characters
+    // and could prune a file that holds a target key
+    val keySorted = keySet.toArray
+      .map(org.apache.spark.unsafe.types.UTF8String.fromString)
+      .sortWith(_.compareTo(_) < 0)
+    def anyKeyIn(
+        mn: org.apache.spark.unsafe.types.UTF8String,
+        mx: org.apache.spark.unsafe.types.UTF8String): Boolean = {
+      var lo = 0; var hi = keySorted.length
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (keySorted(mid).compareTo(mn) < 0) lo = mid + 1 else hi = mid
+      }
+      lo < keySorted.length && keySorted(lo).compareTo(mx) <= 0
+    }
+    val filesByManifest = live.map(m => m -> ContentStore.filesInManifest(path, m, conf))
+    val statsByFile     = live.flatMap(m => ContentStore.statsForManifest(path, m, conf)).toMap
+    val keyBuckets      = if (buckets > 0) keySet.map(ContentStore.bucketOf(_, buckets)) else Set.empty[Int]
+    def candidate(f: String): Boolean = {
+      val bucketOk = buckets <= 0 ||
+        ContentStore.bucketOfFile(ContentStore.baseName(f)).forall(keyBuckets)
+      bucketOk && (statsByFile.get(f) match {
+        case Some((mn, mx)) => anyKeyIn(mn, mx)
+        case None           => true // no recorded bounds: never skip
+      })
+    }
+    val candidates = filesByManifest.flatMap(_._2).filter(candidate)
+    if (candidates.isEmpty) return DeleteReport(None, 0L, 0, 0, 0)
+    val sconf  = new SerializableConfiguration(conf)
+    val bcKeys = spark.sparkContext.broadcast(keySet)
+    val slices = math.max(1, math.min(candidates.size, spark.sparkContext.defaultParallelism))
+    val results =
+      try spark.sparkContext
+        .parallelize(candidates, slices)
+        .map(f => rewriteWithoutKeys(path, f, shards, bcKeys.value, sconf.value))
+        .collect()
+      finally bcKeys.destroy()
+    val byFile = results.map(r => r.file -> r).toMap
+    val affected = filesByManifest.collect {
+      case (m, fs) if fs.exists(f => byFile.get(f).exists(_.dropped > 0)) => m
+    }
+    if (affected.isEmpty) return DeleteReport(None, 0L, 0, 0, 0)
+    val carryMsgs  = Array.newBuilder[org.apache.spark.sql.connector.write.WriterCommitMessage]
+    val newMsgs    = Array.newBuilder[org.apache.spark.sql.connector.write.WriterCommitMessage]
+    var rewrittenN = 0; var droppedN = 0; var carriedN = 0
+    affected.foreach { m =>
+      ContentStore.filesInManifest(path, m, conf).foreach { f =>
+        byFile.get(f) match {
+          case Some(r) if r.dropped > 0 && r.newFile.isDefined =>
+            newMsgs += StoreCommitMsg(r.newFile.get, r.kept, r.minKey.orNull, r.maxKey.orNull)
+            rewrittenN += 1
+          case Some(r) if r.dropped > 0 => // every row matched: file vanishes
+            droppedN += 1
+          case _ => // untouched: carried by NAME, old bounds re-recorded
+            // (rows is a >0 marker only — carried counts are unknown
+            // without reading the file, and nothing consumes the value)
+            val st = statsByFile.get(f)
+            carryMsgs += StoreCommitMsg(f, 1L, st.map(_._1.toString).orNull, st.map(_._2.toString).orNull)
+            carriedN += 1
+        }
+      }
+    }
+    val digest = MessageDigest.getInstance("SHA-256")
+    digest.update(affected.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    keySorted.foreach { k => digest.update(0.toByte); digest.update(k.getBytes) }
+    val name = "delete-" + digest.digest().take(8).map("%02x".format(_)).mkString
+    ContentStoreWrite.writeManifest(
+      path,
+      name,
+      newMsgs.result(),
+      conf,
+      idempotent = true,
+      compactSources = Some(affected),
+      buckets = buckets,
+      dataShards = shards,
+      carryMessages = carryMsgs.result()
+    )
+    DeleteReport(Some(name), results.map(_.dropped).sum, rewrittenN, droppedN, carriedN)
+  }
+
+  /** Per-file outcome of [[deleteKeys]]'s rewrite task. */
+  private[sources] final case class FileRewrite(
+      file: String,
+      dropped: Long,
+      kept: Long,
+      newFile: Option[String],
+      minKey: Option[String],
+      maxKey: Option[String])
+
+  /** Executor-side kernel of [[deleteKeys]]: stream ONE data file,
+    * drop rows whose key is in the delete set, stage + rename the
+    * replacement under a fresh name with the source's bucket prefix
+    * preserved. No-match candidates discard their staging (the file
+    * will be carried by name); a retried/speculative attempt's extra
+    * rename lands an unreferenced file vacuum sweeps.
+    */
+  private[sources] def rewriteWithoutKeys(
+      path: String,
+      file: String,
+      dataShards: Int,
+      keys: Set[String],
+      conf: Configuration
+  ): FileRewrite = {
+    import org.apache.spark.unsafe.types.UTF8String
+    val (fl, root) = ContentStore.fs(path, conf)
+    val src        = new Path(root, s"data/$file")
+    val base       = ContentStore.baseName(file)
+    val newBase = ContentStore.bucketOfFile(base) match {
+      case Some(b) => s"b$b-${UUID.randomUUID()}"
+      case None    => UUID.randomUUID().toString
+    }
+    val newName = ContentStore.shardedName(newBase, dataShards)
+    val staging = new Path(
+      root,
+      s"data/${newName.take(newName.lastIndexOf('/') + 1)}.staging-${ContentStore.baseName(newName)}")
+    val dec     = java.util.Base64.getDecoder
+    var dropped = 0L
+    var kept    = 0L
+    var minK: UTF8String = null
+    var maxK: UTF8String = null
+    val reader = new java.io.BufferedReader(new java.io.InputStreamReader(fl.open(src), "UTF-8"))
+    var out: org.apache.hadoop.fs.FSDataOutputStream = null
+    try {
+      var line = reader.readLine()
+      while (line != null) {
+        if (line.nonEmpty) {
+          val keyBytes = dec.decode(line.substring(0, line.indexOf('\t')))
+          if (keys(new String(keyBytes, "UTF-8"))) dropped += 1
+          else {
+            kept += 1
+            val u = UTF8String.fromBytes(keyBytes)
+            if (minK == null || u.compareTo(minK) < 0) minK = u
+            if (maxK == null || u.compareTo(maxK) > 0) maxK = u
+            if (out == null) { fl.mkdirs(staging.getParent); out = fl.create(staging, false) }
+            out.write(line.getBytes("UTF-8")); out.write('\n')
+          }
+        }
+        line = reader.readLine()
+      }
+    } finally {
+      reader.close()
+      if (out != null) out.close()
+    }
+    if (dropped == 0L) {
+      if (out != null) fl.delete(staging, false): Unit
+      FileRewrite(file, 0L, kept, None, None, None)
+    } else if (kept == 0L) {
+      FileRewrite(file, dropped, 0L, None, None, None)
+    } else {
+      if (!fl.rename(staging, new Path(root, s"data/$newName")))
+        throw new java.io.IOException(s"deleteKeys: staging rename failed for $staging")
+      FileRewrite(file, dropped, kept, Some(newName), Some(minK.toString), Some(maxK.toString))
+    }
+  }
+
   /** One GC action taken by [[vacuum]]: what was deleted (or, for
     * `pinned_manifest_kept`, deliberately NOT deleted) and why.
     */

@@ -1,0 +1,236 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.sources.{ContentStore, ParquetEpochs, StoreLifecycle}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.{col, format_string}
+import org.apache.spark.sql.streaming.Trigger
+
+/** B81/B81b: record-level DELETE on both store payloads — the
+  * right-to-be-forgotten primitive — as copy-on-write at file
+  * granularity on the existing shadowing protocol. Pins, vacuum,
+  * streaming tails and the bucketed/clustered layouts must all keep
+  * their contracts across a delete, because a delete IS a compaction
+  * to every one of those consumers.
+  */
+class StoreDeleteSpec extends SparkSpecBase {
+
+  private def tmp(): String = Files.createTempDirectory("graft-delete").toString
+  private def hconf         = spark.sessionState.newHadoopConf()
+
+  private def writeOne(dir: String, rows: (String, String)*): Unit = {
+    import spark.implicits._
+    rows.toSeq.toDF("result_key", "payload").coalesce(1)
+      .write.format("graft.sources.ContentStore").option("path", dir).mode("append").save()
+  }
+
+  private def readAll(dir: String): Set[(String, String)] =
+    spark.read.format("graft.sources.ContentStore").option("path", dir).load()
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+
+  private def liveFiles(dir: String): Seq[String] =
+    ContentStore.snapshotManifests(dir)
+      .flatMap(m => ContentStore.filesInManifest(dir, m, hconf))
+
+  test("deleteKeys removes the keys, carries untouched files by name, shadows affected epochs") {
+    val dir = tmp()
+    writeOne(dir, "a" -> "1", "b" -> "2")
+    writeOne(dir, "c" -> "3", "d" -> "4")
+    writeOne(dir, "e" -> "5")
+    val filesBefore = liveFiles(dir)
+    val r           = StoreLifecycle.deleteKeys(spark, dir, Seq("c", "zz-no-such-key"))
+    assert(r.manifest.exists(_.startsWith("delete-")) && r.deletedRows == 1L)
+    assert(r.rewrittenFiles == 1 && r.droppedFiles == 0)
+    assert(readAll(dir) == Set("a" -> "1", "b" -> "2", "d" -> "4", "e" -> "5"))
+    // per-epoch key ranges don't overlap, so stats pruning leaves the
+    // a/b and e epochs out of the plan entirely: both manifests stay
+    // live UNSHADOWED and their files keep their names
+    val filesAfter = liveFiles(dir)
+    assert((filesBefore.toSet & filesAfter.toSet).size == 2,
+      s"a/b and e files must be carried/untouched, got $filesBefore -> $filesAfter")
+    val eff = ContentStore.snapshotManifests(dir)
+    assert(eff.size == 3 && eff.count(_.startsWith("delete-")) == 1,
+      s"only the c/d epoch is shadowed by the replacement, got $eff")
+    // a replay of the converged delete is a no-op (nothing matches)
+    assert(StoreLifecycle.deleteKeys(spark, dir, Seq("c")).manifest.isEmpty)
+  }
+
+  test("a file whose every row matches is dropped; an empty-keys call is a no-op") {
+    val dir = tmp()
+    writeOne(dir, "a" -> "1", "b" -> "2")
+    writeOne(dir, "c" -> "3")
+    assert(StoreLifecycle.deleteKeys(spark, dir, Seq.empty).manifest.isEmpty)
+    val r = StoreLifecycle.deleteKeys(spark, dir, Seq("a", "b"))
+    assert(r.droppedFiles == 1 && r.rewrittenFiles == 0 && r.deletedRows == 2L)
+    assert(readAll(dir) == Set("c" -> "3"))
+  }
+
+  test("bucketed store: bucket-pruned plan, prefixes preserved, key-grouped read survives") {
+    val dir = tmp()
+    import spark.implicits._
+    val n = 4
+    Seq("a" -> "1", "b" -> "2", "c" -> "3", "d" -> "4", "e" -> "5", "f" -> "6")
+      .toDF("result_key", "payload")
+      .write.format("graft.sources.ContentStore")
+      .option("path", dir).option("buckets", n).mode("append").save()
+    val before = liveFiles(dir)
+    val r      = StoreLifecycle.deleteKeys(spark, dir, Seq("c"))
+    assert(r.deletedRows == 1L)
+    val after = liveFiles(dir)
+    // every live file still carries its bucket prefix (the layout the
+    // shuffle-free bucketed join depends on)...
+    assert(after.forall(f => ContentStore.bucketOfFile(ContentStore.baseName(f)).isDefined))
+    // ...and only files of c's bucket were even candidates: files of
+    // other buckets are carried by name
+    val cBucket = ContentStore.bucketOf("c", n)
+    val otherBucketFiles = before.filter(f =>
+      !ContentStore.bucketOfFile(ContentStore.baseName(f)).contains(cBucket))
+    assert(otherBucketFiles.forall(after.contains),
+      s"non-matching buckets must carry: $before -> $after")
+    val got = spark.read.format("graft.sources.ContentStore")
+      .option("path", dir).option("bucketedRead", n).load()
+      .select("result_key", "payload")
+      .collect().map(row => (row.getString(0), row.getString(1))).toSet
+    assert(got == Set("a" -> "1", "b" -> "2", "d" -> "4", "e" -> "5", "f" -> "6"))
+  }
+
+  test("pre-delete pin time-travels to the deleted rows; vacuum keeps carried files, sweeps sources") {
+    val dir = tmp()
+    writeOne(dir, "a" -> "1", "b" -> "2")
+    writeOne(dir, "c" -> "3")
+    val pin = ContentStore.snapshotManifests(dir)
+    val r   = StoreLifecycle.deleteKeys(spark, dir, Seq("a"))
+    assert(r.deletedRows == 1L && r.carriedFiles == 0)
+    def pinned() = spark.read.format("graft.sources.ContentStore")
+      .option("path", dir).option("manifests", pin.mkString(",")).load()
+      .collect().map(row => (row.getString(0), row.getString(1))).toSet
+    assert(pinned() == Set("a" -> "1", "b" -> "2", "c" -> "3"),
+      "a pre-delete pin must still read the deleted row until retention expires")
+    // grace-0 vacuum: the shadowed a/b source manifest expires; its
+    // data file (holding the pre-delete 'a') is swept; the REWRITTEN
+    // file and the UNTOUCHED c epoch survive, and the store still
+    // reads post-delete contents — the RTBF purge completes here
+    val actions = StoreLifecycle.vacuum(spark, dir, graceMs = 0L, hconf)
+    assert(actions.exists(_.kind == "expired_manifest"))
+    assert(actions.exists(_.kind == "orphan_file"), "the pre-delete file must be reclaimed")
+    assert(readAll(dir) == Set("b" -> "2", "c" -> "3"))
+  }
+
+  test("carried files survive vacuum after a delete that touches a multi-file snapshot") {
+    val dir = tmp()
+    // one compaction first, so ONE manifest lists multiple files and
+    // the delete must carry the untouched ones through its replacement
+    writeOne(dir, "a" -> "1")
+    writeOne(dir, "m" -> "2")
+    writeOne(dir, "z" -> "3")
+    StoreLifecycle.compactEpochs(spark, dir)
+    StoreLifecycle.vacuum(spark, dir, graceMs = 0L, hconf)
+    // the compacted manifest holds files written by parallel tasks;
+    // delete one key, then vacuum at grace 0: carried files must stay
+    val r = StoreLifecycle.deleteKeys(spark, dir, Seq("m"))
+    assert(r.deletedRows == 1L)
+    StoreLifecycle.vacuum(spark, dir, graceMs = 0L, hconf)
+    assert(readAll(dir) == Set("a" -> "1", "z" -> "3"),
+      "files carried by name must survive the post-delete vacuum")
+  }
+
+  test("streaming tail across a delete: no duplicates, no resurrected rows; fresh tail reads post-delete") {
+    val dir  = tmp()
+    val ckpt = tmp()
+    val out  = tmp()
+    def drain(): Seq[String] = {
+      val q = spark.readStream.format("graft.sources.ContentStore").option("path", dir).load()
+        .writeStream.format("json").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      spark.read.schema("result_key STRING, payload STRING").json(out)
+        .collect().map(_.getString(0)).sorted.toSeq
+    }
+    writeOne(dir, "a" -> "1", "b" -> "2")
+    assert(drain() == Seq("a", "b"))
+    StoreLifecycle.deleteKeys(spark, dir, Seq("a"))
+    writeOne(dir, "c" -> "3")
+    // the replacement carries the consumed epoch's rewritten rows; the
+    // tail already saw them, so only the fresh epoch is emitted
+    assert(drain() == Seq("a", "b", "c"), "no duplicate and no re-emitted rewrite")
+    val fresh = spark.read.format("graft.sources.ContentStore").option("path", dir).load()
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(fresh == Seq("b", "c"), "a post-delete batch read never sees the deleted row")
+  }
+
+  test("deleteKeys refuses a columnar store; deleteWhere refuses a K-V store") {
+    val kv = tmp(); val cols = tmp()
+    writeOne(kv, "a" -> "1")
+    import spark.implicits._
+    ParquetEpochs.append(Seq((1L, "x")).toDF("id", "body"), cols)
+    intercept[IllegalStateException](StoreLifecycle.deleteKeys(spark, cols, Seq("a")))
+    intercept[IllegalStateException](ParquetEpochs.deleteWhere(spark, kv, "id", Seq(1L)))
+  }
+
+  // ---- columnar ----
+
+  private def docs(lo: Int, hi: Int): DataFrame = {
+    import spark.implicits._
+    (lo until hi).map(i => (i.toLong, f"doc-$i%04d", s"body $i")).toDF("doc_id", "name", "body")
+  }
+
+  test("deleteWhere removes matching rows, prunes by stats, carries untouched files") {
+    val dir = tmp()
+    // two clustered epochs with disjoint doc_id ranges: stats bounds
+    // keep the second epoch out of the candidate plan entirely
+    ParquetEpochs.append(docs(0, 50).repartitionByRange(2, col("doc_id")), dir)
+    ParquetEpochs.append(docs(100, 150).repartitionByRange(2, col("doc_id")), dir)
+    val before = liveFiles(dir)
+    val r      = ParquetEpochs.deleteWhere(spark, dir, "doc_id", Seq(7L, 9L, 999L))
+    assert(r.manifest.exists(_.startsWith("delete-pq-")) && r.deletedRows == 2L)
+    assert(r.droppedFiles == 1, s"only the covering file is rewritten: $r")
+    val after = liveFiles(dir)
+    assert(before.count(after.contains) == before.size - 1,
+      "every non-covering file keeps its name")
+    val ids = ParquetEpochs.read(spark, dir, ContentStore.snapshotManifests(dir))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!ids(7L) && !ids(9L) && ids(8L) && ids(120L) && ids.size == 98)
+    // converged: the same delete again matches nothing
+    assert(ParquetEpochs.deleteWhere(spark, dir, "doc_id", Seq(7L)).manifest.isEmpty)
+  }
+
+  test("deleteWhere by string value; NULL column rows are kept (IN semantics)") {
+    val dir = tmp()
+    import spark.implicits._
+    val withNull = Seq(
+      (1L, "keep-a", "x"), (2L, null.asInstanceOf[String], "y"), (3L, "drop-me", "z")
+    ).toDF("doc_id", "name", "body")
+    ParquetEpochs.append(withNull, dir)
+    val r = ParquetEpochs.deleteWhere(spark, dir, "name", Seq("drop-me"))
+    assert(r.deletedRows == 1L)
+    val rows = ParquetEpochs.read(spark, dir, ContentStore.snapshotManifests(dir))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(rows == Set(1L, 2L), "the NULL-name row must survive a name-IN delete")
+  }
+
+  test("clusterBy delete re-establishes skipping; stats carried for untouched files; vacuum-safe") {
+    val dir = tmp()
+    ParquetEpochs.append(docs(0, 100).repartitionByRange(4, col("doc_id")), dir)
+    val pin = ContentStore.snapshotManifests(dir)
+    val r = ParquetEpochs.deleteWhere(spark, dir, "doc_id", Seq(10L, 60L),
+      clusterBy = Some(("doc_id", 2)))
+    assert(r.deletedRows == 2L && r.carriedFiles == 2,
+      s"two of four clustered files cover 10/60, two carry: $r")
+    // time travel first, then grace-0 vacuum completes the purge and
+    // the carried files (with their re-recorded stats) still skip
+    assert(ParquetEpochs.read(spark, dir, pin).count() == 100L)
+    StoreLifecycle.vacuum(spark, dir, graceMs = 0L, hconf)
+    val eff = ContentStore.snapshotManifests(dir)
+    assert(ParquetEpochs.read(spark, dir, eff).count() == 98L)
+    val planned = ParquetEpochs.plannedFiles(dir, eff, "doc_id", 90L, 95L)
+    val all     = eff.flatMap(m => ContentStore.filesInManifest(dir, m, hconf))
+    assert(planned.size < all.size,
+      s"post-delete range reads must still plan a pruned file set ($planned of $all)")
+    val got = ParquetEpochs.readRange(spark, dir, eff, "doc_id", 90L, 95L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == (90L to 95L).toSet)
+  }
+}
