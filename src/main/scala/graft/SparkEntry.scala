@@ -68,6 +68,12 @@ object SparkEntry {
     "q_store_delete_columnar" -> ((s, d) =>
       Joins.columnarDeletedRead(Tables(s, d),
         s"${System.getProperty("java.io.tmpdir")}/graft-deletestore-pq")),
+    "q_store_upsert" -> ((s, d) =>
+      Joins.storeUpsertedRead(Tables(s, d),
+        s"${System.getProperty("java.io.tmpdir")}/graft-upsertstore")),
+    "q_store_upsert_columnar" -> ((s, d) =>
+      Joins.columnarUpsertedRead(Tables(s, d),
+        s"${System.getProperty("java.io.tmpdir")}/graft-upsertstore-pq")),
     "q_bucketed_join" -> ((s, d) =>
       Joins.bucketedJoin(Tables(s, d), s"${System.getProperty("java.io.tmpdir")}/graft-warehouse")),
     "q_event_pivot"        -> ((s, d) => Analytics.eventTypePivot(Tables(s, d))),
@@ -1518,6 +1524,19 @@ object SparkEntry {
       // the corpus minus the purged doc cohort
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE doc_id % 13 <> 5 ORDER BY doc_id""".stripMargin,
+    "q_store_upsert" -> // B82: K-V upsert — exactly one version per key, the re-scored
+      // cohort at its NEW (doubled) value, everyone else unchanged
+      """SELECT printf('u%06d', user_id) AS result_key,
+        |  CAST(CASE WHEN user_id % 5 = 0 THEN 2 ELSE 1 END
+        |    * sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS purchase_cents
+        |FROM events WHERE event_type = 'purchase'
+        |GROUP BY user_id ORDER BY 1""".stripMargin,
+    "q_store_upsert_columnar" -> // B82b: columnar upsert — the re-crawled cohort at its new
+      // values, one row per doc
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 11 = 7 THEN 'xx' ELSE lang END AS lang,
+        |  CASE WHEN doc_id % 11 = 7 THEN n_chars + 1000 ELSE n_chars END AS n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_store_pinned_read" -> // a leased pre-compaction pin reads the ORIGINAL corpus across
       // compaction + grace-0 vacuum: values equal the store-free profile
       // and exclude the post-pin click epoch entirely

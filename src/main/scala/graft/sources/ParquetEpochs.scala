@@ -563,14 +563,17 @@ object ParquetEpochs {
     * Rows with a NULL `column` never match (SQL `IN` semantics).
     * Returns a [[StoreLifecycle.DeleteReport]]: `rewrittenFiles` = new
     * parts written, `droppedFiles` = matched source files replaced,
-    * `carriedFiles` = re-listed untouched.
+    * `carriedFiles` = re-listed untouched. `excludeManifests` scopes
+    * the delete to the effective snapshot minus those manifests (the
+    * [[upsert]] hook — the fresh version epoch must keep its rows).
     */
   def deleteWhere(
       spark: SparkSession,
       storeDir: String,
       column: String,
       values: Seq[Any],
-      clusterBy: Option[(String, Int)] = None
+      clusterBy: Option[(String, Int)] = None,
+      excludeManifests: Set[String] = Set.empty
   ): StoreLifecycle.DeleteReport = {
     import org.apache.spark.sql.functions.{coalesce, col, lit, not}
     val conf = ContentStore.driverHadoopConf()
@@ -578,7 +581,7 @@ object ParquetEpochs {
       throw new IllegalStateException(
         s"ParquetEpochs.deleteWhere: store $storeDir is not a columnar store — " +
           "use StoreLifecycle.deleteKeys for the K-V payload")
-    val live = ContentStore.effectiveManifestNames(storeDir, conf)
+    val live = ContentStore.effectiveManifestNames(storeDir, conf).filterNot(excludeManifests)
     if (values.isEmpty || live.isEmpty) return StoreLifecycle.DeleteReport(None, 0L, 0, 0, 0)
     val (_, root)       = ContentStore.fs(storeDir, conf)
     val filesByManifest = live.map(m => m -> ContentStore.filesInManifest(storeDir, m, conf))
@@ -631,6 +634,40 @@ object ParquetEpochs {
     append(laid, storeDir, Some(name), Some(affected), carryFiles = carried)
     val newParts = ContentStore.filesInManifest(storeDir, name, conf).size - carried.size
     StoreLifecycle.DeleteReport(Some(name), deleted, newParts, matchedFiles.size, carried.size)
+  }
+
+  /** UPSERT (MERGE) on a columnar store — [[StoreLifecycle.upsert]]'s
+    * twin for the parquet payload: after it returns, the store holds
+    * exactly `versions`' rows for each upserted `column` value (older
+    * versions purged by [[deleteWhere]] scoped to everything except
+    * the fresh epoch), new values just insert. Same decomposition,
+    * same `epochId` rerun-convergence and non-atomic-window contract
+    * as the K-V twin (see its scaladoc). `clusterBy` range-clusters
+    * the version epoch on write — keep it on the same key the store's
+    * appends cluster, or the epoch's wide footer bounds degrade
+    * key-range skipping. Rows whose `column` is NULL insert but never
+    * purge anything (IN semantics).
+    */
+  def upsert(
+      spark: SparkSession,
+      storeDir: String,
+      versions: DataFrame,
+      column: String,
+      epochId: String,
+      clusterBy: Option[(String, Int)] = None
+  ): StoreLifecycle.UpsertReport = {
+    require(epochId.matches("[A-Za-z0-9._-]+"), s"epochId must be [A-Za-z0-9._-]+, got: $epochId")
+    val name = s"upsert-pq-$epochId"
+    val values: Seq[Any] = versions.select(column).distinct()
+      .collect().map(_.get(0)).filter(_ != null).toSeq
+    val laid = clusterBy.fold(versions) { case (c, parts) =>
+      import org.apache.spark.sql.functions.col
+      versions.repartitionByRange(parts, col(c)).sortWithinPartitions(c)
+    }
+    append(laid, storeDir, Some(name)): Unit
+    StoreLifecycle.UpsertReport(
+      name,
+      deleteWhere(spark, storeDir, column, values, clusterBy, excludeManifests = Set(name)))
   }
 
   /** STREAMING append leg — the write-side twin of the

@@ -313,15 +313,24 @@ object StoreLifecycle {
     * rename leaves only unreferenced rewritten files — vacuum sweeps
     * them; a rerun converges. Maintenance ops on one store are
     * caller-serialized (the compactEpochs contract).
+    *
+    * `excludeManifests` scopes the delete to the effective snapshot
+    * MINUS those manifests — the [[upsert]] hook: the just-appended
+    * version epoch must not have its own rows purged.
     */
-  def deleteKeys(spark: SparkSession, path: String, keys: Seq[String]): DeleteReport = {
+  def deleteKeys(
+      spark: SparkSession,
+      path: String,
+      keys: Seq[String],
+      excludeManifests: Set[String] = Set.empty
+  ): DeleteReport = {
     val conf = ContentStore.driverHadoopConf()
     ContentStore.recordedFormat(path, conf).foreach { fmt =>
       throw new IllegalStateException(
         s"deleteKeys: store $path holds '$fmt'-format data files — use ParquetEpochs.deleteWhere")
     }
     val keySet = keys.toSet
-    val live   = ContentStore.effectiveManifestNames(path, conf)
+    val live   = ContentStore.effectiveManifestNames(path, conf).filterNot(excludeManifests)
     if (keySet.isEmpty || live.isEmpty) return DeleteReport(None, 0L, 0, 0, 0)
     val buckets = ContentStore.recordedBuckets(path, conf)
     val shards  = ContentStore.recordedDataShards(path, conf)
@@ -405,6 +414,61 @@ object StoreLifecycle {
       carryMessages = carryMsgs.result()
     )
     DeleteReport(Some(name), results.map(_.dropped).sum, rewrittenN, droppedN, carriedN)
+  }
+
+  /** Outcome of one [[upsert]]: the committed version-epoch manifest
+    * and the purge's [[DeleteReport]] (`purge.manifest` None = every
+    * upserted key was NEW — a pure insert, nothing to purge).
+    */
+  final case class UpsertReport(epoch: String, purge: DeleteReport)
+
+  /** UPSERT (MERGE) on a K-V store: after it returns, the store holds
+    * EXACTLY `versions`' row for each upserted key — the re-crawl /
+    * re-score shape (tonight's fresher copy replaces every older
+    * version, new keys just insert). Composed from the two primitives
+    * the store already has, the Delta MERGE decomposition:
+    *
+    *  1. APPEND `versions` as one epoch under the deterministic name
+    *     `upsert-<epochId>` (idempotent: a crash-rerun's replayed
+    *     commit is dropped);
+    *  2. [[deleteKeys]] the upserted keys SCOPED to everything except
+    *     that epoch — the copy-on-write purge of the older versions,
+    *     with all of its pruning, carry-forward, pin, tail and vacuum
+    *     semantics.
+    *
+    * `epochId` is the caller's batch identity (the nightly date — the
+    * streaming-epoch contract): a rerun with the SAME id after any
+    * crash converges (replayed append drops; the re-scoped purge finds
+    * nothing left to match). The one non-atomic window — append
+    * committed, purge not yet — shows BOTH versions to a concurrent
+    * reader until the purge commits (readers needing isolation read a
+    * pinned snapshot); upserts are maintenance ops, caller-serialized
+    * per store like compaction. On a bucketed store the version epoch
+    * adopts the recorded bucket layout automatically.
+    */
+  def upsert(
+      spark: SparkSession,
+      path: String,
+      versions: org.apache.spark.sql.DataFrame,
+      epochId: String
+  ): UpsertReport = {
+    require(epochId.matches("[A-Za-z0-9._-]+"), s"epochId must be [A-Za-z0-9._-]+, got: $epochId")
+    val conf = ContentStore.driverHadoopConf()
+    ContentStore.recordedFormat(path, conf).foreach { fmt =>
+      throw new IllegalStateException(
+        s"upsert: store $path holds '$fmt'-format data files — use ParquetEpochs.upsert")
+    }
+    val name    = s"upsert-$epochId"
+    val buckets = ContentStore.recordedBuckets(path, conf)
+    val keys = versions.select("result_key").distinct()
+      .collect().map(_.getString(0)).toSeq
+    val writer = versions.write
+      .format("graft.sources.ContentStore")
+      .option("path", path)
+      .option("manifestName", name)
+      .mode("append")
+    (if (buckets > 0) writer.option("buckets", buckets) else writer).save()
+    UpsertReport(name, deleteKeys(spark, path, keys, excludeManifests = Set(name)))
   }
 
   /** Per-file outcome of [[deleteKeys]]'s rewrite task. */

@@ -233,4 +233,80 @@ class StoreDeleteSpec extends SparkSpecBase {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(got == (90L to 95L).toSet)
   }
+
+  // ---- upsert ----
+
+  private def versionsDf(rows: (String, String)*): DataFrame = {
+    import spark.implicits._
+    rows.toSeq.toDF("result_key", "payload")
+  }
+
+  test("upsert replaces existing versions, inserts new keys, and reruns converge") {
+    val dir = tmp()
+    writeOne(dir, "a" -> "v1", "b" -> "v1")
+    writeOne(dir, "c" -> "v1")
+    val r = StoreLifecycle.upsert(spark, dir, versionsDf("b" -> "v2", "d" -> "v2"), "night-01")
+    assert(r.epoch == "upsert-night-01" && r.purge.deletedRows == 1L)
+    assert(readAll(dir) == Set("a" -> "v1", "b" -> "v2", "c" -> "v1", "d" -> "v2"),
+      "exactly one version per key after the upsert")
+    // a crash-rerun with the same epoch id must converge, not double
+    val r2 = StoreLifecycle.upsert(spark, dir, versionsDf("b" -> "v2", "d" -> "v2"), "night-01")
+    assert(r2.purge.manifest.isEmpty, "replayed upsert purges nothing")
+    assert(readAll(dir) == Set("a" -> "v1", "b" -> "v2", "c" -> "v1", "d" -> "v2"))
+    // a SECOND night's upsert of the same key wins again
+    StoreLifecycle.upsert(spark, dir, versionsDf("b" -> "v3"), "night-02")
+    assert(readAll(dir) == Set("a" -> "v1", "b" -> "v3", "c" -> "v1", "d" -> "v2"))
+  }
+
+  test("pure-insert upsert purges nothing; bucketed store adopts its layout through upsert") {
+    val dir = tmp()
+    import spark.implicits._
+    Seq("a" -> "1", "b" -> "2").toDF("result_key", "payload")
+      .write.format("graft.sources.ContentStore")
+      .option("path", dir).option("buckets", 4).mode("append").save()
+    val r = StoreLifecycle.upsert(spark, dir, versionsDf("x" -> "9", "a" -> "10"), "n1")
+    assert(r.purge.deletedRows == 1L)
+    // every live file still carries a bucket prefix (the upsert epoch
+    // adopted the recorded layout) and the key-grouped read works
+    assert(liveFiles(dir).forall(f =>
+      ContentStore.bucketOfFile(ContentStore.baseName(f)).isDefined))
+    val got = spark.read.format("graft.sources.ContentStore")
+      .option("path", dir).option("bucketedRead", 4).load()
+      .select("result_key", "payload")
+      .collect().map(row => (row.getString(0), row.getString(1))).toSet
+    assert(got == Set("a" -> "10", "b" -> "2", "x" -> "9"))
+    val ins = StoreLifecycle.upsert(spark, dir, versionsDf("z" -> "0"), "n2")
+    assert(ins.purge.manifest.isEmpty && readAll(dir).contains("z" -> "0"))
+  }
+
+  test("columnar upsert: versions replace by key, NULL-key rows insert-only, rerun converges") {
+    val dir = tmp()
+    import spark.implicits._
+    ParquetEpochs.append(docs(0, 20).repartitionByRange(2, col("doc_id")), dir)
+    val fresh = Seq(
+      (5L, "doc-0005-v2", "fresher"), (99L, "doc-0099", "new")
+    ).toDF("doc_id", "name", "body")
+    val r = ParquetEpochs.upsert(spark, dir, fresh, "doc_id", "n1",
+      clusterBy = Some(("doc_id", 1)))
+    assert(r.epoch == "upsert-pq-n1" && r.purge.deletedRows == 1L)
+    val rows = ParquetEpochs.read(spark, dir, ContentStore.snapshotManifests(dir))
+      .collect().map(row => (row.getLong(0), row.getString(1))).toMap
+    assert(rows.size == 21 && rows(5L) == "doc-0005-v2" && rows(99L) == "doc-0099")
+    val r2 = ParquetEpochs.upsert(spark, dir, fresh, "doc_id", "n1",
+      clusterBy = Some(("doc_id", 1)))
+    assert(r2.purge.manifest.isEmpty, "replayed columnar upsert purges nothing")
+    assert(ParquetEpochs.read(spark, dir, ContentStore.snapshotManifests(dir)).count() == 21L)
+  }
+
+  test("upsert refuses the wrong payload format on both surfaces") {
+    val kv = tmp(); val cols = tmp()
+    writeOne(kv, "a" -> "1")
+    import spark.implicits._
+    ParquetEpochs.append(Seq((1L, "x")).toDF("id", "body"), cols)
+    intercept[IllegalStateException](
+      StoreLifecycle.upsert(spark, cols, versionsDf("a" -> "2"), "n1"))
+    // the columnar upsert's append refuses a K-V store before staging
+    intercept[IllegalStateException](
+      ParquetEpochs.upsert(spark, kv, Seq((1L, "y")).toDF("id", "body"), "id", "n1"))
+  }
 }
