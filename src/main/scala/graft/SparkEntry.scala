@@ -74,6 +74,9 @@ object SparkEntry {
     "q_store_upsert_columnar" -> ((s, d) =>
       Joins.columnarUpsertedRead(Tables(s, d),
         s"${System.getProperty("java.io.tmpdir")}/graft-upsertstore-pq")),
+    "q_store_schema_evolution" -> ((s, d) =>
+      Joins.columnarEvolvedRead(Tables(s, d),
+        s"${System.getProperty("java.io.tmpdir")}/graft-evolvestore")),
     "q_bucketed_join" -> ((s, d) =>
       Joins.bucketedJoin(Tables(s, d), s"${System.getProperty("java.io.tmpdir")}/graft-warehouse")),
     "q_event_pivot"        -> ((s, d) => Analytics.eventTypePivot(Tables(s, d))),
@@ -1536,6 +1539,11 @@ object SparkEntry {
       """SELECT doc_id,
         |  CASE WHEN doc_id % 11 = 7 THEN 'xx' ELSE lang END AS lang,
         |  CASE WHEN doc_id % 11 = 7 THEN n_chars + 1000 ELSE n_chars END AS n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_store_schema_evolution" -> // B83: additive evolution — pre-evolution rows NULL the new
+      // column, post-evolution rows carry their written value
+      """SELECT doc_id, lang, n_chars,
+        |  CASE WHEN doc_id >= 250 THEN n_chars / 100.0 ELSE NULL END AS quality
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_store_pinned_read" -> // a leased pre-compaction pin reads the ORIGINAL corpus across
       // compaction + grace-0 vacuum: values equal the store-free profile

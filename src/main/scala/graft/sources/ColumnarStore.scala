@@ -49,7 +49,12 @@ import org.apache.spark.util.SerializableConfiguration
   * every later epoch matches it, which is exactly what makes a FIXED
   * streaming schema sound here. A marked-parquet store missing the
   * marker (written before it existed) resolves with a pointed error —
-  * one heal-forward append records it.
+  * one heal-forward append records it. After an additive
+  * [[ParquetEpochs.evolveSchema]] the marker is the WIDENED schema and
+  * pre-evolution epochs clip: ParquetReadSupport fills requested
+  * columns absent from a file's footer with NULL vectors (spec-pinned
+  * end-to-end in StoreDeleteSpec) — a stream started before the
+  * evolution keeps its narrower resolution until restart.
   *
   * Read-only by design: appends are manifest-commit operations
   * ([[ParquetEpochs.append]] — distributed parquet stage + atomic

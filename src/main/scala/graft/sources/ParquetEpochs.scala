@@ -244,6 +244,61 @@ object ParquetEpochs {
     }
   }
 
+  /** Additive SCHEMA EVOLUTION: widen the store's recorded row schema
+    * by appending new nullable columns at the END — the lakehouse ADD
+    * COLUMN, for the corpus that accretes metadata over time (a new
+    * quality score, a new provenance tag). Every existing column must
+    * match the recorded schema by name and type in order (no renames,
+    * drops, retypes or reorders — those change the meaning of data
+    * already on disk; a rewrite via [[compact]] into a fresh store is
+    * the honest path for them).
+    *
+    * From the rename on: appends must use the EVOLVED schema
+    * ([[ensureSchema]]'s signature equality — the evolution IS the
+    * writer-contract change); every read — batch [[read]]/
+    * [[readRange]], the [[ColumnarStore]] streaming tail, and the
+    * rewriting maintenance ops — resolves against the evolved schema,
+    * and pre-evolution files surface the new columns as NULL (Spark's
+    * own parquet clipping, the same mechanism mergeSchema uses,
+    * without paying a footer read per file). A [[compact]] after the
+    * evolution materializes the NULLs physically. Maintenance op,
+    * caller-serialized per store like the rest.
+    */
+  def evolveSchema(storeDir: String, newSchema: StructType): Unit = {
+    val conf         = ContentStore.driverHadoopConf()
+    val (fsys, root) = ContentStore.fs(storeDir, conf)
+    if (!ContentStore.recordedFormat(storeDir, conf).contains("parquet"))
+      throw new IllegalStateException(
+        s"ParquetEpochs.evolveSchema: store $storeDir is not a columnar store")
+    val rec = recordedSchema(storeDir, conf).getOrElse(
+      throw new IllegalStateException(
+        s"ParquetEpochs.evolveSchema: store $storeDir has no recorded _schema " +
+          "(written before the marker existed) — one append heals it forward first"))
+    def signature(s: StructType): Seq[(String, String)] =
+      s.fields.toSeq.map(f => (f.name, f.dataType.catalogString))
+    require(newSchema.fields.length >= rec.fields.length &&
+        signature(StructType(newSchema.fields.take(rec.fields.length))) == signature(rec),
+      s"evolveSchema: ${newSchema.catalogString} must extend the recorded " +
+        s"${rec.catalogString} by appending columns (no rename/drop/retype/reorder)")
+    if (newSchema.fields.length == rec.fields.length) return // nothing to add
+    val nullable = StructType(newSchema.fields.map(_.copy(nullable = true)))
+    val target   = new Path(root, "_schema")
+    val tmp      = new Path(root, s"._schema-tmp-${UUID.randomUUID()}")
+    val out      = fsys.create(tmp, false)
+    try out.write(nullable.json.getBytes("UTF-8"))
+    finally out.close()
+    // rename replaces on POSIX/HDFS; fail-on-existing filesystems fall
+    // back to delete + rename (the writeLease pattern) — acceptable
+    // for a caller-serialized maintenance op
+    if (!fsys.rename(tmp, target)) {
+      fsys.delete(target, false): Unit
+      if (!fsys.rename(tmp, target)) {
+        fsys.delete(tmp, false): Unit
+        throw new java.io.IOException(s"evolveSchema: _schema rename failed for $storeDir")
+      }
+    }
+  }
+
   /** Read the union of the named (pinned) manifests' parquet files —
     * the same time-travel contract as the K-V store's `manifests`
     * option: commits after the pin are invisible. Manifest resolution
@@ -252,6 +307,13 @@ object ParquetEpochs {
     * data files (an epoch that admitted nothing) reads as an EMPTY
     * frame with the store's recorded schema — the same answer the K-V
     * twin gives, not an error.
+    *
+    * The scan resolves against the RECORDED schema when the store has
+    * one (free — no footer read): identical to footer resolution while
+    * the store has a single schema (appends enforce the signature),
+    * and the thing that makes [[evolveSchema]] work — pre-evolution
+    * files surface appended columns as NULL instead of whichever
+    * file's footer happened to win.
     */
   def read(spark: SparkSession, storeDir: String, manifests: Seq[String]): DataFrame = {
     val conf      = ContentStore.driverHadoopConf()
@@ -262,14 +324,15 @@ object ParquetEpochs {
     val files = manifests
       .flatMap(m => ContentStore.filesInManifest(storeDir, m, conf))
       .map(f => new Path(root, s"data/$f").toString)
+    val recorded = recordedSchema(storeDir, conf)
     if (files.isEmpty) {
-      val schema = recordedSchema(storeDir, conf).getOrElse(
+      val schema = recorded.getOrElse(
         throw new IllegalStateException(
           s"ParquetEpochs.read: no data files under manifests $manifests and no recorded " +
             s"schema for $storeDir (pre-marker store) — cannot type an empty read"))
       return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
     }
-    spark.read.parquet(files: _*)
+    recorded.fold(spark.read)(s => spark.read.schema(s)).parquet(files: _*)
   }
 
   /** One recorded [min, max] bound for one (file, column), with the
@@ -521,10 +584,11 @@ object ParquetEpochs {
         s"ParquetEpochs: store $storeDir is not a columnar store (no 'parquet' format marker)")
     val kept = plannedFiles(storeDir, manifests, column, lo, hi)
       .map(f => new Path(root, s"data/$f").toString)
+    val recorded = recordedSchema(storeDir, conf)
     val base =
-      if (kept.nonEmpty) spark.read.parquet(kept: _*)
+      if (kept.nonEmpty) recorded.fold(spark.read)(s => spark.read.schema(s)).parquet(kept: _*)
       else {
-        val schema = recordedSchema(storeDir, conf).getOrElse(
+        val schema = recorded.getOrElse(
           throw new IllegalStateException(
             s"ParquetEpochs.readRange: every file pruned and no recorded schema for " +
               s"$storeDir (pre-marker store) — cannot type an empty read"))
@@ -601,9 +665,13 @@ object ParquetEpochs {
     if (candidates.isEmpty) return StoreLifecycle.DeleteReport(None, 0L, 0, 0, 0)
     val pathOf    = candidates.map(f => f -> new Path(root, s"data/$f").toString).toMap
     val matchPred = col(column).isin(values: _*)
+    // candidate reads resolve against the recorded schema — on an
+    // evolved store the candidate set can span the evolution boundary
+    // (see evolveSchema), and the survivors must rewrite WIDE
+    val rdr = recordedSchema(storeDir, conf).fold(spark.read)(s => spark.read.schema(s))
     // per-file match counts in one pass; file names are store-unique
     // (uuid-derived) so the hidden file path maps back by base name
-    val perFile = spark.read
+    val perFile = rdr
       .parquet(candidates.map(pathOf): _*)
       .filter(matchPred)
       .groupBy(col("_metadata.file_path").as("fp"))
@@ -619,7 +687,7 @@ object ParquetEpochs {
     }
     val carried = affected.flatMap(m =>
       filesByManifest.toMap.apply(m).filterNot(matchedFiles))
-    val survivors = spark.read
+    val survivors = rdr
       .parquet(matchedFiles.toSeq.sorted.map(pathOf): _*)
       .filter(not(coalesce(matchPred, lit(false)))) // NULL column never matches: keep
     val laid = clusterBy.fold(survivors) { case (c, parts) =>

@@ -298,6 +298,97 @@ class StoreDeleteSpec extends SparkSpecBase {
     assert(ParquetEpochs.read(spark, dir, ContentStore.snapshotManifests(dir)).count() == 21L)
   }
 
+  // ---- schema evolution ----
+
+  test("evolveSchema widens reads with NULLs, gates appends on the new contract, compacts wide") {
+    val dir = tmp()
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    ParquetEpochs.append(docs(0, 10), dir)
+    val evolved = StructType(Seq(
+      StructField("doc_id", LongType), StructField("name", StringType),
+      StructField("body", StringType), StructField("quality", DoubleType)))
+    ParquetEpochs.evolveSchema(dir, evolved)
+    // an append still using the OLD shape refuses — the evolution is
+    // the writer-contract change
+    intercept[IllegalStateException](ParquetEpochs.append(docs(10, 20), dir))
+    ParquetEpochs.append(
+      docs(10, 20).withColumn("quality", col("doc_id").cast("double") / 10.0), dir)
+    val rows = ParquetEpochs.read(spark, dir, ContentStore.snapshotManifests(dir))
+      .select("doc_id", "quality")
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+    assert(rows.size == 20)
+    assert((0L until 10L).forall(rows(_).isEmpty), "pre-evolution rows read the new column as NULL")
+    assert(rows(15L).contains(1.5))
+    // compaction materializes the NULLs physically and the store still
+    // reads identically afterwards
+    ParquetEpochs.compact(spark, dir)
+    val after = ParquetEpochs.read(spark, dir, ContentStore.snapshotManifests(dir))
+      .select("doc_id", "quality")
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+    assert(after == rows)
+    // illegal evolutions refuse: retype, reorder, drop
+    intercept[IllegalArgumentException](ParquetEpochs.evolveSchema(dir,
+      StructType(evolved.fields.updated(0, StructField("doc_id", IntegerType)))))
+    intercept[IllegalArgumentException](ParquetEpochs.evolveSchema(dir,
+      StructType(evolved.fields.reverse)))
+    intercept[IllegalArgumentException](ParquetEpochs.evolveSchema(dir,
+      StructType(evolved.fields.take(2))))
+  }
+
+  test("the streaming tail reads across the evolution boundary: old epochs NULL the new column") {
+    val dir  = tmp()
+    val ckpt = tmp()
+    val out  = tmp()
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    ParquetEpochs.append(docs(0, 5), dir)
+    ParquetEpochs.evolveSchema(dir, StructType(Seq(
+      StructField("doc_id", LongType), StructField("name", StringType),
+      StructField("body", StringType), StructField("quality", DoubleType))))
+    ParquetEpochs.append(
+      docs(5, 10).withColumn("quality", col("doc_id").cast("double")), dir)
+    val q = spark.readStream.format("graft.sources.ColumnarStore").option("path", dir).load()
+      .writeStream.format("json").option("path", out)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val drained = spark.read
+      .schema("doc_id LONG, name STRING, body STRING, quality DOUBLE").json(out)
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+      .toMap
+    assert(drained.size == 10)
+    assert((0L until 5L).forall(drained(_).isEmpty),
+      "the vectorized tail must surface the evolved column as NULL for pre-evolution files")
+    assert((5L until 10L).forall(i => drained(i).contains(i.toDouble)))
+  }
+
+  test("deleteWhere and upsert work across the evolution boundary with the wide schema") {
+    val dir = tmp()
+    import org.apache.spark.sql.types._
+    ParquetEpochs.append(docs(0, 10), dir)
+    ParquetEpochs.evolveSchema(dir, StructType(Seq(
+      StructField("doc_id", LongType), StructField("name", StringType),
+      StructField("body", StringType), StructField("quality", DoubleType))))
+    // delete a pre-evolution row: the survivors rewrite WIDE (quality
+    // NULL), so the epoch passes the evolved append gate
+    val r = ParquetEpochs.deleteWhere(spark, dir, "doc_id", Seq(3L))
+    assert(r.deletedRows == 1L)
+    val rows = ParquetEpochs.read(spark, dir, ContentStore.snapshotManifests(dir))
+    assert(rows.count() == 9L && rows.columns.contains("quality"))
+    // upsert a fresh wide version of a pre-evolution doc
+    import spark.implicits._
+    val fresh = Seq((4L, "doc-0004-v2", "fresher", 0.9))
+      .toDF("doc_id", "name", "body", "quality")
+    ParquetEpochs.upsert(spark, dir, fresh, "doc_id", "n1")
+    val got = ParquetEpochs.read(spark, dir, ContentStore.snapshotManifests(dir))
+      .filter(col("doc_id") === 4L).collect()
+    assert(got.length == 1 && got.head.getString(1) == "doc-0004-v2" &&
+      got.head.getDouble(3) == 0.9)
+  }
+
   test("upsert refuses the wrong payload format on both surfaces") {
     val kv = tmp(); val cols = tmp()
     writeOne(kv, "a" -> "1")
