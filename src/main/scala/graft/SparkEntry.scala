@@ -77,6 +77,9 @@ object SparkEntry {
     "q_store_schema_evolution" -> ((s, d) =>
       Joins.columnarEvolvedRead(Tables(s, d),
         s"${System.getProperty("java.io.tmpdir")}/graft-evolvestore")),
+    "q_store_zorder" -> ((s, d) =>
+      Joins.columnarZorderedRead(Tables(s, d),
+        s"${System.getProperty("java.io.tmpdir")}/graft-zorderstore")),
     "q_bucketed_join" -> ((s, d) =>
       Joins.bucketedJoin(Tables(s, d), s"${System.getProperty("java.io.tmpdir")}/graft-warehouse")),
     "q_event_pivot"        -> ((s, d) => Analytics.eventTypePivot(Tables(s, d))),
@@ -1545,6 +1548,11 @@ object SparkEntry {
       """SELECT doc_id, lang, n_chars,
         |  CASE WHEN doc_id >= 250 THEN n_chars / 100.0 ELSE NULL END AS quality
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_store_zorder" -> // B84: z-order layout is I/O-only — the two-dim slice equals the
+      // layout-free query
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE doc_id BETWEEN 100 AND 349 AND n_chars BETWEEN 100 AND 400
+        |ORDER BY doc_id""".stripMargin,
     "q_store_pinned_read" -> // a leased pre-compaction pin reads the ORIGINAL corpus across
       // compaction + grace-0 vacuum: values equal the store-free profile
       // and exclude the post-pin click epoch entirely

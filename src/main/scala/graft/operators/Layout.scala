@@ -113,8 +113,10 @@ object Layout {
 
   /** Morton-interleave the low `bits` of u (even positions) and v (odd
     * positions) — plain shift/mask arithmetic, whole-stage codegen'd.
+    * Shared with the store's physical z-order layout
+    * ([[graft.sources.ParquetEpochs.zcluster]]).
     */
-  private def morton(u: Column, v: Column, bits: Int): Column =
+  private[graft] def morton(u: Column, v: Column, bits: Int): Column =
     (0 until bits)
       .map { i =>
         (shiftleft(shiftright(u, i) % 2, 2 * i) + shiftleft(shiftright(v, i) % 2, 2 * i + 1))

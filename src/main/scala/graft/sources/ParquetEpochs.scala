@@ -797,6 +797,53 @@ object ParquetEpochs {
     */
   def snapshot(storeDir: String): Seq[String] = ContentStore.snapshotManifests(storeDir)
 
+  /** Z-ORDER the frame for append: range-cluster on a Morton
+    * interleave of two domain-normalized integral columns, so each
+    * written file covers a small RECTANGLE of the (a, b) key space and
+    * the recorded `_stats` bounds stay tight on BOTH columns — the
+    * multi-dimension file skipping single-column clustering cannot
+    * give (a `clusterBy(a)` store answers b-scoped reads by scanning
+    * everything; Delta's OPTIMIZE ZORDER BY trade, re-expressed as a
+    * layout projection). Each column maps to a `bits`-wide bucket by
+    * linear scaling over its observed [min, max] (one tiny agg job),
+    * buckets interleave via the shared Morton arithmetic
+    * (codegen'd shift/mask — no UDF), and the frame range-partitions +
+    * sorts on the z value WITHOUT adding a column (the append schema
+    * is untouched). Use before [[append]], or through [[compact]]'s
+    * `zorderBy` to re-establish the layout at OPTIMIZE time.
+    *
+    * The z key orders buckets, so per-file bounds on each dimension
+    * are ~domain/2^(prefix/2) wide — a two-dim range read prunes
+    * multiplicatively (spec-pinned: BOTH columns' plannedFiles shrink
+    * on a z-ordered store). NULLs in either column sort together
+    * (null z) and simply never prune. Non-integral domains: bucket
+    * them yourself (dates → epoch days) before calling.
+    */
+  def zcluster(
+      df: DataFrame,
+      colA: String,
+      colB: String,
+      parts: Int,
+      bits: Int = 16
+  ): DataFrame = {
+    import org.apache.spark.sql.functions.{col, floor, least, lit, max, min}
+    val bounds = df
+      .select(col(colA).cast("long").as("a"), col(colB).cast("long").as("b"))
+      .agg(min("a"), max("a"), min("b"), max("b"))
+      .head()
+    if (bounds.isNullAt(0) || bounds.isNullAt(2)) return df // empty or all-null: nothing to order
+    val hi = (1L << bits) - 1
+    def bucket(c: String, lo: Long, width: Long) =
+      least(lit(hi), floor(
+        (col(c).cast("long") - lit(lo)).cast("double") / lit(width.toDouble) * lit(hi.toDouble))
+        .cast("long"))
+    val z = graft.operators.Layout.morton(
+      bucket(colA, bounds.getLong(0), math.max(1L, bounds.getLong(1) - bounds.getLong(0))),
+      bucket(colB, bounds.getLong(2), math.max(1L, bounds.getLong(3) - bounds.getLong(2))),
+      bits)
+    df.repartitionByRange(parts, z).sortWithinPartitions(z)
+  }
+
   /** Columnar OPTIMIZE: fold all but the newest `keepLast` live
     * manifests into one epoch via a distributed parquet rewrite —
     * same source selection, deterministic name, sidecar shadowing and
@@ -811,20 +858,28 @@ object ParquetEpochs {
     * read-everything after the first OPTIMIZE. Compaction is exactly
     * the moment to (re)establish clustering — it is the one pass that
     * rewrites history anyway; values cannot move either way (one
-    * extra range shuffle inside the rewrite).
+    * extra range shuffle inside the rewrite). `zorderBy` =
+    * (colA, colB, parts) is the two-dimension variant ([[zcluster]]);
+    * mutually exclusive with `clusterBy`.
     */
   def compact(
       spark: SparkSession,
       storeDir: String,
       keepLast: Int = 0,
-      clusterBy: Option[(String, Int)] = None
+      clusterBy: Option[(String, Int)] = None,
+      zorderBy: Option[(String, String, Int)] = None
   ): Option[String] = {
+    require(clusterBy.isEmpty || zorderBy.isEmpty,
+      "compact: clusterBy and zorderBy are mutually exclusive")
     val conf = ContentStore.driverHadoopConf()
     StoreLifecycle.compactionPlan(storeDir, keepLast, conf).map { case (sources, name) =>
       val rows = read(spark, storeDir, sources)
-      val rewritten = clusterBy.fold(rows) { case (c, parts) =>
+      val clustered = clusterBy.fold(rows) { case (c, parts) =>
         import org.apache.spark.sql.functions.col
         rows.repartitionByRange(parts, col(c)).sortWithinPartitions(c)
+      }
+      val rewritten = zorderBy.fold(clustered) { case (a, b, parts) =>
+        zcluster(rows, a, b, parts)
       }
       append(rewritten, storeDir, Some(name), Some(sources))
       name

@@ -322,4 +322,60 @@ class ColumnarIndexSpec extends SparkSpecBase {
         .collect().map(_.getLong(0)).sorted.toSeq == before)
     } finally deleteTree(storeRoot)
   }
+
+  test("z-ordered store prunes planned files on BOTH dimensions; single-column clustering can't") {
+    import org.apache.spark.sql.functions.col
+    val storeRoot = java.nio.file.Files.createTempDirectory("graft-zorder")
+    try {
+      // two UNCORRELATED integral dims (Knuth-hash scramble of the id),
+      // so a one-dim layout gives the other dim domain-wide bounds
+      val n  = 65536L
+      val df = spark.range(n).select(
+        col("id").as("a"),
+        ((col("id") * 2654435761L) % n).as("b"))
+      val parts = 16
+      val zs = s"$storeRoot/z"
+      ParquetEpochs.append(ParquetEpochs.zcluster(df, "a", "b", parts), zs)
+      val cs = s"$storeRoot/c"
+      ParquetEpochs.append(
+        df.repartitionByRange(parts, col("a")).sortWithinPartitions("a"), cs)
+      val zPin = ParquetEpochs.snapshot(zs); val cPin = ParquetEpochs.snapshot(cs)
+      // ~3% slices on each dim
+      val lo = n / 2; val hi = lo + n / 32
+      def planned(store: String, pin: Seq[String], c: String) =
+        ParquetEpochs.plannedFiles(store, pin, c, lo, hi).size
+      assert(planned(cs, cPin, "a") < parts, "sanity: the 1-dim store prunes its own key")
+      assert(planned(cs, cPin, "b") == parts,
+        "a 1-dim-clustered store cannot prune the other dim (domain-wide bounds)")
+      val (za, zb) = (planned(zs, zPin, "a"), planned(zs, zPin, "b"))
+      assert(za < parts && zb < parts,
+        s"z-order must prune BOTH dims (planned a=$za b=$zb of $parts)")
+      // values cannot move: the two-dim slice equals the layout-free answer
+      val want = df.filter(col("a").between(lo, hi) && col("b").between(lo, hi))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val got = ParquetEpochs.readRange(spark, zs, zPin, "a", lo, hi)
+        .filter(col("b").between(lo, hi))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == want)
+      // OPTIMIZE with zorderBy re-establishes the layout over
+      // interleaved (bounds-wide) epochs
+      val os = s"$storeRoot/o"
+      (0 until 2).foreach { par =>
+        ParquetEpochs.append(
+          df.filter(col("a") % 2 === par).repartition(parts / 2), os): Unit
+      }
+      assert(ParquetEpochs.plannedFiles(os, ParquetEpochs.snapshot(os), "b", lo, hi).size == parts)
+      assert(ParquetEpochs.compact(spark, os, zorderBy = Some(("a", "b", parts))).isDefined)
+      val oPin = ParquetEpochs.snapshot(os)
+      assert(ParquetEpochs.plannedFiles(os, oPin, "a", lo, hi).size < parts)
+      assert(ParquetEpochs.plannedFiles(os, oPin, "b", lo, hi).size < parts)
+      val after = ParquetEpochs.readRange(spark, os, oPin, "a", lo, hi)
+        .filter(col("b").between(lo, hi))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(after == want)
+      intercept[IllegalArgumentException](
+        ParquetEpochs.compact(spark, os,
+          clusterBy = Some(("a", 4)), zorderBy = Some(("a", "b", 4))))
+    } finally deleteTree(storeRoot)
+  }
 }
