@@ -867,12 +867,18 @@ object ParquetEpochs {
       storeDir: String,
       keepLast: Int = 0,
       clusterBy: Option[(String, Int)] = None,
-      zorderBy: Option[(String, String, Int)] = None
+      zorderBy: Option[(String, String, Int)] = None,
+      targetBytes: Long = 0
   ): Option[String] = {
     require(clusterBy.isEmpty || zorderBy.isEmpty,
       "compact: clusterBy and zorderBy are mutually exclusive")
     val conf = ContentStore.driverHadoopConf()
-    StoreLifecycle.compactionPlan(storeDir, keepLast, conf).map { case (sources, name) =>
+    // targetBytes > 0: small-file binpack selection (one bin per call)
+    // instead of fold-all-but-keepLast — see smallCompactionPlan
+    val plan =
+      if (targetBytes > 0) StoreLifecycle.smallCompactionPlan(storeDir, targetBytes, keepLast, conf)
+      else StoreLifecycle.compactionPlan(storeDir, keepLast, conf)
+    plan.map { case (sources, name) =>
       val rows = read(spark, storeDir, sources)
       val clustered = clusterBy.fold(rows) { case (c, parts) =>
         import org.apache.spark.sql.functions.col

@@ -69,36 +69,28 @@ object StoreLifecycle {
     * columnar rewrite): the all-but-`keepLast`-newest live manifests in
     * COMMIT order, or None when fewer than two would fold.
     */
-  private[sources] def compactionPlan(
-      path: String,
-      keepLast: Int,
-      conf: Configuration
-  ): Option[(Seq[String], String)] = {
+  /** Live manifests in COMMIT order, which the lexical name order does
+    * not give (batch manifests are UUID-named; epoch ids are
+    * unpadded, so epoch-q-10 sorts before epoch-q-9): order by the
+    * manifest file's modification time. Rename preserves mtime, so
+    * the timestamp is the manifest WRITE, which the committer renames
+    * within the same driver call — commit order for any sequential
+    * committer, and within the race window for genuinely concurrent
+    * ones (where no order is more correct). Coarse-granularity
+    * filesystems (1 s object-store shims) tie consecutive epochs of
+    * one writer, so the tie-break must NOT be plain lexical (that
+    * re-inverts epoch-10 < epoch-9): break ties numerically on a
+    * trailing integer when prefixes match, then by name. UUID-named
+    * BATCH manifests tied within one timestamp granule stay arbitrary
+    * — their names carry no order to recover; the numeric case (one
+    * writer's sequential epochs, the continuous-append shape
+    * compaction exists for) is the one that must hold.
+    */
+  private[sources] def orderedLiveManifests(path: String, conf: Configuration): Seq[String] = {
     val live = ContentStore.effectiveManifestNames(path, conf).toSet
-    // before listing _manifest/ directly: an empty or brand-new store
-    // (manifestNames already guards the missing directory) has nothing
-    // to compact — return None like every other nothing-to-do path
-    if (live.size - keepLast < 2) return None
-    // "newest" means COMMIT order, which the lexical name order does
-    // not give (batch manifests are UUID-named; epoch ids are
-    // unpadded, so epoch-q-10 sorts before epoch-q-9): order by the
-    // manifest file's modification time. Rename preserves mtime, so
-    // the timestamp is the manifest WRITE, which the committer renames
-    // within the same driver call — commit order for any sequential
-    // committer, and within the race window for genuinely concurrent
-    // ones (where no order is more correct). Coarse-granularity
-    // filesystems (1 s object-store shims) tie consecutive epochs of
-    // one writer, so the tie-break must NOT be plain lexical (that
-    // re-inverts epoch-10 < epoch-9): break ties numerically on a
-    // trailing integer when prefixes match, then by name — keepLast
-    // really protects the hot tail an active consumer is about to
-    // read. UUID-named BATCH manifests tied within one timestamp
-    // granule stay arbitrary — their names carry no order to recover;
-    // the numeric case (one writer's sequential epochs, the
-    // continuous-append shape compaction exists for) is the one that
-    // must hold.
+    if (live.isEmpty) return Seq.empty
     val (filesystem, root) = ContentStore.fs(path, conf)
-    val byCommitTime = filesystem
+    filesystem
       .listStatus(new Path(root, "_manifest"))
       .filter(st => live(st.getPath.getName))
       .sortBy { st =>
@@ -112,11 +104,78 @@ object StoreLifecycle {
       }
       .map(_.getPath.getName)
       .toSeq
-    val sources = byCommitTime.dropRight(keepLast)
-    if (sources.size < 2) return None
+  }
+
+  private def compactionName(sources: Seq[String]): String = {
     val digest = MessageDigest.getInstance("SHA-256")
       .digest(sources.mkString("\n").getBytes(StandardCharsets.UTF_8))
-    Some((sources, "compact-" + digest.take(8).map("%02x".format(_)).mkString))
+    "compact-" + digest.take(8).map("%02x".format(_)).mkString
+  }
+
+  private[sources] def compactionPlan(
+      path: String,
+      keepLast: Int,
+      conf: Configuration
+  ): Option[(Seq[String], String)] = {
+    // an empty or brand-new store (manifestNames already guards the
+    // missing directory) has nothing to compact — None like every
+    // other nothing-to-do path. keepLast protects the hot tail an
+    // active consumer is about to read.
+    val sources = orderedLiveManifests(path, conf).dropRight(keepLast)
+    if (sources.size < 2) return None
+    Some((sources, compactionName(sources)))
+  }
+
+  /** Size-aware OPTIMIZE policy — the small-file binpack (what Delta's
+    * OPTIMIZE actually targets): continuous streaming ingest commits
+    * ONE manifest per micro-batch, so a tailed store accretes
+    * thousands of tiny epochs whose per-file open/seek overhead —
+    * not data volume — comes to dominate every read. The plan walks
+    * live manifests oldest-first (commit order), SKIPS any manifest
+    * whose data already meets `targetBytes` (rewriting a right-sized
+    * epoch is pure write amplification — the flaw of the
+    * oldest-N plan on a store that mixes one big backfill with small
+    * epochs), and greedily accumulates consecutive small ones until
+    * the bin reaches `targetBytes`; a bin of ≥ 2 manifests compacts.
+    * One bin per call — loop until None for a full pass; each bin is
+    * its own atomic swap, so a half-finished pass leaves a valid
+    * store. Size probing is one `getFileStatus` per candidate file,
+    * and stops at the first full bin — O(small-manifest files), never
+    * O(store).
+    */
+  private[sources] def smallCompactionPlan(
+      path: String,
+      targetBytes: Long,
+      keepLast: Int,
+      conf: Configuration
+  ): Option[(Seq[String], String)] = {
+    require(targetBytes > 0, "smallCompactionPlan: targetBytes must be positive")
+    val (filesystem, root) = ContentStore.fs(path, conf)
+    def bytesOf(m: String): Long =
+      ContentStore.filesInManifest(path, m, conf).map { f =>
+        try filesystem.getFileStatus(new Path(root, s"data/$f")).getLen
+        catch { case _: java.io.FileNotFoundException => 0L }
+      }.sum
+    val ordered = orderedLiveManifests(path, conf).dropRight(keepLast)
+    val bin     = Seq.newBuilder[String]
+    var total   = 0L
+    var n       = 0
+    val it      = ordered.iterator
+    while (it.hasNext && total < targetBytes) {
+      val m = it.next()
+      val b = bytesOf(m)
+      if (b >= targetBytes) {
+        // right-sized epoch: never rewrite it; a non-empty small bin
+        // on its left still folds (consecutive-run rule keeps commit
+        // order inside the replacement)
+        if (n >= 2) total = targetBytes // close the bin
+        else { bin.clear(); total = 0L; n = 0 }
+      } else {
+        bin += m; total += b; n += 1
+      }
+    }
+    val sources = bin.result()
+    if (sources.size < 2) None else Some((sources, compactionName(sources)))
   }
 
   /** Rewrite all but the newest `keepLast` live manifests into one
@@ -137,14 +196,21 @@ object StoreLifecycle {
       spark: SparkSession,
       path: String,
       keepLast: Int = 0,
-      buckets: Int = 0
+      buckets: Int = 0,
+      targetBytes: Long = 0
   ): Option[String] = {
     val conf     = ContentStore.driverHadoopConf()
     val recorded = ContentStore.recordedBuckets(path, conf)
     require(buckets == 0 || recorded == 0 || buckets == recorded,
       s"compactEpochs(buckets=$buckets) contradicts the store's recorded bucket count $recorded")
     val effBuckets = if (buckets > 0) buckets else recorded
-    compactionPlan(path, keepLast, conf).map { case (sources, name) =>
+    // targetBytes > 0 switches the source selection to the small-file
+    // binpack (smallCompactionPlan — one bin per call, loop for a full
+    // pass); 0 keeps the fold-all-but-keepLast plan
+    val plan =
+      if (targetBytes > 0) smallCompactionPlan(path, targetBytes, keepLast, conf)
+      else compactionPlan(path, keepLast, conf)
+    plan.map { case (sources, name) =>
       val src = spark.read
         .format("graft.sources.ContentStore")
         .option("path", path)

@@ -66,6 +66,44 @@ class StoreLifecycleSpec extends SparkSpecBase {
     assert(StoreLifecycle.compactEpochs(spark, dir, keepLast = 1).isEmpty)
   }
 
+  test("size-aware OPTIMIZE folds only small epochs, skips right-sized ones, loops to a fixpoint") {
+    val dir = tmp()
+    // three tiny epochs, one big epoch, two more tiny ones — the
+    // streaming-ingest-plus-backfill mix the oldest-N plan mishandles
+    // (it would rewrite the big epoch for nothing)
+    writeOne(dir, "a" -> "1")
+    writeOne(dir, "b" -> "2")
+    writeOne(dir, "c" -> "3")
+    writeOne(dir, (0 until 2000).map(i => f"big-$i%05d" -> ("x" * 40)): _*)
+    writeOne(dir, "d" -> "4")
+    writeOne(dir, "e" -> "5")
+    val before  = readAll(dir)
+    val bigName = {
+      val hconf2 = hconf
+      ContentStore.snapshotManifests(dir).maxBy(m =>
+        ContentStore.filesInManifest(dir, m, hconf2)
+          .map(f => {
+            val (fs, root) = ContentStore.fs(dir, hconf2)
+            fs.getFileStatus(new org.apache.hadoop.fs.Path(root, s"data/$f")).getLen
+          }).sum)
+    }
+    // target sized so the big epoch (~2000 rows × 40B payloads)
+    // exceeds it and the tiny ones (tens of bytes) never do
+    val target = 20000L
+    // loop to the fixpoint (one bin per call): pass 1 folds the three
+    // leading tiny epochs; a fold is itself a small NEWEST manifest,
+    // so pass 2 folds it with the trailing tiny pair — accretion into
+    // one small epoch, which is what a repeated nightly binpack does
+    var bins = 0
+    while (StoreLifecycle.compactEpochs(spark, dir, targetBytes = target).isDefined && bins < 10)
+      bins += 1
+    assert(bins >= 2 && bins < 10, s"expected a multi-bin pass converging, got $bins bins")
+    val eff = ContentStore.snapshotManifests(dir)
+    assert(eff.contains(bigName), "the right-sized epoch must never be rewritten")
+    assert(eff.size == 2, s"[big, accumulated small fold] expected, got $eff")
+    assert(readAll(dir) == before, "binpack compaction must not change logical contents")
+  }
+
   test("pre-compaction pins read the originals until vacuum's grace expires them") {
     val dir = tmp()
     writeOne(dir, "a" -> "1")
