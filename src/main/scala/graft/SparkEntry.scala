@@ -80,6 +80,9 @@ object SparkEntry {
     "q_store_zorder" -> ((s, d) =>
       Joins.columnarZorderedRead(Tables(s, d),
         s"${System.getProperty("java.io.tmpdir")}/graft-zorderstore")),
+    "q_store_time_travel" -> ((s, d) =>
+      Joins.storeAsOfRead(Tables(s, d),
+        s"${System.getProperty("java.io.tmpdir")}/graft-asofstore")),
     "q_bucketed_join" -> ((s, d) =>
       Joins.bucketedJoin(Tables(s, d), s"${System.getProperty("java.io.tmpdir")}/graft-warehouse")),
     "q_event_pivot"        -> ((s, d) => Analytics.eventTypePivot(Tables(s, d))),
@@ -1553,6 +1556,12 @@ object SparkEntry {
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE doc_id BETWEEN 100 AND 349 AND n_chars BETWEEN 100 AND 400
         |ORDER BY doc_id""".stripMargin,
+    "q_store_time_travel" -> // B85: the as-of view excludes the later click epoch AND the
+      // later RTBF rewrite — values equal the full original profile
+      """SELECT printf('u%06d', user_id) AS result_key,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS purchase_cents
+        |FROM events WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_store_pinned_read" -> // a leased pre-compaction pin reads the ORIGINAL corpus across
       // compaction + grace-0 vacuum: values equal the store-free profile
       // and exclude the post-pin click epoch entirely

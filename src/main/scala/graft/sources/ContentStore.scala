@@ -416,6 +416,51 @@ object ContentStore {
     */
   def snapshotManifests(path: String): Seq[String] =
     effectiveManifestNames(path, driverHadoopConf())
+
+  /** TIMESTAMP time travel (Delta's `TIMESTAMP AS OF`): the effective
+    * manifest set AS a reader at `tsMillis` would have seen it —
+    * manifests committed by then (manifest mtime ≤ ts; rename
+    * preserves mtime, so this is the commit instant), with shadowing
+    * computed ONLY from compactions/deletes visible by then: a later
+    * OPTIMIZE or RTBF rewrite does not leak backward, so the as-of
+    * view keeps reading the original epochs exactly like a pin
+    * captured at `tsMillis` would. Pass the result to the `manifests`
+    * read option / [[graft.sources.ParquetEpochs.read]].
+    *
+    * Readability is bounded by the SAME retention contract as every
+    * pin: once vacuum's grace expires a shadowed source, as-of views
+    * older than the compaction lose their files — lease a pin
+    * ([[graft.sources.StoreLifecycle.acquirePin]] with the as-of set)
+    * to hold one past maintenance. Coarse-mtime filesystems make the
+    * boundary fuzzy at their granularity; commits racing the probed
+    * instant resolve to whichever side their rename's mtime landed.
+    */
+  def snapshotManifestsAsOf(path: String, tsMillis: Long): Seq[String] = {
+    val conf               = driverHadoopConf()
+    val (filesystem, root) = fs(path, conf)
+    val manifestDir        = new Path(root, "_manifest")
+    if (!filesystem.exists(manifestDir)) return Seq.empty
+    val byThen = filesystem
+      .listStatus(manifestDir)
+      .filterNot(_.getPath.getName.startsWith("."))
+      .filter(_.getModificationTime <= tsMillis)
+      .map(_.getPath.getName)
+      .sorted
+      .toSeq
+    val inView = byThen.toSet
+    // one _compacted listing, the effectiveManifestNames rule — but
+    // only sidecars of manifests INSIDE the as-of view shadow
+    val compactedDir = new Path(root, "_compacted")
+    val sidecars: Set[String] =
+      if (!filesystem.exists(compactedDir)) Set.empty
+      else filesystem.listStatus(compactedDir).map(_.getPath.getName)
+        .filterNot(_.startsWith(".")).toSet
+    val shadowed: Set[String] = byThen
+      .filter(m => sidecars(m) && inView(m))
+      .flatMap(m => compactSourcesOf(path, m, conf).getOrElse(Seq.empty))
+      .toSet
+    byThen.filterNot(shadowed)
+  }
 }
 
 private[graft] class ContentStoreTable(path: String, bucketedRead: Int = 0)

@@ -389,6 +389,32 @@ class StoreDeleteSpec extends SparkSpecBase {
       got.head.getDouble(3) == 0.9)
   }
 
+  test("timestamp time travel: as-of views exclude later commits and later shadowing") {
+    val dir = tmp()
+    writeOne(dir, "a" -> "1", "b" -> "2")
+    writeOne(dir, "c" -> "3")
+    Thread.sleep(20) // local-fs mtime is millisecond-granular
+    val ts = System.currentTimeMillis()
+    Thread.sleep(20)
+    writeOne(dir, "d" -> "4")
+    val asOf = ContentStore.snapshotManifestsAsOf(dir, ts)
+    assert(asOf.size == 2, s"two epochs by ts, got $asOf")
+    def readAt(pin: Seq[String]) = spark.read.format("graft.sources.ContentStore")
+      .option("path", dir).option("manifests", pin.mkString(",")).load()
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(readAt(asOf) == Set("a" -> "1", "b" -> "2", "c" -> "3"))
+    // a LATER delete must not leak backward into the as-of view
+    StoreLifecycle.deleteKeys(spark, dir, Seq("a"))
+    val asOfAfter = ContentStore.snapshotManifestsAsOf(dir, ts)
+    assert(asOfAfter == asOf, "later shadowing must not change an as-of view")
+    assert(readAt(asOfAfter) == Set("a" -> "1", "b" -> "2", "c" -> "3"),
+      "the as-of read still sees the later-deleted row (pre-grace)")
+    // the current-instant view equals the live snapshot
+    assert(ContentStore.snapshotManifestsAsOf(dir, System.currentTimeMillis()).toSet ==
+      ContentStore.snapshotManifests(dir).toSet)
+    assert(ContentStore.snapshotManifestsAsOf(dir, 0L).isEmpty)
+  }
+
   test("upsert refuses the wrong payload format on both surfaces") {
     val kv = tmp(); val cols = tmp()
     writeOne(kv, "a" -> "1")
