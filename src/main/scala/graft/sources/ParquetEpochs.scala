@@ -726,13 +726,17 @@ object ParquetEpochs {
   ): StoreLifecycle.UpsertReport = {
     require(epochId.matches("[A-Za-z0-9._-]+"), s"epochId must be [A-Za-z0-9._-]+, got: $epochId")
     val name = s"upsert-pq-$epochId"
-    val values: Seq[Any] = versions.select(column).distinct()
-      .collect().map(_.get(0)).filter(_ != null).toSeq
     val laid = clusterBy.fold(versions) { case (c, parts) =>
       import org.apache.spark.sql.functions.col
       versions.repartitionByRange(parts, col(c)).sortWithinPartitions(c)
     }
     append(laid, storeDir, Some(name)): Unit
+    // purge values from the WRITTEN epoch (the K-V twin's rule): a
+    // non-deterministic `versions` frame cannot desync append and
+    // purge, and a replay purges exactly what the original commit holds
+    val values: Seq[Any] = read(spark, storeDir, Seq(name))
+      .select(column).distinct()
+      .collect().map(_.get(0)).filter(_ != null).toSeq
     StoreLifecycle.UpsertReport(
       name,
       deleteWhere(spark, storeDir, column, values, clusterBy, excludeManifests = Set(name)))

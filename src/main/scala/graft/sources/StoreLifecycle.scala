@@ -526,14 +526,24 @@ object StoreLifecycle {
     }
     val name    = s"upsert-$epochId"
     val buckets = ContentStore.recordedBuckets(path, conf)
-    val keys = versions.select("result_key").distinct()
-      .collect().map(_.getString(0)).toSeq
     val writer = versions.write
       .format("graft.sources.ContentStore")
       .option("path", path)
       .option("manifestName", name)
       .mode("append")
     (if (buckets > 0) writer.option("buckets", buckets) else writer).save()
+    // the purge set comes from the WRITTEN epoch, not from recomputing
+    // `versions`: a non-deterministic input frame (a sampled or
+    // freshly-scored batch) would otherwise append one version set and
+    // purge another — reading the delta-sized epoch back guarantees
+    // purge == landed, and on a replay it reads the ORIGINAL commit
+    val keys = spark.read
+      .format("graft.sources.ContentStore")
+      .option("path", path)
+      .option("manifests", name)
+      .load()
+      .select("result_key").distinct()
+      .collect().map(_.getString(0)).toSeq
     UpsertReport(name, deleteKeys(spark, path, keys, excludeManifests = Set(name)))
   }
 

@@ -389,6 +389,21 @@ class StoreDeleteSpec extends SparkSpecBase {
       got.head.getDouble(3) == 0.9)
   }
 
+  test("delete composes with the sharded data layout: rewrites land in shards, vacuum stays clean") {
+    val dir = tmp()
+    import spark.implicits._
+    Seq("a" -> "1", "b" -> "2", "c" -> "3").toDF("result_key", "payload").coalesce(1)
+      .write.format("graft.sources.ContentStore")
+      .option("path", dir).option("dataShards", 4).mode("append").save()
+    val r = StoreLifecycle.deleteKeys(spark, dir, Seq("b"))
+    assert(r.deletedRows == 1L)
+    // the rewritten file adopted the recorded shard layout (s<k>/ name)
+    assert(liveFiles(dir).forall(_.matches("s\\d+/.+")),
+      s"rewrites must land inside shard dirs: ${liveFiles(dir)}")
+    StoreLifecycle.vacuum(spark, dir, graceMs = 0L, hconf)
+    assert(readAll(dir) == Set("a" -> "1", "c" -> "3"))
+  }
+
   test("timestamp time travel: as-of views exclude later commits and later shadowing") {
     val dir = tmp()
     writeOne(dir, "a" -> "1", "b" -> "2")
