@@ -894,6 +894,16 @@ object StoreLifecycle {
       out += VacuumAction("stale_tmp_manifest", st.getPath.getName)
     }
 
+    // a crashed evolveSchema leaves its dot-prefixed staging file at
+    // the store ROOT (`._schema-tmp-*`) — the one metadata temp not
+    // living in a swept subdirectory; same age gate as every temp
+    if (fsys.exists(root)) fsys.listStatus(root).foreach { st =>
+      if (st.getPath.getName.startsWith("._schema-tmp-") && aged(st)) {
+        if (!dryRun) fsys.delete(st.getPath, false): Unit
+        out += VacuumAction("stale_sidecar", st.getPath.getName)
+      }
+    }
+
     // crashed columnar appends ([[ParquetEpochs.append]]) leave whole
     // `_staging/<uuid>/` directories; a staging dir's mtime stops
     // moving the moment its writer dies, so the age gate applies as-is

@@ -1,0 +1,128 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.sources.{ContentStore, ParquetEpochs, StoreLifecycle}
+import scala.util.Random
+
+/** Model-based property check for the store's row-level ops: a seeded
+  * random SEQUENCE of append / upsert / delete / OPTIMIZE / vacuum
+  * steps runs against both the real store and a trivial in-memory
+  * model (`Map[key, payload]` with multiset appends), and the store's
+  * read must equal the model after EVERY step — the composition
+  * coverage the per-op specs can't give (a delete over an upserted
+  * key inside a compacted epoch, an upsert whose purge spans a prior
+  * delete's carried files, maintenance between any two of them).
+  *
+  * Kept deliberately small (ops are real manifest commits at ~100 ms
+  * each): 3 seeded cases × 12 steps each. Determinism comes from the
+  * fixed seed — a failure reproduces exactly, the KernelPropertySpec
+  * rule.
+  */
+class StoreCrudPropertySpec extends SparkSpecBase {
+
+  private def hconf = spark.sessionState.newHadoopConf()
+
+  private def readAll(dir: String): Map[String, Seq[String]] =
+    spark.read.format("graft.sources.ContentStore").option("path", dir).load()
+      .collect().map(r => (r.getString(0), r.getString(1)))
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sorted.toSeq }
+
+  test("K-V store: random append/upsert/delete/optimize/vacuum sequences match the model") {
+    import spark.implicits._
+    val keySpace = (0 until 12).map(i => f"k$i%02d")
+    (1 to 3).foreach { seed =>
+      val rng   = new Random(seed)
+      val dir   = Files.createTempDirectory(s"graft-crudprop-$seed").toString
+      // model: multiset per key (appends stack; upsert collapses to
+      // one version; delete removes all versions)
+      var model = Map.empty[String, Seq[String]].withDefaultValue(Seq.empty)
+      var step  = 0
+      def check(op: String): Unit = {
+        val got  = readAll(dir)
+        val want = model.filter(_._2.nonEmpty)
+        assert(got == want, s"seed=$seed step=$step after $op: got $got want $want")
+      }
+      (0 until 12).foreach { _ =>
+        step += 1
+        rng.nextInt(10) match {
+          case n if n < 3 => // append a random batch (duplicates allowed)
+            val batch = (0 until 1 + rng.nextInt(3))
+              .map(_ => (keySpace(rng.nextInt(keySpace.size)), s"v$step-${rng.nextInt(100)}"))
+            batch.toDF("result_key", "payload").coalesce(1)
+              .write.format("graft.sources.ContentStore").option("path", dir)
+              .mode("append").save()
+            batch.foreach { case (k, v) => model = model.updated(k, (model(k) :+ v).sorted) }
+            check(s"append $batch")
+          case n if n < 6 => // upsert a random version set (distinct keys)
+            val ks = rng.shuffle(keySpace).take(1 + rng.nextInt(3))
+            val versions = ks.map(k => (k, s"u$step"))
+            StoreLifecycle.upsert(spark, dir,
+              versions.toDF("result_key", "payload").coalesce(1), s"e$step")
+            versions.foreach { case (k, v) => model = model.updated(k, Seq(v)) }
+            check(s"upsert $versions")
+          case n if n < 8 => // delete a random key subset
+            val ks = rng.shuffle(keySpace).take(1 + rng.nextInt(4))
+            StoreLifecycle.deleteKeys(spark, dir, ks)
+            ks.foreach(k => model = model.updated(k, Seq.empty))
+            check(s"delete $ks")
+          case 8 => // OPTIMIZE (fold everything; layout-only)
+            StoreLifecycle.compactEpochs(spark, dir)
+            check("compact")
+          case _ => // vacuum at grace 0 (no pins in this harness)
+            StoreLifecycle.vacuum(spark, dir, graceMs = 0L, hconf)
+            check("vacuum")
+        }
+      }
+      deleteTree(java.nio.file.Paths.get(dir))
+    }
+  }
+
+  test("columnar store: random append/upsert/delete/optimize sequences match the model") {
+    import spark.implicits._
+    val ids = (0 until 12).map(_.toLong)
+    (1 to 2).foreach { seed =>
+      val rng = new Random(100 + seed)
+      val dir = Files.createTempDirectory(s"graft-crudprop-pq-$seed").toString
+      var model = Map.empty[Long, Seq[String]].withDefaultValue(Seq.empty)
+      var step  = 0
+      def readPq(): Map[Long, Seq[String]] = {
+        val pin = ContentStore.snapshotManifests(dir)
+        if (pin.isEmpty) Map.empty
+        else ParquetEpochs.read(spark, dir, pin)
+          .collect().map(r => (r.getLong(0), r.getString(1)))
+          .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sorted.toSeq }
+      }
+      def check(op: String): Unit =
+        assert(readPq() == model.filter(_._2.nonEmpty),
+          s"seed=$seed step=$step after $op")
+      (0 until 10).foreach { _ =>
+        step += 1
+        rng.nextInt(10) match {
+          case n if n < 3 =>
+            val batch = (0 until 1 + rng.nextInt(3))
+              .map(_ => (ids(rng.nextInt(ids.size)), s"v$step-${rng.nextInt(100)}"))
+            ParquetEpochs.append(batch.toDF("doc_id", "body").coalesce(1), dir)
+            batch.foreach { case (k, v) => model = model.updated(k, (model(k) :+ v).sorted) }
+            check(s"append $batch")
+          case n if n < 6 =>
+            val ks = rng.shuffle(ids).take(1 + rng.nextInt(3))
+            val versions = ks.map(k => (k, s"u$step"))
+            ParquetEpochs.upsert(spark, dir,
+              versions.toDF("doc_id", "body").coalesce(1), "doc_id", s"e$step")
+            versions.foreach { case (k, v) => model = model.updated(k, Seq(v)) }
+            check(s"upsert $versions")
+          case n if n < 8 =>
+            val ks: Seq[Any] = rng.shuffle(ids).take(1 + rng.nextInt(4))
+            ParquetEpochs.deleteWhere(spark, dir, "doc_id", ks)
+            ks.foreach(k => model = model.updated(k.asInstanceOf[Long], Seq.empty))
+            check(s"delete $ks")
+          case _ =>
+            ParquetEpochs.compact(spark, dir)
+            check("compact")
+        }
+      }
+      deleteTree(java.nio.file.Paths.get(dir))
+    }
+  }
+}

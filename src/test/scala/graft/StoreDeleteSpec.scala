@@ -336,6 +336,13 @@ class StoreDeleteSpec extends SparkSpecBase {
       StructType(evolved.fields.reverse)))
     intercept[IllegalArgumentException](ParquetEpochs.evolveSchema(dir,
       StructType(evolved.fields.take(2))))
+    // a crashed evolveSchema's root-level staging temp is vacuumed
+    val (fs, root) = ContentStore.fs(dir, hconf)
+    val litter     = new Path(root, "._schema-tmp-crashed")
+    fs.create(litter, false).close()
+    val acts = StoreLifecycle.vacuum(spark, dir, graceMs = 0L, hconf)
+    assert(acts.exists(a => a.kind == "stale_sidecar" && a.name == "._schema-tmp-crashed"))
+    assert(!fs.exists(litter))
   }
 
   test("the streaming tail reads across the evolution boundary: old epochs NULL the new column") {
