@@ -83,6 +83,8 @@ object SparkEntry {
     "q_store_time_travel" -> ((s, d) =>
       Joins.storeAsOfRead(Tables(s, d),
         s"${System.getProperty("java.io.tmpdir")}/graft-asofstore")),
+    "q_stream_upsert" -> ((s, d) =>
+      graft.streaming.StreamReplay.replayStreamingUpsert(s, d)),
     "q_bucketed_join" -> ((s, d) =>
       Joins.bucketedJoin(Tables(s, d), s"${System.getProperty("java.io.tmpdir")}/graft-warehouse")),
     "q_event_pivot"        -> ((s, d) => Analytics.eventTypePivot(Tables(s, d))),
@@ -1562,6 +1564,13 @@ object SparkEntry {
         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS purchase_cents
         |FROM events WHERE event_type = 'purchase'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_stream_upsert" -> // B82c: streaming CDC apply — the final store state is
+      // last-version-per-key: the re-delivered cohort corrected,
+      // everyone else original
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 4 = 0 THEN 'xx' ELSE lang END AS lang,
+        |  n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_store_pinned_read" -> // a leased pre-compaction pin reads the ORIGINAL corpus across
       // compaction + grace-0 vacuum: values equal the store-free profile
       // and exclude the post-pin click epoch entirely

@@ -795,6 +795,48 @@ object ParquetEpochs {
       .start()
   }
 
+  /** STREAMING UPSERT — CDC apply: each micro-batch MERGES into the
+    * store ([[upsert]] per batch — fresh version epoch + scoped purge
+    * of the keys' older versions), so the store continuously tracks
+    * the LAST delivered version per key. This is the foreachBatch
+    * MERGE idiom lakehouse streaming pipelines run (Delta's
+    * streaming-merge pattern), on the store's own primitives.
+    *
+    * Exactly-once on the engine's at-least-once replay, inherited from
+    * the two composed parts: the epoch id is (checkpoint-derived
+    * writer id, batchId) — a replayed batch's append loses the
+    * idempotent rename, and its purge re-derives from the ORIGINAL
+    * committed epoch (the upsert read-back rule), converging instead
+    * of double-applying. Within one batch, keys are expected unique
+    * (dedupe upstream — CDC compaction); across batches, later batches
+    * win, which is exactly arrival order.
+    */
+  def streamingUpsert(
+      stream: DataFrame,
+      storeDir: String,
+      column: String,
+      checkpoint: String,
+      availableNow: Boolean = false,
+      clusterBy: Option[(String, Int)] = None
+  ): org.apache.spark.sql.streaming.StreamingQuery = {
+    val qualified = {
+      val (fsys, _) = ContentStore.fs(checkpoint, ContentStore.driverHadoopConf())
+      fsys.makeQualified(new Path(checkpoint)).toUri.toString.stripSuffix("/")
+    }
+    val writerId = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(qualified.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+    val base = stream.writeStream
+    (if (availableNow)
+       base.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+     else base)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
+        upsert(batch.sparkSession, storeDir, batch, column,
+          s"$writerId-$batchId", clusterBy): Unit
+      }
+      .start()
+  }
+
   /** The live snapshot to pin — identical semantics to
     * [[ContentStore.snapshotManifests]] (it IS that call; the manifest
     * layer is shared).

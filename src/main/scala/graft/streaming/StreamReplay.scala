@@ -792,6 +792,58 @@ object StreamReplay {
       .reduce(_.unionAll(_))
   }
 
+  /** B82c: STREAMING UPSERT (CDC apply) under the gate — the
+    * [[graft.sources.ParquetEpochs.streamingUpsert]] MERGE loop over a
+    * CDC-shaped slice sequence: slices 0..3 deliver each doc's
+    * original row (doc_id % 4 routing), and the LAST slice
+    * RE-DELIVERS the slice-0 cohort with a corrected lang tag — so
+    * the store's final state must be last-version-per-key: the
+    * corrected cohort at 'xx', everyone else original. Slice files
+    * admit one per micro-batch in name order, so arrival order (and
+    * therefore the winner) is deterministic under the hash.
+    */
+  def replayStreamingUpsert(spark: SparkSession, sfDir: String, slices: Int = 4): DataFrame = {
+    val inDir = cachedSlices(s"docstore-cdc|$sfDir|$slices") { dir =>
+      val docs = Tables(spark, sfDir).documents
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          pmod(col("doc_id"), lit(slices)).as("slice"))
+      for (i <- 0 until slices) {
+        val original = docs.filter(col("slice") === i).drop("slice")
+        val batch =
+          if (i == slices - 1)
+            original.unionAll(
+              docs.filter(col("slice") === 0).drop("slice")
+                .withColumn("lang", lit("xx")))
+          else original
+        writeSlice(dir, i, batch)
+      }
+    }
+    val run   = Files.createDirectories(root.resolve(f"run-${runCounter.getAndIncrement()}%04d"))
+    val store = run.resolve("store").toString
+    val ckpt  = run.resolve("ckpt").toString
+    val spKey = "spark.sql.shuffle.partitions"
+    val prev  = spark.conf.get(spKey)
+    spark.conf.set(spKey, math.min(ReplayShuffleWidth, prev.toInt).toString)
+    try {
+      val query = graft.sources.ParquetEpochs.streamingUpsert(
+        spark.readStream
+          .schema("doc_id LONG, lang STRING, n_chars LONG")
+          .option("maxFilesPerTrigger", "1")
+          .parquet(inDir.toString),
+        store,
+        "doc_id",
+        ckpt,
+        availableNow = true,
+        clusterBy = Some(("doc_id", ReplayShuffleWidth))
+      )
+      query.awaitTermination()
+      recordBatchCount(query)
+    } finally spark.conf.set(spKey, prev)
+    graft.sources.ParquetEpochs
+      .read(spark, store, graft.sources.ParquetEpochs.snapshot(store))
+      .orderBy("doc_id")
+  }
+
   /** C22k: STREAMING near-dup COMPONENT maintenance — the C22i merge
     * run per micro-batch, which is the reference's consumer shape made
     * literal (persistent state updated per event batch,

@@ -437,6 +437,45 @@ class StoreDeleteSpec extends SparkSpecBase {
     assert(ContentStore.snapshotManifestsAsOf(dir, 0L).isEmpty)
   }
 
+  test("streaming upsert applies each batch once across restarts; idle restarts change nothing") {
+    val dir  = tmp(); val in = tmp(); val ckpt = tmp()
+    import spark.implicits._
+    def slice(name: String, rows: (Long, String)*): Unit = {
+      // the file stream source lists FILES: land each slice as one
+      // parquet file directly under the watched dir
+      val stage = tmp()
+      rows.toSeq.toDF("doc_id", "body").coalesce(1).write.parquet(s"$stage/p")
+      val part = new java.io.File(s"$stage/p").listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      assert(part.renameTo(new java.io.File(s"$in/$name.parquet")))
+    }
+    def drain(): Unit = {
+      val q = ParquetEpochs.streamingUpsert(
+        spark.readStream.schema("doc_id LONG, body STRING")
+          .option("maxFilesPerTrigger", "1").parquet(in),
+        dir, "doc_id", ckpt, availableNow = true)
+      q.awaitTermination()
+    }
+    def state(): Map[Long, String] =
+      ParquetEpochs.read(spark, dir, ContentStore.snapshotManifests(dir))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    slice("s0", 1L -> "v1", 2L -> "v1")
+    drain()
+    assert(state() == Map(1L -> "v1", 2L -> "v1"))
+    // new CDC batch re-delivers key 1 and inserts key 3; a restart of
+    // the same checkpointed query applies ONLY the new slice
+    slice("s1", 1L -> "v2", 3L -> "v2")
+    drain()
+    assert(state() == Map(1L -> "v2", 2L -> "v1", 3L -> "v2"),
+      "later batch wins per key; untouched keys keep their version")
+    // idle restart: no new files, no state change, no extra epochs
+    val epochs = ContentStore.snapshotManifests(dir).size
+    drain()
+    assert(state() == Map(1L -> "v2", 2L -> "v1", 3L -> "v2"))
+    assert(ContentStore.snapshotManifests(dir).size == epochs,
+      "an idle restart must not commit new epochs")
+  }
+
   test("upsert refuses the wrong payload format on both surfaces") {
     val kv = tmp(); val cols = tmp()
     writeOne(kv, "a" -> "1")
