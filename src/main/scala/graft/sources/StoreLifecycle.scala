@@ -547,6 +547,36 @@ object StoreLifecycle {
     UpsertReport(name, deleteKeys(spark, path, keys, excludeManifests = Set(name)))
   }
 
+  /** STREAMING UPSERT for the K-V payload — [[graft.sources
+    * .ParquetEpochs.streamingUpsert]]'s twin (see its scaladoc for the
+    * CDC-apply semantics and replay-convergence argument): each
+    * micro-batch of (result_key, payload) rows MERGES via [[upsert]]
+    * under the (checkpoint-derived writer id, batchId) epoch identity.
+    */
+  def streamingUpsert(
+      stream: org.apache.spark.sql.DataFrame,
+      path: String,
+      checkpoint: String,
+      availableNow: Boolean = false
+  ): org.apache.spark.sql.streaming.StreamingQuery = {
+    val qualified = {
+      val (fsys, _) = ContentStore.fs(checkpoint, ContentStore.driverHadoopConf())
+      fsys.makeQualified(new Path(checkpoint)).toUri.toString.stripSuffix("/")
+    }
+    val writerId = MessageDigest.getInstance("SHA-256")
+      .digest(qualified.getBytes(StandardCharsets.UTF_8)).take(6).map("%02x".format(_)).mkString
+    val base = stream.writeStream
+    (if (availableNow)
+       base.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+     else base)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          upsert(batch.sparkSession, path, batch.toDF(), s"$writerId-$batchId"): Unit
+      }
+      .start()
+  }
+
   /** Per-file outcome of [[deleteKeys]]'s rewrite task. */
   private[sources] final case class FileRewrite(
       file: String,

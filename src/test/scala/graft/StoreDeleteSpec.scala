@@ -476,6 +476,31 @@ class StoreDeleteSpec extends SparkSpecBase {
       "an idle restart must not commit new epochs")
   }
 
+  test("K-V streaming upsert: last version per key across checkpointed restarts") {
+    val dir  = tmp(); val in = tmp(); val ckpt = tmp()
+    import spark.implicits._
+    def slice(name: String, rows: (String, String)*): Unit = {
+      val stage = tmp()
+      rows.toSeq.toDF("result_key", "payload").coalesce(1).write.parquet(s"$stage/p")
+      val part = new java.io.File(s"$stage/p").listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      assert(part.renameTo(new java.io.File(s"$in/$name.parquet")))
+    }
+    def drain(): Unit = {
+      val q = StoreLifecycle.streamingUpsert(
+        spark.readStream.schema("result_key STRING, payload STRING")
+          .option("maxFilesPerTrigger", "1").parquet(in),
+        dir, ckpt, availableNow = true)
+      q.awaitTermination()
+    }
+    slice("s0", "a" -> "v1", "b" -> "v1")
+    drain()
+    assert(readAll(dir) == Set("a" -> "v1", "b" -> "v1"))
+    slice("s1", "a" -> "v2", "c" -> "v2")
+    drain()
+    assert(readAll(dir) == Set("a" -> "v2", "b" -> "v1", "c" -> "v2"))
+  }
+
   test("upsert refuses the wrong payload format on both surfaces") {
     val kv = tmp(); val cols = tmp()
     writeOne(kv, "a" -> "1")
