@@ -501,6 +501,27 @@ class StoreDeleteSpec extends SparkSpecBase {
     assert(readAll(dir) == Set("a" -> "v2", "b" -> "v1", "c" -> "v2"))
   }
 
+  test("concurrent appends commit independently: both epochs visible, no lost update") {
+    // appends need no serialization (UNLIKE maintenance): each commit
+    // stages under its own uuid names and renames its own manifest —
+    // run 8 in parallel and the union must be exact
+    val dir = tmp()
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fs = (0 until 8).map { i =>
+      Future(writeOne(dir, s"k$i" -> s"v$i"))
+    }
+    Await.result(Future.sequence(fs), 120.seconds)
+    assert(readAll(dir) == (0 until 8).map(i => s"k$i" -> s"v$i").toSet)
+    assert(ContentStore.snapshotManifests(dir).size == 8)
+    // and a delete over the concurrently-built store behaves
+    val r = StoreLifecycle.deleteKeys(spark, dir, Seq("k3", "k5"))
+    assert(r.deletedRows == 2L)
+    assert(readAll(dir) == (0 until 8).filterNot(i => i == 3 || i == 5)
+      .map(i => s"k$i" -> s"v$i").toSet)
+  }
+
   test("upsert refuses the wrong payload format on both surfaces") {
     val kv = tmp(); val cols = tmp()
     writeOne(kv, "a" -> "1")
