@@ -85,6 +85,9 @@ object SparkEntry {
         s"${System.getProperty("java.io.tmpdir")}/graft-asofstore")),
     "q_stream_upsert" -> ((s, d) =>
       graft.streaming.StreamReplay.replayStreamingUpsert(s, d)),
+    "q_store_retention" -> ((s, d) =>
+      Joins.storeRetentionRead(Tables(s, d),
+        s"${System.getProperty("java.io.tmpdir")}/graft-retainstore")),
     "q_bucketed_join" -> ((s, d) =>
       Joins.bucketedJoin(Tables(s, d), s"${System.getProperty("java.io.tmpdir")}/graft-warehouse")),
     "q_event_pivot"        -> ((s, d) => Analytics.eventTypePivot(Tables(s, d))),
@@ -1571,6 +1574,12 @@ object SparkEntry {
         |  CASE WHEN doc_id % 4 = 0 THEN 'xx' ELSE lang END AS lang,
         |  n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_store_retention" -> // B86: age-based epoch retention — only the post-cutoff half
+      // survives the rolling window
+      """SELECT printf('u%06d', user_id) AS result_key,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS purchase_cents
+        |FROM events WHERE event_type = 'purchase' AND user_id >= 8
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_store_pinned_read" -> // a leased pre-compaction pin reads the ORIGINAL corpus across
       // compaction + grace-0 vacuum: values equal the store-free profile
       // and exclude the post-pin click epoch entirely

@@ -482,6 +482,54 @@ object StoreLifecycle {
     DeleteReport(Some(name), results.map(_.dropped).sum, rewrittenN, droppedN, carriedN)
   }
 
+  /** AGE-BASED EPOCH RETENTION — the Kafka-retention / rolling-window
+    * shape: retire every live epoch whose COMMIT instant (manifest
+    * mtime, the compactionPlan ordering fact) is at or before
+    * `cutoffMs`, in one metadata-only commit. A rolling training
+    * corpus ("last 90 days of crawl") expires whole epochs by age —
+    * not a compaction (nothing is rewritten) and not a row delete
+    * (no predicate): the replacement manifest lists NOTHING and its
+    * `_compacted/` sidecar shadows the aged sources, so readers stop
+    * seeing them at the rename, pinned pre-retention snapshots keep
+    * reading them until vacuum's grace (the standard retention
+    * contract), lagging tails drain them under the same grace, and
+    * vacuum reclaims the data files once the grace passes. Zero data
+    * I/O — the op is two directory listings and one manifest commit,
+    * at any store size, on EITHER payload format (the manifest layer
+    * is shared).
+    *
+    * Returns the retire manifest name, or None when nothing is old
+    * enough. A rerun finds the retired sources already shadowed and
+    * converges. Maintenance op, caller-serialized per store.
+    */
+  def expireEpochs(path: String, cutoffMs: Long): Option[String] = {
+    val conf               = ContentStore.driverHadoopConf()
+    val (filesystem, root) = ContentStore.fs(path, conf)
+    val live               = ContentStore.effectiveManifestNames(path, conf).toSet
+    if (live.isEmpty) return None
+    val expired = filesystem
+      .listStatus(new Path(root, "_manifest"))
+      .filter(st => live(st.getPath.getName) && st.getModificationTime <= cutoffMs)
+      .map(_.getPath.getName)
+      .sorted
+      .toSeq
+    if (expired.isEmpty) return None
+    val digest = MessageDigest.getInstance("SHA-256")
+      .digest(expired.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    val name = "retire-" + digest.take(8).map("%02x".format(_)).mkString
+    ContentStoreWrite.writeManifest(
+      path,
+      name,
+      Array.empty,
+      conf,
+      idempotent = true,
+      compactSources = Some(expired),
+      buckets = ContentStore.recordedBuckets(path, conf),
+      dataShards = ContentStore.recordedDataShards(path, conf)
+    )
+    Some(name)
+  }
+
   /** Outcome of one [[upsert]]: the committed version-epoch manifest
     * and the purge's [[DeleteReport]] (`purge.manifest` None = every
     * upserted key was NEW — a pure insert, nothing to purge).

@@ -522,6 +522,46 @@ class StoreDeleteSpec extends SparkSpecBase {
       .map(i => s"k$i" -> s"v$i").toSet)
   }
 
+  test("epoch retention: aged epochs retire metadata-only; pins and vacuum keep their contracts") {
+    val dir = tmp()
+    writeOne(dir, "old1" -> "1")
+    writeOne(dir, "old2" -> "2")
+    Thread.sleep(20)
+    val cutoff = System.currentTimeMillis()
+    Thread.sleep(20)
+    writeOne(dir, "new1" -> "3")
+    val pin = ContentStore.snapshotManifests(dir)
+    val r   = StoreLifecycle.expireEpochs(dir, cutoff)
+    assert(r.exists(_.startsWith("retire-")))
+    assert(readAll(dir) == Set("new1" -> "3"), "only the young epoch survives")
+    // rerun converges; nothing else is old enough
+    assert(StoreLifecycle.expireEpochs(dir, cutoff).isEmpty)
+    // a pre-retention pin still reads the aged rows until grace
+    val pinned = spark.read.format("graft.sources.ContentStore")
+      .option("path", dir).option("manifests", pin.mkString(",")).load()
+      .collect().map(row => (row.getString(0), row.getString(1))).toSet
+    assert(pinned == Set("old1" -> "1", "old2" -> "2", "new1" -> "3"))
+    // grace-0 vacuum completes the expiry: files reclaimed, store reads clean
+    val acts = StoreLifecycle.vacuum(spark, dir, graceMs = 0L, hconf)
+    assert(acts.count(_.kind == "expired_manifest") == 2)
+    assert(readAll(dir) == Set("new1" -> "3"))
+    // expiring EVERYTHING leaves a valid empty store
+    assert(StoreLifecycle.expireEpochs(dir, System.currentTimeMillis() + 1000).isDefined)
+    assert(readAll(dir) == Set.empty)
+    // columnar twin: the manifest layer is shared
+    val pq = tmp()
+    import spark.implicits._
+    ParquetEpochs.append(Seq((1L, "a")).toDF("id", "v"), pq)
+    Thread.sleep(20)
+    val pqCut = System.currentTimeMillis()
+    Thread.sleep(20)
+    ParquetEpochs.append(Seq((2L, "b")).toDF("id", "v"), pq)
+    assert(StoreLifecycle.expireEpochs(pq, pqCut).isDefined)
+    val rows = ParquetEpochs.read(spark, pq, ContentStore.snapshotManifests(pq))
+      .collect().map(_.getLong(0)).toSet
+    assert(rows == Set(2L))
+  }
+
   test("upsert refuses the wrong payload format on both surfaces") {
     val kv = tmp(); val cols = tmp()
     writeOne(kv, "a" -> "1")
