@@ -558,7 +558,10 @@ object StoreLifecycle {
     * reader until the purge commits (readers needing isolation read a
     * pinned snapshot); upserts are maintenance ops, caller-serialized
     * per store like compaction. On a bucketed store the version epoch
-    * adopts the recorded bucket layout automatically.
+    * adopts the recorded bucket layout automatically. Keys are
+    * expected UNIQUE within one `versions` batch (dedupe upstream —
+    * the CDC-compaction rule): duplicate keys all land in the epoch
+    * and all survive the purge.
     */
   def upsert(
       spark: SparkSession,

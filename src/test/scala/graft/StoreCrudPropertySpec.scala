@@ -69,6 +69,11 @@ class StoreCrudPropertySpec extends SparkSpecBase {
           case 8 => // OPTIMIZE (fold everything; layout-only)
             StoreLifecycle.compactEpochs(spark, dir)
             check("compact")
+          case 9 if rng.nextBoolean() => // age-based retention: a
+            // future cutoff retires every epoch committed so far
+            StoreLifecycle.expireEpochs(dir, System.currentTimeMillis() + 1000L)
+            model = model.map { case (k, _) => k -> Seq.empty[String] }
+            check("retention")
           case _ => // vacuum at grace 0 (no pins in this harness)
             StoreLifecycle.vacuum(spark, dir, graceMs = 0L, hconf)
             check("vacuum")
