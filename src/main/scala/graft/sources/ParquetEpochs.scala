@@ -597,6 +597,52 @@ object ParquetEpochs {
     base.filter(col(column).between(lit(lo), lit(hi)))
   }
 
+  /** Multi-dimension key-scoped pinned read — [[readRange]]'s box
+    * variant, the read path a Z-ORDERED store ([[zcluster]]) exists
+    * for: the planned file set is the INTERSECTION of each
+    * dimension's `_stats`-pruned set, so a two-dim box on a z-ordered
+    * layout opens ~the product of the per-dim fractions (a rectangle
+    * of files, not a stripe). Result is EXACTLY
+    * `read(...).filter(every box residually)` — each dimension's
+    * filter is always applied, so missing bounds on ANY dimension
+    * degrade that dimension to no-skipping, never to wrong answers.
+    */
+  def readBox(
+      spark: SparkSession,
+      storeDir: String,
+      manifests: Seq[String],
+      boxes: Seq[(String, Any, Any)]
+  ): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    require(boxes.nonEmpty, "readBox: at least one (column, lo, hi) box required")
+    val conf      = ContentStore.driverHadoopConf()
+    val (_, root) = ContentStore.fs(storeDir, conf)
+    if (!ContentStore.recordedFormat(storeDir, conf).contains("parquet"))
+      throw new IllegalStateException(
+        s"ParquetEpochs: store $storeDir is not a columnar store (no 'parquet' format marker)")
+    val keptSet = boxes
+      .map { case (c, lo, hi) => plannedFiles(storeDir, manifests, c, lo, hi).toSet }
+      .reduce(_ & _)
+    // stable order: re-filter the manifest-ordered file list
+    val kept = manifests
+      .flatMap(m => ContentStore.filesInManifest(storeDir, m, conf))
+      .filter(keptSet)
+      .map(f => new Path(root, s"data/$f").toString)
+    val recorded = recordedSchema(storeDir, conf)
+    val base =
+      if (kept.nonEmpty) recorded.fold(spark.read)(s => spark.read.schema(s)).parquet(kept: _*)
+      else {
+        val schema = recorded.getOrElse(
+          throw new IllegalStateException(
+            s"ParquetEpochs.readBox: every file pruned and no recorded schema for " +
+              s"$storeDir (pre-marker store) — cannot type an empty read"))
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+      }
+    boxes.foldLeft(base) { case (df, (c, lo, hi)) =>
+      df.filter(col(c).between(lit(lo), lit(hi)))
+    }
+  }
+
   /** Record-level DELETE on a columnar store — [[StoreLifecycle
     * .deleteKeys]]'s twin for the parquet payload, same copy-on-write
     * protocol, different rewrite kernel. Removes every row whose

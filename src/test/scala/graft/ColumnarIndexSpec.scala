@@ -357,6 +357,13 @@ class ColumnarIndexSpec extends SparkSpecBase {
         .filter(col("b").between(lo, hi))
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(got == want)
+      // the BOX read plans the intersection — at most min(per-dim) and
+      // values identical (both filters residual)
+      val boxed = ParquetEpochs.readBox(spark, zs, zPin,
+        Seq(("a", lo, hi), ("b", lo, hi)))
+      assert(boxed.inputFiles.length <= math.min(za, zb),
+        s"box plan must be the intersection (${boxed.inputFiles.length} vs a=$za b=$zb)")
+      assert(boxed.collect().map(r => (r.getLong(0), r.getLong(1))).toSet == want)
       // OPTIMIZE with zorderBy re-establishes the layout over
       // interleaved (bounds-wide) epochs
       val os = s"$storeRoot/o"
