@@ -792,6 +792,18 @@ private[graft] class ContentStoreWrite(
   }
 }
 
+/** RETRYABLE maintenance-commit conflict: the commit's planned sources
+  * were shadowed or expired by a concurrent maintenance commit between
+  * planning and the manifest rename (the OCC re-list in
+  * [[ContentStoreWrite.writeManifest]]). The store is UNTOUCHED by the
+  * refused commit (nothing became visible; any staged files are
+  * unreferenced orphans vacuum sweeps). Recovery is a re-PLAN, never a
+  * re-issue: run the whole operation again (compact/delete/upsert
+  * re-derive their plan from the current effective snapshot and
+  * converge), exactly the Delta/Iceberg OCC retry loop.
+  */
+class StoreCommitConflictException(msg: String) extends java.io.IOException(msg)
+
 private[graft] object ContentStoreWrite {
   /** Commit a manifest atomically: write the listing to a dot-prefixed
     * temp name (invisible to readers) and rename into place. Rename is
@@ -920,6 +932,34 @@ private[graft] object ContentStoreWrite {
           s"ContentStore: store $path shards data files $recordedShards ways; " +
             s"this write used dataShards=$dataShards")
     }
+    // OPTIMISTIC CONCURRENCY for replacement commits (compaction /
+    // delete / retention / upsert / migration): re-list the effective
+    // set at the last moment before any commit artifact lands and
+    // REFUSE when a shadowing commit arrived since planning — a source
+    // already shadowed means another maintenance op rewrote (part of)
+    // this commit's inputs, and landing this manifest would resurrect
+    // replaced rows beside their replacements. The identical-plan race
+    // keeps its benign path (deterministic name → the early
+    // already-committed return above); overlapping-but-UNEQUAL plans
+    // now fail closed with a retryable [[StoreCommitConflictException]]
+    // instead of relying on the caller-serialization contract alone —
+    // the `_pins` move (contract → checked invariant) applied to
+    // writes. The unchecked window narrows to this re-list → rename
+    // gap, the residual every OCC-by-listing design carries without a
+    // transaction-log arbiter; callers retry by RE-PLANNING from the
+    // current snapshot (the plan → rewrite → commit loop), never by
+    // re-issuing the stale commit.
+    compactSources.filter(_.nonEmpty).foreach { srcs =>
+      val effective = ContentStore.effectiveManifestNames(path, hadoopConf).toSet
+      val gone      = srcs.filterNot(effective)
+      if (gone.nonEmpty)
+        throw new StoreCommitConflictException(
+          s"ContentStore: commit '$name' on $path conflicts with a concurrent maintenance " +
+            s"commit — planned sources already shadowed or expired: " +
+            gone.take(5).mkString(", ") +
+            (if (gone.size > 5) s" (+${gone.size - 5} more)" else "") +
+            "; re-plan from the current snapshot and retry")
+    }
     val files = (carryMessages ++ messages).flatMap {
       case m: StoreCommitMsg if m.rows > 0       => Seq(m.file)
       case StoreFilesCommitMsg(fs, n) if n > 0   => fs
@@ -957,16 +997,35 @@ private[graft] object ContentStoreWrite {
       val compactedDir = new Path(root, "_compacted")
       filesystem.mkdirs(compactedDir)
       val target = new Path(compactedDir, name)
-      if (!filesystem.exists(target)) {
+      val want   = srcs.mkString("\n")
+      // an existing sidecar with EQUAL content is the benign identical
+      // race (first write wins); DIFFERENT content is a STALE sidecar
+      // from a crashed earlier attempt under a reused fixed name (an
+      // upsert epoch id retried after a conflict) — it must be
+      // replaced, or this manifest would commit shadowing the WRONG
+      // sources. Safe to replace: the manifest is not yet visible, so
+      // nothing consults the sidecar until the rename below.
+      val existing: Option[String] =
+        if (!filesystem.exists(target)) None
+        else {
+          val r = new java.io.BufferedReader(
+            new java.io.InputStreamReader(filesystem.open(target), "UTF-8"))
+          try Some(Iterator.continually(r.readLine()).takeWhile(_ != null).mkString("\n"))
+          finally r.close()
+        }
+      if (!existing.contains(want)) {
         val sidecarTmp = new Path(compactedDir, s".tmp-$name-${UUID.randomUUID()}")
         val sout       = filesystem.create(sidecarTmp, false)
-        try sout.write(srcs.mkString("\n").getBytes("UTF-8"))
+        try sout.write(want.getBytes("UTF-8"))
         finally sout.close()
         if (!filesystem.rename(sidecarTmp, target)) {
-          filesystem.delete(sidecarTmp, false): Unit
-          if (!filesystem.exists(target))
+          // fail-on-existing filesystem: replace the stale sidecar
+          filesystem.delete(target, false): Unit
+          if (!filesystem.rename(sidecarTmp, target)) {
+            filesystem.delete(sidecarTmp, false): Unit
             throw new java.io.IOException(
               s"ContentStore: compaction sidecar commit failed (rename to $target)")
+          }
         }
       }
     }

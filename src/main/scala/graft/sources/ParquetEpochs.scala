@@ -81,26 +81,9 @@ object ParquetEpochs {
       throw new IllegalStateException(
         s"ParquetEpochs: store $storeDir shards data files $recordedShards ways; " +
           s"this append used dataShards=$dataShards")
-    val shards       = if (dataShards > 0) dataShards else recordedShards
-    val uuid         = UUID.randomUUID().toString
-    val staging      = new Path(root, s"_staging/$uuid")
-    df.write.parquet(staging.toString)
-    val parts = fsys
-      .listStatus(staging)
-      .map(_.getPath.getName)
-      .filter(n => n.startsWith("part-") && n.endsWith(".parquet"))
-      .sorted
-    fsys.mkdirs(new Path(root, "data"))
-    val moved = parts.zipWithIndex.map { case (part, i) =>
-      val dest = ContentStore.shardedName(f"pq-$uuid-$i%05d.parquet", shards)
-      val destPath = new Path(root, s"data/$dest")
-      fsys.mkdirs(destPath.getParent)
-      if (!fsys.rename(new Path(staging, part), destPath))
-        throw new java.io.IOException(s"ParquetEpochs: staging move failed for $part")
-      dest
-    }.toSeq
-    fsys.delete(staging, true): Unit
-    val name = manifestName.getOrElse(s"batch-pq-$uuid")
+    val shards = if (dataShards > 0) dataShards else recordedShards
+    val moved  = stageParts(df, shards, fsys, root)
+    val name   = manifestName.getOrElse(s"batch-pq-${UUID.randomUUID()}")
     writeFileStats(fsys, root, name, carryFiles ++ moved, conf)
     ContentStoreWrite.writeManifest(
       storeDir,
@@ -115,6 +98,40 @@ object ParquetEpochs {
         else Array(StoreFilesCommitMsg(carryFiles, carryFiles.size.toLong))
     )
     name
+  }
+
+  /** Distributed-write + move half of [[append]] WITHOUT the manifest:
+    * parquet parts land in `data/` under collision-free sharded names
+    * but stay UNREFERENCED (invisible to every reader, swept by vacuum
+    * if never committed) until some manifest lists them. Split out so
+    * [[upsert]] can stage its version epoch and its purge survivors
+    * and commit BOTH in one atomic manifest rename.
+    */
+  private def stageParts(
+      df: DataFrame,
+      shards: Int,
+      fsys: org.apache.hadoop.fs.FileSystem,
+      root: Path
+  ): Seq[String] = {
+    val uuid    = UUID.randomUUID().toString
+    val staging = new Path(root, s"_staging/$uuid")
+    df.write.parquet(staging.toString)
+    val parts = fsys
+      .listStatus(staging)
+      .map(_.getPath.getName)
+      .filter(n => n.startsWith("part-") && n.endsWith(".parquet"))
+      .sorted
+    fsys.mkdirs(new Path(root, "data"))
+    val moved = parts.zipWithIndex.map { case (part, i) =>
+      val dest     = ContentStore.shardedName(f"pq-$uuid-$i%05d.parquet", shards)
+      val destPath = new Path(root, s"data/$dest")
+      fsys.mkdirs(destPath.getParent)
+      if (!fsys.rename(new Path(staging, part), destPath))
+        throw new java.io.IOException(s"ParquetEpochs: staging move failed for $part")
+      dest
+    }.toSeq
+    fsys.delete(staging, true): Unit
+    moved
   }
 
   /** First columnar append records the store's payload format
@@ -175,15 +192,25 @@ object ParquetEpochs {
     */
   def recordedSchema(storeDir: String, conf: org.apache.hadoop.conf.Configuration): Option[StructType] = {
     val (fsys, root) = ContentStore.fs(storeDir, conf)
-    val p            = new Path(root, "_schema")
-    if (!fsys.exists(p)) return None
-    val reader = new java.io.BufferedReader(
-      new java.io.InputStreamReader(fsys.open(p), "UTF-8"))
-    val json =
-      try Iterator.continually(reader.readLine()).takeWhile(_ != null).mkString("\n").trim
-      finally reader.close()
-    if (json.isEmpty) None
-    else Some(DataType.fromJson(json).asInstanceOf[StructType])
+    def readAt(p: Path): Option[StructType] = {
+      if (!fsys.exists(p)) return None
+      val reader = new java.io.BufferedReader(
+        new java.io.InputStreamReader(fsys.open(p), "UTF-8"))
+      val json =
+        try Iterator.continually(reader.readLine()).takeWhile(_ != null).mkString("\n").trim
+        finally reader.close()
+      if (json.isEmpty) None
+      else Some(DataType.fromJson(json).asInstanceOf[StructType])
+    }
+    // `_schema.next` is [[evolveSchema]]'s write-ahead sidecar: it is
+    // the ONLY resolution source inside the fallback window (crash
+    // between the fail-on-existing delete and the rename), so the
+    // evolved WIDE schema stays visible through the crash instead of
+    // leaving the store marker-less for a narrow heal-forward to
+    // poison. `_schema` wins whenever present (pre-rename readers keep
+    // the old schema until the evolution lands — the serialized-
+    // maintenance contract; post-rename the two are equal).
+    readAt(new Path(root, "_schema")).orElse(readAt(new Path(root, "_schema.next")))
   }
 
   /** One ROW SCHEMA per store, the `_format`/`_buckets` rule applied to
@@ -213,6 +240,34 @@ object ParquetEpochs {
               s"append with ${schema.catalogString} refused (one row schema per store)")
       case None =>
         val nullable = StructType(schema.fields.map(_.copy(nullable = true)))
+        // heal-forward guard (ADVICE r17 belt-and-braces behind the
+        // `_schema.next` sidecar): recording a schema on a store that
+        // ALREADY holds parquet files must never record one NARROWER
+        // than what is on disk — recorded-schema reads would silently
+        // clip evolved columns from wide files. Schemas only ever
+        // widen (evolveSchema appends columns), so comparing FIELD
+        // COUNTS against every live file's footer is exact; footer
+        // reads are metadata-only and heals are once-per-store.
+        if (ContentStore.recordedFormat(storeDir, conf).contains("parquet")) {
+          val liveFiles = ContentStore.effectiveManifestNames(storeDir, conf)
+            .flatMap(m => ContentStore.filesInManifest(storeDir, m, conf)).distinct
+          val widest = liveFiles.iterator.map { f =>
+            try {
+              val in = org.apache.parquet.hadoop.util.HadoopInputFile
+                .fromPath(new Path(root, s"data/$f"), conf)
+              val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+              try r.getFooter.getFileMetaData.getSchema.getFieldCount
+              finally r.close()
+            } catch { case _: Exception => 0 } // unreadable footer: no evidence
+          }.maxOption.getOrElse(0)
+          if (widest > nullable.fields.length)
+            throw new IllegalStateException(
+              s"ParquetEpochs: refusing to record schema ${nullable.catalogString} for store " +
+                s"$storeDir — live data files carry $widest columns (wider than this append's " +
+                s"${nullable.fields.length}); the store's _schema marker is missing, and " +
+                "recording the narrow schema would clip evolved columns — append with the " +
+                "evolved (wide) schema to heal the marker forward")
+        }
         def tryRecord(): Option[StructType] = {
           try {
             fsys.mkdirs(root)
@@ -283,20 +338,36 @@ object ParquetEpochs {
     if (newSchema.fields.length == rec.fields.length) return // nothing to add
     val nullable = StructType(newSchema.fields.map(_.copy(nullable = true)))
     val target   = new Path(root, "_schema")
-    val tmp      = new Path(root, s"._schema-tmp-${UUID.randomUUID()}")
-    val out      = fsys.create(tmp, false)
-    try out.write(nullable.json.getBytes("UTF-8"))
-    finally out.close()
-    // rename replaces on POSIX/HDFS; fail-on-existing filesystems fall
-    // back to delete + rename (the writeLease pattern) — acceptable
-    // for a caller-serialized maintenance op
-    if (!fsys.rename(tmp, target)) {
-      fsys.delete(target, false): Unit
-      if (!fsys.rename(tmp, target)) {
-        fsys.delete(tmp, false): Unit
-        throw new java.io.IOException(s"evolveSchema: _schema rename failed for $storeDir")
-      }
+    val next     = new Path(root, "_schema.next")
+    def stage(): Path = {
+      val tmp = new Path(root, s"._schema-tmp-${UUID.randomUUID()}")
+      val out = fsys.create(tmp, false)
+      try out.write(nullable.json.getBytes("UTF-8"))
+      finally out.close()
+      tmp
     }
+    def renameReplacing(tmp: Path, to: Path, what: String): Unit =
+      if (!fsys.rename(tmp, to)) {
+        fsys.delete(to, false): Unit
+        if (!fsys.rename(tmp, to)) {
+          fsys.delete(tmp, false): Unit
+          throw new java.io.IOException(s"evolveSchema: $what rename failed for $storeDir")
+        }
+      }
+    // WRITE-AHEAD sidecar first (replacing any stale one from an
+    // earlier crashed evolution): from here on a crash at ANY point
+    // leaves the widened schema recoverable — [[recordedSchema]] falls
+    // back to `_schema.next` when `_schema` is missing, so the
+    // fail-on-existing fallback below (delete then rename, the
+    // writeLease pattern) no longer has a no-marker window in which a
+    // pre-evolution writer's heal-forward could re-record the NARROW
+    // schema and silently clip the evolved column from wide files
+    // already on disk (ADVICE r17).
+    renameReplacing(stage(), next, "_schema.next")
+    renameReplacing(stage(), target, "_schema")
+    // sidecar retired; a crash before this delete leaves an EQUAL copy
+    // behind — harmless (the next evolution replaces it)
+    fsys.delete(next, false): Unit
   }
 
   /** Read the union of the named (pinned) manifests' parquet files —
@@ -750,17 +821,213 @@ object ParquetEpochs {
     StoreLifecycle.DeleteReport(Some(name), deleted, newParts, matchedFiles.size, carried.size)
   }
 
+  /** Convenience form of the DataFrame-valued [[deleteWhere]]: whole
+    * effective snapshot, no re-clustering, AQE-chosen join strategy.
+    */
+  def deleteWhere(
+      spark: SparkSession,
+      storeDir: String,
+      column: String,
+      keys: DataFrame
+  ): StoreLifecycle.DeleteReport =
+    deleteWhere(spark, storeDir, column, keys, None, Set.empty[String], None)
+
+  /** DataFrame-valued DELETE on a columnar store — [[deleteWhere]]
+    * with the purge values as a FRAME instead of a driver Seq, for
+    * CDC/re-crawl batches beyond driver memory: the Seq form inlines
+    * values into one `isin` (driver residency + an O(values)-sized
+    * expression), this form never materializes them — candidates
+    * prune via the key frame joined against the broadcast `_stats`
+    * bounds map, per-file match counts come from a LEFT SEMI join
+    * (O(matched files) to the driver), and survivors drop via a LEFT
+    * ANTI join (broadcast or shuffle-hash, AQE's pick; `broadcastKeys`
+    * is the explicit escape hatch — `Some(false)` forces the shuffle
+    * path so the key set never lands on the driver, `Some(true)`
+    * forces broadcast for a known-small set). Same copy-on-write
+    * commit, carry-forward, report and NULL/IN semantics as the Seq
+    * form (NULLs in the frame are dropped; NULL store values never
+    * match). The frame must have exactly one column; when the store
+    * records a schema, its type must equal `column`'s type (an
+    * implicit cast in the join would silently change match
+    * semantics).
+    */
+  def deleteWhere(
+      spark: SparkSession,
+      storeDir: String,
+      column: String,
+      keys: DataFrame,
+      clusterBy: Option[(String, Int)],
+      excludeManifests: Set[String],
+      broadcastKeys: Option[Boolean]
+  ): StoreLifecycle.DeleteReport =
+    planPurgeFrame(spark, storeDir, column, keys, excludeManifests, broadcastKeys) match {
+      case None => StoreLifecycle.DeleteReport(None, 0L, 0, 0, 0)
+      case Some(p) =>
+        val conf = ContentStore.driverHadoopConf()
+        val laid = clusterBy.fold(p.survivors) { case (c, parts) =>
+          import org.apache.spark.sql.functions.col
+          p.survivors.repartitionByRange(parts, col(c)).sortWithinPartitions(c)
+        }
+        // deterministic name without enumerating values on the driver:
+        // affected sources + an order-independent key-set fingerprint
+        val digest = java.security.MessageDigest.getInstance("SHA-256")
+        digest.update(p.affected.mkString("\n").getBytes("UTF-8"))
+        digest.update(0.toByte)
+        digest.update(p.keyFingerprint.getBytes("UTF-8"))
+        val name = "delete-pq-" + digest.digest().take(8).map("%02x".format(_)).mkString
+        append(laid, storeDir, Some(name), Some(p.affected), carryFiles = p.carried)
+        val newParts = ContentStore.filesInManifest(storeDir, name, conf).size - p.carried.size
+        StoreLifecycle.DeleteReport(Some(name), p.deleted, newParts, p.matchedFiles.size,
+          p.carried.size)
+    }
+
+  /** One planned-but-uncommitted columnar purge — everything the
+    * DataFrame-valued [[deleteWhere]] decides before its commit.
+    * `survivors` is the lazily-evaluated frame of the matched files'
+    * rows minus the purge set; the caller either commits it as its own
+    * replacement manifest (deleteWhere) or folds it into a bigger
+    * atomic commit ([[upsert]]'s single-manifest swap).
+    */
+  private final case class ColumnarPurgePlan(
+      deleted: Long,
+      matchedFiles: Set[String],
+      affected: Seq[String],
+      carried: Seq[String],
+      survivors: DataFrame,
+      keyFingerprint: String)
+
+  /** PLAN + LOCATE legs of the DataFrame-valued purge (scaladoc on the
+    * public [[deleteWhere]] overload): stats-joined candidate pruning,
+    * semi-join per-file match counts, anti-join survivor frame. Reads
+    * nothing beyond the candidates; commits nothing. None = no live
+    * row matched.
+    */
+  private def planPurgeFrame(
+      spark: SparkSession,
+      storeDir: String,
+      column: String,
+      keys: DataFrame,
+      excludeManifests: Set[String],
+      broadcastKeys: Option[Boolean]
+  ): Option[ColumnarPurgePlan] = {
+    import org.apache.spark.sql.functions.{broadcast, col, count, expr, lit}
+    val conf = ContentStore.driverHadoopConf()
+    if (!ContentStore.recordedFormat(storeDir, conf).contains("parquet"))
+      throw new IllegalStateException(
+        s"ParquetEpochs.deleteWhere: store $storeDir is not a columnar store — " +
+          "use StoreLifecycle.deleteKeys for the K-V payload")
+    require(keys.schema.fields.length == 1,
+      s"deleteWhere: key frame must have exactly one column, got ${keys.schema.catalogString}")
+    val keyType = keys.schema.fields(0).dataType
+    recordedSchema(storeDir, conf).flatMap(_.fields.find(_.name == column)).foreach { f =>
+      require(f.dataType == keyType,
+        s"deleteWhere: key frame type ${keyType.catalogString} must equal column " +
+          s"'$column' type ${f.dataType.catalogString}")
+    }
+    val keyFrame = keys.toDF("__graft_key").where(col("__graft_key").isNotNull).distinct()
+    def hinted(df: DataFrame) = broadcastKeys match {
+      case Some(true)  => broadcast(df)
+      case Some(false) => df.hint("shuffle_hash")
+      case None        => df
+    }
+    val live = ContentStore.effectiveManifestNames(storeDir, conf).filterNot(excludeManifests)
+    if (live.isEmpty) return None
+    val (_, root)       = ContentStore.fs(storeDir, conf)
+    val filesByManifest = live.map(m => m -> ContentStore.filesInManifest(storeDir, m, conf))
+    val bounds          = columnBounds(storeDir, live, column, conf)
+    // PLAN: bounds joined in the key's own comparison domain — "long"
+    // bounds against integral keys, "string" bounds against string
+    // keys (Spark string order IS the recorded unsigned-UTF-8 order);
+    // any tag/type mismatch or missing bound keeps the file
+    val keyIsIntegral = keyType == org.apache.spark.sql.types.LongType ||
+      keyType == org.apache.spark.sql.types.IntegerType
+    val keyIsString = keyType == org.apache.spark.sql.types.StringType
+    val allFiles    = filesByManifest.flatMap(_._2)
+    val (prunableLong, rest) = allFiles.partition(f =>
+      keyIsIntegral && bounds.get(f).exists(_.tag == "long"))
+    val (prunableStr, unconditional) = rest.partition(f =>
+      keyIsString && bounds.get(f).exists(_.tag == "string"))
+    val joinCandidates: Seq[String] = {
+      import spark.implicits._
+      val longPart: Seq[String] =
+        if (prunableLong.isEmpty) Seq.empty
+        else {
+          val b = prunableLong.map { f =>
+            val bd = bounds(f); (f, bd.minL, bd.maxL)
+          }.toDF("__f", "__mn", "__mx")
+          keyFrame
+            .join(broadcast(b),
+              col("__graft_key").cast("long").between(col("__mn"), col("__mx")), "inner")
+            .select("__f").distinct().as[String].collect().toSeq
+        }
+      val strPart: Seq[String] =
+        if (prunableStr.isEmpty) Seq.empty
+        else {
+          val b = prunableStr.map { f =>
+            val bd = bounds(f)
+            (f, new String(bd.minB, "UTF-8"), new String(bd.maxB, "UTF-8"))
+          }.toDF("__f", "__mn", "__mx")
+          keyFrame
+            .join(broadcast(b), col("__graft_key").between(col("__mn"), col("__mx")), "inner")
+            .select("__f").distinct().as[String].collect().toSeq
+        }
+      longPart ++ strPart
+    }
+    val candidates = (unconditional ++ joinCandidates).distinct
+    if (candidates.isEmpty) return None
+    val pathOf = candidates.map(f => f -> new Path(root, s"data/$f").toString).toMap
+    val rdr    = recordedSchema(storeDir, conf).fold(spark.read)(s => spark.read.schema(s))
+    val perFile = rdr
+      .parquet(candidates.map(pathOf): _*)
+      .select(col(column).as("__v"), col("_metadata.file_path").as("__fp"))
+      .join(hinted(keyFrame), col("__v") === col("__graft_key"), "left_semi")
+      .groupBy("__fp").count().collect()
+    val deleted = perFile.map(_.getLong(1)).sum
+    if (deleted == 0L) return None
+    val matchedBases = perFile.map(r => ContentStore.baseName(r.getString(0))).toSet
+    val matchedFiles = candidates.filter(f => matchedBases(ContentStore.baseName(f))).toSet
+    val affected = filesByManifest.collect {
+      case (m, fs) if fs.exists(matchedFiles) => m
+    }
+    val carried = affected.flatMap(m =>
+      filesByManifest.toMap.apply(m).filterNot(matchedFiles))
+    val survivors = rdr
+      .parquet(matchedFiles.toSeq.sorted.map(pathOf): _*)
+      .join(hinted(keyFrame), col(column) === col("__graft_key"), "left_anti")
+    val fp = keyFrame.agg(count(lit(1)), expr("bit_xor(xxhash64(__graft_key))")).head()
+    Some(ColumnarPurgePlan(
+      deleted, matchedFiles, affected, carried, survivors,
+      s"${fp.getLong(0)}:${if (fp.isNullAt(1)) 0L else fp.getLong(1)}"))
+  }
+
   /** UPSERT (MERGE) on a columnar store — [[StoreLifecycle.upsert]]'s
     * twin for the parquet payload: after it returns, the store holds
     * exactly `versions`' rows for each upserted `column` value (older
-    * versions purged by [[deleteWhere]] scoped to everything except
-    * the fresh epoch), new values just insert. Same decomposition,
-    * same `epochId` rerun-convergence and non-atomic-window contract
-    * as the K-V twin (see its scaladoc). `clusterBy` range-clusters
-    * the version epoch on write — keep it on the same key the store's
-    * appends cluster, or the epoch's wide footer bounds degrade
-    * key-range skipping. Rows whose `column` is NULL insert but never
-    * purge anything (IN semantics).
+    * versions purged), new values just insert. SINGLE-COMMIT ATOMIC
+    * (r18, closes the documented two-commit visibility window): the
+    * version epoch's parts and the purge's survivor parts both STAGE
+    * unreferenced ([[stageParts]]), then ONE manifest
+    * (`upsert-pq-<epochId>`) lists epoch + survivors + carried files
+    * with its `_compacted/` sidecar shadowing the affected manifests —
+    * a concurrent unpinned reader sees the store strictly BEFORE or
+    * strictly AFTER the merge at the manifest rename, never both
+    * versions of a key.
+    *
+    * Convergence: the purge set derives from THIS attempt's staged
+    * epoch files (the read-back rule, moved pre-commit — purge ==
+    * staged by construction, so a non-deterministic `versions` frame
+    * cannot desync the two legs); a crash anywhere leaves only
+    * unreferenced staged parts (vacuum sweeps), and a rerun with the
+    * same `epochId` after the original committed loses the idempotent
+    * rename and its replayed parts are dropped. The purge plan
+    * excludes `upsert-pq-<epochId>` itself, so a replay against the
+    * committed original purges nothing. `clusterBy` range-clusters
+    * both the version epoch and the purge survivors. Rows whose
+    * `column` is NULL insert but never purge anything (IN semantics).
+    * Maintenance op, caller-serialized per store; a concurrent
+    * maintenance commit that shadows the purge's planned sources
+    * refuses at the manifest with [[StoreCommitConflictException]]
+    * (re-run to converge).
     */
   def upsert(
       spark: SparkSession,
@@ -771,21 +1038,52 @@ object ParquetEpochs {
       clusterBy: Option[(String, Int)] = None
   ): StoreLifecycle.UpsertReport = {
     require(epochId.matches("[A-Za-z0-9._-]+"), s"epochId must be [A-Za-z0-9._-]+, got: $epochId")
-    val name = s"upsert-pq-$epochId"
-    val laid = clusterBy.fold(versions) { case (c, parts) =>
+    val conf         = ContentStore.driverHadoopConf()
+    val name         = s"upsert-pq-$epochId"
+    val (fsys, root) = ContentStore.fs(storeDir, conf)
+    ensureFormat(storeDir, conf)
+    ensureSchema(versions.schema, storeDir, conf)
+    val shards = ContentStore.recordedDataShards(storeDir, conf)
+    def lay(df: DataFrame): DataFrame = clusterBy.fold(df) { case (c, parts) =>
       import org.apache.spark.sql.functions.col
-      versions.repartitionByRange(parts, col(c)).sortWithinPartitions(c)
+      df.repartitionByRange(parts, col(c)).sortWithinPartitions(c)
     }
-    append(laid, storeDir, Some(name)): Unit
-    // purge values from the WRITTEN epoch (the K-V twin's rule): a
-    // non-deterministic `versions` frame cannot desync append and
-    // purge, and a replay purges exactly what the original commit holds
-    val values: Seq[Any] = read(spark, storeDir, Seq(name))
-      .select(column).distinct()
-      .collect().map(_.get(0)).filter(_ != null).toSeq
+    // 1. STAGE the version epoch: parts land in data/ unreferenced
+    val moved1 = stageParts(lay(versions), shards, fsys, root)
+    // 2. purge keys read back from the STAGED parts (pre-commit
+    //    read-back: purge == staged, replay-safe via the exclude)
+    val rdr = recordedSchema(storeDir, conf).fold(spark.read)(s => spark.read.schema(s))
+    val plan =
+      if (moved1.isEmpty) None
+      else planPurgeFrame(
+        spark, storeDir, column,
+        rdr.parquet(moved1.map(f => new Path(root, s"data/$f").toString): _*).select(column),
+        Set(name), None)
+    // 3. STAGE the purge survivors
+    val moved2   = plan.fold(Seq.empty[String])(p => stageParts(lay(p.survivors), shards, fsys, root))
+    val carried  = plan.fold(Seq.empty[String])(_.carried)
+    val affected = plan.fold(Seq.empty[String])(_.affected)
+    // 4. ONE atomic manifest: epoch + survivors + carried, shadowing
+    //    the affected manifests
+    writeFileStats(fsys, root, name, carried ++ moved1 ++ moved2, conf)
+    ContentStoreWrite.writeManifest(
+      storeDir,
+      name,
+      Array(StoreFilesCommitMsg(moved1 ++ moved2, (moved1.size + moved2.size).toLong)),
+      conf,
+      idempotent = true,
+      compactSources = if (affected.isEmpty) None else Some(affected),
+      dataShards = shards,
+      carryMessages =
+        if (carried.isEmpty) Array.empty
+        else Array(StoreFilesCommitMsg(carried, carried.size.toLong))
+    )
     StoreLifecycle.UpsertReport(
       name,
-      deleteWhere(spark, storeDir, column, values, clusterBy, excludeManifests = Set(name)))
+      plan.fold(StoreLifecycle.DeleteReport(None, 0L, 0, 0, 0)) { p =>
+        StoreLifecycle.DeleteReport(Some(name), p.deleted, moved2.size, p.matchedFiles.size,
+          carried.size)
+      })
   }
 
   /** STREAMING append leg — the write-side twin of the

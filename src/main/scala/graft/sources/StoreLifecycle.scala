@@ -48,13 +48,18 @@ import org.apache.spark.util.SerializableConfiguration
   * driver footprint is O(manifest count) + O(deleted names) — the
   * referenced-file diff (manifest lines × `data/` listing) runs as a
   * Spark left-anti join, never as a driver Set (at 10⁹ blobs that Set
-  * is tens of GB of strings). Single-maintenance-process
-  * assumption: two concurrent compactions over the SAME source set
-  * race benignly (deterministic manifest name — the loser's rename
-  * fails idempotently and its files are dropped); overlapping but
-  * unequal source sets require the caller to serialize maintenance,
-  * the same operational rule Delta's OPTIMIZE has without a
-  * transaction-log arbiter.
+  * is tens of GB of strings). Concurrency: two concurrent compactions
+  * over the SAME source set race benignly (deterministic manifest
+  * name — the loser's rename fails idempotently and its files are
+  * dropped); overlapping but UNEQUAL source sets are a CHECKED
+  * invariant, not just an operational contract — every replacement
+  * commit re-lists the effective set immediately before its manifest
+  * rename and refuses with a retryable
+  * [[StoreCommitConflictException]] when a shadowing commit landed
+  * since planning (writeManifest's OCC re-list; recovery = re-run the
+  * operation, which re-plans from the current snapshot). Callers
+  * SHOULD still serialize maintenance per store — the check turns a
+  * silent wrong-shadowing into a clean refusal, not into a merge.
   */
 object StoreLifecycle {
 
@@ -482,6 +487,317 @@ object StoreLifecycle {
     DeleteReport(Some(name), results.map(_.dropped).sum, rewrittenN, droppedN, carriedN)
   }
 
+  /** Convenience form of the DataFrame-valued [[deleteKeys]]: whole
+    * effective snapshot, AQE-chosen join strategy.
+    */
+  def deleteKeys(
+      spark: SparkSession,
+      path: String,
+      keys: org.apache.spark.sql.DataFrame
+  ): DeleteReport = deleteKeys(spark, path, keys, Set.empty[String], None)
+
+  /** DataFrame-valued DELETE on a K-V store — [[deleteKeys]] with the
+    * key set as a FRAME instead of a driver Seq, for purge sets beyond
+    * driver memory (the nightly re-crawl shape: 20% of a 100 TB
+    * corpus's keys is tens of GB of strings — a Seq, a driver Set, or
+    * a broadcast all hit the same ceiling). Same copy-on-write
+    * protocol, same report, same point-in-time/pin/tail/vacuum
+    * semantics as the Seq form; the three legs differ only in WHERE
+    * the key set lives:
+    *
+    *  1. PLAN — the key frame joins against the broadcast `_stats`
+    *     bounds map (one row per candidate file: [min,max] key range
+    *     plus the bucket id on bucketed stores), and only matching
+    *     FILE NAMES return to the driver — O(candidate files), never
+    *     O(keys). Files without recorded bounds or bucket are
+    *     unconditional candidates (the never-skip rule).
+    *  2. LOCATE — one distributed pass over the candidates' keys,
+    *     LEFT SEMI joined with the key frame, gives per-file match
+    *     counts (O(matched files) to the driver); match-free
+    *     candidates are carried untouched, exactly the columnar
+    *     twin's locate rule.
+    *  3. REWRITE — matched files' survivors drop via a LEFT ANTI join
+    *     (broadcast or shuffle-hash — AQE picks; `broadcastKeys` is
+    *     the explicit escape hatch, `Some(false)` forcing the
+    *     shuffle path when the key set must never materialize on the
+    *     driver, `Some(true)` forcing broadcast when it is known
+    *     small), then hash-route BY SOURCE FILE so each file's run
+    *     streams to one staged replacement with the bucket prefix
+    *     preserved. The shuffle of matched files' survivors is the
+    *     price of a non-broadcastable key set — bounded by the files
+    *     the delete touches, not the store.
+    *
+    * The replacement manifest's deterministic hash covers the affected
+    * sources plus an order-independent key-set fingerprint
+    * (count + sum of xxhash64), computed as one tiny aggregate —
+    * the Seq form's sorted-key digest without enumerating keys on the
+    * driver. NULL keys in the frame are ignored; duplicate keys
+    * dedupe. The frame must have exactly one string column.
+    */
+  def deleteKeys(
+      spark: SparkSession,
+      path: String,
+      keys: org.apache.spark.sql.DataFrame,
+      excludeManifests: Set[String],
+      broadcastKeys: Option[Boolean]
+  ): DeleteReport =
+    planKvPurgeFrame(spark, path, keys, excludeManifests, broadcastKeys) match {
+      case None => DeleteReport(None, 0L, 0, 0, 0)
+      case Some(p) =>
+        val conf = ContentStore.driverHadoopConf()
+        // deterministic name without enumerating keys on the driver:
+        // affected sources + the order-independent key-set fingerprint
+        val digest = MessageDigest.getInstance("SHA-256")
+        digest.update(p.affected.mkString("\n").getBytes(StandardCharsets.UTF_8))
+        digest.update(0.toByte)
+        digest.update(p.keyFingerprint.getBytes(StandardCharsets.UTF_8))
+        val name = "delete-" + digest.digest().take(8).map("%02x".format(_)).mkString
+        ContentStoreWrite.writeManifest(
+          path,
+          name,
+          p.newMsgs,
+          conf,
+          idempotent = true,
+          compactSources = Some(p.affected),
+          buckets = ContentStore.recordedBuckets(path, conf),
+          dataShards = ContentStore.recordedDataShards(path, conf),
+          carryMessages = p.carryMsgs
+        )
+        DeleteReport(Some(name), p.deleted, p.rewrittenFiles, p.droppedFiles, p.carriedFiles)
+    }
+
+  /** One planned-and-STAGED-but-uncommitted K-V purge: the rewrite leg
+    * already ran (replacement files renamed into `data/`, unreferenced
+    * until some manifest lists them — vacuum sweeps them if never
+    * committed), the commit has not. The caller either commits it as
+    * its own `delete-<hash>` replacement ([[deleteKeys]]) or folds the
+    * messages into a bigger atomic commit ([[upsert]]'s
+    * single-manifest swap).
+    */
+  private final case class KvPurgePlan(
+      deleted: Long,
+      newMsgs: Array[org.apache.spark.sql.connector.write.WriterCommitMessage],
+      carryMsgs: Array[org.apache.spark.sql.connector.write.WriterCommitMessage],
+      affected: Seq[String],
+      rewrittenFiles: Int,
+      droppedFiles: Int,
+      carriedFiles: Int,
+      keyFingerprint: String)
+
+  /** PLAN + LOCATE + REWRITE legs of the DataFrame-valued K-V purge
+    * (scaladoc on the public frame [[deleteKeys]] overload). Commits
+    * nothing. None = no live row matched.
+    */
+  private def planKvPurgeFrame(
+      spark: SparkSession,
+      path: String,
+      keys: org.apache.spark.sql.DataFrame,
+      excludeManifests: Set[String],
+      broadcastKeys: Option[Boolean]
+  ): Option[KvPurgePlan] = {
+    import org.apache.spark.sql.functions.{broadcast, count, expr, udf}
+    val conf = ContentStore.driverHadoopConf()
+    ContentStore.recordedFormat(path, conf).foreach { fmt =>
+      throw new IllegalStateException(
+        s"deleteKeys: store $path holds '$fmt'-format data files — use ParquetEpochs.deleteWhere")
+    }
+    require(
+      keys.schema.fields.length == 1 &&
+        keys.schema.fields(0).dataType == org.apache.spark.sql.types.StringType,
+      s"deleteKeys: key frame must have exactly one STRING column, got ${keys.schema.catalogString}")
+    val keyFrame = keys.toDF("__graft_key").where(col("__graft_key").isNotNull).distinct()
+    def hinted(df: org.apache.spark.sql.DataFrame) = broadcastKeys match {
+      case Some(true)  => broadcast(df)
+      case Some(false) => df.hint("shuffle_hash")
+      case None        => df
+    }
+    val live = ContentStore.effectiveManifestNames(path, conf).filterNot(excludeManifests)
+    if (live.isEmpty) return None
+    val buckets         = ContentStore.recordedBuckets(path, conf)
+    val shards          = ContentStore.recordedDataShards(path, conf)
+    val filesByManifest = live.map(m => m -> ContentStore.filesInManifest(path, m, conf))
+    val statsByFile     = live.flatMap(m => ContentStore.statsForManifest(path, m, conf)).toMap
+    val fileMeta = filesByManifest.flatMap(_._2).map { f =>
+      val b  = ContentStore.bucketOfFile(ContentStore.baseName(f))
+      val st = statsByFile.get(f)
+      (f, st.map(_._1.toString).orNull, st.map(_._2.toString).orNull,
+        b.map(Integer.valueOf).orNull)
+    }
+    // files with neither bounds nor a bucket prefix can never be
+    // pruned — keep them out of the join (they would match EVERY key)
+    val (prunable, unconditional) = fileMeta.partition(m => m._2 != null || m._4 != null)
+    val joinCandidates: Seq[String] =
+      if (prunable.isEmpty) Seq.empty
+      else {
+        import spark.implicits._
+        // Spark string comparison IS UTF8String binary order — the
+        // same total order the writers recorded the bounds in, so the
+        // join-side prune can never disagree with the Seq form's
+        val boundsDF = prunable.toDF("__f", "__mn", "__mx", "__bkt")
+        val n        = buckets
+        val probe =
+          if (n > 0) {
+            val bucketUdf = udf((k: String) => ContentStore.bucketOf(k, n))
+            keyFrame.withColumn("__kb", bucketUdf(col("__graft_key")))
+          } else keyFrame.withColumn("__kb", lit(null).cast("int"))
+        probe
+          .join(
+            broadcast(boundsDF),
+            (col("__mn").isNull ||
+              (col("__graft_key") >= col("__mn") && col("__graft_key") <= col("__mx"))) &&
+              (col("__bkt").isNull || col("__bkt") === col("__kb")),
+            "inner")
+          .select("__f").distinct().as[String].collect().toSeq
+      }
+    val candidates = unconditional.map(_._1) ++ joinCandidates
+    if (candidates.isEmpty) return None
+    val matchedPerFile = storeLines(spark, path, candidates, conf)
+      .select("file", "key")
+      .join(hinted(keyFrame), col("key") === col("__graft_key"), "left_semi")
+      .groupBy("file").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    if (matchedPerFile.isEmpty) return None
+    val matchedFiles = matchedPerFile.keySet
+    val sconf        = new SerializableConfiguration(conf)
+    val pathCopy     = path
+    val shardsCopy   = shards
+    val rewrites = {
+      import spark.implicits._
+      storeLines(spark, path, matchedFiles.toSeq.sorted, conf)
+        .join(hinted(keyFrame), col("key") === col("__graft_key"), "left_anti")
+        .repartition(col("file"))
+        .sortWithinPartitions("file", "idx")
+        .select("file", "key", "line")
+        .as[(String, String, String)]
+        .mapPartitions { it =>
+          // consecutive runs share a file (hash partitioning keeps a
+          // file whole; the sort makes its rows adjacent): stream each
+          // run to one staged replacement, bucket prefix preserved
+          val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long, String, String, String)]
+          var cur: String                                   = null
+          var os: org.apache.hadoop.fs.FSDataOutputStream   = null
+          var staging: Path                                 = null
+          var newName: String                               = null
+          var kept                                          = 0L
+          var minK: org.apache.spark.unsafe.types.UTF8String = null
+          var maxK: org.apache.spark.unsafe.types.UTF8String = null
+          lazy val flRoot = ContentStore.fs(pathCopy, sconf.value)
+          def flush(): Unit = if (cur != null) {
+            os.close()
+            val (fl, root) = flRoot
+            if (!fl.rename(staging, new Path(root, s"data/$newName")))
+              throw new java.io.IOException(s"deleteKeys: staging rename failed for $staging")
+            out += ((cur, kept, newName, minK.toString, maxK.toString))
+          }
+          it.foreach { case (f, key, line) =>
+            if (f != cur) {
+              flush()
+              cur = f; kept = 0L; minK = null; maxK = null
+              val (fl, root) = flRoot
+              val newBase = ContentStore.bucketOfFile(ContentStore.baseName(f)) match {
+                case Some(b) => s"b$b-${UUID.randomUUID()}"
+                case None    => UUID.randomUUID().toString
+              }
+              newName = ContentStore.shardedName(newBase, shardsCopy)
+              staging = new Path(root,
+                s"data/${newName.take(newName.lastIndexOf('/') + 1)}" +
+                  s".staging-${ContentStore.baseName(newName)}")
+              fl.mkdirs(staging.getParent)
+              os = fl.create(staging, false)
+            }
+            kept += 1
+            val u = org.apache.spark.unsafe.types.UTF8String.fromString(key)
+            if (minK == null || u.compareTo(minK) < 0) minK = u
+            if (maxK == null || u.compareTo(maxK) > 0) maxK = u
+            os.write(line.getBytes("UTF-8")); os.write('\n')
+          }
+          flush()
+          out.iterator
+        }
+        .collect()
+    }
+    val rewrittenByFile = rewrites.map(r => r._1 -> r).toMap
+    val affected = filesByManifest.collect {
+      case (m, fs) if fs.exists(matchedFiles) => m
+    }
+    val carryMsgs  = Array.newBuilder[org.apache.spark.sql.connector.write.WriterCommitMessage]
+    val newMsgs    = Array.newBuilder[org.apache.spark.sql.connector.write.WriterCommitMessage]
+    var rewrittenN = 0; var droppedN = 0; var carriedN = 0
+    affected.foreach { m =>
+      ContentStore.filesInManifest(path, m, conf).foreach { f =>
+        if (matchedFiles(f)) {
+          rewrittenByFile.get(f) match {
+            case Some((_, kept, newFile, mn, mx)) =>
+              newMsgs += StoreCommitMsg(newFile, kept, mn, mx)
+              rewrittenN += 1
+            case None => // every row matched: file vanishes
+              droppedN += 1
+          }
+        } else {
+          val st = statsByFile.get(f)
+          carryMsgs += StoreCommitMsg(f, 1L, st.map(_._1.toString).orNull, st.map(_._2.toString).orNull)
+          carriedN += 1
+        }
+      }
+    }
+    val fp = keyFrame.agg(count(lit(1)), expr("bit_xor(xxhash64(__graft_key))")).head()
+    Some(KvPurgePlan(
+      matchedPerFile.values.sum,
+      newMsgs.result(),
+      carryMsgs.result(),
+      affected,
+      rewrittenN, droppedN, carriedN,
+      s"${fp.getLong(0)}:${if (fp.isNullAt(1)) 0L else fp.getLong(1)}"))
+  }
+
+  /** The K-V payload's line format as a frame — (file, idx, key, line)
+    * per non-empty line of the named data files, one read task per
+    * file slice. `line` is the RAW stored line (re-writable verbatim);
+    * `idx` preserves each file's original line order across a shuffle.
+    * Backbone of the DataFrame-valued [[deleteKeys]] legs.
+    */
+  private[sources] def storeLines(
+      spark: SparkSession,
+      path: String,
+      files: Seq[String],
+      conf: Configuration
+  ): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val sconf  = new SerializableConfiguration(conf)
+    val slices = math.max(1, math.min(files.size, spark.sparkContext.defaultParallelism))
+    spark
+      .createDataset(spark.sparkContext.parallelize(files, slices).flatMap { f =>
+        val (fl, root) = ContentStore.fs(path, sconf.value)
+        val dec        = java.util.Base64.getDecoder
+        val reader = new java.io.BufferedReader(
+          new java.io.InputStreamReader(fl.open(new Path(root, s"data/$f")), "UTF-8"))
+        new Iterator[(String, Long, String, String)] {
+          private var idx              = 0L
+          private var nextLine: String = advance()
+          private def advance(): String = {
+            var l = reader.readLine()
+            while (l != null && l.isEmpty) l = reader.readLine()
+            if (l == null) reader.close()
+            l
+          }
+          override def hasNext: Boolean = nextLine != null
+          override def next(): (String, Long, String, String) = {
+            val line = nextLine
+            val tab  = line.indexOf('\t')
+            if (tab < 0)
+              throw new java.io.IOException(
+                s"storeLines: corrupt K-V line (no tab separator) in store $path data file $f")
+            val key = new String(dec.decode(line.substring(0, tab)), "UTF-8")
+            val row = (f, idx, key, line)
+            idx += 1
+            nextLine = advance()
+            row
+          }
+        }
+      })
+      .toDF("file", "idx", "key", "line")
+  }
+
   /** AGE-BASED EPOCH RETENTION — the Kafka-retention / rolling-window
     * shape: retire every live epoch whose COMMIT instant (manifest
     * mtime, the compactionPlan ordering fact) is at or before
@@ -539,29 +855,34 @@ object StoreLifecycle {
   /** UPSERT (MERGE) on a K-V store: after it returns, the store holds
     * EXACTLY `versions`' row for each upserted key — the re-crawl /
     * re-score shape (tonight's fresher copy replaces every older
-    * version, new keys just insert). Composed from the two primitives
-    * the store already has, the Delta MERGE decomposition:
-    *
-    *  1. APPEND `versions` as one epoch under the deterministic name
-    *     `upsert-<epochId>` (idempotent: a crash-rerun's replayed
-    *     commit is dropped);
-    *  2. [[deleteKeys]] the upserted keys SCOPED to everything except
-    *     that epoch — the copy-on-write purge of the older versions,
-    *     with all of its pruning, carry-forward, pin, tail and vacuum
-    *     semantics.
+    * version, new keys just insert). SINGLE-COMMIT ATOMIC (r18,
+    * closing the two-commit visibility window the r17 decomposition
+    * documented): the version epoch's K-V files STAGE unreferenced
+    * ([[stageKvFiles]]), the purge of the keys' older versions plans
+    * and REWRITES against the current snapshot (also staged,
+    * [[planKvPurgeFrame]] — all of the frame delete's pruning,
+    * carry-forward, pin, tail and vacuum semantics), and ONE manifest
+    * (`upsert-<epochId>`) lists epoch + rewrites + carried names with
+    * its `_compacted/` sidecar shadowing the affected manifests — a
+    * concurrent unpinned reader sees the store strictly before or
+    * strictly after the merge at the rename, never both versions of a
+    * key.
     *
     * `epochId` is the caller's batch identity (the nightly date — the
     * streaming-epoch contract): a rerun with the SAME id after any
-    * crash converges (replayed append drops; the re-scoped purge finds
-    * nothing left to match). The one non-atomic window — append
-    * committed, purge not yet — shows BOTH versions to a concurrent
-    * reader until the purge commits (readers needing isolation read a
-    * pinned snapshot); upserts are maintenance ops, caller-serialized
-    * per store like compaction. On a bucketed store the version epoch
-    * adopts the recorded bucket layout automatically. Keys are
-    * expected UNIQUE within one `versions` batch (dedupe upstream —
-    * the CDC-compaction rule): duplicate keys all land in the epoch
-    * and all survive the purge.
+    * crash converges — pre-commit crashes leave only unreferenced
+    * staged files (vacuum sweeps; rerun redoes the work under the same
+    * name), post-commit reruns lose the idempotent rename and their
+    * replayed files are dropped (the purge plan excludes the epoch
+    * itself, so a replay against the committed original purges
+    * nothing). Upserts are maintenance ops, caller-serialized per
+    * store; a concurrent maintenance commit that shadows the purge's
+    * planned sources refuses at the manifest with
+    * [[StoreCommitConflictException]] (re-run to converge). On a
+    * bucketed store the version epoch adopts the recorded bucket
+    * layout automatically. Keys are expected UNIQUE within one
+    * `versions` batch (dedupe upstream — the CDC-compaction rule):
+    * duplicate keys all land in the epoch and all survive the purge.
     */
   def upsert(
       spark: SparkSession,
@@ -577,25 +898,84 @@ object StoreLifecycle {
     }
     val name    = s"upsert-$epochId"
     val buckets = ContentStore.recordedBuckets(path, conf)
-    val writer = versions.write
-      .format("graft.sources.ContentStore")
-      .option("path", path)
-      .option("manifestName", name)
-      .mode("append")
-    (if (buckets > 0) writer.option("buckets", buckets) else writer).save()
-    // the purge set comes from the WRITTEN epoch, not from recomputing
-    // `versions`: a non-deterministic input frame (a sampled or
-    // freshly-scored batch) would otherwise append one version set and
-    // purge another — reading the delta-sized epoch back guarantees
-    // purge == landed, and on a replay it reads the ORIGINAL commit
-    val keys = spark.read
-      .format("graft.sources.ContentStore")
-      .option("path", path)
-      .option("manifests", name)
-      .load()
-      .select("result_key").distinct()
-      .collect().map(_.getString(0)).toSeq
-    UpsertReport(name, deleteKeys(spark, path, keys, excludeManifests = Set(name)))
+    val shards  = ContentStore.recordedDataShards(path, conf)
+    // 1. STAGE the version epoch's K-V files — data lands, nothing is
+    //    referenced until the single manifest below
+    val epochMsgs = stageKvFiles(versions, path, buckets, shards, conf)
+    val stagedFiles = epochMsgs.flatMap {
+      case m: StoreCommitMsg if m.rows > 0     => Seq(m.file)
+      case StoreFilesCommitMsg(fs, n) if n > 0 => fs
+      case _                                   => Seq.empty
+    }
+    // 2. the purge set reads back from the STAGED files (the read-back
+    //    rule, moved pre-commit: purge == staged by construction, so a
+    //    non-deterministic `versions` frame cannot desync the legs),
+    //    staying a FRAME all the way into the purge planner — a
+    //    re-crawl cohort at corpus scale never lands on the driver.
+    //    Excluding `name` covers the replayed-after-commit case.
+    val plan =
+      if (stagedFiles.isEmpty) None
+      else planKvPurgeFrame(
+        spark, path,
+        storeLines(spark, path, stagedFiles.toSeq, conf).select("key"),
+        Set(name), None)
+    // 3. ONE atomic manifest: epoch files + purge rewrites + carried
+    //    names, shadowing the affected manifests — a concurrent
+    //    unpinned reader sees the store strictly before or strictly
+    //    after the merge, never both versions of a key (closes the
+    //    two-commit visibility window the r17 decomposition had)
+    ContentStoreWrite.writeManifest(
+      path,
+      name,
+      epochMsgs ++ plan.fold(
+        Array.empty[org.apache.spark.sql.connector.write.WriterCommitMessage])(_.newMsgs),
+      conf,
+      idempotent = true,
+      compactSources = plan.map(_.affected).filter(_.nonEmpty),
+      buckets = buckets,
+      dataShards = shards,
+      carryMessages = plan.fold(
+        Array.empty[org.apache.spark.sql.connector.write.WriterCommitMessage])(_.carryMsgs)
+    )
+    UpsertReport(
+      name,
+      plan.fold(DeleteReport(None, 0L, 0, 0, 0)) { p =>
+        DeleteReport(Some(name), p.deleted, p.rewrittenFiles, p.droppedFiles, p.carriedFiles)
+      })
+  }
+
+  /** Stage `versions` as K-V line data files WITHOUT a manifest: the
+    * connector's own writer kernels ([[StoreDataWriter]] /
+    * [[BucketedStoreDataWriter]] — identical format, bounds and bucket
+    * routing to every committed write) run per input partition over
+    * the frame's InternalRows, each renaming its staged file into
+    * `data/` at task end. The files stay UNREFERENCED (invisible,
+    * vacuum-swept if never committed) until some manifest lists the
+    * returned commit messages — the split that lets [[upsert]] land
+    * its epoch and its purge in one atomic rename.
+    */
+  private def stageKvFiles(
+      versions: org.apache.spark.sql.DataFrame,
+      path: String,
+      buckets: Int,
+      shards: Int,
+      conf: Configuration
+  ): Array[org.apache.spark.sql.connector.write.WriterCommitMessage] = {
+    val projected = versions.selectExpr(
+      "CAST(result_key AS STRING) AS result_key", "CAST(payload AS STRING) AS payload")
+    val sconf = new SerializableConfiguration(conf)
+    projected.queryExecution.toRdd
+      .mapPartitions { rows =>
+        val w: org.apache.spark.sql.connector.write.DataWriter[
+          org.apache.spark.sql.catalyst.InternalRow] =
+          if (buckets > 0) new BucketedStoreDataWriter(path, 0, 1, buckets, sconf.value, shards)
+          else new StoreDataWriter(path, 0, 1, sconf.value, shards)
+        try {
+          rows.foreach(w.write)
+          Iterator.single(w.commit())
+        } catch { case e: Throwable => w.abort(); throw e }
+      }
+      .collect()
   }
 
   /** STREAMING UPSERT for the K-V payload — [[graft.sources
@@ -674,7 +1054,11 @@ object StoreLifecycle {
       var line = reader.readLine()
       while (line != null) {
         if (line.nonEmpty) {
-          val keyBytes = dec.decode(line.substring(0, line.indexOf('\t')))
+          val tab = line.indexOf('\t')
+          if (tab < 0)
+            throw new java.io.IOException(
+              s"deleteKeys: corrupt K-V line (no tab separator) in store $path data file $file")
+          val keyBytes = dec.decode(line.substring(0, tab))
           if (keys(new String(keyBytes, "UTF-8"))) dropped += 1
           else {
             kept += 1

@@ -573,4 +573,271 @@ class StoreDeleteSpec extends SparkSpecBase {
     intercept[IllegalStateException](
       ParquetEpochs.upsert(spark, kv, Seq((1L, "y")).toDF("id", "body"), "id", "n1"))
   }
+
+  test("evolveSchema crash window: _schema.next keeps the wide schema; narrow heal-forward refused") {
+    val dir = tmp()
+    import spark.implicits._
+    import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructType}
+    ParquetEpochs.append(Seq((1L, "x")).toDF("id", "v"), dir): Unit
+    val wide = new StructType().add("id", LongType).add("v", StringType).add("q", DoubleType)
+    ParquetEpochs.evolveSchema(dir, wide)
+    ParquetEpochs.append(Seq((2L, "y", 0.5)).toDF("id", "v", "q"), dir): Unit
+    val (fs, root) = ContentStore.fs(dir, hconf)
+    // simulate the fallback-window crash: the write-ahead sidecar
+    // landed, `_schema` was deleted, the final rename never happened
+    val schemaJson = {
+      val r = new java.io.BufferedReader(
+        new java.io.InputStreamReader(fs.open(new Path(root, "_schema")), "UTF-8"))
+      try Iterator.continually(r.readLine()).takeWhile(_ != null).mkString("\n")
+      finally r.close()
+    }
+    val out = fs.create(new Path(root, "_schema.next"), true)
+    try out.write(schemaJson.getBytes("UTF-8")) finally out.close()
+    assert(fs.delete(new Path(root, "_schema"), false))
+    // resolution falls back to the sidecar: reads stay WIDE...
+    assert(ParquetEpochs.recordedSchema(dir, hconf).get.fields.map(_.name).toSeq
+      == Seq("id", "v", "q"))
+    assert(ParquetEpochs.read(spark, dir, ContentStore.snapshotManifests(dir))
+      .columns.toSeq == Seq("id", "v", "q"))
+    // ...and a pre-evolution (narrow) writer is refused by the signature
+    intercept[IllegalStateException](
+      ParquetEpochs.append(Seq((3L, "z")).toDF("id", "v"), dir))
+    // even with BOTH markers lost, the live-footer guard refuses the
+    // narrow record (it would clip `q` from the wide file on disk)
+    assert(fs.delete(new Path(root, "_schema.next"), false))
+    intercept[IllegalStateException](
+      ParquetEpochs.append(Seq((3L, "z")).toDF("id", "v"), dir))
+    // the WIDE append heals the marker forward and everything reads
+    ParquetEpochs.append(Seq((3L, "z", 1.5)).toDF("id", "v", "q"), dir): Unit
+    assert(ParquetEpochs.recordedSchema(dir, hconf).get.fields.length == 3)
+    assert(ParquetEpochs.read(spark, dir, ContentStore.snapshotManifests(dir)).count() == 3)
+  }
+
+  test("DataFrame-valued deleteKeys matches the Seq form: same report shape, same survivors") {
+    val dirA = tmp(); val dirB = tmp()
+    for (dir <- Seq(dirA, dirB)) {
+      writeOne(dir, "a" -> "1", "b" -> "2")
+      writeOne(dir, "c" -> "3", "d" -> "4")
+      writeOne(dir, "e" -> "5", "f" -> "6")
+    }
+    import spark.implicits._
+    val purge = Seq("b", "c", "d", "zz-missing")
+    val rSeq  = StoreLifecycle.deleteKeys(spark, dirA, purge)
+    // the frame form forced onto the shuffle path (the escape hatch a
+    // non-broadcastable purge set needs) must land the same outcome
+    val rDf = StoreLifecycle.deleteKeys(spark, dirB, purge.toDF("k"), Set.empty, Some(false))
+    assert(rDf.deletedRows == rSeq.deletedRows && rDf.deletedRows == 3L)
+    assert(rDf.rewrittenFiles == rSeq.rewrittenFiles && rDf.rewrittenFiles == 1)
+    assert(rDf.droppedFiles == rSeq.droppedFiles && rDf.droppedFiles == 1)
+    assert(rDf.carriedFiles == rSeq.carriedFiles)
+    assert(readAll(dirA) == readAll(dirB))
+    assert(readAll(dirB) == Set("a" -> "1", "e" -> "5", "f" -> "6"))
+    // the e/f epoch's range admits none of the keys: it must stay live
+    // UNSHADOWED — the frame plan prunes through the same `_stats` map
+    val eff = ContentStore.snapshotManifests(dirB)
+    assert(eff.size == 2 && eff.count(_.startsWith("delete-")) == 1, s"got $eff")
+    // duplicate + NULL keys dedupe/drop; a replay of the converged
+    // delete finds nothing and commits nothing
+    val again = (purge ++ purge).map(Option(_)) :+ Option.empty[String]
+    assert(StoreLifecycle.deleteKeys(spark, dirB, again.toDF("k")).manifest.isEmpty)
+  }
+
+  test("DataFrame-valued deleteKeys on a bucketed store: prefixes preserved, bucket-pruned carry") {
+    val dir = tmp()
+    import spark.implicits._
+    val n = 4
+    Seq("a" -> "1", "b" -> "2", "c" -> "3", "d" -> "4", "e" -> "5", "f" -> "6")
+      .toDF("result_key", "payload")
+      .write.format("graft.sources.ContentStore")
+      .option("path", dir).option("buckets", n).mode("append").save()
+    val before = liveFiles(dir)
+    val r      = StoreLifecycle.deleteKeys(spark, dir, Seq("c").toDF("k"), Set.empty, Some(true))
+    assert(r.deletedRows == 1L)
+    val after = liveFiles(dir)
+    assert(after.forall(f => ContentStore.bucketOfFile(ContentStore.baseName(f)).isDefined),
+      "every rewritten file must keep its bucket prefix")
+    val cBucket = ContentStore.bucketOf("c", n)
+    val otherBucketFiles = before.filter(f =>
+      !ContentStore.bucketOfFile(ContentStore.baseName(f)).contains(cBucket))
+    assert(otherBucketFiles.forall(after.contains),
+      s"non-matching buckets must carry by name: $before -> $after")
+    val got = spark.read.format("graft.sources.ContentStore")
+      .option("path", dir).option("bucketedRead", n).load()
+      .select("result_key", "payload")
+      .collect().map(row => (row.getString(0), row.getString(1))).toSet
+    assert(got == Set("a" -> "1", "b" -> "2", "d" -> "4", "e" -> "5", "f" -> "6"))
+  }
+
+  test("DataFrame-valued deleteWhere matches the Seq form; NULL keys drop, NULL rows kept") {
+    val dirA = tmp(); val dirB = tmp()
+    import spark.implicits._
+    val rows = Seq((1L, "x"), (2L, "y"), (3L, null), (4L, "w"), (5L, "v"), (6L, "u"))
+    for (dir <- Seq(dirA, dirB)) {
+      ParquetEpochs.append(
+        rows.take(3).toDF("id", "v").repartitionByRange(1, col("id")).sortWithinPartitions("id"),
+        dir): Unit
+      ParquetEpochs.append(
+        rows.drop(3).toDF("id", "v").repartitionByRange(1, col("id")).sortWithinPartitions("id"),
+        dir): Unit
+    }
+    // string-typed purge with a NULL in the frame: the NULL drops, the
+    // (3, null) row is KEPT on both paths (IN semantics)
+    val rSeq = ParquetEpochs.deleteWhere(spark, dirA, "v", Seq[Any]("y", "u"))
+    val rDf = ParquetEpochs.deleteWhere(
+      spark, dirB, "v", Seq(Option("y"), Option("u"), Option.empty[String]).toDF("v"),
+      None, Set.empty, Some(false))
+    assert(rDf.deletedRows == rSeq.deletedRows && rDf.deletedRows == 2L)
+    // rewritten PART counts are write-layout noise (the frame path's
+    // shuffled survivors may split differently); >0 on both is the
+    // semantic fact
+    assert(rDf.rewrittenFiles > 0 && rSeq.rewrittenFiles > 0)
+    assert(rDf.droppedFiles == rSeq.droppedFiles && rDf.droppedFiles == 2)
+    assert(rDf.carriedFiles == rSeq.carriedFiles)
+    def ids(dir: String): Set[Long] =
+      ParquetEpochs.read(spark, dir, ContentStore.snapshotManifests(dir))
+        .collect().map(_.getLong(0)).toSet
+    assert(ids(dirA) == ids(dirB) && ids(dirB) == Set(1L, 3L, 4L, 5L))
+    // long-typed purge exercises the "long"-bounds plan join; the
+    // 4..6 epoch's range excludes id 1 so its file is never a candidate
+    val r1 = ParquetEpochs.deleteWhere(spark, dirB, "id", Seq(1L).toDF("id"))
+    assert(r1.deletedRows == 1L && ids(dirB) == Set(3L, 4L, 5L))
+    // a frame whose type disagrees with the recorded column is refused
+    // (an implicit cast would change match semantics)
+    intercept[IllegalArgumentException](
+      ParquetEpochs.deleteWhere(spark, dirB, "id", Seq(3).toDF("id")))
+  }
+
+  test("columnar upsert is ONE atomic commit: a polling reader never sees both versions of a key") {
+    val dir = tmp()
+    import spark.implicits._
+    ParquetEpochs.append(Seq((1L, "old1"), (2L, "old2")).toDF("id", "v"), dir): Unit
+    ParquetEpochs.append(Seq((3L, "old3")).toDF("id", "v"), dir): Unit
+    @volatile var bad: Option[String] = None
+    @volatile var stop                = false
+    val reader = new Thread(() => {
+      try {
+        while (!stop && bad.isEmpty) {
+          val vs = ParquetEpochs.read(spark, dir, ContentStore.snapshotManifests(dir))
+            .filter(col("id") === 1L).collect().map(_.getString(1)).toSet
+          if (vs != Set("old1") && vs != Set("new1"))
+            bad = Some(s"saw $vs")
+        }
+      } catch { case e: Throwable => bad = Some(s"reader threw: $e") }
+    })
+    reader.start()
+    val r = ParquetEpochs.upsert(
+      spark, dir, Seq((1L, "new1"), (4L, "new4")).toDF("id", "v"), "id", "e1")
+    stop = true; reader.join(30000)
+    assert(bad.isEmpty, s"concurrent reader saw a mixed/neither state: $bad")
+    assert(r.purge.deletedRows == 1L && r.purge.manifest.contains("upsert-pq-e1"))
+    // structural atomicity: ONE commit landed — the epoch+survivor+
+    // carry swap; no separate delete- replacement exists anywhere
+    val all = ContentStore.manifestNames(dir, hconf)
+    assert(all.count(_.startsWith("upsert-pq-")) == 1 && !all.exists(_.startsWith("delete-pq-")),
+      s"expected one combined upsert manifest, got $all")
+    def rows(): Set[(Long, String)] =
+      ParquetEpochs.read(spark, dir, ContentStore.snapshotManifests(dir))
+        .collect().map(row => (row.getLong(0), row.getString(1))).toSet
+    assert(rows() == Set(1L -> "new1", 2L -> "old2", 3L -> "old3", 4L -> "new4"))
+    // a rerun with the same epochId converges: replayed staged files
+    // drop at the idempotent rename, values unchanged
+    val r2 = ParquetEpochs.upsert(
+      spark, dir, Seq((1L, "new1"), (4L, "new4")).toDF("id", "v"), "id", "e1")
+    assert(r2.purge.manifest.isEmpty)
+    assert(rows() == Set(1L -> "new1", 2L -> "old2", 3L -> "old3", 4L -> "new4"))
+  }
+
+  test("K-V upsert is ONE atomic commit: a polling reader never sees both versions of a key") {
+    val dir = tmp()
+    writeOne(dir, "a" -> "old-a", "b" -> "old-b")
+    writeOne(dir, "c" -> "old-c")
+    @volatile var bad: Option[String] = None
+    @volatile var stop                = false
+    val reader = new Thread(() => {
+      try {
+        while (!stop && bad.isEmpty) {
+          val vs = spark.read.format("graft.sources.ContentStore").option("path", dir).load()
+            .filter(col("result_key") === "a").collect().map(_.getString(1)).toSet
+          if (vs != Set("old-a") && vs != Set("new-a"))
+            bad = Some(s"saw $vs")
+        }
+      } catch { case e: Throwable => bad = Some(s"reader threw: $e") }
+    })
+    reader.start()
+    val r = StoreLifecycle.upsert(spark, dir, versionsDf("a" -> "new-a", "d" -> "new-d"), "e1")
+    stop = true; reader.join(30000)
+    assert(bad.isEmpty, s"concurrent reader saw a mixed/neither state: $bad")
+    assert(r.purge.deletedRows == 1L && r.purge.manifest.contains("upsert-e1"))
+    val all = ContentStore.manifestNames(dir, hconf)
+    assert(all.count(_.startsWith("upsert-")) == 1 && !all.exists(_.startsWith("delete-")),
+      s"expected one combined upsert manifest, got $all")
+    assert(readAll(dir) ==
+      Set("a" -> "new-a", "b" -> "old-b", "c" -> "old-c", "d" -> "new-d"))
+    // same-id rerun converges
+    val r2 = StoreLifecycle.upsert(spark, dir, versionsDf("a" -> "new-a", "d" -> "new-d"), "e1")
+    assert(r2.purge.manifest.isEmpty)
+    assert(readAll(dir) ==
+      Set("a" -> "new-a", "b" -> "old-b", "c" -> "old-c", "d" -> "new-d"))
+  }
+
+  /** Instrumentation witness for the VERDICT-r17 `weak`: with the
+    * shuffle escape hatch, the frame-valued K-V purge's DRIVER
+    * residency (sum of task result bytes — collects and broadcast
+    * builds both land there) stays metadata-sized as the key set
+    * scales 100×. If any leg collected or broadcast the key set, the
+    * big run would return megabytes more than the small one.
+    */
+  test("frame-valued purge: driver result bytes stay metadata-sized as the key set scales 100x") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+    import spark.implicits._
+    val pad = "p" * 48
+    def mkStore(): String = {
+      val dir = tmp()
+      val df = spark.range(0, 4000)
+        .select(
+          org.apache.spark.sql.functions.format_string("k%06d-%s", col("id"), org.apache.spark.sql.functions.lit(pad))
+            .as("result_key"),
+          col("id").cast("string").as("payload"))
+        .repartitionByRange(4, col("result_key"))
+      df.write.format("graft.sources.ContentStore").option("path", dir).mode("append").save()
+      dir
+    }
+    // both purges delete exactly rows 0..499; only the PAD of
+    // non-matching keys scales (1k -> 100k keys ≈ 60 B each ≈ 6 MB)
+    def purge(n: Long) = spark.range(0, n).select(
+      org.apache.spark.sql.functions
+        .when(col("id") < 500,
+          org.apache.spark.sql.functions.format_string("k%06d-%s", col("id"), org.apache.spark.sql.functions.lit(pad)))
+        .otherwise(
+          org.apache.spark.sql.functions.format_string("z%09d-%s", col("id"), org.apache.spark.sql.functions.lit(pad)))
+        .as("k"))
+    val bytes = new java.util.concurrent.atomic.AtomicLong(0)
+    val listener = new SparkListener {
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
+        if (t.taskMetrics != null) bytes.addAndGet(t.taskMetrics.resultSize): Unit
+    }
+    def measured(f: => StoreLifecycle.DeleteReport): Long = {
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        bytes.set(0L)
+        val r = f
+        assert(r.deletedRows == 500L)
+        // listener events drain async: wait for the counter to settle
+        var last = -1L
+        var spin = 0
+        while (bytes.get() != last && spin < 50) {
+          last = bytes.get(); Thread.sleep(100); spin += 1
+        }
+        bytes.get()
+      } finally spark.sparkContext.removeSparkListener(listener)
+    }
+    val small = measured(
+      StoreLifecycle.deleteKeys(spark, mkStore(), purge(1000), Set.empty, Some(false)))
+    val big = measured(
+      StoreLifecycle.deleteKeys(spark, mkStore(), purge(100000), Set.empty, Some(false)))
+    // 100x keys ≈ +6 MB of key strings; metadata-sized driver traffic
+    // tolerates task-count jitter but NOT a key-set materialization
+    assert(big < small * 4 + 1 * 1024 * 1024,
+      s"driver result bytes scaled with the key set: $small -> $big")
+  }
 }

@@ -755,4 +755,41 @@ class StoreLifecycleSpec extends SparkSpecBase {
     assert(graft.sources.ParquetEpochs.read(spark, dst2, out2)
       .collect().map(_.getString(0)).sorted.toSeq == Seq("a", "late"))
   }
+
+  test("OCC: a replacement whose planned sources were shadowed refuses with a retryable conflict") {
+    val dir = tmp()
+    writeOne(dir, "a" -> "1")
+    writeOne(dir, "b" -> "2")
+    writeOne(dir, "c" -> "3")
+    writeOne(dir, "d" -> "4")
+    val epochs = ContentStore.snapshotManifests(dir)
+    // a real compaction folds the two oldest epochs...
+    val c1 = StoreLifecycle.compactEpochs(spark, dir, keepLast = 2)
+    assert(c1.nonEmpty)
+    // ...then a STALE plan (computed before that compaction, here the
+    // racing loser overlapping-but-unequal: one now-shadowed source +
+    // one still-live source) must refuse at commit, store untouched
+    val afterCompact = ContentStore.snapshotManifests(dir).toSet
+    val stale = Seq(
+      epochs.filterNot(afterCompact).head, // folded by c1
+      epochs.filter(afterCompact).head)    // still live
+    val before = ContentStore.snapshotManifests(dir)
+    intercept[graft.sources.StoreCommitConflictException] {
+      ContentStoreWrite.writeManifest(
+        dir, "stale-replacement", Array.empty, hconf,
+        idempotent = true, compactSources = Some(stale))
+    }
+    assert(ContentStore.snapshotManifests(dir) == before, "refused commit must change nothing")
+    assert(readAll(dir) == Set("a" -> "1", "b" -> "2", "c" -> "3", "d" -> "4"))
+    // the RETRY LOOP: re-running the operation re-plans from the
+    // current snapshot and converges (folds everything cleanly)
+    assert(StoreLifecycle.compactEpochs(spark, dir).nonEmpty)
+    assert(readAll(dir) == Set("a" -> "1", "b" -> "2", "c" -> "3", "d" -> "4"))
+    // a replacement over sources still effective commits fine
+    val live = ContentStore.snapshotManifests(dir)
+    ContentStoreWrite.writeManifest(
+      dir, "retire-live", Array.empty, hconf,
+      idempotent = true, compactSources = Some(live))
+    assert(readAll(dir).isEmpty)
+  }
 }
