@@ -85,6 +85,9 @@ object SparkEntry {
         s"${System.getProperty("java.io.tmpdir")}/graft-asofstore")),
     "q_stream_upsert" -> ((s, d) =>
       graft.streaming.StreamReplay.replayStreamingUpsert(s, d)),
+    "q_store_forget" -> ((s, d) =>
+      graft.operators.Forget.forgetRead(Tables(s, d),
+        s"${System.getProperty("java.io.tmpdir")}/graft-forget")),
     "q_store_retention" -> ((s, d) =>
       Joins.storeRetentionRead(Tables(s, d),
         s"${System.getProperty("java.io.tmpdir")}/graft-retainstore")),
@@ -1574,6 +1577,21 @@ object SparkEntry {
         |  CASE WHEN doc_id % 4 = 0 THEN 'xx' ELSE lang END AS lang,
         |  n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_store_forget" -> // B87: cross-asset RTBF cascade — every asset (corpus, both
+      // signature indexes, IVF assignments) holds exactly the
+      // survivors, and the component state hands each purged LABEL to
+      // the next-smallest surviving member (groups-of-3 fixture: the
+      // min of every group is in the cohort, so the window min over
+      // survivors IS the handed-off label)
+      """WITH survivors AS (SELECT doc_id FROM documents WHERE doc_id % 3 <> 0)
+        |SELECT 'corpus' AS asset, doc_id, CAST(NULL AS BIGINT) AS component FROM survivors
+        |UNION ALL SELECT 'kvsig', doc_id, CAST(NULL AS BIGINT) FROM survivors
+        |UNION ALL SELECT 'colsig', doc_id, CAST(NULL AS BIGINT) FROM survivors
+        |UNION ALL SELECT 'state', doc_id,
+        |  MIN(doc_id) OVER (PARTITION BY (doc_id - doc_id % 3)) FROM survivors
+        |UNION ALL SELECT 'ivf', vec_id, CAST(NULL AS BIGINT) FROM embeddings
+        |  WHERE vec_id % 3 <> 0 AND len(list_filter(embedding, x -> x <> 0)) > 0
+        |ORDER BY 1, 2""".stripMargin,
     "q_store_retention" -> // B86: age-based epoch retention — only the post-cutoff half
       // survives the rolling window
       """SELECT printf('u%06d', user_id) AS result_key,
