@@ -85,6 +85,12 @@ object SparkEntry {
         s"${System.getProperty("java.io.tmpdir")}/graft-asofstore")),
     "q_stream_upsert" -> ((s, d) =>
       graft.streaming.StreamReplay.replayStreamingUpsert(s, d)),
+    "q_catalog_read" -> ((s, d) =>
+      Joins.catalogKvRead(Tables(s, d),
+        s"${System.getProperty("java.io.tmpdir")}/graft-catwh")),
+    "q_catalog_read_columnar" -> ((s, d) =>
+      Joins.catalogColumnarRead(Tables(s, d),
+        s"${System.getProperty("java.io.tmpdir")}/graft-catwh")),
     "q_store_forget" -> ((s, d) =>
       graft.operators.Forget.forgetRead(Tables(s, d),
         s"${System.getProperty("java.io.tmpdir")}/graft-forget")),
@@ -1577,6 +1583,16 @@ object SparkEntry {
         |  CASE WHEN doc_id % 4 = 0 THEN 'xx' ELSE lang END AS lang,
         |  n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_catalog_read" -> // B88: K-V store addressed BY NAME from SQL through the
+      // TableCatalog — values equal the store-free profile
+      """SELECT printf('u%06d', user_id) AS result_key,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS purchase_cents
+        |FROM events WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_catalog_read_columnar" -> // B88: columnar store through the catalog with a clustered-key
+      // slice — resolution + file skipping add nothing to the values
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE doc_id BETWEEN 100 AND 199 ORDER BY doc_id""".stripMargin,
     "q_store_forget" -> // B87: cross-asset RTBF cascade — every asset (corpus, both
       // signature indexes, IVF assignments) holds exactly the
       // survivors, and the component state hands each purged LABEL to

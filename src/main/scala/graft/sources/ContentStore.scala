@@ -463,7 +463,10 @@ object ContentStore {
   }
 }
 
-private[graft] class ContentStoreTable(path: String, bucketedRead: Int = 0)
+private[graft] class ContentStoreTable(
+    path: String,
+    bucketedRead: Int = 0,
+    defaultManifests: Option[Seq[String]] = None)
     extends Table
     with SupportsRead
     with SupportsWrite {
@@ -496,8 +499,12 @@ private[graft] class ContentStoreTable(path: String, bucketedRead: Int = 0)
     // name ordering, is the snapshot identity; capture it with
     // [[ContentStore.snapshotManifests]] at publish time). Commits
     // landing after the pin are invisible by construction.
+    // catalog-loaded tables carry their pin in the TABLE (time travel
+    // resolved at loadTable — SQL has no scan-option channel); an
+    // explicit scan option still wins
     val pinnedManifests: Option[Seq[String]] =
       Option(options.get("manifests")).map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+        .orElse(defaultManifests)
     def committed(): Seq[String] = pinnedManifests match {
       case Some(names) => names.flatMap(m => ContentStore.filesInManifest(path, m, conf.value))
       case None        => ContentStore.committedFiles(path, conf.value)

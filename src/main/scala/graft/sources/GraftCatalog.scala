@@ -1,0 +1,284 @@
+package graft.sources
+
+import java.util
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.connector.catalog.{Identifier, SupportsRead, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.util.SerializableConfiguration
+
+/** B88: SQL/catalog addressability of stores — the resolution surface
+  * every store has lacked: until now a store was reachable only
+  * through the Scala API or `spark.read.format(...)` with a path
+  * option, so a SQL user could not `SELECT ... FROM store` and
+  * time-travel could not be expressed from SQL at all. This is the
+  * Delta/Iceberg shape — a `TableCatalog` mapping identifiers to store
+  * paths under one warehouse root — over the DSv2 tables that already
+  * exist. (Reference analog: consumers address state by NAME — table
+  * names in lcount.go:171-196 — never by filesystem path.)
+  *
+  * Wire-up (session conf, the standard plugin contract):
+  * {{{
+  *   spark.sql.catalog.graft           = graft.sources.GraftCatalog
+  *   spark.sql.catalog.graft.warehouse = /path/to/stores
+  * }}}
+  * then `SELECT * FROM graft.my_store` resolves
+  * `/path/to/stores/my_store` (namespaces map to subdirectories), and
+  * payload detection is the store's own `_format` marker: columnar
+  * stores load a batch table over the recorded schema, anything else
+  * loads the K-V [[ContentStoreTable]] (its full batch + streaming +
+  * write surface — `INSERT INTO graft.s SELECT ...` works because the
+  * table already supports BATCH_WRITE).
+  *
+  * TIME TRAVEL from SQL, both standard forms, resolved at loadTable
+  * (SQL has no scan-option channel):
+  *  - `FOR TIMESTAMP AS OF <ts>` → [[ContentStore.snapshotManifestsAsOf]]
+  *    (the B85 view, micros→millis);
+  *  - `FOR VERSION AS OF '<v>'` → a PIN LEASE id ([[StoreLifecycle
+  *    .acquirePin]] — the lease IS the named version, which also makes
+  *    it vacuum-safe) or, failing that, an explicit comma-separated
+  *    manifest list.
+  *
+  * The catalog is a RESOLUTION surface, not a second engine: columnar
+  * batch scans reuse the store's vectorized per-file reader
+  * ([[ColumnarStoreReaderFactory]]) with column pruning pushed to the
+  * parquet reader and PLANNING-TIME file skipping from the `_stats`
+  * bounds (the B65b map) for pushed comparison filters — every filter
+  * stays RESIDUAL (pushedFilters reports none), so skipping is
+  * I/O-only and can never change values, exactly the readRange
+  * contract. DDL (create/alter/drop/rename) is refused: stores are
+  * created by writers, not by the catalog — CREATE would duplicate
+  * the append protocol's first-write metadata contracts.
+  */
+class GraftCatalog extends TableCatalog {
+
+  private var catalogName: String = _
+  private var warehouse: String   = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouse = options.get("warehouse")
+    require(warehouse != null && warehouse.nonEmpty,
+      s"GraftCatalog '$name' requires spark.sql.catalog.$name.warehouse")
+  }
+
+  override def name(): String = catalogName
+
+  private def pathOf(ident: Identifier): String = {
+    val parts = ident.namespace().toSeq :+ ident.name()
+    parts.foreach { p =>
+      require(p.matches("[A-Za-z0-9._-]+") && p != "." && p != "..",
+        s"GraftCatalog: illegal identifier segment '$p'")
+    }
+    (warehouse +: parts).mkString("/")
+  }
+
+  private def isStore(path: String): Boolean = {
+    val conf         = ContentStore.driverHadoopConf()
+    val (fsys, root) = ContentStore.fs(path, conf)
+    fsys.exists(new Path(root, "_manifest")) || fsys.exists(new Path(root, "_format"))
+  }
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val conf        = ContentStore.driverHadoopConf()
+    val base        = (warehouse +: namespace.toSeq).mkString("/")
+    val (fsys, dir) = ContentStore.fs(base, conf)
+    if (!fsys.exists(dir)) return Array.empty
+    fsys.listStatus(dir).toSeq
+      .filter(st => st.isDirectory && isStore(st.getPath.toString))
+      .map(st => Identifier.of(namespace, st.getPath.getName))
+      .toArray
+  }
+
+  override def tableExists(ident: Identifier): Boolean = isStore(pathOf(ident))
+
+  override def loadTable(ident: Identifier): Table = load(ident, None)
+
+  /** `FOR VERSION AS OF 'v'`: v names a pin lease, else lists manifests. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val path = pathOf(ident)
+    val conf = ContentStore.driverHadoopConf()
+    val pin = StoreLifecycle.pins(path, conf).find(_.id == version).map(_.manifests)
+      .getOrElse {
+        val names     = version.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+        val committed = ContentStore.manifestNames(path, conf).toSet
+        val missing   = names.filterNot(committed)
+        require(names.nonEmpty && missing.isEmpty,
+          s"GraftCatalog: version '$version' is neither a pin lease of $path nor a " +
+            s"committed manifest list${if (missing.nonEmpty) s" (missing: ${missing.mkString(", ")})" else ""}")
+        names
+      }
+    load(ident, Some(pin))
+  }
+
+  /** `FOR TIMESTAMP AS OF ts` (micros — the TableCatalog contract). */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table =
+    load(ident, Some(ContentStore.snapshotManifestsAsOf(pathOf(ident), timestampMicros / 1000L)))
+
+  private def load(ident: Identifier, pinned: Option[Seq[String]]): Table = {
+    val path = pathOf(ident)
+    val conf = ContentStore.driverHadoopConf()
+    if (!isStore(path))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+        ident.namespace().toSeq :+ ident.name())
+    if (ContentStore.recordedFormat(path, conf).contains("parquet")) {
+      val schema = ParquetEpochs.recordedSchema(path, conf).getOrElse(
+        throw new IllegalStateException(
+          s"GraftCatalog: columnar store $path has no recorded _schema — " +
+            "one ParquetEpochs.append heals it forward"))
+      new ColumnarBatchTable(path, schema, pinned)
+    } else
+      new ContentStoreTable(path, bucketedRead = 0, defaultManifests = pinned)
+  }
+
+  override def createTable(
+      ident: Identifier,
+      schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]
+  ): Table =
+    throw new UnsupportedOperationException(
+      "GraftCatalog: stores are created by their writers (ContentStore append / " +
+        "ParquetEpochs.append), not by CREATE TABLE")
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "GraftCatalog: use evolveSchema / store maintenance ops, not ALTER TABLE")
+
+  override def dropTable(ident: Identifier): Boolean =
+    throw new UnsupportedOperationException(
+      "GraftCatalog: store deletion is an operator action, not DROP TABLE")
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException("GraftCatalog: RENAME is not supported")
+}
+
+/** Catalog-facing BATCH table over a columnar store — the read surface
+  * [[ColumnarStoreTable]] deliberately does not carry (its batch
+  * answer is "use ParquetEpochs.read", which SQL cannot). One input
+  * partition per pinned data file through the store's own vectorized
+  * reader; column pruning reaches the parquet reader's
+  * requested-schema conf; pushed comparison filters prune FILES
+  * against the `_stats` bounds at planning time and then stay fully
+  * residual (pushedFilters = none), so skipping is I/O-only — the
+  * readRange contract on the SQL path.
+  */
+private[graft] class ColumnarBatchTable(
+    path: String,
+    tableSchema: StructType,
+    pinned: Option[Seq[String]]
+) extends Table
+    with SupportsRead {
+
+  override def name(): String       = s"graft_columnar_store($path)"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val conf = new SerializableConfiguration(ContentStore.driverHadoopConf())
+    new ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+      private var required: StructType   = tableSchema
+      private var pruning: Array[Filter] = Array.empty
+
+      override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+        pruning = filters.filter(ColumnarBatchTable.prunable)
+        filters // every filter stays residual — pruning is I/O-only
+      }
+      override def pushedFilters(): Array[Filter] = Array.empty
+      override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
+
+      override def build(): Scan = new Scan with Batch {
+        override def readSchema(): StructType = required
+        override def toBatch: Batch           = this
+        override def planInputPartitions(): Array[InputPartition] = {
+          // pin resolved at loadTable (time travel) or snapshotted here
+          // (the live read — per-scan, like every effective listing)
+          val manifests =
+            pinned.getOrElse(ContentStore.effectiveManifestNames(path, conf.value))
+          val files = manifests.flatMap(m => ContentStore.filesInManifest(path, m, conf.value))
+          val byColumn = pruning.flatMap(f => f.references.headOption.map(_ -> f))
+            .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+          val bounds = byColumn.keys.map { c =>
+            c -> ParquetEpochs.columnBounds(path, manifests, c, conf.value)
+          }.toMap
+          files.filter { file =>
+            byColumn.forall { case (c, fs) =>
+              bounds(c).get(file).forall(b => fs.forall(ColumnarBatchTable.mayMatch(b, _)))
+            }
+          }.map(f => StoreFilePartition(path, f): InputPartition).toArray
+        }
+        override def createReaderFactory(): PartitionReaderFactory =
+          new ColumnarStoreReaderFactory(required, conf, ParquetConverterFlags.fromActiveSession())
+      }
+    }
+  }
+}
+
+private[graft] object ColumnarBatchTable {
+
+  /** Filters the planner may use for file skipping: single-column
+    * comparisons whose value domain can meet a recorded bound (longs
+    * against "long" bounds, strings against "string" bounds — checked
+    * again per bound in [[mayMatch]]).
+    */
+  private[sources] def prunable(f: Filter): Boolean = f match {
+    case EqualTo(_, v)            => scalar(v)
+    case GreaterThan(_, v)        => scalar(v)
+    case GreaterThanOrEqual(_, v) => scalar(v)
+    case LessThan(_, v)           => scalar(v)
+    case LessThanOrEqual(_, v)    => scalar(v)
+    case In(_, vs)                => vs.nonEmpty && vs.forall(scalar)
+    case _                        => false
+  }
+
+  private def scalar(v: Any): Boolean = v match {
+    case _: Long | _: Int | _: String => true
+    case _                            => false
+  }
+
+  private def unsignedCompare(a: Array[Byte], b: Array[Byte]): Int = {
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      val d = (a(i) & 0xff) - (b(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    a.length - b.length
+  }
+
+  /** max(bound) vs v, None on a domain mismatch (mismatch = keep). */
+  private def cmpMax(b: ParquetEpochs.ColumnBound, v: Any): Option[Int] = (b.tag, v) match {
+    case ("long", l: Long)     => Some(java.lang.Long.compare(b.maxL, l))
+    case ("long", i: Int)      => Some(java.lang.Long.compare(b.maxL, i.toLong))
+    case ("string", s: String) => Some(unsignedCompare(b.maxB, s.getBytes("UTF-8")))
+    case _                     => None
+  }
+
+  private def cmpMin(b: ParquetEpochs.ColumnBound, v: Any): Option[Int] = (b.tag, v) match {
+    case ("long", l: Long)     => Some(java.lang.Long.compare(b.minL, l))
+    case ("long", i: Int)      => Some(java.lang.Long.compare(b.minL, i.toLong))
+    case ("string", s: String) => Some(unsignedCompare(b.minB, s.getBytes("UTF-8")))
+    case _                     => None
+  }
+
+  /** Conservative: true unless the recorded bound PROVES no row of the
+    * file can satisfy the filter.
+    */
+  private[sources] def mayMatch(b: ParquetEpochs.ColumnBound, f: Filter): Boolean = f match {
+    case EqualTo(_, v) =>
+      cmpMax(b, v).forall(_ >= 0) && cmpMin(b, v).forall(_ <= 0)
+    case GreaterThan(_, v)        => cmpMax(b, v).forall(_ > 0)
+    case GreaterThanOrEqual(_, v) => cmpMax(b, v).forall(_ >= 0)
+    case LessThan(_, v)           => cmpMin(b, v).forall(_ < 0)
+    case LessThanOrEqual(_, v)    => cmpMin(b, v).forall(_ <= 0)
+    case In(_, vs) =>
+      vs.exists(v => cmpMax(b, v).forall(_ >= 0) && cmpMin(b, v).forall(_ <= 0))
+    case _ => true
+  }
+}

@@ -111,6 +111,87 @@ class SqlSurfaceSpec extends SparkSpecBase {
     assert(rows.map(_.getAs[Long]("sh")).toSeq == viaOperator)
   }
 
+
+  test("catalog: K-V and columnar stores resolve BY NAME; values equal the path-option reads") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-catspec").toString
+    spark.conf.set("spark.sql.catalog.gspec", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gspec.warehouse", wh)
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // K-V store
+    Seq(("a", "1"), ("b", "2")).toDF("result_key", "payload")
+      .write.format("graft.sources.ContentStore").option("path", s"$wh/kv").mode("append").save()
+    val viaCatalog = spark.sql("SELECT result_key, payload FROM gspec.kv ORDER BY result_key")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    val viaPath = spark.read.format("graft.sources.ContentStore").option("path", s"$wh/kv")
+      .load().orderBy("result_key")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(viaCatalog == viaPath && viaCatalog == Seq("a" -> "1", "b" -> "2"))
+    // columnar store (two clustered epochs)
+    val rows = (0L until 64L).map(i => (i, s"v$i"))
+    graft.sources.ParquetEpochs.append(
+      rows.take(32).toDF("id", "v").repartitionByRange(4, col("id")).sortWithinPartitions("id"),
+      s"$wh/cols"): Unit
+    graft.sources.ParquetEpochs.append(
+      rows.drop(32).toDF("id", "v").repartitionByRange(4, col("id")).sortWithinPartitions("id"),
+      s"$wh/cols"): Unit
+    val sqlRead = spark.sql("SELECT id, v FROM gspec.cols ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val apiRead = graft.sources.ParquetEpochs
+      .read(spark, s"$wh/cols", graft.sources.ContentStore.snapshotManifests(s"$wh/cols"))
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(sqlRead == apiRead && sqlRead.size == 64)
+    // planning-time file skipping on the SQL path: a clustered-key
+    // slice plans fewer partitions (files) than the full scan, with
+    // the filter still applied residually
+    def partitionsOf(sql: String): Int = {
+      val plan = spark.sql(sql).queryExecution.executedPlan
+      plan.collectFirst {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.inputRDD.getNumPartitions
+      }.getOrElse(fail(s"no BatchScanExec in: $plan"))
+    }
+    val full   = partitionsOf("SELECT id FROM gspec.cols")
+    val sliced = partitionsOf("SELECT id FROM gspec.cols WHERE id BETWEEN 3 AND 5")
+    assert(sliced < full, s"expected file skipping: $sliced vs $full planned partitions")
+    val vals = spark.sql("SELECT id FROM gspec.cols WHERE id BETWEEN 3 AND 5 ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(vals == Seq(3L, 4L, 5L), "residual filter must still apply inside covering files")
+  }
+
+  test("catalog time travel: TIMESTAMP AS OF and VERSION AS OF (pin lease) from SQL") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-catspec-tt").toString
+    spark.conf.set("spark.sql.catalog.gtt", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gtt.warehouse", wh)
+    import spark.implicits._
+    val dir   = s"$wh/kv"
+    val hconf = spark.sessionState.newHadoopConf()
+    Seq(("a", "1")).toDF("result_key", "payload")
+      .write.format("graft.sources.ContentStore").option("path", dir).mode("append").save()
+    // lease the epoch-1 snapshot as a NAMED VERSION, then observe the
+    // boundary instant and land a second epoch strictly after it
+    graft.sources.StoreLifecycle.acquirePin(dir, "v1", 3600000L, hconf): Unit
+    val (fsys, root) = graft.sources.ContentStore.fs(dir, hconf)
+    val m1 = fsys.listStatus(new org.apache.hadoop.fs.Path(root, "_manifest"))
+      .filterNot(_.getPath.getName.startsWith(".")).map(_.getModificationTime).max
+    val probe = new org.apache.hadoop.fs.Path(root, "._fence")
+    var t = 0L
+    while ({ fsys.create(probe, true).close()
+             t = fsys.getFileStatus(probe).getModificationTime; t <= m1 }) Thread.sleep(5)
+    fsys.delete(probe, false): Unit
+    Seq(("b", "2")).toDF("result_key", "payload")
+      .write.format("graft.sources.ContentStore").option("path", dir).mode("append").save()
+    def keys(sql: String): Seq[String] =
+      spark.sql(sql).collect().map(_.getString(0)).sorted.toSeq
+    assert(keys("SELECT result_key FROM gtt.kv") == Seq("a", "b"))
+    assert(keys(s"SELECT result_key FROM gtt.kv TIMESTAMP AS OF timestamp_millis(${m1}L)")
+      == Seq("a"), "as-of view must exclude the later epoch")
+    assert(keys("SELECT result_key FROM gtt.kv VERSION AS OF 'v1'") == Seq("a"),
+      "the pin lease is the named version")
+    intercept[Exception](
+      spark.sql("SELECT * FROM gtt.kv VERSION AS OF 'no-such-version'").collect())
+  }
+
   test("gate hygiene: every query key is oracle-gated or on the explicit rows-only list") {
     // the driver treats a queries key with no oracleSql entry as a
     // weaker rows-only check — which is correct ONLY for the genuinely
