@@ -84,7 +84,14 @@ object ParquetEpochs {
     val shards = if (dataShards > 0) dataShards else recordedShards
     val moved  = stageParts(df, shards, fsys, root)
     val name   = manifestName.getOrElse(s"batch-pq-${UUID.randomUUID()}")
-    writeFileStats(fsys, root, name, carryFiles ++ moved, conf)
+    // carried files' bounds are immutable: copy their recorded lines
+    // from the shadowed sources' sidecars; footer-read only the moved
+    // parts and any carried file without a line (legacy sidecars)
+    val (carryLines, covered) =
+      if (carryFiles.isEmpty) (Nil, Set.empty[String])
+      else harvestStats(fsys, root, compactSources.getOrElse(Seq.empty), carryFiles.toSet)
+    writeFileStats(fsys, root, name,
+      carryFiles.filterNot(covered) ++ moved, conf, extraLines = carryLines)
     ContentStoreWrite.writeManifest(
       storeDir,
       name,
@@ -456,7 +463,8 @@ object ParquetEpochs {
       root: Path,
       name: String,
       moved: Seq[String],
-      conf: org.apache.hadoop.conf.Configuration
+      conf: org.apache.hadoop.conf.Configuration,
+      extraLines: Seq[String] = Nil
   ): Unit = {
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
     import org.apache.parquet.schema.LogicalTypeAnnotation
@@ -512,16 +520,52 @@ object ParquetEpochs {
         }
       }
     }
-    if (lines.nonEmpty) {
+    val allLines = extraLines ++ lines
+    if (allLines.nonEmpty) {
       val statsDir = new Path(root, "_stats")
       fsys.mkdirs(statsDir)
       val tmp = new Path(statsDir, s".tmp-$name-${UUID.randomUUID()}")
       val out = fsys.create(tmp, false)
-      try out.write(lines.mkString("\n").getBytes("UTF-8"))
+      try out.write(allLines.mkString("\n").getBytes("UTF-8"))
       finally out.close()
       // best-effort, first-write-wins: a lost rename only disables skipping
       if (!fsys.rename(tmp, new Path(statsDir, name))) fsys.delete(tmp, false): Unit
     }
+  }
+
+  /** Carried files' recorded stat lines, HARVESTED from existing
+    * `_stats` sidecars instead of re-reading parquet footers: a
+    * replacement manifest re-lists untouched files by name, and their
+    * bounds are immutable — re-deriving them cost one footer read per
+    * carried file, which made the copy-on-write verbs O(affected
+    * manifest's files) in driver metadata reads (UpsertScaleBench
+    * caught the derivative: the purge itself was flat, the stats
+    * rewrite was not). Returns (lines to copy, files covered); files
+    * without a recorded line fall through to the footer loop —
+    * conservative, never wrong.
+    */
+  private def harvestStats(
+      fsys: org.apache.hadoop.fs.FileSystem,
+      root: Path,
+      sourceManifests: Seq[String],
+      files: Set[String]
+  ): (Seq[String], Set[String]) = {
+    val lines = sourceManifests.flatMap { m =>
+      val p = new Path(root, s"_stats/$m")
+      if (!fsys.exists(p)) Seq.empty
+      else {
+        val reader = new java.io.BufferedReader(
+          new java.io.InputStreamReader(fsys.open(p), "UTF-8"))
+        try Iterator.continually(reader.readLine()).takeWhile(_ != null)
+          .filter(_.nonEmpty).toList
+        finally reader.close()
+      }
+    }
+    val kept = lines.filter { l =>
+      val f = l.substring(0, math.max(l.indexOf('\t'), 0))
+      f.nonEmpty && files(f)
+    }
+    (kept, kept.map(l => l.substring(0, l.indexOf('\t'))).toSet)
   }
 
   /** Per-file recorded bounds for `column` across the pinned manifests
@@ -1065,7 +1109,11 @@ object ParquetEpochs {
     val affected = plan.fold(Seq.empty[String])(_.affected)
     // 4. ONE atomic manifest: epoch + survivors + carried, shadowing
     //    the affected manifests
-    writeFileStats(fsys, root, name, carried ++ moved1 ++ moved2, conf)
+    val (carryLines, covered) =
+      if (carried.isEmpty) (Nil, Set.empty[String])
+      else harvestStats(fsys, root, affected, carried.toSet)
+    writeFileStats(fsys, root, name,
+      carried.filterNot(covered) ++ moved1 ++ moved2, conf, extraLines = carryLines)
     ContentStoreWrite.writeManifest(
       storeDir,
       name,
