@@ -39,6 +39,7 @@ import org.apache.spark.sql.connector.write.streaming.{
   StreamingWrite
 }
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.sources.Filter
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -190,6 +191,44 @@ object ContentStore {
       new java.io.InputStreamReader(filesystem.open(p), "UTF-8"))
     try Option(reader.readLine()).map(_.trim).flatMap(_.toIntOption).getOrElse(0)
     finally reader.close()
+  }
+
+  /** Total on-disk bytes of a file subset — the scan-statistics
+    * primitive both payloads' catalog/DSv2 scans size themselves with
+    * (a V2 relation without real statistics defaults to "huge" and the
+    * planner never broadcasts a store, however small). Strategy picks
+    * the cheaper metadata shape for the PRUNED set, not the store: a
+    * wide scan sizes via ONE listing of data/ (never one getFileStatus
+    * RPC per file — the effectiveManifestNames rule), but when stats
+    * pruning leaves only a handful of survivors the listing inverts
+    * the cost (a 10⁶-file store is ~10³ paged-list RPCs to size a
+    * 1-file scan), so a small survivor set probes per-file instead —
+    * O(min(files, listing pages)) either way. A file a manifest lists
+    * but the probe missed (can't happen after a committed rename, but
+    * belt-and-braces) contributes 0 — statistics are estimates.
+    */
+  private[graft] def sizeDataFiles(path: String, files: Seq[String], conf: Configuration): Long = {
+    val (filesystem, root) = fs(path, conf)
+    val dataDir            = new Path(root, "data")
+    if (files.size <= 64)
+      files.map { f =>
+        try filesystem.getFileStatus(new Path(dataDir, f)).getLen
+        catch { case _: java.io.FileNotFoundException => 0L }
+      }.sum
+    else {
+      // shard-layout stores keep data files under `s<k>/` subdirectories
+      // — size from one listing per shard (keys stay manifest-relative)
+      val shards = recordedDataShards(path, conf)
+      val dirs = (dataDir, "") +:
+        (0 until shards).map(k => (new Path(dataDir, s"s$k"), s"s$k/"))
+      val lens: Map[String, Long] = dirs.flatMap { case (d, prefix) =>
+        if (!filesystem.exists(d)) Seq.empty
+        else
+          filesystem.listStatus(d).toSeq.filterNot(_.isDirectory)
+            .map(st => (prefix + st.getPath.getName) -> st.getLen)
+      }.toMap
+      files.map(f => lens.getOrElse(f, 0L)).sum
+    }
   }
 
   /** The session's Hadoop configuration (spark.hadoop.* applied) when a
@@ -469,7 +508,8 @@ private[graft] class ContentStoreTable(
     defaultManifests: Option[Seq[String]] = None)
     extends Table
     with SupportsRead
-    with SupportsWrite {
+    with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
 
   override def name(): String = s"graft_content_store($path)"
   override def schema(): StructType =
@@ -481,6 +521,45 @@ private[graft] class ContentStoreTable(
       TableCapability.MICRO_BATCH_READ,
       TableCapability.STREAMING_WRITE
     )
+
+  /** `DELETE FROM cat.name WHERE result_key IN (...)` — the K-V
+    * store's own RTBF delete ([[StoreLifecycle.deleteKeys]]: bounds-
+    * pruned candidates, line-level rewrite, manifest carry) reached
+    * from SQL through the catalog. Only literal `=`/`IN` conjuncts on
+    * `result_key` are accepted (the verb's own shape — a payload
+    * predicate would need a full-scan rewrite, refused at analysis);
+    * bare `DELETE FROM t` / `TRUNCATE TABLE t` is
+    * [[StoreLifecycle.expireEpochs]](∞), the metadata-only
+    * retire-everything. Pinned/time-traveled views refuse.
+    */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    defaultManifests.isEmpty && bucketedRead == 0 &&
+      (ColumnarBatchTable.isTruncate(filters) ||
+        ColumnarBatchTable.deletePlan(filters).exists {
+          case (c, vs) => c == "result_key" && vs.forall(_.isInstanceOf[String])
+        })
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    require(defaultManifests.isEmpty,
+      s"GraftCatalog: cannot DELETE from a pinned/time-traveled view of $path")
+    if (ColumnarBatchTable.isTruncate(filters)) { truncateTable(); return }
+    val keys = ColumnarBatchTable.deletePlan(filters) match {
+      case Some((c, vs)) if c == "result_key" && vs.forall(_.isInstanceOf[String]) =>
+        vs.map(_.asInstanceOf[String])
+      case _ =>
+        throw new UnsupportedOperationException(
+          s"GraftCatalog: DELETE on K-V store $path supports only literal =/IN " +
+            "conjuncts on result_key — use StoreLifecycle.deleteKeys for other shapes")
+    }
+    StoreLifecycle.deleteKeys(SparkSession.active, path, keys): Unit
+  }
+
+  override def truncateTable(): Boolean = {
+    require(defaultManifests.isEmpty,
+      s"GraftCatalog: cannot TRUNCATE a pinned/time-traveled view of $path")
+    StoreLifecycle.expireEpochs(path, Long.MaxValue): Unit
+    true
+  }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     // captured on the driver at planning time; serialized to executors
@@ -655,41 +734,7 @@ private[graft] class ContentStoreTable(
           * which errs on the safe (non-broadcast) side.
           */
         override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
-          val (filesystem, root) = ContentStore.fs(path, conf.value)
-          // Sizing strategy picks the cheaper metadata shape for the
-          // PRUNED set, not the store: a wide scan sizes via ONE
-          // listing of data/ (never one getFileStatus RPC per file —
-          // the effectiveManifestNames rule), but when stats pruning
-          // leaves only a handful of survivors the listing inverts the
-          // cost (a 10⁶-file store is ~10³ paged-list RPCs to size a
-          // 1-file scan), so a small survivor set probes per-file
-          // instead — O(min(surviving, listing pages)) either way. A
-          // file a manifest lists but the probe missed (can't happen
-          // after a committed rename, but belt-and-braces) just
-          // contributes 0 — statistics are estimates.
-          val surviving = survivingFiles()
-          val dataDir   = new Path(root, "data")
-          val bytes =
-            if (surviving.size <= 64)
-              surviving.map { f =>
-                try filesystem.getFileStatus(new Path(dataDir, f)).getLen
-                catch { case _: java.io.FileNotFoundException => 0L }
-              }.sum
-            else {
-              // shard-layout stores keep data files under `s<k>/`
-              // subdirectories — size from one listing per shard (keys
-              // stay the manifest-relative names)
-              val shards = ContentStore.recordedDataShards(path, conf.value)
-              val dirs = (dataDir, "") +:
-                (0 until shards).map(k => (new Path(dataDir, s"s$k"), s"s$k/"))
-              val lens: Map[String, Long] = dirs.flatMap { case (d, prefix) =>
-                if (!filesystem.exists(d)) Seq.empty
-                else
-                  filesystem.listStatus(d).toSeq.filterNot(_.isDirectory)
-                    .map(st => (prefix + st.getPath.getName) -> st.getLen)
-              }.toMap
-              surviving.map(f => lens.getOrElse(f, 0L)).sum
-            }
+          val bytes = ContentStore.sizeDataFiles(path, survivingFiles(), conf.value)
           new org.apache.spark.sql.connector.read.Statistics {
             override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(bytes)
             override def numRows(): java.util.OptionalLong     = java.util.OptionalLong.empty()

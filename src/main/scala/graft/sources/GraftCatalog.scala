@@ -3,10 +3,11 @@ package graft.sources
 import java.util
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.connector.catalog.{Identifier, SupportsRead, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.{Identifier, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
-import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, InsertableRelation, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.util.SerializableConfiguration
@@ -172,12 +173,83 @@ private[graft] class ColumnarBatchTable(
     tableSchema: StructType,
     pinned: Option[Seq[String]]
 ) extends Table
-    with SupportsRead {
+    with SupportsRead
+    with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
 
   override def name(): String       = s"graft_columnar_store($path)"
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(
+      TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ,
+      TableCapability.V1_BATCH_WRITE)
+
+  /** `DELETE FROM cat.name WHERE col IN (...)` — the store's own
+    * row-level DELETE (the B81 copy-on-write rewrite: candidates prune
+    * via `_stats` bounds, matched files rewrite, untouched files
+    * carry) reached from SQL. Accepted when every conjunct is a
+    * literal `=`/`IN` on ONE column — exactly the shape
+    * [[ParquetEpochs.deleteWhere]] takes; any other predicate is
+    * refused AT ANALYSIS (Spark reports the table cannot delete by
+    * that condition) rather than silently degrading to a full-scan
+    * rewrite. A bare `DELETE FROM t` / `TRUNCATE TABLE t` maps to
+    * [[StoreLifecycle.expireEpochs]](∞) — the metadata-only
+    * retire-everything (B86): zero data I/O at any store size, files
+    * reclaimed by vacuum at grace. Time-traveled views refuse:
+    * history is read-only.
+    */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    pinned.isEmpty &&
+      (ColumnarBatchTable.isTruncate(filters) ||
+        ColumnarBatchTable.deletePlan(filters).isDefined)
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    require(pinned.isEmpty,
+      s"GraftCatalog: cannot DELETE from a time-traveled view of $path")
+    if (ColumnarBatchTable.isTruncate(filters)) { truncateTable(); return }
+    val (column, values) = ColumnarBatchTable.deletePlan(filters).getOrElse(
+      throw new UnsupportedOperationException(
+        s"GraftCatalog: DELETE on store $path supports only literal =/IN " +
+          "conjuncts on a single column — rewrite the predicate or use " +
+          "ParquetEpochs.deleteWhere with a key DataFrame"))
+    ParquetEpochs.deleteWhere(
+      org.apache.spark.sql.SparkSession.active, path, column, values): Unit
+  }
+
+  override def truncateTable(): Boolean = {
+    require(pinned.isEmpty,
+      s"GraftCatalog: cannot TRUNCATE a time-traveled view of $path")
+    StoreLifecycle.expireEpochs(path, Long.MaxValue): Unit
+    true
+  }
+
+  /** `INSERT INTO cat.name SELECT ...` — the append protocol verbatim
+    * (distributed parquet stage + atomic manifest rename, schema
+    * signature enforced by ensureSchema), surfaced as a V1 write: the
+    * epoch commit is a driver-side manifest operation AROUND a
+    * distributed stage, which is exactly the shape V1Write exists for
+    * — a DSv2 BatchWrite would re-implement writeManifest as
+    * connector machinery (the ParquetEpochs.streamingAppend argument).
+    * INSERT OVERWRITE is refused: the store's replace verbs are the
+    * audited maintenance ops (delete/upsert/retention), not a blind
+    * truncate.
+    */
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(pinned.isEmpty,
+      s"GraftCatalog: cannot INSERT into a time-traveled view of $path")
+    new WriteBuilder {
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          (data: org.apache.spark.sql.DataFrame, overwrite: Boolean) => {
+            require(!overwrite,
+              s"GraftCatalog: INSERT OVERWRITE is not supported on store $path — " +
+                "use the store's delete/upsert/retention maintenance verbs")
+            ParquetEpochs.append(data, path): Unit
+          }
+      }
+    }
+  }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val conf = new SerializableConfiguration(ContentStore.driverHadoopConf())
@@ -192,10 +264,12 @@ private[graft] class ColumnarBatchTable(
       override def pushedFilters(): Array[Filter] = Array.empty
       override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
 
-      override def build(): Scan = new Scan with Batch {
+      override def build(): Scan = new Scan
+        with Batch
+        with org.apache.spark.sql.connector.read.SupportsReportStatistics {
         override def readSchema(): StructType = required
         override def toBatch: Batch           = this
-        override def planInputPartitions(): Array[InputPartition] = {
+        private def plannedFiles(): Seq[String] = {
           // pin resolved at loadTable (time travel) or snapshotted here
           // (the live read — per-scan, like every effective listing)
           val manifests =
@@ -210,10 +284,42 @@ private[graft] class ColumnarBatchTable(
             byColumn.forall { case (c, fs) =>
               bounds(c).get(file).forall(b => fs.forall(ColumnarBatchTable.mayMatch(b, _)))
             }
-          }.map(f => StoreFilePartition(path, f): InputPartition).toArray
+          }
+        }
+        override def planInputPartitions(): Array[InputPartition] =
+          plannedFiles().map(f => StoreFilePartition(path, f): InputPartition).toArray
+
+        /** Real size statistics over the PLANNED (post-skip) file set
+          * — same contract as the K-V scan: a small or stats-pruned
+          * store slice joins broadcast with no user hint instead of
+          * defaulting to "huge". Parquet size understates decoded
+          * width, but CBO compares compressed scan bytes uniformly.
+          */
+        override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
+          val bytes = ContentStore.sizeDataFiles(path, plannedFiles(), conf.value)
+          new org.apache.spark.sql.connector.read.Statistics {
+            override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(bytes)
+            override def numRows(): java.util.OptionalLong     = java.util.OptionalLong.empty()
+          }
         }
         override def createReaderFactory(): PartitionReaderFactory =
           new ColumnarStoreReaderFactory(required, conf, ParquetConverterFlags.fromActiveSession())
+
+        /** `spark.readStream.table("cat.name")` — the store's own tail
+          * ([[ColumnarMicroBatchStream]]: offsets, admission,
+          * compaction-aware exactly-once), reached by name. A
+          * time-traveled table refuses: a tail follows the LIVE store
+          * and would silently ignore the pin.
+          */
+        override def toMicroBatchStream(
+            checkpointLocation: String
+        ): org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+          require(pinned.isEmpty,
+            s"GraftCatalog: cannot stream a time-traveled view of $path — " +
+              "tail the live table and filter, or read the pin as a batch")
+          new ColumnarMicroBatchStream(
+            path, conf, checkpointLocation, 0, 10, tableSchema, None)
+        }
       }
     }
   }
@@ -239,6 +345,34 @@ private[graft] object ColumnarBatchTable {
   private def scalar(v: Any): Boolean = v match {
     case _: Long | _: Int | _: String => true
     case _                            => false
+  }
+
+  /** SQL DELETE condition → the (column, values) shape the store's
+    * delete verb takes: every conjunct a literal `=`/`IN` on the SAME
+    * column, values intersected across conjuncts (AND semantics).
+    * NULL literals drop — `col IN (NULL, ...)`/`col = NULL` never
+    * match a row, the store verb's own rule. None = not expressible
+    * as a key delete (range/multi-column/non-literal) — refused.
+    */
+  /** An unconditioned `DELETE FROM t` reaches the table as a TRUE
+    * condition (an AlwaysTrue predicate), not an empty conjunct list —
+    * both spell "all rows", both route to the metadata-only truncate.
+    */
+  private[sources] def isTruncate(filters: Array[Filter]): Boolean =
+    filters.forall(_.isInstanceOf[org.apache.spark.sql.sources.AlwaysTrue])
+
+  private[sources] def deletePlan(filters: Array[Filter]): Option[(String, Seq[Any])] = {
+    if (filters.isEmpty) return None
+    val parsed: Seq[Option[(String, Set[Any])]] = filters.toSeq.map {
+      case EqualTo(c, v) if scalar(v) => Some(c -> Set[Any](v))
+      case In(c, vs) if vs.forall(v => v == null || scalar(v)) =>
+        Some(c -> vs.filter(_ != null).toSet[Any])
+      case _ => None
+    }
+    if (parsed.exists(_.isEmpty)) return None
+    val byCol = parsed.flatten
+    if (byCol.map(_._1).distinct.size != 1) return None
+    Some(byCol.head._1 -> byCol.map(_._2).reduce(_ intersect _).toSeq)
   }
 
   private def unsignedCompare(a: Array[Byte], b: Array[Byte]): Int = {

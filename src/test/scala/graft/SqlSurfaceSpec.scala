@@ -192,6 +192,109 @@ class SqlSurfaceSpec extends SparkSpecBase {
       spark.sql("SELECT * FROM gtt.kv VERSION AS OF 'no-such-version'").collect())
   }
 
+
+  test("catalog writes and streams: INSERT INTO by name on both payloads; readStream.table tails") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-catspec-w").toString
+    spark.conf.set("spark.sql.catalog.gw", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gw.warehouse", wh)
+    import spark.implicits._
+    // columnar: seed one epoch, INSERT a second through the catalog —
+    // the append protocol verbatim (schema signature enforced)
+    graft.sources.ParquetEpochs.append(Seq((1L, "a")).toDF("id", "v"), s"$wh/cols"): Unit
+    spark.sql("INSERT INTO gw.cols SELECT 2L AS id, 'b' AS v")
+    assert(spark.sql("SELECT id, v FROM gw.cols ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq == Seq(1L -> "a", 2L -> "b"))
+    intercept[Exception](spark.sql("INSERT OVERWRITE gw.cols SELECT 9L, 'z'"))
+    // a schema-signature mismatch refuses before any file lands
+    intercept[Exception](spark.sql("INSERT INTO gw.cols SELECT 'x' AS id, 'b' AS v"))
+    // K-V: INSERT INTO rides the existing BATCH_WRITE surface
+    Seq(("a", "1")).toDF("result_key", "payload")
+      .write.format("graft.sources.ContentStore").option("path", s"$wh/kv").mode("append").save()
+    spark.sql("INSERT INTO gw.kv SELECT 'b' AS result_key, '2' AS payload")
+    assert(spark.sql("SELECT result_key FROM gw.kv ORDER BY 1")
+      .collect().map(_.getString(0)).toSeq == Seq("a", "b"))
+    // streaming by name: the columnar tail drains both epochs exactly-once
+    val out  = java.nio.file.Files.createTempDirectory("graft-catspec-so").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-catspec-sc").toString
+    val q = spark.readStream.table("gw.cols")
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(spark.read.parquet(out).collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+    // a time-traveled view neither streams nor accepts inserts
+    val pin = graft.sources.ContentStore.snapshotManifests(s"$wh/cols")
+    graft.sources.StoreLifecycle.acquirePin(
+      s"$wh/cols", "v1", 3600000L, spark.sessionState.newHadoopConf()): Unit
+    intercept[Exception](
+      spark.sql("INSERT INTO gw.cols VERSION AS OF 'v1' SELECT 3L, 'c'"): Unit)
+    val pinnedStream = intercept[Exception] {
+      val qq = spark.readStream.table("gw.cols VERSION AS OF 'v1'")
+      qq.writeStream.format("noop").trigger(
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()).start().awaitTermination()
+    }
+    assert(pinnedStream != null && pin.nonEmpty)
+  }
+
+  test("catalog DELETE: SQL DELETE maps to the store delete verbs; bare DELETE is expire-all") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-catspec-del").toString
+    spark.conf.set("spark.sql.catalog.gdel", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gdel.warehouse", wh)
+    import spark.implicits._
+    // columnar: IN/= conjuncts intersect (AND semantics); NULL drops
+    graft.sources.ParquetEpochs.append(
+      (1L to 10L).map(i => (i, s"v$i")).toDF("id", "v"), s"$wh/cols"): Unit
+    spark.sql("DELETE FROM gdel.cols WHERE id IN (2, 4, NULL)")
+    spark.sql("DELETE FROM gdel.cols WHERE id IN (5, 6, 7) AND id IN (6, 7, 8) AND id = 7")
+    assert(spark.sql("SELECT id FROM gdel.cols ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 3L, 5L, 6L, 8L, 9L, 10L))
+    // not expressible as a key delete -> refused at analysis, store untouched
+    intercept[Exception](spark.sql("DELETE FROM gdel.cols WHERE id > 5"))
+    intercept[Exception](spark.sql("DELETE FROM gdel.cols WHERE id = 1 AND v = 'v1'"))
+    assert(spark.sql("SELECT count(*) FROM gdel.cols").collect().head.getLong(0) == 7L)
+    // K-V: result_key-only conjuncts ride deleteKeys; payload refused
+    Seq(("a", "1"), ("b", "2"), ("c", "3")).toDF("result_key", "payload")
+      .write.format("graft.sources.ContentStore").option("path", s"$wh/kv").mode("append").save()
+    spark.sql("DELETE FROM gdel.kv WHERE result_key = 'b'")
+    assert(spark.sql("SELECT result_key FROM gdel.kv ORDER BY 1")
+      .collect().map(_.getString(0)).toSeq == Seq("a", "c"))
+    intercept[Exception](spark.sql("DELETE FROM gdel.kv WHERE payload = '1'"))
+    // bare DELETE = expireEpochs(∞): reads empty, but METADATA-ONLY —
+    // the data files survive until vacuum's grace (the B86 contract)
+    spark.sql("DELETE FROM gdel.kv")
+    assert(spark.sql("SELECT count(*) FROM gdel.kv").collect().head.getLong(0) == 0L)
+    // the retire replacement manifest stays live but lists NOTHING
+    val conf = spark.sessionState.newHadoopConf()
+    assert(graft.sources.ContentStore.effectiveManifestNames(s"$wh/kv", conf)
+      .flatMap(m => graft.sources.ContentStore.filesInManifest(s"$wh/kv", m, conf)).isEmpty)
+    val dataDir = new java.io.File(s"$wh/kv/data")
+    assert(dataDir.exists && dataDir.listFiles().nonEmpty,
+      "bare DELETE must retire epochs metadata-only, not reclaim files")
+    // a time-traveled view refuses DELETE
+    graft.sources.StoreLifecycle.acquirePin(
+      s"$wh/cols", "keep", 3600000L, spark.sessionState.newHadoopConf()): Unit
+    intercept[Exception](
+      spark.sql("DELETE FROM gdel.cols VERSION AS OF 'keep' WHERE id = 1"): Unit)
+  }
+
+  test("catalog columnar scans report real size statistics: small store broadcasts unhinted") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-catspec-st").toString
+    spark.conf.set("spark.sql.catalog.gst", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gst.warehouse", wh)
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    graft.sources.ParquetEpochs.append(
+      (1L to 50L).map(i => (i, s"v$i")).toDF("id", "v"), s"$wh/dim"): Unit
+    val small = spark.table("gst.dim")
+    val sz    = small.queryExecution.optimizedPlan.stats.sizeInBytes
+    assert(sz > 0 && sz < 1000000, s"catalog scan must report real bytes, got $sz")
+    val joined = spark.range(100000).toDF("id").join(small, Seq("id"))
+    assert(joined.count() == 50)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"small catalog store (real size stats) must broadcast without a hint:\n$plan")
+  }
+
   test("gate hygiene: every query key is oracle-gated or on the explicit rows-only list") {
     // the driver treats a queries key with no oracleSql entry as a
     // weaker rows-only check — which is correct ONLY for the genuinely

@@ -61,9 +61,13 @@ class StoreCrudPropertySpec extends SparkSpecBase {
               versions.toDF("result_key", "payload").coalesce(1), s"e$step")
             versions.foreach { case (k, v) => model = model.updated(k, Seq(v)) }
             check(s"upsert $versions")
-          case n if n < 8 => // delete a random key subset
+          case n if n < 8 => // delete a random key subset — randomly via
+            // the Seq or the DataFrame-valued form (same contract; the
+            // frame form randomly forced onto the shuffle path)
             val ks = rng.shuffle(keySpace).take(1 + rng.nextInt(4))
-            StoreLifecycle.deleteKeys(spark, dir, ks)
+            if (rng.nextBoolean()) StoreLifecycle.deleteKeys(spark, dir, ks)
+            else StoreLifecycle.deleteKeys(spark, dir, ks.toDF("k"), Set.empty,
+              if (rng.nextBoolean()) Some(false) else None)
             ks.foreach(k => model = model.updated(k, Seq.empty))
             check(s"delete $ks")
           case 8 => // OPTIMIZE (fold everything; layout-only)
@@ -119,7 +123,10 @@ class StoreCrudPropertySpec extends SparkSpecBase {
             check(s"upsert $versions")
           case n if n < 8 =>
             val ks: Seq[Any] = rng.shuffle(ids).take(1 + rng.nextInt(4))
-            ParquetEpochs.deleteWhere(spark, dir, "doc_id", ks)
+            if (rng.nextBoolean()) ParquetEpochs.deleteWhere(spark, dir, "doc_id", ks)
+            else ParquetEpochs.deleteWhere(spark, dir, "doc_id",
+              ks.map(_.asInstanceOf[Long]).toDF("doc_id"),
+              None, Set.empty, if (rng.nextBoolean()) Some(false) else None)
             ks.foreach(k => model = model.updated(k.asInstanceOf[Long], Seq.empty))
             check(s"delete $ks")
           case _ =>
