@@ -91,6 +91,9 @@ object SparkEntry {
     "q_catalog_read_columnar" -> ((s, d) =>
       Joins.catalogColumnarRead(Tables(s, d),
         s"${System.getProperty("java.io.tmpdir")}/graft-catwh")),
+    "q_catalog_delete" -> ((s, d) =>
+      Joins.catalogSqlDelete(Tables(s, d),
+        s"${System.getProperty("java.io.tmpdir")}/graft-catwh")),
     "q_store_forget" -> ((s, d) =>
       graft.operators.Forget.forgetRead(Tables(s, d),
         s"${System.getProperty("java.io.tmpdir")}/graft-forget")),
@@ -1593,6 +1596,12 @@ object SparkEntry {
       // slice — resolution + file skipping add nothing to the values
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE doc_id BETWEEN 100 AND 199 ORDER BY doc_id""".stripMargin,
+    "q_catalog_delete" -> // B88: SQL DELETE through the catalog rides the store's own
+      // copy-on-write rewrite — read-back by name equals the corpus
+      // minus the fixed cohort
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE doc_id NOT IN (3, 5, 8, 13, 21, 34, 55, 89, 144, 233)
+        |ORDER BY doc_id""".stripMargin,
     "q_store_forget" -> // B87: cross-asset RTBF cascade — every asset (corpus, both
       // signature indexes, IVF assignments) holds exactly the
       // survivors, and the component state hands each purged LABEL to

@@ -236,6 +236,32 @@ class SqlSurfaceSpec extends SparkSpecBase {
     assert(pinnedStream != null && pin.nonEmpty)
   }
 
+  test("catalog discovery and streaming write: SHOW TABLES lists stores; toTable streams into K-V") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-catspec-sw").toString
+    spark.conf.set("spark.sql.catalog.gsw", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gsw.warehouse", wh)
+    import spark.implicits._
+    Seq(("seed", "0")).toDF("result_key", "payload")
+      .write.format("graft.sources.ContentStore").option("path", s"$wh/sink").mode("append").save()
+    graft.sources.ParquetEpochs.append(
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v"), s"$wh/src"): Unit
+    // discovery: both stores list; a bare directory does not
+    java.nio.file.Files.createDirectory(java.nio.file.Paths.get(s"$wh/not_a_store")): Unit
+    val listed = spark.sql("SHOW TABLES IN gsw").collect().map(_.getString(1)).sorted.toSeq
+    assert(listed == Seq("sink", "src"), s"SHOW TABLES listed $listed")
+    // streaming write BY NAME: the columnar tail drains into the K-V
+    // store through the table's existing STREAMING_WRITE surface
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-catspec-swc").toString
+    val q = spark.readStream.table("gsw.src")
+      .selectExpr("concat('k', id) AS result_key", "v AS payload")
+      .writeStream.option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .toTable("gsw.sink")
+    q.awaitTermination()
+    assert(spark.sql("SELECT result_key FROM gsw.sink ORDER BY 1")
+      .collect().map(_.getString(0)).toSeq == Seq("k1", "k2", "seed"))
+  }
+
   test("catalog DELETE: SQL DELETE maps to the store delete verbs; bare DELETE is expire-all") {
     val wh = java.nio.file.Files.createTempDirectory("graft-catspec-del").toString
     spark.conf.set("spark.sql.catalog.gdel", "graft.sources.GraftCatalog")
