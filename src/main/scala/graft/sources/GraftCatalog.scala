@@ -269,9 +269,12 @@ private[graft] class ColumnarBatchTable(
         with org.apache.spark.sql.connector.read.SupportsReportStatistics {
         override def readSchema(): StructType = required
         override def toBatch: Batch           = this
-        private def plannedFiles(): Seq[String] = {
-          // pin resolved at loadTable (time travel) or snapshotted here
-          // (the live read — per-scan, like every effective listing)
+        // ONE manifest+bounds listing per Scan, shared by statistics
+        // and partition planning (they must agree; unlike the K-V scan
+        // there is no runtime-filter mutation to invalidate it) — the
+        // pin resolved at loadTable (time travel) or snapshotted at
+        // first use (the live read — per-scan, like every listing)
+        private lazy val plannedFiles: Seq[String] = {
           val manifests =
             pinned.getOrElse(ContentStore.effectiveManifestNames(path, conf.value))
           val files = manifests.flatMap(m => ContentStore.filesInManifest(path, m, conf.value))
@@ -287,7 +290,7 @@ private[graft] class ColumnarBatchTable(
           }
         }
         override def planInputPartitions(): Array[InputPartition] =
-          plannedFiles().map(f => StoreFilePartition(path, f): InputPartition).toArray
+          plannedFiles.map(f => StoreFilePartition(path, f): InputPartition).toArray
 
         /** Real size statistics over the PLANNED (post-skip) file set
           * — same contract as the K-V scan: a small or stats-pruned
@@ -296,7 +299,7 @@ private[graft] class ColumnarBatchTable(
           * width, but CBO compares compressed scan bytes uniformly.
           */
         override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
-          val bytes = ContentStore.sizeDataFiles(path, plannedFiles(), conf.value)
+          val bytes = ContentStore.sizeDataFiles(path, plannedFiles, conf.value)
           new org.apache.spark.sql.connector.read.Statistics {
             override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(bytes)
             override def numRows(): java.util.OptionalLong     = java.util.OptionalLong.empty()

@@ -123,10 +123,19 @@ class StoreCrudPropertySpec extends SparkSpecBase {
             check(s"upsert $versions")
           case n if n < 8 =>
             val ks: Seq[Any] = rng.shuffle(ids).take(1 + rng.nextInt(4))
-            if (rng.nextBoolean()) ParquetEpochs.deleteWhere(spark, dir, "doc_id", ks)
-            else ParquetEpochs.deleteWhere(spark, dir, "doc_id",
-              ks.map(_.asInstanceOf[Long]).toDF("doc_id"),
-              None, Set.empty, if (rng.nextBoolean()) Some(false) else None)
+            rng.nextInt(3) match {
+              case 0 => ParquetEpochs.deleteWhere(spark, dir, "doc_id", ks)
+              case 1 => ParquetEpochs.deleteWhere(spark, dir, "doc_id",
+                ks.map(_.asInstanceOf[Long]).toDF("doc_id"),
+                None, Set.empty, if (rng.nextBoolean()) Some(false) else None)
+              case _ => // SQL DELETE through the catalog — same contract
+                val parent = new java.io.File(dir).getParent
+                val table  = new java.io.File(dir).getName
+                spark.conf.set("spark.sql.catalog.gcrud", "graft.sources.GraftCatalog")
+                spark.conf.set("spark.sql.catalog.gcrud.warehouse", parent)
+                spark.sql(
+                  s"DELETE FROM gcrud.`$table` WHERE doc_id IN (${ks.mkString(", ")})"): Unit
+            }
             ks.foreach(k => model = model.updated(k.asInstanceOf[Long], Seq.empty))
             check(s"delete $ks")
           case _ =>
