@@ -94,6 +94,12 @@ object SparkEntry {
     "q_catalog_delete" -> ((s, d) =>
       Joins.catalogSqlDelete(Tables(s, d),
         s"${System.getProperty("java.io.tmpdir")}/graft-catwh")),
+    "q_catalog_update" -> ((s, d) =>
+      Joins.catalogSqlUpdate(Tables(s, d),
+        s"${System.getProperty("java.io.tmpdir")}/graft-catwh")),
+    "q_catalog_merge" -> ((s, d) =>
+      Joins.catalogSqlMerge(Tables(s, d),
+        s"${System.getProperty("java.io.tmpdir")}/graft-catwh")),
     "q_store_forget" -> ((s, d) =>
       graft.operators.Forget.forgetRead(Tables(s, d),
         s"${System.getProperty("java.io.tmpdir")}/graft-forget")),
@@ -1601,6 +1607,23 @@ object SparkEntry {
       // minus the fixed cohort
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE doc_id NOT IN (3, 5, 8, 13, 21, 34, 55, 89, 144, 233)
+        |ORDER BY doc_id""".stripMargin,
+    "q_catalog_update" -> // B89: SQL UPDATE via the group-based copy-on-write path — a
+      // mixed value+key predicate no metadata delete could express
+      """SELECT doc_id,
+        |  CASE WHEN n_chars < 200 AND doc_id BETWEEN 100 AND 199
+        |       THEN 'xx' ELSE lang END AS lang,
+        |  n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_catalog_merge" -> // B89: SQL MERGE INTO — matched update + unmatched insert in one
+      // copy-on-write replacement commit
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 97 = 0 THEN 'merged' ELSE lang END AS lang,
+        |  n_chars
+        |FROM documents
+        |UNION ALL
+        |SELECT doc_id + 1000000 AS doc_id, 'new' AS lang, n_chars
+        |FROM documents WHERE doc_id % 97 = 0
         |ORDER BY doc_id""".stripMargin,
     "q_store_forget" -> // B87: cross-asset RTBF cascade — every asset (corpus, both
       // signature indexes, IVF assignments) holds exactly the

@@ -175,7 +175,8 @@ private[graft] class ColumnarBatchTable(
 ) extends Table
     with SupportsRead
     with SupportsWrite
-    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
 
   override def name(): String       = s"graft_columnar_store($path)"
   override def schema(): StructType = tableSchema
@@ -251,14 +252,46 @@ private[graft] class ColumnarBatchTable(
     }
   }
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    ColumnarBatchTable.scanBuilder(path, tableSchema, pinned)
+
+  /** SQL `UPDATE` / `MERGE INTO` / non-key `DELETE` — the group-based
+    * copy-on-write row-level operation ([[ColumnarCowOperation]]): the
+    * DML's scan prunes groups through the `_stats` bounds, the write
+    * stages per-task parquet straight into `data/`, and the commit is
+    * one shadowing replacement manifest with OCC. Key-shaped DELETEs
+    * never land here — Spark's metadata-only optimization routes them
+    * back to [[SupportsDelete]]. Time travel refuses: history is
+    * read-only.
+    */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo
+  ): org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    require(pinned.isEmpty,
+      s"GraftCatalog: cannot run row-level DML on a time-traveled view of $path")
+    () => new ColumnarCowOperation(path, tableSchema, info.command())
+  }
+}
+
+private[graft] object ColumnarBatchTable {
+
+  /** The columnar batch scan, shared by the table and the row-level
+    * operation (which passes `onPlan` to capture the planned file set
+    * — its replaced-group set at commit).
+    */
+  private[sources] def scanBuilder(
+      path: String,
+      tableSchema: StructType,
+      pinned: Option[Seq[String]],
+      onPlan: Seq[String] => Unit = _ => ()
+  ): ScanBuilder = {
     val conf = new SerializableConfiguration(ContentStore.driverHadoopConf())
     new ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
       private var required: StructType   = tableSchema
       private var pruning: Array[Filter] = Array.empty
 
       override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-        pruning = filters.filter(ColumnarBatchTable.prunable)
+        pruning = filters.filter(prunable)
         filters // every filter stays residual — pruning is I/O-only
       }
       override def pushedFilters(): Array[Filter] = Array.empty
@@ -283,11 +316,13 @@ private[graft] class ColumnarBatchTable(
           val bounds = byColumn.keys.map { c =>
             c -> ParquetEpochs.columnBounds(path, manifests, c, conf.value)
           }.toMap
-          files.filter { file =>
+          val planned = files.filter { file =>
             byColumn.forall { case (c, fs) =>
-              bounds(c).get(file).forall(b => fs.forall(ColumnarBatchTable.mayMatch(b, _)))
+              bounds(c).get(file).forall(b => fs.forall(mayMatch(b, _)))
             }
           }
+          onPlan(planned)
+          planned
         }
         override def planInputPartitions(): Array[InputPartition] =
           plannedFiles.map(f => StoreFilePartition(path, f): InputPartition).toArray
@@ -326,9 +361,6 @@ private[graft] class ColumnarBatchTable(
       }
     }
   }
-}
-
-private[graft] object ColumnarBatchTable {
 
   /** Filters the planner may use for file skipping: single-column
     * comparisons whose value domain can meet a recorded bound (longs

@@ -107,6 +107,74 @@ object ParquetEpochs {
     name
   }
 
+  /** Driver-side precondition for the row-level (COW) write path:
+    * the store is columnar and the DML's write schema matches the
+    * recorded signature — checked BEFORE any task stages a file.
+    */
+  private[sources] def requireWritable(
+      storeDir: String,
+      schema: org.apache.spark.sql.types.StructType): Unit = {
+    val conf = ContentStore.driverHadoopConf()
+    if (!ContentStore.recordedFormat(storeDir, conf).contains("parquet"))
+      throw new IllegalStateException(
+        s"row-level write: store $storeDir is not a columnar store")
+    ensureSchema(schema, storeDir, conf)
+  }
+
+  /** Commit half of the row-level (COW) write — [[append]]'s manifest
+    * leg for files the executors ALREADY staged into `data/`: one
+    * manifest lists the new files, shadows every manifest containing
+    * a replaced file, and carries those manifests' untouched files
+    * (stats copied, not re-read — the deleteWhere commit shape).
+    * OCC at replacement granularity: a replaced file that is no
+    * longer in the live effective set means a concurrent maintenance
+    * commit shadowed it between the DML's scan and this commit —
+    * refuse with the retryable conflict (re-running the DML re-plans
+    * from the current snapshot and converges); committing anyway
+    * would resurrect the concurrently-rewritten rows.
+    */
+  private[graft] def commitReplacement(
+      storeDir: String,
+      newFiles: Seq[String],
+      replacedFiles: Set[String]): Unit = {
+    val conf            = ContentStore.driverHadoopConf()
+    val (fsys, root)    = ContentStore.fs(storeDir, conf)
+    val live            = ContentStore.effectiveManifestNames(storeDir, conf)
+    val filesByManifest = live.map(m => m -> ContentStore.filesInManifest(storeDir, m, conf))
+    val liveFiles       = filesByManifest.flatMap(_._2).toSet
+    val gone            = replacedFiles.filterNot(liveFiles)
+    if (gone.nonEmpty)
+      throw new StoreCommitConflictException(
+        s"row-level replacement on $storeDir: ${gone.size} scanned file(s) were " +
+          s"shadowed by a concurrent maintenance commit (e.g. ${gone.head}) — " +
+          "re-run the operation to re-plan from the current snapshot")
+    val affected = filesByManifest.collect { case (m, fs) if fs.exists(replacedFiles) => m }
+    val carried = affected.flatMap(m =>
+      filesByManifest.toMap.apply(m).filterNot(replacedFiles))
+    val digest = java.security.MessageDigest.getInstance("SHA-256")
+    (affected ++ newFiles).foreach { s =>
+      digest.update(s.getBytes("UTF-8")); digest.update(0.toByte)
+    }
+    val name = "cow-" + digest.digest().take(8).map("%02x".format(_)).mkString
+    val (carryLines, covered) =
+      if (carried.isEmpty) (Nil, Set.empty[String])
+      else harvestStats(fsys, root, affected, carried.toSet)
+    writeFileStats(fsys, root, name,
+      carried.filterNot(covered) ++ newFiles, conf, extraLines = carryLines)
+    ContentStoreWrite.writeManifest(
+      storeDir,
+      name,
+      Array(StoreFilesCommitMsg(newFiles, newFiles.size.toLong)),
+      conf,
+      idempotent = true,
+      compactSources = if (affected.isEmpty) None else Some(affected),
+      dataShards = ContentStore.recordedDataShards(storeDir, conf),
+      carryMessages =
+        if (carried.isEmpty) Array.empty
+        else Array(StoreFilesCommitMsg(carried, carried.size.toLong))
+    )
+  }
+
   /** Distributed-write + move half of [[append]] WITHOUT the manifest:
     * parquet parts land in `data/` under collision-free sharded names
     * but stay UNREFERENCED (invisible to every reader, swept by vacuum

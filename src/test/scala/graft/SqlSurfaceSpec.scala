@@ -249,6 +249,12 @@ class SqlSurfaceSpec extends SparkSpecBase {
     java.nio.file.Files.createDirectory(java.nio.file.Paths.get(s"$wh/not_a_store")): Unit
     val listed = spark.sql("SHOW TABLES IN gsw").collect().map(_.getString(1)).sorted.toSeq
     assert(listed == Seq("sink", "src"), s"SHOW TABLES listed $listed")
+    // namespaces map to warehouse subdirectories: team1.docs resolves,
+    // lists under its namespace, and reads back by qualified name
+    graft.sources.ParquetEpochs.append(
+      Seq((9L, "n")).toDF("id", "v"), s"$wh/team1/docs"): Unit
+    assert(spark.sql("SHOW TABLES IN gsw.team1").collect().map(_.getString(1)).toSeq == Seq("docs"))
+    assert(spark.sql("SELECT v FROM gsw.team1.docs").collect().map(_.getString(0)).toSeq == Seq("n"))
     // streaming write BY NAME: the columnar tail drains into the K-V
     // store through the table's existing STREAMING_WRITE surface
     val ckpt = java.nio.file.Files.createTempDirectory("graft-catspec-swc").toString
@@ -274,10 +280,12 @@ class SqlSurfaceSpec extends SparkSpecBase {
     spark.sql("DELETE FROM gdel.cols WHERE id IN (5, 6, 7) AND id IN (6, 7, 8) AND id = 7")
     assert(spark.sql("SELECT id FROM gdel.cols ORDER BY id")
       .collect().map(_.getLong(0)).toSeq == Seq(1L, 3L, 5L, 6L, 8L, 9L, 10L))
-    // not expressible as a key delete -> refused at analysis, store untouched
-    intercept[Exception](spark.sql("DELETE FROM gdel.cols WHERE id > 5"))
-    intercept[Exception](spark.sql("DELETE FROM gdel.cols WHERE id = 1 AND v = 'v1'"))
-    assert(spark.sql("SELECT count(*) FROM gdel.cols").collect().head.getLong(0) == 7L)
+    // not expressible as a key delete -> falls through to the
+    // copy-on-write row-level path instead of refusing
+    spark.sql("DELETE FROM gdel.cols WHERE id > 8")
+    spark.sql("DELETE FROM gdel.cols WHERE id = 1 AND v = 'v1'")
+    assert(spark.sql("SELECT id FROM gdel.cols ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq == Seq(3L, 5L, 6L, 8L))
     // K-V: result_key-only conjuncts ride deleteKeys; payload refused
     Seq(("a", "1"), ("b", "2"), ("c", "3")).toDF("result_key", "payload")
       .write.format("graft.sources.ContentStore").option("path", s"$wh/kv").mode("append").save()
@@ -301,6 +309,65 @@ class SqlSurfaceSpec extends SparkSpecBase {
       s"$wh/cols", "keep", 3600000L, spark.sessionState.newHadoopConf()): Unit
     intercept[Exception](
       spark.sql("DELETE FROM gdel.cols VERSION AS OF 'keep' WHERE id = 1"): Unit)
+  }
+
+  test("catalog row-level DML: UPDATE, MERGE INTO, non-key DELETE via copy-on-write") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-catspec-dml").toString
+    spark.conf.set("spark.sql.catalog.gdml", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gdml.warehouse", wh)
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // two key-clustered epochs of two files each — pruning observable
+    val df = (1L to 10L).map(i => (i, s"v$i")).toDF("id", "v")
+    graft.sources.ParquetEpochs.append(
+      df.filter(col("id") <= 5).repartitionByRange(2, col("id")).sortWithinPartitions("id"),
+      s"$wh/t"): Unit
+    graft.sources.ParquetEpochs.append(
+      df.filter(col("id") > 5).repartitionByRange(2, col("id")).sortWithinPartitions("id"),
+      s"$wh/t"): Unit
+    val hconf  = spark.sessionState.newHadoopConf()
+    val preDml = graft.sources.ContentStore.snapshotManifests(s"$wh/t")
+    // UPDATE with a bounds-prunable WHERE
+    spark.sql("UPDATE gdml.t SET v = concat(v, '!') WHERE id = 3")
+    // group pruning: the WHERE is confined to epoch 1's key range, so
+    // only epoch 1 is shadowed — epoch 2 survives untouched, and the
+    // replacement rewrote ONE covering file, carrying the other
+    val effPost = graft.sources.ContentStore.effectiveManifestNames(s"$wh/t", hconf)
+    assert(effPost.contains(preDml(1)) && !effPost.contains(preDml(0)),
+      s"UPDATE must shadow only the covering epoch: $preDml -> $effPost")
+    val cowM = effPost.filterNot(preDml.contains).head
+    val cowFiles = graft.sources.ContentStore.filesInManifest(s"$wh/t", cowM, hconf)
+    assert(cowFiles.size == 2 && cowFiles.count(_.contains("pq-cow-")) == 1,
+      s"one rewritten + one carried expected, got $cowFiles")
+    // non-key DELETE -> the same copy-on-write path
+    spark.sql("DELETE FROM gdml.t WHERE id > 8")
+    // MERGE: matched update + not-matched insert in one statement
+    Seq((2L, "m2"), (11L, "m11")).toDF("id", "v").createOrReplaceTempView("dml_src")
+    spark.sql(
+      """MERGE INTO gdml.t t USING dml_src s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET v = s.v
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val got = spark.sql("SELECT id, v FROM gdml.t ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val want = Seq(1L -> "v1", 2L -> "m2", 3L -> "v3!", 4L -> "v4", 5L -> "v5",
+      6L -> "v6", 7L -> "v7", 8L -> "v8", 11L -> "m11")
+    assert(got == want, s"got $got")
+    // the pre-DML pinned snapshot still reads the ORIGINAL rows —
+    // every DML committed copy-on-write replacements, never mutation
+    val before = graft.sources.ParquetEpochs.read(spark, s"$wh/t", preDml)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(before == (1L to 10L).map(i => (i, s"v$i")).toSeq, s"time travel broken: $before")
+    // a time-traveled view refuses DML
+    graft.sources.StoreLifecycle.acquirePin(
+      s"$wh/t", "old", 3600000L, spark.sessionState.newHadoopConf()): Unit
+    intercept[Exception](
+      spark.sql("UPDATE gdml.t VERSION AS OF 'old' SET v = 'x' WHERE id = 1"): Unit)
+    // OCC: a replacement whose scanned group was shadowed by a
+    // concurrent maintenance commit between planning and commit must
+    // refuse with the retryable conflict, never resurrect old rows
+    val staleFile = graft.sources.ContentStore.filesInManifest(s"$wh/t", preDml(0), hconf).head
+    intercept[graft.sources.StoreCommitConflictException](
+      graft.sources.ParquetEpochs.commitReplacement(s"$wh/t", Nil, Set(staleFile)))
   }
 
   test("catalog columnar scans report real size statistics: small store broadcasts unhinted") {
