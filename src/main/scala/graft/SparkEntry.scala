@@ -100,6 +100,9 @@ object SparkEntry {
     "q_catalog_merge" -> ((s, d) =>
       Joins.catalogSqlMerge(Tables(s, d),
         s"${System.getProperty("java.io.tmpdir")}/graft-catwh")),
+    "q_catalog_kv_update" -> ((s, d) =>
+      Joins.catalogKvUpdate(Tables(s, d),
+        s"${System.getProperty("java.io.tmpdir")}/graft-catwh")),
     "q_store_forget" -> ((s, d) =>
       graft.operators.Forget.forgetRead(Tables(s, d),
         s"${System.getProperty("java.io.tmpdir")}/graft-forget")),
@@ -1625,6 +1628,14 @@ object SparkEntry {
         |SELECT doc_id + 1000000 AS doc_id, 'new' AS lang, n_chars
         |FROM documents WHERE doc_id % 97 = 0
         |ORDER BY doc_id""".stripMargin,
+    "q_catalog_kv_update" -> // B89: K-V row-level UPDATE with a VALUE predicate — the
+      // reference's consumer-state update as one SQL statement
+      """SELECT printf('u%06d', user_id) AS result_key,
+        |  CASE WHEN cents >= 500000 THEN 'flagged' ELSE CAST(cents AS VARCHAR) END AS payload
+        |FROM (SELECT user_id,
+        |        CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |      FROM events WHERE event_type = 'purchase' GROUP BY 1)
+        |ORDER BY result_key""".stripMargin,
     "q_store_forget" -> // B87: cross-asset RTBF cascade — every asset (corpus, both
       // signature indexes, IVF assignments) holds exactly the
       // survivors, and the component state hands each purged LABEL to

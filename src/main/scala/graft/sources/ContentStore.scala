@@ -505,11 +505,36 @@ object ContentStore {
 private[graft] class ContentStoreTable(
     path: String,
     bucketedRead: Int = 0,
-    defaultManifests: Option[Seq[String]] = None)
+    defaultManifests: Option[Seq[String]] = None,
+    planHook: Option[Seq[String] => Unit] = None)
     extends Table
     with SupportsRead
     with SupportsWrite
-    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
+
+  /** SQL `UPDATE` / `MERGE INTO` / non-key `DELETE` on the K-V payload
+    * — the reference's consumer-state-update shape (lcount.go:206-237)
+    * from SQL: the group-based copy-on-write twin of the columnar
+    * [[ColumnarCowOperation]], riding the store's OWN DSv2 writers
+    * (key-bounds-tracking line format) and the deleteKeys commit
+    * shape. Bucketed stores refuse: a COW re-distribution cannot
+    * preserve the recorded bucket-hash file layout the SPJ read
+    * contract depends on (delete/upsert keep per-file locality; a
+    * general rewrite does not). Pinned/time-traveled views refuse.
+    */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo
+  ): org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    require(defaultManifests.isEmpty,
+      s"GraftCatalog: cannot run row-level DML on a pinned/time-traveled view of $path")
+    require(bucketedRead == 0 &&
+      ContentStore.recordedBuckets(path, ContentStore.driverHadoopConf()) == 0,
+      s"GraftCatalog: row-level DML is not supported on bucketed store $path — " +
+        "a copy-on-write rewrite cannot preserve the bucket-hash file layout; " +
+        "use StoreLifecycle.deleteKeys / upsert")
+    () => new KvCowOperation(path, info.command())
+  }
 
   override def name(): String = s"graft_content_store($path)"
   override def schema(): StructType =
@@ -724,8 +749,11 @@ private[graft] class ContentStoreTable(
             }
           }
         }
-        override def planInputPartitions(): Array[InputPartition] =
-          survivingFiles().map(f => StoreFilePartition(path, f): InputPartition).toArray
+        override def planInputPartitions(): Array[InputPartition] = {
+          val surviving = survivingFiles()
+          planHook.foreach(_(surviving))
+          surviving.map(f => StoreFilePartition(path, f): InputPartition).toArray
+        }
         /** Real size statistics over the SURVIVING (post-skip) file
           * set — without them a V2 relation defaults to "huge" and the
           * planner never broadcasts a store, however small; with them a
@@ -1113,6 +1141,58 @@ private[graft] object ContentStoreWrite {
         )
       }
     }
+  }
+
+  /** Commit half of the K-V row-level (COW) write — the deleteKeys
+    * manifest leg for files the COW writers already staged: new files
+    * from the writers' own messages (key bounds embedded), carried
+    * files with their recorded bounds re-recorded, affected manifests
+    * shadowed. Same file-granularity OCC as the columnar twin
+    * ([[ParquetEpochs.commitReplacement]]): a replaced file no longer
+    * live means a concurrent maintenance commit won — refuse
+    * (retryable) rather than resurrect its rewritten rows.
+    */
+  private[graft] def commitReplacement(
+      path: String,
+      messages: Array[WriterCommitMessage],
+      replacedFiles: Set[String],
+      hadoopConf: Configuration
+  ): Unit = {
+    val live            = ContentStore.effectiveManifestNames(path, hadoopConf)
+    val filesByManifest = live.map(m => m -> ContentStore.filesInManifest(path, m, hadoopConf))
+    val liveFiles       = filesByManifest.flatMap(_._2).toSet
+    val gone            = replacedFiles.filterNot(liveFiles)
+    if (gone.nonEmpty)
+      throw new StoreCommitConflictException(
+        s"row-level replacement on $path: ${gone.size} scanned file(s) were " +
+          s"shadowed by a concurrent maintenance commit (e.g. ${gone.head}) — " +
+          "re-run the operation to re-plan from the current snapshot")
+    val statsByFile =
+      live.flatMap(m => ContentStore.statsForManifest(path, m, hadoopConf)).toMap
+    val affected = filesByManifest.collect { case (m, fs) if fs.exists(replacedFiles) => m }
+    val carryMsgs: Array[WriterCommitMessage] = affected
+      .flatMap(m => filesByManifest.toMap.apply(m).filterNot(replacedFiles))
+      .map { f =>
+        val st = statsByFile.get(f)
+        StoreCommitMsg(f, 1L, st.map(_._1.toString).orNull, st.map(_._2.toString).orNull)
+          : WriterCommitMessage
+      }.toArray
+    val newNames = messages.collect { case m: StoreCommitMsg if m.rows > 0 => m.file }
+    val digest   = java.security.MessageDigest.getInstance("SHA-256")
+    (affected ++ newNames).foreach { s =>
+      digest.update(s.getBytes("UTF-8")); digest.update(0.toByte)
+    }
+    val name = "cow-" + digest.digest().take(8).map("%02x".format(_)).mkString
+    writeManifest(
+      path,
+      name,
+      messages,
+      hadoopConf,
+      idempotent = true,
+      compactSources = if (affected.isEmpty) None else Some(affected),
+      dataShards = ContentStore.recordedDataShards(path, hadoopConf),
+      carryMessages = carryMsgs
+    )
   }
 
   def deleteFiles(

@@ -146,9 +146,44 @@ class GraftCatalog extends TableCatalog {
       "GraftCatalog: stores are created by their writers (ContentStore append / " +
         "ParquetEpochs.append), not by CREATE TABLE")
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "GraftCatalog: use evolveSchema / store maintenance ops, not ALTER TABLE")
+  /** `ALTER TABLE cat.t ADD COLUMNS (...)` — the store's own additive
+    * schema evolution (B83, [[ParquetEpochs.evolveSchema]]) from SQL:
+    * top-level nullable columns append to the recorded signature;
+    * pre-evolution files read NULL for them (the evolution contract),
+    * which is also why a NOT NULL evolved column is refused. Every
+    * other ALTER shape (drop/rename/retype/reposition/nested) would
+    * need a rewrite of live data and is refused with the maintenance
+    * verbs named.
+    */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val path = pathOf(ident)
+    val conf = ContentStore.driverHadoopConf()
+    val adds = changes.collect { case a: TableChange.AddColumn => a }
+    if (adds.length != changes.length || adds.isEmpty)
+      throw new UnsupportedOperationException(
+        "GraftCatalog: only ALTER TABLE ... ADD COLUMNS is supported (the store's " +
+          "additive evolution) — use evolveSchema / store maintenance ops for anything else")
+    if (!ContentStore.recordedFormat(path, conf).contains("parquet"))
+      throw new UnsupportedOperationException(
+        s"GraftCatalog: K-V store $path has the fixed (result_key, payload) schema — " +
+          "ADD COLUMNS applies to columnar stores")
+    val recorded = ParquetEpochs.recordedSchema(path, conf).getOrElse(
+      throw new IllegalStateException(
+        s"GraftCatalog: columnar store $path has no recorded _schema"))
+    val widened = adds.foldLeft(recorded) { (sch, a) =>
+      require(a.fieldNames().length == 1,
+        s"GraftCatalog: ADD COLUMNS supports top-level columns only, got " +
+          a.fieldNames().mkString("."))
+      require(a.position() == null,
+        "GraftCatalog: column position is not supported — evolution appends at the end")
+      require(a.isNullable,
+        s"GraftCatalog: evolved column ${a.fieldNames()(0)} must be nullable — " +
+          "pre-evolution files read NULL for it")
+      sch.add(a.fieldNames()(0), a.dataType(), nullable = true)
+    }
+    ParquetEpochs.evolveSchema(path, widened)
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean =
     throw new UnsupportedOperationException(

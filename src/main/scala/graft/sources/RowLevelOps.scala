@@ -236,3 +236,103 @@ private[graft] object ColumnarCowDataWriter {
       new ParquetWriteSupport
   }
 }
+
+/** K-V twin of [[ColumnarCowOperation]]: same scan-records-groups /
+  * write-replaces-groups protocol, but the writers are the store's
+  * OWN DSv2 line-format writers (fresh-UUID staging, key bounds in
+  * the commit message) and the commit is the deleteKeys manifest
+  * shape via [[ContentStoreWrite.commitReplacement]].
+  */
+private[graft] class KvCowOperation(
+    path: String,
+    cmd: RowLevelOperation.Command
+) extends RowLevelOperation {
+
+  @volatile private[sources] var scannedFiles: Option[Seq[String]] = None
+
+  override def command(): RowLevelOperation.Command = cmd
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ContentStoreTable(path, bucketedRead = 0, defaultManifests = None,
+      planHook = Some(files => scannedFiles = Some(files)))
+      .newScanBuilder(options)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    val names = info.schema().fieldNames.toSeq
+    require(names == Seq("result_key", "payload"),
+      s"row-level write on K-V store $path: unexpected schema ${info.schema().catalogString}")
+    new WriteBuilder {
+      override def build(): Write = new Write {
+        override def toBatch: BatchWrite =
+          new KvCowBatchWrite(KvCowOperation.this, path, info.schema())
+      }
+    }
+  }
+}
+
+private[graft] class KvCowBatchWrite(
+    op: KvCowOperation,
+    path: String,
+    writeSchema: StructType
+) extends BatchWrite {
+
+  private val conf =
+    new SerializableConfiguration(ContentStore.driverHadoopConf())
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new KvCowWriterFactory(path, conf, writeSchema,
+      ContentStore.recordedDataShards(path, conf.value))
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val newFiles = messages.collect { case m: StoreCommitMsg if m.rows > 0 => m.file }
+    val replaced = op.scannedFiles.getOrElse {
+      if (newFiles.isEmpty) return
+      throw new IllegalStateException(
+        s"row-level write on $path committed before its scan planned — cannot " +
+          "determine the replaced group set")
+    }
+    if (newFiles.isEmpty && replaced.isEmpty) return
+    ContentStoreWrite.commitReplacement(path, messages, replaced.toSet, conf.value)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    ContentStoreWrite.deleteFiles(path, messages, conf.value)
+}
+
+private[graft] class KvCowWriterFactory(
+    path: String,
+    conf: SerializableConfiguration,
+    writeSchema: StructType,
+    dataShards: Int
+) extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new KvCowDataWriter(
+      new StoreDataWriter(path, 0, 1, conf.value, dataShards), writeSchema)
+}
+
+/** Shifts past `ReplaceData`'s leading `__row_operation` metrics
+  * column (the same no-metadata engine channel the columnar writer
+  * handles) and delegates to the store's own line-format writer with
+  * (key, payload) at ordinals (0, 1).
+  */
+private[graft] class KvCowDataWriter(
+    inner: DataWriter[InternalRow],
+    writeSchema: StructType
+) extends DataWriter[InternalRow] {
+
+  private val shifted = org.apache.spark.sql.catalyst.ProjectingInternalRow(
+    writeSchema, (1 to writeSchema.length).toList)
+
+  override def write(record: InternalRow): Unit =
+    if (record.numFields == writeSchema.length + 1) {
+      shifted.project(record); inner.write(shifted)
+    } else if (record.numFields == writeSchema.length) inner.write(record)
+    else
+      throw new IllegalStateException(
+        s"row-level K-V write: row has ${record.numFields} fields for " +
+          s"write schema ${writeSchema.catalogString}")
+
+  override def commit(): WriterCommitMessage = inner.commit()
+  override def abort(): Unit                 = inner.abort()
+  override def close(): Unit                 = inner.close()
+}

