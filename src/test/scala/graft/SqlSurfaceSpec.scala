@@ -280,6 +280,14 @@ class SqlSurfaceSpec extends SparkSpecBase {
     spark.sql("DELETE FROM gdel.cols WHERE id IN (5, 6, 7) AND id IN (6, 7, 8) AND id = 7")
     assert(spark.sql("SELECT id FROM gdel.cols ORDER BY id")
       .collect().map(_.getLong(0)).toSeq == Seq(1L, 3L, 5L, 6L, 8L, 9L, 10L))
+    // the key-shaped deletes took the METADATA path (deleteWhere's
+    // `delete-pq-` commits), not the row-level rewrite (`cow-`) — the
+    // OptimizeMetadataOnlyDeleteFromTable interplay, pinned by the
+    // commit names the two paths stamp
+    val delNames = graft.sources.ContentStore.effectiveManifestNames(
+      s"$wh/cols", spark.sessionState.newHadoopConf())
+    assert(delNames.exists(_.startsWith("delete-pq-")) && !delNames.exists(_.startsWith("cow-")),
+      s"key-shaped DELETE must stay metadata-only: $delNames")
     // not expressible as a key delete -> falls through to the
     // copy-on-write row-level path instead of refusing
     spark.sql("DELETE FROM gdel.cols WHERE id > 8")
@@ -326,19 +334,23 @@ class SqlSurfaceSpec extends SparkSpecBase {
     graft.sources.ParquetEpochs.append(
       df.filter(col("id") <= 5).repartitionByRange(2, col("id")).sortWithinPartitions("id"),
       s"$wh/t"): Unit
+    // manifest names carry random uuids (the snapshot is a SET, not an
+    // ordering) — capture epoch 1's name before epoch 2 lands
+    val m1 = graft.sources.ContentStore.snapshotManifests(s"$wh/t").head
     graft.sources.ParquetEpochs.append(
       df.filter(col("id") > 5).repartitionByRange(2, col("id")).sortWithinPartitions("id"),
       s"$wh/t"): Unit
     val hconf  = spark.sessionState.newHadoopConf()
     val preDml = graft.sources.ContentStore.snapshotManifests(s"$wh/t")
+    val m2     = preDml.filterNot(_ == m1).head
     // UPDATE with a bounds-prunable WHERE
     spark.sql("UPDATE gdml.t SET v = concat(v, '!') WHERE id = 3")
     // group pruning: the WHERE is confined to epoch 1's key range, so
     // only epoch 1 is shadowed — epoch 2 survives untouched, and the
     // replacement rewrote ONE covering file, carrying the other
     val effPost = graft.sources.ContentStore.effectiveManifestNames(s"$wh/t", hconf)
-    assert(effPost.contains(preDml(1)) && !effPost.contains(preDml(0)),
-      s"UPDATE must shadow only the covering epoch: $preDml -> $effPost")
+    assert(effPost.contains(m2) && !effPost.contains(m1),
+      s"UPDATE must shadow only the covering epoch ($m1): $preDml -> $effPost")
     val cowM = effPost.filterNot(preDml.contains).head
     val cowFiles = graft.sources.ContentStore.filesInManifest(s"$wh/t", cowM, hconf)
     assert(cowFiles.size == 2 && cowFiles.count(_.contains("pq-cow-")) == 1,
@@ -369,7 +381,7 @@ class SqlSurfaceSpec extends SparkSpecBase {
     // OCC: a replacement whose scanned group was shadowed by a
     // concurrent maintenance commit between planning and commit must
     // refuse with the retryable conflict, never resurrect old rows
-    val staleFile = graft.sources.ContentStore.filesInManifest(s"$wh/t", preDml(0), hconf).head
+    val staleFile = graft.sources.ContentStore.filesInManifest(s"$wh/t", m1, hconf).head
     intercept[graft.sources.StoreCommitConflictException](
       graft.sources.ParquetEpochs.commitReplacement(s"$wh/t", Nil, Set(staleFile)))
   }
@@ -421,6 +433,56 @@ class SqlSurfaceSpec extends SparkSpecBase {
     val e = intercept[Exception](
       spark.sql("UPDATE gkv.bstate SET payload = 'x' WHERE result_key = 'k01'"))
     assert(e.getMessage != null)
+  }
+
+  test("catalog DML composes: post-evolution UPDATE writes wide; NOT MATCHED BY SOURCE deletes") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-catspec-dmlc").toString
+    spark.conf.set("spark.sql.catalog.gdm2", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gdm2.warehouse", wh)
+    import spark.implicits._
+    graft.sources.ParquetEpochs.append(
+      (1L to 6L).map(i => (i, s"v$i")).toDF("id", "v"), s"$wh/t"): Unit
+    // evolve, then DML: the COW read serves NULL for the evolved column
+    // from narrow files and the rewrite writes WIDE survivors
+    spark.sql("ALTER TABLE gdm2.t ADD COLUMNS (score DOUBLE)")
+    spark.sql("UPDATE gdm2.t SET score = 1.5 WHERE id = 2")
+    assert(spark.sql("SELECT score FROM gdm2.t WHERE id = 2").collect().head.getDouble(0) == 1.5)
+    assert(spark.sql("SELECT count(*) FROM gdm2.t WHERE score IS NULL")
+      .collect().head.getLong(0) == 5L)
+    // NOT MATCHED BY SOURCE: target rows outside the source delete —
+    // no source-derived predicate can prune groups, so every group
+    // rewrites (correctness over pruning when the DML touches all)
+    Seq((2L, "m2"), (3L, "m3"), (7L, "m7")).toDF("id", "v").createOrReplaceTempView("dml2_src")
+    spark.sql(
+      """MERGE INTO gdm2.t t USING dml2_src s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET v = s.v
+        |WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v)
+        |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+    val got = spark.sql("SELECT id, v, score FROM gdm2.t ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1), Option(r.get(2)))).toSeq
+    assert(got == Seq((2L, "m2", Some(1.5)), (3L, "m3", None), (7L, "m7", None)), s"got $got")
+  }
+
+  test("crashed-DML staged files are vacuum-swept orphans; committed rewrites survive") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-catspec-orph").toString
+    spark.conf.set("spark.sql.catalog.gorp", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gorp.warehouse", wh)
+    import spark.implicits._
+    graft.sources.ParquetEpochs.append(
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v"), s"$wh/t"): Unit
+    spark.sql("UPDATE gorp.t SET v = 'x' WHERE id = 1")
+    // a crashed DML's staged file: written into data/ but never
+    // referenced by any manifest — invisible to reads, swept by vacuum
+    val orphan = new java.io.File(s"$wh/t/data/pq-cow-deadbeef-00000-99.parquet")
+    java.nio.file.Files.write(orphan.toPath, Array[Byte](1, 2, 3)): Unit
+    val pre = spark.sql("SELECT id, v FROM gorp.t ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    graft.sources.StoreLifecycle.vacuum(spark, s"$wh/t", graceMs = 0L,
+      spark.sessionState.newHadoopConf()): Unit
+    assert(!orphan.exists, "unreferenced staged DML file must be swept")
+    val post = spark.sql("SELECT id, v FROM gorp.t ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(post == pre && post == Seq(1L -> "x", 2L -> "b"), s"got $post")
   }
 
   test("catalog ALTER TABLE ADD COLUMNS: additive evolution from SQL; other shapes refused") {

@@ -61,15 +61,28 @@ class StoreCrudPropertySpec extends SparkSpecBase {
               versions.toDF("result_key", "payload").coalesce(1), s"e$step")
             versions.foreach { case (k, v) => model = model.updated(k, Seq(v)) }
             check(s"upsert $versions")
-          case n if n < 8 => // delete a random key subset — randomly via
-            // the Seq or the DataFrame-valued form (same contract; the
-            // frame form randomly forced onto the shuffle path)
+          case 6 => // delete a random key subset — randomly via the Seq
+            // or the DataFrame-valued form (same contract; the frame
+            // form randomly forced onto the shuffle path)
             val ks = rng.shuffle(keySpace).take(1 + rng.nextInt(4))
             if (rng.nextBoolean()) StoreLifecycle.deleteKeys(spark, dir, ks)
             else StoreLifecycle.deleteKeys(spark, dir, ks.toDF("k"), Set.empty,
               if (rng.nextBoolean()) Some(false) else None)
             ks.foreach(k => model = model.updated(k, Seq.empty))
             check(s"delete $ks")
+          case 7 => // SQL row-level UPDATE (B89 K-V copy-on-write):
+            // marks EVERY stacked version of the touched keys
+            val ks = rng.shuffle(keySpace).take(1 + rng.nextInt(3))
+            val parent = new java.io.File(dir).getParent
+            val table  = new java.io.File(dir).getName
+            spark.conf.set("spark.sql.catalog.gcrudkv", "graft.sources.GraftCatalog")
+            spark.conf.set("spark.sql.catalog.gcrudkv.warehouse", parent)
+            // a never-written dir is not yet a table — the SQL no-ops
+            if (new java.io.File(dir, "_manifest").exists) spark.sql(
+              s"""UPDATE gcrudkv.`$table` SET payload = concat(payload, 'U')
+                 |WHERE result_key IN (${ks.map(k => s"'$k'").mkString(", ")})""".stripMargin): Unit
+            ks.foreach(k => model = model.updated(k, model(k).map(_ + "U").sorted))
+            check(s"sql-update $ks")
           case 8 => // OPTIMIZE (fold everything; layout-only)
             StoreLifecycle.compactEpochs(spark, dir)
             check("compact")
@@ -133,11 +146,25 @@ class StoreCrudPropertySpec extends SparkSpecBase {
                 val table  = new java.io.File(dir).getName
                 spark.conf.set("spark.sql.catalog.gcrud", "graft.sources.GraftCatalog")
                 spark.conf.set("spark.sql.catalog.gcrud.warehouse", parent)
-                spark.sql(
+                if (new java.io.File(dir, "_manifest").exists) spark.sql(
                   s"DELETE FROM gcrud.`$table` WHERE doc_id IN (${ks.mkString(", ")})"): Unit
             }
             ks.foreach(k => model = model.updated(k.asInstanceOf[Long], Seq.empty))
             check(s"delete $ks")
+          case 8 => // SQL row-level UPDATE (copy-on-write) — appends a
+            // marker to EVERY version of the touched keys; exercises
+            // the B89 path against the same model
+            val ks = rng.shuffle(ids).take(1 + rng.nextInt(3))
+            val parent = new java.io.File(dir).getParent
+            val table  = new java.io.File(dir).getName
+            spark.conf.set("spark.sql.catalog.gcrud", "graft.sources.GraftCatalog")
+            spark.conf.set("spark.sql.catalog.gcrud.warehouse", parent)
+            if (new java.io.File(dir, "_manifest").exists) spark.sql(
+              s"""UPDATE gcrud.`$table` SET body = concat(body, 'U')
+                 |WHERE doc_id IN (${ks.mkString(", ")})""".stripMargin): Unit
+            ks.foreach(k =>
+              model = model.updated(k, model(k).map(_ + "U").sorted))
+            check(s"sql-update $ks")
           case _ =>
             ParquetEpochs.compact(spark, dir)
             check("compact")
