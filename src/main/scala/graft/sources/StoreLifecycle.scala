@@ -441,7 +441,7 @@ object StoreLifecycle {
     val results =
       try spark.sparkContext
         .parallelize(candidates, slices)
-        .map(f => rewriteWithoutKeys(path, f, shards, bcKeys.value, sconf.value))
+        .map(f => rewriteWithoutKeys(path, f, shards, bcKeys.value, sconf.value, buckets))
         .collect()
       finally bcKeys.destroy()
     val byFile = results.map(r => r.file -> r).toMap
@@ -618,7 +618,13 @@ object StoreLifecycle {
     val filesByManifest = live.map(m => m -> ContentStore.filesInManifest(path, m, conf))
     val statsByFile     = live.flatMap(m => ContentStore.statsForManifest(path, m, conf)).toMap
     val fileMeta = filesByManifest.flatMap(_._2).map { f =>
-      val b  = ContentStore.bucketOfFile(ContentStore.baseName(f))
+      // bucket prefixes are only MEANINGFUL on stores that record
+      // buckets — on a plain store a random uuid name can spell
+      // `b<digits>-...` and a phantom parse here would poison the
+      // prune join with a NULL bucket comparison (falsely skipping
+      // the file: rows the purge then silently misses — caught by the
+      // CRUD property hammer). Same rule as the Seq path's candidate().
+      val b  = if (buckets > 0) ContentStore.bucketOfFile(ContentStore.baseName(f)) else None
       val st = statsByFile.get(f)
       (f, st.map(_._1.toString).orNull, st.map(_._2.toString).orNull,
         b.map(Integer.valueOf).orNull)
@@ -661,6 +667,7 @@ object StoreLifecycle {
     val sconf        = new SerializableConfiguration(conf)
     val pathCopy     = path
     val shardsCopy   = shards
+    val bucketsCopy  = buckets
     val rewrites = {
       import spark.implicits._
       storeLines(spark, path, matchedFiles.toSeq.sorted, conf)
@@ -694,10 +701,12 @@ object StoreLifecycle {
               flush()
               cur = f; kept = 0L; minK = null; maxK = null
               val (fl, root) = flRoot
-              val newBase = ContentStore.bucketOfFile(ContentStore.baseName(f)) match {
-                case Some(b) => s"b$b-${UUID.randomUUID()}"
-                case None    => UUID.randomUUID().toString
-              }
+              val newBase =
+                (if (bucketsCopy > 0) ContentStore.bucketOfFile(ContentStore.baseName(f))
+                 else None) match {
+                  case Some(b) => s"b$b-${UUID.randomUUID()}"
+                  case None    => UUID.randomUUID().toString
+                }
               newName = ContentStore.shardedName(newBase, shardsCopy)
               staging = new Path(root,
                 s"data/${newName.take(newName.lastIndexOf('/') + 1)}" +
@@ -1029,13 +1038,15 @@ object StoreLifecycle {
       file: String,
       dataShards: Int,
       keys: Set[String],
-      conf: Configuration
+      conf: Configuration,
+      buckets: Int = 0
   ): FileRewrite = {
     import org.apache.spark.unsafe.types.UTF8String
     val (fl, root) = ContentStore.fs(path, conf)
     val src        = new Path(root, s"data/$file")
     val base       = ContentStore.baseName(file)
-    val newBase = ContentStore.bucketOfFile(base) match {
+    // prefix only meaningful on bucketed stores (phantom-parse rule)
+    val newBase = (if (buckets > 0) ContentStore.bucketOfFile(base) else None) match {
       case Some(b) => s"b$b-${UUID.randomUUID()}"
       case None    => UUID.randomUUID().toString
     }

@@ -23,6 +23,12 @@ class StoreCrudPropertySpec extends SparkSpecBase {
 
   private def hconf = spark.sessionState.newHadoopConf()
 
+  // default 3 K-V / 2 columnar seeded sequences (manifest commits are
+  // ~100 ms each — suite budget); SPARK_GRAFT_CRUD_SEEDS widens the
+  // hammer for local bug hunts without touching committed budgets
+  private val kvSeeds  = sys.env.get("SPARK_GRAFT_CRUD_SEEDS").map(_.toInt).getOrElse(3)
+  private val colSeeds = sys.env.get("SPARK_GRAFT_CRUD_SEEDS").map(_.toInt).getOrElse(2)
+
   private def readAll(dir: String): Map[String, Seq[String]] =
     spark.read.format("graft.sources.ContentStore").option("path", dir).load()
       .collect().map(r => (r.getString(0), r.getString(1)))
@@ -31,7 +37,7 @@ class StoreCrudPropertySpec extends SparkSpecBase {
   test("K-V store: random append/upsert/delete/optimize/vacuum sequences match the model") {
     import spark.implicits._
     val keySpace = (0 until 12).map(i => f"k$i%02d")
-    (1 to 3).foreach { seed =>
+    (1 to kvSeeds).foreach { seed =>
       val rng   = new Random(seed)
       val dir   = Files.createTempDirectory(s"graft-crudprop-$seed").toString
       // model: multiset per key (appends stack; upsert collapses to
@@ -39,8 +45,16 @@ class StoreCrudPropertySpec extends SparkSpecBase {
       var model = Map.empty[String, Seq[String]].withDefaultValue(Seq.empty)
       var step  = 0
       def check(op: String): Unit = {
+        if (sys.env.contains("SPARK_GRAFT_CRUD_TRACE")) println(s"[crud-trace] seed=$seed step=$step $op")
         val got  = readAll(dir)
         val want = model.filter(_._2.nonEmpty)
+        if (got != want && sys.env.contains("SPARK_GRAFT_CRUD_TRACE")) {
+          val c = spark.sessionState.newHadoopConf()
+          ContentStore.effectiveManifestNames(dir, c).foreach { m =>
+            println(s"[crud-dump] $m files=${ContentStore.filesInManifest(dir, m, c)} " +
+              s"stats=${ContentStore.statsForManifest(dir, m, c).map { case (f, (mn, mx)) => s"$f:[$mn,$mx]" }}")
+          }
+        }
         assert(got == want, s"seed=$seed step=$step after $op: got $got want $want")
       }
       (0 until 12).foreach { _ =>
@@ -89,7 +103,10 @@ class StoreCrudPropertySpec extends SparkSpecBase {
           case 9 if rng.nextBoolean() => // age-based retention: a
             // future cutoff retires every epoch committed so far
             StoreLifecycle.expireEpochs(dir, System.currentTimeMillis() + 1000L)
+            // .map on a WithDefault drops the default — re-attach it or
+            // a later append of a never-seen key throws
             model = model.map { case (k, _) => k -> Seq.empty[String] }
+              .withDefaultValue(Seq.empty)
             check("retention")
           case _ => // vacuum at grace 0 (no pins in this harness)
             StoreLifecycle.vacuum(spark, dir, graceMs = 0L, hconf)
@@ -103,7 +120,7 @@ class StoreCrudPropertySpec extends SparkSpecBase {
   test("columnar store: random append/upsert/delete/optimize sequences match the model") {
     import spark.implicits._
     val ids = (0 until 12).map(_.toLong)
-    (1 to 2).foreach { seed =>
+    (1 to colSeeds).foreach { seed =>
       val rng = new Random(100 + seed)
       val dir = Files.createTempDirectory(s"graft-crudprop-pq-$seed").toString
       var model = Map.empty[Long, Seq[String]].withDefaultValue(Seq.empty)
@@ -136,7 +153,10 @@ class StoreCrudPropertySpec extends SparkSpecBase {
             check(s"upsert $versions")
           case n if n < 8 =>
             val ks: Seq[Any] = rng.shuffle(ids).take(1 + rng.nextInt(4))
-            rng.nextInt(3) match {
+            // a never-written dir is not yet a columnar store — the
+            // verbs refuse pointedly there; the action no-ops
+            if (!new java.io.File(dir, "_format").exists) ()
+            else rng.nextInt(3) match {
               case 0 => ParquetEpochs.deleteWhere(spark, dir, "doc_id", ks)
               case 1 => ParquetEpochs.deleteWhere(spark, dir, "doc_id",
                 ks.map(_.asInstanceOf[Long]).toDF("doc_id"),

@@ -94,6 +94,21 @@ class StoreDeleteSpec extends SparkSpecBase {
       .select("result_key", "payload")
       .collect().map(row => (row.getString(0), row.getString(1))).toSet
     assert(got == Set("a" -> "1", "b" -> "2", "d" -> "4", "e" -> "5", "f" -> "6"))
+    // the FRAME form prunes by bucket too: only e's bucket rewrites,
+    // prefixes survive, the key-grouped read still answers
+    val before2 = liveFiles(dir)
+    StoreLifecycle.deleteKeys(spark, dir, Seq("e").toDF("k"), Set.empty, None)
+    val after2  = liveFiles(dir)
+    assert(after2.forall(f => ContentStore.bucketOfFile(ContentStore.baseName(f)).isDefined))
+    val eBucket = ContentStore.bucketOf("e", n)
+    assert(before2.filter(f =>
+      !ContentStore.bucketOfFile(ContentStore.baseName(f)).contains(eBucket))
+      .forall(after2.contains), s"frame form: non-matching buckets must carry")
+    val got2 = spark.read.format("graft.sources.ContentStore")
+      .option("path", dir).option("bucketedRead", n).load()
+      .select("result_key", "payload")
+      .collect().map(row => (row.getString(0), row.getString(1))).toSet
+    assert(got2 == Set("a" -> "1", "b" -> "2", "d" -> "4", "f" -> "6"))
   }
 
   test("pre-delete pin time-travels to the deleted rows; vacuum keeps carried files, sweeps sources") {
@@ -159,6 +174,43 @@ class StoreDeleteSpec extends SparkSpecBase {
     val fresh = spark.read.format("graft.sources.ContentStore").option("path", dir).load()
       .collect().map(_.getString(0)).sorted.toSeq
     assert(fresh == Seq("b", "c"), "a post-delete batch read never sees the deleted row")
+  }
+
+  test("a uuid data file spelling b<digits>- is NOT a bucket file on a plain store") {
+    // regression (r18, found by the CRUD property hammer): random uuid
+    // names occasionally match the bucket-prefix pattern `b\d+-`; the
+    // frame purge parsed them UNCONDITIONALLY, and on a NON-bucketed
+    // store the phantom bucket joined a NULL probe bucket — the file
+    // was falsely pruned and the purge silently missed its rows (an
+    // upsert kept a stale version; an RTBF delete left the row live).
+    // Bucket prefixes are meaningful only when the store RECORDS
+    // buckets. Deterministic surgery: rename a data file to the
+    // poisonous shape in the manifest, stats sidecar, and data dir.
+    import spark.implicits._
+    val dir = tmp()
+    writeOne(dir, "a" -> "1", "b" -> "2")
+    val m    = ContentStore.snapshotManifests(dir).head
+    val file = ContentStore.filesInManifest(dir, m, hconf).head
+    val evil = "b1234567-feed-face-dead-beef00000000"
+    val root = new java.io.File(dir)
+    assert(new java.io.File(root, s"data/$file").renameTo(new java.io.File(root, s"data/$evil")))
+    def rewriteNames(rel: String): Unit = {
+      val f = new java.io.File(root, rel)
+      val t = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+      java.nio.file.Files.write(f.toPath, t.replace(file, evil).getBytes("UTF-8")): Unit
+      // out-of-band rewrite invalidates the local FS checksum sidecar
+      new java.io.File(f.getParentFile, s".${f.getName}.crc").delete(): Unit
+    }
+    rewriteNames(s"_manifest/$m")
+    rewriteNames(s"_stats/$m")
+    new java.io.File(root, s"data/.$file.crc").delete(): Unit
+    // frame delete: the evil file MUST stay a candidate and lose key "a"
+    StoreLifecycle.deleteKeys(spark, dir, Seq("a").toDF("k"), Set.empty, None)
+    assert(readAll(dir) == Set("b" -> "2"),
+      "phantom bucket parse must not skip the file")
+    // upsert (frame purge inside): "b" gets exactly one fresh version
+    StoreLifecycle.upsert(spark, dir, Seq(("b", "new")).toDF("result_key", "payload"), "e1")
+    assert(readAll(dir) == Set("b" -> "new"))
   }
 
   test("deleteKeys refuses a columnar store; deleteWhere refuses a K-V store") {
