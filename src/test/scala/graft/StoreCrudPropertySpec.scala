@@ -117,6 +117,76 @@ class StoreCrudPropertySpec extends SparkSpecBase {
     }
   }
 
+  test("bucketed and sharded K-V stores: random op sequences match the model") {
+    // the phantom-bucket purge miss lived exactly where layout naming
+    // meets pruning — fuzz BOTH special layouts through the same
+    // model: every op must preserve the layout invariants AND values
+    import spark.implicits._
+    val keySpace = (0 until 12).map(i => f"k$i%02d")
+    val layouts = Seq(("buckets", 4, 0), ("dataShards", 0, 5))
+    layouts.foreach { case (label, buckets, shards) =>
+      (1 to math.max(1, kvSeeds / 2)).foreach { seed =>
+        val rng = new Random(1000 + seed)
+        val dir = Files.createTempDirectory(s"graft-crudprop-$label-$seed").toString
+        var model = Map.empty[String, Seq[String]].withDefaultValue(Seq.empty)
+        var step  = 0
+        def opts(w: org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row]) = {
+          val base = w.format("graft.sources.ContentStore").option("path", dir).mode("append")
+          if (buckets > 0) base.option("buckets", buckets)
+          else base.option("dataShards", shards)
+        }
+        def check(op: String): Unit = {
+          val got  = readAll(dir)
+          val want = model.filter(_._2.nonEmpty)
+          assert(got == want, s"$label seed=$seed step=$step after $op: got $got want $want")
+          if (buckets > 0) // every live file keeps its bucket prefix
+            assert(ContentStore.snapshotManifests(dir)
+              .flatMap(m => ContentStore.filesInManifest(dir, m, hconf))
+              .forall(f => ContentStore.bucketOfFile(f).isDefined),
+              s"$label seed=$seed step=$step after $op: bucket prefix lost")
+        }
+        // the layout is declared by the FIRST writer (an upsert into a
+        // virgin store would create a PLAIN store) — seed it, as every
+        // real bucketed/sharded store is seeded
+        opts(Seq(("k00", "seed")).toDF("result_key", "payload").coalesce(1).write).save()
+        model = model.updated("k00", Seq("seed"))
+        check("layout seed")
+        (0 until 10).foreach { _ =>
+          step += 1
+          rng.nextInt(10) match {
+            case n if n < 3 =>
+              val batch = (0 until 1 + rng.nextInt(3))
+                .map(_ => (keySpace(rng.nextInt(keySpace.size)), s"v$step-${rng.nextInt(100)}"))
+              opts(batch.toDF("result_key", "payload").coalesce(1).write).save()
+              batch.foreach { case (k, v) => model = model.updated(k, (model(k) :+ v).sorted) }
+              check(s"append $batch")
+            case n if n < 6 =>
+              val ks = rng.shuffle(keySpace).take(1 + rng.nextInt(3))
+              val versions = ks.map(k => (k, s"u$step"))
+              StoreLifecycle.upsert(spark, dir,
+                versions.toDF("result_key", "payload").coalesce(1), s"e$step")
+              versions.foreach { case (k, v) => model = model.updated(k, Seq(v)) }
+              check(s"upsert $versions")
+            case n if n < 8 =>
+              val ks = rng.shuffle(keySpace).take(1 + rng.nextInt(4))
+              if (rng.nextBoolean()) StoreLifecycle.deleteKeys(spark, dir, ks)
+              else StoreLifecycle.deleteKeys(spark, dir, ks.toDF("k"), Set.empty,
+                if (rng.nextBoolean()) Some(false) else None)
+              ks.foreach(k => model = model.updated(k, Seq.empty))
+              check(s"delete $ks")
+            case 8 =>
+              StoreLifecycle.compactEpochs(spark, dir)
+              check("compact")
+            case _ =>
+              StoreLifecycle.vacuum(spark, dir, graceMs = 0L, hconf)
+              check("vacuum")
+          }
+        }
+        deleteTree(java.nio.file.Paths.get(dir))
+      }
+    }
+  }
+
   test("columnar store: random append/upsert/delete/optimize sequences match the model") {
     import spark.implicits._
     val ids = (0 until 12).map(_.toLong)
