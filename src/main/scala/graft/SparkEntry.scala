@@ -103,6 +103,9 @@ object SparkEntry {
     "q_catalog_kv_update" -> ((s, d) =>
       Joins.catalogKvUpdate(Tables(s, d),
         s"${System.getProperty("java.io.tmpdir")}/graft-catwh")),
+    "q_store_constraints" -> ((s, d) =>
+      Joins.storeConstraintsRead(Tables(s, d),
+        s"${System.getProperty("java.io.tmpdir")}/graft-catwh")),
     "q_store_forget" -> ((s, d) =>
       graft.operators.Forget.forgetRead(Tables(s, d),
         s"${System.getProperty("java.io.tmpdir")}/graft-forget")),
@@ -1636,6 +1639,10 @@ object SparkEntry {
         |        CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
         |      FROM events WHERE event_type = 'purchase' GROUP BY 1)
         |ORDER BY result_key""".stripMargin,
+    "q_store_constraints" -> // B90: CHECK constraints — the poisoned batch refused
+      // atomically, so the read-back is exactly the clean corpus
+      """SELECT doc_id, lang, n_chars FROM documents
+        |ORDER BY doc_id""".stripMargin,
     "q_store_forget" -> // B87: cross-asset RTBF cascade — every asset (corpus, both
       // signature indexes, IVF assignments) holds exactly the
       // survivors, and the component state hands each purged LABEL to

@@ -87,6 +87,10 @@ object ParquetEpochs {
     // carried files' bounds are immutable: copy their recorded lines
     // from the shadowed sources' sidecars; footer-read only the moved
     // parts and any carried file without a line (legacy sidecars)
+    // B90 CHECK constraints: this commit's NEW files must satisfy
+    // every recorded constraint BEFORE the manifest can land (carried
+    // files were validated by the commit that introduced them)
+    Constraints.validateNewFiles(storeDir, moved, conf)
     val (carryLines, covered) =
       if (carryFiles.isEmpty) (Nil, Set.empty[String])
       else harvestStats(fsys, root, compactSources.getOrElse(Seq.empty), carryFiles.toSet)
@@ -156,6 +160,8 @@ object ParquetEpochs {
       digest.update(s.getBytes("UTF-8")); digest.update(0.toByte)
     }
     val name = "cow-" + digest.digest().take(8).map("%02x".format(_)).mkString
+    // B90: a DML that SET a violating value refuses like a bad append
+    Constraints.validateNewFiles(storeDir, newFiles, conf)
     val (carryLines, covered) =
       if (carried.isEmpty) (Nil, Set.empty[String])
       else harvestStats(fsys, root, affected, carried.toSet)
@@ -1177,6 +1183,8 @@ object ParquetEpochs {
     val affected = plan.fold(Seq.empty[String])(_.affected)
     // 4. ONE atomic manifest: epoch + survivors + carried, shadowing
     //    the affected manifests
+    // B90: the version epoch's fresh values validate like any append
+    Constraints.validateNewFiles(storeDir, moved1 ++ moved2, conf)
     val (carryLines, covered) =
       if (carried.isEmpty) (Nil, Set.empty[String])
       else harvestStats(fsys, root, affected, carried.toSet)

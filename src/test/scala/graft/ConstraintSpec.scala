@@ -1,0 +1,91 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.sources.{Constraints, ContentStore, ParquetEpochs, StoreConstraintViolationException, StoreLifecycle}
+
+/** B90: CHECK constraints — commit-time validation of each commit's
+  * NEW files with atomic refusal, the induction (whole-store check at
+  * add, new-files check per commit) keeping the live store valid at
+  * every instant, across every write surface: append, catalog INSERT,
+  * upsert version epochs, and SQL UPDATE's copy-on-write files.
+  */
+class ConstraintSpec extends SparkSpecBase {
+
+  private def tmp() = Files.createTempDirectory("graft-constraint").toString
+
+  private def readIds(dir: String): Seq[(Long, String)] =
+    ParquetEpochs.read(spark, dir, ContentStore.snapshotManifests(dir))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+
+  test("violating commits refuse atomically on every write surface; valid ones land") {
+    import spark.implicits._
+    val wh  = tmp()
+    val dir = s"$wh/t"
+    spark.conf.set("spark.sql.catalog.gcon", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gcon.warehouse", wh)
+    ParquetEpochs.append(Seq((1L, "en"), (2L, "de")).toDF("id", "lang"), dir): Unit
+    Constraints.add(spark, dir, "lang_set", "lang IS NOT NULL AND lang != ''")
+    // append: a violating batch refuses; NOTHING lands (not even the
+    // valid rows of the same batch — the commit is the unit)
+    val pre = ContentStore.snapshotManifests(dir)
+    intercept[StoreConstraintViolationException](
+      ParquetEpochs.append(Seq((3L, "fr"), (4L, "")).toDF("id", "lang"), dir))
+    assert(ContentStore.snapshotManifests(dir) == pre, "refused append must not commit")
+    assert(readIds(dir) == Seq(1L -> "en", 2L -> "de"))
+    ParquetEpochs.append(Seq((3L, "fr")).toDF("id", "lang"), dir): Unit
+    // catalog INSERT INTO rides append -> inherited
+    intercept[Exception](spark.sql("INSERT INTO gcon.t SELECT 9L AS id, '' AS lang"))
+    assert(readIds(dir) == Seq(1L -> "en", 2L -> "de", 3L -> "fr"))
+    // upsert: the version epoch's fresh values validate
+    intercept[StoreConstraintViolationException](
+      ParquetEpochs.upsert(spark, dir, Seq((2L, "")).toDF("id", "lang"), "id", "bad"))
+    ParquetEpochs.upsert(spark, dir, Seq((2L, "nl")).toDF("id", "lang"), "id", "good"): Unit
+    assert(readIds(dir) == Seq(1L -> "en", 2L -> "nl", 3L -> "fr"))
+    // SQL UPDATE via copy-on-write: SET to a violating value refuses,
+    // the store keeps its pre-DML state; a valid SET lands
+    intercept[Exception](spark.sql("UPDATE gcon.t SET lang = '' WHERE id = 1"))
+    assert(readIds(dir) == Seq(1L -> "en", 2L -> "nl", 3L -> "fr"))
+    spark.sql("UPDATE gcon.t SET lang = 'sv' WHERE id = 1")
+    assert(readIds(dir) == Seq(1L -> "sv", 2L -> "nl", 3L -> "fr"))
+    // the refused commits' staged files are vacuum-swept orphans
+    StoreLifecycle.vacuum(spark, dir, graceMs = 0L, spark.sessionState.newHadoopConf()): Unit
+    assert(readIds(dir) == Seq(1L -> "sv", 2L -> "nl", 3L -> "fr"))
+  }
+
+  test("add validates the whole live store; NULL evaluations violate; drop re-admits") {
+    import spark.implicits._
+    val dir = s"${tmp()}/t"
+    ParquetEpochs.append(Seq((1L, "en"), (2L, null.asInstanceOf[String])).toDF("id", "lang"),
+      dir): Unit
+    // the store already violates (a NULL row: CHECK demands true)
+    val e = intercept[IllegalStateException](
+      Constraints.add(spark, dir, "lang_set", "lang IS NOT NULL"))
+    assert(e.getMessage.contains("already violates"))
+    assert(Constraints.list(dir, spark.sessionState.newHadoopConf()).isEmpty)
+    // clean, then add succeeds; re-add same text is idempotent,
+    // different text refuses
+    ParquetEpochs.deleteWhere(spark, dir, "id", Seq(2L)): Unit
+    Constraints.add(spark, dir, "lang_set", "lang IS NOT NULL")
+    Constraints.add(spark, dir, "lang_set", "lang IS NOT NULL")
+    intercept[IllegalArgumentException](
+      Constraints.add(spark, dir, "lang_set", "lang IS NULL"))
+    // a non-boolean or unresolvable expression refuses before any IO
+    intercept[Exception](Constraints.add(spark, dir, "bad_type", "id + 1"))
+    intercept[Exception](Constraints.add(spark, dir, "bad_col", "nope > 0"))
+    // drop re-admits from the next commit
+    Constraints.drop(dir, "lang_set")
+    ParquetEpochs.append(Seq((3L, null.asInstanceOf[String])).toDF("id", "lang"), dir): Unit
+    assert(ParquetEpochs.read(spark, dir, ContentStore.snapshotManifests(dir)).count() == 2)
+  }
+
+  test("delete and compaction survivors never re-trip a constraint (induction holds)") {
+    import spark.implicits._
+    val dir = s"${tmp()}/t"
+    ParquetEpochs.append((1L to 20L).map(i => (i, s"l$i")).toDF("id", "lang"), dir): Unit
+    Constraints.add(spark, dir, "lang_set", "lang IS NOT NULL")
+    ParquetEpochs.deleteWhere(spark, dir, "id", Seq(3L, 7L)): Unit
+    ParquetEpochs.compact(spark, dir): Unit
+    assert(ParquetEpochs.read(spark, dir, ContentStore.snapshotManifests(dir)).count() == 18)
+  }
+}
