@@ -69,6 +69,14 @@ class GraftCatalog extends TableCatalog {
 
   override def name(): String = catalogName
 
+  /** SQL `ALTER TABLE ... ADD CONSTRAINT name CHECK (...)` is routed
+    * to [[alterTable]] only when the catalog declares support.
+    */
+  override def capabilities(): java.util.Set[
+    org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
+    java.util.EnumSet.of(
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
+
   private def pathOf(ident: Identifier): String = {
     val parts = ident.namespace().toSeq :+ ident.name()
     parts.foreach { p =>
@@ -158,11 +166,35 @@ class GraftCatalog extends TableCatalog {
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val path = pathOf(ident)
     val conf = ContentStore.driverHadoopConf()
+    // CHECK constraints: B90's add/drop by name from SQL (whole-store
+    // validation at add, per-commit enforcement after — the same verb
+    // as Constraints.add/drop; non-CHECK constraint kinds are refused,
+    // the store has no key/uniqueness machinery to honor them)
+    val conChanges = changes.collect {
+      case a: TableChange.AddConstraint  => Left(a)
+      case d: TableChange.DropConstraint => Right(d)
+    }
+    if (conChanges.nonEmpty) {
+      require(conChanges.length == changes.length,
+        "GraftCatalog: constraint changes cannot mix with other ALTER changes")
+      conChanges.foreach {
+        case Left(a) => a.constraint() match {
+          case c: org.apache.spark.sql.connector.catalog.constraints.Check =>
+            Constraints.add(org.apache.spark.sql.SparkSession.active, path,
+              c.name(), c.predicateSql())
+          case other =>
+            throw new UnsupportedOperationException(
+              s"GraftCatalog: only CHECK constraints are supported, got ${other.toDDL}")
+        }
+        case Right(d) => Constraints.drop(path, d.name())
+      }
+      return loadTable(ident)
+    }
     val adds = changes.collect { case a: TableChange.AddColumn => a }
     if (adds.length != changes.length || adds.isEmpty)
       throw new UnsupportedOperationException(
-        "GraftCatalog: only ALTER TABLE ... ADD COLUMNS is supported (the store's " +
-          "additive evolution) — use evolveSchema / store maintenance ops for anything else")
+        "GraftCatalog: only ALTER TABLE ... ADD COLUMNS / ADD|DROP CONSTRAINT is " +
+          "supported — use evolveSchema / store maintenance ops for anything else")
     if (!ContentStore.recordedFormat(path, conf).contains("parquet"))
       throw new UnsupportedOperationException(
         s"GraftCatalog: K-V store $path has the fixed (result_key, payload) schema — " +
@@ -215,6 +247,17 @@ private[graft] class ColumnarBatchTable(
 
   override def name(): String       = s"graft_columnar_store($path)"
   override def schema(): StructType = tableSchema
+
+  /** Recorded CHECK constraints, reported to the engine (DESCRIBE,
+    * planner hints). Enforcement stays the store's own commit-time
+    * validation — enforced(), validated at add time.
+    */
+  override def constraints(): Array[org.apache.spark.sql.connector.catalog.constraints.Constraint] =
+    Constraints.list(path, ContentStore.driverHadoopConf()).map { case (n, e) =>
+      org.apache.spark.sql.connector.catalog.constraints.Constraint.check(n)
+        .predicateSql(e)
+        .build(): org.apache.spark.sql.connector.catalog.constraints.Constraint
+    }.toArray
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(
       TableCapability.BATCH_READ,

@@ -53,6 +53,34 @@ class ConstraintSpec extends SparkSpecBase {
     assert(readIds(dir) == Seq(1L -> "sv", 2L -> "nl", 3L -> "fr"))
   }
 
+  test("SQL ALTER TABLE ADD/DROP CONSTRAINT rides the same verbs; DESCRIBE-side reporting") {
+    import spark.implicits._
+    val wh  = tmp()
+    val dir = s"$wh/t"
+    spark.conf.set("spark.sql.catalog.gsql", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gsql.warehouse", wh)
+    ParquetEpochs.append(Seq((1L, "en")).toDF("id", "lang"), dir): Unit
+    spark.sql("ALTER TABLE gsql.t ADD CONSTRAINT lang_set CHECK (lang IS NOT NULL)")
+    assert(Constraints.list(dir, spark.sessionState.newHadoopConf())
+      == Seq("lang_set" -> "lang IS NOT NULL"))
+    // enforcement through the recorded verb, reached from SQL
+    intercept[Exception](
+      spark.sql("INSERT INTO gsql.t SELECT 2L AS id, CAST(NULL AS STRING) AS lang"))
+    // the table reports its constraints to the engine
+    val reported = spark.sessionState.catalogManager.catalog("gsql")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+      .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(Array.empty, "t"))
+      .constraints()
+    assert(reported.map(_.name()).toSeq == Seq("lang_set"))
+    // add-time whole-store validation fires from SQL too
+    intercept[Exception](
+      spark.sql("ALTER TABLE gsql.t ADD CONSTRAINT no_en CHECK (lang != 'en')"))
+    // DROP re-admits
+    spark.sql("ALTER TABLE gsql.t DROP CONSTRAINT lang_set")
+    spark.sql("INSERT INTO gsql.t SELECT 2L AS id, CAST(NULL AS STRING) AS lang")
+    assert(spark.sql("SELECT count(*) FROM gsql.t").collect().head.getLong(0) == 2L)
+  }
+
   test("add validates the whole live store; NULL evaluations violate; drop re-admits") {
     import spark.implicits._
     val dir = s"${tmp()}/t"
