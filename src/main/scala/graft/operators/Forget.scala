@@ -62,8 +62,16 @@ object Forget {
     * `kvAssets` = (storeDir, java-format key pattern, e.g. "sig/%d");
     * `componentStateStore` = the C22i (doc_id, component) store, with
     * the deleted-label handoff described above. `cascadeId` is the
-    * request's identity — the relabel upsert's epoch id, making the
-    * cascade replay-convergent.
+    * request's identity and is REQUIRED (no default): the relabel
+    * upsert's epoch id derives from it, making the cascade
+    * replay-convergent. The epoch id ALSO carries a fingerprint of
+    * the cohort (one tiny aggregate — count + order-independent
+    * xxhash64 fold), so even a caller that reuses one cascadeId for
+    * two DIFFERENT requests cannot silently lose the second relabel
+    * to the first's idempotent early-return — reuse degrades to two
+    * distinct epochs instead of a dropped compliance verb. (The
+    * delete legs were never at risk: their manifest names already
+    * hash the affected sources + key-set fingerprint.)
     */
   def forgetDocs(
       spark: SparkSession,
@@ -71,7 +79,7 @@ object Forget {
       columnarAssets: Seq[(String, String)] = Nil,
       kvAssets: Seq[(String, String)] = Nil,
       componentStateStore: Option[String] = None,
-      cascadeId: String = "forget"
+      cascadeId: String
   ): ForgetReport = {
     require(docIds.schema.fields.length == 1,
       s"forgetDocs: cohort frame must have exactly one column, got ${docIds.schema.catalogString}")
@@ -106,7 +114,18 @@ object Forget {
         val d = ParquetEpochs.deleteWhere(spark, dir, "doc_id", ids, None, Set.empty, None)
         val u =
           if (versions.isEmpty) None
-          else Some(ParquetEpochs.upsert(spark, dir, versions, "doc_id", s"$cascadeId-relabel"))
+          else {
+            // cohort fingerprint in the epoch id: a reused cascadeId
+            // with a different cohort gets a DIFFERENT epoch instead
+            // of losing its relabel to writeManifest's idempotent
+            // early-return (same cascadeId + same cohort still
+            // replays into one epoch — the convergence contract)
+            val fp = ids.agg(count(lit(1)), expr("bit_xor(xxhash64(doc_id))")).head()
+            val cohortFp = java.lang.Long.toHexString(
+              fp.getLong(0) ^ (if (fp.isNullAt(1)) 0L else fp.getLong(1)))
+            Some(ParquetEpochs.upsert(spark, dir, versions, "doc_id",
+              s"$cascadeId-relabel-$cohortFp"))
+          }
         (Some(d), u)
     }
     ForgetReport(colReports ++ kvReports, stateDel, stateUp)

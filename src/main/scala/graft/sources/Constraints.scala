@@ -117,6 +117,33 @@ object Constraints {
         require(existing.contains(sqlExpr),
           s"Constraints.add: '$name' already recorded on $storeDir with a different " +
             s"expression (${existing.orNull}) — drop it first to change it")
+        return // a racer recorded the identical constraint — its add owns the scans
+    }
+    // TOCTOU closure (two-sided with the commit hook): a concurrent
+    // append that listed constraints BEFORE `_constraints/<name>`
+    // landed validated nothing against it. Commits validate at the
+    // last moment before their rename (writeManifest's beforeRename
+    // hook), so any such commit that became visible before this
+    // re-list is caught HERE: validate the manifests that appeared
+    // since the pre-add snapshot, and roll the constraint back if
+    // their rows violate — the induction ("live store satisfies every
+    // recorded constraint at every instant") holds from the moment
+    // the file is visible. The residual is a commit that renamed
+    // within the hook→rename metadata gap AND after this re-list —
+    // the same OCC-by-listing residual every commit path documents.
+    val preLive = live.toSet
+    val deltaFiles = ContentStore.effectiveManifestNames(storeDir, conf)
+      .filterNot(preLive)
+      .flatMap(m => ContentStore.filesInManifest(storeDir, m, conf)).distinct
+    if (deltaFiles.nonEmpty) {
+      val bad = violations(spark, storeDir, deltaFiles, Seq(name -> sqlExpr), conf)
+      if (bad.nonEmpty) {
+        fsys.delete(p, false): Unit
+        throw new IllegalStateException(
+          s"Constraints.add: a concurrent commit landed ${bad.head._2} row(s) violating " +
+            s"'$name' ($sqlExpr) during the add — constraint rolled back; " +
+            "clean the store and re-add")
+      }
     }
   }
 
@@ -138,15 +165,23 @@ object Constraints {
       checks: Seq[(String, String)],
       conf: Configuration
   ): Seq[(String, Long)] = {
+    import org.apache.spark.sql.functions.{coalesce, lit, sum, when}
     val (_, root) = ContentStore.fs(storeDir, conf)
     val rdr = ParquetEpochs.recordedSchema(storeDir, conf)
       .fold(spark.read)(s => spark.read.schema(s))
     val frame = rdr.parquet(files.map(f => new Path(root, s"data/$f").toString): _*)
-    checks.flatMap { case (name, sqlExpr) =>
-      // one aggregate per constraint; Catalyst prunes the read to the
-      // expression's referenced columns
-      val n = frame.filter(not(org.apache.spark.sql.functions.coalesce(
-        expr(sqlExpr), org.apache.spark.sql.functions.lit(false)))).count()
+    // ONE aggregate pass computes every constraint's violation count
+    // (a store with N constraints reads each new file once, not N
+    // times); Catalyst prunes the read to the union of the
+    // expressions' referenced columns. Positional aliases (`__c<i>`)
+    // keep constraint names out of the analyzer.
+    val aggs = checks.zipWithIndex.map { case ((_, sqlExpr), i) =>
+      sum(when(not(coalesce(expr(sqlExpr), lit(false))), 1L).otherwise(0L)).as(s"__c$i")
+    }
+    val row = frame.agg(aggs.head, aggs.tail: _*).head()
+    checks.zipWithIndex.flatMap { case ((name, _), i) =>
+      // sum over zero rows is NULL — an empty file set violates nothing
+      val n = if (row.isNullAt(i)) 0L else row.getLong(i)
       if (n > 0) Some(name -> n) else None
     }
   }

@@ -911,7 +911,8 @@ private[graft] object ContentStoreWrite {
       compactSources: Option[Seq[String]] = None,
       buckets: Int = 0,
       dataShards: Int = 0,
-      carryMessages: Array[WriterCommitMessage] = Array.empty
+      carryMessages: Array[WriterCommitMessage] = Array.empty,
+      beforeRename: () => Unit = () => ()
   ): Unit = {
     val (filesystem, root) = ContentStore.fs(path, hadoopConf)
     val manifestDir        = new Path(root, "_manifest")
@@ -1040,6 +1041,18 @@ private[graft] object ContentStoreWrite {
             (if (gone.size > 5) s" (+${gone.size - 5} more)" else "") +
             "; re-plan from the current snapshot and retry")
     }
+    // LAST-MOMENT caller hook (CHECK-constraint validation rides
+    // here): runs after the idempotency and OCC checks, as close to
+    // the rename as the remaining metadata writes allow — validating
+    // earlier (before footer-stat reads and manifest staging) left a
+    // wide window in which a concurrent Constraints.add could land a
+    // constraint this commit never saw. The residual is the handful
+    // of metadata ops between here and the rename — the same
+    // OCC-by-listing residual documented above; Constraints.add's
+    // post-create delta re-validation covers commits that rename
+    // BEFORE its re-list, this hook covers commits that validate
+    // AFTER the constraint file lands.
+    beforeRename()
     val files = (carryMessages ++ messages).flatMap {
       case m: StoreCommitMsg if m.rows > 0       => Seq(m.file)
       case StoreFilesCommitMsg(fs, n) if n > 0   => fs
@@ -1064,8 +1077,21 @@ private[graft] object ContentStoreWrite {
       val statsOut = filesystem.create(statsTmp, false)
       statsOut.write(statLines.mkString("\n").getBytes("UTF-8"))
       statsOut.close()
-      // best-effort: a lost stats rename only disables skipping
-      filesystem.rename(statsTmp, new Path(statsDir, name)): Unit
+      // best-effort: a lost stats rename only disables skipping. But a
+      // rename LOST TO AN EXISTING SIDECAR here is stale content from a
+      // crashed/conflict-aborted earlier attempt under this reused
+      // fixed name (a retried upsert epoch re-stages new UUID files):
+      // the idempotent already-committed check above has passed, so the
+      // manifest is NOT yet visible and nothing consults the sidecar
+      // until the rename below — replace it (the `_compacted` rule),
+      // or the committed files would permanently carry bounds for
+      // orphaned files and never skip.
+      val statsTarget = new Path(statsDir, name)
+      if (!filesystem.rename(statsTmp, statsTarget)) {
+        filesystem.delete(statsTarget, false): Unit
+        if (!filesystem.rename(statsTmp, statsTarget))
+          filesystem.delete(statsTmp, false): Unit // still best-effort
+      }
     }
     // a compaction's replaced-sources sidecar goes in BEFORE the
     // manifest rename: a visible compaction manifest always has its

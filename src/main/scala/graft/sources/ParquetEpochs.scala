@@ -87,10 +87,6 @@ object ParquetEpochs {
     // carried files' bounds are immutable: copy their recorded lines
     // from the shadowed sources' sidecars; footer-read only the moved
     // parts and any carried file without a line (legacy sidecars)
-    // B90 CHECK constraints: this commit's NEW files must satisfy
-    // every recorded constraint BEFORE the manifest can land (carried
-    // files were validated by the commit that introduced them)
-    Constraints.validateNewFiles(storeDir, moved, conf)
     val (carryLines, covered) =
       if (carryFiles.isEmpty) (Nil, Set.empty[String])
       else harvestStats(fsys, root, compactSources.getOrElse(Seq.empty), carryFiles.toSet)
@@ -106,7 +102,13 @@ object ParquetEpochs {
       dataShards = shards,
       carryMessages =
         if (carryFiles.isEmpty) Array.empty
-        else Array(StoreFilesCommitMsg(carryFiles, carryFiles.size.toLong))
+        else Array(StoreFilesCommitMsg(carryFiles, carryFiles.size.toLong)),
+      // B90 CHECK constraints: this commit's NEW files must satisfy
+      // every recorded constraint BEFORE the manifest can land
+      // (carried files were validated by the commit that introduced
+      // them). Rides the last-moment hook so a constraint added
+      // during the stage/stats work is still seen.
+      beforeRename = () => Constraints.validateNewFiles(storeDir, moved, conf)
     )
     name
   }
@@ -160,8 +162,6 @@ object ParquetEpochs {
       digest.update(s.getBytes("UTF-8")); digest.update(0.toByte)
     }
     val name = "cow-" + digest.digest().take(8).map("%02x".format(_)).mkString
-    // B90: a DML that SET a violating value refuses like a bad append
-    Constraints.validateNewFiles(storeDir, newFiles, conf)
     val (carryLines, covered) =
       if (carried.isEmpty) (Nil, Set.empty[String])
       else harvestStats(fsys, root, affected, carried.toSet)
@@ -177,7 +177,10 @@ object ParquetEpochs {
       dataShards = ContentStore.recordedDataShards(storeDir, conf),
       carryMessages =
         if (carried.isEmpty) Array.empty
-        else Array(StoreFilesCommitMsg(carried, carried.size.toLong))
+        else Array(StoreFilesCommitMsg(carried, carried.size.toLong)),
+      // B90: a DML that SET a violating value refuses like a bad
+      // append — validated at the last moment before the rename
+      beforeRename = () => Constraints.validateNewFiles(storeDir, newFiles, conf)
     )
   }
 
@@ -526,9 +529,14 @@ object ParquetEpochs {
     * class as the manifest commit itself. Ordering mirrors the K-V
     * writer: sidecar lands BEFORE the manifest rename, so a visible
     * manifest either has its stats or readers fall back to
-    * no-skipping; the rename is best-effort first-write-wins (a
-    * replayed idempotent append loses the rename and the original's
-    * stats — which describe the files that actually survived — stay).
+    * no-skipping; the rename is best-effort, first-write-wins ONLY
+    * when the manifest is already visible (a replayed idempotent
+    * append loses the rename and the original's stats — which
+    * describe the files that actually survived — stay), and
+    * replace-when-stale before visibility (a conflict-retried
+    * fixed-name commit re-stages new UUID files; the aborted
+    * attempt's sidecar would otherwise permanently disable skipping
+    * for the files that actually commit).
     * Columns whose footer stats are absent/untrusted in ANY row group
     * are omitted for that file (conservative: omitted = never skipped).
     */
@@ -602,8 +610,27 @@ object ParquetEpochs {
       val out = fsys.create(tmp, false)
       try out.write(allLines.mkString("\n").getBytes("UTF-8"))
       finally out.close()
-      // best-effort, first-write-wins: a lost rename only disables skipping
-      if (!fsys.rename(tmp, new Path(statsDir, name))) fsys.delete(tmp, false): Unit
+      val target = new Path(statsDir, name)
+      if (!fsys.rename(tmp, target)) {
+        // the target exists. Two cases, split by manifest visibility
+        // (the same guard the `_compacted` sidecar uses):
+        //  - manifest ALREADY VISIBLE: a replayed idempotent append —
+        //    the original's stats describe the files that actually
+        //    survived; first write wins, drop ours.
+        //  - manifest NOT YET VISIBLE: a STALE sidecar from a crashed
+        //    or conflict-aborted earlier attempt under this reused
+        //    fixed name (a retried upsert epoch re-stages new UUID
+        //    files) — keeping it would permanently record bounds for
+        //    orphaned files and silently disable skipping for the
+        //    files this commit actually lands. Replace it: nothing
+        //    consults the sidecar until the manifest rename.
+        if (fsys.exists(new Path(root, s"_manifest/$name"))) fsys.delete(tmp, false): Unit
+        else {
+          fsys.delete(target, false): Unit
+          // a second failure only disables skipping — best-effort
+          if (!fsys.rename(tmp, target)) fsys.delete(tmp, false): Unit
+        }
+      }
     }
   }
 
@@ -1183,8 +1210,6 @@ object ParquetEpochs {
     val affected = plan.fold(Seq.empty[String])(_.affected)
     // 4. ONE atomic manifest: epoch + survivors + carried, shadowing
     //    the affected manifests
-    // B90: the version epoch's fresh values validate like any append
-    Constraints.validateNewFiles(storeDir, moved1 ++ moved2, conf)
     val (carryLines, covered) =
       if (carried.isEmpty) (Nil, Set.empty[String])
       else harvestStats(fsys, root, affected, carried.toSet)
@@ -1200,7 +1225,10 @@ object ParquetEpochs {
       dataShards = shards,
       carryMessages =
         if (carried.isEmpty) Array.empty
-        else Array(StoreFilesCommitMsg(carried, carried.size.toLong))
+        else Array(StoreFilesCommitMsg(carried, carried.size.toLong)),
+      // B90: the version epoch's fresh values validate like any
+      // append — at the last moment before the rename
+      beforeRename = () => Constraints.validateNewFiles(storeDir, moved1 ++ moved2, conf)
     )
     StoreLifecycle.UpsertReport(
       name,

@@ -655,7 +655,12 @@ object StoreLifecycle {
             "inner")
           .select("__f").distinct().as[String].collect().toSeq
       }
-    val candidates = unconditional.map(_._1) ++ joinCandidates
+    // .distinct matches the columnar twin (ParquetEpochs.planPurgeFrame):
+    // a file listed by more than one effective manifest (or duplicated
+    // carry lines in one) must be read ONCE — a doubled candidate would
+    // double its deleted count and stage two replacement files that
+    // duplicate the surviving rows
+    val candidates = (unconditional.map(_._1) ++ joinCandidates).distinct
     if (candidates.isEmpty) return None
     val matchedPerFile = storeLines(spark, path, candidates, conf)
       .select("file", "key")

@@ -116,4 +116,50 @@ class ConstraintSpec extends SparkSpecBase {
     ParquetEpochs.compact(spark, dir): Unit
     assert(ParquetEpochs.read(spark, dir, ContentStore.snapshotManifests(dir)).count() == 18)
   }
+
+  test("a commit racing Constraints.add cannot land unvalidated rows") {
+    // the TOCTOU property, not a fixed interleaving: a writer thread
+    // pumps VIOLATING appends while the main thread adds the
+    // constraint. Whatever the interleaving, the induction must hold
+    // at the end — either the add refused/rolled back (a violating
+    // commit beat it), or the add stands and every violating append
+    // was refused at its own commit; a recorded constraint may never
+    // coexist with a committed violating row.
+    import spark.implicits._
+    val dir  = s"${tmp()}/t"
+    ParquetEpochs.append(Seq((1L, "en")).toDF("id", "lang"), dir): Unit
+    val stop    = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val refused = new java.util.concurrent.atomic.AtomicInteger(0)
+    val landed  = new java.util.concurrent.atomic.AtomicInteger(0)
+    val failure = new java.util.concurrent.atomic.AtomicReference[Throwable](null)
+    val sess    = spark
+    val writer = new Thread(() => {
+      org.apache.spark.sql.SparkSession.setActiveSession(sess)
+      var i = 0
+      while (!stop.get() && i < 40) {
+        try {
+          ParquetEpochs.append(Seq((100L + i, "")).toDF("id", "lang"), dir): Unit
+          landed.incrementAndGet(): Unit
+        } catch {
+          case _: StoreConstraintViolationException => refused.incrementAndGet(): Unit
+          case t: Throwable                         => failure.set(t); stop.set(true)
+        }
+        i += 1
+      }
+    })
+    writer.start()
+    Thread.sleep(50) // let some violating appends land first
+    val addOutcome = scala.util.Try(
+      Constraints.add(sess, dir, "lang_set", "lang IS NOT NULL AND lang != ''"))
+    stop.set(true); writer.join(60000)
+    assert(failure.get() == null, s"writer died: ${failure.get()}")
+    val recorded = Constraints.list(dir, ContentStore.driverHadoopConf()).nonEmpty
+    val violatingLive = ParquetEpochs.read(spark, dir, ContentStore.snapshotManifests(dir))
+      .filter("NOT (lang IS NOT NULL AND lang != '')").count()
+    if (recorded)
+      assert(violatingLive == 0,
+        s"constraint recorded but $violatingLive violating row(s) live — induction broken " +
+          s"(add=$addOutcome, landed=${landed.get()}, refused=${refused.get()})")
+    else assert(addOutcome.isFailure, "constraint absent yet add reported success")
+  }
 }

@@ -53,6 +53,24 @@ class ForgetSpec extends SparkSpecBase {
     assert(stateRows(dir) == Set(2L -> 2L, 3L -> 2L, 10L -> 10L))
   }
 
+  test("a reused cascadeId with a DIFFERENT cohort still lands its relabel") {
+    val dir = tmp()
+    import spark.implicits._
+    graft.operators.Dedup.writeComponentState(
+      Seq((1L, 1L), (2L, 1L), (10L, 10L), (11L, 10L)).toDF("doc_id", "component"), dir): Unit
+    // request A purges cluster 1's label doc under cascadeId "dup"
+    Forget.forgetDocs(
+      spark, Seq(1L).toDF("doc_id"), componentStateStore = Some(dir), cascadeId = "dup"): Unit
+    assert(stateRows(dir) == Set(2L -> 2L, 10L -> 10L, 11L -> 10L))
+    // request B reuses the id for a different cohort: the cohort
+    // fingerprint in the relabel epoch id keeps it from losing to A's
+    // idempotent epoch — cluster 10's handoff must land, not drop
+    val r2 = Forget.forgetDocs(
+      spark, Seq(10L).toDF("doc_id"), componentStateStore = Some(dir), cascadeId = "dup")
+    assert(r2.stateRelabel.nonEmpty, "second cascade's relabel must not be lost to the first")
+    assert(stateRows(dir) == Set(2L -> 2L, 11L -> 11L))
+  }
+
   test("no orphaned label: the cascade is delete-only (no relabel epoch lands)") {
     val dir = tmp()
     import spark.implicits._
@@ -74,7 +92,8 @@ class ForgetSpec extends SparkSpecBase {
     val r = Forget.forgetDocs(
       spark, Seq(2L).toDF("doc_id"),
       columnarAssets = Seq(colStore -> "doc_id"),
-      kvAssets = Seq(kv -> "sig/%d"))
+      kvAssets = Seq(kv -> "sig/%d"),
+      cascadeId = "t3")
     assert(r.deletes.size == 2 && r.deletes.forall(_._2.deletedRows == 1L))
     val kvLeft = spark.read.format("graft.sources.ContentStore").option("path", kv).load()
       .collect().map(_.getString(0)).toSet
