@@ -103,6 +103,12 @@ object SparkEntry {
     "q_catalog_kv_update" -> ((s, d) =>
       Joins.catalogKvUpdate(Tables(s, d),
         s"${System.getProperty("java.io.tmpdir")}/graft-catwh")),
+    "q_catalog_create" -> ((s, d) =>
+      Joins.catalogCreateRoundtrip(Tables(s, d),
+        s"${System.getProperty("java.io.tmpdir")}/graft-catwh")),
+    "q_catalog_overwrite" -> ((s, d) =>
+      Joins.catalogOverwrite(Tables(s, d),
+        s"${System.getProperty("java.io.tmpdir")}/graft-catwh")),
     "q_store_constraints" -> ((s, d) =>
       Joins.storeConstraintsRead(Tables(s, d),
         s"${System.getProperty("java.io.tmpdir")}/graft-catwh")),
@@ -1639,6 +1645,22 @@ object SparkEntry {
         |        CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
         |      FROM events WHERE event_type = 'purchase' GROUP BY 1)
         |ORDER BY result_key""".stripMargin,
+    "q_catalog_create" -> // B91: CREATE TABLE / CTAS — SQL bootstraps a columnar store,
+      // a CTAS derived from it, and a K-V store; read-back by name
+      // equals the source cohorts exactly
+      """SELECT 'col' AS asset, doc_id, lang, n_chars FROM documents WHERE doc_id % 3 = 0
+        |UNION ALL
+        |SELECT 'ctas' AS asset, doc_id, lang, n_chars FROM documents
+        |  WHERE doc_id % 3 = 0 AND doc_id % 2 = 0
+        |UNION ALL
+        |SELECT 'kv' AS asset, doc_id, lang, CAST(NULL AS BIGINT) AS n_chars
+        |  FROM documents WHERE doc_id % 5 = 0
+        |ORDER BY asset, doc_id""".stripMargin,
+    "q_catalog_overwrite" -> // B92: INSERT OVERWRITE — one atomic replacement commit; the
+      // read-back is exactly the replacement corpus
+      """SELECT doc_id, upper(lang) AS lang, n_chars + 7 AS n_chars
+        |FROM documents WHERE doc_id % 2 = 0
+        |ORDER BY doc_id""".stripMargin,
     "q_store_constraints" -> // B90: CHECK constraints — the poisoned batch refused
       // atomically, so the read-back is exactly the clean corpus
       """SELECT doc_id, lang, n_chars FROM documents

@@ -385,6 +385,41 @@ object ContentStore {
     finally reader.close()
   }
 
+  /** CREATE TABLE support for the K-V payload — the store-exists
+    * marker WITHOUT data: the empty `_manifest` dir (what
+    * [[GraftCatalog]] resolves by) plus the optional `_buckets`
+    * layout fact, recorded create-exclusive exactly as the first
+    * bucketed commit would have. Refuses when any store artifact
+    * already exists; a created-then-never-written store reads as the
+    * empty (result_key, payload) frame and every later write obeys
+    * the recorded layout from commit one.
+    */
+  def createKvStore(path: String, buckets: Int = 0): Unit = {
+    val conf               = driverHadoopConf()
+    val (filesystem, root) = fs(path, conf)
+    if (recordedFormat(path, conf).nonEmpty || manifestNames(path, conf).nonEmpty ||
+        recordedBuckets(path, conf) > 0)
+      throw new IllegalStateException(
+        s"createKvStore: $path is already a store — CREATE refuses to adopt or " +
+          "overwrite existing store metadata")
+    if (buckets > 0) {
+      filesystem.mkdirs(root)
+      try {
+        val out = filesystem.create(new Path(root, "_buckets"), /* overwrite = */ false)
+        try out.write(buckets.toString.getBytes("UTF-8"))
+        finally out.close()
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+            _: java.nio.file.FileAlreadyExistsException => ()
+      }
+      val now = recordedBuckets(path, conf)
+      if (now != buckets)
+        throw new IllegalStateException(
+          s"createKvStore: $path raced to buckets=$now; this create used $buckets")
+    }
+    filesystem.mkdirs(new Path(root, "_manifest")): Unit
+  }
+
   /** How long an EMPTY layout marker (`_buckets`/`_datashards`/
     * `_format`/`_schema`) must sit unmodified before a writer may heal
     * it (delete + re-record). An empty read is ambiguous: a writer

@@ -51,9 +51,12 @@ import org.apache.spark.util.SerializableConfiguration
   * bounds (the B65b map) for pushed comparison filters — every filter
   * stays RESIDUAL (pushedFilters reports none), so skipping is
   * I/O-only and can never change values, exactly the readRange
-  * contract. DDL (create/alter/drop/rename) is refused: stores are
-  * created by writers, not by the catalog — CREATE would duplicate
-  * the append protocol's first-write metadata contracts.
+  * contract. DDL: CREATE TABLE / CTAS bootstrap a store through the
+  * stores' own first-write metadata protocol (see [[createTable]]);
+  * ALTER adds columns (schema evolution) and CHECK constraints; DROP
+  * removes only the empty CTAS-abort artifact; RENAME is refused
+  * (store directories are addressed by name — rename is an operator
+  * action with pinned readers to consider).
   */
 class GraftCatalog extends TableCatalog {
 
@@ -144,15 +147,77 @@ class GraftCatalog extends TableCatalog {
       new ContentStoreTable(path, bucketedRead = 0, defaultManifests = pinned)
   }
 
+  /** `CREATE TABLE cat.t (...)` / CTAS — SQL bootstrap of a store
+    * through the stores' own first-write metadata protocol
+    * ([[ParquetEpochs.createStore]] / [[ContentStore.createKvStore]]):
+    * the created store records `_format`/`_schema` (columnar) or the
+    * `_manifest`+`_buckets` layout (K-V, selected by
+    * `TBLPROPERTIES('payload'='kv')` or `USING kv`, schema fixed to
+    * the put contract) and is immediately addressable — SELECT reads
+    * the empty typed frame, INSERT INTO appends through the existing
+    * path, so CTAS is create + insert in Spark's own non-atomic CTAS
+    * sequence (an aborted CTAS drops its empty artifact via
+    * [[dropTable]]'s empty-store rule). Partition transforms are
+    * refused for columnar stores (layout is the store's clustering /
+    * z-order maintenance, not directory partitioning); the K-V
+    * payload accepts exactly `bucket(n, result_key)` — the store's
+    * recorded bucket layout from SQL.
+    */
   override def createTable(
       ident: Identifier,
       schema: StructType,
       partitions: Array[Transform],
       properties: util.Map[String, String]
-  ): Table =
-    throw new UnsupportedOperationException(
-      "GraftCatalog: stores are created by their writers (ContentStore append / " +
-        "ParquetEpochs.append), not by CREATE TABLE")
+  ): Table = {
+    val path = pathOf(ident)
+    if (isStore(path))
+      throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
+        ident.namespace().toSeq :+ ident.name())
+    val provider = Option(properties.get("provider")).map(_.toLowerCase)
+    val payload = Option(properties.get("payload")).map(_.toLowerCase)
+      .orElse(provider).getOrElse("columnar")
+    payload match {
+      case "kv" | "contentstore" =>
+        val sig = schema.fields.toSeq.map(f => (f.name, f.dataType.catalogString))
+        require(sig == Seq("result_key" -> "string", "payload" -> "string"),
+          s"GraftCatalog: a K-V store has the fixed put contract " +
+            s"(result_key STRING, payload STRING), got ${schema.catalogString}")
+        ContentStore.createKvStore(path, kvBuckets(partitions))
+      case "columnar" | "parquet" | "graft" =>
+        require(partitions.isEmpty,
+          "GraftCatalog: columnar stores lay out by clustering / z-order maintenance " +
+            "(StoreLifecycle.zorderCluster, clustered appends), not partition " +
+            "transforms — CREATE refuses PARTITIONED BY/CLUSTER BY")
+        val shards = Option(properties.get("datashards")).map(_.trim.toInt).getOrElse(0)
+        ParquetEpochs.createStore(path, schema, shards)
+      case other =>
+        throw new UnsupportedOperationException(
+          s"GraftCatalog: unsupported payload/provider '$other' — use columnar " +
+            "(default/parquet) or kv")
+    }
+    loadTable(ident)
+  }
+
+  /** The K-V payload's one accepted partition transform:
+    * `bucket(n, result_key)` → the store's recorded `_buckets` fact.
+    */
+  private def kvBuckets(partitions: Array[Transform]): Int = partitions.toSeq match {
+    case Nil => 0
+    case Seq(t) if t.name == "bucket" =>
+      val refs = t.references().flatMap(_.fieldNames()).toSeq
+      require(refs == Seq("result_key"),
+        s"GraftCatalog: K-V bucketing is by result_key only, got ${refs.mkString(", ")}")
+      t.arguments().collectFirst {
+        case l: org.apache.spark.sql.connector.expressions.Literal[_]
+            if l.value().isInstanceOf[Number] =>
+          l.value().asInstanceOf[Number].intValue()
+      }.getOrElse(throw new UnsupportedOperationException(
+        s"GraftCatalog: bucket transform needs a literal count, got $t"))
+    case other =>
+      throw new UnsupportedOperationException(
+        s"GraftCatalog: K-V stores accept exactly bucket(n, result_key), got " +
+          other.mkString(", "))
+  }
 
   /** `ALTER TABLE cat.t ADD COLUMNS (...)` — the store's own additive
     * schema evolution (B83, [[ParquetEpochs.evolveSchema]]) from SQL:
@@ -217,9 +282,23 @@ class GraftCatalog extends TableCatalog {
     loadTable(ident)
   }
 
-  override def dropTable(ident: Identifier): Boolean =
-    throw new UnsupportedOperationException(
-      "GraftCatalog: store deletion is an operator action, not DROP TABLE")
+  /** DROP TABLE stays an operator refusal for any store that ever
+    * committed data — with ONE exception: a store with zero committed
+    * manifests (the empty CREATE artifact) drops, which is exactly
+    * what Spark's non-atomic CTAS needs to clean up after a failed
+    * AS-SELECT write.
+    */
+  override def dropTable(ident: Identifier): Boolean = {
+    val path = pathOf(ident)
+    val conf = ContentStore.driverHadoopConf()
+    if (!isStore(path)) return false
+    if (ContentStore.manifestNames(path, conf).nonEmpty)
+      throw new UnsupportedOperationException(
+        "GraftCatalog: store deletion is an operator action, not DROP TABLE " +
+          "(only an EMPTY created store drops — the CTAS-abort artifact)")
+    val (fsys, root) = ContentStore.fs(path, conf)
+    fsys.delete(root, true)
+  }
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException("GraftCatalog: RENAME is not supported")
@@ -262,7 +341,8 @@ private[graft] class ColumnarBatchTable(
     java.util.EnumSet.of(
       TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ,
-      TableCapability.V1_BATCH_WRITE)
+      TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE)
 
   /** `DELETE FROM cat.name WHERE col IN (...)` — the store's own
     * row-level DELETE (the B81 copy-on-write rewrite: candidates prune
@@ -310,21 +390,27 @@ private[graft] class ColumnarBatchTable(
     * distributed stage, which is exactly the shape V1Write exists for
     * — a DSv2 BatchWrite would re-implement writeManifest as
     * connector machinery (the ParquetEpochs.streamingAppend argument).
-    * INSERT OVERWRITE is refused: the store's replace verbs are the
-    * audited maintenance ops (delete/upsert/retention), not a blind
-    * truncate.
+    * `INSERT OVERWRITE cat.name SELECT ...` (B92) — the builder's
+    * SupportsTruncate arm — is ONE atomic replacement commit
+    * ([[ParquetEpochs.overwrite]]): new corpus staged, every live
+    * manifest shadowed, one rename; a concurrent reader sees old or
+    * new, never the TRUNCATE+INSERT empty window, and time travel
+    * keeps the pre-overwrite snapshot. Partial overwrite
+    * (OVERWRITE ... WHERE / PARTITION) stays unsupported — the table
+    * reports no SupportsOverwrite, so analysis refuses.
     */
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(pinned.isEmpty,
       s"GraftCatalog: cannot INSERT into a time-traveled view of $path")
-    new WriteBuilder {
+    new WriteBuilder with org.apache.spark.sql.connector.write.SupportsTruncate {
+      private var replaceAll = false
+      override def truncate(): WriteBuilder = { replaceAll = true; this }
       override def build(): Write = new V1Write {
         override def toInsertableRelation: InsertableRelation =
           (data: org.apache.spark.sql.DataFrame, overwrite: Boolean) => {
-            require(!overwrite,
-              s"GraftCatalog: INSERT OVERWRITE is not supported on store $path — " +
-                "use the store's delete/upsert/retention maintenance verbs")
-            ParquetEpochs.append(data, path): Unit
+            if (replaceAll || overwrite)
+              ParquetEpochs.overwrite(org.apache.spark.sql.SparkSession.active, path, data)
+            else ParquetEpochs.append(data, path): Unit
           }
       }
     }

@@ -142,7 +142,8 @@ object ParquetEpochs {
   private[graft] def commitReplacement(
       storeDir: String,
       newFiles: Seq[String],
-      replacedFiles: Set[String]): Unit = {
+      replacedFiles: Set[String],
+      namePrefix: String = "cow-"): Unit = {
     val conf            = ContentStore.driverHadoopConf()
     val (fsys, root)    = ContentStore.fs(storeDir, conf)
     val live            = ContentStore.effectiveManifestNames(storeDir, conf)
@@ -161,7 +162,7 @@ object ParquetEpochs {
     (affected ++ newFiles).foreach { s =>
       digest.update(s.getBytes("UTF-8")); digest.update(0.toByte)
     }
-    val name = "cow-" + digest.digest().take(8).map("%02x".format(_)).mkString
+    val name = namePrefix + digest.digest().take(8).map("%02x".format(_)).mkString
     val (carryLines, covered) =
       if (carried.isEmpty) (Nil, Set.empty[String])
       else harvestStats(fsys, root, affected, carried.toSet)
@@ -182,6 +183,35 @@ object ParquetEpochs {
       // append — validated at the last moment before the rename
       beforeRename = () => Constraints.validateNewFiles(storeDir, newFiles, conf)
     )
+  }
+
+  /** B92: INSERT OVERWRITE — atomic replace-table-contents in ONE
+    * manifest rename: the replacement corpus stages unreferenced
+    * ([[stageParts]]), then a single replacement manifest lists the
+    * new files with its `_compacted/` sidecar shadowing EVERY live
+    * file-bearing manifest (the [[commitReplacement]] shape with the
+    * replaced set = all live files). A concurrent unpinned reader
+    * sees strictly the old corpus or strictly the new one — never a
+    * mix and never an empty window (the TRUNCATE+INSERT
+    * decomposition's visible gap, closed); pinned pre-overwrite
+    * snapshots and time travel keep reading the old corpus until
+    * vacuum's grace expires the shadowed sources (the B85/B86
+    * contract). OCC: a maintenance commit landing between the plan
+    * listing and the rename refuses with the retryable conflict.
+    * CHECK constraints validate the staged corpus before visibility
+    * like any commit. The backfill verb (weekly `INSERT OVERWRITE`
+    * from SQL via [[GraftCatalog]]) — maintenance-class,
+    * caller-serialized per store like the rest.
+    */
+  def overwrite(spark: SparkSession, storeDir: String, data: DataFrame): Unit = {
+    val conf         = ContentStore.driverHadoopConf()
+    val (fsys, root) = ContentStore.fs(storeDir, conf)
+    ensureFormat(storeDir, conf)
+    ensureSchema(data.schema, storeDir, conf)
+    val live = ContentStore.effectiveManifestNames(storeDir, conf)
+    val replaced = live.flatMap(m => ContentStore.filesInManifest(storeDir, m, conf)).toSet
+    val moved = stageParts(data, ContentStore.recordedDataShards(storeDir, conf), fsys, root)
+    commitReplacement(storeDir, moved, replaced, namePrefix = "overwrite-")
   }
 
   /** Distributed-write + move half of [[append]] WITHOUT the manifest:
@@ -264,6 +294,48 @@ object ParquetEpochs {
           throw new IllegalStateException(
             s"ParquetEpochs: store $storeDir raced to format '${now.orNull}'")
     }
+  }
+
+  /** CREATE TABLE support — the first-write metadata protocol WITHOUT
+    * data: records `_format`/`_schema` (+ `_datashards` when sharded)
+    * and the empty `_manifest` dir, so SQL can bootstrap a columnar
+    * store ([[GraftCatalog.createTable]] / CTAS) that the append
+    * protocol then writes into. The recorded schema is the all-
+    * nullable signature a first append would have recorded; a
+    * created-then-never-written store reads as an empty typed frame
+    * and every later append must match the signature (the one-schema
+    * rule, enforced from creation instead of first data). Refuses
+    * when ANY store artifact already exists (committed manifests, a
+    * format marker, a recorded schema) — creation is first-writer-
+    * wins like every metadata marker.
+    */
+  def createStore(storeDir: String, schema: StructType, dataShards: Int = 0): Unit = {
+    val conf         = ContentStore.driverHadoopConf()
+    val (fsys, root) = ContentStore.fs(storeDir, conf)
+    require(schema.fields.nonEmpty, s"createStore: schema must have at least one column")
+    if (ContentStore.recordedFormat(storeDir, conf).nonEmpty ||
+        ContentStore.manifestNames(storeDir, conf).nonEmpty ||
+        recordedSchema(storeDir, conf).nonEmpty)
+      throw new IllegalStateException(
+        s"createStore: $storeDir is already a store — CREATE refuses to adopt or " +
+          "overwrite existing store metadata")
+    ensureFormat(storeDir, conf)
+    ensureSchema(schema, storeDir, conf)
+    if (dataShards > 0) {
+      try {
+        val out = fsys.create(new Path(root, "_datashards"), /* overwrite = */ false)
+        try out.write(dataShards.toString.getBytes("UTF-8"))
+        finally out.close()
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+            _: java.nio.file.FileAlreadyExistsException => ()
+      }
+      val now = ContentStore.recordedDataShards(storeDir, conf)
+      if (now != dataShards)
+        throw new IllegalStateException(
+          s"createStore: $storeDir raced to dataShards=$now; this create used $dataShards")
+    }
+    fsys.mkdirs(new Path(root, "_manifest")): Unit
   }
 
   /** The store's recorded ROW SCHEMA (`_schema`, Spark schema JSON),
@@ -993,7 +1065,7 @@ object ParquetEpochs {
       // driver-resident values: fingerprint without a Spark job
       // (order-independent; only the frame deleteWhere's name path
       // ever calls it, but keep it correct)
-      () => s"${values.size}:${values.map(String.valueOf).sorted.mkString(" ").hashCode}"))
+      () => s"${values.size}:${values.map(String.valueOf).sorted.mkString("\u0000").hashCode}"))
   }
 
   /** Convenience form of the DataFrame-valued [[deleteWhere]]: whole

@@ -525,6 +525,88 @@ class SqlSurfaceSpec extends SparkSpecBase {
       s"small catalog store (real size stats) must broadcast without a hint:\n$plan")
   }
 
+  test("catalog CREATE TABLE / CTAS bootstrap both payloads; refusal cases hold") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-catspec-create").toString
+    spark.conf.set("spark.sql.catalog.gcre", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gcre.warehouse", wh)
+    // columnar CREATE: empty typed SELECT, INSERT INTO, read-back
+    spark.sql("CREATE TABLE gcre.docs (id BIGINT, lang STRING)")
+    assert(spark.sql("SELECT * FROM gcre.docs").count() == 0)
+    assert(spark.sql("SELECT * FROM gcre.docs").schema.fieldNames.toSeq == Seq("id", "lang"))
+    spark.sql("INSERT INTO gcre.docs VALUES (1, 'en'), (2, 'de')")
+    assert(spark.sql("SELECT * FROM gcre.docs ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq == Seq(1L -> "en", 2L -> "de"))
+    // the created store is a REAL store: the Scala API appends into it
+    import spark.implicits._
+    graft.sources.ParquetEpochs.append(Seq((3L, "fr")).toDF("id", "lang"), s"$wh/docs"): Unit
+    assert(spark.sql("SELECT count(*) FROM gcre.docs").head().getLong(0) == 3)
+    // schema signature holds from creation: a mismatched append refuses
+    intercept[IllegalStateException](
+      graft.sources.ParquetEpochs.append(Seq((4, 5)).toDF("a", "b"), s"$wh/docs"))
+    // CTAS: create + insert in one statement
+    spark.sql("CREATE TABLE gcre.docs2 AS SELECT id, lang FROM gcre.docs WHERE id <= 2")
+    assert(spark.sql("SELECT * FROM gcre.docs2 ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq == Seq(1L -> "en", 2L -> "de"))
+    // K-V CREATE via payload property, with the recorded bucket layout
+    spark.sql(
+      "CREATE TABLE gcre.kv (result_key STRING, payload STRING) TBLPROPERTIES('payload'='kv')")
+    spark.sql("INSERT INTO gcre.kv VALUES ('a', '1'), ('b', '2')")
+    assert(spark.sql("SELECT * FROM gcre.kv ORDER BY result_key")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq("a" -> "1", "b" -> "2"))
+    // refusals: existing store; transforms on columnar; wrong K-V schema
+    intercept[Exception](spark.sql("CREATE TABLE gcre.docs (x BIGINT)"))
+    intercept[Exception](
+      spark.sql("CREATE TABLE gcre.parted (id BIGINT, v STRING) PARTITIONED BY (v)"))
+    intercept[Exception](spark.sql(
+      "CREATE TABLE gcre.badkv (k STRING, v STRING) TBLPROPERTIES('payload'='kv')"))
+    // DROP: refused once data committed; allowed on the empty artifact
+    intercept[Exception](spark.sql("DROP TABLE gcre.docs"))
+    spark.sql("CREATE TABLE gcre.empty (id BIGINT)")
+    spark.sql("DROP TABLE gcre.empty")
+    assert(!spark.sql("SHOW TABLES IN gcre").collect().map(_.getString(1)).contains("empty"))
+  }
+
+  test("INSERT OVERWRITE is ONE atomic replacement; pins and time travel keep the old corpus") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-catspec-ovr").toString
+    spark.conf.set("spark.sql.catalog.govr", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.govr.warehouse", wh)
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir   = s"$wh/t"
+    val hconf = spark.sessionState.newHadoopConf()
+    val v1    = (0L until 32L).map(i => (i, s"v$i"))
+    Seq(v1.take(16), v1.drop(16)).foreach { half =>
+      graft.sources.ParquetEpochs.append(
+        half.toDF("id", "v").repartitionByRange(2, col("id")), dir): Unit
+    }
+    graft.sources.StoreLifecycle.acquirePin(dir, "preovr", 3600000L, hconf): Unit
+    val tsBefore = System.currentTimeMillis()
+    Thread.sleep(5)
+    (100L until 110L).map(i => (i, s"n$i")).toDF("id", "v")
+      .createOrReplaceTempView("ovr_replacement")
+    spark.sql("INSERT OVERWRITE govr.t SELECT id, v FROM ovr_replacement")
+    // live read is exactly the replacement corpus
+    assert(spark.sql("SELECT id FROM govr.t ORDER BY id").collect().map(_.getLong(0)).toSeq
+      == (100L until 110L))
+    // ONE commit: the effective set is a single replacement manifest
+    // (no TRUNCATE+INSERT two-step, so no empty window existed)
+    val eff = graft.sources.ContentStore.effectiveManifestNames(dir, hconf)
+    assert(eff.size == 1 && eff.head.startsWith("overwrite-"),
+      s"expected one overwrite manifest, got $eff")
+    // the pinned pre-overwrite snapshot still reads the OLD corpus
+    assert(spark.sql("SELECT count(*) FROM govr.t FOR VERSION AS OF 'preovr'")
+      .head().getLong(0) == 32L)
+    // so does TIMESTAMP AS OF before the overwrite
+    val tsLit = new java.sql.Timestamp(tsBefore).toString
+    assert(spark.sql(s"SELECT count(*) FROM govr.t FOR TIMESTAMP AS OF '$tsLit'")
+      .head().getLong(0) == 32L)
+    // overwrite of an overwritten store converges the same way
+    spark.sql("INSERT OVERWRITE govr.t SELECT id + 500, v FROM ovr_replacement")
+    assert(spark.sql("SELECT min(id), max(id), count(*) FROM govr.t")
+      .head().toSeq == Seq(600L, 609L, 10L))
+  }
+
   test("gate hygiene: every query key is oracle-gated or on the explicit rows-only list") {
     // the driver treats a queries key with no oracleSql entry as a
     // weaker rows-only check — which is correct ONLY for the genuinely
