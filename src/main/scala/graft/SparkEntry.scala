@@ -109,6 +109,9 @@ object SparkEntry {
     "q_catalog_overwrite" -> ((s, d) =>
       Joins.catalogOverwrite(Tables(s, d),
         s"${System.getProperty("java.io.tmpdir")}/graft-catwh")),
+    "q_store_zorder_sql" -> ((s, d) =>
+      Joins.catalogZorderSql(Tables(s, d),
+        s"${System.getProperty("java.io.tmpdir")}/graft-catwh")),
     "q_store_constraints" -> ((s, d) =>
       Joins.storeConstraintsRead(Tables(s, d),
         s"${System.getProperty("java.io.tmpdir")}/graft-catwh")),
@@ -1656,6 +1659,11 @@ object SparkEntry {
         |SELECT 'kv' AS asset, doc_id, lang, CAST(NULL AS BIGINT) AS n_chars
         |  FROM documents WHERE doc_id % 5 = 0
         |ORDER BY asset, doc_id""".stripMargin,
+    "q_store_zorder_sql" -> // B93: the B84 re-cluster via CALL system.compact(zorder_by) —
+      // layout is I/O-only, the SQL-driven rebuild changes no values
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE doc_id BETWEEN 100 AND 349 AND n_chars BETWEEN 100 AND 400
+        |ORDER BY doc_id""".stripMargin,
     "q_catalog_overwrite" -> // B92: INSERT OVERWRITE — one atomic replacement commit; the
       // read-back is exactly the replacement corpus
       """SELECT doc_id, upper(lang) AS lang, n_chars + 7 AS n_chars

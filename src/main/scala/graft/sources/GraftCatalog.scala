@@ -58,10 +58,46 @@ import org.apache.spark.util.SerializableConfiguration
   * (store directories are addressed by name — rename is an operator
   * action with pinned readers to consider).
   */
-class GraftCatalog extends TableCatalog {
+class GraftCatalog extends TableCatalog
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
 
   private var catalogName: String = _
   private var warehouse: String   = _
+
+  /** B93: `CALL <cat>.system.<verb>(...)` — SQL-invocable maintenance
+    * ([[GraftProcedures]]): compact/binpack + re-cluster, vacuum,
+    * expire_epochs, and the pin-lease lifecycle, each resolving its
+    * `table` argument through this catalog and calling the same
+    * Scala-API maintenance verb.
+    */
+  override def loadProcedure(
+      ident: Identifier): org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    require(ident.namespace().toSeq == Seq("system"),
+      s"GraftCatalog: procedures live in the 'system' namespace — " +
+        s"CALL $catalogName.system.<verb>(...), got ${ident.namespace().mkString(".")}")
+    GraftProcedures.load(this, ident.name())
+  }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.toSeq == Seq("system"))
+      GraftProcedures.names.map(n => Identifier.of(Array("system"), n)).toArray
+    else Array.empty
+
+  /** Procedure-side `table` argument resolution: same identifier
+    * grammar as SELECT ('ns.sub.name' under this catalog's
+    * warehouse), must already be a store.
+    */
+  private[sources] def resolveStorePath(table: String): String = {
+    val parts = table.split("\\.").toSeq.map(_.trim)
+    require(parts.nonEmpty && parts.forall(_.nonEmpty),
+      s"GraftCatalog: malformed table identifier '$table'")
+    val ident = Identifier.of(parts.init.toArray, parts.last)
+    val path  = pathOf(ident)
+    if (!isStore(path))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+        ident.namespace().toSeq :+ ident.name())
+    path
+  }
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
@@ -255,11 +291,41 @@ class GraftCatalog extends TableCatalog {
       }
       return loadTable(ident)
     }
+    // NOT NULL as a constraint kind, mapped onto the CHECK machinery
+    // (`c IS NOT NULL` under the derived name `<col>_not_null`):
+    // Spark's analyzer refuses tightening nullability from SQL
+    // (CheckAnalysis: "Cannot change nullable column to
+    // non-nullable"), so the SQL spelling for SET is
+    // `ALTER TABLE t ADD CONSTRAINT c_not_null CHECK (c IS NOT NULL)`
+    // — whole-store validation at add (the B90 induction base),
+    // per-commit refusal after. `ALTER COLUMN c DROP NOT NULL` is a
+    // RELAXATION the analyzer allows; it drops the derived constraint
+    // and re-admits NULLs. A direct-API updateColumnNullability(false)
+    // (no analyzer in the way) maps to the same Constraints.add. The
+    // store's recorded schema stays all-nullable (parquet reads are
+    // nullable regardless) — enforcement lives in the constraint,
+    // the Delta NOT-NULL-as-invariant shape.
+    val nulls = changes.collect { case n: TableChange.UpdateColumnNullability => n }
+    if (nulls.nonEmpty) {
+      require(nulls.length == changes.length,
+        "GraftCatalog: nullability changes cannot mix with other ALTER changes")
+      nulls.foreach { n =>
+        require(n.fieldNames().length == 1,
+          s"GraftCatalog: SET/DROP NOT NULL supports top-level columns only, got " +
+            n.fieldNames().mkString("."))
+        val c = n.fieldNames()(0)
+        if (n.nullable()) Constraints.drop(path, s"${c}_not_null")
+        else Constraints.add(org.apache.spark.sql.SparkSession.active, path,
+          s"${c}_not_null", s"$c IS NOT NULL")
+      }
+      return loadTable(ident)
+    }
     val adds = changes.collect { case a: TableChange.AddColumn => a }
     if (adds.length != changes.length || adds.isEmpty)
       throw new UnsupportedOperationException(
-        "GraftCatalog: only ALTER TABLE ... ADD COLUMNS / ADD|DROP CONSTRAINT is " +
-          "supported — use evolveSchema / store maintenance ops for anything else")
+        "GraftCatalog: only ALTER TABLE ... ADD COLUMNS / ADD|DROP CONSTRAINT / " +
+          "ALTER COLUMN SET|DROP NOT NULL is supported — use evolveSchema / store " +
+          "maintenance ops for anything else")
     if (!ContentStore.recordedFormat(path, conf).contains("parquet"))
       throw new UnsupportedOperationException(
         s"GraftCatalog: K-V store $path has the fixed (result_key, payload) schema — " +

@@ -1,0 +1,193 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types.{BooleanType, IntegerType, LongType, StringType, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** B93: SQL-invocable store maintenance — the Iceberg
+  * `CALL catalog.system.<verb>(...)` shape on Spark 4's DSv2
+  * ProcedureCatalog, so table health no longer needs whoever owns a
+  * JVM: compaction/binpack, z-order re-clustering, vacuum, epoch
+  * retirement and the pin-lease lifecycle are each one SQL statement.
+  * Every procedure resolves its `table` argument through the owning
+  * [[GraftCatalog]] (same identifier rules as SELECT) and calls the
+  * SAME maintenance verb the Scala API exposes — the procedure layer
+  * adds invocation, never a second implementation, so the OCC /
+  * atomic-swap / pinned-reader contracts are exactly the documented
+  * ones. Each call returns one summary row (the committed manifest
+  * name, the vacuum action count, the lease expiry) as a LocalScan —
+  * driver-side metadata, consistent with maintenance verbs being
+  * driver-side manifest operations around distributed stages.
+  *
+  * Named-argument SQL (`CALL g.system.compact(table => 'docs',
+  * zorder_by => 'doc_id,n_chars')`) rides the engine's own binding;
+  * optional parameters take SQL DEFAULT values, so positional calls
+  * work too.
+  */
+private[sources] object GraftProcedures {
+
+  val names: Seq[String] =
+    Seq("compact", "vacuum", "expire_epochs", "acquire_pin", "renew_pin", "release_pin")
+
+  def load(catalog: GraftCatalog, name: String): UnboundProcedure = name match {
+    case "compact"       => compactProc(catalog)
+    case "vacuum"        => vacuumProc(catalog)
+    case "expire_epochs" => expireProc(catalog)
+    case "acquire_pin"   => pinProc(catalog, "acquire_pin")
+    case "renew_pin"     => pinProc(catalog, "renew_pin")
+    case "release_pin"   => releaseProc(catalog)
+    case other =>
+      throw new IllegalArgumentException(
+        s"GraftCatalog: no procedure system.$other — available: ${names.mkString(", ")}")
+  }
+
+  private def param(n: String, t: org.apache.spark.sql.types.DataType) =
+    ProcedureParameter.in(n, t).build()
+  private def paramD(n: String, t: org.apache.spark.sql.types.DataType, default: String) =
+    ProcedureParameter.in(n, t).defaultValue(default).build()
+
+  /** One-row LocalScan result (maintenance summaries are driver-side
+    * metadata; values pre-converted to Catalyst form).
+    */
+  private def oneRow(schema: StructType, values: Any*): java.util.Iterator[Scan] = {
+    val scan: Scan = new LocalScan {
+      override def rows(): Array[InternalRow] = Array(InternalRow.fromSeq(values))
+      override def readSchema(): StructType   = schema
+    }
+    java.util.List.of(scan).iterator()
+  }
+
+  private def utf8(s: String): UTF8String = if (s == null) null else UTF8String.fromString(s)
+
+  private abstract class Proc(procName: String, ps: Array[ProcedureParameter])
+      extends UnboundProcedure with BoundProcedure {
+    override def name(): String                            = procName
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def parameters(): Array[ProcedureParameter]   = ps
+    override def isDeterministic: Boolean                  = false
+  }
+
+  /** compact/binpack + optional re-layout: columnar stores take
+    * `cluster_by` (range clustering) or `zorder_by` ('colA,colB' —
+    * the B84 interleave) with `parts`; the K-V payload compacts/
+    * binpacks only (its layout fact is buckets, preserved by the
+    * verb itself). `target_bytes > 0` switches source selection to
+    * the small-file binpack. Returns the committed replacement
+    * manifest, NULL when nothing qualified.
+    */
+  private def compactProc(catalog: GraftCatalog) = new Proc("compact", Array(
+    param("table", StringType),
+    paramD("keep_last", IntegerType, "0"),
+    paramD("target_bytes", LongType, "0"),
+    paramD("cluster_by", StringType, "NULL"),
+    paramD("zorder_by", StringType, "NULL"),
+    paramD("parts", IntegerType, "4"))) {
+    override def description(): String =
+      "compact/binpack a store's oldest live manifests into one, optionally re-clustering"
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val spark = SparkSession.active
+      val path  = catalog.resolveStorePath(input.getUTF8String(0).toString)
+      val keep  = input.getInt(1)
+      val bytes = input.getLong(2)
+      val clusterBy = if (input.isNullAt(3)) None else Some(input.getUTF8String(3).toString)
+      val zorderBy  = if (input.isNullAt(4)) None else Some(input.getUTF8String(4).toString)
+      val parts     = input.getInt(5)
+      val conf      = ContentStore.driverHadoopConf()
+      val columnar  = ContentStore.recordedFormat(path, conf).contains("parquet")
+      val committed =
+        if (columnar)
+          ParquetEpochs.compact(spark, path, keep,
+            clusterBy = clusterBy.map(c => (c, parts)),
+            zorderBy = zorderBy.map { z =>
+              val cs = z.split(",").map(_.trim).filter(_.nonEmpty)
+              require(cs.length == 2,
+                s"compact: zorder_by wants 'colA,colB', got '$z'")
+              (cs(0), cs(1), parts)
+            },
+            targetBytes = bytes)
+        else {
+          require(clusterBy.isEmpty && zorderBy.isEmpty,
+            "compact: cluster_by/zorder_by apply to columnar stores — the K-V payload's " +
+              "layout fact is its bucket count, preserved by compaction itself")
+          StoreLifecycle.compactEpochs(spark, path, keep, targetBytes = bytes)
+        }
+      oneRow(new StructType().add("manifest", StringType), utf8(committed.orNull))
+    }
+  }
+
+  /** vacuum(grace_ms, dry_run): sweep expired shadowed manifests and
+    * unreferenced files past the retention grace. Returns the action
+    * count (what WOULD happen under dry_run).
+    */
+  private def vacuumProc(catalog: GraftCatalog) = new Proc("vacuum", Array(
+    param("table", StringType),
+    param("grace_ms", LongType),
+    paramD("dry_run", BooleanType, "false"))) {
+    override def description(): String =
+      "sweep expired shadowed manifests and unreferenced files past the retention grace"
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val spark   = SparkSession.active
+      val path    = catalog.resolveStorePath(input.getUTF8String(0).toString)
+      val actions = StoreLifecycle.vacuum(spark, path, input.getLong(1),
+        ContentStore.driverHadoopConf(), dryRun = !input.isNullAt(2) && input.getBoolean(2))
+      oneRow(new StructType().add("actions", LongType), actions.size.toLong)
+    }
+  }
+
+  /** expire_epochs(cutoff_ms): retire manifests at or before the
+    * cutoff in one metadata commit (NULL cutoff = everything — SQL
+    * TRUNCATE's verb).
+    */
+  private def expireProc(catalog: GraftCatalog) = new Proc("expire_epochs", Array(
+    param("table", StringType),
+    paramD("cutoff_ms", LongType, "NULL"))) {
+    override def description(): String =
+      "retire manifests at or before the cutoff mtime in one metadata-only commit"
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val path   = catalog.resolveStorePath(input.getUTF8String(0).toString)
+      val cutoff = if (input.isNullAt(1)) Long.MaxValue else input.getLong(1)
+      oneRow(new StructType().add("manifest", StringType),
+        utf8(StoreLifecycle.expireEpochs(path, cutoff).orNull))
+    }
+  }
+
+  /** acquire_pin/renew_pin(id, ttl_ms): the vacuum-safe snapshot lease
+    * (B79/B85) from SQL — the returned id is directly usable as
+    * `FOR VERSION AS OF '<id>'`.
+    */
+  private def pinProc(catalog: GraftCatalog, which: String) = new Proc(which, Array(
+    param("table", StringType),
+    param("id", StringType),
+    param("ttl_ms", LongType))) {
+    override def description(): String =
+      s"$which a vacuum-safe snapshot lease usable as FOR VERSION AS OF"
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val path  = catalog.resolveStorePath(input.getUTF8String(0).toString)
+      val id    = input.getUTF8String(1).toString
+      val ttl   = input.getLong(2)
+      val hconf = ContentStore.driverHadoopConf()
+      val lease =
+        if (which == "acquire_pin") StoreLifecycle.acquirePin(path, id, ttl, hconf)
+        else StoreLifecycle.renewPin(path, id, ttl, hconf)
+      oneRow(
+        new StructType().add("id", StringType).add("expires_at_ms", LongType)
+          .add("manifests", IntegerType),
+        utf8(lease.id), lease.expiresAtMs, lease.manifests.size)
+    }
+  }
+
+  private def releaseProc(catalog: GraftCatalog) = new Proc("release_pin", Array(
+    param("table", StringType),
+    param("id", StringType))) {
+    override def description(): String = "release a snapshot lease"
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val path = catalog.resolveStorePath(input.getUTF8String(0).toString)
+      StoreLifecycle.releasePin(path, input.getUTF8String(1).toString,
+        ContentStore.driverHadoopConf())
+      oneRow(new StructType().add("released", BooleanType), true)
+    }
+  }
+}

@@ -117,6 +117,49 @@ class ConstraintSpec extends SparkSpecBase {
     assert(ParquetEpochs.read(spark, dir, ContentStore.snapshotManifests(dir)).count() == 18)
   }
 
+  test("ALTER COLUMN SET/DROP NOT NULL maps to the CHECK machinery; other kinds still refuse") {
+    import spark.implicits._
+    val wh  = tmp()
+    val dir = s"$wh/t"
+    spark.conf.set("spark.sql.catalog.gnn", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gnn.warehouse", wh)
+    ParquetEpochs.append(Seq((1L, "en"), (2L, "de")).toDF("id", "lang"), dir): Unit
+    // Spark's analyzer refuses TIGHTENING nullability from SQL before
+    // any catalog sees it — the SQL spelling for NOT NULL is the
+    // CHECK constraint (same semantics: NULL evaluations violate)
+    intercept[Exception](spark.sql("ALTER TABLE gnn.t ALTER COLUMN lang SET NOT NULL"))
+    spark.sql("ALTER TABLE gnn.t ADD CONSTRAINT lang_not_null CHECK (lang IS NOT NULL)")
+    assert(Constraints.list(dir, ContentStore.driverHadoopConf())
+      .contains("lang_not_null" -> "lang IS NOT NULL"))
+    // NULL-bearing commits refuse on every write surface from here
+    intercept[StoreConstraintViolationException](
+      ParquetEpochs.append(Seq((3L, null.asInstanceOf[String])).toDF("id", "lang"), dir))
+    // the direct-API tightening (no analyzer in the way) maps to the
+    // same CHECK — and refuses when the store already holds NULLs
+    // (the whole-store induction base)
+    val dir2 = s"$wh/u"
+    ParquetEpochs.append(Seq((1L, null.asInstanceOf[String])).toDF("id", "lang"), dir2): Unit
+    val cat = new graft.sources.GraftCatalog
+    cat.initialize("gnn", new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+      java.util.Map.of("warehouse", wh)))
+    import org.apache.spark.sql.connector.catalog.{Identifier, TableChange}
+    intercept[Exception](cat.alterTable(Identifier.of(Array.empty, "u"),
+      TableChange.updateColumnNullability(Array("lang"), false)))
+    val dir3 = s"$wh/w"
+    ParquetEpochs.append(Seq((1L, "sv")).toDF("id", "lang"), dir3): Unit
+    cat.alterTable(Identifier.of(Array.empty, "w"),
+      TableChange.updateColumnNullability(Array("lang"), false)): Unit
+    assert(Constraints.list(dir3, ContentStore.driverHadoopConf())
+      .contains("lang_not_null" -> "lang IS NOT NULL"))
+    // DROP NOT NULL re-admits
+    spark.sql("ALTER TABLE gnn.t ALTER COLUMN lang DROP NOT NULL")
+    ParquetEpochs.append(Seq((3L, null.asInstanceOf[String])).toDF("id", "lang"), dir): Unit
+    assert(ParquetEpochs.read(spark, dir, ContentStore.snapshotManifests(dir)).count() == 3)
+    // non-CHECK constraint kinds keep their refusal
+    intercept[Exception](
+      spark.sql("ALTER TABLE gnn.t ADD CONSTRAINT pk PRIMARY KEY (id)"))
+  }
+
   test("a commit racing Constraints.add cannot land unvalidated rows") {
     // the TOCTOU property, not a fixed interleaving: a writer thread
     // pumps VIOLATING appends while the main thread adds the

@@ -607,6 +607,47 @@ class SqlSurfaceSpec extends SparkSpecBase {
       .head().toSeq == Seq(600L, 609L, 10L))
   }
 
+  test("SQL maintenance procedures: pin + compact + vacuum + expire driven purely from SQL") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-catspec-proc").toString
+    spark.conf.set("spark.sql.catalog.gproc", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gproc.warehouse", wh)
+    import spark.implicits._
+    val dir   = s"$wh/t"
+    val hconf = spark.sessionState.newHadoopConf()
+    (0 until 3).foreach { e =>
+      graft.sources.ParquetEpochs.append(
+        (e * 10 until e * 10 + 10).map(i => (i.toLong, s"v$i")).toDF("id", "v"), dir): Unit
+    }
+    assert(graft.sources.ContentStore.effectiveManifestNames(dir, hconf).size == 3)
+    // pin the pre-compaction snapshot from SQL; the id IS the version
+    val lease = spark.sql(
+      "CALL gproc.system.acquire_pin(table => 't', id => 'train1', ttl_ms => 3600000)")
+      .head()
+    assert(lease.getString(0) == "train1" && lease.getInt(2) == 3)
+    // compact from SQL: three epochs fold into one replacement manifest
+    val compacted = spark.sql("CALL gproc.system.compact(table => 't')").head().getString(0)
+    assert(compacted != null)
+    assert(graft.sources.ContentStore.effectiveManifestNames(dir, hconf) == Seq(compacted))
+    assert(spark.sql("SELECT count(*) FROM gproc.t").head().getLong(0) == 30)
+    // vacuum from SQL with the pin held: the pinned sources survive...
+    spark.sql("CALL gproc.system.vacuum(table => 't', grace_ms => 0)")
+    assert(spark.sql("SELECT count(*) FROM gproc.t FOR VERSION AS OF 'train1'")
+      .head().getLong(0) == 30, "pinned pre-compaction snapshot must survive vacuum")
+    // ...and after release they sweep
+    spark.sql("CALL gproc.system.release_pin(table => 't', id => 'train1')")
+    spark.sql("CALL gproc.system.vacuum(table => 't', grace_ms => 0)")
+    intercept[Exception](
+      spark.sql("SELECT count(*) FROM gproc.t FOR VERSION AS OF 'train1'").collect())
+    // expire everything from SQL: metadata-only retire, live read empty
+    spark.sql("CALL gproc.system.expire_epochs(table => 't')")
+    assert(spark.sql("SELECT count(*) FROM gproc.t").head().getLong(0) == 0)
+    // refusals: unknown procedure, unknown table, wrong namespace
+    intercept[Exception](spark.sql("CALL gproc.system.nope(table => 't')"))
+    intercept[Exception](
+      spark.sql("CALL gproc.system.compact(table => 'absent')").collect())
+    intercept[Exception](spark.sql("CALL gproc.other.compact(table => 't')"))
+  }
+
   test("gate hygiene: every query key is oracle-gated or on the explicit rows-only list") {
     // the driver treats a queries key with no oracleSql entry as a
     // weaker rows-only check — which is correct ONLY for the genuinely
