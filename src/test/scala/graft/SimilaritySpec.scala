@@ -446,4 +446,35 @@ class SimilaritySpec extends SparkSpecBase {
       } else assert(dims.forall(_._3 == 0L), s"zero vector $id must code to zeros")
     }
   }
+
+  test("committed KNN_CANARY floors: the measured ANN recall curve has not regressed") {
+    // the per-round recall artifact (KnnRecallBench -> KNN_CANARY.json)
+    // is floor-checked here so a committed recall regression fails the
+    // suite loud instead of hiding behind a rows-only gate. Floors are
+    // the r19 measured points minus slack for training-sample jitter;
+    // the curve must also stay monotone in nprobe (more probes can
+    // only widen the candidate set).
+    val f = new java.io.File("KNN_CANARY.json")
+    assume(f.exists(), "KNN_CANARY.json not committed in this checkout")
+    val json = scala.io.Source.fromFile(f)
+    val txt  = try json.mkString finally json.close()
+    def section(name: String): Seq[(Int, Double)] = {
+      val m = (s""""$name":\\{([^}]*)\\}""").r.findFirstMatchIn(txt)
+        .getOrElse(fail(s"no $name in KNN_CANARY.json"))
+      m.group(1).split(",").toSeq.map { kv =>
+        val Array(k, v) = kv.split(":")
+        (k.replaceAll("\"", "").trim.toInt, v.trim.toDouble)
+      }.sortBy(_._1)
+    }
+    val ivf = section("ivf_by_nprobe")
+    assert(ivf == ivf.sortBy(_._1) && ivf.zip(ivf.tail).forall { case ((_, a), (_, b)) => b >= a - 1e-9 },
+      s"IVF recall must be monotone in nprobe: $ivf")
+    assert(ivf.last._2 >= 0.9, s"IVF at max nprobe collapsed: ${ivf.last}")
+    assert(ivf.find(_._1 == 4).exists(_._2 >= 0.3), s"IVF@4 below floor: $ivf")
+    val pq = section("ivfpq_by_nprobe")
+    assert(pq.find(_._1 == 16).exists(_._2 >= 0.35), s"IVF-PQ@16 below floor: $pq")
+    val lsh = (s""""lsh":([0-9.]+)""").r.findFirstMatchIn(txt)
+      .getOrElse(fail("no lsh in KNN_CANARY.json")).group(1).toDouble
+    assert(lsh >= 0.6, s"LSH recall below floor: $lsh")
+  }
 }
