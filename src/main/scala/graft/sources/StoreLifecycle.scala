@@ -687,8 +687,12 @@ object StoreLifecycle {
         val n        = buckets
         val probe =
           if (n > 0) {
-            val bucketUdf = udf((k: String) => ContentStore.bucketOf(k, n))
-            keyFrame.withColumn("__kb", bucketUdf(col("__graft_key")))
+            // codegen'd bucket derivation (KvBucketExpr) — same
+            // MurmurHash3 implementation the writers route with,
+            // inside whole-stage codegen instead of a Scala UDF
+            import org.apache.spark.sql.graft.Bridge
+            keyFrame.withColumn("__kb", Bridge.column(
+              graft.functions.KvBucketExpr.KvBucket(Bridge.expr(col("__graft_key")), n)))
           } else keyFrame.withColumn("__kb", lit(null).cast("int"))
         probe
           .join(

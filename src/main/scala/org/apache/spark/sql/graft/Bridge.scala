@@ -21,4 +21,11 @@ object Bridge {
     */
   def expr(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
     org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
+
+  /** Wrap a catalyst Expression as a user-facing Column (the inverse
+    * of [[expr]]) — lets operators use custom codegen expressions in
+    * DataFrame code without a per-session function registration.
+    */
+  def column(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    org.apache.spark.sql.classic.ExpressionUtils.column(e)
 }
