@@ -204,7 +204,13 @@ class SqlSurfaceSpec extends SparkSpecBase {
     spark.sql("INSERT INTO gw.cols SELECT 2L AS id, 'b' AS v")
     assert(spark.sql("SELECT id, v FROM gw.cols ORDER BY id")
       .collect().map(r => (r.getLong(0), r.getString(1))).toSeq == Seq(1L -> "a", 2L -> "b"))
-    intercept[Exception](spark.sql("INSERT OVERWRITE gw.cols SELECT 9L, 'z'"))
+    // INSERT OVERWRITE (B92, r19): one atomic replacement — was a
+    // refusal before the overwrite verb existed
+    spark.sql("INSERT OVERWRITE gw.cols SELECT 9L AS id, 'z' AS v")
+    assert(spark.sql("SELECT id, v FROM gw.cols").collect().map(r =>
+      (r.getLong(0), r.getString(1))).toSeq == Seq(9L -> "z"))
+    spark.sql("INSERT INTO gw.cols SELECT 1L AS id, 'a' AS v")
+    spark.sql("INSERT INTO gw.cols SELECT 2L AS id, 'b' AS v")
     // a schema-signature mismatch refuses before any file lands
     intercept[Exception](spark.sql("INSERT INTO gw.cols SELECT 'x' AS id, 'b' AS v"))
     // K-V: INSERT INTO rides the existing BATCH_WRITE surface
@@ -221,7 +227,7 @@ class SqlSurfaceSpec extends SparkSpecBase {
       .option("checkpointLocation", ckpt)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
     q.awaitTermination()
-    assert(spark.read.parquet(out).collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+    assert(spark.read.parquet(out).collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 9L))
     // a time-traveled view neither streams nor accepts inserts
     val pin = graft.sources.ContentStore.snapshotManifests(s"$wh/cols")
     graft.sources.StoreLifecycle.acquirePin(
