@@ -30,7 +30,8 @@ import org.apache.spark.unsafe.types.UTF8String
 private[sources] object GraftProcedures {
 
   val names: Seq[String] =
-    Seq("compact", "vacuum", "expire_epochs", "acquire_pin", "renew_pin", "release_pin")
+    Seq("compact", "vacuum", "expire_epochs", "acquire_pin", "renew_pin", "release_pin",
+      "manifests", "pins", "constraints")
 
   def load(catalog: GraftCatalog, name: String): UnboundProcedure = name match {
     case "compact"       => compactProc(catalog)
@@ -39,6 +40,9 @@ private[sources] object GraftProcedures {
     case "acquire_pin"   => pinProc(catalog, "acquire_pin")
     case "renew_pin"     => pinProc(catalog, "renew_pin")
     case "release_pin"   => releaseProc(catalog)
+    case "manifests"     => manifestsProc(catalog)
+    case "pins"          => pinsProc(catalog)
+    case "constraints"   => constraintsProc(catalog)
     case other =>
       throw new IllegalArgumentException(
         s"GraftCatalog: no procedure system.$other — available: ${names.mkString(", ")}")
@@ -176,6 +180,67 @@ private[sources] object GraftProcedures {
         new StructType().add("id", StringType).add("expires_at_ms", LongType)
           .add("manifests", IntegerType),
         utf8(lease.id), lease.expiresAtMs, lease.manifests.size)
+    }
+  }
+
+  /** Multi-row LocalScan result (introspection procedures). */
+  private def manyRows(schema: StructType, data: Seq[Seq[Any]]): java.util.Iterator[Scan] = {
+    val scan: Scan = new LocalScan {
+      override def rows(): Array[InternalRow] = data.map(InternalRow.fromSeq).toArray
+      override def readSchema(): StructType   = schema
+    }
+    java.util.List.of(scan).iterator()
+  }
+
+  /** manifests(table): one row per COMMITTED manifest — the store's
+    * snapshot log from SQL (name, live|shadowed, file count, mtime).
+    * Shadowed rows are history readable by pin/time-travel until
+    * vacuum's grace; the metadata read is manifest-listing-bounded,
+    * never data I/O.
+    */
+  private def manifestsProc(catalog: GraftCatalog) = new Proc("manifests", Array(
+    param("table", StringType))) {
+    override def description(): String =
+      "one row per committed manifest: name, live|shadowed, file count, mtime"
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val path  = catalog.resolveStorePath(input.getUTF8String(0).toString)
+      val conf  = ContentStore.driverHadoopConf()
+      val live  = ContentStore.effectiveManifestNames(path, conf).toSet
+      val (fsys, root) = ContentStore.fs(path, conf)
+      val rows = ContentStore.manifestNames(path, conf).sorted.map { m =>
+        val files = ContentStore.filesInManifest(path, m, conf).size
+        val mtime = fsys.getFileStatus(new org.apache.hadoop.fs.Path(root, s"_manifest/$m"))
+          .getModificationTime
+        Seq[Any](utf8(m), utf8(if (live(m)) "live" else "shadowed"), files, mtime)
+      }
+      manyRows(new StructType().add("name", StringType).add("state", StringType)
+        .add("files", IntegerType).add("mtime_ms", LongType), rows)
+    }
+  }
+
+  /** pins(table): the live pin leases (id, expiry, manifest count). */
+  private def pinsProc(catalog: GraftCatalog) = new Proc("pins", Array(
+    param("table", StringType))) {
+    override def description(): String = "live snapshot leases: id, expiry, manifest count"
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val path = catalog.resolveStorePath(input.getUTF8String(0).toString)
+      val rows = StoreLifecycle.pins(path, ContentStore.driverHadoopConf())
+        .sortBy(_.id)
+        .map(l => Seq[Any](utf8(l.id), l.expiresAtMs, l.manifests.size))
+      manyRows(new StructType().add("id", StringType).add("expires_at_ms", LongType)
+        .add("manifests", IntegerType), rows)
+    }
+  }
+
+  /** constraints(table): the recorded CHECK constraints. */
+  private def constraintsProc(catalog: GraftCatalog) = new Proc("constraints", Array(
+    param("table", StringType))) {
+    override def description(): String = "recorded CHECK constraints: name, expression"
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val path = catalog.resolveStorePath(input.getUTF8String(0).toString)
+      val rows = Constraints.list(path, ContentStore.driverHadoopConf())
+        .map { case (n, e) => Seq[Any](utf8(n), utf8(e)) }
+      manyRows(new StructType().add("name", StringType).add("expression", StringType), rows)
     }
   }
 

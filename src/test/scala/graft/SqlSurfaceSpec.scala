@@ -630,11 +630,24 @@ class SqlSurfaceSpec extends SparkSpecBase {
       "CALL gproc.system.acquire_pin(table => 't', id => 'train1', ttl_ms => 3600000)")
       .head()
     assert(lease.getString(0) == "train1" && lease.getInt(2) == 3)
+    // introspection from SQL: pins lists the lease, manifests the log
+    assert(spark.sql("CALL gproc.system.pins(table => 't')").collect()
+      .map(r => (r.getString(0), r.getInt(2))).toSeq == Seq("train1" -> 3))
     // compact from SQL: three epochs fold into one replacement manifest
     val compacted = spark.sql("CALL gproc.system.compact(table => 't')").head().getString(0)
     assert(compacted != null)
     assert(graft.sources.ContentStore.effectiveManifestNames(dir, hconf) == Seq(compacted))
     assert(spark.sql("SELECT count(*) FROM gproc.t").head().getLong(0) == 30)
+    // manifests: the fold's replacement is live, its three sources shadowed
+    val mrows = spark.sql("CALL gproc.system.manifests(table => 't')").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(mrows.count(_._2 == "live") == 1 && mrows.count(_._2 == "shadowed") == 3,
+      s"expected 1 live + 3 shadowed, got $mrows")
+    assert(mrows.find(_._2 == "live").map(_._1).contains(compacted))
+    // constraints introspection rides the same surface
+    graft.sources.Constraints.add(spark, dir, "id_pos", "id >= 0")
+    assert(spark.sql("CALL gproc.system.constraints(table => 't')").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq == Seq("id_pos" -> "id >= 0"))
     // vacuum from SQL with the pin held: the pinned sources survive...
     spark.sql("CALL gproc.system.vacuum(table => 't', grace_ms => 0)")
     assert(spark.sql("SELECT count(*) FROM gproc.t FOR VERSION AS OF 'train1'")

@@ -255,6 +255,18 @@ class StoreCrudPropertySpec extends SparkSpecBase {
             ks.foreach(k =>
               model = model.updated(k, model(k).map(_ + "U").sorted))
             check(s"sql-update $ks")
+          case 9 if rng.nextBoolean() => // INSERT OVERWRITE (B92):
+            // one atomic replace-all — the model wipes and takes
+            // exactly the replacement batch (duplicates stack like
+            // any append-shaped write)
+            if (new java.io.File(dir, "_format").exists) {
+              val batch = (0 until 1 + rng.nextInt(3))
+                .map(_ => (ids(rng.nextInt(ids.size)), s"o$step-${rng.nextInt(100)}"))
+              ParquetEpochs.overwrite(spark, dir, batch.toDF("doc_id", "body").coalesce(1))
+              model = Map.empty[Long, Seq[String]].withDefaultValue(Seq.empty)
+              batch.foreach { case (k, v) => model = model.updated(k, (model(k) :+ v).sorted) }
+              check(s"overwrite $batch")
+            }
           case _ =>
             ParquetEpochs.compact(spark, dir)
             check("compact")
