@@ -1566,6 +1566,11 @@ object ParquetEpochs {
     // instead of fold-all-but-keepLast — see smallCompactionPlan
     val plan =
       if (targetBytes > 0) StoreLifecycle.smallCompactionPlan(storeDir, targetBytes, keepLast, conf)
+      else if (clusterBy.isDefined || zorderBy.isDefined)
+        // explicit re-layout: a single live manifest still rewrites
+        // (relayoutPlan) — "nothing to fold" must not skip the layout
+        // rebuild the caller asked for
+        StoreLifecycle.relayoutPlan(storeDir, keepLast, conf)
       else StoreLifecycle.compactionPlan(storeDir, keepLast, conf)
     plan.map { case (sources, name) =>
       val rows = read(spark, storeDir, sources)

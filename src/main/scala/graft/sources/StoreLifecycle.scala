@@ -131,6 +131,23 @@ object StoreLifecycle {
     Some((sources, compactionName(sources)))
   }
 
+  /** [[compactionPlan]] for an EXPLICIT re-layout request
+    * (cluster/z-order): a single live manifest is still a valid
+    * source — the post-OPTIMIZE state is exactly where a layout
+    * rebuild is most wanted, and "nothing to fold" must not silently
+    * skip the rebuild the caller asked for. Plain compaction keeps
+    * the ≥2 rule (rewriting one right-sized manifest into itself is
+    * pure write amplification).
+    */
+  private[sources] def relayoutPlan(
+      path: String,
+      keepLast: Int,
+      conf: Configuration
+  ): Option[(Seq[String], String)] = {
+    val sources = orderedLiveManifests(path, conf).dropRight(keepLast)
+    if (sources.isEmpty) None else Some((sources, compactionName(sources)))
+  }
+
   /** Size-aware OPTIMIZE policy — the small-file binpack (what Delta's
     * OPTIMIZE actually targets): continuous streaming ingest commits
     * ONE manifest per micro-batch, so a tailed store accretes

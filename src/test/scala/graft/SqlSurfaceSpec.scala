@@ -667,6 +667,36 @@ class SqlSurfaceSpec extends SparkSpecBase {
     intercept[Exception](spark.sql("CALL gproc.other.compact(table => 't')"))
   }
 
+  test("SQL-driven z-order re-cluster prunes the two-dim box at planning time") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-catspec-zsql").toString
+    spark.conf.set("spark.sql.catalog.gz", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gz.warehouse", wh)
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // 4096 rows over two independent dims, UNCLUSTERED (one shuffled
+    // epoch) — then the SQL verb rebuilds the Morton layout
+    val rows = (0L until 4096L).map(i => (i, (i * 2654435761L) % 4096L))
+    graft.sources.ParquetEpochs.append(
+      rows.toDF("a", "b").repartition(16), s"$wh/t"): Unit
+    spark.sql("CALL gz.system.compact(table => 't', zorder_by => 'a,b', parts => 16)")
+    def partitionsOf(sql: String): Int =
+      spark.sql(sql).queryExecution.executedPlan.collectFirst {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.inputRDD.getNumPartitions
+      }.getOrElse(fail("no BatchScanExec"))
+    val full = partitionsOf("SELECT a FROM gz.t")
+    val box  = partitionsOf(
+      "SELECT a FROM gz.t WHERE a BETWEEN 0 AND 255 AND b BETWEEN 0 AND 255")
+    assert(full == 16, s"expected the re-clustered 16-file layout, got $full")
+    assert(box < full / 2,
+      s"two-dim box must prune well below the full scan: $box vs $full")
+    // values stay exact (filters are residual; skipping is I/O-only)
+    val got = spark.sql(
+      "SELECT a, b FROM gz.t WHERE a BETWEEN 0 AND 255 AND b BETWEEN 0 AND 255 ORDER BY a")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == rows.filter(r => r._1 <= 255 && r._2 <= 255).sortBy(_._1))
+  }
+
   test("gate hygiene: every query key is oracle-gated or on the explicit rows-only list") {
     // the driver treats a queries key with no oracleSql entry as a
     // weaker rows-only check — which is correct ONLY for the genuinely
