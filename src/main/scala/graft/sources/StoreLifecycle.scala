@@ -231,6 +231,12 @@ object StoreLifecycle {
     // pass); 0 keeps the fold-all-but-keepLast plan
     val plan =
       if (targetBytes > 0) smallCompactionPlan(path, targetBytes, keepLast, conf)
+      else if (buckets > 0 && recorded == 0)
+        // explicit bucket ADOPTION on a legacy unbucketed store is a
+        // re-layout request: a single live manifest still rewrites
+        // (the columnar clusterBy/zorderBy rule) — "nothing to fold"
+        // must not silently skip the migration the caller asked for
+        relayoutPlan(path, keepLast, conf)
       else compactionPlan(path, keepLast, conf)
     plan.map { case (sources, name) =>
       val src = spark.read

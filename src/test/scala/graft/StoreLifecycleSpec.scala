@@ -66,6 +66,25 @@ class StoreLifecycleSpec extends SparkSpecBase {
     assert(StoreLifecycle.compactEpochs(spark, dir, keepLast = 1).isEmpty)
   }
 
+  test("explicit bucket adoption rewrites a SINGLE-manifest legacy store (no silent no-op)") {
+    val dir = tmp()
+    writeOne(dir, "a" -> "1", "b" -> "2", "c" -> "3")
+    val before = readAll(dir)
+    assert(ContentStore.recordedBuckets(dir, hconf) == 0)
+    // plain compaction correctly no-ops on one manifest...
+    assert(StoreLifecycle.compactEpochs(spark, dir).isEmpty)
+    // ...but an explicit buckets= adoption is a re-layout request and
+    // must rewrite even the single manifest
+    val name = StoreLifecycle.compactEpochs(spark, dir, buckets = 4)
+    assert(name.nonEmpty, "bucket adoption must not silently skip a single-manifest store")
+    assert(readAll(dir) == before)
+    assert(ContentStore.recordedBuckets(dir, hconf) == 4)
+    assert(ContentStore.snapshotManifests(dir)
+      .flatMap(m => ContentStore.filesInManifest(dir, m, hconf))
+      .forall(f => ContentStore.bucketOfFile(f).isDefined),
+      "every live file must carry its bucket prefix after adoption")
+  }
+
   test("size-aware OPTIMIZE folds only small epochs, skips right-sized ones, loops to a fixpoint") {
     val dir = tmp()
     // three tiny epochs, one big epoch, two more tiny ones — the
