@@ -579,7 +579,8 @@ private[graft] class ContentStoreTable(
       TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE,
       TableCapability.MICRO_BATCH_READ,
-      TableCapability.STREAMING_WRITE
+      TableCapability.STREAMING_WRITE,
+      TableCapability.TRUNCATE
     )
 
   /** `DELETE FROM cat.name WHERE result_key IN (...)` — the K-V
@@ -846,10 +847,15 @@ private[graft] class ContentStoreTable(
     val compactSources = Option(info.options().get("compactSources"))
       .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
       .filter(_.nonEmpty)
-    new WriteBuilder {
+    new WriteBuilder with org.apache.spark.sql.connector.write.SupportsTruncate {
+      // `INSERT OVERWRITE` / mode("overwrite") — the B92 atomic
+      // replace-table-contents on the K-V payload: the commit below
+      // shadows every live manifest in ONE rename
+      private var replaceAll = false
+      override def truncate(): WriteBuilder = { replaceAll = true; this }
       override def build(): Write =
         new ContentStoreWrite(path, info.queryId(), keyIdx, payloadIdx, conf, buckets,
-          manifestName, compactSources, dataShards)
+          manifestName, compactSources, dataShards, replaceAll)
     }
   }
 }
@@ -863,7 +869,8 @@ private[graft] class ContentStoreWrite(
     buckets: Int = 0,
     manifestName: Option[String] = None,
     compactSources: Option[Seq[String]] = None,
-    dataShards: Int = 0
+    dataShards: Int = 0,
+    replaceAll: Boolean = false
 ) extends Write {
 
   override def toBatch: BatchWrite = new BatchWrite {
@@ -873,17 +880,28 @@ private[graft] class ContentStoreWrite(
     // A compaction commit (explicit deterministic name) is idempotent:
     // losing the manifest rename to an identically-named racer IS the
     // already-compacted case — drop this job's files, keep the winner.
-    override def commit(messages: Array[WriterCommitMessage]): Unit =
+    override def commit(messages: Array[WriterCommitMessage]): Unit = {
+      // INSERT OVERWRITE (replaceAll): ONE replacement commit shadows
+      // every live manifest — a concurrent unpinned reader sees
+      // strictly old or strictly new, never a TRUNCATE+INSERT empty
+      // window; pins and time travel keep the old corpus until
+      // vacuum's grace (the B92 contract, K-V payload). The live set
+      // lists at commit time; writeManifest's OCC re-list refuses if
+      // a maintenance commit shadowed any of it since.
+      val shadow =
+        if (!replaceAll) compactSources
+        else Some(ContentStore.effectiveManifestNames(path, conf.value)).filter(_.nonEmpty)
       ContentStoreWrite.writeManifest(
         path,
         manifestName.getOrElse(s"batch-$queryId-${UUID.randomUUID()}"),
         messages,
         conf.value,
         idempotent = manifestName.isDefined,
-        compactSources = compactSources,
+        compactSources = shadow,
         buckets = buckets,
         dataShards = dataShards
       )
+    }
     override def abort(messages: Array[WriterCommitMessage]): Unit =
       ContentStoreWrite.deleteFiles(path, messages, conf.value)
   }

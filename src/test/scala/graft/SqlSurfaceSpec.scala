@@ -611,6 +611,22 @@ class SqlSurfaceSpec extends SparkSpecBase {
     spark.sql("INSERT OVERWRITE govr.t SELECT id + 500, v FROM ovr_replacement")
     assert(spark.sql("SELECT min(id), max(id), count(*) FROM govr.t")
       .head().toSeq == Seq(600L, 609L, 10L))
+    // the K-V payload carries the same verb: one replacement commit
+    // shadowing every live manifest, pins keeping the old corpus
+    import spark.implicits._
+    val kvDir = s"$wh/kv"
+    Seq(("a", "1"), ("b", "2")).toDF("result_key", "payload")
+      .write.format("graft.sources.ContentStore").option("path", kvDir).mode("append").save()
+    Seq(("c", "3")).toDF("result_key", "payload")
+      .write.format("graft.sources.ContentStore").option("path", kvDir).mode("append").save()
+    graft.sources.StoreLifecycle.acquirePin(kvDir, "kvpre", 3600000L, hconf): Unit
+    spark.sql("INSERT OVERWRITE govr.kv VALUES ('z', '9')")
+    assert(spark.sql("SELECT result_key, payload FROM govr.kv").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq == Seq("z" -> "9"))
+    val kvEff = graft.sources.ContentStore.effectiveManifestNames(kvDir, hconf)
+    assert(kvEff.size == 1, s"expected one replacement manifest, got $kvEff")
+    assert(spark.sql("SELECT count(*) FROM govr.kv FOR VERSION AS OF 'kvpre'")
+      .head().getLong(0) == 3L)
   }
 
   test("SQL maintenance procedures: pin + compact + vacuum + expire driven purely from SQL") {
