@@ -676,6 +676,13 @@ class SqlSurfaceSpec extends SparkSpecBase {
     // expire everything from SQL: metadata-only retire, live read empty
     spark.sql("CALL gproc.system.expire_epochs(table => 't')")
     assert(spark.sql("SELECT count(*) FROM gproc.t").head().getLong(0) == 0)
+    // discovery: SHOW PROCEDURES lists the namespace, DESCRIBE works
+    assert(spark.sql("SHOW PROCEDURES IN gproc.system").collect()
+      .map(_.getString(3)).toSet ==
+      Set("compact", "vacuum", "expire_epochs", "acquire_pin", "renew_pin",
+        "release_pin", "manifests", "pins", "constraints"))
+    assert(spark.sql("DESCRIBE PROCEDURE gproc.system.vacuum").collect()
+      .map(_.getString(0)).mkString("\n").contains("retention grace"))
     // refusals: unknown procedure, unknown table, wrong namespace
     intercept[Exception](spark.sql("CALL gproc.system.nope(table => 't')"))
     intercept[Exception](
