@@ -207,11 +207,15 @@ private[sources] object GraftProcedures {
       val conf  = ContentStore.driverHadoopConf()
       val live  = ContentStore.effectiveManifestNames(path, conf).toSet
       val (fsys, root) = ContentStore.fs(path, conf)
+      // ONE directory listing carries the mtimes (a per-manifest
+      // getFileStatus would be O(manifests) RPCs on an object store)
+      val mtimes = fsys.listStatus(new org.apache.hadoop.fs.Path(root, "_manifest"))
+        .filterNot(_.getPath.getName.startsWith("."))
+        .map(st => st.getPath.getName -> st.getModificationTime).toMap
       val rows = ContentStore.manifestNames(path, conf).sorted.map { m =>
         val files = ContentStore.filesInManifest(path, m, conf).size
-        val mtime = fsys.getFileStatus(new org.apache.hadoop.fs.Path(root, s"_manifest/$m"))
-          .getModificationTime
-        Seq[Any](utf8(m), utf8(if (live(m)) "live" else "shadowed"), files, mtime)
+        Seq[Any](utf8(m), utf8(if (live(m)) "live" else "shadowed"), files,
+          mtimes.getOrElse(m, 0L))
       }
       manyRows(new StructType().add("name", StringType).add("state", StringType)
         .add("files", IntegerType).add("mtime_ms", LongType), rows)
