@@ -1340,10 +1340,15 @@ object ParquetEpochs {
         val smallKeys: Option[Seq[Any]] =
           if (stagedBytes > PqSeqPurgeMaxStagedBytes) None
           else {
+            // RAW rows + driver-side dedupe: a distinct() here would
+            // add a whole shuffle stage to collect a few hundred keys
+            // (CollectLimit scans the small staged parts directly).
+            // Epochs with >100k raw rows in <16 MB fall back to the
+            // frame planner — slightly conservative, never wrong.
             val sample = stagedFrame.select(column).where(col(column).isNotNull)
-              .distinct().limit(PqSeqPurgeMaxKeys + 1).collect()
+              .limit(PqSeqPurgeMaxKeys + 1).collect()
             if (sample.length > PqSeqPurgeMaxKeys) None
-            else Some(sample.toSeq.map(_.get(0)))
+            else Some(sample.map(_.get(0)).distinct.toSeq)
           }
         smallKeys match {
           case Some(vals) => planPurgeSeq(spark, storeDir, column, vals, Set(name))
