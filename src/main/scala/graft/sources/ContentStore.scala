@@ -823,8 +823,20 @@ private[graft] class ContentStoreTable(
     val payloadIdx = in.fieldIndex("payload")
     val conf       = new SerializableConfiguration(ContentStore.driverHadoopConf())
     // buckets=N: route rows to per-bucket files by the store-owned
-    // key hash, so a later bucketedRead=N scan is key-grouped
-    val buckets = info.options().getInt("buckets", 0)
+    // key hash, so a later bucketedRead=N scan is key-grouped. The
+    // layout is a store fact exactly like dataShards below: a writer
+    // that omits the option ADOPTS the recorded count (SQL INSERT
+    // INTO and streaming writes cannot pass options, and routing by
+    // the recorded count preserves the layout invariant they could
+    // otherwise only break); an explicit count that CONTRADICTS the
+    // record refuses here, before any file stages.
+    val optBuckets      = info.options().getInt("buckets", 0)
+    val recordedBuckets = ContentStore.recordedBuckets(path, conf.value)
+    if (optBuckets > 0 && recordedBuckets > 0 && optBuckets != recordedBuckets)
+      throw new IllegalStateException(
+        s"ContentStore: store $path is bucketed with n=$recordedBuckets; " +
+          s"this write used buckets=$optBuckets")
+    val buckets = if (optBuckets > 0) optBuckets else recordedBuckets
     // dataShards=N: spread data files across N `s<k>/` subdirectories
     // so maintenance listings parallelize (ContentStore
     // .recordedDataShards). The layout is a store fact: a writer that

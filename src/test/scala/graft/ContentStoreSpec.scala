@@ -860,16 +860,23 @@ class ContentStoreSpec extends SparkSpecBase {
         s"expected the layout refusal, got: $e")
     }
     refuses(write(Seq("x" -> "y"), buckets = 8))
-    refuses(write(Seq("x" -> "y"), buckets = 0))
-    // the refused commits left no manifest and no data: the store
+    // an OMITTED option ADOPTS the recorded layout (r19 — the
+    // dataShards rule applied to buckets: SQL INSERT INTO and
+    // streaming writes cannot pass options, and adoption routes their
+    // files by the recorded count instead of refusing or poisoning)
+    write(Seq("x" -> "y"), buckets = 0)
+    assert(ContentStore.committedFiles(dir, hconf)
+      .forall(f => graft.sources.ContentStore.bucketOfFile(f).isDefined),
+      "an adopted write must still route every file by bucket")
+    // the refused commit left no manifest and no data: the store
     // still reads whole, bucketed, with its recorded count
     assert(ContentStore.recordedBuckets(dir, hconf) == 4)
-    assert(readBack(dir).size == 50)
+    assert(readBack(dir).size == 51)
     val got = spark.read.format("graft.sources.ContentStore")
       .option("path", dir).option("bucketedRead", 4).load().count()
-    assert(got == 50)
+    assert(got == 51)
     write((51 to 60).map(i => (s"k$i", s"v$i")), buckets = 4) // matching append still lands
-    assert(readBack(dir).size == 60)
+    assert(readBack(dir).size == 61)
   }
 
   test("storage-partitioned join of two co-bucketed stores plans with zero shuffle") {

@@ -566,6 +566,23 @@ class SqlSurfaceSpec extends SparkSpecBase {
       spark.sql("CREATE TABLE gcre.parted (id BIGINT, v STRING) PARTITIONED BY (v)"))
     intercept[Exception](spark.sql(
       "CREATE TABLE gcre.badkv (k STRING, v STRING) TBLPROPERTIES('payload'='kv')"))
+    // layout facts bind from creation: datashards property on
+    // columnar, bucket(n, result_key) transform on K-V
+    spark.sql(
+      "CREATE TABLE gcre.sharded (id BIGINT, v STRING) TBLPROPERTIES('datashards'='3')")
+    spark.sql("INSERT INTO gcre.sharded VALUES (1, 'a'), (2, 'b')")
+    val hconf = spark.sessionState.newHadoopConf()
+    assert(graft.sources.ContentStore.recordedDataShards(s"$wh/sharded", hconf) == 3)
+    assert(spark.sql("SELECT count(*) FROM gcre.sharded").head().getLong(0) == 2)
+    spark.sql(
+      """CREATE TABLE gcre.bkv (result_key STRING, payload STRING)
+        |PARTITIONED BY (bucket(4, result_key)) TBLPROPERTIES('payload'='kv')""".stripMargin)
+    assert(graft.sources.ContentStore.recordedBuckets(s"$wh/bkv", hconf) == 4)
+    spark.sql("INSERT INTO gcre.bkv VALUES ('x', '1')")
+    assert(graft.sources.ContentStore.snapshotManifests(s"$wh/bkv")
+      .flatMap(m => graft.sources.ContentStore.filesInManifest(s"$wh/bkv", m, hconf))
+      .forall(f => graft.sources.ContentStore.bucketOfFile(f).isDefined),
+      "bucketed K-V CREATE must route INSERTed files by bucket")
     // DROP: refused once data committed; allowed on the empty artifact
     intercept[Exception](spark.sql("DROP TABLE gcre.docs"))
     spark.sql("CREATE TABLE gcre.empty (id BIGINT)")
