@@ -977,7 +977,8 @@ private[graft] object ContentStoreWrite {
       buckets: Int = 0,
       dataShards: Int = 0,
       carryMessages: Array[WriterCommitMessage] = Array.empty,
-      beforeRename: () => Unit = () => ()
+      beforeRename: () => Unit = () => (),
+      afterRename: () => Unit = () => ()
   ): Unit = {
     val (filesystem, root) = ContentStore.fs(path, hadoopConf)
     val manifestDir        = new Path(root, "_manifest")
@@ -1226,11 +1227,37 @@ private[graft] object ContentStoreWrite {
       filesystem.delete(tmp, false): Unit
       if (idempotent && filesystem.exists(manifest)) {
         deleteFiles(path, messages, hadoopConf)
+        return // the original commit ran its own afterRename phase
       } else {
         throw new java.io.IOException(
           s"ContentStore: atomic manifest commit failed (rename $tmp -> $manifest)"
         )
       }
+    }
+    // POST-VISIBILITY caller hook (the CHECK-constraint CommitGuard's
+    // second phase rides here): a throw UNDOES the commit by deleting
+    // the just-renamed manifest — the exact inverse of the visibility
+    // rename. Shadowed sources come back on their own (shadowing only
+    // counts COMMITTED shadowers — effectiveManifestNames filters
+    // `_compacted/` sidecars through the raw manifest listing), the
+    // orphaned sidecars are vacuum's stale_sidecar sweep, and the new
+    // files become unreferenced orphans like any refused commit's. The
+    // residual anomaly is the rename→undo flicker: a reader listing
+    // inside it sees the refused rows once (its files stay readable
+    // through vacuum grace, so the read never breaks) — the price of a
+    // post-visibility refusal without a transaction-log arbiter,
+    // narrower than the alternative (an induction hole).
+    try afterRename()
+    catch {
+      case t: Throwable =>
+        if (!filesystem.delete(manifest, false))
+          throw new java.io.IOException(
+            s"ContentStore: commit '$name' on $path must undo (${t.getMessage}) but the " +
+              "manifest delete failed — the store may hold rows a post-rename check refused",
+            t)
+        filesystem.delete(new Path(root, s"_stats/$name"), false): Unit
+        filesystem.delete(new Path(root, s"_compacted/$name"), false): Unit
+        throw t
     }
   }
 

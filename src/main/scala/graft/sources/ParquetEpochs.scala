@@ -92,6 +92,7 @@ object ParquetEpochs {
       else harvestStats(fsys, root, compactSources.getOrElse(Seq.empty), carryFiles.toSet)
     writeFileStats(fsys, root, name,
       carryFiles.filterNot(covered) ++ moved, conf, extraLines = carryLines)
+    val guard = new Constraints.CommitGuard(storeDir, moved, conf)
     ContentStoreWrite.writeManifest(
       storeDir,
       name,
@@ -103,12 +104,14 @@ object ParquetEpochs {
       carryMessages =
         if (carryFiles.isEmpty) Array.empty
         else Array(StoreFilesCommitMsg(carryFiles, carryFiles.size.toLong)),
-      // B90 CHECK constraints: this commit's NEW files must satisfy
-      // every recorded constraint BEFORE the manifest can land
+      // B90 CHECK constraints, two-sided: this commit's NEW files must
+      // satisfy every recorded constraint BEFORE the manifest can land
       // (carried files were validated by the commit that introduced
-      // them). Rides the last-moment hook so a constraint added
-      // during the stage/stats work is still seen.
-      beforeRename = () => Constraints.validateNewFiles(storeDir, moved, conf)
+      // them), and the post-rename phase catches a constraint whose
+      // publish landed inside the pre→rename gap (undoing the commit
+      // — see Constraints.CommitGuard for the interleaving proof).
+      beforeRename = guard.pre,
+      afterRename = guard.post
     )
     name
   }
@@ -168,6 +171,7 @@ object ParquetEpochs {
       else harvestStats(fsys, root, affected, carried.toSet)
     writeFileStats(fsys, root, name,
       carried.filterNot(covered) ++ newFiles, conf, extraLines = carryLines)
+    val guard = new Constraints.CommitGuard(storeDir, newFiles, conf)
     ContentStoreWrite.writeManifest(
       storeDir,
       name,
@@ -179,9 +183,12 @@ object ParquetEpochs {
       carryMessages =
         if (carried.isEmpty) Array.empty
         else Array(StoreFilesCommitMsg(carried, carried.size.toLong)),
-      // B90: a DML that SET a violating value refuses like a bad
-      // append — validated at the last moment before the rename
-      beforeRename = () => Constraints.validateNewFiles(storeDir, newFiles, conf)
+      // B90 two-sided: a DML that SET a violating value refuses like a
+      // bad append — validated immediately before AND after the rename
+      // (the post phase undoes the commit on a constraint that
+      // published inside the gap; see Constraints.CommitGuard)
+      beforeRename = guard.pre,
+      afterRename = guard.post
     )
   }
 
@@ -1367,6 +1374,7 @@ object ParquetEpochs {
       else harvestStats(fsys, root, affected, carried.toSet)
     writeFileStats(fsys, root, name,
       carried.filterNot(covered) ++ moved1 ++ moved2, conf, extraLines = carryLines)
+    val guard = new Constraints.CommitGuard(storeDir, moved1 ++ moved2, conf)
     ContentStoreWrite.writeManifest(
       storeDir,
       name,
@@ -1378,9 +1386,10 @@ object ParquetEpochs {
       carryMessages =
         if (carried.isEmpty) Array.empty
         else Array(StoreFilesCommitMsg(carried, carried.size.toLong)),
-      // B90: the version epoch's fresh values validate like any
-      // append — at the last moment before the rename
-      beforeRename = () => Constraints.validateNewFiles(storeDir, moved1 ++ moved2, conf)
+      // B90 two-sided: the version epoch's fresh values validate like
+      // any append — immediately before and after the rename
+      beforeRename = guard.pre,
+      afterRename = guard.post
     )
     StoreLifecycle.UpsertReport(
       name,

@@ -1670,12 +1670,17 @@ object StoreLifecycle {
         }
       }
     }
-    val pinsDir = new Path(root, "_pins")
-    if (fsys.exists(pinsDir)) fsys.listStatus(pinsDir).foreach { st =>
-      val n = st.getPath.getName
-      if (n.startsWith(".tmp-") && aged(st)) {
-        if (!dryRun) fsys.delete(st.getPath, false): Unit
-        out += VacuumAction("stale_sidecar", s"_pins/$n")
+    // `_pins/` and `_constraints/` get only their `.tmp-*` sweep (a
+    // crashed lease write / constraint add): their names are not
+    // manifest names, so the no-matching-manifest rule must not apply
+    for (side <- Seq("_pins", "_constraints")) {
+      val dir = new Path(root, side)
+      if (fsys.exists(dir)) fsys.listStatus(dir).foreach { st =>
+        val n = st.getPath.getName
+        if (n.startsWith(".tmp-") && aged(st)) {
+          if (!dryRun) fsys.delete(st.getPath, false): Unit
+          out += VacuumAction("stale_sidecar", s"$side/$n")
+        }
       }
     }
     out.result()
