@@ -1143,20 +1143,29 @@ private[graft] object ContentStoreWrite {
       val statsOut = filesystem.create(statsTmp, false)
       statsOut.write(statLines.mkString("\n").getBytes("UTF-8"))
       statsOut.close()
-      // best-effort: a lost stats rename only disables skipping. But a
-      // rename LOST TO AN EXISTING SIDECAR here is stale content from a
-      // crashed/conflict-aborted earlier attempt under this reused
-      // fixed name (a retried upsert epoch re-stages new UUID files):
-      // the idempotent already-committed check above has passed, so the
-      // manifest is NOT yet visible and nothing consults the sidecar
-      // until the rename below — replace it (the `_compacted` rule),
-      // or the committed files would permanently carry bounds for
-      // orphaned files and never skip.
+      // best-effort: a lost stats rename only disables skipping. A
+      // rename LOST TO AN EXISTING SIDECAR splits on manifest
+      // visibility (the ParquetEpochs.writeFileStats twin):
+      //  - manifest ALREADY VISIBLE: an identically-named idempotent
+      //    racer committed BETWEEN the early already-committed check
+      //    above and this write — its sidecar describes the files that
+      //    actually landed; ours describes files about to be dropped
+      //    on the idempotent lost-rename path below. Keep theirs, drop
+      //    ours (replacing would permanently disable skipping for the
+      //    committed files).
+      //  - manifest NOT yet visible: stale content from a crashed or
+      //    conflict-aborted earlier attempt under this reused fixed
+      //    name (a retried upsert epoch re-stages new UUID files) —
+      //    replace it (the `_compacted` rule); nothing consults the
+      //    sidecar until the rename below.
       val statsTarget = new Path(statsDir, name)
       if (!filesystem.rename(statsTmp, statsTarget)) {
-        filesystem.delete(statsTarget, false): Unit
-        if (!filesystem.rename(statsTmp, statsTarget))
-          filesystem.delete(statsTmp, false): Unit // still best-effort
+        if (filesystem.exists(manifest)) filesystem.delete(statsTmp, false): Unit
+        else {
+          filesystem.delete(statsTarget, false): Unit
+          if (!filesystem.rename(statsTmp, statsTarget))
+            filesystem.delete(statsTmp, false): Unit // still best-effort
+        }
       }
     }
     // a compaction's replaced-sources sidecar goes in BEFORE the
@@ -1186,6 +1195,16 @@ private[graft] object ContentStoreWrite {
           finally r.close()
         }
       if (!existing.contains(want)) {
+        // the manifest-visibility guard (the stats-sidecar rule): a
+        // DIFFERENT-content sidecar under an ALREADY VISIBLE manifest
+        // belongs to an identically-named racer that committed between
+        // the early idempotency check and here — its sidecar shadows
+        // the sources its manifest actually replaced; ours must drop
+        // (our manifest rename below loses idempotently)
+        if (idempotent && existing.isDefined && filesystem.exists(manifest)) {
+          deleteFiles(path, messages, hadoopConf)
+          return
+        }
         val sidecarTmp = new Path(compactedDir, s".tmp-$name-${UUID.randomUUID()}")
         val sout       = filesystem.create(sidecarTmp, false)
         try sout.write(want.getBytes("UTF-8"))

@@ -142,17 +142,27 @@ private[sources] object GraftProcedures {
   }
 
   /** expire_epochs(cutoff_ms): retire manifests at or before the
-    * cutoff in one metadata commit (NULL cutoff = everything — SQL
-    * TRUNCATE's verb).
+    * cutoff in one metadata commit. `cutoff_ms` is REQUIRED and must
+    * be explicit — the pre-r20 default (NULL = retire EVERYTHING)
+    * made a typo'd or positional call a silent truncate of the live
+    * view, the one thing a maintenance procedure's default must never
+    * be (ADVICE r19). Retiring everything stays available, but only
+    * behind the explicit sentinel `cutoff_ms => -1` (SQL TRUNCATE's
+    * verb spelled on purpose).
     */
   private def expireProc(catalog: GraftCatalog) = new Proc("expire_epochs", Array(
     param("table", StringType),
     paramD("cutoff_ms", LongType, "NULL"))) {
     override def description(): String =
-      "retire manifests at or before the cutoff mtime in one metadata-only commit"
+      "retire manifests at or before the cutoff mtime in one metadata-only commit " +
+        "(cutoff_ms required; -1 retires everything — the explicit truncate)"
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
-      val path   = catalog.resolveStorePath(input.getUTF8String(0).toString)
-      val cutoff = if (input.isNullAt(1)) Long.MaxValue else input.getLong(1)
+      val path = catalog.resolveStorePath(input.getUTF8String(0).toString)
+      require(!input.isNullAt(1),
+        "expire_epochs: cutoff_ms is required — pass an explicit mtime cutoff, or " +
+          "cutoff_ms => -1 to retire EVERY live manifest (the truncate verb)")
+      val raw    = input.getLong(1)
+      val cutoff = if (raw == -1L) Long.MaxValue else raw
       oneRow(new StructType().add("manifest", StringType),
         utf8(StoreLifecycle.expireEpochs(path, cutoff).orNull))
     }

@@ -146,7 +146,8 @@ object ParquetEpochs {
       storeDir: String,
       newFiles: Seq[String],
       replacedFiles: Set[String],
-      namePrefix: String = "cow-"): Unit = {
+      namePrefix: String = "cow-",
+      refuseGrowth: Boolean = false): Unit = {
     val conf            = ContentStore.driverHadoopConf()
     val (fsys, root)    = ContentStore.fs(storeDir, conf)
     val live            = ContentStore.effectiveManifestNames(storeDir, conf)
@@ -186,8 +187,30 @@ object ParquetEpochs {
       // B90 two-sided: a DML that SET a violating value refuses like a
       // bad append — validated immediately before AND after the rename
       // (the post phase undoes the commit on a constraint that
-      // published inside the gap; see Constraints.CommitGuard)
-      beforeRename = guard.pre,
+      // published inside the gap; see Constraints.CommitGuard).
+      // refuseGrowth (replace-EVERYTHING commits — overwrite/rollback):
+      // the shadowed-source OCC above only catches a live manifest that
+      // VANISHED since planning; a plain concurrent append GROWS the
+      // effective set instead, and surviving the replacement would make
+      // the read-back "replacement + concurrent rows" instead of
+      // exactly the replacement corpus. Re-list at the last moment and
+      // refuse (retryable) when a file-bearing manifest appeared that
+      // the plan never saw — same residual as every OCC-by-listing
+      // check (the re-list→rename gap).
+      beforeRename = () => {
+        if (refuseGrowth) {
+          val affectedSet = affected.toSet
+          val grown = ContentStore.effectiveManifestNames(storeDir, conf)
+            .filterNot(affectedSet)
+            .filter(m => ContentStore.filesInManifest(storeDir, m, conf).nonEmpty)
+          if (grown.nonEmpty)
+            throw new StoreCommitConflictException(
+              s"replace-all commit on $storeDir: ${grown.size} file-bearing manifest(s) " +
+                s"committed since planning (e.g. ${grown.head}) — the replacement would " +
+                "silently drop their rows; re-plan from the current snapshot and retry")
+        }
+        guard.pre()
+      },
       afterRename = guard.post
     )
   }
@@ -203,8 +226,13 @@ object ParquetEpochs {
     * decomposition's visible gap, closed); pinned pre-overwrite
     * snapshots and time travel keep reading the old corpus until
     * vacuum's grace expires the shadowed sources (the B85/B86
-    * contract). OCC: a maintenance commit landing between the plan
-    * listing and the rename refuses with the retryable conflict.
+    * contract). OCC, both directions: a maintenance commit SHADOWING a
+    * planned source refuses via the replaced-file check, and a plain
+    * concurrent append GROWING the effective set since planning
+    * refuses via the last-moment grow re-list (refuseGrowth) — either
+    * way the retryable conflict, never a read-back of "replacement
+    * plus concurrent rows"; the residual is the re-list→rename gap
+    * every OCC-by-listing commit documents.
     * CHECK constraints validate the staged corpus before visibility
     * like any commit. The backfill verb (weekly `INSERT OVERWRITE`
     * from SQL via [[GraftCatalog]]) — maintenance-class,
@@ -218,7 +246,12 @@ object ParquetEpochs {
     val live = ContentStore.effectiveManifestNames(storeDir, conf)
     val replaced = live.flatMap(m => ContentStore.filesInManifest(storeDir, m, conf)).toSet
     val moved = stageParts(data, ContentStore.recordedDataShards(storeDir, conf), fsys, root)
-    commitReplacement(storeDir, moved, replaced, namePrefix = "overwrite-")
+    // refuseGrowth: a concurrent append landing between the live
+    // listing above and the rename must refuse, not silently vanish
+    // under the replacement (the shadowed-source OCC alone only
+    // catches manifests that disappeared since planning)
+    commitReplacement(storeDir, moved, replaced, namePrefix = "overwrite-",
+      refuseGrowth = true)
   }
 
   /** Distributed-write + move half of [[append]] WITHOUT the manifest:

@@ -646,6 +646,41 @@ class SqlSurfaceSpec extends SparkSpecBase {
       .head().getLong(0) == 3L)
   }
 
+  test("a replace-all commit refuses when the effective set GREW since planning (ADVICE r19)") {
+    // the overwrite OCC's second direction: the shadowed-source check
+    // catches a planned source that VANISHED, this catches a plain
+    // concurrent append that the plan never saw — surviving it would
+    // read back "replacement + concurrent rows" instead of exactly the
+    // replacement corpus. Driven at the commit layer with the
+    // interleaving pinned: plan against the e1 snapshot, land e2, then
+    // commit the replacement.
+    import spark.implicits._
+    val dir   = s"${java.nio.file.Files.createTempDirectory("graft-ovr-occ")}/t"
+    val hconf = spark.sessionState.newHadoopConf()
+    graft.sources.ParquetEpochs.append(
+      (0L until 8L).map(i => (i, s"v$i")).toDF("id", "v"), dir): Unit
+    // the replacement PLAN: replaced = every live file right now
+    val planned = graft.sources.ContentStore.effectiveManifestNames(dir, hconf)
+      .flatMap(m => graft.sources.ContentStore.filesInManifest(dir, m, hconf)).toSet
+    // a concurrent append lands between the plan and the commit
+    graft.sources.ParquetEpochs.append(
+      Seq((100L, "late")).toDF("id", "v"), dir): Unit
+    val e = intercept[graft.sources.StoreCommitConflictException](
+      graft.sources.ParquetEpochs.commitReplacement(
+        dir, Seq.empty, planned, namePrefix = "overwrite-", refuseGrowth = true))
+    assert(e.getMessage.contains("committed since planning"))
+    // nothing replaced: both epochs still live
+    assert(graft.sources.ParquetEpochs.read(
+      spark, dir, graft.sources.ContentStore.snapshotManifests(dir)).count() == 9L)
+    // and with a fresh plan the replace-all converges
+    val replanned = graft.sources.ContentStore.effectiveManifestNames(dir, hconf)
+      .flatMap(m => graft.sources.ContentStore.filesInManifest(dir, m, hconf)).toSet
+    graft.sources.ParquetEpochs.commitReplacement(
+      dir, Seq.empty, replanned, namePrefix = "overwrite-", refuseGrowth = true)
+    assert(graft.sources.ParquetEpochs.read(
+      spark, dir, graft.sources.ContentStore.snapshotManifests(dir)).count() == 0L)
+  }
+
   test("SQL maintenance procedures: pin + compact + vacuum + expire driven purely from SQL") {
     val wh = java.nio.file.Files.createTempDirectory("graft-catspec-proc").toString
     spark.conf.set("spark.sql.catalog.gproc", "graft.sources.GraftCatalog")
@@ -690,8 +725,16 @@ class SqlSurfaceSpec extends SparkSpecBase {
     spark.sql("CALL gproc.system.vacuum(table => 't', grace_ms => 0)")
     intercept[Exception](
       spark.sql("SELECT count(*) FROM gproc.t FOR VERSION AS OF 'train1'").collect())
-    // expire everything from SQL: metadata-only retire, live read empty
-    spark.sql("CALL gproc.system.expire_epochs(table => 't')")
+    // expire everything from SQL: metadata-only retire, live read
+    // empty — but ONLY behind the explicit -1 sentinel: an omitted
+    // cutoff refuses instead of silently truncating (ADVICE r19)
+    val expireErr = intercept[Exception](
+      spark.sql("CALL gproc.system.expire_epochs(table => 't')").collect())
+    assert(expireErr.getMessage.contains("cutoff_ms is required"),
+      s"omitted cutoff must refuse, got: ${expireErr.getMessage}")
+    assert(spark.sql("SELECT count(*) FROM gproc.t").head().getLong(0) == 30,
+      "the refused expire must not have retired anything")
+    spark.sql("CALL gproc.system.expire_epochs(table => 't', cutoff_ms => -1)")
     assert(spark.sql("SELECT count(*) FROM gproc.t").head().getLong(0) == 0)
     // discovery: SHOW PROCEDURES lists the namespace, DESCRIBE works
     assert(spark.sql("SHOW PROCEDURES IN gproc.system").collect()
