@@ -112,6 +112,12 @@ object SparkEntry {
     "q_store_zorder_sql" -> ((s, d) =>
       Joins.catalogZorderSql(Tables(s, d),
         s"${System.getProperty("java.io.tmpdir")}/graft-catwh")),
+    "q_catalog_drop" -> ((s, d) =>
+      Joins.catalogDropRoundtrip(Tables(s, d),
+        s"${System.getProperty("java.io.tmpdir")}/graft-catwh")),
+    "q_catalog_rename" -> ((s, d) =>
+      Joins.catalogRename(Tables(s, d),
+        s"${System.getProperty("java.io.tmpdir")}/graft-catwh")),
     "q_store_constraints" -> ((s, d) =>
       Joins.storeConstraintsRead(Tables(s, d),
         s"${System.getProperty("java.io.tmpdir")}/graft-catwh")),
@@ -1668,6 +1674,19 @@ object SparkEntry {
       // read-back is exactly the replacement corpus
       """SELECT doc_id, upper(lang) AS lang, n_chars + 7 AS n_chars
         |FROM documents WHERE doc_id % 2 = 0
+        |ORDER BY doc_id""".stripMargin,
+    "q_catalog_drop" -> // B94: DROP TABLE lifecycle — create→insert→drop→recreate under
+      // the same name; the read-back is exactly the SECOND cohort (a
+      // leak of the dropped store's % 3 = 0 rows would hash-mismatch)
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE doc_id % 3 = 1
+        |ORDER BY doc_id""".stripMargin,
+    "q_catalog_rename" -> // B95: RENAME via the catalog alias map — the renamed name
+      // reads the full corpus plus the post-rename insert
+      """SELECT doc_id, lang, n_chars FROM documents
+        |UNION ALL
+        |SELECT doc_id + 1000000 AS doc_id, lang, n_chars FROM documents
+        |WHERE doc_id % 100 = 0
         |ORDER BY doc_id""".stripMargin,
     "q_store_constraints" -> // B90: CHECK constraints — the poisoned batch refused
       // atomically, so the read-back is exactly the clean corpus

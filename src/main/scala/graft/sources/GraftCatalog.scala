@@ -53,10 +53,22 @@ import org.apache.spark.util.SerializableConfiguration
   * I/O-only and can never change values, exactly the readRange
   * contract. DDL: CREATE TABLE / CTAS bootstrap a store through the
   * stores' own first-write metadata protocol (see [[createTable]]);
-  * ALTER adds columns (schema evolution) and CHECK constraints; DROP
-  * removes only the empty CTAS-abort artifact; RENAME is refused
-  * (store directories are addressed by name — rename is an operator
-  * action with pinned readers to consider).
+  * ALTER adds columns (schema evolution) and CHECK constraints;
+  * DROP TABLE tombstones a data-bearing store (name unresolvable
+  * immediately, files reclaimed by `CALL system.purge_dropped` after a
+  * grace, live pins refuse — see [[dropTable]]); RENAME re-points the
+  * NAME through a per-namespace `_alias/` map (physical paths never
+  * move, so pins and time travel are untouched — see [[renameTable]]).
+  *
+  * NAME RESOLUTION (one choke point, [[resolve]]): a name is an
+  * `_alias/<name>` pointer to a sibling physical directory when the
+  * pointer exists, else the directory of the same name; one hop only
+  * (alias targets are physical directory names, never other aliases,
+  * so chains and cycles cannot be constructed); a directory carrying a
+  * `_dropped` tombstone, or reached DIRECTLY while carrying a
+  * `_renamed_away` marker, does not resolve. The Scala path API stays
+  * the operator surface — markers gate the catalog's name resolution,
+  * not the store protocol.
   */
 class GraftCatalog extends TableCatalog
     with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
@@ -85,18 +97,28 @@ class GraftCatalog extends TableCatalog
 
   /** Procedure-side `table` argument resolution: same identifier
     * grammar as SELECT ('ns.sub.name' under this catalog's
-    * warehouse), must already be a store.
+    * warehouse), must already be a store — alias- and
+    * tombstone-aware like every name lookup.
     */
   private[sources] def resolveStorePath(table: String): String = {
     val parts = table.split("\\.").toSeq.map(_.trim)
     require(parts.nonEmpty && parts.forall(_.nonEmpty),
       s"GraftCatalog: malformed table identifier '$table'")
     val ident = Identifier.of(parts.init.toArray, parts.last)
-    val path  = pathOf(ident)
-    if (!isStore(path))
+    resolve(ident).getOrElse(
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
-        ident.namespace().toSeq :+ ident.name())
-    path
+        ident.namespace().toSeq :+ ident.name()))
+  }
+
+  /** Namespace directory under the warehouse (procedure-side helper —
+    * `purge_dropped` sweeps a namespace, not a table).
+    */
+  private[sources] def namespaceDir(ns: Seq[String]): String = {
+    ns.foreach { p =>
+      require(p.matches("[A-Za-z0-9._-]+") && p != "." && p != "..",
+        s"GraftCatalog: illegal namespace segment '$p'")
+    }
+    (warehouse +: ns).mkString("/")
   }
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
@@ -116,13 +138,17 @@ class GraftCatalog extends TableCatalog
     java.util.EnumSet.of(
       org.apache.spark.sql.connector.catalog.TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
 
-  private def pathOf(ident: Identifier): String = {
+  /** warehouse-relative namespace directory + the table's simple name,
+    * with identifier hygiene (no traversal, no metadata-prefix names
+    * resolvable by accident).
+    */
+  private def baseAndName(ident: Identifier): (String, String) = {
     val parts = ident.namespace().toSeq :+ ident.name()
     parts.foreach { p =>
       require(p.matches("[A-Za-z0-9._-]+") && p != "." && p != "..",
         s"GraftCatalog: illegal identifier segment '$p'")
     }
-    (warehouse +: parts).mkString("/")
+    ((warehouse +: parts.init).mkString("/"), parts.last)
   }
 
   private def isStore(path: String): Boolean = {
@@ -131,24 +157,85 @@ class GraftCatalog extends TableCatalog
     fsys.exists(new Path(root, "_manifest")) || fsys.exists(new Path(root, "_format"))
   }
 
+  private def marked(path: String, marker: String): Boolean = {
+    val conf         = ContentStore.driverHadoopConf()
+    val (fsys, root) = ContentStore.fs(path, conf)
+    fsys.exists(new Path(root, marker))
+  }
+
+  /** The `_alias/<name>` pointer's target (a sibling physical directory
+    * name), if one is recorded. Alias files are published by
+    * tmp+rename, so a read never observes torn content.
+    */
+  private def readAlias(base: String, name: String): Option[String] = {
+    val conf         = ContentStore.driverHadoopConf()
+    val (fsys, root) = ContentStore.fs(base, conf)
+    val p            = new Path(root, s"_alias/$name")
+    if (!fsys.exists(p)) return None
+    val in = fsys.open(p)
+    try {
+      val buf = new java.io.ByteArrayOutputStream()
+      val b   = new Array[Byte](256)
+      var n   = in.read(b)
+      while (n >= 0) { buf.write(b, 0, n); n = in.read(b) }
+      Some(new String(buf.toByteArray, "UTF-8").trim).filter(_.nonEmpty)
+    } finally in.close()
+  }
+
+  /** NAME → live physical store directory; None when the name does not
+    * resolve (no store, dropped tombstone, or a renamed-away directory
+    * reached directly). ONE alias hop by construction: alias targets
+    * are physical directory names, so chains/cycles cannot exist; an
+    * alias whose target is not a live store resolves to nothing (a
+    * stale pointer — [[createTable]] reclaims it).
+    */
+  private[sources] def resolve(ident: Identifier): Option[String] = {
+    val (base, name) = baseAndName(ident)
+    readAlias(base, name) match {
+      case Some(target) =>
+        val phys = s"$base/$target"
+        // an alias-reached directory legitimately carries _renamed_away
+        // (that is what a renamed physical dir looks like); _dropped
+        // still kills it
+        if (isStore(phys) && !marked(phys, "_dropped")) Some(phys) else None
+      case None =>
+        val phys = s"$base/$name"
+        if (isStore(phys) && !marked(phys, "_dropped") && !marked(phys, "_renamed_away"))
+          Some(phys)
+        else None
+    }
+  }
+
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val conf        = ContentStore.driverHadoopConf()
     val base        = (warehouse +: namespace.toSeq).mkString("/")
     val (fsys, dir) = ContentStore.fs(base, conf)
     if (!fsys.exists(dir)) return Array.empty
-    fsys.listStatus(dir).toSeq
-      .filter(st => st.isDirectory && isStore(st.getPath.toString))
-      .map(st => Identifier.of(namespace, st.getPath.getName))
-      .toArray
+    // physical stores under their own (un-renamed, un-dropped) names…
+    val direct = fsys.listStatus(dir).toSeq
+      .filter { st =>
+        st.isDirectory && isStore(st.getPath.toString) &&
+        !marked(st.getPath.toString, "_dropped") &&
+        !marked(st.getPath.toString, "_renamed_away")
+      }
+      .map(_.getPath.getName)
+    // …plus alias names whose target is a live store
+    val aliasDir = new Path(dir, "_alias")
+    val aliased =
+      if (!fsys.exists(aliasDir)) Seq.empty
+      else fsys.listStatus(aliasDir).toSeq.map(_.getPath.getName)
+        .filterNot(_.startsWith("."))
+        .filter(n => resolve(Identifier.of(namespace, n)).isDefined)
+    (direct ++ aliased).distinct.sorted.map(Identifier.of(namespace, _)).toArray
   }
 
-  override def tableExists(ident: Identifier): Boolean = isStore(pathOf(ident))
+  override def tableExists(ident: Identifier): Boolean = resolve(ident).isDefined
 
   override def loadTable(ident: Identifier): Table = load(ident, None)
 
   /** `FOR VERSION AS OF 'v'`: v names a pin lease, else lists manifests. */
   override def loadTable(ident: Identifier, version: String): Table = {
-    val path = pathOf(ident)
+    val path = resolvedPath(ident)
     val conf = ContentStore.driverHadoopConf()
     val pin = StoreLifecycle.pins(path, conf).find(_.id == version).map(_.manifests)
       .getOrElse {
@@ -165,14 +252,17 @@ class GraftCatalog extends TableCatalog
 
   /** `FOR TIMESTAMP AS OF ts` (micros — the TableCatalog contract). */
   override def loadTable(ident: Identifier, timestampMicros: Long): Table =
-    load(ident, Some(ContentStore.snapshotManifestsAsOf(pathOf(ident), timestampMicros / 1000L)))
+    load(ident,
+      Some(ContentStore.snapshotManifestsAsOf(resolvedPath(ident), timestampMicros / 1000L)))
+
+  private def resolvedPath(ident: Identifier): String =
+    resolve(ident).getOrElse(
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+        ident.namespace().toSeq :+ ident.name()))
 
   private def load(ident: Identifier, pinned: Option[Seq[String]]): Table = {
-    val path = pathOf(ident)
+    val path = resolvedPath(ident)
     val conf = ContentStore.driverHadoopConf()
-    if (!isStore(path))
-      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
-        ident.namespace().toSeq :+ ident.name())
     if (ContentStore.recordedFormat(path, conf).contains("parquet")) {
       val schema = ParquetEpochs.recordedSchema(path, conf).getOrElse(
         throw new IllegalStateException(
@@ -205,10 +295,33 @@ class GraftCatalog extends TableCatalog
       partitions: Array[Transform],
       properties: util.Map[String, String]
   ): Table = {
-    val path = pathOf(ident)
-    if (isStore(path))
+    val (base, name) = baseAndName(ident)
+    require(!name.startsWith("_"),
+      s"GraftCatalog: table names must not start with '_' ('$name') — the prefix is " +
+        "reserved for catalog metadata (_alias)")
+    if (resolve(ident).isDefined)
       throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
         ident.namespace().toSeq :+ ident.name())
+    val conf         = ContentStore.driverHadoopConf()
+    val (fsys, bdir) = ContentStore.fs(base, conf)
+    // a stale alias (its target dropped or purged) no longer resolves,
+    // but left in place it would shadow the store created below —
+    // reclaim it before allocating
+    if (readAlias(base, name).isDefined)
+      fsys.delete(new Path(bdir, s"_alias/$name"), false): Unit
+    // PHYSICAL ALLOCATION: the name's own directory when it is free; a
+    // suffixed sibling + an `_alias/<name>` pointer when the directory
+    // is occupied (a tombstoned predecessor awaiting purge, or a
+    // renamed-away shell) — this is what makes create-after-drop work
+    // immediately instead of waiting out the reclamation grace
+    val direct = new Path(bdir, name)
+    val path =
+      if (!fsys.exists(direct)) s"$base/$name"
+      else {
+        val phys = s"${name}__r${System.currentTimeMillis()}"
+        writeAlias(base, name, phys)
+        s"$base/$phys"
+      }
     val provider = Option(properties.get("provider")).map(_.toLowerCase)
     val payload = Option(properties.get("payload")).map(_.toLowerCase)
       .orElse(provider).getOrElse("columnar")
@@ -265,7 +378,7 @@ class GraftCatalog extends TableCatalog
     * verbs named.
     */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
-    val path = pathOf(ident)
+    val path = resolvedPath(ident)
     val conf = ContentStore.driverHadoopConf()
     // CHECK constraints: B90's add/drop by name from SQL (whole-store
     // validation at add, per-commit enforcement after — the same verb
@@ -348,26 +461,141 @@ class GraftCatalog extends TableCatalog
     loadTable(ident)
   }
 
-  /** DROP TABLE stays an operator refusal for any store that ever
-    * committed data — with ONE exception: a store with zero committed
-    * manifests (the empty CREATE artifact) drops, which is exactly
-    * what Spark's non-atomic CTAS needs to clean up after a failed
-    * AS-SELECT write.
+  /** DROP TABLE through the lifecycle (r20, VERDICT-r19 missing-1;
+    * previously an operator refusal for any data-bearing store):
+    *
+    *  - a LIVE PIN LEASE refuses the drop — the lease is the
+    *    engine's "someone is still reading this snapshot" fact, and
+    *    dropping under it would manufacture broken pins;
+    *  - a pure CTAS-abort artifact (zero committed manifests AND an
+    *    empty `data/` — no in-flight first write staged anything, the
+    *    ADVICE-r19 narrowing) deletes physically on the spot;
+    *  - every other store TOMBSTONES: one `_dropped` marker makes the
+    *    name unresolvable immediately (reads/writes by name refuse at
+    *    resolution), while the files stay on disk until
+    *    `CALL system.purge_dropped(grace_ms)` reclaims them past the
+    *    grace — the vacuum contract applied to whole stores, so a
+    *    mis-drop is recoverable (remove the marker) until the purge.
+    *
+    * Dropping an aliased name also removes the alias pointer; the name
+    * is immediately reusable by CREATE (which allocates a suffixed
+    * physical directory while the tombstoned one awaits purge).
     */
   override def dropTable(ident: Identifier): Boolean = {
-    val path = pathOf(ident)
-    val conf = ContentStore.driverHadoopConf()
-    if (!isStore(path)) return false
-    if (ContentStore.manifestNames(path, conf).nonEmpty)
-      throw new UnsupportedOperationException(
-        "GraftCatalog: store deletion is an operator action, not DROP TABLE " +
-          "(only an EMPTY created store drops — the CTAS-abort artifact)")
-    val (fsys, root) = ContentStore.fs(path, conf)
-    fsys.delete(root, true)
+    val (base, name) = baseAndName(ident)
+    val conf         = ContentStore.driverHadoopConf()
+    val (fsys, bdir) = ContentStore.fs(base, conf)
+    resolve(ident) match {
+      case None =>
+        // nothing resolvable; reclaim a stale alias pointer if present
+        if (readAlias(base, name).isDefined)
+          fsys.delete(new Path(bdir, s"_alias/$name"), false): Unit
+        false
+      case Some(path) =>
+        val now      = System.currentTimeMillis()
+        val livePins = StoreLifecycle.pins(path, conf).filter(_.expiresAtMs > now)
+        if (livePins.nonEmpty)
+          throw new IllegalStateException(
+            s"GraftCatalog: cannot DROP $name — ${livePins.size} live pin lease(s) still " +
+              s"read it (${livePins.map(_.id).take(5).mkString(", ")}); release them or " +
+              "let them expire first")
+        val (sfs, root) = ContentStore.fs(path, conf)
+        val dataDir     = new Path(root, "data")
+        val dataEmpty   = !sfs.exists(dataDir) || !sfs.listStatusIterator(dataDir).hasNext
+        if (ContentStore.manifestNames(path, conf).isEmpty && dataEmpty) {
+          sfs.delete(root, true): Unit // the empty CTAS-abort artifact
+        } else {
+          // tombstone: create-exclusive is enough (readers only probe
+          // existence; the content is introspection)
+          try {
+            val out = sfs.create(new Path(root, "_dropped"), /* overwrite = */ false)
+            try out.write(now.toString.getBytes("UTF-8"))
+            finally out.close()
+          } catch {
+            case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+                _: java.nio.file.FileAlreadyExistsException => ()
+          }
+        }
+        if (readAlias(base, name).isDefined)
+          fsys.delete(new Path(bdir, s"_alias/$name"), false): Unit
+        true
+    }
   }
 
-  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
-    throw new UnsupportedOperationException("GraftCatalog: RENAME is not supported")
+  /** ALTER TABLE … RENAME TO (r20, VERDICT-r19 missing-3; previously
+    * refused): the catalog re-points the NAME through the namespace's
+    * `_alias/` map — the physical directory never moves, so pin
+    * leases, time travel, streaming checkpoints and every path-keyed
+    * contract are untouched (a physical move would be O(files) on an
+    * object store and would break pinned readers mid-flight).
+    * Sequence: publish `_alias/<new>` → physical (tmp + atomic
+    * rename), then retire the old name (delete its alias pointer, or
+    * mark a directly-named directory `_renamed_away`). A crash
+    * between the two steps leaves both names readable; re-running the
+    * same rename converges (the already-pointing alias is accepted
+    * and the old-name retirement completes). Cross-namespace renames
+    * refuse (alias targets are siblings); an existing target name
+    * refuses; renaming onto itself refuses.
+    */
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    val (oldBase, oldName) = baseAndName(oldIdent)
+    val (newBase, newName) = baseAndName(newIdent)
+    require(!newName.startsWith("_"),
+      s"GraftCatalog: table names must not start with '_' ('$newName')")
+    require(oldBase == newBase,
+      "GraftCatalog: RENAME cannot move a table across namespaces — alias targets are " +
+        "siblings of their pointer; copy (CTAS) instead")
+    require(!(oldName == newName),
+      s"GraftCatalog: RENAME onto itself ('$oldName') is a no-op refusal")
+    val conf = ContentStore.driverHadoopConf()
+    val physOld = resolve(oldIdent).getOrElse(
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+        oldIdent.namespace().toSeq :+ oldIdent.name()))
+    val physSimple = physOld.substring(physOld.lastIndexOf('/') + 1)
+    val converged  = readAlias(newBase, newName).contains(physSimple)
+    if (!converged && resolve(newIdent).isDefined)
+      throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
+        newIdent.namespace().toSeq :+ newIdent.name())
+    if (!converged) writeAlias(newBase, newName, physSimple)
+    // retire the old name AFTER the new one resolves (crash between
+    // the two leaves both readable — re-run to converge)
+    val (fsys, bdir) = ContentStore.fs(oldBase, conf)
+    if (readAlias(oldBase, oldName).isDefined)
+      fsys.delete(new Path(bdir, s"_alias/$oldName"), false): Unit
+    else {
+      val (sfs, root) = ContentStore.fs(physOld, conf)
+      try {
+        val out = sfs.create(new Path(root, "_renamed_away"), /* overwrite = */ false)
+        try out.write(newName.getBytes("UTF-8"))
+        finally out.close()
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+            _: java.nio.file.FileAlreadyExistsException => ()
+      }
+    }
+  }
+
+  /** Publish `_alias/<name>` → `target` (tmp + atomic rename, the
+    * constraint-file pattern: a reader never observes torn content;
+    * an existing pointer refuses — callers pre-check).
+    */
+  private def writeAlias(base: String, name: String, target: String): Unit = {
+    val conf         = ContentStore.driverHadoopConf()
+    val (fsys, bdir) = ContentStore.fs(base, conf)
+    val aliasDir     = new Path(bdir, "_alias")
+    fsys.mkdirs(aliasDir)
+    val tmp = new Path(aliasDir, s".tmp-$name-${java.util.UUID.randomUUID()}")
+    val out = fsys.create(tmp, /* overwrite = */ false)
+    try out.write(target.getBytes("UTF-8"))
+    finally out.close()
+    val p = new Path(aliasDir, name)
+    if (fsys.exists(p) || !fsys.rename(tmp, p)) {
+      fsys.delete(tmp, false): Unit
+      if (!readAlias(base, name).contains(target))
+        throw new IllegalStateException(
+          s"GraftCatalog: alias '$name' raced a concurrent DDL — re-run the statement")
+    }
+  }
 }
 
 /** Catalog-facing BATCH table over a columnar store — the read surface

@@ -31,7 +31,7 @@ private[sources] object GraftProcedures {
 
   val names: Seq[String] =
     Seq("compact", "vacuum", "expire_epochs", "acquire_pin", "renew_pin", "release_pin",
-      "manifests", "pins", "constraints")
+      "manifests", "pins", "constraints", "purge_dropped")
 
   def load(catalog: GraftCatalog, name: String): UnboundProcedure = name match {
     case "compact"       => compactProc(catalog)
@@ -43,6 +43,7 @@ private[sources] object GraftProcedures {
     case "manifests"     => manifestsProc(catalog)
     case "pins"          => pinsProc(catalog)
     case "constraints"   => constraintsProc(catalog)
+    case "purge_dropped" => purgeDroppedProc(catalog)
     case other =>
       throw new IllegalArgumentException(
         s"GraftCatalog: no procedure system.$other — available: ${names.mkString(", ")}")
@@ -255,6 +256,73 @@ private[sources] object GraftProcedures {
       val rows = Constraints.list(path, ContentStore.driverHadoopConf())
         .map { case (n, e) => Seq[Any](utf8(n), utf8(e)) }
       manyRows(new StructType().add("name", StringType).add("expression", StringType), rows)
+    }
+  }
+
+  /** purge_dropped(grace_ms, namespace): the reclamation half of DROP
+    * TABLE's tombstone contract — recursively delete every store in
+    * the namespace whose `_dropped` marker is at least `grace_ms` old
+    * (marker mtime, vacuum's age-gate rule), skip-and-report younger
+    * tombstones and any that acquired a live pin since the drop, and
+    * sweep alias pointers whose target directory no longer exists.
+    * Explicit grace for the same reason vacuum takes one: the grace IS
+    * the undo window (remove `_dropped` to recover a mis-dropped
+    * store). One row per action: (name, purged|kept_young|kept_pinned|
+    * stale_alias).
+    */
+  private def purgeDroppedProc(catalog: GraftCatalog) = new Proc("purge_dropped", Array(
+    param("grace_ms", LongType),
+    paramD("namespace", StringType, "''"))) {
+    override def description(): String =
+      "reclaim tombstoned (dropped) stores past the retention grace; sweep stale aliases"
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val grace = input.getLong(0)
+      val ns =
+        if (input.isNullAt(1)) Seq.empty[String]
+        else input.getUTF8String(1).toString.split("\\.").toSeq.map(_.trim).filter(_.nonEmpty)
+      val base  = catalog.namespaceDir(ns)
+      val conf  = ContentStore.driverHadoopConf()
+      val now   = System.currentTimeMillis()
+      val (fsys, bdir) = ContentStore.fs(base, conf)
+      val rows = Seq.newBuilder[Seq[Any]]
+      if (fsys.exists(bdir)) {
+        fsys.listStatus(bdir).filter(_.isDirectory).foreach { st =>
+          val marker = new org.apache.hadoop.fs.Path(st.getPath, "_dropped")
+          if (fsys.exists(marker)) {
+            val nm  = st.getPath.getName
+            val age = now - fsys.getFileStatus(marker).getModificationTime
+            val livePins = StoreLifecycle.pins(st.getPath.toString, conf)
+              .exists(_.expiresAtMs > now)
+            if (age < grace) rows += Seq[Any](utf8(nm), utf8("kept_young"))
+            else if (livePins) rows += Seq[Any](utf8(nm), utf8("kept_pinned"))
+            else {
+              fsys.delete(st.getPath, true): Unit
+              rows += Seq[Any](utf8(nm), utf8("purged"))
+            }
+          }
+        }
+        val aliasDir = new org.apache.hadoop.fs.Path(bdir, "_alias")
+        if (fsys.exists(aliasDir)) {
+          fsys.listStatus(aliasDir).filterNot(_.getPath.getName.startsWith(".")).foreach { st =>
+            val target = {
+              val in = fsys.open(st.getPath)
+              try {
+                val buf = new java.io.ByteArrayOutputStream()
+                val b   = new Array[Byte](256)
+                var n   = in.read(b)
+                while (n >= 0) { buf.write(b, 0, n); n = in.read(b) }
+                new String(buf.toByteArray, "UTF-8").trim
+              } finally in.close()
+            }
+            if (target.isEmpty || !fsys.exists(new org.apache.hadoop.fs.Path(bdir, target))) {
+              fsys.delete(st.getPath, false): Unit
+              rows += Seq[Any](utf8(s"_alias/${st.getPath.getName}"), utf8("stale_alias"))
+            }
+          }
+        }
+      }
+      manyRows(new StructType().add("name", StringType).add("action", StringType),
+        rows.result())
     }
   }
 

@@ -583,8 +583,13 @@ class SqlSurfaceSpec extends SparkSpecBase {
       .flatMap(m => graft.sources.ContentStore.filesInManifest(s"$wh/bkv", m, hconf))
       .forall(f => graft.sources.ContentStore.bucketOfFile(f).isDefined),
       "bucketed K-V CREATE must route INSERTed files by bucket")
-    // DROP: refused once data committed; allowed on the empty artifact
-    intercept[Exception](spark.sql("DROP TABLE gcre.docs"))
+    // DROP (r20): a data-bearing store tombstones — unresolvable at
+    // once, files held for purge_dropped's grace (CatalogDdlSpec owns
+    // the full lifecycle); the empty artifact still deletes physically
+    spark.sql("DROP TABLE gcre.docs")
+    intercept[Exception](spark.sql("SELECT * FROM gcre.docs").collect())
+    assert(new org.apache.hadoop.fs.Path(s"$wh/docs/_dropped")
+      .getFileSystem(hconf).exists(new org.apache.hadoop.fs.Path(s"$wh/docs/_dropped")))
     spark.sql("CREATE TABLE gcre.empty (id BIGINT)")
     spark.sql("DROP TABLE gcre.empty")
     assert(!spark.sql("SHOW TABLES IN gcre").collect().map(_.getString(1)).contains("empty"))
@@ -740,7 +745,7 @@ class SqlSurfaceSpec extends SparkSpecBase {
     assert(spark.sql("SHOW PROCEDURES IN gproc.system").collect()
       .map(_.getString(3)).toSet ==
       Set("compact", "vacuum", "expire_epochs", "acquire_pin", "renew_pin",
-        "release_pin", "manifests", "pins", "constraints"))
+        "release_pin", "manifests", "pins", "constraints", "purge_dropped"))
     assert(spark.sql("DESCRIBE PROCEDURE gproc.system.vacuum").collect()
       .map(_.getString(0)).mkString("\n").contains("retention grace"))
     // refusals: unknown procedure, unknown table, wrong namespace
