@@ -118,6 +118,9 @@ object SparkEntry {
     "q_catalog_rename" -> ((s, d) =>
       Joins.catalogRename(Tables(s, d),
         s"${System.getProperty("java.io.tmpdir")}/graft-catwh")),
+    "q_store_rollback" -> ((s, d) =>
+      Joins.catalogRollback(Tables(s, d),
+        s"${System.getProperty("java.io.tmpdir")}/graft-catwh")),
     "q_store_constraints" -> ((s, d) =>
       Joins.storeConstraintsRead(Tables(s, d),
         s"${System.getProperty("java.io.tmpdir")}/graft-catwh")),
@@ -1687,6 +1690,10 @@ object SparkEntry {
         |UNION ALL
         |SELECT doc_id + 1000000 AS doc_id, lang, n_chars FROM documents
         |WHERE doc_id % 100 = 0
+        |ORDER BY doc_id""".stripMargin,
+    "q_store_rollback" -> // B96: rollback_to_epoch — the corrupting overwrite is fully
+      // undone, so the read-back is exactly the original corpus
+      """SELECT doc_id, lang, n_chars FROM documents
         |ORDER BY doc_id""".stripMargin,
     "q_store_constraints" -> // B90: CHECK constraints — the poisoned batch refused
       // atomically, so the read-back is exactly the clean corpus

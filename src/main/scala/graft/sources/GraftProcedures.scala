@@ -31,7 +31,7 @@ private[sources] object GraftProcedures {
 
   val names: Seq[String] =
     Seq("compact", "vacuum", "expire_epochs", "acquire_pin", "renew_pin", "release_pin",
-      "manifests", "pins", "constraints", "purge_dropped")
+      "manifests", "pins", "constraints", "purge_dropped", "rollback_to_epoch")
 
   def load(catalog: GraftCatalog, name: String): UnboundProcedure = name match {
     case "compact"       => compactProc(catalog)
@@ -44,6 +44,7 @@ private[sources] object GraftProcedures {
     case "pins"          => pinsProc(catalog)
     case "constraints"   => constraintsProc(catalog)
     case "purge_dropped" => purgeDroppedProc(catalog)
+    case "rollback_to_epoch" => rollbackProc(catalog)
     case other =>
       throw new IllegalArgumentException(
         s"GraftCatalog: no procedure system.$other — available: ${names.mkString(", ")}")
@@ -256,6 +257,26 @@ private[sources] object GraftProcedures {
       val rows = Constraints.list(path, ContentStore.driverHadoopConf())
         .map { case (n, e) => Seq[Any](utf8(n), utf8(e)) }
       manyRows(new StructType().add("name", StringType).add("expression", StringType), rows)
+    }
+  }
+
+  /** rollback_to_epoch(table, as_of_ms): the restore verb
+    * ([[StoreLifecycle.rollbackToEpoch]]) — make the live view equal
+    * the effective snapshot as of the timestamp, one metadata-only
+    * replacement commit; history (time travel to the bad interval) is
+    * preserved. Returns the restore manifest, NULL when the live view
+    * already equals the as-of view.
+    */
+  private def rollbackProc(catalog: GraftCatalog) = new Proc("rollback_to_epoch", Array(
+    param("table", StringType),
+    param("as_of_ms", LongType))) {
+    override def description(): String =
+      "restore the live view to the effective snapshot as of the timestamp " +
+        "(one metadata-only replacement commit; history preserved)"
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val path = catalog.resolveStorePath(input.getUTF8String(0).toString)
+      oneRow(new StructType().add("manifest", StringType),
+        utf8(StoreLifecycle.rollbackToEpoch(path, input.getLong(1)).orNull))
     }
   }
 

@@ -147,7 +147,8 @@ object ParquetEpochs {
       newFiles: Seq[String],
       replacedFiles: Set[String],
       namePrefix: String = "cow-",
-      refuseGrowth: Boolean = false): Unit = {
+      refuseGrowth: Boolean = false,
+      statSources: Seq[String] = Nil): String = {
     val conf            = ContentStore.driverHadoopConf()
     val (fsys, root)    = ContentStore.fs(storeDir, conf)
     val live            = ContentStore.effectiveManifestNames(storeDir, conf)
@@ -167,11 +168,16 @@ object ParquetEpochs {
       digest.update(s.getBytes("UTF-8")); digest.update(0.toByte)
     }
     val name = namePrefix + digest.digest().take(8).map("%02x".format(_)).mkString
+    // carried files' bounds harvest from the shadowed sources; a
+    // restore's "new" files are RE-LISTED existing files whose bounds
+    // harvest from their original (statSources) manifests — only files
+    // covered by neither pay a footer read
+    val harvestable = carried.toSet ++ (if (statSources.nonEmpty) newFiles.toSet else Set.empty)
     val (carryLines, covered) =
-      if (carried.isEmpty) (Nil, Set.empty[String])
-      else harvestStats(fsys, root, affected, carried.toSet)
+      if (harvestable.isEmpty) (Nil, Set.empty[String])
+      else harvestStats(fsys, root, (affected ++ statSources).distinct, harvestable)
     writeFileStats(fsys, root, name,
-      carried.filterNot(covered) ++ newFiles, conf, extraLines = carryLines)
+      (carried ++ newFiles).filterNot(covered), conf, extraLines = carryLines)
     val guard = new Constraints.CommitGuard(storeDir, newFiles, conf)
     ContentStoreWrite.writeManifest(
       storeDir,
@@ -180,6 +186,7 @@ object ParquetEpochs {
       conf,
       idempotent = true,
       compactSources = if (affected.isEmpty) None else Some(affected),
+      buckets = ContentStore.recordedBuckets(storeDir, conf),
       dataShards = ContentStore.recordedDataShards(storeDir, conf),
       carryMessages =
         if (carried.isEmpty) Array.empty
@@ -213,6 +220,7 @@ object ParquetEpochs {
       },
       afterRename = guard.post
     )
+    name
   }
 
   /** B92: INSERT OVERWRITE — atomic replace-table-contents in ONE
@@ -251,7 +259,7 @@ object ParquetEpochs {
     // under the replacement (the shadowed-source OCC alone only
     // catches manifests that disappeared since planning)
     commitReplacement(storeDir, moved, replaced, namePrefix = "overwrite-",
-      refuseGrowth = true)
+      refuseGrowth = true): Unit
   }
 
   /** Distributed-write + move half of [[append]] WITHOUT the manifest:

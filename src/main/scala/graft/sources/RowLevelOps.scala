@@ -136,7 +136,7 @@ private[graft] class ColumnarCowBatchWrite(
           "determine the replaced group set")
     }
     if (newFiles.isEmpty && replaced.isEmpty) return
-    ParquetEpochs.commitReplacement(path, newFiles, replaced.toSet)
+    ParquetEpochs.commitReplacement(path, newFiles, replaced.toSet): Unit
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {

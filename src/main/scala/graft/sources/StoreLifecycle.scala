@@ -937,6 +937,58 @@ object StoreLifecycle {
     Some(name)
   }
 
+  /** B96: RESTORE — Delta's `RESTORE TABLE … TO TIMESTAMP AS OF` /
+    * Iceberg's `rollback_to_snapshot`, the recovery verb after a bad
+    * backfill: make the LIVE view equal the effective snapshot as of
+    * `asOfMs`, in ONE replacement commit. METADATA-ONLY at any store
+    * size: the as-of manifests' files are re-listed BY NAME (a
+    * committed manifest still on disk implies vacuum has not reclaimed
+    * its files — the referenced-file diff only sweeps what no
+    * surviving manifest lists), their recorded `_stats` bounds are
+    * HARVESTED from the as-of sidecars rather than re-derived, and the
+    * one new manifest shadows every current live file-bearing manifest
+    * — zero data I/O, zero file moves.
+    *
+    * History is preserved, not rewritten: time travel to the bad
+    * interval still shows it (the restore is a new commit on top, the
+    * Delta/Iceberg semantics), pins are untouched, and a later vacuum
+    * reclaims the rolled-back epochs' files after the normal grace.
+    *
+    * Semantics and refusals:
+    *  - no committed snapshot at or before `asOfMs` → refuse (there is
+    *    nothing to restore TO — distinct from "restore to empty",
+    *    which is expireEpochs' job);
+    *  - live view already equals the as-of view → None (converged);
+    *  - OCC both directions (the replace-all contract): a concurrent
+    *    maintenance commit that shadowed a live manifest since
+    *    planning refuses via the replaced-file check, a concurrent
+    *    append refuses via the growth re-list — retry re-plans;
+    *  - CHECK constraints validate the RESTORED files like any
+    *    commit's new files: a constraint added after the as-of point
+    *    that the old corpus violates refuses the rollback (the
+    *    induction never admits a violating live store).
+    *
+    * Payload-shared: the manifest layer is common, so the K-V twin
+    * rides the same commit (bucket layout re-recorded verbatim; stats
+    * lines harvest textually for either format). Returns the restore
+    * manifest, None when already converged. Maintenance op,
+    * caller-serialized per store like compact/expire.
+    */
+  def rollbackToEpoch(path: String, asOfMs: Long): Option[String] = {
+    val conf = ContentStore.driverHadoopConf()
+    val asOf = ContentStore.snapshotManifestsAsOf(path, asOfMs)
+    if (asOf.isEmpty)
+      throw new IllegalArgumentException(
+        s"rollbackToEpoch($asOfMs): no committed snapshot at or before the timestamp in " +
+          s"$path — nothing to restore to (an intentional empty store is expireEpochs)")
+    val live = ContentStore.effectiveManifestNames(path, conf)
+    if (live.sorted == asOf.sorted) return None
+    val files    = asOf.flatMap(m => ContentStore.filesInManifest(path, m, conf)).distinct
+    val replaced = live.flatMap(m => ContentStore.filesInManifest(path, m, conf)).toSet
+    Some(ParquetEpochs.commitReplacement(path, files, replaced,
+      namePrefix = "restore-", refuseGrowth = true, statSources = asOf))
+  }
+
   /** Outcome of one [[upsert]]: the committed version-epoch manifest
     * and the purge's [[DeleteReport]] (`purge.manifest` None = every
     * upserted key was NEW — a pure insert, nothing to purge).

@@ -651,6 +651,81 @@ class SqlSurfaceSpec extends SparkSpecBase {
       .head().getLong(0) == 3L)
   }
 
+  test("rollback_to_epoch restores the as-of view metadata-only; history and twins hold") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-catspec-rbk").toString
+    spark.conf.set("spark.sql.catalog.grbk", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.grbk.warehouse", wh)
+    import spark.implicits._
+    val dir   = s"$wh/t"
+    val hconf = spark.sessionState.newHadoopConf()
+    // v1: two epochs
+    graft.sources.ParquetEpochs.append(
+      (0L until 16L).map(i => (i, s"v$i")).toDF("id", "v"), dir): Unit
+    graft.sources.ParquetEpochs.append(
+      (16L until 32L).map(i => (i, s"v$i")).toDF("id", "v"), dir): Unit
+    val tsV1 = System.currentTimeMillis()
+    Thread.sleep(5)
+    // refusal: nothing committed at or before a pre-creation instant
+    intercept[IllegalArgumentException](
+      graft.sources.StoreLifecycle.rollbackToEpoch(dir, tsV1 - 3600000L))
+    // converged: rolling back to NOW is a no-op
+    assert(graft.sources.StoreLifecycle.rollbackToEpoch(dir, tsV1).isEmpty)
+    // the bad backfill: overwrite + a stray append on top
+    (100L until 104L).map(i => (i, "bad")).toDF("id", "v")
+      .createOrReplaceTempView("rbk_bad")
+    spark.sql("INSERT OVERWRITE grbk.t SELECT id, v FROM rbk_bad")
+    graft.sources.ParquetEpochs.append(Seq((999L, "stray")).toDF("id", "v"), dir): Unit
+    val tsBad = System.currentTimeMillis()
+    Thread.sleep(5)
+    assert(spark.sql("SELECT count(*) FROM grbk.t").head().getLong(0) == 5)
+    // RESTORE from SQL: live view equals v1 exactly again
+    val restored = spark.sql(
+      s"CALL grbk.system.rollback_to_epoch(table => 't', as_of_ms => ${tsV1}L)")
+      .head().getString(0)
+    assert(restored != null && restored.startsWith("restore-"))
+    assert(spark.sql("SELECT id FROM grbk.t ORDER BY id").collect()
+      .map(_.getLong(0)).toSeq == (0L until 32L))
+    // metadata-only: the restore staged no new data files — every file
+    // the restore manifest lists already existed under the v1 epochs
+    val v1Files = graft.sources.ContentStore.snapshotManifestsAsOf(dir, tsV1)
+      .flatMap(m => graft.sources.ContentStore.filesInManifest(dir, m, hconf)).toSet
+    val restoredFiles =
+      graft.sources.ContentStore.filesInManifest(dir, restored, hconf).toSet
+    assert(restoredFiles == v1Files, "restore must re-list the as-of files by name")
+    // the _stats bounds were harvested, not dropped: skipping still
+    // plans a strict subset for a tight key slice
+    assert(graft.sources.ParquetEpochs.columnBounds(dir, Seq(restored), "id", hconf).nonEmpty,
+      "restored files must keep their recorded bounds")
+    // history preserved: time travel to the bad interval still shows it
+    assert(graft.sources.ParquetEpochs.read(spark, dir,
+      graft.sources.ContentStore.snapshotManifestsAsOf(dir, tsBad)).count() == 5)
+    // constraints gate the restore like any commit: a constraint the
+    // OLD corpus violates refuses rolling back to it
+    val tsRestored = System.currentTimeMillis()
+    Thread.sleep(5)
+    spark.sql("INSERT OVERWRITE grbk.t SELECT id, v FROM rbk_bad WHERE id = 100")
+    graft.sources.Constraints.add(spark, dir, "only_bad", "v = 'bad'")
+    intercept[graft.sources.StoreConstraintViolationException](
+      graft.sources.StoreLifecycle.rollbackToEpoch(dir, tsRestored))
+    assert(spark.sql("SELECT count(*) FROM grbk.t").head().getLong(0) == 1,
+      "a constraint-refused rollback must leave the live view untouched")
+    graft.sources.Constraints.drop(dir, "only_bad")
+    // K-V twin: same verb, same manifest layer, bucket layout kept
+    val kv = s"$wh/kv"
+    Seq(("a", "1"), ("b", "2")).toDF("result_key", "payload")
+      .repartitionByRange(2, org.apache.spark.sql.functions.col("result_key"))
+      .write.format("graft.sources.ContentStore").option("path", kv)
+      .option("buckets", "2").mode("append").save()
+    val tsKv = System.currentTimeMillis()
+    Thread.sleep(5)
+    spark.sql("INSERT OVERWRITE grbk.kv VALUES ('z', '9')")
+    assert(graft.sources.StoreLifecycle.rollbackToEpoch(kv, tsKv).isDefined)
+    assert(spark.sql("SELECT result_key, payload FROM grbk.kv ORDER BY result_key")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq("a" -> "1", "b" -> "2"))
+    assert(graft.sources.ContentStore.recordedBuckets(kv, hconf) == 2)
+  }
+
   test("a replace-all commit refuses when the effective set GREW since planning (ADVICE r19)") {
     // the overwrite OCC's second direction: the shadowed-source check
     // catches a planned source that VANISHED, this catches a plain
@@ -681,7 +756,7 @@ class SqlSurfaceSpec extends SparkSpecBase {
     val replanned = graft.sources.ContentStore.effectiveManifestNames(dir, hconf)
       .flatMap(m => graft.sources.ContentStore.filesInManifest(dir, m, hconf)).toSet
     graft.sources.ParquetEpochs.commitReplacement(
-      dir, Seq.empty, replanned, namePrefix = "overwrite-", refuseGrowth = true)
+      dir, Seq.empty, replanned, namePrefix = "overwrite-", refuseGrowth = true): Unit
     assert(graft.sources.ParquetEpochs.read(
       spark, dir, graft.sources.ContentStore.snapshotManifests(dir)).count() == 0L)
   }
@@ -745,7 +820,8 @@ class SqlSurfaceSpec extends SparkSpecBase {
     assert(spark.sql("SHOW PROCEDURES IN gproc.system").collect()
       .map(_.getString(3)).toSet ==
       Set("compact", "vacuum", "expire_epochs", "acquire_pin", "renew_pin",
-        "release_pin", "manifests", "pins", "constraints", "purge_dropped"))
+        "release_pin", "manifests", "pins", "constraints", "purge_dropped",
+        "rollback_to_epoch"))
     assert(spark.sql("DESCRIBE PROCEDURE gproc.system.vacuum").collect()
       .map(_.getString(0)).mkString("\n").contains("retention grace"))
     // refusals: unknown procedure, unknown table, wrong namespace
