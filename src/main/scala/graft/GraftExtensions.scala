@@ -19,6 +19,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // to the bounded-heap TopKPerKey operator planner-wide
     ext.injectOptimizerRule(_ => graft.plans.TopK.RewriteRowNumberTopK)
     ext.injectPlannerStrategy(_ => graft.plans.TopK.TopKStrategy)
+    // B97: SELECT DISTINCT over a RELY-keyed table deletes its
+    // aggregate (and the exchange the planner would wrap around it)
+    ext.injectOptimizerRule(_ => graft.plans.KeyDistinct.EliminateDistinctOnKey)
     ext.injectFunction(
       (
         FunctionIdentifier("vec_dot"),

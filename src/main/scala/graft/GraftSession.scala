@@ -33,6 +33,7 @@ object GraftSession {
     graft.functions.MinHashExpr.register(spark)
     graft.functions.SimHashExpr.register(spark)
     graft.functions.HyperplaneExpr.register(spark)
+    graft.plans.KeyDistinct.install(spark)
     spark
   }
 }

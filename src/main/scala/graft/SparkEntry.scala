@@ -121,6 +121,9 @@ object SparkEntry {
     "q_store_rollback" -> ((s, d) =>
       Joins.catalogRollback(Tables(s, d),
         s"${System.getProperty("java.io.tmpdir")}/graft-catwh")),
+    "q_keyed_distinct" -> ((s, d) =>
+      Joins.keyedDistinctJoin(Tables(s, d),
+        s"${System.getProperty("java.io.tmpdir")}/graft-catwh")),
     "q_store_constraints" -> ((s, d) =>
       Joins.storeConstraintsRead(Tables(s, d),
         s"${System.getProperty("java.io.tmpdir")}/graft-catwh")),
@@ -1695,6 +1698,10 @@ object SparkEntry {
       // undone, so the read-back is exactly the original corpus
       """SELECT doc_id, lang, n_chars FROM documents
         |ORDER BY doc_id""".stripMargin,
+    "q_keyed_distinct" -> // B97: RELY PK deletes the defensive distinct (plan-only —
+      // values equal the distinct-free oracle)
+      """SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "q_store_constraints" -> // B90: CHECK constraints — the poisoned batch refused
       // atomically, so the read-back is exactly the clean corpus
       """SELECT doc_id, lang, n_chars FROM documents

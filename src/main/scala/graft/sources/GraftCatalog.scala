@@ -380,10 +380,13 @@ class GraftCatalog extends TableCatalog
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val path = resolvedPath(ident)
     val conf = ContentStore.driverHadoopConf()
-    // CHECK constraints: B90's add/drop by name from SQL (whole-store
-    // validation at add, per-commit enforcement after — the same verb
-    // as Constraints.add/drop; non-CHECK constraint kinds are refused,
-    // the store has no key/uniqueness machinery to honor them)
+    // Constraints from SQL: CHECK rides B90's ENFORCED add/drop verbs
+    // (whole-store validation at add, per-commit enforcement after);
+    // PRIMARY KEY / UNIQUE / FOREIGN KEY are B97's INFORMATIONAL key
+    // facts (KeyFacts: NOT ENFORCED only — the store has no uniqueness
+    // machinery, and enforcing a PK would be a full shuffle per commit;
+    // a one-shot honesty scan refuses recording a key the live data
+    // visibly violates, and only RELY facts feed the optimizer).
     val conChanges = changes.collect {
       case a: TableChange.AddConstraint  => Left(a)
       case d: TableChange.DropConstraint => Right(d)
@@ -391,16 +394,46 @@ class GraftCatalog extends TableCatalog
     if (conChanges.nonEmpty) {
       require(conChanges.length == changes.length,
         "GraftCatalog: constraint changes cannot mix with other ALTER changes")
+      import org.apache.spark.sql.connector.catalog.constraints.{Check, ForeignKey, PrimaryKey, Unique}
+      def cols(refs: Array[org.apache.spark.sql.connector.expressions.NamedReference]): Seq[String] =
+        refs.toSeq.map { r =>
+          require(r.fieldNames().length == 1,
+            s"GraftCatalog: key columns must be top-level, got ${r.fieldNames().mkString(".")}")
+          r.fieldNames()(0)
+        }
       conChanges.foreach {
         case Left(a) => a.constraint() match {
-          case c: org.apache.spark.sql.connector.catalog.constraints.Check =>
+          case c: Check =>
             Constraints.add(org.apache.spark.sql.SparkSession.active, path,
               c.name(), c.predicateSql())
+          case p: PrimaryKey =>
+            require(!p.enforced(),
+              "GraftCatalog: PRIMARY KEY is informational — declare it NOT ENFORCED " +
+                "(enforcement would shuffle every commit; add RELY to let the " +
+                "optimizer spend it)")
+            KeyFacts.addKey(org.apache.spark.sql.SparkSession.active, path,
+              p.name(), cols(p.columns()), unique = false, rely = p.rely())
+          case u: Unique =>
+            require(!u.enforced(),
+              "GraftCatalog: UNIQUE is informational — declare it NOT ENFORCED")
+            KeyFacts.addKey(org.apache.spark.sql.SparkSession.active, path,
+              u.name(), cols(u.columns()), unique = true, rely = u.rely())
+          case f: ForeignKey =>
+            require(!f.enforced(),
+              "GraftCatalog: FOREIGN KEY is informational — declare it NOT ENFORCED")
+            KeyFacts.addForeignKey(path, f.name(), cols(f.columns()),
+              (f.referencedTable().namespace().toSeq :+ f.referencedTable().name())
+                .mkString("."),
+              cols(f.referencedColumns()), rely = f.rely())
           case other =>
             throw new UnsupportedOperationException(
-              s"GraftCatalog: only CHECK constraints are supported, got ${other.toDDL}")
+              s"GraftCatalog: unsupported constraint kind: ${other.toDDL}")
         }
-        case Right(d) => Constraints.drop(path, d.name())
+        case Right(d) =>
+          // the name lives in exactly one of the two registries; both
+          // drops are idempotent deletes
+          Constraints.drop(path, d.name())
+          KeyFacts.drop(path, d.name())
       }
       return loadTable(ident)
     }
@@ -621,16 +654,39 @@ private[graft] class ColumnarBatchTable(
   override def name(): String       = s"graft_columnar_store($path)"
   override def schema(): StructType = tableSchema
 
-  /** Recorded CHECK constraints, reported to the engine (DESCRIBE,
-    * planner hints). Enforcement stays the store's own commit-time
-    * validation — enforced(), validated at add time.
+  /** Recorded constraints, reported to the engine (DESCRIBE, planner
+    * hints): ENFORCED CHECKs (the store's own commit-time validation,
+    * validated at add time) plus B97's INFORMATIONAL key facts —
+    * PK/UNIQUE/FK reported NOT ENFORCED + UNVALIDATED (the add's
+    * honesty scan is one-shot, later commits are not re-checked) with
+    * the recorded RELY flag, which is what gates the optimizer's
+    * distinct-elimination ([[graft.plans.KeyDistinct]]).
     */
-  override def constraints(): Array[org.apache.spark.sql.connector.catalog.constraints.Constraint] =
-    Constraints.list(path, ContentStore.driverHadoopConf()).map { case (n, e) =>
-      org.apache.spark.sql.connector.catalog.constraints.Constraint.check(n)
-        .predicateSql(e)
-        .build(): org.apache.spark.sql.connector.catalog.constraints.Constraint
-    }.toArray
+  override def constraints(): Array[org.apache.spark.sql.connector.catalog.constraints.Constraint] = {
+    import org.apache.spark.sql.connector.catalog.constraints.Constraint
+    val conf = ContentStore.driverHadoopConf()
+    val checks = Constraints.list(path, conf).map { case (n, e) =>
+      Constraint.check(n).predicateSql(e).build(): Constraint
+    }
+    def refs(cs: Seq[String]) =
+      cs.map(org.apache.spark.sql.connector.expressions.Expressions.column).toArray
+    val unval = Constraint.ValidationStatus.UNVALIDATED
+    val keys = KeyFacts.list(path, conf).map {
+      case KeyFacts.PrimaryKeyFact(n, cs, rely) =>
+        Constraint.primaryKey(n, refs(cs)).enforced(false).rely(rely)
+          .validationStatus(unval).build(): Constraint
+      case KeyFacts.UniqueFact(n, cs, rely) =>
+        Constraint.unique(n, refs(cs)).enforced(false).rely(rely)
+          .validationStatus(unval).build(): Constraint
+      case KeyFacts.ForeignKeyFact(n, cs, ref, rcs, rely) =>
+        val parts = ref.split("\\.")
+        Constraint.foreignKey(n, refs(cs),
+            org.apache.spark.sql.connector.catalog.Identifier.of(parts.init, parts.last),
+            refs(rcs))
+          .enforced(false).rely(rely).validationStatus(unval).build(): Constraint
+    }
+    (checks ++ keys).toArray
+  }
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(
       TableCapability.BATCH_READ,

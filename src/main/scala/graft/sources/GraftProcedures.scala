@@ -248,15 +248,29 @@ private[sources] object GraftProcedures {
     }
   }
 
-  /** constraints(table): the recorded CHECK constraints. */
+  /** constraints(table): every recorded constraint — ENFORCED CHECKs
+    * and the B97 informational key facts, with kind and RELY visible.
+    */
   private def constraintsProc(catalog: GraftCatalog) = new Proc("constraints", Array(
     param("table", StringType))) {
-    override def description(): String = "recorded CHECK constraints: name, expression"
+    override def description(): String =
+      "recorded constraints: name, kind (check|primary|unique|foreign), definition, rely"
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
       val path = catalog.resolveStorePath(input.getUTF8String(0).toString)
-      val rows = Constraints.list(path, ContentStore.driverHadoopConf())
-        .map { case (n, e) => Seq[Any](utf8(n), utf8(e)) }
-      manyRows(new StructType().add("name", StringType).add("expression", StringType), rows)
+      val conf = ContentStore.driverHadoopConf()
+      val checks = Constraints.list(path, conf)
+        .map { case (n, e) => Seq[Any](utf8(n), utf8("check"), utf8(e), true) }
+      val keys = KeyFacts.list(path, conf).map {
+        case KeyFacts.PrimaryKeyFact(n, cs, rely) =>
+          Seq[Any](utf8(n), utf8("primary"), utf8(cs.mkString(",")), rely)
+        case KeyFacts.UniqueFact(n, cs, rely) =>
+          Seq[Any](utf8(n), utf8("unique"), utf8(cs.mkString(",")), rely)
+        case KeyFacts.ForeignKeyFact(n, cs, ref, rcs, rely) =>
+          Seq[Any](utf8(n), utf8("foreign"),
+            utf8(s"${cs.mkString(",")} -> $ref(${rcs.mkString(",")})"), rely)
+      }
+      manyRows(new StructType().add("name", StringType).add("kind", StringType)
+        .add("definition", StringType).add("rely", BooleanType), checks ++ keys)
     }
   }
 

@@ -1722,10 +1722,11 @@ object StoreLifecycle {
         }
       }
     }
-    // `_pins/` and `_constraints/` get only their `.tmp-*` sweep (a
-    // crashed lease write / constraint add): their names are not
-    // manifest names, so the no-matching-manifest rule must not apply
-    for (side <- Seq("_pins", "_constraints")) {
+    // `_pins/`, `_constraints/` and `_keys/` get only their `.tmp-*`
+    // sweep (a crashed lease write / constraint or key-fact add): their
+    // names are not manifest names, so the no-matching-manifest rule
+    // must not apply
+    for (side <- Seq("_pins", "_constraints", "_keys")) {
       val dir = new Path(root, side)
       if (fsys.exists(dir)) fsys.listStatus(dir).foreach { st =>
         val n = st.getPath.getName

@@ -155,9 +155,11 @@ class ConstraintSpec extends SparkSpecBase {
     spark.sql("ALTER TABLE gnn.t ALTER COLUMN lang DROP NOT NULL")
     ParquetEpochs.append(Seq((3L, null.asInstanceOf[String])).toDF("id", "lang"), dir): Unit
     assert(ParquetEpochs.read(spark, dir, ContentStore.snapshotManifests(dir)).count() == 3)
-    // non-CHECK constraint kinds keep their refusal
+    // key kinds route to B97's INFORMATIONAL facts (KeyFactsSpec owns
+    // that surface) — an ENFORCED key keeps the refusal, the store has
+    // no uniqueness machinery to honor it
     intercept[Exception](
-      spark.sql("ALTER TABLE gnn.t ADD CONSTRAINT pk PRIMARY KEY (id)"))
+      spark.sql("ALTER TABLE gnn.t ADD CONSTRAINT pk PRIMARY KEY (id) ENFORCED"))
   }
 
   test("the constraint publish is atomic: a concurrent reader never sees a torn expression") {

@@ -792,10 +792,12 @@ class SqlSurfaceSpec extends SparkSpecBase {
     assert(mrows.count(_._2 == "live") == 1 && mrows.count(_._2 == "shadowed") == 3,
       s"expected 1 live + 3 shadowed, got $mrows")
     assert(mrows.find(_._2 == "live").map(_._1).contains(compacted))
-    // constraints introspection rides the same surface
+    // constraints introspection rides the same surface (kind column:
+    // enforced CHECKs and B97 key facts share one listing)
     graft.sources.Constraints.add(spark, dir, "id_pos", "id >= 0")
     assert(spark.sql("CALL gproc.system.constraints(table => 't')").collect()
-      .map(r => (r.getString(0), r.getString(1))).toSeq == Seq("id_pos" -> "id >= 0"))
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq ==
+      Seq(("id_pos", "check", "id >= 0")))
     // vacuum from SQL with the pin held: the pinned sources survive...
     spark.sql("CALL gproc.system.vacuum(table => 't', grace_ms => 0)")
     assert(spark.sql("SELECT count(*) FROM gproc.t FOR VERSION AS OF 'train1'")
