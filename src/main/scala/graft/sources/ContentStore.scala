@@ -911,7 +911,23 @@ private[graft] class ContentStoreWrite(
         idempotent = manifestName.isDefined,
         compactSources = shadow,
         buckets = buckets,
-        dataShards = dataShards
+        dataShards = dataShards,
+        // replace-all growth OCC (the columnar overwrite's r20 rule):
+        // a file-bearing manifest landing between the live listing
+        // above and the rename must refuse — surviving it would read
+        // back "replacement + concurrent rows"
+        beforeRename = () =>
+          if (replaceAll) {
+            val planned = shadow.getOrElse(Seq.empty).toSet
+            val grown = ContentStore.effectiveManifestNames(path, conf.value)
+              .filterNot(planned)
+              .filter(m => ContentStore.filesInManifest(path, m, conf.value).nonEmpty)
+            if (grown.nonEmpty)
+              throw new StoreCommitConflictException(
+                s"replace-all commit on $path: ${grown.size} file-bearing manifest(s) " +
+                  s"committed since planning (e.g. ${grown.head}) — re-run the " +
+                  "overwrite to re-plan from the current snapshot")
+          }
       )
     }
     override def abort(messages: Array[WriterCommitMessage]): Unit =

@@ -69,7 +69,8 @@ class CatalogDdlSpec extends SparkSpecBase {
     spark.sql(s"CALL $cat.system.release_pin(table => 't', id => 'reader')")
     spark.sql(s"DROP TABLE $cat.t")
     intercept[Exception](spark.sql(s"SELECT * FROM $cat.t").collect())
-    graft.sources.ContentStore.fs(wh, hconf): Unit
+    assert(new Path(wh).getFileSystem(hconf).exists(new Path(s"$wh/t/_dropped")),
+      "the released-pin drop must land the tombstone")
   }
 
   test("DROP of a pure CTAS-abort artifact deletes physically; staged data tombstones instead") {
