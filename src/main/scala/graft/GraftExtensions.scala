@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{HyperplaneExpr, MinHashExpr, MinHashUnion, MisraGriesCandidates, SimHashExpr, VecExprs, WinnowExpr}
+import graft.functions.{HyperplaneExpr, MinHashExpr, MinHashUnion, MisraGriesCandidates, ShingleExprs, SimHashExpr, VecExprs, WinnowExpr}
 
 /** SparkSessionExtensions entry point: makes the engine's native
   * kernels first-class SQL functions in any session built with
@@ -44,6 +44,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo(MinHashExpr.MinHashSig.getClass.getCanonicalName, "minhash_sig"),
         (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
           MinHashExpr.MinHashSig(exprs.head)
+      )
+    )
+    ext.injectFunction(
+      (
+        FunctionIdentifier("shingles"),
+        new ExpressionInfo(ShingleExprs.Shingles.getClass.getCanonicalName, "shingles"),
+        (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+          ShingleExprs.Shingles(exprs.head)
+      )
+    )
+    ext.injectFunction(
+      (
+        FunctionIdentifier("minhash_sig_str"),
+        new ExpressionInfo(ShingleExprs.MinHashSigStr.getClass.getCanonicalName, "minhash_sig_str"),
+        (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+          ShingleExprs.MinHashSigStr(exprs.head)
       )
     )
     ext.injectFunction(

@@ -20,32 +20,31 @@ object Dedup {
   /** Distinct word-trigram shingles as POSTINGS (doc_id, sh, n_sh) —
     * one row per distinct shingle.
     *
-    * Deliberately word-level, not array-level: building the shingle
-    * array with `transform(...)` and exploding it makes Generate
-    * re-evaluate the interpreted lambda per OUTPUT row (measured ~15×
-    * slowdown). Instead: posexplode the raw split (fast generator),
-    * form each trigram with codegen'd `lead` windows, dedup and count
-    * within the same doc_id partitioning — exactly one shuffle, all
-    * expressions codegen'd.
+    * SHUFFLE-FREE build (r21): the compiled `shingles` kernel
+    * ([[graft.functions.ShingleExprs]]) emits each doc's distinct
+    * trigram array in one codegen'd projection, and the explode gives
+    * the posting rows directly — no exchange, no sorts, and n_sh is
+    * `size(sh)` instead of a count window. Replaces the
+    * posexplode + lead-window + distinct + count-window build, which
+    * paid a full-corpus shuffle of every word row plus two window
+    * sorts (measured 6× slower at sf0.1 and strictly worse at scale —
+    * the removed exchange grew with corpus size). The earlier
+    * ~15×-slower `transform(...)`+explode shape this build once
+    * avoided was the INTERPRETED lambda cost, which the compiled
+    * kernel eliminates; posting rows are bit-identical (including
+    * first-occurrence order of the distinct set — ScratchShingle
+    * pinned multiset and ordered equality before the swap).
     */
   private def shingledPostings(t: Tables): DataFrame = shingledPostingsOn(t.documents)
 
   private def shingledPostingsOn(documents: DataFrame): DataFrame = {
-    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
-    val doc   = Window.partitionBy("doc_id")
+    graft.functions.ShingleExprs.register(documents.sparkSession)
     documents
-      .select(
-        col("doc_id"),
-        size(split(col("text"), " ")).as("n_words"),
-        posexplode(split(col("text"), " ")).as(Seq("pos", "w"))
-      )
-      // concat_ws skips the null leads at the tail, which reproduces the
-      // short-document (<3 words) semantics of a 3-word sliding window
-      .withColumn("sh", concat_ws(" ", col("w"), lead("w", 1).over(byDoc), lead("w", 2).over(byDoc)))
-      .filter(col("pos") <= greatest(col("n_words") - 3, lit(0)))
-      .select(col("doc_id"), col("sh"))
-      .distinct() // doc_id partitioning already satisfies the clustering — no extra shuffle
-      .withColumn("n_sh", count(lit(1)).over(doc))
+      .select(col("doc_id"), expr("shingles(split(text, ' '))").as("sha"))
+      // cast: the window build's count() was a LongType and n_sh
+      // surfaces in gated schemas (text_contaminate)
+      .select(col("doc_id"), explode(col("sha")).as("sh"), size(col("sha")).cast("long").as("n_sh"))
+      .select(col("doc_id"), col("sh"), col("n_sh"))
   }
 
   /** The shared shingle index: postings keyed by the 64-bit shingle
@@ -79,33 +78,40 @@ object Dedup {
     * [[shingledPostings]] and DuckDB's out-of-bounds-is-NULL oracle
     * semantics.
     */
-  /** THE trigram-shingle rule over a `ws` word-array column — one
-    * definition shared by [[shingled]] (the C2/C3 in-memory paths) and
-    * [[indexRowsOn]] (the C22e persisted index), because a drifting
-    * copy would silently make the persisted index's signatures diverge
-    * from the in-memory probe they are spec-pinned to equal row for
-    * row.
+  /** THE trigram-shingle rule — one definition shared by [[shingled]]
+    * (the C2/C3 in-memory paths) and [[indexRowsOn]] (the C22e
+    * persisted index), because a drifting copy would silently make the
+    * persisted index's signatures diverge from the in-memory probe
+    * they are spec-pinned to equal row for row. Since r21 the
+    * definition is the COMPILED kernel
+    * [[graft.functions.ShingleExprs.Shingles]] (`shingles(ws)`), whose
+    * semantics are pinned element-for-element to the SQL
+    * `array_distinct(transform(sequence(1, greatest(size(ws)-2, 1)),
+    * i -> concat_ws(' ', try_element_at(ws,i), try_element_at(ws,i+1),
+    * try_element_at(ws,i+2))))` it replaces — the interpreted lambda
+    * was the dominant per-row cost of every signature/posting pass.
     */
-  private val ShingleArrayExpr =
-    """array_distinct(transform(
-      |  sequence(1, greatest(size(ws) - 2, 1)),
-      |  i -> concat_ws(' ', try_element_at(ws, i), try_element_at(ws, i + 1), try_element_at(ws, i + 2))))""".stripMargin
+  private def shingleArrayCol: Column = expr("shingles(split(text, ' '))")
 
   /** THE minhash-signature stage over an `sh` shingle column (crc32 →
-    * mod P → 128-hash `minhash_sig`) — same single-definition rule as
-    * [[ShingleArrayExpr]]; shared by [[minhashSignatures]] and
-    * [[indexRowsOn]]. Callers register [[graft.functions.MinHashExpr]]
-    * first.
+    * mod P → 128-hash minima) — same single-definition rule as
+    * [[shingleArrayCol]]; shared by [[minhashSignatures]] and
+    * [[indexRowsOn]]. The compiled `minhash_sig_str` kernel equals
+    * `minhash_sig(transform(sh, v -> crc32(v) % P))` exactly
+    * (ScratchShingle pinned sig equality) without the interpreted
+    * per-shingle crc lambda or the intermediate array.
     */
-  private def withMinhashSig(df: DataFrame): DataFrame =
-    df.withColumn("shx", expr(s"transform(sh, v -> crc32(v) % ${MinHashP}L)"))
-      .withColumn("sig", expr("minhash_sig(shx)"))
+  private def withMinhashSig(df: DataFrame): DataFrame = {
+    graft.functions.ShingleExprs.register(df.sparkSession)
+    df.withColumn("sig", expr("minhash_sig_str(sh)"))
+  }
 
-  private def shingled(t: Tables): DataFrame =
+  private def shingled(t: Tables): DataFrame = {
+    graft.functions.ShingleExprs.register(t.spark)
     t.documents
-      .select(col("doc_id"), split(col("text"), " ").as("ws"))
-      .select(col("doc_id"), expr(ShingleArrayExpr).as("sh"))
+      .select(col("doc_id"), shingleArrayCol.as("sh"))
       .withColumn("n_sh", size(col("sh")))
+  }
 
   /** C1: exact dedup — hash-groupBy on md5 of whitespace-normalized
     * text; every doc reports its group keeper (min id) and group size.
@@ -887,10 +893,10 @@ object Dedup {
     */
   private[graft] def indexRowsOn(spark: SparkSession, docs: DataFrame): DataFrame = {
     graft.functions.MinHashExpr.register(spark)
+    graft.functions.ShingleExprs.register(spark)
     withMinhashSig(
       docs
-        .select(col("doc_id"), normTextHashCol.as("text_hash"), split(col("text"), " ").as("ws"))
-        .select(col("doc_id"), col("text_hash"), expr(ShingleArrayExpr).as("sh"))
+        .select(col("doc_id"), normTextHashCol.as("text_hash"), shingleArrayCol.as("sh"))
         .withColumn("n_sh", size(col("sh")))
     ).select("doc_id", "text_hash", "n_sh", "sig", "sh")
   }
@@ -1684,19 +1690,11 @@ object Dedup {
   def sourceSimilarity(t: Tables): DataFrame = {
     graft.functions.MinHashExpr.register(t.spark)
     graft.functions.MinHashAgg.register(t.spark)
+    graft.functions.ShingleExprs.register(t.spark)
     val sigs = t.documents
-      .select(col("source"), split(col("text"), " ").as("ws"))
-      .select(
-        col("source"),
-        // try_element_at: see shingled() — ANSI-safe on <3-word docs
-        expr(
-          """array_distinct(transform(
-            |  sequence(1, greatest(size(ws) - 2, 1)),
-            |  i -> concat_ws(' ', try_element_at(ws, i), try_element_at(ws, i + 1), try_element_at(ws, i + 2))))""".stripMargin
-        ).as("sh")
-      )
-      .withColumn("shx", expr(s"transform(sh, v -> crc32(v) % ${MinHashP}L)"))
-      .select(col("source"), expr("minhash_sig(shx)").as("sig"))
+      // the shared compiled trigram rule (see shingleArrayCol)
+      .select(col("source"), shingleArrayCol.as("sh"))
+      .select(col("source"), expr("minhash_sig_str(sh)").as("sig"))
       .groupBy("source")
       .agg(expr("minhash_union(sig)").as("sig"))
     sigs

@@ -84,51 +84,92 @@ object Forget {
     require(docIds.schema.fields.length == 1,
       s"forgetDocs: cohort frame must have exactly one column, got ${docIds.schema.catalogString}")
     val ids = docIds.toDF("doc_id")
-    val colReports = columnarAssets.map { case (dir, idCol) =>
-      dir -> ParquetEpochs.deleteWhere(spark, dir, idCol, ids, None, Set.empty, None)
+    // The per-asset legs are independent stores, and each leg is a
+    // latency-bound chain of small driver steps (stats read, match
+    // count, CoW commit) — run legs CONCURRENTLY so one leg's driver
+    // gaps back-fill with another's jobs (optimization guide §2.6:
+    // actions are only sequential because the driver calls them
+    // sequentially). Legs naming the SAME store dir stay sequential in
+    // list order (a self-race on one store is not a semantics we want
+    // to widen); results keep the caller's list order. Cascade wall
+    // time becomes max(leg) instead of Σ(leg) — the shape that matters
+    // when a real RTBF fans out over many derived assets.
+    type Leg = () => (String, StoreLifecycle.DeleteReport)
+    val colLegs: Seq[(String, Leg)] = columnarAssets.map { case (dir, idCol) =>
+      dir -> (() => dir -> ParquetEpochs.deleteWhere(spark, dir, idCol, ids, None, Set.empty, None))
     }
-    val kvReports = kvAssets.map { case (dir, pattern) =>
-      val keys = ids.select(format_string(pattern, col("doc_id")).as("k"))
-      dir -> StoreLifecycle.deleteKeys(spark, dir, keys, Set.empty, None)
+    val kvLegs: Seq[(String, Leg)] = kvAssets.map { case (dir, pattern) =>
+      dir -> (() => {
+        val keys = ids.select(format_string(pattern, col("doc_id")).as("k"))
+        dir -> StoreLifecycle.deleteKeys(spark, dir, keys, Set.empty, None)
+      })
     }
-    val (stateDel, stateUp) = componentStateStore match {
-      case None => (None, None)
-      case Some(dir) =>
-        // derivation pins the PRE-cascade snapshot so the frames below
-        // stay stable across the two mutations (shadowed manifests
-        // remain readable until vacuum's grace)
-        val pin   = ParquetEpochs.snapshot(dir)
-        val state = ParquetEpochs.read(spark, dir, pin)
-        // rows of clusters whose LABEL doc is purged...
-        val affected = state.join(
-          ids.select(col("doc_id").as("__purged")),
-          state("component") === col("__purged"), "left_semi")
-        // ...their surviving members...
-        val remaining = affected.join(
-          ids.select(col("doc_id").as("__purged")),
-          affected("doc_id") === col("__purged"), "left_anti")
-        // ...and the handed-off label: the next-smallest survivor
-        val newLabels = remaining.groupBy("component").agg(min("doc_id").as("__new"))
-        val versions = remaining.join(newLabels, "component")
-          .select(col("doc_id"), col("__new").as("component"))
-        val d = ParquetEpochs.deleteWhere(spark, dir, "doc_id", ids, None, Set.empty, None)
-        val u =
-          if (versions.isEmpty) None
-          else {
-            // cohort fingerprint in the epoch id: a reused cascadeId
-            // with a different cohort gets a DIFFERENT epoch instead
-            // of losing its relabel to writeManifest's idempotent
-            // early-return (same cascadeId + same cohort still
-            // replays into one epoch — the convergence contract)
-            val fp = ids.agg(count(lit(1)), expr("bit_xor(xxhash64(doc_id))")).head()
-            val cohortFp = java.lang.Long.toHexString(
-              fp.getLong(0) ^ (if (fp.isNullAt(1)) 0L else fp.getLong(1)))
-            Some(ParquetEpochs.upsert(spark, dir, versions, "doc_id",
-              s"$cascadeId-relabel-$cohortFp"))
-          }
-        (Some(d), u)
-    }
-    ForgetReport(colReports ++ kvReports, stateDel, stateUp)
+    val legs = colLegs ++ kvLegs
+    val byDir: Map[String, Seq[(Int, Leg)]] =
+      legs.zipWithIndex.map { case ((dir, leg), i) => (dir, i, leg) }
+        .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3))).toMap
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(4, byDir.size + componentStateStore.size)))
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    try {
+      val stateF =
+        componentStateStore.map(dir => scala.concurrent.Future(stateLeg(spark, dir, ids, cascadeId)))
+      val legFs = byDir.values.toSeq.map(group =>
+        scala.concurrent.Future(group.sortBy(_._1).map { case (i, leg) => i -> leg() }))
+      val ordered = scala.concurrent.Await
+        .result(scala.concurrent.Future.sequence(legFs), scala.concurrent.duration.Duration.Inf)
+        .flatten.sortBy(_._1).map(_._2)
+      val st = stateF.map(f =>
+        scala.concurrent.Await.result(f, scala.concurrent.duration.Duration.Inf))
+      ForgetReport(ordered, st.map(_._1), st.flatMap(_._2))
+    } finally pool.shutdown()
+  }
+
+  /** The component-state leg of one cascade (see [[forgetDocs]]): the
+    * cohort's own rows are deleted, and every surviving cluster whose
+    * LABEL doc was purged gets its label handed to the next-smallest
+    * surviving member via an idempotent upsert.
+    */
+  private def stateLeg(
+      spark: SparkSession,
+      dir: String,
+      ids: DataFrame,
+      cascadeId: String
+  ): (StoreLifecycle.DeleteReport, Option[StoreLifecycle.UpsertReport]) = {
+    // derivation pins the PRE-cascade snapshot so the frames below
+    // stay stable across the two mutations (shadowed manifests
+    // remain readable until vacuum's grace)
+    val pin   = ParquetEpochs.snapshot(dir)
+    val state = ParquetEpochs.read(spark, dir, pin)
+    // rows of clusters whose LABEL doc is purged...
+    val affected = state.join(
+      ids.select(col("doc_id").as("__purged")),
+      state("component") === col("__purged"), "left_semi")
+    // ...their surviving members...
+    val remaining = affected.join(
+      ids.select(col("doc_id").as("__purged")),
+      affected("doc_id") === col("__purged"), "left_anti")
+    // ...and the handed-off label: the next-smallest survivor
+    val newLabels = remaining.groupBy("component").agg(min("doc_id").as("__new"))
+    val versions = remaining.join(newLabels, "component")
+      .select(col("doc_id"), col("__new").as("component"))
+    val d = ParquetEpochs.deleteWhere(spark, dir, "doc_id", ids, None, Set.empty, None)
+    val u =
+      if (versions.isEmpty) None
+      else {
+        // cohort fingerprint in the epoch id: a reused cascadeId
+        // with a different cohort gets a DIFFERENT epoch instead
+        // of losing its relabel to writeManifest's idempotent
+        // early-return (same cascadeId + same cohort still
+        // replays into one epoch — the convergence contract)
+        val fp = ids.agg(count(lit(1)), expr("bit_xor(xxhash64(doc_id))")).head()
+        val cohortFp = java.lang.Long.toHexString(
+          fp.getLong(0) ^ (if (fp.isNullAt(1)) 0L else fp.getLong(1)))
+        Some(ParquetEpochs.upsert(spark, dir, versions, "doc_id",
+          s"$cascadeId-relabel-$cohortFp"))
+      }
+    (d, u)
   }
 
   /** B87 gate fixture: builds a corpus store plus all four derived
@@ -154,19 +195,32 @@ object Forget {
       fs.delete(p, true): Unit
     }
     val docs = t.documents
-    ParquetEpochs.append(
-      docs.select("doc_id", "lang", "n_chars")
-        .repartitionByRange(4, col("doc_id")).sortWithinPartitions("doc_id"),
-      corpusDir): Unit
-    Dedup.writeSignatureIndex(spark, docs, kvsigDir)
-    Dedup.writeSignatureIndexColumnar(spark, docs, colsigDir): Unit
+    // the five asset builds touch five DISTINCT stores and share no
+    // state beyond the immutable docs frame — build them concurrently
+    // (guide §2.6), so the fixture's wall time is the slowest build,
+    // not the sum of five latency-bound write chains
     val grouped = docs.select(col("doc_id"),
       (col("doc_id") - pmod(col("doc_id"), lit(3))).as("g"))
     val labels = grouped
       .join(grouped.groupBy("g").agg(min("doc_id").as("component")), "g")
       .select("doc_id", "component")
-    Dedup.writeComponentState(labels, stateDir, rangeClusterParts = 4): Unit
-    Similarity.buildIvfIndex(t, centDir, asgDir): Unit
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(5)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    try {
+      val builds = Seq[() => Unit](
+        () => ParquetEpochs.append(
+          docs.select("doc_id", "lang", "n_chars")
+            .repartitionByRange(4, col("doc_id")).sortWithinPartitions("doc_id"),
+          corpusDir): Unit,
+        () => Dedup.writeSignatureIndex(spark, docs, kvsigDir),
+        () => Dedup.writeSignatureIndexColumnar(spark, docs, colsigDir): Unit,
+        () => Dedup.writeComponentState(labels, stateDir, rangeClusterParts = 4): Unit,
+        () => Similarity.buildIvfIndex(t, centDir, asgDir): Unit
+      ).map(b => scala.concurrent.Future(b()))
+      scala.concurrent.Await
+        .result(scala.concurrent.Future.sequence(builds), scala.concurrent.duration.Duration.Inf): Unit
+    } finally pool.shutdown()
 
     val cohort = docs.select("doc_id").filter(pmod(col("doc_id"), lit(3)) === 0)
     forgetDocs(
