@@ -64,6 +64,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     )
     ext.injectFunction(
       (
+        FunctionIdentifier("kgram_hashes"),
+        new ExpressionInfo(ShingleExprs.KgramHashes.getClass.getCanonicalName, "kgram_hashes"),
+        (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+          ShingleExprs.KgramHashes(exprs(0), exprs(1))
+      )
+    )
+    ext.injectFunction(
+      (
+        FunctionIdentifier("bigram_stats"),
+        new ExpressionInfo(ShingleExprs.BigramStats.getClass.getCanonicalName, "bigram_stats"),
+        (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+          ShingleExprs.BigramStats(exprs.head)
+      )
+    )
+    ext.injectFunction(
+      (
         FunctionIdentifier("simhash64"),
         new ExpressionInfo(SimHashExpr.SimHash64.getClass.getCanonicalName, "simhash64"),
         (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>

@@ -93,6 +93,51 @@ object ShingleExprs {
     new GenericArrayData(mins)
   }
 
+  /** Positional k-gram hashes: element i is
+    * `xxhash64(concat_ws(' ', ws[i..i+k-1]))` for i in 0..n-k; empty
+    * when n < k — the compiled twin of the posexplode + lead-window
+    * k-gram build (called from generated code).
+    */
+  def kgramHashesOf(ws: ArrayData, k: Int): ArrayData = {
+    val n = ws.numElements()
+    if (n < k) return new GenericArrayData(Array.emptyLongArray)
+    val out   = new Array[Long](n - k + 1)
+    val parts = new Array[UTF8String](k)
+    var i = 0
+    while (i <= n - k) {
+      var j = 0
+      while (j < k) { parts(j) = ws.getUTF8String(i + j); j += 1 }
+      val gram = UTF8String.concatWs(Space, parts: _*)
+      out(i) = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+        .hash(gram, org.apache.spark.sql.types.StringType, 42L)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Per-doc bigram totals as one compiled pass:
+    * (total bigram occurrences, max multiplicity of any one bigram) —
+    * equals TextOps.bigramAgg's two-groupBy rollup exactly (words from
+    * split(text, ' ') never contain the separator, so the joined gram
+    * is an injective key). n < 2 words yields (0, 0), the value the
+    * rollup's absent row coalesces to.
+    */
+  def bigramStatsOf(ws: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
+    val n = ws.numElements()
+    if (n < 2)
+      return org.apache.spark.sql.catalyst.InternalRow(0L, 0L)
+    val counts = new java.util.HashMap[UTF8String, Int](n * 2)
+    var top    = 0
+    var i      = 0
+    while (i < n - 1) {
+      val bg = UTF8String.concatWs(Space, ws.getUTF8String(i), ws.getUTF8String(i + 1))
+      val c  = counts.merge(bg, 1, (a, b) => a + b)
+      if (c > top) top = c
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow((n - 1).toLong, top.toLong)
+  }
+
   case class Shingles(child: Expression) extends UnaryExpression {
     override def dataType: DataType      = ArrayType(StringType, containsNull = false)
     override def nullIntolerant: Boolean = true
@@ -119,10 +164,52 @@ object ShingleExprs {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** kgram_hashes(ws, k): k must be a foldable int literal. */
+  case class KgramHashes(child: Expression, kExpr: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+    override def left: Expression  = child
+    override def right: Expression = kExpr
+    override def dataType: DataType      = ArrayType(LongType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+
+    private lazy val k: Int = kExpr.eval(null) match {
+      case i: Int => require(i >= 2, s"kgram_hashes: k must be >= 2, got $i"); i
+      case other  => throw new IllegalArgumentException(s"kgram_hashes: k must be an int literal, got $other")
+    }
+
+    override protected def nullSafeEval(ws: Any, unused: Any): Any =
+      kgramHashesOf(ws.asInstanceOf[ArrayData], k)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev,
+        (xs, _) => s"${ev.value} = graft.functions.ShingleExprs.kgramHashesOf($xs, $k);")
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(child = l, kExpr = r)
+  }
+
+  case class BigramStats(child: Expression) extends UnaryExpression {
+    override def dataType: DataType =
+      org.apache.spark.sql.types.StructType.fromDDL("n_bigrams BIGINT, top_bigram_count BIGINT")
+    override def nullIntolerant: Boolean = true
+
+    override protected def nullSafeEval(input: Any): Any =
+      bigramStatsOf(input.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, xs => s"${ev.value} = graft.functions.ShingleExprs.bigramStatsOf($xs);")
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry
       .createOrReplaceTempFunction("shingles", exprs => Shingles(exprs.head), "built-in")
     spark.sessionState.functionRegistry
       .createOrReplaceTempFunction("minhash_sig_str", exprs => MinHashSigStr(exprs.head), "built-in")
+    spark.sessionState.functionRegistry
+      .createOrReplaceTempFunction("kgram_hashes", exprs => KgramHashes(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry
+      .createOrReplaceTempFunction("bigram_stats", exprs => BigramStats(exprs.head), "built-in")
   }
 }

@@ -50,7 +50,21 @@ object Curation {
     * (doc_id) — at 100 TB that's 1 corpus scan instead of the 4 the
     * equivalent join-composition pays.
     */
-  private def curateFrom(t: Tables, components: DataFrame): DataFrame = {
+  private def curateFrom(t: Tables, components: DataFrame): DataFrame =
+    curateFromCols(t, components).select(col("doc_id"), col("n_tokens"), col("lang_pred"))
+      .orderBy("doc_id")
+
+  /** The gate pipeline of [[curateFrom]] WITHOUT the final projection —
+    * survivors with every fused per-row signal still attached, so
+    * [[curateFull]] can consume the bigram totals without a second
+    * corpus scan. Since r21 the repetition gate's bigram stats ride
+    * the SAME fused scan as the other per-row signals (the compiled
+    * `bigram_stats` kernel is per-row, so the former aggregate join on
+    * doc_id — one more corpus scan plus a corpus-sized shuffle at
+    * scale — is gone; values are unchanged).
+    */
+  private def curateFromCols(t: Tables, components: DataFrame): DataFrame = {
+    graft.functions.ShingleExprs.register(t.spark)
     val comps  = components.withColumnRenamed("component", "near_dup_comp")
     val byHash = org.apache.spark.sql.expressions.Window.partitionBy("text_hash")
     t.documents
@@ -58,7 +72,8 @@ object Curation {
         col("doc_id"),
         TextOps.nTokensCol.as("n_tokens"),
         TextOps.wsdLowerCol.as("wsd"),
-        Dedup.normTextHashCol.as("text_hash")
+        Dedup.normTextHashCol.as("text_hash"),
+        expr("bigram_stats(split(text, ' '))").as("bs")
       )
       .select(
         col("doc_id"),
@@ -66,7 +81,9 @@ object Curation {
         col("text_hash"),
         TextOps.hitsCol(TextOps.EnMarkers).as("en_hits"),
         TextOps.hitsCol(TextOps.EsMarkers).as("es_hits"),
-        TextOps.hitsCol(TextOps.DeMarkers).as("de_hits")
+        TextOps.hitsCol(TextOps.DeMarkers).as("de_hits"),
+        col("bs.n_bigrams").as("n_bigrams"),
+        col("bs.top_bigram_count").as("top_bigram_count")
       )
       .withColumn("lang_pred", TextOps.langPredFromHits)
       .withColumn("keep_doc_id", min("doc_id").over(byHash))
@@ -77,8 +94,6 @@ object Curation {
           col("doc_id") === col("keep_doc_id") &&
           (col("near_dup_comp").isNull || col("near_dup_comp") === col("doc_id"))
       )
-      .select(col("doc_id"), col("n_tokens"), col("lang_pred"))
-      .orderBy("doc_id")
   }
 
   /** Repetition gate for [[curateFull]]: docs whose single most
@@ -136,13 +151,10 @@ object Curation {
       checkpointDir = checkpointDir,
       postings = Some(postings)
     )
-    // join the bigram AGGREGATE (the group half of TextOps.repetition)
-    // rather than the full repetition output — the per-row half would
-    // re-scan the corpus just to be projected away
-    val rep    = TextOps.bigramAgg(t)
+    // the bigram totals are fused COLUMNS of the curation scan
+    // (curateFromCols) — no aggregate join, no extra corpus scan
     val contam = Dedup.contaminationFrom(postings).select(col("doc_id"))
-    curateFrom(t, comps)
-      .join(rep, Seq("doc_id"), "left")
+    curateFromCols(t, comps)
       .withColumn("top_bigram_frac", TextOps.topBigramFracCol)
       .filter(col("top_bigram_frac") < MaxTopBigramFrac)
       .join(contam, Seq("doc_id"), "left_anti")

@@ -2170,19 +2170,16 @@ object Dedup {
     */
   private def kgramWindows(documents: DataFrame, k: Int): DataFrame = {
     require(k >= 2, s"window length must be >= 2, got $k")
-    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    // compiled per-doc kernel (r21): each doc's positional k-gram
+    // hashes in one map-only projection + posexplode — replaces the
+    // posexplode + lead-window build, whose window shuffled and sorted
+    // every word row of the corpus. Hash values are identical
+    // (xxhash64 over the same concat_ws gram strings, seed 42).
+    graft.functions.ShingleExprs.register(documents.sparkSession)
     documents
-      .select(
-        col("doc_id"),
-        size(split(col("text"), " ")).as("n_words"),
-        posexplode(split(col("text"), " ")).as(Seq("pos", "w"))
-      )
-      .withColumn(
-        "gram",
-        concat_ws(" ", col("w") +: (1 until k).map(i => lead("w", i).over(byDoc)): _*)
-      )
-      .filter(col("n_words") >= k && col("pos") <= col("n_words") - k)
-      .select(col("doc_id"), col("pos").cast("long").as("pos"), xxhash64(col("gram")).as("gh"))
+      .select(col("doc_id"), expr(s"kgram_hashes(split(text, ' '), $k)").as("ghs"))
+      .select(col("doc_id"), posexplode(col("ghs")).as(Seq("pos", "gh")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("gh"))
       .localCheckpoint()
   }
 

@@ -87,19 +87,21 @@ object TextOps {
     * a second time just to throw the per-row columns away).
     */
   private[operators] def bigramAgg(t: Tables): DataFrame = {
-    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    // compiled per-doc kernel (r21): total bigram occurrences and max
+    // multiplicity in ONE map-only pass — replaces the posexplode +
+    // lead-window + two-groupBy rollup, whose window shuffled every
+    // word row of the corpus. Values are identical; docs under two
+    // words now emit (0, 0) instead of no row, which every consumer
+    // (left join + coalesce / topBigramFracCol) already maps to the
+    // same result.
+    graft.functions.ShingleExprs.register(t.spark)
     t.documents
+      .select(col("doc_id"), expr("bigram_stats(split(text, ' '))").as("bs"))
       .select(
         col("doc_id"),
-        size(split(col("text"), " ")).as("n_words"),
-        posexplode(split(col("text"), " ")).as(Seq("pos", "w"))
+        col("bs.n_bigrams").as("n_bigrams"),
+        col("bs.top_bigram_count").as("top_bigram_count")
       )
-      .withColumn("bg", concat_ws(" ", col("w"), lead("w", 1).over(byDoc)))
-      .filter(col("pos") <= col("n_words") - 2)
-      .groupBy("doc_id", "bg")
-      .agg(count(lit(1)).as("c"))
-      .groupBy("doc_id")
-      .agg(sum("c").as("n_bigrams"), max("c").as("top_bigram_count"))
   }
 
   /** top-bigram coverage from (possibly null, post-left-join)

@@ -552,6 +552,19 @@ object StreamReplay {
     val spKey = "spark.sql.shuffle.partitions"
     val prev  = spark.conf.get(spKey)
     spark.conf.set(spKey, math.min(ReplayShuffleWidth, prev.toInt).toString)
+    // Each micro-batch re-resolves its admitted files as an
+    // InMemoryFileIndex whose ROOTS are the batch's individual file
+    // paths; past parallelPartitionDiscoveryThreshold (default 32)
+    // that listing becomes a Spark job with one task per file —
+    // measured ~2 s per batch at 1,250 files/batch, pure scheduling
+    // overhead for stat calls that take microseconds each. Keep the
+    // per-batch listing driver-side up to the batch size: a driver
+    // loop over K paths beats a K-task job until K is far beyond any
+    // sane files-per-trigger (and at real scale the archive-granularity
+    // drain below is the documented fix for per-file admission).
+    val listKey  = "spark.sql.sources.parallelPartitionDiscovery.threshold"
+    val prevList = spark.conf.get(listKey, "32")
+    spark.conf.set(listKey, math.max(prevList.toInt, (perTrig + 1).min(100000L).toInt).toString)
     try {
       val scan = spark.readStream
         .format("binaryFile")
@@ -573,7 +586,10 @@ object StreamReplay {
         .start()
       query.awaitTermination()
       recordBatchCount(query)
-    } finally spark.conf.set(spKey, prev)
+    } finally {
+      spark.conf.set(spKey, prev)
+      spark.conf.set(listKey, prevList)
+    }
     deleteTree(ckpt)
     spark.read.parquet(out)
   }

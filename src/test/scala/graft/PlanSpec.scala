@@ -333,23 +333,23 @@ class PlanSpec extends SparkSpecBase {
   test("curateFull builds the shingle index once — both dedup branches read the materialized scan") {
     val df   = graft.operators.Curation.curateFull(tables)
     val plan = executedPlanString(df)
-    // The shingle index (posexplode + lead windows over the corpus) is
-    // checkpointed before the final plan assembles, so the ONLY
-    // Generate left in the flagship plan is repetition's bigram
-    // explode — decontamination must NOT rebuild the index from text.
+    // The shingle index is checkpointed before the final plan
+    // assembles, and since r21 the repetition gate's bigram totals are
+    // one compiled per-doc kernel (bigram_stats) instead of a bigram
+    // explode — so NO Generate of raw text may remain in the flagship
+    // plan: decontamination must not rebuild the index from text.
     val generates = "Generate posexplode".r.findAllIn(plan).length
-    assert(generates == 1, s"expected 1 generate (repetition bigrams), got $generates:\n$plan")
+    assert(generates == 0, s"expected 0 generates (index checkpointed, bigrams fused), got $generates:\n$plan")
     // both the component labels and the decontamination postings come
     // from materialized RDD scans (the shared checkpoint), not raw text
     val rddScans = "Scan ExistingRDD".r.findAllIn(plan).length
     assert(rddScans >= 2, s"expected materialized scans feeding both branches, got $rddScans:\n$plan")
-    // per-row signals (n_tokens, langid features, exact-dedup key) are
-    // fused COLUMNS of one corpus scan and the repetition gate joins
-    // only the bigram aggregate — so the final plan reads documents
-    // exactly twice (fused per-row scan + bigram explode), not once
-    // per standalone operator
+    // per-row signals (n_tokens, langid features, exact-dedup key, and
+    // since r21 the bigram totals via the compiled bigram_stats
+    // kernel) are fused COLUMNS of ONE corpus scan — the final plan
+    // reads documents exactly once
     val docScans = "Scan parquet .*documents".r.findAllIn(plan).length
-    assert(docScans == 2, s"expected 2 documents scans (fused per-row + bigrams), got $docScans:\n$plan")
+    assert(docScans == 1, s"expected 1 documents scan (all per-row signals fused), got $docScans:\n$plan")
   }
 
   test("bpe merge candidates: one corpus scan, top-K is a TakeOrdered (never a vocab sort)") {
