@@ -164,6 +164,42 @@ object ShingleExprs {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  private val Comma = UTF8String.fromString(",")
+
+  /** 32×4 LSH band keys of a 128-hash minhash signature — element b is
+    * `concat_ws(',', slice(sig, b*4+1, 4))`, the compiled twin of the
+    * interpreted band transform (called from generated code).
+    */
+  def bandKeysOf(sig: ArrayData): ArrayData = {
+    val bands = sig.numElements() / 4
+    val out   = new Array[AnyRef](bands)
+    val parts = new Array[UTF8String](4)
+    var b = 0
+    while (b < bands) {
+      var j = 0
+      while (j < 4) {
+        parts(j) = UTF8String.fromString(java.lang.Long.toString(sig.getLong(b * 4 + j)))
+        j += 1
+      }
+      out(b) = UTF8String.concatWs(Comma, parts: _*)
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  case class BandKeys(child: Expression) extends UnaryExpression {
+    override def dataType: DataType      = ArrayType(StringType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+
+    override protected def nullSafeEval(input: Any): Any =
+      bandKeysOf(input.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, xs => s"${ev.value} = graft.functions.ShingleExprs.bandKeysOf($xs);")
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   /** kgram_hashes(ws, k): k must be a foldable int literal. */
   case class KgramHashes(child: Expression, kExpr: Expression)
       extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
@@ -211,5 +247,7 @@ object ShingleExprs {
       .createOrReplaceTempFunction("kgram_hashes", exprs => KgramHashes(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry
       .createOrReplaceTempFunction("bigram_stats", exprs => BigramStats(exprs.head), "built-in")
+    spark.sessionState.functionRegistry
+      .createOrReplaceTempFunction("band_keys", exprs => BandKeys(exprs.head), "built-in")
   }
 }

@@ -1586,17 +1586,18 @@ object Dedup {
   }
 
   /** Banded keys (doc_id, band_idx, band_key) of a signature table,
-    * 32 bands × 4 rows. The 32-element band array is cheap to build;
-    * exploding it costs 32 re-evals of slice+concat per doc — still
-    * small next to the band shuffle that follows.
+    * 32 bands × 4 rows — the compiled `band_keys` kernel (r21)
+    * replaces the interpreted per-band slice+concat transform; key
+    * strings are identical (Long.toString joined by ',', the same
+    * cast concat_ws applied).
     */
-  private[graft] def bandKeys(s: DataFrame): DataFrame =
+  private[graft] def bandKeys(s: DataFrame): DataFrame = {
+    graft.functions.ShingleExprs.register(s.sparkSession)
     s.select(
       col("doc_id"),
-      posexplode(
-        expr(s"transform(sequence(0, ${Bands - 1}), b -> concat_ws(',', slice(sig, b * $RowsPerBand + 1, $RowsPerBand)))")
-      ).as(Seq("band_idx", "band_key"))
+      posexplode(expr("band_keys(sig)")).as(Seq("band_idx", "band_key"))
     )
+  }
 
   def minhashLsh(
       t: Tables,

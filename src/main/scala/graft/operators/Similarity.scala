@@ -260,6 +260,16 @@ object Similarity {
 
   private def centLit(c: Array[Double]) = array(c.toIndexedSeq.map(lit): _*)
 
+  /** The whole centroid/codebook table as ONE nested-array literal for
+    * the compiled `mat_dots` kernels — the per-row `centLit` column
+    * form paid rows×dims Literal NODES per projection (16 cells × 32
+    * dims ≈ 512 nodes, stacked 16× across the PQ subspaces), which
+    * made plan analysis/codegen the dominant driver cost of the IVF
+    * family at gate scale.
+    */
+  private def matLit(m: Array[Array[Double]]) =
+    typedLit(m.toIndexedSeq.map(_.toIndexedSeq))
+
   /** Normalize to unit length (spherical k-means: with unit centroids,
     * max-dot assignment IS max-cosine, so the mean update matches the
     * assignment metric).
@@ -277,15 +287,11 @@ object Similarity {
     * assignments; empty cells keep their previous centroid.
     */
   private def lloydRound(vecs: DataFrame, cents: Array[Array[Double]]): Array[Array[Double]] = {
-    val dots = cents.zipWithIndex.map { case (c, i) =>
-      call_function("vec_dot", col("v"), centLit(c)).as(s"d$i")
-    }
-    val maxDot = greatest(cents.indices.map(i => col(s"d$i")): _*)
-    val argmax = cents.indices
-      .foldRight(lit(-1)) { case (i, acc) => when(col(s"d$i") === maxDot, lit(i)).otherwise(acc) }
+    // mat_dots row r == vec_dot(v, cents(r)) bit-for-bit, and the
+    // first-max array_position equals the old first-match when-chain
     val means = vecs
-      .select((col("v") +: dots.toIndexedSeq): _*)
-      .withColumn("cell", argmax)
+      .select(col("v"), call_function("mat_dots", col("v"), matLit(cents)).as("dots"))
+      .withColumn("cell", (array_position(col("dots"), array_max(col("dots"))) - 1).cast("int"))
       .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
       .groupBy("cell", "dim")
       .agg(avg(col("x").cast("double")).as("m"))
@@ -341,7 +347,7 @@ object Similarity {
     * Janino's limits, silently de-codegening the whole stage.)
     */
   private[graft] def withCell(vecs: DataFrame, cents: Array[Array[Double]]): DataFrame = {
-    val dotsArr = array(cents.map(c => call_function("vec_dot", col("v"), centLit(c))).toIndexedSeq: _*)
+    val dotsArr = call_function("mat_dots", col("v"), matLit(cents))
     vecs
       .select(col("vec_id"), col("v"), col("nrm"), dotsArr.as("dots"))
       .withColumn(
@@ -371,18 +377,16 @@ object Similarity {
       numQueries: Int,
       nprobe: Int
   ): DataFrame = {
-    val cells     = cents.length
     val probeRank = Window.partitionBy("vec_id").orderBy(col("cdot").desc, col("cell"))
     vecs
       .filter(col("vec_id") < numQueries)
-      .select(col("vec_id"), col("v"), col("nrm"), explode(sequence(lit(0), lit(cells - 1))).as("cell"))
-      .withColumn(
-        "cdot",
-        cents.zipWithIndex
-          .map { case (c, i) => (i, call_function("vec_dot", col("v"), centLit(c))) }
-          .foldLeft(lit(Double.NegativeInfinity)) { case (acc, (i, d)) =>
-            when(col("cell") === i, d).otherwise(acc)
-          }
+      // posexplode of mat_dots: (cell, cdot) for every cell — the same
+      // rows the explode(sequence) + per-cell when-chain produced
+      .select(
+        col("vec_id"),
+        col("v"),
+        col("nrm"),
+        posexplode(call_function("mat_dots", col("v"), matLit(cents))).as(Seq("cell", "cdot"))
       )
       .withColumn("prb", row_number().over(probeRank))
       .filter(col("prb") <= nprobe)
@@ -779,29 +783,26 @@ object Similarity {
     // codegen kernel beside vec_dot), then per subspace a flat argmin
     // chain over codeword literals (L2 argmin == argmax of
     // dot − ||cw||²/2)
-    val centsArr = array(cents.toIndexedSeq.map(centLit): _*)
     val withResid = withCell(vecs, cents)
-      .withColumn("resid", zip_with(col("v"), element_at(centsArr, col("cell") + 1), (a, b) => a - b))
-    // per-subspace score ARRAYS in one projection, then every code is a
-    // linear array_position(sc, array_max(sc)) — the O(ksub²) CASE/
-    // greatest chain this replaces generated >10k lines of Java across
-    // the m stacked projections and fell back to interpreted execution
-    val withScores = withResid.select(
-      col("vec_id") +: col("cell") +:
-        (0 until m).map { s =>
-          val sub = org.apache.spark.sql.functions.slice(col("resid"), s * dsub + 1, dsub)
-          array((0 until ksub).map { j =>
-            val cw = codebooks(s)(j)
-            call_function("vec_dot", sub, centLit(cw)) - lit(cw.map(x => x * x).sum / 2)
-          }: _*).as(s"sc$s")
-        }: _*
+      .withColumn(
+        "resid",
+        zip_with(col("v"), element_at(matLit(cents), col("cell") + 1), (a, b) => a - b))
+    // the WHOLE encode is one compiled kernel call (r21): per
+    // subspace, dot the residual slice against every codeword (minus
+    // ‖cw‖²/2) and keep the first argmax — bit-identical to the former
+    // per-subspace score arrays + array_position(array_max) chains,
+    // whose m stacked projections (and their thousands of literal
+    // nodes) made plan analysis + codegen the key's dominant driver
+    // cost. Codes replace the vector — the PQ memory story.
+    val cbLit = typedLit(
+      codebooks.toIndexedSeq.map(_.toIndexedSeq.map(_.toIndexedSeq)))
+    val offLit = typedLit(
+      codebooks.toIndexedSeq.map(_.toIndexedSeq.map(cw => cw.map(x => x * x).sum / 2)))
+    val encoded = withResid.select(
+      col("vec_id"),
+      col("cell"),
+      call_function("pq_codes", col("resid"), cbLit, offLit).as("codes")
     )
-    val encoded = withScores.select(
-      col("vec_id") +: col("cell") +:
-        (0 until m).map { s =>
-          (array_position(col(s"sc$s"), array_max(col(s"sc$s"))) - 1).cast("int").as(s"code$s")
-        }: _*
-    ) // codes replace the vector — the PQ memory story
     // --- per-query tables, driver-built (numQueries×dims collect —
     // bounded): qcent[c] = q·centroid_c, lut[s*ksub+j] = q_s·cw(s)(j),
     // so ip(q, cent + recon) = qcent[cell] + Σ_s lut[s*ksub+code_s].
@@ -827,10 +828,9 @@ object Similarity {
     val probes = queryProbes(vecs, cents, numQueries, nprobe)
       .select(col("vec_id").as("query_id"), col("cell"))
       .join(broadcast(queryLuts), "query_id")
+    // pq_adc == the ascending element_at reduce it replaces, one call
     val adc = element_at(col("qcent"), col("cell") + 1) +
-      (0 until m)
-        .map(s => element_at(col("lut"), lit(s * ksub + 1) + col(s"code$s")))
-        .reduce(_ + _)
+      call_function("pq_adc", col("lut"), col("codes"))
     // stage 1 — ADC shortlist: rank candidates on CODES only (no raw
     // vector read), keep the top PqShortlist per query
     val wAdc = Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id"))
