@@ -90,10 +90,18 @@ object KeyDistinct {
         group: AttributeSet): Boolean = {
       def covered(cols: Array[org.apache.spark.sql.connector.expressions.NamedReference]): Boolean = {
         val names = cols.toSeq.map { c =>
-          if (c.fieldNames().length == 1) Some(c.fieldNames()(0).toLowerCase) else None
+          if (c.fieldNames().length == 1) Some(c.fieldNames()(0)) else None
         }
+        // session resolver (honors spark.sql.caseSensitive), and the
+        // match must be UNAMBIGUOUS: with a case-sensitive schema
+        // holding two columns differing only in case, a first-match
+        // lookup could certify coverage through the wrong attribute
+        // and delete a DISTINCT that is not redundant
         names.forall(_.isDefined) && names.flatten.forall { n =>
-          output.find(_.name.toLowerCase == n).exists(group.contains)
+          output.filter(a => conf.resolver(a.name, n)) match {
+            case Seq(one) => group.contains(one)
+            case _        => false // unresolved or ambiguous: no rewrite
+          }
         }
       }
       try table.constraints().exists {

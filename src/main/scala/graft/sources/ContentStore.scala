@@ -921,7 +921,11 @@ private[graft] class ContentStoreWrite(
             val planned = shadow.getOrElse(Seq.empty).toSet
             val grown = ContentStore.effectiveManifestNames(path, conf.value)
               .filterNot(planned)
-              .filter(m => ContentStore.filesInManifest(path, m, conf.value).nonEmpty)
+              // vanished-mid-check manifests are not growth (the
+              // Constraints delta check's FileNotFoundException rule)
+              .filter(m =>
+                (try ContentStore.filesInManifest(path, m, conf.value)
+                catch { case _: java.io.FileNotFoundException => Seq.empty[String] }).nonEmpty)
             if (grown.nonEmpty)
               throw new StoreCommitConflictException(
                 s"replace-all commit on $path: ${grown.size} file-bearing manifest(s) " +
@@ -1285,6 +1289,33 @@ private[graft] object ContentStoreWrite {
     try afterRename()
     catch {
       case t: Throwable =>
+        // The undo must not fire if a concurrent compaction already
+        // ADOPTED the briefly-visible manifest: a compaction listing
+        // inside the rename→undo window rewrites this manifest's files
+        // into its own output and records the manifest as a shadowed
+        // source — deleting it then would leave the refused rows alive
+        // in the compaction output while this commit claims refusal.
+        // A sidecar naming this manifest is that adoption; refuse the
+        // undo loudly instead (the operator resolves by dropping the
+        // offending rows / constraint explicitly).
+        val adoptedBy = {
+          val compactedDir = new Path(root, "_compacted")
+          if (!filesystem.exists(compactedDir)) Seq.empty[String]
+          else
+            filesystem.listStatus(compactedDir).map(_.getPath.getName)
+              .filterNot(_.startsWith(".")).filterNot(_ == name).toSeq
+              .filter(sc =>
+                (try ContentStore.compactSourcesOf(path, sc, hadoopConf).getOrElse(Seq.empty)
+                catch { case _: java.io.FileNotFoundException => Seq.empty[String] })
+                  .contains(name))
+        }
+        if (adoptedBy.nonEmpty)
+          throw new java.io.IOException(
+            s"ContentStore: commit '$name' on $path must undo (${t.getMessage}) but a " +
+              s"concurrent compaction (${adoptedBy.head}) already rewrote it into its own " +
+              "output — undoing would silently keep the refused rows; manual resolution " +
+              "required",
+            t)
         if (!filesystem.delete(manifest, false))
           throw new java.io.IOException(
             s"ContentStore: commit '$name' on $path must undo (${t.getMessage}) but the " +

@@ -318,7 +318,20 @@ class GraftCatalog extends TableCatalog
     val path =
       if (!fsys.exists(direct)) s"$base/$name"
       else {
-        val phys = s"${name}__r${System.currentTimeMillis()}"
+        // millis + UUID: two creators racing in the same millisecond
+        // previously picked the IDENTICAL suffix, and writeAlias's
+        // convergence check read the racer's identical pointer as its
+        // own success — both would bootstrap one physical directory
+        val phys =
+          s"${name}__r${System.currentTimeMillis()}-${java.util.UUID.randomUUID().toString.take(8)}"
+        val physPath = new Path(bdir, phys)
+        require(!fsys.exists(physPath),
+          s"GraftCatalog: allocated physical dir $phys already exists — refusing to adopt it")
+        // the directory must exist BEFORE the alias publishes:
+        // purge_dropped's stale-alias sweep deletes any alias whose
+        // target directory is missing, and an alias published first
+        // would sit in that window until the first write
+        fsys.mkdirs(physPath): Unit
         writeAlias(base, name, phys)
         s"$base/$phys"
       }

@@ -209,7 +209,14 @@ object ParquetEpochs {
           val affectedSet = affected.toSet
           val grown = ContentStore.effectiveManifestNames(storeDir, conf)
             .filterNot(affectedSet)
-            .filter(m => ContentStore.filesInManifest(storeDir, m, conf).nonEmpty)
+            // a manifest a concurrent expire/undo deleted mid-check
+            // cannot be file-bearing growth (the Constraints delta
+            // check's FileNotFoundException rule) — without the guard
+            // the commit dies on an opaque IO error instead of either
+            // passing or the retryable conflict
+            .filter(m =>
+              (try ContentStore.filesInManifest(storeDir, m, conf)
+              catch { case _: java.io.FileNotFoundException => Seq.empty[String] }).nonEmpty)
           if (grown.nonEmpty)
             throw new StoreCommitConflictException(
               s"replace-all commit on $storeDir: ${grown.size} file-bearing manifest(s) " +
