@@ -596,7 +596,7 @@ object Multimodal {
     val pairs = phashPairsRaw(spark, twinMedia(t), maxHamming = 3)
       .select("doc_a", "doc_b")
       .localCheckpoint()
-    graft.operators.Dedup.componentsFromPairs(pairs, df => df.localCheckpoint())
+    graft.operators.Dedup.contractedComponents(pairs, df => df.localCheckpoint())
   }
 
   final case class AudioMeta(
