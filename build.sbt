@@ -11,6 +11,19 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench's driver contract is ONE parseable JSON line on stdout; sbt's
+// default fork output strategy routes the forked JVM's stdout through the
+// LoggedOutput logger, which prefixes every line with "[info] " — that
+// decoration has broken the driver's JSON parse in every round
+// (BENCH_rNN.json "parsed": null since r01). StdoutOutput passes the forked
+// process's streams through undecorated.
+outputStrategy := Some(StdoutOutput)
+// ... and drop sbt's own trailing "[success] Total time ..." line so the
+// bench's JSON really is the last line of stdout.
+Global / showSuccess := false
+// showSuccess is consumed by sbt's command layer, which the unused-key
+// lint cannot see
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -115,12 +115,17 @@ object Bench {
       java.nio.file.Paths.get("BENCH_DETAIL.json"),
       (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8)
     )
-    println(full)
     val slowest = results.sortBy(-_._2).take(25)
-    println(
+    val compact =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},""" +
         s""""queries":${mapJson(slowest)},"detail":"BENCH_DETAIL.json","sf":"$sfDir"}"""
-    )
+    // stop BEFORE printing: the metric line must be the LAST stdout the
+    // harness's bounded tail capture sees (spark.stop() can emit trailing
+    // log noise), and with build.sbt's StdoutOutput it arrives undecorated
+    // — both halves of the r22 handshake fix for the driver's JSON parse.
     spark.stop()
+    println(full)
+    println(compact)
+    System.out.flush()
   }
 }
