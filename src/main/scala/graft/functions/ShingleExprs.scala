@@ -106,7 +106,15 @@ object ShingleExprs {
     var i = 0
     while (i <= n - k) {
       var j = 0
-      while (j < k) { parts(j) = ws.getUTF8String(i + j); j += 1 }
+      // null elements pass through as null and concatWs skips them —
+      // the concat_ws semantics of the SQL build this kernel replaces
+      // (split() output is never null, but the registered SQL surface
+      // is not restricted to it, and UnsafeArrayData.getUTF8String on
+      // a null slot is undefined, not null)
+      while (j < k) {
+        parts(j) = if (ws.isNullAt(i + j)) null else ws.getUTF8String(i + j)
+        j += 1
+      }
       val gram = UTF8String.concatWs(Space, parts: _*)
       out(i) = org.apache.spark.sql.catalyst.expressions.XxHash64Function
         .hash(gram, org.apache.spark.sql.types.StringType, 42L)
@@ -207,6 +215,26 @@ object ShingleExprs {
     override def right: Expression = kExpr
     override def dataType: DataType      = ArrayType(LongType, containsNull = false)
     override def nullIntolerant: Boolean = true
+
+    // validate k at ANALYSIS time: the function is registered
+    // session-wide as SQL `kgram_hashes`, and a non-foldable or
+    // non-int k would otherwise surface as a confusing execution-time
+    // error (or an NPE inside eval(null) for a column reference)
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+      if (!child.dataType.isInstanceOf[ArrayType])
+        TypeCheckResult.TypeCheckFailure(
+          s"kgram_hashes: first argument must be ARRAY<STRING>, got ${child.dataType.catalogString}")
+      else if (!kExpr.foldable || kExpr.dataType != org.apache.spark.sql.types.IntegerType)
+        TypeCheckResult.TypeCheckFailure(
+          s"kgram_hashes: k must be a foldable INT literal, got ${kExpr.sql}")
+      else kExpr.eval(null) match {
+        case i: Int if i >= 2 => TypeCheckResult.TypeCheckSuccess
+        case i: Int           => TypeCheckResult.TypeCheckFailure(s"kgram_hashes: k must be >= 2, got $i")
+        case _                => TypeCheckResult.TypeCheckFailure("kgram_hashes: k must be a non-null INT literal")
+      }
+    }
 
     private lazy val k: Int = kExpr.eval(null) match {
       case i: Int => require(i >= 2, s"kgram_hashes: k must be >= 2, got $i"); i

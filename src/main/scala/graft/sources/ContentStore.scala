@@ -1298,17 +1298,29 @@ private[graft] object ContentStoreWrite {
         // A sidecar naming this manifest is that adoption; refuse the
         // undo loudly instead (the operator resolves by dropping the
         // offending rows / constraint explicitly).
-        val adoptedBy = {
-          val compactedDir = new Path(root, "_compacted")
-          if (!filesystem.exists(compactedDir)) Seq.empty[String]
-          else
-            filesystem.listStatus(compactedDir).map(_.getPath.getName)
-              .filterNot(_.startsWith(".")).filterNot(_ == name).toSeq
-              .filter(sc =>
-                (try ContentStore.compactSourcesOf(path, sc, hadoopConf).getOrElse(Seq.empty)
-                catch { case _: java.io.FileNotFoundException => Seq.empty[String] })
-                  .contains(name))
-        }
+        // The adoption probe itself must not abort the undo: a
+        // transient IO failure here would leave the refused manifest
+        // visible (the exact state the undo exists to prevent) and
+        // lose the original failure `t`. Only a POSITIVELY detected
+        // adoption may skip the delete — an unreadable _compacted dir
+        // defaults to "no adoption", with the probe failure recorded
+        // as suppressed on the original cause.
+        val adoptedBy =
+          try {
+            val compactedDir = new Path(root, "_compacted")
+            if (!filesystem.exists(compactedDir)) Seq.empty[String]
+            else
+              filesystem.listStatus(compactedDir).map(_.getPath.getName)
+                .filterNot(_.startsWith(".")).filterNot(_ == name).toSeq
+                .filter(sc =>
+                  (try ContentStore.compactSourcesOf(path, sc, hadoopConf).getOrElse(Seq.empty)
+                  catch { case _: java.io.FileNotFoundException => Seq.empty[String] })
+                    .contains(name))
+          } catch {
+            case scala.util.control.NonFatal(probe) =>
+              t.addSuppressed(probe)
+              Seq.empty[String]
+          }
         if (adoptedBy.nonEmpty)
           throw new java.io.IOException(
             s"ContentStore: commit '$name' on $path must undo (${t.getMessage}) but a " +

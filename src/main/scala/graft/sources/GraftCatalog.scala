@@ -332,7 +332,16 @@ class GraftCatalog extends TableCatalog
         // target directory is missing, and an alias published first
         // would sit in that window until the first write
         fsys.mkdirs(physPath): Unit
-        writeAlias(base, name, phys)
+        // if the alias never publishes (lost race, IO failure), the
+        // just-created directory has no pointer referencing it and
+        // nothing sweeps it — reap it best-effort before rethrowing
+        try writeAlias(base, name, phys)
+        catch {
+          case t: Throwable =>
+            try fsys.delete(physPath, true): Unit
+            catch { case scala.util.control.NonFatal(del) => t.addSuppressed(del) }
+            throw t
+        }
         s"$base/$phys"
       }
     val provider = Option(properties.get("provider")).map(_.toLowerCase)
