@@ -711,20 +711,17 @@ object Curation {
     // — build them CONCURRENTLY (guide §2.6) so one run's driver gaps
     // back-fill with the other's jobs; the manifests are only joined
     // after both complete, so the output is unchanged
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
-    implicit val ec: scala.concurrent.ExecutionContext =
-      scala.concurrent.ExecutionContext.fromExecutor(pool)
-    val (m1, m2) =
-      try {
-        val f1 = scala.concurrent.Future(
-          releaseManifest(t.copy(docsOverride = Some(v1)), checkpointDir))
-        val f2 = scala.concurrent.Future(
-          releaseManifest(t.copy(docsOverride = Some(v2)), checkpointDir))
-        (
-          scala.concurrent.Await.result(f1, scala.concurrent.duration.Duration.Inf),
-          scala.concurrent.Await.result(f2, scala.concurrent.duration.Duration.Inf)
-        )
-      } finally pool.shutdown()
+    implicit val ec: scala.concurrent.ExecutionContext = Overlap.ec
+    val (m1, m2) = {
+      val f1 = scala.concurrent.Future(
+        releaseManifest(t.copy(docsOverride = Some(v1)), checkpointDir))
+      val f2 = scala.concurrent.Future(
+        releaseManifest(t.copy(docsOverride = Some(v2)), checkpointDir))
+      (
+        scala.concurrent.Await.result(f1, scala.concurrent.duration.Duration.Inf),
+        scala.concurrent.Await.result(f2, scala.concurrent.duration.Duration.Inf)
+      )
+    }
     val a = m1.select(
       col("doc_id"),
       col("split").as("old_split"),

@@ -1443,16 +1443,19 @@ object Dedup {
       .groupBy("doc_id")
       .agg(min("component").as("lv"))
       .select(col("doc_id").as("v"), col("lv"))
-    val labelPairs = materialize(
-      edges
-        .join(broadcast(vLabels), Seq("v"), "left")
-        .select(col("u").as("doc_a"), coalesce(col("lv"), col("v")).as("doc_b"))
-        .filter(col("doc_a") =!= col("doc_b"))
-        .distinct()
-    )
+    // LAZY: the contracted resolution collects these rows driver-side
+    // in the common case, so a localCheckpoint job + count job here
+    // bought nothing (r22 — contractedComponents now probes and
+    // fetches in one bounded take; only its rare distributed fallback
+    // materializes the pair plan)
+    val labelPairs = edges
+      .join(broadcast(vLabels), Seq("v"), "left")
+      .select(col("u").as("doc_a"), coalesce(col("lv"), col("v")).as("doc_b"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .distinct()
     // min-label components over the contracted graph — driver-side in
     // the common (delta-sized) case, distributed fallback otherwise
-    val remap = contractedComponents(labelPairs, materialize)
+    val remap = contractedComponents(labelPairs, materialize, preMaterialized = false)
     // patch rows: (1) nodes whose label was themselves (delta docs +
     // newly-paired base singletons) take their merged label; (2)
     // members of every label that MOVED take the new one — raw-row
@@ -1532,17 +1535,21 @@ object Dedup {
     */
   private def sharedComponentFixtures(
       t: Tables): ((String, Seq[String]), (String, Seq[String])) = {
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
-    implicit val ec: scala.concurrent.ExecutionContext =
-      scala.concurrent.ExecutionContext.fromExecutor(pool)
-    try {
-      val f1 = scala.concurrent.Future(sharedColumnarIndex(t))
-      val f2 = scala.concurrent.Future(sharedComponentState(t))
-      (
-        scala.concurrent.Await.result(f1, scala.concurrent.duration.Duration.Inf),
-        scala.concurrent.Await.result(f2, scala.concurrent.duration.Duration.Inf)
-      )
-    } finally pool.shutdown()
+    // warm-cache fast path: both fixtures already built — no pool, no
+    // futures, just the two map reads (every call after the first).
+    // Same override guard the builders enforce: a cached base-corpus
+    // fixture must never be served for an overridden documents frame.
+    require(t.docsOverride.isEmpty, "sharedComponentFixtures requires the on-disk corpus")
+    val c1 = columnarIndexDirs.get(t.dir)
+    val c2 = componentStateDirs.get(t.dir)
+    if (c1 != null && c2 != null) return (c1, c2)
+    implicit val ec: scala.concurrent.ExecutionContext = Overlap.ec
+    val f1 = scala.concurrent.Future(sharedColumnarIndex(t))
+    val f2 = scala.concurrent.Future(sharedComponentState(t))
+    (
+      scala.concurrent.Await.result(f1, scala.concurrent.duration.Duration.Inf),
+      scala.concurrent.Await.result(f2, scala.concurrent.duration.Duration.Inf)
+    )
   }
 
   private val componentStateDirs =
@@ -1931,12 +1938,25 @@ object Dedup {
     * delta-sized while the distributed loop's per-round latency would
     * grow with cluster scheduling, not data.
     */
+  /** `preMaterialized = false` lets a caller pass the LAZY pair plan:
+    * the threshold probe and the row fetch are ONE bounded take (r22 —
+    * previously a count job followed by a collect job over a frame the
+    * caller had also paid a localCheckpoint job to materialize: three
+    * actions per merge where one suffices, pure driver latency at gate
+    * scale). The rare over-threshold fallback materializes the pairs
+    * itself before iterating them distributed.
+    */
   private[graft] def contractedComponents(
       pairs: DataFrame,
-      materialize: DataFrame => DataFrame
+      materialize: DataFrame => DataFrame,
+      preMaterialized: Boolean = true
   ): DataFrame = {
-    val n = pairs.count()
-    if (n > ContractedDriverMaxPairs) return componentsFromPairs(pairs, materialize)
+    // take(bound+1) answers "over threshold?" AND delivers the rows in
+    // the same action; the count+collect pair it replaces paid two.
+    val taken = pairs.take(ContractedDriverMaxPairs.toInt + 1)
+    if (taken.length > ContractedDriverMaxPairs)
+      return componentsFromPairs(
+        if (preMaterialized) pairs else materialize(pairs), materialize)
     val spark = pairs.sparkSession
     import spark.implicits._
     val parent = scala.collection.mutable.HashMap.empty[Long, Long]
@@ -1948,14 +1968,14 @@ object Dedup {
       while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
       r
     }
-    pairs.collect().foreach { row =>
+    taken.foreach { row =>
       val a = row.getLong(0); val b = row.getLong(1)
       add(a); add(b)
       val ra = find(a); val rb = find(b)
       // union by MIN: the root of every set stays its smallest member
       if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
     }
-    freeMaterialized(pairs)
+    if (preMaterialized) freeMaterialized(pairs)
     // sorted like the distributed loop's return — map iteration order
     // must not leak into a gate frame's row order
     parent.keysIterator.map(k => (k, find(k))).toSeq.sorted.toDF("doc_id", "component")

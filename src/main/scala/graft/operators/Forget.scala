@@ -105,25 +105,50 @@ object Forget {
       })
     }
     val legs = colLegs ++ kvLegs
+    // the state leg runs CONCURRENTLY with every asset leg, so the
+    // same-dir serialization below cannot cover it — a caller that
+    // also lists the state-store dir as an asset would race two CoW
+    // mutations on one store; make the precondition explicit
+    componentStateStore.foreach(sd =>
+      require(!legs.exists(_._1 == sd),
+        s"forgetDocs: componentStateStore '$sd' also appears as a cascade asset dir — " +
+          "the state leg is not covered by same-dir serialization; list the dir only " +
+          "as componentStateStore"))
     val byDir: Map[String, Seq[(Int, Leg)]] =
       legs.zipWithIndex.map { case ((dir, leg), i) => (dir, i, leg) }
         .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3))).toMap
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(
-      math.max(1, math.min(4, byDir.size + componentStateStore.size)))
-    implicit val ec: scala.concurrent.ExecutionContext =
-      scala.concurrent.ExecutionContext.fromExecutor(pool)
-    try {
-      val stateF =
-        componentStateStore.map(dir => scala.concurrent.Future(stateLeg(spark, dir, ids, cascadeId)))
-      val legFs = byDir.values.toSeq.map(group =>
-        scala.concurrent.Future(group.sortBy(_._1).map { case (i, leg) => i -> leg() }))
-      val ordered = scala.concurrent.Await
-        .result(scala.concurrent.Future.sequence(legFs), scala.concurrent.duration.Duration.Inf)
-        .flatten.sortBy(_._1).map(_._2)
-      val st = stateF.map(f =>
-        scala.concurrent.Await.result(f, scala.concurrent.duration.Duration.Inf))
-      ForgetReport(ordered, st.map(_._1), st.flatMap(_._2))
-    } finally pool.shutdown()
+    implicit val ec: scala.concurrent.ExecutionContext = Overlap.ec
+    val stateF =
+      componentStateStore.map(dir => scala.concurrent.Future(stateLeg(spark, dir, ids, cascadeId)))
+    // per-leg results as Try: with concurrent legs one failure no
+    // longer prevents the others from mutating their stores, so ALL
+    // failures must surface (first primary, rest suppressed) and the
+    // legs that DID commit must stay auditable — a partially applied
+    // RTBF cascade silently reduced to one exception is exactly what
+    // the old sequential fail-stop never produced
+    val legFs = byDir.toSeq.map { case (dir, group) =>
+      scala.concurrent.Future(group.sortBy(_._1).map { case (i, leg) => i -> leg() })
+        .transform(r => scala.util.Success(dir -> r))
+    }
+    val legResults = scala.concurrent.Await
+      .result(scala.concurrent.Future.sequence(legFs), scala.concurrent.duration.Duration.Inf)
+    val stateR = stateF.map(f =>
+      scala.concurrent.Await.ready(f, scala.concurrent.duration.Duration.Inf).value.get)
+    val failures = legResults.collect { case (_, scala.util.Failure(e)) => e } ++
+      stateR.collect { case scala.util.Failure(e) => e }
+    if (failures.nonEmpty) {
+      val primary = failures.head
+      failures.drop(1).foreach(s => if (s ne primary) primary.addSuppressed(s))
+      val completed = legResults.collect { case (dir, scala.util.Success(_)) => dir } ++
+        componentStateStore.filter(_ => stateR.exists(_.isSuccess))
+      System.err.println(
+        s"[graft] forgetDocs cascade '$cascadeId': ${failures.size} leg(s) failed; " +
+          s"legs that committed anyway: ${if (completed.isEmpty) "none" else completed.mkString(", ")}")
+      throw primary
+    }
+    val ordered = legResults.flatMap(_._2.get).sortBy(_._1).map(_._2)
+    val st = stateR.map(_.get)
+    ForgetReport(ordered, st.map(_._1), st.flatMap(_._2))
   }
 
   /** The component-state leg of one cascade (see [[forgetDocs]]): the
@@ -204,23 +229,19 @@ object Forget {
     val labels = grouped
       .join(grouped.groupBy("g").agg(min("doc_id").as("component")), "g")
       .select("doc_id", "component")
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(5)
-    implicit val ec: scala.concurrent.ExecutionContext =
-      scala.concurrent.ExecutionContext.fromExecutor(pool)
-    try {
-      val builds = Seq[() => Unit](
-        () => ParquetEpochs.append(
-          docs.select("doc_id", "lang", "n_chars")
-            .repartitionByRange(4, col("doc_id")).sortWithinPartitions("doc_id"),
-          corpusDir): Unit,
-        () => Dedup.writeSignatureIndex(spark, docs, kvsigDir),
-        () => Dedup.writeSignatureIndexColumnar(spark, docs, colsigDir): Unit,
-        () => Dedup.writeComponentState(labels, stateDir, rangeClusterParts = 4): Unit,
-        () => Similarity.buildIvfIndex(t, centDir, asgDir): Unit
-      ).map(b => scala.concurrent.Future(b()))
-      scala.concurrent.Await
-        .result(scala.concurrent.Future.sequence(builds), scala.concurrent.duration.Duration.Inf): Unit
-    } finally pool.shutdown()
+    implicit val ec: scala.concurrent.ExecutionContext = Overlap.ec
+    val builds = Seq[() => Unit](
+      () => ParquetEpochs.append(
+        docs.select("doc_id", "lang", "n_chars")
+          .repartitionByRange(4, col("doc_id")).sortWithinPartitions("doc_id"),
+        corpusDir): Unit,
+      () => Dedup.writeSignatureIndex(spark, docs, kvsigDir),
+      () => Dedup.writeSignatureIndexColumnar(spark, docs, colsigDir): Unit,
+      () => Dedup.writeComponentState(labels, stateDir, rangeClusterParts = 4): Unit,
+      () => Similarity.buildIvfIndex(t, centDir, asgDir): Unit
+    ).map(b => scala.concurrent.Future(b()))
+    scala.concurrent.Await
+      .result(scala.concurrent.Future.sequence(builds), scala.concurrent.duration.Duration.Inf): Unit
 
     val cohort = docs.select("doc_id").filter(pmod(col("doc_id"), lit(3)) === 0)
     forgetDocs(
