@@ -301,9 +301,18 @@ object Dedup {
         "tok_rank",
         row_number().over(Window.partitionBy("doc_id").orderBy(col("df"), col("shingle")))
       )
+    // Materialized ONCE (r22): the self-join's two sides do NOT share
+    // the subtree in practice — the planned shape rebuilt the df
+    // aggregation, the join-back, and the rank window on EACH side
+    // (plan-verified: two identical Window+ShuffledHashJoin subtrees,
+    // no ReusedExchange; the two window passes were the operator's two
+    // heaviest stages). Checkpointing the prefix table is the PPJoin
+    // index build — both join legs read executor-local blocks, and
+    // one df-agg + one window run instead of two of each.
     val prefix = ranked
       .filter(col("tok_rank") <= col("n_sh") - ceil(lit(tau) * col("n_sh")) + 1)
       .select("doc_id", "shingle", "n_sh", "tok_rank")
+      .localCheckpoint()
     // PPJoin POSITIONAL filter: J ≥ τ forces an overlap of at least
     // ⌈τ/(1+τ)·(|A|+|B|)⌉, and a pair's FIRST common token (in the
     // global rarest-first order) at ranks i in A, j in B caps the
@@ -1110,6 +1119,22 @@ object Dedup {
   ): String =
     graft.sources.ParquetEpochs.append(indexRowsOn(spark, docs), storeDir, manifestName)
 
+  /** [[writeSignatureIndexColumnar]] over an ALREADY-COMPUTED (and
+    * typically materialized) [[indexRowsOn]] frame — for callers that
+    * also feed the same rows to [[mergeDeltaComponents]] (the C22k
+    * batch loop), so the shingle+minhash pass runs once per batch,
+    * not once per consumer. The frame must be the full indexRowsOn
+    * shape in its column order (doc_id, text_hash, n_sh, sig, sh) so
+    * the stored epoch is byte-identical to the docs-based writer's.
+    */
+  def writeSignatureIndexColumnarRows(
+      indexRows: DataFrame,
+      storeDir: String,
+      manifestName: Option[String] = None
+  ): String =
+    graft.sources.ParquetEpochs
+      .append(indexRows.select("doc_id", "text_hash", "n_sh", "sig", "sh"), storeDir, manifestName)
+
   /** The columnar index read back from a PINNED manifest snapshot —
     * same time-travel contract as [[readSignatureIndex]], no JSON
     * parse and no base64 framing in the scan.
@@ -1392,6 +1417,13 @@ object Dedup {
         .select(col("doc_id").as("u"), col("base_doc").as("v"))
     }
 
+  /** `precomputedIndexRows`: a caller-materialized [[indexRowsOn]]
+    * frame over the SAME delta (any superset of columns doc_id, n_sh,
+    * sh). The C22k maintenance batch both merges a delta's edges AND
+    * appends its signatures — without sharing, the shingle+minhash
+    * map pass (the dominant per-batch compute at scale) runs twice
+    * per batch. The merge does not free a caller-provided frame.
+    */
   def mergeDeltaComponents(
       spark: SparkSession,
       delta: DataFrame,
@@ -1401,14 +1433,17 @@ object Dedup {
       stateManifests: Seq[String],
       tau: Double,
       broadcastDelta: Boolean = true,
-      manifestName: Option[String] = None
+      manifestName: Option[String] = None,
+      precomputedIndexRows: Option[DataFrame] = None
   ): String = {
     def small(df: DataFrame): DataFrame       = if (broadcastDelta) broadcast(df) else df
     def big(df: DataFrame): DataFrame         = if (broadcastDelta) df else df.hint("shuffle_hash")
     def materialize(df: DataFrame): DataFrame = df.localCheckpoint()
     // delta shingles through the ONE shingle definition (indexRowsOn),
     // so this merge sees exactly the edges the index probe sees
-    val deltaRows  = materialize(indexRowsOn(spark, delta).select("doc_id", "n_sh", "sh"))
+    val deltaRows = precomputedIndexRows
+      .map(_.select("doc_id", "n_sh", "sh"))
+      .getOrElse(materialize(indexRowsOn(spark, delta).select("doc_id", "n_sh", "sh")))
     val deltaPosts = deltaRows.select(col("doc_id"), col("n_sh"), explode(col("sh")).as("s"))
     val db = deltaBaseEdges(spark, deltaPosts, sigStoreDir, sigManifests, tau, broadcastDelta)
     // delta↔delta edges — the delta is small; AQE picks the join
@@ -1477,7 +1512,7 @@ object Dedup {
       .select(col("doc_id"), col("newc").as("component"))
     val name =
       graft.sources.ParquetEpochs.append(newRows.unionAll(relabeled), stateStoreDir, manifestName)
-    freeMaterialized(deltaRows)
+    if (precomputedIndexRows.isEmpty) freeMaterialized(deltaRows)
     freeMaterialized(edges)
     name
   }
@@ -2060,7 +2095,7 @@ object Dedup {
     * cleanup is `spark.cleaner.referenceTracking.cleanCheckpoints`'s
     * job (documented on [[nearDupComponents]]).
     */
-  private def freeMaterialized(df: DataFrame): Unit =
+  private[graft] def freeMaterialized(df: DataFrame): Unit =
     df.queryExecution.analyzed
       .collect { case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd }
       .foreach(_.unpersist(blocking = false))

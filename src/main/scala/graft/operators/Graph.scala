@@ -170,16 +170,17 @@ object Graph {
     * per-hop (n_customers, n_suppliers) split makes that visible.
     */
   def graphReach(t: Tables, maxHops: Int = 3, seedMod: Int = 7): DataFrame = {
-    // lazy local checkpoints per round — same rationale as
-    // supplierRank (r22): lineage still truncated, blocks still
-    // persisted on first use, no eager count pass per round
-    val adj = tradingEdges(t).localCheckpoint(false) // feeds every round once
+    // lazy local checkpoints per ROUND — same rationale and same
+    // adj-stays-eager caveat as supplierRank (r22): a round's join
+    // materializes both children concurrently under AQE, so the
+    // shared adjacency must be materialized before the rounds start
+    val adj = tradingEdges(t).localCheckpoint() // feeds every round once
     // modular seed slice: deterministic and non-empty at every SF
     // (a fixed nation has zero suppliers at the smallest fixture)
     val seeds = t.supplier
       .filter(col("s_suppkey") % seedMod === 0)
       .select((col("s_suppkey") * 2 + 1).as("node"), lit(0).as("hop"))
-    var reached  = seeds.localCheckpoint(false)
+    var reached  = seeds.localCheckpoint()
     var frontier = reached
     for (h <- 1 to maxHops) {
       frontier = frontier
@@ -205,18 +206,20 @@ object Graph {
   def supplierRank(t: Tables, iterations: Int = 3): DataFrame = {
     require(iterations >= 1, "rank needs at least one propagation round")
     val edges = tradingEdges(t)
-    // LAZY local checkpoints (r22): the plan is still truncated per
-    // round (depth stays O(1)) and each round's blocks still persist,
-    // but materialization happens as part of the NEXT consumer's job
-    // instead of an eager count pass — the eager form paid one extra
-    // job submission plus one full read of the round's output per
-    // round, pure driver latency at gate scale and a wasted pass at
-    // any scale. Rounds still execute strictly in sequence: each
-    // round's shuffles materialize when the following round (or the
-    // final aggregate) first runs.
+    // Per-round LAZY local checkpoints (r22): the plan is still
+    // truncated per round (depth stays O(1)) and each round's blocks
+    // still persist, but materialization happens as part of the NEXT
+    // round's job instead of an eager count pass — the eager form
+    // paid one extra job submission plus one full read of the round's
+    // output per round. Safe for the round frames because each has
+    // exactly ONE consumer stage; adj stays EAGER deliberately — a
+    // round's join materializes both children's shuffle stages
+    // concurrently under AQE, and a lazily-checkpointed adj would be
+    // computed from the fact tables once per concurrent consumer
+    // (measured: two full 108 MB lineitem passes) instead of once.
     val adj = edges
       .join(edges.groupBy("src").agg(count(lit(1)).as("deg")), "src")
-      .localCheckpoint(false) // computed once; rounds must not replay the fact join
+      .localCheckpoint() // computed once; rounds must not replay the fact join
     var ranks = adj.select(col("src").as("node")).distinct().withColumn("r", lit(1000000L))
     for (_ <- 1 to iterations) {
       ranks = ranks

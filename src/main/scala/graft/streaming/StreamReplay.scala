@@ -931,11 +931,18 @@ object StreamReplay {
           n.stripPrefix(prefix).toLong >= bid)
     val sigPins   = pinsFor(graft.sources.ParquetEpochs.snapshot(sigStore), "sig-")
     val statePins = pinsFor(graft.sources.ParquetEpochs.snapshot(stateStore), "comp-")
+    // ONE shingle+minhash pass per batch (r22): the merge's edge
+    // derivation and the signature append both consume the same
+    // indexRowsOn(batch) — computing it twice doubled the dominant
+    // per-batch map cost at any scale
+    val indexRows = graft.operators.Dedup.indexRowsOn(spark, batch).localCheckpoint()
     val patch = graft.operators.Dedup.mergeDeltaComponents(
       spark, batch, sigStore, sigPins, stateStore, statePins, tau,
-      manifestName = Some(f"comp-$bid%05d"))
-    graft.operators.Dedup.writeSignatureIndexColumnar(
-      spark, batch, sigStore, Some(f"sig-$bid%05d")): Unit
+      manifestName = Some(f"comp-$bid%05d"),
+      precomputedIndexRows = Some(indexRows))
+    graft.operators.Dedup.writeSignatureIndexColumnarRows(
+      indexRows, sigStore, Some(f"sig-$bid%05d")): Unit
+    graft.operators.Dedup.freeMaterialized(indexRows)
     graft.sources.ParquetEpochs.read(spark, stateStore, Seq(patch))
   }
 
