@@ -1567,6 +1567,16 @@ object Dedup {
     * are INDEPENDENT builds over the same base slice, so the first
     * caller builds them concurrently (guide §2.6) instead of paying
     * Σ(build); later callers hit both caches.
+    *
+    * r22: the two cold builds previously each SCANNED AND SHINGLED the
+    * base corpus themselves (indexRowsOn for the signature epoch,
+    * hashedPostingsOn for the component pairs) — two full corpus map
+    * passes over the same slice. The miss path now materializes ONE
+    * indexRowsOn pass and derives both: the signature epoch appends
+    * the rows as-is, and the posting table is an explode + xxhash64
+    * over the same arrays (hashedPostingsOn emits exactly that shape,
+    * modulo n_sh's long cast, applied here). At 100 TB the fixture
+    * cost drops from two corpus scans to one.
     */
   private def sharedComponentFixtures(
       t: Tables): ((String, Seq[String]), (String, Seq[String])) = {
@@ -1578,13 +1588,32 @@ object Dedup {
     val c1 = columnarIndexDirs.get(t.dir)
     val c2 = componentStateDirs.get(t.dir)
     if (c1 != null && c2 != null) return (c1, c2)
-    implicit val ec: scala.concurrent.ExecutionContext = Overlap.ec
-    val f1 = scala.concurrent.Future(sharedColumnarIndex(t))
-    val f2 = scala.concurrent.Future(sharedComponentState(t))
-    (
-      scala.concurrent.Await.result(f1, scala.concurrent.duration.Duration.Inf),
-      scala.concurrent.Await.result(f2, scala.concurrent.duration.Duration.Inf)
-    )
+    val base = t.documents.filter(col("doc_id") % 10 =!= 0)
+    val rows = indexRowsOn(t.spark, base).localCheckpoint()
+    try {
+      implicit val ec: scala.concurrent.ExecutionContext = Overlap.ec
+      val f1 = scala.concurrent.Future(columnarIndexDirs.computeIfAbsent(
+        t.dir,
+        _ => {
+          val dir = graft.operators.Ingest.scratchDir("graft-sigindex-pq")
+          (dir, Seq(writeSignatureIndexColumnarRows(rows, dir)))
+        }
+      ))
+      val f2 = scala.concurrent.Future(componentStateDirs.computeIfAbsent(
+        t.dir,
+        _ => {
+          val dir = graft.operators.Ingest.scratchDir("graft-compstate")
+          val posts = rows
+            .select(col("doc_id"), col("n_sh").cast("long").as("n_sh"), explode(col("sh")).as("s"))
+            .select(col("doc_id"), col("n_sh"), xxhash64(col("s")).as("shingle"))
+          (dir, Seq(writeComponentState(nearDupComponents(t, JaccardTau, None, Some(posts)), dir)))
+        }
+      ))
+      (
+        scala.concurrent.Await.result(f1, scala.concurrent.duration.Duration.Inf),
+        scala.concurrent.Await.result(f2, scala.concurrent.duration.Duration.Inf)
+      )
+    } finally freeMaterialized(rows)
   }
 
   private val componentStateDirs =
