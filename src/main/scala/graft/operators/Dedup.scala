@@ -161,6 +161,16 @@ object Dedup {
   private def ngramJaccardImpl(t: Tables, tau: Double, maxPostings: Option[Int]): DataFrame =
     ngramJaccardFrom(hashedPostings(t), tau, maxPostings)
 
+  /** Plan-spec probe: the UNSORTED verified-pairs frame. The gate tail
+    * materializes the verified pairs before its output sort (r22 — see
+    * [[ngramJaccardFrom]]), which truncates the executed plan behind a
+    * LogicalRDD; this exposes the live join subtree whose shape
+    * (shuffled-hash self-join, one reused posting exchange) PlanSpec
+    * pins.
+    */
+  private[graft] def ngramJaccardPlanFrame(t: Tables, tau: Double = JaccardTau): DataFrame =
+    ngramJaccardFrom(hashedPostings(t), tau, None, sortForGate = false)
+
   /** Document-frequency cap as a semi-join-back, NOT a window: a
     * window partition on the shingle is unsplittable, so one
     * stopword-class shingle would serialize its full posting list
@@ -199,10 +209,22 @@ object Dedup {
     * Postings carry the doc's shingle count so NO size-lookup joins
     * are needed after pairing.
     */
+  /** `sortForGate = false` skips the deterministic output sort — for
+    * COMPOSITION consumers (the component loop) that only feed the
+    * pairs onward, where row order is irrelevant. The sort is not just
+    * an extra exchange: a range exchange SAMPLES its child to compute
+    * partition bounds and then re-executes it to write, so the
+    * expensive verification aggregate directly below ran ~twice
+    * (r22, profile-verified: two stages reading the same exchange,
+    * 8.0 s + 4.3 s task time at sf0.1). Gate frames keep the sort but
+    * materialize the verified pairs first, so the sampler reads
+    * blocks instead of re-running the aggregate.
+    */
   private[operators] def ngramJaccardFrom(
       raw: DataFrame,
       tau: Double = JaccardTau,
-      maxPostings: Option[Int] = None
+      maxPostings: Option[Int] = None,
+      sortForGate: Boolean = true
   ): DataFrame = {
     val postings = maxPostings.fold(raw) { cap =>
       // materialized once: the df agg and the semi-join probe are
@@ -243,8 +265,10 @@ object Dedup {
         col("doc_b"),
         (col("inter").cast("double") / (col("na") + col("nb") - col("inter"))).as("jaccard")
       )
-      .filter(col("jaccard") >= tau)
-      .orderBy("doc_a", "doc_b")
+      .filter(col("jaccard") >= tau) match {
+      case verified if sortForGate => verified.localCheckpoint().orderBy("doc_a", "doc_b")
+      case verified                => verified
+    }
   }
 
   /** C2f: prefix-filtered set-similarity join (AllPairs/PPJoin
@@ -364,6 +388,11 @@ object Dedup {
         (col("inter").cast("double") / (col("na") + col("nb") - col("inter"))).as("jaccard")
       )
       .filter(col("jaccard") >= tau)
+      // materialize before the gate sort: the range sampler otherwise
+      // re-executes the whole verification subtree (r22 — see
+      // ngramJaccardFrom; here the re-run was the single largest cost
+      // at the 32× scaling probe)
+      .localCheckpoint()
       .orderBy("doc_a", "doc_b")
   }
 
@@ -1693,6 +1722,21 @@ object Dedup {
       t: Tables,
       tau: Double = JaccardTau,
       checkpointDir: Option[String] = None
+  ): DataFrame =
+    minhashVerified(t, tau, checkpointDir)
+      // materialize before the gate sort — the range sampler otherwise
+      // re-executes the candidate verification (r22, ngramJaccardFrom)
+      .localCheckpoint()
+      .orderBy("doc_a", "doc_b")
+
+  /** The pre-sort verified-pairs frame of [[minhashLsh]] — split out so
+    * PlanSpec can pin the live band-join shape (the gate tail's r22
+    * materialization truncates the executed plan).
+    */
+  private[graft] def minhashVerified(
+      t: Tables,
+      tau: Double = JaccardTau,
+      checkpointDir: Option[String] = None
   ): DataFrame = {
     val s     = minhashSignatures(t, checkpointDir)
     val bands = bandKeys(s)
@@ -1716,7 +1760,6 @@ object Dedup {
       tau
     )
       .select(col("doc_id").as("doc_a"), col("base_doc").as("doc_b"), col("jaccard"))
-      .orderBy("doc_a", "doc_b")
   }
 
   /** C2d: winnowing near-dup pairs — the byte-level complement to the
@@ -1953,7 +1996,12 @@ object Dedup {
     // branches over the raw plan would run the whole shingle/join
     // pipeline twice
     val posts = postings.getOrElse(hashedPostings(t))
-    val pairs = materialize(ngramJaccardFrom(posts, tau).select(col("doc_a"), col("doc_b")))
+    // sortForGate = false: the pair list only seeds the label
+    // resolution (order-insensitive), so the gate tail's global sort —
+    // and the range sampler's re-execution of the verification
+    // aggregate it would cost — is skipped (r22)
+    val pairs = materialize(
+      ngramJaccardFrom(posts, tau, sortForGate = false).select(col("doc_a"), col("doc_b")))
     // r21: the batch path now goes through the SAME size-guarded
     // resolution the delta merges use — a pair list under the driver
     // bound resolves as one bounded collect + union-find (identical

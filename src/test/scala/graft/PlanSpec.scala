@@ -40,19 +40,36 @@ class PlanSpec extends SparkSpecBase {
     assert(read.contains("l_returnflag") && !read.contains("l_orderkey"), s"not pruned: $read")
   }
 
+  // r22: the gate tails materialize their verified pairs before the
+  // output sort (the range sampler otherwise re-executes the verify
+  // aggregate), so the PUBLIC frames' executed plans truncate at a
+  // LogicalRDD — the join shape is pinned on the pre-sort plan frames.
   test("ngram-jaccard self-join reuses one posting exchange (shuffled hash join)") {
-    val plan = executedPlanString(graft.operators.Dedup.ngramJaccard(tables))
+    val plan = executedPlanString(graft.operators.Dedup.ngramJaccardPlanFrame(tables))
     assert(plan.contains("ShuffledHashJoin"), s"expected shuffle-hash self-join:\n$plan")
     assert(plan.contains("ReusedExchange"), s"posting list computed twice:\n$plan")
   }
 
   test("minhash-lsh band self-join reuses one signature exchange (no recompute)") {
-    val plan = executedPlanString(graft.operators.Dedup.minhashLsh(tables))
+    val plan = executedPlanString(graft.operators.Dedup.minhashVerified(tables))
     assert(plan.contains("ShuffledHashJoin"), s"expected shuffle-hash band join:\n$plan")
     assert(plan.contains("ReusedExchange"), s"band table computed twice:\n$plan")
     // the signature pipeline must be cut off behind the checkpoint:
     // at most one minhash_sig evaluation site in the executed plan
     assert(!plan.contains("minhash_sig"), s"signatures recomputed past the checkpoint:\n$plan")
+  }
+
+  test("gate tails materialize verified pairs before the output sort") {
+    // the returned frame must be Sort-over-materialized-RDD: no join,
+    // no aggregate left above the checkpoint — the shape that stops
+    // the range sampler from re-executing the verification
+    for (df <- Seq(
+        graft.operators.Dedup.ngramJaccard(tables),
+        graft.operators.Dedup.minhashLsh(tables))) {
+      val plan = executedPlanString(df)
+      assert(!plan.contains("HashAggregate"), s"verify agg above the checkpoint:\n$plan")
+      assert(plan.contains("Scan ExistingRDD"), s"expected materialized pairs:\n$plan")
+    }
   }
 
   test("simhash band self-join reuses one band exchange (shuffled hash join)") {
