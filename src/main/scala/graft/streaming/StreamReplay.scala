@@ -710,22 +710,31 @@ object StreamReplay {
       columns: Option[String] = None,
       keyRange: Option[(String, Long, Long)] = None
   ): DataFrame = {
-    val run   = Files.createDirectories(root.resolve(f"run-${runCounter.getAndIncrement()}%04d"))
-    val store = run.resolve("store").toString
-    val out   = run.resolve("out").toString
-    val ckpt  = run.resolve("ckpt")
-    val docs = Tables(spark, sfDir).documents
-      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"), col("text"))
-    for (i <- 0 until writes) {
-      val slice = docs.filter(pmod(col("doc_id"), lit(writes)) === i)
-      // the ranged tail's fixture range-clusters each epoch (the B65b
-      // write discipline) so the keyRange options have bounds to prune
-      // against; the plain tail keeps the writer's own layout
-      graft.sources.ParquetEpochs.append(
-        keyRange.fold(slice)(_ =>
-          slice.repartitionByRange(4, col("doc_id")).sortWithinPartitions("doc_id")),
-        store)
-    }
+    val run = Files.createDirectories(root.resolve(f"run-${runCounter.getAndIncrement()}%04d"))
+    val out  = run.resolve("out").toString
+    val ckpt = run.resolve("ckpt")
+    // the epoch-store INPUT fixture is immutable once published and
+    // identical for every tail variant with the same layout (the plain
+    // and pruned tails read the writer's own layout; the ranged tail
+    // needs range-clustered epochs) — build it once per (corpus,
+    // writes, layout) per JVM, like [[cachedSlices]]: only the input
+    // store is shared, each drain still runs its own full micro-batch
+    // replay with a fresh checkpoint and sink
+    val layout = if (keyRange.isDefined) "ranged" else "plain"
+    val store = cachedSlices(s"colstore|$sfDir|$writes|$layout") { dir =>
+      val docs = Tables(spark, sfDir).documents
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"), col("text"))
+      for (i <- 0 until writes) {
+        val slice = docs.filter(pmod(col("doc_id"), lit(writes)) === i)
+        // the ranged tail's fixture range-clusters each epoch (the B65b
+        // write discipline) so the keyRange options have bounds to prune
+        // against; the plain tail keeps the writer's own layout
+        graft.sources.ParquetEpochs.append(
+          keyRange.fold(slice)(_ =>
+            slice.repartitionByRange(4, col("doc_id")).sortWithinPartitions("doc_id")),
+          dir.toString)
+      }
+    }.toString
     val spKey = "spark.sql.shuffle.partitions"
     val prev  = spark.conf.get(spKey)
     spark.conf.set(spKey, math.min(ReplayShuffleWidth, prev.toInt).toString)
