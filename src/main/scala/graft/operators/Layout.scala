@@ -42,6 +42,16 @@ object Layout {
     import org.apache.spark.sql.functions._
     t.events
       .withColumn("day", date_format(date_trunc("day", col("ts")), "yyyy-MM-dd"))
+      // repartition on the partition columns before a partitionBy write
+      // (guide §6): each (type, day) group lands in exactly one task, so
+      // the write parallelizes across tasks AND emits one file per
+      // partition dir — without this, every input task writes a file
+      // into every partition it holds rows for (task×partition file
+      // spray at scale; here the single-split input serialized the
+      // whole layout through one task). Explicit width (defaultParallelism,
+      // scale-adaptive) — an N-less repartition is AQE-coalesced back to
+      // one task at gate scale, resurrecting the serial write
+      .repartition(t.spark.sparkContext.defaultParallelism, col("event_type"), col("day"))
       .write
       .mode("overwrite")
       .partitionBy("event_type", "day")
@@ -80,6 +90,8 @@ object Layout {
   def dppJoin(t: Tables, dir: String): DataFrame = {
     t.events
       .withColumn("day", date_format(date_trunc("day", col("ts")), "yyyy-MM-dd"))
+      // one task per day-partition at the write (see partitionedLayout)
+      .repartition(t.spark.sparkContext.defaultParallelism, col("day"))
       .write
       .mode("overwrite")
       .partitionBy("day")
